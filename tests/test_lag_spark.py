@@ -1,0 +1,164 @@
+"""The distributed lag plan against the reference goldens + the numpy model.
+
+F1/F2 fixtures from FIXTURES.md; golden values from
+/root/reference/src/lib.rs:806-1076 re-expressed relationally.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from time_sift_spark.interop import lag_matrix_np, lag_matrix_pd
+from time_sift_spark.operators.lag import lag_features, lag_shape, lead_features
+from time_sift_spark.plans.lag_plan import lag_column_names
+
+INF = float("inf")
+
+
+@pytest.fixture(scope="module")
+def f1(spark):
+    # F1 series_1d: t dense 0-based, v = 42,40,38,36
+    return spark.createDataFrame(
+        pd.DataFrame({"t": [0, 1, 2, 3], "v": [42.0, 40.0, 38.0, 36.0]})
+    )
+
+
+@pytest.fixture(scope="module")
+def f2(spark):
+    # F2 series_multi long format: series 0 = 1..4, series 1 = -1..-4
+    rows = [(s, t, float(v)) for s, vals in enumerate([[1, 2, 3, 4], [-1, -2, -3, -4]]) for t, v in enumerate(vals)]
+    return spark.createDataFrame(rows, "series_id int, t long, v double")
+
+
+def test_wide_full_lag_set(f1):
+    out = lag_features(f1, "v", "t", [0, 1, 2, 3], fill=INF).orderBy("t").toPandas()
+    mat = out[lag_column_names(["v"], [0, 1, 2, 3])].to_numpy().T
+    np.testing.assert_array_equal(mat, lag_matrix_np([42.0, 40.0, 38.0, 36.0], [0, 1, 2, 3], INF))
+
+
+def test_wide_unordered_subset(f1):
+    # src/lib.rs:840-865 — lag set [1,3,2], order preserved in output cols
+    out = lag_features(f1, "v", "t", [1, 3, 2], fill=INF).orderBy("t").toPandas()
+    names = lag_column_names(["v"], [1, 3, 2])
+    assert names == ["v_lag1", "v_lag3", "v_lag2"]
+    mat = out[names].to_numpy().T
+    np.testing.assert_array_equal(mat, lag_matrix_np([42.0, 40.0, 38.0, 36.0], [1, 3, 2], INF))
+
+
+def test_wide_duplicate_lags(f1):
+    out = lag_features(f1, "v", "t", [1, 1], fill=INF).orderBy("t").toPandas()
+    names = lag_column_names(["v"], [1, 1])
+    assert names == ["v_lag1", "v_lag1_p1"]
+    np.testing.assert_array_equal(out["v_lag1"].to_numpy(), out["v_lag1_p1"].to_numpy())
+
+
+def test_null_fill_mode(f1):
+    out = lag_features(f1, "v", "t", [2]).orderBy("t").toPandas()
+    assert out["v_lag2"].isna().tolist() == [True, True, False, False]
+
+
+def test_lag_zero_identity(f1):
+    out = lag_features(f1, "v", "t", [0]).orderBy("t").toPandas()
+    np.testing.assert_array_equal(out["v_lag0"].to_numpy(), [42.0, 40.0, 38.0, 36.0])
+
+
+def test_multiseries_wide(f2):
+    # ColumnMajor analogue (src/lib.rs:999-1039): per-series lag columns.
+    out = (
+        lag_features(f2, "v", "t", [0, 1, 2, 3], partition_by="series_id", fill=INF)
+        .orderBy("series_id", "t")
+        .toPandas()
+    )
+    s0 = out[out.series_id == 0]
+    s1 = out[out.series_id == 1]
+    np.testing.assert_array_equal(
+        s0[["v_lag0", "v_lag1", "v_lag2", "v_lag3"]].to_numpy().T,
+        lag_matrix_np([1.0, 2.0, 3.0, 4.0], [0, 1, 2, 3], INF),
+    )
+    np.testing.assert_array_equal(
+        s1[["v_lag0", "v_lag1", "v_lag2", "v_lag3"]].to_numpy().T,
+        lag_matrix_np([-1.0, -2.0, -3.0, -4.0], [0, 1, 2, 3], INF),
+    )
+
+
+def test_long_layout_ordering(f2):
+    # RowMajor analogue: lag_pos preserves arbitrary lag-set order
+    # (lag-major then series row grouping, src/lib.rs:699-704, test :986-996).
+    out = (
+        lag_features(f2, "v", "t", [1, 3, 2], partition_by="series_id", fill=INF, layout="long")
+        .orderBy("lag_pos", "series_id", "t")
+        .toPandas()
+    )
+    assert list(out.columns) == ["series_id", "t", "lag_pos", "lag", "v_lagged"]
+    assert out.lag.tolist()[:8] == [1] * 8  # lag_pos 0 → lag 1, both series
+    # reconstruct the reference RowMajor matrix: row (pos*S + s) over t
+    mat = out.v_lagged.to_numpy().reshape(3 * 2, 4)
+    expected = np.array(
+        [
+            [INF, 1.0, 2.0, 3.0],
+            [INF, -1.0, -2.0, -3.0],
+            [INF, INF, INF, 1.0],
+            [INF, INF, INF, -1.0],
+            [INF, INF, 1.0, 2.0],
+            [INF, INF, -1.0, -2.0],
+        ]
+    )
+    np.testing.assert_array_equal(mat, expected)
+
+
+def test_long_wide_duality(f2):
+    # wide↔long round-trip: same values, different shape
+    wide = lag_features(f2, "v", "t", [1, 2], partition_by="series_id").orderBy("series_id", "t").toPandas()
+    long = (
+        lag_features(f2, "v", "t", [1, 2], partition_by="series_id", layout="long")
+        .orderBy("lag_pos", "series_id", "t")
+        .toPandas()
+    )
+    np.testing.assert_array_equal(
+        long[long.lag == 1].v_lagged.to_numpy(),
+        wide.v_lag1.to_numpy(),
+    )
+    np.testing.assert_array_equal(
+        long[long.lag == 2].v_lagged.to_numpy(),
+        wide.v_lag2.to_numpy(),
+    )
+
+
+def test_multi_value_cols(f2):
+    df = f2.withColumn("v2", f2.v * 10)
+    out = (
+        lag_features(df, ["v", "v2"], "t", [1], partition_by="series_id")
+        .orderBy("series_id", "t")
+        .toPandas()
+    )
+    np.testing.assert_array_equal(out.v2_lag1.fillna(0).to_numpy(), out.v_lag1.fillna(0).to_numpy() * 10)
+
+
+def test_lead_features(f1):
+    out = lead_features(f1, "v", "t", [1], fill=INF).orderBy("t").toPandas()
+    np.testing.assert_array_equal(out.v_lead1.to_numpy(), [40.0, 38.0, 36.0, INF])
+
+
+def test_lag_shape(f1):
+    df = lag_features(f1, "v", "t", [1, 2])
+    shape = lag_shape(df)
+    assert shape["lag_columns"] == ["v_lag1", "v_lag2"]
+    assert shape["lags_present"] == [1, 2]
+    assert not shape["is_long"]
+
+
+def test_lag_matrix_pd_matches_numpy(spark):
+    data = [42.0, 40.0, 38.0, 36.0]
+    via_spark = lag_matrix_pd(spark, data, [1, 3, 2], INF, stride=5)
+    via_np = lag_matrix_np(data, [1, 3, 2], INF, stride=5)
+    np.testing.assert_array_equal(via_spark, via_np)
+
+
+def test_single_window_spec_one_exchange(f2):
+    # All L lag expressions must share ONE window spec → exactly one
+    # Exchange in the physical plan (SURVEY §4: "emit all lags over ONE
+    # window spec so Catalyst plans one shuffle").
+    df = lag_features(f2, "v", "t", [1, 2, 3, 4, 5], partition_by="series_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Window") == 1, plan

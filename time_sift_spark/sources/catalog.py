@@ -1,0 +1,74 @@
+"""Table catalog over the driver-generated parquet testdata.
+
+The reference has no I/O at all (in-memory slices only,
+/root/reference/src/lib.rs:487-488); sources/sinks are Spark built-ins.
+Parquet is the default so Catalyst pushdown / pruning / partition
+discovery come for free — check with ``df.explain`` that ``PushedFilters``
+and a narrow ``ReadSchema`` reach the scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    import pyarrow.parquet as pq
+
+    try:
+        schema = pq.read_schema(path)
+    except Exception:
+        return []
+    return [
+        f.name
+        for f in schema
+        if str(f.type).startswith("timestamp[ns")
+    ]
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    # TIMESTAMP(NANOS) parquet columns arrive as long ns (the
+    # spark.sql.legacy.parquet.nanosAsLong session default); convert to
+    # TimestampType. Integer `div` — ns epoch values (~1.7e18) exceed
+    # double's 2^53 mantissa, a float division would corrupt them. The
+    # testdata's ns values are µs-aligned so this is lossless and matches
+    # DuckDB's TIMESTAMP(us) read of the same file.
+    from pyspark.sql import functions as F
+
+    for c in _nanos_timestamp_cols(path):
+        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str | None = None, tables=TABLES) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for t in tables:
+        load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+
+
+def write_parquet(df: DataFrame, path: str, *, mode: str = "overwrite", partition_by=None) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*([partition_by] if isinstance(partition_by, str) else partition_by))
+    writer.parquet(path)
