@@ -1,0 +1,119 @@
+"""Unit tests for the time-series extension operators (rolling,
+sessionize, as-of join, resample) on tiny hand-checked fixtures."""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from time_sift_spark.errors import ColumnNotFoundError, InvalidLagsError
+from time_sift_spark.operators.asof import asof_join
+from time_sift_spark.operators.resample import resample
+from time_sift_spark.operators.rolling import rolling_features
+from time_sift_spark.operators.sessionize import sessionize
+
+
+def ts(h, m=0, s=0):
+    return dt.datetime(2024, 1, 1, h, m, s)
+
+
+def test_rolling_basic(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"sid": [0] * 4, "t": [0, 1, 2, 3], "v": [1.0, 2.0, 3.0, 4.0]})
+    )
+    out = (
+        rolling_features(df, "v", "t", [2], stats=("sum", "count"), partition_by="sid")
+        .orderBy("t")
+        .toPandas()
+    )
+    assert out.v_r2_sum.tolist() == [1.0, 3.0, 5.0, 7.0]
+    assert out.v_r2_count.tolist() == [1, 2, 2, 2]
+
+
+def test_rolling_validation(spark):
+    df = spark.createDataFrame(pd.DataFrame({"t": [0], "v": [1.0]}))
+    with pytest.raises(InvalidLagsError):
+        rolling_features(df, "v", "t", [])
+    with pytest.raises(InvalidLagsError):
+        rolling_features(df, "v", "t", [0])
+    with pytest.raises(InvalidLagsError):
+        rolling_features(df, "v", "t", [2], stats=("median",))
+    with pytest.raises(ColumnNotFoundError):
+        rolling_features(df, "x", "t", [2])
+
+
+def test_sessionize(spark):
+    # user 7: events at 00:00, 00:10, 02:00, 02:30 with 1h gap →
+    # sessions {0: [00:00, 00:10], 1: [02:00, 02:30]}
+    pdf = pd.DataFrame(
+        {
+            "user_id": [7, 7, 7, 7, 8],
+            "ts": [ts(0), ts(0, 10), ts(2), ts(2, 30), ts(5)],
+            "event_id": [1, 2, 3, 4, 5],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = (
+        sessionize(df, "ts", 3600, partition_by="user_id", order_extra="event_id")
+        .orderBy("user_id", "ts")
+        .toPandas()
+    )
+    assert out[out.user_id == 7].session_seq.tolist() == [0, 0, 1, 1]
+    assert out[out.user_id == 7].is_session_start.tolist() == [1, 0, 1, 0]
+    assert out[out.user_id == 8].session_seq.tolist() == [0]
+
+
+def test_sessionize_gap_boundary(spark):
+    # gap exactly == threshold does NOT start a new session (strict >)
+    pdf = pd.DataFrame({"user_id": [1, 1], "ts": [ts(0), ts(1)], "event_id": [1, 2]})
+    out = sessionize(spark.createDataFrame(pdf), "ts", 3600, partition_by="user_id").orderBy("ts").toPandas()
+    assert out.session_seq.tolist() == [0, 0]
+
+
+def test_asof_join(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 1, 2], "t": [ts(1), ts(3), ts(5), ts(1)], "lid": [10, 11, 12, 13]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 2], "t": [ts(2), ts(4), ts(9)], "price": [100.0, 200.0, 300.0]})
+    )
+    out = (
+        asof_join(left, right, on="k", left_time="t", right_time="t", right_cols=["price"])
+        .orderBy("k", "t")
+        .toPandas()
+    )
+    # k=1: t1 → no match; t3 → 100 (t2); t5 → 200 (t4). k=2: t1 → none.
+    assert out.price_asof.isna().tolist() == [True, False, False, True]
+    assert out.price_asof.dropna().tolist() == [100.0, 200.0]
+
+
+def test_asof_join_inclusive_tie(spark):
+    # right row at exactly the left time IS matched (backward inclusive)
+    left = spark.createDataFrame(pd.DataFrame({"k": [1], "t": [ts(2)], "lid": [1]}))
+    right = spark.createDataFrame(pd.DataFrame({"k": [1], "t": [ts(2)], "price": [42.0]}))
+    out = asof_join(left, right, on="k", left_time="t", right_time="t", right_cols=["price"]).toPandas()
+    assert out.price_asof.tolist() == [42.0]
+
+
+def test_resample(spark):
+    pdf = pd.DataFrame(
+        {
+            "ts": [ts(0, 5), ts(0, 30), ts(1, 10)],
+            "v": [1.0, 2.0, 4.0],
+            "u": [1, 2, 1],
+        }
+    )
+    out = (
+        resample(
+            spark.createDataFrame(pdf),
+            "ts",
+            "hour",
+            {"n": ("count", "v"), "sv": ("sum", "v"), "nu": ("count_distinct", "u")},
+        )
+        .orderBy("bucket")
+        .toPandas()
+    )
+    assert out.n.tolist() == [2, 1]
+    assert out.sv.tolist() == [3.0, 4.0]
+    assert out.nu.tolist() == [2, 1]
+    assert out.bucket.tolist() == [ts(0), ts(1)]

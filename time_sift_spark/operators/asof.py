@@ -1,0 +1,87 @@
+"""As-of join: for each left row, the most recent right row at or before it.
+
+Spark has no native as-of join (SURVEY.md §2.2).  The scalable
+composition used here is the union+window technique:
+
+1. project both sides to a common shape, tagged with a side marker;
+2. union (no shuffle yet — union is partition-concat);
+3. ONE window over (key, time): ``last(right_payload, ignorenulls=True)``
+   carries the latest right row forward onto every subsequent row;
+4. keep only left rows.
+
+Cost: a single Exchange on the join key — same as the equi-join shuffle a
+sort-merge join would need, but with no range cross-product and no skew
+amplification: each key's rows are processed in one sorted pass.  This is
+the standard large-scale formulation (a point-in-time join); a broadcast
+variant is unnecessary because the union path is already one shuffle.
+
+Tie semantics: ``direction='backward'`` matches right_time <= left_time
+(inclusive), like ``pd.merge_asof``.  Within equal timestamps the right
+row sorts first (side marker), so an exactly-simultaneous right row IS
+visible to the left row — deterministic.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..errors import ColumnNotFoundError
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str | Sequence[str],
+    left_time: str,
+    right_time: str,
+    right_cols: Sequence[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of (backward, inclusive) join.
+
+    Every ``left`` row gains ``{c}{suffix}`` for each c in ``right_cols``,
+    taken from the most recent ``right`` row of the same key with
+    ``right_time <= left_time`` (NULLs where no such row exists).
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    right_cols = list(right_cols)
+    for c in on + [left_time]:
+        if c not in left.columns:
+            raise ColumnNotFoundError(f"left column {c!r} not in {left.columns}")
+    for c in on + [right_time, *right_cols]:
+        if c not in right.columns:
+            raise ColumnNotFoundError(f"right column {c!r} not in {right.columns}")
+
+    payload = [f"{c}{suffix}" for c in right_cols]
+    left_tagged = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(p) for c, p in zip(right_cols, payload)],
+        F.col(left_time).alias("_asof_t"),
+    )
+    right_tagged = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) if c not in on else F.col(c) for c in left.columns],
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(p) for c, p in zip(right_cols, payload)],
+        F.col(right_time).alias("_asof_t"),
+    )
+    unioned = left_tagged.unionByName(right_tagged)
+
+    # one shuffle: partition by key, order by (time, side) — side=0 (right)
+    # sorts before side=1 (left) at equal times, making same-instant right
+    # rows visible (inclusive backward semantics).
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("_asof_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        *[c for c in unioned.columns if c not in payload],
+        *[F.last(p, ignorenulls=True).over(w).alias(p) for p in payload],
+    )
+    return carried.where(F.col("_side") == 1).drop("_side", "_asof_t")

@@ -1,0 +1,74 @@
+"""Rolling (trailing-window) statistics over time series.
+
+Extension operator (no reference counterpart — the reference's only
+window primitive is the lag shift, SURVEY.md §2.2).  Same execution shape
+as the lag plan: every stat for every window size shares ONE window
+partitioning+ordering, so Catalyst plans a single Exchange+Sort and
+WindowExec evaluates all frames in one pass.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..errors import ColumnNotFoundError, InvalidLagsError
+
+_STATS = {
+    "mean": F.avg,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+    "stddev": F.stddev_samp,
+}
+
+
+def rolling_features(
+    df: DataFrame,
+    value_cols: str | Sequence[str],
+    time_col: str,
+    window_sizes: Sequence[int],
+    *,
+    stats: Sequence[str] = ("mean", "min", "max"),
+    partition_by: str | Sequence[str] | None = None,
+    order_extra: str | Sequence[str] | None = None,
+    keep_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Trailing ROWS-frame statistics: for each window size n, stat over
+    the current row and the n-1 preceding rows within the series.
+
+    Output column naming: ``{value}_r{n}_{stat}`` (all aliased — oracle
+    contract).
+    """
+    value_cols = [value_cols] if isinstance(value_cols, str) else list(value_cols)
+    partition_by = (
+        [] if partition_by is None else [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    )
+    order_extra = (
+        [] if order_extra is None else [order_extra] if isinstance(order_extra, str) else list(order_extra)
+    )
+    if not window_sizes:
+        raise InvalidLagsError("window_sizes must not be empty")
+    bad = [s for s in stats if s not in _STATS]
+    if bad:
+        raise InvalidLagsError(f"unknown stats {bad}; supported: {sorted(_STATS)}")
+    missing = [c for c in (value_cols + [time_col] + partition_by + order_extra) if c not in df.columns]
+    if missing:
+        raise ColumnNotFoundError(f"columns not in DataFrame: {missing}")
+
+    order_by = [time_col, *order_extra]
+    base = Window.partitionBy(*partition_by).orderBy(*order_by) if partition_by else Window.orderBy(*order_by)
+    keep = list(keep_cols) if keep_cols is not None else [*partition_by, *order_by]
+
+    exprs: list[Column] = []
+    for n in window_sizes:
+        if int(n) < 1:
+            raise InvalidLagsError(f"window size must be >= 1, got {n}")
+        frame = base.rowsBetween(-(int(n) - 1), 0)
+        for v in value_cols:
+            for s in stats:
+                exprs.append(_STATS[s](F.col(v)).over(frame).alias(f"{v}_r{n}_{s}"))
+    return df.select(*keep, *exprs)

@@ -192,6 +192,152 @@ def lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Time-series extension operators (SURVEY §2.4, charter-mandated)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "rolling_events",
+    oracle="""
+    SELECT user_id, ts, event_id,
+           ROUND(AVG(value) OVER w3, 4) AS value_r3_mean,
+           MIN(value) OVER w3 AS value_r3_min,
+           MAX(value) OVER w3 AS value_r3_max,
+           COUNT(value) OVER w3 AS value_r3_count,
+           ROUND(SUM(value) OVER w10, 4) AS value_r10_sum
+    FROM events
+    WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+           w10 AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    """,
+    headline=True,
+)
+def rolling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing rolling stats; doubles rounded to 4dp on both sides so the
+    comparison is independent of each engine's summation order (DuckDB
+    uses segment-tree window aggregation)."""
+    from .operators.rolling import rolling_features
+
+    events = load_table(spark, "events", sf_dir)
+    out = rolling_features(
+        events,
+        "value",
+        "ts",
+        [3, 10],
+        stats=("mean", "min", "max", "count", "sum"),
+        partition_by="user_id",
+        order_extra="event_id",
+    )
+    import pyspark.sql.functions as F
+
+    return out.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round("value_r3_mean", 4).alias("value_r3_mean"),
+        "value_r3_min",
+        "value_r3_max",
+        "value_r3_count",
+        F.round("value_r10_sum", 4).alias("value_r10_sum"),
+    )
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 86400000000
+                  THEN 1 ELSE 0 END AS is_session_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, ts, event_id, is_session_start,
+           CAST(SUM(is_session_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_seq
+    FROM flagged
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity-gap sessionization (gap > 1 day), built on lag + running
+    sum over one window spec."""
+    from .operators.sessionize import sessionize
+
+    events = load_table(spark, "events", sf_dir)
+    out = sessionize(events, "ts", 86400, partition_by="user_id", order_extra="event_id")
+    return out.select("user_id", "ts", "event_id", "is_session_start", "session_seq")
+
+
+@register(
+    "asof_join_purchases",
+    oracle="""
+    SELECT l.user_id, l.ts, l.event_id, l.value, r.value AS value_asof
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each click, the user's most recent purchase value at or before
+    it — the as-of join Spark lacks natively, via union + one window
+    (operators.asof)."""
+    from .operators.asof import asof_join
+
+    events = load_table(spark, "events", sf_dir)
+    clicks = events.where(events.event_type == "click")
+    purchases = events.where(events.event_type == "purchase")
+    joined = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_cols=["value"],
+    )
+    return joined.select("user_id", "ts", "event_id", "value", "value_asof")
+
+
+@register(
+    "resample_events_hourly",
+    oracle="""
+    SELECT event_type, date_trunc('hour', ts) AS bucket,
+           COUNT(event_id) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+    """,
+    headline=True,
+)
+def resample_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly downsample per event type; map-side partial agg then one
+    shuffle."""
+    import pyspark.sql.functions as F
+
+    from .operators.resample import resample
+
+    events = load_table(spark, "events", sf_dir)
+    out = resample(
+        events,
+        "ts",
+        "hour",
+        {
+            "n_events": ("count", "event_id"),
+            "sum_value": ("sum", "value"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+            "n_users": ("count_distinct", "user_id"),
+        },
+        partition_by="event_type",
+    )
+    return out.withColumn("sum_value", F.round("sum_value", 4))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark_fn for name, q in REGISTRY.items()}
 
