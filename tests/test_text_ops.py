@@ -1,0 +1,88 @@
+"""Text operator unit tests + cross-engine primitive parity pins."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from time_sift_spark.functions.text_fns import DUCK, SPARK
+from time_sift_spark.operators.text import fingerprint, lang_id, text_stats
+
+SAMPLES = [
+    "The quick brown fox jumps over the lazy dog, and it is happy!",
+    "el perro es una mascota que vive en la casa por las tardes con",
+    "le chat est dans la maison et il est pour le moment au calme les",
+    "der hund ist nicht mit der katze und das ist ein problem zu den",
+    "你好世界这是一个测试文档内容相当长",
+    "12345 67890 !!!",
+    "",
+    "   ",
+    "word",
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(SAMPLES)), "text": SAMPLES})
+    )
+
+
+def _duck_eval(expr: str, texts):
+    con = duckdb.connect()
+    con.register("d", pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    return con.execute(f"SELECT {expr} AS v FROM d ORDER BY doc_id").df()["v"].tolist()
+
+
+@pytest.mark.parametrize(
+    "builder",
+    ["ws_token_count", "bpe_token_count", "punct_count", "digit_count", "cjk_count",
+     "mean_token_len", "quality_score", "lang_id"],
+)
+def test_primitive_parity(spark, builder):
+    """Each dialect-paired expression produces identical values in Spark
+    and DuckDB on adversarial samples (empty, blank, CJK, digits-only)."""
+    sdf = spark.createDataFrame(pd.DataFrame({"doc_id": range(len(SAMPLES)), "text": SAMPLES}))
+    sdf.createOrReplaceTempView("d_txt")
+    spark_vals = [
+        r.v
+        for r in spark.sql(
+            f"SELECT {getattr(SPARK, builder)('text')} AS v FROM d_txt ORDER BY doc_id"
+        ).collect()
+    ]
+    duck_vals = _duck_eval(getattr(DUCK, builder)("text"), SAMPLES)
+    assert spark_vals == duck_vals, f"{builder}: {spark_vals} != {duck_vals}"
+
+
+def test_fingerprint_parity(spark):
+    sdf = spark.createDataFrame(pd.DataFrame({"doc_id": range(len(SAMPLES)), "text": SAMPLES}))
+    sdf.createOrReplaceTempView("d_txt2")
+    spark_vals = [
+        r.v for r in spark.sql(f"SELECT {SPARK.fingerprint('text', 3)} AS v FROM d_txt2 ORDER BY doc_id").collect()
+    ]
+    duck_vals = _duck_eval(DUCK.fingerprint("text", 3), SAMPLES)
+    assert spark_vals == duck_vals
+
+
+def test_lang_id_labels(docs):
+    out = lang_id(docs, "text", keep_cols=("doc_id",)).orderBy("doc_id").toPandas()
+    assert out.lang_pred.tolist()[:5] == ["en", "es", "fr", "de", "zh"]
+    assert out.lang_pred.tolist()[5] == "und"  # digits only
+
+
+def test_text_stats_values(docs):
+    out = text_stats(docs, "text", keep_cols=("doc_id",)).orderBy("doc_id").toPandas()
+    row0 = out.iloc[0]
+    assert row0.n_tokens_ws == 13
+    assert row0.n_tokens_alnum == 13
+    assert 0 < row0.quality_score <= 1
+    empty = out.iloc[6]
+    assert empty.n_tokens_ws == 0 and empty.n_chars_txt == 0
+
+
+def test_fingerprint_properties(docs, spark):
+    out = fingerprint(docs, "text", keep_cols=("doc_id",)).orderBy("doc_id").toPandas()
+    assert out.fingerprint.notna().all()
+    # identical text → identical fingerprint; 1-word docs use the fallback
+    df2 = spark.createDataFrame(pd.DataFrame({"doc_id": [0, 1], "text": [SAMPLES[0], SAMPLES[0]]}))
+    fp2 = fingerprint(df2, "text", keep_cols=("doc_id",)).toPandas()
+    assert fp2.fingerprint.nunique() == 1

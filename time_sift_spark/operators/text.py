@@ -1,0 +1,76 @@
+"""Text-analysis operators for LLM data pipelines (charter extension,
+SURVEY.md §2.4): token counting, quality scoring, language ID,
+document fingerprinting.
+
+All expressions are built-in-function SQL rendered by
+functions.text_fns.Dialect('spark') — pure Catalyst/codegen, zero Python
+on executors.  Embarrassingly parallel (no shuffle at all): each operator
+is a projection, so at 100 TB it scales with scan bandwidth.  The DuckDB
+oracles render the same logical expressions via Dialect('duck').
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..errors import ColumnNotFoundError
+from ..functions.text_fns import SPARK
+
+
+def _check(df: DataFrame, cols: Sequence[str]) -> None:
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ColumnNotFoundError(f"columns not in DataFrame: {missing}")
+
+
+def text_stats(df: DataFrame, text_col: str, *, keep_cols: Sequence[str] = ()) -> DataFrame:
+    """Per-document counting + quality metrics.
+
+    Outputs: n_chars_txt, n_tokens_ws (whitespace), n_tokens_bpe (BPE-ish
+    regex), n_tokens_alnum, punct_ratio, digit_ratio, stopword_ratio_en,
+    mean_token_len, quality_score.
+    """
+    _check(df, [text_col, *keep_cols])
+    c = text_col
+    toks = SPARK.tokens(c)
+    return df.select(
+        *keep_cols,
+        F.expr(SPARK.char_count(c)).alias("n_chars_txt"),
+        F.expr(SPARK.ws_token_count(c)).alias("n_tokens_ws"),
+        F.expr(SPARK.bpe_token_count(c)).alias("n_tokens_bpe"),
+        F.expr(SPARK.size(toks)).alias("n_tokens_alnum"),
+        F.expr(SPARK.ratio(SPARK.punct_count(c), SPARK.char_count(c))).alias("punct_ratio"),
+        F.expr(SPARK.ratio(SPARK.digit_count(c), SPARK.char_count(c))).alias("digit_ratio"),
+        F.expr(SPARK.ratio(SPARK.stopword_hits(toks, "en"), SPARK.size(toks))).alias(
+            "stopword_ratio_en"
+        ),
+        F.expr(SPARK.mean_token_len(c)).alias("mean_token_len"),
+        F.expr(SPARK.quality_score(c)).alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str, *, keep_cols: Sequence[str] = ()) -> DataFrame:
+    """Heuristic language identification → ``lang_pred`` column.
+
+    CJK char-ratio gate, then stopword-hit argmax over {en,es,fr,de} with
+    fixed priority tie-break; 'und' when nothing matches.
+    """
+    _check(df, [text_col, *keep_cols])
+    return df.select(*keep_cols, F.expr(SPARK.lang_id(text_col)).alias("lang_pred"))
+
+
+def fingerprint(
+    df: DataFrame, text_col: str, *, k: int = 3, keep_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Shingle-hash content fingerprint → ``fingerprint`` (int64).
+
+    Min md5-derived hash over word k-shingles (a 1-permutation MinHash):
+    robust to reordering whole blocks, sensitive to local wording, and
+    cross-engine stable. Short docs fall back to hashing the normalized
+    full text.
+    """
+    _check(df, [text_col, *keep_cols])
+    return df.select(*keep_cols, F.expr(SPARK.fingerprint(text_col, k)).alias("fingerprint"))

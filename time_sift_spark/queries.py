@@ -338,6 +338,72 @@ def resample_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("sum_value", F.round("sum_value", 4))
 
 
+# --------------------------------------------------------------------------
+# Text-analysis operators (charter extension; oracles rendered from the
+# same dialect-paired expression builders the Spark side uses)
+# --------------------------------------------------------------------------
+
+from .functions.text_fns import DUCK  # noqa: E402
+
+_DTOKS = DUCK.tokens("text")
+
+
+@register(
+    "text_stats_docs",
+    oracle=f"""
+    SELECT doc_id,
+           {DUCK.char_count("text")} AS n_chars_txt,
+           {DUCK.ws_token_count("text")} AS n_tokens_ws,
+           {DUCK.bpe_token_count("text")} AS n_tokens_bpe,
+           {DUCK.size(_DTOKS)} AS n_tokens_alnum,
+           {DUCK.ratio(DUCK.punct_count("text"), DUCK.char_count("text"))} AS punct_ratio,
+           {DUCK.ratio(DUCK.digit_count("text"), DUCK.char_count("text"))} AS digit_ratio,
+           {DUCK.ratio(DUCK.stopword_hits(_DTOKS, "en"), DUCK.size(_DTOKS))} AS stopword_ratio_en,
+           {DUCK.mean_token_len("text")} AS mean_token_len,
+           {DUCK.quality_score("text")} AS quality_score
+    FROM documents
+    """,
+    headline=True,
+)
+def text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring over documents (pure projection,
+    no shuffle)."""
+    from .operators.text import text_stats
+
+    docs = load_table(spark, "documents", sf_dir)
+    return text_stats(docs, "text", keep_cols=("doc_id",))
+
+
+@register(
+    "langid_docs",
+    oracle=f"""
+    SELECT doc_id, {DUCK.lang_id("text")} AS lang_pred
+    FROM documents
+    """,
+)
+def langid_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword argmax + CJK gate)."""
+    from .operators.text import lang_id
+
+    docs = load_table(spark, "documents", sf_dir)
+    return lang_id(docs, "text", keep_cols=("doc_id",))
+
+
+@register(
+    "fingerprint_docs",
+    oracle=f"""
+    SELECT doc_id, {DUCK.fingerprint("text", 3)} AS fingerprint
+    FROM documents
+    """,
+)
+def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-hash document fingerprint (md5-based, cross-engine stable)."""
+    from .operators.text import fingerprint
+
+    docs = load_table(spark, "documents", sf_dir)
+    return fingerprint(docs, "text", k=3, keep_cols=("doc_id",))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark_fn for name, q in REGISTRY.items()}
 
