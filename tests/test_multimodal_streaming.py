@@ -1,0 +1,98 @@
+"""Multimodal binary plumbing + streaming lag tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from time_sift_spark.operators.multimodal import (
+    blob_metadata,
+    decode_image,
+    extract_features,
+)
+
+
+@pytest.fixture(scope="module")
+def blobs(spark):
+    rows = [
+        (0, bytes.fromhex("FFD8FF") + b"fakejpegdata"),
+        (1, bytes.fromhex("89504E47") + b"fakepng"),
+        (2, b"RIFFxxxxWAVE"),
+        (3, b"plain text bytes"),
+        (4, b""),
+    ]
+    return spark.createDataFrame(rows, "id long, blob binary")
+
+
+def test_blob_metadata_sniff(blobs):
+    out = blob_metadata(blobs, "blob", keep_cols=("id",)).orderBy("id").toPandas()
+    assert out.format.tolist() == ["jpeg", "png", "riff", "unknown", "unknown"]
+    assert out.size_bytes.tolist() == [15, 11, 12, 16, 0]
+    import hashlib
+
+    assert out.blob_md5[3] == hashlib.md5(b"plain text bytes").hexdigest()
+
+
+def test_decode_image_fake_deterministic(blobs):
+    out = decode_image(blobs, "blob", id_col="id", fake=True).orderBy("id").toPandas()
+    assert out.format.tolist()[:3] == ["jpeg", "png", "riff"]
+    assert ((out.width >= 32) & (out.width < 32 + 993)).all()
+    assert (out.channels == 3).all()
+    # determinism: second run identical
+    out2 = decode_image(blobs, "blob", id_col="id", fake=True).orderBy("id").toPandas()
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_decode_image_honest_stub(blobs):
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as exc_info:
+        decode_image(blobs, "blob", id_col="id", fake=False).collect()
+    assert "NotImplementedError" in str(exc_info.value) or "PIL" in str(exc_info.value)
+
+
+def test_extract_features_shape(blobs):
+    out = extract_features(blobs, "blob", id_col="id", dim=8).orderBy("id").toPandas()
+    assert all(len(v) == 8 for v in out.feature)
+    assert all(-1.0 <= x < 1.0 for v in out.feature for x in v)
+
+
+def test_streaming_lag_matches_batch(spark, tmp_path):
+    """Three time-ordered files → three batches; the stateful ring buffer
+    must carry lags across batch boundaries exactly like batch F.lag."""
+    from time_sift_spark.operators.lag import lag_features
+    from time_sift_spark.streaming.lag_stream import run_stream_to_df, streaming_lag_features
+
+    rng = np.random.RandomState(3)
+    n, keys = 300, 5
+    pdf = pd.DataFrame(
+        {
+            "t": np.arange(n, dtype="int64"),
+            "k": rng.randint(0, keys, n).astype("int64"),
+            "v": rng.randn(n),
+        }
+    )
+    src = str(tmp_path / "stream_src")
+    for i in range(3):  # non-overlapping time ranges, lexicographic file order
+        spark.createDataFrame(pdf.iloc[i * 100 : (i + 1) * 100]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/part{i}")
+
+    stream = (
+        spark.readStream.schema("t long, k long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/part*")
+    )
+    out = streaming_lag_features(stream, "v", "t", [1, 3], partition_by="k")
+    got = run_stream_to_df(out, "t_stream_test").orderBy("k", "t").toPandas()
+
+    batch = spark.createDataFrame(pdf)
+    expected = (
+        lag_features(batch, "v", "t", [1, 3], partition_by="k")
+        .orderBy("k", "t")
+        .toPandas()
+        .rename(columns={"v_lag1": "l1", "v_lag3": "l3"})
+    )
+    np.testing.assert_allclose(got.v_lag1.to_numpy(), expected.l1.to_numpy())
+    np.testing.assert_allclose(got.v_lag3.to_numpy(), expected.l3.to_numpy())
+    assert len(got) == n

@@ -520,6 +520,125 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Multimodal binary-column + streaming operators (charter extension)
+# --------------------------------------------------------------------------
+
+
+def _duck_sniff(hex_expr: str) -> str:
+    from .operators.multimodal import MAGIC
+
+    expr = "'unknown'"
+    for prefix, tag in reversed(MAGIC):
+        expr = f"CASE WHEN starts_with({hex_expr}, '{prefix}') THEN '{tag}' ELSE {expr} END"
+    return expr
+
+
+@register(
+    "blob_metadata_docs",
+    oracle=f"""
+    SELECT doc_id,
+           octet_length(encode(text)) AS size_bytes,
+           md5(text) AS blob_md5,
+           {_duck_sniff("upper(hex(encode(text)))")} AS format
+    FROM documents
+    """,
+)
+def blob_metadata_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata (size/md5/magic sniff) over blobs synthesized
+    from document text (testdata has no binary column; the operator is
+    content-agnostic)."""
+    import pyspark.sql.functions as F
+
+    from .operators.multimodal import blob_metadata
+
+    docs = load_table(spark, "documents", sf_dir).withColumn("blob", F.encode("text", "UTF-8"))
+    return blob_metadata(docs, "blob", keep_cols=("doc_id",))
+
+
+@register(
+    "decode_image_stub_docs",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(32 + (h % 993) AS INT) AS width,
+           CAST(32 + ((h // 993) % 993) AS INT) AS height,
+           3 AS channels,
+           {_duck_sniff("upper(hex(encode(text)))")} AS format
+    FROM (
+      SELECT doc_id, text, (('0x' || substr(md5(text),1,15))::BIGINT) AS h
+      FROM documents
+    )
+    """,
+)
+def decode_image_stub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-fake image decode via mapInPandas — the oracle
+    reproduces the fake's arithmetic in SQL, so the Arrow batch path
+    (schema, batching, null handling) is verified end-to-end."""
+    import pyspark.sql.functions as F
+
+    from .operators.multimodal import decode_image
+
+    docs = load_table(spark, "documents", sf_dir).withColumn("blob", F.encode("text", "UTF-8"))
+    return decode_image(docs, "blob", id_col="doc_id", fake=True)
+
+
+@register("extract_features_docs")  # non-SQL-expressible output → rows-only check
+def extract_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-embedding extraction stub (array<float> via mapInPandas)."""
+    import pyspark.sql.functions as F
+
+    from .operators.multimodal import extract_features
+
+    docs = load_table(spark, "documents", sf_dir).withColumn("blob", F.encode("text", "UTF-8"))
+    return extract_features(docs, "blob", id_col="doc_id", dim=8)
+
+
+_STREAM_SEQ = [0]
+
+
+@register(
+    "streaming_lag_events",
+    oracle="""
+    SELECT user_id, epoch_us(ts) AS ts, event_id, value,
+           LAG(value, 1) OVER w AS value_lag1,
+           LAG(value, 2) OVER w AS value_lag2,
+           LAG(value, 3) OVER w AS value_lag3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def streaming_lag_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming lag (applyInPandasWithState per-key ring buffer),
+    driven synchronously through a memory sink.  With ordered arrival the
+    result is row-identical to batch LAG — which the oracle asserts."""
+    import os
+
+    from .streaming.lag_stream import run_stream_to_df, streaming_lag_features
+
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = ("event_id long, ts long, user_id long, event_type string, "
+              "value double, props string")
+    # the file stream source wants a directory; scan sf_dir restricted to
+    # the events file via pathGlobFilter
+    del path
+    import pyspark.sql.functions as F
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        # raw TIMESTAMP(NANOS) carries sub-µs digits that DuckDB's
+        # TIMESTAMP read truncates — convert to epoch µs BEFORE lagging so
+        # ordering and output agree with the oracle's epoch_us(ts)
+        .withColumn("ts", F.expr("ts div 1000"))
+    )
+    out = streaming_lag_features(
+        stream, "value", "ts", [1, 2, 3], partition_by="user_id", order_extra=("event_id",)
+    )
+    _STREAM_SEQ[0] += 1
+    return run_stream_to_df(out, f"ts_stream_lag_{_STREAM_SEQ[0]}")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark_fn for name, q in REGISTRY.items()}
 

@@ -1,0 +1,100 @@
+"""Streaming lag features — the stateful extension (SURVEY.md §2.4).
+
+``F.lag`` is unsupported over unbounded streams, so the operator keeps a
+per-key ring buffer of the last ``max(lags)`` (time, value) pairs in
+GroupState and computes lags with a pandas shift over
+``state_tail ++ sorted(batch)`` (reference semantics: lag k prepends k
+fills / drops the last k, src/lib.rs:519-523 — here the "fill" beyond
+the stream's start is NULL, matching the engine's batch default).
+
+Semantics & limits:
+* Within a batch, rows are sorted by (time, *order_extra) — exact.
+* Across batches, rows are assumed to arrive in per-key time order
+  (enforce upstream with a watermark + sorted sources); a late row is
+  lagged against the buffer as-is (best effort), never crashes.
+* State size is O(max_lag) per key — bounded, spill-free.
+
+The driver-facing query runs a file stream through a memory sink
+synchronously; when all data arrives ordered, the result is
+row-identical to the batch operator, which is what the DuckDB oracle
+checks.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..errors import validate_lags
+
+
+def streaming_lag_features(
+    stream_df: DataFrame,
+    value_col: str,
+    time_col: str,
+    lags,
+    *,
+    partition_by: str,
+    order_extra: Sequence[str] = (),
+) -> DataFrame:
+    """Stateful streaming analogue of operators.lag.lag_features (wide,
+    NULL fill). Returns a streaming DataFrame with columns
+    (partition_by, time_col, *order_extra, value_col, {value}_lag{k}...).
+    """
+    lag_list = validate_lags(lags)
+    max_lag = max(lag_list)
+    sort_cols = [time_col, *order_extra]
+    lag_names = [f"{value_col}_lag{k}" for k in lag_list]
+
+    out_fields = [
+        f"{partition_by} long",
+        f"{time_col} long",
+        *[f"{c} long" for c in order_extra],
+        f"{value_col} double",
+        *[f"{n} double" for n in lag_names],
+    ]
+    output_schema = ", ".join(out_fields)
+    state_schema = "buf_v array<double>"
+
+    def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (buf_v,) = state.get if state.exists else ([],)
+        buf_v = list(buf_v)
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values(sort_cols, kind="mergesort")
+        values = buf_v + batch[value_col].tolist()
+        n_buf = len(buf_v)
+        out = batch[[time_col, *order_extra, value_col]].reset_index(drop=True)
+        series = pd.Series(values, dtype="float64")
+        for k, name in zip(lag_list, lag_names):
+            out[name] = series.shift(k).iloc[n_buf:].reset_index(drop=True)
+        out.insert(0, partition_by, key[0])
+        state.update((values[-max_lag:] if max_lag else [],))
+        yield out[[partition_by, time_col, *order_extra, value_col, *lag_names]]
+
+    return (
+        stream_df.groupBy(partition_by)
+        .applyInPandasWithState(
+            _update,
+            output_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_stream_to_df(stream_out: DataFrame, query_name: str) -> DataFrame:
+    """Drive a streaming DataFrame through a memory sink synchronously and
+    return the materialized result as a batch DataFrame (test/driver
+    convenience; production would writeStream to a real sink)."""
+    q = (
+        stream_out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_out.sparkSession.table(query_name)
