@@ -162,3 +162,25 @@ def test_single_window_spec_one_exchange(f2):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
     assert plan.count("Window") == 1, plan
+
+
+def test_lag_matrix_2d_pd_matches_numpy(spark):
+    from time_sift_spark.interop import lag_matrix_2d_np, lag_matrix_2d_pd
+
+    rows = np.array([[1.0, 2.0, 3.0, 4.0], [-1.0, -2.0, -3.0, -4.0]])
+    cases = [
+        ("row", rows, [0, 1, 2, 3], 5),  # golden src/lib.rs:925-961
+        ("row", rows, [1, 3, 2], 0),
+        ("col", rows.T, [0, 1, 2, 3], 9),  # golden src/lib.rs:999-1039
+        ("col", rows.T, [1, 3, 2], 7),  # golden src/lib.rs:1041-1075
+    ]
+    for layout, data, lags, stride in cases:
+        via_spark = lag_matrix_2d_pd(spark, data, layout, lags, INF, stride)
+        via_np = lag_matrix_2d_np(data, layout, lags, INF, stride)
+        np.testing.assert_array_equal(via_spark, via_np)
+    # non-square (quirk Q3 guard) through the Spark path too
+    ns = np.array([[10.0, 20.0, 30.0, 40.0, 50.0]])
+    np.testing.assert_array_equal(
+        lag_matrix_2d_pd(spark, ns, "row", [0, 2], INF),
+        lag_matrix_2d_np(ns, "row", [0, 2], INF),
+    )

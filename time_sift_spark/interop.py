@@ -39,7 +39,7 @@ from .errors import (
     validate_lags,
 )
 
-__all__ = ["lag_matrix_np", "lag_matrix_2d_np", "lag_matrix_pd"]
+__all__ = ["lag_matrix_np", "lag_matrix_2d_np", "lag_matrix_pd", "lag_matrix_2d_pd"]
 
 
 def _check_lag_magnitudes(lags: list[int], series_length: int) -> None:
@@ -168,3 +168,63 @@ def lag_matrix_pd(spark, data, lags, fill=np.inf, stride: int = 0) -> np.ndarray
             [mat, np.full((len(lag_list), stride - n), fill, dtype=np.float64)], axis=1
         )
     return mat
+
+
+def lag_matrix_2d_pd(spark, data, layout: str, lags, fill=np.inf, row_stride: int = 0) -> np.ndarray:
+    """2-D lag matrix through the distributed plan builder (reference
+    Array2 adapter analogue, src/ndarray_support.rs:100-138; layout
+    dispatch is an explicit kwarg instead of memory-order sniffing).
+
+    The multi-series plan is the partitioned window: stack the input to
+    long format, one Window.partitionBy(sid) pass, reshape to the
+    reference's lag-major orientation (Q3 fixed).
+    """
+    import pandas as pd
+
+    from .plans.lag_plan import build_lag_plan, lag_column_names
+
+    arr = np.asarray(data, dtype=np.float64)
+    if arr.ndim != 2:
+        raise InvalidMemoryLayoutError(f"expected a 2-D array, got ndim={arr.ndim}")
+    lag_list = validate_lags(lags)
+    if arr.size == 0:
+        raise EmptyDataError("input matrix is empty")
+    if layout not in ("row", "col"):
+        raise ValueError(f"layout must be 'row' or 'col', got {layout!r}")
+    series = arr if layout == "row" else arr.T  # (S, D)
+    S, D = series.shape
+    _check_lag_magnitudes(lag_list, D)
+    min_stride = D if layout == "row" else S * len(lag_list)
+    if row_stride == 0:
+        row_stride = min_stride
+    elif row_stride < min_stride:
+        raise InvalidStrideError(f"row_stride {row_stride} < logical row length {min_stride}")
+
+    long = pd.DataFrame(
+        {
+            "sid": np.repeat(np.arange(S, dtype=np.int64), D),
+            "t": np.tile(np.arange(D, dtype=np.int64), S),
+            "v": series.ravel(),
+        }
+    )
+    wide = build_lag_plan(
+        spark.createDataFrame(long), "v", "t", lag_list, partition_by="sid", fill=float(fill)
+    )
+    res = wide.orderBy("sid", "t").toPandas()
+    names = lag_column_names(["v"], lag_list)
+    # per_series[s] has shape (L, D): row i = series s at lag lag_list[i]
+    per_series = [
+        res[res.sid == s][names].to_numpy(dtype=np.float64).T for s in range(S)
+    ]
+    L = len(lag_list)
+    if layout == "row":
+        out = np.full((S * L, row_stride), fill, dtype=np.float64)
+        for i in range(L):
+            for s in range(S):
+                out[i * S + s, :D] = per_series[s][i]
+        return out
+    out = np.full((D, row_stride), fill, dtype=np.float64)
+    for i in range(L):
+        for s in range(S):
+            out[:D, i * S + s] = per_series[s][i]
+    return out

@@ -90,14 +90,28 @@ def ngram_jaccard_sql(
     where ALL block expressions match (the scale guard — never an open
     cross join).
     """
+    # Intersections run on HASHED tokens: only the intersection size feeds
+    # the Jaccard value, so each engine may use its own native 64-bit hash
+    # (xxhash64 / hash) — long compares beat string hashing ~3× in the
+    # pairwise stage, and a collision would need two distinct tokens in
+    # one block agreeing on 64 bits.
     distinct_fn = "array_distinct" if d.name == "spark" else "list_distinct"
-    toks = f"{distinct_fn}({d.tokens(text_col)})"
     if d.name == "spark":
+        toks = f"{distinct_fn}(transform({d.tokens(text_col)}, t -> xxhash64(t)))"
         inter = "size(array_intersect(a.toks, b.toks))"
     else:
+        toks = f"{distinct_fn}(list_transform({d.tokens(text_col)}, t -> hash(t)))"
         inter = "len(list_filter(a.toks, x -> list_contains(b.toks, x)))"
     blocks = ", ".join(f"{e} AS blk{i}" for i, e in enumerate(block_exprs))
     on = " AND ".join(f"a.blk{i} = b.blk{i}" for i in range(len(block_exprs)))
+    # size prefilter: jaccard >= τ implies |A∩B| >= τ/(1+τ)·(|A|+|B|) and
+    # |A∩B| <= min(|A|,|B|), hence min >= τ/(1+τ)·(|A|+|B|) — a cheap
+    # integer-arithmetic gate that skips the set intersection for most
+    # pairs (the dominant cost at scale). Exact: never drops a true pair.
+    min_ratio = threshold / (1.0 + threshold)
+    prefilter = (
+        f"CAST(least(a.n_toks, b.n_toks) AS DOUBLE) >= {min_ratio!r} * (a.n_toks + b.n_toks)"
+    )
     return f"""
     WITH t AS (
       SELECT {id_col} AS did, {blocks}, {toks} AS toks, {d.size(toks)} AS n_toks
@@ -108,6 +122,7 @@ def ngram_jaccard_sql(
              {inter} AS n_inter,
              a.n_toks + b.n_toks AS n_sum
       FROM t a JOIN t b ON {on} AND a.did < b.did
+      WHERE {prefilter}
     )
     SELECT doc_id_a, doc_id_b,
            (CAST(n_inter AS DOUBLE) / CAST(greatest(n_sum - n_inter, 1) AS DOUBLE)) AS jaccard
@@ -158,13 +173,27 @@ def minhash_signatures_sql(
     shingle_k: int = 3,
     seed: int = 42,
 ) -> str:
-    """Long-format signatures: (doc_id, perm_id, minhash)."""
+    """Long-format signatures: (doc_id, perm_id, minhash).
+
+    Spark rendering uses one posexplode scan — a WITH-CTE referenced N
+    times is INLINED by Catalyst, so the UNION-ALL form would recompute
+    the whole hash+agg pipeline per permutation. DuckDB materializes the
+    CTE, where UNION ALL is fine.
+    """
+    cte = _minhash_sig_cte(d, table, id_col, text_col, num_perm, shingle_k, seed)
+    sig_array = ", ".join(f"s{i}" for i in range(num_perm))
+    if d.name == "spark":
+        return f"""
+        WITH {cte}
+        SELECT did AS doc_id, perm_id, minhash
+        FROM sigw LATERAL VIEW posexplode(array({sig_array})) t AS perm_id, minhash
+        """
     cols = " UNION ALL ".join(
         f"SELECT did AS doc_id, {i} AS perm_id, s{i} AS minhash FROM sigw"
         for i in range(num_perm)
     )
     return f"""
-    WITH {_minhash_sig_cte(d, table, id_col, text_col, num_perm, shingle_k, seed)}
+    WITH {cte}
     {cols}
     """
 
@@ -188,12 +217,20 @@ def minhash_lsh_pairs_sql(
     """
     assert num_perm % bands == 0
     r = num_perm // bands
-    band_selects = " UNION ALL ".join(
-        "SELECT did, {b} AS band, concat_ws(',', {cols}) AS bkey FROM sigw".format(
-            b=b, cols=", ".join(f"s{b * r + j}" for j in range(r))
-        )
+    band_keys = [
+        "concat_ws(',', {cols})".format(cols=", ".join(f"s{b * r + j}" for j in range(r)))
         for b in range(bands)
-    )
+    ]
+    if d.name == "spark":
+        # one posexplode scan (see minhash_signatures_sql on CTE inlining)
+        band_selects = (
+            f"SELECT did, band, bkey FROM sigw "
+            f"LATERAL VIEW posexplode(array({', '.join(band_keys)})) t AS band, bkey"
+        )
+    else:
+        band_selects = " UNION ALL ".join(
+            f"SELECT did, {b} AS band, {key} AS bkey FROM sigw" for b, key in enumerate(band_keys)
+        )
     agree = " + ".join(f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)" for i in range(num_perm))
     return f"""
     WITH {_minhash_sig_cte(d, table, id_col, text_col, num_perm, shingle_k, seed)},

@@ -1,0 +1,132 @@
+"""Scale path for UN-partitioned (single global series) lag features.
+
+``Window.orderBy(t)`` with no partitionBy sends every row to ONE task —
+the scaling cliff called out in SURVEY.md §4/§7.  This operator removes
+it with chunked range repartitioning + halo overlap:
+
+1. one cheap stats pass picks ~equi-depth time boundaries
+   (``approxQuantile``, driver-side scalar list);
+2. each row gets a range-bucket id (O(num_buckets) literal comparisons,
+   codegen'd — no join);
+3. the trailing ``max(lags)`` rows of every bucket are DUPLICATED into
+   the next bucket (the "halo"), tagged;
+4. lags are computed per bucket — every real row sees its true
+   predecessors, either locally or via the halo;
+5. halo rows are dropped.
+
+Cost: 2 shuffles (halo ranking + the window itself) and a ~max_lag ×
+num_buckets row duplication — constant overhead, versus a single-task
+sort at any scale.  Exactness is guaranteed when every non-final bucket
+is non-empty (equi-depth boundaries drawn from real data values make
+middle buckets non-empty by construction); property-tested against the
+naive global window.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..errors import ColumnNotFoundError, EmptyDataError, validate_lags
+from ..plans.lag_plan import lag_column_names
+
+
+def lag_features_global(
+    df: DataFrame,
+    value_cols: str | Sequence[str],
+    time_col: str,
+    lags,
+    *,
+    order_extra: str | Sequence[str] | None = None,
+    fill=None,
+    num_buckets: int = 32,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Exact global-order lag features without a single-task window.
+
+    Same output contract as operators.lag.lag_features(wide) with
+    ``partition_by=None``; use this one when the series is large.
+    """
+    value_cols = [value_cols] if isinstance(value_cols, str) else list(value_cols)
+    order_extra = (
+        [] if order_extra is None else [order_extra] if isinstance(order_extra, str) else list(order_extra)
+    )
+    lag_list = validate_lags(lags)
+    max_lag = max(lag_list)
+    missing = [c for c in (value_cols + [time_col] + order_extra) if c not in df.columns]
+    if missing:
+        raise ColumnNotFoundError(f"columns not in DataFrame: {missing}")
+
+    t_num = F.col(time_col).cast("double")
+    num_df = df.withColumn("_t_num", t_num)
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    bounds = sorted(set(num_df.stat.approxQuantile("_t_num", probs, relative_error)))
+    if not bounds:
+        # degenerate tiny/constant series — plain global window is fine
+        w = Window.orderBy(time_col, *order_extra)
+        return _project(df, value_cols, time_col, order_extra, lag_list, w, fill)
+
+    bucket: Column = reduce(
+        lambda acc, b: acc + F.when(F.col("_t_num") > F.lit(b), 1).otherwise(0),
+        bounds,
+        F.lit(0),
+    )
+    raw = num_df.withColumn("_bucket_raw", bucket).drop("_t_num")
+
+    # A bucket smaller than max_lag would need halo rows from DEEPER than
+    # its immediate predecessor. Rather than cascade halos, merge adjacent
+    # raw buckets left-to-right until each closed bucket holds >= max_lag
+    # rows (one cheap count-by-bucket job, ~num_buckets driver rows).
+    counts = {r["_bucket_raw"]: r["count"] for r in raw.groupBy("_bucket_raw").count().collect()}
+    mapping: list[int] = [0] * (len(bounds) + 1)
+    merged_id, acc = 0, 0
+    for rb in range(len(bounds) + 1):
+        mapping[rb] = merged_id
+        acc += counts.get(rb, 0)
+        if acc >= max_lag:
+            merged_id, acc = merged_id + 1, 0
+    if merged_id == 0:  # everything merged into one bucket: tiny series
+        w = Window.orderBy(time_col, *order_extra)
+        return _project(df, value_cols, time_col, order_extra, lag_list, w, fill)
+
+    lookup = F.array(*[F.lit(m) for m in mapping])
+    bucketed = raw.withColumn(
+        "_bucket", F.element_at(lookup, F.col("_bucket_raw") + 1)
+    ).drop("_bucket_raw")
+    n_merged = mapping[-1]
+
+    # halo: trailing max_lag rows of each bucket, replicated into the next
+    w_desc = Window.partitionBy("_bucket").orderBy(
+        F.col(time_col).desc(), *[F.col(c).desc() for c in order_extra]
+    )
+    tail = (
+        bucketed.withColumn("_rn", F.row_number().over(w_desc))
+        .where((F.col("_rn") <= max_lag) & (F.col("_bucket") < n_merged))
+        .drop("_rn")
+        .withColumn("_bucket", F.col("_bucket") + 1)
+        .withColumn("_halo", F.lit(True))
+    )
+    unioned = bucketed.withColumn("_halo", F.lit(False)).unionByName(tail)
+
+    w_bucket = Window.partitionBy("_bucket").orderBy(time_col, *order_extra)
+    out = _project(
+        unioned, value_cols, time_col, order_extra, lag_list, w_bucket, fill, extra_keep=["_halo"]
+    )
+    return out.where(~F.col("_halo")).drop("_halo")
+
+
+def _project(df, value_cols, time_col, order_extra, lag_list, w, fill, extra_keep=()):
+    names = lag_column_names(value_cols, lag_list)
+    exprs = []
+    i = 0
+    for k in lag_list:
+        for v in value_cols:
+            e = F.lag(F.col(v), k).over(w) if k else F.col(v)
+            if fill is not None and k:
+                e = F.coalesce(e, F.lit(fill))
+            exprs.append(e.alias(names[i]))
+            i += 1
+    return df.select(time_col, *order_extra, *extra_keep, *exprs)

@@ -40,13 +40,17 @@ def knn_topk_sql(
     query_pred: str,
     k: int = 5,
 ) -> str:
-    cos = vd.cosine(f"q.{vec_col}", f"c.{vec_col}")
+    dot = vd.dot(f"q.{vec_col}", f"c.{vec_col}")
+    cos = f"({dot} / greatest(q.nrm * c.nrm, 1e-300))"
     return f"""
-    WITH scored AS (
+    WITH v AS (
+      SELECT {id_col}, {vec_col}, {vd.norm(vec_col)} AS nrm FROM {table}
+    ),
+    scored AS (
       SELECT q.{id_col} AS query_id, c.{id_col} AS neighbor_id,
              {cos} AS cosine_sim
-      FROM (SELECT * FROM {table} WHERE {query_pred}) q
-      JOIN {table} c ON q.{id_col} <> c.{id_col}
+      FROM (SELECT * FROM v WHERE {query_pred}) q
+      JOIN v c ON q.{id_col} <> c.{id_col}
     ),
     ranked AS (
       SELECT query_id, neighbor_id, cosine_sim,
@@ -72,10 +76,12 @@ def ann_lsh_topk_sql(
 ) -> str:
     planes = random_hyperplanes(num_planes, _dim_hint(), seed)
     bucket = vd.lsh_bucket(vec_col, planes)
-    cos = vd.cosine(f"q.{vec_col}", f"c.{vec_col}")
+    dot = vd.dot(f"q.{vec_col}", f"c.{vec_col}")
+    cos = f"({dot} / greatest(q.nrm * c.nrm, 1e-300))"
     return f"""
     WITH bucketed AS (
-      SELECT {id_col} AS vid, {vec_col} AS {vec_col}, {bucket} AS bucket
+      SELECT {id_col} AS vid, {vec_col} AS {vec_col}, {bucket} AS bucket,
+             {vd.norm(vec_col)} AS nrm
       FROM {table}
     ),
     scored AS (
@@ -103,12 +109,20 @@ def embedding_neardup_sql(
     threshold: float,
     block_col: str,
 ) -> str:
-    cos = vd.cosine(f"a.{vec_col}", f"b.{vec_col}")
+    # norms are precomputed once per vector (CTE) instead of once per
+    # pair — identical float result (same ops), ~3× less arithmetic in
+    # the pairwise stage.
+    dot = vd.dot(f"a.{vec_col}", f"b.{vec_col}")
+    cos = f"({dot} / greatest(a.nrm * b.nrm, 1e-300))"
     return f"""
+    WITH v AS (
+      SELECT {id_col}, {block_col}, {vec_col}, {vd.norm(vec_col)} AS nrm
+      FROM {table}
+    )
     SELECT a.{id_col} AS vec_id_a, b.{id_col} AS vec_id_b,
            {cos} AS cosine_sim
-    FROM {table} a
-    JOIN {table} b ON a.{block_col} = b.{block_col} AND a.{id_col} < b.{id_col}
+    FROM v a
+    JOIN v b ON a.{block_col} = b.{block_col} AND a.{id_col} < b.{id_col}
     WHERE {cos} >= {threshold}
     """
 

@@ -639,6 +639,33 @@ def streaming_lag_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_df(out, f"ts_stream_lag_{_STREAM_SEQ[0]}")
 
 
+@register(
+    "lag_global_hourly",
+    oracle="""
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS bucket, COUNT(event_id) AS n_events
+      FROM events GROUP BY date_trunc('hour', ts)
+    )
+    SELECT bucket,
+           n_events AS n_events_lag0,
+           LAG(n_events, 1) OVER (ORDER BY bucket) AS n_events_lag1,
+           LAG(n_events, 24) OVER (ORDER BY bucket) AS n_events_lag24
+    FROM h
+    """,
+    headline=True,
+)
+def lag_global_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UN-partitioned global-series lag (the 100 TB cliff case) via the
+    halo-bucket scale path: hourly event counts lagged by 1h and 24h with
+    no single-task window (operators.scale)."""
+    from .operators.resample import resample
+    from .operators.scale import lag_features_global
+
+    events = load_table(spark, "events", sf_dir)
+    hourly = resample(events, "ts", "hour", {"n_events": ("count", "event_id")})
+    return lag_features_global(hourly, "n_events", "bucket", [0, 1, 24], num_buckets=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark_fn for name, q in REGISTRY.items()}
 
