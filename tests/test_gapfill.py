@@ -1,0 +1,45 @@
+"""Gap-fill operator semantics on a hand-checked fixture."""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from time_sift_spark.errors import ColumnNotFoundError
+from time_sift_spark.operators.gapfill import fill_gaps
+
+
+def d(day):
+    return dt.datetime(2024, 1, day)
+
+
+def test_fill_gaps_ffill(spark):
+    # key A observed on days 1,2,5 (hole at 3,4); key B on day 2 only
+    pdf = pd.DataFrame(
+        {
+            "k": ["A", "A", "A", "B"],
+            "bucket": [d(1), d(2), d(5), d(2)],
+            "v": [10.0, 20.0, 50.0, 7.0],
+        }
+    )
+    out = (
+        fill_gaps(spark.createDataFrame(pdf), "bucket", "day", ["v"], partition_by="k")
+        .orderBy("k", "bucket")
+        .toPandas()
+    )
+    a = out[out.k == "A"]
+    assert a.bucket.tolist() == [d(1), d(2), d(3), d(4), d(5)]
+    assert a.v_filled.tolist() == [10.0, 20.0, 20.0, 20.0, 50.0]
+    assert a.is_gap.tolist() == [False, False, True, True, False]
+    b = out[out.k == "B"]
+    assert len(b) == 1 and not b.is_gap.iloc[0]
+
+
+def test_fill_gaps_validation(spark):
+    df = spark.createDataFrame(pd.DataFrame({"k": ["A"], "bucket": [d(1)], "v": [1.0]}))
+    with pytest.raises(ValueError):
+        fill_gaps(df, "bucket", "fortnight", ["v"], partition_by="k")
+    with pytest.raises(ColumnNotFoundError):
+        fill_gaps(df, "bucket", "day", ["nope"], partition_by="k")
+    with pytest.raises(ValueError):
+        fill_gaps(df, "bucket", "day", ["v"], partition_by="k", strategy="bfill")

@@ -666,6 +666,165 @@ def lag_global_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lag_features_global(hourly, "n_events", "bucket", [0, 1, 24], num_buckets=8)
 
 
+# --------------------------------------------------------------------------
+# Analytical coverage: aggregation, joins, grouping sets, top-k, gap fill.
+# The reference has none of these (SURVEY §2.2) — they're Spark built-ins,
+# registered here to pin oracle-checked behavior and sane physical plans.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 4) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: predicate pushdown + map-side partial agg, one
+    shuffle on two low-cardinality keys."""
+    import pyspark.sql.functions as F
+
+    li = load_table(spark, "lineitem", sf_dir).where(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "revenue_by_nation",
+    oracle="""
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dims star join: both dims broadcast (no fact shuffle before
+    the aggregation)."""
+    import pyspark.sql.functions as F
+
+    li = load_table(spark, "lineitem", sf_dir)
+    sup = load_table(spark, "supplier", sf_dir)
+    nat = load_table(spark, "nation", sf_dir)
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "topk_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rank
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      FROM orders
+    )
+    WHERE rank <= 3
+    """,
+)
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (window + filter; Spark plans a rank-limit
+    pushdown via WindowGroupLimit)."""
+    from pyspark.sql import Window
+    import pyspark.sql.functions as F
+
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rank")
+        ).where(F.col("rank") <= 3)
+    )
+
+
+@register(
+    "rollup_revenue_flag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_extendedprice), 4) AS sum_price,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_revenue_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets (ROLLUP): subtotal + grand-total rows with NULL
+    group keys, identical to the oracle's ROLLUP semantics."""
+    import pyspark.sql.functions as F
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "gap_fill_daily_events",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS bucket,
+             COUNT(event_id) AS n_events
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    spine AS (
+      SELECT event_type,
+             unnest(generate_series(min(bucket), max(bucket), INTERVAL 1 DAY)) AS bucket
+      FROM daily GROUP BY event_type
+    )
+    SELECT s.event_type, s.bucket,
+           d.n_events IS NULL AS is_gap,
+           LAST_VALUE(d.n_events IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_events_filled
+    FROM spine s LEFT JOIN daily d
+      ON s.event_type = d.event_type AND s.bucket = d.bucket
+    """,
+)
+def gap_fill_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densify per-type daily counts onto the full day grid with forward
+    fill (operators.gapfill)."""
+    from .operators.gapfill import fill_gaps
+    from .operators.resample import resample
+
+    events = load_table(spark, "events", sf_dir)
+    daily = resample(events, "ts", "day", {"n_events": ("count", "event_id")}, partition_by="event_type")
+    return fill_gaps(daily, "bucket", "day", ["n_events"], partition_by="event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark_fn for name, q in REGISTRY.items()}
 
