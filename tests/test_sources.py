@@ -1,0 +1,56 @@
+"""Source/sink round-trips for every supported format."""
+
+import pandas as pd
+import pytest
+
+from time_sift_spark.sources import catalog
+
+
+@pytest.fixture(scope="module")
+def sample(spark):
+    return spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2, 3], "name": ["a", "b", None], "x": [1.5, 2.5, 3.5]})
+    )
+
+
+SCHEMA = "id long, name string, x double"
+
+
+def _assert_round_trip(df, back):
+    left = df.orderBy("id").toPandas()
+    right = back.orderBy("id").toPandas()[left.columns.tolist()]
+    pd.testing.assert_frame_equal(left, right)
+
+
+def test_parquet_round_trip(spark, sample, tmp_path):
+    p = str(tmp_path / "t.parquet")
+    catalog.write_parquet(sample, p)
+    _assert_round_trip(sample, spark.read.parquet(p))
+
+
+def test_csv_round_trip(spark, sample, tmp_path):
+    p = str(tmp_path / "t.csv")
+    catalog.write_csv(sample, p)
+    _assert_round_trip(sample, catalog.read_csv(spark, p, SCHEMA))
+
+
+def test_json_round_trip(spark, sample, tmp_path):
+    p = str(tmp_path / "t.json")
+    catalog.write_json(sample, p)
+    _assert_round_trip(sample, catalog.read_json(spark, p, SCHEMA))
+
+
+def test_orc_round_trip(spark, sample, tmp_path):
+    p = str(tmp_path / "t.orc")
+    catalog.write_orc(sample, p)
+    _assert_round_trip(sample, catalog.read_orc(spark, p))
+
+
+def test_partitioned_parquet_write(spark, sample, tmp_path):
+    p = str(tmp_path / "part.parquet")
+    catalog.write_parquet(sample.withColumn("part", sample.id % 2), p, partition_by="part")
+    back = spark.read.parquet(p)
+    assert back.count() == 3
+    # partition pruning: filter on the partition column prunes files
+    plan = back.where("part = 0")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "part" in plan.split("PartitionFilters:")[1][:80]

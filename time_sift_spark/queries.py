@@ -825,6 +825,75 @@ def gap_fill_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fill_gaps(daily, "bucket", "day", ["n_events"], partition_by="event_type")
 
 
+@register(
+    "signup_users_no_purchase",
+    oracle="""
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+    EXCEPT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def signup_users_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation coverage (EXCEPT ≡ left anti on distinct keys)."""
+    events = load_table(spark, "events", sf_dir)
+    signups = events.where(events.event_type == "signup").select("user_id").distinct()
+    buyers = events.where(events.event_type == "purchase").select("user_id").distinct()
+    return signups.exceptAll(buyers.distinct()).distinct()
+
+
+@register(
+    "streaming_windowed_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(event_id) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window aggregation with a watermark
+    (readStream → withWatermark → window → agg), driven to completion and
+    checked against the batch group-by oracle. Complete output mode so
+    the final (never-watermark-closed) window is emitted too."""
+    import pyspark.sql.functions as F
+
+    from .streaming.lag_stream import _next_stream_name  # registered below
+
+    schema = ("event_id long, ts long, user_id long, event_type string, "
+              "value double, props string")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("event_id").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = _next_stream_name("ts_stream_win")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark_fn for name, q in REGISTRY.items()}
 

@@ -72,3 +72,42 @@ def write_parquet(df: DataFrame, path: str, *, mode: str = "overwrite", partitio
     if partition_by:
         writer = writer.partitionBy(*([partition_by] if isinstance(partition_by, str) else partition_by))
     writer.parquet(path)
+
+
+# Non-parquet formats: thin wrappers so every source/sink goes through one
+# module (schema always explicit — inferSchema is a full extra pass and
+# non-deterministic on messy data; never in the scale path).
+
+
+def read_csv(spark: SparkSession, path: str, schema, *, header: bool = True, **options) -> DataFrame:
+    return spark.read.options(header=header, **options).schema(schema).csv(path)
+
+
+def write_csv(df: DataFrame, path: str, *, mode: str = "overwrite", header: bool = True, **options) -> None:
+    df.write.mode(mode).options(header=header, **options).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema, **options) -> DataFrame:
+    return spark.read.options(**options).schema(schema).json(path)
+
+
+def write_json(df: DataFrame, path: str, *, mode: str = "overwrite", **options) -> None:
+    df.write.mode(mode).options(**options).json(path)
+
+
+def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
+    return spark.read.options(**options).orc(path)
+
+
+def write_orc(df: DataFrame, path: str, *, mode: str = "overwrite", **options) -> None:
+    df.write.mode(mode).options(**options).orc(path)
+
+
+# Lakehouse table formats (Delta/Iceberg/Hudi) need their connector jars,
+# which are not in this image — gate behind an import-try per the charter.
+try:  # pragma: no cover
+    import delta  # noqa: F401
+
+    HAVE_DELTA = True
+except ImportError:
+    HAVE_DELTA = False

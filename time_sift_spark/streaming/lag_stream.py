@@ -85,6 +85,14 @@ def streaming_lag_features(
     )
 
 
+_NAME_SEQ = [0]
+
+
+def _next_stream_name(prefix: str) -> str:
+    _NAME_SEQ[0] += 1
+    return f"{prefix}_{_NAME_SEQ[0]}"
+
+
 def run_stream_to_df(stream_out: DataFrame, query_name: str) -> DataFrame:
     """Drive a streaming DataFrame through a memory sink synchronously and
     return the materialized result as a batch DataFrame (test/driver
