@@ -105,13 +105,23 @@ def ngram_jaccard_sql(
     blocks = ", ".join(f"{e} AS blk{i}" for i, e in enumerate(block_exprs))
     on = " AND ".join(f"a.blk{i} = b.blk{i}" for i in range(len(block_exprs)))
     # size prefilter: jaccard >= τ implies |A∩B| >= τ/(1+τ)·(|A|+|B|) and
-    # |A∩B| <= min(|A|,|B|), hence min >= τ/(1+τ)·(|A|+|B|) — a cheap
-    # integer-arithmetic gate that skips the set intersection for most
-    # pairs (the dominant cost at scale). Exact: never drops a true pair.
+    # |A∩B| <= min(|A|,|B|), hence min >= τ/(1+τ)·(|A|+|B|) — never drops
+    # a true pair.
     min_ratio = threshold / (1.0 + threshold)
     prefilter = (
         f"CAST(least(a.n_toks, b.n_toks) AS DOUBLE) >= {min_ratio!r} * (a.n_toks + b.n_toks)"
     )
+    # greatest(union,1): two zero-token docs give union 0 — Spark's ANSI
+    # mode (4.x default) raises DIVIDE_BY_ZERO where DuckDB yields NaN.
+    # Empty docs are non-duplicates here (exact dedup catches them).
+    jaccard = "(CAST(n_inter AS DOUBLE) / CAST(greatest(n_sum - n_inter, 1) AS DOUBLE))"
+    # NOTE: an inverted-index formulation (explode hashed tokens, join on
+    # (block, hash), count per pair) was benchmarked and LOST here —
+    # these documents share a small vocabulary, so high-df tokens make
+    # sum(df^2) far exceed the pairwise intersection work. Pairwise over
+    # hashed token arrays + the size prefilter is the right physical
+    # shape for high-overlap corpora; the index shape wins only on
+    # long-tail vocabularies.
     return f"""
     WITH t AS (
       SELECT {id_col} AS did, {blocks}, {toks} AS toks, {d.size(toks)} AS n_toks
@@ -124,14 +134,10 @@ def ngram_jaccard_sql(
       FROM t a JOIN t b ON {on} AND a.did < b.did
       WHERE {prefilter}
     )
-    SELECT doc_id_a, doc_id_b,
-           (CAST(n_inter AS DOUBLE) / CAST(greatest(n_sum - n_inter, 1) AS DOUBLE)) AS jaccard
+    SELECT doc_id_a, doc_id_b, {jaccard} AS jaccard
     FROM pairs
-    WHERE CAST(n_inter AS DOUBLE) / CAST(greatest(n_sum - n_inter, 1) AS DOUBLE) >= {threshold}
+    WHERE {jaccard} >= {threshold}
     """
-    # greatest(...,1): two zero-token docs give union 0 — Spark's ANSI mode
-    # (4.x default) raises DIVIDE_BY_ZERO where DuckDB yields NaN. Empty
-    # docs are defined as non-duplicates here (exact dedup catches them).
 
 
 def _minhash_sig_cte(

@@ -69,8 +69,19 @@ def fingerprint(
 
     Min md5-derived hash over word k-shingles (a 1-permutation MinHash):
     robust to reordering whole blocks, sensitive to local wording, and
-    cross-engine stable. Short docs fall back to hashing the normalized
-    full text.
+    cross-engine stable. Sub-k-token docs hash their whole token list
+    (the shingle builder clamps to one undersized shingle).
+
+    Executed as explode → hash → min-agg rather than a nested array
+    expression: tokens/md5 are computed once per shingle instead of the
+    projection re-evaluating the token pipeline per reference, at the
+    cost of one small groupBy shuffle on ``keep_cols``.  ``keep_cols``
+    must therefore uniquely key the rows (e.g. doc_id).
     """
     _check(df, [text_col, *keep_cols])
-    return df.select(*keep_cols, F.expr(SPARK.fingerprint(text_col, k)).alias("fingerprint"))
+    if not keep_cols:
+        raise ColumnNotFoundError("fingerprint requires keep_cols naming a unique row key")
+    shingles = SPARK.shingles(SPARK.tokens(text_col), k)
+    exploded = df.select(*keep_cols, F.explode(F.expr(shingles)).alias("_sh"))
+    hashed = exploded.select(*keep_cols, F.expr(SPARK.md5_long("_sh")).alias("_h"))
+    return hashed.groupBy(*keep_cols).agg(F.min("_h").alias("fingerprint"))
