@@ -117,3 +117,45 @@ def test_resample(spark):
     assert out.sv.tolist() == [3.0, 4.0]
     assert out.nu.tolist() == [2, 1]
     assert out.bucket.tolist() == [ts(0), ts(1)]
+
+
+def test_range_rolling(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "k": [1] * 4,
+            "ts": [ts(0), ts(0, 30), ts(1, 15), ts(3)],
+            "v": [1.0, 2.0, 4.0, 8.0],
+        }
+    )
+    from time_sift_spark.operators.rolling import range_rolling_features
+
+    out = (
+        range_rolling_features(
+            spark.createDataFrame(pdf), "v", "ts", [3600], stats=("sum", "count"), partition_by="k"
+        )
+        .orderBy("ts")
+        .toPandas()
+    )
+    # 1h trailing (exclusive of exactly -1h): 00:00→1; 00:30→1+2; 01:15→2+4
+    # (00:00 is 75min back, out); 03:00→8
+    assert out.v_t3600s_sum.tolist() == [1.0, 3.0, 6.0, 8.0]
+    assert out.v_t3600s_count.tolist() == [1, 2, 2, 1]
+
+
+def test_range_rolling_boundary_exclusive(spark):
+    import pandas as pd
+
+    from time_sift_spark.operators.rolling import range_rolling_features
+
+    pdf = pd.DataFrame({"k": [1, 1], "ts": [ts(0), ts(1)], "v": [5.0, 1.0]})
+    out = (
+        range_rolling_features(
+            spark.createDataFrame(pdf), "v", "ts", [3600], stats=("sum",), partition_by="k"
+        )
+        .orderBy("ts")
+        .toPandas()
+    )
+    # an event exactly 1h earlier is OUTSIDE the (t-1h, t] frame
+    assert out.v_t3600s_sum.tolist() == [5.0, 1.0]

@@ -72,3 +72,52 @@ def rolling_features(
             for s in stats:
                 exprs.append(_STATS[s](F.col(v)).over(frame).alias(f"{v}_r{n}_{s}"))
     return df.select(*keep, *exprs)
+
+
+def range_rolling_features(
+    df: DataFrame,
+    value_cols: str | Sequence[str],
+    time_col: str,
+    range_seconds: Sequence[int],
+    *,
+    stats: Sequence[str] = ("mean", "min", "max"),
+    partition_by: str | Sequence[str] | None = None,
+    keep_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Trailing TIME-RANGE frame statistics: for each horizon ``r``
+    seconds, stat over rows whose timestamp lies within ``(t - r, t]``
+    (inclusive of equal timestamps, like SQL RANGE frames).
+
+    The order key is integer epoch-µs (RANGE frames need a numeric key;
+    integer µs keeps frame membership exact and oracle-identical).
+    Output columns: ``{value}_t{r}s_{stat}``.
+    """
+    value_cols = [value_cols] if isinstance(value_cols, str) else list(value_cols)
+    partition_by = (
+        [] if partition_by is None else [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    )
+    if not range_seconds:
+        raise InvalidLagsError("range_seconds must not be empty")
+    bad = [s for s in stats if s not in _STATS]
+    if bad:
+        raise InvalidLagsError(f"unknown stats {bad}; supported: {sorted(_STATS)}")
+    missing = [c for c in (value_cols + [time_col] + partition_by) if c not in df.columns]
+    if missing:
+        raise ColumnNotFoundError(f"columns not in DataFrame: {missing}")
+
+    t_us = F.unix_micros(F.col(time_col))
+    base = (
+        Window.partitionBy(*partition_by).orderBy(t_us)
+        if partition_by
+        else Window.orderBy(t_us)
+    )
+    keep = list(keep_cols) if keep_cols is not None else [*partition_by, time_col]
+    exprs: list[Column] = []
+    for r in range_seconds:
+        if int(r) < 1:
+            raise InvalidLagsError(f"range must be >= 1 second, got {r}")
+        frame = base.rangeBetween(-(int(r) * 1_000_000 - 1), 0)
+        for v in value_cols:
+            for s in stats:
+                exprs.append(_STATS[s](F.col(v)).over(frame).alias(f"{v}_t{r}s_{s}"))
+    return df.select(*keep, *exprs)

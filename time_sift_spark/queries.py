@@ -894,6 +894,122 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@register(
+    "range_rolling_events",
+    oracle="""
+    SELECT user_id, ts, event_id,
+           COUNT(value) OVER w1 AS value_t3600s_count,
+           ROUND(SUM(value) OVER w1, 4) AS value_t3600s_sum,
+           COUNT(value) OVER w6 AS value_t21600s_count,
+           ROUND(SUM(value) OVER w6, 4) AS value_t21600s_sum
+    FROM events
+    WINDOW
+      w1 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW),
+      w6 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 21599999999 PRECEDING AND CURRENT ROW)
+    """,
+)
+def range_rolling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing time-RANGE windows (1h / 6h) — frame membership by
+    timestamp distance, not row count (integer-µs range key)."""
+    import pyspark.sql.functions as F
+
+    from .operators.rolling import range_rolling_features
+
+    events = load_table(spark, "events", sf_dir)
+    out = range_rolling_features(
+        events,
+        "value",
+        "ts",
+        [3600, 21600],
+        stats=("count", "sum"),
+        partition_by="user_id",
+        keep_cols=("user_id", "ts", "event_id"),
+    )
+    return out.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value_t3600s_count",
+        F.round("value_t3600s_sum", 4).alias("value_t3600s_sum"),
+        "value_t21600s_count",
+        F.round("value_t21600s_sum", 4).alias("value_t21600s_sum"),
+    )
+
+
+@register(
+    "quantiles_by_type",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4) AS p50,
+           ROUND(quantile_cont(value, 0.9), 4) AS p90,
+           COUNT(value) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles (linear interpolation) — not percentile_approx,
+    whose sketch is engine-specific and un-oracle-able."""
+    import pyspark.sql.functions as F
+
+    events = load_table(spark, "events", sf_dir)
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.count("value").alias("n"),
+    )
+
+
+@register(
+    "value_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 50.0) AS INT) AS bin,
+           COUNT(*) AS n,
+           ROUND(MIN(value), 4) AS bin_min,
+           ROUND(MAX(value), 4) AS bin_max
+    FROM events
+    GROUP BY CAST(floor(value / 50.0) AS INT)
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width binning (floor arithmetic — engine-portable, unlike
+    width_bucket)."""
+    import pyspark.sql.functions as F
+
+    events = load_table(spark, "events", sf_dir)
+    bin_col = F.floor(F.col("value") / 50.0).cast("int").alias("bin")
+    return events.groupBy(bin_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 4).alias("bin_min"),
+        F.round(F.max("value"), 4).alias("bin_max"),
+    )
+
+
+@register(
+    "corr_quantity_price",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group (corr / sample covariance)."""
+    import pyspark.sql.functions as F
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark_fn for name, q in REGISTRY.items()}
 
