@@ -1010,6 +1010,49 @@ def corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pipeline_clean_corpus",
+    oracle=f"""
+    WITH kept AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    scored AS (
+      SELECT d.doc_id,
+             {DUCK.quality_score("d.text")} AS quality_score,
+             {DUCK.lang_id("d.text")} AS lang_pred,
+             {DUCK.ws_token_count("d.text")} AS n_tokens_ws
+      FROM documents d JOIN kept USING (doc_id)
+    )
+    SELECT doc_id, n_tokens_ws, quality_score
+    FROM scored
+    WHERE quality_score >= 0.5 AND lang_pred = 'en'
+    """,
+    headline=True,
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end LLM-corpus cleaning pipeline: exact dedup (keep min id)
+    → quality gate (score ≥ 0.5) → language gate (en) → token counts.
+    Composes the engine's own operators; all filters are codegen'd
+    expressions, the only shuffle is the dedup groupBy."""
+    import pyspark.sql.functions as F
+
+    from .operators.dedup import exact_dedup
+    from .operators.text import lang_id, text_stats
+
+    docs = load_table(spark, "documents", sf_dir)
+    kept = exact_dedup(docs, "doc_id", "text").select(F.col("kept_id").alias("doc_id"))
+    deduped = docs.join(kept, "doc_id")
+    stats = text_stats(deduped, "text", keep_cols=("doc_id",)).select(
+        "doc_id", "n_tokens_ws", "quality_score"
+    )
+    langs = lang_id(deduped, "text", keep_cols=("doc_id",))
+    return (
+        stats.join(langs, "doc_id")
+        .where((F.col("quality_score") >= 0.5) & (F.col("lang_pred") == "en"))
+        .select("doc_id", "n_tokens_ws", "quality_score")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark_fn for name, q in REGISTRY.items()}
 
