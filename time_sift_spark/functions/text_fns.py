@@ -144,28 +144,30 @@ class Dialect:
         # identical IEEE double division on both engines
         return f"(CAST({num} AS DOUBLE) / CAST(greatest({den}, 1) AS DOUBLE))"
 
-    def mean_token_len(self, col: str) -> str:
+    def mean_token_len(self, col: str, tokens_expr: str | None = None) -> str:
         # coalesce: DuckDB's array_to_string([], '') is NULL, Spark's
         # array_join([], '') is '' — normalize to 0 on both sides.
-        toks = self.tokens(col)
+        # tokens_expr: pass a pre-staged tokens COLUMN to avoid
+        # re-tokenizing (values identical either way).
+        toks = tokens_expr or self.tokens(col)
         join_fn = "array_join" if self.name == "spark" else "array_to_string"
         return self.ratio(f"coalesce(length({join_fn}({toks}, '')), 0)", self.size(toks))
 
-    def quality_score(self, col: str) -> str:
+    def quality_score(self, col: str, tokens_expr: str | None = None) -> str:
         """Deterministic [0,1] quality heuristic: length credit + low-punct
         credit + stopword-density credit. Only +,*,/,least — no
         transcendentals, so bit-identical across engines."""
-        toks = self.tokens(col)
+        toks = tokens_expr or self.tokens(col)
         len_credit = f"least({self.ratio(self.ws_token_count(col), '100')}, 1.0)"
         punct_credit = f"(1.0 - {self.ratio(self.punct_count(col), self.char_count(col))})"
         stop_credit = f"least({self.ratio(self.stopword_hits(toks, 'en'), self.size(toks))} * 5.0, 1.0)"
         return f"(0.4 * {len_credit} + 0.3 * {punct_credit} + 0.3 * {stop_credit})"
 
-    def lang_id(self, col: str) -> str:
+    def lang_id(self, col: str, tokens_expr: str | None = None) -> str:
         """Heuristic language ID: CJK-char ratio gate, then stopword-hit
         argmax with a fixed priority tie-break (en,es,fr,de), 'und' if no
         hits. Deterministic by construction."""
-        toks = self.tokens(col)
+        toks = tokens_expr or self.tokens(col)
         hits = {lang: self.stopword_hits(toks, lang) for lang in STOPWORDS}
         cjk = self.cjk_count(col)
         chars = f"greatest({self.char_count(col)}, 1)"

