@@ -1,0 +1,57 @@
+"""Interval-join semantics: bucket blocking must be invisible (exact)."""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from time_sift_spark.operators.rangejoin import interval_join
+
+
+def t(m, s=0):
+    return dt.datetime(2024, 1, 1, 0, m, s)
+
+
+def test_interval_join_exact(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 2], "ts": [t(10), t(30), t(10)], "lid": [1, 2, 3]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": [1, 1, 1, 2], "ts": [t(8), t(14, 59), t(15, 1), t(50)], "rid": [10, 11, 12, 13]}
+        )
+    )
+    out = (
+        interval_join(
+            left, right, on="k", left_time="ts", right_time="ts",
+            tolerance_seconds=300, left_cols=("lid",), right_cols=("rid",),
+        )
+        .orderBy("l_lid", "r_rid")
+        .toPandas()
+    )
+    # lid=1 @10:00 ±5min: rid 10 (@08:00, -120s) and 11 (@14:59, +299s);
+    # rid 12 (@15:01, +301s) is OUT; k=2 pair is 40min apart → OUT
+    assert list(map(tuple, out[["l_lid", "r_rid"]].to_numpy())) == [(1, 10), (1, 11)]
+    assert out.delta_us.tolist() == [-120_000_000, 299_000_000]
+
+
+def test_interval_join_boundary_inclusive(spark):
+    left = spark.createDataFrame(pd.DataFrame({"k": [1], "ts": [t(10)], "lid": [1]}))
+    right = spark.createDataFrame(pd.DataFrame({"k": [1], "ts": [t(15)], "rid": [2]}))
+    out = interval_join(
+        left, right, on="k", left_time="ts", right_time="ts",
+        tolerance_seconds=300, left_cols=("lid",), right_cols=("rid",),
+    ).toPandas()
+    assert len(out) == 1 and out.delta_us[0] == 300_000_000  # exactly ±tol is IN
+
+
+def test_interval_join_no_duplicates(spark):
+    # right row in the same bucket as left must appear exactly once even
+    # though the left exploded into 3 buckets
+    left = spark.createDataFrame(pd.DataFrame({"k": [1], "ts": [t(10)], "lid": [1]}))
+    right = spark.createDataFrame(pd.DataFrame({"k": [1], "ts": [t(10, 30)], "rid": [2]}))
+    out = interval_join(
+        left, right, on="k", left_time="ts", right_time="ts",
+        tolerance_seconds=300, left_cols=("lid",), right_cols=("rid",),
+    ).toPandas()
+    assert len(out) == 1

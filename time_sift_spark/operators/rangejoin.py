@@ -1,0 +1,82 @@
+"""Interval (range) join: pair rows whose timestamps lie within ±tolerance.
+
+Spark has no native band/range join (SURVEY.md §2.2; the common OLAP
+pattern list calls this out).  A naive inequality join degenerates to a
+per-key cross product; the scalable composition is TIME-BUCKET BLOCKING:
+
+1. bucket both sides at ``tolerance`` granularity (integer µs div);
+2. explode the LEFT side into its bucket and both neighbors — any right
+   row within ±tolerance must land in one of those three buckets;
+3. equi-join on (keys…, bucket) — a plain shuffled hash join;
+4. filter the exact |Δt| ≤ tolerance predicate.
+
+Each true pair is produced exactly once (a right row has one bucket; the
+left row emits that bucket exactly once).  Cost scales with genuine
+match density, not with per-key row-count squared.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..errors import ColumnNotFoundError
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str | Sequence[str],
+    left_time: str,
+    right_time: str,
+    tolerance_seconds: int,
+    left_cols: Sequence[str],
+    right_cols: Sequence[str],
+) -> DataFrame:
+    """Inner join of rows within ±tolerance on their time columns.
+
+    Output: ``on`` keys, the requested left/right columns, and
+    ``delta_us`` = right_time − left_time in µs (signed).
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    for c in [*on, left_time, *left_cols]:
+        if c not in left.columns:
+            raise ColumnNotFoundError(f"left column {c!r} not in {left.columns}")
+    for c in [*on, right_time, *right_cols]:
+        if c not in right.columns:
+            raise ColumnNotFoundError(f"right column {c!r} not in {right.columns}")
+
+    tol_us = int(tolerance_seconds) * 1_000_000
+    l_us = F.unix_micros(F.col(left_time))
+    r_us = F.unix_micros(F.col(right_time))
+
+    lb = left.select(
+        *on,
+        *[F.col(c).alias(f"l_{c}") for c in left_cols],
+        l_us.alias("_l_us"),
+        F.explode(
+            F.array(
+                F.expr(f"unix_micros({left_time}) div {tol_us} - 1"),
+                F.expr(f"unix_micros({left_time}) div {tol_us}"),
+                F.expr(f"unix_micros({left_time}) div {tol_us} + 1"),
+            )
+        ).alias("_bucket"),
+    )
+    rb = right.select(
+        *on,
+        *[F.col(c).alias(f"r_{c}") for c in right_cols],
+        r_us.alias("_r_us"),
+        F.expr(f"unix_micros({right_time}) div {tol_us}").alias("_bucket"),
+    )
+    joined = lb.join(rb, on=[*on, "_bucket"]).where(
+        F.abs(F.col("_r_us") - F.col("_l_us")) <= tol_us
+    )
+    return joined.select(
+        *on,
+        *[f"l_{c}" for c in left_cols],
+        *[f"r_{c}" for c in right_cols],
+        (F.col("_r_us") - F.col("_l_us")).alias("delta_us"),
+    )

@@ -1053,6 +1053,98 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "interval_join_error_click",
+    oracle="""
+    SELECT l.user_id,
+           l.event_id AS l_event_id,
+           r.event_id AS r_event_id,
+           epoch_us(r.ts) - epoch_us(l.ts) AS delta_us
+    FROM (SELECT * FROM events WHERE event_type = 'error') l
+    JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      ON l.user_id = r.user_id
+     AND abs(epoch_us(r.ts) - epoch_us(l.ts)) <= 300000000
+    """,
+)
+def interval_join_error_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/band join Spark lacks natively: clicks within ±5 minutes of
+    an error by the same user, via time-bucket blocking (operators.
+    rangejoin) — the oracle uses DuckDB's native inequality (IE) join."""
+    from .operators.rangejoin import interval_join
+
+    events = load_table(spark, "events", sf_dir)
+    return interval_join(
+        events.where(events.event_type == "error"),
+        events.where(events.event_type == "click"),
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        tolerance_seconds=300,
+        left_cols=("event_id",),
+        right_cols=("event_id",),
+    )
+
+
+@register(
+    "pivot_qty_by_status",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS O,
+           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def pivot_qty_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide over a categorical column)."""
+    import pyspark.sql.functions as F
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 4))
+    )
+
+
+@register(
+    "unpivot_lineitem_metrics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    """,
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide → long) via stack — the same reshaping duality
+    the core lag operator exposes as wide/long layouts."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "stack(3, 'l_quantity', l_quantity, 'l_extendedprice', l_extendedprice, "
+        "'l_discount', l_discount) AS (metric, val)",
+    )
+
+
+@register(
+    "cube_counts_flag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_counts_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 4 grouping combinations)."""
+    import pyspark.sql.functions as F
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark_fn for name, q in REGISTRY.items()}
 
