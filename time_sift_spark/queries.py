@@ -1145,6 +1145,83 @@ def cube_counts_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.cube("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
 
 
+@register("ewma_events")  # sequential recurrence → non-SQL-expressible, rows-only
+def ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values (applyInPandas; values pinned against
+    pandas ewm in unit tests)."""
+    from .operators.ewma import ewma
+
+    events = load_table(spark, "events", sf_dir)
+    return ewma(events, "value", "ts", 0.3, partition_by="user_id", order_extra=("event_id",))
+
+
+@register(
+    "zscore_events",
+    oracle="""
+    SELECT user_id, ts, event_id,
+           ROUND((value - AVG(value) OVER w) /
+                 greatest(STDDEV_SAMP(value) OVER w, 1e-12), 4) AS zscore_r20
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    """,
+)
+def zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly signal (20-event trailing window); stddev
+    floor keeps the first row (stddev of 1 sample = NULL→floor) finite and
+    ANSI-safe on both engines."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    events = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    z = (F.col("value") - F.avg("value").over(w)) / F.greatest(
+        F.stddev_samp("value").over(w), F.lit(1e-12)
+    )
+    return events.select(
+        "user_id", "ts", "event_id", F.round(z, 4).alias("zscore_r20")
+    )
+
+
+@register(
+    "top_tokens",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({DUCK.tokens("text")}) AS token FROM documents
+    ),
+    counted AS (
+      SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+    )
+    SELECT token, n, rank FROM (
+      SELECT token, n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank
+      FROM counted
+    ) WHERE rank <= 20
+    """,
+)
+def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 tokens (explode → count → deterministic top-k)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from .functions.text_fns import SPARK as _S
+
+    docs = load_table(spark, "documents", sf_dir)
+    counted = (
+        docs.select(F.explode(F.expr(_S.tokens("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counted.select("token", "n", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= 20)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark_fn for name, q in REGISTRY.items()}
 
