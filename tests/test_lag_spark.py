@@ -184,3 +184,30 @@ def test_lag_matrix_2d_pd_matches_numpy(spark):
         lag_matrix_2d_pd(spark, ns, "row", [0, 2], INF),
         lag_matrix_2d_np(ns, "row", [0, 2], INF),
     )
+
+
+def test_type_polymorphism(spark):
+    # Reference is generic over T: Copy (src/lib.rs:415-419); our plan is
+    # type-polymorphic through Spark's lag: int/long/float/decimal/string
+    # all lag with their type preserved.
+    df = spark.createDataFrame(
+        [(0, 1, 1.5, "a"), (1, 2, 2.5, "b"), (2, 3, 3.5, "c")],
+        "t long, vi int, vf double, vs string",
+    ).selectExpr("t", "vi", "vf", "vs", "CAST(vi AS DECIMAL(10,2)) AS vd")
+    out = lag_features(df, ["vi", "vf", "vs", "vd"], "t", [1])
+    types = dict(out.dtypes)
+    assert types["vi_lag1"] == "int"
+    assert types["vf_lag1"] == "double"
+    assert types["vs_lag1"] == "string"
+    assert types["vd_lag1"] == "decimal(10,2)"
+    row = out.orderBy("t").collect()[1]
+    assert row.vi_lag1 == 1 and row.vs_lag1 == "a" and float(row.vd_lag1) == 1.0
+
+
+def test_timestamp_time_column(spark):
+    import datetime as dt
+
+    rows = [(dt.datetime(2024, 1, 1, h), float(h)) for h in range(4)]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    out = lag_features(df, "v", "ts", [1]).orderBy("ts").toPandas()
+    assert out.v_lag1.fillna(-1).tolist() == [-1.0, 0.0, 1.0, 2.0]
