@@ -122,6 +122,36 @@ def ngram_jaccard_sql(
     # hashed token arrays + the size prefilter is the right physical
     # shape for high-overlap corpora; the index shape wins only on
     # long-tail vocabularies.
+    if d.name == "spark":
+        # Salted self-join: block sizes are skewed (pair count ∝ size²),
+        # so the a-side is salted by did and the b-side replicated to all
+        # salts — identical pairs, each heavy block spread over SALT
+        # tasks. Exactness is unaffected: pair (a,b) appears exactly once
+        # (at a's salt).
+        salt_n = 8
+        return f"""
+        WITH t AS (
+          SELECT {id_col} AS did, {blocks}, {toks} AS toks, {d.size(toks)} AS n_toks
+          FROM {table}
+        ),
+        a_side AS (
+          SELECT *, pmod(did, {salt_n}) AS salt FROM t
+        ),
+        b_side AS (
+          SELECT t.*, s.salt FROM t LATERAL VIEW explode(sequence(0, {salt_n - 1})) s AS salt
+        ),
+        pairs AS (
+          SELECT a.did AS doc_id_a, b.did AS doc_id_b,
+                 {inter} AS n_inter,
+                 a.n_toks + b.n_toks AS n_sum
+          FROM a_side a JOIN b_side b
+            ON {on} AND a.salt = b.salt AND a.did < b.did
+          WHERE {prefilter}
+        )
+        SELECT doc_id_a, doc_id_b, {jaccard} AS jaccard
+        FROM pairs
+        WHERE {jaccard} >= {threshold}
+        """
     return f"""
     WITH t AS (
       SELECT {id_col} AS did, {blocks}, {toks} AS toks, {d.size(toks)} AS n_toks
