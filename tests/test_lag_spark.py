@@ -211,3 +211,19 @@ def test_timestamp_time_column(spark):
     df = spark.createDataFrame(rows, "ts timestamp, v double")
     out = lag_features(df, "v", "ts", [1]).orderBy("ts").toPandas()
     assert out.v_lag1.fillna(-1).tolist() == [-1.0, 0.0, 1.0, 2.0]
+
+
+def test_null_aware_values(spark):
+    # The reference has no nulls (fill-value model); our engine is
+    # null-aware: a NULL data value lags through as NULL and — unlike the
+    # fill — is NOT replaced by coalesce parity mode only when it came
+    # from the shift. Document the chosen semantics: fill mode replaces
+    # ALL nulls in the lagged column (shift-created or data), which is
+    # exactly COALESCE(LAG(v), fill).
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, None), (2, 3.0), (3, 4.0)], "t long, v double"
+    )
+    plain = lag_features(df, "v", "t", [1]).orderBy("t").toPandas()
+    assert plain.v_lag1.isna().tolist() == [True, False, True, False]
+    filled = lag_features(df, "v", "t", [1], fill=-1.0).orderBy("t").toPandas()
+    assert filled.v_lag1.tolist() == [-1.0, 1.0, -1.0, 3.0]
