@@ -159,3 +159,51 @@ def test_range_rolling_boundary_exclusive(spark):
     )
     # an event exactly 1h earlier is OUTSIDE the (t-1h, t] frame
     assert out.v_t3600s_sum.tolist() == [5.0, 1.0]
+
+
+def test_asof_lookup_equals_window_form(spark):
+    # both physical strategies must agree on random data
+    import numpy as np
+
+    from time_sift_spark.operators.asof import asof_join, asof_join_lookup
+
+    rng = np.random.RandomState(11)
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": rng.randint(0, 5, 200),
+                "t": rng.randint(0, 10_000, 200).astype("int64"),
+                "lid": np.arange(200),
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": rng.randint(0, 5, 60),
+                "t": rng.randint(0, 10_000, 60).astype("int64"),
+                "price": rng.randn(60).round(3),
+            }
+        )
+    )
+    a = (
+        asof_join(left, right, on="k", left_time="t", right_time="t", right_cols=["price"])
+        .orderBy("lid")
+        .toPandas()
+    )
+    b = (
+        asof_join_lookup(left, right, on="k", left_time="t", right_time="t", right_cols=["price"])
+        .orderBy("lid")
+        .toPandas()[a.columns.tolist()]
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_asof_lookup_broadcast_no_left_shuffle(spark):
+    from time_sift_spark.operators.asof import asof_join_lookup
+
+    left = spark.createDataFrame(pd.DataFrame({"k": [1], "t": [5], "lid": [1]}))
+    right = spark.createDataFrame(pd.DataFrame({"k": [1], "t": [3], "price": [1.0]}))
+    df = asof_join_lookup(left, right, on="k", left_time="t", right_time="t", right_cols=["price"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan

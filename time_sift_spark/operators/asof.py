@@ -19,6 +19,11 @@ Tie semantics: ``direction='backward'`` matches right_time <= left_time
 (inclusive), like ``pd.merge_asof``.  Within equal timestamps the right
 row sorts first (side marker), so an exactly-simultaneous right row IS
 visible to the left row — deterministic.
+
+Caveat: if the right side carries SEVERAL rows at the same (key, time),
+which of them wins is ordering-dependent in the union+window form (and
+max-payload in the lookup form) — dedupe the right side to one row per
+(key, time) first for fully deterministic results.
 """
 
 from __future__ import annotations
@@ -85,3 +90,44 @@ def asof_join(
         *[F.last(p, ignorenulls=True).over(w).alias(p) for p in payload],
     )
     return carried.where(F.col("_side") == 1).drop("_side", "_asof_t")
+
+
+def asof_join_lookup(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str | Sequence[str],
+    left_time: str,
+    right_time: str,
+    right_cols: Sequence[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Broadcast-lookup as-of join — same semantics as :func:`asof_join`,
+    different physical strategy for a SMALL right side.
+
+    The right side collapses to one row per key holding its time-sorted
+    (time, payload…) structs; that tiny table broadcasts, and each left
+    row picks the last struct with time <= left_time from the array — a
+    per-row binary-search-like probe with ZERO shuffles on the left
+    (fact) side.  Choose this when right fits in a broadcast; the
+    union+window form when both sides are large.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    right_cols = list(right_cols)
+    for c in on + [left_time]:
+        if c not in left.columns:
+            raise ColumnNotFoundError(f"left column {c!r} not in {left.columns}")
+    for c in on + [right_time, *right_cols]:
+        if c not in right.columns:
+            raise ColumnNotFoundError(f"right column {c!r} not in {right.columns}")
+
+    entry = F.struct(F.col(right_time).alias("_t"), *[F.col(c).alias(c) for c in right_cols])
+    lookup = right.groupBy(*on).agg(F.sort_array(F.collect_list(entry)).alias("_asof_arr"))
+
+    joined = left.join(F.broadcast(lookup), on=on, how="left")
+    hits = F.filter(F.col("_asof_arr"), lambda s: s["_t"] <= F.col(left_time))
+    best = F.when(F.size(hits) > 0, F.element_at(hits, F.size(hits)))
+    out_cols = [
+        best[c].alias(f"{c}{suffix}") for c in right_cols
+    ]
+    return joined.select(*left.columns, *out_cols)
