@@ -1293,6 +1293,40 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@register(
+    "series_arrays_events",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_points,
+           ROUND(SUM(value), 4) AS sum_values,
+           MIN(value) AS first_min,
+           arg_min(value, ts) AS first_value,
+           arg_max(value, ts) AS last_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def series_arrays_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series array export (SURVEY §1.2 third layout): each user's
+    time-ordered value array; checked via order-sensitive scalars
+    (first/last element) + order-insensitive aggregates, since the driver
+    hash can't compare array columns directly."""
+    import pyspark.sql.functions as F
+
+    from .operators.arrays import series_to_arrays
+
+    events = load_table(spark, "events", sf_dir)
+    arr = series_to_arrays(events, "value", "ts", partition_by="user_id", order_extra=("event_id",))
+    return arr.select(
+        "user_id",
+        "n_points",
+        F.round(F.expr("aggregate(values, CAST(0 AS DOUBLE), (a, x) -> a + x)"), 4).alias("sum_values"),
+        F.array_min("values").alias("first_min"),
+        F.element_at("values", 1).alias("first_value"),
+        F.element_at("values", F.size("values")).alias("last_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark_fn for name, q in REGISTRY.items()}
 
