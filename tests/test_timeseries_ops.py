@@ -207,3 +207,50 @@ def test_asof_lookup_broadcast_no_left_shuffle(spark):
     df = asof_join_lookup(left, right, on="k", left_time="t", right_time="t", right_cols=["price"])
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in plan
+
+
+def test_asof_property_vs_merge_asof(spark):
+    # both as-of strategies vs pandas merge_asof on random data
+    import numpy as np
+
+    from time_sift_spark.operators.asof import asof_join, asof_join_lookup
+
+    rng = np.random.RandomState(23)
+    for trial in range(3):
+        nl, nr = 120, 40
+        lp = pd.DataFrame(
+            {
+                "k": rng.randint(0, 4, nl),
+                "t": np.sort(rng.choice(100_000, nl, replace=False)).astype("int64"),
+                "lid": np.arange(nl),
+            }
+        )
+        rp = pd.DataFrame(
+            {
+                "k": rng.randint(0, 4, nr),
+                "t": np.sort(rng.choice(100_000, nr, replace=False)).astype("int64"),
+                "price": rng.randn(nr).round(3),
+            }
+        )
+        expected = pd.merge_asof(
+            lp.sort_values("t"), rp.sort_values("t"), on="t", by="k", direction="backward"
+        ).sort_values("lid")
+        for fn in (asof_join, asof_join_lookup):
+            got = (
+                fn(
+                    spark.createDataFrame(lp),
+                    spark.createDataFrame(rp),
+                    on="k",
+                    left_time="t",
+                    right_time="t",
+                    right_cols=["price"],
+                )
+                .orderBy("lid")
+                .toPandas()
+            )
+            np.testing.assert_allclose(
+                got.price_asof.to_numpy(dtype=float),
+                expected.price.to_numpy(dtype=float),
+                equal_nan=True,
+                err_msg=f"{fn.__name__} trial {trial}",
+            )
