@@ -1327,6 +1327,31 @@ def series_arrays_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One SQL text executed verbatim by BOTH engines — the strongest proof of
+# the SQL API surface (spark.sql over registered views ≡ DuckDB): every
+# construct here is dialect-neutral ANSI.
+SHARED_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           ROUND(SUM(l_quantity), 4) AS sum_qty,
+           ROUND(MIN(l_extendedprice), 4) AS min_price,
+           ROUND(MAX(l_extendedprice), 4) AS max_price,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("sql_shared_text", oracle=SHARED_SQL)
+def sql_shared_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the exact oracle SQL string through spark.sql over registered
+    views — byte-identical query text on both engines."""
+    from .sources.catalog import register_views
+
+    register_views(spark, sf_dir, tables=("lineitem",))
+    return spark.sql(SHARED_SQL)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark_fn for name, q in REGISTRY.items()}
 

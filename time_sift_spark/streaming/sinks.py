@@ -2,8 +2,7 @@
 
 ``foreachBatch`` is the general-purpose exactly-once-ish sink: each
 micro-batch arrives as a BATCH DataFrame with its epoch id, so any batch
-writer (parquet, JDBC, MERGE
--style upserts) can be reused; idempotence
+writer (parquet, JDBC, MERGE-style upserts) can be reused; idempotence
 comes from writing per-epoch paths or using the epoch id as a
 transactional key.
 """
