@@ -35,6 +35,8 @@ REGISTRY: dict[str, QueryDef] = {}
 
 def register(name: str, oracle: Optional[str] = None, headline: bool = False):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r} in registry")
         REGISTRY[name] = QueryDef(fn, oracle, headline)
         return fn
 
