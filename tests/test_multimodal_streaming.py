@@ -96,3 +96,24 @@ def test_streaming_lag_matches_batch(spark, tmp_path):
     np.testing.assert_allclose(got.v_lag1.to_numpy(), expected.l1.to_numpy())
     np.testing.assert_allclose(got.v_lag3.to_numpy(), expected.l3.to_numpy())
     assert len(got) == n
+
+
+def test_resize_stub(blobs):
+    from time_sift_spark.operators.multimodal import resize_image
+
+    out = resize_image(blobs, "blob", id_col="id", width=224, height=224).orderBy("id").toPandas()
+    assert (out.width == 224).all() and (out.height == 224).all()
+    out2 = resize_image(blobs, "blob", id_col="id", width=224, height=224).orderBy("id").toPandas()
+    pd.testing.assert_frame_equal(out, out2)  # deterministic
+    out3 = resize_image(blobs, "blob", id_col="id", width=64, height=64).orderBy("id").toPandas()
+    assert (out.resized_md5 != out3.resized_md5).all()  # dims feed the hash
+
+
+def test_sample_frames_stub(blobs):
+    from time_sift_spark.operators.multimodal import sample_frames
+
+    out = sample_frames(blobs, "blob", id_col="id", every_n=10).toPandas()
+    assert (out.frame_idx % 10 == 0).all()
+    assert out.groupby("id").frame_idx.is_monotonic_increasing.all()
+    # fan-out: every input blob yields at least one frame row
+    assert set(out.id) == {0, 1, 2, 3, 4}

@@ -124,6 +124,63 @@ def decode_image(
     return df.select(id_col, binary_col).mapInPandas(_decode, schema)
 
 
+def resize_image(
+    df: DataFrame, binary_col: str, *, id_col: str, width: int, height: int, fake: bool = True
+) -> DataFrame:
+    """Resize stub: real PIL path gated behind the import-try; the fake
+    emits the target dims plus a deterministic content hash of what WOULD
+    be the resized bytes (md5 of original ++ target dims) so pipelines
+    downstream have a stable key to join on."""
+    for c in (binary_col, id_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    schema = f"{id_col} long, width int, height int, resized_md5 string"
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake and not _HAVE_PIL:
+                raise NotImplementedError("real resize requires PIL; use fake=True")
+            rows = []
+            for vid, blob in zip(pdf[id_col], pdf[binary_col]):
+                raw = bytes(blob) if blob is not None else b""
+                digest = hashlib.md5(raw + f"{width}x{height}".encode()).hexdigest()
+                rows.append((vid, width, height, digest))
+            yield pd.DataFrame(rows, columns=[id_col, "width", "height", "resized_md5"])
+
+    return df.select(id_col, binary_col).mapInPandas(_resize, schema)
+
+
+def sample_frames(
+    df: DataFrame, binary_col: str, *, id_col: str, every_n: int = 10, fake: bool = True
+) -> DataFrame:
+    """Video frame-sampling stub: one output row per sampled frame.
+
+    The fake derives a deterministic frame count from the blob hash and
+    emits every ``every_n``-th frame index with a per-frame content hash —
+    the real decoder would slot into the same mapInPandas shape (one
+    input row fanning out to N output rows)."""
+    for c in (binary_col, id_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    schema = f"{id_col} long, frame_idx int, frame_md5 string"
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("real frame sampling requires a video codec; use fake=True")
+            rows = []
+            for vid, blob in zip(pdf[id_col], pdf[binary_col]):
+                raw = bytes(blob) if blob is not None else b""
+                digest = hashlib.md5(raw).hexdigest()
+                n_frames = 1 + int(digest[:4], 16) % 100
+                for idx in range(0, n_frames, every_n):
+                    fd = hashlib.md5(raw + idx.to_bytes(4, "big")).hexdigest()
+                    rows.append((vid, idx, fd))
+            yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "frame_md5"])
+
+    return df.select(id_col, binary_col).mapInPandas(_sample, schema)
+
+
 def extract_features(
     df: DataFrame, binary_col: str, *, id_col: str, dim: int = 8
 ) -> DataFrame:

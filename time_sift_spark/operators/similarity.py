@@ -128,6 +128,89 @@ def embedding_neardup_sql(
     """
 
 
+def ann_ivf_topk_sql(
+    vd: VectorDialect,
+    table: str,
+    id_col: str,
+    vec_col: str,
+    *,
+    query_pred: str,
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 2,
+) -> str:
+    """IVF (inverted-file) ANN: a deterministic coarse quantizer.
+
+    Centroids are the first ``num_centroids`` vectors by id (deterministic
+    and data-dependent — no training step, so the whole pipeline stays
+    oracle-expressible).  Every vector is assigned to its nearest
+    centroid (cosine); a query probes its ``nprobe`` nearest centroid
+    lists only.  At scale the assignment is the partitioning key, so a
+    query touches ~nprobe/num_centroids of the data.
+    """
+    cos_vc = vd.cosine(f"v.{vec_col}", f"c.{vec_col}")
+    cos_qc = vd.cosine(f"q.{vec_col}", f"cand.{vec_col}")
+    return f"""
+    WITH cents AS (
+      SELECT {id_col} AS cid, {vec_col} FROM {table}
+      WHERE {id_col} < {num_centroids}
+    ),
+    assigned AS (
+      SELECT vid, {vec_col}, cid FROM (
+        SELECT v.{id_col} AS vid, v.{vec_col} AS {vec_col}, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.{id_col}
+                                  ORDER BY {cos_vc} DESC, c.cid) AS crank
+        FROM {table} v CROSS JOIN cents c
+      ) WHERE crank = 1
+    ),
+    probes AS (
+      SELECT vid AS query_id, cid FROM (
+        SELECT v.{id_col} AS vid, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.{id_col}
+                                  ORDER BY {cos_vc} DESC, c.cid) AS crank
+        FROM {table} v CROSS JOIN cents c
+        WHERE {query_pred.replace(id_col, f"v.{id_col}")}
+      ) WHERE crank <= {nprobe}
+    ),
+    scored AS (
+      SELECT p.query_id, cand.vid AS neighbor_id, {cos_qc} AS cosine_sim
+      FROM probes p
+      JOIN assigned cand ON cand.cid = p.cid AND cand.vid <> p.query_id
+      JOIN {table} q ON q.{id_col} = p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT query_id, neighbor_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+def ann_ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    query_pred: str,
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 2,
+) -> DataFrame:
+    view = _next_view()
+    sql = ann_ivf_topk_sql(
+        _VSPARK,
+        view,
+        id_col,
+        vec_col,
+        query_pred=query_pred,
+        k=k,
+        num_centroids=num_centroids,
+        nprobe=nprobe,
+    )
+    return _run(df, sql, view)
+
+
 def _dim_hint() -> int:
     # testdata embeddings are 64-d; operators accept a dim override below.
     return 64

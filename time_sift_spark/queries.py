@@ -509,6 +509,20 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_topk",
+    oracle=_sim.ann_ivf_topk_sql(
+        VDUCK, "embeddings", "vec_id", "embedding", query_pred="vec_id < 8", k=5
+    ),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (deterministic coarse quantizer + nprobe=2) — the
+    charter's 'IVF variant as the scale path'; fully oracle-checkable
+    because the quantizer has no training step."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return _sim.ann_ivf_topk(emb, "vec_id", "embedding", query_pred="vec_id < 8", k=5)
+
+
+@register(
     "embedding_neardup",
     oracle=_sim.embedding_neardup_sql(
         VDUCK, "embeddings", "vec_id", "embedding", threshold=0.35, block_col="label"
