@@ -76,3 +76,25 @@ def test_multiseries_partition_isolation(case, num_series):
     for s in range(num_series):
         got = out[out.sid == s][names].to_numpy(dtype=np.float64).T
         np.testing.assert_array_equal(got, lag_matrix_np(per_series[s], lags, np.inf))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(series_and_lags())
+def test_lead_is_reversed_lag(case):
+    # lead(k) on a series ≡ reverse(lag(k) on reversed series) — pins the
+    # lead path against the already-validated lag model.
+    values, lags = case
+    spark = _get_session()
+    n = len(values)
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(n, dtype=np.int64), "v": np.asarray(values, dtype=np.float64)})
+    )
+    from time_sift_spark.operators.lag import lead_features
+
+    out = lead_features(sdf, "v", "t", lags, fill=float("inf")).orderBy("t").toPandas()
+    reversed_model = lag_matrix_np(list(reversed(values)), lags, np.inf)
+    for pos, k in enumerate(lags):
+        name = f"v_lead{k}" if (("v", k) not in [("v", kk) for kk in lags[:pos]]) else f"v_lead{k}_p{pos}"
+        got = out[name].to_numpy(dtype=np.float64)
+        expected = reversed_model[pos][::-1]
+        np.testing.assert_array_equal(got, expected)
