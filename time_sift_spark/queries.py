@@ -1477,8 +1477,24 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
+    """Every registry callable must work on a session the engine didn't
+    build (the external harness's bare SparkSession) — set the runtime
+    confs (nanos-parquet read, UTC) before the query body runs."""
+    from functools import wraps
+
+    from .sources.catalog import ensure_session_confs
+
+    @wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_session_confs(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: q.spark_fn for name, q in REGISTRY.items()}
+    return {name: _with_session_confs(q.spark_fn) for name, q in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1486,4 +1502,4 @@ def oracle_sql() -> dict[str, str]:
 
 
 def headline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: q.spark_fn for name, q in REGISTRY.items() if q.headline}
+    return {name: _with_session_confs(q.spark_fn) for name, q in REGISTRY.items() if q.headline}

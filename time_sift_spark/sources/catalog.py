@@ -43,9 +43,31 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
     ]
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Make any externally-built SparkSession able to read the testdata.
+
+    The engine must not assume its own ``session.get_spark`` built the
+    session — an external harness passes a bare one. Every conf here is
+    runtime-settable (verified: ``spark.sql.legacy.parquet.nanosAsLong``
+    flips a read-path check, not a static plan property). Without it,
+    reading events.parquet (TIMESTAMP(NANOS)) raises PARQUET_TYPE_ILLEGAL.
+    UTC pins timestamp rendering so results match the DuckDB oracle
+    regardless of the harness machine's zone.
+    """
+    for key, val in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(key, val)
+        except Exception:
+            pass  # conf locked static on some future Spark — fall through to the read
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     sf_dir = sf_dir or DEFAULT_SF_DIR
     path = os.path.join(sf_dir, f"{name}.parquet")
+    ensure_session_confs(spark)
     df = spark.read.parquet(path)
     # TIMESTAMP(NANOS) parquet columns arrive as long ns (the
     # spark.sql.legacy.parquet.nanosAsLong session default); convert to
