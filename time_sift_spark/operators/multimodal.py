@@ -174,7 +174,10 @@ def sample_frames(
                 digest = hashlib.md5(raw).hexdigest()
                 n_frames = 1 + int(digest[:4], 16) % 100
                 for idx in range(0, n_frames, every_n):
-                    fd = hashlib.md5(raw + idx.to_bytes(4, "big")).hexdigest()
+                    # frame hash spec (mirrored by the SQL oracle — keep in
+                    # sync with queries.sample_frames oracle):
+                    # md5(blob ++ ascii(idx))
+                    fd = hashlib.md5(raw + str(idx).encode()).hexdigest()
                     rows.append((vid, idx, fd))
             yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "frame_md5"])
 

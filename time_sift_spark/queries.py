@@ -598,15 +598,79 @@ def decode_image_stub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image(docs, "blob", id_col="doc_id", fake=True)
 
 
-@register("extract_features_docs")  # non-SQL-expressible output → rows-only check
+@register(
+    "extract_features_docs",
+    oracle="""
+    SELECT doc_id,
+           CAST(i AS INT) AS dim_idx,
+           ('0x' || substr(md5(text), 2*i+1, 2))::BIGINT / 128.0 - 1.0 AS value
+    FROM documents CROSS JOIN generate_series(0, 7) AS t(i)
+    """,
+)
 def extract_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pseudo-embedding extraction stub (array<float> via mapInPandas)."""
+    """Pseudo-embedding extraction stub (array<float> via mapInPandas),
+    posexploded to (doc_id, dim_idx, value) scalars so the result is
+    hashable by any canonicalizer AND fully oracle-checkable — each value
+    is digest-byte/128 - 1, a dyadic rational exact in both float32 and
+    the oracle's float64."""
     import pyspark.sql.functions as F
 
     from .operators.multimodal import extract_features
 
     docs = load_table(spark, "documents", sf_dir).withColumn("blob", F.encode("text", "UTF-8"))
-    return extract_features(docs, "blob", id_col="doc_id", dim=8)
+    feats = extract_features(docs, "blob", id_col="doc_id", dim=8)
+    return feats.select(
+        "doc_id", F.posexplode("feature").alias("dim_idx", "value")
+    ).select("doc_id", "dim_idx", F.col("value").cast("double").alias("value"))
+
+
+@register(
+    "resize_image_docs",
+    oracle="""
+    SELECT doc_id,
+           64 AS width,
+           64 AS height,
+           md5(text || '64x64') AS resized_md5
+    FROM documents
+    """,
+)
+def resize_image_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stub over blob columns (mapInPandas; real PIL path gated) —
+    the fake's resized-content hash is md5(blob ++ 'WxH'), reproduced by
+    the oracle on the same UTF-8 bytes."""
+    import pyspark.sql.functions as F
+
+    from .operators.multimodal import resize_image
+
+    docs = load_table(spark, "documents", sf_dir).withColumn("blob", F.encode("text", "UTF-8"))
+    return resize_image(docs, "blob", id_col="doc_id", width=64, height=64, fake=True)
+
+
+@register(
+    "sample_frames_docs",
+    oracle="""
+    SELECT doc_id,
+           CAST(f AS INT) AS frame_idx,
+           md5(text || CAST(f AS VARCHAR)) AS frame_md5
+    FROM (
+      SELECT doc_id, text,
+             1 + (('0x' || substr(md5(text), 1, 4))::BIGINT % 100) AS n_frames
+      FROM documents
+    ) CROSS JOIN generate_series(0, 90, 10) AS t(f)
+    WHERE f < n_frames
+    """,
+)
+def sample_frames_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling stub: one input row fans out to one row per
+    sampled frame (every 10th of a deterministic fake frame count ≤ 100).
+    The oracle reproduces the fan-out with a bounded cross-join series
+    filtered to f < n_frames — identical to Python's range(0, n, 10)."""
+    import pyspark.sql.functions as F
+
+    from .operators.multimodal import sample_frames
+
+    docs = load_table(spark, "documents", sf_dir).withColumn("blob", F.encode("text", "UTF-8"))
+    return sample_frames(docs, "blob", id_col="doc_id", every_n=10, fake=True)
 
 
 _STREAM_SEQ = [0]
