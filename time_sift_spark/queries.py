@@ -976,7 +976,7 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final (never-watermark-closed) window is emitted too."""
     import pyspark.sql.functions as F
 
-    from .streaming.lag_stream import _next_stream_name  # registered below
+    from .streaming.lag_stream import _next_stream_name, run_stream_to_df  # registered below
 
     schema = ("event_id long, ts long, user_id long, event_type string, "
               "value double, props string")
@@ -1001,15 +1001,70 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = _next_stream_name("ts_stream_win")
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+    return run_stream_to_df(agg, name, output_mode="complete")
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT l.user_id,
+           l.event_id AS error_id,
+           r.event_id AS click_id,
+           epoch_us(r.ts) - epoch_us(l.ts) AS delta_us
+    FROM (SELECT * FROM events WHERE event_type = 'error') l
+    JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts - INTERVAL 5 MINUTE
+     AND r.ts <= l.ts + INTERVAL 5 MINUTE
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks + time-range condition
+    (errors × clicks within ±5 min, same user). Inner joins emit every
+    match regardless of watermark (the watermark only bounds state), so
+    the drained result equals the batch interval join — the oracle."""
+    import pyspark.sql.functions as F
+
+    from .streaming.lag_stream import _next_stream_name, run_stream_to_df
+
+    schema = ("event_id long, ts long, user_id long, event_type string, "
+              "value double, props string")
+
+    def _stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+
+    errors = (
+        _stream()
+        .where("event_type = 'error'")
+        .selectExpr("user_id", "event_id AS error_id", "ts AS l_ts")
+        .withWatermark("l_ts", "1 hour")
     )
-    q.awaitTermination()
-    return spark.table(name)
+    clicks = (
+        _stream()
+        .where("event_type = 'click'")
+        .selectExpr("user_id AS r_user_id", "event_id AS click_id", "ts AS r_ts")
+        .withWatermark("r_ts", "1 hour")
+    )
+    joined = errors.join(
+        clicks,
+        F.expr(
+            "user_id = r_user_id AND "
+            "r_ts >= l_ts - INTERVAL 5 MINUTES AND "
+            "r_ts <= l_ts + INTERVAL 5 MINUTES"
+        ),
+    ).select(
+        "user_id",
+        "error_id",
+        "click_id",
+        (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("delta_us"),
+    )
+    name = _next_stream_name("ts_stream_join")
+    return run_stream_to_df(joined, name)
 
 
 @register(
@@ -1374,7 +1429,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     last_event + gap, mirrored in the oracle."""
     import pyspark.sql.functions as F
 
-    from .streaming.lag_stream import _next_stream_name
+    from .streaming.lag_stream import _next_stream_name, run_stream_to_df
 
     schema = ("event_id long, ts long, user_id long, event_type string, "
               "value double, props string")
@@ -1400,15 +1455,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = _next_stream_name("ts_stream_sess")
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return run_stream_to_df(agg, name, output_mode="complete")
 
 
 @register(
@@ -1468,77 +1515,6 @@ def sql_shared_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, tables=("lineitem",))
     return spark.sql(SHARED_SQL)
-
-
-@register(
-    "stream_stream_join",
-    oracle="""
-    SELECT l.user_id,
-           l.event_id AS error_id,
-           r.event_id AS click_id,
-           epoch_us(r.ts) - epoch_us(l.ts) AS delta_us
-    FROM (SELECT * FROM events WHERE event_type = 'error') l
-    JOIN (SELECT * FROM events WHERE event_type = 'click') r
-      ON l.user_id = r.user_id
-     AND r.ts >= l.ts - INTERVAL 5 MINUTE
-     AND r.ts <= l.ts + INTERVAL 5 MINUTE
-    """,
-)
-def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-stream inner join with watermarks + time-range condition
-    (errors × clicks within ±5 min, same user). Inner joins emit every
-    match regardless of watermark (the watermark only bounds state), so
-    the drained result equals the batch interval join — the oracle."""
-    import pyspark.sql.functions as F
-
-    from .streaming.lag_stream import _next_stream_name
-
-    schema = ("event_id long, ts long, user_id long, event_type string, "
-              "value double, props string")
-
-    def _stream():
-        return (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
-
-    errors = (
-        _stream()
-        .where("event_type = 'error'")
-        .selectExpr("user_id", "event_id AS error_id", "ts AS l_ts")
-        .withWatermark("l_ts", "1 hour")
-    )
-    clicks = (
-        _stream()
-        .where("event_type = 'click'")
-        .selectExpr("user_id AS r_user_id", "event_id AS click_id", "ts AS r_ts")
-        .withWatermark("r_ts", "1 hour")
-    )
-    joined = errors.join(
-        clicks,
-        F.expr(
-            "user_id = r_user_id AND "
-            "r_ts >= l_ts - INTERVAL 5 MINUTES AND "
-            "r_ts <= l_ts + INTERVAL 5 MINUTES"
-        ),
-    ).select(
-        "user_id",
-        "error_id",
-        "click_id",
-        (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("delta_us"),
-    )
-    name = _next_stream_name("ts_stream_join")
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
 
 
 def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):

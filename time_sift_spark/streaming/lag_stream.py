@@ -22,6 +22,7 @@ checks.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Iterator, Sequence
 
 import pandas as pd
@@ -93,16 +94,46 @@ def _next_stream_name(prefix: str) -> str:
     return f"{prefix}_{_NAME_SEQ[0]}"
 
 
-def run_stream_to_df(stream_out: DataFrame, query_name: str) -> DataFrame:
+@contextmanager
+def pinned_shuffle_partitions(spark, n: int):
+    """Pin spark.sql.shuffle.partitions for the duration of a stream drain.
+
+    Stateful streaming operators (stream-stream join, session windows,
+    applyInPandasWithState) materialize ONE state-store instance per
+    shuffle partition, every micro-batch. On an externally-built session
+    the default is 200 — measured 29.1 s vs 4.3 s at 16 partitions for
+    the sf0.01 stream-stream join. The partition count is latched when
+    the query starts, so pinning around .start() is sufficient; restored
+    afterwards so batch plans in the same session are unaffected. (On a
+    real cluster you'd size this to executor count instead.)
+    """
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
+def run_stream_to_df(
+    stream_out: DataFrame,
+    query_name: str,
+    *,
+    output_mode: str = "append",
+    shuffle_partitions: int = 16,
+) -> DataFrame:
     """Drive a streaming DataFrame through a memory sink synchronously and
     return the materialized result as a batch DataFrame (test/driver
     convenience; production would writeStream to a real sink)."""
-    q = (
-        stream_out.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_out.sparkSession.table(query_name)
+    spark = stream_out.sparkSession
+    with pinned_shuffle_partitions(spark, shuffle_partitions):
+        q = (
+            stream_out.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(query_name)
