@@ -291,6 +291,84 @@ def minhash_lsh_pairs_sql(
     """
 
 
+def lsh_verified_neardup_sql(
+    d: Dialect,
+    table: str,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.5,
+    num_perm: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> str:
+    """The 100 TB near-dup screen as ONE composed query:
+    MinHash-LSH band-key blocking → exact shingle-Jaccard verification.
+
+    Stage 1 (screen): docs sharing any LSH band become candidate pairs —
+    the only join is a band-key equi-join, never O(n²).
+    Stage 2 (verify): candidates get EXACT Jaccard over their distinct
+    hashed ``shingle_k``-gram sets (the same feature set the signatures
+    estimate), keeping pairs >= ``threshold``. At scale the verify join
+    touches only |candidates| rows — the expensive exact pairwise work is
+    bounded by the screen's selectivity, which is the whole point of the
+    composition (vs. exact blocked pairwise over every block).
+
+    Both stages reuse one tokenize→shingle→md5 derivation (the ``hashed``
+    CTE); Catalyst inlines it into two scans, DuckDB materializes it.
+    """
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    band_keys = [
+        "concat_ws(',', {cols})".format(cols=", ".join(f"s{b * r + j}" for j in range(r)))
+        for b in range(bands)
+    ]
+    if d.name == "spark":
+        band_selects = (
+            f"SELECT did, band, bkey FROM sigw "
+            f"LATERAL VIEW posexplode(array({', '.join(band_keys)})) t AS band, bkey"
+        )
+        tset = "collect_set(h)"
+        inter = "size(array_intersect(a.hs, b.hs))"
+        setsize = "size(collect_set(h))"
+    else:
+        band_selects = " UNION ALL ".join(
+            f"SELECT did, {b} AS band, {key} AS bkey FROM sigw" for b, key in enumerate(band_keys)
+        )
+        tset = "list(DISTINCT h)"
+        inter = "len(list_filter(a.hs, x -> list_contains(b.hs, x)))"
+        setsize = "COUNT(DISTINCT h)"
+    # union = n_a + n_b - inter >= max(n_a, n_b) >= 1 for any candidate
+    # (docs with zero shingles have no sigw row, so never become one).
+    jaccard = "(CAST(n_inter AS DOUBLE) / CAST(n_sum - n_inter AS DOUBLE))"
+    return f"""
+    WITH {_minhash_sig_cte(d, table, id_col, text_col, num_perm, shingle_k, seed)},
+    tsets AS (
+      SELECT did, {tset} AS hs, {setsize} AS n_toks
+      FROM hashed
+      GROUP BY did
+    ),
+    bands AS ({band_selects}),
+    cand AS (
+      SELECT x.did AS did_a, y.did AS did_b
+      FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.did < y.did
+      GROUP BY x.did, y.did
+    ),
+    pairs AS (
+      SELECT cand.did_a, cand.did_b,
+             {inter} AS n_inter,
+             a.n_toks + b.n_toks AS n_sum
+      FROM cand
+      JOIN tsets a ON a.did = cand.did_a
+      JOIN tsets b ON b.did = cand.did_b
+    )
+    SELECT did_a AS doc_id_a, did_b AS doc_id_b, {jaccard} AS jaccard
+    FROM pairs
+    WHERE {jaccard} >= {threshold}
+    """
+
+
 def simhash_sql(
     d: Dialect, table: str, id_col: str, text_col: str, *, bits: int = 60
 ) -> str:
@@ -353,6 +431,10 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, **kw) -> DataF
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, **kw) -> DataFrame:
     return _run(df, minhash_lsh_pairs_sql, id_col, text_col, **kw)
+
+
+def lsh_verified_neardup(df: DataFrame, id_col: str, text_col: str, **kw) -> DataFrame:
+    return _run(df, lsh_verified_neardup_sql, id_col, text_col, **kw)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 60) -> DataFrame:

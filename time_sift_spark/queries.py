@@ -472,6 +472,21 @@ def minhash_lsh_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lsh_verified_neardup_docs",
+    oracle=_dd.lsh_verified_neardup_sql(DUCK, "documents", "doc_id", "text", threshold=0.5),
+    headline=True,
+)
+def lsh_verified_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB near-dup screen: MinHash-LSH band blocking to get
+    candidates, then EXACT shingle-Jaccard verification of only those
+    candidates — the scale answer to exact blocked pairwise
+    (ngram_jaccard_docs), whose cost grows with block sizes squared while
+    this grows with the candidate count."""
+    docs = load_table(spark, "documents", sf_dir)
+    return _dd.lsh_verified_neardup(docs, "doc_id", "text", threshold=0.5)
+
+
+@register(
     "simhash_docs",
     oracle=_dd.simhash_sql(DUCK, "documents", "doc_id", "text"),
 )
