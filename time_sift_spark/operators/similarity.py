@@ -31,6 +31,10 @@ from ..functions.vector_fns import VectorDialect, random_hyperplanes
 _VSPARK = VectorDialect("spark")
 _VIEW_SEQ = [0]
 
+# Testdata embeddings are 64-d; ann_lsh_topk probes the real width when
+# dim isn't passed, the SQL generator takes an explicit dim parameter.
+DEFAULT_DIM = 64
+
 
 def knn_topk_sql(
     vd: VectorDialect,
@@ -73,22 +77,55 @@ def ann_lsh_topk_sql(
     query_pred: str,
     k: int = 5,
     num_planes: int = 6,
+    num_tables: int = 1,
     seed: int = 42,
+    dim: int = DEFAULT_DIM,
 ) -> str:
-    planes = random_hyperplanes(num_planes, _dim_hint(), seed)
-    bucket = vd.lsh_bucket(vec_col, planes)
+    """Multi-table random-hyperplane LSH: ``num_tables`` independent hash
+    tables of ``num_planes`` sign-bits each; a vector is a candidate if it
+    shares the query's bucket in ANY table (OR-amplification — single-table
+    sign-LSH recall decays as (1-θ/π)^planes, the union of L tables lifts
+    it to 1-(1-p)^L).  Each (table, bucket) pair becomes one string key so
+    the candidate step stays a pure equi-join — at scale the shuffle key,
+    exactly like the MinHash band join (operators/dedup.py).
+
+    ``query_pred`` sees columns (vid, {vec_col}, nrm).  dim MUST match the
+    embedding width: zip_with pads the shorter array with NULL, silently
+    corrupting buckets.
+    """
     dot = vd.dot(f"q.{vec_col}", f"c.{vec_col}")
     cos = f"({dot} / greatest(q.nrm * c.nrm, 1e-300))"
+    # one seed per table -> independent plane sets
+    keys = [
+        f"concat('{t}_', CAST({vd.lsh_bucket(vec_col, random_hyperplanes(num_planes, dim, seed + t))} AS STRING))"
+        for t in range(num_tables)
+    ]
+    if vd.name == "spark":
+        keys_select = (
+            f"SELECT vid, bkey FROM (SELECT vid, array({', '.join(keys)}) AS bks FROM v) "
+            f"LATERAL VIEW explode(bks) t AS bkey"
+        )
+    else:
+        keys_select = " UNION ALL ".join(
+            f"SELECT vid, {key} AS bkey FROM v" for key in keys
+        )
     return f"""
-    WITH bucketed AS (
-      SELECT {id_col} AS vid, {vec_col} AS {vec_col}, {bucket} AS bucket,
-             {vd.norm(vec_col)} AS nrm
+    WITH v AS (
+      SELECT {id_col} AS vid, {vec_col} AS {vec_col}, {vd.norm(vec_col)} AS nrm
       FROM {table}
     ),
+    keys AS ({keys_select}),
+    cand AS (
+      SELECT DISTINCT x.vid AS query_id, y.vid AS neighbor_id
+      FROM (SELECT kk.vid, kk.bkey FROM keys kk
+            JOIN (SELECT vid FROM v WHERE {query_pred}) qf ON kk.vid = qf.vid) x
+      JOIN keys y ON x.bkey = y.bkey AND x.vid <> y.vid
+    ),
     scored AS (
-      SELECT q.vid AS query_id, c.vid AS neighbor_id, {cos} AS cosine_sim
-      FROM (SELECT * FROM bucketed WHERE {query_pred}) q
-      JOIN bucketed c ON q.bucket = c.bucket AND q.vid <> c.vid
+      SELECT cand.query_id, cand.neighbor_id, {cos} AS cosine_sim
+      FROM cand
+      JOIN v q ON q.vid = cand.query_id
+      JOIN v c ON c.vid = cand.neighbor_id
     ),
     ranked AS (
       SELECT query_id, neighbor_id, cosine_sim,
@@ -141,19 +178,34 @@ def ann_ivf_topk_sql(
 ) -> str:
     """IVF (inverted-file) ANN: a deterministic coarse quantizer.
 
-    Centroids are the first ``num_centroids`` vectors by id (deterministic
-    and data-dependent — no training step, so the whole pipeline stays
-    oracle-expressible).  Every vector is assigned to its nearest
-    centroid (cosine); a query probes its ``nprobe`` nearest centroid
-    lists only.  At scale the assignment is the partitioning key, so a
-    query touches ~nprobe/num_centroids of the data.
+    Centroids are a deterministic hash-ordered sample: the
+    ``num_centroids`` vectors with the smallest ``md5(id)`` — an unbiased
+    uniform draw (unlike an id-prefix, which inherits whatever the id
+    order correlates with), still zero-training so the whole pipeline
+    stays oracle-expressible.  ORDER BY + LIMIT is a distributed top-K in
+    Spark (TakeOrderedAndProject), not a single-partition sort.  A true
+    Lloyd/k-means quantizer is deliberately NOT used: centroid means are
+    float sums whose order of accumulation differs across engines, which
+    would break the bit-exact oracle gate; the recall cost of sampling vs
+    one Lloyd step is measured in tests/test_dedup_similarity.py.
+    Every vector is assigned to its nearest centroid (cosine); a query
+    probes its ``nprobe`` nearest centroid lists only.  At scale the
+    assignment is the partitioning key, so a query touches
+    ~nprobe/num_centroids of the data.
+
+    ``query_pred`` may reference ``id_col`` unqualified: in the one scope
+    where it is interpolated the join partner (``cents``) renames its id
+    to ``cid``, so resolution is unambiguous — no string rewriting of the
+    predicate (which would corrupt column names containing ``id_col`` as
+    a substring, or string literals).
     """
     cos_vc = vd.cosine(f"v.{vec_col}", f"c.{vec_col}")
     cos_qc = vd.cosine(f"q.{vec_col}", f"cand.{vec_col}")
     return f"""
     WITH cents AS (
       SELECT {id_col} AS cid, {vec_col} FROM {table}
-      WHERE {id_col} < {num_centroids}
+      ORDER BY md5(CAST({id_col} AS STRING)), {id_col}
+      LIMIT {num_centroids}
     ),
     assigned AS (
       SELECT vid, {vec_col}, cid FROM (
@@ -169,7 +221,7 @@ def ann_ivf_topk_sql(
                ROW_NUMBER() OVER (PARTITION BY v.{id_col}
                                   ORDER BY {cos_vc} DESC, c.cid) AS crank
         FROM {table} v CROSS JOIN cents c
-        WHERE {query_pred.replace(id_col, f"v.{id_col}")}
+        WHERE {query_pred}
       ) WHERE crank <= {nprobe}
     ),
     scored AS (
@@ -211,9 +263,6 @@ def ann_ivf_topk(
     return _run(df, sql, view)
 
 
-def _dim_hint() -> int:
-    # testdata embeddings are 64-d; operators accept a dim override below.
-    return 64
 
 
 def _run(df: DataFrame, sql: str, view: str) -> DataFrame:
@@ -232,11 +281,35 @@ def knn_cosine_topk(df: DataFrame, id_col: str, vec_col: str, *, query_pred: str
 
 
 def ann_lsh_topk(
-    df: DataFrame, id_col: str, vec_col: str, *, query_pred: str, k: int = 5, num_planes: int = 6, seed: int = 42
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    query_pred: str,
+    k: int = 5,
+    num_planes: int = 6,
+    num_tables: int = 1,
+    seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
+    """``dim`` defaults to the actual width of ``vec_col`` (probed from the
+    schema-independent first row) so non-64-d embeddings get correct
+    hyperplanes; pass it explicitly to skip the probe job."""
+    if dim is None:
+        row = df.select(vec_col).first()
+        dim = len(row[0]) if row and row[0] is not None else DEFAULT_DIM
     view = _next_view()
     sql = ann_lsh_topk_sql(
-        _VSPARK, view, id_col, vec_col, query_pred=query_pred, k=k, num_planes=num_planes, seed=seed
+        _VSPARK,
+        view,
+        id_col,
+        vec_col,
+        query_pred=query_pred,
+        k=k,
+        num_planes=num_planes,
+        num_tables=num_tables,
+        seed=seed,
+        dim=dim,
     )
     return _run(df, sql, view)
 

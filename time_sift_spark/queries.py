@@ -513,28 +513,43 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_lsh_topk",
     oracle=_sim.ann_lsh_topk_sql(
-        VDUCK, "embeddings", "vec_id", "embedding", query_pred="vid < 8", k=5
+        VDUCK, "embeddings", "vec_id", "embedding", query_pred="vid < 8", k=5,
+        num_planes=4, num_tables=8,
     ),
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via random-hyperplane LSH buckets (deterministic
-    literal hyperplanes → fully oracle-checkable)."""
+    """Approximate top-5 via multi-table random-hyperplane LSH
+    (8 tables × 4 sign-bits; deterministic literal hyperplanes → fully
+    oracle-checkable). Measured recall@5 vs knn_cosine_topk: 0.675 at
+    sf0.01, vs 0.075 single-table — OR-amplification is the recall lever;
+    at scale, planes grows with log2(n / target bucket size) and tables
+    buys recall back."""
     emb = load_table(spark, "embeddings", sf_dir)
-    return _sim.ann_lsh_topk(emb, "vec_id", "embedding", query_pred="vid < 8", k=5)
+    return _sim.ann_lsh_topk(
+        emb, "vec_id", "embedding", query_pred="vid < 8", k=5,
+        num_planes=4, num_tables=8, dim=64,
+    )
 
 
 @register(
     "ann_ivf_topk",
     oracle=_sim.ann_ivf_topk_sql(
-        VDUCK, "embeddings", "vec_id", "embedding", query_pred="vec_id < 8", k=5
+        VDUCK, "embeddings", "vec_id", "embedding", query_pred="vec_id < 8", k=5,
+        num_centroids=32, nprobe=8,
     ),
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN (deterministic coarse quantizer + nprobe=2) — the
-    charter's 'IVF variant as the scale path'; fully oracle-checkable
-    because the quantizer has no training step."""
+    """IVF-style ANN (hash-sampled deterministic coarse quantizer,
+    32 centroids / nprobe=8) — fully oracle-checkable because the
+    quantizer has no training step. Measured recall@5 vs knn_cosine_topk:
+    0.65 at sf0.01 while probing 25% of the lists (the earlier first-K-ids
+    quantizer's 0.92 was an artifact — the query vectors were their own
+    centroids)."""
     emb = load_table(spark, "embeddings", sf_dir)
-    return _sim.ann_ivf_topk(emb, "vec_id", "embedding", query_pred="vec_id < 8", k=5)
+    return _sim.ann_ivf_topk(
+        emb, "vec_id", "embedding", query_pred="vec_id < 8", k=5,
+        num_centroids=32, nprobe=8,
+    )
 
 
 @register(
@@ -1414,7 +1429,7 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_session_windows",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              CASE WHEN LAG(ts) OVER w IS NULL
                        OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
                   THEN 1 ELSE 0 END AS is_start
@@ -1422,8 +1437,10 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sessions AS (
+      -- (ts, event_id) ordering matches the flagged CTE exactly: ts alone
+      -- is nondeterministic on equal timestamps and can flake vs Spark.
       SELECT user_id, ts, value,
-             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
       FROM flagged
     )
