@@ -703,7 +703,151 @@ def sample_frames_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(docs, "blob", id_col="doc_id", every_n=10, fake=True)
 
 
+@register(
+    "interop_roundtrip_events",
+    oracle=f"""
+    SELECT ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS row_idx,
+           COALESCE(LAG(value, 1) OVER (ORDER BY ts, event_id), {INF_SQL}) AS value_lag1,
+           COALESCE(LAG(value, 2) OVER (ORDER BY ts, event_id), {INF_SQL}) AS value_lag2
+    FROM events
+    WHERE user_id = 1
+    """,
+)
+def interop_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local ndarray interop round-trip (reference Array1 adapter analogue,
+    src/ndarray_support.rs:81-98): one user's series goes local via Arrow,
+    through ``lag_matrix_pd`` (which runs the SAME Catalyst lag plan), and
+    the resulting lag-major matrix is re-exposed as rows. Local-by-design
+    API — the deliberate exception to the no-toPandas rule, on a
+    single-key slice."""
+    import numpy as np
+    import pandas as pd
+
+    from .interop import lag_matrix_pd
+
+    events = load_table(spark, "events", sf_dir)
+    pdf = (
+        events.where("user_id = 1")
+        .orderBy("ts", "event_id")
+        .select("value")
+        .toPandas()
+    )
+    mat = lag_matrix_pd(spark, pdf["value"].to_numpy(), [1, 2], fill=np.inf)
+    out = pd.DataFrame(
+        {
+            "row_idx": np.arange(mat.shape[1], dtype=np.int64),
+            "value_lag1": mat[0],
+            "value_lag2": mat[1],
+        }
+    )
+    return spark.createDataFrame(out)
+
+
+@register(
+    "csv_roundtrip_orders",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def csv_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink+source proof for the CSV path: orders → CSV files → read back
+    with an explicit schema → aggregate. Doubles survive the text hop
+    bit-exactly (Java's Double.toString/parse round-trips); the SUM is
+    rounded because its accumulation order differs from the oracle's."""
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from .sources.catalog import read_csv, write_csv
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(tempfile.gettempdir(), f"ts_csv_roundtrip_{os.getpid()}")
+    write_csv(orders, path)
+    back = read_csv(
+        spark, path, "o_orderkey long, o_orderstatus string, o_totalprice double"
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@register(
+    "json_roundtrip_events",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           MIN(event_id) AS min_id,
+           MAX(event_id) AS max_id,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink+source proof for the JSON-lines path: events (longs + doubles
+    only — timestamps stay in parquet-land) → JSONL → explicit-schema read
+    → aggregate, same exactness argument as csv_roundtrip_orders."""
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from .sources.catalog import read_json, write_json
+
+    events = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    path = os.path.join(tempfile.gettempdir(), f"ts_json_roundtrip_{os.getpid()}")
+    write_json(events, path)
+    back = read_json(spark, path, "event_id long, event_type string, value double")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
 _STREAM_SEQ = [0]
+
+
+@register(
+    "streaming_dedup_events",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: ``dropDuplicates`` over the event stream —
+    the state-store dedup operator (one state row per distinct key; at
+    scale, bound state with dropDuplicatesWithinWatermark). Output is the
+    key columns only, so the result is deterministic no matter which
+    physical row survives the dedup."""
+    from .streaming.lag_stream import run_stream_to_df
+
+    schema = ("event_id long, ts long, user_id long, event_type string, "
+              "value double, props string")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    _STREAM_SEQ[0] += 1
+    return run_stream_to_df(stream, f"ts_stream_dedup_{_STREAM_SEQ[0]}")
 
 
 @register(
