@@ -254,3 +254,34 @@ def test_asof_property_vs_merge_asof(spark):
                 equal_nan=True,
                 err_msg=f"{fn.__name__} trial {trial}",
             )
+
+
+def test_time_weighted_avg_hand_checked(spark):
+    from time_sift_spark.operators.rolling import time_weighted_avg
+
+    # key 1: value 10 held 2s, value 20 held 6s, last row no interval
+    #        twa = (10*2 + 20*6) / 8 = 17.5
+    # key 2: single row -> no interval -> key absent from output
+    pdf = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2],
+            "t": pd.to_datetime([0, 2_000_000, 8_000_000, 0], unit="us", utc=True),
+            "v": [10.0, 20.0, 99.0, 7.0],
+        }
+    )
+    out = (
+        time_weighted_avg(spark.createDataFrame(pdf), "v", "t", partition_by="k")
+        .orderBy("k")
+        .toPandas()
+    )
+    assert out.k.tolist() == [1]
+    assert out.time_weighted_avg.tolist() == [17.5]
+    assert out.n_intervals.tolist() == [2]
+
+
+def test_time_weighted_avg_validation(spark):
+    from time_sift_spark.operators.rolling import time_weighted_avg
+
+    pdf = pd.DataFrame({"k": [1], "t": pd.to_datetime([0], unit="us", utc=True), "v": [1.0]})
+    with pytest.raises(ColumnNotFoundError):
+        time_weighted_avg(spark.createDataFrame(pdf), "nope", "t", partition_by="k")

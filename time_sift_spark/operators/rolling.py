@@ -121,3 +121,42 @@ def range_rolling_features(
             for s in stats:
                 exprs.append(_STATS[s](F.col(v)).over(frame).alias(f"{v}_t{r}s_{s}"))
     return df.select(*keep, *exprs)
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    *,
+    partition_by: str | Sequence[str],
+    order_extra: Sequence[str] = (),
+    round_dp: int = 4,
+) -> DataFrame:
+    """Time-weighted average per key over an irregular series: each value
+    is held constant until the next observation (step interpolation), so
+    the mean is Σ(value·Δt) / Σ(Δt); the final observation has no interval
+    and contributes nothing.
+
+    One window (lead over the key) + one aggregation — two shuffles on the
+    same key, which AQE coalesces at scale. The denominator is an exact
+    integer-µs sum; the numerator is rounded at the RATIO (``round_dp``)
+    so accumulation order can't leak into comparisons.
+    """
+    partition_by = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    for c in (*partition_by, value_col, time_col, *order_extra):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    t_us = F.unix_micros(F.col(time_col))
+    w = Window.partitionBy(*partition_by).orderBy(
+        t_us, *[F.col(c) for c in order_extra]
+    )
+    dt = (F.lead(t_us).over(w) - t_us).alias("_dt_us")
+    d = df.select(*partition_by, F.col(value_col).alias("_v"), dt).where(
+        F.col("_dt_us").isNotNull()
+    )
+    return d.groupBy(*partition_by).agg(
+        F.round(
+            F.sum(F.col("_v") * F.col("_dt_us")) / F.sum("_dt_us"), round_dp
+        ).alias("time_weighted_avg"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )

@@ -100,25 +100,33 @@ def ann_lsh_topk_sql(
         f"concat('{t}_', CAST({vd.lsh_bucket(vec_col, random_hyperplanes(num_planes, dim, seed + t))} AS STRING))"
         for t in range(num_tables)
     ]
-    if vd.name == "spark":
-        keys_select = (
-            f"SELECT vid, bkey FROM (SELECT vid, array({', '.join(keys)}) AS bks FROM v) "
-            f"LATERAL VIEW explode(bks) t AS bkey"
-        )
-    else:
-        keys_select = " UNION ALL ".join(
-            f"SELECT vid, {key} AS bkey FROM v" for key in keys
-        )
+    def _keys_select(src: str) -> str:
+        if vd.name == "spark":
+            return (
+                f"SELECT vid, bkey FROM (SELECT vid, array({', '.join(keys)}) AS bks FROM {src}) "
+                f"LATERAL VIEW explode(bks) t AS bkey"
+            )
+        return " UNION ALL ".join(f"SELECT vid, {key} AS bkey FROM {src}" for key in keys)
+
+    # The query side gets its OWN keys CTE with the predicate applied
+    # BEFORE bucket computation: Catalyst inlines CTEs, so a shared keys
+    # CTE referenced from both join sides would evaluate every plane dot
+    # product over ALL n vectors twice (verified in the executed plan —
+    # two Generate-explode subtrees). This shape costs n + |Q| bucket
+    # computations instead of 2n.
     return f"""
     WITH v AS (
       SELECT {id_col} AS vid, {vec_col} AS {vec_col}, {vd.norm(vec_col)} AS nrm
       FROM {table}
     ),
-    keys AS ({keys_select}),
+    qv AS (
+      SELECT * FROM v WHERE {query_pred}
+    ),
+    keys AS ({_keys_select("v")}),
+    qkeys AS ({_keys_select("qv")}),
     cand AS (
       SELECT DISTINCT x.vid AS query_id, y.vid AS neighbor_id
-      FROM (SELECT kk.vid, kk.bkey FROM keys kk
-            JOIN (SELECT vid FROM v WHERE {query_pred}) qf ON kk.vid = qf.vid) x
+      FROM qkeys x
       JOIN keys y ON x.bkey = y.bkey AND x.vid <> y.vid
     ),
     scored AS (

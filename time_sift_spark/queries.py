@@ -303,6 +303,160 @@ def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_join_purchases_bcast",
+    oracle="""
+    SELECT l.user_id, l.ts, l.event_id, l.value, r.value AS value_asof
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_join_purchases_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SECOND as-of strategy (operators.asof.asof_join_lookup): the
+    right side collapses to one sorted struct-array row per key and
+    broadcasts — zero shuffles on the fact side. Same semantics as
+    asof_join_purchases (same oracle), different physical plan; choose it
+    when the right side fits a broadcast."""
+    from .operators.asof import asof_join_lookup
+
+    events = load_table(spark, "events", sf_dir)
+    clicks = events.where(events.event_type == "click")
+    purchases = events.where(events.event_type == "purchase")
+    joined = asof_join_lookup(
+        clicks,
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_cols=["value"],
+    )
+    return joined.select("user_id", "ts", "event_id", "value", "value_asof")
+
+
+@register(
+    "latest_event_per_user",
+    oracle="""
+    SELECT user_id, ts, event_id, event_type, value FROM (
+      SELECT user_id, ts, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-snapshot operator: keep each key's most recent row
+    (rank-dedup) — the standard CDC-compaction / snapshot pattern. One
+    shuffle on the key; Spark turns the rn=1 filter into a
+    WindowGroupLimit (per-partition top-1 before the exchange)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    events = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        events.select("user_id", "ts", "event_id", "event_type", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .drop("rn")
+    )
+
+
+@register(
+    "stratified_sample_events",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT) % 100 <
+          CASE event_type WHEN 'error' THEN 100 WHEN 'click' THEN 10 ELSE 30 END
+    """,
+)
+def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — per-class rates (errors kept
+    100%, clicks 10%, rest 30%) via an md5-prefix hash of the row id, the
+    training-data rebalancing primitive. Pure filter: no shuffle, no RNG
+    state, reproducible row-for-row on any cluster size (unlike
+    df.sample, whose output depends on partitioning)."""
+    events = load_table(spark, "events", sf_dir)
+    return events.selectExpr(
+        "event_id", "user_id", "event_type", "value"
+    ).where(
+        "CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100 < "
+        "CASE event_type WHEN 'error' THEN 100 WHEN 'click' THEN 10 ELSE 30 END"
+    )
+
+
+@register(
+    "rollup_hourly_daily",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             COUNT(*) AS n, SUM(value) AS sv
+      FROM events
+      GROUP BY event_type, date_trunc('hour', ts)
+    )
+    SELECT event_type, CAST(date_trunc('day', h) AS DATE) AS day,
+           SUM(n) AS n_events,
+           ROUND(SUM(sv), 4) AS sum_value,
+           COUNT(*) AS n_hours_active
+    FROM hourly
+    GROUP BY event_type, CAST(date_trunc('day', h) AS DATE)
+    """,
+)
+def rollup_hourly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (continuous-aggregate) rollup: daily stats computed
+    FROM the hourly aggregate, not from raw rows — the hypertable
+    materialized-rollup pattern. At scale the hourly layer is the stored
+    aggregate; the day layer re-aggregates ~24× fewer rows and aligns
+    with it exactly (sums of sums)."""
+    import pyspark.sql.functions as F
+
+    events = load_table(spark, "events", sf_dir)
+    hourly = (
+        events.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+    )
+    return (
+        hourly.groupBy("event_type", F.date_trunc("day", "h").cast("date").alias("day"))
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("sv"), 4).alias("sum_value"),
+            F.count(F.lit(1)).alias("n_hours_active"),
+        )
+    )
+
+
+@register(
+    "time_weighted_avg_events",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, value,
+             epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               - epoch_us(ts) AS dt_us
+      FROM events
+    )
+    SELECT user_id,
+           ROUND(SUM(value * dt_us) / SUM(dt_us), 4) AS time_weighted_avg,
+           COUNT(*) AS n_intervals
+    FROM d
+    WHERE dt_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def time_weighted_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of value per user (step interpolation over the
+    irregular series) — the canonical irregular-time-series statistic a
+    row-count mean gets wrong. Denominator is an exact integer-µs sum;
+    ratio rounded to 4dp on both engines."""
+    from .operators.rolling import time_weighted_avg
+
+    events = load_table(spark, "events", sf_dir)
+    return time_weighted_avg(
+        events, "value", "ts", partition_by="user_id", order_extra=("event_id",)
+    )
+
+
+@register(
     "resample_events_hourly",
     oracle="""
     SELECT event_type, date_trunc('hour', ts) AS bucket,
@@ -435,11 +589,11 @@ def _jaccard_blocks(d):
     oracle=_dd.ngram_jaccard_sql(
         DUCK, "documents", "doc_id", "text", threshold=0.5, block_exprs=_jaccard_blocks(DUCK)
     ),
-    headline=True,
 )
 def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by distinct-token Jaccard >= 0.5, blocked on
-    (lang, length bucket) — the blocked self-join scale pattern."""
+    (lang, length bucket) — the exact-pairwise comparator; demoted from
+    headline in favor of lsh_verified_neardup_docs (the scale path)."""
     from .functions.text_fns import SPARK as _S
 
     docs = load_table(spark, "documents", sf_dir)
