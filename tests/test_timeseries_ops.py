@@ -285,3 +285,25 @@ def test_time_weighted_avg_validation(spark):
     pdf = pd.DataFrame({"k": [1], "t": pd.to_datetime([0], unit="us", utc=True), "v": [1.0]})
     with pytest.raises(ColumnNotFoundError):
         time_weighted_avg(spark.createDataFrame(pdf), "nope", "t", partition_by="k")
+
+
+def test_time_weighted_avg_all_ties_key_absent(spark):
+    # A key whose rows all share one timestamp has only zero-length
+    # intervals: sum(dt)=0 would be DIVIDE_BY_ZERO under ANSI — the
+    # operator must drop the key entirely, not crash (code-review r2).
+    from time_sift_spark.operators.rolling import time_weighted_avg
+
+    pdf = pd.DataFrame(
+        {
+            "k": [1, 1, 2, 2],
+            "t": pd.to_datetime([5, 5, 0, 3_000_000], unit="us", utc=True),
+            "v": [1.0, 2.0, 4.0, 9.0],
+        }
+    )
+    out = (
+        time_weighted_avg(spark.createDataFrame(pdf), "v", "t", partition_by="k")
+        .orderBy("k")
+        .toPandas()
+    )
+    assert out.k.tolist() == [2]
+    assert out.time_weighted_avg.tolist() == [4.0]

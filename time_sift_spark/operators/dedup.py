@@ -241,6 +241,29 @@ def minhash_signatures_sql(
     """
 
 
+def _band_selects(d: Dialect, num_perm: int, bands: int) -> str:
+    """SELECT rendering ``sigw`` as (did, band, bkey) — one row per LSH
+    band, bkey = comma-joined signature slots of that band. Shared by
+    minhash_lsh_pairs_sql and lsh_verified_neardup_sql so the band-key
+    construction cannot drift between the two LSH paths. Spark gets one
+    posexplode scan (see minhash_signatures_sql on CTE inlining); DuckDB
+    a UNION ALL (its CTEs materialize)."""
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    band_keys = [
+        "concat_ws(',', {cols})".format(cols=", ".join(f"s{b * r + j}" for j in range(r)))
+        for b in range(bands)
+    ]
+    if d.name == "spark":
+        return (
+            f"SELECT did, band, bkey FROM sigw "
+            f"LATERAL VIEW posexplode(array({', '.join(band_keys)})) t AS band, bkey"
+        )
+    return " UNION ALL ".join(
+        f"SELECT did, {b} AS band, {key} AS bkey FROM sigw" for b, key in enumerate(band_keys)
+    )
+
+
 def minhash_lsh_pairs_sql(
     d: Dialect,
     table: str,
@@ -258,22 +281,7 @@ def minhash_lsh_pairs_sql(
     become candidates; the band key join is the blocking that avoids the
     O(n²) cross product at scale.
     """
-    assert num_perm % bands == 0
-    r = num_perm // bands
-    band_keys = [
-        "concat_ws(',', {cols})".format(cols=", ".join(f"s{b * r + j}" for j in range(r)))
-        for b in range(bands)
-    ]
-    if d.name == "spark":
-        # one posexplode scan (see minhash_signatures_sql on CTE inlining)
-        band_selects = (
-            f"SELECT did, band, bkey FROM sigw "
-            f"LATERAL VIEW posexplode(array({', '.join(band_keys)})) t AS band, bkey"
-        )
-    else:
-        band_selects = " UNION ALL ".join(
-            f"SELECT did, {b} AS band, {key} AS bkey FROM sigw" for b, key in enumerate(band_keys)
-        )
+    band_selects = _band_selects(d, num_perm, bands)
     agree = " + ".join(f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)" for i in range(num_perm))
     return f"""
     WITH {_minhash_sig_cte(d, table, id_col, text_col, num_perm, shingle_k, seed)},
@@ -318,34 +326,22 @@ def lsh_verified_neardup_sql(
     Both stages reuse one tokenize→shingle→md5 derivation (the ``hashed``
     CTE); Catalyst inlines it into two scans, DuckDB materializes it.
     """
-    assert num_perm % bands == 0
-    r = num_perm // bands
-    band_keys = [
-        "concat_ws(',', {cols})".format(cols=", ".join(f"s{b * r + j}" for j in range(r)))
-        for b in range(bands)
-    ]
+    band_selects = _band_selects(d, num_perm, bands)
     if d.name == "spark":
-        band_selects = (
-            f"SELECT did, band, bkey FROM sigw "
-            f"LATERAL VIEW posexplode(array({', '.join(band_keys)})) t AS band, bkey"
-        )
         tset = "collect_set(h)"
         inter = "size(array_intersect(a.hs, b.hs))"
-        setsize = "size(collect_set(h))"
+        setsize = "size"
     else:
-        band_selects = " UNION ALL ".join(
-            f"SELECT did, {b} AS band, {key} AS bkey FROM sigw" for b, key in enumerate(band_keys)
-        )
         tset = "list(DISTINCT h)"
         inter = "len(list_filter(a.hs, x -> list_contains(b.hs, x)))"
-        setsize = "COUNT(DISTINCT h)"
+        setsize = "len"
     # union = n_a + n_b - inter >= max(n_a, n_b) >= 1 for any candidate
     # (docs with zero shingles have no sigw row, so never become one).
     jaccard = "(CAST(n_inter AS DOUBLE) / CAST(n_sum - n_inter AS DOUBLE))"
     return f"""
     WITH {_minhash_sig_cte(d, table, id_col, text_col, num_perm, shingle_k, seed)},
     tsets AS (
-      SELECT did, {tset} AS hs, {setsize} AS n_toks
+      SELECT did, {tset} AS hs
       FROM hashed
       GROUP BY did
     ),
@@ -358,7 +354,7 @@ def lsh_verified_neardup_sql(
     pairs AS (
       SELECT cand.did_a, cand.did_b,
              {inter} AS n_inter,
-             a.n_toks + b.n_toks AS n_sum
+             {setsize}(a.hs) + {setsize}(b.hs) AS n_sum
       FROM cand
       JOIN tsets a ON a.did = cand.did_a
       JOIN tsets b ON b.did = cand.did_b

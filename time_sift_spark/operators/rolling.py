@@ -137,6 +137,12 @@ def time_weighted_avg(
     the mean is Σ(value·Δt) / Σ(Δt); the final observation has no interval
     and contributes nothing.
 
+    Zero-length intervals (consecutive rows at one timestamp) are dropped
+    BEFORE aggregation: they carry zero weight, and a key whose intervals
+    are all zero-length would otherwise hit Σ(Δt)=0 — a DIVIDE_BY_ZERO
+    error under Spark's ANSI default where DuckDB yields NULL. With the
+    filter, such keys are simply absent on both engines.
+
     One window (lead over the key) + one aggregation — two shuffles on the
     same key, which AQE coalesces at scale. The denominator is an exact
     integer-µs sum; the numerator is rounded at the RATIO (``round_dp``)
@@ -152,7 +158,7 @@ def time_weighted_avg(
     )
     dt = (F.lead(t_us).over(w) - t_us).alias("_dt_us")
     d = df.select(*partition_by, F.col(value_col).alias("_v"), dt).where(
-        F.col("_dt_us").isNotNull()
+        F.col("_dt_us") > 0
     )
     return d.groupBy(*partition_by).agg(
         F.round(

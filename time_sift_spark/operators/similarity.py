@@ -301,11 +301,15 @@ def ann_lsh_topk(
     dim: int | None = None,
 ) -> DataFrame:
     """``dim`` defaults to the actual width of ``vec_col`` (probed from the
-    schema-independent first row) so non-64-d embeddings get correct
-    hyperplanes; pass it explicitly to skip the probe job."""
+    first NON-NULL vector) so non-64-d embeddings get correct hyperplanes;
+    pass it explicitly to skip the probe job. A wrong dim silently
+    corrupts buckets (zip_with NULL-pads the shorter side), so the probe
+    must never fall back on a null first row."""
     if dim is None:
-        row = df.select(vec_col).first()
-        dim = len(row[0]) if row and row[0] is not None else DEFAULT_DIM
+        from pyspark.sql import functions as F
+
+        row = df.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+        dim = len(row[0]) if row else DEFAULT_DIM
     view = _next_view()
     sql = ann_lsh_topk_sql(
         _VSPARK,

@@ -439,15 +439,17 @@ def rollup_hourly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(value * dt_us) / SUM(dt_us), 4) AS time_weighted_avg,
            COUNT(*) AS n_intervals
     FROM d
-    WHERE dt_us IS NOT NULL
+    WHERE dt_us > 0
     GROUP BY user_id
     """,
 )
 def time_weighted_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average of value per user (step interpolation over the
     irregular series) — the canonical irregular-time-series statistic a
-    row-count mean gets wrong. Denominator is an exact integer-µs sum;
-    ratio rounded to 4dp on both engines."""
+    row-count mean gets wrong. Zero-length intervals are dropped on both
+    engines (zero weight; also keeps Σ(Δt)=0 keys from tripping Spark's
+    ANSI DIVIDE_BY_ZERO). Denominator is an exact integer-µs sum; ratio
+    rounded to 4dp on both engines."""
     from .operators.rolling import time_weighted_avg
 
     events = load_table(spark, "events", sf_dir)
@@ -897,6 +899,30 @@ def interop_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(out)
 
 
+def _roundtrip_dir(prefix: str) -> str:
+    """Pid-keyed temp dir for write→read round-trip queries; sweeps
+    siblings left by dead processes so repeated bench/driver runs don't
+    accumulate table dumps in the temp dir. (The current process's dir
+    can't be removed eagerly — the returned DataFrame reads it lazily.)"""
+    import os
+    import shutil
+    import tempfile
+
+    tmp = tempfile.gettempdir()
+    for name in os.listdir(tmp):
+        if name.startswith(prefix):
+            try:
+                pid = int(name.rsplit("_", 1)[-1])
+                os.kill(pid, 0)  # ProcessLookupError iff pid is dead
+            except ValueError:
+                continue
+            except ProcessLookupError:
+                shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
+            except PermissionError:
+                pass  # pid alive under another user — leave its dir alone
+    return os.path.join(tmp, f"{prefix}{os.getpid()}")
+
+
 @register(
     "csv_roundtrip_orders",
     oracle="""
@@ -914,9 +940,6 @@ def csv_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     with an explicit schema → aggregate. Doubles survive the text hop
     bit-exactly (Java's Double.toString/parse round-trips); the SUM is
     rounded because its accumulation order differs from the oracle's."""
-    import os
-    import tempfile
-
     import pyspark.sql.functions as F
 
     from .sources.catalog import read_csv, write_csv
@@ -924,7 +947,7 @@ def csv_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir).select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    path = os.path.join(tempfile.gettempdir(), f"ts_csv_roundtrip_{os.getpid()}")
+    path = _roundtrip_dir("ts_csv_roundtrip_")
     write_csv(orders, path)
     back = read_csv(
         spark, path, "o_orderkey long, o_orderstatus string, o_totalprice double"
@@ -953,9 +976,6 @@ def json_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sink+source proof for the JSON-lines path: events (longs + doubles
     only — timestamps stay in parquet-land) → JSONL → explicit-schema read
     → aggregate, same exactness argument as csv_roundtrip_orders."""
-    import os
-    import tempfile
-
     import pyspark.sql.functions as F
 
     from .sources.catalog import read_json, write_json
@@ -963,7 +983,7 @@ def json_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, "events", sf_dir).select(
         "event_id", "event_type", "value"
     )
-    path = os.path.join(tempfile.gettempdir(), f"ts_json_roundtrip_{os.getpid()}")
+    path = _roundtrip_dir("ts_json_roundtrip_")
     write_json(events, path)
     back = read_json(spark, path, "event_id long, event_type string, value double")
     return back.groupBy("event_type").agg(

@@ -54,14 +54,19 @@ def ensure_session_confs(spark: SparkSession) -> None:
     UTC pins timestamp rendering so results match the DuckDB oracle
     regardless of the harness machine's zone.
     """
+    import warnings
+
     for key, val in (
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.session.timeZone", "UTC"),
     ):
         try:
             spark.conf.set(key, val)
-        except Exception:
-            pass  # conf locked static on some future Spark — fall through to the read
+        except Exception as exc:  # conf locked static on some future Spark
+            # Surface it: a silent failure here resurfaces later as an
+            # unexplained PARQUET_TYPE_ILLEGAL / timezone drift at read
+            # time (this exact coupling cost round 1 its events queries).
+            warnings.warn(f"could not set {key}={val} on this session: {exc}")
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:

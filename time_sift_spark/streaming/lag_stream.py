@@ -106,6 +106,13 @@ def pinned_shuffle_partitions(spark, n: int):
     the query starts, so pinning around .start() is sufficient; restored
     afterwards so batch plans in the same session are unaffected. (On a
     real cluster you'd size this to executor count instead.)
+
+    Limitation (known, accepted): session confs are session-GLOBAL, so a
+    batch query planned concurrently inside this window would also get n
+    shuffle partitions, and two overlapping drains race on the restore.
+    The registry/driver/bench all run queries sequentially; callers that
+    parallelize streams should use separate SparkSessions
+    (spark.newSession()) per drain.
     """
     key = "spark.sql.shuffle.partitions"
     old = spark.conf.get(key)
