@@ -1,0 +1,135 @@
+"""Property tests for the round-2 pipeline operators (TWA, latest-snapshot,
+stratified sampling) against local pandas/numpy semantic models."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_spark = None
+
+
+def _get_session():
+    global _spark
+    if _spark is None:
+        from time_sift_spark.session import get_spark
+
+        _spark = get_spark("time_sift_spark_tests", master="local[4]", shuffle_partitions=4)
+    return _spark
+
+
+@st.composite
+def keyed_series(draw):
+    n = draw(st.integers(min_value=1, max_value=60))
+    keys = draw(st.lists(st.integers(min_value=0, max_value=4), min_size=n, max_size=n))
+    # µs timestamps with deliberate tie potential (coarse grid)
+    ts = draw(
+        st.lists(st.integers(min_value=0, max_value=20), min_size=n, max_size=n)
+    )
+    vals = draw(
+        st.lists(
+            st.floats(min_value=-100, max_value=100, allow_nan=False), min_size=n, max_size=n
+        )
+    )
+    return keys, ts, vals
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(keyed_series())
+def test_twa_matches_pandas_model(case):
+    from time_sift_spark.operators.rolling import time_weighted_avg
+
+    keys, ts, vals = case
+    spark = _get_session()
+    pdf = pd.DataFrame(
+        {
+            "k": keys,
+            "t": pd.to_datetime([t * 1_000_000 for t in ts], unit="us", utc=True),
+            "eid": range(len(keys)),
+            "v": vals,
+        }
+    )
+    got = (
+        time_weighted_avg(
+            spark.createDataFrame(pdf), "v", "t", partition_by="k", order_extra=("eid",)
+        )
+        .toPandas()
+        .set_index("k")
+        .sort_index()
+    )
+
+    # local model: sort by (t, eid) per key, dt to next row, drop dt<=0
+    expect = {}
+    for k, g in pdf.sort_values(["t", "eid"], kind="mergesort").groupby("k"):
+        t_us = g.t.astype("int64").to_numpy() // 1000  # ns -> µs
+        dt = np.diff(t_us)
+        v = g.v.to_numpy()[:-1]
+        m = dt > 0
+        if m.any():
+            expect[k] = (round(float((v[m] * dt[m]).sum() / dt[m].sum()), 4), int(m.sum()))
+    assert sorted(got.index.tolist()) == sorted(expect)
+    for k, (twa, n) in expect.items():
+        assert got.loc[k, "n_intervals"] == n
+        assert abs(got.loc[k, "time_weighted_avg"] - twa) < 1e-9, (k, twa)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(keyed_series())
+def test_latest_per_key_matches_pandas_model(case):
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    keys, ts, vals = case
+    spark = _get_session()
+    pdf = pd.DataFrame(
+        {
+            "k": keys,
+            "t": pd.to_datetime([t * 1_000_000 for t in ts], unit="us", utc=True),
+            "eid": range(len(keys)),
+            "v": vals,
+        }
+    )
+    w = Window.partitionBy("k").orderBy(F.desc("t"), F.desc("eid"))
+    got = (
+        spark.createDataFrame(pdf)
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .drop("rn")
+        .toPandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    expect = (
+        pdf.sort_values(["t", "eid"], kind="mergesort")
+        .groupby("k")
+        .tail(1)
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["k", "eid", "v"]], expect[["k", "eid", "v"]], check_dtype=False
+    )
+
+
+def test_stratified_sample_rates_and_determinism():
+    """The registered stratified sample is (a) a strict subset, (b) exactly
+    reproducible across runs/partitionings, (c) close to the target rate
+    per class."""
+    spark = _get_session()
+    from time_sift_spark.queries import REGISTRY
+
+    fn = REGISTRY["stratified_sample_events"].spark_fn
+    a = fn(spark, "/root/testdata/sf0.01").toPandas().sort_values("event_id")
+    b = fn(spark, "/root/testdata/sf0.01").toPandas().sort_values("event_id")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+    import duckdb
+
+    full = duckdb.sql(
+        "SELECT event_type, count(*) n FROM '/root/testdata/sf0.01/events.parquet' GROUP BY 1"
+    ).df().set_index("event_type").n
+    got = a.groupby("event_type").size()
+    assert got["error"] == full["error"]  # errors kept 100%
+    for typ, rate in (("click", 0.10), ("view", 0.30), ("purchase", 0.30), ("signup", 0.30)):
+        frac = got.get(typ, 0) / full[typ]
+        assert abs(frac - rate) < 0.05, (typ, frac)
