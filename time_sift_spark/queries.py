@@ -194,6 +194,52 @@ def lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "lag_sugar_shape_orders",
+    oracle="""
+    SELECT 5 AS num_cols,
+           'o_totalprice_lag2' AS first_lag_col,
+           '1,2' AS lags_present,
+           FALSE AS is_long,
+           (SELECT COUNT(*) FROM orders) AS n_rows
+    """,
+)
+def lag_sugar_shape_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 + O7 in one driver-visible row: the curried method-call sugar
+    (``df.transform(with_lags(...))``, reference src/lib.rs:258-440)
+    builds the frame, ``lag_shape`` (reference accessors
+    src/lib.rs:148-218) introspects it, and the row count forces real
+    execution. The unordered lag set [2,1] must keep its column order
+    (first lag column is _lag2) while lags_present reports sorted."""
+    import pyspark.sql.functions as F
+
+    from .operators.lag import lag_shape, with_lags
+
+    orders = load_table(spark, "orders", sf_dir)
+    lagged = orders.transform(
+        with_lags(
+            "o_totalprice",
+            "o_orderdate",
+            [2, 1],
+            partition_by="o_custkey",
+            order_extra="o_orderkey",
+        )
+    )
+    sh = lag_shape(lagged)
+    meta = spark.createDataFrame(
+        [
+            (
+                sh["num_cols"],
+                sh["lag_columns"][0],
+                ",".join(map(str, sh["lags_present"])),
+                sh["is_long"],
+            )
+        ],
+        "num_cols int, first_lag_col string, lags_present string, is_long boolean",
+    )
+    return meta.crossJoin(lagged.agg(F.count(F.lit(1)).alias("n_rows")))
+
+
 # --------------------------------------------------------------------------
 # Time-series extension operators (SURVEY §2.4, charter-mandated)
 # --------------------------------------------------------------------------
