@@ -25,6 +25,13 @@ PROBE_QUERIES = [
     "streaming_lag_events",
     "text_stats_docs",
     "lag_global_hourly",
+    # round-2 surfaces: streaming state-store dedup, tempdir write→read,
+    # local-interop round trip (createDataFrame on a bare session), and
+    # the TWA window+agg path
+    "streaming_dedup_events",
+    "csv_roundtrip_orders",
+    "interop_roundtrip_events",
+    "time_weighted_avg_events",
 ]
 
 _SCRIPT = textwrap.dedent(
