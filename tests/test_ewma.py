@@ -29,3 +29,40 @@ def test_ewma_validation(spark):
         ewma(df, "v", "t", 0.0, partition_by="k")
     with pytest.raises(ColumnNotFoundError):
         ewma(df, "nope", "t", 0.5, partition_by="k")
+
+
+def test_ewma_scan_equals_groupwise(spark):
+    """The partition-scan strategy (mapInPandas + cross-batch carry) must
+    be bit-identical to per-key applyInPandas, including when a tiny
+    Arrow batch size forces keys to split across batches (the carry
+    path)."""
+    from time_sift_spark.operators.ewma import ewma_scan
+
+    rng = np.random.RandomState(7)
+    pdf = pd.DataFrame(
+        {
+            "k": np.repeat(np.arange(20), 30),
+            "t": np.tile(np.arange(30), 20),
+            "v": rng.randn(600),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    a = (
+        ewma(df, "v", "t", 0.3, partition_by="k")
+        .orderBy("k", "t")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")  # force splits
+    try:
+        b = (
+            ewma_scan(df, "v", "t", 0.3, partition_by="k")
+            .orderBy("k", "t")
+            .toPandas()
+            .reset_index(drop=True)
+        )
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    pd.testing.assert_frame_equal(a, b)

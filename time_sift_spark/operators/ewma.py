@@ -53,3 +53,71 @@ def ewma(
         return pdf[in_cols + [out_name]]
 
     return df.select(*in_cols).groupBy(*partition_by).applyInPandas(_per_series, schema)
+
+
+def ewma_scan(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    alpha: float,
+    *,
+    partition_by: str | Sequence[str],
+    order_extra: Sequence[str] = (),
+) -> DataFrame:
+    """Same result as :func:`ewma`, different physical strategy: ONE
+    Python invocation per partition instead of one per key.
+
+    ``groupBy().applyInPandas`` ships every key group through its own
+    JVM→Python Arrow round-trip — per-group overhead dominates when keys
+    are many and small (the events table: thousands of users × ~100 rows).
+    Here the data is hash-repartitioned and sorted by (key, time) once,
+    then ``mapInPandas`` streams each partition's Arrow batches through a
+    single iterator: all groups in a batch are computed by pandas'
+    cython ``groupby().ewm()`` in one call, and the recurrence is carried
+    across a batch boundary that splits a key by prepending the carried
+    EWMA as a synthetic first observation (adjust=False ⇒ y0 = x0, so the
+    continuation is exact) and dropping it from the output.
+    """
+    partition_by = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    missing = [c for c in ([value_col, time_col, *partition_by, *order_extra]) if c not in df.columns]
+    if missing:
+        raise ColumnNotFoundError(f"columns not in DataFrame: {missing}")
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+
+    sort_cols = [time_col, *order_extra]
+    out_name = f"{value_col}_ewma"
+    in_cols = [*partition_by, *sort_cols, value_col]
+    schema_parts = [f"`{c}` {dict(df.dtypes)[c]}" for c in in_cols] + [f"`{out_name}` double"]
+    schema = ", ".join(schema_parts)
+
+    def _scan(batches):
+        carry_key = None  # key tuple of the last row seen
+        carry_y = None  # its EWMA value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            first_key = tuple(pdf.iloc[0][partition_by])
+            stitched = carry_key is not None and first_key == carry_key
+            if stitched:
+                head = pdf.iloc[[0]].copy()
+                head[value_col] = carry_y
+                pdf = pd.concat([head, pdf], ignore_index=True)
+            y = (
+                pdf.groupby(partition_by, sort=False)[value_col]
+                .ewm(alpha=alpha, adjust=False)
+                .mean()
+                .to_numpy()
+            )
+            pdf[out_name] = y
+            last = pdf.iloc[-1]
+            carry_key = tuple(last[partition_by])
+            carry_y = float(last[out_name])
+            yield (pdf.iloc[1:] if stitched else pdf)[in_cols + [out_name]]
+
+    parted = (
+        df.select(*in_cols)
+        .repartition(*partition_by)
+        .sortWithinPartitions(*partition_by, *sort_cols)
+    )
+    return parted.mapInPandas(_scan, schema)

