@@ -245,3 +245,33 @@ def test_lsh_screen_recall_vs_exact_pairwise():
     ss = set(map(tuple, screen[["doc_id_a", "doc_id_b"]].to_numpy()))
     assert not (ss - ts), "verify stage must make false positives impossible"
     assert len(ts & ss) / max(len(ts), 1) >= 0.9
+
+
+def test_ngram_jaccard_blas_equals_expression(spark):
+    """The BLAS incidence-matmul strategy must be bit-identical to the SQL
+    expression form (same staged hashed tokens, exact integer counts,
+    same IEEE division)."""
+    from time_sift_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_blas,
+    )
+    from time_sift_spark.sources.catalog import load_table
+
+    docs_df = load_table(spark, "documents", "/root/testdata/sf0.001")
+    blocks = ("lang", "(n_chars div 200)")
+    a = (
+        ngram_jaccard_pairs(docs_df, "doc_id", "text", threshold=0.5, block_exprs=blocks)
+        .toPandas()
+        .sort_values(["doc_id_a", "doc_id_b"])
+        .reset_index(drop=True)
+    )
+    b = (
+        ngram_jaccard_pairs_blas(
+            docs_df, "doc_id", "text", threshold=0.5, block_exprs=blocks
+        )
+        .toPandas()
+        .sort_values(["doc_id_a", "doc_id_b"])
+        .reset_index(drop=True)
+    )
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)

@@ -435,3 +435,77 @@ def lsh_verified_neardup(df: DataFrame, id_col: str, text_col: str, **kw) -> Dat
 
 def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 60) -> DataFrame:
     return _run(df, simhash_sql, id_col, text_col, bits=bits)
+
+
+def ngram_jaccard_pairs_blas(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float,
+    block_exprs: tuple[str, ...] = ("1",),
+) -> DataFrame:
+    """Same pairs and jaccard values as :func:`ngram_jaccard_pairs`,
+    different physical strategy: per-block dense doc×token incidence
+    matrix, intersection counts via ONE BLAS matmul per block.
+
+    Tokens are staged by the SAME Spark SQL expression as the SQL form
+    (distinct xxhash64 of the shared tokenizer), so the feature sets are
+    identical by construction; intersection counts are exact small
+    integers in float64 and the jaccard division is the same IEEE double
+    op the SQL expression performs — bit-identical output, verified
+    against the unchanged DuckDB oracle.
+
+    Why this beats the per-pair expression: array_intersect allocates and
+    hashes per PAIR (1.1M pairs × ~47-element arrays at sf0.1); the
+    incidence matmul is n²·|vocab_block| fused multiply-adds in dgemm.
+    Blocks are whole groups per applyInPandas call (mapInPandas could
+    split one across Arrow batches and silently drop cross-batch pairs —
+    same reasoning as embedding_neardup_pairs_blas). Memory is
+    n_block × vocab_block doubles (~30 MB at the sf0.1 worst block);
+    at 100 TB, finer blocking bounds both sides.
+    """
+    import numpy as np
+    import pandas as pd
+
+    for c in (id_col, text_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+
+    toks = f"array_distinct(transform({_SPARK.tokens(text_col)}, t -> xxhash64(t)))"
+    blocks = [f"({e}) AS _blk{i}" for i, e in enumerate(block_exprs)]
+    blk_cols = [f"_blk{i}" for i in range(len(block_exprs))]
+    staged = df.selectExpr(f"{id_col} AS _did", *blocks, f"{toks} AS _toks")
+
+    def _block(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {"doc_id_a": [], "doc_id_b": [], "jaccard": []}
+        empty = pd.DataFrame(out_cols)
+        if len(pdf) < 2:
+            return empty
+        ids = pdf["_did"].to_numpy()
+        tok_arrays = [np.asarray(t, dtype=np.int64) for t in pdf["_toks"]]
+        lens = np.array([len(t) for t in tok_arrays])
+        if lens.sum() == 0:
+            return empty
+        all_toks = np.concatenate(tok_arrays)
+        vocab, inverse = np.unique(all_toks, return_inverse=True)
+        B = np.zeros((len(ids), len(vocab)), dtype=np.float64)
+        B[np.repeat(np.arange(len(ids)), lens), inverse] = 1.0
+        inter = B @ B.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        n_inter = inter[iu, ju]
+        n_sum = lens[iu] + lens[ju]
+        # identical formula to the SQL expression, including greatest(,1)
+        jac = n_inter / np.maximum(n_sum - n_inter, 1).astype(np.float64)
+        m = jac >= threshold
+        a, b = ids[iu[m]], ids[ju[m]]
+        return pd.DataFrame(
+            {
+                "doc_id_a": np.minimum(a, b),
+                "doc_id_b": np.maximum(a, b),
+                "jaccard": jac[m],
+            }
+        )
+
+    schema = "doc_id_a long, doc_id_b long, jaccard double"
+    return staged.groupBy(*blk_cols).applyInPandas(lambda p: _block(p), schema)

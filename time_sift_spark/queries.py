@@ -640,12 +640,14 @@ def _jaccard_blocks(d):
 )
 def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by distinct-token Jaccard >= 0.5, blocked on
-    (lang, length bucket) — the exact-pairwise comparator; demoted from
-    headline in favor of lsh_verified_neardup_docs (the scale path)."""
+    (lang, length bucket) — exact pairwise, via the per-block BLAS
+    incidence-matmul strategy (bit-identical to the SQL expression form,
+    which remains exported as ngram_jaccard_pairs; the unchanged DuckDB
+    oracle checks every pair and value)."""
     from .functions.text_fns import SPARK as _S
 
     docs = load_table(spark, "documents", sf_dir)
-    return _dd.ngram_jaccard_pairs(
+    return _dd.ngram_jaccard_pairs_blas(
         docs, "doc_id", "text", threshold=0.5, block_exprs=_jaccard_blocks(_S)
     )
 
