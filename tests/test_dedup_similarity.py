@@ -275,3 +275,38 @@ def test_ngram_jaccard_blas_equals_expression(spark):
     )
     assert len(a) > 0
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_ngram_jaccard_blas_null_semantics(spark):
+    """NULL text and NULL block keys must match the SQL self-join exactly:
+    a NULL text never passes the prefilter, a NULL block key never
+    satisfies a.blk = b.blk — neither pairs with anything, and neither
+    crashes the BLAS path (code-review r2)."""
+    from time_sift_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_blas,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": ["a b c", "a b c", None, "a b c d", "a b c d"],
+            "grp": ["x", "x", "x", None, None],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    a = (
+        ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5, block_exprs=("grp",))
+        .toPandas()
+        .sort_values(["doc_id_a", "doc_id_b"])
+        .reset_index(drop=True)
+    )
+    b = (
+        ngram_jaccard_pairs_blas(df, "doc_id", "text", threshold=0.5, block_exprs=("grp",))
+        .toPandas()
+        .sort_values(["doc_id_a", "doc_id_b"])
+        .reset_index(drop=True)
+    )
+    # only (1,2) survives: doc 3 has NULL text, docs 4/5 a NULL block key
+    assert a[["doc_id_a", "doc_id_b"]].values.tolist() == [[1, 2]]
+    pd.testing.assert_frame_equal(a, b)

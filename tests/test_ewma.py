@@ -53,16 +53,82 @@ def test_ewma_scan_equals_groupwise(spark):
         .toPandas()
         .reset_index(drop=True)
     )
-    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")  # force splits
-    try:
+    with _tiny_arrow_batches(spark):
         b = (
             ewma_scan(df, "v", "t", 0.3, partition_by="k")
             .orderBy("k", "t")
             .toPandas()
             .reset_index(drop=True)
         )
+    pd.testing.assert_frame_equal(a, b)
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _tiny_arrow_batches(spark, n="7"):
+    """Pin a tiny Arrow batch size and RESTORE it (unset if it was unset —
+    conf.get(key, None) returning None must not skip cleanup, or the 7-row
+    batches leak into every later test on the shared session)."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, n)
+    try:
+        yield
     finally:
-        if old is not None:
-            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+def test_ewma_scan_nan_across_batch_boundary(spark):
+    """Regression (code-review r2): pandas ewm(adjust=False,
+    ignore_na=False) carries an accumulated-weight state across NaNs that
+    a carried last-output scalar cannot represent. The holdback design
+    computes every key in ONE ewm call, so NaN before a batch boundary
+    must still match the per-key strategy exactly."""
+    from time_sift_spark.operators.ewma import ewma_scan
+
+    pdf = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 1, 2, 2, 2],
+            "t": [0, 1, 2, 3, 0, 1, 2],
+            "v": [1.0, np.nan, 3.0, 4.0, np.nan, 5.0, np.nan],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    a = ewma(df, "v", "t", 0.3, partition_by="k").orderBy("k", "t").toPandas().reset_index(drop=True)
+    with _tiny_arrow_batches(spark, "2"):  # boundary right after the NaN
+        b = (
+            ewma_scan(df, "v", "t", 0.3, partition_by="k")
+            .orderBy("k", "t")
+            .toPandas()
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_ewma_scan_null_keys(spark):
+    """NULL partition keys form one group in Spark's groupBy; the scan
+    strategy must match (groupby dropna=False), not crash on a length
+    mismatch."""
+    from time_sift_spark.operators.ewma import ewma_scan
+
+    pdf = pd.DataFrame(
+        {
+            "k": pd.array([1, None, None, 2], dtype="Int64"),
+            "t": [0, 0, 1, 0],
+            "v": [1.0, 2.0, 4.0, 3.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    a = ewma(df, "v", "t", 0.5, partition_by="k").orderBy("t", "v").toPandas().reset_index(drop=True)
+    b = (
+        ewma_scan(df, "v", "t", 0.5, partition_by="k")
+        .orderBy("t", "v")
+        .toPandas()
+        .reset_index(drop=True)
+    )
     pd.testing.assert_frame_equal(a, b)

@@ -75,6 +75,23 @@ def exact_dedup_sql(d: Dialect, table: str, id_col: str, text_col: str) -> str:
     """
 
 
+def hashed_tokens_expr(d: Dialect, text_col: str) -> str:
+    """Distinct 64-bit-hashed token set of ``text_col`` — the ONE feature
+    expression shared by the SQL and BLAS n-gram Jaccard strategies, so
+    their 'identical by construction' claim is structural, not two string
+    literals kept in sync by hand.
+
+    Intersections run on HASHED tokens: only the intersection size feeds
+    the Jaccard value, so each engine may use its own native 64-bit hash
+    (xxhash64 / hash) — long compares beat string hashing ~3× in the
+    pairwise stage, and a collision would need two distinct tokens in one
+    block agreeing on 64 bits.
+    """
+    if d.name == "spark":
+        return f"array_distinct(transform({d.tokens(text_col)}, t -> xxhash64(t)))"
+    return f"list_distinct(list_transform({d.tokens(text_col)}, t -> hash(t)))"
+
+
 def ngram_jaccard_sql(
     d: Dialect,
     table: str,
@@ -90,17 +107,10 @@ def ngram_jaccard_sql(
     where ALL block expressions match (the scale guard — never an open
     cross join).
     """
-    # Intersections run on HASHED tokens: only the intersection size feeds
-    # the Jaccard value, so each engine may use its own native 64-bit hash
-    # (xxhash64 / hash) — long compares beat string hashing ~3× in the
-    # pairwise stage, and a collision would need two distinct tokens in
-    # one block agreeing on 64 bits.
-    distinct_fn = "array_distinct" if d.name == "spark" else "list_distinct"
+    toks = hashed_tokens_expr(d, text_col)
     if d.name == "spark":
-        toks = f"{distinct_fn}(transform({d.tokens(text_col)}, t -> xxhash64(t)))"
         inter = "size(array_intersect(a.toks, b.toks))"
     else:
-        toks = f"{distinct_fn}(list_transform({d.tokens(text_col)}, t -> hash(t)))"
         inter = "len(list_filter(a.toks, x -> list_contains(b.toks, x)))"
     blocks = ", ".join(f"{e} AS blk{i}" for i, e in enumerate(block_exprs))
     on = " AND ".join(f"a.blk{i} = b.blk{i}" for i in range(len(block_exprs)))
@@ -472,22 +482,29 @@ def ngram_jaccard_pairs_blas(
         if c not in df.columns:
             raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
 
-    toks = f"array_distinct(transform({_SPARK.tokens(text_col)}, t -> xxhash64(t)))"
+    toks = hashed_tokens_expr(_SPARK, text_col)
     blocks = [f"({e}) AS _blk{i}" for i, e in enumerate(block_exprs)]
     blk_cols = [f"_blk{i}" for i in range(len(block_exprs))]
-    staged = df.selectExpr(f"{id_col} AS _did", *blocks, f"{toks} AS _toks")
+    # NULL semantics mirror the SQL self-join exactly: a NULL text never
+    # passes its size prefilter, and a NULL block key never satisfies
+    # a.blk = b.blk — so both kinds of row pair with nothing and are
+    # dropped here (Spark's groupBy would otherwise pool NULL blocks
+    # into one joinable group).
+    staged = df.selectExpr(f"{id_col} AS _did", *blocks, f"{toks} AS _toks").where(
+        " AND ".join(f"{c} IS NOT NULL" for c in ["_toks", *blk_cols])
+    )
 
     def _block(pdf: pd.DataFrame) -> pd.DataFrame:
-        out_cols = {"doc_id_a": [], "doc_id_b": [], "jaccard": []}
-        empty = pd.DataFrame(out_cols)
+        empty = pd.DataFrame({"doc_id_a": [], "doc_id_b": [], "jaccard": []})
         if len(pdf) < 2:
             return empty
         ids = pdf["_did"].to_numpy()
         tok_arrays = [np.asarray(t, dtype=np.int64) for t in pdf["_toks"]]
         lens = np.array([len(t) for t in tok_arrays])
-        if lens.sum() == 0:
-            return empty
-        all_toks = np.concatenate(tok_arrays)
+        # all-empty token sets stay in: at threshold 0.0 the SQL form
+        # emits their jaccard-0 pairs, and the matmul below is exact for
+        # an empty vocab (B is n×0, intersections all 0).
+        all_toks = np.concatenate(tok_arrays) if tok_arrays else np.array([], dtype=np.int64)
         vocab, inverse = np.unique(all_toks, return_inverse=True)
         B = np.zeros((len(ids), len(vocab)), dtype=np.float64)
         B[np.repeat(np.arange(len(ids)), lens), inverse] = 1.0

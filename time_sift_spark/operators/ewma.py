@@ -24,6 +24,24 @@ from pyspark.sql import DataFrame
 from ..errors import ColumnNotFoundError
 
 
+def _prep(df, value_col, time_col, alpha, partition_by, order_extra):
+    """Shared validation + naming for both EWMA strategies — one source of
+    truth so the two physical forms can't drift."""
+    partition_by = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    missing = [c for c in ([value_col, time_col, *partition_by, *order_extra]) if c not in df.columns]
+    if missing:
+        raise ColumnNotFoundError(f"columns not in DataFrame: {missing}")
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    sort_cols = [time_col, *order_extra]
+    out_name = f"{value_col}_ewma"
+    in_cols = [*partition_by, *sort_cols, value_col]
+    schema = ", ".join(
+        [f"`{c}` {dict(df.dtypes)[c]}" for c in in_cols] + [f"`{out_name}` double"]
+    )
+    return partition_by, sort_cols, out_name, in_cols, schema
+
+
 def ewma(
     df: DataFrame,
     value_col: str,
@@ -34,18 +52,9 @@ def ewma(
     order_extra: Sequence[str] = (),
 ) -> DataFrame:
     """Append ``{value}_ewma`` (adjust=False recurrence) per series."""
-    partition_by = [partition_by] if isinstance(partition_by, str) else list(partition_by)
-    missing = [c for c in ([value_col, time_col, *partition_by, *order_extra]) if c not in df.columns]
-    if missing:
-        raise ColumnNotFoundError(f"columns not in DataFrame: {missing}")
-    if not (0.0 < alpha <= 1.0):
-        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
-
-    sort_cols = [time_col, *order_extra]
-    out_name = f"{value_col}_ewma"
-    in_cols = [*partition_by, *sort_cols, value_col]
-    schema_parts = [f"`{c}` {dict(df.dtypes)[c]}" for c in in_cols] + [f"`{out_name}` double"]
-    schema = ", ".join(schema_parts)
+    partition_by, sort_cols, out_name, in_cols, schema = _prep(
+        df, value_col, time_col, alpha, partition_by, order_extra
+    )
 
     def _per_series(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(sort_cols, kind="mergesort")
@@ -72,48 +81,46 @@ def ewma_scan(
     are many and small (the events table: thousands of users × ~100 rows).
     Here the data is hash-repartitioned and sorted by (key, time) once,
     then ``mapInPandas`` streams each partition's Arrow batches through a
-    single iterator: all groups in a batch are computed by pandas'
-    cython ``groupby().ewm()`` in one call, and the recurrence is carried
-    across a batch boundary that splits a key by prepending the carried
-    EWMA as a synthetic first observation (adjust=False ⇒ y0 = x0, so the
-    continuation is exact) and dropping it from the output.
+    single iterator: all COMPLETED keys in a batch are computed by pandas'
+    cython ``groupby().ewm()`` in one call, while the in-progress last
+    key's raw rows are held back and prepended to the next batch, so every
+    key is always computed in exactly ONE ewm call. (A carried-scalar
+    stitch is NOT sufficient: pandas ``ewm(adjust=False, ignore_na=False)``
+    keeps an accumulated-weight state across NaN values that a single
+    carried output cannot represent.) Holdback memory is one key's rows —
+    the same per-series bound applyInPandas already assumes. NULL keys
+    form one group (``dropna=False``), matching Spark's groupBy.
     """
-    partition_by = [partition_by] if isinstance(partition_by, str) else list(partition_by)
-    missing = [c for c in ([value_col, time_col, *partition_by, *order_extra]) if c not in df.columns]
-    if missing:
-        raise ColumnNotFoundError(f"columns not in DataFrame: {missing}")
-    if not (0.0 < alpha <= 1.0):
-        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    partition_by, sort_cols, out_name, in_cols, schema = _prep(
+        df, value_col, time_col, alpha, partition_by, order_extra
+    )
 
-    sort_cols = [time_col, *order_extra]
-    out_name = f"{value_col}_ewma"
-    in_cols = [*partition_by, *sort_cols, value_col]
-    schema_parts = [f"`{c}` {dict(df.dtypes)[c]}" for c in in_cols] + [f"`{out_name}` double"]
-    schema = ", ".join(schema_parts)
+    def _compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        y = (
+            pdf.groupby(partition_by, sort=False, dropna=False)[value_col]
+            .ewm(alpha=alpha, adjust=False)
+            .mean()
+            .to_numpy()
+        )
+        pdf = pdf.copy()
+        pdf[out_name] = y
+        return pdf[in_cols + [out_name]]
 
     def _scan(batches):
-        carry_key = None  # key tuple of the last row seen
-        carry_y = None  # its EWMA value
+        leftover = None
         for pdf in batches:
+            if leftover is not None:
+                pdf = pd.concat([leftover, pdf], ignore_index=True)
+                leftover = None
             if len(pdf) == 0:
                 continue
-            first_key = tuple(pdf.iloc[0][partition_by])
-            stitched = carry_key is not None and first_key == carry_key
-            if stitched:
-                head = pdf.iloc[[0]].copy()
-                head[value_col] = carry_y
-                pdf = pd.concat([head, pdf], ignore_index=True)
-            y = (
-                pdf.groupby(partition_by, sort=False)[value_col]
-                .ewm(alpha=alpha, adjust=False)
-                .mean()
-                .to_numpy()
-            )
-            pdf[out_name] = y
-            last = pdf.iloc[-1]
-            carry_key = tuple(last[partition_by])
-            carry_y = float(last[out_name])
-            yield (pdf.iloc[1:] if stitched else pdf)[in_cols + [out_name]]
+            gid = pdf.groupby(partition_by, sort=False, dropna=False).ngroup()
+            done = (gid != gid.iloc[-1]).to_numpy()
+            leftover = pdf[~done]
+            if done.any():
+                yield _compute(pdf[done])
+        if leftover is not None and len(leftover):
+            yield _compute(leftover)
 
     parted = (
         df.select(*in_cols)
