@@ -133,3 +133,106 @@ def test_stratified_sample_rates_and_determinism():
     for typ, rate in (("click", 0.10), ("view", 0.30), ("purchase", 0.30), ("signup", 0.30)):
         frac = got.get(typ, 0) / full[typ]
         assert abs(frac - rate) < 0.05, (typ, frac)
+
+
+@st.composite
+def random_corpus(draw):
+    n = draw(st.integers(min_value=2, max_value=25))
+    words = ["alpha", "beta", "gamma", "delta", "x1", "y2"]
+    texts = draw(
+        st.lists(
+            st.one_of(
+                st.none(),
+                st.lists(st.sampled_from(words), min_size=0, max_size=8).map(" ".join),
+            ),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    grps = draw(
+        st.lists(st.one_of(st.none(), st.integers(0, 2)), min_size=n, max_size=n)
+    )
+    threshold = draw(st.sampled_from([0.0, 0.3, 0.5, 0.8]))
+    return texts, grps, threshold
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(random_corpus())
+def test_jaccard_blas_equals_sql_on_random_corpora(case):
+    """BLAS incidence-matmul vs SQL expression form on random corpora with
+    NULL texts, empty texts, NULL blocks, and every threshold class
+    (including 0.0, where empty-token pairs must survive both paths)."""
+    from time_sift_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_blas,
+    )
+
+    texts, grps, threshold = case
+    spark = _get_session()
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "grp": pd.array(grps, dtype="Int64"),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    a = (
+        ngram_jaccard_pairs(df, "doc_id", "text", threshold=threshold, block_exprs=("grp",))
+        .toPandas()
+        .sort_values(["doc_id_a", "doc_id_b"])
+        .reset_index(drop=True)
+    )
+    b = (
+        ngram_jaccard_pairs_blas(
+            df, "doc_id", "text", threshold=threshold, block_exprs=("grp",)
+        )
+        .toPandas()
+        .sort_values(["doc_id_a", "doc_id_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+@st.composite
+def nan_series(draw):
+    n = draw(st.integers(min_value=1, max_value=40))
+    keys = draw(st.lists(st.integers(0, 3), min_size=n, max_size=n))
+    vals = draw(
+        st.lists(
+            st.one_of(st.just(float("nan")), st.floats(-50, 50, allow_nan=False)),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    batch = draw(st.sampled_from(["2", "3", "7"]))
+    return keys, vals, batch
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(nan_series())
+def test_ewma_scan_equals_groupwise_random_nans(case):
+    """Partition-scan EWMA vs per-key EWMA on random NaN patterns with
+    tiny Arrow batches — the holdback must be exact wherever the batch
+    boundary lands."""
+    from tests.test_ewma import _tiny_arrow_batches
+    from time_sift_spark.operators.ewma import ewma, ewma_scan
+
+    keys, vals, batch = case
+    spark = _get_session()
+    pdf = pd.DataFrame({"k": keys, "t": range(len(keys)), "v": vals})
+    df = spark.createDataFrame(pdf)
+    a = (
+        ewma(df, "v", "t", 0.4, partition_by="k")
+        .orderBy("k", "t")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    with _tiny_arrow_batches(spark, batch):
+        b = (
+            ewma_scan(df, "v", "t", 0.4, partition_by="k")
+            .orderBy("k", "t")
+            .toPandas()
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(a, b)

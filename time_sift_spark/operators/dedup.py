@@ -116,10 +116,15 @@ def ngram_jaccard_sql(
     on = " AND ".join(f"a.blk{i} = b.blk{i}" for i in range(len(block_exprs)))
     # size prefilter: jaccard >= τ implies |A∩B| >= τ/(1+τ)·(|A|+|B|) and
     # |A∩B| <= min(|A|,|B|), hence min >= τ/(1+τ)·(|A|+|B|) — never drops
-    # a true pair.
+    # a true pair. The 1e-9 slack keeps that guarantee under floating
+    # point: τ/(1+τ) can round UP (found by hypothesis at τ=0.8, where
+    # the rounded ratio × 9 exceeded the exact 4 and dropped a pair whose
+    # jaccard was exactly 0.8); the slack dwarfs the ~1e-16·(n_sum) error
+    # for any real token counts while only admitting boundary pairs the
+    # exact jaccard test below still gates.
     min_ratio = threshold / (1.0 + threshold)
     prefilter = (
-        f"CAST(least(a.n_toks, b.n_toks) AS DOUBLE) >= {min_ratio!r} * (a.n_toks + b.n_toks)"
+        f"CAST(least(a.n_toks, b.n_toks) AS DOUBLE) >= {min_ratio!r} * (a.n_toks + b.n_toks) - 1e-9"
     )
     # greatest(union,1): two zero-token docs give union 0 — Spark's ANSI
     # mode (4.x default) raises DIVIDE_BY_ZERO where DuckDB yields NaN.
