@@ -1,0 +1,139 @@
+"""Cross-engine fuzz: every dialect-paired SQL generator on RANDOM corpora.
+
+test_oracle_parity checks Spark==DuckDB on the fixed testdata; this suite
+drives the same generators over hypothesis-built corpora (empty strings,
+NULLs, punctuation, digits, repeated tokens) so tokenizer/hash/aggregation
+dialect differences surface before a driver corpus change does.
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from time_sift_spark.functions.text_fns import DUCK, SPARK
+from time_sift_spark.operators import dedup as dd
+
+_spark = None
+
+
+def _get_session():
+    global _spark
+    if _spark is None:
+        from time_sift_spark.session import get_spark
+
+        _spark = get_spark("time_sift_spark_tests", master="local[4]", shuffle_partitions=4)
+    return _spark
+
+
+WORD = st.sampled_from(
+    ["alpha", "Beta", "GAMMA", "x1", "y2y", "a", "the", "42", "don't", "foo-bar", "...", ""]
+)
+
+
+@st.composite
+def corpus(draw):
+    n = draw(st.integers(min_value=1, max_value=16))
+    texts = draw(
+        st.lists(
+            st.one_of(st.none(), st.lists(WORD, min_size=0, max_size=10).map(" ".join)),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    return pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+
+
+def _run_both(pdf: pd.DataFrame, spark_sql: str, duck_sql: str, view: str):
+    spark = _get_session()
+    sdf = spark.createDataFrame(pdf)
+    sdf.createOrReplaceTempView(view)
+    got = spark.sql(spark_sql).toPandas()
+    con = duckdb.connect()
+    con.register(view, pdf)
+    exp = con.execute(duck_sql).df()
+    return got, exp
+
+
+def _compare(got: pd.DataFrame, exp: pd.DataFrame):
+    assert sorted(got.columns) == sorted(exp.columns)
+    cols = sorted(got.columns)
+    got = got[cols].sort_values(cols, na_position="last").reset_index(drop=True)
+    exp = exp[cols].sort_values(cols, na_position="last").reset_index(drop=True)
+    assert len(got) == len(exp), f"rows: spark={len(got)} duck={len(exp)}"
+    for c in cols:
+        g, e = got[c], exp[c]
+        if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(e):
+            ga, ea = g.astype(float).to_numpy(), e.astype(float).to_numpy()
+            both_nan = np.isnan(ga) & np.isnan(ea)
+            assert ((ga == ea) | both_nan).all(), f"{c}: {ga} vs {ea}"
+        else:
+            assert g.astype("object").fillna("<N>").tolist() == e.astype("object").fillna(
+                "<N>"
+            ).tolist(), f"{c}"
+
+
+FUZZ_SETTINGS = settings(
+    max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+
+
+@FUZZ_SETTINGS
+@given(corpus())
+def test_fuzz_exact_dedup(pdf):
+    got, exp = _run_both(
+        pdf,
+        dd.exact_dedup_sql(SPARK, "_fz1", "doc_id", "text"),
+        dd.exact_dedup_sql(DUCK, "_fz1", "doc_id", "text"),
+        "_fz1",
+    )
+    _compare(got, exp)
+
+
+@FUZZ_SETTINGS
+@given(corpus(), st.sampled_from([0.0, 0.4, 0.8]))
+def test_fuzz_ngram_jaccard(pdf, threshold):
+    got, exp = _run_both(
+        pdf,
+        dd.ngram_jaccard_sql(SPARK, "_fz2", "doc_id", "text", threshold=threshold),
+        dd.ngram_jaccard_sql(DUCK, "_fz2", "doc_id", "text", threshold=threshold),
+        "_fz2",
+    )
+    _compare(got, exp)
+
+
+@FUZZ_SETTINGS
+@given(corpus())
+def test_fuzz_minhash_signatures(pdf):
+    got, exp = _run_both(
+        pdf,
+        dd.minhash_signatures_sql(SPARK, "_fz3", "doc_id", "text", num_perm=8),
+        dd.minhash_signatures_sql(DUCK, "_fz3", "doc_id", "text", num_perm=8),
+        "_fz3",
+    )
+    _compare(got, exp)
+
+
+@FUZZ_SETTINGS
+@given(corpus())
+def test_fuzz_lsh_verified(pdf):
+    got, exp = _run_both(
+        pdf,
+        dd.lsh_verified_neardup_sql(SPARK, "_fz4", "doc_id", "text", threshold=0.5),
+        dd.lsh_verified_neardup_sql(DUCK, "_fz4", "doc_id", "text", threshold=0.5),
+        "_fz4",
+    )
+    _compare(got, exp)
+
+
+@FUZZ_SETTINGS
+@given(corpus())
+def test_fuzz_simhash(pdf):
+    got, exp = _run_both(
+        pdf,
+        dd.simhash_sql(SPARK, "_fz5", "doc_id", "text"),
+        dd.simhash_sql(DUCK, "_fz5", "doc_id", "text"),
+        "_fz5",
+    )
+    _compare(got, exp)

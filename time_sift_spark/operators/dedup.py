@@ -203,8 +203,10 @@ def _minhash_sig_cte(
     )
     return f"""
     toked AS (
-      SELECT {id_col} AS did, {d.tokens(text_col)} AS _toks
-      FROM {table}
+      SELECT did, _toks FROM (
+        SELECT {id_col} AS did, {d.tokens(text_col)} AS _toks
+        FROM {table}
+      ) WHERE _toks IS NOT NULL
     ),
     exploded AS (
       SELECT did, {_unnest(d, shingles, "sh")}
