@@ -137,3 +137,56 @@ def test_fuzz_simhash(pdf):
         "_fz5",
     )
     _compare(got, exp)
+
+
+# ---------------------------------------------------------------------------
+# Text-analysis dialect pairs (same pattern, richer alphabet incl. unicode)
+# ---------------------------------------------------------------------------
+
+TEXT_WORD = st.sampled_from(
+    [
+        "the", "and", "is", "le", "la", "der", "und", "el", "de",
+        "Hello", "WORLD", "x1", "42", "don't", "a-b", "...", "", "émigré", "naïve",
+    ]
+)
+
+
+@st.composite
+def text_corpus(draw):
+    n = draw(st.integers(min_value=1, max_value=12))
+    texts = draw(
+        st.lists(
+            st.one_of(
+                st.none(),
+                st.just(""),
+                st.just("   "),
+                st.lists(TEXT_WORD, min_size=0, max_size=12).map(" ".join),
+            ),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    return pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+
+
+def _text_sql(d, fn, *args, **kw):
+    expr = getattr(d, fn)("text", *args, **kw)
+    return f"SELECT doc_id, {expr} AS out FROM _fzt"
+
+
+@FUZZ_SETTINGS
+@given(text_corpus(), st.sampled_from(["char_count", "fingerprint", "lang_id"]))
+def test_fuzz_text_scalar_exprs(pdf, fn):
+    got, exp = _run_both(
+        pdf, _text_sql(SPARK, fn), _text_sql(DUCK, fn), "_fzt"
+    )
+    _compare(got, exp)
+
+
+@FUZZ_SETTINGS
+@given(text_corpus())
+def test_fuzz_quality_score(pdf):
+    got, exp = _run_both(
+        pdf, _text_sql(SPARK, "quality_score"), _text_sql(DUCK, "quality_score"), "_fzt"
+    )
+    _compare(got, exp)

@@ -129,10 +129,13 @@ class Dialect:
     def fingerprint(self, col: str, k: int = 3) -> str:
         """Content fingerprint: min md5-int64 over word k-shingles (a
         1-permutation MinHash). Zero-token docs hash the empty string —
-        DuckDB's array_to_string([]) is NULL, hence the coalesce."""
+        DuckDB's array_to_string([]) is NULL, hence the coalesce. NULL
+        text is NULL on BOTH engines: without the CASE guard that same
+        coalesce would manufacture md5('') for NULL docs on DuckDB while
+        Spark's shingle chain yields NULL (found by dialect fuzzing)."""
         toks = self.tokens(col)
         hashed = self.transform(self.shingles(toks, k), f"s -> {self.md5_long('s')}")
-        return self.array_min(hashed)
+        return f"CASE WHEN {col} IS NULL THEN NULL ELSE {self.array_min(hashed)} END"
 
     def punct_count(self, col: str) -> str:
         return f"length({self.regexp_remove(col, PUNCT_NEGATED_CLASS)})"
