@@ -45,9 +45,11 @@ def corpus(draw):
     return pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
 
 
-def _run_both(pdf: pd.DataFrame, spark_sql: str, duck_sql: str, view: str):
+def _run_both(pdf: pd.DataFrame, spark_sql: str, duck_sql: str, view: str, schema=None):
     spark = _get_session()
-    sdf = spark.createDataFrame(pdf)
+    # explicit schema where given: an all-NULL column otherwise infers
+    # VOID in Spark (createDataFrame artifact, not a real typed source)
+    sdf = spark.createDataFrame(pdf, schema) if schema else spark.createDataFrame(pdf)
     sdf.createOrReplaceTempView(view)
     got = spark.sql(spark_sql).toPandas()
     con = duckdb.connect()
@@ -188,5 +190,68 @@ def test_fuzz_text_scalar_exprs(pdf, fn):
 def test_fuzz_quality_score(pdf):
     got, exp = _run_both(
         pdf, _text_sql(SPARK, "quality_score"), _text_sql(DUCK, "quality_score"), "_fzt"
+    )
+    _compare(got, exp)
+
+
+# ---------------------------------------------------------------------------
+# Vector dialect pairs (cosine fold, kNN, blocked near-dup)
+# ---------------------------------------------------------------------------
+
+from time_sift_spark.functions.vector_fns import VDUCK, VSPARK
+from time_sift_spark.operators.similarity import embedding_neardup_sql, knn_topk_sql
+
+
+@st.composite
+def vectors(draw):
+    n = draw(st.integers(min_value=2, max_value=12))
+    dim = draw(st.sampled_from([2, 4]))
+    vecs = draw(
+        st.lists(
+            st.one_of(
+                st.none(),
+                st.just([0.0] * dim),  # zero vector: exercises the norm guard
+                st.lists(
+                    st.floats(-10, 10, allow_nan=False).map(lambda x: round(x, 3)),
+                    min_size=dim,
+                    max_size=dim,
+                ),
+            ),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    labels = draw(st.lists(st.integers(0, 1), min_size=n, max_size=n))
+    return pd.DataFrame(
+        {"vec_id": range(len(vecs)), "embedding": vecs, "label": labels}
+    )
+
+
+@FUZZ_SETTINGS
+@given(vectors())
+def test_fuzz_knn_topk(pdf):
+    got, exp = _run_both(
+        pdf,
+        knn_topk_sql(VSPARK, "_fzv1", "vec_id", "embedding", query_pred="vec_id < 3", k=3),
+        knn_topk_sql(VDUCK, "_fzv1", "vec_id", "embedding", query_pred="vec_id < 3", k=3),
+        "_fzv1",
+        schema="vec_id long, embedding array<double>, label long",
+    )
+    _compare(got, exp)
+
+
+@FUZZ_SETTINGS
+@given(vectors())
+def test_fuzz_embedding_neardup(pdf):
+    got, exp = _run_both(
+        pdf,
+        embedding_neardup_sql(
+            VSPARK, "_fzv2", "vec_id", "embedding", threshold=0.5, block_col="label"
+        ),
+        embedding_neardup_sql(
+            VDUCK, "_fzv2", "vec_id", "embedding", threshold=0.5, block_col="label"
+        ),
+        "_fzv2",
+        schema="vec_id long, embedding array<double>, label long",
     )
     _compare(got, exp)

@@ -42,6 +42,15 @@ class VectorDialect:
         )
 
     def dot(self, a: str, b: str) -> str:
+        if self.name == "duck":
+            # Spark's aggregate(zip_with(NULL,...)) propagates NULL; DuckDB's
+            # list_reduce(list_prepend(0.0, list_transform(range(1, len(NULL)+1),
+            # ...))) collapses to 0.0 instead (found by dialect fuzzing) — guard
+            # so a NULL vector yields NULL dot/norm/cosine on both engines.
+            return (
+                f"CASE WHEN ({a}) IS NULL OR ({b}) IS NULL THEN NULL "
+                f"ELSE {self._sum(self._products(a, b))} END"
+            )
         return self._sum(self._products(a, b))
 
     def norm(self, a: str) -> str:
