@@ -58,7 +58,16 @@ def test_twa_matches_pandas_model(case):
         .sort_index()
     )
 
-    # local model: sort by (t, eid) per key, dt to next row, drop dt<=0
+    # local model: sort by (t, eid) per key, dt to next row, drop dt<=0.
+    # Rounding must be HALF_UP on the shortest-repr decimal — what Spark's
+    # BigDecimal.valueOf(double) and DuckDB ROUND do; Python's round() is
+    # banker's and disagrees exactly on .00005 boundaries (hypothesis
+    # found 1.40625 -> 1.4063 vs 1.4062).
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _round4(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
     expect = {}
     for k, g in pdf.sort_values(["t", "eid"], kind="mergesort").groupby("k"):
         t_us = g.t.astype("int64").to_numpy() // 1000  # ns -> µs
@@ -66,7 +75,7 @@ def test_twa_matches_pandas_model(case):
         v = g.v.to_numpy()[:-1]
         m = dt > 0
         if m.any():
-            expect[k] = (round(float((v[m] * dt[m]).sum() / dt[m].sum()), 4), int(m.sum()))
+            expect[k] = (_round4(float((v[m] * dt[m]).sum() / dt[m].sum())), int(m.sum()))
     assert sorted(got.index.tolist()) == sorted(expect)
     for k, (twa, n) in expect.items():
         assert got.loc[k, "n_intervals"] == n
