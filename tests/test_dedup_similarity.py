@@ -310,3 +310,49 @@ def test_ngram_jaccard_blas_null_semantics(spark):
     # only (1,2) survives: doc 3 has NULL text, docs 4/5 a NULL block key
     assert a[["doc_id_a", "doc_id_b"]].values.tolist() == [[1, 2]]
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_ngram_jaccard_blas_missing_column_typed_error(spark):
+    """The BLAS path must raise the engine's typed ColumnNotFoundError on
+    a bad column, not NameError (regression: the exception class wasn't
+    imported in dedup.py)."""
+    from time_sift_spark.errors import ColumnNotFoundError
+    from time_sift_spark.operators.dedup import ngram_jaccard_pairs_blas
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["a"]}))
+    with pytest.raises(ColumnNotFoundError):
+        ngram_jaccard_pairs_blas(df, "nope", "text", threshold=0.5)
+    with pytest.raises(ColumnNotFoundError):
+        ngram_jaccard_pairs_blas(df, "doc_id", "nope", threshold=0.5)
+
+
+def test_ngram_jaccard_blas_string_ids(spark):
+    """The output pair-id type follows the input id column (docstring
+    contract shared with ngram_jaccard_pairs) — string ids must survive,
+    not fail a hardcoded long schema."""
+    from time_sift_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_blas,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["doc-b", "doc-a", "doc-c", "doc-d"],
+            "text": ["a b c d", "a b c d", "a b c e", "zz yy xx"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    a = (
+        ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5)
+        .toPandas()
+        .sort_values(["doc_id_a", "doc_id_b"])
+        .reset_index(drop=True)
+    )
+    b = (
+        ngram_jaccard_pairs_blas(df, "doc_id", "text", threshold=0.5)
+        .toPandas()
+        .sort_values(["doc_id_a", "doc_id_b"])
+        .reset_index(drop=True)
+    )
+    assert b.doc_id_a.dtype == object and len(b) >= 2
+    pd.testing.assert_frame_equal(a, b)

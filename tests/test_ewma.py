@@ -132,3 +132,32 @@ def test_ewma_scan_null_keys(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_ewma_strategies_align_on_null_order_values(spark):
+    """NULL time/order values must order identically in both strategies
+    (advisor r2): ewma sorts pandas na_position='first' to match
+    ewma_scan's Spark ascending NULLS FIRST."""
+    from time_sift_spark.operators.ewma import ewma_scan
+
+    pdf = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 1, 2, 2],
+            "t": pd.array([2, None, 0, 1, None, 0], dtype="Int64"),
+            "v": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    a = (
+        ewma(df, "v", "t", 0.4, partition_by="k")
+        .orderBy("k", "v")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    b = (
+        ewma_scan(df, "v", "t", 0.4, partition_by="k")
+        .orderBy("k", "v")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)

@@ -135,7 +135,9 @@ class Dialect:
         Spark's shingle chain yields NULL (found by dialect fuzzing)."""
         toks = self.tokens(col)
         hashed = self.transform(self.shingles(toks, k), f"s -> {self.md5_long('s')}")
-        return f"CASE WHEN {col} IS NULL THEN NULL ELSE {self.array_min(hashed)} END"
+        # ({col}) parenthesized: a compound expression argument (e.g. a
+        # concatenation) must not re-bind against IS NULL
+        return f"CASE WHEN ({col}) IS NULL THEN NULL ELSE {self.array_min(hashed)} END"
 
     def punct_count(self, col: str) -> str:
         return f"length({self.regexp_remove(col, PUNCT_NEGATED_CLASS)})"

@@ -26,6 +26,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame
 
+from ..errors import ColumnNotFoundError
 from ..functions.text_fns import Dialect
 
 MERSENNE31 = 2_147_483_647  # 2^31 - 1
@@ -150,7 +151,7 @@ def ngram_jaccard_sql(
           FROM {table}
         ),
         a_side AS (
-          SELECT *, pmod(did, {salt_n}) AS salt FROM t
+          SELECT *, pmod(hash(did), {salt_n}) AS salt FROM t
         ),
         b_side AS (
           SELECT t.*, s.salt FROM t LATERAL VIEW explode(sequence(0, {salt_n - 1})) s AS salt
@@ -327,6 +328,7 @@ def lsh_verified_neardup_sql(
     bands: int = 8,
     shingle_k: int = 3,
     seed: int = 42,
+    band_freq_cap: int | None = None,
 ) -> str:
     """The 100 TB near-dup screen as ONE composed query:
     MinHash-LSH band-key blocking → exact shingle-Jaccard verification.
@@ -340,10 +342,28 @@ def lsh_verified_neardup_sql(
     bounded by the screen's selectivity, which is the whole point of the
     composition (vs. exact blocked pairwise over every block).
 
+    ``band_freq_cap`` is the heavy-band mitigation (standard LSH
+    practice): a (band, bkey) bucket holding more than ``cap`` docs is
+    DROPPED before pairing, so one boilerplate string duplicated across
+    millions of docs can no longer explode the candidate count — per
+    surviving bucket the pair count is bounded by cap·(cap-1)/2. A pair
+    is lost only if EVERY band it shares is over the cap, i.e. exactly
+    the mega-cluster whose members are cheaper to collapse by exact
+    dedup first (identical text ⇒ identical signatures ⇒ all bands
+    over-capped together). The frequency count is a window over the same
+    (band, bkey) key the candidate self-join shuffles on, so the cap
+    adds no new shuffle key.
+
     Both stages reuse one tokenize→shingle→md5 derivation (the ``hashed``
     CTE); Catalyst inlines it into two scans, DuckDB materializes it.
     """
     band_selects = _band_selects(d, num_perm, bands)
+    if band_freq_cap is not None:
+        band_selects = f"""
+      SELECT did, band, bkey FROM (
+        SELECT did, band, bkey, COUNT(*) OVER (PARTITION BY band, bkey) AS nf
+        FROM ({band_selects})
+      ) WHERE nf <= {int(band_freq_cap)}"""
     if d.name == "spark":
         tset = "collect_set(h)"
         inter = "size(array_intersect(a.hs, b.hs))"
@@ -531,5 +551,8 @@ def ngram_jaccard_pairs_blas(
             }
         )
 
-    schema = "doc_id_a long, doc_id_b long, jaccard double"
+    # the pair-id type follows the input id column (string/int ids work
+    # alike — np.minimum/maximum compare elementwise for both)
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"doc_id_a {id_type}, doc_id_b {id_type}, jaccard double"
     return staged.groupBy(*blk_cols).applyInPandas(lambda p: _block(p), schema)

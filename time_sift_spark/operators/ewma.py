@@ -57,7 +57,10 @@ def ewma(
     )
 
     def _per_series(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        # na_position='first' matches ewma_scan's Spark sortWithinPartitions
+        # (ascending NULLS FIRST) so the two strategies order NULL
+        # time/order keys identically and stay bit-identical.
+        pdf = pdf.sort_values(sort_cols, kind="mergesort", na_position="first")
         pdf[out_name] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
         return pdf[in_cols + [out_name]]
 
