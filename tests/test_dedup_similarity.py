@@ -356,3 +356,44 @@ def test_ngram_jaccard_blas_string_ids(spark):
     )
     assert b.doc_id_a.dtype == object and len(b) >= 2
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_lsh_band_cap_bounds_skew(spark):
+    """A boilerplate string duplicated across N docs must not explode the
+    candidate count once band_freq_cap is set (the SCALE.md heavy-band
+    mitigation); genuine near-dup pairs OUTSIDE the mega-cluster keep
+    full recall. Identical text ⇒ identical signatures ⇒ the cluster's
+    bands all exceed the cap together, so it vanishes from the screen
+    (exact dedup is the right tool for it anyway)."""
+    from time_sift_spark.operators.dedup import lsh_verified_neardup
+
+    n_boiler = 60
+    rows = [(i, BASE) for i in range(n_boiler)]
+    extra = [
+        (100, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (101, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+        (102, "one two three four five six seven eight nine ten eleven twelve"),
+        (103, "one two three four five six seven eight nine ten eleven thirteen"),
+        (104, FAR),
+    ]
+    df = spark.createDataFrame(rows + extra, "doc_id long, text string")
+    uncapped = lsh_verified_neardup(df, "doc_id", "text", threshold=0.5).toPandas()
+    capped = lsh_verified_neardup(
+        df, "doc_id", "text", threshold=0.5, band_freq_cap=8
+    ).toPandas()
+    # uncapped: the mega-cluster alone contributes C(60,2) verified pairs
+    assert len(uncapped) >= n_boiler * (n_boiler - 1) // 2
+    cpairs = set(map(tuple, capped[["doc_id_a", "doc_id_b"]].to_numpy()))
+    # capped: no pair from the over-capped cluster survives the screen
+    assert not any(a < 100 and b < 100 for a, b in cpairs)
+    # full recall outside the cluster (exact pairwise truth: exactly the
+    # two planted near-dup pairs clear threshold 0.5; FAR pairs with none)
+    truth = ngram_jaccard_pairs(
+        spark.createDataFrame(extra, "doc_id long, text string"),
+        "doc_id",
+        "text",
+        threshold=0.5,
+    ).toPandas()
+    tpairs = set(map(tuple, truth[["doc_id_a", "doc_id_b"]].to_numpy()))
+    assert tpairs == {(100, 101), (102, 103)}
+    assert cpairs == tpairs

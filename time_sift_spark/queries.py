@@ -734,6 +734,26 @@ def lsh_verified_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lsh_neardup_capped_docs",
+    oracle=_dd.lsh_verified_neardup_sql(
+        DUCK, "documents", "doc_id", "text", threshold=0.5, band_freq_cap=8
+    ),
+)
+def lsh_neardup_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH→verify screen with the band-key frequency cap engaged
+    (SCALE.md's heavy-band mitigation): (band, bkey) buckets holding more
+    than 8 docs are dropped before pairing, so boilerplate text duplicated
+    across millions of docs bounds the candidate count at cap²·bands
+    instead of cluster² — the difference between a working and a dead
+    verify stage at 100 TB. Recall outside over-capped clusters is gated
+    against exact pairwise truth in tests/test_dedup_similarity.py."""
+    docs = load_table(spark, "documents", sf_dir)
+    return _dd.lsh_verified_neardup(
+        docs, "doc_id", "text", threshold=0.5, band_freq_cap=8
+    )
+
+
+@register(
     "simhash_docs",
     oracle=_dd.simhash_sql(DUCK, "documents", "doc_id", "text"),
 )
