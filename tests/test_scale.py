@@ -107,3 +107,127 @@ def test_global_lag_no_single_partition_window(spark):
     windows = [seg for seg in plan.split("\n") if "Window" in seg and "windowspec" not in seg]
     assert "SinglePartition" not in plan, plan
     assert windows, "expected Window nodes in plan"
+
+
+# ---------------------------------------------------------------------------
+# per-hot-key halo decomposition
+# ---------------------------------------------------------------------------
+
+
+def _compare_hotkey(spark, pdf, lags, *, hot_threshold, num_buckets):
+    df = spark.createDataFrame(pdf)
+    from time_sift_spark.operators.scale import lag_features_hotkey
+
+    naive = (
+        lag_features(df, "v", "t", lags, partition_by="k")
+        .orderBy("k", "t")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    hot = (
+        lag_features_hotkey(
+            df, "v", "t", lags, partition_by="k",
+            hot_threshold=hot_threshold, num_buckets=num_buckets,
+        )
+        .orderBy("k", "t")
+        .toPandas()[naive.columns]
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(hot, naive)
+
+
+def _skewed_frame(n_hot=400, n_cold_keys=6, rows_per_cold=7, seed=0):
+    rng = np.random.RandomState(seed)
+    ks, ts, vs = [], [], []
+    t = 0
+    for k in range(1, n_cold_keys + 1):
+        for _ in range(rows_per_cold):
+            ks.append(k); ts.append(t); vs.append(float(rng.randn())); t += 1
+    for _ in range(n_hot):  # key 0 is pathologically hot
+        ks.append(0); ts.append(t); vs.append(float(rng.randn())); t += 1
+    return pd.DataFrame({"k": np.array(ks, dtype="int64"),
+                         "t": np.array(ts, dtype="int64"),
+                         "v": np.array(vs, dtype="float64")})
+
+
+def test_hotkey_lag_equals_naive_on_skew(spark):
+    _compare_hotkey(spark, _skewed_frame(), [1, 5, 30],
+                    hot_threshold=100, num_buckets=8)
+
+
+def test_hotkey_lag_all_cold(spark):
+    # nothing crosses the threshold → pure per-key window path
+    _compare_hotkey(spark, _skewed_frame(n_hot=20), [1, 3],
+                    hot_threshold=1000, num_buckets=8)
+
+
+def test_hotkey_lag_short_key_below_max_lag(spark):
+    # a cold key shorter than max_lag must be all-NULL beyond its length,
+    # identically in both paths
+    _compare_hotkey(spark, _skewed_frame(n_hot=200, rows_per_cold=2), [1, 5],
+                    hot_threshold=50, num_buckets=4)
+
+
+def test_hotkey_lag_null_keys_stay_cold(spark):
+    pdf = _skewed_frame(n_hot=150)
+    pdf.loc[pdf.index[:5], "k"] = pd.NA
+    pdf["k"] = pdf["k"].astype("Int64")
+    _compare_hotkey(spark, pdf, [1, 2], hot_threshold=50, num_buckets=4)
+
+
+def test_hotkey_lag_fill_and_multi_hot(spark):
+    # two hot keys + fill value; interleaved timestamps
+    rng = np.random.RandomState(3)
+    n = 500
+    pdf = pd.DataFrame({
+        "k": rng.choice([0, 1, 2], size=n, p=[0.45, 0.45, 0.1]).astype("int64"),
+        "t": np.arange(n, dtype="int64"),
+        "v": rng.randn(n),
+    })
+    from time_sift_spark.operators.scale import lag_features_hotkey
+
+    df = _session().createDataFrame(pdf)
+    naive = (
+        lag_features(df, "v", "t", [1, 7], partition_by="k", fill=float("inf"))
+        .orderBy("k", "t").toPandas().reset_index(drop=True)
+    )
+    hot = (
+        lag_features_hotkey(df, "v", "t", [1, 7], partition_by="k",
+                            fill=float("inf"), hot_threshold=100, num_buckets=8)
+        .orderBy("k", "t").toPandas()[naive.columns].reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(hot, naive)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(st.floats(allow_nan=False, allow_infinity=False, width=32), min_size=2, max_size=120),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=2, max_value=8),
+    st.integers(min_value=2, max_value=40),
+)
+def test_hotkey_lag_property(values, max_lag, buckets, hot_threshold):
+    # keys round-robin over 3 series; whichever crosses hot_threshold
+    # takes the halo path, the rest stay cold — result must always equal
+    # the naive per-key window
+    n = len(values)
+    pdf = pd.DataFrame({
+        "k": (np.arange(n) % 3).astype("int64"),
+        "t": np.arange(n, dtype="int64"),
+        "v": np.asarray(values, dtype="float64"),
+    })
+    _compare_hotkey(_session(), pdf, list(range(1, max_lag + 1)),
+                    hot_threshold=hot_threshold, num_buckets=buckets)
+
+
+def test_hotkey_lag_no_single_key_partition_window(spark):
+    # the hot key's window must be keyed by (k, _bucket), not k alone
+    from time_sift_spark.operators.scale import lag_features_hotkey
+
+    pdf = _skewed_frame(n_hot=2000)
+    df = spark.createDataFrame(pdf)
+    out = lag_features_hotkey(df, "v", "t", [3], partition_by="k",
+                              hot_threshold=500, num_buckets=8)
+    plan = _plan(out)
+    assert "_bucket" in plan  # halo windows present
+    assert "SinglePartition" not in plan

@@ -118,6 +118,145 @@ def lag_features_global(
     return out.where(~F.col("_halo")).drop("_halo")
 
 
+def lag_features_hotkey(
+    df: DataFrame,
+    value_cols: str | Sequence[str],
+    time_col: str,
+    lags,
+    *,
+    partition_by: str,
+    order_extra: str | Sequence[str] | None = None,
+    fill=None,
+    hot_threshold: int = 5_000_000,
+    num_buckets: int = 32,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Per-key lag features where PATHOLOGICALLY hot keys decompose into
+    (key, bucket) halo windows — the per-key generalization of
+    :func:`lag_features_global` (SCALE.md lag-family first cliff).
+
+    ``Window.partitionBy(key)`` sends ALL of a key's rows to one task; a
+    single key with billions of rows is therefore the same cliff the
+    un-partitioned global window has, one level down. This operator:
+
+    1. counts rows per key and collects ONLY keys above ``hot_threshold``
+       (the filter runs before the collect — driver traffic is
+       O(n_hot_keys), never O(n_keys));
+    2. cold keys take the plain single-window path unchanged;
+    3. hot-key rows are range-bucketed on shared equi-depth time
+       boundaries (``approxQuantile`` over hot rows only), buckets are
+       merged left-to-right PER KEY until each closed bucket holds >=
+       max_lag rows (the driver sees n_hot_keys × num_buckets count rows;
+       the per-key raw→merged mapping goes back as a broadcast join), and
+       the trailing max_lag rows of every (key, bucket) are duplicated
+       into the key's next bucket as halo rows;
+    4. lags run per (key, bucket) — every real row sees its true
+       predecessors locally or via the halo — and halo rows are dropped.
+
+    Output contract and values are identical to
+    ``lag_features(df, ..., partition_by=key)`` (property-tested); only
+    the physical partitioning differs: the hot key's work is spread over
+    ~num_buckets tasks instead of one.
+    """
+    value_cols = [value_cols] if isinstance(value_cols, str) else list(value_cols)
+    order_extra = (
+        [] if order_extra is None else [order_extra] if isinstance(order_extra, str) else list(order_extra)
+    )
+    if not isinstance(partition_by, str):
+        raise ColumnNotFoundError("lag_features_hotkey takes a single key column name")
+    key = partition_by
+    lag_list = validate_lags(lags)
+    max_lag = max(lag_list)
+    missing = [c for c in (value_cols + [key, time_col] + order_extra) if c not in df.columns]
+    if missing:
+        raise ColumnNotFoundError(f"columns not in DataFrame: {missing}")
+
+    out_cols = [key, time_col, *order_extra, *lag_column_names(value_cols, lag_list)]
+
+    def _naive(part: DataFrame) -> DataFrame:
+        w = Window.partitionBy(key).orderBy(time_col, *order_extra)
+        return _project(
+            part, value_cols, time_col, order_extra, lag_list, w, fill, extra_keep=[key]
+        ).select(*out_cols)
+
+    hot_rows = (
+        df.groupBy(key).count().where(F.col("count") >= hot_threshold).select(key).collect()
+    )
+    hot_keys = [r[0] for r in hot_rows]
+    if not hot_keys:
+        return _naive(df)
+
+    is_hot = F.col(key).isin(hot_keys) & F.col(key).isNotNull()
+    cold = _naive(df.where(~is_hot | F.col(key).isNull()))
+    hot = df.where(is_hot)
+
+    num_df = hot.withColumn("_t_num", F.col(time_col).cast("double"))
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    bounds = sorted(set(num_df.stat.approxQuantile("_t_num", probs, relative_error)))
+    if not bounds:
+        return cold.unionByName(_naive(hot))
+
+    bucket: Column = reduce(
+        lambda acc, b: acc + F.when(F.col("_t_num") > F.lit(b), 1).otherwise(0),
+        bounds,
+        F.lit(0),
+    )
+    raw = num_df.withColumn("_bucket_raw", bucket).drop("_t_num")
+
+    # per-key left-to-right merge (same invariant as the global form:
+    # every CLOSED bucket of a key holds >= max_lag rows, so the next
+    # bucket's halo never has to reach deeper than one predecessor)
+    counts: dict[object, dict[int, int]] = {}
+    for r in raw.groupBy(key, "_bucket_raw").count().collect():
+        counts.setdefault(r[0], {})[r[1]] = r[2]
+    map_rows = []
+    for k, per_bucket in counts.items():
+        merged_id, acc = 0, 0
+        key_map = []
+        for rb in range(len(bounds) + 1):
+            key_map.append((k, rb, merged_id))
+            acc += per_bucket.get(rb, 0)
+            if acc >= max_lag:
+                merged_id, acc = merged_id + 1, 0
+        # _n_merged = id of the key's final (possibly short) bucket; halo
+        # rows flow only out of buckets strictly below it
+        final_id = key_map[-1][2]
+        map_rows.extend((k, rb, m, final_id) for (k, rb, m) in key_map)
+    mapping = df.sparkSession.createDataFrame(
+        map_rows,
+        schema=df.select(key)
+        .schema.add("_bucket_raw", "integer")
+        .add("_bucket", "integer")
+        .add("_n_merged", "integer"),
+    )
+    bucketed = raw.join(
+        F.broadcast(mapping), on=[key, "_bucket_raw"], how="inner"
+    ).drop("_bucket_raw")
+
+    w_desc = Window.partitionBy(key, "_bucket").orderBy(
+        F.col(time_col).desc(), *[F.col(c).desc() for c in order_extra]
+    )
+    tail = (
+        bucketed.withColumn("_rn", F.row_number().over(w_desc))
+        .where((F.col("_rn") <= max_lag) & (F.col("_bucket") < F.col("_n_merged")))
+        .drop("_rn")
+        .withColumn("_bucket", F.col("_bucket") + 1)
+        .withColumn("_halo", F.lit(True))
+    )
+    unioned = bucketed.withColumn("_halo", F.lit(False)).unionByName(tail)
+
+    w_bucket = Window.partitionBy(key, "_bucket").orderBy(time_col, *order_extra)
+    hot_out = (
+        _project(
+            unioned, value_cols, time_col, order_extra, lag_list, w_bucket, fill,
+            extra_keep=[key, "_halo"],
+        )
+        .where(~F.col("_halo"))
+        .select(*out_cols)
+    )
+    return cold.unionByName(hot_out)
+
+
 def _project(df, value_cols, time_col, order_extra, lag_list, w, fill, extra_keep=()):
     names = lag_column_names(value_cols, lag_list)
     exprs = []
