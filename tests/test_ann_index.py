@@ -1,0 +1,125 @@
+"""Persisted ANN index (build once → query many) ≡ the inline queries,
+plus plan-shape evidence that the build-time work is actually amortized
+(not silently recomputed at query time)."""
+
+import pandas as pd
+import pytest
+
+from time_sift_spark.operators.similarity import (
+    ann_ivf_topk,
+    ann_lsh_topk,
+    build_ivf_index,
+    build_lsh_index,
+    query_ivf_index,
+    query_lsh_index,
+)
+from time_sift_spark.sources.catalog import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+LSH_KW = dict(num_planes=4, num_tables=8)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, "embeddings", SF_DIR)
+
+
+@pytest.fixture(scope="module")
+def lsh_path(emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("lsh_idx"))
+    build_lsh_index(emb, "vec_id", "embedding", path, dim=64, **LSH_KW)
+    return path
+
+
+@pytest.fixture(scope="module")
+def ivf_path(emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivf_idx"))
+    build_ivf_index(emb, "vec_id", "embedding", path, num_centroids=16)
+    return path
+
+
+def _sorted(df):
+    return (
+        df.toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
+def test_lsh_persisted_equals_inline(spark, emb, lsh_path):
+    inline = _sorted(
+        ann_lsh_topk(emb, "vec_id", "embedding", query_pred="vid < 8", k=5, dim=64, **LSH_KW)
+    )
+    persisted = _sorted(query_lsh_index(spark, lsh_path, query_pred="vid < 8", k=5))
+    pd.testing.assert_frame_equal(persisted, inline)
+
+
+def test_lsh_persisted_reusable_different_queries(spark, lsh_path, emb):
+    # a second query against the SAME index (different predicate) must
+    # equal its inline counterpart — the index is query-independent
+    inline = _sorted(
+        ann_lsh_topk(
+            emb, "vec_id", "embedding", query_pred="vid >= 10 AND vid < 14", k=3,
+            dim=64, **LSH_KW,
+        )
+    )
+    persisted = _sorted(
+        query_lsh_index(spark, lsh_path, query_pred="vid >= 10 AND vid < 14", k=3)
+    )
+    pd.testing.assert_frame_equal(persisted, inline)
+
+
+def test_ivf_persisted_equals_inline(spark, emb, ivf_path):
+    inline = _sorted(
+        ann_ivf_topk(
+            emb, "vec_id", "embedding", query_pred="vec_id < 8", k=5,
+            num_centroids=16, nprobe=4,
+        )
+    )
+    persisted = _sorted(
+        query_ivf_index(spark, ivf_path, query_pred="vid < 8", k=5, nprobe=4)
+    )
+    pd.testing.assert_frame_equal(persisted, inline)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_lsh_query_hashes_only_the_query_side(spark, emb, lsh_path):
+    """Amortization is structural: the inline plan computes buckets on
+    BOTH join sides (two explode subtrees); the persisted query hashes
+    only its probes (one explode) and scans the bucket parquet."""
+    inline_plan = _plan(
+        ann_lsh_topk(emb, "vec_id", "embedding", query_pred="vid < 8", k=5, dim=64, **LSH_KW)
+    )
+    persisted_plan = _plan(query_lsh_index(spark, lsh_path, query_pred="vid < 8", k=5))
+    assert inline_plan.count("Generate explode") == 2
+    assert persisted_plan.count("Generate explode") == 1
+    assert "buckets" in persisted_plan  # candidate side is the parquet scan
+
+
+def test_ivf_query_skips_build_work(spark, emb, ivf_path):
+    """The persisted IVF query must not re-sample centroids (no
+    TakeOrderedAndProject over md5) and must not re-run the n×K
+    assignment (exactly one ranking window: the per-query top-k; the
+    probe ranking collapses onto the |Q| side)."""
+    inline_plan = _plan(
+        ann_ivf_topk(
+            emb, "vec_id", "embedding", query_pred="vec_id < 8", k=5,
+            num_centroids=16, nprobe=4,
+        )
+    )
+    persisted_plan = _plan(query_ivf_index(spark, ivf_path, query_pred="vid < 8", k=5, nprobe=4))
+    assert "TakeOrderedAndProject" in inline_plan
+    assert "TakeOrderedAndProject" not in persisted_plan
+    assert "assigned" in persisted_plan  # candidate lists read from parquet
+
+
+def test_build_lsh_index_missing_column_typed_error(spark, emb, tmp_path):
+    from time_sift_spark.errors import ColumnNotFoundError
+
+    with pytest.raises(ColumnNotFoundError):
+        build_lsh_index(emb, "nope", "embedding", str(tmp_path / "x"))
+    with pytest.raises(ColumnNotFoundError):
+        build_ivf_index(emb, "vec_id", "nope", str(tmp_path / "y"))

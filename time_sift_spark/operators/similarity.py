@@ -68,6 +68,31 @@ def knn_topk_sql(
     """
 
 
+def _lsh_keys_select(
+    vd: VectorDialect,
+    vec_col: str,
+    src: str,
+    num_planes: int,
+    num_tables: int,
+    seed: int,
+    dim: int,
+) -> str:
+    """(vid, bkey) rows for every LSH table — ONE definition shared by the
+    inline query, the index builder, and the index query side, so the
+    bucket computation cannot drift between build time and query time.
+    One seed per table -> independent plane sets."""
+    keys = [
+        f"concat('{t}_', CAST({vd.lsh_bucket(vec_col, random_hyperplanes(num_planes, dim, seed + t))} AS STRING))"
+        for t in range(num_tables)
+    ]
+    if vd.name == "spark":
+        return (
+            f"SELECT vid, bkey FROM (SELECT vid, array({', '.join(keys)}) AS bks FROM {src}) "
+            f"LATERAL VIEW explode(bks) t AS bkey"
+        )
+    return " UNION ALL ".join(f"SELECT vid, {key} AS bkey FROM {src}" for key in keys)
+
+
 def ann_lsh_topk_sql(
     vd: VectorDialect,
     table: str,
@@ -95,18 +120,9 @@ def ann_lsh_topk_sql(
     """
     dot = vd.dot(f"q.{vec_col}", f"c.{vec_col}")
     cos = f"({dot} / greatest(q.nrm * c.nrm, 1e-300))"
-    # one seed per table -> independent plane sets
-    keys = [
-        f"concat('{t}_', CAST({vd.lsh_bucket(vec_col, random_hyperplanes(num_planes, dim, seed + t))} AS STRING))"
-        for t in range(num_tables)
-    ]
+
     def _keys_select(src: str) -> str:
-        if vd.name == "spark":
-            return (
-                f"SELECT vid, bkey FROM (SELECT vid, array({', '.join(keys)}) AS bks FROM {src}) "
-                f"LATERAL VIEW explode(bks) t AS bkey"
-            )
-        return " UNION ALL ".join(f"SELECT vid, {key} AS bkey FROM {src}" for key in keys)
+        return _lsh_keys_select(vd, vec_col, src, num_planes, num_tables, seed, dim)
 
     # The query side gets its OWN keys CTE with the predicate applied
     # BEFORE bucket computation: Catalyst inlines CTEs, so a shared keys
@@ -380,3 +396,192 @@ def embedding_neardup_pairs_blas(
     return df.select(id_col, vec_col, block_col).groupBy(block_col).applyInPandas(
         lambda pdf: _block(pdf), schema
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted ANN index: build once -> query many (SCALE.md amortization path)
+# ---------------------------------------------------------------------------
+
+
+def build_lsh_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    *,
+    num_planes: int = 6,
+    num_tables: int = 1,
+    seed: int = 42,
+    dim: int | None = None,
+) -> None:
+    """Materialize the LSH structures the inline :func:`ann_lsh_topk`
+    recomputes per query: ``{path}/vectors`` (vid, vector, norm),
+    ``{path}/buckets`` (vid, bkey — one row per table), and a one-row
+    ``{path}/params`` table so the query side rebuilds the IDENTICAL
+    literal hyperplanes from the seed. Bucket keys come from the same
+    generator as the inline query (`_lsh_keys_select`), so
+    build→query returns exactly what the inline query returns — that is
+    the contract the tests pin.
+
+    At 100 TB this is the pipeline-level answer to "the bucketed table is
+    recomputed per query": n vectors are hashed ONCE here; each query
+    then hashes only its |Q| probes and equi-joins the persisted buckets.
+    Buckets are repartitioned by bkey on write so a downstream reader
+    gets bucket-clustered files (at cluster scale you'd write
+    ``bucketBy(bkey)`` into a metastore table and skip the query-time
+    shuffle entirely)."""
+    for c in (id_col, vec_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    if dim is None:
+        from pyspark.sql import functions as F
+
+        row = df.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+        dim = len(row[0]) if row else DEFAULT_DIM
+    spark = df.sparkSession
+    view = _next_view()
+    df.createOrReplaceTempView(view)
+    vectors = spark.sql(
+        f"SELECT {id_col} AS vid, {vec_col} AS {vec_col}, {_VSPARK.norm(vec_col)} AS nrm FROM {view}"
+    )
+    vectors.write.mode("overwrite").parquet(f"{path}/vectors")
+    vview = _next_view()
+    spark.read.parquet(f"{path}/vectors").createOrReplaceTempView(vview)
+    buckets = spark.sql(
+        _lsh_keys_select(_VSPARK, vec_col, vview, num_planes, num_tables, seed, dim)
+    )
+    buckets.repartition("bkey").write.mode("overwrite").parquet(f"{path}/buckets")
+    spark.createDataFrame(
+        [(id_col, vec_col, num_planes, num_tables, seed, dim)],
+        "id_col string, vec_col string, num_planes int, num_tables int, seed int, dim int",
+    ).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def query_lsh_index(spark, path: str, *, query_pred: str, k: int = 5) -> DataFrame:
+    """Top-k against a persisted LSH index. ``query_pred`` sees the
+    persisted vector columns (vid, <vec_col>, nrm). Only the |Q| query
+    vectors are hashed; candidates come from an equi-join against the
+    persisted bucket table — the data side's n bucket computations were
+    paid once at build time (the executed plan contains exactly ONE
+    bucket-explode subtree; the inline form has two)."""
+    p = spark.read.parquet(f"{path}/params").collect()[0]
+    vview, bview = _next_view(), _next_view()
+    spark.read.parquet(f"{path}/vectors").createOrReplaceTempView(vview)
+    spark.read.parquet(f"{path}/buckets").createOrReplaceTempView(bview)
+    vec_col = p["vec_col"]
+    dot = _VSPARK.dot(f"q.{vec_col}", f"c.{vec_col}")
+    cos = f"({dot} / greatest(q.nrm * c.nrm, 1e-300))"
+    qkeys = _lsh_keys_select(
+        _VSPARK, vec_col, "qv", p["num_planes"], p["num_tables"], p["seed"], p["dim"]
+    )
+    return spark.sql(f"""
+    WITH qv AS (
+      SELECT * FROM {vview} WHERE {query_pred}
+    ),
+    qkeys AS ({qkeys}),
+    cand AS (
+      SELECT DISTINCT x.vid AS query_id, y.vid AS neighbor_id
+      FROM qkeys x
+      JOIN {bview} y ON x.bkey = y.bkey AND x.vid <> y.vid
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id, {cos} AS cosine_sim
+      FROM cand
+      JOIN {vview} q ON q.vid = cand.query_id
+      JOIN {vview} c ON c.vid = cand.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank
+    FROM ranked WHERE rank <= {k}
+    """)
+
+
+def build_ivf_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    *,
+    num_centroids: int = 16,
+) -> None:
+    """Materialize the IVF structures :func:`ann_ivf_topk` recomputes per
+    query: ``{path}/centroids`` (cid, vector) via the deterministic
+    hash-ordered sample (distributed top-K, no single-partition sort) and
+    ``{path}/assigned`` (vid, vector, cid) — every vector's nearest
+    centroid, the n×K cosine pass paid ONCE. ``assigned`` is written
+    repartitioned by cid, so each query's probe join reads
+    bucket-clustered files (~nprobe/K of the data at cluster scale with
+    partition pruning on a metastore table)."""
+    for c in (id_col, vec_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    spark = df.sparkSession
+    view = _next_view()
+    df.createOrReplaceTempView(view)
+    cos_vc = _VSPARK.cosine(f"v.{vec_col}", f"c.{vec_col}")
+    spark.sql(f"""
+      SELECT {id_col} AS cid, {vec_col} FROM {view}
+      ORDER BY md5(CAST({id_col} AS STRING)), {id_col}
+      LIMIT {num_centroids}
+    """).write.mode("overwrite").parquet(f"{path}/centroids")
+    cview = _next_view()
+    spark.read.parquet(f"{path}/centroids").createOrReplaceTempView(cview)
+    assigned = spark.sql(f"""
+      SELECT vid, {vec_col}, cid FROM (
+        SELECT v.{id_col} AS vid, v.{vec_col} AS {vec_col}, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.{id_col}
+                                  ORDER BY {cos_vc} DESC, c.cid) AS crank
+        FROM {view} v CROSS JOIN {cview} c
+      ) WHERE crank = 1
+    """)
+    assigned.repartition("cid").write.mode("overwrite").parquet(f"{path}/assigned")
+    spark.createDataFrame(
+        [(id_col, vec_col, num_centroids)],
+        "id_col string, vec_col string, num_centroids int",
+    ).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def query_ivf_index(
+    spark, path: str, *, query_pred: str, k: int = 5, nprobe: int = 2
+) -> DataFrame:
+    """Top-k against a persisted IVF index. ``query_pred`` sees the
+    assigned-vector columns (vid, <vec_col>, cid). The query pays |Q|×K
+    probe cosines plus the candidate join against its nprobe lists; the
+    build-time n×K assignment and the centroid sample are read, not
+    recomputed (the executed plan has no TakeOrderedAndProject for the
+    sample and no n×K assignment window — asserted in tests)."""
+    p = spark.read.parquet(f"{path}/params").collect()[0]
+    aview, cview = _next_view(), _next_view()
+    spark.read.parquet(f"{path}/assigned").createOrReplaceTempView(aview)
+    spark.read.parquet(f"{path}/centroids").createOrReplaceTempView(cview)
+    vec_col = p["vec_col"]
+    cos_vc = _VSPARK.cosine(f"v.{vec_col}", f"c.{vec_col}")
+    cos_qc = _VSPARK.cosine(f"q.{vec_col}", f"cand.{vec_col}")
+    return spark.sql(f"""
+    WITH probes AS (
+      SELECT vid AS query_id, cid FROM (
+        SELECT v.vid, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vid
+                                  ORDER BY {cos_vc} DESC, c.cid) AS crank
+        FROM {aview} v CROSS JOIN {cview} c
+        WHERE {query_pred}
+      ) WHERE crank <= {nprobe}
+    ),
+    scored AS (
+      SELECT p.query_id, cand.vid AS neighbor_id, {cos_qc} AS cosine_sim
+      FROM probes p
+      JOIN {aview} cand ON cand.cid = p.cid AND cand.vid <> p.query_id
+      JOIN {aview} q ON q.vid = p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT query_id, neighbor_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """)

@@ -820,6 +820,50 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_lsh_persisted_topk",
+    oracle=_sim.ann_lsh_topk_sql(
+        VDUCK, "embeddings", "vec_id", "embedding", query_pred="vid < 8", k=5,
+        num_planes=4, num_tables=8,
+    ),
+)
+def ann_lsh_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """build_lsh_index → query_lsh_index two-step (SCALE.md "persist the
+    bucketed table once"): the n data-side bucket computations happen at
+    build time; the query hashes only its |Q| probes and equi-joins the
+    persisted buckets. Same hyperplanes, same values — the oracle is the
+    INLINE multi-table LSH query, so the driver proves persisted ≡ inline
+    every round."""
+    from .operators.similarity import build_lsh_index, query_lsh_index
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    path = _roundtrip_dir("ts_lsh_index_")
+    build_lsh_index(
+        emb, "vec_id", "embedding", path, num_planes=4, num_tables=8, dim=64
+    )
+    return query_lsh_index(spark, path, query_pred="vid < 8", k=5)
+
+
+@register(
+    "ann_ivf_persisted_topk",
+    oracle=_sim.ann_ivf_topk_sql(
+        VDUCK, "embeddings", "vec_id", "embedding", query_pred="vec_id < 8", k=5,
+        num_centroids=32, nprobe=8,
+    ),
+)
+def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """build_ivf_index → query_ivf_index two-step: the n×K assignment pass
+    and the centroid sample are paid at build time and written
+    cid-clustered; the query probes its nprobe lists only. The oracle is
+    the INLINE IVF query — persisted ≡ inline, driver-checked."""
+    from .operators.similarity import build_ivf_index, query_ivf_index
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    path = _roundtrip_dir("ts_ivf_index_")
+    build_ivf_index(emb, "vec_id", "embedding", path, num_centroids=32)
+    return query_ivf_index(spark, path, query_pred="vid < 8", k=5, nprobe=8)
+
+
+@register(
     "embedding_neardup",
     oracle=_sim.embedding_neardup_sql(
         VDUCK, "embeddings", "vec_id", "embedding", threshold=0.35, block_col="label"
