@@ -42,17 +42,50 @@ def main() -> None:
             timings[name] = -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
-    print(
-        json.dumps(
+    sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
+    # Full precision for humans / the repo record.
+    print(json.dumps({"queries_full": timings, "sf": sf_val}), file=sys.stderr)
+
+    # The driver captures only the LAST 2000 chars of stdout and parses
+    # that (BENCH_r{1..4}.json all show "parsed": null from an
+    # over-long line truncated mid-JSON). Emit ONE compact line and
+    # degrade per-query precision before ever exceeding the window.
+    def line_for(dp: int) -> str:
+        return json.dumps(
             {
                 "metric": "sum_query_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-            }
+                "queries": {k: round(v, dp) for k, v in timings.items()},
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
         )
+
+    out = next(
+        (s for dp in (2, 1) if len(s := line_for(dp)) <= 1950), None
     )
+    if out is None:
+        # last resort: keep the slowest queries, drop the cheap tail
+        ranked = sorted(timings, key=lambda k: -timings[k])
+        kept = dict.fromkeys(ranked, None)
+        while kept:
+            kept.popitem()
+            trimmed = {k: round(timings[k], 1) for k in kept}
+            out = json.dumps(
+                {
+                    "metric": "sum_query_seconds",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": trimmed,
+                    "queries_omitted": len(timings) - len(trimmed),
+                    "sf": sf_val,
+                },
+                separators=(",", ":"),
+            )
+            if len(out) <= 1950:
+                break
+    print(out)
 
 
 if __name__ == "__main__":

@@ -42,11 +42,44 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def _dtype_kind(s: pd.Series) -> str:
+    """Coarse value-representation kind, mimicking what a stringifying
+    value-hash (the driver's) is sensitive to. DuckDB's SUM(BIGINT)
+    returns HUGEINT → float64 in pandas, and DATE → datetime64, while
+    Spark collects BIGINT → int64 and DATE → object(datetime.date):
+    equal values, different strings — the r3/r4 rollup/series_arrays
+    hash-fail class. Flag the kind drift even when values compare equal."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if s.dtype == object:
+        import datetime as _dt
+
+        nn = s.dropna()
+        if len(nn) and isinstance(nn.iloc[0], _dt.date) and not isinstance(nn.iloc[0], _dt.datetime):
+            return "date-object"
+    return "other"
+
+
 def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame, *, float_exact: bool = True) -> list[str]:
     """Return a list of mismatch descriptions (empty = parity)."""
     problems: list[str] = []
     if sorted(spark_df.columns) != sorted(oracle_df.columns):
         return [f"column mismatch: spark={sorted(spark_df.columns)} oracle={sorted(oracle_df.columns)}"]
+    for c in sorted(spark_df.columns):
+        ka, kb = _dtype_kind(spark_df[c]), _dtype_kind(oracle_df[c])
+        if ka != kb:
+            problems.append(
+                f"col {c}: representation kind drift spark={ka} oracle={kb}"
+                " (driver value-hash would mismatch)"
+            )
+    if problems:
+        return problems
     if len(spark_df) != len(oracle_df):
         problems.append(f"row count: spark={len(spark_df)} oracle={len(oracle_df)}")
         return problems

@@ -22,6 +22,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._time import ts_us, ts_us_sql
 from ..errors import ColumnNotFoundError
 
 
@@ -50,8 +51,8 @@ def interval_join(
             raise ColumnNotFoundError(f"right column {c!r} not in {right.columns}")
 
     tol_us = int(tolerance_seconds) * 1_000_000
-    l_us = F.unix_micros(F.col(left_time))
-    r_us = F.unix_micros(F.col(right_time))
+    l_us = ts_us(F.col(left_time))
+    r_us = ts_us(F.col(right_time))
 
     lb = left.select(
         *on,
@@ -59,9 +60,9 @@ def interval_join(
         l_us.alias("_l_us"),
         F.explode(
             F.array(
-                F.expr(f"unix_micros({left_time}) div {tol_us} - 1"),
-                F.expr(f"unix_micros({left_time}) div {tol_us}"),
-                F.expr(f"unix_micros({left_time}) div {tol_us} + 1"),
+                F.expr(f"{ts_us_sql(left_time)} div {tol_us} - 1"),
+                F.expr(f"{ts_us_sql(left_time)} div {tol_us}"),
+                F.expr(f"{ts_us_sql(left_time)} div {tol_us} + 1"),
             )
         ).alias("_bucket"),
     )
@@ -69,7 +70,7 @@ def interval_join(
         *on,
         *[F.col(c).alias(f"r_{c}") for c in right_cols],
         r_us.alias("_r_us"),
-        F.expr(f"unix_micros({right_time}) div {tol_us}").alias("_bucket"),
+        F.expr(f"{ts_us_sql(right_time)} div {tol_us}").alias("_bucket"),
     )
     joined = lb.join(rb, on=[*on, "_bucket"]).where(
         F.abs(F.col("_r_us") - F.col("_l_us")) <= tol_us

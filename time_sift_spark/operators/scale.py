@@ -34,6 +34,17 @@ from ..errors import ColumnNotFoundError, EmptyDataError, validate_lags
 from ..plans.lag_plan import lag_column_names
 
 
+def _numeric_time(df: DataFrame, time_col: str) -> Column:
+    """Time column as double for approxQuantile bucketing. TIMESTAMP_NTZ
+    rejects a direct numeric cast (DATATYPE_MISMATCH), so re-tag it as
+    TIMESTAMP first (UTC session pin makes that value-preserving);
+    numeric/long time columns cast straight through unchanged."""
+    c = F.col(time_col)
+    if dict(df.dtypes).get(time_col) == "timestamp_ntz":
+        c = c.cast("timestamp")
+    return c.cast("double")
+
+
 def lag_features_global(
     df: DataFrame,
     value_cols: str | Sequence[str],
@@ -60,8 +71,7 @@ def lag_features_global(
     if missing:
         raise ColumnNotFoundError(f"columns not in DataFrame: {missing}")
 
-    t_num = F.col(time_col).cast("double")
-    num_df = df.withColumn("_t_num", t_num)
+    num_df = df.withColumn("_t_num", _numeric_time(df, time_col))
     probs = [i / num_buckets for i in range(1, num_buckets)]
     bounds = sorted(set(num_df.stat.approxQuantile("_t_num", probs, relative_error)))
     if not bounds:
@@ -190,7 +200,7 @@ def lag_features_hotkey(
     cold = _naive(df.where(~is_hot | F.col(key).isNull()))
     hot = df.where(is_hot)
 
-    num_df = hot.withColumn("_t_num", F.col(time_col).cast("double"))
+    num_df = hot.withColumn("_t_num", _numeric_time(hot, time_col))
     probs = [i / num_buckets for i in range(1, num_buckets)]
     bounds = sorted(set(num_df.stat.approxQuantile("_t_num", probs, relative_error)))
     if not bounds:

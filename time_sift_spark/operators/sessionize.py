@@ -43,7 +43,9 @@ def sessionize(
     prev_ts = F.lag(F.col(time_col), 1).over(w)
     # integer µs arithmetic — exact, and bit-identical to the DuckDB
     # oracle's epoch_us(); float seconds would round.
-    gap_us = F.unix_micros(F.col(time_col)) - F.unix_micros(prev_ts)
+    from ._time import ts_us
+
+    gap_us = ts_us(F.col(time_col)) - ts_us(prev_ts)
     is_start = F.when(
         prev_ts.isNull() | (gap_us > F.lit(int(gap_seconds) * 1_000_000)), F.lit(1)
     ).otherwise(F.lit(0))

@@ -34,6 +34,8 @@ def get_spark(
         # testdata events.parquet stores TIMESTAMP(NANOS) which the vectorized
         # reader rejects; read as long ns and convert in sources.catalog.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # TIMESTAMP(MICROS) testdata must read as TIMESTAMP, not NTZ
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )

@@ -58,6 +58,11 @@ def ensure_session_confs(spark: SparkSession) -> None:
 
     for key, val in (
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        # TIMESTAMP(MICROS) parquet with isAdjustedToUTC=false (what the
+        # driver's current testdata writes) infers as TIMESTAMP_NTZ under
+        # the Spark-4 default, and NTZ rejects unix_micros / numeric
+        # casts everywhere downstream — read it as plain TIMESTAMP.
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
         ("spark.sql.session.timeZone", "UTC"),
     ):
         try:
@@ -85,7 +90,58 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     for c in _nanos_timestamp_cols(path):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # Belt-and-braces: if the session's NTZ-inference conf could not be
+    # set (locked static, or the scan schema was already cached), re-tag
+    # NTZ columns as TIMESTAMP — value-preserving under the UTC pin.
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str | None = None, *, ts_type: str = "timestamp"
+) -> DataFrame:
+    """Streaming read of ``events.parquet`` with ``ts`` normalized.
+
+    The driver's testdata has shipped two physical encodings for ``ts``:
+    TIMESTAMP(NANOS) (arrives as epoch-ns long under the nanosAsLong
+    session conf) and TIMESTAMP(MICROS) (arrives as TIMESTAMP once
+    inferTimestampNTZ is off). A file stream needs an explicit schema, so
+    sniff the parquet footer (driver-side metadata read, no data scan)
+    and build the matching one; either way the caller sees ``ts`` as
+    TIMESTAMP (``ts_type="timestamp"``) or epoch-µs long
+    (``ts_type="us_long"``).
+    """
+    import pyarrow.parquet as pq
+
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    ensure_session_confs(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    try:
+        ts_phys = str(pq.read_schema(path).field("ts").type)
+    except Exception:
+        ts_phys = "timestamp[us]"
+    from pyspark.sql import functions as F
+
+    nanos = ts_phys.startswith("timestamp[ns")
+    schema = (
+        "event_id long, ts {}, user_id long, event_type string, "
+        "value double, props string"
+    ).format("long" if nanos else "timestamp")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if nanos:
+        us = F.expr("ts div 1000")
+        return stream.withColumn(
+            "ts", us if ts_type == "us_long" else F.timestamp_micros(us)
+        )
+    if ts_type == "us_long":
+        return stream.withColumn("ts", F.unix_micros("ts"))
+    return stream
 
 
 def register_views(spark: SparkSession, sf_dir: str | None = None, tables=TABLES) -> None:
