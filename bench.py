@@ -22,6 +22,44 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# The driver captures only the LAST 2000 chars of stdout and parses that
+# (BENCH_r{1..4}.json all recorded "parsed": null from an over-long line
+# truncated mid-JSON). MAX_LINE leaves headroom for a trailing newline
+# and any stray shutdown output.
+MAX_LINE = 1950
+
+
+def compact_result_line(timings: dict, total: float, sf_val) -> str:
+    """ONE parseable JSON line within the driver's capture window:
+    degrade per-query precision first, then (last resort) drop the
+    cheapest queries, reporting how many were omitted."""
+
+    def line_for(qdict: dict, extra: dict) -> str:
+        return json.dumps(
+            {
+                "metric": "sum_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": qdict,
+                **extra,
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
+        )
+
+    for dp in (2, 1):
+        out = line_for({k: round(v, dp) for k, v in timings.items()}, {})
+        if len(out) <= MAX_LINE:
+            return out
+    ranked = sorted(timings, key=lambda k: -timings[k])
+    for n_keep in range(len(ranked) - 1, -1, -1):
+        trimmed = {k: round(timings[k], 1) for k in ranked[:n_keep]}
+        out = line_for(trimmed, {"queries_omitted": len(timings) - n_keep})
+        if len(out) <= MAX_LINE:
+            return out
+    return line_for({}, {"queries_omitted": len(timings)})
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -45,47 +83,7 @@ def main() -> None:
     sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
     # Full precision for humans / the repo record.
     print(json.dumps({"queries_full": timings, "sf": sf_val}), file=sys.stderr)
-
-    # The driver captures only the LAST 2000 chars of stdout and parses
-    # that (BENCH_r{1..4}.json all show "parsed": null from an
-    # over-long line truncated mid-JSON). Emit ONE compact line and
-    # degrade per-query precision before ever exceeding the window.
-    def line_for(dp: int) -> str:
-        return json.dumps(
-            {
-                "metric": "sum_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": {k: round(v, dp) for k, v in timings.items()},
-                "sf": sf_val,
-            },
-            separators=(",", ":"),
-        )
-
-    out = next(
-        (s for dp in (2, 1) if len(s := line_for(dp)) <= 1950), None
-    )
-    if out is None:
-        # last resort: keep the slowest queries, drop the cheap tail
-        ranked = sorted(timings, key=lambda k: -timings[k])
-        kept = dict.fromkeys(ranked, None)
-        while kept:
-            kept.popitem()
-            trimmed = {k: round(timings[k], 1) for k in kept}
-            out = json.dumps(
-                {
-                    "metric": "sum_query_seconds",
-                    "value": total,
-                    "unit": "sec",
-                    "queries": trimmed,
-                    "queries_omitted": len(timings) - len(trimmed),
-                    "sf": sf_val,
-                },
-                separators=(",", ":"),
-            )
-            if len(out) <= 1950:
-                break
-    print(out)
+    print(compact_result_line(timings, total, sf_val))
 
 
 if __name__ == "__main__":

@@ -32,6 +32,14 @@ PROBE_QUERIES = [
     "csv_roundtrip_orders",
     "interop_roundtrip_events",
     "time_weighted_avg_events",
+    # round-5 surfaces: the TIMESTAMP(MICROS)→NTZ testdata switch broke
+    # exactly these classes on the driver's bare session — epoch-µs
+    # window math, the rangejoin SQL-expr bucketing, the scale path's
+    # numeric time cast, and the footer-sniffed streaming schema
+    "sessionize_events",
+    "interval_join_error_click",
+    "lag_hotkey_events",
+    "streaming_session_windows",
 ]
 
 _SCRIPT = textwrap.dedent(

@@ -2161,7 +2161,7 @@ def orc_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _late_chunked_events(sf_dir: str) -> str:
-    """Chunk events.parquet into 8 time-ordered files plus one LATE file
+    """Chunk events.parquet into 4 time-ordered files plus one LATE file
     (every event_id % 97 == 0 row, held back to arrive after everything
     else) — deterministic stream-input scaffolding for the late-data lag
     query. Files are named AND mtime-ordered in arrival order so the file
@@ -2176,7 +2176,8 @@ def _late_chunked_events(sf_dir: str) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    n_chunks = 4
+    key = hashlib.md5(f"{sf_dir}|{n_chunks}".encode()).hexdigest()[:10]
     out = os.path.join(tempfile.gettempdir(), f"ts_late_chunks_{key}")
     marker = os.path.join(out, "_READY")
     if os.path.exists(marker):
@@ -2187,7 +2188,6 @@ def _late_chunked_events(sf_dir: str) -> str:
     pdf["ts"] = pdf["ts"].astype("datetime64[us]")
     late = pdf[pdf["event_id"] % 97 == 0]
     on_time = pdf[pdf["event_id"] % 97 != 0].reset_index(drop=True)
-    n_chunks = 8
     step = (len(on_time) + n_chunks - 1) // n_chunks or 1
     seq = 0
     for i in range(0, len(on_time), step):
@@ -2225,7 +2225,7 @@ def _late_chunked_events(sf_dir: str) -> str:
     """,
 )
 def streaming_lag_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stateful streaming lag under LATE data: the input arrives as 8
+    """Stateful streaming lag under LATE data: the input arrives as 4
     time-ordered micro-batches (maxFilesPerTrigger=1) plus a final batch
     of ~1% held-back rows (event_id % 97 == 0) that are hours-to-days
     late. On-time rows lag across batch boundaries through the per-key
