@@ -1202,6 +1202,41 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dedup_watermarked",
+    oracle="""
+    SELECT user_id, event_type, COUNT(*) AS n_keys
+    FROM (SELECT DISTINCT user_id, event_type FROM events)
+    GROUP BY user_id, event_type
+    """,
+)
+def streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BOUNDED-state streaming dedup (the mitigation SCALE.md names
+    for unbounded dropDuplicates state): dropDuplicatesWithinWatermark
+    evicts a key's state once the watermark passes its event time + the
+    1-hour delay, so state is O(keys active per window), not O(all keys
+    ever). On a fully drained ordered replay every duplicate falls inside
+    the window, so the output equals batch DISTINCT — which the oracle
+    asserts (n_keys is constant 1 by construction; it pins row
+    uniqueness into the value hash)."""
+    import pyspark.sql.functions as F
+
+    from .sources.catalog import read_events_stream
+    from .streaming.lag_stream import run_stream_to_df
+
+    stream = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+    )
+    _STREAM_SEQ[0] += 1
+    return run_stream_to_df(
+        stream, f"ts_stream_dedup_wm_{_STREAM_SEQ[0]}", output_mode="complete"
+    )
+
+
+@register(
     "streaming_lag_events",
     oracle="""
     SELECT user_id, epoch_us(ts) AS ts, event_id, value,
@@ -2305,6 +2340,7 @@ GRADE_PRIORITY: list[str] = [
     "ann_ivf_persisted_topk",
     "streaming_lag_events",
     "streaming_dedup_events",
+    "streaming_dedup_watermarked",
     "stream_stream_join",
     # -- green in r4, keep a wide representative window --
     "lsh_neardup_capped_docs",

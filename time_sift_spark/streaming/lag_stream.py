@@ -123,24 +123,48 @@ def pinned_shuffle_partitions(spark, n: int):
         spark.conf.set(key, old)
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
 def run_stream_to_df(
     stream_out: DataFrame,
     query_name: str,
     *,
     output_mode: str = "append",
     shuffle_partitions: int = 16,
+    state_store: str | None = None,
 ) -> DataFrame:
     """Drive a streaming DataFrame through a memory sink synchronously and
     return the materialized result as a batch DataFrame (test/driver
-    convenience; production would writeStream to a real sink)."""
+    convenience; production would writeStream to a real sink).
+
+    ``state_store="rocksdb"`` swaps the per-partition state store to the
+    RocksDB provider (SCALE.md's lever for state that exceeds executor
+    heap — spilling keyed state to local SSD instead of OOMing). The
+    provider is latched per query at start, so pinning it around
+    ``.start()`` scopes it to this drain; results are identical either
+    way, which ``tests/test_streaming_sinks.py`` asserts."""
     spark = stream_out.sparkSession
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(provider_key, None)
     with pinned_shuffle_partitions(spark, shuffle_partitions):
-        q = (
-            stream_out.writeStream.outputMode(output_mode)
-            .format("memory")
-            .queryName(query_name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        if state_store == "rocksdb":
+            spark.conf.set(provider_key, ROCKSDB_PROVIDER)
+        try:
+            q = (
+                stream_out.writeStream.outputMode(output_mode)
+                .format("memory")
+                .queryName(query_name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            if state_store == "rocksdb":
+                if old_provider is None:
+                    spark.conf.unset(provider_key)
+                else:
+                    spark.conf.set(provider_key, old_provider)
     return spark.table(query_name)
