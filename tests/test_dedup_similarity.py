@@ -397,3 +397,31 @@ def test_lsh_band_cap_bounds_skew(spark):
     tpairs = set(map(tuple, truth[["doc_id_a", "doc_id_b"]].to_numpy()))
     assert tpairs == {(100, 101), (102, 103)}
     assert cpairs == tpairs
+
+
+def test_neardup_clusters_transitivity(spark):
+    """A→B and B→C near-dup pairs must land in ONE cluster even when A↔C
+    alone would not pair (transitive closure), with min-id canonical."""
+    from time_sift_spark.operators.dedup import neardup_clusters
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu "
+        "nu xi omicron pi rho sigma tau upsilon phi chi psi omega one two"
+    )
+    chain_b = base.replace("one two", "one three")     # near base
+    chain_c = chain_b.replace("alpha beta", "alpha bets")  # near chain_b
+    rows = [
+        (10, base), (11, chain_b), (12, chain_c),
+        (20, "unrelated text about compilers parsers lexers and tokens entirely"),
+        (30, base),  # exact copy of 10 — same cluster
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = neardup_clusters(df, "doc_id", "text", threshold=0.4).toPandas()
+    by_doc = dict(zip(out.doc_id, out.cluster_id))
+    assert by_doc[10] == by_doc[11] == by_doc[30] == 10
+    # chain_c joins via chain_b (possibly not directly paired with base)
+    assert by_doc.get(12, 10) == 10
+    assert 20 not in by_doc  # singleton: absent from the pair graph
+    canon = out[out.is_canonical]
+    assert set(canon.doc_id) == {10}
+    assert (out[out.cluster_id == 10].cluster_size.iloc[0]) == len(out[out.cluster_id == 10])

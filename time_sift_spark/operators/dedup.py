@@ -470,6 +470,107 @@ def lsh_verified_neardup(df: DataFrame, id_col: str, text_col: str, **kw) -> Dat
     return _run(df, lsh_verified_neardup_sql, id_col, text_col, **kw)
 
 
+def neardup_clusters_oracle_sql(
+    d: Dialect, table: str, id_col: str, text_col: str, **kw
+) -> str:
+    """DuckDB-only oracle for :func:`neardup_clusters`: connected
+    components over the verified near-dup pair graph via WITH RECURSIVE
+    (min reachable id = component label). The recursion is the ORACLE
+    formulation; the Spark side is iterative label propagation
+    (:func:`neardup_clusters`) because a recursive join is exactly the
+    unbounded-depth plan you don't want on a cluster — the iterative form
+    bounds each step to one shuffle over the (shrinking) frontier."""
+    pairs_sql = lsh_verified_neardup_sql(d, table, id_col, text_col, **kw)
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (
+      SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_id_b, doc_id_a FROM pairs
+    ),
+    verts AS (SELECT DISTINCT a AS id FROM edges),
+    reach(id, lbl) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.id = e.b
+    ),
+    labeled AS (
+      SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+           doc_id = cluster_id AS is_canonical
+    FROM labeled
+    """
+
+
+def neardup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_iterations: int = 25,
+    **kw,
+) -> DataFrame:
+    """Near-dup CLUSTER assignment — the step after pair detection in a
+    real dedup pipeline: group transitively-connected near-dups into
+    components and pick one canonical doc (min id) per component, so
+    "keep one per cluster" is a filter on ``is_canonical``.
+
+    Spark-first formulation: iterative min-label propagation (the Pregel
+    / GraphX connected-components recurrence expressed in DataFrame ops).
+    Each iteration is ONE shuffle (edge-label join + min-agg per vertex);
+    convergence needs O(component diameter) iterations — near-dup
+    clusters are shallow (dup clusters of text corpora are near-cliques:
+    2-4 hops), so the loop runs ~3 times in practice. The driver-side
+    loop iterates over ITERATIONS (a scalar per step), never over rows;
+    ``localCheckpoint`` truncates lineage so the plan doesn't grow with
+    the iteration count.
+
+    Output: (doc_id, cluster_id, cluster_size, is_canonical) for every
+    doc that appears in at least one verified pair. Singletons are
+    deliberately absent — at 100 TB the pair graph is ≪ the corpus, and
+    everything not in it is trivially its own canonical.
+    """
+    from pyspark.sql import functions as F
+
+    pairs = lsh_verified_neardup(df, id_col, text_col, **kw)
+    edges = pairs.selectExpr("doc_id_a AS src", "doc_id_b AS dst").unionAll(
+        pairs.selectExpr("doc_id_b AS src", "doc_id_a AS dst")
+    )
+    edges = edges.localCheckpoint()  # pair screen runs ONCE, not per iteration
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "lbl", F.col("id")
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+                (F.col("lbl") != F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl"))).alias("_chg"),
+            )
+        ).localCheckpoint()
+        changed = new_labels.where("_chg").count()
+        labels = new_labels.drop("_chg")
+        if changed == 0:
+            break
+    from pyspark.sql import Window
+
+    w_size = F.count(F.lit(1)).over(Window.partitionBy("lbl"))
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        w_size.cast("bigint").alias("cluster_size"),
+        (F.col("id") == F.col("lbl")).alias("is_canonical"),
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 60) -> DataFrame:
     return _run(df, simhash_sql, id_col, text_col, bits=bits)
 

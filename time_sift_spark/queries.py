@@ -734,6 +734,23 @@ def lsh_verified_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "neardup_clusters_docs",
+    oracle=_dd.neardup_clusters_oracle_sql(DUCK, "documents", "doc_id", "text", threshold=0.5),
+)
+def neardup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment over the verified pair graph:
+    transitively-connected near-dups share a cluster_id (min doc id in the
+    component) and exactly one member is canonical — "keep one per
+    cluster" is then a filter on is_canonical. Spark side is iterative
+    min-label propagation (one shuffle per hop, O(diameter) hops —
+    operators/dedup.neardup_clusters); the oracle is the same graph walked
+    by a DuckDB recursive CTE. An iterative DataFrame algorithm the driver
+    still value-hashes — the recursion lives only in the oracle."""
+    docs = load_table(spark, "documents", sf_dir)
+    return _dd.neardup_clusters(docs, "doc_id", "text", threshold=0.5)
+
+
+@register(
     "lsh_neardup_capped_docs",
     oracle=_dd.lsh_verified_neardup_sql(
         DUCK, "documents", "doc_id", "text", threshold=0.5, band_freq_cap=8
@@ -2341,6 +2358,7 @@ GRADE_PRIORITY: list[str] = [
     "streaming_lag_events",
     "streaming_dedup_events",
     "streaming_dedup_watermarked",
+    "neardup_clusters_docs",
     "stream_stream_join",
     # -- green in r4, keep a wide representative window --
     "lsh_neardup_capped_docs",
