@@ -95,6 +95,55 @@ def test_asof_join_inclusive_tie(spark):
     assert out.price_asof.tolist() == [42.0]
 
 
+def test_asof_join_forward(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 1, 2], "t": [ts(1), ts(3), ts(5), ts(1)], "lid": [10, 11, 12, 13]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 2], "t": [ts(2), ts(4), ts(9)], "price": [100.0, 200.0, 300.0]})
+    )
+    out = (
+        asof_join(left, right, on="k", left_time="t", right_time="t",
+                  right_cols=["price"], direction="forward")
+        .orderBy("k", "t")
+        .toPandas()
+    )
+    # k=1: t1 → 100 (next at t2); t3 → 200 (t4); t5 → none. k=2: t1 → 300 (t9).
+    assert out.price_asof.isna().tolist() == [False, False, True, False]
+    assert out.price_asof.dropna().tolist() == [100.0, 200.0, 300.0]
+
+
+def test_asof_join_forward_inclusive_tie(spark):
+    # right row at exactly the left time IS matched (forward inclusive)
+    left = spark.createDataFrame(pd.DataFrame({"k": [1], "t": [ts(2)], "lid": [1]}))
+    right = spark.createDataFrame(pd.DataFrame({"k": [1], "t": [ts(2)], "price": [42.0]}))
+    out = asof_join(left, right, on="k", left_time="t", right_time="t",
+                    right_cols=["price"], direction="forward").toPandas()
+    assert out.price_asof.tolist() == [42.0]
+
+
+def test_asof_forward_matches_pandas_merge_asof(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    lp = pd.DataFrame({
+        "k": rng.randint(0, 4, 60), "t": [ts(int(x) // 60, int(x) % 60) for x in rng.choice(500, 60, replace=False)],
+    }).sort_values("t")
+    rp = pd.DataFrame({
+        "k": rng.randint(0, 4, 40), "t": [ts(int(x) // 60, int(x) % 60) for x in rng.choice(500, 40, replace=False)],
+        "price": rng.rand(40).round(3) * 100,
+    }).sort_values("t")
+    out = (
+        asof_join(spark.createDataFrame(lp), spark.createDataFrame(rp),
+                  on="k", left_time="t", right_time="t",
+                  right_cols=["price"], direction="forward")
+        .orderBy("k", "t").toPandas()
+    )
+    expect = pd.merge_asof(lp, rp, on="t", by="k", direction="forward").sort_values(["k", "t"]).reset_index(drop=True)
+    assert out.price_asof.round(6).where(out.price_asof.notna(), -1).tolist() == \
+        expect.price.round(6).where(expect.price.notna(), -1).tolist()
+
+
 def test_resample(spark):
     pdf = pd.DataFrame(
         {

@@ -46,13 +46,19 @@ def asof_join(
     right_time: str,
     right_cols: Sequence[str],
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of (backward, inclusive) join.
+    """Left as-of join, backward (default) or forward, both inclusive.
 
-    Every ``left`` row gains ``{c}{suffix}`` for each c in ``right_cols``,
-    taken from the most recent ``right`` row of the same key with
-    ``right_time <= left_time`` (NULLs where no such row exists).
+    Every ``left`` row gains ``{c}{suffix}`` for each c in ``right_cols``:
+    ``direction="backward"`` takes the most recent right row with
+    ``right_time <= left_time``; ``direction="forward"`` the earliest
+    right row with ``right_time >= left_time`` (NULLs where none exists).
+    Both are the SAME one-Exchange union+window plan — forward flips the
+    tie ordering and the frame side, nothing else.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     on = [on] if isinstance(on, str) else list(on)
     right_cols = list(right_cols)
     for c in on + [left_time]:
@@ -77,17 +83,28 @@ def asof_join(
     )
     unioned = left_tagged.unionByName(right_tagged)
 
-    # one shuffle: partition by key, order by (time, side) — side=0 (right)
-    # sorts before side=1 (left) at equal times, making same-instant right
-    # rows visible (inclusive backward semantics).
-    w = (
-        Window.partitionBy(*on)
-        .orderBy("_asof_t", "_side")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    # one shuffle: partition by key, order by (time, side). Backward:
+    # side=0 (right) sorts before side=1 (left) at equal times and
+    # last() looks over the PRECEDING frame — a same-instant right row is
+    # visible. Forward mirrors it: right sorts after left at ties and
+    # first() looks over the FOLLOWING frame.
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*on)
+            .orderBy("_asof_t", "_side")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        pick = F.last
+    else:
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("_asof_t").asc(), F.col("_side").desc())
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        pick = F.first
     carried = unioned.select(
         *[c for c in unioned.columns if c not in payload],
-        *[F.last(p, ignorenulls=True).over(w).alias(p) for p in payload],
+        *[pick(p, ignorenulls=True).over(w).alias(p) for p in payload],
     )
     return carried.where(F.col("_side") == 1).drop("_side", "_asof_t")
 

@@ -385,6 +385,37 @@ def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_join_next_purchase",
+    oracle="""
+    SELECT l.user_id, l.ts, l.event_id, l.value, r.value AS value_asof
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts <= r.ts
+    """,
+)
+def asof_join_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of: for each click, the user's NEXT purchase value at or
+    after it (attribution's "what did this click lead to"). Same
+    one-Exchange union+window plan as the backward form with the frame
+    side and tie order flipped (operators.asof, direction="forward")."""
+    from .operators.asof import asof_join
+
+    events = load_table(spark, "events", sf_dir)
+    clicks = events.where(events.event_type == "click")
+    purchases = events.where(events.event_type == "purchase")
+    joined = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_cols=["value"],
+        direction="forward",
+    )
+    return joined.select("user_id", "ts", "event_id", "value", "value_asof")
+
+
+@register(
     "asof_join_purchases_bcast",
     oracle="""
     SELECT l.user_id, l.ts, l.event_id, l.value, r.value AS value_asof
@@ -2359,6 +2390,7 @@ GRADE_PRIORITY: list[str] = [
     "streaming_dedup_events",
     "streaming_dedup_watermarked",
     "neardup_clusters_docs",
+    "asof_join_next_purchase",
     "stream_stream_join",
     # -- green in r4, keep a wide representative window --
     "lsh_neardup_capped_docs",
