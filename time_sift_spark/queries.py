@@ -476,6 +476,67 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "value_deciles_events",
+    oracle="""
+    SELECT event_id, event_type, value,
+           NTILE(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile
+    FROM events
+    """,
+)
+def value_deciles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class decile assignment (quantile binning, the feature-bucketing
+    primitive): NTILE over one (event_type)-partitioned window — same
+    single-Exchange shape as every other window op. event_id tiebreak
+    makes bin edges deterministic on both engines."""
+    from pyspark.sql import Window
+    import pyspark.sql.functions as F
+
+    events = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return events.select(
+        "event_id", "event_type", "value", F.ntile(10).over(w).alias("decile")
+    )
+
+
+@register(
+    "class_capped_sample_events",
+    oracle="""
+    SELECT event_id, event_type, value
+    FROM (
+      SELECT event_id, event_type, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rnk
+      FROM events
+    )
+    WHERE rnk <= 500
+    """,
+)
+def class_capped_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class cap — the LLM-curation rebalancer ("at most N docs per
+    source/class"): rank rows inside each class by a hash of their id and
+    keep the first N. The hash makes the kept set uniform-ish yet fully
+    deterministic and cluster-size-independent (unlike df.sample); the
+    rank filter compiles to WindowGroupLimit, so each input partition
+    forwards at most N rows per class to the shuffle — the cap is applied
+    BEFORE the exchange, not after."""
+    from pyspark.sql import Window
+    import pyspark.sql.functions as F
+
+    events = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    return (
+        events.select(
+            "event_id", "event_type", "value", F.row_number().over(w).alias("rnk")
+        )
+        .where(F.col("rnk") <= 500)
+        .drop("rnk")
+    )
+
+
+@register(
     "stratified_sample_events",
     oracle="""
     SELECT event_id, user_id, event_type, value
@@ -2391,6 +2452,8 @@ GRADE_PRIORITY: list[str] = [
     "streaming_dedup_watermarked",
     "neardup_clusters_docs",
     "asof_join_next_purchase",
+    "value_deciles_events",
+    "class_capped_sample_events",
     "stream_stream_join",
     # -- green in r4, keep a wide representative window --
     "lsh_neardup_capped_docs",
