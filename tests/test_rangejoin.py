@@ -55,3 +55,31 @@ def test_interval_join_no_duplicates(spark):
         tolerance_seconds=300, left_cols=("lid",), right_cols=("rid",),
     ).toPandas()
     assert len(out) == 1
+
+
+def test_interval_lookup_equals_blocked_form(spark):
+    """Broadcast-lookup interval join must produce exactly the blocked
+    form's rows on a randomized input (different physical plan, same
+    semantics)."""
+    import numpy as np
+
+    from time_sift_spark.operators.rangejoin import interval_join_lookup
+
+    rng = np.random.RandomState(3)
+    lp = pd.DataFrame({
+        "k": rng.randint(0, 5, 80),
+        "ts": [t(int(x) // 60, int(x) % 60) for x in rng.randint(0, 24 * 60, 80)],
+        "lid": np.arange(80),
+    })
+    rp = pd.DataFrame({
+        "k": rng.randint(0, 5, 60),
+        "ts": [t(int(x) // 60, int(x) % 60) for x in rng.randint(0, 24 * 60, 60)],
+        "rid": np.arange(60),
+    })
+    kw = dict(on="k", left_time="ts", right_time="ts",
+              tolerance_seconds=900, left_cols=("lid",), right_cols=("rid",))
+    a = interval_join(spark.createDataFrame(lp), spark.createDataFrame(rp), **kw) \
+        .orderBy("l_lid", "r_rid").toPandas()
+    b = interval_join_lookup(spark.createDataFrame(lp), spark.createDataFrame(rp), **kw) \
+        .orderBy("l_lid", "r_rid").toPandas()
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b[a.columns].reset_index(drop=True))

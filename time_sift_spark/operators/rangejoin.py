@@ -81,3 +81,58 @@ def interval_join(
         *[f"r_{c}" for c in right_cols],
         (F.col("_r_us") - F.col("_l_us")).alias("delta_us"),
     )
+
+def interval_join_lookup(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str | Sequence[str],
+    left_time: str,
+    right_time: str,
+    tolerance_seconds: int,
+    left_cols: Sequence[str],
+    right_cols: Sequence[str],
+) -> DataFrame:
+    """Broadcast-lookup interval join — same output contract as
+    :func:`interval_join`, different physical strategy for a SMALL right
+    side (the asof_join_lookup pattern applied to a band predicate).
+
+    The right side collapses to one time-sorted struct-array row per key
+    and broadcasts; each left (fact) row filters its key's array to the
+    ±tolerance band and explodes the hits — ZERO shuffles on the fact
+    side. Choose this when the right side fits a broadcast (~8 GB hard
+    limit); the bucket-blocked :func:`interval_join` when both sides are
+    large.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    left_cols, right_cols = list(left_cols), list(right_cols)
+    for c in [*on, left_time, *left_cols]:
+        if c not in left.columns:
+            raise ColumnNotFoundError(f"left column {c!r} not in {left.columns}")
+    for c in [*on, right_time, *right_cols]:
+        if c not in right.columns:
+            raise ColumnNotFoundError(f"right column {c!r} not in {right.columns}")
+
+    tol_us = int(tolerance_seconds) * 1_000_000
+    entry = F.struct(
+        ts_us(F.col(right_time)).alias("_t"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    lookup = right.groupBy(*on).agg(F.sort_array(F.collect_list(entry)).alias("_arr"))
+
+    joined = left.select(
+        *on, *[F.col(c).alias(f"l_{c}") for c in left_cols],
+        ts_us(F.col(left_time)).alias("_l_us"),
+    ).join(F.broadcast(lookup), on=on, how="inner")
+    hits = F.filter(
+        F.col("_arr"), lambda s: F.abs(s["_t"] - F.col("_l_us")) <= F.lit(tol_us)
+    )
+    exploded = joined.select(
+        *on, *[f"l_{c}" for c in left_cols], "_l_us", F.explode(hits).alias("_hit")
+    )
+    return exploded.select(
+        *on,
+        *[f"l_{c}" for c in left_cols],
+        *[F.col("_hit")[c].alias(f"r_{c}") for c in right_cols],
+        (F.col("_hit")["_t"] - F.col("_l_us")).alias("delta_us"),
+    )

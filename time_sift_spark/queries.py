@@ -1949,6 +1949,40 @@ def interval_join_error_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "interval_join_bcast",
+    oracle="""
+    SELECT l.user_id,
+           l.event_id AS l_event_id,
+           r.event_id AS r_event_id,
+           epoch_us(r.ts) - epoch_us(l.ts) AS delta_us
+    FROM (SELECT * FROM events WHERE event_type = 'error') l
+    JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      ON l.user_id = r.user_id
+     AND abs(epoch_us(r.ts) - epoch_us(l.ts)) <= 300000000
+    """,
+)
+def interval_join_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SECOND interval-join strategy (operators.rangejoin.
+    interval_join_lookup): the click side collapses to one sorted
+    struct-array row per user and broadcasts — zero shuffles on the error
+    (fact) side. Same semantics and oracle as interval_join_error_click;
+    choose it when one side fits a broadcast."""
+    from .operators.rangejoin import interval_join_lookup
+
+    events = load_table(spark, "events", sf_dir)
+    return interval_join_lookup(
+        events.where(events.event_type == "error"),
+        events.where(events.event_type == "click"),
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        tolerance_seconds=300,
+        left_cols=("event_id",),
+        right_cols=("event_id",),
+    )
+
+
+@register(
     "pivot_qty_by_status",
     oracle="""
     SELECT l_returnflag,
@@ -2454,6 +2488,7 @@ GRADE_PRIORITY: list[str] = [
     "asof_join_next_purchase",
     "value_deciles_events",
     "class_capped_sample_events",
+    "interval_join_bcast",
     "stream_stream_join",
     # -- green in r4, keep a wide representative window --
     "lsh_neardup_capped_docs",
