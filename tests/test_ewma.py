@@ -161,3 +161,51 @@ def test_ewma_strategies_align_on_null_order_values(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_ewma_horizon_full_history_matches_pandas(spark):
+    """With horizon >= series length the truncated fold IS the exact
+    adjust=False recurrence — pin it against pandas ewm."""
+    import numpy as np
+    import pandas as pd
+
+    from time_sift_spark.operators.ewma import ewma_horizon
+
+    rng = np.random.RandomState(11)
+    pdf = pd.DataFrame(
+        {
+            "k": np.repeat([1, 2], 30),
+            "t": np.tile(np.arange(30, dtype="int64"), 2),
+            "v": rng.rand(60) * 10,
+        }
+    )
+    out = (
+        ewma_horizon(
+            spark.createDataFrame(pdf), "v", "t", partition_by="k",
+            alpha=0.3, horizon=100,
+        )
+        .orderBy("k", "t")
+        .toPandas()
+    )
+    expect = pdf.sort_values(["k", "t"]).groupby("k").v.transform(
+        lambda s: s.ewm(alpha=0.3, adjust=False).mean()
+    )
+    np.testing.assert_allclose(out.v_ewma100.to_numpy(), expect.to_numpy(), rtol=1e-12)
+
+
+def test_ewma_horizon_truncation_bounds_memory(spark):
+    """A value older than the horizon must have NO influence at all."""
+    import numpy as np
+    import pandas as pd
+
+    from time_sift_spark.operators.ewma import ewma_horizon
+
+    base = pd.DataFrame({"k": 1, "t": np.arange(10, dtype="int64"), "v": [5.0] * 10})
+    spiked = base.copy()
+    spiked.loc[0, "v"] = 1e9  # only the FIRST row differs
+    kw = dict(partition_by="k", alpha=0.5, horizon=3)
+    a = ewma_horizon(spark.createDataFrame(base), "v", "t", **kw).orderBy("t").toPandas()
+    b = ewma_horizon(spark.createDataFrame(spiked), "v", "t", **kw).orderBy("t").toPandas()
+    # from row 3 on, the spike has left the 3-row window entirely
+    assert a.v_ewma3.iloc[3:].tolist() == b.v_ewma3.iloc[3:].tolist()
+    assert a.v_ewma3.iloc[0] != b.v_ewma3.iloc[0]

