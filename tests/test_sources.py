@@ -54,3 +54,22 @@ def test_partitioned_parquet_write(spark, sample, tmp_path):
     # partition pruning: filter on the partition column prunes files
     plan = back.where("part = 0")._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "part" in plan.split("PartitionFilters:")[1][:80]
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed on their join keys must merge-join with NO
+    Exchange on either input — the write-time shuffle replaces the
+    query-time one."""
+    import pandas as pd
+
+    from time_sift_spark.sources.catalog import ensure_bucketed_table
+
+    a = spark.createDataFrame(pd.DataFrame({"k": range(100), "x": range(100)}))
+    b = spark.createDataFrame(pd.DataFrame({"k": range(0, 100, 2), "y": range(50)}))
+    ta = ensure_bucketed_table(spark, "tb_a", a, "k", num_buckets=4, cache_key=str(tmp_path))
+    tb = ensure_bucketed_table(spark, "tb_b", b, "k", num_buckets=4, cache_key=str(tmp_path))
+    j = spark.table(ta).hint("merge").join(spark.table(tb), "k")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan  # co-located: no shuffle anywhere in the join
+    assert j.count() == 50

@@ -1983,6 +1983,56 @@ def interval_join_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bucketed_join_revenue",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,6))), 4)
+                AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located (bucketed) fact-fact join: lineitem and orders are
+    materialized ONCE as tables bucketed on their join keys with equal
+    bucket counts, so the merge join needs ZERO Exchange on either input
+    — the write-time shuffle is amortized over every later join, the
+    bucketing story SCALE.md tells for repeated fact-fact joins at
+    100 TB. The merge hint pins the join strategy so the plan shows the
+    bucket co-location rather than a size-based broadcast; the only
+    Exchange in the plan is the final 5-group aggregation."""
+    import pyspark.sql.functions as F
+
+    from .sources.catalog import ensure_bucketed_table, load_table
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    lt = ensure_bucketed_table(
+        spark, "ts_b_lineitem", li, "l_orderkey", num_buckets=8, cache_key=sf_dir
+    )
+    ot = ensure_bucketed_table(
+        spark, "ts_b_orders", orders, "o_orderkey", num_buckets=8, cache_key=sf_dir
+    )
+    return (
+        spark.table(lt)
+        .hint("merge")
+        .join(spark.table(ot), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _fdsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@register(
     "pivot_qty_by_status",
     oracle="""
     SELECT l_returnflag,
@@ -2516,6 +2566,7 @@ GRADE_PRIORITY: list[str] = [
     "class_capped_sample_events",
     "interval_join_bcast",
     "ewma_horizon_events",
+    "bucketed_join_revenue",
     "stream_stream_join",
     # -- green in r4, keep a wide representative window --
     "lsh_neardup_capped_docs",

@@ -144,6 +144,46 @@ def read_events_stream(
     return stream
 
 
+def ensure_bucketed_table(
+    spark: SparkSession,
+    base_name: str,
+    df: DataFrame,
+    bucket_key: str,
+    *,
+    num_buckets: int = 8,
+    cache_key: str = "",
+) -> str:
+    """Materialize ``df`` as an external BUCKETED (and per-bucket sorted)
+    table and return its catalog name — the co-located-join primitive:
+    two tables bucketed on their join keys with equal bucket counts
+    sort-merge-join with ZERO Exchange on either side (the shuffle was
+    paid once at write time, not per query; at 100 TB this is how a fact
+    table joins a fact table repeatedly without re-shuffling petabytes).
+
+    Build-once: if the table is already in this session's catalog it is
+    reused as-is; a fresh session pays one rebuild (the in-memory catalog
+    does not survive the session, though the files do).
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(cache_key.encode()).hexdigest()[:8] if cache_key else "d"
+    name = f"{base_name}_{key}"
+    if spark.catalog.tableExists(name):
+        return name
+    path = os.path.join(tempfile.gettempdir(), f"ts_bucketed_{name}")
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, bucket_key)
+        .sortBy(bucket_key)
+        .option("path", path)
+        .saveAsTable(name)
+    )
+    return name
+
+
 def register_views(spark: SparkSession, sf_dir: str | None = None, tables=TABLES) -> None:
     """Register every testdata table as a temp view for spark.sql use."""
     for t in tables:
