@@ -2033,6 +2033,39 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "json_props_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           COUNT(DISTINCT json_extract_string(props, '$.k')) AS n_distinct_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured (JSON string column) extraction — the schema-on-read
+    path every event pipeline needs: pull a field out of the props JSON
+    with a JVM-side path expression (get_json_object; no Python, no UDF)
+    and aggregate it. At scale you would from_json into a typed struct
+    column once at ingest and let pruning skip the parse — this query pins
+    the extraction semantics both engines agree on."""
+    import pyspark.sql.functions as F
+
+    events = load_table(spark, "events", sf_dir)
+    k = F.get_json_object("props", "$.k")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k.cast("long")).alias("sum_k"),
+        F.min(k.cast("long")).alias("min_k"),
+        F.max(k.cast("long")).alias("max_k"),
+        F.countDistinct(k).alias("n_distinct_k"),
+    )
+
+
+@register(
     "pivot_qty_by_status",
     oracle="""
     SELECT l_returnflag,
@@ -2567,6 +2600,7 @@ GRADE_PRIORITY: list[str] = [
     "interval_join_bcast",
     "ewma_horizon_events",
     "bucketed_join_revenue",
+    "json_props_stats",
     "stream_stream_join",
     # -- green in r4, keep a wide representative window --
     "lsh_neardup_capped_docs",
