@@ -8,6 +8,7 @@ timezone so results compare bit-for-bit against the DuckDB oracle.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -37,6 +38,12 @@ def get_spark(
         # TIMESTAMP(MICROS) testdata must read as TIMESTAMP, not NTZ
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
+        # saveAsTable (bucketed tables) must not drop a spark-warehouse/
+        # dir into the repo cwd; static conf, so set at build time
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(tempfile.gettempdir(), "ts_spark_warehouse"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     for k, v in (extra_conf or {}).items():
