@@ -1,0 +1,56 @@
+"""Structural invariants of the driver-facing registry.
+
+The driver grades the first 50 entries of queries() in GRADE_PRIORITY
+order; a malformed priority list (duplicate names, names that silently
+miss the registry, registry entries forgotten from the list) degrades
+grading without any query failing. Pin the structure.
+"""
+
+from time_sift_spark.queries import GRADE_PRIORITY, REGISTRY, oracle_sql, queries
+
+
+def test_priority_has_no_duplicates():
+    assert len(GRADE_PRIORITY) == len(set(GRADE_PRIORITY))
+
+
+def test_priority_names_all_registered():
+    missing = [n for n in GRADE_PRIORITY if n not in REGISTRY]
+    assert not missing, f"GRADE_PRIORITY names not in REGISTRY: {missing}"
+
+
+def test_every_registered_query_is_prioritized():
+    # relying on the implicit append hides new queries at the tail,
+    # outside the graded window — list them deliberately instead
+    unlisted = [n for n in REGISTRY if n not in set(GRADE_PRIORITY)]
+    assert not unlisted, f"registered but not in GRADE_PRIORITY: {unlisted}"
+
+
+def test_queries_and_oracles_align():
+    qs, os_ = queries(), oracle_sql()
+    assert set(os_) <= set(qs)
+    # exactly the documented rows-only exceptions lack an oracle
+    assert set(qs) - set(os_) == {"ewma_events"}
+
+
+def test_oracles_are_valid_duckdb_sql():
+    """Every oracle must at least PLAN on DuckDB against the real tables —
+    catches dialect typos before the driver does (prepare-only, no
+    execution, so the whole registry checks in seconds)."""
+    import os
+
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        p = os.path.join(sf, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    for name, sql in oracle_sql().items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as exc:  # pragma: no cover
+            raise AssertionError(f"oracle for {name!r} does not plan: {exc}") from exc
