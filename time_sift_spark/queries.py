@@ -944,7 +944,7 @@ def ann_lsh_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     every round."""
     from .operators.similarity import build_lsh_index, query_lsh_index
 
-    path = _index_dir("ts_lsh_index", sf_dir)
+    path = _index_dir("ts_lsh_index", sf_dir, "planes4_tables8_dim64_v1")
     if not _index_ready(path):
         emb = load_table(spark, "embeddings", sf_dir)
         build_lsh_index(
@@ -967,7 +967,7 @@ def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the INLINE IVF query — persisted ≡ inline, driver-checked."""
     from .operators.similarity import build_ivf_index, query_ivf_index
 
-    path = _index_dir("ts_ivf_index", sf_dir)
+    path = _index_dir("ts_ivf_index", sf_dir, "centroids32_v1")
     if not _index_ready(path):
         emb = load_table(spark, "embeddings", sf_dir)
         build_ivf_index(emb, "vec_id", "embedding", path, num_centroids=32)
@@ -1165,17 +1165,19 @@ def interop_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(out)
 
 
-def _index_dir(kind: str, sf_dir: str) -> str:
-    """Deterministic per-(kind, dataset) index location, so the persisted
-    ANN queries build ONCE and later invocations (bench re-runs, repeated
-    driver rounds in one boot) measure pure query latency — the actual
-    serving profile of a persisted index. Keyed on the dataset dir; a new
-    sf_dir gets a fresh build."""
+def _index_dir(kind: str, sf_dir: str, params: str = "") -> str:
+    """Deterministic per-(kind, dataset, build-params) index location, so
+    the persisted ANN queries build ONCE and later invocations (bench
+    re-runs, repeated driver rounds in one boot) measure pure query
+    latency — the actual serving profile of a persisted index. The build
+    params are part of the key: a /tmp index left by an older code
+    version with different hyperparameters must never be served (it
+    would return silently wrong results, not an error)."""
     import hashlib
     import os
     import tempfile
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    key = hashlib.md5(f"{sf_dir}|{params}".encode()).hexdigest()[:10]
     return os.path.join(tempfile.gettempdir(), f"{kind}_{key}")
 
 
