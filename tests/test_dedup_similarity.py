@@ -425,3 +425,38 @@ def test_neardup_clusters_transitivity(spark):
     canon = out[out.is_canonical]
     assert set(canon.doc_id) == {10}
     assert (out[out.cluster_id == 10].cluster_size.iloc[0]) == len(out[out.cluster_id == 10])
+
+
+def test_connected_components_matches_union_find(spark):
+    """Label propagation on random graphs ≡ a union-find reference."""
+    import numpy as np
+    import pandas as pd
+
+    from time_sift_spark.operators.dedup import connected_components
+
+    rng = np.random.RandomState(5)
+    for trial in range(3):
+        n, m = 40, rng.randint(10, 60)
+        e = pd.DataFrame({"src": rng.randint(0, n, m), "dst": rng.randint(0, n, m)})
+        e = e[e.src != e.dst]
+        out = connected_components(spark.createDataFrame(e)).toPandas()
+
+        parent = list(range(n))
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in e.itertuples(index=False):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        verts = sorted(set(e.src) | set(e.dst))
+        # canonical label = min id in component
+        comp = {}
+        for v in verts:
+            r = find(int(v))
+            comp.setdefault(r, []).append(int(v))
+        expect = {v: min(members) for r, members in comp.items() for v in members}
+        got = dict(zip(out.id.astype(int), out.cluster_id.astype(int)))
+        assert got == expect, f"trial {trial}: {got} != {expect}"

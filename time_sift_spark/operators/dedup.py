@@ -532,13 +532,47 @@ def neardup_clusters(
     deliberately absent — at 100 TB the pair graph is ≪ the corpus, and
     everything not in it is trivially its own canonical.
     """
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     pairs = lsh_verified_neardup(df, id_col, text_col, **kw)
-    edges = pairs.selectExpr("doc_id_a AS src", "doc_id_b AS dst").unionAll(
-        pairs.selectExpr("doc_id_b AS src", "doc_id_a AS dst")
+    labels = connected_components(
+        pairs.selectExpr("doc_id_a AS src", "doc_id_b AS dst"),
+        max_iterations=max_iterations,
     )
-    edges = edges.localCheckpoint()  # pair screen runs ONCE, not per iteration
+    w_size = F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        w_size.cast("bigint").alias("cluster_size"),
+        (F.col("id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+def connected_components(
+    edge_pairs: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """General connected-components over an undirected edge list via
+    min-label propagation (the Pregel/GraphX recurrence in DataFrame
+    ops): every vertex converges to the minimum vertex id reachable from
+    it. One shuffle per hop; O(graph diameter) hops; the driver loop
+    iterates over iterations (one scalar count per step), never rows;
+    ``localCheckpoint`` truncates lineage so the plan stays flat.
+
+    Input: one row per undirected edge (symmetrized internally). Output:
+    (id, cluster_id) for every vertex with at least one edge.
+    Property-tested against a union-find reference on random graphs.
+    """
+    from pyspark.sql import functions as F
+
+    edges = edge_pairs.selectExpr(f"{src} AS src", f"{dst} AS dst").unionAll(
+        edge_pairs.selectExpr(f"{dst} AS src", f"{src} AS dst")
+    )
+    edges = edges.localCheckpoint()  # upstream (e.g. pair screen) runs ONCE
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "lbl", F.col("id")
     )
@@ -560,15 +594,7 @@ def neardup_clusters(
         labels = new_labels.drop("_chg")
         if changed == 0:
             break
-    from pyspark.sql import Window
-
-    w_size = F.count(F.lit(1)).over(Window.partitionBy("lbl"))
-    return labels.select(
-        F.col("id").alias("doc_id"),
-        F.col("lbl").alias("cluster_id"),
-        w_size.cast("bigint").alias("cluster_size"),
-        (F.col("id") == F.col("lbl")).alias("is_canonical"),
-    )
+    return labels.select("id", F.col("lbl").alias("cluster_id"))
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 60) -> DataFrame:
