@@ -32,9 +32,16 @@ MAX_LINE = 1950
 def compact_result_line(timings: dict, total: float, sf_val) -> str:
     """ONE parseable JSON line within the driver's capture window:
     degrade per-query precision first, then (last resort) drop the
-    cheapest queries, reporting how many were omitted."""
+    cheapest SUCCESSFUL queries, reporting how many were omitted.
+    Failed queries (sentinel -1.0) are never trimmed away — the compact
+    line must surface failures even when space runs out (full data only
+    goes to stderr, which the driver does not capture)."""
+
+    failed = {k: v for k, v in timings.items() if v < 0}
 
     def line_for(qdict: dict, extra: dict) -> str:
+        if failed:
+            extra = {"n_failed": len(failed), **extra}
         return json.dumps(
             {
                 "metric": "sum_query_seconds",
@@ -51,13 +58,14 @@ def compact_result_line(timings: dict, total: float, sf_val) -> str:
         out = line_for({k: round(v, dp) for k, v in timings.items()}, {})
         if len(out) <= MAX_LINE:
             return out
-    ranked = sorted(timings, key=lambda k: -timings[k])
+    ok = {k: v for k, v in timings.items() if v >= 0}
+    ranked = sorted(ok, key=lambda k: -ok[k])
     for n_keep in range(len(ranked) - 1, -1, -1):
-        trimmed = {k: round(timings[k], 1) for k in ranked[:n_keep]}
-        out = line_for(trimmed, {"queries_omitted": len(timings) - n_keep})
+        trimmed = {k: round(timings[k], 1) for k in [*failed, *ranked[:n_keep]]}
+        out = line_for(trimmed, {"queries_omitted": len(ok) - n_keep})
         if len(out) <= MAX_LINE:
             return out
-    return line_for({}, {"queries_omitted": len(timings)})
+    return line_for(dict(failed), {"queries_omitted": len(ok)})
 
 
 def main() -> None:

@@ -460,3 +460,20 @@ def test_connected_components_matches_union_find(spark):
         expect = {v: min(members) for r, members in comp.items() for v in members}
         got = dict(zip(out.id.astype(int), out.cluster_id.astype(int)))
         assert got == expect, f"trial {trial}: {got} != {expect}"
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A graph whose diameter exceeds max_iterations must FAIL LOUDLY
+    (ADVICE r5: silent fall-through returned split components)."""
+    import pandas as pd
+    import pytest
+
+    from time_sift_spark.operators.dedup import connected_components
+
+    # path graph 0-1-2-...-9: min-label needs ~9 hops to reach the end
+    e = pd.DataFrame({"src": range(9), "dst": range(1, 10)})
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(spark.createDataFrame(e), max_iterations=2).collect()
+    # and with enough iterations the same graph converges to one label
+    out = connected_components(spark.createDataFrame(e), max_iterations=15).toPandas()
+    assert set(out.cluster_id) == {0} and len(out) == 10

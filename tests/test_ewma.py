@@ -209,3 +209,49 @@ def test_ewma_horizon_truncation_bounds_memory(spark):
     # from row 3 on, the spike has left the 3-row window entirely
     assert a.v_ewma3.iloc[3:].tolist() == b.v_ewma3.iloc[3:].tolist()
     assert a.v_ewma3.iloc[0] != b.v_ewma3.iloc[0]
+
+
+def test_ewma_horizon_null_values_skipped_cross_engine(spark):
+    """NULL values are SKIPPED identically on both engines (ADVICE r5:
+    collect_list drops nulls while DuckDB's bare list() keeps them — the
+    oracle must FILTER). Pin the Spark fold against the exact DuckDB
+    formulation the registered oracle uses, on data WITH nulls."""
+    import duckdb
+    import pandas as pd
+
+    from time_sift_spark.operators.ewma import ewma_horizon
+
+    pdf = pd.DataFrame(
+        {
+            "k": [1] * 6 + [2] * 3,
+            "t": list(range(6)) + list(range(3)),
+            "v": [1.0, None, 3.0, None, None, 6.0, None, None, None],
+        }
+    )
+    out = (
+        ewma_horizon(spark.createDataFrame(pdf), "v", "t", partition_by="k", alpha=0.2, horizon=3)
+        .orderBy("k", "t")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("tt", pdf)
+    odf = con.execute(
+        """
+        SELECT k, t,
+               CASE WHEN coalesce(len(l), 0) = 0 THEN NULL
+                    ELSE list_reduce(l, (acc, x) -> acc * CAST(0.8 AS DOUBLE) + CAST(0.2 AS DOUBLE) * x)
+               END AS v_ewma3
+        FROM (
+          SELECT k, t,
+                 list(v) FILTER (WHERE v IS NOT NULL)
+                     OVER (PARTITION BY k ORDER BY t ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS l
+          FROM tt
+        ) ORDER BY k, t
+        """
+    ).df()
+    a = out["v_ewma3"].to_numpy(dtype=float)
+    b = odf["v_ewma3"].to_numpy(dtype=float)
+    assert len(a) == len(b) == 9
+    assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), (a, b)
+    # key 2 is all-null: every row must be NULL, not 0.0 or an error
+    assert np.isnan(a[6:]).all()

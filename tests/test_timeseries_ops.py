@@ -356,3 +356,34 @@ def test_time_weighted_avg_all_ties_key_absent(spark):
     )
     assert out.k.tolist() == [2]
     assert out.time_weighted_avg.tolist() == [4.0]
+
+
+def test_ts_us_operators_reject_numeric_time(spark):
+    """Epoch-numeric time columns must raise at plan-build time (ADVICE
+    r5: CAST silently reads a long as epoch SECONDS — off by 1e6)."""
+    import pandas as pd
+    import pytest
+
+    from time_sift_spark.operators.rangejoin import interval_join, interval_join_lookup
+    from time_sift_spark.operators.rolling import range_rolling_features, time_weighted_avg
+    from time_sift_spark.operators.sessionize import sessionize
+
+    num = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "t": [1_000_000, 2_000_000], "v": [1.0, 2.0]})
+    )
+    with pytest.raises(TypeError, match="epoch"):
+        sessionize(num, "t", 60, partition_by="k").collect()
+    with pytest.raises(TypeError, match="epoch"):
+        range_rolling_features(num, "v", "t", range_seconds=[60], partition_by="k").collect()
+    with pytest.raises(TypeError, match="epoch"):
+        time_weighted_avg(num, "v", "t", partition_by="k").collect()
+    with pytest.raises(TypeError, match="epoch"):
+        interval_join(
+            num, num, on="k", left_time="t", right_time="t",
+            tolerance_seconds=1, left_cols=["v"], right_cols=["v"],
+        ).collect()
+    with pytest.raises(TypeError, match="epoch"):
+        interval_join_lookup(
+            num, num, on="k", left_time="t", right_time="t",
+            tolerance_seconds=1, left_cols=["v"], right_cols=["v"],
+        ).collect()

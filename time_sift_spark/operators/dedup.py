@@ -594,6 +594,16 @@ def connected_components(
         labels = new_labels.drop("_chg")
         if changed == 0:
             break
+    else:
+        # falling through with changed > 0 would return SPLIT components
+        # silently (labels short of the fixpoint) — a diameter >
+        # max_iterations graph must fail loudly, not emit wrong clusters.
+        if changed > 0:
+            raise RuntimeError(
+                f"connected_components did not converge within "
+                f"{max_iterations} iterations ({changed} labels still "
+                f"changing) — raise max_iterations for this graph"
+            )
     return labels.select("id", F.col("lbl").alias("cluster_id"))
 
 

@@ -159,6 +159,14 @@ def ewma_horizon(
 
     Cost: one window Exchange plus O(horizon) array cells per row — the
     horizon is the explicit memory/accuracy knob.
+
+    NULL semantics (part of the cross-engine contract): NULL values are
+    SKIPPED — they occupy a slot in the row-count frame but contribute
+    nothing to the fold (Spark's ``collect_list`` drops them; the paired
+    DuckDB oracle must filter them identically with
+    ``list(v) FILTER (WHERE v IS NOT NULL)``). A row whose entire frame
+    is NULL-valued yields NULL (Spark's empty array and DuckDB's NULL
+    list are both normalized to NULL before folding).
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -176,9 +184,10 @@ def ewma_horizon(
     )
     arr = F.collect_list(value_col).over(w)
     fold = (
+        f"CASE WHEN size(_arr) = 0 THEN CAST(NULL AS DOUBLE) ELSE "
         f"aggregate(slice(_arr, 2, size(_arr) - 1), "
         f"element_at(_arr, 1), "
-        f"(acc, x) -> acc * CAST({1 - alpha} AS DOUBLE) + CAST({alpha} AS DOUBLE) * x)"
+        f"(acc, x) -> acc * CAST({1 - alpha} AS DOUBLE) + CAST({alpha} AS DOUBLE) * x) END"
     )
     return (
         df.withColumn("_arr", arr)

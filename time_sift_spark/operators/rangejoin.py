@@ -22,7 +22,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ._time import ts_us, ts_us_sql
+from ._time import assert_time_dtype, ts_us, ts_us_sql
 from ..errors import ColumnNotFoundError
 
 
@@ -50,6 +50,8 @@ def interval_join(
         if c not in right.columns:
             raise ColumnNotFoundError(f"right column {c!r} not in {right.columns}")
 
+    assert_time_dtype(left, left_time)
+    assert_time_dtype(right, right_time)
     tol_us = int(tolerance_seconds) * 1_000_000
     l_us = ts_us(F.col(left_time))
     r_us = ts_us(F.col(right_time))
@@ -113,6 +115,8 @@ def interval_join_lookup(
         if c not in right.columns:
             raise ColumnNotFoundError(f"right column {c!r} not in {right.columns}")
 
+    assert_time_dtype(left, left_time)
+    assert_time_dtype(right, right_time)
     tol_us = int(tolerance_seconds) * 1_000_000
     entry = F.struct(
         ts_us(F.col(right_time)).alias("_t"),

@@ -14,7 +14,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ._time import ts_us
+from ._time import assert_time_dtype, ts_us
 from ..errors import ColumnNotFoundError, InvalidLagsError
 
 _STATS = {
@@ -106,6 +106,7 @@ def range_rolling_features(
     if missing:
         raise ColumnNotFoundError(f"columns not in DataFrame: {missing}")
 
+    assert_time_dtype(df, time_col)
     t_us = ts_us(F.col(time_col))
     base = (
         Window.partitionBy(*partition_by).orderBy(t_us)
@@ -153,6 +154,7 @@ def time_weighted_avg(
     for c in (*partition_by, value_col, time_col, *order_extra):
         if c not in df.columns:
             raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    assert_time_dtype(df, time_col)
     t_us = ts_us(F.col(time_col))
     w = Window.partitionBy(*partition_by).orderBy(
         t_us, *[F.col(c) for c in order_extra]

@@ -43,8 +43,9 @@ def sessionize(
     prev_ts = F.lag(F.col(time_col), 1).over(w)
     # integer µs arithmetic — exact, and bit-identical to the DuckDB
     # oracle's epoch_us(); float seconds would round.
-    from ._time import ts_us
+    from ._time import assert_time_dtype, ts_us
 
+    assert_time_dtype(df, time_col)
     gap_us = ts_us(F.col(time_col)) - ts_us(prev_ts)
     is_start = F.when(
         prev_ts.isNull() | (gap_us > F.lit(int(gap_seconds) * 1_000_000)), F.lit(1)
