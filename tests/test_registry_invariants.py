@@ -28,8 +28,9 @@ def test_every_registered_query_is_prioritized():
 def test_queries_and_oracles_align():
     qs, os_ = queries(), oracle_sql()
     assert set(os_) <= set(qs)
-    # exactly the documented rows-only exceptions lack an oracle
-    assert set(qs) - set(os_) == {"ewma_events"}
+    # every registered query is oracle-checkable (ewma_events gained a
+    # recursive-CTE oracle in r6 — no rows-only exceptions remain)
+    assert set(qs) - set(os_) == set()
 
 
 def test_oracles_are_valid_duckdb_sql():

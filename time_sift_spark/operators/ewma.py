@@ -10,8 +10,9 @@ Scale: one shuffle on the series key (same partitioning the lag plan
 uses); each group must fit in one executor's memory — the same
 per-series locality assumption the reference makes (whole series in one
 buffer, src/lib.rs:487-488), now bounded per key rather than global.
-Driver check is rows-only (non-SQL-expressible), unit tests pin values
-against pandas ``ewm(adjust=False)``.
+Unit tests pin values against pandas ``ewm(adjust=False)``; the driver
+oracle is a recursive CTE stepping the recurrence per key (bit-exact for
+not-null input — see queries.ewma_events).
 """
 
 from __future__ import annotations

@@ -2184,12 +2184,44 @@ def ewma_horizon_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_id", "value", "value_ewma50")
 
 
-@register("ewma_events")  # sequential recurrence → non-SQL-expressible, rows-only
+@register(
+    "ewma_events",
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    rec AS (
+      SELECT user_id, ts, event_id, value, rn, value AS value_ewma
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.ts, s.event_id, s.value, s.rn,
+             (1 - CAST(0.3 AS DOUBLE)) * r.value_ewma
+               + CAST(0.3 AS DOUBLE) * s.value AS value_ewma
+      FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, ts, event_id, value, value_ewma FROM rec
+    """,
+)
 def ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA of event values via the partition-scan strategy
     (mapInPandas, one Python call per partition with cross-batch carry) —
     measured 8.6× faster than per-key applyInPandas at sf0.1 (0.62 s vs
-    5.3 s, 1500 keys) and bit-identical to it (pinned in unit tests)."""
+    5.3 s, 1500 keys) and bit-identical to it (pinned in unit tests).
+
+    ORACLE (closes the registry's last rows-only gap): the sequential
+    recurrence y_t = (1-α)·y_{t-1} + α·x_t has no windowed-SQL form, but
+    it IS expressible as a recursive CTE stepping rn → rn+1 per key —
+    the oracle formulation, O(max series length) iterations of ~n_keys
+    rows each on DuckDB's working-table recursion. Bit-exactness holds
+    because pandas' adjust=False kernel evaluates
+    fl(fl((1-α)·y) + fl(α·x)) and divides by (1-α)+α == 1.0 exactly
+    (verified for α=0.3), i.e. the SAME IEEE op order as the CTE's
+    expression with the same literal doubles; no nulls exist in
+    events.value (pandas would carry forward over NaN where SQL
+    propagates NULL — the general operator documents not-null input
+    for oracle-grade parity)."""
     from .operators.ewma import ewma_scan
 
     events = load_table(spark, "events", sf_dir)
