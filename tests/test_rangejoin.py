@@ -83,3 +83,35 @@ def test_interval_lookup_equals_blocked_form(spark):
     b = interval_join_lookup(spark.createDataFrame(lp), spark.createDataFrame(rp), **kw) \
         .orderBy("l_lid", "r_rid").toPandas()
     pd.testing.assert_frame_equal(a.reset_index(drop=True), b[a.columns].reset_index(drop=True))
+
+
+def test_interval_lookup_guardrail_falls_back(spark):
+    """An over-threshold right side must degrade to the bucket-blocked
+    plan (same rows) with a warning — never an oversized broadcast."""
+    import warnings
+
+    import pandas as pd
+
+    from time_sift_spark.operators.rangejoin import interval_join, interval_join_lookup
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "t": pd.to_datetime(["2024-01-01 00:00:05", "2024-01-01 00:01:40"]), "a": [10, 20]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 1], "t": pd.to_datetime(["2024-01-01 00:00:07", "2024-01-01 00:00:30", "2024-01-01 00:01:41"]), "b": [7, 8, 9]})
+    )
+    kw = dict(on="k", left_time="t", right_time="t", tolerance_seconds=10,
+              left_cols=["a"], right_cols=["b"])
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = interval_join_lookup(left, right, max_broadcast_rows=1, **kw)
+        rows = sorted(map(tuple, out.collect()))
+    assert any("falling back" in str(w.message) for w in caught)
+    expect = sorted(map(tuple, interval_join(left, right, **kw).collect()))
+    assert rows == expect and len(rows) == 2
+    # under the threshold: no warning, same rows
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        rows2 = sorted(map(tuple, interval_join_lookup(left, right, max_broadcast_rows=100, **kw).collect()))
+    assert not any("falling back" in str(w.message) for w in caught)
+    assert rows2 == expect

@@ -387,3 +387,30 @@ def test_ts_us_operators_reject_numeric_time(spark):
             num, num, on="k", left_time="t", right_time="t",
             tolerance_seconds=1, left_cols=["v"], right_cols=["v"],
         ).collect()
+
+
+def test_asof_lookup_guardrail_falls_back(spark):
+    """asof_join_lookup over max_broadcast_rows degrades to the
+    union+window plan: identical columns and values, plus a warning."""
+    import warnings
+
+    import pandas as pd
+
+    from time_sift_spark.operators.asof import asof_join, asof_join_lookup
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 2], "t": pd.to_datetime(["2024-01-01", "2024-01-03", "2024-01-02"]), "x": [1, 2, 3]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 2], "t": pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-05"]), "p": [10.0, 20.0, 30.0]})
+    )
+    kw = dict(on="k", left_time="t", right_time="t", right_cols=["p"])
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = asof_join_lookup(left, right, max_broadcast_rows=1, **kw)
+        rows = sorted(map(tuple, out.select("k", "t", "x", "p_asof").collect()))
+    assert any("falling back" in str(w.message) for w in caught)
+    expect = sorted(map(tuple,
+        asof_join(left, right, **kw).select("k", "t", "x", "p_asof").collect()))
+    assert rows == expect
+    assert len(rows) == 3

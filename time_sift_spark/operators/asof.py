@@ -109,6 +109,14 @@ def asof_join(
     return carried.where(F.col("_side") == 1).drop("_side", "_asof_t")
 
 
+def fits_broadcast(df: DataFrame, max_rows: int) -> bool:
+    """Row-bounded existence probe: scans until ``max_rows + 1`` rows are
+    found, never the full table — the cheap pre-flight check the
+    broadcast-lookup strategies use before committing to a plan that
+    collects the right side to every executor."""
+    return len(df.limit(max_rows + 1).take(max_rows + 1)) <= max_rows
+
+
 def asof_join_lookup(
     left: DataFrame,
     right: DataFrame,
@@ -118,6 +126,7 @@ def asof_join_lookup(
     right_time: str,
     right_cols: Sequence[str],
     suffix: str = "_asof",
+    max_broadcast_rows: int | None = 1_000_000,
 ) -> DataFrame:
     """Broadcast-lookup as-of join — same semantics as :func:`asof_join`,
     different physical strategy for a SMALL right side.
@@ -128,7 +137,29 @@ def asof_join_lookup(
     per-row binary-search-like probe with ZERO shuffles on the left
     (fact) side.  Choose this when right fits in a broadcast; the
     union+window form when both sides are large.
+
+    GUARDRAIL: the small-right assumption is verified, not trusted — if
+    the right side exceeds ``max_broadcast_rows`` (row-bounded probe, no
+    full scan), the call degrades gracefully to the one-Exchange
+    union+window plan (:func:`asof_join`) with a warning, instead of
+    OOM-ing executors on a collected broadcast at 100× the expected
+    size.  ``max_broadcast_rows=None`` skips the probe for callers that
+    have already sized the dimension.  The row bound is deliberately
+    conservative vs Spark's ~8 GB broadcast ceiling: the collected
+    struct arrays amplify per-row footprint.
     """
+    if max_broadcast_rows is not None and not fits_broadcast(right, max_broadcast_rows):
+        import warnings
+
+        warnings.warn(
+            f"asof_join_lookup: right side exceeds {max_broadcast_rows} rows; "
+            "falling back to the union+window as-of plan",
+            stacklevel=2,
+        )
+        return asof_join(
+            left, right, on=on, left_time=left_time, right_time=right_time,
+            right_cols=right_cols, suffix=suffix, direction="backward",
+        )
     on = [on] if isinstance(on, str) else list(on)
     right_cols = list(right_cols)
     for c in on + [left_time]:

@@ -94,6 +94,7 @@ def interval_join_lookup(
     tolerance_seconds: int,
     left_cols: Sequence[str],
     right_cols: Sequence[str],
+    max_broadcast_rows: int | None = 1_000_000,
 ) -> DataFrame:
     """Broadcast-lookup interval join — same output contract as
     :func:`interval_join`, different physical strategy for a SMALL right
@@ -105,7 +106,29 @@ def interval_join_lookup(
     side. Choose this when the right side fits a broadcast (~8 GB hard
     limit); the bucket-blocked :func:`interval_join` when both sides are
     large.
+
+    GUARDRAIL: the small-right assumption is verified with a row-bounded
+    probe (``fits_broadcast`` — never a full scan); past
+    ``max_broadcast_rows`` the call degrades to the bucket-blocked
+    :func:`interval_join` with a warning instead of collecting an
+    oversized broadcast. ``None`` skips the probe.
     """
+    if max_broadcast_rows is not None:
+        from .asof import fits_broadcast
+
+        if not fits_broadcast(right, max_broadcast_rows):
+            import warnings
+
+            warnings.warn(
+                f"interval_join_lookup: right side exceeds {max_broadcast_rows} "
+                "rows; falling back to the bucket-blocked interval join",
+                stacklevel=2,
+            )
+            return interval_join(
+                left, right, on=on, left_time=left_time, right_time=right_time,
+                tolerance_seconds=tolerance_seconds,
+                left_cols=left_cols, right_cols=right_cols,
+            )
     on = [on] if isinstance(on, str) else list(on)
     left_cols, right_cols = list(left_cols), list(right_cols)
     for c in [*on, left_time, *left_cols]:
