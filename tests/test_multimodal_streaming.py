@@ -117,3 +117,94 @@ def test_sample_frames_stub(blobs):
     assert out.groupby("id").frame_idx.is_monotonic_increasing.all()
     # fan-out: every input blob yields at least one frame row
     assert set(out.id) == {0, 1, 2, 3, 4}
+
+
+def test_parse_image_header_real_formats():
+    """The stdlib parser reads true header fields — non-square dims catch
+    width/height transposition, each format exercises its own branch."""
+    import struct
+    import zlib
+
+    from time_sift_spark.operators.multimodal import parse_image_header, synthesize_png
+
+    # PNG via our own synthesizer (independent IHDR parse check below)
+    assert parse_image_header(synthesize_png(17, 43)) == (17, 43, 1)
+    # GIF89a logical screen descriptor, little-endian dims
+    gif = b"GIF89a" + struct.pack("<HH", 320, 17) + b"\x00" * 6
+    assert parse_image_header(gif) == (320, 17, 3)
+    # BMP with negative (top-down) height
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 64, -48) + b"\x00" * 10
+    assert parse_image_header(bmp) == (64, 48, 3)
+    # minimal JPEG: SOI + APP0 + SOF0(h=31, w=77, 3 components)
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 31, 77) + b"\x03" + b"\x00" * 9
+    assert parse_image_header(b"\xff\xd8" + app0 + sof0) == (77, 31, 3)
+    # not an image
+    assert parse_image_header(b"plain text bytes") is None
+
+
+def test_decode_image_real_path_and_loud_failure(spark):
+    """fake=False genuinely parses PNG bytes end-to-end through the
+    mapInPandas plumbing; unparseable bytes raise, never invent dims."""
+    import pandas as pd
+    import pytest
+
+    from time_sift_spark.operators.multimodal import decode_image, synthesize_png
+
+    pdf = pd.DataFrame({"vid": [1, 2], "blob": [synthesize_png(5, 9), synthesize_png(200, 3)]})
+    out = (
+        decode_image(spark.createDataFrame(pdf), "blob", id_col="vid", fake=False)
+        .orderBy("vid")
+        .toPandas()
+    )
+    assert list(zip(out.width, out.height, out.channels)) == [(5, 9, 1), (200, 3, 1)]
+    assert set(out.format) == {"png"}
+
+    bad = spark.createDataFrame(pd.DataFrame({"vid": [1], "blob": [b"not an image"]}))
+    from py4j.protocol import Py4JJavaError
+    with pytest.raises(Exception) as exc:
+        decode_image(bad, "blob", id_col="vid", fake=False).collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(exc.value, NotImplementedError)
+
+
+def test_decode_audio_real_roundtrip(spark):
+    """decode_audio reads back exactly what the wave writer encoded."""
+    import pandas as pd
+
+    from time_sift_spark.operators.multimodal import decode_audio, synthesize_wav
+
+    pdf = pd.DataFrame(
+        {
+            "vid": [1, 2],
+            "blob": [synthesize_wav(8000, 1, 123), synthesize_wav(44100, 2, 7)],
+        }
+    )
+    out = (
+        decode_audio(spark.createDataFrame(pdf), "blob", id_col="vid")
+        .orderBy("vid")
+        .toPandas()
+    )
+    assert list(map(tuple, out[["sample_rate", "channels", "n_frames", "sample_width"]].itertuples(index=False))) == [
+        (8000, 1, 123, 2),
+        (44100, 2, 7, 2),
+    ]
+
+
+def test_decode_image_pil_path_when_available(spark):
+    """Wherever PIL exists, the real path must use it and agree with the
+    stdlib header parse AND the resize real branch must run. Skipped in
+    containers without PIL (the stdlib parser covers those)."""
+    import pytest
+
+    from time_sift_spark.operators import multimodal as mm
+
+    if not mm._HAVE_PIL:
+        pytest.skip("PIL not installed — stdlib parser path covered elsewhere")
+    import pandas as pd
+
+    png = mm.synthesize_png(12, 34)
+    pdf = pd.DataFrame({"vid": [1], "blob": [png]})
+    out = mm.decode_image(spark.createDataFrame(pdf), "blob", id_col="vid", fake=False).toPandas()
+    assert (out.width[0], out.height[0], out.channels[0]) == (12, 34, 1)
+    rz = mm.resize_image(spark.createDataFrame(pdf), "blob", id_col="vid", width=4, height=5, fake=False).toPandas()
+    assert (rz.width[0], rz.height[0]) == (4, 5) and len(rz.resized_md5[0]) == 32

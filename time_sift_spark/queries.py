@@ -1165,6 +1165,93 @@ def sample_frames_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decode_image_real_docs",
+    oracle="""
+    SELECT doc_id,
+           CAST(1 + (('0x' || substr(md5(text), 1, 6))::BIGINT % 64) AS INT) AS width,
+           CAST(1 + ((('0x' || substr(md5(text), 1, 6))::BIGINT // 64) % 64) AS INT) AS height,
+           CAST(1 AS INT) AS channels,
+           'png' AS format
+    FROM documents
+    WHERE text IS NOT NULL
+    """,
+)
+def decode_image_real_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, graded: each doc becomes a VALID greyscale PNG
+    (synthesize_png) whose dimensions are derived from md5(text); the
+    operator then reads width/height/channels back by actually parsing
+    the PNG IHDR (PIL where installed, stdlib parser here —
+    operators/multimodal.parse_image_header), and the oracle predicts
+    the same dims from the md5 arithmetic alone. A header misparse of
+    even one byte order or offset would hash-mismatch — this is the
+    real-codec correctness gate the stub queries could not provide."""
+    import hashlib as _hl
+
+    from .operators.multimodal import decode_image, synthesize_png
+
+    docs = load_table(spark, "documents", sf_dir).where("text IS NOT NULL").select(
+        "doc_id", "text"
+    )
+
+    def _blobs(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = []
+            for t in pdf["text"]:
+                h = int(_hl.md5(t.encode("utf-8")).hexdigest()[:6], 16)
+                blobs.append(synthesize_png(1 + h % 64, 1 + (h // 64) % 64))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    pngs = docs.mapInPandas(_blobs, "doc_id long, blob binary")
+    return decode_image(pngs, "blob", id_col="doc_id", fake=False)
+
+
+@register(
+    "decode_audio_real_docs",
+    oracle="""
+    SELECT doc_id,
+           CAST(CASE (('0x' || substr(md5(text), 1, 6))::BIGINT % 3)
+                WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS INT) AS sample_rate,
+           CAST(1 + ((('0x' || substr(md5(text), 1, 6))::BIGINT // 3) % 2) AS INT) AS channels,
+           CAST(1 + ((('0x' || substr(md5(text), 1, 6))::BIGINT // 6) % 500) AS INT) AS n_frames,
+           CAST(2 AS INT) AS sample_width
+    FROM documents
+    WHERE text IS NOT NULL
+    """,
+)
+def decode_audio_real_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, graded: each doc becomes a VALID 16-bit PCM
+    WAV (stdlib wave writer) with md5(text)-derived rate/channels/frame
+    count; decode_audio reads those fields back by genuinely parsing the
+    RIFF/fmt/data chunks (stdlib wave reader — no fake, no external
+    dep), and the oracle predicts them from the arithmetic alone."""
+    import hashlib as _hl
+
+    from .operators.multimodal import decode_audio, synthesize_wav
+
+    docs = load_table(spark, "documents", sf_dir).where("text IS NOT NULL").select(
+        "doc_id", "text"
+    )
+    rates = (8000, 16000, 44100)
+
+    def _blobs(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = []
+            for t in pdf["text"]:
+                h = int(_hl.md5(t.encode("utf-8")).hexdigest()[:6], 16)
+                blobs.append(
+                    synthesize_wav(rates[h % 3], 1 + (h // 3) % 2, 1 + (h // 6) % 500)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    wavs = docs.mapInPandas(_blobs, "doc_id long, blob binary")
+    return decode_audio(wavs, "blob", id_col="doc_id")
+
+
+@register(
     "interop_roundtrip_events",
     oracle=f"""
     SELECT ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS row_idx,
@@ -2676,6 +2763,8 @@ def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
 GRADE_PRIORITY: list[str] = [
     # -- new or changed in r6 -> grade first --
     "graph_components_event_chains",
+    "decode_image_real_docs",
+    "decode_audio_real_docs",
     # -- failed in r4 (TIMESTAMP_NTZ testdata switch / driver value-hash
     #    representation drift) and fixed this round -> must regrade --
     "lag_hotkey_events",
