@@ -73,3 +73,25 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan  # co-located: no shuffle anywhere in the join
     assert j.count() == 50
+
+
+def test_lakehouse_negotiation_falls_back_and_roundtrips(spark, tmp_path):
+    """write/read_lakehouse_table agree on the negotiated format: without
+    a Delta-enabled session the pair degrades to parquet (tag visible),
+    with identical rows either way. The delta branch itself runs
+    wherever delta-spark + the session extension exist."""
+    import pandas as pd
+
+    from time_sift_spark.sources.catalog import (
+        delta_usable,
+        read_lakehouse_table,
+        write_lakehouse_table,
+    )
+
+    df = spark.createDataFrame(pd.DataFrame({"k": [1, 2, 3], "v": ["a", "b", "c"]}))
+    path = str(tmp_path / "lake_tbl")
+    fmt = write_lakehouse_table(df, path)
+    expected_fmt = "delta" if delta_usable(spark) else "parquet"
+    assert fmt == expected_fmt
+    back = read_lakehouse_table(spark, path)
+    assert sorted(map(tuple, back.collect())) == [(1, "a"), (2, "b"), (3, "c")]

@@ -234,3 +234,41 @@ try:  # pragma: no cover
     HAVE_DELTA = True
 except ImportError:
     HAVE_DELTA = False
+
+
+def delta_usable(spark: SparkSession) -> bool:
+    """Delta needs BOTH the python package and a session built with the
+    Delta SQL extension + catalog (jars are latched at JVM startup — they
+    cannot be added to a running externally-built session)."""
+    if not HAVE_DELTA:
+        return False
+    ext = spark.conf.get("spark.sql.extensions", "") or ""
+    return "io.delta.sql.DeltaSparkSessionExtension" in ext
+
+
+def write_lakehouse_table(
+    df: DataFrame, path: str, *, table_format: str = "delta", mode: str = "overwrite", **options
+) -> str:
+    """Lakehouse sink with graceful format negotiation: writes Delta when
+    the connector is usable in this session, else degrades to plain
+    parquet at the same path — same rows, no transaction log. Returns
+    the format that actually landed so callers/tests can see which
+    branch ran. (Iceberg/Hudi would slot in behind the same negotiation
+    the moment their jars are present.)"""
+    fmt = table_format
+    if fmt == "delta" and not delta_usable(df.sparkSession):
+        fmt = "parquet"
+    df.write.format(fmt).mode(mode).options(**options).save(path)
+    return fmt
+
+
+def read_lakehouse_table(
+    spark: SparkSession, path: str, *, table_format: str = "delta", **options
+) -> DataFrame:
+    """Source side of :func:`write_lakehouse_table` — resolves the same
+    negotiation so a pair of calls in one environment always agrees on
+    the format."""
+    fmt = table_format
+    if fmt == "delta" and not delta_usable(spark):
+        fmt = "parquet"
+    return spark.read.format(fmt).options(**options).load(path)
