@@ -1,0 +1,105 @@
+"""Unit tests for ACF / CCF / CUSUM (serial-dependence analytics)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from time_sift_spark.errors import ColumnNotFoundError
+from time_sift_spark.operators.autocorr import acf, ccf_global
+from time_sift_spark.operators.changepoint import cusum
+
+
+def _series(seed, n, sid):
+    rng = np.random.default_rng(seed)
+    # AR(1): x_t = 0.6 x_{t-1} + e  -> known positive acf ~0.6, ~0.36, ...
+    e = rng.normal(size=n)
+    x = np.zeros(n)
+    for i in range(1, n):
+        x[i] = 0.6 * x[i - 1] + e[i]
+    return pd.DataFrame({"sid": sid, "t": np.arange(n), "v": x})
+
+
+def test_acf_matches_pandas(spark):
+    pdf = pd.concat([_series(1, 400, 0), _series(2, 400, 1)], ignore_index=True)
+    out = (
+        acf(spark.createDataFrame(pdf), "v", "t", [1, 2], partition_by="sid")
+        .orderBy("sid")
+        .toPandas()
+    )
+    for sid in (0, 1):
+        s = pdf[pdf.sid == sid].sort_values("t").v.reset_index(drop=True)
+        for k in (1, 2):
+            # pairwise corr of (x_t, x_{t-k}) — pandas equivalent
+            expect = s.iloc[k:].reset_index(drop=True).corr(
+                s.iloc[:-k].reset_index(drop=True)
+            )
+            got = out[out.sid == sid][f"acf_{k}"].iloc[0]
+            assert got == pytest.approx(expect, abs=1e-4)
+    assert out.n_obs.tolist() == [400, 400]
+
+
+def test_acf_ar1_is_positive_and_decaying(spark):
+    pdf = _series(3, 1000, 0)
+    out = acf(spark.createDataFrame(pdf), "v", "t", [1, 2, 3], partition_by="sid").toPandas()
+    r = out.iloc[0]
+    assert r.acf_1 > r.acf_2 > r.acf_3 > 0
+
+
+def test_acf_requires_partition(spark):
+    df = spark.createDataFrame(pd.DataFrame({"t": [0], "v": [1.0]}))
+    with pytest.raises(ColumnNotFoundError):
+        acf(df, "v", "t", [1], partition_by=None)
+
+
+def test_ccf_detects_known_lead(spark):
+    rng = np.random.default_rng(7)
+    n = 600
+    y = rng.normal(size=n)
+    x = np.roll(y, 2) + 0.01 * rng.normal(size=n)  # x_t ~ y_{t-2}
+    pdf = pd.DataFrame({"t": np.arange(n), "x": x, "y": y}).iloc[5:]
+    out = ccf_global(
+        spark.createDataFrame(pdf), "x", "y", "t", [0, 1, 2, 3], num_buckets=4
+    ).toPandas()
+    r = out.iloc[0]
+    assert r.ccf_2 > 0.99
+    assert abs(r.ccf_0) < 0.2 and abs(r.ccf_1) < 0.2 and abs(r.ccf_3) < 0.2
+
+
+def test_cusum_flags_level_shift(spark):
+    rng = np.random.default_rng(11)
+    n = 400
+    v = rng.normal(size=n) * 0.2
+    v[n // 2 :] += 3.0  # hard level shift at the midpoint
+    pdf = pd.DataFrame({"sid": 0, "t": np.arange(n), "v": v})
+    out = (
+        cusum(spark.createDataFrame(pdf), "v", "t", partition_by="sid", threshold=3.0)
+        .orderBy("t")
+        .toPandas()
+    )
+    assert out.is_shift.any()
+    # peak |cusum| lands at the shift point (within a few steps)
+    peak_t = out.loc[out.cusum.abs().idxmax(), "t"]
+    assert abs(peak_t - n // 2) <= 5
+
+
+def test_cusum_stable_series_unflagged(spark):
+    rng = np.random.default_rng(13)
+    pdf = pd.DataFrame({"sid": 0, "t": np.arange(300), "v": rng.normal(size=300)})
+    out = cusum(spark.createDataFrame(pdf), "v", "t", partition_by="sid").toPandas()
+    assert not out.is_shift.any()
+
+
+def test_cusum_constant_series_null_not_error(spark):
+    pdf = pd.DataFrame({"sid": 0, "t": [0, 1, 2], "v": [5.0, 5.0, 5.0]})
+    out = cusum(spark.createDataFrame(pdf), "v", "t", partition_by="sid").toPandas()
+    assert out.cusum.isna().all()
+
+
+def test_acf_single_exchange_plan(spark):
+    """groupBy key == window partition key -> Catalyst reuses the hash
+    partitioning; exactly one Exchange in the whole ACF plan."""
+    pdf = _series(5, 100, 0)
+    plan = acf(
+        spark.createDataFrame(pdf), "v", "t", [1, 2], partition_by="sid"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1

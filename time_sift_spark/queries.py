@@ -2796,6 +2796,116 @@ def streaming_lag_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_df(out, _next_stream_name("ts_stream_late"))
 
 
+# --------------------------------------------------------------------------
+# Serial-dependence analytics on top of the lag core (ACF / CCF / CUSUM) —
+# the canonical consumers of a lag matrix (reference README.md:5-6 frames
+# lag matrices as feature engineering for exactly this analysis).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "acf_user_value",
+    oracle="""
+    WITH lagged AS (
+      SELECT user_id, value,
+             LAG(value, 1) OVER w AS value_lag1,
+             LAG(value, 2) OVER w AS value_lag2,
+             LAG(value, 3) OVER w AS value_lag3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, COUNT(*) AS n_obs,
+           ROUND(corr(value, value_lag1), 4) AS acf_1,
+           ROUND(corr(value, value_lag2), 4) AS acf_2,
+           ROUND(corr(value, value_lag3), 4) AS acf_3
+    FROM lagged GROUP BY user_id
+    """,
+    headline=True,
+)
+def acf_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user autocorrelation of event value at lags 1-3. One exchange:
+    the groupBy key equals the lag window's partition key, so Catalyst
+    reuses the window's hash partitioning for the aggregation (verified:
+    plan shows a single Exchange)."""
+    from .operators.autocorr import acf
+
+    events = load_table(spark, "events", sf_dir)
+    return acf(events, "value", "ts", [1, 2, 3], partition_by="user_id", order_extra="event_id")
+
+
+_CCF_MEAN_TPL = (
+    "CAST(ROUND(SUM(CASE WHEN event_type = '{t}' THEN CAST(value AS DECIMAL(27,6)) END), 6)"
+    " AS DOUBLE) / NULLIF(COUNT(CASE WHEN event_type = '{t}' THEN 1 END), 0)"
+)
+
+
+@register(
+    "ccf_click_purchase_hourly",
+    oracle=f"""
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS bucket,
+             {_CCF_MEAN_TPL.format(t='click')} AS x_click,
+             {_CCF_MEAN_TPL.format(t='purchase')} AS y_purchase
+      FROM events GROUP BY date_trunc('hour', ts)
+    ),
+    l AS (
+      SELECT x_click AS x_click_lag0,
+             y_purchase AS y_purchase_lag0,
+             LAG(y_purchase, 1) OVER w AS y_purchase_lag1,
+             LAG(y_purchase, 2) OVER w AS y_purchase_lag2,
+             LAG(y_purchase, 3) OVER w AS y_purchase_lag3
+      FROM h WINDOW w AS (ORDER BY bucket)
+    )
+    SELECT COUNT(*) AS n_obs,
+           ROUND(corr(x_click_lag0, y_purchase_lag0), 4) AS ccf_0,
+           ROUND(corr(x_click_lag0, y_purchase_lag1), 4) AS ccf_1,
+           ROUND(corr(x_click_lag0, y_purchase_lag2), 4) AS ccf_2,
+           ROUND(corr(x_click_lag0, y_purchase_lag3), 4) AS ccf_3
+    FROM l
+    """,
+)
+def ccf_click_purchase_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global cross-correlation: does hourly mean purchase value lead
+    hourly mean click value by k hours?  The hourly means are exact
+    decimal sums (dsum discipline); the single global series is lagged by
+    the halo-bucket scale path — no single-task window."""
+    import pyspark.sql.functions as F
+
+    from .operators.autocorr import ccf_global
+
+    events = load_table(spark, "events", sf_dir)
+    hourly = events.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket")).agg(
+        F.expr(_CCF_MEAN_TPL.format(t="click")).alias("x_click"),
+        F.expr(_CCF_MEAN_TPL.format(t="purchase")).alias("y_purchase"),
+    )
+    return ccf_global(hourly, "x_click", "y_purchase", "bucket", [0, 1, 2, 3], num_buckets=8)
+
+
+def _cusum_oracle() -> str:
+    """Render the CUSUM oracle from the SAME staged template the operator
+    uses (operators/changepoint.cusum_stage_exprs) — the expression trees
+    cannot drift apart, which is what makes the double math bit-identical."""
+    from .operators.changepoint import cusum_oracle_sql
+
+    return cusum_oracle_sql(
+        "events", "value", "user_id", "ts, event_id", keep="user_id, ts, event_id"
+    )
+
+
+@register("cusum_user_value", oracle=_cusum_oracle())
+def cusum_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-point scan: standardized CUSUM of value per user with a
+    3*sqrt(n) shift flag.  Decimal-quantized sums make every aggregate
+    order-independent, so the running statistic value-hashes identically
+    on both engines (operators/changepoint.py)."""
+    from .operators.changepoint import cusum
+
+    events = load_table(spark, "events", sf_dir)
+    return cusum(
+        events, "value", "ts", partition_by="user_id", order_extra="event_id", threshold=3.0
+    )
+
+
 def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
     """Every registry callable must work on a session the engine didn't
     build (the external harness's bare SparkSession) — set the runtime
@@ -2825,6 +2935,9 @@ def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
 
 GRADE_PRIORITY: list[str] = [
     # -- new or changed in r6 -> grade first --
+    "acf_user_value",                  # new: autocorrelation on the lag core
+    "ccf_click_purchase_hourly",       # new: global cross-correlation
+    "cusum_user_value",                # new: CUSUM change-point scan
     "graph_components_event_chains",   # new: star CC on deep chains
     "decode_image_real_docs",          # new: real PNG header decode
     "decode_audio_real_docs",          # new: real WAV decode (stdlib)
