@@ -1,0 +1,130 @@
+"""Unit tests for corpus-preparation operators (chunk / redact / decontaminate)."""
+
+import pandas as pd
+import pytest
+
+from time_sift_spark.errors import ColumnNotFoundError
+from time_sift_spark.operators.corpus import (
+    chunk_documents,
+    decontaminate,
+    redact_pii,
+)
+
+
+def test_chunk_shapes_and_overlap(spark):
+    text = "abcdefghij" * 5  # 50 chars
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": [text]}))
+    out = (
+        chunk_documents(df, "text", size=20, overlap=5)
+        .orderBy("chunk_start")
+        .toPandas()
+    )
+    # step 15: starts 1, 16, 31, 46
+    assert out.chunk_start.tolist() == [1, 16, 31, 46]
+    assert out.chunk.iloc[0] == text[0:20]
+    assert out.chunk.iloc[1] == text[15:35]          # 5-char overlap
+    assert out.chunk.iloc[-1] == text[45:]           # final partial chunk
+    assert out.n_chars_chunk.tolist() == [20, 20, 20, 5]
+
+
+def test_chunk_reassembles_document(spark):
+    text = "".join(chr(97 + i % 26) for i in range(137))
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [7], "text": [text]}))
+    out = chunk_documents(df, "text", size=30, overlap=0).orderBy("chunk_start").toPandas()
+    assert "".join(out.chunk) == text
+
+
+def test_chunk_empty_doc_yields_one_empty_chunk(spark):
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": [""]}))
+    out = chunk_documents(df, "text", size=10, overlap=2).toPandas()
+    assert len(out) == 1 and out.chunk.iloc[0] == "" and out.n_chars_chunk.iloc[0] == 0
+
+
+def test_chunk_validation(spark):
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["x"]}))
+    with pytest.raises(ValueError):
+        chunk_documents(df, "text", size=0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, "text", size=10, overlap=10)
+    with pytest.raises(ColumnNotFoundError):
+        chunk_documents(df, "body")
+
+
+def test_redact_pii_kinds(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "mail a.b-c_d%x@sub.example.co.uk and b@y.io now",
+                    "call 555-123-4567 or ssn 123-45-6789",
+                    "clean text, no pii at all 12-34",
+                ],
+            }
+        )
+    )
+    out = redact_pii(df, "text", keep_cols=("doc_id",)).orderBy("doc_id").toPandas()
+    assert out.text_redacted.iloc[0] == "mail <EMAIL> and <EMAIL> now"
+    assert out.n_emails.tolist() == [2, 0, 0]
+    assert out.text_redacted.iloc[1] == "call <PHONE> or ssn <SSN>"
+    assert out.n_phones.tolist() == [0, 1, 0]
+    assert out.n_ssns.tolist() == [0, 1, 0]
+    assert out.text_redacted.iloc[2] == "clean text, no pii at all 12-34"
+
+
+def test_redact_word_boundary(spark):
+    # digits embedded in longer runs must NOT match the phone shape
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["id 9555-123-45678 stays"]})
+    )
+    out = redact_pii(df, "text").toPandas()
+    assert out.n_phones.iloc[0] == 0
+    assert out.text_redacted.iloc[0] == "id 9555-123-45678 stays"
+
+
+def test_decontaminate_flags_overlap(spark):
+    train = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "the quick brown fox jumps over the lazy dog",  # contains bench span
+                    "completely different words here entirely",
+                    "quick brown fox appears again with more text",  # shares 3-gram
+                ],
+            }
+        )
+    )
+    bench = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [100], "text": ["a quick brown fox ran away"]})
+    )
+    out = (
+        decontaminate(train, bench, "text", k=3).orderBy("doc_id").toPandas()
+    )
+    assert out.contaminated.tolist() == [True, False, True]
+    assert out.n_contaminated_ngrams.iloc[1] == 0
+    assert out.n_contaminated_ngrams.iloc[0] >= 1
+
+
+def test_decontaminate_counts_distinct_grams(spark):
+    # the shared gram appears twice in the train doc -> still counted once
+    train = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["x y z pad pad pad x y z"]})
+    )
+    bench = spark.createDataFrame(pd.DataFrame({"doc_id": [9], "text": ["x y z"]}))
+    out = decontaminate(train, bench, "text", k=3).toPandas()
+    assert out.n_contaminated_ngrams.iloc[0] == 1
+
+
+def test_decontaminate_broadcast_plan(spark):
+    train = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["a b c d e"]})
+    )
+    bench = spark.createDataFrame(pd.DataFrame({"doc_id": [2], "text": ["c d e f"]}))
+    plan = (
+        decontaminate(train, bench, "text", k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan

@@ -78,6 +78,12 @@ class Dialect:
             return f"regexp_replace({col}, {self._q(pattern)}, '')"
         return f"regexp_replace({col}, {self._q(pattern)}, '', 'g')"
 
+    def regexp_sub(self, col: str, pattern: str, repl: str) -> str:
+        """Global regex substitution with a literal replacement string."""
+        if self.name == "spark":
+            return f"regexp_replace({col}, {self._q(pattern)}, {self._q(repl)})"
+        return f"regexp_replace({col}, {self._q(pattern)}, {self._q(repl)}, 'g')"
+
     def md5_long(self, expr: str) -> str:
         if self.name == "spark":
             return f"CAST(conv(substr(md5({expr}),1,15),16,10) AS BIGINT)"

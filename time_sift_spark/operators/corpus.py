@@ -1,0 +1,237 @@
+"""Corpus-preparation operators for LLM training-data pipelines:
+document chunking, PII redaction, benchmark decontamination.
+
+Charter extension (no reference counterpart — the reference is a lag
+kernel, src/lib.rs:3-4).  Design rules as the rest of the engine:
+
+* every expression is built-in-function SQL rendered from the shared
+  Dialect (functions/text_fns.py), so the DuckDB oracle is the SAME
+  logical expression — zero Python on executors;
+* chunking and redaction are pure projections / explodes: shuffle-free,
+  scan-bandwidth-bound at 100 TB;
+* decontamination is a blocking-key EQUI-join on n-gram hashes (never
+  all-pairs), with the benchmark side broadcast — the benchmark corpus
+  is orders of magnitude smaller than the training corpus by nature.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..errors import ColumnNotFoundError
+from ..functions.text_fns import SPARK, Dialect
+
+__all__ = [
+    "chunk_documents",
+    "chunk_documents_sql",
+    "redact_pii",
+    "redact_pii_sql",
+    "decontaminate",
+    "decontaminate_sql",
+    "PII_PATTERNS",
+]
+
+
+def _check(df: DataFrame, cols: Sequence[str]) -> None:
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ColumnNotFoundError(f"columns not in DataFrame: {missing}")
+
+
+# --------------------------------------------------------------------------
+# Chunking
+# --------------------------------------------------------------------------
+
+
+def _chunk_exprs(d: Dialect, text: str, size: int, overlap: int) -> tuple[str, str]:
+    """(start-position sequence expr, chunk substring expr over `_pos`)."""
+    if size <= 0:
+        raise ValueError(f"chunk size must be positive, got {size}")
+    if not (0 <= overlap < size):
+        raise ValueError(f"overlap must be in [0, size), got {overlap} for size {size}")
+    step = size - overlap
+    seq = (
+        f"sequence(1, greatest(length({text}), 1), {step})"
+        if d.name == "spark"
+        else f"generate_series(1, greatest(length({text}), 1), {step})"
+    )
+    return seq, f"substr({text}, _pos, {size})"
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    *,
+    size: int = 200,
+    overlap: int = 50,
+    id_cols: Sequence[str] = ("doc_id",),
+) -> DataFrame:
+    """Split each document into fixed-width character windows with
+    overlap — the standard pre-embedding chunker.  Output one row per
+    chunk: id columns + ``chunk_start`` (1-based), ``chunk``,
+    ``n_chars_chunk``.  Pure explode+substring projection: no shuffle,
+    embarrassingly parallel at any scale.  Empty documents yield one
+    empty chunk (the position sequence is clamped to [1])."""
+    _check(df, [text_col, *id_cols])
+    seq, sub = _chunk_exprs(SPARK, text_col, size, overlap)
+    return (
+        df.select(*id_cols, text_col, F.explode(F.expr(seq)).alias("_pos"))
+        .select(
+            *id_cols,
+            F.col("_pos").alias("chunk_start"),
+            F.expr(sub).alias("chunk"),
+            F.expr(f"length({sub})").alias("n_chars_chunk"),
+        )
+    )
+
+
+def chunk_documents_sql(
+    d: Dialect,
+    table: str,
+    text: str,
+    *,
+    size: int = 200,
+    overlap: int = 50,
+    id_cols: Sequence[str] = ("doc_id",),
+) -> str:
+    seq, sub = _chunk_exprs(d, text, size, overlap)
+    ids = ", ".join(id_cols)
+    return f"""
+    SELECT {ids}, _pos AS chunk_start, {sub} AS chunk, length({sub}) AS n_chars_chunk
+    FROM (SELECT {ids}, {text}, unnest({seq}) AS _pos FROM {table})
+    """
+
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+
+# Patterns restricted to the syntax intersection of Java regex (Spark)
+# and RE2 (DuckDB): no lookaround, no backreferences.  SSN (3-2-4) and
+# phone (3-3-4) shapes are disjoint, so redaction order cannot overlap.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    "phone": (r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+}
+
+
+def _redact_exprs(d: Dialect, text: str) -> dict[str, str]:
+    redacted = text
+    counts = {}
+    for kind, (pat, repl) in PII_PATTERNS.items():
+        counts[f"n_{kind}s"] = d.size(d.regexp_extract_all(text, pat))
+        redacted = d.regexp_sub(redacted, pat, repl)
+    return {"text_redacted": redacted, **counts}
+
+
+def redact_pii(
+    df: DataFrame, text_col: str, *, keep_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Replace emails / SSNs / phone numbers with typed placeholder
+    tokens; per-kind match counts come along for audit.  A projection —
+    no shuffle, scales with scan bandwidth."""
+    _check(df, [text_col, *keep_cols])
+    ex = _redact_exprs(SPARK, text_col)
+    return df.select(
+        *keep_cols, *[F.expr(e).alias(name) for name, e in ex.items()]
+    )
+
+
+def redact_pii_sql(
+    d: Dialect, table: str, text: str, *, keep_cols: Sequence[str] = ()
+) -> str:
+    ex = _redact_exprs(d, text)
+    cols = ", ".join([*keep_cols, *[f"{e} AS {name}" for name, e in ex.items()]])
+    return f"SELECT {cols} FROM {table}"
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination
+# --------------------------------------------------------------------------
+
+
+def decontaminate(
+    train_df: DataFrame,
+    bench_df: DataFrame,
+    text_col: str,
+    *,
+    k: int = 8,
+    id_col: str = "doc_id",
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Flag training documents sharing any word ``k``-gram with a
+    held-out benchmark corpus (the standard eval-contamination screen).
+
+    Output: one row per training doc — ``id_col``,
+    ``n_contaminated_ngrams`` (distinct shared k-grams), ``contaminated``.
+
+    Scale shape: both sides explode to (key, gram-hash) rows and meet in
+    an EQUI-join on the 64-bit gram hash; the benchmark side is distinct
+    and broadcast (eval suites are ~MBs against a ~100 TB training
+    corpus), so the screen costs one scan of each side and zero
+    train-side shuffles before the per-doc count."""
+    _check(train_df, [id_col, text_col])
+    _check(bench_df, [text_col])
+    grams = SPARK.shingles(SPARK.tokens(text_col), k)
+    bench_hashes = (
+        bench_df.select(F.explode(F.expr(grams)).alias("_g"))
+        .select(F.expr(SPARK.md5_long("_g")).alias("_h"))
+        .distinct()
+    )
+    if broadcast_bench:
+        bench_hashes = F.broadcast(bench_hashes)
+    train_grams = (
+        train_df.select(id_col, F.explode(F.expr(grams)).alias("_g"))
+        .select(id_col, F.expr(SPARK.md5_long("_g")).alias("_h"))
+        .distinct()
+    )
+    hits = (
+        train_grams.join(bench_hashes, "_h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+    )
+    return (
+        train_df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_contaminated_ngrams", F.lit(0)).alias("n_contaminated_ngrams"),
+            (F.coalesce("n_contaminated_ngrams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_sql(
+    d: Dialect,
+    train_table: str,
+    bench_table: str,
+    text: str,
+    *,
+    k: int = 8,
+    id_col: str = "doc_id",
+) -> str:
+    grams = d.shingles(d.tokens(text), k)
+    h = d.md5_long("_g")
+    return f"""
+    WITH bench_hashes AS (
+      SELECT DISTINCT {h} AS _h
+      FROM (SELECT unnest({grams}) AS _g FROM {bench_table})
+    ),
+    train_grams AS (
+      SELECT DISTINCT {id_col}, {h} AS _h
+      FROM (SELECT {id_col}, unnest({grams}) AS _g FROM {train_table})
+    ),
+    hits AS (
+      SELECT {id_col}, COUNT(*) AS n_contaminated_ngrams
+      FROM train_grams JOIN bench_hashes USING (_h)
+      GROUP BY {id_col}
+    )
+    SELECT t.{id_col},
+           COALESCE(h.n_contaminated_ngrams, 0) AS n_contaminated_ngrams,
+           COALESCE(h.n_contaminated_ngrams, 0) > 0 AS contaminated
+    FROM {train_table} t LEFT JOIN hits h ON t.{id_col} = h.{id_col}
+    """

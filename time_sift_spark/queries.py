@@ -2906,6 +2906,94 @@ def cusum_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Corpus-preparation operators (chunking / PII redaction / benchmark
+# decontamination — operators/corpus.py; charter LLM-pipeline extension)
+# --------------------------------------------------------------------------
+
+
+def _chunk_oracle() -> str:
+    from .operators.corpus import chunk_documents_sql
+
+    return chunk_documents_sql(DUCK, "documents", "text", size=200, overlap=50)
+
+
+@register("chunk_documents_200_50", oracle=_chunk_oracle())
+def chunk_documents_200_50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width overlapping chunker (200 chars, 50 overlap) — the
+    standard pre-embedding splitter. Pure explode+substring projection,
+    no shuffle (operators/corpus.py)."""
+    from .operators.corpus import chunk_documents
+
+    docs = load_table(spark, "documents", sf_dir)
+    return chunk_documents(docs, "text", size=200, overlap=50)
+
+
+# Deterministic PII injection (test rigging: the synthetic corpus has no
+# real PII, so the query plants derived emails/phones/SSNs — the operator
+# under test is the redaction expression, which sees realistic strings).
+_PII_INJECT = (
+    "({t} || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS STRING)"
+    " || '@example.com' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || CAST(doc_id % 900 + 100 AS STRING)"
+    " || '-' || CAST(doc_id % 9000 + 1000 AS STRING) ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN ' ssn 123-45-' || CAST(doc_id % 9000 + 1000 AS STRING)"
+    " ELSE '' END)"
+)
+
+
+def _redact_oracle() -> str:
+    from .operators.corpus import redact_pii_sql
+
+    inner = (
+        f"(SELECT doc_id, {_PII_INJECT.format(t='text')} AS text2 FROM documents) s"
+    )
+    return redact_pii_sql(DUCK, inner, "text2", keep_cols=("doc_id",))
+
+
+@register("redact_pii_docs", oracle=_redact_oracle())
+def redact_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus (emails/SSNs/phones → typed
+    placeholders, with per-kind audit counts). The planted PII is a
+    deterministic doc_id-derived suffix, identical on both engines; the
+    redaction itself is the Dialect-paired regex expression."""
+    import pyspark.sql.functions as F
+
+    from .operators.corpus import redact_pii
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.expr(_PII_INJECT.format(t="text")).alias("text2")
+    )
+    return redact_pii(docs, "text2", keep_cols=("doc_id",))
+
+
+def _decontaminate_oracle() -> str:
+    from .operators.corpus import decontaminate_sql
+
+    return decontaminate_sql(
+        DUCK,
+        "(SELECT * FROM documents WHERE doc_id % 41 <> 0)",
+        "(SELECT * FROM documents WHERE doc_id % 41 = 0)",
+        "text",
+        k=3,
+    )
+
+
+@register("decontaminate_docs", oracle=_decontaminate_oracle())
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination screen: flag training docs sharing any
+    word 3-gram with the held-out slice (doc_id % 41 = 0 plays the eval
+    suite; k=3 because the synthetic corpus draws from a small vocabulary
+    — real pipelines use k~8-13). Gram-hash EQUI-join with the benchmark
+    side broadcast — never all-pairs (operators/corpus.py)."""
+    docs = load_table(spark, "documents", sf_dir)
+    from .operators.corpus import decontaminate
+
+    train = docs.where("doc_id % 41 <> 0")
+    bench = docs.where("doc_id % 41 = 0")
+    return decontaminate(train, bench, "text", k=3)
+
+
 def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
     """Every registry callable must work on a session the engine didn't
     build (the external harness's bare SparkSession) — set the runtime
@@ -2938,6 +3026,9 @@ GRADE_PRIORITY: list[str] = [
     "acf_user_value",                  # new: autocorrelation on the lag core
     "ccf_click_purchase_hourly",       # new: global cross-correlation
     "cusum_user_value",                # new: CUSUM change-point scan
+    "chunk_documents_200_50",          # new: overlapping chunker
+    "redact_pii_docs",                 # new: PII redaction
+    "decontaminate_docs",              # new: benchmark decontamination
     "graph_components_event_chains",   # new: star CC on deep chains
     "decode_image_real_docs",          # new: real PNG header decode
     "decode_audio_real_docs",          # new: real WAV decode (stdlib)
