@@ -2629,6 +2629,136 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))), 4)
+                AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: revenue by nation where supplier and customer share the
+    nation, ASIA region, one order year.  Join order is written for the
+    100 TB shape: the ONE fact-fact shuffle is lineitem⨝orders on the
+    order key; every dimension (customer, supplier, nation, region) is
+    broadcast, so the 5-way join adds no further exchanges, and the date
+    filter reaches the orders scan (PushedFilters)."""
+    import pyspark.sql.functions as F
+
+    orders = load_table(spark, "orders", sf_dir).where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nat = load_table(spark, "nation", sf_dir)
+    reg = load_table(spark, "region", sf_dir).where(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            _fdsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(27,6))), 4)
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan-filter-aggregate — the pushdown showcase.  All
+    four predicates reach the parquet scan (PushedFilters on shipdate /
+    discount / quantity), the projection prunes to three columns, and the
+    whole plan is a single WholeStageCodegen span ending in a scalar
+    tree-aggregate: zero shuffles of data rows at any scale."""
+    import pyspark.sql.functions as F
+
+    li = load_table(spark, "lineitem", sf_dir).where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        _fdsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+@register(
+    "tpch_q18_large_volume_customer",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 200
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total quantity exceeds 200, with their
+    customers.  The lineitem aggregation produces the small `big` set
+    (~0.1% of orders), which is then BROADCAST into orders — the classic
+    aggregate-then-broadcast semi-join; no second pass over lineitem
+    (sum_qty rides along from the aggregate).  Quantities are
+    integer-valued doubles, so the HAVING sum is exact under any
+    association.  Top-100 is TakeOrderedAndProject with a fully
+    deterministic tie-broken frontier."""
+    import pyspark.sql.functions as F
+
+    li = load_table(spark, "lineitem", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 200)
+    )
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
     "orc_roundtrip_nation",
     oracle="""
     SELECT n_regionkey,
@@ -3029,6 +3159,9 @@ GRADE_PRIORITY: list[str] = [
     "chunk_documents_200_50",          # new: overlapping chunker
     "redact_pii_docs",                 # new: PII redaction
     "decontaminate_docs",              # new: benchmark decontamination
+    "tpch_q5_local_supplier_volume",   # new: 5-way star join, dims broadcast
+    "tpch_q6_forecast_revenue",        # new: pushdown showcase scan-agg
+    "tpch_q18_large_volume_customer",  # new: aggregate-then-broadcast semi-join
     "graph_components_event_chains",   # new: star CC on deep chains
     "decode_image_real_docs",          # new: real PNG header decode
     "decode_audio_real_docs",          # new: real WAV decode (stdlib)
