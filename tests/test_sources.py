@@ -95,3 +95,30 @@ def test_lakehouse_negotiation_falls_back_and_roundtrips(spark, tmp_path):
     assert fmt == expected_fmt
     back = read_lakehouse_table(spark, path)
     assert sorted(map(tuple, back.collect())) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_partition_pruning_reads_only_matching_dirs(spark, tmp_path):
+    """A filter on the hive partition column becomes PartitionFilters on
+    the scan (pruned at the FileIndex, before any file is opened) and
+    never appears as a post-scan data filter on partition values."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame(
+        {
+            "d": [f"2024-01-{day:02d}" for day in range(1, 11) for _ in range(5)],
+            "v": range(50),
+        }
+    )
+    path = str(tmp_path / "part_tbl")
+    df = spark.createDataFrame(pdf).withColumn("d", F.col("d").cast("date"))
+    df.write.partitionBy("d").parquet(path)
+    filtered = spark.read.parquet(path).where(F.col("d") == "2024-01-03")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "d#" in plan
+    # run THIS plan and read the scan's own metrics: exactly 1 of the 10
+    # partition dirs survives the FileIndex (inputFiles() is pre-pruning
+    # and would list all 10)
+    assert len(filtered.collect()) == 5
+    scan = filtered._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    assert scan.metrics().apply("numPartitions").value() == 1

@@ -3036,6 +3036,57 @@ def cusum_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "partitioned_scan_events",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date, event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(27,6))), 4) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE CAST(ts AS DATE) >= DATE '2024-01-10'
+      AND CAST(ts AS DATE) <= DATE '2024-01-12'
+    GROUP BY CAST(ts AS DATE), event_type
+    """,
+)
+def partitioned_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partition pruning — the 100 TB table layout. Events are
+    materialized ONCE (content-fingerprint-keyed cache) as a
+    date-partitioned parquet dataset (``event_date=.../*.parquet``); the
+    query filters on the partition column, so the scan's FileIndex keeps
+    3 of ~30 partition directories and never opens the rest
+    (PartitionFilters in the plan — asserted in tests/test_sources.py).
+    At scale this is the difference between reading 100 TB and reading
+    one day."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    events = load_table(spark, "events", sf_dir)
+    path = _index_dir("ts_part_events", sf_dir, "by_date_v1", table="events")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            events.withColumn("event_date", F.to_date("ts"))
+            .repartition("event_date")  # one writer wave, one file per day
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(path)
+        )
+    part = spark.read.parquet(path).where(
+        (F.col("event_date") >= F.lit("2024-01-10").cast("date"))
+        & (F.col("event_date") <= F.lit("2024-01-12").cast("date"))
+    )
+    return (
+        part.groupBy("event_date", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _fdsum("value").alias("sum_value"),
+        )
+        # DATE comes back as a python date object but the oracle's pandas
+        # frame holds datetime64 — hand the driver a timestamp on both sides
+        .withColumn("event_date", F.col("event_date").cast("timestamp"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Corpus-preparation operators (chunking / PII redaction / benchmark
 # decontamination — operators/corpus.py; charter LLM-pipeline extension)
@@ -3162,6 +3213,7 @@ GRADE_PRIORITY: list[str] = [
     "tpch_q5_local_supplier_volume",   # new: 5-way star join, dims broadcast
     "tpch_q6_forecast_revenue",        # new: pushdown showcase scan-agg
     "tpch_q18_large_volume_customer",  # new: aggregate-then-broadcast semi-join
+    "partitioned_scan_events",         # new: hive-partition pruning path
     "graph_components_event_chains",   # new: star CC on deep chains
     "decode_image_real_docs",          # new: real PNG header decode
     "decode_audio_real_docs",          # new: real WAV decode (stdlib)
