@@ -1,0 +1,70 @@
+"""Unit tests for seasonal adjustment and the named quality-rule filter."""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from time_sift_spark.errors import ColumnNotFoundError
+from time_sift_spark.operators.seasonal import deseasonalize
+from time_sift_spark.operators.text import quality_filter
+
+
+def test_deseasonalize_removes_hourly_profile(spark):
+    # user 1: hour 0 always 10, hour 1 always 20 (+ row-specific noise 0/2)
+    rows = []
+    for day in range(1, 6):
+        rows.append((1, dt.datetime(2024, 1, day, 0), 10.0 + (day % 2) * 2))
+        rows.append((1, dt.datetime(2024, 1, day, 1), 20.0))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["user_id", "ts", "value"]))
+    out = deseasonalize(df, "value", "ts", partition_by="user_id", season="hour").toPandas()
+    h0 = out[out.season_slot == 0]
+    h1 = out[out.season_slot == 1]
+    # hour-1 values are constant -> fully explained by the profile
+    assert (h1.value_deseason == 0.0).all()
+    assert (h1.seasonal_mean == 20.0).all()
+    # hour-0 mean is 11.2 (three of five days +2); residuals vs that mean
+    assert h0.seasonal_mean.iloc[0] == pytest.approx(11.2)
+    assert sorted(h0.value_deseason.round(4).unique().tolist()) == [-1.2, 0.8]
+
+
+def test_deseasonalize_validation(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"user_id": [1], "ts": [dt.datetime(2024, 1, 1)], "value": [1.0]})
+    )
+    with pytest.raises(ValueError):
+        deseasonalize(df, "value", "ts", partition_by="user_id", season="dayofweek")
+    with pytest.raises(ColumnNotFoundError):
+        deseasonalize(df, "nope", "ts", partition_by="user_id")
+
+
+def test_quality_filter_rules_fire_individually(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    # passes everything: 30+ words with stopwords
+                    "the quick brown fox jumps over the lazy dog and then it runs "
+                    "far away to the green hills where the sun is warm and the wind "
+                    "is soft for a long quiet afternoon in the valley",
+                    "too short for the filter",  # fails word count
+                    # enough words but zero english stopwords
+                    "uno dos tres cuatro cinco seis siete ocho nueve diez once doce "
+                    "trece catorce quince dieciseis diecisiete dieciocho diecinueve "
+                    "veinte veintiuno veintidos veintitres veinticuatro veinticinco "
+                    "veintiseis veintisiete veintiocho veintinueve treinta",
+                    # symbol storm: punct ratio >= 0.1
+                    "the and is of to in a that it for !!! ??? $$$ %%% ### @@@ &&& "
+                    "*** ((( ))) the and is of to in a that it for the and is of to "
+                    "in a that it for more words to cross the thirty word floor",
+                ],
+            }
+        )
+    )
+    out = quality_filter(df, "text", keep_cols=("doc_id",)).orderBy("doc_id").toPandas()
+    assert out.keep.tolist() == [True, False, False, False]
+    assert not out.r_word_count.iloc[1]
+    assert not out.r_stopwords.iloc[2]
+    assert out.r_word_count.iloc[2]  # 30 words — only the stopword rule fails
+    assert not out.r_symbol_ratio.iloc[3]

@@ -13,10 +13,17 @@ key, so the aggregation adds NO second shuffle — the whole ACF is one
 exchange regardless of how many lags are requested.  At 100 TB the cost
 is the lag window's sort; the per-group corr states are a few doubles.
 
+Determinism: built-in ``corr`` accumulates doubles in engine-specific
+order, so ``ROUND(corr, 4)`` can flip its last digit between Spark and
+DuckDB near rounding boundaries.  Instead the Pearson coefficient is
+assembled from DECIMAL-quantized sums (exact, order-independent — the
+queries.dsum discipline); the remaining scalar double arithmetic is the
+same expression text on both engines, hence bit-identical, and the
+final round happens on a DECIMAL where both engines are HALF_UP.
+
 For a single global series (no partition key) the lag side routes
 through operators.scale.lag_features_global (halo-bucketed, no
-single-task window); the final corr reduction over k scalars per bucket
-is a tree-aggregate.
+single-task window); the final reduction is a scalar tree-aggregate.
 """
 
 from __future__ import annotations
@@ -29,11 +36,36 @@ from pyspark.sql import functions as F
 from ..errors import ColumnNotFoundError, validate_lags
 from .lag import lag_features
 
-__all__ = ["acf", "ccf_global"]
+__all__ = ["acf", "ccf_global", "exact_corr_sql", "acf_oracle_sql", "ccf_oracle_sql"]
 
 
 def _as_list(x) -> list:
     return [] if x is None else [x] if isinstance(x, str) else list(x)
+
+
+def exact_corr_sql(x: str, y: str, round_to: int = 4) -> str:
+    """Pearson correlation as ONE dialect-neutral aggregate expression,
+    exact under any execution order.
+
+    Pairwise-complete semantics (rows where either side is NULL are
+    skipped) — identical to built-in ``corr`` on both engines.  Zero
+    variance or no pairs folds to NULL, also matching ``corr``.
+    """
+    both = f"({x} IS NOT NULL AND {y} IS NOT NULL)"
+    dx = f"CASE WHEN {both} THEN CAST({x} AS DECIMAL(18,6)) END"
+    dy = f"CASE WHEN {both} THEN CAST({y} AS DECIMAL(18,6)) END"
+    n = f"COUNT(CASE WHEN {both} THEN 1 END)"
+    sx = f"CAST(SUM({dx}) AS DOUBLE)"
+    sy = f"CAST(SUM({dy}) AS DOUBLE)"
+    sxy = f"CAST(SUM({dx} * {dy}) AS DOUBLE)"
+    sxx = f"CAST(SUM({dx} * {dx}) AS DOUBLE)"
+    syy = f"CAST(SUM({dy} * {dy}) AS DOUBLE)"
+    num = f"({n} * {sxy} - {sx} * {sy})"
+    den = f"(SQRT({n} * {sxx} - {sx} * {sx}) * SQRT({n} * {syy} - {sy} * {sy}))"
+    return (
+        f"CAST(ROUND(CAST(({num} / NULLIF({den}, 0.0)) AS DECIMAL(18,8)), "
+        f"{round_to}) AS DOUBLE)"
+    )
 
 
 def acf(
@@ -49,9 +81,8 @@ def acf(
     """Per-series autocorrelation function.
 
     One output row per series key with ``n_obs`` and ``acf_{k}`` =
-    Pearson correlation of the series with its own k-step lag
-    (null pairs at series starts are skipped by ``corr`` on both
-    engines, i.e. each acf_k uses the n-k overlapping pairs).
+    Pearson correlation of the series with its own k-step lag (each
+    acf_k uses the n-k overlapping pairs).
     """
     parts = _as_list(partition_by)
     if not parts:
@@ -69,9 +100,40 @@ def acf(
     aggs = [F.count(F.lit(1)).alias("n_obs")]
     for k in lag_list:
         aggs.append(
-            F.round(F.corr(value_col, f"{value_col}_lag{k}"), round_to).alias(f"acf_{k}")
+            F.expr(exact_corr_sql(value_col, f"{value_col}_lag{k}", round_to)).alias(
+                f"acf_{k}"
+            )
         )
     return lagged.groupBy(*parts).agg(*aggs)
+
+
+def acf_oracle_sql(
+    table: str,
+    value: str,
+    part: str,
+    order: str,
+    lags: Sequence[int],
+    *,
+    round_to: int = 4,
+) -> str:
+    """DuckDB oracle rendered from the SAME corr template as the operator."""
+    lag_cols = ",\n             ".join(
+        f"LAG({value}, {k}) OVER w AS {value}_lag{k}" for k in lags
+    )
+    corrs = ",\n           ".join(
+        f"{exact_corr_sql(value, f'{value}_lag{k}', round_to)} AS acf_{k}" for k in lags
+    )
+    return f"""
+    WITH lagged AS (
+      SELECT {part}, {value},
+             {lag_cols}
+      FROM {table}
+      WINDOW w AS (PARTITION BY {part} ORDER BY {order})
+    )
+    SELECT {part}, COUNT(*) AS n_obs,
+           {corrs}
+    FROM lagged GROUP BY {part}
+    """
 
 
 def ccf_global(
@@ -106,6 +168,38 @@ def ccf_global(
     aggs = [F.count(F.lit(1)).alias("n_obs")]
     for k in lag_list:
         aggs.append(
-            F.round(F.corr(f"{x_col}_lag0", f"{y_col}_lag{k}"), round_to).alias(f"ccf_{k}")
+            F.expr(exact_corr_sql(f"{x_col}_lag0", f"{y_col}_lag{k}", round_to)).alias(
+                f"ccf_{k}"
+            )
         )
     return lagged.agg(*aggs)
+
+
+def ccf_oracle_sql(
+    inner_sql: str,
+    x: str,
+    y: str,
+    order: str,
+    lags: Sequence[int],
+    *,
+    round_to: int = 4,
+) -> str:
+    """DuckDB oracle for ccf_global over an aligned frame subquery."""
+    lag_cols = ",\n             ".join(
+        f"LAG({y}, {k}) OVER w AS {y}_lag{k}" for k in lags if k
+    )
+    corrs = ",\n           ".join(
+        f"{exact_corr_sql(f'{x}_lag0', f'{y}_lag{k}', round_to)} AS ccf_{k}"
+        for k in lags
+    )
+    return f"""
+    WITH l AS (
+      SELECT {x} AS {x}_lag0,
+             {y} AS {y}_lag0,
+             {lag_cols}
+      FROM ({inner_sql}) WINDOW w AS (ORDER BY {order})
+    )
+    SELECT COUNT(*) AS n_obs,
+           {corrs}
+    FROM l
+    """

@@ -91,3 +91,43 @@ def fingerprint(
     exploded = staged.select(*keep_cols, F.explode(F.expr(SPARK.shingles("_toks", k))).alias("_sh"))
     hashed = exploded.select(*keep_cols, F.expr(SPARK.md5_long("_sh")).alias("_h"))
     return hashed.groupBy(*keep_cols).agg(F.min("_h").alias("fingerprint"))
+
+
+def gopher_rule_exprs(d, text_col: str, toks: str) -> dict[str, str]:
+    """Named quality-rule booleans in either dialect (Gopher-style repetition
+    and shape filters, Rae et al. 2021 §A1.1 adapted to the primitives the
+    two engines share).  ``toks`` is a pre-staged token-array column."""
+    return {
+        "r_word_count": f"({d.ws_token_count(text_col)} BETWEEN 30 AND 100000)",
+        "r_mean_word_len": f"({d.mean_token_len(text_col, toks)} BETWEEN 2.0 AND 10.0)",
+        "r_symbol_ratio": f"({d.ratio(d.punct_count(text_col), d.char_count(text_col))} < 0.1)",
+        "r_digit_ratio": f"({d.ratio(d.digit_count(text_col), d.char_count(text_col))} < 0.2)",
+        "r_stopwords": f"({d.stopword_hits(toks, 'en')} >= 2)",
+    }
+
+
+def quality_filter(
+    df: DataFrame, text_col: str, *, keep_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Per-document named quality rules + the conjunctive ``keep`` flag.
+
+    Unlike text_stats' scalar quality_score, this exposes WHICH rule
+    rejected a document — the operational need when tuning a corpus
+    filter. Pure projection: no shuffle, scan-bandwidth-bound."""
+    _check(df, [text_col, *keep_cols])
+    rules = gopher_rule_exprs(SPARK, text_col, "_toks")
+    staged = df.select(*keep_cols, text_col, F.expr(SPARK.tokens(text_col)).alias("_toks"))
+    out_cols = [F.expr(e).alias(name) for name, e in rules.items()]
+    keep_expr = " AND ".join(rules.values())
+    return staged.select(*keep_cols, *out_cols, F.expr(keep_expr).alias("keep"))
+
+
+def quality_filter_sql(d, table: str, text: str, *, keep_cols: Sequence[str] = ()) -> str:
+    rules = gopher_rule_exprs(d, text, "_toks")
+    ids = ", ".join(keep_cols)
+    sel = ", ".join(f"{e} AS {name}" for name, e in rules.items())
+    keep_expr = " AND ".join(rules.values())
+    return f"""
+    SELECT {ids}, {sel}, {keep_expr} AS keep
+    FROM (SELECT {ids}, {text}, {d.tokens(text)} AS _toks FROM {table})
+    """

@@ -2933,25 +2933,13 @@ def streaming_lag_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register(
-    "acf_user_value",
-    oracle="""
-    WITH lagged AS (
-      SELECT user_id, value,
-             LAG(value, 1) OVER w AS value_lag1,
-             LAG(value, 2) OVER w AS value_lag2,
-             LAG(value, 3) OVER w AS value_lag3
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    )
-    SELECT user_id, COUNT(*) AS n_obs,
-           ROUND(corr(value, value_lag1), 4) AS acf_1,
-           ROUND(corr(value, value_lag2), 4) AS acf_2,
-           ROUND(corr(value, value_lag3), 4) AS acf_3
-    FROM lagged GROUP BY user_id
-    """,
-    headline=True,
-)
+def _acf_oracle() -> str:
+    from .operators.autocorr import acf_oracle_sql
+
+    return acf_oracle_sql("events", "value", "user_id", "ts, event_id", [1, 2, 3])
+
+
+@register("acf_user_value", oracle=_acf_oracle(), headline=True)
 def acf_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user autocorrelation of event value at lags 1-3. One exchange:
     the groupBy key equals the lag window's partition key, so Catalyst
@@ -2969,31 +2957,19 @@ _CCF_MEAN_TPL = (
 )
 
 
-@register(
-    "ccf_click_purchase_hourly",
-    oracle=f"""
-    WITH h AS (
+def _ccf_oracle() -> str:
+    from .operators.autocorr import ccf_oracle_sql
+
+    inner = f"""
       SELECT date_trunc('hour', ts) AS bucket,
              {_CCF_MEAN_TPL.format(t='click')} AS x_click,
              {_CCF_MEAN_TPL.format(t='purchase')} AS y_purchase
       FROM events GROUP BY date_trunc('hour', ts)
-    ),
-    l AS (
-      SELECT x_click AS x_click_lag0,
-             y_purchase AS y_purchase_lag0,
-             LAG(y_purchase, 1) OVER w AS y_purchase_lag1,
-             LAG(y_purchase, 2) OVER w AS y_purchase_lag2,
-             LAG(y_purchase, 3) OVER w AS y_purchase_lag3
-      FROM h WINDOW w AS (ORDER BY bucket)
-    )
-    SELECT COUNT(*) AS n_obs,
-           ROUND(corr(x_click_lag0, y_purchase_lag0), 4) AS ccf_0,
-           ROUND(corr(x_click_lag0, y_purchase_lag1), 4) AS ccf_1,
-           ROUND(corr(x_click_lag0, y_purchase_lag2), 4) AS ccf_2,
-           ROUND(corr(x_click_lag0, y_purchase_lag3), 4) AS ccf_3
-    FROM l
-    """,
-)
+    """
+    return ccf_oracle_sql(inner, "x_click", "y_purchase", "bucket", [0, 1, 2, 3])
+
+
+@register("ccf_click_purchase_hourly", oracle=_ccf_oracle())
 def ccf_click_purchase_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global cross-correlation: does hourly mean purchase value lead
     hourly mean click value by k hours?  The hourly means are exact
@@ -3085,6 +3061,42 @@ def partitioned_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         # frame holds datetime64 — hand the driver a timestamp on both sides
         .withColumn("event_date", F.col("event_date").cast("timestamp"))
     )
+
+
+def _deseason_oracle() -> str:
+    from .operators.seasonal import deseasonalize_sql
+
+    return deseasonalize_sql("events", "value", "ts", "user_id", season="hour")
+
+
+@register("deseasonalize_hourly_events", oracle=_deseason_oracle())
+def deseasonalize_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive decomposition: subtract each user's hour-of-day
+    profile mean from value (the pre-step before anomaly scoring on
+    diurnal series). Profile means are exact decimal sums; one exchange
+    on (user_id, hour slot), no sort (operators/seasonal.py)."""
+    from .operators.seasonal import deseasonalize
+
+    events = load_table(spark, "events", sf_dir)
+    return deseasonalize(events, "value", "ts", partition_by="user_id", season="hour")
+
+
+def _quality_filter_oracle() -> str:
+    from .operators.text import quality_filter_sql
+
+    return quality_filter_sql(DUCK, "documents", "text", keep_cols=("doc_id",))
+
+
+@register("quality_filter_docs", oracle=_quality_filter_oracle())
+def quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style named quality rules (word count, mean word length,
+    symbol/digit ratios, stopword floor) with per-rule booleans and the
+    conjunctive keep flag — exposes WHICH rule rejected a document,
+    unlike the scalar quality_score. Pure projection."""
+    from .operators.text import quality_filter
+
+    docs = load_table(spark, "documents", sf_dir)
+    return quality_filter(docs, "text", keep_cols=("doc_id",))
 
 
 # --------------------------------------------------------------------------
@@ -3214,6 +3226,8 @@ GRADE_PRIORITY: list[str] = [
     "tpch_q6_forecast_revenue",        # new: pushdown showcase scan-agg
     "tpch_q18_large_volume_customer",  # new: aggregate-then-broadcast semi-join
     "partitioned_scan_events",         # new: hive-partition pruning path
+    "deseasonalize_hourly_events",     # new: seasonal-naive decomposition
+    "quality_filter_docs",             # new: named Gopher-style rules
     "graph_components_event_chains",   # new: star CC on deep chains
     "decode_image_real_docs",          # new: real PNG header decode
     "decode_audio_real_docs",          # new: real WAV decode (stdlib)
