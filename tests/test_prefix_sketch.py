@@ -1,0 +1,91 @@
+"""Unit tests for the distributed prefix sum and the linear-counting sketch."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from time_sift_spark.errors import ColumnNotFoundError
+from time_sift_spark.operators.prefix import prefix_sum_global
+from time_sift_spark.operators.sketch import linear_count_distinct
+
+
+def test_prefix_sum_matches_cumsum(spark):
+    rng = np.random.default_rng(3)
+    n = 5000
+    pdf = pd.DataFrame({"t": rng.permutation(n), "v": rng.normal(size=n).round(3)})
+    out = (
+        prefix_sum_global(spark.createDataFrame(pdf), "v", "t", num_buckets=16)
+        .orderBy("t")
+        .toPandas()
+    )
+    expect = pdf.sort_values("t").v.cumsum().to_numpy()
+    assert np.allclose(out.running_sum.to_numpy(), expect, atol=1e-9)
+
+
+def test_prefix_sum_no_single_partition_exchange(spark):
+    rng = np.random.default_rng(4)
+    pdf = pd.DataFrame({"t": np.arange(2000), "v": rng.normal(size=2000)})
+    plan = (
+        prefix_sum_global(spark.createDataFrame(pdf), "v", "t", num_buckets=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan
+
+
+def test_prefix_sum_ties_and_extras(spark):
+    # equal t values ordered by the extra column — exact deterministic order
+    pdf = pd.DataFrame({"t": [1, 1, 1, 2, 2], "k": [3, 1, 2, 2, 1], "v": [1.0] * 5})
+    out = (
+        prefix_sum_global(spark.createDataFrame(pdf), "v", "t", order_extra="k", num_buckets=4)
+        .orderBy("t", "k")
+        .toPandas()
+    )
+    assert out.running_sum.tolist() == [1.0, 2.0, 3.0, 4.0, 5.0]
+
+
+def test_prefix_sum_tiny_series_fallback(spark):
+    pdf = pd.DataFrame({"t": [5, 5, 5], "v": [1.0, 2.0, 3.0]})
+    out = prefix_sum_global(spark.createDataFrame(pdf), "v", "t", order_extra="v").toPandas()
+    assert sorted(out.running_sum.tolist()) == [1.0, 3.0, 6.0]
+    with pytest.raises(ColumnNotFoundError):
+        prefix_sum_global(spark.createDataFrame(pdf), "x", "t")
+
+
+def test_sketch_estimate_within_error(spark):
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame({"g": rng.integers(0, 3, 6000), "x": rng.integers(0, 800, 6000)})
+    out = linear_count_distinct(
+        spark.createDataFrame(pdf), "x", group_by=("g",), k=4096
+    ).toPandas()
+    for _, r in out.iterrows():
+        assert abs(r.n_estimate - r.n_exact) / r.n_exact < 0.1
+        assert r.used_registers <= r.n_exact
+
+
+def test_sketch_register_state_is_mergeable(spark):
+    """Union of two halves occupies exactly the union of their register
+    sets — the property that makes the sketch re-aggregatable (what a
+    rollup would store at 100 TB)."""
+    import pyspark.sql.functions as F
+
+    from time_sift_spark.functions.text_fns import SPARK as D
+
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame({"x": rng.integers(0, 500, 4000), "half": rng.integers(0, 2, 4000)})
+    df = spark.createDataFrame(pdf)
+    k = 1024
+    reg = f"((({D.md5_long('CAST(x AS STRING)')}) % {k}) + {k}) % {k}"
+    whole = {r[0] for r in df.select(F.expr(reg)).distinct().collect()}
+    h0 = {r[0] for r in df.where("half = 0").select(F.expr(reg)).distinct().collect()}
+    h1 = {r[0] for r in df.where("half = 1").select(F.expr(reg)).distinct().collect()}
+    assert h0 | h1 == whole
+
+
+def test_sketch_validation(spark):
+    df = spark.createDataFrame(pd.DataFrame({"x": [1]}))
+    with pytest.raises(ValueError):
+        linear_count_distinct(df, "x", k=4)
+    with pytest.raises(ColumnNotFoundError):
+        linear_count_distinct(df, "y")

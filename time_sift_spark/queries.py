@@ -3063,6 +3063,77 @@ def partitioned_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "concurrency_sweep_events",
+    oracle="""
+    WITH pts AS (
+      SELECT ts AS t, 1 AS delta, event_id, 0 AS is_end FROM events
+      UNION ALL
+      SELECT ts + INTERVAL 5 MINUTE AS t, -1 AS delta, event_id, 1 AS is_end FROM events
+    )
+    SELECT t, event_id, is_end,
+           CAST(CAST(SUM(CAST(delta AS DECIMAL(27,6)))
+                     OVER (ORDER BY t, (1 - is_end), event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS BIGINT) AS concurrency
+    FROM pts
+    """,
+)
+def concurrency_sweep_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap counting by sweep line: every event holds a
+    5-minute interval; endpoints become +1/-1 deltas and the running sum
+    in global (t, ends-first, event_id) order is the live concurrency
+    (half-open intervals: an end at time T releases before a start at T
+    acquires). The global running sum is the distributed two-pass scan
+    (operators/prefix.py) — one bucket exchange, per-bucket windows, an
+    O(num_buckets) driver prefix — never a single-task window."""
+    import pyspark.sql.functions as F
+
+    from .operators.prefix import prefix_sum_global
+
+    events = load_table(spark, "events", sf_dir)
+    starts = events.select(
+        F.col("ts").alias("t"),
+        F.lit(1).alias("delta"),
+        "event_id",
+        F.lit(0).alias("is_end"),
+    )
+    ends = events.select(
+        F.expr("ts + INTERVAL 5 MINUTE").alias("t"),
+        F.lit(-1).alias("delta"),
+        "event_id",
+        F.lit(1).alias("is_end"),
+    )
+    pts = starts.unionByName(ends).withColumn("end_first", 1 - F.col("is_end"))
+    out = prefix_sum_global(
+        pts, "delta", "t", order_extra=("end_first", "event_id"), out_col="concurrency"
+    )
+    return out.select(
+        "t", "event_id", "is_end", F.col("concurrency").cast("bigint").alias("concurrency")
+    )
+
+
+def _sketch_oracle() -> str:
+    from .operators.sketch import linear_count_distinct_sql
+
+    return linear_count_distinct_sql(
+        DUCK, "events", "user_id", group_by=("event_type",), k=1024
+    )
+
+
+@register("sketch_distinct_users_by_type", oracle=_sketch_oracle())
+def sketch_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable cardinality sketch (linear counting over md5 registers)
+    per event type, with the exact count alongside for error audit.
+    Engine-native HLLs can't pass a cross-engine value-hash (different
+    hash functions); this sketch's register state is exact and shared
+    (operators/sketch.py)."""
+    from .operators.sketch import linear_count_distinct
+
+    events = load_table(spark, "events", sf_dir)
+    return linear_count_distinct(events, "user_id", group_by=("event_type",), k=1024)
+
+
 def _deseason_oracle() -> str:
     from .operators.seasonal import deseasonalize_sql
 
@@ -3228,6 +3299,8 @@ GRADE_PRIORITY: list[str] = [
     "partitioned_scan_events",         # new: hive-partition pruning path
     "deseasonalize_hourly_events",     # new: seasonal-naive decomposition
     "quality_filter_docs",             # new: named Gopher-style rules
+    "sketch_distinct_users_by_type",   # new: linear-counting sketch
+    "concurrency_sweep_events",        # new: sweep-line via distributed scan
     "graph_components_event_chains",   # new: star CC on deep chains
     "decode_image_real_docs",          # new: real PNG header decode
     "decode_audio_real_docs",          # new: real WAV decode (stdlib)
