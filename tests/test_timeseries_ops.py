@@ -414,3 +414,62 @@ def test_asof_lookup_guardrail_falls_back(spark):
         asof_join(left, right, **kw).select("k", "t", "x", "p_asof").collect()))
     assert rows == expect
     assert len(rows) == 3
+
+
+def test_asof_tolerance_matches_merge_asof(spark):
+    """tolerance_us reproduces pandas merge_asof(tolerance=...) exactly."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    n = 400
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, n),
+            "t": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10**6, n), unit="s"),
+        }
+    ).sort_values("t").reset_index(drop=True)
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, n),
+            "t": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10**6, n), unit="s"),
+            "v": rng.normal(size=n).round(3),
+        }
+    ).sort_values("t").reset_index(drop=True)
+    tol_s = 3600
+    expect = pd.merge_asof(
+        left, right, on="t", by="k", tolerance=pd.Timedelta(seconds=tol_s)
+    )
+    from time_sift_spark.operators.asof import asof_join
+
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="k",
+            left_time="t",
+            right_time="t",
+            right_cols=["v"],
+            tolerance_us=tol_s * 10**6,
+        )
+        .orderBy("t", "k")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    expect_sorted = expect.sort_values(["t", "k"]).reset_index(drop=True)
+    assert got.v_asof.fillna(-999).tolist() == expect_sorted.v.fillna(-999).tolist()
+    # and tolerance genuinely fired somewhere (some match dropped)
+    no_tol = pd.merge_asof(left, right, on="t", by="k")
+    assert no_tol.v.notna().sum() > expect.v.notna().sum()
+
+
+def test_asof_tolerance_validation(spark):
+    df = spark.createDataFrame(pd.DataFrame({"k": [1], "t": [1.0], "v": [1.0]}))
+    from time_sift_spark.operators.asof import asof_join
+
+    with pytest.raises(ValueError):
+        asof_join(df, df, on="k", left_time="t", right_time="t", right_cols=["v"], tolerance_us=-1)
+    with pytest.raises(TypeError):
+        # numeric time column + tolerance must fail loudly, not misread
+        asof_join(df, df, on="k", left_time="t", right_time="t", right_cols=["v"], tolerance_us=10)

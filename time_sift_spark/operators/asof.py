@@ -47,6 +47,7 @@ def asof_join(
     right_cols: Sequence[str],
     suffix: str = "_asof",
     direction: str = "backward",
+    tolerance_us: int | None = None,
 ) -> DataFrame:
     """Left as-of join, backward (default) or forward, both inclusive.
 
@@ -56,9 +57,22 @@ def asof_join(
     right row with ``right_time >= left_time`` (NULLs where none exists).
     Both are the SAME one-Exchange union+window plan — forward flips the
     tie ordering and the frame side, nothing else.
+
+    ``tolerance_us`` bounds the match's staleness (pandas
+    ``merge_asof(tolerance=...)`` semantics): a matched right row farther
+    than that many microseconds from the left row is discarded — the
+    payload columns fall back to NULL, never to an older/newer row.
+    Requires timestamp time columns.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    if tolerance_us is not None:
+        if tolerance_us < 0:
+            raise ValueError(f"tolerance_us must be non-negative, got {tolerance_us}")
+        from ._time import assert_time_dtype
+
+        assert_time_dtype(left, left_time)
+        assert_time_dtype(right, right_time)
     on = [on] if isinstance(on, str) else list(on)
     right_cols = list(right_cols)
     for c in on + [left_time]:
@@ -102,11 +116,35 @@ def asof_join(
             .rowsBetween(0, Window.unboundedFollowing)
         )
         pick = F.first
+    carry_cols = [pick(p, ignorenulls=True).over(w).alias(p) for p in payload]
+    if tolerance_us is not None:
+        # ride the matched right row's OWN time along the same window so
+        # staleness is testable per left row
+        from ._time import ts_us
+
+        unioned = unioned.withColumn(
+            "_rt_us", F.when(F.col("_side") == 0, ts_us("_asof_t"))
+        )
+        carry_cols.append(pick("_rt_us", ignorenulls=True).over(w).alias("_rt_match"))
     carried = unioned.select(
         *[c for c in unioned.columns if c not in payload],
-        *[pick(p, ignorenulls=True).over(w).alias(p) for p in payload],
+        *carry_cols,
     )
-    return carried.where(F.col("_side") == 1).drop("_side", "_asof_t")
+    out = carried.where(F.col("_side") == 1).drop("_side", "_asof_t")
+    if tolerance_us is not None:
+        from ._time import ts_us
+
+        gap = (
+            ts_us(left_time) - F.col("_rt_match")
+            if direction == "backward"
+            else F.col("_rt_match") - ts_us(left_time)
+        )
+        ok = F.col("_rt_match").isNotNull() & (gap <= F.lit(tolerance_us))
+        out = out.select(
+            *[c for c in out.columns if c not in payload and c not in ("_rt_us", "_rt_match")],
+            *[F.when(ok, F.col(p)).alias(p) for p in payload],
+        )
+    return out
 
 
 def fits_broadcast(df: DataFrame, max_rows: int) -> bool:

@@ -368,6 +368,39 @@ def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_join_purchases_tolerance",
+    oracle="""
+    SELECT l.user_id, l.ts, l.event_id, l.value,
+           CASE WHEN r.ts >= l.ts - INTERVAL 24 HOUR THEN r.value END AS value_asof
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_join_purchases_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-staleness as-of join (pandas merge_asof tolerance
+    semantics): the most recent purchase counts only within 24 h of the
+    click; staler matches become NULL, never an older row. Same
+    one-Exchange union+window plan — the matched row's own time rides
+    the window so staleness is testable per row."""
+    from .operators.asof import asof_join
+
+    events = load_table(spark, "events", sf_dir)
+    clicks = events.where(events.event_type == "click")
+    purchases = events.where(events.event_type == "purchase")
+    joined = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_cols=["value"],
+        tolerance_us=24 * 3600 * 1_000_000,
+    )
+    return joined.select("user_id", "ts", "event_id", "value", "value_asof")
+
+
+@register(
     "asof_join_next_purchase",
     oracle="""
     SELECT l.user_id, l.ts, l.event_id, l.value, r.value AS value_asof
@@ -3301,6 +3334,7 @@ GRADE_PRIORITY: list[str] = [
     "quality_filter_docs",             # new: named Gopher-style rules
     "sketch_distinct_users_by_type",   # new: linear-counting sketch
     "concurrency_sweep_events",        # new: sweep-line via distributed scan
+    "asof_join_purchases_tolerance",   # new: bounded-staleness as-of
     "graph_components_event_chains",   # new: star CC on deep chains
     "decode_image_real_docs",          # new: real PNG header decode
     "decode_audio_real_docs",          # new: real WAV decode (stdlib)
