@@ -169,3 +169,76 @@ def time_weighted_avg(
         ).alias("time_weighted_avg"),
         F.count(F.lit(1)).alias("n_intervals"),
     )
+
+
+def rolling_median(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    window_size: int,
+    *,
+    partition_by: str | Sequence[str] | None = None,
+    order_extra: str | Sequence[str] | None = None,
+    keep_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Exact trailing-window median: ``{v}_r{n}_median``.
+
+    Built from sort_array(collect_list) + explicit middle-element
+    interpolation rather than the engines' percentile aggregates: Spark
+    interpolates ``(a+b)/2`` while DuckDB's quantile_cont computes
+    ``a + 0.5*(b-a)`` — different expression trees that can differ in the
+    last ulp. Making the interpolation an explicit shared expression
+    restores bit-identical cross-engine values. O(w log w) per row —
+    intended for the small trailing windows rolling stats use.
+    """
+    parts = (
+        [] if partition_by is None
+        else [partition_by] if isinstance(partition_by, str)
+        else list(partition_by)
+    )
+    extra = (
+        [] if order_extra is None
+        else [order_extra] if isinstance(order_extra, str)
+        else list(order_extra)
+    )
+    n = int(window_size)
+    if n < 1:
+        raise InvalidLagsError(f"window size must be >= 1, got {window_size}")
+    missing = [c for c in (value_col, time_col, *parts, *extra) if c not in df.columns]
+    if missing:
+        raise ColumnNotFoundError(f"columns not in DataFrame: {missing}")
+    order_by = [time_col, *extra]
+    base = Window.partitionBy(*parts).orderBy(*order_by) if parts else Window.orderBy(*order_by)
+    frame = base.rowsBetween(-(n - 1), 0)
+    keep = list(keep_cols) if keep_cols is not None else [*parts, *order_by]
+    arr = F.sort_array(F.collect_list(F.col(value_col)).over(frame))
+    cnt = F.size(arr)
+    lo = F.element_at(arr, ((cnt + 1) / 2).cast("int"))
+    hi = F.element_at(arr, ((cnt + 2) / 2).cast("int"))
+    return df.select(
+        *keep,
+        F.col(value_col),
+        ((lo + hi) / F.lit(2.0)).alias(f"{value_col}_r{n}_median"),
+    )
+
+
+def rolling_median_oracle_sql(
+    table: str, value: str, part: str, order: str, window_size: int
+) -> str:
+    """DuckDB oracle: same sorted-array middle interpolation, two-stage
+    because a window call can't nest inside list_sort's argument."""
+    n = int(window_size)
+    frame = (
+        f"(PARTITION BY {part} ORDER BY {order} "
+        f"ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)"
+    )
+    mid = "(list_sort(arr)[CAST(floor((len(arr)+1)/2) AS INT)]" \
+          " + list_sort(arr)[CAST(floor((len(arr)+2)/2) AS INT)])/2.0"
+    return f"""
+    WITH f AS (
+      SELECT {part}, {order}, {value}, list({value}) OVER {frame} AS arr
+      FROM {table}
+    )
+    SELECT {part}, {order}, {value}, {mid} AS {value}_r{n}_median
+    FROM f
+    """

