@@ -1,0 +1,94 @@
+"""Ordered-funnel analysis over an event stream.
+
+``funnel(df, steps=[("signup", ...), ("click", ...), ("purchase", ...)])``
+computes, per user, the earliest time each step was completed STRICTLY
+AFTER the previous step's completion — the standard product-analytics
+funnel (a user who purchased before ever clicking does not count as a
+step-3 conversion).
+
+Plan shape: one Exchange on the user key feeds N chained unordered
+window aggregates (step i's MIN is a plain column before step i+1's
+window consumes it — no window nests inside another, the same staging
+discipline as operators/changepoint.py), then the per-user collapse
+reuses the same partitioning.  Events are scanned ONCE regardless of
+step count; no self-joins.
+
+The DuckDB oracle is rendered from the same staged template.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..errors import ColumnNotFoundError
+
+__all__ = ["funnel", "funnel_oracle_sql"]
+
+
+def _step_exprs(
+    steps: Sequence[tuple[str, str]], time_col: str, part: str
+) -> list[tuple[str, str]]:
+    """[(t_col_name, window_expr_sql)] — step i's predicate is ANDed with
+    strict progression past step i-1's completion time."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    out = []
+    prev = None
+    for name, pred in steps:
+        cond = pred if prev is None else f"({pred}) AND {time_col} > t_{prev}"
+        out.append(
+            (
+                f"t_{name}",
+                f"MIN(CASE WHEN {cond} THEN {time_col} END) OVER (PARTITION BY {part})",
+            )
+        )
+        prev = name
+    return out
+
+
+def funnel(
+    df: DataFrame,
+    time_col: str,
+    partition_by: str,
+    steps: Sequence[tuple[str, str]],
+) -> DataFrame:
+    """One row per user: ``t_{step}`` completion times (NULL where the
+    funnel broke) and ``funnel_stage`` = number of steps completed in
+    order."""
+    missing = [c for c in (time_col, partition_by) if c not in df.columns]
+    if missing:
+        raise ColumnNotFoundError(f"columns not in DataFrame: {missing}")
+    exprs = _step_exprs(steps, time_col, partition_by)
+    cur = df
+    for t_name, sql in exprs:
+        cur = cur.withColumn(t_name, F.expr(sql))
+    t_cols = [t for t, _ in exprs]
+    stage = " + ".join(f"CASE WHEN MIN({t}) IS NOT NULL THEN 1 ELSE 0 END" for t in t_cols)
+    return cur.groupBy(partition_by).agg(
+        *[F.min(t).alias(t) for t in t_cols],
+        F.expr(f"({stage})").alias("funnel_stage"),
+    )
+
+
+def funnel_oracle_sql(
+    table: str,
+    time_col: str,
+    part: str,
+    steps: Sequence[tuple[str, str]],
+) -> str:
+    exprs = _step_exprs(steps, time_col, part)
+    ctes, prev = [], table
+    for i, (t_name, sql) in enumerate(exprs):
+        ctes.append(f"s{i} AS (SELECT *, {sql} AS {t_name} FROM {prev})")
+        prev = f"s{i}"
+    t_cols = [t for t, _ in exprs]
+    mins = ", ".join(f"MIN({t}) AS {t}" for t in t_cols)
+    stage = " + ".join(f"CASE WHEN MIN({t}) IS NOT NULL THEN 1 ELSE 0 END" for t in t_cols)
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT {part}, {mins}, ({stage}) AS funnel_stage
+    FROM {prev} GROUP BY {part}
+    """

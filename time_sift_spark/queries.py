@@ -3187,6 +3187,101 @@ def sketch_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame
     return linear_count_distinct(events, "user_id", group_by=("event_type",), k=1024)
 
 
+_FUNNEL_STEPS = [
+    ("signup", "event_type = 'signup'"),
+    ("click", "event_type = 'click'"),
+    ("purchase", "event_type = 'purchase'"),
+]
+
+
+def _funnel_oracle() -> str:
+    from .operators.funnel import funnel_oracle_sql
+
+    return funnel_oracle_sql("events", "ts", "user_id", _FUNNEL_STEPS)
+
+
+@register("funnel_signup_click_purchase", oracle=_funnel_oracle())
+def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: earliest signup → first click strictly after it →
+    first purchase strictly after that, per user, plus the stage count.
+    One Exchange feeds all three chained window aggregates and the
+    per-user collapse — events scanned once, no self-joins
+    (operators/funnel.py)."""
+    from .operators.funnel import funnel
+
+    events = load_table(spark, "events", sf_dir)
+    return funnel(events, "ts", "user_id", _FUNNEL_STEPS)
+
+
+@register(
+    "cohort_retention_weekly",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events
+    ),
+    joined AS (
+      SELECT c.cohort_week,
+             CAST((CAST(a.act_week AS DATE) - CAST(c.cohort_week AS DATE)) // 7 AS INT)
+               AS week_offset,
+             a.user_id
+      FROM activity a JOIN cohort c ON a.user_id = c.user_id
+    ),
+    sizes AS (
+      SELECT cohort_week, COUNT(*) AS n_cohort FROM cohort GROUP BY cohort_week
+    )
+    SELECT j.cohort_week, j.week_offset,
+           COUNT(DISTINCT j.user_id) AS n_active,
+           s.n_cohort,
+           CAST(COUNT(DISTINCT j.user_id) AS DOUBLE) / CAST(s.n_cohort AS DOUBLE)
+             AS retention_rate
+    FROM joined j JOIN sizes s ON j.cohort_week = s.cohort_week
+    GROUP BY j.cohort_week, j.week_offset, s.n_cohort
+    """,
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen ISO week;
+    for each later week, the fraction of the cohort still active.
+    Cohort assignment and activity share the user_id partitioning (the
+    join adds no exchange beyond the two aggregations); the final
+    (cohort, offset) rollup is tiny. Both engines truncate weeks to ISO
+    Monday, so offsets are exact multiples of 7 days."""
+    import pyspark.sql.functions as F
+
+    events = load_table(spark, "events", sf_dir)
+    cohort = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+    ).distinct()
+    joined = activity.join(cohort, "user_id").select(
+        "cohort_week",
+        (F.datediff(F.col("act_week"), F.col("cohort_week")) / 7)
+        .cast("int")
+        .alias("week_offset"),
+        "user_id",
+    )
+    sizes = cohort.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n_cohort"))
+    return (
+        joined.groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "n_cohort",
+            (F.col("n_active").cast("double") / F.col("n_cohort").cast("double")).alias(
+                "retention_rate"
+            ),
+        )
+    )
+
+
 def _streaming_sketch_oracle() -> str:
     from .functions.text_fns import DUCK as _D
     from .operators.sketch import estimate_expr, register_expr
@@ -3410,6 +3505,8 @@ GRADE_PRIORITY: list[str] = [
     "asof_join_purchases_tolerance",   # new: bounded-staleness as-of
     "rolling_median_events",           # new: exact rolling median
     "streaming_distinct_sketch_daily", # new: bounded-state streaming distinct
+    "funnel_signup_click_purchase",    # new: ordered funnel, one scan
+    "cohort_retention_weekly",         # new: weekly cohort retention
     "graph_components_event_chains",   # new: star CC on deep chains
     "decode_image_real_docs",          # new: real PNG header decode
     "decode_audio_real_docs",          # new: real WAV decode (stdlib)
