@@ -89,3 +89,21 @@ def test_sketch_validation(spark):
         linear_count_distinct(df, "x", k=4)
     with pytest.raises(ColumnNotFoundError):
         linear_count_distinct(df, "y")
+
+
+def test_count_min_one_sided_and_tight_for_heavy_hitters(spark):
+    import pandas as pd
+
+    from time_sift_spark.operators.sketch import count_min_token_freq
+
+    # zipf-ish corpus: token "t0" dominates
+    docs = pd.DataFrame(
+        {"text": [" ".join(f"t{j % (i + 1)}" for j in range(40)) for i in range(200)]}
+    )
+    out = count_min_token_freq(
+        spark.createDataFrame(docs), "text", width=512, depth=3, top_n=10
+    ).toPandas()
+    assert len(out) == 10
+    assert (out.n_cm >= out.n_exact).all()  # one-sided error, always
+    top = out.sort_values("n_exact", ascending=False).iloc[0]
+    assert top.n_cm <= top.n_exact * 1.05  # heavy hitter estimated tightly

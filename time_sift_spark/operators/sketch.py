@@ -126,3 +126,115 @@ def linear_count_distinct_sql(
     groups = ", ".join(group_by)
     head = f"SELECT {groups + ', ' if groups else ''}{sel} FROM {table}"
     return head + (f" GROUP BY {groups}" if groups else "")
+
+
+def cm_bucket_expr(d: Dialect, item_sql: str, row: int, width: int) -> str:
+    """Count-min bucket id for hash row ``row``: the row index is mixed
+    into the md5 input, giving d independent hash functions from the one
+    cross-engine-stable hash."""
+    h = d.md5_long(f"CONCAT('{row}|', CAST({item_sql} AS STRING))")
+    return f"((({h}) % {width}) + {width}) % {width}"
+
+
+def count_min_token_freq(
+    df: DataFrame,
+    text_col: str,
+    *,
+    width: int = 1024,
+    depth: int = 3,
+    top_n: int = 20,
+) -> DataFrame:
+    """Count-min frequency estimation over a token stream, audited
+    against exact counts for the exact top-``top_n`` tokens.
+
+    The sketch is d×W integer cells built by one groupBy over the
+    exploded (row, bucket) pairs — fixed size regardless of vocabulary,
+    mergeable by cell-wise addition (partial aggregation IS the merge).
+    Estimates are ``min`` over the d rows — one-sided (never under the
+    true count).  Every quantity is an integer from the shared md5 hash,
+    so the whole result is bit-deterministic across engines.
+
+    Plan: explode tokens once; exact counts and sketch cells are two
+    aggregations; the ``top_n`` candidates (tiny) broadcast into the
+    d×W cell table.
+    """
+    from ..errors import ColumnNotFoundError
+
+    if text_col not in df.columns:
+        raise ColumnNotFoundError(f"column {text_col!r} not in DataFrame")
+    toks = df.select(F.explode(F.expr(SPARK.tokens(text_col))).alias("token"))
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_exact"))
+    top = (
+        exact.orderBy(F.desc("n_exact"), F.asc("token")).limit(top_n)
+    )
+    rows = list(range(depth))
+    cells = (
+        toks.select(
+            F.explode(
+                F.array(*[F.struct(F.lit(i).alias("row"),
+                                   F.expr(cm_bucket_expr(SPARK, "token", i, width)).alias("bucket"))
+                          for i in rows])
+            ).alias("rb")
+        )
+        .select("rb.row", "rb.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell"))
+    )
+    cand = top
+    for i in rows:
+        cand = cand.withColumn(
+            f"_b{i}", F.expr(cm_bucket_expr(SPARK, "token", i, width))
+        )
+    probes = cand.select(
+        "token", "n_exact",
+        F.explode(
+            F.array(*[F.struct(F.lit(i).alias("row"), F.col(f"_b{i}").alias("bucket"))
+                      for i in rows])
+        ).alias("rb"),
+    ).select("token", "n_exact", "rb.row", "rb.bucket")
+    est = (
+        F.broadcast(probes)
+        .join(cells, ["row", "bucket"])
+        .groupBy("token", "n_exact")
+        .agg(F.min("cell").alias("n_cm"))
+    )
+    return est.select("token", "n_exact", "n_cm")
+
+
+def count_min_token_freq_sql(
+    d: Dialect,
+    table: str,
+    text: str,
+    *,
+    width: int = 1024,
+    depth: int = 3,
+    top_n: int = 20,
+) -> str:
+    rows = list(range(depth))
+    rb_union = " UNION ALL ".join(
+        f"SELECT token, {i} AS row, {cm_bucket_expr(d, 'token', i, width)} AS bucket FROM toks"
+        for i in rows
+    )
+    probe_union = " UNION ALL ".join(
+        f"SELECT token, n_exact, {i} AS row, {cm_bucket_expr(d, 'token', i, width)} AS bucket FROM top"
+        for i in rows
+    )
+    return f"""
+    WITH toks AS (
+      SELECT unnest({d.tokens(text)}) AS token FROM {table}
+    ),
+    exact AS (
+      SELECT token, COUNT(*) AS n_exact FROM toks GROUP BY token
+    ),
+    top AS (
+      SELECT token, n_exact FROM exact ORDER BY n_exact DESC, token LIMIT {top_n}
+    ),
+    rb AS ({rb_union}),
+    cells AS (
+      SELECT row, bucket, COUNT(*) AS cell FROM rb GROUP BY row, bucket
+    ),
+    probes AS ({probe_union})
+    SELECT p.token, p.n_exact, MIN(c.cell) AS n_cm
+    FROM probes p JOIN cells c ON p.row = c.row AND p.bucket = c.bucket
+    GROUP BY p.token, p.n_exact
+    """

@@ -3282,6 +3282,25 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _countmin_oracle() -> str:
+    from .operators.sketch import count_min_token_freq_sql
+
+    return count_min_token_freq_sql(DUCK, "documents", "text", width=512, depth=3, top_n=20)
+
+
+@register("countmin_token_freq", oracle=_countmin_oracle())
+def countmin_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch over the token stream (d=3 rows x
+    W=512 md5 buckets), audited against exact counts for the exact
+    top-20 tokens. Fixed-size mergeable cells (partial aggregation IS
+    the merge), one-sided error; all integers from the shared hash —
+    bit-deterministic across engines (operators/sketch.py)."""
+    from .operators.sketch import count_min_token_freq
+
+    docs = load_table(spark, "documents", sf_dir)
+    return count_min_token_freq(docs, "text", width=512, depth=3, top_n=20)
+
+
 def _streaming_sketch_oracle() -> str:
     from .functions.text_fns import DUCK as _D
     from .operators.sketch import estimate_expr, register_expr
@@ -3507,6 +3526,7 @@ GRADE_PRIORITY: list[str] = [
     "streaming_distinct_sketch_daily", # new: bounded-state streaming distinct
     "funnel_signup_click_purchase",    # new: ordered funnel, one scan
     "cohort_retention_weekly",         # new: weekly cohort retention
+    "countmin_token_freq",             # new: count-min frequency sketch
     "graph_components_event_chains",   # new: star CC on deep chains
     "decode_image_real_docs",          # new: real PNG header decode
     "decode_audio_real_docs",          # new: real WAV decode (stdlib)
