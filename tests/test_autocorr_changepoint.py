@@ -103,3 +103,53 @@ def test_acf_single_exchange_plan(spark):
         spark.createDataFrame(pdf), "v", "t", [1, 2], partition_by="sid"
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_linear_trend_matches_numpy_polyfit(spark):
+    import datetime as dt
+
+    from time_sift_spark.operators.trend import linear_trend
+
+    rng = np.random.default_rng(23)
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for sid, slope_per_day in ((0, 2.0), (1, -0.5)):
+        for i in range(300):
+            t_days = i / 10  # every 2.4h over 30 days
+            v = 5.0 + slope_per_day * t_days + rng.normal() * 0.01
+            rows.append((sid, base + dt.timedelta(days=t_days), v))
+    pdf = pd.DataFrame(rows, columns=["sid", "ts", "v"])
+    out = (
+        linear_trend(spark.createDataFrame(pdf), "v", "ts", group_by="sid")
+        .orderBy("sid")
+        .toPandas()
+    )
+    for sid, want in ((0, 2.0), (1, -0.5)):
+        r = out[out.sid == sid].iloc[0]
+        x = pdf[pdf.sid == sid].ts.astype("int64").to_numpy() / 86_400e9  # days
+        y = pdf[pdf.sid == sid].v.to_numpy()
+        slope_np = np.polyfit(x, y, 1)[0]
+        assert r.slope_per_day == pytest.approx(slope_np, rel=1e-3)
+        assert r.slope_per_day == pytest.approx(want, abs=0.01)
+        assert r.r2 > 0.999
+        assert r.n_obs == 300
+
+
+def test_linear_trend_constant_series(spark):
+    import datetime as dt
+
+    from time_sift_spark.operators.trend import linear_trend
+
+    pdf = pd.DataFrame(
+        {
+            "sid": [0, 0, 0],
+            "ts": [dt.datetime(2024, 1, 1, h) for h in range(3)],
+            "v": [7.0, 7.0, 7.0],
+        }
+    )
+    out = linear_trend(spark.createDataFrame(pdf), "v", "ts", group_by="sid").toPandas()
+    r = out.iloc[0]
+    assert r.slope_per_day == 0.0
+    assert r.intercept == 7.0
+    # zero y-variance: R² is undefined -> NULL (same convention as corr)
+    assert pd.isna(r.r2)

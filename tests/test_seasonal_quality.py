@@ -68,3 +68,31 @@ def test_quality_filter_rules_fire_individually(spark):
     assert not out.r_stopwords.iloc[2]
     assert out.r_word_count.iloc[2]  # 30 words — only the stopword rule fails
     assert not out.r_symbol_ratio.iloc[3]
+
+
+def test_mad_outliers_flags_spike_not_inflated_by_it(spark):
+    import numpy as np
+
+    from time_sift_spark.operators.rolling import mad_outliers
+
+    rng = np.random.default_rng(31)
+    v = rng.normal(10, 0.5, 200)
+    v[7] = 50.0  # one gross spike
+    pdf = pd.DataFrame({"sid": 0, "i": range(200), "v": v})
+    out = mad_outliers(
+        spark.createDataFrame(pdf), "v", partition_by="sid"
+    ).toPandas()
+    flagged = out[out.is_outlier.fillna(False)]
+    assert len(flagged) >= 1
+    assert 50.0 in flagged.v.values
+    # robust center is near 10, not dragged by the spike
+    assert abs(out.v_median.iloc[0] - 10) < 0.5
+
+
+def test_mad_constant_group_null_flag(spark):
+    from time_sift_spark.operators.rolling import mad_outliers
+
+    pdf = pd.DataFrame({"sid": 0, "v": [5.0, 5.0, 5.0]})
+    out = mad_outliers(spark.createDataFrame(pdf), "v", partition_by="sid").toPandas()
+    assert out.is_outlier.isna().all()
+    assert (out.v_mad == 0.0).all()

@@ -242,3 +242,113 @@ def rolling_median_oracle_sql(
     SELECT {part}, {order}, {value}, {mid} AS {value}_r{n}_median
     FROM f
     """
+
+
+def _median_mid_exprs(arr: str) -> str:
+    """Shared middle-element interpolation over a sorted array column
+    (1-based). Identical scalar text on both engines — see
+    rolling_median's determinism note."""
+    return (
+        f"(element_at({arr}, CAST(floor((size({arr})+1)/2) AS INT))"
+        f" + element_at({arr}, CAST(floor((size({arr})+2)/2) AS INT)))/2.0"
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    *,
+    partition_by: str | Sequence[str],
+    threshold: float = 3.0,
+    round_to: int = 4,
+) -> DataFrame:
+    """Robust per-group outlier flag via the Median Absolute Deviation:
+    ``|x - median| > threshold * 1.4826 * MAD`` — the robust analogue of
+    the z-score (1.4826 rescales MAD to σ under normality; the 3σ-rule
+    threshold carries over).  Immune to the outliers themselves, unlike
+    mean/std which they inflate.
+
+    Two keyed passes (median, then MAD of residuals), each a
+    collect_list + sorted-middle on the SAME partitioning — one exchange
+    feeds both windows.  The interpolation is the shared expression both
+    engines evaluate identically.  Group cardinality bounds the
+    collected arrays; for groups past ~1e6 rows switch to a bucketed
+    quantile, not this operator.
+
+    Output: ``{v}_median``, ``{v}_mad``, ``is_outlier`` (NULL when the
+    group's MAD is 0 — the robust scale is undefined, matching the
+    zscore operator's 0-stddev convention).
+    """
+    parts = (
+        [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    )
+    if not parts:
+        raise ColumnNotFoundError("mad_outliers requires a group key")
+    missing = [c for c in (value_col, *parts) if c not in df.columns]
+    if missing:
+        raise ColumnNotFoundError(f"columns not in DataFrame: {missing}")
+    w = Window.partitionBy(*parts)
+    v = value_col
+    arr = F.sort_array(F.collect_list(F.col(v)).over(w))
+    med_txt = _median_mid_exprs("_arr")
+    staged = df.select(*df.columns, arr.alias("_arr")).withColumn(
+        "_med", F.expr(med_txt)
+    )
+    res_arr = F.sort_array(F.collect_list(F.expr(f"abs({v} - _med)")).over(w))
+    staged2 = staged.select(*staged.columns, res_arr.alias("_resarr")).withColumn(
+        "_mad", F.expr(_median_mid_exprs("_resarr"))
+    )
+    dr = f"CAST(ROUND(CAST((%s) AS DECIMAL(18,8)), {round_to}) AS DOUBLE)"
+    return staged2.select(
+        *parts,
+        *[c for c in df.columns if c not in parts],
+        F.expr(dr % "_med").alias(f"{v}_median"),
+        F.expr(dr % "_mad").alias(f"{v}_mad"),
+        F.expr(
+            f"CASE WHEN _mad = 0.0 THEN CAST(NULL AS BOOLEAN) "
+            f"ELSE abs({v} - _med) > {threshold} * 1.4826 * _mad END"
+        ).alias("is_outlier"),
+    )
+
+
+def mad_outliers_oracle_sql(
+    table: str,
+    value: str,
+    part: str,
+    keep: str,
+    *,
+    threshold: float = 3.0,
+    round_to: int = 4,
+) -> str:
+    """DuckDB oracle: same two staged sorted-list medians (list_sort +
+    1-based indexing), same scalar interpolation/flag text."""
+    def mid(arr: str) -> str:
+        return (
+            f"(list_sort({arr})[CAST(floor((len({arr})+1)/2) AS INT)]"
+            f" + list_sort({arr})[CAST(floor((len({arr})+2)/2) AS INT)])/2.0"
+        )
+
+    dr = f"CAST(ROUND(CAST((%s) AS DECIMAL(18,8)), {round_to}) AS DOUBLE)"
+    return f"""
+    WITH s1 AS (
+      SELECT {keep}, {value}, list({value}) OVER (PARTITION BY {part}) AS _arr
+      FROM {table}
+    ),
+    s2 AS (
+      SELECT {keep}, {value}, {mid('_arr')} AS _med FROM s1
+    ),
+    s3 AS (
+      SELECT {keep}, {value}, _med,
+             list(abs({value} - _med)) OVER (PARTITION BY {part}) AS _resarr
+      FROM s2
+    ),
+    s4 AS (
+      SELECT {keep}, {value}, _med, {mid('_resarr')} AS _mad FROM s3
+    )
+    SELECT {keep}, {value},
+           {dr % '_med'} AS {value}_median,
+           {dr % '_mad'} AS {value}_mad,
+           CASE WHEN _mad = 0.0 THEN CAST(NULL AS BOOLEAN)
+                ELSE abs({value} - _med) > {threshold} * 1.4826 * _mad END AS is_outlier
+    FROM s4
+    """

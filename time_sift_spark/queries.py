@@ -3282,6 +3282,47 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _trend_oracle() -> str:
+    from .operators.trend import linear_trend_oracle_sql
+
+    return linear_trend_oracle_sql("events", "value", "ts", "user_id")
+
+
+@register("trend_user_value", oracle=_trend_oracle())
+def trend_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend of value over time (slope/day, intercept, R²)
+    from decimal-exact sums — one partial-aggregatable groupBy, no
+    window; the drift companion to ACF's serial-dependence measurement
+    (operators/trend.py)."""
+    from .operators.trend import linear_trend
+
+    events = load_table(spark, "events", sf_dir)
+    return linear_trend(events, "value", "ts", group_by="user_id")
+
+
+def _mad_oracle() -> str:
+    from .operators.rolling import mad_outliers_oracle_sql
+
+    return mad_outliers_oracle_sql(
+        "events", "value", "user_id", "user_id, ts, event_id"
+    )
+
+
+@register("mad_outliers_events", oracle=_mad_oracle())
+def mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier flag per user via Median Absolute Deviation
+    (|x-med| > 3·1.4826·MAD) — the robust companion of zscore_events:
+    immune to the outliers it hunts. Two sorted-middle medians on one
+    user_id exchange; shared interpolation text on both engines
+    (operators/rolling.py)."""
+    from .operators.rolling import mad_outliers
+
+    events = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return mad_outliers(events, "value", partition_by="user_id")
+
+
 def _countmin_oracle() -> str:
     from .operators.sketch import count_min_token_freq_sql
 
@@ -3527,6 +3568,8 @@ GRADE_PRIORITY: list[str] = [
     "funnel_signup_click_purchase",    # new: ordered funnel, one scan
     "cohort_retention_weekly",         # new: weekly cohort retention
     "countmin_token_freq",             # new: count-min frequency sketch
+    "trend_user_value",                # new: per-series OLS trend
+    "mad_outliers_events",             # new: robust MAD outlier flag
     "graph_components_event_chains",   # new: star CC on deep chains
     "decode_image_real_docs",          # new: real PNG header decode
     "decode_audio_real_docs",          # new: real WAV decode (stdlib)
