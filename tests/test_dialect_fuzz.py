@@ -255,3 +255,92 @@ def test_fuzz_embedding_neardup(pdf):
         schema="vec_id long, embedding array<double>, label long",
     )
     _compare(got, exp)
+
+
+# ---- round-6 exact numeric templates over adversarial float corpora ----
+
+FLOAT = st.one_of(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False),
+    st.sampled_from([0.0, 1.0, -1.0, 0.5, 0.12345, 99999.99999, 1e-6]),
+)
+
+
+@st.composite
+def series_corpus(draw):
+    n = draw(st.integers(min_value=2, max_value=24))
+    return pd.DataFrame(
+        {
+            "sid": [draw(st.integers(min_value=0, max_value=2)) for _ in range(n)],
+            "t": range(n),
+            "v": [round(draw(FLOAT), 6) for _ in range(n)],
+        }
+    )
+
+
+@FUZZ_SETTINGS
+@given(series_corpus())
+def test_fuzz_exact_corr_template(pdf):
+    from time_sift_spark.operators.autocorr import exact_corr_sql
+
+    tpl = (
+        "WITH l AS (SELECT sid, v, LAG(v, 1) OVER "
+        "(PARTITION BY sid ORDER BY t) AS v1 FROM _fzc) "
+        "SELECT sid, {corr} AS c FROM l GROUP BY sid"
+    )
+    got, exp = _run_both(
+        pdf,
+        tpl.format(corr=exact_corr_sql("v", "v1", width=18)),   # Spark width
+        tpl.format(corr=exact_corr_sql("v", "v1", width=19)),   # DuckDB width
+        "_fzc",
+    )
+    _compare(got, exp)
+
+
+@FUZZ_SETTINGS
+@given(series_corpus())
+def test_fuzz_cusum_template(pdf):
+    from time_sift_spark.operators.changepoint import cusum, cusum_oracle_sql
+
+    spark = _get_session()
+    got = cusum(spark.createDataFrame(pdf), "v", "t", partition_by="sid").toPandas()
+    con = duckdb.connect()
+    con.register("_fzs", pdf)
+    exp = con.execute(cusum_oracle_sql("_fzs", "v", "sid", "t", keep="sid, t")).df()
+    _compare(got, exp)
+
+
+@FUZZ_SETTINGS
+@given(series_corpus())
+def test_fuzz_rolling_median_template(pdf):
+    """Spark operator vs DuckDB oracle (the two dialect renderings)."""
+    from time_sift_spark.operators.rolling import rolling_median, rolling_median_oracle_sql
+
+    spark = _get_session()
+    got = (
+        rolling_median(spark.createDataFrame(pdf), "v", "t", 4, partition_by="sid")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("_fzm", pdf)
+    exp = con.execute(rolling_median_oracle_sql("_fzm", "v", "sid", "t", 4)).df()
+    _compare(got, exp)
+
+
+@FUZZ_SETTINGS
+@given(series_corpus())
+def test_fuzz_linear_trend_template(pdf):
+    import datetime as dt
+
+    from time_sift_spark.operators.trend import linear_trend, linear_trend_oracle_sql
+
+    pdf = pdf.assign(
+        ts=[dt.datetime(2024, 1, 1) + dt.timedelta(minutes=int(i)) for i in pdf.t]
+    )
+    spark = _get_session()
+    got = (
+        linear_trend(spark.createDataFrame(pdf), "v", "ts", group_by="sid").toPandas()
+    )
+    con = duckdb.connect()
+    con.register("_fzt", pdf)
+    exp = con.execute(linear_trend_oracle_sql("_fzt", "v", "ts", "sid")).df()
+    _compare(got, exp)

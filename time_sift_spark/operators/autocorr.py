@@ -43,29 +43,40 @@ def _as_list(x) -> list:
     return [] if x is None else [x] if isinstance(x, str) else list(x)
 
 
-def exact_corr_sql(x: str, y: str, round_to: int = 4) -> str:
-    """Pearson correlation as ONE dialect-neutral aggregate expression,
+def exact_corr_sql(x: str, y: str, round_to: int = 4, *, width: int = 18) -> str:
+    """Pearson correlation as ONE dialect-shaped aggregate expression,
     exact under any execution order.
 
     Pairwise-complete semantics (rows where either side is NULL are
     skipped) — identical to built-in ``corr`` on both engines.  Zero
     variance or no pairs folds to NULL, also matching ``corr``.
+
+    ``width``: decimal precision of the quantized operands — 18 for
+    Spark (19 would trip its precision-loss rescale: (19,6)*(19,6) →
+    (38,11), shaving the exact 12th decimal), 19 for DuckDB (18 makes
+    it multiply in int64 and overflow; 19 forces hugeint).  The VALUES
+    are identical either way — precision widens range, not scale.
     """
     both = f"({x} IS NOT NULL AND {y} IS NOT NULL)"
-    dx = f"CASE WHEN {both} THEN CAST({x} AS DECIMAL(18,6)) END"
-    dy = f"CASE WHEN {both} THEN CAST({y} AS DECIMAL(18,6)) END"
+    dx = f"CASE WHEN {both} THEN CAST({x} AS DECIMAL({width},6)) END"
+    dy = f"CASE WHEN {both} THEN CAST({y} AS DECIMAL({width},6)) END"
+    from ._num import dec_to_double, round_double
+
     n = f"COUNT(CASE WHEN {both} THEN 1 END)"
-    sx = f"CAST(SUM({dx}) AS DOUBLE)"
-    sy = f"CAST(SUM({dy}) AS DOUBLE)"
-    sxy = f"CAST(SUM({dx} * {dy}) AS DOUBLE)"
-    sxx = f"CAST(SUM({dx} * {dx}) AS DOUBLE)"
-    syy = f"CAST(SUM({dy} * {dy}) AS DOUBLE)"
+    sx = dec_to_double(f"SUM({dx})")
+    sy = dec_to_double(f"SUM({dy})")
+    sxy = dec_to_double(f"SUM({dx} * {dy})")
+    sxx = dec_to_double(f"SUM({dx} * {dx})")
+    syy = dec_to_double(f"SUM({dy} * {dy})")
     num = f"({n} * {sxy} - {sx} * {sy})"
-    den = f"(SQRT({n} * {sxx} - {sx} * {sx}) * SQRT({n} * {syy} - {sy} * {sy}))"
-    return (
-        f"CAST(ROUND(CAST(({num} / NULLIF({den}, 0.0)) AS DECIMAL(18,8)), "
-        f"{round_to}) AS DOUBLE)"
+    # GREATEST clamp: the sums are exact, but their DOUBLE products can
+    # leave a negative epsilon where the true variance is ~0; sqrt(neg)
+    # is NaN on Spark — clamp to 0 so both engines fold to NULL via NULLIF
+    den = (
+        f"(SQRT(GREATEST({n} * {sxx} - {sx} * {sx}, 0.0)) "
+        f"* SQRT(GREATEST({n} * {syy} - {sy} * {sy}, 0.0)))"
     )
+    return round_double(f"({num} / NULLIF({den}, 0.0))", round_to)
 
 
 def acf(
@@ -121,7 +132,8 @@ def acf_oracle_sql(
         f"LAG({value}, {k}) OVER w AS {value}_lag{k}" for k in lags
     )
     corrs = ",\n           ".join(
-        f"{exact_corr_sql(value, f'{value}_lag{k}', round_to)} AS acf_{k}" for k in lags
+        f"{exact_corr_sql(value, f'{value}_lag{k}', round_to, width=19)} AS acf_{k}"
+        for k in lags
     )
     return f"""
     WITH lagged AS (
@@ -189,7 +201,7 @@ def ccf_oracle_sql(
         f"LAG({y}, {k}) OVER w AS {y}_lag{k}" for k in lags if k
     )
     corrs = ",\n           ".join(
-        f"{exact_corr_sql(f'{x}_lag0', f'{y}_lag{k}', round_to)} AS ccf_{k}"
+        f"{exact_corr_sql(f'{x}_lag0', f'{y}_lag{k}', round_to, width=19)} AS ccf_{k}"
         for k in lags
     )
     return f"""

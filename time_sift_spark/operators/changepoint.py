@@ -37,7 +37,13 @@ def _as_list(x) -> list:
 
 
 def cusum_stage_exprs(
-    value: str, part: str, order: str, threshold: float = 3.0, round_to: int = 4
+    value: str,
+    part: str,
+    order: str,
+    threshold: float = 3.0,
+    round_to: int = 4,
+    *,
+    width: int = 18,
 ) -> dict[str, str]:
     """Shared SQL fragments (valid verbatim in Spark and DuckDB).
 
@@ -48,22 +54,28 @@ def cusum_stage_exprs(
     One template used by both the operator and the oracle renderer, so
     the scalar double expression trees match token-for-token.
     """
+    from ._num import dec_to_double, round_double
+
     wp = f"(PARTITION BY {part})"
     wo = (
         f"(PARTITION BY {part} ORDER BY {order} "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     )
-    dev = (
-        f"CAST(({value} - (_sx / _n)) / "
-        "NULLIF(SQRT((_sxx - _sx * _sx / _n) / (_n - 1)), 0.0) "
-        "AS DECIMAL(18,6))"
+    # quantize the deviation in DOUBLE space first (round_double): a
+    # direct double->decimal cast breaks ties HALF_UP on Spark but
+    # HALF_EVEN on DuckDB; after the shared rounding the value sits on
+    # the decimal grid and the cast is tie-free on both
+    raw_dev = (
+        f"(({value} - (_sx / _n)) / "
+        "NULLIF(SQRT(GREATEST((_sxx - _sx * _sx / _n) / NULLIF(_n - 1, 0), 0.0)), 0.0))"
     )
+    dev = f"CAST({round_double(raw_dev, 6)} AS DECIMAL(18,6))"
     return {
         "n": f"COUNT({value}) OVER {wp}",
-        "sx": f"CAST(SUM(CAST({value} AS DECIMAL(18,6))) OVER {wp} AS DOUBLE)",
-        "sxx": (
-            f"CAST(SUM(CAST({value} AS DECIMAL(18,6)) * CAST({value} AS DECIMAL(18,6))) "
-            f"OVER {wp} AS DOUBLE)"
+        "sx": dec_to_double(f"SUM(CAST({value} AS DECIMAL({width},6))) OVER {wp}"),
+        "sxx": dec_to_double(
+            f"SUM(CAST({value} AS DECIMAL({width},6)) * CAST({value} AS DECIMAL({width},6))) "
+            f"OVER {wp}"
         ),
         "dev": dev,
         "cusum": f"CAST(ROUND(SUM(_dev) OVER {wo}, {round_to}) AS DOUBLE)",
@@ -84,8 +96,10 @@ def cusum_oracle_sql(
     threshold: float = 3.0,
     round_to: int = 4,
 ) -> str:
-    """ANSI-SQL rendering of the same staged plan for the DuckDB oracle."""
-    ex = cusum_stage_exprs(value, part, order, threshold, round_to)
+    """ANSI-SQL rendering of the same staged plan for the DuckDB oracle.
+    width=19: DuckDB multiplies width-18 decimals in int64 and overflows;
+    19 forces hugeint. Values identical (precision widens range, not scale)."""
+    ex = cusum_stage_exprs(value, part, order, threshold, round_to, width=19)
     return f"""
     WITH stats AS (
       SELECT {keep}, {value},

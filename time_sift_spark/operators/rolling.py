@@ -298,12 +298,16 @@ def mad_outliers(
     staged2 = staged.select(*staged.columns, res_arr.alias("_resarr")).withColumn(
         "_mad", F.expr(_median_mid_exprs("_resarr"))
     )
-    dr = f"CAST(ROUND(CAST((%s) AS DECIMAL(18,8)), {round_to}) AS DOUBLE)"
+    from ._num import round_double
+
+    def dr(col: str) -> str:
+        return round_double(col, round_to)
+
     return staged2.select(
         *parts,
         *[c for c in df.columns if c not in parts],
-        F.expr(dr % "_med").alias(f"{v}_median"),
-        F.expr(dr % "_mad").alias(f"{v}_mad"),
+        F.expr(dr("_med")).alias(f"{v}_median"),
+        F.expr(dr("_mad")).alias(f"{v}_mad"),
         F.expr(
             f"CASE WHEN _mad = 0.0 THEN CAST(NULL AS BOOLEAN) "
             f"ELSE abs({v} - _med) > {threshold} * 1.4826 * _mad END"
@@ -328,7 +332,11 @@ def mad_outliers_oracle_sql(
             f" + list_sort({arr})[CAST(floor((len({arr})+2)/2) AS INT)])/2.0"
         )
 
-    dr = f"CAST(ROUND(CAST((%s) AS DECIMAL(18,8)), {round_to}) AS DOUBLE)"
+    from ._num import round_double
+
+    def dr(col: str) -> str:
+        return round_double(col, round_to)
+
     return f"""
     WITH s1 AS (
       SELECT {keep}, {value}, list({value}) OVER (PARTITION BY {part}) AS _arr
@@ -346,8 +354,8 @@ def mad_outliers_oracle_sql(
       SELECT {keep}, {value}, _med, {mid('_resarr')} AS _mad FROM s3
     )
     SELECT {keep}, {value},
-           {dr % '_med'} AS {value}_median,
-           {dr % '_mad'} AS {value}_mad,
+           {dr('_med')} AS {value}_median,
+           {dr('_mad')} AS {value}_mad,
            CASE WHEN _mad = 0.0 THEN CAST(NULL AS BOOLEAN)
                 ELSE abs({value} - _med) > {threshold} * 1.4826 * _mad END AS is_outlier
     FROM s4

@@ -37,12 +37,16 @@ def _exprs(value: str, part: str, season_slot: str, round_to: int) -> dict[str, 
     # ROUND on a raw DOUBLE diverges between engines at representable
     # near-midpoints (observed: -8.6963 vs -8.6962 at sf0.01) — quantize
     # to DECIMAL first, where ROUND is HALF_UP on both (dsum discipline).
+    from ._num import dec_to_double, round_double
+
     wp = f"(PARTITION BY {part}, {season_slot})"
     n = f"COUNT({value}) OVER {wp}"
-    sx = f"CAST(SUM(CAST({value} AS DECIMAL(27,6))) OVER {wp} AS DOUBLE)"
+    sx = dec_to_double(f"SUM(CAST({value} AS DECIMAL(27,6))) OVER {wp}")
 
     def dround(expr: str) -> str:
-        return f"CAST(ROUND(CAST(({expr}) AS DECIMAL(18,8)), {round_to}) AS DOUBLE)"
+        # pure-double rounding (see operators/_num.py): decimal casts of
+        # doubles tie-break differently across engines
+        return round_double(expr, round_to)
 
     return {
         "seasonal_mean": dround(f"{sx} / {n}"),

@@ -36,17 +36,21 @@ _X_SPARK = "((unix_micros(CAST({t} AS TIMESTAMP)) DIV 1000000) - {off})"
 _X_DUCK = "((epoch_us({t}) // 1000000) - {off})"
 
 
-def _sum_exprs(x: str, y: str) -> dict[str, str]:
-    """Stage 1: the six exact sufficient statistics (aggregates)."""
-    dx = f"CAST({x} AS DECIMAL(18,0))"
-    dy = f"CAST({y} AS DECIMAL(18,6))"
+def _sum_exprs(x: str, y: str, *, width: int = 18) -> dict[str, str]:
+    """Stage 1: the six exact sufficient statistics (aggregates).
+    width=18 for Spark, 19 for DuckDB (int64-multiply overflow vs
+    Spark precision-loss rescale — values identical either way)."""
+    from ._num import dec_to_double
+
+    dx = f"CAST({x} AS DECIMAL({width},0))"
+    dy = f"CAST({y} AS DECIMAL({width},6))"
     return {
         "_n": f"COUNT({y})",
-        "_sx": f"CAST(SUM({dx}) AS DOUBLE)",
-        "_sy": f"CAST(SUM({dy}) AS DOUBLE)",
-        "_sxx": f"CAST(SUM({dx} * {dx}) AS DOUBLE)",
-        "_sxy": f"CAST(SUM({dx} * {dy}) AS DOUBLE)",
-        "_syy": f"CAST(SUM({dy} * {dy}) AS DOUBLE)",
+        "_sx": dec_to_double(f"SUM({dx})"),
+        "_sy": dec_to_double(f"SUM({dy})"),
+        "_sxx": dec_to_double(f"SUM({dx} * {dx})"),
+        "_sxy": dec_to_double(f"SUM({dx} * {dy})"),
+        "_syy": dec_to_double(f"SUM({dy} * {dy})"),
     }
 
 
@@ -59,8 +63,12 @@ def _fit_exprs(round_to: int) -> dict[str, str]:
     num2 = "((_n * _sxy - _sx * _sy) * (_n * _sxy - _sx * _sy))"
     den2 = f"({den} * (_n * _syy - _sy * _sy))"
 
+    from ._num import round_double
+
     def dround(e: str, nd: int) -> str:
-        return f"CAST(ROUND(CAST(({e}) AS DECIMAL(30,12)), {nd}) AS DOUBLE)"
+        # pure-double rounding: double->decimal casts tie-break HALF_UP
+        # on Spark vs HALF_EVEN on DuckDB (_num.round_double docstring)
+        return round_double(e, nd)
 
     return {
         "n_obs": "_n",
@@ -106,7 +114,7 @@ def linear_trend_oracle_sql(
     round_to: int = 4,
     x_offset_epoch_s: int = 1_700_000_000,
 ) -> str:
-    sums = _sum_exprs(_X_DUCK.format(t=time_col, off=x_offset_epoch_s), value)
+    sums = _sum_exprs(_X_DUCK.format(t=time_col, off=x_offset_epoch_s), value, width=19)
     sums_sel = ", ".join(f"{e} AS {name}" for name, e in sums.items())
     fit = _fit_exprs(round_to)
     fit_sel = ", ".join(f"{e} AS {name}" for name, e in fit.items())
