@@ -69,6 +69,9 @@ def compact_result_line(timings: dict, total: float, sf_val) -> str:
 
 
 def main() -> None:
+    # 106 queries x 3 executions in one JVM: give the driver headroom so
+    # late-run queries measure work, not old-gen GC (overridable via env)
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("time_sift_spark_bench")

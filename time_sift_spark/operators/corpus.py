@@ -176,16 +176,23 @@ def decontaminate(
     train-side shuffles before the per-doc count."""
     _check(train_df, [id_col, text_col])
     _check(bench_df, [text_col])
-    grams = SPARK.shingles(SPARK.tokens(text_col), k)
+    # stage tokens as a COLUMN before shingling: an inline token pipeline
+    # is re-evaluated per shingle index by the array transform (~60x per
+    # doc — measured 4.6s -> 0.5s at sf0.1). The oracle keeps the
+    # single-expression form; values are identical either way.
+    grams = SPARK.shingles("_toks", k)
+    toks = F.expr(SPARK.tokens(text_col)).alias("_toks")
     bench_hashes = (
-        bench_df.select(F.explode(F.expr(grams)).alias("_g"))
+        bench_df.select(toks)
+        .select(F.explode(F.expr(grams)).alias("_g"))
         .select(F.expr(SPARK.md5_long("_g")).alias("_h"))
         .distinct()
     )
     if broadcast_bench:
         bench_hashes = F.broadcast(bench_hashes)
     train_grams = (
-        train_df.select(id_col, F.explode(F.expr(grams)).alias("_g"))
+        train_df.select(id_col, toks)
+        .select(id_col, F.explode(F.expr(grams)).alias("_g"))
         .select(id_col, F.expr(SPARK.md5_long("_g")).alias("_h"))
         .distinct()
     )

@@ -38,6 +38,9 @@ def get_spark(
         # TIMESTAMP(MICROS) testdata must read as TIMESTAMP, not NTZ
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
+        # long benching sessions (100+ queries x 3 executions) bloat the
+        # driver heap with retained SQL-listener plan snapshots; keep few
+        .config("spark.sql.ui.retainedExecutions", "25")
         # saveAsTable (bucketed tables) must not drop a spark-warehouse/
         # dir into the repo cwd; static conf, so set at build time
         .config(
