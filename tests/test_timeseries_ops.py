@@ -473,3 +473,48 @@ def test_asof_tolerance_validation(spark):
     with pytest.raises(TypeError):
         # numeric time column + tolerance must fail loudly, not misread
         asof_join(df, df, on="k", left_time="t", right_time="t", right_cols=["v"], tolerance_us=10)
+
+
+def test_hopping_window_agg_overlap(spark):
+    """Every event appears in window/hop slots; hand-checked alignment."""
+    from time_sift_spark.operators.resample import hopping_window_agg
+
+    pdf = pd.DataFrame(
+        {
+            "ts": [dt.datetime(2024, 1, 1, 0, 20), dt.datetime(2024, 1, 1, 0, 50)],
+            "v": [1.0, 10.0],
+        }
+    )
+    out = (
+        hopping_window_agg(
+            spark.createDataFrame(pdf), "ts", "1 hour", "15 minutes",
+            {"n": ("count", "v"), "s": ("sum", "v")},
+        )
+        .orderBy("window_start")
+        .toPandas()
+    )
+    # event at 00:20 -> windows starting 23:30..00:15; at 00:50 -> 00:00..00:45
+    assert out.n.sum() == 8  # 2 events x 4 slots each
+    both = out[(out.n == 2)]
+    # overlap: windows starting 00:00 and 00:15 contain both events
+    assert both.window_start.tolist() == [
+        dt.datetime(2024, 1, 1, 0, 0),
+        dt.datetime(2024, 1, 1, 0, 15),
+    ]
+    assert (both.s == 11.0).all()
+    assert (
+        (out.window_end - out.window_start) == pd.Timedelta(hours=1)
+    ).all()
+
+
+def test_hopping_window_validation(spark):
+    from time_sift_spark.operators.resample import hopping_window_agg
+
+    df = spark.createDataFrame(pd.DataFrame({"t": [1.0], "v": [1.0]}))
+    with pytest.raises(TypeError):
+        hopping_window_agg(df, "t", "1 hour", "15 minutes", {"n": ("count", "v")})
+    with pytest.raises(ValueError):
+        hopping_window_agg(
+            spark.createDataFrame(pd.DataFrame({"ts": [dt.datetime(2024, 1, 1)], "v": [1.0]})),
+            "ts", "1 hour", "15 minutes", {"n": ("median", "v")},
+        )

@@ -63,3 +63,61 @@ def resample(
 
     bucket = F.date_trunc(every, F.col(time_col)).alias("bucket")
     return df.groupBy(*partition_by, bucket).agg(*agg_exprs)
+
+
+def hopping_window_agg(
+    df: DataFrame,
+    time_col: str,
+    window: str,
+    hop: str,
+    aggs: dict[str, tuple[str, str]],
+    *,
+    partition_by: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """Overlapping (hopping/sliding) window aggregation in BATCH.
+
+    ``F.window(t, window, hop)`` assigns each row to the window/hop
+    overlapping slots (epoch-aligned, same semantics as the streaming
+    windowed aggregations in streaming/), then one groupBy per slot —
+    the row-explosion factor is window/hop, priced explicitly by the
+    caller.  Output carries ``window_start`` / ``window_end``.
+
+    Plan: Explode(window slots) -> partial agg -> ONE exchange on
+    (keys, window) — identical scale shape to resample, ×(window/hop)
+    input rows.
+    """
+    from ._time import assert_time_dtype
+
+    parts = (
+        [] if partition_by is None
+        else [partition_by] if isinstance(partition_by, str)
+        else list(partition_by)
+    )
+    missing = [c for c in (time_col, *parts) if c not in df.columns]
+    if missing:
+        raise ColumnNotFoundError(f"columns not in DataFrame: {missing}")
+    assert_time_dtype(df, time_col)
+    stat_fns = {
+        "sum": F.sum,
+        "avg": F.avg,
+        "min": F.min,
+        "max": F.max,
+        "count": F.count,
+        "count_distinct": F.countDistinct,
+    }
+    agg_cols = []
+    for name, (stat, col) in aggs.items():
+        if stat not in stat_fns:
+            raise ValueError(f"unknown stat {stat!r}; supported: {sorted(stat_fns)}")
+        agg_cols.append(stat_fns[stat](F.col(col)).alias(name))
+    win = F.window(F.col(time_col).cast("timestamp"), window, hop)
+    return (
+        df.groupBy(*parts, win.alias("_w"))
+        .agg(*agg_cols)
+        .select(
+            *parts,
+            F.col("_w.start").alias("window_start"),
+            F.col("_w.end").alias("window_end"),
+            *[F.col(name) for name in aggs],
+        )
+    )

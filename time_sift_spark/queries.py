@@ -3282,6 +3282,48 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "hopping_window_counts",
+    oracle="""
+    WITH slots AS (
+      SELECT event_type, value,
+             CAST(to_timestamp((CAST(floor(epoch(ts) / 900) AS BIGINT) - k) * 900)
+                  AS TIMESTAMP) AS window_start
+      FROM events, UNNEST(generate_series(0, 3)) AS t(k)
+    )
+    SELECT event_type, window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(27,6))), 4) AS DOUBLE) AS sum_value
+    FROM slots
+    GROUP BY event_type, window_start
+    """,
+)
+def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch hopping-window aggregation: 1-hour windows advancing every
+    15 minutes (each event lands in 4 overlapping slots), per event
+    type — the batch twin of streaming_windowed_counts' tumbling form.
+    F.window's epoch-aligned slot assignment is reproduced in the oracle
+    by exploding k in 0..3 over the 900-second grid
+    (operators/resample.hopping_window_agg)."""
+    import pyspark.sql.functions as F
+
+    from .operators.resample import hopping_window_agg
+
+    events = load_table(spark, "events", sf_dir).withColumn(
+        "value_dec", F.col("value").cast("decimal(27,6)")
+    )
+    out = hopping_window_agg(
+        events,
+        "ts",
+        "1 hour",
+        "15 minutes",
+        {"n_events": ("count", "event_id"), "sum_value": ("sum", "value_dec")},
+        partition_by="event_type",
+    )
+    return out.withColumn("sum_value", F.round("sum_value", 4).cast("double"))
+
+
 def _trend_oracle() -> str:
     from .operators.trend import linear_trend_oracle_sql
 
@@ -3570,6 +3612,7 @@ GRADE_PRIORITY: list[str] = [
     "countmin_token_freq",             # new: count-min frequency sketch
     "trend_user_value",                # new: per-series OLS trend
     "mad_outliers_events",             # new: robust MAD outlier flag
+    "hopping_window_counts",           # new: batch hopping windows
     "graph_components_event_chains",   # new: star CC on deep chains
     "decode_image_real_docs",          # new: real PNG header decode
     "decode_audio_real_docs",          # new: real WAV decode (stdlib)
