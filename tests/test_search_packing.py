@@ -1,0 +1,192 @@
+"""Unit tests: BM25 lexical retrieval, sequence packing, SCD2 history,
+rolling correlation (the round-6b additions)."""
+
+import math
+
+import pytest
+
+from time_sift_spark.errors import ColumnNotFoundError
+from time_sift_spark.operators.corpus import pack_sequences
+from time_sift_spark.operators.search import bm25_topk
+
+
+# --------------------------------------------------------------------------
+# BM25
+# --------------------------------------------------------------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_ranks_higher_tf_first(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "cat cat cat dog"),
+            (2, "cat dog mouse bird"),
+            (3, "dog dog dog dog"),
+            (4, "bird bird mouse mouse"),
+        ],
+    )
+    out = bm25_topk(docs, "text", "doc_id", ["cat"], k=4).collect()
+    # only docs containing "cat" score at all
+    assert [r.doc_id for r in out] == [1, 2]
+    assert out[0].score > out[1].score
+    assert out[0].n_terms == 1
+
+
+def test_bm25_multi_term_sums_partials(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "cat dog"),
+            (2, "cat cat"),
+            (3, "fish fish"),
+        ],
+    )
+    out = {r.doc_id: r for r in bm25_topk(docs, "text", "doc_id", ["cat", "dog"], k=3).collect()}
+    assert out[1].n_terms == 2
+    assert out[2].n_terms == 1
+    assert 3 not in out
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    # idf: term in 1 doc beats term in all docs, equal tf/dl
+    rows = [(i, "common filler") for i in range(1, 9)]
+    rows.append((9, "rare filler"))
+    docs = _docs(spark, rows)
+    out = bm25_topk(docs, "text", "doc_id", ["common", "rare"], k=9).collect()
+    assert out[0].doc_id == 9
+
+
+def test_bm25_hand_computed_score(spark):
+    # one doc, one term, corpus of two: check the exact rational-BM25 value
+    docs = _docs(spark, [(1, "a b"), (2, "c d")])
+    out = bm25_topk(docs, "text", "doc_id", ["a"], k=1).collect()[0]
+    n_docs, df, tf, dl, avgdl, k1, b = 2, 1, 1, 2, 2.0, 1.2, 0.75
+    idf = (n_docs - df + 0.5) / (df + 0.5)
+    expect = idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+    assert math.isclose(out.score, round(expect, 4), abs_tol=1e-9)
+
+
+def test_bm25_validation(spark):
+    docs = _docs(spark, [(1, "x")])
+    with pytest.raises(ColumnNotFoundError):
+        bm25_topk(docs, "nope", "doc_id", ["x"])
+    with pytest.raises(ValueError):
+        bm25_topk(docs, "text", "doc_id", [])
+
+
+def test_bm25_tiebreak_and_k_boundary(spark):
+    # identical docs -> identical scores; k cuts by doc_id ascending
+    docs = _docs(spark, [(i, "tie word") for i in range(1, 6)])
+    out = bm25_topk(docs, "text", "doc_id", ["tie"], k=3).collect()
+    assert [r.doc_id for r in out] == [1, 2, 3]
+
+
+def test_bm25_plan_broadcasts_and_no_python(spark):
+    docs = _docs(spark, [(1, "a b"), (2, "b c")])
+    plan = bm25_topk(docs, "text", "doc_id", ["a", "b"])._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+# --------------------------------------------------------------------------
+# Sequence packing
+# --------------------------------------------------------------------------
+
+
+def _pack_rows(spark, rows):
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    out = pack_sequences(df, "n_tokens", "doc_id", budget=10, group_by=["source"])
+    return {(r.source, r.doc_id): r.bin_id for r in out.collect()}
+
+
+def test_pack_greedy_boundaries(spark):
+    got = _pack_rows(
+        spark,
+        [("s", 1, 4), ("s", 2, 4), ("s", 3, 4), ("s", 4, 9), ("s", 5, 1)],
+    )
+    # 4+4 fits (8<=10), +4 overflows -> bin 1; 4+9 overflows -> bin 2; 9+1 fits
+    assert got == {("s", 1): 0, ("s", 2): 0, ("s", 3): 1, ("s", 4): 2, ("s", 5): 2}
+
+
+def test_pack_oversized_doc_gets_own_bin(spark):
+    got = _pack_rows(spark, [("s", 1, 25), ("s", 2, 3), ("s", 3, 3)])
+    assert got == {("s", 1): 0, ("s", 2): 1, ("s", 3): 1}
+
+
+def test_pack_groups_independent(spark):
+    got = _pack_rows(spark, [("a", 1, 8), ("b", 2, 8), ("a", 3, 8), ("b", 4, 8)])
+    assert got == {("a", 1): 0, ("a", 3): 1, ("b", 2): 0, ("b", 4): 1}
+
+
+def test_pack_zero_token_docs_join_open_bin(spark):
+    got = _pack_rows(spark, [("s", 1, 0), ("s", 2, 10), ("s", 3, 0)])
+    # leading empty doc keeps fill 0 -> doc 2 joins bin 0; trailing empty
+    # doc overflows the exactly-full bin (fill 10 + 0 > 10 is false) -> stays
+    assert got == {("s", 1): 0, ("s", 2): 0, ("s", 3): 0}
+
+
+def test_pack_budget_validation(spark):
+    df = spark.createDataFrame([("s", 1, 1)], "source string, doc_id long, n_tokens long")
+    with pytest.raises(ValueError):
+        pack_sequences(df, "n_tokens", "doc_id", budget=0)
+    with pytest.raises(ColumnNotFoundError):
+        pack_sequences(df, "missing", "doc_id", budget=5)
+
+
+def test_pack_never_splits_and_respects_budget(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [("s", i, rng.randint(1, 6)) for i in range(1, 40)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    out = pack_sequences(df, "n_tokens", "doc_id", budget=10).collect()
+    fills = {}
+    for r in out:
+        fills.setdefault(r.bin_id, 0)
+        fills[r.bin_id] += r.n_tokens
+    assert all(v <= 10 for v in fills.values())
+    # bins are contiguous 0..max
+    assert sorted(fills) == list(range(len(fills)))
+
+
+# --------------------------------------------------------------------------
+# SCD2 / rolling corr (registry-level shape checks; value parity is
+# covered by test_oracle_parity over the registry)
+# --------------------------------------------------------------------------
+
+
+def test_scd2_intervals_tile_history(spark, sf_dir):
+    from time_sift_spark.queries import REGISTRY
+
+    out = REGISTRY["scd2_user_event_type"].spark_fn(spark, sf_dir).toPandas()
+    one = out[out.user_id == out.user_id.iloc[0]].sort_values("version")
+    # versions are 1..n, exactly one open interval per user, intervals chain
+    assert list(one.version) == list(range(1, len(one) + 1))
+    assert int(one.is_current.sum()) == 1
+    assert one.valid_to.iloc[:-1].tolist() == one.valid_from.iloc[1:].tolist()
+    # consecutive versions always change type
+    assert (one.event_type.iloc[:-1].values != one.event_type.iloc[1:].values).all()
+
+
+def test_rolling_corr_bounds_and_window(spark, sf_dir):
+    from time_sift_spark.queries import REGISTRY
+
+    out = REGISTRY["rolling_corr_click_purchase"].spark_fn(spark, sf_dir).toPandas()
+    vals = out.rolling_corr.dropna()
+    assert ((vals >= -1.0000001) & (vals <= 1.0000001)).all()
+    assert len(out) > 0
+
+
+def test_rolling_corr_validation(spark):
+    from time_sift_spark.operators.autocorr import rolling_corr
+
+    df = spark.createDataFrame([(1.0, 2.0, 1)], "x double, y double, t long")
+    with pytest.raises(ColumnNotFoundError):
+        rolling_corr(df, "x", "nope", "t", 5)
+    with pytest.raises(ValueError):
+        rolling_corr(df, "x", "y", "t", 1)

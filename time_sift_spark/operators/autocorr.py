@@ -36,14 +36,24 @@ from pyspark.sql import functions as F
 from ..errors import ColumnNotFoundError, validate_lags
 from .lag import lag_features
 
-__all__ = ["acf", "ccf_global", "exact_corr_sql", "acf_oracle_sql", "ccf_oracle_sql"]
+__all__ = [
+    "acf",
+    "ccf_global",
+    "exact_corr_sql",
+    "acf_oracle_sql",
+    "ccf_oracle_sql",
+    "rolling_corr",
+    "rolling_corr_oracle_sql",
+]
 
 
 def _as_list(x) -> list:
     return [] if x is None else [x] if isinstance(x, str) else list(x)
 
 
-def exact_corr_sql(x: str, y: str, round_to: int = 4, *, width: int = 18) -> str:
+def exact_corr_sql(
+    x: str, y: str, round_to: int = 4, *, width: int = 18, over: str = ""
+) -> str:
     """Pearson correlation as ONE dialect-shaped aggregate expression,
     exact under any execution order.
 
@@ -56,18 +66,23 @@ def exact_corr_sql(x: str, y: str, round_to: int = 4, *, width: int = 18) -> str
     (38,11), shaving the exact 12th decimal), 19 for DuckDB (18 makes
     it multiply in int64 and overflow; 19 forces hugeint).  The VALUES
     are identical either way — precision widens range, not scale.
+
+    ``over``: window spec text (e.g. ``"w"`` with a named WINDOW clause)
+    turns every internal aggregate into a window aggregate — the rolling
+    correlation form; same determinism argument, per-frame.
     """
     both = f"({x} IS NOT NULL AND {y} IS NOT NULL)"
     dx = f"CASE WHEN {both} THEN CAST({x} AS DECIMAL({width},6)) END"
     dy = f"CASE WHEN {both} THEN CAST({y} AS DECIMAL({width},6)) END"
     from ._num import dec_to_double, round_double
 
-    n = f"COUNT(CASE WHEN {both} THEN 1 END)"
-    sx = dec_to_double(f"SUM({dx})")
-    sy = dec_to_double(f"SUM({dy})")
-    sxy = dec_to_double(f"SUM({dx} * {dy})")
-    sxx = dec_to_double(f"SUM({dx} * {dx})")
-    syy = dec_to_double(f"SUM({dy} * {dy})")
+    ov = f" OVER {over}" if over else ""
+    n = f"COUNT(CASE WHEN {both} THEN 1 END){ov}"
+    sx = dec_to_double(f"SUM({dx}){ov}")
+    sy = dec_to_double(f"SUM({dy}){ov}")
+    sxy = dec_to_double(f"SUM({dx} * {dy}){ov}")
+    sxx = dec_to_double(f"SUM({dx} * {dx}){ov}")
+    syy = dec_to_double(f"SUM({dy} * {dy}){ov}")
     num = f"({n} * {sxy} - {sx} * {sy})"
     # GREATEST clamp: the sums are exact, but their DOUBLE products can
     # leave a negative epsilon where the true variance is ~0; sqrt(neg)
@@ -214,4 +229,71 @@ def ccf_oracle_sql(
     SELECT COUNT(*) AS n_obs,
            {corrs}
     FROM l
+    """
+
+
+def rolling_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    order_col: str,
+    n: int,
+    *,
+    partition_by: str | Sequence[str] | None = None,
+    round_to: int = 4,
+) -> DataFrame:
+    """Rolling Pearson correlation of two aligned series over a trailing
+    ``n``-row frame — the windowed companion of :func:`ccf_global`
+    (corr over time, not over lag offset).
+
+    All six frame statistics (count + five decimal-exact sums) share ONE
+    window spec, so Spark evaluates them in a single Window exec: one
+    sort, one (or zero, if already partitioned) exchange, regardless of
+    frame width.  Intended for the aggregated domain (per-bucket series
+    produced by a groupBy), where an un-partitioned ORDER BY is bounded
+    by the bucket calendar, not by raw-event cardinality — the same
+    bounded-domain argument as resample/deseasonalize.  For raw-event
+    global series, bucket first (operators/scale.py) or pass
+    ``partition_by``.
+    """
+    missing = [c for c in (x_col, y_col, order_col) if c not in df.columns]
+    if missing:
+        raise ColumnNotFoundError(f"columns not in DataFrame: {missing}")
+    if n < 2:
+        raise ValueError(f"rolling_corr needs a frame of >= 2 rows, got {n}")
+    parts = _as_list(partition_by)
+    pb = f"PARTITION BY {', '.join(parts)} " if parts else ""
+    over = (
+        f"({pb}ORDER BY {order_col} "
+        f"ROWS BETWEEN {int(n) - 1} PRECEDING AND CURRENT ROW)"
+    )
+    keep = [*parts, order_col, x_col, y_col]
+    return df.selectExpr(
+        *keep,
+        f"{exact_corr_sql(x_col, y_col, round_to, over=over)} AS rolling_corr",
+    )
+
+
+def rolling_corr_oracle_sql(
+    inner_sql: str,
+    x: str,
+    y: str,
+    order_col: str,
+    n: int,
+    *,
+    partition_by: Sequence[str] = (),
+    round_to: int = 4,
+) -> str:
+    """DuckDB oracle rendered from the SAME windowed-corr template."""
+    pb = f"PARTITION BY {', '.join(partition_by)} " if partition_by else ""
+    over = (
+        f"({pb}ORDER BY {order_col} "
+        f"ROWS BETWEEN {int(n) - 1} PRECEDING AND CURRENT ROW)"
+    )
+    keep = [*partition_by, order_col, x, y]
+    corr = exact_corr_sql(x, y, round_to, width=19, over=over)
+    return f"""
+    SELECT {', '.join(keep)},
+           {corr} AS rolling_corr
+    FROM ({inner_sql})
     """

@@ -31,6 +31,8 @@ __all__ = [
     "redact_pii_sql",
     "decontaminate",
     "decontaminate_sql",
+    "pack_sequences",
+    "pack_sequences_oracle_sql",
     "PII_PATTERNS",
 ]
 
@@ -241,4 +243,100 @@ def decontaminate_sql(
            COALESCE(h.n_contaminated_ngrams, 0) AS n_contaminated_ngrams,
            COALESCE(h.n_contaminated_ngrams, 0) > 0 AS contaminated
     FROM {train_table} t LEFT JOIN hits h ON t.{id_col} = h.{id_col}
+    """
+
+
+# --------------------------------------------------------------------------
+# Sequence packing
+# --------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    order_col: str,
+    *,
+    budget: int,
+    group_by: Sequence[str] = ("source",),
+) -> DataFrame:
+    """Greedy in-order sequence packing: walk each group's documents in
+    ``order_col`` order, accumulating token counts into bins of at most
+    ``budget`` tokens; a document that would overflow the open bin
+    starts the next one (an over-budget single document still occupies
+    its own bin).  The pretraining batch-construction primitive — pack
+    short documents into fixed-length training sequences with minimal
+    padding.
+
+    Output: group columns + ``order_col`` + ``n_tokens`` + ``bin_id``
+    (0-based per group).
+
+    Greedy packing is a sequential recurrence over the group's order —
+    the same class as EWMA — so it runs as ONE applyInPandas pass per
+    group (token counts are computed JVM-side BEFORE the shuffle; Python
+    touches only (id, int) pairs, never text).  At 100 TB the group key
+    is the shard (source/file/date), which is exactly the granularity
+    real packers use: packing across shards would destroy data-order
+    reproducibility, and bounded shards bound the Python state.  The
+    DuckDB oracle replays the identical recurrence as a recursive CTE
+    (see queries.pack_sequences_docs).
+    """
+    _check(df, [token_col, order_col, *group_by])
+    if budget <= 0:
+        raise ValueError(f"token budget must be positive, got {budget}")
+    gcols = list(group_by)
+    slim = df.select(*gcols, order_col, F.col(token_col).cast("long").alias("n_tokens"))
+    out_schema = slim.schema.add("bin_id", "long")
+    budget_ = int(budget)
+    order_local = order_col
+
+    def _pack(pdf):
+        pdf = pdf.sort_values(order_local, kind="mergesort").reset_index(drop=True)
+        bin_id, fill = 0, 0
+        bins = []
+        for tok in pdf["n_tokens"]:
+            t = int(tok) if tok is not None else 0
+            if fill > 0 and fill + t > budget_:
+                bin_id += 1
+                fill = 0
+            fill += t
+            bins.append(bin_id)
+        pdf["bin_id"] = bins
+        return pdf
+
+    return slim.repartition(*gcols).groupBy(*gcols).applyInPandas(_pack, out_schema)
+
+
+def pack_sequences_oracle_sql(
+    table: str,
+    token_expr: str,
+    order_col: str,
+    *,
+    budget: int,
+    group_by: Sequence[str] = ("source",),
+) -> str:
+    """The same greedy recurrence as a DuckDB recursive CTE (rn → rn+1
+    per group, carrying the open bin's fill)."""
+    g = ", ".join(group_by)
+    gj = " AND ".join(f"s.{c} = r.{c}" for c in group_by)
+    sg = ", ".join(f"s.{c}" for c in group_by)
+    b = int(budget)
+    return f"""
+    WITH RECURSIVE seq AS (
+      SELECT {g}, {order_col}, CAST({token_expr} AS BIGINT) AS n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY {g} ORDER BY {order_col}) AS rn
+      FROM {table}
+    ),
+    rec AS (
+      SELECT {g}, {order_col}, n_tokens, rn,
+             CAST(0 AS BIGINT) AS bin_id, n_tokens AS fill
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT {sg}, s.{order_col}, s.n_tokens, s.rn,
+             CASE WHEN r.fill > 0 AND r.fill + s.n_tokens > {b}
+                  THEN r.bin_id + 1 ELSE r.bin_id END AS bin_id,
+             CASE WHEN r.fill > 0 AND r.fill + s.n_tokens > {b}
+                  THEN s.n_tokens ELSE r.fill + s.n_tokens END AS fill
+      FROM rec r JOIN seq s ON {gj} AND s.rn = r.rn + 1
+    )
+    SELECT {g}, {order_col}, n_tokens, bin_id FROM rec
     """

@@ -1,0 +1,179 @@
+"""Full-text relevance search: BM25 scoring over an exploded posting list.
+
+The training-data engine's retrieval primitive — rank documents of the
+corpus against a bag-of-terms query (used for eval-set mining, targeted
+corpus slicing, and as the lexical arm of hybrid lexical+ANN retrieval
+next to operators/similarity.py).
+
+Plan shape (Spark-first, no UDFs anywhere):
+
+    tokenize (JVM regexp, functions/text_fns) -> explode -> FILTER to
+    the query's terms (predicate lands directly above the generator, so
+    the posting list materialized is |matching postings|, not |corpus
+    tokens|) -> groupBy (doc, term) for tf -> groupBy term for df
+    (a |Q|-row frame, broadcast back) -> per-doc score -> distributed
+    top-k (TakeOrderedAndProject — no single-partition window).
+
+Corpus statistics (N, total token count) are one tree-aggregated row
+cross-joined back as a broadcast — never a driver collect.
+
+Determinism (cross-engine value-hash discipline): the classic BM25 idf
+is ln((N - df + 0.5)/(df + 0.5)); ln() is a transcendental whose last
+ulp differs between the JVM and DuckDB's libm, so this operator uses
+the *rational* idf — the same fraction WITHOUT the log.  Every
+remaining operation is IEEE +,-,*,/ (correctly rounded, bit-identical
+on identical inputs on both engines); per-term scores are quantized to
+DECIMAL and summed exactly (order-independent — the queries.dsum
+discipline), so the per-doc score is reproducible to the hash digit.
+Rational idf preserves the df-ordering of ln (monotone transform) —
+rankings agree with log-BM25 on which docs out-rank which per term;
+document it as the "BM25-rational" scoring variant.
+
+At 100 TB: the only wide operation is the (doc, term) count — an
+equi-shuffle on doc_id of the FILTERED postings (|docs containing a
+query term| × |Q| rows at most).  df and corpus stats are tiny
+broadcasts.  Skewed stop-word queries are the caller's
+responsibility (a df cap mirroring dedup.py's band-frequency cap can
+pre-drop terms with df > x% of N).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..errors import ColumnNotFoundError
+from ..functions.text_fns import DUCK, SPARK, Dialect
+
+__all__ = ["bm25_topk", "bm25_topk_oracle_sql"]
+
+
+def _score_sql(k1: float, b: float) -> str:
+    """Per-(doc, term) BM25-rational partial score — pure IEEE arithmetic
+    over exact integer inputs (tf, df, dl, n_docs, sum_dl), identical
+    expression text on both engines."""
+    avgdl = "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    idf = (
+        "((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)"
+        " / (CAST(df AS DOUBLE) + 0.5))"
+    )
+    tf_part = (
+        f"(CAST(tf AS DOUBLE) * ({k1!r} + 1.0)) / "
+        f"(CAST(tf AS DOUBLE) + {k1!r} * (1.0 - {b!r} + {b!r} * "
+        f"(CAST(dl AS DOUBLE) / {avgdl})))"
+    )
+    return f"({idf} * {tf_part})"
+
+
+def _agg_score_sql(k1: float, b: float, round_to: int) -> str:
+    """Exact-sum the per-term partials: DECIMAL(18,6) quantize (same
+    width reasoning as autocorr.exact_corr_sql — 18 avoids Spark's
+    precision-loss rescale), order-independent SUM, HALF_UP round."""
+    return (
+        f"CAST(ROUND(SUM(CAST({_score_sql(k1, b)} AS DECIMAL(18,6))), {round_to}) "
+        "AS DOUBLE)"
+    )
+
+
+def _term_list_sql(terms: Sequence[str]) -> str:
+    quoted = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"({quoted})"
+
+
+def bm25_topk(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    terms: Sequence[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+    round_to: int = 4,
+) -> DataFrame:
+    """Top-``k`` documents by BM25-rational relevance to ``terms``.
+
+    Returns ``(id_col, n_terms, score)`` ordered by (score DESC, id) —
+    the id tiebreak makes the k-boundary deterministic across engines.
+    """
+    for c in (text_col, id_col):
+        if c not in docs.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in DataFrame")
+    terms = list(dict.fromkeys(terms))  # dedupe, keep order
+    if not terms:
+        raise ValueError("bm25_topk needs at least one query term")
+
+    base = docs.select(
+        F.col(id_col), F.expr(SPARK.tokens(text_col)).alias("toks")
+    ).select(id_col, "toks", F.size("toks").alias("dl"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    )
+    postings = (
+        base.select(id_col, "dl", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(terms))
+    )
+    tf = postings.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col, "dl")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.expr(_agg_score_sql(k1, b, round_to)).alias("score"),
+        )
+    )
+    return (
+        scored.select(id_col, "n_terms", "score")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(int(k))
+    )
+
+
+def bm25_topk_oracle_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    terms: Sequence[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+    round_to: int = 4,
+    dialect: Dialect = DUCK,
+) -> str:
+    """The same plan rendered as one SQL statement (DuckDB oracle)."""
+    terms = list(dict.fromkeys(terms))
+    toks = dialect.tokens(text_col)
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, {toks} AS toks FROM {table}
+    ),
+    sized AS (
+      SELECT {id_col}, {dialect.size('toks')} AS dl, toks FROM base
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM sized
+    ),
+    tf AS (
+      SELECT {id_col}, dl, u.term, COUNT(*) AS tf
+      FROM sized, UNNEST(toks) AS u(term)
+      WHERE u.term IN {_term_list_sql(terms)}
+      GROUP BY {id_col}, dl, u.term
+    ),
+    dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    )
+    SELECT {id_col}, n_terms, score FROM (
+      SELECT tf.{id_col}, COUNT(*) AS n_terms,
+             {_agg_score_sql(k1, b, round_to)} AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+      GROUP BY tf.{id_col}, dl
+    )
+    ORDER BY score DESC, {id_col}
+    LIMIT {int(k)}
+    """

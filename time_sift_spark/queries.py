@@ -3561,6 +3561,161 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(train, bench, "text", k=3)
 
 
+# --------------------------------------------------------------------------
+# Round-6b: lexical retrieval, sequence packing, SCD2 history, rolling corr
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("table", "merge", "stream", "window")
+
+
+def _bm25_oracle() -> str:
+    from .operators.search import bm25_topk_oracle_sql
+
+    return bm25_topk_oracle_sql("documents", "text", "doc_id", _BM25_TERMS, k=20)
+
+
+@register("bm25_topk_docs", oracle=_bm25_oracle())
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by BM25-rational relevance to a 4-term query —
+    the engine's lexical-retrieval arm (the hybrid companion to ANN
+    cosine top-k). Postings are filtered to the query's terms directly
+    above the explode, df + corpus stats come back as broadcasts, and
+    the final top-k is TakeOrderedAndProject — no single-partition
+    window, no UDFs (operators/search.py)."""
+    from .operators.search import bm25_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    return bm25_topk(docs, "text", "doc_id", _BM25_TERMS, k=20)
+
+
+def _pack_oracle() -> str:
+    from .functions.text_fns import DUCK as _D
+    from .operators.corpus import pack_sequences_oracle_sql
+
+    return pack_sequences_oracle_sql(
+        "documents", _D.bpe_token_count("text"), "doc_id", budget=2048
+    )
+
+
+@register("pack_sequences_docs", oracle=_pack_oracle())
+def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-source sequence packing into 2048-token bins — the
+    pretraining batch-construction step. Token counts are JVM-side
+    regexp counts (functions/text_fns.bpe_token_count) computed BEFORE
+    the per-source shuffle; the greedy recurrence itself is one
+    applyInPandas pass over (id, int) pairs per source shard; the
+    oracle replays it as a recursive CTE (operators/corpus.py)."""
+    from .functions.text_fns import SPARK as _S
+    from .operators.corpus import pack_sequences
+
+    docs = load_table(spark, "documents", sf_dir).selectExpr(
+        "source", "doc_id", f"{_S.bpe_token_count('text')} AS n_tokens"
+    )
+    return pack_sequences(docs, "n_tokens", "doc_id", budget=2048)
+
+
+@register(
+    "scd2_user_event_type",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_type, ts,
+             LAG(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts AS valid_from
+      FROM marked
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER w2 AS valid_to,
+           ROW_NUMBER() OVER w2 AS version,
+           (LEAD(valid_from) OVER w2 IS NULL) AS is_current
+    FROM changes
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)
+    """,
+)
+def scd2_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from an event log: collapse
+    each user's event stream into [valid_from, valid_to) intervals of
+    their current event_type (run-length encoding of the change points),
+    with a version counter and an is_current flag — the CDC→dimension
+    compaction pattern (latest_event_per_user keeps only the last state;
+    this keeps the full history). Two window passes over the SAME
+    user_id partitioning: Catalyst reuses one exchange; the change
+    filter drops ~(1 - distinct-types/row) of rows before the second
+    sort. valid_from is unique per user (changes are a subsequence of
+    (ts, event_id)-ordered rows), so the second ordering is total."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    events = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        events.withColumn("prev_type", F.lag("event_type").over(w))
+        .where("prev_type IS NULL OR prev_type <> event_type")
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.row_number().over(w2).alias("version"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )
+
+
+_ROLL_CORR_HOURLY = """
+    SELECT date_trunc('hour', ts) AS bucket,
+           {x} AS x_click,
+           {y} AS y_purchase
+    FROM events
+    GROUP BY date_trunc('hour', ts)
+"""
+
+
+def _roll_corr_inner() -> str:
+    x = dsum("CASE WHEN event_type = 'click' THEN value END", 4)
+    y = dsum("CASE WHEN event_type = 'purchase' THEN value END", 4)
+    return _ROLL_CORR_HOURLY.format(x=x, y=y)
+
+
+def _roll_corr_oracle() -> str:
+    from .operators.autocorr import rolling_corr_oracle_sql
+
+    return rolling_corr_oracle_sql(
+        _roll_corr_inner(), "x_click", "y_purchase", "bucket", 24
+    )
+
+
+@register("rolling_corr_click_purchase", oracle=_roll_corr_oracle())
+def rolling_corr_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h rolling correlation between hourly click and
+    purchase value — the windowed companion of ccf_click_purchase_hourly
+    (corr evolving over time instead of over lag offset). The raw-event
+    aggregation shrinks the domain to the bucket calendar first, so the
+    un-partitioned ordered window ranges over a bounded series; all six
+    frame statistics share one window spec → a single Window exec
+    (operators/autocorr.rolling_corr)."""
+    import pyspark.sql.functions as F
+
+    from .operators.autocorr import rolling_corr
+
+    events = load_table(spark, "events", sf_dir)
+    hourly = events.groupBy(F.date_trunc("hour", "ts").alias("bucket")).agg(
+        _fdsum(F.expr("CASE WHEN event_type = 'click' THEN value END"), 4).alias(
+            "x_click"
+        ),
+        _fdsum(F.expr("CASE WHEN event_type = 'purchase' THEN value END"), 4).alias(
+            "y_purchase"
+        ),
+    )
+    return rolling_corr(hourly, "x_click", "y_purchase", "bucket", 24)
+
+
 def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
     """Every registry callable must work on a session the engine didn't
     build (the external harness's bare SparkSession) — set the runtime
@@ -3590,6 +3745,10 @@ def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
 
 GRADE_PRIORITY: list[str] = [
     # -- new or changed in r6 -> grade first --
+    "bm25_topk_docs",                  # new: BM25-rational lexical retrieval
+    "pack_sequences_docs",             # new: greedy sequence packing
+    "scd2_user_event_type",            # new: type-2 SCD history build
+    "rolling_corr_click_purchase",     # new: trailing-24h rolling corr
     "acf_user_value",                  # new: autocorrelation on the lag core
     "ccf_click_purchase_hourly",       # new: global cross-correlation
     "cusum_user_value",                # new: CUSUM change-point scan
