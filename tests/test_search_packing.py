@@ -190,3 +190,54 @@ def test_rolling_corr_validation(spark):
         rolling_corr(df, "x", "nope", "t", 5)
     with pytest.raises(ValueError):
         rolling_corr(df, "x", "y", "t", 1)
+
+
+# --------------------------------------------------------------------------
+# Persisted inverted index
+# --------------------------------------------------------------------------
+
+
+def test_text_index_persisted_equals_inline(spark, tmp_path):
+    from time_sift_spark.operators.search import build_text_index, query_text_index
+
+    docs = _docs(
+        spark,
+        [
+            (1, "cat cat dog"),
+            (2, "cat mouse"),
+            (3, "dog dog fish"),
+            (4, "mouse mouse mouse cat"),
+        ],
+    )
+    path = str(tmp_path / "tidx")
+    build_text_index(docs, "text", "doc_id", path)
+    inline = bm25_topk(docs, "text", "doc_id", ["cat", "dog"], k=4).collect()
+    served = query_text_index(spark, path, ["cat", "dog"], k=4).collect()
+    assert [(r.doc_id, r.n_terms, r.score) for r in inline] == [
+        (r.doc_id, r.n_terms, r.score) for r in served
+    ]
+
+
+def test_text_index_scan_pushes_term_filter(spark, tmp_path):
+    from time_sift_spark.operators.search import build_text_index, query_text_index
+
+    docs = _docs(spark, [(1, "aa bb"), (2, "bb cc")])
+    path = str(tmp_path / "tidx2")
+    build_text_index(docs, "text", "doc_id", path)
+    plan = (
+        query_text_index(spark, path, ["aa"], k=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # single-term isin folds to EqualTo; multi-term stays In — accept both
+    assert "PushedFilters" in plan, plan
+    assert "EqualTo(term,aa)" in plan or "In(term" in plan, plan
+
+
+def test_text_index_empty_terms_raises(spark, tmp_path):
+    from time_sift_spark.operators.search import build_text_index, query_text_index
+
+    docs = _docs(spark, [(1, "x")])
+    path = str(tmp_path / "tidx3")
+    build_text_index(docs, "text", "doc_id", path)
+    with pytest.raises(ValueError):
+        query_text_index(spark, path, [])

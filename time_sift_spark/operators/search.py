@@ -47,7 +47,12 @@ from pyspark.sql import functions as F
 from ..errors import ColumnNotFoundError
 from ..functions.text_fns import DUCK, SPARK, Dialect
 
-__all__ = ["bm25_topk", "bm25_topk_oracle_sql"]
+__all__ = [
+    "bm25_topk",
+    "bm25_topk_oracle_sql",
+    "build_text_index",
+    "query_text_index",
+]
 
 
 def _score_sql(k1: float, b: float) -> str:
@@ -177,3 +182,89 @@ def bm25_topk_oracle_sql(
     ORDER BY score DESC, {id_col}
     LIMIT {int(k)}
     """
+
+
+# --------------------------------------------------------------------------
+# Persisted inverted index (build/serve split — the ANN-index pattern,
+# operators/similarity.py:build_lsh_index, applied to lexical retrieval)
+# --------------------------------------------------------------------------
+
+
+def build_text_index(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    path: str,
+) -> None:
+    """Materialize the inverted structures :func:`bm25_topk` recomputes
+    per query: ``{path}/postings`` (term, id, tf, dl) — the full
+    (document, term) frequency table, repartitioned by term so a reader
+    gets term-clustered files — and ``{path}/stats`` (one row: n_docs,
+    sum_dl).  ``{path}/params`` is written LAST, so its _SUCCESS marker
+    implies a complete build (the queries._index_ready contract).
+
+    At 100 TB: tokenize-explode-count is paid ONCE over the corpus;
+    every query then reads only the row groups whose term column
+    intersects its terms (min/max pruning on the term-clustered files —
+    at cluster scale, a metastore table bucketed by term) and scores
+    |matching postings| rows.  This is what an inverted index IS in
+    columnar-lake terms."""
+    for c in (text_col, id_col):
+        if c not in docs.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in DataFrame")
+    base = docs.select(
+        F.col(id_col), F.expr(SPARK.tokens(text_col)).alias("toks")
+    ).select(id_col, "toks", F.size("toks").alias("dl"))
+    postings = (
+        base.select(id_col, "dl", F.explode("toks").alias("term"))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    postings.repartition("term").write.mode("overwrite").parquet(f"{path}/postings")
+    base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+    spark = docs.sparkSession
+    spark.createDataFrame(
+        [(id_col, text_col)], "id_col string, text_col string"
+    ).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def query_text_index(
+    spark,
+    path: str,
+    terms: Sequence[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+    round_to: int = 4,
+) -> DataFrame:
+    """Top-k BM25-rational against a persisted inverted index — returns
+    exactly what the inline :func:`bm25_topk` returns on the same corpus
+    (the build→serve ≡ inline contract the oracle checks).  The term
+    filter sits directly on the postings scan (PushedFilters: In(term))
+    so only matching row groups are read; df and corpus stats remain
+    tiny broadcasts."""
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise ValueError("query_text_index needs at least one query term")
+    p = spark.read.parquet(f"{path}/params").collect()[0]
+    id_col = p["id_col"]
+    tf = spark.read.parquet(f"{path}/postings").where(F.col("term").isin(terms))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = spark.read.parquet(f"{path}/stats")
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col, "dl")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.expr(_agg_score_sql(k1, b, round_to)).alias("score"),
+        )
+    )
+    return (
+        scored.select(id_col, "n_terms", "score")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(int(k))
+    )

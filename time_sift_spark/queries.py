@@ -3588,6 +3588,24 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, "text", "doc_id", _BM25_TERMS, k=20)
 
 
+@register("bm25_persisted_topk", oracle=_bm25_oracle())
+def bm25_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """build_text_index → query_text_index two-step: the corpus
+    tokenize-explode-count is paid at build time and written
+    term-clustered; the query filters the persisted postings to its
+    terms (pushed to the scan) and scores only matching rows. The
+    oracle is the INLINE BM25 query — persisted ≡ inline,
+    driver-checked (the ANN build/serve contract, applied to lexical
+    retrieval)."""
+    from .operators.search import build_text_index, query_text_index
+
+    path = _index_dir("ts_text_index", sf_dir, "bm25_v1", table="documents")
+    if not _index_ready(path):
+        docs = load_table(spark, "documents", sf_dir)
+        build_text_index(docs, "text", "doc_id", path)
+    return query_text_index(spark, path, _BM25_TERMS, k=20)
+
+
 def _pack_oracle() -> str:
     from .functions.text_fns import DUCK as _D
     from .operators.corpus import pack_sequences_oracle_sql
@@ -3746,6 +3764,7 @@ def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
 GRADE_PRIORITY: list[str] = [
     # -- new or changed in r6 -> grade first --
     "bm25_topk_docs",                  # new: BM25-rational lexical retrieval
+    "bm25_persisted_topk",             # new: persisted inverted index serve
     "pack_sequences_docs",             # new: greedy sequence packing
     "scd2_user_event_type",            # new: type-2 SCD history build
     "rolling_corr_click_purchase",     # new: trailing-24h rolling corr
