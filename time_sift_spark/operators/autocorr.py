@@ -51,9 +51,7 @@ def _as_list(x) -> list:
     return [] if x is None else [x] if isinstance(x, str) else list(x)
 
 
-def exact_corr_sql(
-    x: str, y: str, round_to: int = 4, *, width: int = 18, over: str = ""
-) -> str:
+def exact_corr_sql(x: str, y: str, round_to: int = 4, *, width: int = 18) -> str:
     """Pearson correlation as ONE dialect-shaped aggregate expression,
     exact under any execution order.
 
@@ -67,22 +65,22 @@ def exact_corr_sql(
     it multiply in int64 and overflow; 19 forces hugeint).  The VALUES
     are identical either way — precision widens range, not scale.
 
-    ``over``: window spec text (e.g. ``"w"`` with a named WINDOW clause)
-    turns every internal aggregate into a window aggregate — the rolling
-    correlation form; same determinism argument, per-frame.
+    Safe in GROUP BY aggregates only: HashAggregate dedupes the
+    textually-repeated SUMs; a WindowExec does NOT — the windowed
+    (rolling) form must go through the two-stage
+    :func:`_rolling_corr_stats` / :func:`_rolling_corr_combine` split.
     """
     both = f"({x} IS NOT NULL AND {y} IS NOT NULL)"
     dx = f"CASE WHEN {both} THEN CAST({x} AS DECIMAL({width},6)) END"
     dy = f"CASE WHEN {both} THEN CAST({y} AS DECIMAL({width},6)) END"
     from ._num import dec_to_double, round_double
 
-    ov = f" OVER {over}" if over else ""
-    n = f"COUNT(CASE WHEN {both} THEN 1 END){ov}"
-    sx = dec_to_double(f"SUM({dx}){ov}")
-    sy = dec_to_double(f"SUM({dy}){ov}")
-    sxy = dec_to_double(f"SUM({dx} * {dy}){ov}")
-    sxx = dec_to_double(f"SUM({dx} * {dx}){ov}")
-    syy = dec_to_double(f"SUM({dy} * {dy}){ov}")
+    n = f"COUNT(CASE WHEN {both} THEN 1 END)"
+    sx = dec_to_double(f"SUM({dx})")
+    sy = dec_to_double(f"SUM({dy})")
+    sxy = dec_to_double(f"SUM({dx} * {dy})")
+    sxx = dec_to_double(f"SUM({dx} * {dx})")
+    syy = dec_to_double(f"SUM({dy} * {dy})")
     num = f"({n} * {sxy} - {sx} * {sy})"
     # GREATEST clamp: the sums are exact, but their DOUBLE products can
     # leave a negative epsilon where the true variance is ~0; sqrt(neg)
@@ -232,6 +230,46 @@ def ccf_oracle_sql(
     """
 
 
+def _rolling_corr_stats(x: str, y: str, over: str, width: int) -> dict[str, str]:
+    """The six per-frame statistics as NAMED window expressions.
+
+    WindowExec (unlike HashAggregate, which dedupes identical aggregate
+    functions — verified on the acf plan) evaluates every textual
+    aggregate occurrence separately: inlining the full corr formula as
+    one expression exploded to 150 _we window slots (dec_to_double
+    triples each SUM, round_double's CASE duplicates the whole formula
+    5x).  Computing the stats ONCE as columns and combining in a scalar
+    projection keeps the WindowExec at exactly 6 running aggregates."""
+    both = f"({x} IS NOT NULL AND {y} IS NOT NULL)"
+    dx = f"CASE WHEN {both} THEN CAST({x} AS DECIMAL({width},6)) END"
+    dy = f"CASE WHEN {both} THEN CAST({y} AS DECIMAL({width},6)) END"
+    return {
+        "_cn": f"COUNT(CASE WHEN {both} THEN 1 END) OVER {over}",
+        "_sx": f"SUM({dx}) OVER {over}",
+        "_sy": f"SUM({dy}) OVER {over}",
+        "_sxy": f"SUM({dx} * {dy}) OVER {over}",
+        "_sxx": f"SUM({dx} * {dx}) OVER {over}",
+        "_syy": f"SUM({dy} * {dy}) OVER {over}",
+    }
+
+
+def _rolling_corr_combine(round_to: int) -> str:
+    """Scalar Pearson assembly over the named stat columns — the same
+    arithmetic as exact_corr_sql, same cross-engine determinism
+    argument (exact decimal sums -> shared IEEE expression text)."""
+    from ._num import dec_to_double, round_double
+
+    n = "_cn"
+    sx, sy = dec_to_double("_sx"), dec_to_double("_sy")
+    sxy, sxx, syy = dec_to_double("_sxy"), dec_to_double("_sxx"), dec_to_double("_syy")
+    num = f"({n} * {sxy} - {sx} * {sy})"
+    den = (
+        f"(SQRT(GREATEST({n} * {sxx} - {sx} * {sx}, 0.0)) "
+        f"* SQRT(GREATEST({n} * {syy} - {sy} * {sy}, 0.0)))"
+    )
+    return round_double(f"({num} / NULLIF({den}, 0.0))", round_to)
+
+
 def rolling_corr(
     df: DataFrame,
     x_col: str,
@@ -246,15 +284,16 @@ def rolling_corr(
     ``n``-row frame — the windowed companion of :func:`ccf_global`
     (corr over time, not over lag offset).
 
-    All six frame statistics (count + five decimal-exact sums) share ONE
-    window spec, so Spark evaluates them in a single Window exec: one
-    sort, one (or zero, if already partitioned) exchange, regardless of
-    frame width.  Intended for the aggregated domain (per-bucket series
-    produced by a groupBy), where an un-partitioned ORDER BY is bounded
-    by the bucket calendar, not by raw-event cardinality — the same
-    bounded-domain argument as resample/deseasonalize.  For raw-event
-    global series, bucket first (operators/scale.py) or pass
-    ``partition_by``.
+    Two-stage plan: the six frame statistics (count + five
+    decimal-exact sums) are computed as named columns in ONE WindowExec
+    (they share the window spec), then combined by a scalar projection
+    — one sort, one (or zero, if already partitioned) exchange,
+    regardless of frame width.  Intended for the aggregated domain
+    (per-bucket series produced by a groupBy), where an un-partitioned
+    ORDER BY is bounded by the bucket calendar, not by raw-event
+    cardinality — the same bounded-domain argument as
+    resample/deseasonalize.  For raw-event global series, bucket first
+    (operators/scale.py) or pass ``partition_by``.
     """
     missing = [c for c in (x_col, y_col, order_col) if c not in df.columns]
     if missing:
@@ -268,9 +307,10 @@ def rolling_corr(
         f"ROWS BETWEEN {int(n) - 1} PRECEDING AND CURRENT ROW)"
     )
     keep = [*parts, order_col, x_col, y_col]
-    return df.selectExpr(
-        *keep,
-        f"{exact_corr_sql(x_col, y_col, round_to, over=over)} AS rolling_corr",
+    stats = _rolling_corr_stats(x_col, y_col, over, width=18)
+    staged = df.selectExpr(*keep, *[f"{e} AS {name}" for name, e in stats.items()])
+    return staged.selectExpr(
+        *keep, f"{_rolling_corr_combine(round_to)} AS rolling_corr"
     )
 
 
@@ -284,16 +324,21 @@ def rolling_corr_oracle_sql(
     partition_by: Sequence[str] = (),
     round_to: int = 4,
 ) -> str:
-    """DuckDB oracle rendered from the SAME windowed-corr template."""
+    """DuckDB oracle rendered from the SAME two-stage template."""
     pb = f"PARTITION BY {', '.join(partition_by)} " if partition_by else ""
     over = (
         f"({pb}ORDER BY {order_col} "
         f"ROWS BETWEEN {int(n) - 1} PRECEDING AND CURRENT ROW)"
     )
     keep = [*partition_by, order_col, x, y]
-    corr = exact_corr_sql(x, y, round_to, width=19, over=over)
+    stats = _rolling_corr_stats(x, y, over, width=19)
+    stat_cols = ",\n             ".join(f"{e} AS {name}" for name, e in stats.items())
     return f"""
     SELECT {', '.join(keep)},
-           {corr} AS rolling_corr
-    FROM ({inner_sql})
+           {_rolling_corr_combine(round_to)} AS rolling_corr
+    FROM (
+      SELECT {', '.join(keep)},
+             {stat_cols}
+      FROM ({inner_sql})
+    )
     """

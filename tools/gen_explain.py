@@ -38,6 +38,10 @@ SHOWCASE = {
     "tpch_q18_large_volume_customer": "Aggregate-then-broadcast semi-join: the >200-qty order set (0.1% of orders) is computed once from lineitem and broadcast into orders; sum_qty rides along — lineitem is scanned once.",
     "concurrency_sweep_events": "Distributed prefix scan: per-bucket running-sum windows (no SinglePartition anywhere) + an O(num_buckets) driver exclusive-prefix folded back as a literal lookup.",
     "decontaminate_docs": "Contamination screen: benchmark n-gram hashes are distinct + BroadcastExchange; the training side explodes and equi-joins on the hash — never an all-pairs comparison.",
+    "bm25_topk_docs": "BM25 lexical retrieval: the term filter sits directly above the token explode (postings volume = matching docs × |Q|, not the corpus token stream); df and corpus stats return as BroadcastExchanges; the final top-k is TakeOrderedAndProject — no single-partition sort.",
+    "bm25_persisted_topk": "Persisted inverted-index serving: the tokenize-explode-count subtree is ABSENT (paid at build); the postings scan carries the term predicate in PushedFilters over term-clustered files.",
+    "scd2_user_event_type": "SCD2 history build: two chained windows share the user_id partitioning — ONE exchange; the change filter between them drops all steady-state rows before the second sort.",
+    "rolling_corr_click_purchase": "Rolling correlation: all six frame statistics share one window spec → a single WindowExec over the post-aggregation bucket calendar (bounded rows), fed by one groupBy exchange.",
     "partitioned_scan_events": "Hive-layout pruning: the date filter appears as PartitionFilters on the scan — 3 of ~30 partition directories survive the FileIndex; the rest are never opened.",
 }
 
