@@ -107,3 +107,63 @@ def test_count_min_one_sided_and_tight_for_heavy_hitters(spark):
     assert (out.n_cm >= out.n_exact).all()  # one-sided error, always
     top = out.sort_values("n_exact", ascending=False).iloc[0]
     assert top.n_cm <= top.n_exact * 1.05  # heavy hitter estimated tightly
+
+
+# --------------------------------------------------------------------------
+# Global shuffle rank
+# --------------------------------------------------------------------------
+
+
+def test_shuffle_rank_matches_naive_global_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from time_sift_spark.operators.prefix import shuffle_rank_global
+
+    df = spark.range(1, 501).withColumnRenamed("id", "doc_id").repartition(7)
+    got = shuffle_rank_global(df, "doc_id", num_buckets=16).toPandas()
+    naive = (
+        df.withColumn(
+            "shuffle_rank",
+            F.row_number().over(
+                Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+            ),
+        ).toPandas()
+    )
+    merged = got.merge(naive, on="doc_id", suffixes=("", "_naive"))
+    assert (merged.shuffle_rank == merged.shuffle_rank_naive).all()
+
+
+def test_shuffle_rank_is_permutation_and_partition_invariant(spark):
+    from time_sift_spark.operators.prefix import shuffle_rank_global
+
+    df1 = spark.range(1, 301).withColumnRenamed("id", "doc_id").repartition(3)
+    df2 = spark.range(1, 301).withColumnRenamed("id", "doc_id").repartition(11)
+    r1 = shuffle_rank_global(df1, "doc_id").toPandas().sort_values("doc_id")
+    r2 = shuffle_rank_global(df2, "doc_id").toPandas().sort_values("doc_id")
+    assert sorted(r1.shuffle_rank) == list(range(1, 301))  # bijection onto 1..n
+    assert (r1.shuffle_rank.values == r2.shuffle_rank.values).all()
+
+
+def test_shuffle_rank_validation(spark):
+    import pytest
+
+    from time_sift_spark.errors import ColumnNotFoundError
+    from time_sift_spark.operators.prefix import shuffle_rank_global
+
+    df = spark.range(5).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ColumnNotFoundError):
+        shuffle_rank_global(df, "nope")
+    with pytest.raises(ValueError):
+        shuffle_rank_global(df, "doc_id", num_buckets=37)
+
+
+def test_shuffle_rank_no_single_partition_exchange(spark):
+    from time_sift_spark.operators.prefix import shuffle_rank_global
+
+    df = spark.range(1, 101).withColumnRenamed("id", "doc_id").repartition(4)
+    plan = (
+        shuffle_rank_global(df, "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange SinglePartition" not in plan, plan

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from ..errors import ColumnNotFoundError
 from .scale import _numeric_time
 
-__all__ = ["prefix_sum_global"]
+__all__ = ["prefix_sum_global", "shuffle_rank_global"]
 
 
 def prefix_sum_global(
@@ -100,4 +100,63 @@ def prefix_sum_global(
             (F.col("_local") + F.element_at(lookup, F.col("_bucket") + 1)).cast("double"),
         )
         .drop("_bucket", "_local")
+    )
+
+
+def shuffle_rank_global(
+    df: DataFrame,
+    id_col: str,
+    *,
+    num_buckets: int = 256,
+    out_col: str = "shuffle_rank",
+) -> DataFrame:
+    """Global deterministic shuffle rank: every row's 1-based position in
+    ``md5(id)`` order — the epoch-shuffle primitive of a training-data
+    pipeline (write-out in shuffle_rank order = a reproducible global
+    permutation, no RNG state, identical on any cluster size).
+
+    ``ROW_NUMBER() OVER (ORDER BY md5(id))`` is a single-task global
+    sort; instead the md5 key is RANGE-bucketed on its first 4 hex
+    digits (md5 is uniform, so static equal-width key ranges — no
+    quantile job needed, unlike prefix_sum_global's data-dependent
+    order column), ranked per bucket, and the per-bucket COUNTS
+    (num_buckets scalar rows) are exclusive-prefixed on the driver and
+    folded back as a literal lookup.  Rank = bucket offset + local
+    rank: exact, total, and collision-free (ties broken by id, which
+    md5 already determines uniquely per distinct id).
+    """
+    if id_col not in df.columns:
+        raise ColumnNotFoundError(f"column {id_col!r} not in DataFrame")
+    if num_buckets < 1 or num_buckets > 65536 or (num_buckets & (num_buckets - 1)):
+        raise ValueError(f"num_buckets must be a power of two in [1, 65536], got {num_buckets}")
+
+    key = f"md5(CAST({id_col} AS STRING))"
+    stride = 65536 // num_buckets
+    keyed = df.selectExpr(
+        "*",
+        f"{key} AS _skey",
+        f"CAST(conv(substr({key}, 1, 4), 16, 10) AS INT) DIV {stride} AS _bucket",
+    )
+    w_local = Window.partitionBy("_bucket").orderBy("_skey", id_col)
+    local = keyed.withColumn("_local", F.row_number().over(w_local))
+
+    counts = {
+        r["_bucket"]: r["c"]
+        for r in keyed.groupBy("_bucket").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    offsets: list[int] = []
+    acc = 0
+    for b in range(num_buckets):
+        offsets.append(acc)
+        acc += counts.get(b, 0)
+    # long literals: at corpus scale the offsets exceed int32
+    lookup = F.array(*[F.lit(o).cast("long") for o in offsets])
+
+    return (
+        local.withColumn(
+            out_col,
+            F.col("_local").cast("long")
+            + F.element_at(lookup, (F.col("_bucket") + 1).cast("int")),
+        )
+        .drop("_skey", "_bucket", "_local")
     )

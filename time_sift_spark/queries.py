@@ -3588,6 +3588,29 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, "text", "doc_id", _BM25_TERMS, k=20)
 
 
+@register(
+    "shuffle_rank_docs",
+    oracle="""
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+             AS shuffle_rank
+    FROM documents
+    """,
+)
+def shuffle_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global deterministic epoch shuffle: every document's exact
+    position in md5(doc_id) order, computed WITHOUT the single-task
+    global sort the naive ROW_NUMBER() plan needs — md5-range buckets
+    rank locally, O(num_buckets) counts exclusive-prefix on the driver
+    and fold back as a literal lookup (operators/prefix.py, the
+    Blelloch-scan pattern applied to counting). Writing in this order
+    is a reproducible global permutation on any cluster size."""
+    from .operators.prefix import shuffle_rank_global
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    return shuffle_rank_global(docs, "doc_id")
+
+
 @register("bm25_persisted_topk", oracle=_bm25_oracle())
 def bm25_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """build_text_index → query_text_index two-step: the corpus
@@ -3765,6 +3788,7 @@ GRADE_PRIORITY: list[str] = [
     # -- new or changed in r6 -> grade first --
     "bm25_topk_docs",                  # new: BM25-rational lexical retrieval
     "bm25_persisted_topk",             # new: persisted inverted index serve
+    "shuffle_rank_docs",               # new: distributed epoch shuffle rank
     "pack_sequences_docs",             # new: greedy sequence packing
     "scd2_user_event_type",            # new: type-2 SCD history build
     "rolling_corr_click_purchase",     # new: trailing-24h rolling corr
