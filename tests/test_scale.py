@@ -231,3 +231,69 @@ def test_hotkey_lag_no_single_key_partition_window(spark):
     plan = _plan(out)
     assert "_bucket" in plan  # halo windows present
     assert "SinglePartition" not in plan
+
+
+# --------------------------------------------------------------------------
+# Salted join
+# --------------------------------------------------------------------------
+
+
+def _plain_sorted(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_salted_join_equals_plain_inner(spark):
+    from time_sift_spark.operators.scale import salted_join
+
+    # skewed left: key 1 dominates; duplicate keys on both sides
+    left = spark.createDataFrame(
+        [(1, i) for i in range(50)] + [(2, 100), (3, 101), (3, 102)],
+        "k long, lv long",
+    )
+    right = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (4, "d")], "k long, rv string"
+    )
+    cols = ["k", "lv", "rv"]
+    got = salted_join(left, right, "k", salt=4)
+    want = left.join(right, "k")
+    assert _plain_sorted(got, cols) == _plain_sorted(want, cols)
+
+
+def test_salted_join_left_outer_multiplicity(spark):
+    from time_sift_spark.operators.scale import salted_join
+
+    left = spark.createDataFrame([(1, 10), (9, 11), (9, 12)], "k long, lv long")
+    right = spark.createDataFrame([(1, "x"), (1, "y")], "k long, rv string")
+    cols = ["k", "lv", "rv"]
+    got = salted_join(left, right, "k", salt=3, how="left")
+    want = left.join(right, "k", "left")
+    assert _plain_sorted(got, cols) == _plain_sorted(want, cols)
+
+
+def test_salted_join_plan_joins_on_salted_key(spark):
+    from time_sift_spark.operators.scale import salted_join
+
+    left = spark.createDataFrame([(1, 10)], "k long, lv long")
+    right = spark.createDataFrame([(1, "x")], "k long, rv string")
+    plan = (
+        salted_join(left, right, "k", salt=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "_salt" in plan  # the join condition carries the salt column
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_salted_join_validation(spark):
+    import pytest
+
+    from time_sift_spark.errors import ColumnNotFoundError
+    from time_sift_spark.operators.scale import salted_join
+
+    left = spark.createDataFrame([(1, 10)], "k long, lv long")
+    right = spark.createDataFrame([(1, "x")], "k long, rv string")
+    with pytest.raises(ColumnNotFoundError):
+        salted_join(left, right, "nope")
+    with pytest.raises(ValueError):
+        salted_join(left, right, "k", salt=0)
+    with pytest.raises(ValueError):
+        salted_join(left, right, "k", how="full")

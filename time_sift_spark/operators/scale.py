@@ -279,3 +279,54 @@ def _project(df, value_cols, time_col, order_extra, lag_list, w, fill, extra_kee
             exprs.append(e.alias(names[i]))
             i += 1
     return df.select(time_col, *order_extra, *extra_keep, *exprs)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str] | str,
+    *,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-hardened shuffle join: spread each hot join key over
+    ``salt`` reducer partitions.
+
+    The left (large, skewed) side gets a deterministic per-row salt —
+    ``pmod(xxhash64(all columns), salt)`` — so a hot key's rows fan out
+    over ``salt`` reducers; the right side is replicated ``salt`` times
+    (one copy per salt value, via a literal ``explode(sequence(...))`` —
+    no Python, no cartesian operator), so every left row still meets
+    every matching right row exactly once.  Result rows are identical to
+    the plain join (property-tested, incl. key multiplicity).
+
+    When to reach for this instead of AQE's skew-join split: AQE can
+    only split what it can measure at a stage boundary — a first-stage
+    map-side skew (straight scan into join) or a key so hot one
+    partition exceeds every split threshold still lands on one reducer.
+    Salting moves the decision to plan time at the cost of a ``salt``×
+    replication of the right side — so keep the right side the smaller
+    input.  (A right side small enough to broadcast should broadcast
+    instead; salting is for mid-size rights that fit memory ``salt``
+    times but not per-executor.)
+
+    ``how``: "inner" or "left" (replication preserves multiplicity for
+    both; full/right outer would multiply unmatched right rows and are
+    rejected).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    missing = [k for k in keys if k not in left.columns or k not in right.columns]
+    if missing:
+        raise ColumnNotFoundError(f"join key(s) not on both sides: {missing}")
+    if salt < 1:
+        raise ValueError(f"salt must be >= 1, got {salt}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    hash_cols = ", ".join(left.columns)
+    lsalt = left.withColumn(
+        "_salt", F.expr(f"pmod(xxhash64({hash_cols}), {int(salt)})").cast("int")
+    )
+    rsalt = right.withColumn(
+        "_salt", F.explode(F.expr(f"sequence(0, {int(salt) - 1})"))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    return lsalt.join(rsalt, [*keys, "_salt"], how).drop("_salt")

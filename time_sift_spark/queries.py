@@ -3589,6 +3589,45 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_join_priority_revenue",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           {dsum("l_extendedprice * (1 - l_discount)")} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def salted_join_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join through the skew-hardened salted strategy
+    (operators/scale.salted_join): each l_orderkey's rows spread over 4
+    reducer slots, the orders side replicated 4× via a literal explode —
+    result provably identical to the plain join (this oracle IS the
+    plain join). The insurance-premium pattern: pay bounded replication
+    at plan time so no single reducer ever owns a whole hot key, even
+    where AQE's stage-boundary skew split can't see or can't split it."""
+    import pyspark.sql.functions as F
+
+    from .operators.scale import salted_join
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+    )
+    ords = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, ords, "l_orderkey", salt=4)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _fdsum(F.col("_rev"), 4).alias("revenue"),
+        )
+    )
+
+
+@register(
     "shuffle_rank_docs",
     oracle="""
     SELECT doc_id, source,
@@ -3789,6 +3828,7 @@ GRADE_PRIORITY: list[str] = [
     "bm25_topk_docs",                  # new: BM25-rational lexical retrieval
     "bm25_persisted_topk",             # new: persisted inverted index serve
     "shuffle_rank_docs",               # new: distributed epoch shuffle rank
+    "salted_join_priority_revenue",    # new: skew-salted fact-fact join
     "pack_sequences_docs",             # new: greedy sequence packing
     "scd2_user_event_type",            # new: type-2 SCD history build
     "rolling_corr_click_purchase",     # new: trailing-24h rolling corr
