@@ -42,6 +42,8 @@ SHOWCASE = {
     "bm25_persisted_topk": "Persisted inverted-index serving: the tokenize-explode-count subtree is ABSENT (paid at build); the postings scan carries the term predicate in PushedFilters over term-clustered files.",
     "scd2_user_event_type": "SCD2 history build: two chained windows share the user_id partitioning — ONE exchange; the change filter between them drops all steady-state rows before the second sort.",
     "rolling_corr_click_purchase": "Rolling correlation: all six frame statistics share one window spec → a single WindowExec over the post-aggregation bucket calendar (bounded rows), fed by one groupBy exchange.",
+    "shuffle_rank_docs": "Global shuffle rank without a global sort: md5-range buckets partition the rank windows (no SinglePartition exchange); the O(num_buckets) count prefix returns as a literal array lookup.",
+    "salted_join_priority_revenue": "Skew-salted join: the join condition carries (key, salt) — a hot orderkey's rows spread over 4 reducers; the orders side replicates via a literal explode, never a cartesian operator.",
     "partitioned_scan_events": "Hive-layout pruning: the date filter appears as PartitionFilters on the scan — 3 of ~30 partition directories survive the FileIndex; the rest are never opened.",
 }
 
