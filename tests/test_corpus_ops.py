@@ -128,3 +128,85 @@ def test_decontaminate_broadcast_plan(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+# --------------------------------------------------------------------------
+# Temperature mixture resampling
+# --------------------------------------------------------------------------
+
+
+def _mix_df(spark, sizes):
+    rows = []
+    i = 0
+    for g, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, g))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_temperature_alpha1_keeps_everything(spark):
+    from time_sift_spark.operators.corpus import temperature_resample
+
+    df = _mix_df(spark, {"a": 40, "b": 10})
+    out = temperature_resample(df, "source", "doc_id", alpha=1.0)
+    assert out.count() == 50
+
+
+def test_temperature_alpha0_equalizes_expected_counts(spark):
+    from time_sift_spark.operators.corpus import temperature_resample
+
+    df = _mix_df(spark, {"a": 400, "b": 100})
+    out = temperature_resample(df, "source", "doc_id", alpha=0.0).toPandas()
+    by = out.groupby("source").size()
+    # smallest group kept in full; larger group downsampled toward it
+    assert by["b"] == 100
+    assert 60 <= by["a"] <= 140  # expectation 100, hash-binomial spread
+
+
+def test_temperature_alpha_half_targets_sqrt_shares(spark):
+    from time_sift_spark.operators.corpus import temperature_resample
+
+    df = _mix_df(spark, {"a": 900, "b": 100})
+    out = temperature_resample(df, "source", "doc_id", alpha=0.5).toPandas()
+    by = out.groupby("source").size()
+    assert by["b"] == 100  # min group kept in full
+    # expectation: 900 * sqrt(100/900) = 300
+    assert 240 <= by["a"] <= 360
+
+
+def test_temperature_deterministic_and_partition_invariant(spark):
+    from time_sift_spark.operators.corpus import temperature_resample
+
+    df1 = _mix_df(spark, {"a": 200, "b": 50}).repartition(3)
+    df2 = _mix_df(spark, {"a": 200, "b": 50}).repartition(13)
+    r1 = sorted(r.doc_id for r in temperature_resample(df1, "source", "doc_id").collect())
+    r2 = sorted(r.doc_id for r in temperature_resample(df2, "source", "doc_id").collect())
+    assert r1 == r2 and len(r1) > 0
+
+
+def test_temperature_validation(spark):
+    import pytest
+
+    from time_sift_spark.errors import ColumnNotFoundError
+    from time_sift_spark.operators.corpus import temperature_resample
+
+    df = _mix_df(spark, {"a": 3})
+    with pytest.raises(ValueError):
+        temperature_resample(df, "source", "doc_id", alpha=0.7)
+    with pytest.raises(ValueError):
+        temperature_resample(df, "source", "doc_id", resolution=0)
+    with pytest.raises(ColumnNotFoundError):
+        temperature_resample(df, "nope", "doc_id")
+
+
+def test_temperature_fact_side_never_shuffles(spark):
+    from time_sift_spark.operators.corpus import temperature_resample
+
+    df = _mix_df(spark, {"a": 30, "b": 20})
+    plan = (
+        temperature_resample(df, "source", "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan

@@ -33,6 +33,8 @@ __all__ = [
     "decontaminate_sql",
     "pack_sequences",
     "pack_sequences_oracle_sql",
+    "temperature_resample",
+    "temperature_resample_oracle_sql",
     "PII_PATTERNS",
 ]
 
@@ -339,4 +341,101 @@ def pack_sequences_oracle_sql(
       FROM rec r JOIN seq s ON {gj} AND s.rn = r.rn + 1
     )
     SELECT {g}, {order_col}, n_tokens, bin_id FROM rec
+    """
+
+
+# --------------------------------------------------------------------------
+# Temperature-based mixture resampling
+# --------------------------------------------------------------------------
+
+
+def temperature_resample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    *,
+    alpha: float = 0.5,
+    resolution: int = 10000,
+) -> DataFrame:
+    """Deterministic temperature-flattened mixture sampling: keep each
+    group (source/language) with probability chosen so kept counts are
+    proportional to ``count_g ** alpha`` — the standard
+    temperature-sampling scheme for rebalancing training-data mixtures
+    (alpha=1 keeps the natural distribution, alpha=0 equalizes groups).
+
+    rate_g = (count_min / count_g) ** (1 - alpha): the smallest group
+    is kept in full, larger groups are down-sampled toward the
+    flattened shares.  Selection is the engine's hash-filter discipline
+    (md5 of the row id vs a per-group integer threshold — reproducible
+    row-for-row on any cluster size, no RNG state); thresholds use only
+    IEEE division/sqrt/floor on exact counts, so both engines compute
+    the identical integer.
+
+    Plan shape: one tiny groupBy for counts -> scalar min via a
+    broadcast one-row cross join -> threshold joined back as a
+    BROADCAST (|groups| rows) -> pure filter on the fact side.  The
+    big table never shuffles.
+
+    ``alpha`` is restricted to {0, 0.5, 1}: those thresholds need only
+    sqrt/identity (correctly-rounded IEEE ops, bit-identical across
+    engines); a free exponent would go through pow/exp/ln, whose last
+    ulp is libm-specific — the same reason BM25 uses rational idf.
+    """
+    _check(df, [group_col, id_col])
+    if alpha not in (0.0, 0.5, 1.0):
+        raise ValueError(f"alpha must be one of 0, 0.5, 1 — got {alpha}")
+    if resolution <= 0:
+        raise ValueError(f"resolution must be positive, got {resolution}")
+    ratio = "(CAST(_cmin AS DOUBLE) / CAST(_cnt AS DOUBLE))"
+    frac = {0.0: ratio, 0.5: f"SQRT({ratio})", 1.0: "1.0"}[alpha]
+    thresh = f"CAST(FLOOR({frac} * {int(resolution)}.0) AS BIGINT)"
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    cmin = counts.agg(F.min("_cnt").alias("_cmin"))
+    rates = (
+        counts.crossJoin(F.broadcast(cmin))
+        .selectExpr(group_col, f"{thresh} AS _keep_below")
+    )
+    keyed = df.withColumn(
+        "_hmod",
+        F.expr(
+            f"CAST(conv(substr(md5(CAST({id_col} AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+            f" % {int(resolution)}"
+        ),
+    )
+    return (
+        keyed.join(F.broadcast(rates), group_col)
+        .where(F.col("_hmod") < F.col("_keep_below"))
+        .drop("_hmod", "_keep_below")
+    )
+
+
+def temperature_resample_oracle_sql(
+    table: str,
+    group_col: str,
+    id_col: str,
+    select_cols: Sequence[str],
+    *,
+    alpha: float = 0.5,
+    resolution: int = 10000,
+) -> str:
+    """The same mixture filter as one DuckDB statement."""
+    if alpha not in (0.0, 0.5, 1.0):
+        raise ValueError(f"alpha must be one of 0, 0.5, 1 — got {alpha}")
+    ratio = "(CAST(_cmin AS DOUBLE) / CAST(_cnt AS DOUBLE))"
+    frac = {0.0: ratio, 0.5: f"SQRT({ratio})", 1.0: "1.0"}[alpha]
+    thresh = f"CAST(FLOOR({frac} * {int(resolution)}.0) AS BIGINT)"
+    cols = ", ".join(f"t.{c}" for c in select_cols)
+    return f"""
+    WITH counts AS (
+      SELECT {group_col}, COUNT(*) AS _cnt FROM {table} GROUP BY {group_col}
+    ),
+    rates AS (
+      SELECT {group_col}, {thresh} AS _keep_below
+      FROM counts CROSS JOIN (SELECT MIN(_cnt) AS _cmin FROM counts)
+    )
+    SELECT {cols}
+    FROM {table} t JOIN rates r USING ({group_col})
+    WHERE (('0x' || substr(md5(CAST(t.{id_col} AS VARCHAR)), 1, 8))::BIGINT)
+            % {int(resolution)} < r._keep_below
     """

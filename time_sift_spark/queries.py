@@ -3588,6 +3588,33 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, "text", "doc_id", _BM25_TERMS, k=20)
 
 
+def _mixture_oracle() -> str:
+    from .operators.corpus import temperature_resample_oracle_sql
+
+    return temperature_resample_oracle_sql(
+        "documents", "source", "doc_id", ("doc_id", "source", "lang", "n_chars"),
+        alpha=0.5,
+    )
+
+
+@register("mixture_resample_docs", oracle=_mixture_oracle())
+def mixture_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened mixture resampling (alpha=0.5): keep rates
+    per source chosen so kept counts are proportional to sqrt(count) —
+    the multilingual-LLM data-mixing primitive. Thresholds use only
+    IEEE division/sqrt/floor on exact counts (no pow/ln — same
+    determinism discipline as BM25's rational idf); selection is the
+    md5 hash-filter, reproducible on any cluster size; the big side
+    never shuffles (rates return as a broadcast join)
+    (operators/corpus.temperature_resample)."""
+    from .operators.corpus import temperature_resample
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    return temperature_resample(docs, "source", "doc_id", alpha=0.5)
+
+
 @register(
     "salted_join_priority_revenue",
     oracle=f"""
@@ -3829,6 +3856,7 @@ GRADE_PRIORITY: list[str] = [
     "bm25_persisted_topk",             # new: persisted inverted index serve
     "shuffle_rank_docs",               # new: distributed epoch shuffle rank
     "salted_join_priority_revenue",    # new: skew-salted fact-fact join
+    "mixture_resample_docs",           # new: temperature mixture sampling
     "pack_sequences_docs",             # new: greedy sequence packing
     "scd2_user_event_type",            # new: type-2 SCD history build
     "rolling_corr_click_purchase",     # new: trailing-24h rolling corr
