@@ -43,3 +43,43 @@ def test_fill_gaps_validation(spark):
         fill_gaps(df, "bucket", "day", ["nope"], partition_by="k")
     with pytest.raises(ValueError):
         fill_gaps(df, "bucket", "day", ["v"], partition_by="k", strategy="bfill")
+
+
+# --------------------------------------------------------------------------
+# LOCF imputation
+# --------------------------------------------------------------------------
+
+
+def test_locf_carries_last_non_null(spark):
+    from time_sift_spark.operators.gapfill import locf
+
+    df = spark.createDataFrame(
+        [("u", 1, 10.0), ("u", 2, None), ("u", 3, None), ("u", 4, 40.0), ("u", 5, None)],
+        "k string, t long, v double",
+    )
+    out = {r.t: r.v_filled for r in locf(df, "v", "t", partition_by="k").collect()}
+    assert out == {1: 10.0, 2: 10.0, 3: 10.0, 4: 40.0, 5: 40.0}
+
+
+def test_locf_leading_nulls_stay_null_and_keys_isolated(spark):
+    from time_sift_spark.operators.gapfill import locf
+
+    df = spark.createDataFrame(
+        [("a", 1, None), ("a", 2, 2.0), ("b", 1, 9.0), ("b", 2, None)],
+        "k string, t long, v double",
+    )
+    out = {(r.k, r.t): r.v_filled for r in locf(df, "v", "t", partition_by="k").collect()}
+    assert out[("a", 1)] is None
+    assert out[("a", 2)] == 2.0
+    assert out[("b", 2)] == 9.0  # b's null filled from b, not from a
+
+
+def test_locf_validation(spark):
+    import pytest
+
+    from time_sift_spark.errors import ColumnNotFoundError
+    from time_sift_spark.operators.gapfill import locf
+
+    df = spark.createDataFrame([("a", 1, 1.0)], "k string, t long, v double")
+    with pytest.raises(ColumnNotFoundError):
+        locf(df, "nope", "t", partition_by="k")

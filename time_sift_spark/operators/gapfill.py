@@ -73,3 +73,47 @@ def fill_gaps(
         *[F.last(v, ignorenulls=True).over(w).alias(f"{v}_filled") for v in value_cols],
     )
     return out
+
+
+def locf(
+    df,
+    value_col: str,
+    time_col: str,
+    *,
+    partition_by,
+    order_extra=None,
+    out_col: str | None = None,
+):
+    """Last-observation-carried-forward imputation: replace NULLs in
+    ``value_col`` with the most recent non-NULL value of the same
+    series — the standard sensor-stream repair next to
+    :func:`fill_gaps` (which fills missing ROWS; this fills missing
+    VALUES on existing rows).
+
+    One keyed window pass (``last(..., ignorenulls=True)`` over ROWS
+    UNBOUNDED PRECEDING): the same single-Exchange shape as every lag/
+    rolling operator; leading NULLs (nothing to carry) stay NULL.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    extra = (
+        [] if order_extra is None
+        else [order_extra] if isinstance(order_extra, str)
+        else list(order_extra)
+    )
+    missing = [c for c in (value_col, time_col, *parts, *extra) if c not in df.columns]
+    if missing:
+        from ..errors import ColumnNotFoundError
+
+        raise ColumnNotFoundError(f"columns not in DataFrame: {missing}")
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(time_col, *extra)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn(
+        out_col or f"{value_col}_filled",
+        F.last(value_col, ignorenulls=True).over(w),
+    )

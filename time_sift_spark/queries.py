@@ -3588,6 +3588,94 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, "text", "doc_id", _BM25_TERMS, k=20)
 
 
+@register(
+    "streaming_hopping_counts",
+    oracle="""
+    WITH slots AS (
+      SELECT event_type, event_id, value,
+             CAST(to_timestamp((CAST(floor(epoch(ts) / 900) AS BIGINT) - k) * 900)
+                  AS TIMESTAMP) AS window_start
+      FROM events, UNNEST(generate_series(0, 3)) AS t(k)
+    )
+    SELECT window_start, event_type,
+           COUNT(event_id) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(27,6))), 4) AS DOUBLE) AS sum_value
+    FROM slots
+    GROUP BY window_start, event_type
+    """,
+)
+def streaming_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming HOPPING-window aggregation (1-hour windows
+    sliding every 15 minutes — F.window's slide parameter): each event
+    updates 4 overlapping window states; watermark eviction closes a
+    slot 1 hour after its end like the tumbling form. The streaming
+    twin of the batch hopping_window_counts; the oracle replays the
+    epoch-aligned slot assignment by exploding k in 0..3 over the
+    900-second grid."""
+    import pyspark.sql.functions as F
+
+    from .sources.catalog import read_events_stream
+    from .streaming.lag_stream import _next_stream_name, run_stream_to_df
+
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(
+            F.count("event_id").alias("n_events"),
+            _fdsum("value", 4).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = _next_stream_name("ts_stream_hop")
+    return run_stream_to_df(agg, name, output_mode="complete")
+
+
+@register(
+    "locf_fill_events",
+    oracle="""
+    WITH masked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT)
+                       % 10 < 3
+                  THEN NULL ELSE value END AS value_masked
+      FROM events
+    )
+    SELECT user_id, ts, event_id, value_masked,
+           LAST_VALUE(value_masked IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS value_filled
+    FROM masked
+    """,
+)
+def locf_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward imputation: ~30% of values are
+    deterministically masked to NULL (md5 hash — both engines mask the
+    SAME rows), then repaired with the most recent non-NULL value per
+    user. The missing-VALUES companion to gap_fill_daily_events'
+    missing-ROWS fill; one keyed window pass, leading NULLs stay NULL
+    (operators/gapfill.locf)."""
+    events = load_table(spark, "events", sf_dir).selectExpr(
+        "user_id",
+        "ts",
+        "event_id",
+        "CASE WHEN CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+        " % 10 < 3 THEN NULL ELSE value END AS value_masked",
+    )
+    from .operators.gapfill import locf
+
+    return locf(
+        events, "value_masked", "ts", partition_by="user_id", order_extra="event_id",
+        out_col="value_filled",
+    )
+
+
 def _mixture_oracle() -> str:
     from .operators.corpus import temperature_resample_oracle_sql
 
@@ -3857,6 +3945,8 @@ GRADE_PRIORITY: list[str] = [
     "shuffle_rank_docs",               # new: distributed epoch shuffle rank
     "salted_join_priority_revenue",    # new: skew-salted fact-fact join
     "mixture_resample_docs",           # new: temperature mixture sampling
+    "streaming_hopping_counts",        # new: streaming hopping windows
+    "locf_fill_events",                # new: LOCF value imputation
     "pack_sequences_docs",             # new: greedy sequence packing
     "scd2_user_event_type",            # new: type-2 SCD history build
     "rolling_corr_click_purchase",     # new: trailing-24h rolling corr
