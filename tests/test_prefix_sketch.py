@@ -167,3 +167,36 @@ def test_shuffle_rank_no_single_partition_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_sketch_rollup_equals_direct_weekly_sketch(spark):
+    import pandas as pd
+
+    from time_sift_spark.operators.sketch import (
+        linear_count_distinct,
+        linear_count_rollup,
+    )
+
+    # two ISO weeks of per-day user activity, users recur across days
+    rows = []
+    for day in range(1, 13):
+        for u in range(day * 7 % 40, 40 + (day % 3) * 20):
+            rows.append((f"2024-01-{day:02d} 10:00:00", u))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["ts", "user_id"]).assign(
+            ts=lambda d: pd.to_datetime(d.ts)
+        )
+    )
+    rolled = linear_count_rollup(df, "user_id", "ts", k=256).toPandas()
+    # direct weekly sketch over raw values
+    direct = linear_count_distinct(
+        df.selectExpr("date_trunc('week', ts) AS week", "user_id"),
+        "user_id",
+        group_by=("week",),
+        k=256,
+        with_exact=False,
+    ).toPandas()
+    m = rolled.merge(direct, on="week", suffixes=("_rolled", "_direct"))
+    assert len(m) >= 2
+    assert (m.used_registers_rolled == m.used_registers_direct).all()
+    assert (m.n_estimate_rolled == m.n_estimate_direct).all()

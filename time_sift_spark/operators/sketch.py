@@ -33,7 +33,12 @@ from pyspark.sql import functions as F
 from ..errors import ColumnNotFoundError
 from ..functions.text_fns import SPARK, Dialect
 
-__all__ = ["linear_count_distinct", "linear_count_distinct_sql"]
+__all__ = [
+    "linear_count_distinct",
+    "linear_count_distinct_sql",
+    "linear_count_rollup",
+    "linear_count_rollup_sql",
+]
 
 
 def register_expr(d: Dialect, col: str, k: int) -> str:
@@ -237,4 +242,79 @@ def count_min_token_freq_sql(
     SELECT p.token, p.n_exact, MIN(c.cell) AS n_cm
     FROM probes p JOIN cells c ON p.row = c.row AND p.bucket = c.bucket
     GROUP BY p.token, p.n_exact
+    """
+
+
+def linear_count_rollup(
+    df: DataFrame,
+    col: str,
+    time_col: str,
+    *,
+    group_by: Sequence[str] = (),
+    k: int = 4096,
+    round_to: int = 2,
+) -> DataFrame:
+    """Weekly distinct estimates REAGGREGATED from daily sketch states —
+    the property the sketch exists for: the daily layer stores distinct
+    (group, day, register) rows (≤K per group-day, the materialized
+    continuous aggregate); the weekly layer unions register SETS by
+    re-distincting registers across the week's days and estimates from
+    the merged occupancy — the raw value column is never rescanned.
+    Merge is exact (set union), so the weekly estimate equals what a
+    direct weekly sketch would produce on the same data.
+
+    Outputs per (group, week): ``used_registers``, ``n_estimate``, and
+    ``n_days`` (how many daily states merged).
+    """
+    groups = list(group_by)
+    missing = [c for c in (col, time_col, *groups) if c not in df.columns]
+    if missing:
+        raise ColumnNotFoundError(f"columns not in DataFrame: {missing}")
+    if k < 16:
+        raise ValueError(f"k must be >= 16 registers, got {k}")
+    reg = register_expr(SPARK, col, k)
+    daily = df.selectExpr(
+        *groups,
+        f"date_trunc('day', {time_col}) AS _day",
+        f"{reg} AS _reg",
+    ).distinct()
+    weekly = daily.selectExpr(
+        *groups, "date_trunc('week', _day) AS week", "_day", "_reg"
+    )
+    used = "COUNT(DISTINCT _reg)"
+    return weekly.groupBy(*groups, "week").agg(
+        F.expr(used).alias("used_registers"),
+        F.expr(estimate_expr(SPARK, used, k, round_to)).alias("n_estimate"),
+        F.expr("COUNT(DISTINCT _day)").alias("n_days"),
+    )
+
+
+def linear_count_rollup_sql(
+    d: Dialect,
+    table: str,
+    col: str,
+    time_col: str,
+    *,
+    group_by: Sequence[str] = (),
+    k: int = 4096,
+    round_to: int = 2,
+) -> str:
+    """The same daily-state → weekly-merge rollup in one statement."""
+    groups = list(group_by)
+    g = ", ".join(groups)
+    gsel = f"{g}, " if g else ""
+    reg = register_expr(d, col, k)
+    used = "COUNT(DISTINCT _reg)"
+    est = estimate_expr(d, used, k, round_to)
+    return f"""
+    WITH daily AS (
+      SELECT DISTINCT {gsel}date_trunc('day', {time_col}) AS _day, {reg} AS _reg
+      FROM {table}
+    )
+    SELECT {gsel}date_trunc('week', _day) AS week,
+           {used} AS used_registers,
+           {est} AS n_estimate,
+           COUNT(DISTINCT _day) AS n_days
+    FROM daily
+    GROUP BY {gsel}date_trunc('week', _day)
     """

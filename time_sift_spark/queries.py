@@ -3588,6 +3588,62 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, "text", "doc_id", _BM25_TERMS, k=20)
 
 
+def _sketch_rollup_oracle() -> str:
+    from .functions.text_fns import DUCK as _D
+    from .operators.sketch import linear_count_rollup_sql
+
+    return linear_count_rollup_sql(
+        _D, "events", "user_id", "ts", group_by=("event_type",), k=4096
+    )
+
+
+@register("sketch_rollup_weekly", oracle=_sketch_rollup_oracle())
+def sketch_rollup_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly distinct-user estimates REAGGREGATED from daily sketch
+    states — the mergeability proof for the linear-counting sketch:
+    the daily layer stores ≤K (group, day, register) rows (the
+    continuous-aggregate state), the weekly layer set-unions registers
+    across days and estimates from merged occupancy without rescanning
+    raw values. Merge is exact, so weekly-from-daily ≡ direct weekly
+    sketch (operators/sketch.linear_count_rollup)."""
+    from .operators.sketch import linear_count_rollup
+
+    events = load_table(spark, "events", sf_dir)
+    return linear_count_rollup(
+        events, "user_id", "ts", group_by=("event_type",), k=4096
+    )
+
+
+@register(
+    "train_split_docs",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 100 AS h
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split
+    FROM keyed
+    """,
+)
+def train_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment via the md5
+    hash-range discipline: a pure projection (no shuffle, no RNG state),
+    stable under corpus growth — a document's split never changes when
+    other documents are added or the cluster layout changes, which is
+    the property random splits lose and leakage audits need."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.selectExpr(
+        "doc_id",
+        "source",
+        "CASE WHEN CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+        " % 100 < 80 THEN 'train' "
+        "WHEN CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+        " % 100 < 90 THEN 'val' ELSE 'test' END AS split",
+    )
+
+
 @register(
     "streaming_hopping_counts",
     oracle="""
@@ -3947,6 +4003,8 @@ GRADE_PRIORITY: list[str] = [
     "mixture_resample_docs",           # new: temperature mixture sampling
     "streaming_hopping_counts",        # new: streaming hopping windows
     "locf_fill_events",                # new: LOCF value imputation
+    "train_split_docs",                # new: deterministic 3-way split
+    "sketch_rollup_weekly",            # new: sketch mergeability rollup
     "pack_sequences_docs",             # new: greedy sequence packing
     "scd2_user_event_type",            # new: type-2 SCD history build
     "rolling_corr_click_purchase",     # new: trailing-24h rolling corr
