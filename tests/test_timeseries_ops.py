@@ -518,3 +518,116 @@ def test_hopping_window_validation(spark):
             spark.createDataFrame(pd.DataFrame({"ts": [dt.datetime(2024, 1, 1)], "v": [1.0]})),
             "ts", "1 hour", "15 minutes", {"n": ("median", "v")},
         )
+
+
+# --------------------------------------------------------------------------
+# Nearest-direction as-of join
+# --------------------------------------------------------------------------
+
+
+def _nearest_fixture(spark):
+    import pandas as pd
+
+    from time_sift_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a", "a", "a", "b"],
+                "lt": pd.to_datetime(
+                    ["2024-01-01 00:10", "2024-01-01 01:00", "2024-01-01 03:59", "2024-01-01 02:00"]
+                ),
+                "lid": [1, 2, 3, 4],
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a", "a", "b"],
+                "rt": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 02:00", "2024-01-01 05:00"]),
+                "v": [10.0, 20.0, 30.0],
+            }
+        )
+    )
+    return asof_join(
+        left, right, on="k", left_time="lt", right_time="rt", right_cols=["v"],
+        direction="nearest",
+    ), left, right
+
+
+def test_asof_nearest_picks_closer_side(spark):
+    out, _, _ = _nearest_fixture(spark)
+    got = {r.lid: r.v_asof for r in out.collect()}
+    # lid=1: 00:10 — backward 00:00 (10m) vs forward 02:00 (110m) -> 10.0
+    # lid=2: 01:00 — equidistant (60m both) -> tie goes backward -> 10.0
+    # lid=3: 03:59 — backward 02:00 (119m), no forward -> 20.0
+    # lid=4: only forward exists (05:00) -> 30.0
+    assert got == {1: 10.0, 2: 10.0, 3: 20.0, 4: 30.0}
+
+
+def test_asof_nearest_tolerance_discards_far_matches(spark):
+    import pandas as pd
+
+    from time_sift_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": ["a"], "lt": pd.to_datetime(["2024-01-01 01:00"]), "lid": [1]}
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": ["a"], "rt": pd.to_datetime(["2024-01-01 00:00"]), "v": [1.0]}
+        )
+    )
+    out = asof_join(
+        left, right, on="k", left_time="lt", right_time="rt", right_cols=["v"],
+        direction="nearest", tolerance_us=30 * 60 * 1_000_000,
+    ).collect()[0]
+    assert out.v_asof is None  # 60m away > 30m tolerance
+
+
+def test_asof_nearest_single_exchange(spark):
+    out, _, _ = _nearest_fixture(spark)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_asof_nearest_matches_pandas_merge_asof(spark):
+    import numpy as np
+    import pandas as pd
+
+    from time_sift_spark.operators.asof import asof_join
+
+    rng = np.random.RandomState(11)
+    lpd = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b"], 60),
+            "lt": pd.to_datetime("2024-01-01") + pd.to_timedelta(rng.randint(0, 10_000, 60), "s"),
+        }
+    ).sort_values("lt").reset_index(drop=True)
+    lpd["lid"] = range(60)
+    rpd = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b"], 25),
+            "rt": pd.to_datetime("2024-01-01") + pd.to_timedelta(rng.randint(0, 10_000, 25), "s"),
+            "v": rng.randn(25).round(3),
+        }
+    ).sort_values("rt").reset_index(drop=True)
+    got = (
+        asof_join(
+            spark.createDataFrame(lpd), spark.createDataFrame(rpd),
+            on="k", left_time="lt", right_time="rt", right_cols=["v"],
+            direction="nearest",
+        )
+        .toPandas().sort_values("lid").reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        lpd, rpd, left_on="lt", right_on="rt", by="k", direction="nearest"
+    ).sort_values("lid").reset_index(drop=True)
+    lhs = got.v_asof.fillna(np.inf)
+    rhs = want.v.fillna(np.inf)
+    assert (lhs == rhs).all(), pd.concat([got, want.v], axis=1)

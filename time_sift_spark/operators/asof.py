@@ -49,14 +49,18 @@ def asof_join(
     direction: str = "backward",
     tolerance_us: int | None = None,
 ) -> DataFrame:
-    """Left as-of join, backward (default) or forward, both inclusive.
+    """Left as-of join — backward (default), forward, or nearest; all
+    inclusive.
 
     Every ``left`` row gains ``{c}{suffix}`` for each c in ``right_cols``:
     ``direction="backward"`` takes the most recent right row with
     ``right_time <= left_time``; ``direction="forward"`` the earliest
-    right row with ``right_time >= left_time`` (NULLs where none exists).
-    Both are the SAME one-Exchange union+window plan — forward flips the
-    tie ordering and the frame side, nothing else.
+    right row with ``right_time >= left_time`` (NULLs where none exists);
+    ``direction="nearest"`` whichever of the two is closer in time
+    (tie → backward — pandas ``merge_asof`` semantics).  Backward and
+    forward are the SAME one-Exchange union+window plan — forward flips
+    the tie ordering and the frame side, nothing else; nearest runs both
+    carries over one Exchange and resolves per row.
 
     ``tolerance_us`` bounds the match's staleness (pandas
     ``merge_asof(tolerance=...)`` semantics): a matched right row farther
@@ -64,8 +68,16 @@ def asof_join(
     payload columns fall back to NULL, never to an older/newer row.
     Requires timestamp time columns.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be 'backward', 'forward' or 'nearest', got {direction!r}"
+        )
+    if direction == "nearest":
+        # the gap comparison needs real time arithmetic
+        from ._time import assert_time_dtype
+
+        assert_time_dtype(left, left_time)
+        assert_time_dtype(right, right_time)
     if tolerance_us is not None:
         if tolerance_us < 0:
             raise ValueError(f"tolerance_us must be non-negative, got {tolerance_us}")
@@ -96,6 +108,11 @@ def asof_join(
         F.col(right_time).alias("_asof_t"),
     )
     unioned = left_tagged.unionByName(right_tagged)
+
+    if direction == "nearest":
+        return _finish_nearest(
+            unioned, on, left_time, payload, suffix, tolerance_us
+        )
 
     # one shuffle: partition by key, order by (time, side). Backward:
     # side=0 (right) sorts before side=1 (left) at equal times and
@@ -145,6 +162,70 @@ def asof_join(
             *[F.when(ok, F.col(p)).alias(p) for p in payload],
         )
     return out
+
+
+def _finish_nearest(
+    unioned: DataFrame,
+    on: Sequence[str],
+    left_time: str,
+    payload: Sequence[str],
+    suffix: str,
+    tolerance_us: int | None,
+) -> DataFrame:
+    """Nearest-direction resolution (pandas ``merge_asof
+    direction='nearest'``): BOTH the backward and the forward carry run
+    over the same tagged union — two WindowExecs sharing ONE Exchange
+    (same partition key, opposite tie/frames) — then each left row keeps
+    whichever match is closer in time (tie → backward, matching pandas).
+    ``tolerance_us`` bounds each direction's gap before the choice."""
+    from ._time import ts_us
+
+    wb = (
+        Window.partitionBy(*on)
+        .orderBy("_asof_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_asof_t").asc(), F.col("_side").desc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    unioned = unioned.withColumn(
+        "_rt_us", F.when(F.col("_side") == 0, ts_us("_asof_t"))
+    )
+    carries = []
+    for p in payload:
+        carries.append(F.last(p, ignorenulls=True).over(wb).alias(f"{p}__b"))
+        carries.append(F.first(p, ignorenulls=True).over(wf).alias(f"{p}__f"))
+    carries.append(F.last("_rt_us", ignorenulls=True).over(wb).alias("_bt"))
+    carries.append(F.first("_rt_us", ignorenulls=True).over(wf).alias("_ft"))
+    carried = unioned.select(
+        *[c for c in unioned.columns if c not in payload and c != "_rt_us"],
+        *carries,
+    )
+    out = carried.where(F.col("_side") == 1)
+    bgap = ts_us(left_time) - F.col("_bt")
+    fgap = F.col("_ft") - ts_us(left_time)
+    b_ok = F.col("_bt").isNotNull()
+    f_ok = F.col("_ft").isNotNull()
+    if tolerance_us is not None:
+        b_ok = b_ok & (bgap <= F.lit(tolerance_us))
+        f_ok = f_ok & (fgap <= F.lit(tolerance_us))
+    use_b = b_ok & (~f_ok | (bgap <= fgap))
+    picked = [
+        F.when(use_b, F.col(f"{p}__b"))
+        .when(f_ok, F.col(f"{p}__f"))
+        .alias(p)
+        for p in payload
+    ]
+    keep = [
+        c
+        for c in out.columns
+        if c not in ("_side", "_asof_t", "_bt", "_ft")
+        and not c.endswith("__b")
+        and not c.endswith("__f")
+    ]
+    return out.select(*keep, *picked)
 
 
 def fits_broadcast(df: DataFrame, max_rows: int) -> bool:

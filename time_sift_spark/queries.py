@@ -3588,6 +3588,53 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, "text", "doc_id", _BM25_TERMS, k=20)
 
 
+@register(
+    "asof_join_nearest_purchase",
+    oracle="""
+    WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
+    r AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    b AS (
+      SELECT l.event_id, r.ts AS bts, r.value AS bval
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    ),
+    f AS (
+      SELECT l.event_id, r.ts AS fts, r.value AS fval
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+    )
+    SELECT l.user_id, l.ts, l.event_id, l.value,
+           CASE WHEN b.bts IS NOT NULL
+                     AND (f.fts IS NULL
+                          OR (epoch_us(l.ts) - epoch_us(b.bts))
+                             <= (epoch_us(f.fts) - epoch_us(l.ts)))
+                THEN b.bval
+                ELSE f.fval END AS value_asof
+    FROM l JOIN b USING (event_id) JOIN f USING (event_id)
+    """,
+)
+def asof_join_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas merge_asof
+    direction='nearest'): each click matches whichever purchase —
+    before or after — is closer in time, ties to backward. Both carries
+    run over ONE Exchange (two WindowExecs, same user_id partitioning);
+    the oracle composes DuckDB's backward and forward ASOF joins and
+    replays the same closest-wins rule (operators/asof.py)."""
+    from .operators.asof import asof_join
+
+    events = load_table(spark, "events", sf_dir)
+    clicks = events.where(events.event_type == "click")
+    purchases = events.where(events.event_type == "purchase")
+    joined = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_cols=["value"],
+        direction="nearest",
+    )
+    return joined.select("user_id", "ts", "event_id", "value", "value_asof")
+
+
 def _sketch_rollup_oracle() -> str:
     from .functions.text_fns import DUCK as _D
     from .operators.sketch import linear_count_rollup_sql
@@ -4005,6 +4052,7 @@ GRADE_PRIORITY: list[str] = [
     "locf_fill_events",                # new: LOCF value imputation
     "train_split_docs",                # new: deterministic 3-way split
     "sketch_rollup_weekly",            # new: sketch mergeability rollup
+    "asof_join_nearest_purchase",      # new: nearest-direction as-of
     "pack_sequences_docs",             # new: greedy sequence packing
     "scd2_user_event_type",            # new: type-2 SCD history build
     "rolling_corr_click_purchase",     # new: trailing-24h rolling corr
