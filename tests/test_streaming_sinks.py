@@ -80,3 +80,42 @@ def test_rocksdb_state_store_parity(spark, tmp_path):
         spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
         != "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental upsert snapshot sink
+# --------------------------------------------------------------------------
+
+
+def test_upsert_sink_merges_and_late_rows_never_displace(spark, tmp_path):
+    from time_sift_spark.streaming.sinks import read_latest_snapshot, upsert_latest_sink
+
+    base = str(tmp_path / "snap")
+    import os
+
+    os.makedirs(base, exist_ok=True)
+    sink = upsert_latest_sink(base, "k", ("v_ts", "rid"))
+    b1 = spark.createDataFrame([("a", 1, 10, 100.0), ("b", 1, 11, 200.0)], "k string, v_ts long, rid long, val double")
+    b2 = spark.createDataFrame([("a", 5, 12, 111.0)], "k string, v_ts long, rid long, val double")
+    late = spark.createDataFrame([("a", 2, 13, 999.0), ("c", 1, 14, 300.0)], "k string, v_ts long, rid long, val double")
+    sink(b1, 0)
+    sink(b2, 1)
+    sink(late, 2)  # a@2 is OLDER than snapshot's a@5 -> must not displace
+    snap = {r.k: (r.v_ts, r.val) for r in read_latest_snapshot(spark, base).collect()}
+    assert snap == {"a": (5, 111.0), "b": (1, 200.0), "c": (1, 300.0)}
+
+
+def test_upsert_sink_epoch_redelivery_idempotent(spark, tmp_path):
+    from time_sift_spark.streaming.sinks import read_latest_snapshot, upsert_latest_sink
+
+    base = str(tmp_path / "snap2")
+    import os
+
+    os.makedirs(base, exist_ok=True)
+    sink = upsert_latest_sink(base, "k", ("v_ts",))
+    b = spark.createDataFrame([("a", 3, 1.0)], "k string, v_ts long, val double")
+    sink(b, 0)
+    once = sorted(map(tuple, read_latest_snapshot(spark, base).collect()))
+    sink(b, 0)  # redelivery of the same epoch
+    twice = sorted(map(tuple, read_latest_snapshot(spark, base).collect()))
+    assert once == twice

@@ -3589,6 +3589,51 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_upsert_latest",
+    oracle="""
+    SELECT user_id, ts, event_id, event_type, value FROM (
+      SELECT user_id, ts, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def streaming_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained latest-per-user snapshot: the event
+    stream arrives in 5 micro-batches (4 time-ordered chunks + a final
+    batch of LATE old rows) and each epoch MERGES into a parquet
+    snapshot via foreachBatch (union previous state + rank-dedup by
+    (ts, event_id) DESC — late rows can never displace newer state,
+    upsert by version not arrival; pointer-file flip keeps readers
+    consistent). The final snapshot must equal the one-shot batch
+    compaction — that equivalence IS this oracle
+    (streaming/sinks.upsert_latest_sink)."""
+    from .streaming.lag_stream import _next_stream_name
+    from .streaming.sinks import read_latest_snapshot, run_stream_upsert
+
+    chunk_dir = _late_chunked_events(sf_dir)
+    base = _roundtrip_dir("ts_upsert_") + "/" + _next_stream_name("v")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(chunk_dir)
+        .select("user_id", "ts", "event_id", "event_type", "value")
+    )
+    run_stream_upsert(
+        stream, base, _next_stream_name("ts_stream_upsert"),
+        key_cols="user_id", order_cols=("ts", "event_id"),
+    )
+    return read_latest_snapshot(spark, base).select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+
+
+@register(
     "asof_join_nearest_purchase",
     oracle="""
     WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
@@ -4053,6 +4098,7 @@ GRADE_PRIORITY: list[str] = [
     "train_split_docs",                # new: deterministic 3-way split
     "sketch_rollup_weekly",            # new: sketch mergeability rollup
     "asof_join_nearest_purchase",      # new: nearest-direction as-of
+    "streaming_upsert_latest",         # new: incremental upsert snapshot
     "pack_sequences_docs",             # new: greedy sequence packing
     "scd2_user_event_type",            # new: type-2 SCD history build
     "rolling_corr_click_purchase",     # new: trailing-24h rolling corr

@@ -44,6 +44,9 @@ SHOWCASE = {
     "rolling_corr_click_purchase": "Rolling correlation: all six frame statistics share one window spec → a single WindowExec over the post-aggregation bucket calendar (bounded rows), fed by one groupBy exchange.",
     "shuffle_rank_docs": "Global shuffle rank without a global sort: md5-range buckets partition the rank windows (no SinglePartition exchange); the O(num_buckets) count prefix returns as a literal array lookup.",
     "salted_join_priority_revenue": "Skew-salted join: the join condition carries (key, salt) — a hot orderkey's rows spread over 4 reducers; the orders side replicates via a literal explode, never a cartesian operator.",
+    "mixture_resample_docs": "Temperature mixture sampling: per-source thresholds return as a BroadcastExchange; the corpus side is a pure hash filter — zero fact-side shuffles.",
+    "asof_join_nearest_purchase": "Nearest as-of: backward and forward carries share ONE hashpartitioning Exchange (two WindowExecs, opposite tie order/frame); closest-wins is a scalar projection.",
+    "sketch_rollup_weekly": "Sketch mergeability: the distinct (group, day, register) state layer feeds the weekly COUNT(DISTINCT register) re-aggregation — raw user_ids are never rescanned above the daily layer.",
     "partitioned_scan_events": "Hive-layout pruning: the date filter appears as PartitionFilters on the scan — 3 of ~30 partition directories survive the FileIndex; the rest are never opened.",
 }
 
