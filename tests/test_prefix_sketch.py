@@ -200,3 +200,56 @@ def test_sketch_rollup_equals_direct_weekly_sketch(spark):
     assert len(m) >= 2
     assert (m.used_registers_rolled == m.used_registers_direct).all()
     assert (m.n_estimate_rolled == m.n_estimate_direct).all()
+
+
+def test_histogram_quantiles_within_bin_width_of_exact(spark):
+    import numpy as np
+    import pandas as pd
+
+    from time_sift_spark.operators.sketch import histogram_quantiles
+
+    rng = np.random.RandomState(3)
+    vals = np.concatenate([rng.exponential(50, 4000), rng.uniform(0, 400, 2000)])
+    df = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    out = histogram_quantiles(df, "v", lo=0.0, hi=1000.0, bins=500).collect()[0]
+    width = 2.0
+    for p, name in [(0.5, "est_p5"), (0.95, "est_p95"), (0.99, "est_p99")]:
+        exact = float(np.quantile(vals, p))
+        assert abs(getattr(out, name) - exact) <= 2 * width, (p, getattr(out, name), exact)
+    assert out.n == len(vals)
+
+
+def test_histogram_quantiles_merge_property(spark):
+    """Sketch built on the union == union of per-half sketches: since the
+    state is per-bin counts, verify the ESTIMATE from the full data equals
+    the estimate from summing the halves' histograms (here: run on a
+    repartitioned frame — partial aggregation IS the merge)."""
+    import numpy as np
+    import pandas as pd
+
+    from time_sift_spark.operators.sketch import histogram_quantiles
+
+    rng = np.random.RandomState(9)
+    pdf = pd.DataFrame({"v": rng.uniform(0, 900, 5000)})
+    one = histogram_quantiles(
+        spark.createDataFrame(pdf).coalesce(1), "v", lo=0.0, hi=1000.0, bins=500
+    ).collect()[0]
+    many = histogram_quantiles(
+        spark.createDataFrame(pdf).repartition(16), "v", lo=0.0, hi=1000.0, bins=500
+    ).collect()[0]
+    assert (one.est_p5, one.est_p95, one.est_p99) == (many.est_p5, many.est_p95, many.est_p99)
+
+
+def test_histogram_quantiles_clamps_and_validates(spark):
+    import pytest
+
+    from time_sift_spark.errors import ColumnNotFoundError
+    from time_sift_spark.operators.sketch import histogram_quantiles
+
+    df = spark.createDataFrame([(-5.0,), (1e9,), (10.0,)], "v double")
+    out = histogram_quantiles(df, "v", lo=0.0, hi=100.0, bins=10).collect()[0]
+    assert out.n == 3  # out-of-range values clamp into edge bins, not dropped
+    with pytest.raises(ValueError):
+        histogram_quantiles(df, "v", lo=5.0, hi=5.0)
+    with pytest.raises(ColumnNotFoundError):
+        histogram_quantiles(df, "nope", lo=0.0, hi=1.0)

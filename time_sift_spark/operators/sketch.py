@@ -38,6 +38,8 @@ __all__ = [
     "linear_count_distinct_sql",
     "linear_count_rollup",
     "linear_count_rollup_sql",
+    "histogram_quantiles",
+    "histogram_quantiles_sql",
 ]
 
 
@@ -317,4 +319,131 @@ def linear_count_rollup_sql(
            COUNT(DISTINCT _day) AS n_days
     FROM daily
     GROUP BY {gsel}date_trunc('week', _day)
+    """
+
+
+# --------------------------------------------------------------------------
+# Fixed-bin histogram quantile sketch
+# --------------------------------------------------------------------------
+
+
+def _hq_parts(col: str, lo: float, hi: float, bins: int) -> tuple[str, float]:
+    if hi <= lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    if bins < 2:
+        raise ValueError(f"need >= 2 bins, got {bins}")
+    width = (hi - lo) / bins
+    bin_expr = (
+        f"LEAST(GREATEST(CAST(FLOOR(({col} - CAST({lo!r} AS DOUBLE)) "
+        f"/ CAST({width!r} AS DOUBLE)) AS INT), 0), {bins - 1})"
+    )
+    return bin_expr, width
+
+
+def _hq_estimate(p: float, lo: float, width: float, round_to: int) -> tuple[str, str]:
+    """(crossing-bin predicate, interpolated estimate) over columns
+    ``_bin, _c, _cum, _n``.  The threshold ``p·n`` is computed in exact
+    DECIMAL (decimal literal × integer count — no float comparison at
+    the crossing decision), so both engines pick the SAME bin; only the
+    within-bin interpolation is double arithmetic (identical expression
+    text → identical IEEE result)."""
+    t = f"({p!r} * _n)"
+    pred = f"(_cum >= {t} AND (_cum - _c) < {t})"
+    est = (
+        f"(CAST({lo!r} AS DOUBLE) + (CAST(_bin AS DOUBLE) "
+        f"+ (CAST({t} - (_cum - _c) AS DOUBLE) / CAST(_c AS DOUBLE))) "
+        f"* CAST({width!r} AS DOUBLE))"
+    )
+    from ._num import round_double
+
+    return pred, round_double(est, round_to)
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    col: str,
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+    probs: Sequence[float] = (0.5, 0.95, 0.99),
+    group_by: Sequence[str] = (),
+    round_to: int = 4,
+) -> DataFrame:
+    """Approximate quantiles from a MERGEABLE fixed-bin histogram — the
+    third sketch next to linear-counting (cardinality) and count-min
+    (frequency).  The per-(group, bin) count table IS the sketch state:
+    counts merge by addition, so partial aggregation, map-side combine,
+    and rollup re-aggregation all work, unlike exact percentile_disc
+    which must see every value.  Engine-native approx sketches
+    (approx_percentile / DuckDB approx_quantile) are not cross-engine
+    reproducible; this one is deterministic to the hash digit.
+
+    [lo, hi) is the sketch's declared domain (out-of-range values clamp
+    to the edge bins — same contract as every fixed-range histogram);
+    error ≤ one bin width.  Estimates interpolate within the crossing
+    bin; the crossing DECISION uses exact decimal thresholds.
+    """
+    groups = list(group_by)
+    missing = [c for c in (col, *groups) if c not in df.columns]
+    if missing:
+        raise ColumnNotFoundError(f"columns not in DataFrame: {missing}")
+    bin_expr, width = _hq_parts(col, lo, hi, bins)
+    from pyspark.sql import Window
+
+    hist = (
+        df.where(F.col(col).isNotNull())
+        .selectExpr(*groups, f"{bin_expr} AS _bin")
+        .groupBy(*groups, "_bin")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    wcum = Window.partitionBy(*groups).orderBy("_bin")
+    wtot = Window.partitionBy(*groups)
+    cum = hist.withColumn("_cum", F.sum("_c").over(wcum)).withColumn(
+        "_n", F.sum("_c").over(wtot)
+    )
+    aggs = [F.max("_n").alias("n")]
+    for p in probs:
+        pred, est = _hq_estimate(p, lo, width, round_to)
+        name = f"est_p{str(p).replace('0.', '')}"
+        aggs.append(F.max(F.expr(f"CASE WHEN {pred} THEN {est} END")).alias(name))
+    return cum.groupBy(*groups).agg(*aggs)
+
+
+def histogram_quantiles_sql(
+    table: str,
+    col: str,
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+    probs: Sequence[float] = (0.5, 0.95, 0.99),
+    group_by: Sequence[str] = (),
+    round_to: int = 4,
+) -> str:
+    """The same sketch as one dialect-neutral SQL statement."""
+    groups = list(group_by)
+    g = ", ".join(groups)
+    gsel = f"{g}, " if g else ""
+    bin_expr, width = _hq_parts(col, lo, hi, bins)
+    picks = []
+    for p in probs:
+        pred, est = _hq_estimate(p, lo, width, round_to)
+        name = f"est_p{str(p).replace('0.', '')}"
+        picks.append(f"MAX(CASE WHEN {pred} THEN {est} END) AS {name}")
+    return f"""
+    WITH hist AS (
+      SELECT {gsel}_bin, COUNT(*) AS _c
+      FROM (SELECT {gsel}{bin_expr} AS _bin FROM {table} WHERE {col} IS NOT NULL)
+      GROUP BY {gsel}_bin
+    ),
+    cum AS (
+      SELECT {gsel}_bin, _c,
+             SUM(_c) OVER (PARTITION BY {g if g else '1'} ORDER BY _bin) AS _cum,
+             SUM(_c) OVER (PARTITION BY {g if g else '1'}) AS _n
+      FROM hist
+    )
+    SELECT {gsel}CAST(MAX(_n) AS BIGINT) AS n, {", ".join(picks)}
+    FROM cum
+    {f'GROUP BY {g}' if g else ''}
     """

@@ -3680,6 +3680,32 @@ def asof_join_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("user_id", "ts", "event_id", "value", "value_asof")
 
 
+def _hq_oracle() -> str:
+    from .operators.sketch import histogram_quantiles_sql
+
+    return histogram_quantiles_sql(
+        "events", "value", lo=0.0, hi=1000.0, bins=500, group_by=("event_type",)
+    )
+
+
+@register("quantile_sketch_by_type", oracle=_hq_oracle())
+def quantile_sketch_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p95/p99 of value per event type from a MERGEABLE
+    500-bin histogram sketch — the third sketch next to linear-counting
+    (cardinality) and count-min (frequency). The (group, bin) count
+    table is the state: counts merge by addition, so the same sketch
+    rolls up across partitions/days, which exact percentile_disc
+    (quantiles_by_type, the exact companion) cannot. Crossing-bin
+    decisions use exact decimal thresholds; error ≤ one bin width = 2.0
+    (operators/sketch.histogram_quantiles)."""
+    from .operators.sketch import histogram_quantiles
+
+    events = load_table(spark, "events", sf_dir)
+    return histogram_quantiles(
+        events, "value", lo=0.0, hi=1000.0, bins=500, group_by=("event_type",)
+    )
+
+
 def _sketch_rollup_oracle() -> str:
     from .functions.text_fns import DUCK as _D
     from .operators.sketch import linear_count_rollup_sql
@@ -4099,6 +4125,7 @@ GRADE_PRIORITY: list[str] = [
     "sketch_rollup_weekly",            # new: sketch mergeability rollup
     "asof_join_nearest_purchase",      # new: nearest-direction as-of
     "streaming_upsert_latest",         # new: incremental upsert snapshot
+    "quantile_sketch_by_type",         # new: mergeable histogram quantiles
     "pack_sequences_docs",             # new: greedy sequence packing
     "scd2_user_event_type",            # new: type-2 SCD history build
     "rolling_corr_click_purchase",     # new: trailing-24h rolling corr
