@@ -344,3 +344,106 @@ def test_fuzz_linear_trend_template(pdf):
     con.register("_fzt", pdf)
     exp = con.execute(linear_trend_oracle_sql("_fzt", "v", "ts", "sid")).df()
     _compare(got, exp)
+
+
+@FUZZ_SETTINGS
+@given(corpus())
+def test_fuzz_bm25_template(pdf):
+    """bm25_topk (Spark op) vs its DuckDB oracle on random corpora —
+    score determinism of the rational-idf arithmetic + decimal sum."""
+    from time_sift_spark.operators.search import bm25_topk, bm25_topk_oracle_sql
+
+    pdf = pdf.dropna(subset=["text"]).reset_index(drop=True)
+    if pdf.empty:
+        return
+    spark = _get_session()
+    sdf = spark.createDataFrame(pdf, "doc_id long, text string")
+    got = bm25_topk(sdf, "text", "doc_id", ["alpha", "the", "42"], k=50).toPandas()
+    con = duckdb.connect()
+    con.register("_fzb", pdf)
+    exp = con.execute(
+        bm25_topk_oracle_sql("_fzb", "text", "doc_id", ["alpha", "the", "42"], k=50)
+    ).df()
+    _compare(got, exp)
+
+
+@st.composite
+def value_corpus(draw):
+    n = draw(st.integers(min_value=1, max_value=30))
+    vals = st.one_of(
+        st.none(),
+        st.floats(min_value=-50.0, max_value=1050.0, allow_nan=False).map(
+            lambda x: round(x, 4)
+        ),
+        st.sampled_from([0.0, 2.0, 1000.0, 999.9999, -0.0001, 0.0078125]),
+    )
+    return pd.DataFrame(
+        {
+            "g": [draw(st.integers(min_value=0, max_value=1)) for _ in range(n)],
+            "v": [draw(vals) for _ in range(n)],
+        }
+    )
+
+
+@FUZZ_SETTINGS
+@given(value_corpus())
+def test_fuzz_histogram_quantiles_template(pdf):
+    """Histogram-quantile sketch: bin edges, clamps, exact-decimal
+    crossing decisions, interpolation — adversarial values sit ON bin
+    boundaries and outside [lo, hi)."""
+    from time_sift_spark.operators.sketch import (
+        histogram_quantiles,
+        histogram_quantiles_sql,
+    )
+
+    if pdf.v.dropna().empty:
+        return
+    spark = _get_session()
+    got = histogram_quantiles(
+        spark.createDataFrame(pdf, "g long, v double"),
+        "v", lo=0.0, hi=1000.0, bins=50, group_by=("g",),
+    ).toPandas()
+    con = duckdb.connect()
+    con.register("_fzq", pdf)
+    exp = con.execute(
+        histogram_quantiles_sql(
+            "_fzq", "v", lo=0.0, hi=1000.0, bins=50, group_by=("g",)
+        )
+    ).df()
+    # DuckDB SUM(BIGINT) -> object/float n; normalize before compare
+    exp["n"] = exp["n"].astype("int64")
+    _compare(got, exp)
+
+
+@st.composite
+def mixture_corpus(draw):
+    n = draw(st.integers(min_value=1, max_value=40))
+    return pd.DataFrame(
+        {
+            "doc_id": range(n),
+            "source": [draw(st.sampled_from(["a", "b", "c"])) for _ in range(n)],
+        }
+    )
+
+
+@FUZZ_SETTINGS
+@given(mixture_corpus(), st.sampled_from([0.0, 0.5, 1.0]))
+def test_fuzz_temperature_resample_template(pdf, alpha):
+    from time_sift_spark.operators.corpus import (
+        temperature_resample,
+        temperature_resample_oracle_sql,
+    )
+
+    spark = _get_session()
+    got = temperature_resample(
+        spark.createDataFrame(pdf, "doc_id long, source string"),
+        "source", "doc_id", alpha=alpha,
+    ).toPandas()
+    con = duckdb.connect()
+    con.register("_fzt", pdf)
+    exp = con.execute(
+        temperature_resample_oracle_sql(
+            "_fzt", "source", "doc_id", ("doc_id", "source"), alpha=alpha
+        )
+    ).df()
+    _compare(got, exp)
