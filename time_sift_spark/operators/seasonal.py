@@ -33,24 +33,33 @@ SEASON_FNS = {
 }
 
 
-def _exprs(value: str, part: str, season_slot: str, round_to: int) -> dict[str, str]:
+def _stat_exprs(value: str, part: str, season_slot: str) -> dict[str, str]:
+    """The two per-slot statistics as NAMED window expressions.
+
+    WindowExec evaluates every textual aggregate occurrence separately
+    (no dedup, unlike HashAggregate — the rolling_corr finding): the
+    inlined form of these expressions expanded to 40 window slots
+    (dec_to_double triples the SUM, round_double's CASE duplicates the
+    whole formula 5x in two output columns).  Stats once as columns +
+    a scalar combine keeps the WindowExec at exactly 2 aggregates."""
+    wp = f"(PARTITION BY {part}, {season_slot})"
+    return {
+        "_n": f"COUNT({value}) OVER {wp}",
+        "_sxd": f"SUM(CAST({value} AS DECIMAL(27,6))) OVER {wp}",
+    }
+
+
+def _final_exprs(value: str, round_to: int) -> dict[str, str]:
     # ROUND on a raw DOUBLE diverges between engines at representable
     # near-midpoints (observed: -8.6963 vs -8.6962 at sf0.01) — quantize
-    # to DECIMAL first, where ROUND is HALF_UP on both (dsum discipline).
+    # to DECIMAL first, where ROUND is HALF_UP on both (dsum discipline);
+    # the final rounding is the pure-double form (operators/_num.py).
     from ._num import dec_to_double, round_double
 
-    wp = f"(PARTITION BY {part}, {season_slot})"
-    n = f"COUNT({value}) OVER {wp}"
-    sx = dec_to_double(f"SUM(CAST({value} AS DECIMAL(27,6))) OVER {wp}")
-
-    def dround(expr: str) -> str:
-        # pure-double rounding (see operators/_num.py): decimal casts of
-        # doubles tie-break differently across engines
-        return round_double(expr, round_to)
-
+    sx = dec_to_double("_sxd")
     return {
-        "seasonal_mean": dround(f"{sx} / {n}"),
-        "value_deseason": dround(f"{value} - {sx} / {n}"),
+        "seasonal_mean": round_double(f"{sx} / _n", round_to),
+        "value_deseason": round_double(f"{value} - {sx} / _n", round_to),
     }
 
 
@@ -72,14 +81,22 @@ def deseasonalize(
     if missing:
         raise ColumnNotFoundError(f"columns not in DataFrame: {missing}")
     slot = SEASON_FNS[season].format(t=time_col)
-    ex = _exprs(value_col, ", ".join(parts), slot, round_to)
-    return df.select(
+    stats = _stat_exprs(value_col, ", ".join(parts), slot)
+    fin = _final_exprs(value_col, round_to)
+    staged = df.select(
         *parts,
         time_col,
         F.col(value_col),
         F.expr(slot).alias("season_slot"),
-        F.expr(ex["seasonal_mean"]).alias("seasonal_mean"),
-        F.expr(ex["value_deseason"]).alias("value_deseason"),
+        *[F.expr(e).alias(name) for name, e in stats.items()],
+    )
+    return staged.select(
+        *parts,
+        time_col,
+        value_col,
+        "season_slot",
+        F.expr(fin["seasonal_mean"]).alias("seasonal_mean"),
+        F.expr(fin["value_deseason"]).alias("value_deseason"),
     )
 
 
@@ -94,11 +111,17 @@ def deseasonalize_sql(
 ) -> str:
     """The identical expressions as ANSI SQL for the DuckDB oracle."""
     slot = SEASON_FNS[season].format(t=time_col)
-    ex = _exprs(value, part, slot, round_to)
+    stats = _stat_exprs(value, part, slot)
+    fin = _final_exprs(value, round_to)
+    stat_cols = ",\n             ".join(f"{e} AS {name}" for name, e in stats.items())
     return f"""
-    SELECT {part}, {time_col}, {value},
-           {slot} AS season_slot,
-           {ex['seasonal_mean']} AS seasonal_mean,
-           {ex['value_deseason']} AS value_deseason
-    FROM {table}
+    SELECT {part}, {time_col}, {value}, season_slot,
+           {fin['seasonal_mean']} AS seasonal_mean,
+           {fin['value_deseason']} AS value_deseason
+    FROM (
+      SELECT {part}, {time_col}, {value},
+             {slot} AS season_slot,
+             {stat_cols}
+      FROM {table}
+    )
     """
