@@ -631,3 +631,98 @@ def test_asof_nearest_matches_pandas_merge_asof(spark):
     lhs = got.v_asof.fillna(np.inf)
     rhs = want.v.fillna(np.inf)
     assert (lhs == rhs).all(), pd.concat([got, want.v], axis=1)
+
+
+# --------------------------------------------------------------------------
+# Linear interpolation join
+# --------------------------------------------------------------------------
+
+
+def test_asof_interpolate_brackets_and_edges(spark):
+    import pandas as pd
+
+    from time_sift_spark.operators.asof import asof_interpolate
+
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a"] * 5,
+                "lt": pd.to_datetime(
+                    ["2024-01-01 00:30", "2024-01-01 01:00", "2024-01-01 01:45",
+                     "2024-01-01 02:00", "2024-01-01 03:30"]
+                ),
+                "lid": [1, 2, 3, 4, 5],
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a", "a", "a"],
+                "rt": pd.to_datetime(["2024-01-01 01:00", "2024-01-01 02:00", "2024-01-01 03:00"]),
+                "v": [10.0, 30.0, 40.0],
+            }
+        )
+    )
+    out = asof_interpolate(
+        left, right, on="k", left_time="lt", right_time="rt", value_col="v"
+    )
+    got = {r.lid: r.v_interp for r in out.collect()}
+    assert got[1] == 10.0      # before first obs: flat-extends forward value
+    assert got[2] == 10.0      # exactly on an observation
+    assert got[3] == 25.0      # 45/60 of the way from 10 -> 30
+    assert got[4] == 30.0      # exactly on an observation
+    assert got[5] == 40.0      # after last obs: flat-extends backward value
+
+
+def test_asof_interpolate_matches_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    from time_sift_spark.operators.asof import asof_interpolate
+
+    rng = np.random.RandomState(5)
+    lt = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        sorted(rng.choice(10_000, 50, replace=False)), "s"
+    )
+    rt = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        sorted(rng.choice(10_000, 20, replace=False)), "s"
+    )
+    lpd = pd.DataFrame({"k": ["a"] * 50, "lt": lt, "lid": range(50)})
+    rpd = pd.DataFrame({"k": ["a"] * 20, "rt": rt, "v": rng.randn(20).round(3)})
+    got = (
+        asof_interpolate(
+            spark.createDataFrame(lpd), spark.createDataFrame(rpd),
+            on="k", left_time="lt", right_time="rt", value_col="v", round_to=6,
+        )
+        .toPandas().sort_values("lid").reset_index(drop=True)
+    )
+    # pandas reference: set v on the union timeline, time-interpolate, sample
+    ser = pd.Series(rpd.v.values, index=pd.DatetimeIndex(rpd.rt))
+    union = ser.reindex(
+        ser.index.union(pd.DatetimeIndex(lpd["lt"]))
+    ).interpolate(method="time")
+    # flat extension at edges (pandas interpolate leaves leading NaN -> bfill)
+    union = union.bfill().ffill()
+    want = union.loc[pd.DatetimeIndex(lpd["lt"])].values
+    assert np.allclose(got.v_interp.values, want, atol=1e-4)
+
+
+def test_asof_interpolate_validation(spark):
+    import pandas as pd
+    import pytest
+
+    from time_sift_spark.errors import ColumnNotFoundError
+    from time_sift_spark.operators.asof import asof_interpolate
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"], "lt": pd.to_datetime(["2024-01-01"]), "lid": [1]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"], "rt": pd.to_datetime(["2024-01-01"]), "v": [1.0]})
+    )
+    with pytest.raises(ColumnNotFoundError):
+        asof_interpolate(left, right, on="k", left_time="lt", right_time="rt", value_col="nope")
+    num = spark.createDataFrame(pd.DataFrame({"k": ["a"], "lt": [5], "lid": [1]}))
+    with pytest.raises(TypeError):
+        asof_interpolate(num, right, on="k", left_time="lt", right_time="rt", value_col="v")

@@ -298,3 +298,98 @@ def asof_join_lookup(
         best[c].alias(f"{c}{suffix}") for c in right_cols
     ]
     return joined.select(*left.columns, *out_cols)
+
+
+def asof_interpolate(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str | Sequence[str],
+    left_time: str,
+    right_time: str,
+    value_col: str,
+    out_col: str | None = None,
+    round_to: int = 4,
+) -> DataFrame:
+    """Linear time-interpolation join: each left row gets the right
+    series' value LINEARLY INTERPOLATED between its bracketing
+    observations — the sensor-fusion / irregular-to-aligned resampling
+    primitive (pandas ``merge_asof`` + ``interpolate`` in one pass).
+
+        v(t) = v_b + (v_f - v_b) · (t - t_b) / (t_f - t_b)
+
+    Exactly on an observation (t_b = t) the observed value is returned;
+    with only one side available the series extends flat (backward or
+    forward carry); with no observations NULL.  Same physical shape as
+    the nearest as-of: ONE Exchange on the key, backward + forward
+    carries as two WindowExecs, then a scalar projection.  The weight is
+    a ratio of exact microsecond integers (IEEE division — engine-
+    reproducible); the result is rounded with the shared pure-double
+    rounding (operators/_num.round_double).
+    """
+    from ._num import round_double
+    from ._time import assert_time_dtype, ts_us
+
+    on = [on] if isinstance(on, str) else list(on)
+    for c in on + [left_time]:
+        if c not in left.columns:
+            raise ColumnNotFoundError(f"left column {c!r} not in {left.columns}")
+    for c in on + [right_time, value_col]:
+        if c not in right.columns:
+            raise ColumnNotFoundError(f"right column {c!r} not in {right.columns}")
+    assert_time_dtype(left, left_time)
+    assert_time_dtype(right, right_time)
+    out_col = out_col or f"{value_col}_interp"
+
+    left_tagged = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(right.schema[value_col].dataType).alias("_v"),
+        F.col(left_time).alias("_asof_t"),
+    )
+    right_tagged = right.select(
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            if c not in on
+            else F.col(c)
+            for c in left.columns
+        ],
+        F.lit(0).alias("_side"),
+        F.col(value_col).alias("_v"),
+        F.col(right_time).alias("_asof_t"),
+    )
+    unioned = left_tagged.unionByName(right_tagged).withColumn(
+        "_rt_us", F.when(F.col("_side") == 0, ts_us("_asof_t"))
+    )
+    wb = (
+        Window.partitionBy(*on)
+        .orderBy("_asof_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_asof_t").asc(), F.col("_side").desc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    carried = unioned.select(
+        *[c for c in unioned.columns if c not in ("_v", "_rt_us")],
+        F.last("_v", ignorenulls=True).over(wb).alias("_bv"),
+        F.first("_v", ignorenulls=True).over(wf).alias("_fv"),
+        F.last("_rt_us", ignorenulls=True).over(wb).alias("_bt"),
+        F.first("_rt_us", ignorenulls=True).over(wf).alias("_ft"),
+    )
+    out = carried.where(F.col("_side") == 1)
+    from ._time import ts_us_sql
+
+    interp = (
+        f"(_bv + (_fv - _bv) * (CAST(({ts_us_sql(left_time)}) - _bt AS DOUBLE) "
+        "/ CAST(_ft - _bt AS DOUBLE)))"
+    )
+    est = (
+        F.when(F.col("_bt").isNull() & F.col("_ft").isNull(), F.lit(None))
+        .when(F.col("_bt").isNull(), F.col("_fv"))
+        .when(F.col("_ft").isNull() | (F.col("_ft") == F.col("_bt")), F.col("_bv"))
+        .otherwise(F.expr(round_double(interp, round_to)))
+    )
+    keep = [c for c in out.columns if c not in ("_side", "_asof_t", "_bv", "_fv", "_bt", "_ft")]
+    return out.select(*keep, est.alias(out_col))

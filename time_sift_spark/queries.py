@@ -3680,6 +3680,60 @@ def asof_join_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("user_id", "ts", "event_id", "value", "value_asof")
 
 
+def _interp_oracle() -> str:
+    from .operators._num import round_double
+
+    interp = round_double(
+        "(b.bv + (f.fv - b.bv) * (CAST(epoch_us(l.ts) - epoch_us(b.bts) AS DOUBLE)"
+        " / CAST(epoch_us(f.fts) - epoch_us(b.bts) AS DOUBLE)))",
+        4,
+    )
+    return f"""
+    WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
+    r AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    b AS (
+      SELECT l.event_id, r.ts AS bts, r.value AS bv
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    ),
+    f AS (
+      SELECT l.event_id, r.ts AS fts, r.value AS fv
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+    )
+    SELECT l.user_id, l.ts, l.event_id,
+           CASE WHEN b.bts IS NULL AND f.fts IS NULL THEN NULL
+                WHEN b.bts IS NULL THEN f.fv
+                WHEN f.fts IS NULL OR epoch_us(f.fts) = epoch_us(b.bts) THEN b.bv
+                ELSE {interp} END AS value_interp
+    FROM l JOIN b USING (event_id) JOIN f USING (event_id)
+    """
+
+
+@register("asof_interpolate_purchase", oracle=_interp_oracle())
+def asof_interpolate_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear time-interpolation join: the purchase-value series sampled
+    AT each click's timestamp — interpolated between the bracketing
+    purchases, flat-extended at the series edges (pandas merge_asof +
+    interpolate in one pass; the irregular-to-aligned sensor-fusion
+    primitive). One Exchange, backward+forward carries, scalar
+    projection; the interpolation weight is a ratio of exact
+    microsecond integers (operators/asof.asof_interpolate)."""
+    from .operators.asof import asof_interpolate
+
+    events = load_table(spark, "events", sf_dir)
+    clicks = events.where(events.event_type == "click")
+    purchases = events.where(events.event_type == "purchase")
+    out = asof_interpolate(
+        clicks,
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        value_col="value",
+        out_col="value_interp",
+    )
+    return out.select("user_id", "ts", "event_id", "value_interp")
+
+
 def _hq_oracle() -> str:
     from .operators.sketch import histogram_quantiles_sql
 
@@ -4126,6 +4180,7 @@ GRADE_PRIORITY: list[str] = [
     "asof_join_nearest_purchase",      # new: nearest-direction as-of
     "streaming_upsert_latest",         # new: incremental upsert snapshot
     "quantile_sketch_by_type",         # new: mergeable histogram quantiles
+    "asof_interpolate_purchase",       # new: linear interpolation join
     "pack_sequences_docs",             # new: greedy sequence packing
     "scd2_user_event_type",            # new: type-2 SCD history build
     "rolling_corr_click_purchase",     # new: trailing-24h rolling corr
