@@ -208,3 +208,74 @@ def test_decode_image_pil_path_when_available(spark):
     assert (out.width[0], out.height[0], out.channels[0]) == (12, 34, 1)
     rz = mm.resize_image(spark.createDataFrame(pdf), "blob", id_col="vid", width=4, height=5, fake=False).toPandas()
     assert (rz.width[0], rz.height[0]) == (4, 5) and len(rz.resized_md5[0]) == 32
+
+
+def test_streaming_asof_carries_state_across_batches(spark, tmp_path):
+    """Two batches: purchases in batch 1 must be visible to clicks in
+    batch 2 through the single-scalar state; a late old purchase in the
+    final batch becomes 'most recent' for rows after it (arrival-order
+    contract)."""
+    from time_sift_spark.streaming.lag_stream import (
+        run_stream_to_df,
+        streaming_asof_join,
+    )
+
+    b1 = pd.DataFrame(
+        {
+            "t": [10, 20, 30],
+            "k": [1, 1, 1],
+            "typ": ["purchase", "click", "purchase"],
+            "v": [100.0, 1.0, 300.0],
+        }
+    )
+    b2 = pd.DataFrame(
+        {
+            "t": [40, 5, 50],
+            "k": [1, 1, 1],
+            "typ": ["click", "purchase", "click"],
+            "v": [2.0, 999.0, 3.0],
+        }
+    )
+    src = str(tmp_path / "asof_src")
+    for i, b in enumerate([b1, b2]):
+        spark.createDataFrame(b).coalesce(1).write.mode("overwrite").parquet(
+            f"{src}/part{i}"
+        )
+    stream = (
+        spark.readStream.schema("t long, k long, typ string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/part*")
+    )
+    out = streaming_asof_join(
+        stream, partition_by="k", time_col="t", type_col="typ",
+        left_type="click", right_type="purchase", value_col="v",
+    )
+    got = {r.t: r.value_asof for r in run_stream_to_df(out, "t_asof_test").collect()}
+    # batch1: click@20 sees purchase@10
+    assert got[20] == 100.0
+    # batch2 sorts by t: purchase@5 processes FIRST (arrival-order), so
+    # click@40 sees 999.0 (the late purchase overwrote batch-1 state),
+    # click@50 still 999.0
+    assert got[40] == 999.0 and got[50] == 999.0
+
+
+def test_streaming_asof_no_purchase_yields_null(spark, tmp_path):
+    from time_sift_spark.streaming.lag_stream import (
+        run_stream_to_df,
+        streaming_asof_join,
+    )
+
+    b = pd.DataFrame({"t": [1], "k": [9], "typ": ["click"], "v": [5.0]})
+    src = str(tmp_path / "asof_src2")
+    spark.createDataFrame(b).coalesce(1).write.mode("overwrite").parquet(f"{src}/p0")
+    stream = (
+        spark.readStream.schema("t long, k long, typ string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/p*")
+    )
+    out = streaming_asof_join(
+        stream, partition_by="k", time_col="t", type_col="typ",
+        left_type="click", right_type="purchase", value_col="v",
+    )
+    rows = run_stream_to_df(out, "t_asof_test2").collect()
+    assert len(rows) == 1 and rows[0].value_asof is None

@@ -3680,6 +3680,66 @@ def asof_join_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("user_id", "ts", "event_id", "value", "value_asof")
 
 
+@register(
+    "streaming_asof_events",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END AS is_late,
+             CASE WHEN event_type = 'purchase' THEN value END AS pv
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    carried AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             LAST_VALUE(pv IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY is_late, ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_asof
+      FROM u
+    )
+    SELECT user_id, epoch_us(ts) AS ts, event_id, value, value_asof
+    FROM carried WHERE event_type = 'click'
+    """,
+)
+def streaming_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful STREAMING as-of join: clicks matched to the most recent
+    purchase per user over the 5-micro-batch arrival (4 time-ordered
+    chunks + a late batch), with O(1) state per key — one scalar, not a
+    history buffer or watermark-bounded join state. Arrival-order
+    semantics under late data, same contract as streaming lag: the
+    oracle replays processing order exactly as a window over
+    (is_late, ts, event_id) (streaming/lag_stream.streaming_asof_join)."""
+    import pyspark.sql.functions as F
+
+    from .streaming.lag_stream import (
+        _next_stream_name,
+        run_stream_to_df,
+        streaming_asof_join,
+    )
+
+    chunk_dir = _late_chunked_events(sf_dir)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(chunk_dir)
+        .withColumn("ts", F.unix_micros("ts"))
+    )
+    out = streaming_asof_join(
+        stream,
+        partition_by="user_id",
+        time_col="ts",
+        order_extra=("event_id",),
+        type_col="event_type",
+        left_type="click",
+        right_type="purchase",
+        value_col="value",
+    )
+    return run_stream_to_df(out, _next_stream_name("ts_stream_asof"))
+
+
 def _interp_oracle() -> str:
     from .operators._num import round_double
 
@@ -4181,6 +4241,7 @@ GRADE_PRIORITY: list[str] = [
     "streaming_upsert_latest",         # new: incremental upsert snapshot
     "quantile_sketch_by_type",         # new: mergeable histogram quantiles
     "asof_interpolate_purchase",       # new: linear interpolation join
+    "streaming_asof_events",           # new: O(1)-state streaming as-of
     "pack_sequences_docs",             # new: greedy sequence packing
     "scd2_user_event_type",            # new: type-2 SCD history build
     "rolling_corr_click_purchase",     # new: trailing-24h rolling corr

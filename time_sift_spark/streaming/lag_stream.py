@@ -27,6 +27,7 @@ from typing import Iterator, Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..errors import validate_lags
@@ -168,3 +169,86 @@ def run_stream_to_df(
                 else:
                     spark.conf.set(provider_key, old_provider)
     return spark.table(query_name)
+
+
+def streaming_asof_join(
+    stream_df: DataFrame,
+    *,
+    partition_by: str,
+    time_col: str,
+    order_extra: Sequence[str] = (),
+    type_col: str,
+    left_type: str,
+    right_type: str,
+    value_col: str,
+    out_col: str = "value_asof",
+) -> DataFrame:
+    """Stateful streaming as-of join over ONE interleaved event stream:
+    every ``left_type`` row gets the most recent ``right_type`` value
+    seen for its key — per-key state is a SINGLE scalar (the last right
+    value), updated as right rows flow past.  This is the stream form of
+    operators/asof.asof_join with O(1) state per key (the batch union+
+    window plan needs the whole history; a stream-stream interval join
+    needs a watermark-bounded buffer — a plain as-of needs neither).
+
+    Semantics are ARRIVAL-ORDER, the same contract as streaming lag
+    under late data: within a micro-batch rows process in
+    (time, *order_extra) order; across batches in arrival order — so a
+    late-arriving old right row DOES become "the most recent value" for
+    subsequent lefts (state is by processing order, not event time; the
+    oracle replays this exactly as a window over (is_late, time, id)).
+
+    Output (append mode): left rows only —
+    ``(partition_by, time_col, *order_extra, value_col, out_col)``,
+    time as epoch-µs long.
+    """
+    sort_cols = [time_col, *order_extra]
+    output_schema = ", ".join(
+        [
+            f"{partition_by} long",
+            f"{time_col} long",
+            *[f"{c} long" for c in order_extra],
+            f"{value_col} double",
+            f"{out_col} double",
+        ]
+    )
+    state_schema = "last_v double"
+
+    def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        last = state.get[0] if state.exists else None
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            sort_cols, kind="mergesort"
+        )
+        pv = batch[value_col].where(batch[type_col] == right_type)
+        # prepend carried state so ffill crosses the batch boundary
+        carried = (
+            pd.concat([pd.Series([last], dtype="float64"), pv], ignore_index=True)
+            .ffill()
+            .iloc[1:]
+            .reset_index(drop=True)
+        )
+        batch = batch.reset_index(drop=True)
+        is_left = (batch[type_col] == left_type).to_numpy()
+        out = batch.loc[is_left, [time_col, *order_extra, value_col]].reset_index(
+            drop=True
+        )
+        out[out_col] = carried[is_left].reset_index(drop=True)
+        out.insert(0, partition_by, key[0])
+        new_last = pv.dropna()
+        if len(new_last):
+            state.update((float(new_last.iloc[-1]),))
+        elif state.exists:
+            state.update((last,))
+        yield out[[partition_by, time_col, *order_extra, value_col, out_col]]
+
+    return (
+        stream_df.where(F.col(type_col).isin([left_type, right_type]))
+        .groupBy(partition_by)
+        .applyInPandasWithState(
+            _update,
+            output_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
