@@ -47,6 +47,9 @@ SHOWCASE = {
     "mixture_resample_docs": "Temperature mixture sampling: per-source thresholds return as a BroadcastExchange; the corpus side is a pure hash filter — zero fact-side shuffles.",
     "asof_join_nearest_purchase": "Nearest as-of: backward and forward carries share ONE hashpartitioning Exchange (two WindowExecs, opposite tie order/frame); closest-wins is a scalar projection.",
     "sketch_rollup_weekly": "Sketch mergeability: the distinct (group, day, register) state layer feeds the weekly COUNT(DISTINCT register) re-aggregation — raw user_ids are never rescanned above the daily layer.",
+    "asof_interpolate_purchase": "Interpolation join: backward and forward carries of (value, time) share ONE hashpartitioning Exchange; the bracketing-weights arithmetic is a scalar projection above them.",
+    "quantile_sketch_by_type": "Histogram-quantile sketch: the (group, bin) count is a partial-aggregatable groupBy (the mergeable state); cum/total window + crossing-bin CASE run over <=500 rows per group.",
+    "deseasonalize_hourly_events": "Two-stage seasonal adjustment: exactly 2 window aggregates (count + decimal sum) per (key, slot) partition — the inlined form cost 40 slots before the stat/combine split.",
     "partitioned_scan_events": "Hive-layout pruning: the date filter appears as PartitionFilters on the scan — 3 of ~30 partition directories survive the FileIndex; the rest are never opened.",
 }
 
