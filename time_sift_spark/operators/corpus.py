@@ -390,12 +390,15 @@ def temperature_resample(
     frac = {0.0: ratio, 0.5: f"SQRT({ratio})", 1.0: "1.0"}[alpha]
     thresh = f"CAST(FLOOR({frac} * {int(resolution)}.0) AS BIGINT)"
 
+    from pyspark.sql import Window
+
+    # the scalar min rides a window over the COUNTS frame (|groups| rows,
+    # bounded) rather than a crossJoin of a second aggregate — a separate
+    # agg subtree would make Catalyst scan the corpus twice for counts
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_cnt"))
-    cmin = counts.agg(F.min("_cnt").alias("_cmin"))
-    rates = (
-        counts.crossJoin(F.broadcast(cmin))
-        .selectExpr(group_col, f"{thresh} AS _keep_below")
-    )
+    rates = counts.withColumn(
+        "_cmin", F.min("_cnt").over(Window.partitionBy())
+    ).selectExpr(group_col, f"{thresh} AS _keep_below")
     keyed = df.withColumn(
         "_hmod",
         F.expr(
