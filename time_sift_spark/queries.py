@@ -3681,6 +3681,90 @@ def asof_join_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "winsorize_values_by_type",
+    oracle=f"""
+    WITH cuts AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p05,
+             quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           CAST(ROUND(MIN(c.p05), 4) AS DOUBLE) AS cut_low,
+           CAST(ROUND(MIN(c.p95), 4) AS DOUBLE) AS cut_high,
+           {dsum("LEAST(GREATEST(e.value, c.p05), c.p95)")} AS sum_winsorized
+    FROM events e JOIN cuts c USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def winsorize_values_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized aggregation: clip each value to its group's exact
+    [p05, p95] band before summing — the standard outlier-robust
+    preprocessing step before model features. Exact percentiles (the
+    quantiles_by_type discipline: interpolated, not approx sketches)
+    come back as a |groups|-row broadcast; the fact side is clip +
+    decimal-exact sum, one scan. Clip decisions are engine-identical:
+    an interpolated threshold lies strictly between adjacent data
+    values, so a last-ulp wiggle cannot move a point across it."""
+    import pyspark.sql.functions as F
+
+    events = load_table(spark, "events", sf_dir)
+    cuts = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    return (
+        events.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("p05"), 4).cast("double").alias("cut_low"),
+            F.round(F.min("p95"), 4).cast("double").alias("cut_high"),
+            _fdsum(F.expr("LEAST(GREATEST(value, p05), p95)"), 4).alias(
+                "sum_winsorized"
+            ),
+        )
+    )
+
+
+@register(
+    "profile_events",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(value) AS value_nulls,
+           MIN(value) AS value_min,
+           MAX(value) AS value_max,
+           COUNT(DISTINCT user_id) AS user_distinct,
+           COUNT(DISTINCT event_type) AS type_distinct,
+           MIN(ts) AS ts_min,
+           MAX(ts) AS ts_max,
+           COUNT(*) - COUNT(props) AS props_nulls
+    FROM events
+    """,
+)
+def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-profiling summary (the ingest quality gate): row
+    count, per-column null counts, value range, key cardinalities, time
+    span — all in a single scan + scalar tree-aggregate, the cheapest
+    health check a 100 TB table gets before heavier validation runs."""
+    import pyspark.sql.functions as F
+
+    events = load_table(spark, "events", sf_dir)
+    return events.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("value")).alias("value_nulls"),
+        F.min("value").alias("value_min"),
+        F.max("value").alias("value_max"),
+        F.count_distinct("user_id").alias("user_distinct"),
+        F.count_distinct("event_type").alias("type_distinct"),
+        F.min("ts").alias("ts_min"),
+        F.max("ts").alias("ts_max"),
+        (F.count(F.lit(1)) - F.count("props")).alias("props_nulls"),
+    )
+
+
+@register(
     "streaming_asof_events",
     oracle="""
     WITH u AS (
@@ -4242,6 +4326,8 @@ GRADE_PRIORITY: list[str] = [
     "quantile_sketch_by_type",         # new: mergeable histogram quantiles
     "asof_interpolate_purchase",       # new: linear interpolation join
     "streaming_asof_events",           # new: O(1)-state streaming as-of
+    "winsorize_values_by_type",        # new: outlier-robust clipping agg
+    "profile_events",                  # new: one-pass data profiling
     "pack_sequences_docs",             # new: greedy sequence packing
     "scd2_user_event_type",            # new: type-2 SCD history build
     "rolling_corr_click_purchase",     # new: trailing-24h rolling corr
