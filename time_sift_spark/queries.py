@@ -3680,6 +3680,78 @@ def asof_join_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("user_id", "ts", "event_id", "value", "value_asof")
 
 
+_RRF_EXPR = (
+    "(COALESCE(1.0 / (60.0 + CAST(lex_rank AS DOUBLE)), 0.0)"
+    " + COALESCE(1.0 / (60.0 + CAST(sem_rank AS DOUBLE)), 0.0))"
+)
+
+
+def _hybrid_oracle() -> str:
+    from .operators._num import round_double
+    from .operators.search import bm25_topk_oracle_sql
+    from .operators.similarity import knn_topk_sql
+
+    bm25 = bm25_topk_oracle_sql("documents", "text", "doc_id", _BM25_TERMS, k=50)
+    knn = knn_topk_sql(
+        VDUCK, "embeddings", "vec_id", "embedding", query_pred="vec_id = 7", k=50
+    )
+    rrf = round_double(_RRF_EXPR, 6)
+    return f"""
+    WITH lex AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+      FROM ({bm25})
+    ),
+    sem AS (
+      SELECT neighbor_id AS doc_id, rank AS sem_rank FROM ({knn})
+    ),
+    fused AS (
+      SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+             lex.lex_rank, sem.sem_rank,
+             {rrf} AS rrf_score
+      FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    )
+    SELECT doc_id, lex_rank, sem_rank, rrf_score
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 20
+    """
+
+
+@register("hybrid_rrf_retrieval", oracle=_hybrid_oracle())
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (k=60): the BM25
+    lexical top-50 and the cosine-kNN semantic top-50 (query = doc 7's
+    embedding; doc_id ≡ vec_id in the corpus) fuse by
+    Σ 1/(60 + rank) — the standard fusion rule that needs only RANKS,
+    no score normalization across incomparable scales. Both arms are
+    the engine's own retrieval operators; ranks are exact integers, so
+    the fused score is bit-reproducible. The rank windows run over
+    k-bounded frames (≤50 rows), not the corpus."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from .operators._num import round_double
+    from .operators.search import bm25_topk
+    from .operators.similarity import knn_cosine_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    lex = bm25_topk(docs, "text", "doc_id", _BM25_TERMS, k=50).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("lex_rank"),
+    )
+    sem = knn_cosine_topk(
+        emb, "vec_id", "embedding", query_pred="vec_id = 7", k=50
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("sem_rank"))
+    fused = lex.join(sem, "doc_id", "full_outer").selectExpr(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        f"{round_double(_RRF_EXPR, 6)} AS rrf_score",
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(20)
+
+
 @register(
     "winsorize_values_by_type",
     oracle=f"""
@@ -4328,6 +4400,7 @@ GRADE_PRIORITY: list[str] = [
     "streaming_asof_events",           # new: O(1)-state streaming as-of
     "winsorize_values_by_type",        # new: outlier-robust clipping agg
     "profile_events",                  # new: one-pass data profiling
+    "hybrid_rrf_retrieval",            # new: BM25 + kNN rank fusion
     "pack_sequences_docs",             # new: greedy sequence packing
     "scd2_user_event_type",            # new: type-2 SCD history build
     "rolling_corr_click_purchase",     # new: trailing-24h rolling corr
