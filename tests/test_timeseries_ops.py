@@ -726,3 +726,72 @@ def test_asof_interpolate_validation(spark):
     num = spark.createDataFrame(pd.DataFrame({"k": ["a"], "lt": [5], "lid": [1]}))
     with pytest.raises(TypeError):
         asof_interpolate(num, right, on="k", left_time="lt", right_time="rt", value_col="v")
+
+
+def test_asof_null_payload_comes_from_matched_row(spark):
+    """A NULL-valued right row is still THE match (pandas merge_asof
+    matches the most recent right ROW, nulls included) — the carry must
+    not substitute an older non-NULL value under the newer row's match.
+    Regression for the per-column last(ignorenulls) row-mixing defect."""
+    import numpy as np
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "t": [ts(3), ts(5)], "lid": [0, 1]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "t": [ts(1), ts(4)], "price": [100.0, np.nan]})
+    )
+    # backward: t3 matches t1 (100.0); t5 matches t4 whose price is NULL
+    out = (
+        asof_join(left, right, on="k", left_time="t", right_time="t", right_cols=["price"])
+        .orderBy("t")
+        .toPandas()
+    )
+    assert out.price_asof.tolist()[0] == 100.0
+    assert pd.isna(out.price_asof.tolist()[1])
+    # forward from t3 matches t4 → NULL, not a farther non-NULL row
+    fwd = (
+        asof_join(left, right, on="k", left_time="t", right_time="t",
+                  right_cols=["price"], direction="forward")
+        .orderBy("t")
+        .toPandas()
+    )
+    assert pd.isna(fwd.price_asof.tolist()[0])
+
+
+def test_asof_nearest_null_payload_same_row_as_gap(spark):
+    """nearest: the direction is chosen by the matched row's gap and the
+    value returned is that SAME row's (possibly NULL) value."""
+    import numpy as np
+
+    left = spark.createDataFrame(pd.DataFrame({"k": [1], "t": [ts(5)], "lid": [0]}))
+    # backward candidate t4 (gap 1h, price NULL); forward candidate t8 (gap 3h, 7.0)
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "t": [ts(4), ts(8)], "price": [np.nan, 7.0]})
+    )
+    out = asof_join(
+        left, right, on="k", left_time="t", right_time="t",
+        right_cols=["price"], direction="nearest",
+    ).toPandas()
+    # the closer row (t4) wins even though its payload is NULL
+    assert pd.isna(out.price_asof.tolist()[0])
+
+
+def test_asof_interpolate_skips_null_observations(spark):
+    """interpolate: a NULL observation is no observation — the bracketing
+    rows are the nearest NON-NULL observations, and weights/values always
+    come from the same rows."""
+    import numpy as np
+
+    from time_sift_spark.operators.asof import asof_interpolate
+
+    left = spark.createDataFrame(pd.DataFrame({"k": [1], "t": [ts(4)], "lid": [0]}))
+    # observations at t2=10, t3=NULL, t6=30 → bracket is (t2,10)..(t6,30),
+    # weight (4-2)/(6-2)=0.5 → 20.0 (NOT weights from t3's time)
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 1], "rt": [ts(2), ts(3), ts(6)], "v": [10.0, np.nan, 30.0]})
+    )
+    out = asof_interpolate(
+        left, right, on="k", left_time="t", right_time="rt", value_col="v"
+    ).toPandas()
+    assert out.v_interp.tolist() == [20.0]

@@ -133,35 +133,37 @@ def asof_join(
             .rowsBetween(0, Window.unboundedFollowing)
         )
         pick = F.first
-    carry_cols = [pick(p, ignorenulls=True).over(w).alias(p) for p in payload]
-    if tolerance_us is not None:
-        # ride the matched right row's OWN time along the same window so
-        # staleness is testable per left row
-        from ._time import ts_us
-
-        unioned = unioned.withColumn(
-            "_rt_us", F.when(F.col("_side") == 0, ts_us("_asof_t"))
-        )
-        carry_cols.append(pick("_rt_us", ignorenulls=True).over(w).alias("_rt_match"))
+    # The matched right ROW rides the window as ONE struct — (its time,
+    # its payload values) — so the value returned and the timestamp the
+    # tolerance test uses always come from the SAME row, even when that
+    # row's payload is NULL.  (Per-column last(p, ignorenulls=True)
+    # carries would silently substitute an older non-NULL value under a
+    # newer row's timestamp — diverging from pandas merge_asof / DuckDB
+    # ASOF, which match the most recent right ROW, nulls included.)
+    entry = F.when(
+        F.col("_side") == 0,
+        F.struct(F.col("_asof_t").alias("_t"), *[F.col(p).alias(p) for p in payload]),
+    )
     carried = unioned.select(
         *[c for c in unioned.columns if c not in payload],
-        *carry_cols,
+        pick(entry, ignorenulls=True).over(w).alias("_m"),
     )
-    out = carried.where(F.col("_side") == 1).drop("_side", "_asof_t")
+    out = carried.where(F.col("_side") == 1)
+    m = F.col("_m")
     if tolerance_us is not None:
         from ._time import ts_us
 
         gap = (
-            ts_us(left_time) - F.col("_rt_match")
+            ts_us(left_time) - ts_us(m["_t"])
             if direction == "backward"
-            else F.col("_rt_match") - ts_us(left_time)
+            else ts_us(m["_t"]) - ts_us(left_time)
         )
-        ok = F.col("_rt_match").isNotNull() & (gap <= F.lit(tolerance_us))
-        out = out.select(
-            *[c for c in out.columns if c not in payload and c not in ("_rt_us", "_rt_match")],
-            *[F.when(ok, F.col(p)).alias(p) for p in payload],
-        )
-    return out
+        ok = m.isNotNull() & (gap <= F.lit(tolerance_us))
+        picked = [F.when(ok, m[p]).alias(p) for p in payload]
+    else:
+        picked = [m[p].alias(p) for p in payload]
+    keep = [c for c in out.columns if c not in ("_side", "_asof_t", "_m")]
+    return out.select(*keep, *picked)
 
 
 def _finish_nearest(
@@ -190,41 +192,32 @@ def _finish_nearest(
         .orderBy(F.col("_asof_t").asc(), F.col("_side").desc())
         .rowsBetween(0, Window.unboundedFollowing)
     )
-    unioned = unioned.withColumn(
-        "_rt_us", F.when(F.col("_side") == 0, ts_us("_asof_t"))
+    # One struct per right row — (µs time, payload values) — carried by
+    # both directions, so each direction's gap and its returned values
+    # come from the SAME right row even when that row's payload is NULL.
+    entry = F.when(
+        F.col("_side") == 0,
+        F.struct(ts_us("_asof_t").alias("_t"), *[F.col(p).alias(p) for p in payload]),
     )
-    carries = []
-    for p in payload:
-        carries.append(F.last(p, ignorenulls=True).over(wb).alias(f"{p}__b"))
-        carries.append(F.first(p, ignorenulls=True).over(wf).alias(f"{p}__f"))
-    carries.append(F.last("_rt_us", ignorenulls=True).over(wb).alias("_bt"))
-    carries.append(F.first("_rt_us", ignorenulls=True).over(wf).alias("_ft"))
     carried = unioned.select(
-        *[c for c in unioned.columns if c not in payload and c != "_rt_us"],
-        *carries,
+        *[c for c in unioned.columns if c not in payload],
+        F.last(entry, ignorenulls=True).over(wb).alias("_b"),
+        F.first(entry, ignorenulls=True).over(wf).alias("_f"),
     )
     out = carried.where(F.col("_side") == 1)
-    bgap = ts_us(left_time) - F.col("_bt")
-    fgap = F.col("_ft") - ts_us(left_time)
-    b_ok = F.col("_bt").isNotNull()
-    f_ok = F.col("_ft").isNotNull()
+    b, f_ = F.col("_b"), F.col("_f")
+    bgap = ts_us(left_time) - b["_t"]
+    fgap = f_["_t"] - ts_us(left_time)
+    b_ok = b.isNotNull()
+    f_ok = f_.isNotNull()
     if tolerance_us is not None:
         b_ok = b_ok & (bgap <= F.lit(tolerance_us))
         f_ok = f_ok & (fgap <= F.lit(tolerance_us))
     use_b = b_ok & (~f_ok | (bgap <= fgap))
     picked = [
-        F.when(use_b, F.col(f"{p}__b"))
-        .when(f_ok, F.col(f"{p}__f"))
-        .alias(p)
-        for p in payload
+        F.when(use_b, b[p]).when(f_ok, f_[p]).alias(p) for p in payload
     ]
-    keep = [
-        c
-        for c in out.columns
-        if c not in ("_side", "_asof_t", "_bt", "_ft")
-        and not c.endswith("__b")
-        and not c.endswith("__f")
-    ]
+    keep = [c for c in out.columns if c not in ("_side", "_asof_t", "_b", "_f")]
     return out.select(*keep, *picked)
 
 
@@ -340,6 +333,14 @@ def asof_interpolate(
     assert_time_dtype(left, left_time)
     assert_time_dtype(right, right_time)
     out_col = out_col or f"{value_col}_interp"
+
+    # A NULL observation is NO observation: drop it before the union so
+    # the backward/forward value and time carries are guaranteed to land
+    # on the same right row (otherwise last(_v, ignorenulls) could skip
+    # a NULL-valued row whose time last(_rt_us) still reports, and the
+    # interpolation weights would come from a different row than the
+    # values being interpolated).
+    right = right.where(F.col(value_col).isNotNull())
 
     left_tagged = left.select(
         *[F.col(c) for c in left.columns],

@@ -263,6 +263,215 @@ def ann_ivf_topk_sql(
     """
 
 
+def _explode_dims(vd: VectorDialect, src: str, cols: str = "cid") -> str:
+    """(cols…, j, val) rows — one per vector dimension, j 1-based on BOTH
+    engines (Spark posexplode is 0-based; +1 aligns it with DuckDB's
+    native 1-based list indexing)."""
+    if vd.name == "spark":
+        return (
+            f"SELECT {cols}, pos + 1 AS j, val FROM {src} "
+            f"LATERAL VIEW posexplode(emb) t AS pos, val"
+        )
+    return (
+        f"SELECT {cols}, j, emb[j] AS val FROM "
+        f"(SELECT {cols}, emb, unnest(range(1, len(emb) + 1)) AS j FROM {src})"
+    )
+
+
+def _rebuild_array(vd: VectorDialect) -> str:
+    """Per-group array rebuild of the per-dim means, ordered by j."""
+    if vd.name == "spark":
+        return "transform(array_sort(collect_list(struct(j, mj))), s -> s.mj)"
+    return "list(mj ORDER BY j)"
+
+
+def _mean_expr() -> str:
+    """Cross-engine bit-exact mean: the per-dim sum is an EXACT decimal
+    (order-independent — parallel partial aggregation cannot reassociate
+    it), converted once via the deterministic dec_to_double, then one
+    IEEE division by the integer count.  Identical doubles on both
+    engines, so downstream cosines stay bit-exact (dialect contract of
+    functions.vector_fns)."""
+    from ._num import dec_to_double
+
+    return f"({dec_to_double('s')} / n)"
+
+
+def lloyd_ctes(
+    vd: VectorDialect,
+    *,
+    vec_col: str,
+    num_centroids: int,
+    iters: int,
+) -> tuple[str, str]:
+    """CTE chain refining the hash-sampled seed centroids with ``iters``
+    unrolled Lloyd steps, every step oracle-expressible:
+
+    assign  — each vector to its nearest (cosine) current centroid;
+    update  — new centroid = per-dimension mean of its members, via the
+              exact-decimal-sum discipline (see :func:`_mean_expr`), so
+              the float means are bit-identical across engines — the one
+              property whose absence forced the original quantizer to
+              stay sample-only (the old docstring's "Lloyd would break
+              the oracle" constraint no longer holds);
+    carry   — a centroid whose cell emptied keeps its previous position
+              (COALESCE), the standard empty-cluster rule.
+
+    Returns (ctes_sql, final_centroids_cte_name).  Expects a CTE ``v``
+    with columns (vid, emb DOUBLE[]) in scope.
+    """
+    cos = vd.cosine("v.emb", "c.cent")
+    ctes = [
+        f"""c0 AS (
+      SELECT vid AS cid, emb AS cent FROM v
+      ORDER BY md5(CAST(vid AS STRING)), vid
+      LIMIT {num_centroids}
+    )"""
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        ctes.append(f"""a{i} AS (
+      SELECT vid, emb, cid FROM (
+        SELECT v.vid, v.emb, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vid
+                                  ORDER BY {cos} DESC, c.cid) AS crank
+        FROM v CROSS JOIN {prev} c
+      ) WHERE crank = 1
+    )""")
+        ctes.append(f"""m{i} AS (
+      SELECT cid, {_rebuild_array(vd)} AS cent FROM (
+        SELECT cid, j, {_mean_expr()} AS mj FROM (
+          SELECT cid, j, SUM(CAST(val AS DECIMAL(27,6))) AS s, COUNT(*) AS n
+          FROM ({_explode_dims(vd, f"a{i}")}) GROUP BY cid, j
+        )
+      ) GROUP BY cid
+    )""")
+        ctes.append(f"""c{i} AS (
+      SELECT p.cid, COALESCE(m.cent, p.cent) AS cent
+      FROM {prev} p LEFT JOIN m{i} m ON m.cid = p.cid
+    )""")
+        prev = f"c{i}"
+    return ",\n    ".join(ctes), prev
+
+
+def ann_ivf_refined_topk_sql(
+    vd: VectorDialect,
+    table: str,
+    id_col: str,
+    vec_col: str,
+    *,
+    query_pred: str,
+    k: int = 5,
+    num_centroids: int = 64,
+    nprobe: int = 16,
+    multi_assign: int = 3,
+    lloyd_iters: int = 3,
+) -> str:
+    """IVF ANN with Lloyd-refined centroids, multi-assignment and exact
+    re-rank — the recall-grade variant of :func:`ann_ivf_topk_sql`.
+
+    Three recall levers over the plain hash-sampled IVF (measured 0.65):
+
+    * ``lloyd_iters`` k-means steps reshape the cells around the actual
+      density (exact-decimal means keep the oracle bit-exact);
+    * ``multi_assign`` — every vector is indexed under its
+      ``multi_assign`` nearest cells (replication factor m, the
+      classic IVF spill/multi-assignment trick), so a neighbor sitting
+      just across a cell boundary is still reachable;
+    * candidates are re-ranked by EXACT cosine before the top-k cut.
+
+    Honest cost accounting: candidate volume ≈ n·nprobe·multi_assign /
+    num_centroids.  The testdata embeddings are isotropic Gaussian —
+    the adversarial regime for any space-partitioning index (neighbors
+    are spread almost uniformly over cells), so reaching recall ≥ 0.9
+    HERE requires probing a large fraction (defaults ≈ 0.75·n
+    candidates).  On real-world clustered embeddings the same structure
+    reaches it at a far smaller probed fraction; the recall-vs-cost gate
+    is asserted in tests/test_ann_index.py.
+
+    Scale: each Lloyd step is one n×K cosine pass (centroids broadcast
+    — K·dim doubles) + one per-(cid, dim) partial-aggregated mean; the
+    final index is the same equi-join shape as plain IVF with an m×
+    posting-list amplification.  ``query_pred`` sees (vid, emb).
+    """
+    cos_vc = vd.cosine("v.emb", "c.cent")
+    cos_qc = vd.cosine("q.emb", "c.emb")
+    ctes, cfinal = lloyd_ctes(
+        vd, vec_col=vec_col, num_centroids=num_centroids, iters=lloyd_iters
+    )
+    if vd.name == "spark":
+        to_double = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    else:
+        to_double = f"list_transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    return f"""
+    WITH v AS (
+      SELECT {id_col} AS vid, {to_double} AS emb FROM {table}
+    ),
+    {ctes},
+    assigned AS (
+      SELECT vid, cid FROM (
+        SELECT v.vid, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vid
+                                  ORDER BY {cos_vc} DESC, c.cid) AS crank
+        FROM v CROSS JOIN {cfinal} c
+      ) WHERE crank <= {multi_assign}
+    ),
+    probes AS (
+      SELECT vid AS query_id, cid FROM (
+        SELECT v.vid, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vid
+                                  ORDER BY {cos_vc} DESC, c.cid) AS crank
+        FROM v CROSS JOIN {cfinal} c
+        WHERE {query_pred}
+      ) WHERE crank <= {nprobe}
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.vid AS neighbor_id
+      FROM probes p JOIN assigned a ON a.cid = p.cid AND a.vid <> p.query_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id, {cos_qc} AS cosine_sim
+      FROM cand
+      JOIN v q ON q.vid = cand.query_id
+      JOIN v c ON c.vid = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT query_id, neighbor_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+def ann_ivf_refined_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    query_pred: str,
+    k: int = 5,
+    num_centroids: int = 64,
+    nprobe: int = 16,
+    multi_assign: int = 3,
+    lloyd_iters: int = 3,
+) -> DataFrame:
+    view = _next_view()
+    sql = ann_ivf_refined_topk_sql(
+        _VSPARK,
+        view,
+        id_col,
+        vec_col,
+        query_pred=query_pred,
+        k=k,
+        num_centroids=num_centroids,
+        nprobe=nprobe,
+        multi_assign=multi_assign,
+        lloyd_iters=lloyd_iters,
+    )
+    return _run(df, sql, view)
+
+
 def ann_ivf_topk(
     df: DataFrame,
     id_col: str,

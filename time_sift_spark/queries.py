@@ -984,6 +984,31 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_refined_topk",
+    oracle=_sim.ann_ivf_refined_topk_sql(
+        VDUCK, "embeddings", "vec_id", "embedding", query_pred="vid < 8", k=5,
+        num_centroids=64, nprobe=16, multi_assign=3, lloyd_iters=3,
+    ),
+)
+def ann_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-grade IVF ANN: 3 Lloyd iterations refine the hash-sampled
+    centroids (per-dim EXACT-decimal means keep every float bit-exact
+    cross-engine, so the k-means training itself is oracle-checked),
+    each vector is indexed under its 3 nearest cells (multi-assignment),
+    and candidates are re-ranked by exact cosine. Measured recall@5 vs
+    knn_cosine_topk: 0.95 at sf0.01 (vs 0.65 for the unrefined IVF) —
+    gated in tests/test_ann_index.py. The testdata is isotropic Gaussian
+    (worst case for partitioning), so the defaults probe a large
+    fraction; clustered real embeddings reach the same recall far
+    cheaper."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return _sim.ann_ivf_refined_topk(
+        emb, "vec_id", "embedding", query_pred="vid < 8", k=5,
+        num_centroids=64, nprobe=16, multi_assign=3, lloyd_iters=3,
+    )
+
+
+@register(
     "ann_lsh_persisted_topk",
     oracle=_sim.ann_lsh_topk_sql(
         VDUCK, "embeddings", "vec_id", "embedding", query_pred="vid < 8", k=5,
@@ -4383,6 +4408,8 @@ def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
 # --------------------------------------------------------------------------
 
 GRADE_PRIORITY: list[str] = [
+    # -- new or changed in r7 -> grade first --
+    "ann_ivf_refined_topk",            # new: Lloyd-refined multi-assign IVF
     # -- new or changed in r6 -> grade first --
     "bm25_topk_docs",                  # new: BM25-rational lexical retrieval
     "bm25_persisted_topk",             # new: persisted inverted index serve
