@@ -183,3 +183,72 @@ def test_ann_refined_probes_fraction_documented(recall_emb_truth):
     per_query = full.groupby("query_id").size()
     assert (per_query < n - 1).all(), "candidate set must be pruned vs brute force"
     assert (per_query > 0.2 * n).all()  # and honestly large on Gaussian data
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style): pair recall measured, not asserted vibes.
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_pair_recall_vs_brute(spark, emb):
+    """Blocking recall vs brute-force truth at sf0.001, τ=0.35 — the
+    isotropic-Gaussian worst case.  Measured ~0.85 with K=16/ma=3; the
+    gate is set under the measured value to catch regressions, and the
+    honest number is documented on the query."""
+    import numpy as np
+
+    from time_sift_spark.operators.similarity import semantic_dedup
+
+    pdf = emb.select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    X = np.stack(pdf.embedding.to_numpy()).astype("float64")
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C = Xn @ Xn.T
+    iu, ju = np.triu_indices(len(X), 1)
+    sel = C[iu, ju] >= 0.35
+    ids = pdf.vec_id.to_numpy()
+    true_dropped = set(np.unique(ids[ju[sel]]))  # brute keep rule: b of any pair
+
+    got = semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.35,
+        num_centroids=16, multi_assign=3, lloyd_iters=3,
+    ).toPandas()
+    got_dropped = set(got[~got.kept].vec_id)
+    assert got_dropped <= true_dropped  # blocking can only MISS pairs, never invent
+    recall = len(got_dropped & true_dropped) / max(len(true_dropped), 1)
+    assert recall >= 0.8
+
+
+def test_semantic_dedup_planted_duplicates_full_recall(spark):
+    """The regime the operator exists for: real semantic duplicates sit
+    at cosine >= 0.9 and share their primary cell — planted near-copies
+    (1% noise) must ALL be caught and each group keeps exactly its
+    smallest id."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(60, 16)
+    rows = [(i, base[i]) for i in range(60)]
+    # ids 100.. are near-copies of originals 0..19
+    rows += [(100 + i, base[i] + 0.01 * rng.randn(16)) for i in range(20)]
+    pdf = pd.DataFrame(
+        {"vec_id": [r[0] for r in rows],
+         "embedding": [r[1].astype("float32").tolist() for r in rows]}
+    )
+    df = spark.createDataFrame(pdf)
+
+    from time_sift_spark.operators.similarity import semantic_dedup, semantic_dedup_blas
+
+    got = semantic_dedup(
+        df, "vec_id", "embedding", threshold=0.9,
+        num_centroids=8, multi_assign=2, lloyd_iters=2,
+    ).toPandas().sort_values("vec_id").reset_index(drop=True)
+    dropped = got[~got.kept]
+    assert set(dropped.vec_id) == {100 + i for i in range(20)}
+    assert (dropped.dup_of.to_numpy() == dropped.vec_id.to_numpy() - 100).all()
+
+    blas = semantic_dedup_blas(
+        df, "vec_id", "embedding", threshold=0.9,
+        num_centroids=8, multi_assign=2, lloyd_iters=2,
+    ).toPandas().sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(blas, got, check_dtype=False)

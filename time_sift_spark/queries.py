@@ -1009,6 +1009,48 @@ def ann_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semantic_dedup_docs",
+    oracle=_sim.semantic_dedup_sql(
+        VDUCK, "embeddings", "vec_id", "embedding", threshold=0.35,
+        num_centroids=16, multi_assign=3, lloyd_iters=3,
+    ),
+)
+def semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication of the document embeddings:
+    Lloyd-refined IVF cells (multi-assign 3) are the blocking key, pairs
+    at cosine >= 0.35 within shared cells mark the larger id dropped
+    (dup_of = smallest duplicate partner). Never all-pairs — the pair
+    search is a cid equi-join. Pair recall vs brute force measured in
+    tests/test_ann_index.py (~0.85 on this isotropic worst-case corpus;
+    ~1.0 on planted real duplicates at cosine >= 0.9)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return _sim.semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.35,
+        num_centroids=16, multi_assign=3, lloyd_iters=3,
+    )
+
+
+@register(
+    "semantic_dedup_blas_docs",
+    oracle=_sim.semantic_dedup_sql(
+        VDUCK, "embeddings", "vec_id", "embedding", threshold=0.35,
+        num_centroids=16, multi_assign=3, lloyd_iters=3,
+    ),
+)
+def semantic_dedup_blas_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BLAS twin of semantic_dedup_docs — same quantizer, but one
+    numpy gram matrix per cell (applyInPandas) instead of per-pair
+    expression cosines; the oracle is the EXPRESSION form, so the driver
+    proves gram-kernel ≡ expression every round (same contract as
+    embedding_neardup_blas)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return _sim.semantic_dedup_blas(
+        emb, "vec_id", "embedding", threshold=0.35,
+        num_centroids=16, multi_assign=3, lloyd_iters=3,
+    )
+
+
+@register(
     "ann_lsh_persisted_topk",
     oracle=_sim.ann_lsh_topk_sql(
         VDUCK, "embeddings", "vec_id", "embedding", query_pred="vid < 8", k=5,
@@ -4410,6 +4452,8 @@ def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
 GRADE_PRIORITY: list[str] = [
     # -- new or changed in r7 -> grade first --
     "ann_ivf_refined_topk",            # new: Lloyd-refined multi-assign IVF
+    "semantic_dedup_docs",             # new: SemDeDup via IVF blocking
+    "semantic_dedup_blas_docs",        # new: gram-kernel twin, same oracle
     # -- new or changed in r6 -> grade first --
     "bm25_topk_docs",                  # new: BM25-rational lexical retrieval
     "bm25_persisted_topk",             # new: persisted inverted index serve
