@@ -253,3 +253,66 @@ def test_histogram_quantiles_clamps_and_validates(spark):
         histogram_quantiles(df, "v", lo=5.0, hi=5.0)
     with pytest.raises(ColumnNotFoundError):
         histogram_quantiles(df, "nope", lo=0.0, hi=1.0)
+
+
+def test_histogram_quantiles_auto_matches_fixed_at_true_bounds(spark):
+    """Adaptive bounds == fixed bounds when the caller happens to pass
+    the data's exact [min, max + width) — the auto form discovers what
+    the informed caller would have declared, then runs the SAME sketch.
+    Checked by accuracy instead of equality (bin widths differ slightly
+    because auto's hi is the max, not a rounded-up bound): both must be
+    within 2 bin widths of numpy's exact quantile."""
+    import numpy as np
+    import pandas as pd
+
+    from time_sift_spark.operators.sketch import histogram_quantiles_auto
+
+    rng = np.random.RandomState(5)
+    vals = rng.uniform(10.0, 750.0, 6000)
+    df = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    out = histogram_quantiles_auto(df, "v", bins=500).collect()[0]
+    assert out.lo == vals.min() and out.hi == vals.max()
+    width = (out.hi - out.lo) / 500
+    for p, name in [(0.5, "est_p5"), (0.95, "est_p95"), (0.99, "est_p99")]:
+        exact = float(np.quantile(vals, p))
+        assert abs(getattr(out, name) - exact) <= 2 * width, (p, name)
+    assert out.n == len(vals)
+
+
+def test_histogram_quantiles_auto_merge_property(spark):
+    """The merge property survives adaptive bounds BECAUSE they are
+    global: the bounds pass sees all partitions, so every partition's
+    histogram uses identical bin edges and partial aggregation is still
+    the merge."""
+    import numpy as np
+    import pandas as pd
+
+    from time_sift_spark.operators.sketch import histogram_quantiles_auto
+
+    rng = np.random.RandomState(11)
+    pdf = pd.DataFrame({"v": rng.exponential(100.0, 5000)})
+    one = histogram_quantiles_auto(
+        spark.createDataFrame(pdf).coalesce(1), "v", bins=500
+    ).collect()[0]
+    many = histogram_quantiles_auto(
+        spark.createDataFrame(pdf).repartition(16), "v", bins=500
+    ).collect()[0]
+    assert (one.lo, one.hi) == (many.lo, many.hi)
+    assert (one.est_p5, one.est_p95, one.est_p99) == (many.est_p5, many.est_p95, many.est_p99)
+
+
+def test_histogram_quantiles_auto_degenerate_and_validation(spark):
+    import pytest
+
+    from time_sift_spark.errors import ColumnNotFoundError
+    from time_sift_spark.operators.sketch import histogram_quantiles_auto
+
+    # all-equal input: width 0, everything in bin 0, estimates == the value
+    df = spark.createDataFrame([(42.0,), (42.0,), (42.0,)], "v double")
+    out = histogram_quantiles_auto(df, "v", bins=10).collect()[0]
+    assert (out.lo, out.hi) == (42.0, 42.0)
+    assert out.est_p5 == 42.0 and out.est_p99 == 42.0
+    with pytest.raises(ValueError):
+        histogram_quantiles_auto(df, "v", bins=1)
+    with pytest.raises(ColumnNotFoundError):
+        histogram_quantiles_auto(df, "nope")

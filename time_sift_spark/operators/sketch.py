@@ -340,19 +340,21 @@ def _hq_parts(col: str, lo: float, hi: float, bins: int) -> tuple[str, float]:
     return bin_expr, width
 
 
-def _hq_estimate(p: float, lo: float, width: float, round_to: int) -> tuple[str, str]:
+def _hq_estimate(p: float, lo_sql: str, width_sql: str, round_to: int) -> tuple[str, str]:
     """(crossing-bin predicate, interpolated estimate) over columns
     ``_bin, _c, _cum, _n``.  The threshold ``p·n`` is computed in exact
     DECIMAL (decimal literal × integer count — no float comparison at
     the crossing decision), so both engines pick the SAME bin; only the
     within-bin interpolation is double arithmetic (identical expression
-    text → identical IEEE result)."""
+    text → identical IEEE result).  ``lo_sql``/``width_sql`` are DOUBLE
+    SQL expressions — literals for the fixed-bounds form, column refs
+    for the adaptive-bounds form."""
     t = f"({p!r} * _n)"
     pred = f"(_cum >= {t} AND (_cum - _c) < {t})"
     est = (
-        f"(CAST({lo!r} AS DOUBLE) + (CAST(_bin AS DOUBLE) "
+        f"({lo_sql} + (CAST(_bin AS DOUBLE) "
         f"+ (CAST({t} - (_cum - _c) AS DOUBLE) / CAST(_c AS DOUBLE))) "
-        f"* CAST({width!r} AS DOUBLE))"
+        f"* {width_sql})"
     )
     from ._num import round_double
 
@@ -404,7 +406,9 @@ def histogram_quantiles(
     )
     aggs = [F.max("_n").alias("n")]
     for p in probs:
-        pred, est = _hq_estimate(p, lo, width, round_to)
+        pred, est = _hq_estimate(
+            p, f"CAST({lo!r} AS DOUBLE)", f"CAST({width!r} AS DOUBLE)", round_to
+        )
         name = f"est_p{str(p).replace('0.', '')}"
         aggs.append(F.max(F.expr(f"CASE WHEN {pred} THEN {est} END")).alias(name))
     return cum.groupBy(*groups).agg(*aggs)
@@ -428,7 +432,9 @@ def histogram_quantiles_sql(
     bin_expr, width = _hq_parts(col, lo, hi, bins)
     picks = []
     for p in probs:
-        pred, est = _hq_estimate(p, lo, width, round_to)
+        pred, est = _hq_estimate(
+            p, f"CAST({lo!r} AS DOUBLE)", f"CAST({width!r} AS DOUBLE)", round_to
+        )
         name = f"est_p{str(p).replace('0.', '')}"
         picks.append(f"MAX(CASE WHEN {pred} THEN {est} END) AS {name}")
     return f"""
@@ -447,3 +453,97 @@ def histogram_quantiles_sql(
     FROM cum
     {f'GROUP BY {g}' if g else ''}
     """
+
+
+def histogram_quantiles_auto_sql(
+    table: str,
+    col: str,
+    *,
+    bins: int = 256,
+    probs: Sequence[float] = (0.5, 0.95, 0.99),
+    group_by: Sequence[str] = (),
+    round_to: int = 4,
+) -> str:
+    """Adaptive-bounds histogram quantiles — the bounds-free form of
+    :func:`histogram_quantiles_sql` (real data doesn't announce its
+    range): a first pass tree-aggregates ONE global (min, max) row,
+    which is broadcast back (1-row CROSS JOIN — Spark plans it as a
+    BroadcastNestedLoopJoin, DuckDB as a scalar subquery join), and the
+    sketch proper is unchanged — mergeable (group, bin) counts, exact
+    decimal crossing thresholds, double interpolation.
+
+    Determinism across engines: MIN/MAX move values unchanged (no
+    arithmetic), the derived width ``(_hi - _lo) / bins`` is one IEEE
+    division on identical inputs, and every downstream expression is
+    shared text — so adaptive bounds add NO new cross-engine hazard.
+    Degenerate all-equal input (width 0) puts everything in bin 0 and
+    every estimate collapses to exactly ``lo``.
+
+    Two passes over the data, both pushdown-friendly (the bounds pass
+    reads one column); bounds are GLOBAL, not per-group, so sketches
+    from different groups/partitions/days stay merge-compatible — the
+    property the fixed-bin sketch exists for.
+    """
+    if bins < 2:
+        raise ValueError(f"need >= 2 bins, got {bins}")
+    groups = list(group_by)
+    g = ", ".join(groups)
+    gsel = f"{g}, " if g else ""
+    bin_expr = (
+        f"LEAST(GREATEST(CAST(FLOOR(CASE WHEN _w > 0 THEN "
+        f"(CAST({col} AS DOUBLE) - _lo) / _w ELSE 0.0 END) AS INT), 0), {bins - 1})"
+    )
+    picks = []
+    for p in probs:
+        pred, est = _hq_estimate(p, "_lo", "_w", round_to)
+        name = f"est_p{str(p).replace('0.', '')}"
+        picks.append(f"MAX(CASE WHEN {pred} THEN {est} END) AS {name}")
+    return f"""
+    WITH b AS (
+      SELECT CAST(MIN({col}) AS DOUBLE) AS _lo, CAST(MAX({col}) AS DOUBLE) AS _hi
+      FROM {table} WHERE {col} IS NOT NULL
+    ),
+    w AS (
+      SELECT _lo, _hi, ((_hi - _lo) / CAST({bins} AS DOUBLE)) AS _w FROM b
+    ),
+    hist AS (
+      SELECT {gsel}_bin, _lo, _hi, _w, COUNT(*) AS _c
+      FROM (SELECT {gsel}{bin_expr} AS _bin, _lo, _hi, _w
+            FROM {table} CROSS JOIN w WHERE {col} IS NOT NULL)
+      GROUP BY {gsel}_bin, _lo, _hi, _w
+    ),
+    cum AS (
+      SELECT {gsel}_bin, _lo, _hi, _w, _c,
+             SUM(_c) OVER (PARTITION BY {g if g else '1'} ORDER BY _bin) AS _cum,
+             SUM(_c) OVER (PARTITION BY {g if g else '1'}) AS _n
+      FROM hist
+    )
+    SELECT {gsel}CAST(MAX(_n) AS BIGINT) AS n,
+           MAX(_lo) AS lo, MAX(_hi) AS hi, {", ".join(picks)}
+    FROM cum
+    {f'GROUP BY {g}' if g else ''}
+    """
+
+
+def histogram_quantiles_auto(
+    df: DataFrame,
+    col: str,
+    *,
+    bins: int = 256,
+    probs: Sequence[float] = (0.5, 0.95, 0.99),
+    group_by: Sequence[str] = (),
+    round_to: int = 4,
+) -> DataFrame:
+    """DataFrame entry point for :func:`histogram_quantiles_auto_sql` —
+    the SQL is dialect-neutral, so Spark executes the same text the
+    DuckDB oracle runs."""
+    groups = list(group_by)
+    missing = [c for c in (col, *groups) if c not in df.columns]
+    if missing:
+        raise ColumnNotFoundError(f"columns not in DataFrame: {missing}")
+    sql = histogram_quantiles_auto_sql(
+        "_ts_hq_auto_in", col, bins=bins, probs=probs,
+        group_by=group_by, round_to=round_to,
+    )
+    df.createOrReplaceTempView("_ts_hq_auto_in")
+    return df.sparkSession.sql(sql)

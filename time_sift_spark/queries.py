@@ -4025,6 +4025,32 @@ def _hq_oracle() -> str:
     )
 
 
+def _hq_auto_oracle() -> str:
+    from .operators.sketch import histogram_quantiles_auto_sql
+
+    return histogram_quantiles_auto_sql(
+        "events", "value", bins=500, group_by=("event_type",)
+    )
+
+
+@register("quantile_sketch_auto_by_type", oracle=_hq_auto_oracle())
+def quantile_sketch_auto_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounds-free histogram-quantile sketch: a first pass
+    tree-aggregates ONE global (min, max) row and broadcasts it back;
+    the sketch proper is unchanged (mergeable bin counts, exact decimal
+    crossings). Real data doesn't announce its range — this is the form
+    a user actually calls; the fixed-bounds quantile_sketch_by_type
+    remains as the primitive the rollup layers store. Bounds stay
+    GLOBAL (not per-group) so per-group sketches remain
+    merge-compatible (operators/sketch.histogram_quantiles_auto)."""
+    from .operators.sketch import histogram_quantiles_auto
+
+    events = load_table(spark, "events", sf_dir)
+    return histogram_quantiles_auto(
+        events, "value", bins=500, group_by=("event_type",)
+    )
+
+
 @register("quantile_sketch_by_type", oracle=_hq_oracle())
 def quantile_sketch_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate p50/p95/p99 of value per event type from a MERGEABLE
@@ -4454,6 +4480,7 @@ GRADE_PRIORITY: list[str] = [
     "ann_ivf_refined_topk",            # new: Lloyd-refined multi-assign IVF
     "semantic_dedup_docs",             # new: SemDeDup via IVF blocking
     "semantic_dedup_blas_docs",        # new: gram-kernel twin, same oracle
+    "quantile_sketch_auto_by_type",    # new: adaptive-bounds quantile sketch
     # -- new or changed in r6 -> grade first --
     "bm25_topk_docs",                  # new: BM25-rational lexical retrieval
     "bm25_persisted_topk",             # new: persisted inverted index serve
