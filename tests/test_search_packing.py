@@ -241,3 +241,56 @@ def test_text_index_empty_terms_raises(spark, tmp_path):
     build_text_index(docs, "text", "doc_id", path)
     with pytest.raises(ValueError):
         query_text_index(spark, path, [])
+
+
+def test_bm25_df_cap_drops_stop_word(spark):
+    """max_df_frac: a term present in (nearly) every doc is dropped from
+    scoring; the remaining terms still rank. Docs 1-3 all contain
+    'the' (df=1.0); only doc 3 contains 'rare'."""
+    docs = _docs(
+        spark,
+        [
+            (1, "the alpha beta"),
+            (2, "the gamma delta"),
+            (3, "the rare epsilon"),
+        ],
+    )
+    capped = bm25_topk(
+        docs, "text", "doc_id", ["the", "rare"], k=10, max_df_frac=0.5
+    ).toPandas()
+    # 'the' dropped -> only docs matching 'rare' are scored at all
+    assert capped.doc_id.tolist() == [3]
+    assert capped.n_terms.tolist() == [1]
+    uncapped = bm25_topk(docs, "text", "doc_id", ["the", "rare"], k=10).toPandas()
+    assert set(uncapped.doc_id) == {1, 2, 3}
+
+
+def test_bm25_df_cap_all_terms_dropped_returns_empty(spark):
+    docs = _docs(spark, [(1, "the cat"), (2, "the dog")])
+    out = bm25_topk(docs, "text", "doc_id", ["the"], k=5, max_df_frac=0.5)
+    assert out.count() == 0
+
+
+def test_bm25_df_cap_validation_and_index_parity(spark, tmp_path):
+    from time_sift_spark.operators.search import build_text_index, query_text_index
+
+    docs = _docs(
+        spark,
+        [(1, "the alpha beta"), (2, "the gamma delta"), (3, "the rare epsilon")],
+    )
+    with pytest.raises(ValueError):
+        bm25_topk(docs, "text", "doc_id", ["x"], max_df_frac=0.0)
+    with pytest.raises(ValueError):
+        bm25_topk(docs, "text", "doc_id", ["x"], max_df_frac=1.5)
+    path = str(tmp_path / "idx")
+    build_text_index(docs, "text", "doc_id", path)
+    inline = bm25_topk(
+        docs, "text", "doc_id", ["the", "rare"], k=10, max_df_frac=0.5
+    ).toPandas()
+    served = query_text_index(
+        spark, path, ["the", "rare"], k=10, max_df_frac=0.5
+    ).toPandas()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(served, inline)
+

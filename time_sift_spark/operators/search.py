@@ -32,9 +32,12 @@ document it as the "BM25-rational" scoring variant.
 At 100 TB: the only wide operation is the (doc, term) count — an
 equi-shuffle on doc_id of the FILTERED postings (|docs containing a
 query term| × |Q| rows at most).  df and corpus stats are tiny
-broadcasts.  Skewed stop-word queries are the caller's
-responsibility (a df cap mirroring dedup.py's band-frequency cap can
-pre-drop terms with df > x% of N).
+broadcasts.  Skewed stop-word queries are bounded by ``max_df_frac``
+(the band-frequency-cap pattern of operators/dedup.py): a query term
+whose df exceeds that fraction of N is dropped from scoring before the
+per-doc join, so one stop-word term cannot pull the whole corpus into
+the scored frame.  The comparison ``df <= frac · n_docs`` is decimal ×
+integer — exact on both engines, so the cap itself is oracle-stable.
 """
 
 from __future__ import annotations
@@ -97,11 +100,18 @@ def bm25_topk(
     b: float = 0.75,
     k: int = 20,
     round_to: int = 4,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Top-``k`` documents by BM25-rational relevance to ``terms``.
 
     Returns ``(id_col, n_terms, score)`` ordered by (score DESC, id) —
     the id tiebreak makes the k-boundary deterministic across engines.
+
+    ``max_df_frac`` drops any query term whose document frequency
+    exceeds that fraction of the corpus BEFORE the per-doc scoring join
+    (the module-docstring skew guard) — such a term's idf is near zero
+    anyway, while its posting list is by definition a large fraction of
+    the corpus.  A query left with zero surviving terms returns empty.
     """
     for c in (text_col, id_col):
         if c not in docs.columns:
@@ -109,6 +119,8 @@ def bm25_topk(
     terms = list(dict.fromkeys(terms))  # dedupe, keep order
     if not terms:
         raise ValueError("bm25_topk needs at least one query term")
+    if max_df_frac is not None and not (0.0 < max_df_frac <= 1.0):
+        raise ValueError(f"max_df_frac must be in (0, 1], got {max_df_frac}")
 
     base = docs.select(
         F.col(id_col), F.expr(SPARK.tokens(text_col)).alias("toks")
@@ -123,6 +135,12 @@ def bm25_topk(
     )
     tf = postings.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if max_df_frac is not None:
+        dfreq = (
+            dfreq.crossJoin(F.broadcast(stats.select("n_docs")))
+            .where(F.expr(f"df <= {max_df_frac!r} * n_docs"))
+            .drop("n_docs")
+        )
     scored = (
         tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
@@ -150,10 +168,16 @@ def bm25_topk_oracle_sql(
     k: int = 20,
     round_to: int = 4,
     dialect: Dialect = DUCK,
+    max_df_frac: float | None = None,
 ) -> str:
     """The same plan rendered as one SQL statement (DuckDB oracle)."""
     terms = list(dict.fromkeys(terms))
     toks = dialect.tokens(text_col)
+    cap = (
+        f" WHERE df <= {max_df_frac!r} * (SELECT n_docs FROM stats)"
+        if max_df_frac is not None
+        else ""
+    )
     return f"""
     WITH base AS (
       SELECT {id_col}, {toks} AS toks FROM {table}
@@ -171,7 +195,7 @@ def bm25_topk_oracle_sql(
       GROUP BY {id_col}, dl, u.term
     ),
     dfreq AS (
-      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+      SELECT term, df FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY term){cap}
     )
     SELECT {id_col}, n_terms, score FROM (
       SELECT tf.{id_col}, COUNT(*) AS n_terms,
@@ -239,21 +263,32 @@ def query_text_index(
     b: float = 0.75,
     k: int = 20,
     round_to: int = 4,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Top-k BM25-rational against a persisted inverted index — returns
     exactly what the inline :func:`bm25_topk` returns on the same corpus
     (the build→serve ≡ inline contract the oracle checks).  The term
     filter sits directly on the postings scan (PushedFilters: In(term))
     so only matching row groups are read; df and corpus stats remain
-    tiny broadcasts."""
+    tiny broadcasts.  ``max_df_frac`` is the same stop-word skew guard
+    as the inline form — here it additionally prevents READING the bulk
+    of a stop-word's posting list into the scoring join."""
     terms = list(dict.fromkeys(terms))
     if not terms:
         raise ValueError("query_text_index needs at least one query term")
+    if max_df_frac is not None and not (0.0 < max_df_frac <= 1.0):
+        raise ValueError(f"max_df_frac must be in (0, 1], got {max_df_frac}")
     p = spark.read.parquet(f"{path}/params").collect()[0]
     id_col = p["id_col"]
     tf = spark.read.parquet(f"{path}/postings").where(F.col("term").isin(terms))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = spark.read.parquet(f"{path}/stats")
+    if max_df_frac is not None:
+        dfreq = (
+            dfreq.crossJoin(F.broadcast(stats.select("n_docs")))
+            .where(F.expr(f"df <= {max_df_frac!r} * n_docs"))
+            .drop("n_docs")
+        )
     scored = (
         tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))

@@ -3655,6 +3655,32 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, "text", "doc_id", _BM25_TERMS, k=20)
 
 
+_BM25_CAP_TERMS = ("data", "merge", "stream", "window")
+
+
+def _bm25_capped_oracle() -> str:
+    from .operators.search import bm25_topk_oracle_sql
+
+    return bm25_topk_oracle_sql(
+        "documents", "text", "doc_id", _BM25_CAP_TERMS, k=20, max_df_frac=0.5
+    )
+
+
+@register("bm25_topk_capped_docs", oracle=_bm25_capped_oracle())
+def bm25_topk_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 with the stop-word df cap engaged: the query includes 'data'
+    (df ≈ 0.79·N on this corpus — a stop word), and max_df_frac=0.5
+    drops it from scoring BEFORE the per-doc join, so one saturated term
+    cannot pull the whole corpus into the scored frame (the
+    band-frequency-cap pattern of operators/dedup.py applied to
+    retrieval). The df comparison is decimal×integer — exact on both
+    engines — so the cap decision itself is oracle-stable."""
+    from .operators.search import bm25_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    return bm25_topk(docs, "text", "doc_id", _BM25_CAP_TERMS, k=20, max_df_frac=0.5)
+
+
 @register(
     "streaming_upsert_latest",
     oracle="""
@@ -4481,6 +4507,7 @@ GRADE_PRIORITY: list[str] = [
     "semantic_dedup_docs",             # new: SemDeDup via IVF blocking
     "semantic_dedup_blas_docs",        # new: gram-kernel twin, same oracle
     "quantile_sketch_auto_by_type",    # new: adaptive-bounds quantile sketch
+    "bm25_topk_capped_docs",           # new: stop-word df cap engaged
     # -- new or changed in r6 -> grade first --
     "bm25_topk_docs",                  # new: BM25-rational lexical retrieval
     "bm25_persisted_topk",             # new: persisted inverted index serve
