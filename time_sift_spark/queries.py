@@ -4376,22 +4376,24 @@ def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scd2_user_event_type",
     oracle="""
     WITH marked AS (
-      SELECT user_id, event_type, ts,
+      SELECT user_id, event_type, ts, event_id,
              LAG(event_type) OVER w AS prev_type
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     changes AS (
-      SELECT user_id, event_type, ts AS valid_from
+      SELECT user_id, event_type, ts AS valid_from, event_id
       FROM marked
       WHERE prev_type IS NULL OR prev_type <> event_type
     )
-    SELECT user_id, event_type, valid_from,
-           LEAD(valid_from) OVER w2 AS valid_to,
-           ROW_NUMBER() OVER w2 AS version,
-           (LEAD(valid_from) OVER w2 IS NULL) AS is_current
-    FROM changes
-    WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)
+    SELECT user_id, event_type, valid_from, valid_to, version, is_current FROM (
+      SELECT user_id, event_type, valid_from,
+             LEAD(valid_from) OVER w2 AS valid_to,
+             ROW_NUMBER() OVER w2 AS version,
+             (LEAD(valid_from) OVER w2 IS NULL) AS is_current
+      FROM changes
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+    )
     """,
 )
 def scd2_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4403,8 +4405,10 @@ def scd2_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     this keeps the full history). Two window passes over the SAME
     user_id partitioning: Catalyst reuses one exchange; the change
     filter drops ~(1 - distinct-types/row) of rows before the second
-    sort. valid_from is unique per user (changes are a subsequence of
-    (ts, event_id)-ordered rows), so the second ordering is total."""
+    sort. event_id rides along so the second ordering stays TOTAL even
+    if a user has two change rows at the same ts (same tiebreak as the
+    first window — ordering by valid_from alone would make
+    version/valid_to/is_current nondeterministic on such data)."""
     import pyspark.sql.functions as F
     from pyspark.sql import Window
 
@@ -4413,9 +4417,9 @@ def scd2_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes = (
         events.withColumn("prev_type", F.lag("event_type").over(w))
         .where("prev_type IS NULL OR prev_type <> event_type")
-        .select("user_id", "event_type", F.col("ts").alias("valid_from"))
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"), "event_id")
     )
-    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
     return changes.select(
         "user_id",
         "event_type",
