@@ -795,3 +795,61 @@ def test_asof_interpolate_skips_null_observations(spark):
         left, right, on="k", left_time="t", right_time="rt", value_col="v"
     ).toPandas()
     assert out.v_interp.tolist() == [20.0]
+
+
+def test_asof_join_auto_picks_strategy_by_size(spark):
+    """The auto entry point routes a proven-small right side to the
+    broadcast-lookup plan (BroadcastHashJoin, no WindowExec on the fact
+    path) and a right side past the threshold to the one-Exchange
+    union+window plan — same rows either way."""
+    from time_sift_spark.operators.asof import asof_join_auto
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 2], "t": [ts(3), ts(5), ts(4)], "lid": [0, 1, 2]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 2], "t": [ts(1), ts(4), ts(2)], "price": [10.0, 20.0, 30.0]})
+    )
+    kw = dict(on="k", left_time="t", right_time="t", right_cols=["price"])
+
+    small = asof_join_auto(left, right, **kw)
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_small
+    assert "Window" not in plan_small
+
+    big = asof_join_auto(left, right, broadcast_threshold_rows=1, **kw)
+    plan_big = big._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan_big
+
+    a = small.orderBy("lid").toPandas()
+    b = big.orderBy("lid").toPandas()
+    pd.testing.assert_frame_equal(a, b[a.columns])
+
+    # non-lookup semantics always take the union+window arm, even small
+    fwd = asof_join_auto(left, right, direction="forward", **kw)
+    assert "Window" in fwd._jdf.queryExecution().executedPlan().toString()
+
+
+def test_interval_join_auto_picks_strategy_by_size(spark):
+    from time_sift_spark.operators.rangejoin import interval_join_auto
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "t": [ts(3), ts(9)], "lv": [1, 2]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "rt": [ts(4), ts(20)], "rv": [7, 8]})
+    )
+    kw = dict(
+        on="k", left_time="t", right_time="rt", tolerance_seconds=7200,
+        left_cols=["lv"], right_cols=["rv"],
+    )
+    small = interval_join_auto(left, right, **kw)
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    # the lookup arm is identified by its per-key struct-array collapse
+    assert "collect_list" in plan_small and "BroadcastHashJoin" in plan_small
+    big = interval_join_auto(left, right, broadcast_threshold_rows=1, **kw)
+    plan_big = big._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan_big  # bucket-blocked arm, no broadcast array
+    a = small.orderBy("l_lv", "delta_us").toPandas()
+    b = big.orderBy("l_lv", "delta_us").toPandas()
+    pd.testing.assert_frame_equal(a, b[a.columns])

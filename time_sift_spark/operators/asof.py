@@ -293,6 +293,50 @@ def asof_join_lookup(
     return joined.select(*left.columns, *out_cols)
 
 
+def asof_join_auto(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str | Sequence[str],
+    left_time: str,
+    right_time: str,
+    right_cols: Sequence[str],
+    suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance_us: int | None = None,
+    broadcast_threshold_rows: int = 1_000_000,
+) -> DataFrame:
+    """Strategy-picking as-of join — the ONE entry point callers should
+    use when they have not already sized the right side.
+
+    Picks the broadcast-lookup plan (:func:`asof_join_lookup` — zero
+    fact-side shuffles) when the right side proves small with the
+    row-bounded :func:`fits_broadcast` probe AND the semantics are the
+    lookup form's (backward, no tolerance); otherwise the one-Exchange
+    union+window plan (:func:`asof_join`).  The probe never scans past
+    ``broadcast_threshold_rows + 1`` rows, so the decision costs one
+    bounded job — cheap insurance against the two failure modes of a
+    hand-picked strategy: broadcasting past the ~8 GB cliff (executor
+    OOM) and shuffling a fact table against a 100-row dimension.  The
+    default threshold is deliberately conservative vs the broadcast
+    ceiling because the collected struct arrays amplify per-row
+    footprint (same reasoning as :func:`asof_join_lookup`)."""
+    if (
+        direction == "backward"
+        and tolerance_us is None
+        and fits_broadcast(right, broadcast_threshold_rows)
+    ):
+        return asof_join_lookup(
+            left, right, on=on, left_time=left_time, right_time=right_time,
+            right_cols=right_cols, suffix=suffix, max_broadcast_rows=None,
+        )
+    return asof_join(
+        left, right, on=on, left_time=left_time, right_time=right_time,
+        right_cols=right_cols, suffix=suffix, direction=direction,
+        tolerance_us=tolerance_us,
+    )
+
+
 def asof_interpolate(
     left: DataFrame,
     right: DataFrame,

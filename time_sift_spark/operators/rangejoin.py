@@ -163,3 +163,38 @@ def interval_join_lookup(
         *[F.col("_hit")[c].alias(f"r_{c}") for c in right_cols],
         (F.col("_hit")["_t"] - F.col("_l_us")).alias("delta_us"),
     )
+
+
+def interval_join_auto(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str | Sequence[str],
+    left_time: str,
+    right_time: str,
+    tolerance_seconds: int,
+    left_cols: Sequence[str],
+    right_cols: Sequence[str],
+    broadcast_threshold_rows: int = 1_000_000,
+) -> DataFrame:
+    """Strategy-picking interval join — the ONE entry point for callers
+    who have not already sized the right side (mirror of
+    operators/asof.asof_join_auto).  A row-bounded probe decides: right
+    side proven small → broadcast-lookup plan (zero fact-side shuffles);
+    otherwise the bucket-blocked equi-join plan.  Neither failure mode
+    of a hand-picked strategy — broadcasting past the ~8 GB cliff, or
+    shuffling a fact table against a tiny dimension — can then be
+    picked by accident."""
+    from .asof import fits_broadcast
+
+    if fits_broadcast(right, broadcast_threshold_rows):
+        return interval_join_lookup(
+            left, right, on=on, left_time=left_time, right_time=right_time,
+            tolerance_seconds=tolerance_seconds,
+            left_cols=left_cols, right_cols=right_cols, max_broadcast_rows=None,
+        )
+    return interval_join(
+        left, right, on=on, left_time=left_time, right_time=right_time,
+        tolerance_seconds=tolerance_seconds,
+        left_cols=left_cols, right_cols=right_cols,
+    )
