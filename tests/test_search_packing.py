@@ -294,3 +294,48 @@ def test_bm25_df_cap_validation_and_index_parity(spark, tmp_path):
 
     pd.testing.assert_frame_equal(served, inline)
 
+
+
+# --------------------------------------------------------------------------
+# Repetition filters
+# --------------------------------------------------------------------------
+
+
+def test_repetition_stats_flags_loops_and_stutter(spark):
+    from time_sift_spark.operators.text import repetition_stats
+
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "spam ham spam ham spam ham spam ham spam ham spam ham"),  # 2-gram loop
+            (3, "go go go go go go go go go go go go"),                    # stutter
+        ],
+    )
+    out = (
+        repetition_stats(docs, "text", "doc_id")
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert bool(out.loc[1, "keep"])
+    assert not bool(out.loc[2, "keep"])       # "spam ham"/"ham spam" dominate
+    assert out.loc[2, "top_2gram_frac"] > 0.4
+    assert not bool(out.loc[3, "keep"])
+    assert out.loc[3, "repeat_token_frac"] == 1.0
+    # a block copied wholesale trips the long-gram rule even without
+    # short-gram dominance
+    long_doc = " ".join(f"w{i}" for i in range(30))
+    copied = long_doc + " " + long_doc
+    docs2 = _docs(spark, [(9, copied)])
+    row = repetition_stats(docs2, "text", "doc_id").collect()[0]
+    assert row.dup_5gram_frac > 0.5 and not row.r_dup_5gram
+
+
+def test_repetition_stats_validation(spark):
+    from time_sift_spark.errors import ColumnNotFoundError
+    from time_sift_spark.operators.text import repetition_stats
+
+    docs = _docs(spark, [(1, "a b c")])
+    with pytest.raises(ColumnNotFoundError):
+        repetition_stats(docs, "nope", "doc_id")

@@ -131,3 +131,121 @@ def quality_filter_sql(d, table: str, text: str, *, keep_cols: Sequence[str] = (
     SELECT {ids}, {sel}, {keep_expr} AS keep
     FROM (SELECT {ids}, {text}, {d.tokens(text)} AS _toks FROM {table})
     """
+
+
+def repetition_stats_sql(
+    d,
+    table: str,
+    text_col: str,
+    id_col: str,
+    *,
+    short_k: int = 2,
+    long_k: int = 5,
+    max_top_short: float = 0.20,
+    max_dup_long: float = 0.15,
+    max_repeat_token: float = 0.10,
+) -> str:
+    """Intra-document repetition filters (Gopher/Rae et al. 2021 §A1.1
+    adapted to token fractions — the corpus has no line structure, so the
+    n-gram family is the signal): per document,
+
+    * ``top_{short_k}gram_frac`` — occurrences of the most frequent
+      short n-gram over all short-n-gram occurrences (catches "batch
+      batch batch ..." loops);
+    * ``repeat_token_frac`` — fraction of adjacent token pairs that are
+      the same token (immediate stutter);
+    * ``dup_{long_k}gram_frac`` — fraction of long-n-gram occurrences
+      whose gram occurs at least twice (block-level copy-paste);
+
+    plus per-rule booleans and the conjunctive ``keep``.  Thresholds
+    default to the Gopher-published magnitudes re-based to token
+    fractions.  Compose with quality_filter's r_word_count when tiny
+    documents matter: a sub-``short_k``-token document degenerates to one
+    undersized shingle and reads as maximally repetitive.
+
+    Shape: two explode→count passes joined on the document key — the
+    only shuffles are groupBys on (id, gram) then (id), both
+    partial-aggregated; no pairwise anything, scan-bandwidth-bound at
+    corpus scale.  All fractions are integer-over-integer IEEE division
+    — no rounding needed for cross-engine hash equality.
+    """
+    sh_s = d.shingles("_toks", short_k)
+    sh_l = d.shingles("_toks", long_k)
+    if d.name == "spark":
+        def ex(src_cols: str, arr: str, src: str) -> str:
+            return (
+                f"SELECT {src_cols}, gram FROM "
+                f"(SELECT {src_cols}, {arr} AS _grams FROM {src}) "
+                f"LATERAL VIEW explode(_grams) t AS gram"
+            )
+    else:
+        def ex(src_cols: str, arr: str, src: str) -> str:
+            return f"SELECT {src_cols}, unnest({arr}) AS gram FROM {src}"
+    first_tok = f"split_part(gram, ' ', 1)"
+    second_tok = f"split_part(gram, ' ', 2)"
+    rules = {
+        f"r_top_{short_k}gram": f"(top_{short_k}gram_frac <= {max_top_short!r})",
+        "r_repeat_token": f"(repeat_token_frac <= {max_repeat_token!r})",
+        f"r_dup_{long_k}gram": f"(dup_{long_k}gram_frac <= {max_dup_long!r})",
+    }
+    sel_rules = ", ".join(f"{e} AS {name}" for name, e in rules.items())
+    keep = " AND ".join(rules.values())
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, {d.tokens(text_col)} AS _toks FROM {table}
+    ),
+    gs AS (
+      SELECT {id_col}, gram, COUNT(*) AS c
+      FROM ({ex(id_col, sh_s, "base")})
+      GROUP BY {id_col}, gram
+    ),
+    ss AS (
+      SELECT {id_col}, SUM(c) AS total_s, MAX(c) AS max_s,
+             SUM(CASE WHEN {first_tok} = {second_tok} THEN c ELSE 0 END) AS rep_s
+      FROM gs GROUP BY {id_col}
+    ),
+    gl AS (
+      SELECT {id_col}, gram, COUNT(*) AS c
+      FROM ({ex(id_col, sh_l, "base")})
+      GROUP BY {id_col}, gram
+    ),
+    sl AS (
+      SELECT {id_col}, SUM(c) AS total_l,
+             SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_l
+      FROM gl GROUP BY {id_col}
+    ),
+    fracs AS (
+      SELECT ss.{id_col},
+             {d.ratio("max_s", "total_s")} AS top_{short_k}gram_frac,
+             {d.ratio("rep_s", "total_s")} AS repeat_token_frac,
+             {d.ratio("dup_l", "total_l")} AS dup_{long_k}gram_frac
+      FROM ss JOIN sl ON ss.{id_col} = sl.{id_col}
+    )
+    SELECT {id_col}, top_{short_k}gram_frac, repeat_token_frac,
+           dup_{long_k}gram_frac, {sel_rules}, {keep} AS keep
+    FROM fracs
+    """
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    short_k: int = 2,
+    long_k: int = 5,
+    max_top_short: float = 0.20,
+    max_dup_long: float = 0.15,
+    max_repeat_token: float = 0.10,
+) -> DataFrame:
+    """DataFrame entry point for :func:`repetition_stats_sql` (the Spark
+    dialect renders the same logical plan the DuckDB oracle runs)."""
+    _check(df, [text_col, id_col])
+    sql = repetition_stats_sql(
+        SPARK, "_ts_rep_in", text_col, id_col,
+        short_k=short_k, long_k=long_k,
+        max_top_short=max_top_short, max_dup_long=max_dup_long,
+        max_repeat_token=max_repeat_token,
+    )
+    df.createOrReplaceTempView("_ts_rep_in")
+    return df.sparkSession.sql(sql)

@@ -3540,6 +3540,28 @@ def quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_filter(docs, "text", keep_cols=("doc_id",))
 
 
+def _repetition_oracle() -> str:
+    from .operators.text import repetition_stats_sql
+
+    return repetition_stats_sql(DUCK, "documents", "text", "doc_id")
+
+
+@register("repetition_filter_docs", oracle=_repetition_oracle())
+def repetition_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition filters (the Gopher n-gram repetition
+    family, token-fraction form): top-2-gram fraction, adjacent-token
+    stutter fraction, duplicated-5-gram fraction, per-rule booleans and
+    the conjunctive keep. The natural-language companion of
+    quality_filter_docs — shape rules say a doc LOOKS like prose,
+    repetition rules say it isn't a degenerate loop. Two explode→count
+    passes joined on doc_id; all fractions integer-over-integer IEEE
+    division (operators/text.repetition_stats)."""
+    from .operators.text import repetition_stats
+
+    docs = load_table(spark, "documents", sf_dir)
+    return repetition_stats(docs, "text", "doc_id")
+
+
 # --------------------------------------------------------------------------
 # Corpus-preparation operators (chunking / PII redaction / benchmark
 # decontamination — operators/corpus.py; charter LLM-pipeline extension)
@@ -4512,6 +4534,7 @@ GRADE_PRIORITY: list[str] = [
     "semantic_dedup_blas_docs",        # new: gram-kernel twin, same oracle
     "quantile_sketch_auto_by_type",    # new: adaptive-bounds quantile sketch
     "bm25_topk_capped_docs",           # new: stop-word df cap engaged
+    "repetition_filter_docs",          # new: Gopher n-gram repetition rules
     # -- new or changed in r6 -> grade first --
     "bm25_topk_docs",                  # new: BM25-rational lexical retrieval
     "bm25_persisted_topk",             # new: persisted inverted index serve
