@@ -984,6 +984,30 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_lsh_multiprobe_topk",
+    oracle=_sim.ann_lsh_multiprobe_sql(
+        VDUCK, "embeddings", "vec_id", "embedding", query_pred="vid < 8", k=5,
+        num_planes=6, num_tables=12,
+    ),
+)
+def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe LSH ANN in the planes-as-data formulation: hyperplanes
+    ride a 72-row broadcast VALUES relation (one codegen'd dot per
+    (vector, plane), sign bits summed per table — the expression-literal
+    form costs ~25 s of pure Catalyst analysis at this plane count,
+    measured constant in data size; this form plans in milliseconds and
+    returns IDENTICAL rows, equality pinned in tests). The query probes
+    its bucket AND every 1-bit-flip neighbor per table via integer XORs.
+    Measured recall@5 vs knn_cosine_topk: 0.925 at sf0.01 (plain
+    multi-table LSH: 0.675) — gated in tests/test_ann_index.py."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return _sim.ann_lsh_multiprobe_topk(
+        emb, "vec_id", "embedding", query_pred="vid < 8", k=5,
+        num_planes=6, num_tables=12, dim=64,
+    )
+
+
+@register(
     "ann_ivf_refined_topk",
     oracle=_sim.ann_ivf_refined_topk_sql(
         VDUCK, "embeddings", "vec_id", "embedding", query_pred="vid < 8", k=5,
@@ -4554,6 +4578,7 @@ def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
 GRADE_PRIORITY: list[str] = [
     # -- new or changed in r7 -> grade first --
     "ann_ivf_refined_topk",            # new: Lloyd-refined multi-assign IVF
+    "ann_lsh_multiprobe_topk",         # new: 1-bit-flip multiprobe LSH
     "semantic_dedup_docs",             # new: SemDeDup via IVF blocking
     "semantic_dedup_blas_docs",        # new: gram-kernel twin, same oracle
     "quantile_sketch_auto_by_type",    # new: adaptive-bounds quantile sketch
