@@ -83,3 +83,68 @@ def test_locf_validation(spark):
     df = spark.createDataFrame([("a", 1, 1.0)], "k string, t long, v double")
     with pytest.raises(ColumnNotFoundError):
         locf(df, "nope", "t", partition_by="k")
+
+
+# --------------------------------------------------------------------------
+# M4 downsampling
+# --------------------------------------------------------------------------
+
+
+def test_m4_keeps_extremes_and_endpoints(spark):
+    import pandas as pd
+
+    from time_sift_spark.operators.resample import m4_downsample
+
+    base = pd.Timestamp("2024-01-01")
+    # one bucket's worth of points: extremes at ids 2 (max) and 4 (min)
+    pdf = pd.DataFrame(
+        {
+            "ts": [base + pd.Timedelta(minutes=m) for m in range(6)],
+            "v": [5.0, 7.0, 100.0, 6.0, -50.0, 5.5],
+            "id": list(range(6)),
+        }
+    )
+    out = (
+        m4_downsample(spark.createDataFrame(pdf), "ts", "v", "id", num_buckets=1)
+        .toPandas()
+        .set_index("id")
+        .sort_index()
+    )
+    assert set(out.index) == {0, 2, 4, 5}  # first, vmax, vmin, last
+    assert bool(out.loc[0, "is_tmin"]) and bool(out.loc[5, "is_tmax"])
+    assert bool(out.loc[2, "is_vmax"]) and bool(out.loc[4, "is_vmin"])
+    # per-bucket bound: ≤ 4 rows whatever the input size
+    many = pd.DataFrame(
+        {
+            "ts": [base + pd.Timedelta(seconds=s) for s in range(500)],
+            "v": [float((s * 37) % 101) for s in range(500)],
+            "id": list(range(500)),
+        }
+    )
+    out2 = m4_downsample(
+        spark.createDataFrame(many), "ts", "v", "id", num_buckets=10
+    ).toPandas()
+    assert out2.groupby("bucket").size().max() <= 4
+    assert out2.bucket.nunique() == 10
+    # the true global extremes always survive downsampling
+    assert many.loc[many.v.idxmax(), "id"] in set(out2.id)
+    assert many.loc[many.v.idxmin(), "id"] in set(out2.id)
+
+
+def test_m4_validation(spark):
+    import pandas as pd
+    import pytest
+
+    from time_sift_spark.errors import ColumnNotFoundError
+    from time_sift_spark.operators.resample import m4_downsample
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"ts": [pd.Timestamp("2024-01-01")], "v": [1.0], "id": [1]})
+    )
+    with pytest.raises(ColumnNotFoundError):
+        m4_downsample(df, "nope", "v", "id")
+    with pytest.raises(ValueError):
+        m4_downsample(df, "ts", "v", "id", num_buckets=0)
+    num = spark.createDataFrame(pd.DataFrame({"t": [5], "v": [1.0], "id": [1]}))
+    with pytest.raises(TypeError):
+        m4_downsample(num, "t", "v", "id")

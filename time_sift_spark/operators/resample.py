@@ -121,3 +121,103 @@ def hopping_window_agg(
             *[F.col(name) for name in aggs],
         )
     )
+
+
+def m4_downsample_sql(
+    dialect: str,
+    table: str,
+    time_col: str,
+    value_col: str,
+    id_col: str,
+    *,
+    num_buckets: int = 100,
+    group_by: Sequence[str] = (),
+) -> str:
+    """M4 visualization-grade downsampling (Jugel et al., VLDB 2014):
+    per time bucket keep the rows realizing min/max VALUE and min/max
+    TIME (≤4 rows per bucket) — the smallest subset that renders a
+    pixel-perfect line chart at ``num_buckets`` horizontal pixels.
+    Unlike LTTB this has no sequential dependency between buckets, so it
+    parallelizes as ONE Exchange on (group, bucket) + four ROW_NUMBER
+    orderings inside it.
+
+    Buckets are equal-width over the GLOBAL [min, max] epoch-µs span
+    (one tree-aggregated bounds row broadcast back — the
+    histogram_quantiles_auto pattern); all bucket arithmetic is int64
+    (exact, cross-engine).  Every role pick is total-ordered with
+    (time, id) tiebreaks, so the selected rows are deterministic even
+    under duplicate values/timestamps.  Output: one row per selected
+    input row with its bucket and role flags (a row may hold several
+    roles).
+    """
+    ep = (
+        (lambda c: f"unix_micros(CAST({c} AS TIMESTAMP))")
+        if dialect == "spark"
+        else (lambda c: f"epoch_us({c})")
+    )
+    idiv = "div" if dialect == "spark" else "//"
+    groups = list(group_by)
+    g = ", ".join(groups)
+    gsel = f"{g}, " if g else ""
+    part = f"{gsel}_bkt"
+    roles = {
+        "is_tmin": f"ORDER BY _t_us ASC, {id_col} ASC",
+        "is_tmax": f"ORDER BY _t_us DESC, {id_col} DESC",
+        "is_vmin": f"ORDER BY {value_col} ASC, _t_us ASC, {id_col} ASC",
+        "is_vmax": f"ORDER BY {value_col} DESC, _t_us ASC, {id_col} ASC",
+    }
+    rns = ",\n             ".join(
+        f"ROW_NUMBER() OVER (PARTITION BY {part} {o}) AS _rn_{n}"
+        for n, o in roles.items()
+    )
+    flags = ", ".join(f"_rn_{n} = 1 AS {n}" for n in roles)
+    anyrole = " OR ".join(f"_rn_{n} = 1" for n in roles)
+    return f"""
+    WITH pts AS (
+      SELECT {gsel}{id_col}, {time_col}, {value_col}, {ep(time_col)} AS _t_us
+      FROM {table} WHERE {value_col} IS NOT NULL AND {time_col} IS NOT NULL
+    ),
+    b AS (
+      SELECT MIN(_t_us) AS _lo, MAX(_t_us) AS _hi FROM pts
+    ),
+    bucketed AS (
+      SELECT pts.*,
+             CAST((( _t_us - _lo) * {num_buckets}) {idiv} (_hi - _lo + 1) AS INT) AS _bkt
+      FROM pts CROSS JOIN b
+    ),
+    ranked AS (
+      SELECT {gsel}{id_col}, {time_col}, {value_col}, _bkt,
+             {rns}
+      FROM bucketed
+    )
+    SELECT {gsel}_bkt AS bucket, {id_col}, {time_col}, {value_col}, {flags}
+    FROM ranked
+    WHERE {anyrole}
+    """
+
+
+def m4_downsample(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    id_col: str,
+    *,
+    num_buckets: int = 100,
+    group_by: Sequence[str] = (),
+) -> DataFrame:
+    """DataFrame entry point for :func:`m4_downsample_sql` (the Spark
+    dialect renders the same logical plan the DuckDB oracle runs)."""
+    from ._time import assert_time_dtype
+
+    missing = [c for c in (time_col, value_col, id_col, *group_by) if c not in df.columns]
+    if missing:
+        raise ColumnNotFoundError(f"columns not in DataFrame: {missing}")
+    assert_time_dtype(df, time_col)
+    if num_buckets < 1:
+        raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
+    sql = m4_downsample_sql(
+        "spark", "_ts_m4_in", time_col, value_col, id_col,
+        num_buckets=num_buckets, group_by=group_by,
+    )
+    df.createOrReplaceTempView("_ts_m4_in")
+    return df.sparkSession.sql(sql)

@@ -3564,6 +3564,33 @@ def quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_filter(docs, "text", keep_cols=("doc_id",))
 
 
+def _m4_oracle() -> str:
+    from .operators.resample import m4_downsample_sql
+
+    return m4_downsample_sql(
+        "duck", "events", "ts", "value", "event_id",
+        num_buckets=100, group_by=("event_type",),
+    )
+
+
+@register("m4_downsample_events", oracle=_m4_oracle())
+def m4_downsample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 visualization downsampling (Jugel et al. 2014): per (event
+    type, time bucket) keep the ≤4 rows realizing min/max value and
+    min/max time — the smallest subset that renders a pixel-perfect
+    line at 100 horizontal pixels. No LTTB-style sequential dependency:
+    one Exchange on (type, bucket), four total-ordered ROW_NUMBER picks
+    inside it; global bounds via one tree-aggregated row; all bucket
+    arithmetic int64-exact (operators/resample.m4_downsample)."""
+    from .operators.resample import m4_downsample
+
+    events = load_table(spark, "events", sf_dir)
+    return m4_downsample(
+        events, "ts", "value", "event_id",
+        num_buckets=100, group_by=("event_type",),
+    )
+
+
 def _exact_substring_oracle() -> str:
     from .operators.dedup import exact_substring_pairs_sql
 
@@ -4585,6 +4612,7 @@ GRADE_PRIORITY: list[str] = [
     "bm25_topk_capped_docs",           # new: stop-word df cap engaged
     "repetition_filter_docs",          # new: Gopher n-gram repetition rules
     "exact_substring_pairs_docs",      # new: ExactSubstr window dedup
+    "m4_downsample_events",            # new: M4 pixel-perfect downsampling
     # -- new or changed in r6 -> grade first --
     "bm25_topk_docs",                  # new: BM25-rational lexical retrieval
     "bm25_persisted_topk",             # new: persisted inverted index serve
