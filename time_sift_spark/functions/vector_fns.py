@@ -56,6 +56,32 @@ class VectorDialect:
     def norm(self, a: str) -> str:
         return f"sqrt({self.dot(a, a)})"
 
+    def _sq_diffs(self, a: str, b: str) -> str:
+        if self.name == "spark":
+            return (
+                f"zip_with({a}, {b}, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+                f" * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)))"
+            )
+        t = f"(CAST(({a})[i] AS DOUBLE) - CAST(({b})[i] AS DOUBLE))"
+        return f"list_transform(range(1, len({a}) + 1), i -> {t} * {t})"
+
+    def sqdist(self, a: str, b: str) -> str:
+        """Squared L2 distance — same sequential-fold bit-exactness
+        contract as :meth:`dot` (each (x-y)² is two IEEE ops on identical
+        inputs, the fold order is fixed), same NULL guard on DuckDB."""
+        if self.name == "duck":
+            return (
+                f"CASE WHEN ({a}) IS NULL OR ({b}) IS NULL THEN NULL "
+                f"ELSE {self._sum(self._sq_diffs(a, b))} END"
+            )
+        return self._sum(self._sq_diffs(a, b))
+
+    def slice(self, a: str, start: int, length: int) -> str:
+        """1-based fixed-window subvector."""
+        if self.name == "spark":
+            return f"slice({a}, {start}, {length})"
+        return f"list_slice({a}, {start}, {start + length - 1})"
+
     def cosine(self, a: str, b: str) -> str:
         # greatest(..., 1e-300) leaves every nonzero-norm result bit-exact
         # but keeps a zero vector from tripping Spark's ANSI DIVIDE_BY_ZERO

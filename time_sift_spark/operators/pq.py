@@ -1,0 +1,250 @@
+"""Product quantization (PQ) — compressed-embedding ANN for corpus scale.
+
+Jégou et al. 2011 ("Product Quantization for Nearest Neighbor Search",
+TPAMI) re-expressed in the engine's oracle-exact SQL discipline: split
+each vector into ``m`` subvectors, k-means each subspace independently
+(codebook of ``k_codes`` centroids per subspace), store each vector as
+``m`` small codes, and answer queries by Asymmetric Distance Computation
+(ADC): the query precomputes one (subspace, code) → squared-distance
+table, and a stored vector's approximate distance is the SUM of m table
+lookups — no access to the original floats.
+
+Why it matters at 100 TB: a 64-d float32 embedding is 256 bytes; its
+m=16 PQ code is 16 bytes — a 16× storage/scan/shuffle reduction for the
+candidate-generation pass.  The ADC scoring join touches only the code
+table + a broadcast distance table; full vectors are read ONLY for the
+exact re-rank of the top-C candidates.
+
+Determinism (the same machinery as operators/similarity.lloyd_ctes):
+subspace k-means uses hash-sampled seeds and per-dimension EXACT-decimal
+means (order-independent, bit-identical floats on both engines);
+distances are sequential-fold squared-L2 (vector_fns.sqdist — bit-exact
+cross-engine); the m-term ADC sum is decimal-quantized so parallel
+aggregation cannot reassociate it; every rank is total-ordered with id
+tiebreaks.  The whole train→encode→search pipeline therefore passes the
+DuckDB value-hash oracle.
+
+Honest quality note: on the isotropic-Gaussian testdata (incompressible
+by construction) raw ADC top-5 recall is ~0.2 — PQ codes alone cannot
+rank a worst-case corpus.  With exact re-rank of the ADC top-C (C=20%
+here) recall@5 is 0.925+ (gated in tests/test_ann_index.py); on real
+clustered embeddings the same pipeline needs a far smaller C.
+
+All Lloyd subspaces train in ONE chain: the subspace id ``s`` is a
+GROUP KEY (one (vid, s, svec) exploded frame), not m separate queries —
+so the plan size is constant in m, the lesson of the multiprobe-LSH
+planes-as-data rewrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..errors import ColumnNotFoundError
+from ..functions.vector_fns import VectorDialect
+from ._num import dec_to_double
+
+_VSPARK = VectorDialect("spark")
+_VIEW_SEQ = [0]
+
+
+def _next_view() -> str:
+    _VIEW_SEQ[0] += 1
+    return f"_ts_pq_in_{_VIEW_SEQ[0]}"
+
+
+def _rebuild(vd: VectorDialect) -> str:
+    if vd.name == "spark":
+        return "transform(array_sort(collect_list(struct(j, mj))), s -> s.mj)"
+    return "list(mj ORDER BY j)"
+
+
+def _explode_svec_dims(vd: VectorDialect, src: str) -> str:
+    """(s, cid, j, val) rows from an assignment CTE with (s, cid, svec)."""
+    if vd.name == "spark":
+        return (
+            f"SELECT s, cid, pos + 1 AS j, val FROM {src} "
+            f"LATERAL VIEW posexplode(svec) t AS pos, val"
+        )
+    return (
+        "SELECT s, cid, j, svec[j] AS val FROM "
+        f"(SELECT s, cid, svec, unnest(range(1, len(svec) + 1)) AS j FROM {src})"
+    )
+
+
+def _subspace_cte(vd: VectorDialect, m: int, sub_dim: int) -> str:
+    """(vid, s, svec) — every vector exploded into its m subvectors; the
+    subspace id is a group key so ALL codebooks train in one chain."""
+    if vd.name == "spark":
+        return (
+            f"SELECT vid, s, slice(emb, s * {sub_dim} + 1, {sub_dim}) AS svec "
+            f"FROM v LATERAL VIEW explode(sequence(0, {m - 1})) t AS s"
+        )
+    return (
+        f"SELECT vid, s, list_slice(emb, s * {sub_dim} + 1, s * {sub_dim} + {sub_dim}) AS svec "
+        f"FROM (SELECT vid, emb, unnest(range(0, {m})) AS s FROM v)"
+    )
+
+
+def pq_lloyd_ctes(
+    vd: VectorDialect,
+    *,
+    m: int,
+    sub_dim: int,
+    k_codes: int,
+    iters: int,
+) -> tuple[str, str]:
+    """CTE chain training all m subspace codebooks at once.
+
+    Expects a CTE ``v`` (vid, emb DOUBLE[]) in scope; returns
+    (ctes_sql, final_codebook_cte) where the codebook has columns
+    (s, cid, cent).  Same exact-decimal update rule as
+    similarity.lloyd_ctes, with (a) squared-L2 instead of cosine (PQ's
+    metric) and (b) the subspace id in every group key.
+    """
+    sq = vd.sqdist("x.svec", "c.cent")
+    mean = f"({dec_to_double('sm')} / n)"
+    ctes = [
+        f"sub AS ({_subspace_cte(vd, m, sub_dim)})",
+        f"""pc0 AS (
+      SELECT s, cid, cent FROM (
+        SELECT s, vid AS cid, svec AS cent,
+               ROW_NUMBER() OVER (PARTITION BY s
+                                  ORDER BY md5(CAST(vid AS STRING)), vid) AS rk
+        FROM sub
+      ) WHERE rk <= {k_codes}
+    )""",
+    ]
+    prev = "pc0"
+    for i in range(1, iters + 1):
+        ctes.append(f"""pa{i} AS (
+      SELECT vid, s, svec, cid FROM (
+        SELECT x.vid, x.s, x.svec, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY x.vid, x.s
+                                  ORDER BY {sq} ASC, c.cid) AS crank
+        FROM sub x JOIN {prev} c ON c.s = x.s
+      ) WHERE crank = 1
+    )""")
+        ctes.append(f"""pm{i} AS (
+      SELECT s, cid, {_rebuild(vd)} AS cent FROM (
+        SELECT s, cid, j, {mean} AS mj FROM (
+          SELECT s, cid, j, SUM(CAST(val AS DECIMAL(27,6))) AS sm, COUNT(*) AS n
+          FROM ({_explode_svec_dims(vd, f"pa{i}")}) GROUP BY s, cid, j
+        )
+      ) GROUP BY s, cid
+    )""")
+        ctes.append(f"""pc{i} AS (
+      SELECT p.s, p.cid, COALESCE(mm.cent, p.cent) AS cent
+      FROM {prev} p LEFT JOIN pm{i} mm ON mm.s = p.s AND mm.cid = p.cid
+    )""")
+        prev = f"pc{i}"
+    return ",\n    ".join(ctes), prev
+
+
+def pq_adc_topk_sql(
+    vd: VectorDialect,
+    table: str,
+    id_col: str,
+    vec_col: str,
+    *,
+    query_pred: str,
+    k: int = 5,
+    m: int = 16,
+    sub_dim: int = 4,
+    k_codes: int = 16,
+    lloyd_iters: int = 3,
+    rerank: int = 100,
+) -> str:
+    """Train → encode → ADC search → exact re-rank, one statement.
+
+    ``m * sub_dim`` MUST equal the embedding width.  Plan shape: the
+    codes table (vid, s, cid) is the only big frame; the query's
+    distance table (|Q|·m·k_codes rows) broadcasts into an (s, cid)
+    equi-join, the m-term sums collapse per (query, vid) with exact
+    decimal addition, the ADC top-``rerank`` cut is a per-query window,
+    and only those candidates touch full vectors again.  Output:
+    (query_id, neighbor_id, l2_sq, rank) — exact distances, PQ-pruned.
+    """
+    sq_dt = vd.sqdist("qs.svec", "c.cent")
+    sq_exact = vd.sqdist("q.emb", "cand.emb")
+    ctes, cfin = pq_lloyd_ctes(
+        vd, m=m, sub_dim=sub_dim, k_codes=k_codes, iters=lloyd_iters
+    )
+    if vd.name == "spark":
+        to_double = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    else:
+        to_double = f"list_transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    return f"""
+    WITH v AS (
+      SELECT {id_col} AS vid, {to_double} AS emb FROM {table}
+    ),
+    {ctes},
+    codes AS (
+      SELECT vid, s, cid FROM (
+        SELECT x.vid, x.s, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY x.vid, x.s
+                                  ORDER BY {vd.sqdist("x.svec", "c.cent")} ASC, c.cid) AS crank
+        FROM sub x JOIN {cfin} c ON c.s = x.s
+      ) WHERE crank = 1
+    ),
+    qv AS (
+      SELECT vid FROM v WHERE {query_pred}
+    ),
+    dt AS (
+      SELECT qs.vid AS qvid, qs.s, c.cid, {sq_dt} AS dist
+      FROM sub qs JOIN qv ON qv.vid = qs.vid
+      JOIN {cfin} c ON c.s = qs.s
+    ),
+    adc AS (
+      SELECT dt.qvid AS query_id, codes.vid AS neighbor_id,
+             SUM(CAST(dt.dist AS DECIMAL(27,6))) AS approx
+      FROM codes JOIN dt ON dt.s = codes.s AND dt.cid = codes.cid
+      WHERE codes.vid <> dt.qvid
+      GROUP BY dt.qvid, codes.vid
+    ),
+    shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY approx ASC, neighbor_id) AS arank
+        FROM adc
+      ) WHERE arank <= {rerank}
+    )
+    SELECT query_id, neighbor_id, l2_sq, rank FROM (
+      SELECT query_id, neighbor_id, l2_sq,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY l2_sq ASC, neighbor_id) AS rank
+      FROM (
+        SELECT sl.query_id, sl.neighbor_id, {sq_exact} AS l2_sq
+        FROM shortlist sl
+        JOIN v q ON q.vid = sl.query_id
+        JOIN v cand ON cand.vid = sl.neighbor_id
+      )
+    ) WHERE rank <= {k}
+    """
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    query_pred: str,
+    k: int = 5,
+    m: int = 16,
+    sub_dim: int = 4,
+    k_codes: int = 16,
+    lloyd_iters: int = 3,
+    rerank: int = 100,
+) -> DataFrame:
+    for c in (id_col, vec_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    view = _next_view()
+    sql = pq_adc_topk_sql(
+        _VSPARK, view, id_col, vec_col, query_pred=query_pred, k=k,
+        m=m, sub_dim=sub_dim, k_codes=k_codes,
+        lloyd_iters=lloyd_iters, rerank=rerank,
+    )
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(sql)

@@ -1032,6 +1032,31 @@ def ann_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_oracle() -> str:
+    from .operators.pq import pq_adc_topk_sql
+
+    return pq_adc_topk_sql(
+        VDUCK, "embeddings", "vec_id", "embedding", query_pred="vid < 8", k=5,
+    )
+
+
+@register("pq_adc_topk", oracle=_pq_oracle())
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): 16 subspace
+    codebooks trained in ONE Lloyd chain (subspace id is a group key, so
+    plan size is constant in m), vectors stored as 16 one-byte codes
+    (16× compression — the candidate pass never touches floats), queries
+    answered by ADC table lookups with exact-decimal sums, then exact
+    re-rank of the ADC top-100. Recall@5 vs exact L2: 0.95 at sf0.01
+    (raw ADC alone: ~0.2 on this incompressible isotropic corpus) —
+    gated in tests/test_ann_index.py. Fully oracle-exact, training
+    included (operators/pq.py)."""
+    from .operators.pq import pq_adc_topk as _pq
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return _pq(emb, "vec_id", "embedding", query_pred="vid < 8", k=5)
+
+
 @register(
     "semantic_dedup_docs",
     oracle=_sim.semantic_dedup_sql(
@@ -4613,6 +4638,7 @@ GRADE_PRIORITY: list[str] = [
     "repetition_filter_docs",          # new: Gopher n-gram repetition rules
     "exact_substring_pairs_docs",      # new: ExactSubstr window dedup
     "m4_downsample_events",            # new: M4 pixel-perfect downsampling
+    "pq_adc_topk",                     # new: product-quantization ANN
     # -- new or changed in r6 -> grade first --
     "bm25_topk_docs",                  # new: BM25-rational lexical retrieval
     "bm25_persisted_topk",             # new: persisted inverted index serve
