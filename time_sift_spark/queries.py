@@ -2908,6 +2908,45 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking), adapted to the testdata's
+    columns: orders from 1995 with at least one line shipped more than
+    60 days after ordering, counted by priority. The EXISTS becomes a
+    LEFT SEMI join — Spark's dedicated existence plan: lineitem rows
+    stream through the join without ever materializing a match count or
+    duplicating orders, and the correlated non-equi ship-lag predicate
+    rides the join condition. The date filter lands on the orders scan
+    (PushedFilters), shrinking the build side before the shuffle."""
+    import pyspark.sql.functions as F
+
+    orders = load_table(spark, "orders", sf_dir).where(
+        "o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'"
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.expr("o_orderdate + INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
     "orc_roundtrip_nation",
     oracle="""
     SELECT n_regionkey,
@@ -4639,6 +4678,7 @@ GRADE_PRIORITY: list[str] = [
     "exact_substring_pairs_docs",      # new: ExactSubstr window dedup
     "m4_downsample_events",            # new: M4 pixel-perfect downsampling
     "pq_adc_topk",                     # new: product-quantization ANN
+    "tpch_q4_order_priority",          # new: EXISTS via left-semi join
     # -- new or changed in r6 -> grade first --
     "bm25_topk_docs",                  # new: BM25-rational lexical retrieval
     "bm25_persisted_topk",             # new: persisted inverted index serve
