@@ -117,28 +117,157 @@ def parse_image_header(raw: bytes) -> tuple[int, int, int] | None:
     return None
 
 
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
 def synthesize_png(width: int, height: int) -> bytes:
     """A VALID minimal 8-bit greyscale PNG (all-zero pixels): signature +
     IHDR + one zlib IDAT of filter-0 scanlines + IEND, CRCs included —
     accepted by any conformant decoder (PIL round-trip pinned in tests
     where PIL exists)."""
-
-    def chunk(tag: bytes, body: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(body))
-            + tag
-            + body
-            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
-        )
-
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
     idat = zlib.compress(b"\x00" * ((width + 1) * height))
     return (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", idat)
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
     )
+
+
+#: PNG color type → samples per pixel (8-bit depth)
+_PNG_SAMPLES = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_PNG_COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}  # channels → color type
+
+
+def decode_png_pixels(raw: bytes):
+    """REAL PNG pixel decode, stdlib + numpy only — no PIL, no native
+    codec: chunk walk → concatenated IDAT zlib inflate → per-scanline
+    UNFILTERING (all five PNG filter types: None/Sub/Up/Average/Paeth,
+    RFC 2083 §6) → (height, width, channels) uint8 array; palette images
+    are mapped through PLTE to RGB.  Supports the 8-bit-depth,
+    non-interlaced formats (the overwhelming majority of stored PNGs);
+    16-bit or Adam7 input raises ``NotImplementedError`` loudly rather
+    than returning wrong pixels.
+
+    Up/None rows unfilter vectorized; Sub/Average/Paeth carry a
+    previous-PIXEL dependency, so those rows run a per-byte loop — exact
+    first, fast enough for the mapInPandas batch path where a real
+    pipeline would slot a native codec into the same shape.
+    """
+    import numpy as np
+
+    if raw[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG signature")
+    pos, idats, plte = 8, [], None
+    w = h = bit_depth = color_type = interlace = None
+    while pos + 8 <= len(raw):
+        (ln,) = struct.unpack(">I", raw[pos : pos + 4])
+        tag = raw[pos + 4 : pos + 8]
+        body = raw[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif tag == b"PLTE":
+            plte = body
+        elif tag == b"IDAT":
+            idats.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idats:
+        raise ValueError("PNG missing IHDR or IDAT")
+    if bit_depth != 8 or interlace != 0 or color_type not in _PNG_SAMPLES:
+        raise NotImplementedError(
+            f"stdlib PNG decode supports 8-bit non-interlaced "
+            f"(got depth={bit_depth}, interlace={interlace}, color={color_type})"
+        )
+    c = _PNG_SAMPLES[color_type]
+    stride = w * c
+    data = np.frombuffer(zlib.decompress(b"".join(idats)), dtype=np.uint8)
+    if len(data) != h * (stride + 1):
+        raise ValueError("PNG scanline payload has wrong length")
+    data = data.reshape(h, stride + 1)
+    filters, rows = data[:, 0], data[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.int32)
+    for y in range(h):
+        f = int(filters[y])
+        cur = rows[y]
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.int32)
+        if f == 0:
+            out[y] = cur
+        elif f == 2:  # Up
+            out[y] = (cur + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            row = out[y]
+            for x in range(stride):
+                a = row[x - c] if x >= c else 0
+                b = prev[x]
+                cc = prev[x - c] if x >= c else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                row[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+    px = out.astype(np.uint8).reshape(h, w, c)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        px = pal[px[:, :, 0]]
+    return px
+
+
+def encode_png_pixels(px) -> bytes:
+    """REAL PNG encode of an (h, w, c) uint8 array (c ∈ {1,2,3,4}) as
+    filter-0 scanlines — the inverse of :func:`decode_png_pixels` for
+    grey/GA/RGB/RGBA; byte-deterministic (zlib default level, fixed
+    chunk layout), which is what lets an all-Python resize pipeline be
+    value-hash-oracle-checked end to end."""
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    if c not in _PNG_COLOR_TYPE:
+        raise ValueError(f"unsupported channel count {c}")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _PNG_COLOR_TYPE[c], 0, 0, 0)
+    scan = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), px.reshape(h, w * c)], axis=1
+    )
+    idat = zlib.compress(scan.tobytes())
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def resize_pixels_nearest(px, width: int, height: int):
+    """Deterministic nearest-neighbor resample (center-of-pixel rule,
+    pure integer index arithmetic — no float comparisons at pick
+    boundaries beyond IEEE-exact halving)."""
+    import numpy as np
+
+    h, w = px.shape[0], px.shape[1]
+    yi = np.minimum(((np.arange(height) + 0.5) * h / height).astype(np.int64), h - 1)
+    xi = np.minimum(((np.arange(width) + 0.5) * w / width).astype(np.int64), w - 1)
+    return px[yi][:, xi]
 
 
 def synthesize_wav(sample_rate: int, channels: int, n_frames: int) -> bytes:
@@ -260,37 +389,51 @@ def decode_audio(df: DataFrame, binary_col: str, *, id_col: str) -> DataFrame:
 def resize_image(
     df: DataFrame, binary_col: str, *, id_col: str, width: int, height: int, fake: bool = True
 ) -> DataFrame:
-    """Resize: the real path (``fake=False``) decodes, resizes and
-    re-encodes pixels with PIL (a true pixel transform — needs PIL, the
-    one multimodal step stdlib parsing cannot express); the fake emits
-    the target dims plus a deterministic content hash of what WOULD be
-    the resized bytes (md5 of original ++ target dims) so pipelines
-    downstream have a stable key to join on. The PIL-gated test
-    exercises the real branch wherever PIL exists."""
+    """Resize: the real path (``fake=False``) is a TRUE pixel transform
+    with no dependency for PNG input — stdlib zlib inflate + numpy
+    unfiltering (:func:`decode_png_pixels`), nearest-neighbor resample,
+    byte-deterministic re-encode (:func:`encode_png_pixels`); non-PNG
+    formats fall through to PIL where installed and raise
+    ``NotImplementedError`` loudly otherwise.  The fake emits the target
+    dims plus a deterministic content hash of the inputs (md5 of
+    original ++ target dims) so downstream pipelines have a stable join
+    key without any codec at all."""
     for c in (binary_col, id_col):
         if c not in df.columns:
             raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
     schema = f"{id_col} long, width int, height int, resized_md5 string"
 
+    def _real_resized_bytes(raw: bytes) -> bytes:
+        if raw[:8] == b"\x89PNG\r\n\x1a\n":
+            try:
+                px = decode_png_pixels(raw)
+                return encode_png_pixels(resize_pixels_nearest(px, width, height))
+            except NotImplementedError:
+                pass  # 16-bit / interlaced: fall through to PIL
+        if _HAVE_PIL:
+            import io
+
+            from PIL import Image
+
+            with Image.open(io.BytesIO(raw)) as im:
+                resized = im.resize((width, height))
+                buf = io.BytesIO()
+                resized.save(buf, format=im.format or "PNG")
+            return buf.getvalue()
+        raise NotImplementedError(
+            "real resize handles 8-bit non-interlaced PNG via the stdlib "
+            "codec; other formats need PIL (not installed)"
+        )
+
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake and not _HAVE_PIL:
-                raise NotImplementedError("real resize requires PIL; use fake=True")
             rows = []
             for vid, blob in zip(pdf[id_col], pdf[binary_col]):
                 raw = bytes(blob) if blob is not None else b""
                 if fake:
                     digest = hashlib.md5(raw + f"{width}x{height}".encode()).hexdigest()
                 else:
-                    import io
-
-                    from PIL import Image
-
-                    with Image.open(io.BytesIO(raw)) as im:
-                        resized = im.resize((width, height))
-                        buf = io.BytesIO()
-                        resized.save(buf, format=im.format or "PNG")
-                    digest = hashlib.md5(buf.getvalue()).hexdigest()
+                    digest = hashlib.md5(_real_resized_bytes(raw)).hexdigest()
                 rows.append((vid, width, height, digest))
             yield pd.DataFrame(rows, columns=[id_col, "width", "height", "resized_md5"])
 
