@@ -406,3 +406,45 @@ def test_resize_image_real_png_no_pil(spark):
     assert decode_png_pixels(
         encode_png_pixels(resize_pixels_nearest(px, 8, 6))
     ).shape == (6, 8, 3)
+
+
+def test_y4m_parse_roundtrip_and_real_sampling(spark):
+    import hashlib
+
+    import pandas as pd
+
+    from time_sift_spark.operators.multimodal import (
+        parse_y4m,
+        sample_frames,
+        synthesize_y4m,
+    )
+
+    raw = synthesize_y4m(8, 6, 13)
+    w, h, frames = parse_y4m(raw)
+    assert (w, h, len(frames)) == (8, 6, 13)
+    ysz, csz = 48, 12
+    assert frames[3] == bytes([3]) * ysz + b"\x80" * (2 * csz)
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "blob": [raw]}))
+    out = (
+        sample_frames(df, "blob", id_col="doc_id", every_n=5, fake=False)
+        .toPandas()
+        .sort_values("frame_idx")
+    )
+    assert out.frame_idx.tolist() == [0, 5, 10]
+    assert out.frame_md5.tolist()[1] == hashlib.md5(frames[5]).hexdigest()
+
+
+def test_sample_frames_real_loud_on_compressed(spark):
+    import pandas as pd
+    import pytest
+
+    from time_sift_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "blob": [b"\x00\x00\x00\x18ftypmp42fakebytes"]})
+    )
+    out = sample_frames(df, "blob", id_col="doc_id", every_n=5, fake=False)
+    with pytest.raises(Exception) as ei:
+        out.collect()
+    assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)

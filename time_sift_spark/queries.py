@@ -1396,6 +1396,65 @@ def resize_image_real_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_image(pngs, "blob", id_col="doc_id", width=16, height=12, fake=False)
 
 
+def _sample_frames_real_oracle() -> str:
+    """Frames of the synthesized y4m depend only on the frame index
+    (fixed 8x6 dims, luma = idx, chroma neutral), so each sampled
+    frame's md5 is a constant computable here with the same byte layout
+    the operator decodes; the oracle fans docs out over a literal
+    (idx, md5) table bounded by the md5-derived frame count."""
+    import hashlib as _hl
+
+    ysz, csz = 8 * 6, 4 * 3
+    chroma = b"\x80" * (2 * csz)
+    vals = ", ".join(
+        f"({idx}, '{_hl.md5(bytes([idx]) * ysz + chroma).hexdigest()}')"
+        for idx in range(0, 40, 5)
+    )
+    return f"""
+    SELECT doc_id, f.idx AS frame_idx, f.m AS frame_md5
+    FROM (
+      SELECT doc_id, 1 + (('0x' || substr(md5(text), 1, 4))::BIGINT % 40) AS n_frames
+      FROM documents WHERE text IS NOT NULL
+    )
+    CROSS JOIN (VALUES {vals}) AS f(idx, m)
+    WHERE f.idx < n_frames
+    """
+
+
+@register("sample_frames_real_docs", oracle=_sample_frames_real_oracle())
+def sample_frames_real_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling, graded, ZERO dependencies: each doc
+    becomes a VALID YUV4MPEG2 stream (the standard UNCOMPRESSED video
+    container — y4m IS raw frames, so no codec is needed) with an
+    md5-derived frame count; the operator actually parses the container
+    (header walk + exact per-frame strides, operators/multimodal.
+    parse_y4m) and hashes every 5th frame's pixel payload. The oracle
+    predicts each sampled frame's md5 from the known byte layout — a
+    one-byte stride error anywhere would hash-mismatch. Closes the
+    'real frame sampling needs a video codec' gap for uncompressed
+    video; compressed containers stay loud NotImplementedError."""
+    import hashlib as _hl
+
+    from .operators.multimodal import sample_frames, synthesize_y4m
+
+    docs = load_table(spark, "documents", sf_dir).where("text IS NOT NULL").select(
+        "doc_id", "text"
+    )
+
+    def _blobs(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = []
+            for t in pdf["text"]:
+                n = 1 + int(_hl.md5(t.encode("utf-8")).hexdigest()[:4], 16) % 40
+                blobs.append(synthesize_y4m(8, 6, n))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    vids = docs.mapInPandas(_blobs, "doc_id long, blob binary")
+    return sample_frames(vids, "blob", id_col="doc_id", every_n=5, fake=False)
+
+
 @register(
     "decode_audio_real_docs",
     oracle="""
@@ -4737,6 +4796,7 @@ GRADE_PRIORITY: list[str] = [
     "pq_adc_topk",                     # new: product-quantization ANN
     "tpch_q4_order_priority",          # new: EXISTS via left-semi join
     "resize_image_real_docs",          # new: stdlib PNG pixel codec resize
+    "sample_frames_real_docs",         # new: real y4m frame sampling
     # -- new or changed in r6 -> grade first --
     "bm25_topk_docs",                  # new: BM25-rational lexical retrieval
     "bm25_persisted_topk",             # new: persisted inverted index serve
