@@ -51,6 +51,15 @@ SHOWCASE = {
     "quantile_sketch_by_type": "Histogram-quantile sketch: the (group, bin) count is a partial-aggregatable groupBy (the mergeable state); cum/total window + crossing-bin CASE run over <=500 rows per group.",
     "deseasonalize_hourly_events": "Two-stage seasonal adjustment: exactly 2 window aggregates (count + decimal sum) per (key, slot) partition — the inlined form cost 40 slots before the stat/combine split.",
     "partitioned_scan_events": "Hive-layout pruning: the date filter appears as PartitionFilters on the scan — 3 of ~30 partition directories survive the FileIndex; the rest are never opened.",
+    "ann_lsh_multiprobe_topk": "Multiprobe LSH, planes-as-data: hyperplanes ride a 72-row broadcast VALUES relation into one codegen'd dot per (vector, plane); query-side 1-bit flips are integer XORs exploded over the once-computed buckets. Plan analysis cost is milliseconds vs ~25 s for the expression-literal form.",
+    "ann_ivf_refined_topk": "Lloyd-refined IVF: 3 unrolled k-means steps, each = one broadcast-centroid cosine ranking + one partial-aggregated per-(cid, dim) exact-decimal mean; multi-assignment triples the posting list, candidates stay a cid equi-join.",
+    "semantic_dedup_docs": "SemDeDup: the IVF cell id is the blocking key — candidate pairs come from a cid self-equi-join (never all-pairs); the keep rule is one groupBy(vid_b) MIN + left join back.",
+    "pq_adc_topk": "Product quantization: all 16 subspace codebooks train in ONE chain (subspace id is a group key); the ADC score joins the 16-bytes-per-vector codes table against a broadcast (subspace, code) distance table and collapses with an exact-decimal SUM; full vectors are touched only by the top-C re-rank.",
+    "exact_substring_pairs_docs": "ExactSubstr: k-token windows hashed once (explode → md5 → DISTINCT per doc), pairs from a window-hash equi-join; the gram-doc cap drops boilerplate windows before pairing.",
+    "m4_downsample_events": "M4 downsampling: one Exchange on (type, bucket) carries four ROW_NUMBER role picks; bounds are one tree-aggregated row broadcast back (BroadcastNestedLoopJoin of a 1-row relation).",
+    "bm25_topk_capped_docs": "BM25 with the df cap: the stop-word term is dropped from the tiny broadcast dfreq frame BEFORE the per-doc scoring join — the saturated posting list never reaches the scored frame.",
+    "quantile_sketch_auto_by_type": "Adaptive-bounds quantile sketch: pass 1 is a two-column scan collapsing to ONE (min, max) row; pass 2 is the unchanged mergeable-bin sketch with the bounds cross-joined as a broadcast.",
+    "tpch_q4_order_priority": "Q4: EXISTS as LEFT SEMI join — lineitem streams through without match materialization; the 1995 date filter is in the orders scan's PushedFilters.",
 }
 
 SF_DIR = "/root/testdata/sf0.01"
@@ -64,6 +73,12 @@ def main() -> None:
         "Auto-generated by `tools/gen_explain.py` (sf0.01, AQE on). Evidence for the",
         "scale-design claims in README/SURVEY §2.5: shuffle counts, broadcast choices,",
         "scan pruning.",
+        "",
+        "Reading the SinglePartition counts: a SinglePartition exchange that collapses",
+        "an already-partial-aggregated frame to ONE scalar/bounds row (corpus stats,",
+        "global min/max, a final global SUM) is the correct tree-aggregate final stage,",
+        "not a scale hazard — the rows crossing it number O(partitions). No plan routes",
+        "DATA through a SinglePartition exchange.",
         "",
     ]
     for name, note in SHOWCASE.items():
