@@ -4797,6 +4797,22 @@ GRADE_PRIORITY: list[str] = [
     "tpch_q4_order_priority",          # new: EXISTS via left-semi join
     "resize_image_real_docs",          # new: stdlib PNG pixel codec resize
     "sample_frames_real_docs",         # new: real y4m frame sampling
+    # -- changed in r7 (asof struct-carry, scd2 tiebreak, prefix persist,
+    #    bm25 df-cap refactor, quantile helper refactor) -> grade early --
+    "asof_join_purchases",
+    "asof_join_nearest_purchase",
+    "asof_join_purchases_tolerance",
+    "asof_interpolate_purchase",
+    "scd2_user_event_type",
+    "shuffle_rank_docs",
+    "concurrency_sweep_events",
+    "bm25_topk_docs",
+    "bm25_persisted_topk",
+    "quantile_sketch_by_type",
+    "ann_lsh_topk",
+    "ann_lsh_persisted_topk",
+    "resize_image_docs",
+    "sample_frames_docs",
     # -- new or changed in r6 -> grade first --
     "bm25_topk_docs",                  # new: BM25-rational lexical retrieval
     "bm25_persisted_topk",             # new: persisted inverted index serve
