@@ -685,7 +685,12 @@ def semantic_dedup_sql(
     (:func:`semantic_dedup_blas`) swaps the per-pair expression cosine
     for one gram matrix per cell.
     """
-    cos_ab = vd.cosine("a.emb", "b.emb")
+    # norms precomputed ONCE per vector (the embedding_neardup_sql
+    # discipline): the pairwise stage evaluates one dot + one division
+    # per candidate instead of re-deriving both operands' norms per pair
+    # (~3× less arithmetic, bit-identical result — same fold, same ops).
+    dot_ab = vd.dot("a.emb", "b.emb")
+    cos_ab = f"({dot_ab} / greatest(a.nrm * b.nrm, 1e-300))"
     ctes, cfinal = lloyd_ctes(
         vd, vec_col=vec_col, num_centroids=num_centroids, iters=lloyd_iters
     )
@@ -697,6 +702,9 @@ def semantic_dedup_sql(
     return f"""
     WITH v AS (
       SELECT {id_col} AS vid, {to_double} AS emb FROM {table}
+    ),
+    vn AS (
+      SELECT vid, emb, {vd.norm("emb")} AS nrm FROM v
     ),
     {ctes},
     cells AS (
@@ -714,8 +722,8 @@ def semantic_dedup_sql(
     pairs AS (
       SELECT cand.vid_a, cand.vid_b
       FROM cand
-      JOIN v a ON a.vid = cand.vid_a
-      JOIN v b ON b.vid = cand.vid_b
+      JOIN vn a ON a.vid = cand.vid_a
+      JOIN vn b ON b.vid = cand.vid_b
       WHERE {cos_ab} >= {threshold}
     ),
     drops AS (
