@@ -492,11 +492,24 @@ def lloyd_ctes(
 
     Returns (ctes_sql, final_centroids_cte_name).  Expects a CTE ``v``
     with columns (vid, emb DOUBLE[]) in scope.
+
+    Norm discipline: both operands' norms are computed ONCE per row
+    (``lv`` per vector, a per-iteration ``cn{i}`` per centroid) instead
+    of per (vector, centroid) pair inside an inline cosine — the
+    dominant cost of a Lloyd step is the n×K ranking pass, and the
+    factored form does one dot + one division there (bit-identical
+    values: same folds, same ops, one shared division).  The final
+    centroid CTE carries ``nc`` so callers' assignment/probe rankings
+    inherit the same factoring.
     """
-    cos = vd.cosine("v.emb", "c.cent")
+    dot = vd.dot("x.emb", "c.cent")
+    cos = f"({dot} / greatest(x.nv * c.nc, 1e-300))"
     ctes = [
+        f"""lv AS (
+      SELECT vid, emb, {vd.norm("emb")} AS nv FROM v
+    )""",
         f"""c0 AS (
-      SELECT vid AS cid, emb AS cent FROM v
+      SELECT vid AS cid, emb AS cent, nv AS nc FROM lv
       ORDER BY md5(CAST(vid AS STRING)), vid
       LIMIT {num_centroids}
     )"""
@@ -505,10 +518,10 @@ def lloyd_ctes(
     for i in range(1, iters + 1):
         ctes.append(f"""a{i} AS (
       SELECT vid, emb, cid FROM (
-        SELECT v.vid, v.emb, c.cid,
-               ROW_NUMBER() OVER (PARTITION BY v.vid
+        SELECT x.vid, x.emb, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY x.vid
                                   ORDER BY {cos} DESC, c.cid) AS crank
-        FROM v CROSS JOIN {prev} c
+        FROM lv x CROSS JOIN {prev} c
       ) WHERE crank = 1
     )""")
         ctes.append(f"""m{i} AS (
@@ -520,8 +533,10 @@ def lloyd_ctes(
       ) GROUP BY cid
     )""")
         ctes.append(f"""c{i} AS (
-      SELECT p.cid, COALESCE(m.cent, p.cent) AS cent
-      FROM {prev} p LEFT JOIN m{i} m ON m.cid = p.cid
+      SELECT cid, cent, {vd.norm("cent")} AS nc FROM (
+        SELECT p.cid, COALESCE(m.cent, p.cent) AS cent
+        FROM {prev} p LEFT JOIN m{i} m ON m.cid = p.cid
+      )
     )""")
         prev = f"c{i}"
     return ",\n    ".join(ctes), prev
@@ -565,10 +580,12 @@ def ann_ivf_refined_topk_sql(
     Scale: each Lloyd step is one n×K cosine pass (centroids broadcast
     — K·dim doubles) + one per-(cid, dim) partial-aggregated mean; the
     final index is the same equi-join shape as plain IVF with an m×
-    posting-list amplification.  ``query_pred`` sees (vid, emb).
+    posting-list amplification.  ``query_pred`` sees (vid, emb).  All
+    rankings use the factored cosine over the once-computed norms
+    (lloyd_ctes' ``lv``/``nc`` discipline).
     """
-    cos_vc = vd.cosine("v.emb", "c.cent")
-    cos_qc = vd.cosine("q.emb", "c.emb")
+    cos_vc = f"({vd.dot('x.emb', 'c.cent')} / greatest(x.nv * c.nc, 1e-300))"
+    cos_qc = f"({vd.dot('q.emb', 'c.emb')} / greatest(q.nv * c.nv, 1e-300))"
     ctes, cfinal = lloyd_ctes(
         vd, vec_col=vec_col, num_centroids=num_centroids, iters=lloyd_iters
     )
@@ -583,19 +600,19 @@ def ann_ivf_refined_topk_sql(
     {ctes},
     assigned AS (
       SELECT vid, cid FROM (
-        SELECT v.vid, c.cid,
-               ROW_NUMBER() OVER (PARTITION BY v.vid
+        SELECT x.vid, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY x.vid
                                   ORDER BY {cos_vc} DESC, c.cid) AS crank
-        FROM v CROSS JOIN {cfinal} c
+        FROM lv x CROSS JOIN {cfinal} c
       ) WHERE crank <= {multi_assign}
     ),
     probes AS (
       SELECT vid AS query_id, cid FROM (
-        SELECT v.vid, c.cid,
-               ROW_NUMBER() OVER (PARTITION BY v.vid
+        SELECT x.vid, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY x.vid
                                   ORDER BY {cos_vc} DESC, c.cid) AS crank
-        FROM v CROSS JOIN {cfinal} c
-        WHERE {query_pred}
+        FROM (SELECT * FROM lv WHERE {query_pred}) x
+        CROSS JOIN {cfinal} c
       ) WHERE crank <= {nprobe}
     ),
     cand AS (
@@ -605,8 +622,8 @@ def ann_ivf_refined_topk_sql(
     scored AS (
       SELECT cand.query_id, cand.neighbor_id, {cos_qc} AS cosine_sim
       FROM cand
-      JOIN v q ON q.vid = cand.query_id
-      JOIN v c ON c.vid = cand.neighbor_id
+      JOIN lv q ON q.vid = cand.query_id
+      JOIN lv c ON c.vid = cand.neighbor_id
     )
     SELECT query_id, neighbor_id, cosine_sim, rank FROM (
       SELECT query_id, neighbor_id, cosine_sim,
@@ -686,11 +703,12 @@ def semantic_dedup_sql(
     for one gram matrix per cell.
     """
     # norms precomputed ONCE per vector (the embedding_neardup_sql
-    # discipline): the pairwise stage evaluates one dot + one division
-    # per candidate instead of re-deriving both operands' norms per pair
-    # (~3× less arithmetic, bit-identical result — same fold, same ops).
+    # discipline, provided by lloyd_ctes' lv CTE): every ranking and the
+    # pairwise stage evaluate one dot + one division instead of
+    # re-deriving both operands' norms per pair (~3× less arithmetic,
+    # bit-identical result — same fold, same ops).
     dot_ab = vd.dot("a.emb", "b.emb")
-    cos_ab = f"({dot_ab} / greatest(a.nrm * b.nrm, 1e-300))"
+    cos_ab = f"({dot_ab} / greatest(a.nv * b.nv, 1e-300))"
     ctes, cfinal = lloyd_ctes(
         vd, vec_col=vec_col, num_centroids=num_centroids, iters=lloyd_iters
     )
@@ -698,21 +716,18 @@ def semantic_dedup_sql(
         to_double = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
     else:
         to_double = f"list_transform({vec_col}, x -> CAST(x AS DOUBLE))"
-    cos_vc = vd.cosine("v.emb", "c.cent")
+    cos_vc = f"({vd.dot('x.emb', 'c.cent')} / greatest(x.nv * c.nc, 1e-300))"
     return f"""
     WITH v AS (
       SELECT {id_col} AS vid, {to_double} AS emb FROM {table}
     ),
-    vn AS (
-      SELECT vid, emb, {vd.norm("emb")} AS nrm FROM v
-    ),
     {ctes},
     cells AS (
       SELECT vid, cid FROM (
-        SELECT v.vid, c.cid,
-               ROW_NUMBER() OVER (PARTITION BY v.vid
+        SELECT x.vid, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY x.vid
                                   ORDER BY {cos_vc} DESC, c.cid) AS crank
-        FROM v CROSS JOIN {cfinal} c
+        FROM lv x CROSS JOIN {cfinal} c
       ) WHERE crank <= {multi_assign}
     ),
     cand AS (
@@ -722,8 +737,8 @@ def semantic_dedup_sql(
     pairs AS (
       SELECT cand.vid_a, cand.vid_b
       FROM cand
-      JOIN vn a ON a.vid = cand.vid_a
-      JOIN vn b ON b.vid = cand.vid_b
+      JOIN lv a ON a.vid = cand.vid_a
+      JOIN lv b ON b.vid = cand.vid_b
       WHERE {cos_ab} >= {threshold}
     ),
     drops AS (
@@ -788,7 +803,7 @@ def semantic_dedup_blas(
     ctes, cfinal = lloyd_ctes(
         _VSPARK, vec_col=vec_col, num_centroids=num_centroids, iters=lloyd_iters
     )
-    cos_vc = _VSPARK.cosine("v.emb", "c.cent")
+    cos_vc = f"({_VSPARK.dot('x.emb', 'c.cent')} / greatest(x.nv * c.nc, 1e-300))"
     cells = _run(
         df,
         f"""
@@ -799,10 +814,10 @@ def semantic_dedup_blas(
         ),
         {ctes}
         SELECT vid, emb, cid FROM (
-          SELECT v.vid, v.emb, c.cid,
-                 ROW_NUMBER() OVER (PARTITION BY v.vid
+          SELECT x.vid, x.emb, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY x.vid
                                     ORDER BY {cos_vc} DESC, c.cid) AS crank
-          FROM v CROSS JOIN {cfinal} c
+          FROM lv x CROSS JOIN {cfinal} c
         ) WHERE crank <= {multi_assign}
         """,
         view,
