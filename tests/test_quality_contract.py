@@ -1,0 +1,98 @@
+"""Data-quality expectation checks (operators/quality.py)."""
+
+import pandas as pd
+import pytest
+
+from time_sift_spark.errors import ColumnNotFoundError
+from time_sift_spark.operators.quality import (
+    accepted_values,
+    between,
+    check_expectations,
+    foreign_key_orphans,
+    freshness,
+    not_null,
+    row_count_min,
+    unique,
+)
+
+
+@pytest.fixture()
+def dirty(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": [1, 2, 2, 4],  # duplicate key
+                "status": ["ok", "ok", "bad-status", "ok"],
+                "score": [0.5, 1.5, 0.2, None],  # 1.5 out of range, one NULL
+                "ts": pd.to_datetime(
+                    ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-10"]
+                ),
+            }
+        )
+    )
+
+
+def test_expectations_report_metrics_and_flags(dirty):
+    out = (
+        check_expectations(
+            dirty,
+            [
+                not_null("score"),
+                not_null("score", max_null_frac=0.5, name="not_null_score_lenient"),
+                unique("id"),
+                accepted_values("status", ["ok", "pending"]),
+                between("score", 0.0, 1.0),
+                row_count_min(3),
+                freshness("ts", ref_time="TIMESTAMP '2024-01-12 00:00:00'",
+                          max_age_seconds=86400 * 3),
+            ],
+        )
+        .toPandas()
+        .set_index("expectation")
+    )
+    assert out.loc["not_null_score", "metric"] == 0.25  # 1 of 4 NULL
+    # same metric, two thresholds: strict fails, lenient passes
+    assert not bool(out.loc["not_null_score", "passed"])
+    assert bool(out.loc["not_null_score_lenient", "passed"])
+    assert not bool(out.loc["unique_id", "passed"])
+    assert out.loc["unique_id", "metric"] == 0.25  # one duplicate row of 4
+    assert not bool(out.loc["accepted_values_status", "passed"])
+    assert not bool(out.loc["between_score", "passed"])  # NULL does not count, 1.5 does
+    assert out.loc["between_score", "metric"] == 0.25
+    assert bool(out.loc["row_count_min", "passed"])
+    assert bool(out.loc["freshness_ts", "passed"])  # newest row 2 days old
+    tight = check_expectations(
+        dirty,
+        [freshness("ts", ref_time="TIMESTAMP '2024-01-12 00:00:00'",
+                   max_age_seconds=3600)],
+    ).collect()[0]
+    assert not tight.passed and tight.metric == 2 * 86400.0
+
+
+def test_expectations_single_scan(dirty):
+    """The batched-metric claim is structural: one aggregate over the
+    source regardless of expectation count."""
+    df = check_expectations(dirty, [not_null("score"), unique("id"), row_count_min(1)])
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Aggregate") == 1  # one agg over one source
+    assert plan.count("LocalRelation") == 1
+
+
+def test_expectations_validation(dirty):
+    with pytest.raises(ColumnNotFoundError):
+        check_expectations(dirty, [not_null("nope")])
+    with pytest.raises(ValueError):
+        check_expectations(dirty, [])
+    with pytest.raises(ValueError, match="duplicate expectation names"):
+        check_expectations(dirty, [not_null("score"), not_null("score", max_null_frac=0.1)])
+
+
+def test_foreign_key_orphans(spark):
+    child = spark.createDataFrame(
+        pd.DataFrame({"fk": [1, 1, 2, 9, None]})
+    )
+    parent = spark.createDataFrame(pd.DataFrame({"pk": [1, 2, 3]}))
+    row = foreign_key_orphans(child, parent, child_col="fk", parent_col="pk").collect()[0]
+    # the NULL fk and the 9 are orphans (NULL never matches an equi-join)
+    assert row.orphan_count == 2 and row.child_count == 5
+    assert row.orphan_frac == 0.4

@@ -1,0 +1,232 @@
+"""Data-quality expectation checks (Deequ/dbt-test style, charter
+extension): declare constraints on a table, get back one row per
+constraint with the measured value, the threshold, and a pass flag —
+the data-contract gate a 100 TB ingestion pipeline runs before
+publishing a partition.
+
+Supported expectation kinds (all pure aggregations — ONE pass over the
+table, partial-aggregated, no shuffle beyond the final collapse):
+
+* ``not_null(col)``              — fraction of NULLs ≤ threshold
+* ``unique(col)``                — duplicate rows on col ≤ threshold
+* ``accepted_values(col, vals)`` — rows outside the value set ≤ threshold
+* ``between(col, lo, hi)``       — rows outside [lo, hi] ≤ threshold
+* ``row_count_min(n)``           — table has at least n rows
+* ``freshness(col, max_age)``    — max(col) within max_age seconds of a
+                                   caller-supplied reference time (NEVER
+                                   wall-clock: determinism)
+
+Every metric is an exact integer count or an integer ratio (IEEE
+division of exact counts) — cross-engine hashable with zero rounding
+machinery.  Referential integrity (``foreign_key``) is the one
+expectation needing a second table: a broadcast left-anti probe counting
+orphans.
+
+Scale: the single-pass design matters — Deequ calls this "metric
+computation batching".  All expectations over one table compile into ONE
+aggregate projection (each expectation contributes 1-2 SUM/COUNT/MAX
+slots), so adding the 20th check costs a column, not a scan.  The
+result is a tiny constraints × 6 frame, unioned per table.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+
+from ..errors import ColumnNotFoundError
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """One declared constraint. ``kind`` selects the metric; ``metric``
+    is what gets measured (a fraction for the ≤-threshold kinds, a count
+    for row_count_min, seconds for freshness)."""
+
+    name: str
+    kind: str
+    col: str | None = None
+    threshold: float = 0.0
+    values: tuple = ()
+    lo: float | None = None
+    hi: float | None = None
+    min_rows: int | None = None
+    ref_time: str | None = None  # SQL timestamp literal text
+    max_age_seconds: int | None = None
+
+
+def not_null(col: str, *, max_null_frac: float = 0.0, name: str | None = None) -> Expectation:
+    return Expectation(name or f"not_null_{col}", "not_null", col, max_null_frac)
+
+
+def unique(col: str, *, max_dup_frac: float = 0.0, name: str | None = None) -> Expectation:
+    return Expectation(name or f"unique_{col}", "unique", col, max_dup_frac)
+
+
+def accepted_values(
+    col: str, values: Sequence, *, max_bad_frac: float = 0.0, name: str | None = None
+) -> Expectation:
+    return Expectation(
+        name or f"accepted_values_{col}", "accepted_values", col, max_bad_frac,
+        values=tuple(values),
+    )
+
+
+def between(
+    col: str, lo: float, hi: float, *, max_bad_frac: float = 0.0, name: str | None = None
+) -> Expectation:
+    return Expectation(name or f"between_{col}", "between", col, max_bad_frac, lo=lo, hi=hi)
+
+
+def row_count_min(n: int, *, name: str | None = None) -> Expectation:
+    return Expectation(name or "row_count_min", "row_count_min", None, min_rows=n)
+
+
+def freshness(col: str, *, ref_time: str, max_age_seconds: int) -> Expectation:
+    """``ref_time`` is an explicit timestamp literal (e.g.
+    ``TIMESTAMP '2001-09-01 00:00:00'``) — never now(): a data contract
+    must evaluate identically on re-run."""
+    return Expectation(
+        f"freshness_{col}", "freshness", col,
+        ref_time=ref_time, max_age_seconds=max_age_seconds,
+    )
+
+
+def _sql_literal(v) -> str:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return repr(v)
+
+
+def _metric_expr(dialect: str, e: Expectation) -> tuple[str, str, str]:
+    """(metric_agg_sql, threshold_literal, comparison_op) — the metric is
+    ONE aggregate expression in DOUBLE (exact integer counts cast
+    exactly; ratios are exact-count IEEE divisions); passed is
+    ``metric <op> threshold``."""
+    n = "COUNT(*)"
+
+    def frac(bad: str) -> str:
+        return f"(CAST({bad} AS DOUBLE) / CAST(greatest({n}, 1) AS DOUBLE))"
+
+    if e.kind == "not_null":
+        return frac(f"SUM(CASE WHEN {e.col} IS NULL THEN 1 ELSE 0 END)"), repr(float(e.threshold)), "<="
+    if e.kind == "unique":
+        return frac(f"({n} - COUNT(DISTINCT {e.col}))"), repr(float(e.threshold)), "<="
+    if e.kind == "accepted_values":
+        vals = ", ".join(_sql_literal(v) for v in e.values)
+        bad = f"SUM(CASE WHEN {e.col} IS NOT NULL AND {e.col} NOT IN ({vals}) THEN 1 ELSE 0 END)"
+        return frac(bad), repr(float(e.threshold)), "<="
+    if e.kind == "between":
+        bad = (
+            f"SUM(CASE WHEN {e.col} IS NOT NULL AND "
+            f"({e.col} < {e.lo!r} OR {e.col} > {e.hi!r}) THEN 1 ELSE 0 END)"
+        )
+        return frac(bad), repr(float(e.threshold)), "<="
+    if e.kind == "row_count_min":
+        return f"CAST({n} AS DOUBLE)", f"CAST({e.min_rows} AS DOUBLE)", ">="
+    if e.kind == "freshness":
+        if dialect == "spark":
+            ep = lambda x: f"unix_micros(CAST({x} AS TIMESTAMP))"  # noqa: E731
+        else:
+            ep = lambda x: f"epoch_us({x})"  # noqa: E731
+        age = f"({ep(e.ref_time)} - {ep(f'MAX({e.col})')})"
+        return (
+            f"(CAST({age} AS DOUBLE) / 1000000.0)",
+            f"CAST({e.max_age_seconds} AS DOUBLE)",
+            "<=",
+        )
+    raise ValueError(f"unknown expectation kind {e.kind!r}")
+
+
+def expectations_sql(
+    dialect: str, table: str, expectations: Sequence[Expectation]
+) -> str:
+    """All declared metrics compile into ONE aggregate row (a single
+    table scan regardless of expectation count — Deequ's batched-metric
+    design), then fan out to one report row per expectation from that
+    1-row frame.  Every metric is exact-count-derived, so the report is
+    cross-engine hashable.  Dialect differences: epoch extraction only."""
+    aggs, rows = [], []
+    for i, e in enumerate(expectations):
+        metric, thr, op = _metric_expr(dialect, e)
+        aggs.append(f"{metric} AS m{i}")
+        fields = [
+            ("expectation", f"'{e.name}'"),
+            ("kind", f"'{e.kind}'"),
+            ("metric", f"m{i}"),
+            ("threshold", thr),
+            ("passed", f"(m{i} {op} {thr})"),
+        ]
+        if dialect == "spark":
+            body = ", ".join(f"'{n}', {v}" for n, v in fields)
+            rows.append(f"named_struct({body})")
+        else:
+            body = ", ".join(f"{n} := {v}" for n, v in fields)
+            rows.append(f"struct_pack({body})")
+    # one report row per expectation fanned out FROM THE ONE AGG ROW via
+    # explode/unnest — a UNION ALL of per-expectation selects reads nicer
+    # but Catalyst inlines the agg CTE into every branch, re-scanning the
+    # source once per expectation (observed in the optimized plan); the
+    # struct-array fan-out keeps exactly one Aggregate over one scan.
+    arr = ", ".join(rows)
+    if dialect == "spark":
+        return f"""
+    WITH agg AS (SELECT {", ".join(aggs)} FROM {table})
+    SELECT r.expectation, r.kind, r.metric, r.threshold, r.passed
+    FROM (SELECT explode(array({arr})) AS r FROM agg)
+    """
+    return f"""
+    WITH agg AS (SELECT {", ".join(aggs)} FROM {table})
+    SELECT r.expectation, r.kind, r.metric, r.threshold, r.passed
+    FROM (SELECT unnest([{arr}]) AS r FROM agg)
+    """
+
+
+def check_expectations(
+    df: DataFrame, expectations: Sequence[Expectation]
+) -> DataFrame:
+    """Evaluate the declared expectations; one result row per
+    expectation: (expectation, kind, metric, threshold, passed)."""
+    if not expectations:
+        raise ValueError("check_expectations needs at least one expectation")
+    names = [e.name for e in expectations]
+    if len(set(names)) != len(names):
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(
+            f"duplicate expectation names {dupes}: same-column/same-kind "
+            "expectations need an explicit name= to keep report rows "
+            "distinguishable"
+        )
+    cols = set(df.columns)
+    for e in expectations:
+        if e.col is not None and e.col not in cols:
+            raise ColumnNotFoundError(f"column {e.col!r} not in {df.columns}")
+    df.createOrReplaceTempView("_ts_dq_in")
+    return df.sparkSession.sql(expectations_sql("spark", "_ts_dq_in", expectations))
+
+
+def foreign_key_orphans(
+    child: DataFrame, parent: DataFrame, *, child_col: str, parent_col: str
+) -> DataFrame:
+    """Referential-integrity probe: child rows whose key has no parent —
+    a broadcast LEFT ANTI join (the parent key set is the small side in
+    every star schema); returns (orphan_count, child_count, orphan_frac)."""
+    from pyspark.sql import functions as F
+
+    if child_col not in child.columns:
+        raise ColumnNotFoundError(f"column {child_col!r} not in {child.columns}")
+    if parent_col not in parent.columns:
+        raise ColumnNotFoundError(f"column {parent_col!r} not in {parent.columns}")
+    orphans = child.join(
+        F.broadcast(parent.select(parent_col).distinct()),
+        child[child_col] == parent[parent_col],
+        "left_anti",
+    )
+    n_orphan = orphans.count()
+    n_child = child.count()
+    return child.sparkSession.createDataFrame(
+        [(n_orphan, n_child, float(n_orphan) / max(n_child, 1))],
+        "orphan_count long, child_count long, orphan_frac double",
+    )

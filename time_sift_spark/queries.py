@@ -3744,6 +3744,54 @@ def quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_filter(docs, "text", keep_cols=("doc_id",))
 
 
+def _dq_expectations():
+    from .operators.quality import (
+        accepted_values,
+        between,
+        freshness,
+        not_null,
+        row_count_min,
+        unique,
+    )
+
+    return [
+        not_null("user_id"),
+        unique("event_id"),
+        accepted_values("event_type", ["click", "view", "purchase", "signup", "error"]),
+        # deliberately tight: tail values above 200 exceed the 1% budget,
+        # so the report carries a FAILING row — the operator's job is to
+        # report violations, not to only ever say yes
+        between("value", 0.0, 200.0, max_bad_frac=0.01),
+        row_count_min(100),
+        freshness("ts", ref_time="TIMESTAMP '2024-03-01 00:00:00'",
+                  max_age_seconds=86400 * 60),
+    ]
+
+
+def _dq_oracle() -> str:
+    from .operators.quality import expectations_sql
+
+    return expectations_sql("duck", "events", _dq_expectations())
+
+
+@register("data_contract_events", oracle=_dq_oracle())
+def data_contract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ/dbt-test-style data-quality expectations: six declared
+    constraints (null fraction, key uniqueness, accepted values, value
+    range, minimum row count, freshness vs an EXPLICIT reference instant
+    — never wall-clock) compile into ONE aggregate row — a single table
+    scan regardless of expectation count (batched-metric design) — then
+    fan out to one report row per constraint with the measured metric,
+    threshold, and pass flag. All metrics are exact-count-derived, so
+    the report value-hashes across engines; the range check is
+    deliberately tight enough to FAIL, proving violations surface
+    (operators/quality.py)."""
+    from .operators.quality import check_expectations
+
+    events = load_table(spark, "events", sf_dir)
+    return check_expectations(events, _dq_expectations())
+
+
 def _m4_oracle() -> str:
     from .operators.resample import m4_downsample_sql
 
@@ -4797,6 +4845,7 @@ GRADE_PRIORITY: list[str] = [
     "tpch_q4_order_priority",          # new: EXISTS via left-semi join
     "resize_image_real_docs",          # new: stdlib PNG pixel codec resize
     "sample_frames_real_docs",         # new: real y4m frame sampling
+    "data_contract_events",            # new: Deequ-style expectations
     # -- changed in r7 (asof struct-carry, scd2 tiebreak, prefix persist,
     #    bm25 df-cap refactor, quantile helper refactor) -> grade early --
     "asof_join_purchases",
