@@ -3744,6 +3744,64 @@ def quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_filter(docs, "text", keep_cols=("doc_id",))
 
 
+def _pit_sql(dialect: str, table: str = "events") -> str:
+    """Point-in-time training-set assembly (the feature-store pattern):
+    labels = purchase events; every feature is computed from data
+    STRICTLY BEFORE the label instant — at equal timestamps labels sort
+    first, so a same-microsecond click is invisible (the leakage rule a
+    training pipeline must enforce).  One union + one user_id Exchange
+    carries both feature windows."""
+    ep = (
+        "unix_micros(CAST(ts AS TIMESTAMP))" if dialect == "spark" else "epoch_us(ts)"
+    )
+    lastv = (
+        "LAST_VALUE(CASE WHEN is_click = 1 THEN cval END) IGNORE NULLS"
+        if dialect == "spark"
+        else "LAST_VALUE(CASE WHEN is_click = 1 THEN cval END IGNORE NULLS)"
+    )
+    return f"""
+    WITH pts AS (
+      SELECT user_id, ts, event_id, CAST(NULL AS DOUBLE) AS cval,
+             0 AS is_click, 1 AS is_label, value AS label_value
+      FROM {table} WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, event_id, value AS cval,
+             1 AS is_click, 0 AS is_label, CAST(NULL AS DOUBLE)
+      FROM {table} WHERE event_type = 'click'
+    ),
+    w AS (
+      SELECT user_id, ts, event_id, is_label, label_value,
+             {lastv} OVER (
+               PARTITION BY user_id
+               ORDER BY {ep}, is_label DESC, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_value,
+             SUM(is_click) OVER (
+               PARTITION BY user_id ORDER BY {ep}
+               RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING) AS clicks_24h
+      FROM pts
+    )
+    SELECT user_id, ts, event_id, label_value, last_click_value,
+           CAST(COALESCE(clicks_24h, 0) AS BIGINT) AS clicks_24h
+    FROM w WHERE is_label = 1
+    """
+
+
+@register("pit_training_set_events", oracle=_pit_sql("duck"))
+def pit_training_set_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free training-set assembly (point-in-time correctness —
+    the feature-store join): purchase events become labeled rows whose
+    features (most recent click value, trailing-24h click count) are
+    computed from data STRICTLY BEFORE each label's instant — at equal
+    timestamps the label sorts first, so same-microsecond activity is
+    invisible to it. Shape: one union + ONE user_id Exchange carrying
+    both feature windows (the as-of union+window technique with a
+    ROWS carry and a RANGE count over the same partitioning) — no
+    per-feature joins, no self-join per label."""
+    events = load_table(spark, "events", sf_dir)
+    events.createOrReplaceTempView("_ts_pit_events")
+    return spark.sql(_pit_sql("spark", "_ts_pit_events"))
+
+
 def _dq_expectations():
     from .operators.quality import (
         accepted_values,
@@ -4846,6 +4904,7 @@ GRADE_PRIORITY: list[str] = [
     "resize_image_real_docs",          # new: stdlib PNG pixel codec resize
     "sample_frames_real_docs",         # new: real y4m frame sampling
     "data_contract_events",            # new: Deequ-style expectations
+    "pit_training_set_events",         # new: leakage-free PIT features
     # -- changed in r7 (asof struct-carry, scd2 tiebreak, prefix persist,
     #    bm25 df-cap refactor, quantile helper refactor) -> grade early --
     "asof_join_purchases",
@@ -4863,25 +4922,18 @@ GRADE_PRIORITY: list[str] = [
     "resize_image_docs",
     "sample_frames_docs",
     # -- new or changed in r6 -> grade first --
-    "bm25_topk_docs",                  # new: BM25-rational lexical retrieval
-    "bm25_persisted_topk",             # new: persisted inverted index serve
-    "shuffle_rank_docs",               # new: distributed epoch shuffle rank
     "salted_join_priority_revenue",    # new: skew-salted fact-fact join
     "mixture_resample_docs",           # new: temperature mixture sampling
     "streaming_hopping_counts",        # new: streaming hopping windows
     "locf_fill_events",                # new: LOCF value imputation
     "train_split_docs",                # new: deterministic 3-way split
     "sketch_rollup_weekly",            # new: sketch mergeability rollup
-    "asof_join_nearest_purchase",      # new: nearest-direction as-of
     "streaming_upsert_latest",         # new: incremental upsert snapshot
-    "quantile_sketch_by_type",         # new: mergeable histogram quantiles
-    "asof_interpolate_purchase",       # new: linear interpolation join
     "streaming_asof_events",           # new: O(1)-state streaming as-of
     "winsorize_values_by_type",        # new: outlier-robust clipping agg
     "profile_events",                  # new: one-pass data profiling
     "hybrid_rrf_retrieval",            # new: BM25 + kNN rank fusion
     "pack_sequences_docs",             # new: greedy sequence packing
-    "scd2_user_event_type",            # new: type-2 SCD history build
     "rolling_corr_click_purchase",     # new: trailing-24h rolling corr
     "acf_user_value",                  # new: autocorrelation on the lag core
     "ccf_click_purchase_hourly",       # new: global cross-correlation
@@ -4896,8 +4948,6 @@ GRADE_PRIORITY: list[str] = [
     "deseasonalize_hourly_events",     # new: seasonal-naive decomposition
     "quality_filter_docs",             # new: named Gopher-style rules
     "sketch_distinct_users_by_type",   # new: linear-counting sketch
-    "concurrency_sweep_events",        # new: sweep-line via distributed scan
-    "asof_join_purchases_tolerance",   # new: bounded-staleness as-of
     "rolling_median_events",           # new: exact rolling median
     "streaming_distinct_sketch_daily", # new: bounded-state streaming distinct
     "funnel_signup_click_purchase",    # new: ordered funnel, one scan
@@ -4929,7 +4979,6 @@ GRADE_PRIORITY: list[str] = [
     "minhash_lsh_pairs_docs",
     "lsh_verified_neardup_docs",
     "knn_cosine_topk",
-    "ann_lsh_topk",
     "ann_ivf_topk",
     "embedding_neardup_blas",
     "fingerprint_docs",
@@ -4943,8 +4992,6 @@ GRADE_PRIORITY: list[str] = [
     "blob_metadata_docs",
     "decode_image_stub_docs",
     "extract_features_docs",
-    "resize_image_docs",
-    "sample_frames_docs",
     # -- r5-green block: streaming/variance-prone ones fill the window --
     "streaming_lag_late_events",
     "streaming_lag_events",
@@ -4953,7 +5000,6 @@ GRADE_PRIORITY: list[str] = [
     "streaming_session_windows",
     "streaming_windowed_counts",
     "stream_stream_join",
-    "ann_lsh_persisted_topk",
     "ann_ivf_persisted_topk",
     "lag_hotkey_events",
     "lag_global_hourly",
@@ -4992,7 +5038,6 @@ GRADE_PRIORITY: list[str] = [
     "lag_events_wide",
     "lag_events_fill_inf",
     "lag_events_long_unordered",
-    "asof_join_purchases",
 ]
 
 
