@@ -339,3 +339,34 @@ def test_repetition_stats_validation(spark):
     docs = _docs(spark, [(1, "a b c")])
     with pytest.raises(ColumnNotFoundError):
         repetition_stats(docs, "nope", "doc_id")
+
+
+def test_bigram_fluency_ranks_fluent_above_garbled(spark):
+    """A doc reusing the corpus' common transitions outranks a doc of
+    one-off transitions (Laplace smoothing — unsmoothed, a one-off
+    transition in a one-off context scores a perfect 1.0); a loop is
+    the most predictable of all."""
+    from time_sift_spark.operators.text import bigram_fluency
+
+    docs = _docs(
+        spark,
+        [
+            (1, "the cat sat on the mat and the cat ran"),
+            (2, "the cat sat on the mat again and again"),
+            (3, "zx qv jj pw lk mn bv cx za qq"),        # one-off transitions
+            (4, "go go go go go go go go"),              # loop -> P(go|go) ~ 1
+        ],
+    )
+    out = bigram_fluency(docs, "text", "doc_id").toPandas().set_index("doc_id")
+    # smoothed ordering: loop (most predictable) > natural reuse > garbage
+    assert out.loc[4, "fluency"] > out.loc[1, "fluency"] > out.loc[3, "fluency"]
+    # probabilities are proper: every score in (0, 1]
+    assert ((out.fluency > 0) & (out.fluency <= 1.0)).all()
+
+
+def test_bigram_fluency_short_docs_drop_out(spark):
+    from time_sift_spark.operators.text import bigram_fluency
+
+    docs = _docs(spark, [(1, "solo"), (2, "two words")])
+    out = bigram_fluency(docs, "text", "doc_id").toPandas()
+    assert set(out.doc_id) == {2}  # the 1-token doc has no bigram to score

@@ -249,3 +249,89 @@ def repetition_stats(
     )
     df.createOrReplaceTempView("_ts_rep_in")
     return df.sparkSession.sql(sql)
+
+
+def bigram_fluency_sql(
+    d,
+    table: str,
+    text_col: str,
+    id_col: str,
+    *,
+    round_to: int = 6,
+) -> str:
+    """Corpus-trained bigram fluency score — the oracle-exact stand-in
+    for LM-perplexity quality filtering (CCNet/Gopher-style): train a
+    bigram model ON THE CORPUS (count tables), then score each document
+    by its MEAN CONDITIONAL PROBABILITY  avg_i P(w_i | w_{i-1}).
+
+    Why mean probability and not log-perplexity: ln() differs in the
+    last ulp between engines (the engine-wide no-transcendentals rule);
+    the rational form is a monotone-equivalent *ranking* signal for the
+    filtering decision at a threshold.  Interpretation is two-sided,
+    exactly like perplexity filters: very LOW fluency = unusual/garbled
+    token transitions; very HIGH fluency = degenerate predictability
+    (loops score near 1.0) — production pipelines drop both tails.
+
+    Laplace smoothing, P = (c12 + 1) / (c1 + V) with V the continuation
+    vocabulary size: without it a one-off transition in a one-off
+    context scores a perfect 1.0 (the classic unsmoothed-LM overfit —
+    observed on garbled text before the fix), because the corpus IS the
+    training set.  Smoothed, rare contexts are pulled toward 1/V and
+    the score discriminates: loops > natural reuse > garbage.
+
+    Numerics: probabilities are ratios of exact counts (one IEEE
+    division each), per-doc summed under the exact-decimal dsum
+    discipline, divided by the exact bigram count — hashable to the
+    digit.  Shape: one explode→count pass builds the model (bigram +
+    context tables, both partial-aggregated; V is one scalar row
+    broadcast back), per-doc scoring is an equi-join on the bigram key
+    + one groupBy(doc).  Documents with fewer than 2 tokens have no
+    bigrams and drop out (no model to score them under — document,
+    don't invent).
+    """
+    sh = d.shingles("_toks", 2)
+    if d.name == "spark":
+        ex = (
+            f"SELECT {id_col}, gram FROM "
+            f"(SELECT {id_col}, {sh} AS _grams FROM base) "
+            f"LATERAL VIEW explode(_grams) t AS gram"
+        )
+    else:
+        ex = f"SELECT {id_col}, unnest({sh}) AS gram FROM base"
+    p = "(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + vsz AS DOUBLE))"
+    psum = f"CAST(ROUND(SUM(CAST({p} AS DECIMAL(27,6))), {round_to}) AS DOUBLE)"
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, {d.tokens(text_col)} AS _toks FROM {table}
+    ),
+    bg AS (
+      SELECT {id_col},
+             split_part(gram, ' ', 1) AS w1, split_part(gram, ' ', 2) AS w2
+      FROM ({ex})
+      WHERE split_part(gram, ' ', 1) <> '' AND split_part(gram, ' ', 2) <> ''
+    ),
+    bgc AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2
+    ),
+    ugc AS (
+      SELECT w1, SUM(c12) AS c1 FROM bgc GROUP BY w1
+    ),
+    vocab AS (
+      SELECT COUNT(DISTINCT w2) AS vsz FROM bgc
+    )
+    SELECT bg.{id_col}, COUNT(*) AS n_bigrams,
+           ({psum} / COUNT(*)) AS fluency
+    FROM bg
+    JOIN bgc ON bgc.w1 = bg.w1 AND bgc.w2 = bg.w2
+    JOIN ugc ON ugc.w1 = bg.w1
+    CROSS JOIN vocab
+    GROUP BY bg.{id_col}
+    """
+
+
+def bigram_fluency(df: DataFrame, text_col: str, id_col: str, *, round_to: int = 6) -> DataFrame:
+    """DataFrame entry point for :func:`bigram_fluency_sql`."""
+    _check(df, [text_col, id_col])
+    sql = bigram_fluency_sql(SPARK, "_ts_flu_in", text_col, id_col, round_to=round_to)
+    df.createOrReplaceTempView("_ts_flu_in")
+    return df.sparkSession.sql(sql)

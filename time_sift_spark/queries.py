@@ -3901,6 +3901,28 @@ def exact_substring_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_pairs(docs, "doc_id", "text", k=10, gram_doc_cap=50)
 
 
+def _fluency_oracle() -> str:
+    from .operators.text import bigram_fluency_sql
+
+    return bigram_fluency_sql(DUCK, "documents", "text", "doc_id")
+
+
+@register("bigram_fluency_docs", oracle=_fluency_oracle())
+def bigram_fluency_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram fluency — the oracle-exact stand-in for
+    LM-perplexity quality filtering: one explode→count pass trains the
+    bigram + context tables, each doc scores avg P(w_i | w_{i-1}) via an
+    equi-join on the bigram key (mean probability, not log-perplexity —
+    ln() breaks cross-engine hashing; the rational form ranks
+    identically for a threshold decision). Two-sided signal like
+    perplexity: garbled docs score low, degenerate loops score near 1 —
+    drop both tails (operators/text.bigram_fluency)."""
+    from .operators.text import bigram_fluency
+
+    docs = load_table(spark, "documents", sf_dir)
+    return bigram_fluency(docs, "text", "doc_id")
+
+
 def _repetition_oracle() -> str:
     from .operators.text import repetition_stats_sql
 
@@ -4905,6 +4927,7 @@ GRADE_PRIORITY: list[str] = [
     "sample_frames_real_docs",         # new: real y4m frame sampling
     "data_contract_events",            # new: Deequ-style expectations
     "pit_training_set_events",         # new: leakage-free PIT features
+    "bigram_fluency_docs",             # new: rational perplexity filter
     # -- changed in r7 (asof struct-carry, scd2 tiebreak, prefix persist,
     #    bm25 df-cap refactor, quantile helper refactor) -> grade early --
     "asof_join_purchases",
