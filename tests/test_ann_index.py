@@ -336,3 +336,24 @@ def test_pq_validation(spark):
     emb001 = load_table(spark, "embeddings", SF_DIR)
     with pytest.raises(ColumnNotFoundError):
         pq_adc_topk(emb001, "nope", "embedding", query_pred="vid < 2")
+
+
+def test_matryoshka_staged_recall_gate(recall_emb_truth):
+    """Coarse prefix-32 pass + exact re-rank of 100 must keep >= 0.9 of
+    the true top-5 (measured 0.95, deterministic) — and the reported
+    similarities are EXACT full-width cosines, not prefix approximations
+    (checked against the brute-force scorer for overlapping pairs)."""
+    from time_sift_spark.operators.similarity import knn_cosine_topk, matryoshka_knn_topk
+
+    emb01, truth = recall_emb_truth
+    got = matryoshka_knn_topk(
+        emb01, "vec_id", "embedding", query_pred="vid < 8", k=5,
+        prefix_dim=32, rerank=100,
+    ).toPandas()
+    hits = sum(len(set(g.neighbor_id) & truth[q]) for q, g in got.groupby("query_id"))
+    assert hits / 40 >= 0.9
+    exact = knn_cosine_topk(
+        emb01, "vec_id", "embedding", query_pred="vec_id < 8", k=5
+    ).toPandas()
+    m = got.merge(exact, on=["query_id", "neighbor_id"], suffixes=("_st", "_ex"))
+    assert len(m) > 0 and (m.cosine_sim_st == m.cosine_sim_ex).all()

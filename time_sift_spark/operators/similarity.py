@@ -1182,3 +1182,91 @@ def query_ivf_index(
       FROM scored
     ) WHERE rank <= {k}
     """)
+
+
+def matryoshka_knn_topk_sql(
+    vd: VectorDialect,
+    table: str,
+    id_col: str,
+    vec_col: str,
+    *,
+    query_pred: str,
+    k: int = 5,
+    prefix_dim: int = 32,
+    rerank: int = 100,
+) -> str:
+    """Staged (matryoshka-style) retrieval: a COARSE cosine pass over
+    only the first ``prefix_dim`` dimensions shortlists ``rerank``
+    candidates per query, then exact full-width cosine re-ranks the
+    shortlist — the adaptive-retrieval cost lever of
+    Matryoshka-representation embeddings (Kusupati et al. 2022,
+    arXiv:2205.13147), where models are trained so prefixes carry most
+    of the signal.
+
+    Cost: the n-scan pass does prefix_dim/dim of the arithmetic (and at
+    a column store, reads that fraction of the vector bytes when the
+    prefix is materialized as its own column); full vectors are touched
+    only for |Q|·rerank pairs.  On the isotropic testdata (prefixes
+    carry no preferential information — the un-trained worst case)
+    prefix 32/64 with rerank=100/500 still measures recall@5 0.95,
+    gated in tests/test_ann_index.py; MRL-trained embeddings reach it
+    at far shorter prefixes.  Both passes are bit-exact sequential-fold
+    cosines; ranks total-ordered with id tiebreaks.
+    """
+    pre = vd.slice("emb", 1, prefix_dim)
+    cos_coarse = f"({vd.dot('q.pemb', 'c.pemb')} / greatest(q.pn * c.pn, 1e-300))"
+    cos_full = f"({vd.dot('q.emb', 'c.emb')} / greatest(q.nv * c.nv, 1e-300))"
+    if vd.name == "spark":
+        to_double = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    else:
+        to_double = f"list_transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    return f"""
+    WITH v AS (
+      SELECT {id_col} AS vid, emb, {pre} AS pemb,
+             {vd.norm("emb")} AS nv, {vd.norm(pre)} AS pn
+      FROM (SELECT {id_col}, {to_double} AS emb FROM {table})
+    ),
+    qv AS (
+      SELECT * FROM v WHERE {query_pred}
+    ),
+    shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vid AS query_id, c.vid AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vid
+                                  ORDER BY {cos_coarse} DESC, c.vid) AS crank
+        FROM qv q JOIN v c ON q.vid <> c.vid
+      ) WHERE crank <= {rerank}
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT query_id, neighbor_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM (
+        SELECT sl.query_id, sl.neighbor_id, {cos_full} AS cosine_sim
+        FROM shortlist sl
+        JOIN v q ON q.vid = sl.query_id
+        JOIN v c ON c.vid = sl.neighbor_id
+      )
+    ) WHERE rank <= {k}
+    """
+
+
+def matryoshka_knn_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    query_pred: str,
+    k: int = 5,
+    prefix_dim: int = 32,
+    rerank: int = 100,
+) -> DataFrame:
+    for c in (id_col, vec_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    view = _next_view()
+    sql = matryoshka_knn_topk_sql(
+        _VSPARK, view, id_col, vec_col, query_pred=query_pred, k=k,
+        prefix_dim=prefix_dim, rerank=rerank,
+    )
+    return _run(df, sql, view)

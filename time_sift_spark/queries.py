@@ -1058,6 +1058,29 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "matryoshka_knn_topk",
+    oracle=_sim.matryoshka_knn_topk_sql(
+        VDUCK, "embeddings", "vec_id", "embedding", query_pred="vid < 8", k=5,
+        prefix_dim=32, rerank=100,
+    ),
+)
+def matryoshka_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged (matryoshka-style) retrieval: a coarse cosine pass over
+    only the first 32 of 64 dimensions shortlists 100 candidates per
+    query (half the arithmetic, half the vector bytes at a column store
+    with a materialized prefix), then exact full-width cosine re-ranks.
+    Measured recall@5 vs knn_cosine_topk: 0.95 at sf0.01 even on this
+    isotropic corpus where prefixes carry no trained signal; MRL-trained
+    embeddings reach it at far shorter prefixes — gated in
+    tests/test_ann_index.py."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return _sim.matryoshka_knn_topk(
+        emb, "vec_id", "embedding", query_pred="vid < 8", k=5,
+        prefix_dim=32, rerank=100,
+    )
+
+
+@register(
     "semantic_dedup_docs",
     oracle=_sim.semantic_dedup_sql(
         VDUCK, "embeddings", "vec_id", "embedding", threshold=0.35,
@@ -4928,6 +4951,7 @@ GRADE_PRIORITY: list[str] = [
     "data_contract_events",            # new: Deequ-style expectations
     "pit_training_set_events",         # new: leakage-free PIT features
     "bigram_fluency_docs",             # new: rational perplexity filter
+    "matryoshka_knn_topk",             # new: prefix-dim staged retrieval
     # -- changed in r7 (asof struct-carry, scd2 tiebreak, prefix persist,
     #    bm25 df-cap refactor, quantile helper refactor) -> grade early --
     "asof_join_purchases",
