@@ -159,30 +159,35 @@ def repetition_stats_sql(
 
     plus per-rule booleans and the conjunctive ``keep``.  Thresholds
     default to the Gopher-published magnitudes re-based to token
-    fractions.  Compose with quality_filter's r_word_count when tiny
-    documents matter: a sub-``short_k``-token document degenerates to one
-    undersized shingle and reads as maximally repetitive.
+    fractions.  A document with fewer than ``long_k`` tokens has no
+    long grams and DROPS OUT (no signal to judge it by — compose with
+    quality_filter's r_word_count for minimum-length policy).
 
-    Shape: two explode→count passes joined on the document key — the
-    only shuffles are groupBys on (id, gram) then (id), both
-    partial-aggregated; no pairwise anything, scan-bandwidth-bound at
+    Shape: ONE native token explode, ONE keyed window producing the
+    n-gram columns as ``long_k - 1`` LEAD slots (an interpreted
+    transform()-lambda shingle build measured ~12× slower — the
+    bigram_fluency lesson), then two partial-aggregated counts joined on
+    the document key; no pairwise anything, scan-bandwidth-bound at
     corpus scale.  All fractions are integer-over-integer IEEE division
     — no rounding needed for cross-engine hash equality.
     """
-    sh_s = d.shingles("_toks", short_k)
-    sh_l = d.shingles("_toks", long_k)
+    kmax = max(short_k, long_k)
     if d.name == "spark":
-        def ex(src_cols: str, arr: str, src: str) -> str:
-            return (
-                f"SELECT {src_cols}, gram FROM "
-                f"(SELECT {src_cols}, {arr} AS _grams FROM {src}) "
-                f"LATERAL VIEW explode(_grams) t AS gram"
-            )
+        ex = (
+            f"SELECT {id_col}, pos, w FROM base "
+            f"LATERAL VIEW posexplode(_toks) t AS pos, w"
+        )
     else:
-        def ex(src_cols: str, arr: str, src: str) -> str:
-            return f"SELECT {src_cols}, unnest({arr}) AS gram FROM {src}"
-    first_tok = f"split_part(gram, ' ', 1)"
-    second_tok = f"split_part(gram, ' ', 2)"
+        ex = (
+            f"SELECT {id_col}, i AS pos, _toks[i] AS w FROM "
+            f"(SELECT {id_col}, _toks, unnest(range(1, len(_toks) + 1)) AS i FROM base)"
+        )
+    over = f"OVER (PARTITION BY {id_col} ORDER BY pos)"
+    leads = ", ".join(
+        f"LEAD(w, {j}) {over} AS w{j + 1}" for j in range(1, kmax)
+    )
+    scols = ", ".join(f"w{j + 1}" for j in range(short_k))
+    lcols = ", ".join(f"w{j + 1}" for j in range(long_k))
     rules = {
         f"r_top_{short_k}gram": f"(top_{short_k}gram_frac <= {max_top_short!r})",
         "r_repeat_token": f"(repeat_token_frac <= {max_repeat_token!r})",
@@ -194,20 +199,24 @@ def repetition_stats_sql(
     WITH base AS (
       SELECT {id_col}, {d.tokens(text_col)} AS _toks FROM {table}
     ),
+    tok AS ({ex}),
+    grams AS (
+      SELECT {id_col}, w AS w1, {leads} FROM tok
+    ),
     gs AS (
-      SELECT {id_col}, gram, COUNT(*) AS c
-      FROM ({ex(id_col, sh_s, "base")})
-      GROUP BY {id_col}, gram
+      SELECT {id_col}, {scols}, COUNT(*) AS c
+      FROM grams WHERE w{short_k} IS NOT NULL
+      GROUP BY {id_col}, {scols}
     ),
     ss AS (
       SELECT {id_col}, SUM(c) AS total_s, MAX(c) AS max_s,
-             SUM(CASE WHEN {first_tok} = {second_tok} THEN c ELSE 0 END) AS rep_s
+             SUM(CASE WHEN w1 = w2 THEN c ELSE 0 END) AS rep_s
       FROM gs GROUP BY {id_col}
     ),
     gl AS (
-      SELECT {id_col}, gram, COUNT(*) AS c
-      FROM ({ex(id_col, sh_l, "base")})
-      GROUP BY {id_col}, gram
+      SELECT {id_col}, {lcols}, COUNT(*) AS c
+      FROM grams WHERE w{long_k} IS NOT NULL
+      GROUP BY {id_col}, {lcols}
     ),
     sl AS (
       SELECT {id_col}, SUM(c) AS total_l,
