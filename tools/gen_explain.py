@@ -59,6 +59,10 @@ SHOWCASE = {
     "m4_downsample_events": "M4 downsampling: one Exchange on (type, bucket) carries four ROW_NUMBER role picks; bounds are one tree-aggregated row broadcast back (BroadcastNestedLoopJoin of a 1-row relation).",
     "bm25_topk_capped_docs": "BM25 with the df cap: the stop-word term is dropped from the tiny broadcast dfreq frame BEFORE the per-doc scoring join — the saturated posting list never reaches the scored frame.",
     "quantile_sketch_auto_by_type": "Adaptive-bounds quantile sketch: pass 1 is a two-column scan collapsing to ONE (min, max) row; pass 2 is the unchanged mergeable-bin sketch with the bounds cross-joined as a broadcast.",
+    "pit_training_set_events": "Point-in-time feature assembly: one union + ONE user_id Exchange carries both feature windows (ROWS carry + RANGE count); labels sort first at equal instants, so the leakage rule is in the sort key, not a filter.",
+    "data_contract_events": "Data contract: every declared expectation is one slot in a single Aggregate over one scan; the report fans out from the 1-row result via explode — adding the 20th check costs a column, not a scan.",
+    "bigram_fluency_docs": "Bigram fluency: native posexplode + one LEAD window builds the bigram stream (no interpreted lambdas); model counts partial-aggregate; scoring is a bigram-key equi-join.",
+    "matryoshka_knn_topk": "Staged retrieval: the n-scan coarse pass reads and computes only the 32-dim prefix; full vectors appear exclusively in the |Q|*rerank re-rank join.",
     "tpch_q4_order_priority": "Q4: EXISTS as LEFT SEMI join — lineitem streams through without match materialization; the 1995 date filter is in the orders scan's PushedFilters.",
 }
 
