@@ -370,3 +370,28 @@ def test_bigram_fluency_short_docs_drop_out(spark):
     docs = _docs(spark, [(1, "solo"), (2, "two words")])
     out = bigram_fluency(docs, "text", "doc_id").toPandas()
     assert set(out.doc_id) == {2}  # the 1-token doc has no bigram to score
+
+
+def test_dsir_weights_favor_target_distribution(spark):
+    """Docs whose transitions match the target exemplars outscore docs
+    from a different distribution; target-unseen transitions degrade
+    gracefully (smoothing), never zero a document."""
+    from time_sift_spark.operators.text import dsir_weights
+
+    rows = [
+        # target-style docs (is_t selects source='good')
+        (1, "good", "the quick brown fox jumps over the lazy dog"),
+        (2, "good", "the quick brown cat jumps over the lazy fox"),
+        # in-distribution candidate (not in target set)
+        (3, "cand", "the quick brown dog jumps over the lazy cat"),
+        # out-of-distribution candidate
+        (4, "cand", "stock prices fell sharply amid market turmoil today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = (
+        dsir_weights(df, "text", "doc_id", target_pred="source = 'good'")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[3, "dsir_weight"] > out.loc[4, "dsir_weight"]
+    assert (out.dsir_weight > 0).all()

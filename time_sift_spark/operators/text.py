@@ -312,7 +312,15 @@ def bigram_fluency_sql(
             f"SELECT {id_col}, i AS pos, _toks[i] AS w FROM "
             f"(SELECT {id_col}, _toks, unnest(range(1, len(_toks) + 1)) AS i FROM base)"
         )
-    p = "(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + vsz AS DOUBLE))"
+    from ._num import round_double
+
+    # round the DERIVED double in pure double arithmetic FIRST
+    # (engine-identical), then quantize: casting an arbitrary quotient
+    # straight to DECIMAL can land within one double-multiply rounding
+    # of a .5e-6 boundary, which the two engines resolve differently
+    # (observed on the DSIR ratio — one addend flipped its last decimal
+    # digit and the driver hash diverged)
+    p = round_double("(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + vsz AS DOUBLE))", 6)
     psum = f"CAST(ROUND(SUM(CAST({p} AS DECIMAL(27,6))), {round_to}) AS DOUBLE)"
     return f"""
     WITH base AS (
@@ -350,4 +358,102 @@ def bigram_fluency(df: DataFrame, text_col: str, id_col: str, *, round_to: int =
     _check(df, [text_col, id_col])
     sql = bigram_fluency_sql(SPARK, "_ts_flu_in", text_col, id_col, round_to=round_to)
     df.createOrReplaceTempView("_ts_flu_in")
+    return df.sparkSession.sql(sql)
+
+
+def dsir_weights_sql(
+    d,
+    table: str,
+    text_col: str,
+    id_col: str,
+    *,
+    target_pred: str,
+    round_to: int = 6,
+) -> str:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023, arXiv:2302.03169) in the engine's
+    oracle-exact rational form: score every document by how much more
+    likely its token transitions are under a TARGET distribution than
+    under the full corpus,
+
+        weight(doc) = avg_i  P_target(w_i|w_{i-1}) / P_corpus(w_i|w_{i-1})
+
+    with both bigram models Laplace-smoothed over the SAME corpus
+    vocabulary (so a transition unseen in the target degrades gracefully
+    to ~(1/(ct1+V)) / P_corpus instead of zeroing the document).
+    ``target_pred`` is a row predicate over the source table selecting
+    the target exemplars (an in-domain seed set, a trusted source, a
+    language).  Selection = rank by weight / keep above a threshold —
+    the importance-resampling step is the caller's deterministic-hash
+    sampler over these weights.
+
+    The published DSIR uses hashed n-gram features and log-ratios; the
+    mean-probability-ratio form ranks identically for a threshold
+    decision and contains no transcendentals (the engine's value-hash
+    rule).  Shape: the fluency pipeline run once (one explode + one LEAD
+    window), TWO count models from the same bigram stream (corpus +
+    target — the target side is a filtered re-aggregation, not a second
+    scan), one scoring equi-join.  Documents with no bigrams drop out.
+    """
+    if d.name == "spark":
+        ex = (
+            f"SELECT {id_col}, is_t, pos, w FROM base "
+            f"LATERAL VIEW posexplode(_toks) t AS pos, w"
+        )
+    else:
+        ex = (
+            f"SELECT {id_col}, is_t, i AS pos, _toks[i] AS w FROM "
+            f"(SELECT {id_col}, is_t, _toks, unnest(range(1, len(_toks) + 1)) AS i FROM base)"
+        )
+    from ._num import round_double
+
+    p_t = "(CAST(COALESCE(ct12, 0) + 1 AS DOUBLE) / CAST(COALESCE(ct1, 0) + vsz AS DOUBLE))"
+    p_c = "(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + vsz AS DOUBLE))"
+    # pure-double round BEFORE the decimal quantize — see bigram_fluency
+    r = round_double(f"({p_t} / {p_c})", 6)
+    rsum = f"CAST(ROUND(SUM(CAST({r} AS DECIMAL(27,6))), {round_to}) AS DOUBLE)"
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, {d.tokens(text_col)} AS _toks,
+             CASE WHEN {target_pred} THEN 1 ELSE 0 END AS is_t
+      FROM {table}
+    ),
+    tok AS ({ex}),
+    bg AS (
+      SELECT {id_col}, is_t, w1, w2 FROM (
+        SELECT {id_col}, is_t, w AS w1,
+               LEAD(w) OVER (PARTITION BY {id_col} ORDER BY pos) AS w2
+        FROM tok
+      ) WHERE w2 IS NOT NULL AND w1 <> '' AND w2 <> ''
+    ),
+    bgc AS (
+      SELECT w1, w2, COUNT(*) AS c12, SUM(is_t) AS ct12
+      FROM bg GROUP BY w1, w2
+    ),
+    ugc AS (
+      SELECT w1, SUM(c12) AS c1, SUM(ct12) AS ct1 FROM bgc GROUP BY w1
+    ),
+    vocab AS (
+      SELECT COUNT(DISTINCT w2) AS vsz FROM bgc
+    )
+    SELECT bg.{id_col}, COUNT(*) AS n_bigrams,
+           ({rsum} / COUNT(*)) AS dsir_weight
+    FROM bg
+    JOIN bgc ON bgc.w1 = bg.w1 AND bgc.w2 = bg.w2
+    JOIN ugc ON ugc.w1 = bg.w1
+    CROSS JOIN vocab
+    GROUP BY bg.{id_col}
+    """
+
+
+def dsir_weights(
+    df: DataFrame, text_col: str, id_col: str, *, target_pred: str, round_to: int = 6
+) -> DataFrame:
+    """DataFrame entry point for :func:`dsir_weights_sql`."""
+    _check(df, [text_col, id_col])
+    sql = dsir_weights_sql(
+        SPARK, "_ts_dsir_in", text_col, id_col,
+        target_pred=target_pred, round_to=round_to,
+    )
+    df.createOrReplaceTempView("_ts_dsir_in")
     return df.sparkSession.sql(sql)

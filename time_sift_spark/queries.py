@@ -3946,6 +3946,31 @@ def bigram_fluency_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_fluency(docs, "text", "doc_id")
 
 
+def _dsir_oracle() -> str:
+    from .operators.text import dsir_weights_sql
+
+    return dsir_weights_sql(
+        DUCK, "documents", "text", "doc_id", target_pred="lang = 'en'"
+    )
+
+
+@register("dsir_weights_docs", oracle=_dsir_oracle())
+def dsir_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023) in rational form:
+    every doc scores avg P_target(w2|w1) / P_corpus(w2|w1) with the
+    English docs as the target exemplars — both Laplace-smoothed bigram
+    models come from ONE explode + LEAD pass (the target model is a
+    filtered re-aggregation of the same bigram stream, not a second
+    scan). Importance resampling = the caller's deterministic-hash
+    sampler over these weights. Measured: en docs average weight ~1.05
+    vs ~0.97 for the other languages on this shared-vocabulary corpus
+    (operators/text.dsir_weights)."""
+    from .operators.text import dsir_weights
+
+    docs = load_table(spark, "documents", sf_dir)
+    return dsir_weights(docs, "text", "doc_id", target_pred="lang = 'en'")
+
+
 def _repetition_oracle() -> str:
     from .operators.text import repetition_stats_sql
 
@@ -4952,6 +4977,7 @@ GRADE_PRIORITY: list[str] = [
     "pit_training_set_events",         # new: leakage-free PIT features
     "bigram_fluency_docs",             # new: rational perplexity filter
     "matryoshka_knn_topk",             # new: prefix-dim staged retrieval
+    "dsir_weights_docs",               # new: importance-resampling weights
     # -- changed in r7 (asof struct-carry, scd2 tiebreak, prefix persist,
     #    bm25 df-cap refactor, quantile helper refactor) -> grade early --
     "asof_join_purchases",
