@@ -447,3 +447,33 @@ def test_fuzz_temperature_resample_template(pdf, alpha):
         )
     ).df()
     _compare(got, exp)
+
+
+@given(corpus())
+@FUZZ_SETTINGS
+def test_fuzz_bigram_fluency_template(pdf):
+    """Fluency + DSIR ratios are DERIVED doubles quantized to decimal —
+    the round-before-quantize discipline must hold on adversarial
+    corpora (repeated tokens drive the ratios toward boundary values)."""
+    from time_sift_spark.operators.text import (
+        bigram_fluency,
+        bigram_fluency_sql,
+        dsir_weights,
+        dsir_weights_sql,
+    )
+
+    spark = _get_session()
+    sdf = spark.createDataFrame(pdf, "doc_id long, text string")
+    con = duckdb.connect()
+    con.register("_fzf", pdf)
+    got = bigram_fluency(sdf, "text", "doc_id").toPandas()
+    exp = con.execute(bigram_fluency_sql(DUCK, "_fzf", "text", "doc_id")).df()
+    exp["n_bigrams"] = exp["n_bigrams"].astype("int64")
+    _compare(got, exp)
+    # DSIR with an arbitrary target split (even docs)
+    got2 = dsir_weights(sdf, "text", "doc_id", target_pred="doc_id % 2 = 0").toPandas()
+    exp2 = con.execute(
+        dsir_weights_sql(DUCK, "_fzf", "text", "doc_id", target_pred="doc_id % 2 = 0")
+    ).df()
+    exp2["n_bigrams"] = exp2["n_bigrams"].astype("int64")
+    _compare(got2, exp2)
