@@ -601,3 +601,27 @@ def test_exact_substring_gram_doc_cap_drops_boilerplate(spark):
         docs, "doc_id", "text", k=10, gram_doc_cap=5
     ).toPandas()
     assert len(capped) == 0  # the 6-doc window exceeds the cap and is dropped
+
+
+def test_soft_dedup_downweights_clusters_keeps_singletons(spark):
+    import pandas as pd
+
+    from time_sift_spark.operators.dedup import soft_dedup
+
+    # 6 exact near-copies (one cluster) + distinct singleton docs
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, dup + f" tail{i % 2}") for i in range(6)]
+    rows += [(100 + i, f"unique document number {i} with its own words w{i} x{i} y{i}")
+             for i in range(5)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = soft_dedup(df, "doc_id", "text", threshold=0.3).toPandas().set_index("doc_id")
+    singles = out.loc[[100 + i for i in range(5)]]
+    assert (singles.cluster_size == 1).all() and singles.kept.all()
+    clustered = out.loc[[i for i in range(6)]]
+    assert (clustered.cluster_size > 1).all()
+    # the draw culls most duplicates but the canonical always survives
+    assert clustered.kept.sum() < 6
+    assert bool(out.loc[out.index.min(), "kept"]) or clustered.kept.sum() >= 1
+    # kept implies kept_soft or canonical
+    canon = clustered.index == clustered.cluster_id
+    assert (clustered.kept == (clustered.kept_soft | canon)).all()

@@ -891,3 +891,69 @@ def exact_substring_pairs(
     df: DataFrame, id_col: str, text_col: str, **kw
 ) -> DataFrame:
     return _run(df, exact_substring_pairs_sql, id_col, text_col, **kw)
+
+
+def soft_dedup_sql(
+    d: Dialect, table: str, id_col: str, text_col: str, **kw
+) -> str:
+    """DuckDB-only oracle for :func:`soft_dedup` (wraps the recursive
+    cluster oracle with the corpus left-join + the integer keep draw)."""
+    clusters = neardup_clusters_oracle_sql(d, table, id_col, text_col, **kw)
+    h32 = f"('0x' || substr(md5(CAST(d.{id_col} AS VARCHAR)), 1, 8))::BIGINT"
+    return f"""
+    WITH clusters AS ({clusters})
+    SELECT d.{id_col} AS doc_id,
+           COALESCE(c.cluster_id, d.{id_col}) AS cluster_id,
+           COALESCE(c.cluster_size, 1) AS cluster_size,
+           ({h32} * COALESCE(c.cluster_size, 1) < 4294967296) AS kept_soft,
+           (({h32} * COALESCE(c.cluster_size, 1) < 4294967296)
+            OR COALESCE(c.is_canonical, TRUE)) AS kept
+    FROM {table} d LEFT JOIN clusters c ON c.doc_id = d.{id_col}
+    """
+
+
+def soft_dedup(
+    df: DataFrame, id_col: str, text_col: str, *, max_iterations: int = 25, **kw
+) -> DataFrame:
+    """Soft (probabilistic) deduplication — DOWNWEIGHT duplicates instead
+    of dropping all but one: every document survives with probability
+    1/cluster_size via a deterministic md5 draw, so a cluster of k
+    near-dups contributes ~1 expected survivor while which member
+    survives is unbiased (hard canonical-only dedup always keeps the
+    min id — a systematic bias toward whatever early ids correlate
+    with).  Two flags:
+
+    * ``kept_soft`` — the pure draw (E[survivors per cluster] = 1, but a
+      cluster can lose every member);
+    * ``kept``      — draw OR canonical (guarantees ≥1 survivor per
+      cluster at the cost of a slight upward bias; singletons always
+      kept).
+
+    The draw is integer-exact cross-engine: 32-bit md5 prefix × size <
+    2³², no float probability anywhere.  Shape: the near-dup cluster
+    pass (pair screen + label propagation) + ONE broadcast-size left
+    join back onto the corpus — the cluster frame is ≪ the corpus, so
+    the corpus never shuffles.
+    """
+    from pyspark.sql import functions as F
+
+    for c in (id_col, text_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    clusters = neardup_clusters(
+        df, id_col, text_col, max_iterations=max_iterations, **kw
+    )
+    base = df.select(F.col(id_col).alias("_sd_id"))
+    h32 = F.expr("CAST(conv(substr(md5(CAST(_sd_id AS STRING)), 1, 8), 16, 10) AS BIGINT)")
+    size = F.coalesce(F.col("cluster_size"), F.lit(1))
+    draw = (h32 * size) < F.lit(4294967296)
+    return (
+        base.join(F.broadcast(clusters), base["_sd_id"] == clusters["doc_id"], "left")
+        .select(
+            F.col("_sd_id").alias("doc_id"),
+            F.coalesce(F.col("cluster_id"), F.col("_sd_id")).alias("cluster_id"),
+            size.cast("bigint").alias("cluster_size"),
+            draw.alias("kept_soft"),
+            (draw | F.coalesce(F.col("is_canonical"), F.lit(True))).alias("kept"),
+        )
+    )

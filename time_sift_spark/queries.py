@@ -3946,6 +3946,24 @@ def bigram_fluency_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_fluency(docs, "text", "doc_id")
 
 
+@register(
+    "soft_dedup_docs",
+    oracle=_dd.soft_dedup_sql(DUCK, "documents", "doc_id", "text", threshold=0.5),
+)
+def soft_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication: every doc survives with probability
+    1/cluster_size via an exact integer md5 draw (32-bit prefix × size
+    < 2³² — no float probabilities), so duplicate clusters are
+    DOWNWEIGHTED to ~1 expected survivor with an unbiased choice of
+    which member survives (hard canonical-only dedup always keeps the
+    min id). kept_soft is the pure draw; kept additionally guarantees
+    the canonical survives. Built on the near-dup cluster pass + one
+    broadcast left join — the corpus never shuffles
+    (operators/dedup.soft_dedup)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return _dd.soft_dedup(docs, "doc_id", "text", threshold=0.5)
+
+
 def _dsir_oracle() -> str:
     from .operators.text import dsir_weights_sql
 
@@ -4978,6 +4996,7 @@ GRADE_PRIORITY: list[str] = [
     "bigram_fluency_docs",             # new: rational perplexity filter
     "matryoshka_knn_topk",             # new: prefix-dim staged retrieval
     "dsir_weights_docs",               # new: importance-resampling weights
+    "soft_dedup_docs",                 # new: probabilistic downweighting
     # -- changed in r7 (asof struct-carry, scd2 tiebreak, prefix persist,
     #    bm25 df-cap refactor, quantile helper refactor) -> grade early --
     "asof_join_purchases",
