@@ -395,3 +395,39 @@ def test_dsir_weights_favor_target_distribution(spark):
     )
     assert out.loc[3, "dsir_weight"] > out.loc[4, "dsir_weight"]
     assert (out.dsir_weight > 0).all()
+
+
+def test_append_text_index_equals_full_rebuild(spark, tmp_path):
+    """build(A) + append(B) must answer queries exactly like
+    build(A ∪ B) — postings append, stats sum, df recomputed per query."""
+    import pandas as pd
+
+    from time_sift_spark.operators.search import (
+        append_text_index,
+        build_text_index,
+        query_text_index,
+    )
+
+    a = _docs(spark, [(1, "spark window functions"), (2, "window frames and lag")])
+    b = _docs(spark, [(3, "lag features over window specs"), (4, "totally other words")])
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    build_text_index(a, "text", "doc_id", inc)
+    append_text_index(b, inc)
+    build_text_index(a.unionByName(b), "text", "doc_id", full)
+    for terms in (["window"], ["lag", "window"], ["other"]):
+        got = query_text_index(spark, inc, terms, k=10).toPandas()
+        want = query_text_index(spark, full, terms, k=10).toPandas()
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_append_text_index_validates_columns(spark, tmp_path):
+    from time_sift_spark.errors import ColumnNotFoundError
+    from time_sift_spark.operators.search import append_text_index, build_text_index
+
+    a = _docs(spark, [(1, "alpha beta")])
+    path = str(tmp_path / "idx2")
+    build_text_index(a, "text", "doc_id", path)
+    bad = spark.createDataFrame([(2,)], "doc_id long")
+    with pytest.raises(ColumnNotFoundError):
+        append_text_index(bad, path)

@@ -54,6 +54,7 @@ __all__ = [
     "bm25_topk",
     "bm25_topk_oracle_sql",
     "build_text_index",
+    "append_text_index",
     "query_text_index",
 ]
 
@@ -303,3 +304,49 @@ def query_text_index(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(int(k))
     )
+
+
+def append_text_index(
+    docs: DataFrame,
+    path: str,
+) -> None:
+    """Incremental index maintenance — the answer to the staleness cliff
+    named for persisted indexes in SCALE.md: new documents append their
+    postings without recomputing the existing corpus.
+
+    The new docs' (term, id, tf, dl) rows append to ``{path}/postings``
+    (parquet append mode — the term-clustering of OLD files is
+    untouched; new files are term-repartitioned among themselves), and
+    ``{path}/stats`` is replaced with the summed totals (old stats row +
+    the delta — one tiny read, never a corpus rescan).  Document
+    frequencies are NOT stored (recomputed per query from the filtered
+    postings), so df correctness after append is automatic.
+
+    Contract (pinned in tests): build(A) + append(B) answers every query
+    exactly like build(A ∪ B).  Caller owns id uniqueness across
+    appends — re-appending an existing doc double-counts it, exactly as
+    appending it to the corpus would.
+    """
+    p = docs.sparkSession.read.parquet(f"{path}/params").collect()[0]
+    id_col, text_col = p["id_col"], p["text_col"]
+    for c in (text_col, id_col):
+        if c not in docs.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {docs.columns}")
+    base = docs.select(
+        F.col(id_col), F.expr(SPARK.tokens(text_col)).alias("toks")
+    ).select(id_col, "toks", F.size("toks").alias("dl"))
+    postings = (
+        base.select(id_col, "dl", F.explode("toks").alias("term"))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    postings.repartition("term").write.mode("append").parquet(f"{path}/postings")
+    spark = docs.sparkSession
+    old = spark.read.parquet(f"{path}/stats").collect()[0]
+    delta = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).collect()[0]
+    spark.createDataFrame(
+        [(old["n_docs"] + delta["n_docs"], (old["sum_dl"] or 0) + (delta["sum_dl"] or 0))],
+        "n_docs long, sum_dl long",
+    ).write.mode("overwrite").parquet(f"{path}/stats")
