@@ -96,3 +96,36 @@ def test_foreign_key_orphans(spark):
     # the NULL fk and the 9 are orphans (NULL never matches an equi-join)
     assert row.orphan_count == 2 and row.child_count == 5
     assert row.orphan_frac == 0.4
+
+
+def test_streaming_contract_equals_batch_at_drain(spark, tmp_path):
+    import pandas as pd
+
+    from time_sift_spark.operators.quality import (
+        between as dq_between,
+        check_expectations,
+        not_null as dq_not_null,
+        row_count_min as dq_rows,
+        streaming_contract,
+        unique as dq_unique,
+    )
+
+    pdf = pd.DataFrame({"k": [1, 2, None, 4], "v": [0.1, 5.0, 0.3, 0.2]})
+    path = str(tmp_path / "src")
+    spark.createDataFrame(pdf).coalesce(2).write.parquet(path)
+    exps = [dq_not_null("k", max_null_frac=0.3), dq_between("v", 0.0, 1.0), dq_rows(2)]
+    stream = spark.readStream.schema("k double, v double").parquet(path)
+    got = (
+        streaming_contract(stream, exps, query_name="t_dq_stream")
+        .toPandas().sort_values("expectation").reset_index(drop=True)
+    )
+    want = (
+        check_expectations(spark.read.parquet(path), exps)
+        .toPandas().sort_values("expectation").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # unstreamable expectations refuse loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="not streamable"):
+        streaming_contract(stream, [dq_unique("k")], query_name="t_dq_stream2")

@@ -230,3 +230,66 @@ def foreign_key_orphans(
         [(n_orphan, n_child, float(n_orphan) / max(n_child, 1))],
         "orphan_count long, child_count long, orphan_frac double",
     )
+
+
+def streaming_contract(
+    stream_df: DataFrame,
+    expectations: Sequence[Expectation],
+    *,
+    query_name: str,
+) -> DataFrame:
+    """Continuous data-contract monitoring: the same declared
+    expectations evaluated INCREMENTALLY over a stream — every metric is
+    one slot of a global streaming aggregation (complete output mode),
+    so the monitor's state is a single row regardless of stream volume,
+    and at drain the report equals the batch contract over everything
+    that arrived (the equivalence the registered query's oracle checks).
+
+    ``unique`` expectations are rejected: exact COUNT(DISTINCT) is not
+    streamable (unbounded state) — that is precisely the job of the
+    cardinality sketch (operators/sketch, streaming form); run key-
+    uniqueness monitoring through it and accept the estimate, or check
+    exact uniqueness in the batch contract.
+    """
+    from pyspark.sql import functions as F
+
+    from ..streaming.lag_stream import run_stream_to_df
+
+    if not expectations:
+        raise ValueError("streaming_contract needs at least one expectation")
+    for e in expectations:
+        if e.kind == "unique":
+            raise ValueError(
+                "unique expectations are not streamable (exact COUNT(DISTINCT) "
+                "needs unbounded state) — use the streaming cardinality sketch "
+                "or the batch contract"
+            )
+    names = [e.name for e in expectations]
+    if len(set(names)) != len(names):
+        raise ValueError("duplicate expectation names")
+    cols = set(stream_df.columns)
+    for e in expectations:
+        if e.col is not None and e.col not in cols:
+            raise ColumnNotFoundError(f"column {e.col!r} not in {stream_df.columns}")
+
+    metrics = []
+    rows = []
+    for i, e in enumerate(expectations):
+        metric, thr, op = _metric_expr("spark", e)
+        metrics.append(F.expr(metric).alias(f"m{i}"))
+        fields = ", ".join(
+            [
+                f"'expectation', '{e.name}'",
+                f"'kind', '{e.kind}'",
+                f"'metric', m{i}",
+                f"'threshold', {thr}",
+                f"'passed', (m{i} {op} {thr})",
+            ]
+        )
+        rows.append(f"named_struct({fields})")
+    agg_stream = stream_df.agg(*metrics)
+    drained = run_stream_to_df(agg_stream, query_name, output_mode="complete")
+    arr = ", ".join(rows)
+    return drained.selectExpr(f"explode(array({arr})) AS r").select(
+        "r.expectation", "r.kind", "r.metric", "r.threshold", "r.passed"
+    )

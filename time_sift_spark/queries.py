@@ -3873,6 +3873,44 @@ def data_contract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return check_expectations(events, _dq_expectations())
 
 
+def _dq_stream_expectations():
+    from .operators.quality import accepted_values, between, freshness, not_null, row_count_min
+
+    return [
+        not_null("user_id"),
+        accepted_values("event_type", ["click", "view", "purchase", "signup", "error"]),
+        between("value", 0.0, 200.0, max_bad_frac=0.01),
+        row_count_min(100),
+        freshness("ts", ref_time="TIMESTAMP '2024-03-01 00:00:00'",
+                  max_age_seconds=86400 * 60),
+    ]
+
+
+def _dq_stream_oracle() -> str:
+    from .operators.quality import expectations_sql
+
+    return expectations_sql("duck", "events", _dq_stream_expectations())
+
+
+@register("streaming_contract_events", oracle=_dq_stream_oracle())
+def streaming_contract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous data-contract monitoring: the declared expectations run
+    as ONE global streaming aggregation (complete mode — monitor state
+    is a single row regardless of stream volume); at drain the report
+    must equal the batch contract over everything that arrived, which IS
+    this oracle. unique() is deliberately absent: exact COUNT(DISTINCT)
+    is unstreamable (unbounded state) — that job belongs to the
+    streaming cardinality sketch (operators/quality.streaming_contract)."""
+    from .operators.quality import streaming_contract
+    from .sources.catalog import read_events_stream
+    from .streaming.lag_stream import _next_stream_name
+
+    stream = read_events_stream(spark, sf_dir)
+    return streaming_contract(
+        stream, _dq_stream_expectations(), query_name=_next_stream_name("dq")
+    )
+
+
 def _m4_oracle() -> str:
     from .operators.resample import m4_downsample_sql
 
@@ -4997,6 +5035,7 @@ GRADE_PRIORITY: list[str] = [
     "matryoshka_knn_topk",             # new: prefix-dim staged retrieval
     "dsir_weights_docs",               # new: importance-resampling weights
     "soft_dedup_docs",                 # new: probabilistic downweighting
+    "streaming_contract_events",       # new: continuous contract monitor
     # -- changed in r7 (asof struct-carry, scd2 tiebreak, prefix persist,
     #    bm25 df-cap refactor, quantile helper refactor) -> grade early --
     "asof_join_purchases",
