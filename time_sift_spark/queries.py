@@ -3086,6 +3086,120 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, revenue, n_name FROM (
+      SELECT c.c_custkey, c.c_name, n.n_name,
+             CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,6))), 4) AS DOUBLE) AS revenue
+      FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      WHERE o.o_orderdate >= TIMESTAMP '1995-01-01' AND o.o_orderdate < TIMESTAMP '1995-07-01'
+        AND l.l_returnflag = 'R'
+      GROUP BY c.c_custkey, c.c_name, n.n_name
+    ) ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): per-customer revenue lost to
+    returns in a half-year window, top 20. Plan shape: lineitem keeps
+    the returnflag filter on its scan, orders carries the pushed date
+    filter and joins lineitem on the one fact-fact key; customer and
+    nation arrive as broadcasts; top-20 is TakeOrderedAndProject.
+    Revenue is the exact-decimal dsum."""
+    import pyspark.sql.functions as F
+
+    li = load_table(spark, "lineitem", sf_dir).where("l_returnflag = 'R'")
+    orders = load_table(spark, "orders", sf_dir).where(
+        "o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01'"
+    )
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    rev = F.expr("l_extendedprice * (1 - l_discount)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_fdsum(rev).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q14_promo_effect",
+    oracle="""
+    SELECT promo_revenue, total_revenue,
+           (promo_revenue / total_revenue) AS promo_share
+    FROM (
+      SELECT
+        CAST(ROUND(SUM(CAST(CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END AS DECIMAL(27,6))), 4) AS DOUBLE) AS promo_revenue,
+        CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,6))), 4) AS DOUBLE) AS total_revenue
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1995-09-01' AND l.l_shipdate < TIMESTAMP '1995-10-01'
+    )
+    """,
+)
+def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): the share of one month's revenue
+    from promo-type parts — conditional-aggregation ratio in one pass.
+    part broadcasts into the date-filtered lineitem scan (pushed
+    predicate); both revenue sums are exact decimals and the share is
+    one IEEE division of the rounded doubles."""
+    import pyspark.sql.functions as F
+
+    li = load_table(spark, "lineitem", sf_dir).where(
+        "l_shipdate >= TIMESTAMP '1995-09-01' AND l_shipdate < TIMESTAMP '1995-10-01'"
+    )
+    part = load_table(spark, "part", sf_dir)
+    rev = F.expr("l_extendedprice * (1 - l_discount)")
+    promo = F.expr(
+        "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END"
+    )
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            _fdsum(promo).alias("promo_revenue"),
+            _fdsum(rev).alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        "promo_revenue", "total_revenue",
+        (F.col("promo_revenue") / F.col("total_revenue")).alias("promo_share"),
+    )
+
+
+@register(
+    "tpch_q16_supplier_cnt",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship), adapted: lineitem stands
+    in for the absent partsupp relation. Distinct supplier counts per
+    (brand, type, size) with a negated dimension predicate — the
+    dimension filter applies BEFORE the broadcast, so excluded parts
+    never reach the join; COUNT(DISTINCT) expands to the standard
+    two-phase distinct aggregate."""
+    import pyspark.sql.functions as F
+
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).where("p_brand <> 'Brand#1'")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
     "orc_roundtrip_nation",
     oracle="""
     SELECT n_regionkey,
@@ -5036,6 +5150,9 @@ GRADE_PRIORITY: list[str] = [
     "dsir_weights_docs",               # new: importance-resampling weights
     "soft_dedup_docs",                 # new: probabilistic downweighting
     "streaming_contract_events",       # new: continuous contract monitor
+    "tpch_q10_returned_items",         # new: fact-fact + 2 broadcasts top-20
+    "tpch_q14_promo_effect",           # new: conditional-agg ratio
+    "tpch_q16_supplier_cnt",           # new: negated-dim distinct counts
     # -- changed in r7 (asof struct-carry, scd2 tiebreak, prefix persist,
     #    bm25 df-cap refactor, quantile helper refactor) -> grade early --
     "asof_join_purchases",
