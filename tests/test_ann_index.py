@@ -357,3 +357,36 @@ def test_matryoshka_staged_recall_gate(recall_emb_truth):
     ).toPandas()
     m = got.merge(exact, on=["query_id", "neighbor_id"], suffixes=("_st", "_ex"))
     assert len(m) > 0 and (m.cosine_sim_st == m.cosine_sim_ex).all()
+
+
+def test_hard_negatives_exclude_positives(spark):
+    """Labeled positives never appear in the mined negatives, and the
+    negatives are exactly the best-scoring remainder."""
+    import pandas as pd
+
+    from time_sift_spark.operators.similarity import hard_negatives, knn_cosine_topk
+
+    emb001 = load_table(spark, "embeddings", SF_DIR)
+    emb001.createOrReplaceTempView("_ts_hn_t_emb")
+    pos_sql = (
+        "SELECT a.vec_id AS query_id, b.vec_id AS positive_id "
+        "FROM _ts_hn_t_emb a JOIN _ts_hn_t_emb b "
+        "ON a.label = b.label AND a.vec_id <> b.vec_id WHERE a.vec_id < 4"
+    )
+    neg = hard_negatives(
+        emb001, "vec_id", "embedding", query_pred="vec_id < 4",
+        positive_pairs_sql=pos_sql, k=5,
+    ).toPandas()
+    pos = spark.sql(pos_sql).toPandas()
+    pos_set = set(zip(pos.query_id, pos.positive_id))
+    assert not any((q, n) in pos_set for q, n in zip(neg.query_id, neg.neighbor_id))
+    # equals brute-force top-k filtered of positives
+    full = knn_cosine_topk(
+        emb001, "vec_id", "embedding", query_pred="vec_id < 4", k=499
+    ).toPandas()
+    for q, g in neg.groupby("query_id"):
+        expect = [
+            n for n in full[full.query_id == q].sort_values("rank").neighbor_id
+            if (q, n) not in pos_set
+        ][:5]
+        assert g.sort_values("rank").neighbor_id.tolist() == expect

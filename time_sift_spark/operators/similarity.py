@@ -1270,3 +1270,71 @@ def matryoshka_knn_topk(
         prefix_dim=prefix_dim, rerank=rerank,
     )
     return _run(df, sql, view)
+
+
+def hard_negatives_sql(
+    vd: VectorDialect,
+    table: str,
+    id_col: str,
+    vec_col: str,
+    *,
+    query_pred: str,
+    positive_pairs: str,
+    k: int = 5,
+) -> str:
+    """Hard-negative mining for retrieval/embedding training: for each
+    query, the top-``k`` most similar items that are NOT its labeled
+    positives (and not itself) — the highest-loss negatives a contrastive
+    trainer wants.  ``positive_pairs`` is a relation (query_id,
+    positive_id); exclusion is a broadcast LEFT ANTI join on the scored
+    candidates, so mislabeled "near positives" can never leak into the
+    negative set.  Same deterministic cosine + tie-break discipline as
+    knn_cosine_topk — the mined set is reproducible to the hash digit.
+    """
+    dot = vd.dot(f"q.{vec_col}", f"c.{vec_col}")
+    cos = f"({dot} / greatest(q.nrm * c.nrm, 1e-300))"
+    return f"""
+    WITH v AS (
+      SELECT {id_col}, {vec_col}, {vd.norm(vec_col)} AS nrm FROM {table}
+    ),
+    pos AS ({positive_pairs}),
+    scored AS (
+      SELECT q.{id_col} AS query_id, c.{id_col} AS neighbor_id,
+             {cos} AS cosine_sim
+      FROM (SELECT * FROM v WHERE {query_pred}) q
+      JOIN v c ON q.{id_col} <> c.{id_col}
+    ),
+    nonpos AS (
+      SELECT s.query_id, s.neighbor_id, s.cosine_sim
+      FROM scored s
+      LEFT JOIN pos p
+        ON p.query_id = s.query_id AND p.positive_id = s.neighbor_id
+      WHERE p.positive_id IS NULL
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT query_id, neighbor_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM nonpos
+    ) WHERE rank <= {k}
+    """
+
+
+def hard_negatives(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    query_pred: str,
+    positive_pairs_sql: str,
+    k: int = 5,
+) -> DataFrame:
+    for c in (id_col, vec_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    view = _next_view()
+    sql = hard_negatives_sql(
+        _VSPARK, view, id_col, vec_col, query_pred=query_pred,
+        positive_pairs=positive_pairs_sql, k=k,
+    )
+    return _run(df, sql, view)

@@ -1057,6 +1057,38 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq(emb, "vec_id", "embedding", query_pred="vid < 8", k=5)
 
 
+def _hardneg_positives(table: str) -> str:
+    return f"""
+SELECT a.vec_id AS query_id, b.vec_id AS positive_id
+FROM {table} a JOIN {table} b
+  ON a.label = b.label AND a.vec_id <> b.vec_id
+WHERE a.vec_id < 8
+"""
+
+
+@register(
+    "hard_negatives_topk",
+    oracle=_sim.hard_negatives_sql(
+        VDUCK, "embeddings", "vec_id", "embedding",
+        query_pred="vec_id < 8", positive_pairs=_hardneg_positives("embeddings"), k=5,
+    ),
+)
+def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    embedding, the 5 most similar vectors of a DIFFERENT label —
+    same-label pairs are the labeled positives and are excluded by a
+    left-anti join on the scored candidates, so near-positives can never
+    leak into the negative set. Deterministic cosine + id tie-breaks;
+    at scale the scoring arm swaps brute force for any of the ANN paths
+    (operators/similarity.hard_negatives)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    emb.createOrReplaceTempView("_ts_hn_embeddings")
+    return _sim.hard_negatives(
+        emb, "vec_id", "embedding", query_pred="vec_id < 8",
+        positive_pairs_sql=_hardneg_positives("_ts_hn_embeddings"), k=5,
+    )
+
+
 @register(
     "matryoshka_knn_topk",
     oracle=_sim.matryoshka_knn_topk_sql(
@@ -5153,6 +5185,7 @@ GRADE_PRIORITY: list[str] = [
     "tpch_q10_returned_items",         # new: fact-fact + 2 broadcasts top-20
     "tpch_q14_promo_effect",           # new: conditional-agg ratio
     "tpch_q16_supplier_cnt",           # new: negated-dim distinct counts
+    "hard_negatives_topk",             # new: contrastive negative mining
     # -- changed in r7 (asof struct-carry, scd2 tiebreak, prefix persist,
     #    bm25 df-cap refactor, quantile helper refactor) -> grade early --
     "asof_join_purchases",
