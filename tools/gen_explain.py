@@ -59,6 +59,10 @@ SHOWCASE = {
     "m4_downsample_events": "M4 downsampling: one Exchange on (type, bucket) carries four ROW_NUMBER role picks; bounds are one tree-aggregated row broadcast back (BroadcastNestedLoopJoin of a 1-row relation).",
     "bm25_topk_capped_docs": "BM25 with the df cap: the stop-word term is dropped from the tiny broadcast dfreq frame BEFORE the per-doc scoring join — the saturated posting list never reaches the scored frame.",
     "quantile_sketch_auto_by_type": "Adaptive-bounds quantile sketch: pass 1 is a two-column scan collapsing to ONE (min, max) row; pass 2 is the unchanged mergeable-bin sketch with the bounds cross-joined as a broadcast.",
+    "streaming_contract_events": "Continuous contract: one global streaming aggregation in complete mode - monitor state is a single row regardless of stream volume; the drained report equals the batch contract (the oracle).",
+    "soft_dedup_docs": "Soft dedup: the cluster frame (pair screen + propagation, << corpus) broadcasts back onto the corpus - the corpus never shuffles; the keep draw is integer md5 x size < 2^32.",
+    "hard_negatives_topk": "Hard negatives: brute-force scoring (swap in any ANN arm at scale) with the labeled positives excluded by a LEFT ANTI join before the per-query top-k window.",
+    "tpch_q10_returned_items": "Q10: lineitem keeps the returnflag filter on its scan, one fact-fact shuffle onto l_orderkey; customer and nation broadcast; top-20 is TakeOrderedAndProject.",
     "pit_training_set_events": "Point-in-time feature assembly: one union + ONE user_id Exchange carries both feature windows (ROWS carry + RANGE count); labels sort first at equal instants, so the leakage rule is in the sort key, not a filter.",
     "data_contract_events": "Data contract: every declared expectation is one slot in a single Aggregate over one scan; the report fans out from the 1-row result via explode — adding the 20th check costs a column, not a scan.",
     "bigram_fluency_docs": "Bigram fluency: native posexplode + one LEAD window builds the bigram stream (no interpreted lambdas); model counts partial-aggregate; scoring is a bigram-key equi-join.",
