@@ -359,6 +359,147 @@ def test_matryoshka_staged_recall_gate(recall_emb_truth):
     assert len(m) > 0 and (m.cosine_sim_st == m.cosine_sim_ex).all()
 
 
+# ---------------------------------------------------------------------------
+# Round-8 persisted build/serve tier: refined IVF, PQ, semantic dedup.
+# ---------------------------------------------------------------------------
+
+RIVF_KW = dict(num_centroids=8, multi_assign=2, lloyd_iters=2)
+
+
+@pytest.fixture(scope="module")
+def rivf_path(emb, tmp_path_factory):
+    from time_sift_spark.operators.similarity import build_refined_ivf_index
+
+    path = str(tmp_path_factory.mktemp("rivf_idx"))
+    build_refined_ivf_index(emb, "vec_id", "embedding", path, **RIVF_KW)
+    return path
+
+
+@pytest.fixture(scope="module")
+def pq_path(emb, tmp_path_factory):
+    from time_sift_spark.operators.pq import build_pq_index
+
+    path = str(tmp_path_factory.mktemp("pq_idx"))
+    build_pq_index(emb, "vec_id", "embedding", path, m=16, sub_dim=4, k_codes=8, lloyd_iters=2)
+    return path
+
+
+def test_refined_ivf_persisted_equals_inline(spark, emb, rivf_path):
+    from time_sift_spark.operators.similarity import (
+        ann_ivf_refined_topk,
+        query_refined_ivf_index,
+    )
+
+    inline = _sorted(
+        ann_ivf_refined_topk(
+            emb, "vec_id", "embedding", query_pred="vid < 8", k=5, nprobe=4, **RIVF_KW
+        )
+    )
+    persisted = _sorted(
+        query_refined_ivf_index(spark, rivf_path, query_pred="vid < 8", k=5, nprobe=4)
+    )
+    pd.testing.assert_frame_equal(persisted, inline)
+
+
+def test_refined_ivf_query_skips_training(spark, rivf_path):
+    """Amortization is structural: the serve plan must contain NO Lloyd
+    machinery — no per-dimension explode (Generate posexplode is the
+    mean-update signature) — and must read the persisted artifacts."""
+    from time_sift_spark.operators.similarity import query_refined_ivf_index
+
+    plan = _plan(query_refined_ivf_index(spark, rivf_path, query_pred="vid < 8", k=5, nprobe=4))
+    assert "posexplode" not in plan
+    assert "centroids" in plan and "assigned" in plan
+
+
+def test_pq_persisted_equals_inline(spark, emb, pq_path):
+    from time_sift_spark.operators.pq import pq_adc_topk, query_pq_index
+
+    inline = _sorted(
+        pq_adc_topk(
+            emb, "vec_id", "embedding", query_pred="vid < 8", k=5,
+            m=16, sub_dim=4, k_codes=8, lloyd_iters=2, rerank=50,
+        )
+    )
+    persisted = _sorted(query_pq_index(spark, pq_path, query_pred="vid < 8", k=5, rerank=50))
+    pd.testing.assert_frame_equal(persisted, inline)
+
+
+def test_pq_query_skips_training_and_encode(spark, pq_path):
+    """The serve plan reads codebook + codes parquet and contains no
+    posexplode (the Lloyd per-dim mean signature); the only remaining
+    explode is the |Q|-side subspace split of the probe vectors."""
+    from time_sift_spark.operators.pq import query_pq_index
+
+    plan = _plan(query_pq_index(spark, pq_path, query_pred="vid < 8", k=5, rerank=50))
+    assert "posexplode" not in plan
+    assert "codebook" in plan and "codes" in plan
+
+
+def test_semantic_dedup_persisted_equals_inline(spark, emb, rivf_path):
+    from time_sift_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_from_index,
+    )
+
+    inline = (
+        semantic_dedup(emb, "vec_id", "embedding", threshold=0.35, **RIVF_KW)
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    served = (
+        semantic_dedup_from_index(spark, rivf_path, "vec_id", threshold=0.35)
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(served, inline)
+
+
+def test_pq_dim_validation(spark, emb):
+    """m*sub_dim must cover the actual vector width — on a mismatch
+    Spark slice/zip_with NULL-pads and rankings silently degrade to cid
+    tiebreaks, so the wrapper and the builder both raise instead."""
+    from time_sift_spark.operators.pq import build_pq_index, pq_adc_topk
+
+    with pytest.raises(ValueError, match="does not cover"):
+        pq_adc_topk(emb, "vec_id", "embedding", query_pred="vid < 2", m=16, sub_dim=3)
+    with pytest.raises(ValueError, match="does not cover"):
+        build_pq_index(emb, "vec_id", "embedding", "/tmp/_ts_pq_baddim", m=8, sub_dim=4)
+
+
+# ---------------------------------------------------------------------------
+# Round-8 ANN-backed hard negatives: overlap vs the brute-mined truth.
+# ---------------------------------------------------------------------------
+
+
+def test_hard_negatives_ann_overlap_vs_brute(spark):
+    """The production (multiprobe-shortlist) miner must recover >= 0.85
+    of the brute-mined negative set (measured 0.925-level shortlist
+    recall flows through; deterministic pipeline, stable number), and
+    positives must never leak in."""
+    from time_sift_spark.operators.similarity import hard_negatives, hard_negatives_ann
+
+    emb01 = load_table(spark, "embeddings", SF_RECALL)
+    emb01.createOrReplaceTempView("_ts_hna_t_emb")
+    pos_sql = (
+        "SELECT a.vec_id AS query_id, b.vec_id AS positive_id "
+        "FROM _ts_hna_t_emb a JOIN _ts_hna_t_emb b "
+        "ON a.label = b.label AND a.vec_id <> b.vec_id WHERE a.vec_id < 8"
+    )
+    brute = hard_negatives(
+        emb01, "vec_id", "embedding", query_pred="vec_id < 8",
+        positive_pairs_sql=pos_sql, k=5,
+    ).toPandas()
+    ann = hard_negatives_ann(
+        emb01, "vec_id", "embedding", query_pred="vid < 8",
+        positive_pairs_sql=pos_sql, k=5, num_planes=6, num_tables=12, dim=64,
+    ).toPandas()
+    pos = spark.sql(pos_sql).toPandas()
+    pos_set = set(zip(pos.query_id, pos.positive_id))
+    assert not any((q, n) in pos_set for q, n in zip(ann.query_id, ann.neighbor_id))
+    bsets = {q: set(g.neighbor_id) for q, g in brute.groupby("query_id")}
+    hits = sum(len(set(g.neighbor_id) & bsets[q]) for q, g in ann.groupby("query_id"))
+    assert hits / (5 * len(bsets)) >= 0.85
+
+
 def test_hard_negatives_exclude_positives(spark):
     """Labeled positives never appear in the mined negatives, and the
     negatives are exactly the best-scoring remainder."""

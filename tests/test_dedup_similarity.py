@@ -625,3 +625,50 @@ def test_soft_dedup_downweights_clusters_keeps_singletons(spark):
     # kept implies kept_soft or canonical
     canon = clustered.index == clustered.cluster_id
     assert (clustered.kept == (clustered.kept_soft | canon)).all()
+
+
+def test_line_dedup_drops_boilerplate_keeps_structure(spark):
+    """CCNet line dedup: lines shared by > cap docs are dropped, short
+    structural lines are exempt, surviving lines reassemble in original
+    order, and all-dropped docs come back as ''."""
+    import pandas as pd
+
+    from time_sift_spark.operators.dedup import line_dedup
+
+    header = "cookie banner: accept our cookies please"
+    docs = [
+        (i, f"{header}\n--\nunique body line number {i} with content\n{header}")
+        for i in range(4)
+    ]
+    docs.append((4, header))  # boilerplate-only doc -> reassembles to ''
+    docs.append((5, "short\nanother unique body line here"))
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    out = (
+        line_dedup(df, "doc_id", "text", max_line_docs=3, min_line_chars=10)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert len(out) == 6
+    # header appears in 5 docs > cap 3 -> dropped everywhere; '--' and
+    # 'short' are under min_line_chars -> exempt, kept
+    r0 = out.iloc[0]
+    assert r0.text_dedup == "--\nunique body line number 0 with content"
+    assert (r0.n_lines, r0.n_kept, r0.n_dropped) == (4, 2, 2)
+    assert out.iloc[4].text_dedup == "" and out.iloc[4].n_dropped == 1
+    assert out.iloc[5].text_dedup == "short\nanother unique body line here"
+    assert out.iloc[5].n_dropped == 0
+
+
+def test_line_dedup_in_document_repetition_not_cross_doc(spark):
+    """Frequency counts DISTINCT docs: a line repeated 10x inside ONE
+    doc must survive (in-document loops are repetition_filter's job)."""
+    import pandas as pd
+
+    from time_sift_spark.operators.dedup import line_dedup
+
+    line = "this line repeats inside one single document"
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["\n".join([line] * 10)]})
+    )
+    out = line_dedup(df, "doc_id", "text", max_line_docs=3, min_line_chars=10).toPandas()
+    assert out.iloc[0].n_dropped == 0
+    assert out.iloc[0].text_dedup == "\n".join([line] * 10)

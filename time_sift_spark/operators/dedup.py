@@ -893,6 +893,116 @@ def exact_substring_pairs(
     return _run(df, exact_substring_pairs_sql, id_col, text_col, **kw)
 
 
+def line_dedup_sql(
+    d: Dialect,
+    table: str,
+    id_col: str,
+    text_col: str,
+    *,
+    max_line_docs: int = 5,
+    min_line_chars: int = 10,
+) -> str:
+    """CCNet-style line/paragraph-level deduplication (Wenzek et al.
+    2020, arXiv:1911.00359 §3.1, re-based from sequential shard hashing
+    to the engine's shuffle-join primitives): drop every LINE whose
+    trimmed content appears in more than ``max_line_docs`` documents —
+    boilerplate (navigation chrome, cookie banners, license headers)
+    repeats across pages while body prose does not — and reassemble each
+    document from its surviving lines in original order.  The one
+    standard corpus-dedup granularity between document-level
+    (exact/MinHash/semantic) and window-level (ExactSubstr), closing
+    that gap in the suite.
+
+    Rules, all deterministic:
+
+    * line key = 60-bit md5 of ``trim(line)`` — the explode→hash→agg
+      discipline of this module; frequency = COUNT(DISTINCT doc) so
+      in-document repetition (the repetition_filter signal) doesn't
+      trigger cross-document dropping;
+    * lines with fewer than ``min_line_chars`` trimmed chars are EXEMPT
+      (blank lines, list bullets, '---' separators — document structure,
+      not content; without the exemption every blank line in the corpus
+      exceeds any cap and formatting is destroyed);
+    * ``max_line_docs`` is the df-cap rule (the band-frequency-cap /
+      gram_doc_cap pattern): it simultaneously defines "boilerplate" AND
+      bounds the skew case — the frequency table is (key, count) rows,
+      never a pair join, so a line shared by a million documents costs
+      one counter, not 10¹² pairs.
+
+    Shape: one split+explode, one partial-aggregated frequency count
+    (shuffle on the 60-bit line key), one broadcast-friendly key join
+    back, one groupBy(doc) reassembly ordered by line position.  Output:
+    ({id_col}, text_dedup, n_lines, n_kept, n_dropped) for EVERY input
+    row (all-lines-dropped documents reassemble to '').
+    """
+    lines_arr = d.split(text_col, "\\n")
+    if d.name == "spark":
+        ex = (
+            f"SELECT did, pos, line FROM "
+            f"(SELECT {id_col} AS did, {lines_arr} AS _ls FROM {table}) "
+            f"LATERAL VIEW posexplode(_ls) t AS pos, line"
+        )
+        # collect_list skips NULLs: dropped lines vanish before the sort
+        reasm = (
+            "concat_ws(chr(10), transform(array_sort(collect_list("
+            "CASE WHEN NOT dropped THEN struct(pos, line) END)), s -> s.line))"
+        )
+    else:
+        ex = (
+            f"SELECT did, i AS pos, _ls[i] AS line FROM "
+            f"(SELECT did, _ls, unnest(range(1, len(_ls) + 1)) AS i FROM "
+            f"(SELECT {id_col} AS did, {lines_arr} AS _ls FROM {table}))"
+        )
+        reasm = (
+            "string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT dropped)"
+        )
+    return f"""
+    WITH lines AS ({ex}),
+    keyed AS (
+      SELECT did, pos, line,
+             CASE WHEN length(trim(line)) >= {int(min_line_chars)}
+                  THEN {d.md5_long("trim(line)")} END AS lkey
+      FROM lines
+    ),
+    freq AS (
+      SELECT lkey, COUNT(DISTINCT did) AS ndocs
+      FROM keyed WHERE lkey IS NOT NULL GROUP BY lkey
+    ),
+    flagged AS (
+      SELECT k.did, k.pos, k.line,
+             (k.lkey IS NOT NULL AND COALESCE(f.ndocs, 0) > {int(max_line_docs)}) AS dropped
+      FROM keyed k LEFT JOIN freq f ON f.lkey = k.lkey
+    ),
+    agg AS (
+      SELECT did,
+             COUNT(*) AS n_lines,
+             SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS n_dropped,
+             {reasm} AS text_dedup
+      FROM flagged GROUP BY did
+    )
+    SELECT b.{id_col}, COALESCE(a.text_dedup, '') AS text_dedup,
+           CAST(COALESCE(a.n_lines, 0) AS BIGINT) AS n_lines,
+           CAST(COALESCE(a.n_lines, 0) - COALESCE(a.n_dropped, 0) AS BIGINT) AS n_kept,
+           CAST(COALESCE(a.n_dropped, 0) AS BIGINT) AS n_dropped
+    FROM {table} b LEFT JOIN agg a ON a.did = b.{id_col}
+    """
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_line_docs: int = 5,
+    min_line_chars: int = 10,
+) -> DataFrame:
+    """DataFrame entry point for :func:`line_dedup_sql`."""
+    return _run(
+        df, line_dedup_sql, id_col, text_col,
+        max_line_docs=max_line_docs, min_line_chars=min_line_chars,
+    )
+
+
 def soft_dedup_sql(
     d: Dialect, table: str, id_col: str, text_col: str, **kw
 ) -> str:
@@ -931,9 +1041,16 @@ def soft_dedup(
 
     The draw is integer-exact cross-engine: 32-bit md5 prefix × size <
     2³², no float probability anywhere.  Shape: the near-dup cluster
-    pass (pair screen + label propagation) + ONE broadcast-size left
-    join back onto the corpus — the cluster frame is ≪ the corpus, so
-    the corpus never shuffles.
+    pass (pair screen + label propagation) + ONE left join back onto
+    the corpus.  The join strategy is deliberately UNHINTED: the
+    cluster frame's size is the duplicate population, and on the
+    dup-saturated corpora dedup exists for (30-50% of a web crawl) it
+    is O(n) rows — a forced broadcast would hit the ~8 GB build-side
+    cliff by construction, and an explicit hint can't be overridden by
+    AQE.  Left to AQE, the join broadcasts when the cluster frame's
+    RUNTIME size is small (the common case) and falls back to a
+    shuffle join when it isn't — the only plan that survives both
+    regimes.
     """
     from pyspark.sql import functions as F
 
@@ -948,7 +1065,7 @@ def soft_dedup(
     size = F.coalesce(F.col("cluster_size"), F.lit(1))
     draw = (h32 * size) < F.lit(4294967296)
     return (
-        base.join(F.broadcast(clusters), base["_sd_id"] == clusters["doc_id"], "left")
+        base.join(clusters, base["_sd_id"] == clusters["doc_id"], "left")
         .select(
             F.col("_sd_id").alias("doc_id"),
             F.coalesce(F.col("cluster_id"), F.col("_sd_id")).alias("cluster_id"),

@@ -53,6 +53,36 @@ def _next_view() -> str:
     return f"_ts_pq_in_{_VIEW_SEQ[0]}"
 
 
+def _check_pq_dim(df: DataFrame, vec_col: str, m: int, sub_dim: int) -> None:
+    """Enforce the docstring's MUST: ``m * sub_dim`` == the actual vector
+    width.  On a mismatch Spark's slice/zip_with pads the shorter side
+    with NULL, distances go NULL, and the ranking silently degrades to
+    cid tiebreaks instead of erroring — the exact 'silently corrupting'
+    failure the LSH wrapper's dim probe guards against.  One first() over
+    the non-null vectors, same cost as ann_lsh_topk's probe."""
+    from pyspark.sql import functions as F
+
+    row = df.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+    if row is None:
+        return  # empty/all-NULL input: nothing to corrupt
+    dim = len(row[0])
+    if m * sub_dim != dim:
+        raise ValueError(
+            f"PQ decomposition m={m} x sub_dim={sub_dim} = {m * sub_dim} "
+            f"does not cover the {dim}-d vectors in {vec_col!r}"
+        )
+
+
+def _adc_rd(expr: str) -> str:
+    """Round the DERIVED squared-distance double in pure double arithmetic
+    BEFORE the decimal quantize of the ADC sum (the _num.py tie rule:
+    Spark HALF_UP vs DuckDB HALF_EVEN diverge on representable .5e-7
+    ties, and derived doubles can land on them)."""
+    from .similarity import _round_then_quantize
+
+    return _round_then_quantize(expr)
+
+
 def _rebuild(vd: VectorDialect) -> str:
     if vd.name == "spark":
         return "transform(array_sort(collect_list(struct(j, mj))), s -> s.mj)"
@@ -102,8 +132,11 @@ def pq_lloyd_ctes(
     similarity.lloyd_ctes, with (a) squared-L2 instead of cosine (PQ's
     metric) and (b) the subspace id in every group key.
     """
+    from .similarity import _round_then_quantize
+
     sq = vd.sqdist("x.svec", "c.cent")
     mean = f"({dec_to_double('sm')} / n)"
+    rd_val = _round_then_quantize("val")
     ctes = [
         f"sub AS ({_subspace_cte(vd, m, sub_dim)})",
         f"""pc0 AS (
@@ -128,7 +161,7 @@ def pq_lloyd_ctes(
         ctes.append(f"""pm{i} AS (
       SELECT s, cid, {_rebuild(vd)} AS cent FROM (
         SELECT s, cid, j, {mean} AS mj FROM (
-          SELECT s, cid, j, SUM(CAST(val AS DECIMAL(27,6))) AS sm, COUNT(*) AS n
+          SELECT s, cid, j, SUM(CAST({rd_val} AS DECIMAL(27,6))) AS sm, COUNT(*) AS n
           FROM ({_explode_svec_dims(vd, f"pa{i}")}) GROUP BY s, cid, j
         )
       ) GROUP BY s, cid
@@ -197,7 +230,7 @@ def pq_adc_topk_sql(
     ),
     adc AS (
       SELECT dt.qvid AS query_id, codes.vid AS neighbor_id,
-             SUM(CAST(dt.dist AS DECIMAL(27,6))) AS approx
+             SUM(CAST({_adc_rd("dt.dist")} AS DECIMAL(27,6))) AS approx
       FROM codes JOIN dt ON dt.s = codes.s AND dt.cid = codes.cid
       WHERE codes.vid <> dt.qvid
       GROUP BY dt.qvid, codes.vid
@@ -224,6 +257,134 @@ def pq_adc_topk_sql(
     """
 
 
+def build_pq_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    *,
+    m: int = 16,
+    sub_dim: int = 4,
+    k_codes: int = 16,
+    lloyd_iters: int = 3,
+) -> None:
+    """Train-once / serve-many PQ: the inline :func:`pq_adc_topk`
+    retrains all m subspace codebooks AND re-encodes every vector on
+    every query — at 100 TB (and in the bench) that cost must amortize.
+    Artifacts:
+
+    * ``{path}/vectors``  — (vid, emb DOUBLE[]): cast-once vectors for
+      the query-side distance tables and the exact re-rank;
+    * ``{path}/codebook`` — (s, cid, cent): all m codebooks from ONE
+      Lloyd chain (subspace id is a group key — plan constant in m),
+      m×k_codes rows, broadcast-sized forever;
+    * ``{path}/codes``    — (vid, s, cid): each vector as m one-byte
+      codes — the 16×-compressed frame the ADC candidate pass scans,
+      written repartitioned by (s, cid) so the distance-table join
+      reads code-clustered files;
+    * ``{path}/params``   — written LAST (the build-complete marker).
+
+    Stored values come from the identical exact-decimal expressions the
+    inline statement evaluates, so serve ≡ inline bit-for-bit — the
+    registered query's oracle is the inline SQL."""
+    for c in (id_col, vec_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    _check_pq_dim(df, vec_col, m, sub_dim)
+    spark = df.sparkSession
+    view = _next_view()
+    df.createOrReplaceTempView(view)
+    vd = _VSPARK
+    spark.sql(f"""
+      SELECT {id_col} AS vid, transform({vec_col}, x -> CAST(x AS DOUBLE)) AS emb
+      FROM {view}
+    """).write.mode("overwrite").parquet(f"{path}/vectors")
+    vview = _next_view()
+    spark.read.parquet(f"{path}/vectors").createOrReplaceTempView(vview)
+    ctes, cfin = pq_lloyd_ctes(
+        vd, m=m, sub_dim=sub_dim, k_codes=k_codes, iters=lloyd_iters
+    )
+    spark.sql(f"""
+      WITH v AS (SELECT vid, emb FROM {vview}),
+      {ctes}
+      SELECT s, cid, cent FROM {cfin}
+    """).write.mode("overwrite").parquet(f"{path}/codebook")
+    cbview = _next_view()
+    spark.read.parquet(f"{path}/codebook").createOrReplaceTempView(cbview)
+    codes = spark.sql(f"""
+      WITH v AS (SELECT vid, emb FROM {vview}),
+      sub AS ({_subspace_cte(vd, m, sub_dim)})
+      SELECT vid, s, cid FROM (
+        SELECT x.vid, x.s, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY x.vid, x.s
+                                  ORDER BY {vd.sqdist("x.svec", "c.cent")} ASC, c.cid) AS crank
+        FROM sub x JOIN {cbview} c ON c.s = x.s
+      ) WHERE crank = 1
+    """)
+    codes.repartition("s", "cid").write.mode("overwrite").parquet(f"{path}/codes")
+    spark.createDataFrame(
+        [(id_col, vec_col, m, sub_dim, k_codes, lloyd_iters)],
+        "id_col string, vec_col string, m int, sub_dim int, k_codes int, lloyd_iters int",
+    ).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def query_pq_index(
+    spark, path: str, *, query_pred: str, k: int = 5, rerank: int = 100
+) -> DataFrame:
+    """ADC top-k against a persisted PQ index.  ``query_pred`` sees the
+    stored vector columns (vid, emb).  The query pays: |Q|×m×k_codes
+    distance-table entries (subspace explode of the |Q| probes only),
+    the (s, cid) equi-join against the compressed codes frame, the
+    exact-decimal ADC collapse, and the exact re-rank of the top-C —
+    no training, no data-side encode (asserted in tests)."""
+    p = spark.read.parquet(f"{path}/params").collect()[0]
+    m, sub_dim = p["m"], p["sub_dim"]
+    vview, cbview, coview = _next_view(), _next_view(), _next_view()
+    spark.read.parquet(f"{path}/vectors").createOrReplaceTempView(vview)
+    spark.read.parquet(f"{path}/codebook").createOrReplaceTempView(cbview)
+    spark.read.parquet(f"{path}/codes").createOrReplaceTempView(coview)
+    vd = _VSPARK
+    sq_dt = vd.sqdist("qs.svec", "c.cent")
+    sq_exact = vd.sqdist("q.emb", "cand.emb")
+    return spark.sql(f"""
+    WITH qv AS (
+      SELECT vid, emb FROM {vview} WHERE {query_pred}
+    ),
+    v AS (SELECT vid, emb FROM qv),
+    qsub AS ({_subspace_cte(vd, m, sub_dim)}),
+    dt AS (
+      SELECT qs.vid AS qvid, qs.s, c.cid, {sq_dt} AS dist
+      FROM qsub qs JOIN {cbview} c ON c.s = qs.s
+    ),
+    adc AS (
+      SELECT dt.qvid AS query_id, codes.vid AS neighbor_id,
+             SUM(CAST({_adc_rd("dt.dist")} AS DECIMAL(27,6))) AS approx
+      FROM {coview} codes JOIN dt ON dt.s = codes.s AND dt.cid = codes.cid
+      WHERE codes.vid <> dt.qvid
+      GROUP BY dt.qvid, codes.vid
+    ),
+    shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY approx ASC, neighbor_id) AS arank
+        FROM adc
+      ) WHERE arank <= {rerank}
+    )
+    SELECT query_id, neighbor_id, l2_sq, rank FROM (
+      SELECT query_id, neighbor_id, l2_sq,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY l2_sq ASC, neighbor_id) AS rank
+      FROM (
+        SELECT sl.query_id, sl.neighbor_id, {sq_exact} AS l2_sq
+        FROM shortlist sl
+        JOIN {vview} q ON q.vid = sl.query_id
+        JOIN {vview} cand ON cand.vid = sl.neighbor_id
+      )
+    ) WHERE rank <= {k}
+    """)
+
+
 def pq_adc_topk(
     df: DataFrame,
     id_col: str,
@@ -240,6 +401,7 @@ def pq_adc_topk(
     for c in (id_col, vec_col):
         if c not in df.columns:
             raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    _check_pq_dim(df, vec_col, m, sub_dim)
     view = _next_view()
     sql = pq_adc_topk_sql(
         _VSPARK, view, id_col, vec_col, query_pred=query_pred, k=k,

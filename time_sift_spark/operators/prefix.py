@@ -72,14 +72,18 @@ def prefix_sum_global(
     bucket = F.lit(0)
     for b in bounds:
         bucket = bucket + F.when(F.col("_t_num") > F.lit(b), 1).otherwise(0)
-    # Persisted because TWO jobs read it (the totals collect below and
-    # the caller's ranking job): on a non-deterministic source the two
-    # evaluations could disagree — offsets from one draw, local sums
-    # from another — silently corrupting the global prefix; and even on
-    # deterministic input it saves the second full scan.  The totals
-    # collect materializes it; lifetime is the caller's job (Spark
-    # evicts LRU; callers running many builds can unpersist/clearCache).
-    bucketed = num_df.withColumn("_bucket", bucket).drop("_t_num").persist()
+    # localCheckpoint, NOT persist: TWO jobs read this frame (the totals
+    # collect below and the caller's ranking job), and on a
+    # non-deterministic source they must read IDENTICAL rows — offsets
+    # from one draw and local sums from another silently corrupt the
+    # global prefix.  persist() only caches best-effort: under memory
+    # pressure Spark evicts partitions and RECOMPUTES them from the
+    # source, re-opening exactly that divergence.  localCheckpoint
+    # severs the lineage — an evicted/lost partition is an error, never
+    # a silent recompute (lazy: the totals collect materializes it).
+    bucketed = (
+        num_df.withColumn("_bucket", bucket).drop("_t_num").localCheckpoint(eager=False)
+    )
 
     # pass 1: per-bucket local running sums (bucket-partitioned windows)
     w_local = (
@@ -139,16 +143,17 @@ def shuffle_rank_global(
 
     key = f"md5(CAST({id_col} AS STRING))"
     stride = 65536 // num_buckets
-    # Persisted for the same reason as prefix_sum_global's bucketed
+    # localCheckpoint for the same reason as prefix_sum_global's bucketed
     # frame: the counts collect and the caller's rank job must read the
     # SAME materialized rows (a non-deterministic source would otherwise
-    # yield duplicate or gapped global ranks), and the cache saves the
-    # second source scan.
+    # yield duplicate or gapped global ranks) — persist() can evict and
+    # silently recompute under memory pressure; lineage truncation is
+    # the real guarantee (lazy: the counts collect materializes it).
     keyed = df.selectExpr(
         "*",
         f"{key} AS _skey",
         f"CAST(conv(substr({key}, 1, 4), 16, 10) AS INT) DIV {stride} AS _bucket",
-    ).persist()
+    ).localCheckpoint(eager=False)
     w_local = Window.partitionBy("_bucket").orderBy("_skey", id_col)
     local = keyed.withColumn("_local", F.row_number().over(w_local))
 

@@ -108,7 +108,12 @@ def _metric_expr(dialect: str, e: Expectation) -> tuple[str, str, str]:
     n = "COUNT(*)"
 
     def frac(bad: str) -> str:
-        return f"(CAST({bad} AS DOUBLE) / CAST(greatest({n}, 1) AS DOUBLE))"
+        # COALESCE: SUM over ZERO rows is NULL, so on an empty table every
+        # ≤-threshold metric would be NULL and `passed` NULL — a contract
+        # gate filtering on passed = false would silently miss the
+        # violation exactly when a partition arrives empty.  An empty
+        # table has zero bad rows: metric 0.0, a definite verdict.
+        return f"(CAST(COALESCE({bad}, 0) AS DOUBLE) / CAST(greatest({n}, 1) AS DOUBLE))"
 
     if e.kind == "not_null":
         return frac(f"SUM(CASE WHEN {e.col} IS NULL THEN 1 ELSE 0 END)"), repr(float(e.threshold)), "<="
@@ -157,7 +162,10 @@ def expectations_sql(
             ("kind", f"'{e.kind}'"),
             ("metric", f"m{i}"),
             ("threshold", thr),
-            ("passed", f"(m{i} {op} {thr})"),
+            # COALESCE(..., FALSE): a metric that is still NULL (freshness
+            # over an empty table — MAX of nothing) must FAIL the gate, not
+            # evaporate into a NULL verdict a passed=false filter skips.
+            ("passed", f"COALESCE((m{i} {op} {thr}), FALSE)"),
         ]
         if dialect == "spark":
             body = ", ".join(f"'{n}', {v}" for n, v in fields)
@@ -283,7 +291,7 @@ def streaming_contract(
                 f"'kind', '{e.kind}'",
                 f"'metric', m{i}",
                 f"'threshold', {thr}",
-                f"'passed', (m{i} {op} {thr})",
+                f"'passed', COALESCE((m{i} {op} {thr}), FALSE)",
             ]
         )
         rows.append(f"named_struct({fields})")

@@ -216,6 +216,70 @@ def _planes_values(vd: VectorDialect, num_planes: int, num_tables: int, seed: in
     return f"SELECT * FROM (VALUES {body}) AS pv(t, p, w, pl)"
 
 
+def _multiprobe_cand_ctes(
+    vd: VectorDialect,
+    table: str,
+    id_col: str,
+    vec_col: str,
+    *,
+    query_pred: str,
+    num_planes: int,
+    num_tables: int,
+    seed: int,
+    dim: int,
+) -> str:
+    """The multiprobe-LSH candidate-generation CTE chain (planes-as-data
+    formulation), shared by :func:`ann_lsh_multiprobe_sql` and
+    :func:`hard_negatives_ann_sql` so the two cannot drift.  Emits CTEs
+    ``v`` (vid, {vec_col}, emb, nrm), ``qv``, and ``cand`` (query_id,
+    neighbor_id); callers append their scoring/ranking tail."""
+    dot_sp = vd.dot("s.emb", "pv.pl")
+    flips = ["b.b"] + [
+        (f"(b.b ^ {1 << f})" if vd.name == "spark" else f"xor(b.b, {1 << f})")
+        for f in range(num_planes)
+    ]
+    if vd.name == "spark":
+        qkeys = f"""
+      SELECT vid, concat(CAST(t AS STRING), '_', CAST(fb AS STRING)) AS bkey
+      FROM (SELECT b.vid, b.t, array({', '.join(flips)}) AS fbs
+            FROM bkt b JOIN qv ON qv.vid = b.vid)
+      LATERAL VIEW explode(fbs) f AS fb"""
+    else:
+        qkeys = f"""
+      SELECT vid, concat(CAST(t AS STRING), '_', CAST(fb AS STRING)) AS bkey
+      FROM (SELECT b.vid, b.t, unnest([{', '.join(flips)}]) AS fb
+            FROM bkt b JOIN qv ON qv.vid = b.vid)"""
+    if vd.name == "spark":
+        to_double = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    else:
+        to_double = f"list_transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    return f"""v AS (
+      SELECT {id_col} AS vid, {vec_col} AS {vec_col}, {to_double} AS emb,
+             {vd.norm(vec_col)} AS nrm
+      FROM {table}
+    ),
+    planes AS ({_planes_values(vd, num_planes, num_tables, seed, dim)}),
+    bkt AS (
+      SELECT s.vid, pv.t,
+             SUM(CASE WHEN {dot_sp} >= 0 THEN pv.w ELSE 0 END) AS b
+      FROM v s CROSS JOIN planes pv
+      GROUP BY s.vid, pv.t
+    ),
+    keys AS (
+      SELECT vid, concat(CAST(t AS STRING), '_', CAST(b AS STRING)) AS bkey
+      FROM bkt
+    ),
+    qv AS (
+      SELECT * FROM v WHERE {query_pred}
+    ),
+    qkeys AS ({qkeys}),
+    cand AS (
+      SELECT DISTINCT x.vid AS query_id, y.vid AS neighbor_id
+      FROM qkeys x
+      JOIN keys y ON x.bkey = y.bkey AND x.vid <> y.vid
+    )"""
+
+
 def ann_lsh_multiprobe_sql(
     vd: VectorDialect,
     table: str,
@@ -245,54 +309,14 @@ def ann_lsh_multiprobe_sql(
     tests/test_ann_index.py.  Candidates remain a pure (table, bucket)
     string-key equi-join.
     """
-    dot_sp = vd.dot("s.emb", "pv.pl")
     dot_q = vd.dot(f"q.{vec_col}", f"c.{vec_col}")
     cos = f"({dot_q} / greatest(q.nrm * c.nrm, 1e-300))"
-    flips = ["b.b"] + [
-        (f"(b.b ^ {1 << f})" if vd.name == "spark" else f"xor(b.b, {1 << f})")
-        for f in range(num_planes)
-    ]
-    if vd.name == "spark":
-        qkeys = f"""
-      SELECT vid, concat(CAST(t AS STRING), '_', CAST(fb AS STRING)) AS bkey
-      FROM (SELECT b.vid, b.t, array({', '.join(flips)}) AS fbs
-            FROM bkt b JOIN qv ON qv.vid = b.vid)
-      LATERAL VIEW explode(fbs) f AS fb"""
-    else:
-        qkeys = f"""
-      SELECT vid, concat(CAST(t AS STRING), '_', CAST(fb AS STRING)) AS bkey
-      FROM (SELECT b.vid, b.t, unnest([{', '.join(flips)}]) AS fb
-            FROM bkt b JOIN qv ON qv.vid = b.vid)"""
-    if vd.name == "spark":
-        to_double = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
-    else:
-        to_double = f"list_transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    ctes = _multiprobe_cand_ctes(
+        vd, table, id_col, vec_col, query_pred=query_pred,
+        num_planes=num_planes, num_tables=num_tables, seed=seed, dim=dim,
+    )
     return f"""
-    WITH v AS (
-      SELECT {id_col} AS vid, {vec_col} AS {vec_col}, {to_double} AS emb,
-             {vd.norm(vec_col)} AS nrm
-      FROM {table}
-    ),
-    planes AS ({_planes_values(vd, num_planes, num_tables, seed, dim)}),
-    bkt AS (
-      SELECT s.vid, pv.t,
-             SUM(CASE WHEN {dot_sp} >= 0 THEN pv.w ELSE 0 END) AS b
-      FROM v s CROSS JOIN planes pv
-      GROUP BY s.vid, pv.t
-    ),
-    keys AS (
-      SELECT vid, concat(CAST(t AS STRING), '_', CAST(b AS STRING)) AS bkey
-      FROM bkt
-    ),
-    qv AS (
-      SELECT * FROM v WHERE {query_pred}
-    ),
-    qkeys AS ({qkeys}),
-    cand AS (
-      SELECT DISTINCT x.vid AS query_id, y.vid AS neighbor_id
-      FROM qkeys x
-      JOIN keys y ON x.bkey = y.bkey AND x.vid <> y.vid
-    ),
+    WITH {ctes},
     scored AS (
       SELECT cand.query_id, cand.neighbor_id, {cos} AS cosine_sim
       FROM cand
@@ -470,6 +494,21 @@ def _mean_expr() -> str:
     return f"({dec_to_double('s')} / n)"
 
 
+def _round_then_quantize(expr: str) -> str:
+    """DOUBLE→DECIMAL(27,6) with the text.py tie discipline: Spark rounds
+    HALF_UP, DuckDB HALF_EVEN, and they diverge on representable .5e-7
+    ties (multiples of 2^-7 — which float32-sourced embedding values ARE).
+    round_double first is pure double arithmetic, engine-identical;
+    whatever it does at the boundary, BOTH engines do the same thing
+    (the bigram_fluency/dsir rule, _num.py)."""
+    from ._num import round_double
+
+    return round_double(expr, 6)
+
+
+_rd_val = _round_then_quantize("val")
+
+
 def lloyd_ctes(
     vd: VectorDialect,
     *,
@@ -527,7 +566,7 @@ def lloyd_ctes(
         ctes.append(f"""m{i} AS (
       SELECT cid, {_rebuild_array(vd)} AS cent FROM (
         SELECT cid, j, {_mean_expr()} AS mj FROM (
-          SELECT cid, j, SUM(CAST(val AS DECIMAL(27,6))) AS s, COUNT(*) AS n
+          SELECT cid, j, SUM(CAST({_rd_val} AS DECIMAL(27,6))) AS s, COUNT(*) AS n
           FROM ({_explode_dims(vd, f"a{i}")}) GROUP BY cid, j
         )
       ) GROUP BY cid
@@ -836,13 +875,18 @@ def semantic_dedup_blas(
         a, b = ids[iu[m]], ids[ju[m]]
         return pd.DataFrame({"vid_a": np.minimum(a, b), "vid_b": np.maximum(a, b)})
 
+    # pair-id type follows the input id column (the ngram_jaccard BLAS
+    # rule): a hard long cast would silently NULL non-numeric ids —
+    # every row reported kept=true with a NULL id, diverging from the
+    # SQL twin which preserves the id type.
+    id_type = df.schema[id_col].dataType.simpleString()
     pairs = (
         cells.groupBy("cid")
-        .applyInPandas(lambda pdf: _cell(pdf), "vid_a long, vid_b long")
+        .applyInPandas(lambda pdf: _cell(pdf), f"vid_a {id_type}, vid_b {id_type}")
         .distinct()
     )
     drops = pairs.groupBy("vid_b").agg(F.min("vid_a").alias("dup_of"))
-    base = df.select(F.col(id_col).cast("long").alias(id_col))
+    base = df.select(F.col(id_col).alias(id_col))
     return base.join(
         drops, on=base[id_col] == drops["vid_b"], how="left"
     ).select(
@@ -1184,6 +1228,161 @@ def query_ivf_index(
     """)
 
 
+def build_refined_ivf_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    *,
+    num_centroids: int = 64,
+    multi_assign: int = 3,
+    lloyd_iters: int = 3,
+) -> None:
+    """Train-once / serve-many for the RECALL-GRADE IVF tier — the
+    amortization the inline :func:`ann_ivf_refined_topk` cannot give
+    (its Lloyd iterations retrain on every query, the dominant cost of
+    the three heaviest bench entries).  Three artifacts:
+
+    * ``{path}/vectors``   — (vid, emb DOUBLE[], nv): the cast-to-double
+      vectors with their once-computed norms (the lloyd_ctes ``lv``
+      discipline, persisted);
+    * ``{path}/centroids`` — (cid, cent, nc): the Lloyd-refined
+      centroids, trained HERE with the identical exact-decimal CTE chain
+      the inline query unrolls — K rows, broadcast-sized forever after;
+    * ``{path}/assigned``  — (vid, cid): every vector indexed under its
+      ``multi_assign`` nearest cells, written repartitioned by cid so a
+      query's probe join reads cell-clustered files (at cluster scale: a
+      cid-partitioned metastore table + partition pruning).
+
+    Training cost (the n×K Lloyd passes) is paid exactly once; a query
+    then pays |Q|×K probe rankings + the cid equi-join.  Because every
+    stored value (emb doubles, norms, centroid means) comes from the
+    same bit-exact expressions the inline form evaluates, serve results
+    are IDENTICAL to inline — the equivalence the registered query's
+    oracle pins every round.
+    """
+    for c in (id_col, vec_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    spark = df.sparkSession
+    view = _next_view()
+    df.createOrReplaceTempView(view)
+    vd = _VSPARK
+    spark.sql(f"""
+      SELECT vid, emb, {vd.norm("emb")} AS nv FROM (
+        SELECT {id_col} AS vid, transform({vec_col}, x -> CAST(x AS DOUBLE)) AS emb
+        FROM {view}
+      )
+    """).write.mode("overwrite").parquet(f"{path}/vectors")
+    vview = _next_view()
+    spark.read.parquet(f"{path}/vectors").createOrReplaceTempView(vview)
+    ctes, cfinal = lloyd_ctes(
+        vd, vec_col=vec_col, num_centroids=num_centroids, iters=lloyd_iters
+    )
+    spark.sql(f"""
+      WITH v AS (SELECT vid, emb FROM {vview}),
+      {ctes}
+      SELECT cid, cent, nc FROM {cfinal}
+    """).write.mode("overwrite").parquet(f"{path}/centroids")
+    cview = _next_view()
+    spark.read.parquet(f"{path}/centroids").createOrReplaceTempView(cview)
+    cos_vc = f"({vd.dot('x.emb', 'c.cent')} / greatest(x.nv * c.nc, 1e-300))"
+    assigned = spark.sql(f"""
+      SELECT vid, cid FROM (
+        SELECT x.vid, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY x.vid
+                                  ORDER BY {cos_vc} DESC, c.cid) AS crank
+        FROM {vview} x CROSS JOIN {cview} c
+      ) WHERE crank <= {multi_assign}
+    """)
+    assigned.repartition("cid").write.mode("overwrite").parquet(f"{path}/assigned")
+    spark.createDataFrame(
+        [(id_col, vec_col, num_centroids, multi_assign, lloyd_iters)],
+        "id_col string, vec_col string, num_centroids int, multi_assign int, lloyd_iters int",
+    ).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def query_refined_ivf_index(
+    spark, path: str, *, query_pred: str, k: int = 5, nprobe: int = 16
+) -> DataFrame:
+    """Top-k against a persisted refined-IVF index.  ``query_pred`` sees
+    the stored vector columns (vid, emb, nv).  The executed plan contains
+    NO Lloyd chain — centroids are a K-row parquet read — so the query
+    pays |Q|×K probe cosines + the cid equi-join + the exact re-rank,
+    nothing else (asserted in tests).  Values are identical to the
+    inline form: same factored cosine over the same persisted norms."""
+    vview, cview, aview = _next_view(), _next_view(), _next_view()
+    spark.read.parquet(f"{path}/vectors").createOrReplaceTempView(vview)
+    spark.read.parquet(f"{path}/centroids").createOrReplaceTempView(cview)
+    spark.read.parquet(f"{path}/assigned").createOrReplaceTempView(aview)
+    vd = _VSPARK
+    cos_vc = f"({vd.dot('x.emb', 'c.cent')} / greatest(x.nv * c.nc, 1e-300))"
+    cos_qc = f"({vd.dot('q.emb', 'c.emb')} / greatest(q.nv * c.nv, 1e-300))"
+    return spark.sql(f"""
+    WITH probes AS (
+      SELECT vid AS query_id, cid FROM (
+        SELECT x.vid, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY x.vid
+                                  ORDER BY {cos_vc} DESC, c.cid) AS crank
+        FROM (SELECT * FROM {vview} WHERE {query_pred}) x
+        CROSS JOIN {cview} c
+      ) WHERE crank <= {nprobe}
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.vid AS neighbor_id
+      FROM probes p JOIN {aview} a ON a.cid = p.cid AND a.vid <> p.query_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id, {cos_qc} AS cosine_sim
+      FROM cand
+      JOIN {vview} q ON q.vid = cand.query_id
+      JOIN {vview} c ON c.vid = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT query_id, neighbor_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """)
+
+
+def semantic_dedup_from_index(
+    spark, path: str, id_col: str, *, threshold: float
+) -> DataFrame:
+    """Serve SemDeDup from a persisted refined-IVF index (built by
+    :func:`build_refined_ivf_index` with the dedup's blocking params):
+    the Lloyd training and the n×K multi-assignment — the dominant cost
+    of the inline :func:`semantic_dedup` — are read, not recomputed.
+    The pair screen is the same cid equi-join + exact-cosine threshold
+    + smallest-partner keep rule over the SAME persisted cells and
+    norms, so serve ≡ inline to the bit (the registered query's oracle
+    is the inline SQL).  Returns ({id_col}, kept BOOLEAN, dup_of)."""
+    vview, aview = _next_view(), _next_view()
+    spark.read.parquet(f"{path}/vectors").createOrReplaceTempView(vview)
+    spark.read.parquet(f"{path}/assigned").createOrReplaceTempView(aview)
+    vd = _VSPARK
+    cos_ab = f"({vd.dot('a.emb', 'b.emb')} / greatest(a.nv * b.nv, 1e-300))"
+    return spark.sql(f"""
+    WITH cand AS (
+      SELECT DISTINCT x.vid AS vid_a, y.vid AS vid_b
+      FROM {aview} x JOIN {aview} y ON x.cid = y.cid AND x.vid < y.vid
+    ),
+    pairs AS (
+      SELECT cand.vid_a, cand.vid_b
+      FROM cand
+      JOIN {vview} a ON a.vid = cand.vid_a
+      JOIN {vview} b ON b.vid = cand.vid_b
+      WHERE {cos_ab} >= {threshold}
+    ),
+    drops AS (
+      SELECT vid_b AS vid, MIN(vid_a) AS dup_of FROM pairs GROUP BY vid_b
+    )
+    SELECT v.vid AS {id_col}, drops.vid IS NULL AS kept, drops.dup_of
+    FROM {vview} v LEFT JOIN drops ON drops.vid = v.vid
+    """)
+
+
 def matryoshka_knn_topk_sql(
     vd: VectorDialect,
     table: str,
@@ -1329,6 +1528,14 @@ def hard_negatives(
     positive_pairs_sql: str,
     k: int = 5,
 ) -> DataFrame:
+    """BRUTE-FORCE hard-negative mining — the recall oracle, not the
+    production path: ``JOIN v c ON q.id <> c.id`` plans a |Q|×n
+    nested-loop, and the operator's real use case (mine negatives for
+    EVERY training example) makes |Q| ≈ n — quadratic.  Production
+    mining goes through :func:`hard_negatives_ann` (ANN shortlist +
+    the same exclusion + exact re-rank); this form exists to measure
+    its overlap (tests/test_ann_index.py), exactly the
+    knn_cosine_topk / ann_* relationship."""
     for c in (id_col, vec_col):
         if c not in df.columns:
             raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
@@ -1336,5 +1543,100 @@ def hard_negatives(
     sql = hard_negatives_sql(
         _VSPARK, view, id_col, vec_col, query_pred=query_pred,
         positive_pairs=positive_pairs_sql, k=k,
+    )
+    return _run(df, sql, view)
+
+
+def hard_negatives_ann_sql(
+    vd: VectorDialect,
+    table: str,
+    id_col: str,
+    vec_col: str,
+    *,
+    query_pred: str,
+    positive_pairs: str,
+    k: int = 5,
+    num_planes: int = 6,
+    num_tables: int = 12,
+    seed: int = 42,
+    dim: int = DEFAULT_DIM,
+) -> str:
+    """ANN-backed hard-negative mining — the PRODUCTION path for
+    mine-negatives-for-every-training-example workloads where the brute
+    form's |Q|×n nested-loop (:func:`hard_negatives_sql`) is quadratic.
+
+    Composition: the multiprobe-LSH candidate chain
+    (:func:`_multiprobe_cand_ctes` — the 0.925-recall shortlist, a pure
+    (table, bucket) string-key equi-join, never all-pairs) generates
+    candidates; labeled positives are excluded by the same LEFT ANTI
+    pattern as the brute form; survivors are re-ranked by EXACT cosine.
+    Candidate volume per query is the bucket-collision set
+    (~n·(num_tables·(1+num_planes))/2^num_planes), not n — the
+    equi-join is the shuffle key at 100 TB.  Measured negative-set
+    overlap vs the brute-mined truth is gated in
+    tests/test_ann_index.py.
+
+    ``positive_pairs`` is a relation (query_id, positive_id);
+    ``query_pred`` sees (vid, {vec_col}, emb, nrm).  Deterministic to
+    the hash digit: same hyperplanes-as-data buckets, same sequential-
+    fold cosines, id tie-breaks.
+    """
+    dot_q = vd.dot(f"q.{vec_col}", f"c.{vec_col}")
+    cos = f"({dot_q} / greatest(q.nrm * c.nrm, 1e-300))"
+    ctes = _multiprobe_cand_ctes(
+        vd, table, id_col, vec_col, query_pred=query_pred,
+        num_planes=num_planes, num_tables=num_tables, seed=seed, dim=dim,
+    )
+    return f"""
+    WITH {ctes},
+    pos AS ({positive_pairs}),
+    nonpos AS (
+      SELECT s.query_id, s.neighbor_id
+      FROM cand s
+      LEFT JOIN pos p
+        ON p.query_id = s.query_id AND p.positive_id = s.neighbor_id
+      WHERE p.positive_id IS NULL
+    ),
+    scored AS (
+      SELECT np.query_id, np.neighbor_id, {cos} AS cosine_sim
+      FROM nonpos np
+      JOIN v q ON q.vid = np.query_id
+      JOIN v c ON c.vid = np.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT query_id, neighbor_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+def hard_negatives_ann(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    query_pred: str,
+    positive_pairs_sql: str,
+    k: int = 5,
+    num_planes: int = 6,
+    num_tables: int = 12,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    for c in (id_col, vec_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    if dim is None:
+        from pyspark.sql import functions as F
+
+        row = df.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+        dim = len(row[0]) if row else DEFAULT_DIM
+    view = _next_view()
+    sql = hard_negatives_ann_sql(
+        _VSPARK, view, id_col, vec_col, query_pred=query_pred,
+        positive_pairs=positive_pairs_sql, k=k,
+        num_planes=num_planes, num_tables=num_tables, seed=seed, dim=dim,
     )
     return _run(df, sql, view)

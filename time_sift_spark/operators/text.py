@@ -457,3 +457,134 @@ def dsir_weights(
     )
     df.createOrReplaceTempView("_ts_dsir_in")
     return df.sparkSession.sql(sql)
+
+
+def quality_classifier_sql(
+    d,
+    table: str,
+    text_col: str,
+    id_col: str,
+    *,
+    label_pred: str,
+    train_pred: str,
+    alpha: float = 0.5,
+    n_buckets: int = 65536,
+    round_to: int = 6,
+) -> str:
+    """FastText-style quality-classifier inference (Joulin et al. 2016,
+    arXiv:1607.01759) as pure JVM expressions — the LEARNED companion of
+    the rule-based filters (Gopher rules, repetition stats): a linear
+    model over HASHED BIGRAM features whose weights are a RELATION,
+    trained deterministically in the same statement and equi-joined back
+    onto the exploded documents (at 100 TB: a broadcast weight table —
+    the planes-as-data pattern, never per-feature literal expressions).
+
+    The three fastText ingredients, re-based to the engine's rules:
+
+    * word-bigram features via the native explode + LEAD convention
+      (unigrams carry no signal on a shared-vocabulary corpus — the
+      DSIR measurement; bigrams do);
+    * FEATURE HASHING: fkey = md5-60bit(bigram) mod ``n_buckets`` — the
+      fastText hashing trick that bounds the weight table at a fixed
+      size regardless of corpus vocabulary (the property that makes the
+      weight relation broadcastable at any scale; collisions are part
+      of the model, identical on both engines);
+    * a linear scorer: per-feature weight r_f = (c_pos + α) /
+      (c_total + 2α), the Laplace-smoothed posterior P(positive |
+      feature) from the ``train_pred`` rows labeled by ``label_pred``;
+      doc score = MEAN r_f over its feature occurrences, unseen
+      features scoring the TRAINED PRIOR p0 (no evidence → prior);
+      ``predicted`` = score >= p0.
+
+    The published form averages embeddings into a softmax — ln/exp
+    break cross-engine hashing (the engine rule); mean-posterior vs the
+    prior ranks identically for the threshold decision a corpus filter
+    actually makes.  Numerics follow the fluency/DSIR discipline:
+    ratios of exact counts, round_double in pure double arithmetic
+    BEFORE the decimal quantize, exact-decimal sum, one IEEE division.
+
+    Shape: ONE explode + ONE LEAD window builds the feature stream;
+    training is a filtered partial-agg count over it; the prior is one
+    scalar row (broadcast); scoring is an equi-join on the int feature
+    key + groupBy(doc).  Documents with fewer than 2 tokens have no
+    bigrams and drop out (nothing to score them by — the fluency rule).
+    Output: ({id_col}, n_bigrams, quality_score, predicted).
+    """
+    from ._num import round_double
+
+    if d.name == "spark":
+        ex = (
+            f"SELECT did, is_t, is_pos, pos, w FROM base "
+            f"LATERAL VIEW posexplode(_toks) t AS pos, w"
+        )
+    else:
+        ex = (
+            f"SELECT did, is_t, is_pos, i AS pos, _toks[i] AS w FROM "
+            f"(SELECT did, is_t, is_pos, _toks, unnest(range(1, len(_toks) + 1)) AS i FROM base)"
+        )
+    bigram = "concat(w1, ' ', w2)"
+    fkey = f"({d.md5_long(bigram)} % {int(n_buckets)})"
+    # alpha literals via repr so both engines parse identical doubles
+    r = round_double(
+        f"(CAST(cpos + {alpha!r} AS DOUBLE) / CAST(ctot + {2 * alpha!r} AS DOUBLE))", 6
+    )
+    p0 = round_double(
+        f"(CAST(tpos + {alpha!r} AS DOUBLE) / CAST(ttot + {2 * alpha!r} AS DOUBLE))", 6
+    )
+    rsum = (
+        f"CAST(ROUND(SUM(CAST(COALESCE({r}, p0) AS DECIMAL(27,6))), {round_to}) AS DOUBLE)"
+    )
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS did, {d.tokens(text_col)} AS _toks,
+             CASE WHEN {train_pred} THEN 1 ELSE 0 END AS is_t,
+             CASE WHEN {label_pred} THEN 1 ELSE 0 END AS is_pos
+      FROM {table}
+    ),
+    tok AS ({ex}),
+    feats AS (
+      SELECT did, is_t, is_pos, {fkey} AS fkey FROM (
+        SELECT did, is_t, is_pos, w AS w1,
+               LEAD(w) OVER (PARTITION BY did ORDER BY pos) AS w2
+        FROM tok
+      ) WHERE w2 IS NOT NULL AND w1 <> '' AND w2 <> ''
+    ),
+    weights AS (
+      SELECT fkey, SUM(is_pos) AS cpos, COUNT(*) AS ctot
+      FROM feats WHERE is_t = 1 GROUP BY fkey
+    ),
+    prior AS (
+      SELECT {p0} AS p0 FROM (
+        SELECT SUM(is_pos) AS tpos, COUNT(*) AS ttot FROM feats WHERE is_t = 1
+      )
+    )
+    SELECT feats.did AS {id_col}, COUNT(*) AS n_bigrams,
+           ({rsum} / COUNT(*)) AS quality_score,
+           (({rsum} / COUNT(*)) >= MIN(p0)) AS predicted
+    FROM feats
+    LEFT JOIN weights ON weights.fkey = feats.fkey
+    CROSS JOIN prior
+    GROUP BY feats.did
+    """
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    label_pred: str,
+    train_pred: str,
+    alpha: float = 0.5,
+    n_buckets: int = 65536,
+    round_to: int = 6,
+) -> DataFrame:
+    """DataFrame entry point for :func:`quality_classifier_sql`."""
+    _check(df, [text_col, id_col])
+    sql = quality_classifier_sql(
+        SPARK, "_ts_qc_in", text_col, id_col,
+        label_pred=label_pred, train_pred=train_pred,
+        alpha=alpha, n_buckets=n_buckets, round_to=round_to,
+    )
+    df.createOrReplaceTempView("_ts_qc_in")
+    return df.sparkSession.sql(sql)

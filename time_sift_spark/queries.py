@@ -1201,6 +1201,112 @@ def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_refined_persisted_topk",
+    oracle=_sim.ann_ivf_refined_topk_sql(
+        VDUCK, "embeddings", "vec_id", "embedding", query_pred="vid < 8", k=5,
+        num_centroids=64, nprobe=16, multi_assign=3, lloyd_iters=3,
+    ),
+)
+def ann_ivf_refined_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """build_refined_ivf_index → query_refined_ivf_index two-step: the 3
+    Lloyd iterations and the n×K multi-assignment — the dominant cost of
+    the inline ann_ivf_refined_topk, retrained there on EVERY query —
+    are paid once at build time; the query pays |Q|×K probe rankings +
+    the cid equi-join + exact re-rank. The oracle is the INLINE
+    refined-IVF SQL, so the driver proves persisted ≡ inline (training
+    included) every round; the 0.95 recall gate is unchanged
+    (tests/test_ann_index.py)."""
+    from .operators.similarity import build_refined_ivf_index, query_refined_ivf_index
+
+    path = _index_dir(
+        "ts_rivf_index", sf_dir, "c64_ma3_li3_v1", table="embeddings"
+    )
+    if not _index_ready(path):
+        emb = load_table(spark, "embeddings", sf_dir)
+        build_refined_ivf_index(
+            emb, "vec_id", "embedding", path,
+            num_centroids=64, multi_assign=3, lloyd_iters=3,
+        )
+    return query_refined_ivf_index(spark, path, query_pred="vid < 8", k=5, nprobe=16)
+
+
+@register("pq_persisted_topk", oracle=_pq_oracle())
+def pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """build_pq_index → query_pq_index two-step: codebook training (one
+    Lloyd chain for all 16 subspaces) and the n-vector encode are paid
+    once; the query builds only its |Q|·m·k_codes distance table and
+    equi-joins the 16-byte codes frame before the exact re-rank. The
+    oracle is the INLINE train→encode→search statement — persisted ≡
+    inline, training included, driver-checked; recall gate unchanged."""
+    from .operators.pq import build_pq_index, query_pq_index
+
+    path = _index_dir(
+        "ts_pq_index", sf_dir, "m16_sd4_k16_li3_v1", table="embeddings"
+    )
+    if not _index_ready(path):
+        emb = load_table(spark, "embeddings", sf_dir)
+        build_pq_index(
+            emb, "vec_id", "embedding", path,
+            m=16, sub_dim=4, k_codes=16, lloyd_iters=3,
+        )
+    return query_pq_index(spark, path, query_pred="vid < 8", k=5, rerank=100)
+
+
+@register(
+    "semantic_dedup_persisted_docs",
+    oracle=_sim.semantic_dedup_sql(
+        VDUCK, "embeddings", "vec_id", "embedding", threshold=0.35,
+        num_centroids=16, multi_assign=3, lloyd_iters=3,
+    ),
+)
+def semantic_dedup_persisted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup served from a persisted refined-IVF index (the SAME
+    builder as the ANN tier — one index artifact, two consumers): Lloyd
+    training and the n×K cell assignment are read, not recomputed; the
+    serve pass is the cid equi-join pair screen + exact-cosine threshold
+    + smallest-partner keep rule. Oracle = the INLINE semantic-dedup SQL
+    → persisted ≡ inline, driver-checked (SCALE.md's 'train once,
+    persist the assignment' posture, now the default path)."""
+    from .operators.similarity import build_refined_ivf_index, semantic_dedup_from_index
+
+    path = _index_dir(
+        "ts_rivf_index", sf_dir, "c16_ma3_li3_v1", table="embeddings"
+    )
+    if not _index_ready(path):
+        emb = load_table(spark, "embeddings", sf_dir)
+        build_refined_ivf_index(
+            emb, "vec_id", "embedding", path,
+            num_centroids=16, multi_assign=3, lloyd_iters=3,
+        )
+    return semantic_dedup_from_index(spark, path, "vec_id", threshold=0.35)
+
+
+@register(
+    "hard_negatives_ann_topk",
+    oracle=_sim.hard_negatives_ann_sql(
+        VDUCK, "embeddings", "vec_id", "embedding",
+        query_pred="vid < 8", positive_pairs=_hardneg_positives("embeddings"),
+        k=5, num_planes=6, num_tables=12, dim=64,
+    ),
+)
+def hard_negatives_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION hard-negative mining: the multiprobe-LSH candidate
+    chain (0.925-recall shortlist, pure (table, bucket) equi-join —
+    never the brute |Q|×n nested-loop, which is quadratic when every
+    training example is a query) → LEFT ANTI exclusion of labeled
+    positives → exact-cosine re-rank. hard_negatives_topk (the brute
+    form) stays registered as the recall oracle; measured negative-set
+    overlap between the two is gated in tests/test_ann_index.py."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    emb.createOrReplaceTempView("_ts_hn_embeddings")
+    return _sim.hard_negatives_ann(
+        emb, "vec_id", "embedding", query_pred="vid < 8",
+        positive_pairs_sql=_hardneg_positives("_ts_hn_embeddings"),
+        k=5, num_planes=6, num_tables=12, dim=64,
+    )
+
+
+@register(
     "embedding_neardup",
     oracle=_sim.embedding_neardup_sql(
         VDUCK, "embeddings", "vec_id", "embedding", threshold=0.35, block_col="label"
@@ -4148,6 +4254,46 @@ def soft_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dd.soft_dedup(docs, "doc_id", "text", threshold=0.5)
 
 
+# The testdata corpus is single-line token text (no newlines anywhere —
+# checked), so the registered line-dedup query first assembles each doc
+# into a realistic multi-line PAGE: a per-source header, a corpus-wide
+# cookie banner, the body, a corpus-wide footer — exactly the cross-page
+# boilerplate structure CCNet line dedup exists to strip.  ONE SQL text
+# builds the page on both engines (concat is NULL-propagating in Spark
+# but NULL-skipping in DuckDB, hence the COALESCEs).
+_LINE_DEDUP_PAGE = (
+    "concat('site: ', COALESCE(source, ''), chr(10), "
+    "'cookies: this site uses cookies - accept to continue', chr(10), "
+    "COALESCE(text, ''), chr(10), "
+    "'(c) example corp - all rights reserved')"
+)
+
+
+@register(
+    "line_dedup_docs",
+    oracle=_dd.line_dedup_sql(
+        DUCK,
+        f"(SELECT doc_id, {_LINE_DEDUP_PAGE} AS page FROM documents)",
+        "doc_id",
+        "page",
+        max_line_docs=5,
+        min_line_chars=10,
+    ),
+)
+def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level dedup over synthesized multi-line pages:
+    drop every line (≥10 trimmed chars) whose content appears in more
+    than 5 documents — the banner and footer (500 docs) and each
+    'site: srcN' header (25 docs) go, the unique body line stays — and
+    reassemble each page from its surviving lines in order. The standard
+    pre-training granularity between document-level and window-level
+    dedup; the df cap doubles as the skew bound (the frequency table is
+    counters, never pairs) (operators/dedup.line_dedup)."""
+    docs = load_table(spark, "documents", sf_dir)
+    pages = docs.selectExpr("doc_id", f"{_LINE_DEDUP_PAGE} AS page")
+    return _dd.line_dedup(pages, "doc_id", "page", max_line_docs=5, min_line_chars=10)
+
+
 def _dsir_oracle() -> str:
     from .operators.text import dsir_weights_sql
 
@@ -4171,6 +4317,44 @@ def dsir_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return dsir_weights(docs, "text", "doc_id", target_pred="lang = 'en'")
+
+
+def _qc_train_pred(d) -> str:
+    """Deterministic 50% train split on the md5 of the doc id (the
+    engine's sampling convention — an id-parity split would inherit
+    whatever the id order correlates with)."""
+    cast = "STRING" if d.name == "spark" else "VARCHAR"
+    return f"({d.md5_long(f'CAST(doc_id AS {cast})')} % 2 = 0)"
+
+
+def _qc_oracle() -> str:
+    from .operators.text import quality_classifier_sql
+
+    return quality_classifier_sql(
+        DUCK, "documents", "text", "doc_id",
+        label_pred="lang = 'en'", train_pred=_qc_train_pred(DUCK),
+    )
+
+
+@register("quality_score_docs", oracle=_qc_oracle())
+def quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastText-style quality classifier: per-token posterior weights
+    P(en | token) trained on a deterministic md5-half of the corpus
+    (labels = lang='en'), served as a broadcast weight relation
+    equi-joined onto the exploded docs; doc score = mean posterior,
+    predicted = score >= 0.5. Rational NB form — no ln/exp (the
+    no-transcendentals rule); ranks identically to the log-linear form
+    for a threshold decision. Train and serve in ONE statement, both
+    oracle-checked (operators/text.quality_classifier_score)."""
+    from .operators.text import quality_classifier_score
+
+    from .functions.text_fns import SPARK as _S
+
+    docs = load_table(spark, "documents", sf_dir)
+    return quality_classifier_score(
+        docs, "text", "doc_id",
+        label_pred="lang = 'en'", train_pred=_qc_train_pred(_S),
+    )
 
 
 def _repetition_oracle() -> str:
@@ -5161,132 +5345,68 @@ def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
 # --------------------------------------------------------------------------
 
 GRADE_PRIORITY: list[str] = [
-    # -- new or changed in r7 -> grade first --
-    "ann_ivf_refined_topk",            # new: Lloyd-refined multi-assign IVF
-    "ann_lsh_multiprobe_topk",         # new: 1-bit-flip multiprobe LSH
-    "semantic_dedup_docs",             # new: SemDeDup via IVF blocking
-    "semantic_dedup_blas_docs",        # new: gram-kernel twin, same oracle
-    "quantile_sketch_auto_by_type",    # new: adaptive-bounds quantile sketch
-    "bm25_topk_capped_docs",           # new: stop-word df cap engaged
-    "repetition_filter_docs",          # new: Gopher n-gram repetition rules
-    "exact_substring_pairs_docs",      # new: ExactSubstr window dedup
-    "m4_downsample_events",            # new: M4 pixel-perfect downsampling
-    "pq_adc_topk",                     # new: product-quantization ANN
-    "tpch_q4_order_priority",          # new: EXISTS via left-semi join
-    "resize_image_real_docs",          # new: stdlib PNG pixel codec resize
-    "sample_frames_real_docs",         # new: real y4m frame sampling
-    "data_contract_events",            # new: Deequ-style expectations
-    "pit_training_set_events",         # new: leakage-free PIT features
-    "bigram_fluency_docs",             # new: rational perplexity filter
-    "matryoshka_knn_topk",             # new: prefix-dim staged retrieval
-    "dsir_weights_docs",               # new: importance-resampling weights
-    "soft_dedup_docs",                 # new: probabilistic downweighting
-    "streaming_contract_events",       # new: continuous contract monitor
-    "tpch_q10_returned_items",         # new: fact-fact + 2 broadcasts top-20
-    "tpch_q14_promo_effect",           # new: conditional-agg ratio
-    "tpch_q16_supplier_cnt",           # new: negated-dim distinct counts
-    "hard_negatives_topk",             # new: contrastive negative mining
-    # -- changed in r7 (asof struct-carry, scd2 tiebreak, prefix persist,
-    #    bm25 df-cap refactor, quantile helper refactor) -> grade early --
-    "asof_join_purchases",
-    "asof_join_nearest_purchase",
-    "asof_join_purchases_tolerance",
-    "asof_interpolate_purchase",
-    "scd2_user_event_type",
+    # -- NEW in r8 -> grade first --
+    "ann_ivf_refined_persisted_topk",  # new: train-once refined IVF serve
+    "pq_persisted_topk",               # new: train-once PQ serve
+    "semantic_dedup_persisted_docs",   # new: SemDeDup from stored cells
+    "hard_negatives_ann_topk",         # new: multiprobe-shortlist mining
+    "line_dedup_docs",                 # new: CCNet line-level dedup
+    "quality_score_docs",              # new: hashed-bigram NB classifier
+    # -- CHANGED in r8 (round-before-quantize in Lloyd/ADC, contract
+    #    COALESCE, blas id-type, soft-dedup broadcast un-forced, prefix
+    #    localCheckpoint, multiprobe CTE factor-out) -> re-grade --
+    "pq_adc_topk",
+    "ann_ivf_refined_topk",
+    "ann_lsh_multiprobe_topk",
+    "semantic_dedup_docs",
+    "semantic_dedup_blas_docs",
+    "soft_dedup_docs",
+    "data_contract_events",
+    "streaming_contract_events",
     "shuffle_rank_docs",
     "concurrency_sweep_events",
-    "bm25_topk_docs",
-    "bm25_persisted_topk",
-    "quantile_sketch_by_type",
-    "ann_lsh_topk",
-    "ann_lsh_persisted_topk",
-    "resize_image_docs",
-    "sample_frames_docs",
-    # -- new or changed in r6 -> grade first --
-    "salted_join_priority_revenue",    # new: skew-salted fact-fact join
-    "mixture_resample_docs",           # new: temperature mixture sampling
-    "streaming_hopping_counts",        # new: streaming hopping windows
-    "locf_fill_events",                # new: LOCF value imputation
-    "train_split_docs",                # new: deterministic 3-way split
-    "sketch_rollup_weekly",            # new: sketch mergeability rollup
-    "streaming_upsert_latest",         # new: incremental upsert snapshot
-    "streaming_asof_events",           # new: O(1)-state streaming as-of
-    "winsorize_values_by_type",        # new: outlier-robust clipping agg
-    "profile_events",                  # new: one-pass data profiling
-    "hybrid_rrf_retrieval",            # new: BM25 + kNN rank fusion
-    "pack_sequences_docs",             # new: greedy sequence packing
-    "rolling_corr_click_purchase",     # new: trailing-24h rolling corr
-    "acf_user_value",                  # new: autocorrelation on the lag core
-    "ccf_click_purchase_hourly",       # new: global cross-correlation
-    "cusum_user_value",                # new: CUSUM change-point scan
-    "chunk_documents_200_50",          # new: overlapping chunker
-    "redact_pii_docs",                 # new: PII redaction
-    "decontaminate_docs",              # new: benchmark decontamination
-    "tpch_q5_local_supplier_volume",   # new: 5-way star join, dims broadcast
-    "tpch_q6_forecast_revenue",        # new: pushdown showcase scan-agg
-    "tpch_q18_large_volume_customer",  # new: aggregate-then-broadcast semi-join
-    "partitioned_scan_events",         # new: hive-partition pruning path
-    "deseasonalize_hourly_events",     # new: seasonal-naive decomposition
-    "quality_filter_docs",             # new: named Gopher-style rules
-    "sketch_distinct_users_by_type",   # new: linear-counting sketch
-    "rolling_median_events",           # new: exact rolling median
-    "streaming_distinct_sketch_daily", # new: bounded-state streaming distinct
-    "funnel_signup_click_purchase",    # new: ordered funnel, one scan
-    "cohort_retention_weekly",         # new: weekly cohort retention
-    "countmin_token_freq",             # new: count-min frequency sketch
-    "trend_user_value",                # new: per-series OLS trend
-    "mad_outliers_events",             # new: robust MAD outlier flag
-    "hopping_window_counts",           # new: batch hopping windows
-    "graph_components_event_chains",   # new: star CC on deep chains
-    "decode_image_real_docs",          # new: real PNG header decode
-    "decode_audio_real_docs",          # new: real WAV decode (stdlib)
-    "delta_roundtrip_supplier",        # new: lakehouse negotiation
-    "streaming_lag_steady_state",      # new: startup-amortized drain
-    "ewma_events",                     # gained recursive-CTE oracle
-    "ewma_horizon_events",             # oracle now NULL-filtering
-    "lag_lineitem_price",              # absorbed lag-0 fold
-    "neardup_clusters_docs",           # strategy pinned to propagate
-    "asof_join_purchases_bcast",       # broadcast guardrail added
-    "interval_join_bcast",             # broadcast guardrail added
-    # -- rotated out during r5 -> bring back into the window --
-    "gap_fill_daily_events",
-    "latest_event_per_user",
-    "stratified_sample_events",
-    "text_stats_docs",
-    "langid_docs",
+    "hard_negatives_topk",
+    # -- r2-stale backlog (last driver-graded in round 2; locally
+    #    parity-green every suite run) -> rotate back into the window --
+    "lag_lineitem_price",
+    "lead_events",
+    "lag_sugar_shape_orders",
+    "interop_roundtrip_events",
+    "simhash_docs",
+    "embedding_neardup",
+    "topk_orders_per_customer",
+    "signup_users_no_purchase",
+    "asof_join_purchases_bcast",
+    "blob_metadata_docs",
+    "decode_image_stub_docs",
+    "extract_features_docs",
+    # -- r4-stale backlog (last graded round 4) --
+    "knn_cosine_topk",
+    "ann_ivf_topk",
+    "embedding_neardup_blas",
     "dedup_exact_docs",
     "ngram_jaccard_docs",
     "minhash_sigs_docs",
     "minhash_lsh_pairs_docs",
     "lsh_verified_neardup_docs",
-    "knn_cosine_topk",
-    "ann_ivf_topk",
-    "embedding_neardup_blas",
     "fingerprint_docs",
-    "interop_roundtrip_events",
-    "topk_orders_per_customer",
-    "signup_users_no_purchase",
-    "simhash_docs",
-    "embedding_neardup",
-    "lead_events",
-    "lag_sugar_shape_orders",
-    "blob_metadata_docs",
-    "decode_image_stub_docs",
-    "extract_features_docs",
-    # -- r5-green block: streaming/variance-prone ones fill the window --
-    "streaming_lag_late_events",
-    "streaming_lag_events",
-    "streaming_dedup_events",
-    "streaming_dedup_watermarked",
-    "streaming_session_windows",
-    "streaming_windowed_counts",
-    "stream_stream_join",
-    "ann_ivf_persisted_topk",
-    "lag_hotkey_events",
+    "text_stats_docs",
+    "langid_docs",
+    "gap_fill_daily_events",
+    "latest_event_per_user",
+    "stratified_sample_events",
+    # -- oldest r5 block: flagship lag family + scale paths fill slot 50 --
+    "lag_events_wide",
+    "lag_events_fill_inf",
+    "lag_events_long_unordered",
     "lag_global_hourly",
+    "lag_hotkey_events",
+    "neardup_clusters_docs",
     "pipeline_clean_corpus",
-    # -- r5-green, unchanged: rotated past the grading window --
+    # ---- grading window ends around here (first 50 of the above) ----
+    # -- r5-graded remainder --
     "interval_join_error_click",
+    "interval_join_bcast",
     "sessionize_events",
     "time_weighted_avg_events",
     "range_rolling_events",
@@ -5316,9 +5436,84 @@ GRADE_PRIORITY: list[str] = [
     "tpch_q1_pricing_summary",
     "revenue_by_nation",
     "rollup_revenue_flag_status",
-    "lag_events_wide",
-    "lag_events_fill_inf",
-    "lag_events_long_unordered",
+    "streaming_lag_late_events",
+    "streaming_lag_events",
+    "streaming_dedup_events",
+    "streaming_dedup_watermarked",
+    "streaming_session_windows",
+    "streaming_windowed_counts",
+    "stream_stream_join",
+    "ann_ivf_persisted_topk",
+    # -- r6-graded block --
+    "salted_join_priority_revenue",
+    "mixture_resample_docs",
+    "streaming_hopping_counts",
+    "locf_fill_events",
+    "train_split_docs",
+    "sketch_rollup_weekly",
+    "streaming_upsert_latest",
+    "streaming_asof_events",
+    "winsorize_values_by_type",
+    "profile_events",
+    "hybrid_rrf_retrieval",
+    "pack_sequences_docs",
+    "rolling_corr_click_purchase",
+    "acf_user_value",
+    "ccf_click_purchase_hourly",
+    "cusum_user_value",
+    "chunk_documents_200_50",
+    "redact_pii_docs",
+    "decontaminate_docs",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q18_large_volume_customer",
+    "partitioned_scan_events",
+    "deseasonalize_hourly_events",
+    "quality_filter_docs",
+    "sketch_distinct_users_by_type",
+    "rolling_median_events",
+    "streaming_distinct_sketch_daily",
+    "funnel_signup_click_purchase",
+    "cohort_retention_weekly",
+    "countmin_token_freq",
+    "trend_user_value",
+    "mad_outliers_events",
+    "hopping_window_counts",
+    "graph_components_event_chains",
+    "decode_image_real_docs",
+    "decode_audio_real_docs",
+    "delta_roundtrip_supplier",
+    "streaming_lag_steady_state",
+    "ewma_events",
+    "ewma_horizon_events",
+    # -- r7-graded block (freshest; fills the tail) --
+    "asof_join_purchases",
+    "asof_join_nearest_purchase",
+    "asof_join_purchases_tolerance",
+    "asof_interpolate_purchase",
+    "scd2_user_event_type",
+    "bm25_topk_docs",
+    "bm25_persisted_topk",
+    "bm25_topk_capped_docs",
+    "quantile_sketch_by_type",
+    "quantile_sketch_auto_by_type",
+    "ann_lsh_topk",
+    "ann_lsh_persisted_topk",
+    "resize_image_docs",
+    "sample_frames_docs",
+    "resize_image_real_docs",
+    "sample_frames_real_docs",
+    "repetition_filter_docs",
+    "exact_substring_pairs_docs",
+    "m4_downsample_events",
+    "tpch_q4_order_priority",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_effect",
+    "tpch_q16_supplier_cnt",
+    "pit_training_set_events",
+    "bigram_fluency_docs",
+    "matryoshka_knn_topk",
+    "dsir_weights_docs",
 ]
 
 
