@@ -3337,6 +3337,152 @@ def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q12_BUCKET = (
+    "CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY THEN 'fast' "
+    "WHEN l_shipdate <= o_orderdate + INTERVAL 90 DAY THEN 'normal' "
+    "ELSE 'late' END"
+)
+
+
+@register(
+    "tpch_q12_ship_priority",
+    oracle=f"""
+    SELECT {_Q12_BUCKET} AS delay_bucket,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+def tpch_q12_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes / order priority), adapted to the
+    reduced schema: the shipmode dimension is replaced by the ship-delay
+    bucket (fast <= 30d, normal <= 90d, late) — same conditional-count
+    shape: ONE fact-fact equi-join on the order key, priority split as
+    two SUM(CASE) slots in a single partial-aggregated pass. Counts are
+    exact integers, no float machinery anywhere."""
+    import pyspark.sql.functions as F
+
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    hi = "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+    return (
+        li.select("l_orderkey", "l_shipdate")
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .groupBy(F.expr(_Q12_BUCKET).alias("delay_bucket"))
+        .agg(
+            F.sum(F.expr(f"CASE WHEN {hi} THEN 1 ELSE 0 END")).cast("bigint").alias("high_line_count"),
+            F.sum(F.expr(f"CASE WHEN NOT ({hi}) THEN 1 ELSE 0 END")).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+_Q19_PRED = (
+    "(p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20) "
+    "OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30) "
+    "OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)"
+)
+
+
+@register(
+    "tpch_q19_discounted_revenue",
+    oracle=f"""
+    SELECT {dsum("l_extendedprice * (1 - l_discount)", 2)} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE {_Q19_PRED}
+    """,
+)
+def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): the classic DISJUNCTIVE predicate
+    straddling both join sides — three (brand, size-range,
+    quantity-range) arms OR'd together. part broadcasts; Catalyst
+    derives the part-only disjunction (brand IN + size bounds) below
+    the join while the mixed arms evaluate as the join residual — the
+    OR never degrades the equi-join to a nested loop. Revenue under the
+    exact-decimal dsum discipline."""
+    import pyspark.sql.functions as F
+
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand", "p_size")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(_Q19_PRED)
+        .agg(
+            _fdsum(F.expr("l_extendedprice * (1 - l_discount)"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_Q7_PAIR = (
+    "((supp_nation = 'NATION_1' AND cust_nation = 'NATION_2') "
+    "OR (supp_nation = 'NATION_2' AND cust_nation = 'NATION_1'))"
+)
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {dsum("volume", 2)} AS revenue
+    FROM (
+      SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS INT) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    )
+    WHERE {_Q7_PAIR}
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): revenue flowing between a nation
+    PAIR in either direction, by year. Written for the 100 TB shape:
+    the ONE fact-fact exchange is lineitem⨝orders on the order key;
+    customer, supplier and both nation legs arrive via broadcast (each
+    pre-joined dim side collapses to a (key, nation) projection); the
+    date filter reaches the lineitem scan; the pair disjunction is a
+    residual over two broadcast-joined columns."""
+    import pyspark.sql.functions as F
+
+    li = load_table(spark, "lineitem", sf_dir).where(
+        "l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'"
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    nation = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    cust = (
+        load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .select(F.col("c_custkey"), F.col("n_name").alias("cust_nation"))
+    )
+    supp = (
+        load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select(F.col("s_suppkey"), F.col("n_name").alias("supp_nation"))
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .where(_Q7_PAIR)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.expr("CAST(year(l_shipdate) AS INT)").alias("l_year"),
+        )
+        .agg(_fdsum(F.expr("l_extendedprice * (1 - l_discount)"), 2).alias("revenue"))
+    )
+
+
 @register(
     "orc_roundtrip_nation",
     oracle="""
@@ -5352,6 +5498,9 @@ GRADE_PRIORITY: list[str] = [
     "hard_negatives_ann_topk",         # new: multiprobe-shortlist mining
     "line_dedup_docs",                 # new: CCNet line-level dedup
     "quality_score_docs",              # new: hashed-bigram NB classifier
+    "tpch_q7_volume_shipping",         # new: nation-pair flows, 1 fact shuffle
+    "tpch_q12_ship_priority",          # new: fact-fact conditional counts
+    "tpch_q19_discounted_revenue",     # new: disjunctive mixed-side predicate
     # -- CHANGED in r8 (round-before-quantize in Lloyd/ADC, contract
     #    COALESCE, blas id-type, soft-dedup broadcast un-forced, prefix
     #    localCheckpoint, multiprobe CTE factor-out) -> re-grade --
@@ -5400,11 +5549,11 @@ GRADE_PRIORITY: list[str] = [
     "lag_events_fill_inf",
     "lag_events_long_unordered",
     "lag_global_hourly",
+    # ---- grading window ends here (first 50 of the above) ----
+    # -- r5-graded remainder --
     "lag_hotkey_events",
     "neardup_clusters_docs",
     "pipeline_clean_corpus",
-    # ---- grading window ends around here (first 50 of the above) ----
-    # -- r5-graded remainder --
     "interval_join_error_click",
     "interval_join_bcast",
     "sessionize_events",

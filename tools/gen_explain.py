@@ -60,7 +60,7 @@ SHOWCASE = {
     "bm25_topk_capped_docs": "BM25 with the df cap: the stop-word term is dropped from the tiny broadcast dfreq frame BEFORE the per-doc scoring join — the saturated posting list never reaches the scored frame.",
     "quantile_sketch_auto_by_type": "Adaptive-bounds quantile sketch: pass 1 is a two-column scan collapsing to ONE (min, max) row; pass 2 is the unchanged mergeable-bin sketch with the bounds cross-joined as a broadcast.",
     "streaming_contract_events": "Continuous contract: one global streaming aggregation in complete mode - monitor state is a single row regardless of stream volume; the drained report equals the batch contract (the oracle).",
-    "soft_dedup_docs": "Soft dedup: the cluster frame (pair screen + propagation, << corpus) broadcasts back onto the corpus - the corpus never shuffles; the keep draw is integer md5 x size < 2^32.",
+    "soft_dedup_docs": "Soft dedup: the cluster frame joins back onto the corpus UNHINTED - AQE broadcasts it when its runtime size is small and falls back to a shuffle join on dup-saturated corpora (the forced-broadcast 8 GB cliff removed in r8); the keep draw is integer md5 x size < 2^32.",
     "hard_negatives_topk": "Hard negatives: brute-force scoring (swap in any ANN arm at scale) with the labeled positives excluded by a LEFT ANTI join before the per-query top-k window.",
     "tpch_q10_returned_items": "Q10: lineitem keeps the returnflag filter on its scan, one fact-fact shuffle onto l_orderkey; customer and nation broadcast; top-20 is TakeOrderedAndProject.",
     "pit_training_set_events": "Point-in-time feature assembly: one union + ONE user_id Exchange carries both feature windows (ROWS carry + RANGE count); labels sort first at equal instants, so the leakage rule is in the sort key, not a filter.",
@@ -68,6 +68,12 @@ SHOWCASE = {
     "bigram_fluency_docs": "Bigram fluency: native posexplode + one LEAD window builds the bigram stream (no interpreted lambdas); model counts partial-aggregate; scoring is a bigram-key equi-join.",
     "matryoshka_knn_topk": "Staged retrieval: the n-scan coarse pass reads and computes only the 32-dim prefix; full vectors appear exclusively in the |Q|*rerank re-rank join.",
     "tpch_q4_order_priority": "Q4: EXISTS as LEFT SEMI join — lineitem streams through without match materialization; the 1995 date filter is in the orders scan's PushedFilters.",
+    "ann_ivf_refined_persisted_topk": "Persisted refined-IVF serving: NO Lloyd machinery in the plan (zero posexplode-mean subtrees) — centroids are a K-row parquet read, candidates a cid equi-join against the cell-clustered assigned table, then the exact re-rank.",
+    "pq_persisted_topk": "Persisted PQ serving: codebook + 16-byte codes read from parquet; the only explode is the |Q|-side subspace split building the broadcast distance table; ADC collapses with the exact-decimal SUM; training/encode subtrees absent (paid at build).",
+    "semantic_dedup_persisted_docs": "SemDeDup from the stored index: the pair screen is a cid self-equi-join over the PERSISTED cells — the Lloyd chain and the nxK assignment are parquet reads, not subtrees of this plan.",
+    "hard_negatives_ann_topk": "Production hard negatives: multiprobe-LSH candidates (planes-as-data broadcast, bucket-key equi-join) -> LEFT ANTI positives -> exact re-rank of survivors only; the brute |Q|xn BroadcastNestedLoopJoin appears nowhere.",
+    "line_dedup_docs": "Line dedup: split+posexplode once, line-hash frequency is a partial-aggregated COUNT(DISTINCT doc), flagged lines join back on the 60-bit key, reassembly is one groupBy(doc) ordered collect - counters and equi-joins, never pairs.",
+    "quality_score_docs": "Hashed-bigram classifier: ONE posexplode + LEAD window feeds both the filtered training count and the scoring join; the weight relation is bounded at n_buckets rows (feature hashing) and the prior is a 1-row broadcast.",
 }
 
 SF_DIR = "/root/testdata/sf0.01"
