@@ -531,3 +531,81 @@ def test_hard_negatives_exclude_positives(spark):
             if (q, n) not in pos_set
         ][:5]
         assert g.sort_values("rank").neighbor_id.tolist() == expect
+
+
+def test_ivfpq_composed_recall_gate(spark):
+    """IVF-PQ (coarse cells prune, PQ codes score, exact re-rank): at
+    nprobe=8/16 cells (50% probed — the isotropic worst case bounds
+    recall at roughly the probed mass) measured recall@5 vs exact L2 is
+    0.70, gated under it; the reported distances are exact re-ranked
+    values.  Candidate volume is the composed cut: ~n*nprobe/cells
+    candidates, each scored from its 16-byte code."""
+    import numpy as np
+
+    from time_sift_spark.operators.pq import ivfpq_topk
+
+    emb01 = load_table(spark, "embeddings", SF_RECALL)
+    got = ivfpq_topk(emb01, "vec_id", "embedding", query_pred="vid < 8", k=5).toPandas()
+    pdf = emb01.select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    X = np.stack(pdf.embedding.to_numpy()).astype("float64")
+    D = ((X[:, None, :] - X[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(D, np.inf)
+    truth = {q: set(np.argsort(D[q])[:5]) for q in range(8)}
+    hits = sum(len(set(g.neighbor_id) & truth[q]) for q, g in got.groupby("query_id"))
+    assert hits / 40 >= 0.6
+    row = got.iloc[0]
+    assert abs(row.l2_sq - D[int(row.query_id), int(row.neighbor_id)]) < 1e-9
+
+
+def test_dsir_resample_acceptance_properties(spark):
+    """The DSIR sampler: the max-weight doc is always kept, kept rate
+    tracks sum(w)/w_max, the draw is deterministic across runs, and
+    kept docs skew toward the target class (en)."""
+    import pandas as pd
+
+    from time_sift_spark.operators.text import dsir_resample
+    from time_sift_spark.sources.catalog import load_table as _lt
+
+    docs = _lt(spark, "documents", SF_RECALL)
+    out = dsir_resample(docs, "text", "doc_id", target_pred="lang = 'en'").toPandas()
+    wmax = out.dsir_weight.max()
+    assert out.loc[out.dsir_weight.idxmax()].kept
+    expected = out.dsir_weight.sum() / wmax / len(out)
+    assert abs(out.kept.mean() - expected) < 0.15
+    out2 = dsir_resample(docs, "text", "doc_id", target_pred="lang = 'en'").toPandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True),
+        out2.sort_values("doc_id").reset_index(drop=True),
+    )
+    langs = docs.select("doc_id", "lang").toPandas()
+    m = out.merge(langs, on="doc_id")
+    assert m[m.lang == "en"].kept.mean() > m[m.lang != "en"].kept.mean()
+
+
+def test_ivfpq_persisted_equals_inline_and_skips_training(spark, emb, tmp_path_factory):
+    from time_sift_spark.operators.pq import (
+        build_ivfpq_index,
+        ivfpq_topk,
+        query_ivfpq_index,
+    )
+
+    path = str(tmp_path_factory.mktemp("ivfpq_idx"))
+    build_ivfpq_index(
+        emb, "vec_id", "embedding", path,
+        num_cells=8, cell_lloyd_iters=1, m=16, sub_dim=4, k_codes=8, lloyd_iters=2,
+    )
+    inline = _sorted(
+        ivfpq_topk(
+            emb, "vec_id", "embedding", query_pred="vid < 8", k=5,
+            num_cells=8, nprobe=4, cell_lloyd_iters=1,
+            m=16, sub_dim=4, k_codes=8, lloyd_iters=2, rerank=30,
+        )
+    )
+    served = _sorted(
+        query_ivfpq_index(spark, path, query_pred="vid < 8", k=5, nprobe=4, rerank=30)
+    )
+    pd.testing.assert_frame_equal(served, inline)
+    plan = _plan(query_ivfpq_index(spark, path, query_pred="vid < 8", k=5, nprobe=4, rerank=30))
+    assert "posexplode" not in plan  # no Lloyd mean machinery
+    assert "centroids" in plan and "assigned" in plan
+    assert "codebook" in plan and "codes" in plan

@@ -257,6 +257,342 @@ def pq_adc_topk_sql(
     """
 
 
+def ivfpq_topk_sql(
+    vd: VectorDialect,
+    table: str,
+    id_col: str,
+    vec_col: str,
+    *,
+    query_pred: str,
+    k: int = 5,
+    num_cells: int = 16,
+    nprobe: int = 8,
+    cell_lloyd_iters: int = 2,
+    m: int = 16,
+    sub_dim: int = 4,
+    k_codes: int = 16,
+    lloyd_iters: int = 3,
+    rerank: int = 50,
+) -> str:
+    """IVF-PQ — the composed billion-scale ANN layout (Jégou et al.
+    2011 §V; the FAISS ``IVFx,PQy`` default): a Lloyd-refined COARSE
+    quantizer prunes the corpus to ``nprobe``/``num_cells`` of its
+    cells, and ONLY those cells' 16-byte PQ codes are ADC-scored —
+    the two index structures this module and operators/similarity
+    already train, composed so their costs MULTIPLY down:
+
+    * candidate volume ≈ n·nprobe/num_cells (the IVF cut), and
+    * each candidate costs m table lookups over its m-byte code (the
+      PQ cut) — floats are touched only by the exact re-rank.
+
+    At 100 TB this is the only inline-expressible layout whose scan
+    cost per query is (n/num_cells)·nprobe·m BYTES: cells partition
+    the codes table (the shuffle/pruning key), the distance table is a
+    |Q|·m·k_codes broadcast, and the ADC collapse is the usual
+    exact-decimal sum.  Training (coarse Lloyd + all-m-subspace PQ
+    chain) is oracle-bit-exact like both parents.  Residual encoding
+    (PQ over x − centroid) is deliberately NOT used: it would retrain
+    codebooks per cell (m·num_cells chains) for a recall gain the
+    exact re-rank already buys at these shortlist sizes — documented
+    trade, not an omission.
+
+    Recall accounting on the isotropic worst-case testdata: probing
+    nprobe/num_cells of the cells bounds recall at the IVF mass
+    covered; the registered query probes 50% and the measured
+    recall@5 vs exact L2 is gated in tests/test_ann_index.py.
+    Clustered real embeddings reach the same recall at far smaller
+    probe fractions — the honest-cost doctrine of the whole ANN tier.
+    """
+    from .similarity import lloyd_ctes
+
+    sq_dt = vd.sqdist("qs.svec", "c.cent")
+    sq_exact = vd.sqdist("q.emb", "cand.emb")
+    cos_vc = f"({vd.dot('x.emb', 'c.cent')} / greatest(x.nv * c.nc, 1e-300))"
+    coarse_ctes, coarse_final = lloyd_ctes(
+        vd, vec_col=vec_col, num_centroids=num_cells, iters=cell_lloyd_iters
+    )
+    pq_ctes, pq_final = pq_lloyd_ctes(
+        vd, m=m, sub_dim=sub_dim, k_codes=k_codes, iters=lloyd_iters
+    )
+    if vd.name == "spark":
+        to_double = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    else:
+        to_double = f"list_transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    return f"""
+    WITH v AS (
+      SELECT {id_col} AS vid, {to_double} AS emb FROM {table}
+    ),
+    {coarse_ctes},
+    {pq_ctes},
+    assigned AS (
+      SELECT vid, cid FROM (
+        SELECT x.vid, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY x.vid
+                                  ORDER BY {cos_vc} DESC, c.cid) AS crank
+        FROM lv x CROSS JOIN {coarse_final} c
+      ) WHERE crank = 1
+    ),
+    codes AS (
+      SELECT vid, s, cid FROM (
+        SELECT x.vid, x.s, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY x.vid, x.s
+                                  ORDER BY {vd.sqdist("x.svec", "c.cent")} ASC, c.cid) AS crank
+        FROM sub x JOIN {pq_final} c ON c.s = x.s
+      ) WHERE crank = 1
+    ),
+    probes AS (
+      SELECT vid AS query_id, cid FROM (
+        SELECT x.vid, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY x.vid
+                                  ORDER BY {cos_vc} DESC, c.cid) AS crank
+        FROM (SELECT * FROM lv WHERE {query_pred}) x
+        CROSS JOIN {coarse_final} c
+      ) WHERE crank <= {nprobe}
+    ),
+    cand AS (
+      SELECT p.query_id, a.vid
+      FROM probes p JOIN assigned a ON a.cid = p.cid AND a.vid <> p.query_id
+    ),
+    dt AS (
+      SELECT qs.vid AS qvid, qs.s, c.cid, {sq_dt} AS dist
+      FROM sub qs
+      JOIN (SELECT DISTINCT query_id FROM probes) q ON q.query_id = qs.vid
+      JOIN {pq_final} c ON c.s = qs.s
+    ),
+    adc AS (
+      SELECT cand.query_id, cand.vid AS neighbor_id,
+             SUM(CAST({_adc_rd("dt.dist")} AS DECIMAL(27,6))) AS approx
+      FROM cand
+      JOIN codes ON codes.vid = cand.vid
+      JOIN dt ON dt.qvid = cand.query_id AND dt.s = codes.s AND dt.cid = codes.cid
+      GROUP BY cand.query_id, cand.vid
+    ),
+    shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY approx ASC, neighbor_id) AS arank
+        FROM adc
+      ) WHERE arank <= {rerank}
+    )
+    SELECT query_id, neighbor_id, l2_sq, rank FROM (
+      SELECT query_id, neighbor_id, l2_sq,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY l2_sq ASC, neighbor_id) AS rank
+      FROM (
+        SELECT sl.query_id, sl.neighbor_id, {sq_exact} AS l2_sq
+        FROM shortlist sl
+        JOIN v q ON q.vid = sl.query_id
+        JOIN v cand ON cand.vid = sl.neighbor_id
+      )
+    ) WHERE rank <= {k}
+    """
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    query_pred: str,
+    k: int = 5,
+    num_cells: int = 16,
+    nprobe: int = 8,
+    cell_lloyd_iters: int = 2,
+    m: int = 16,
+    sub_dim: int = 4,
+    k_codes: int = 16,
+    lloyd_iters: int = 3,
+    rerank: int = 50,
+) -> DataFrame:
+    for c in (id_col, vec_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    _check_pq_dim(df, vec_col, m, sub_dim)
+    view = _next_view()
+    sql = ivfpq_topk_sql(
+        _VSPARK, view, id_col, vec_col, query_pred=query_pred, k=k,
+        num_cells=num_cells, nprobe=nprobe, cell_lloyd_iters=cell_lloyd_iters,
+        m=m, sub_dim=sub_dim, k_codes=k_codes, lloyd_iters=lloyd_iters,
+        rerank=rerank,
+    )
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(sql)
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    *,
+    num_cells: int = 16,
+    cell_lloyd_iters: int = 2,
+    m: int = 16,
+    sub_dim: int = 4,
+    k_codes: int = 16,
+    lloyd_iters: int = 3,
+) -> None:
+    """Train-once / serve-many for the composed IVF-PQ layout — BOTH
+    quantizers (coarse cells + subspace codebooks) trained and applied
+    at build time; a query touches only its probes, the probed cells'
+    16-byte codes, and the exact-re-rank floats.  Artifacts:
+
+    * ``{path}/vectors``   — (vid, emb DOUBLE[], nv);
+    * ``{path}/centroids`` — (cid, cent, nc): Lloyd-refined coarse cells;
+    * ``{path}/assigned``  — (vid, cid): nearest-cell assignment,
+      repartitioned by cid (the pruning/partitioning key — at cluster
+      scale, a cid-partitioned metastore table: a query READS
+      nprobe/num_cells of the code bytes);
+    * ``{path}/codebook``  — (s, cid, cent): all m subspace codebooks;
+    * ``{path}/codes``     — (vid, s, cid): the m-byte codes,
+      repartitioned by (s, cid);
+    * ``{path}/params``    — written LAST (build-complete marker).
+
+    Stored values come from the identical exact-decimal chains the
+    inline :func:`ivfpq_topk_sql` evaluates → serve ≡ inline to the
+    bit (the registered query's oracle is the inline statement)."""
+    from .similarity import lloyd_ctes
+
+    for c in (id_col, vec_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    _check_pq_dim(df, vec_col, m, sub_dim)
+    spark = df.sparkSession
+    view = _next_view()
+    df.createOrReplaceTempView(view)
+    vd = _VSPARK
+    spark.sql(f"""
+      SELECT vid, emb, {vd.norm("emb")} AS nv FROM (
+        SELECT {id_col} AS vid, transform({vec_col}, x -> CAST(x AS DOUBLE)) AS emb
+        FROM {view}
+      )
+    """).write.mode("overwrite").parquet(f"{path}/vectors")
+    vview = _next_view()
+    spark.read.parquet(f"{path}/vectors").createOrReplaceTempView(vview)
+    coarse_ctes, coarse_final = lloyd_ctes(
+        vd, vec_col=vec_col, num_centroids=num_cells, iters=cell_lloyd_iters
+    )
+    spark.sql(f"""
+      WITH v AS (SELECT vid, emb FROM {vview}),
+      {coarse_ctes}
+      SELECT cid, cent, nc FROM {coarse_final}
+    """).write.mode("overwrite").parquet(f"{path}/centroids")
+    cview = _next_view()
+    spark.read.parquet(f"{path}/centroids").createOrReplaceTempView(cview)
+    cos_vc = f"({vd.dot('x.emb', 'c.cent')} / greatest(x.nv * c.nc, 1e-300))"
+    spark.sql(f"""
+      SELECT vid, cid FROM (
+        SELECT x.vid, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY x.vid
+                                  ORDER BY {cos_vc} DESC, c.cid) AS crank
+        FROM {vview} x CROSS JOIN {cview} c
+      ) WHERE crank = 1
+    """).repartition("cid").write.mode("overwrite").parquet(f"{path}/assigned")
+    pq_ctes, pq_final = pq_lloyd_ctes(
+        vd, m=m, sub_dim=sub_dim, k_codes=k_codes, iters=lloyd_iters
+    )
+    spark.sql(f"""
+      WITH v AS (SELECT vid, emb FROM {vview}),
+      {pq_ctes}
+      SELECT s, cid, cent FROM {pq_final}
+    """).write.mode("overwrite").parquet(f"{path}/codebook")
+    cbview = _next_view()
+    spark.read.parquet(f"{path}/codebook").createOrReplaceTempView(cbview)
+    spark.sql(f"""
+      WITH v AS (SELECT vid, emb FROM {vview}),
+      sub AS ({_subspace_cte(vd, m, sub_dim)})
+      SELECT vid, s, cid FROM (
+        SELECT x.vid, x.s, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY x.vid, x.s
+                                  ORDER BY {vd.sqdist("x.svec", "c.cent")} ASC, c.cid) AS crank
+        FROM sub x JOIN {cbview} c ON c.s = x.s
+      ) WHERE crank = 1
+    """).repartition("s", "cid").write.mode("overwrite").parquet(f"{path}/codes")
+    spark.createDataFrame(
+        [(id_col, vec_col, num_cells, cell_lloyd_iters, m, sub_dim, k_codes, lloyd_iters)],
+        "id_col string, vec_col string, num_cells int, cell_lloyd_iters int, "
+        "m int, sub_dim int, k_codes int, lloyd_iters int",
+    ).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def query_ivfpq_index(
+    spark, path: str, *, query_pred: str, k: int = 5, nprobe: int = 8, rerank: int = 50
+) -> DataFrame:
+    """Top-k against a persisted IVF-PQ index.  ``query_pred`` sees the
+    stored vector columns (vid, emb, nv).  Query cost: |Q|×K probe
+    rankings vs the stored centroids, the cid equi-join selecting the
+    probed cells' code rows, the (s, cid) distance-table join, the
+    exact-decimal ADC collapse, and the exact re-rank — NO training,
+    NO data-side encode anywhere in the plan (asserted in tests)."""
+    p = spark.read.parquet(f"{path}/params").collect()[0]
+    m, sub_dim = p["m"], p["sub_dim"]
+    vview, cview, aview, cbview, coview = (
+        _next_view(), _next_view(), _next_view(), _next_view(), _next_view()
+    )
+    spark.read.parquet(f"{path}/vectors").createOrReplaceTempView(vview)
+    spark.read.parquet(f"{path}/centroids").createOrReplaceTempView(cview)
+    spark.read.parquet(f"{path}/assigned").createOrReplaceTempView(aview)
+    spark.read.parquet(f"{path}/codebook").createOrReplaceTempView(cbview)
+    spark.read.parquet(f"{path}/codes").createOrReplaceTempView(coview)
+    vd = _VSPARK
+    cos_vc = f"({vd.dot('x.emb', 'c.cent')} / greatest(x.nv * c.nc, 1e-300))"
+    sq_dt = vd.sqdist("qs.svec", "c.cent")
+    sq_exact = vd.sqdist("q.emb", "cand.emb")
+    return spark.sql(f"""
+    WITH probes AS (
+      SELECT vid AS query_id, cid FROM (
+        SELECT x.vid, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY x.vid
+                                  ORDER BY {cos_vc} DESC, c.cid) AS crank
+        FROM (SELECT * FROM {vview} WHERE {query_pred}) x
+        CROSS JOIN {cview} c
+      ) WHERE crank <= {nprobe}
+    ),
+    cand AS (
+      SELECT p.query_id, a.vid
+      FROM probes p JOIN {aview} a ON a.cid = p.cid AND a.vid <> p.query_id
+    ),
+    qv AS (
+      SELECT DISTINCT v.vid, v.emb FROM {vview} v
+      JOIN (SELECT DISTINCT query_id FROM probes) q ON q.query_id = v.vid
+    ),
+    v AS (SELECT vid, emb FROM qv),
+    qsub AS ({_subspace_cte(vd, m, sub_dim)}),
+    dt AS (
+      SELECT qs.vid AS qvid, qs.s, c.cid, {sq_dt} AS dist
+      FROM qsub qs JOIN {cbview} c ON c.s = qs.s
+    ),
+    adc AS (
+      SELECT cand.query_id, cand.vid AS neighbor_id,
+             SUM(CAST({_adc_rd("dt.dist")} AS DECIMAL(27,6))) AS approx
+      FROM cand
+      JOIN {coview} codes ON codes.vid = cand.vid
+      JOIN dt ON dt.qvid = cand.query_id AND dt.s = codes.s AND dt.cid = codes.cid
+      GROUP BY cand.query_id, cand.vid
+    ),
+    shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY approx ASC, neighbor_id) AS arank
+        FROM adc
+      ) WHERE arank <= {rerank}
+    )
+    SELECT query_id, neighbor_id, l2_sq, rank FROM (
+      SELECT query_id, neighbor_id, l2_sq,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY l2_sq ASC, neighbor_id) AS rank
+      FROM (
+        SELECT sl.query_id, sl.neighbor_id, {sq_exact} AS l2_sq
+        FROM shortlist sl
+        JOIN {vview} q ON q.vid = sl.query_id
+        JOIN {vview} cand ON cand.vid = sl.neighbor_id
+      )
+    ) WHERE rank <= {k}
+    """)
+
+
 def build_pq_index(
     df: DataFrame,
     id_col: str,

@@ -459,6 +459,63 @@ def dsir_weights(
     return df.sparkSession.sql(sql)
 
 
+def dsir_resample_sql(
+    d,
+    table: str,
+    text_col: str,
+    id_col: str,
+    *,
+    target_pred: str,
+    round_to: int = 6,
+) -> str:
+    """The importance-RESAMPLING step of DSIR (Xie et al. 2023) — the
+    deterministic-hash sampler the weights exist for, registered so the
+    pipeline end (select the target-like subset) is oracle-checked, not
+    left as an exercise: document kept iff
+
+        u(doc) * w_max < weight(doc),   u(doc) = md5-32bit(id) / 2^32
+
+    i.e. an independent acceptance draw with probability weight/w_max —
+    Gumbel-free importance resampling whose acceptance is EXACT integer
+    /double arithmetic (the soft-dedup draw discipline: both sides of
+    the comparison are one IEEE multiply of identical doubles — no RNG
+    state, identical on any cluster size and on both engines).
+
+    ``w_max`` is the corpus max weight (one broadcast scalar row), so
+    the highest-weight document is kept with probability 1 and expected
+    survivors = Σw / w_max.  Shape: the dsir_weights pipeline (one
+    explode + LEAD pass, two count models) + one scalar cross join +
+    a projection.  Output: ({id_col}, dsir_weight, kept BOOLEAN).
+    """
+    inner = dsir_weights_sql(
+        d, table, text_col, id_col, target_pred=target_pred, round_to=round_to
+    )
+    if d.name == "spark":
+        h32 = f"CAST(conv(substr(md5(CAST({id_col} AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+    else:
+        h32 = f"(('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 8))::BIGINT)"
+    return f"""
+    WITH w AS ({inner}),
+    wmax AS (SELECT MAX(dsir_weight) AS mw FROM w)
+    SELECT {id_col}, dsir_weight,
+           (CAST({h32} AS DOUBLE) * mw < dsir_weight * 4294967296.0) AS kept
+    FROM w CROSS JOIN wmax
+    """
+
+
+def dsir_resample(
+    df: DataFrame, text_col: str, id_col: str, *, target_pred: str, round_to: int = 6
+) -> DataFrame:
+    """DataFrame entry point for :func:`dsir_resample_sql`."""
+    _check(df, [text_col, id_col])
+    sql = dsir_resample_sql(
+        SPARK, "_ts_dsirr_in", text_col, id_col,
+        target_pred=target_pred, round_to=round_to,
+    )
+    df.createOrReplaceTempView("_ts_dsirr_in")
+    return df.sparkSession.sql(sql)
+
+
 def quality_classifier_sql(
     d,
     table: str,

@@ -1230,6 +1230,55 @@ def ann_ivf_refined_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFram
     return query_refined_ivf_index(spark, path, query_pred="vid < 8", k=5, nprobe=16)
 
 
+def _ivfpq_oracle() -> str:
+    from .operators.pq import ivfpq_topk_sql
+
+    return ivfpq_topk_sql(
+        VDUCK, "embeddings", "vec_id", "embedding", query_pred="vid < 8", k=5,
+    )
+
+
+@register("ivfpq_topk", oracle=_ivfpq_oracle())
+def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN (the FAISS IVFx,PQy billion-scale layout):
+    a Lloyd-refined coarse quantizer prunes to 8 of 16 cells, and only
+    those cells' 16-byte PQ codes are ADC-scored before the exact
+    re-rank — candidate volume and per-candidate cost multiply down
+    (n·nprobe/cells candidates × m byte-lookups each). Training of
+    BOTH quantizers is oracle-bit-exact; recall on this isotropic
+    worst-case corpus is measured and gated in tests/test_ann_index.py
+    (clustered real embeddings need far smaller probe fractions)
+    (operators/pq.ivfpq_topk)."""
+    from .operators.pq import ivfpq_topk as _ivfpq
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return _ivfpq(emb, "vec_id", "embedding", query_pred="vid < 8", k=5)
+
+
+@register("ivfpq_persisted_topk", oracle=_ivfpq_oracle())
+def ivfpq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """build_ivfpq_index → query_ivfpq_index: BOTH quantizers trained
+    and applied once at build; the serve plan pays |Q|×K probe
+    rankings, the cid equi-join selecting the probed cells' 16-byte
+    codes, the broadcast distance table, and the exact re-rank — no
+    training subtrees anywhere (asserted in tests). Oracle = the
+    INLINE composed statement → persisted ≡ inline, both quantizers'
+    training included."""
+    from .operators.pq import build_ivfpq_index, query_ivfpq_index
+
+    path = _index_dir(
+        "ts_ivfpq_index", sf_dir, "c16_cl2_m16_sd4_k16_li3_v1", table="embeddings"
+    )
+    if not _index_ready(path):
+        emb = load_table(spark, "embeddings", sf_dir)
+        build_ivfpq_index(
+            emb, "vec_id", "embedding", path,
+            num_cells=16, cell_lloyd_iters=2, m=16, sub_dim=4, k_codes=16,
+            lloyd_iters=3,
+        )
+    return query_ivfpq_index(spark, path, query_pred="vid < 8", k=5, nprobe=8, rerank=50)
+
+
 @register("pq_persisted_topk", oracle=_pq_oracle())
 def pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """build_pq_index → query_pq_index two-step: codebook training (one
@@ -4503,6 +4552,30 @@ def quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dsir_resample_oracle() -> str:
+    from .operators.text import dsir_resample_sql
+
+    return dsir_resample_sql(
+        DUCK, "documents", "text", "doc_id", target_pred="lang = 'en'"
+    )
+
+
+@register("dsir_resample_docs", oracle=_dsir_resample_oracle())
+def dsir_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance RESAMPLING — the selection step over
+    dsir_weights_docs' weights: each document survives an exact
+    deterministic acceptance draw with probability weight/w_max (md5
+    integer draw × one IEEE multiply — the soft-dedup discipline, no
+    RNG), so the kept subset skews toward the target distribution while
+    the highest-weight doc is always kept. Completes the DSIR loop:
+    weights → sampler → training subset, all oracle-checked
+    (operators/text.dsir_resample)."""
+    from .operators.text import dsir_resample
+
+    docs = load_table(spark, "documents", sf_dir)
+    return dsir_resample(docs, "text", "doc_id", target_pred="lang = 'en'")
+
+
 def _repetition_oracle() -> str:
     from .operators.text import repetition_stats_sql
 
@@ -5501,6 +5574,9 @@ GRADE_PRIORITY: list[str] = [
     "tpch_q7_volume_shipping",         # new: nation-pair flows, 1 fact shuffle
     "tpch_q12_ship_priority",          # new: fact-fact conditional counts
     "tpch_q19_discounted_revenue",     # new: disjunctive mixed-side predicate
+    "ivfpq_topk",                      # new: composed IVF-PQ ANN layout
+    "ivfpq_persisted_topk",            # new: its train-once serve twin
+    "dsir_resample_docs",              # new: DSIR acceptance sampler
     # -- CHANGED in r8 (round-before-quantize in Lloyd/ADC, contract
     #    COALESCE, blas id-type, soft-dedup broadcast un-forced, prefix
     #    localCheckpoint, multiprobe CTE factor-out) -> re-grade --
@@ -5546,11 +5622,11 @@ GRADE_PRIORITY: list[str] = [
     "stratified_sample_events",
     # -- oldest r5 block: flagship lag family + scale paths fill slot 50 --
     "lag_events_wide",
+    # ---- grading window ends here (first 50 of the above) ----
+    # -- r5-graded remainder --
     "lag_events_fill_inf",
     "lag_events_long_unordered",
     "lag_global_hourly",
-    # ---- grading window ends here (first 50 of the above) ----
-    # -- r5-graded remainder --
     "lag_hotkey_events",
     "neardup_clusters_docs",
     "pipeline_clean_corpus",

@@ -74,6 +74,12 @@ SHOWCASE = {
     "hard_negatives_ann_topk": "Production hard negatives: multiprobe-LSH candidates (planes-as-data broadcast, bucket-key equi-join) -> LEFT ANTI positives -> exact re-rank of survivors only; the brute |Q|xn BroadcastNestedLoopJoin appears nowhere.",
     "line_dedup_docs": "Line dedup: split+posexplode once, line-hash frequency is a partial-aggregated COUNT(DISTINCT doc), flagged lines join back on the 60-bit key, reassembly is one groupBy(doc) ordered collect - counters and equi-joins, never pairs.",
     "quality_score_docs": "Hashed-bigram classifier: ONE posexplode + LEAD window feeds both the filtered training count and the scoring join; the weight relation is bounded at n_buckets rows (feature hashing) and the prior is a 1-row broadcast.",
+    "ivfpq_topk": "Composed IVF-PQ: the coarse Lloyd cells prune candidates to nprobe/num_cells of the corpus and ONLY those cells' 16-byte codes meet the broadcast distance table — candidate volume and per-candidate cost multiply down; exact re-rank touches floats last.",
+    "ivfpq_persisted_topk": "Persisted IVF-PQ serving: centroids/assigned/codebook/codes all parquet reads (no training subtrees); the cid equi-join selects the probed cells' code rows, ADC collapses with the exact-decimal SUM, floats only in the re-rank.",
+    "dsir_resample_docs": "DSIR acceptance sampler: the weights pipeline + ONE scalar w_max row cross-joined back; the keep decision is an integer md5 draw x one IEEE multiply - no RNG, no shuffle beyond the weights' own.",
+    "tpch_q7_volume_shipping": "Q7: ONE fact-fact exchange (lineitem x orders); customer, supplier and both nation legs broadcast as pre-joined (key, nation) projections; the date filter is in the lineitem scan's PushedFilters.",
+    "tpch_q12_ship_priority": "Q12 (delay buckets): one fact-fact equi-join on the order key, priority split as two SUM(CASE) slots of a single partial-aggregated pass.",
+    "tpch_q19_discounted_revenue": "Q19: the disjunctive predicate straddling both sides - part-only arms (brand IN + size bounds) derived below the broadcast join, mixed arms evaluate as the join residual; never a nested loop.",
 }
 
 SF_DIR = "/root/testdata/sf0.01"
