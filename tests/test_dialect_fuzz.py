@@ -477,3 +477,107 @@ def test_fuzz_bigram_fluency_template(pdf):
     ).df()
     exp2["n_bigrams"] = exp2["n_bigrams"].astype("int64")
     _compare(got2, exp2)
+
+
+# ---------------------------------------------------------------------------
+# Round-8 operators: line dedup (multi-line corpora), quality classifier,
+# DSIR resampling — fuzzed over NULLs/empties/blank lines/unicode-ish tokens.
+# ---------------------------------------------------------------------------
+
+LINE = st.lists(WORD, min_size=0, max_size=6).map(" ".join)
+
+
+@st.composite
+def multiline_corpus(draw):
+    n = draw(st.integers(min_value=1, max_value=10))
+    texts = draw(
+        st.lists(
+            st.one_of(st.none(), st.lists(LINE, min_size=0, max_size=5).map("\n".join)),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    return pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+
+
+@FUZZ_SETTINGS
+@given(multiline_corpus(), st.sampled_from([1, 2]), st.sampled_from([1, 6]))
+def test_fuzz_line_dedup(pdf, cap, min_chars):
+    got, exp = _run_both(
+        pdf,
+        dd.line_dedup_sql(SPARK, "_fz_ld", "doc_id", "text",
+                          max_line_docs=cap, min_line_chars=min_chars),
+        dd.line_dedup_sql(DUCK, "_fz_ld", "doc_id", "text",
+                          max_line_docs=cap, min_line_chars=min_chars),
+        "_fz_ld",
+        schema="doc_id long, text string",
+    )
+    _compare(got, exp)
+
+
+@st.composite
+def labeled_corpus(draw):
+    n = draw(st.integers(min_value=2, max_value=10))
+    texts = draw(
+        st.lists(
+            st.one_of(st.none(), st.lists(WORD, min_size=0, max_size=8).map(" ".join)),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    langs = draw(st.lists(st.sampled_from(["en", "de", "zh"]), min_size=n, max_size=n))
+    return pd.DataFrame({"doc_id": range(n), "text": texts, "lang": langs})
+
+
+@FUZZ_SETTINGS
+@given(labeled_corpus())
+def test_fuzz_quality_classifier(pdf):
+    from time_sift_spark.operators.text import quality_classifier_sql
+
+    kw = dict(label_pred="lang = 'en'", train_pred="doc_id % 2 = 0", n_buckets=32)
+    got, exp = _run_both(
+        pdf,
+        quality_classifier_sql(SPARK, "_fz_qc", "text", "doc_id", **kw),
+        quality_classifier_sql(DUCK, "_fz_qc", "text", "doc_id", **kw),
+        "_fz_qc",
+        schema="doc_id long, text string, lang string",
+    )
+    _compare(got, exp)
+
+
+@FUZZ_SETTINGS
+@given(labeled_corpus())
+def test_fuzz_dsir_resample(pdf):
+    from time_sift_spark.operators.text import dsir_resample_sql
+
+    got, exp = _run_both(
+        pdf,
+        dsir_resample_sql(SPARK, "_fz_dr", "text", "doc_id", target_pred="lang = 'en'"),
+        dsir_resample_sql(DUCK, "_fz_dr", "text", "doc_id", target_pred="lang = 'en'"),
+        "_fz_dr",
+        schema="doc_id long, text string, lang string",
+    )
+    _compare(got, exp)
+
+
+@FUZZ_SETTINGS
+@given(corpus(), corpus())
+def test_fuzz_decontaminate_fuzzy(train_pdf, bench_pdf):
+    from time_sift_spark.operators.corpus import decontaminate_fuzzy_sql
+
+    spark = _get_session()
+    schema = "doc_id long, text string"
+    sdf_t = spark.createDataFrame(train_pdf, schema)
+    sdf_b = spark.createDataFrame(bench_pdf, schema)
+    sdf_t.createOrReplaceTempView("_fz_dc_t")
+    sdf_b.createOrReplaceTempView("_fz_dc_b")
+    got = spark.sql(
+        decontaminate_fuzzy_sql(SPARK, "_fz_dc_t", "_fz_dc_b", "text", threshold=0.4)
+    ).toPandas()
+    con = duckdb.connect()
+    con.register("_fz_dc_t", train_pdf)
+    con.register("_fz_dc_b", bench_pdf)
+    exp = con.execute(
+        decontaminate_fuzzy_sql(DUCK, "_fz_dc_t", "_fz_dc_b", "text", threshold=0.4)
+    ).df()
+    _compare(got, exp)

@@ -31,6 +31,8 @@ __all__ = [
     "redact_pii_sql",
     "decontaminate",
     "decontaminate_sql",
+    "decontaminate_fuzzy",
+    "decontaminate_fuzzy_sql",
     "pack_sequences",
     "pack_sequences_oracle_sql",
     "temperature_resample",
@@ -246,6 +248,125 @@ def decontaminate_sql(
            COALESCE(h.n_contaminated_ngrams, 0) > 0 AS contaminated
     FROM {train_table} t LEFT JOIN hits h ON t.{id_col} = h.{id_col}
     """
+
+
+def decontaminate_fuzzy_sql(
+    d: Dialect,
+    train_table: str,
+    bench_table: str,
+    text: str,
+    *,
+    id_col: str = "doc_id",
+    bench_id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_perm: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> str:
+    """FUZZY benchmark decontamination (the GPT-3 appendix-C screen, the
+    near-duplicate complement of :func:`decontaminate_sql`'s exact
+    k-gram overlap): flag a training document when its shingle-set
+    Jaccard against ANY benchmark item reaches ``threshold`` — a
+    lightly paraphrased or truncated eval leak shares few exact 8-grams
+    but keeps a high Jaccard.
+
+    Composition (all existing machinery, never all-pairs): both corpora
+    union into ONE side-tagged stream ('t:'/'b:' id prefixes), one
+    MinHash signature chain covers both, LSH band keys block candidate
+    generation, and the band join keeps only CROSS-side (train, bench)
+    pairs — train×train and bench×bench pairs are never formed.
+    Candidates verify by EXACT Jaccard over their hashed shingle sets
+    before the threshold, so the flag is exact given the screen (same
+    contract as lsh_verified_neardup_sql).
+
+    Output: one row per training doc — ({id_col}, max_jaccard,
+    n_bench_matches, contaminated).  Scale shape: the benchmark side is
+    MBs against a 100 TB corpus, so its band keys are a tiny fraction
+    of the stream; the only joins are the band-key equi-join and the
+    verify join over |cross-side candidates|.
+    """
+    from .dedup import _band_selects, _minhash_sig_cte
+
+    cast = "STRING" if d.name == "spark" else "VARCHAR"
+    union = (
+        f"(SELECT concat('t:', CAST({id_col} AS {cast})) AS uid, {text} AS _utxt "
+        f"FROM {train_table} "
+        f"UNION ALL "
+        f"SELECT concat('b:', CAST({bench_id_col} AS {cast})) AS uid, {text} AS _utxt "
+        f"FROM {bench_table})"
+    )
+    sig_cte = _minhash_sig_cte(d, union, "uid", "_utxt", num_perm, shingle_k, seed)
+    band_selects = _band_selects(d, num_perm, bands)
+    if d.name == "spark":
+        tset = "collect_set(h)"
+        inter = "size(array_intersect(a.hs, b.hs))"
+        setsize = "size"
+    else:
+        tset = "list(DISTINCT h)"
+        inter = "len(list_filter(a.hs, x -> list_contains(b.hs, x)))"
+        setsize = "len"
+    jaccard = "(CAST(n_inter AS DOUBLE) / CAST(n_sum - n_inter AS DOUBLE))"
+    return f"""
+    WITH {sig_cte},
+    tsets AS (
+      SELECT did, {tset} AS hs FROM hashed GROUP BY did
+    ),
+    bands AS ({band_selects}),
+    cand AS (
+      SELECT x.did AS tdid, y.did AS bdid
+      FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
+      WHERE x.did LIKE 't:%' AND y.did LIKE 'b:%'
+      GROUP BY x.did, y.did
+    ),
+    pairs AS (
+      SELECT cand.tdid,
+             {inter} AS n_inter,
+             {setsize}(a.hs) + {setsize}(b.hs) AS n_sum
+      FROM cand
+      JOIN tsets a ON a.did = cand.tdid
+      JOIN tsets b ON b.did = cand.bdid
+    ),
+    hits AS (
+      SELECT tdid, MAX({jaccard}) AS max_jaccard,
+             CAST(COUNT(*) AS BIGINT) AS n_bench_matches
+      FROM pairs
+      WHERE {jaccard} >= {threshold}
+      GROUP BY tdid
+    )
+    SELECT t.{id_col},
+           COALESCE(h.max_jaccard, 0.0) AS max_jaccard,
+           CAST(COALESCE(h.n_bench_matches, 0) AS BIGINT) AS n_bench_matches,
+           h.tdid IS NOT NULL AS contaminated
+    FROM {train_table} t
+    LEFT JOIN hits h ON h.tdid = concat('t:', CAST(t.{id_col} AS {cast}))
+    """
+
+
+def decontaminate_fuzzy(
+    train_df: DataFrame,
+    bench_df: DataFrame,
+    text_col: str,
+    *,
+    id_col: str = "doc_id",
+    bench_id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_perm: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """DataFrame entry point for :func:`decontaminate_fuzzy_sql`."""
+    _check(train_df, [id_col, text_col])
+    _check(bench_df, [bench_id_col, text_col])
+    train_df.createOrReplaceTempView("_ts_dcf_train")
+    bench_df.createOrReplaceTempView("_ts_dcf_bench")
+    sql = decontaminate_fuzzy_sql(
+        SPARK, "_ts_dcf_train", "_ts_dcf_bench", text_col,
+        id_col=id_col, bench_id_col=bench_id_col, threshold=threshold,
+        num_perm=num_perm, bands=bands, shingle_k=shingle_k, seed=seed,
+    )
+    return train_df.sparkSession.sql(sql)
 
 
 # --------------------------------------------------------------------------

@@ -4686,6 +4686,45 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(train, bench, "text", k=3)
 
 
+# The eval-leak scenario fuzzy decontamination exists for: benchmark items
+# that are TRUNCATED copies of training documents (first ~2/3 of the text) —
+# few shared exact 8-grams survive rewrapping, but the shingle-set Jaccard
+# stays ~0.65. The %41 slice plays the leaked eval suite; ONE SQL text
+# builds the truncation on both engines.
+_FUZZY_BENCH = (
+    "(SELECT doc_id, "
+    "substr(text, 1, CAST(floor(length(text) * 2 / 3) AS INT)) AS text "
+    "FROM documents WHERE doc_id % 41 = 0)"
+)
+
+
+def _decontaminate_fuzzy_oracle() -> str:
+    from .operators.corpus import decontaminate_fuzzy_sql
+
+    return decontaminate_fuzzy_sql(
+        DUCK, "documents", _FUZZY_BENCH, "text", threshold=0.5
+    )
+
+
+@register("decontaminate_fuzzy_docs", oracle=_decontaminate_fuzzy_oracle())
+def decontaminate_fuzzy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY decontamination (the GPT-3 appendix-C near-duplicate
+    screen): flag training docs whose shingle-set Jaccard vs ANY
+    benchmark item reaches 0.5 — the benchmark here is truncated copies
+    of 1-in-41 training docs (the leak the exact-gram screen
+    under-counts after rewrapping). One MinHash chain over the
+    side-tagged union, LSH band keys block, only CROSS-side pairs form,
+    exact-Jaccard verify before the flag; the ~13 source docs are
+    flagged at max_jaccard ~0.65, the rest pass
+    (operators/corpus.decontaminate_fuzzy)."""
+    from .operators.corpus import decontaminate_fuzzy
+
+    docs = load_table(spark, "documents", sf_dir)
+    docs.createOrReplaceTempView("documents")
+    bench = spark.sql(_FUZZY_BENCH.strip("()"))
+    return decontaminate_fuzzy(docs, bench, "text", threshold=0.5)
+
+
 # --------------------------------------------------------------------------
 # Round-6b: lexical retrieval, sequence packing, SCD2 history, rolling corr
 # --------------------------------------------------------------------------
@@ -5577,6 +5616,7 @@ GRADE_PRIORITY: list[str] = [
     "ivfpq_topk",                      # new: composed IVF-PQ ANN layout
     "ivfpq_persisted_topk",            # new: its train-once serve twin
     "dsir_resample_docs",              # new: DSIR acceptance sampler
+    "decontaminate_fuzzy_docs",        # new: MinHash eval-leak screen
     # -- CHANGED in r8 (round-before-quantize in Lloyd/ADC, contract
     #    COALESCE, blas id-type, soft-dedup broadcast un-forced, prefix
     #    localCheckpoint, multiprobe CTE factor-out) -> re-grade --
@@ -5619,10 +5659,10 @@ GRADE_PRIORITY: list[str] = [
     "langid_docs",
     "gap_fill_daily_events",
     "latest_event_per_user",
-    "stratified_sample_events",
-    # -- oldest r5 block: flagship lag family + scale paths fill slot 50 --
+    # -- oldest r5 block: the flagship fills slot 50 --
     "lag_events_wide",
     # ---- grading window ends here (first 50 of the above) ----
+    "stratified_sample_events",
     # -- r5-graded remainder --
     "lag_events_fill_inf",
     "lag_events_long_unordered",

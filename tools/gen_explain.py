@@ -80,6 +80,7 @@ SHOWCASE = {
     "tpch_q7_volume_shipping": "Q7: ONE fact-fact exchange (lineitem x orders); customer, supplier and both nation legs broadcast as pre-joined (key, nation) projections; the date filter is in the lineitem scan's PushedFilters.",
     "tpch_q12_ship_priority": "Q12 (delay buckets): one fact-fact equi-join on the order key, priority split as two SUM(CASE) slots of a single partial-aggregated pass.",
     "tpch_q19_discounted_revenue": "Q19: the disjunctive predicate straddling both sides - part-only arms (brand IN + size bounds) derived below the broadcast join, mixed arms evaluate as the join residual; never a nested loop.",
+    "decontaminate_fuzzy_docs": "Fuzzy eval-leak screen: ONE MinHash signature chain over the side-tagged union, band-key equi-join restricted to cross-side pairs, exact-Jaccard verify on the |candidates| rows - never train x train, never all-pairs.",
 }
 
 SF_DIR = "/root/testdata/sf0.01"
