@@ -1949,6 +1949,55 @@ def streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _user_profile_sql(dialect: str) -> str:
+    """Per-user profile (exact-decimal mean of value) — ONE text for the
+    batch profile build, the Spark static side, and the DuckDB oracle."""
+    from .operators._num import dec_to_double
+
+    mean = f"({dec_to_double('SUM(CAST(value AS DECIMAL(27,6)))')} / COUNT(value))"
+    return f"SELECT user_id, {mean} AS user_avg FROM events GROUP BY user_id"
+
+
+@register(
+    "streaming_enrich_events",
+    oracle=f"""
+    WITH prof AS ({_user_profile_sql("duck")})
+    SELECT e.event_id, e.user_id, e.value, p.user_avg,
+           (e.value > 2 * p.user_avg) AS is_anomaly
+    FROM events e JOIN prof p ON p.user_id = e.user_id
+    """,
+)
+def streaming_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment — the online feature-serving pattern the
+    streaming surface was missing: each arriving event joins a
+    batch-computed per-user profile (exact-decimal mean) via a BROADCAST
+    stream-static join and gets a deviation flag. The join is stateless
+    (no watermark, no state store — the static side is pinned per
+    micro-batch), so the drained output equals the batch join, which is
+    exactly what the oracle asserts. At 100 TB the profile is the
+    feature store snapshot: broadcast when it fits, else a
+    stream-static shuffle join — either way no streaming state."""
+    import pyspark.sql.functions as F
+
+    from .sources.catalog import read_events_stream
+    from .streaming.lag_stream import run_stream_to_df
+
+    events = load_table(spark, "events", sf_dir)
+    events.createOrReplaceTempView("events")
+    profile = spark.sql(_user_profile_sql("spark"))
+    stream = (
+        read_events_stream(spark, sf_dir)
+        .select("event_id", "user_id", "value")
+        .join(F.broadcast(profile), "user_id")
+        .select(
+            "event_id", "user_id", "value", "user_avg",
+            (F.col("value") > 2 * F.col("user_avg")).alias("is_anomaly"),
+        )
+    )
+    _STREAM_SEQ[0] += 1
+    return run_stream_to_df(stream, f"ts_stream_enrich_{_STREAM_SEQ[0]}")
+
+
 @register(
     "streaming_lag_events",
     oracle="""
@@ -3529,6 +3578,89 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(year(l_shipdate) AS INT)").alias("l_year"),
         )
         .agg(_fdsum(F.expr("l_extendedprice * (1 - l_discount)"), 2).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): the LEFT OUTER
+    join whose zero-match customers MUST survive into the c_count=0
+    bucket — the query shape an inner-join rewrite silently corrupts.
+    The join predicate carries the non-key filter (priority <> 5-LOW)
+    on the JOIN, not the WHERE (where it would turn the outer join
+    inner); two chained aggregations, both partial-aggregated."""
+    import pyspark.sql.functions as F
+
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey")
+    orders = load_table(spark, "orders", sf_dir).where(
+        "o_orderpriority <> '5-LOW'"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
+
+
+def _q17_avg_qty() -> str:
+    from .operators._num import dec_to_double
+
+    return f"({dec_to_double('SUM(CAST(l_quantity AS DECIMAL(27,6)))')} / COUNT(l_quantity))"
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    oracle=f"""
+    WITH pa AS (
+      SELECT l_partkey, {_q17_avg_qty()} AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT ({dsum("l.l_extendedprice", 2)} / 7.0) AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3' AND l.l_quantity < 0.2 * pa.avg_qty
+    """,
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): the classic CORRELATED
+    aggregate subquery (l_quantity < 0.2 · avg qty of the same part),
+    written directly in its decorrelated form — the per-part average is
+    ONE partial-aggregated groupBy re-joined on the part key, exactly
+    the plan a decorrelation rule would produce; part's brand filter
+    broadcasts. The per-part mean is the exact-decimal mean, so the
+    0.2·avg threshold is bit-identical cross-engine."""
+    import pyspark.sql.functions as F
+
+    li = load_table(spark, "lineitem", sf_dir)
+    li.createOrReplaceTempView("lineitem")
+    pa = spark.sql(
+        f"SELECT l_partkey, {_q17_avg_qty()} AS avg_qty FROM lineitem GROUP BY l_partkey"
+    )
+    part = load_table(spark, "part", sf_dir).where("p_brand = 'Brand#3'").select("p_partkey")
+    return (
+        li.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(pa, "l_partkey")
+        .where("l_quantity < 0.2 * avg_qty")
+        .agg(
+            (_fdsum("l_extendedprice", 2) / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
     )
 
 
@@ -5617,6 +5749,9 @@ GRADE_PRIORITY: list[str] = [
     "ivfpq_persisted_topk",            # new: its train-once serve twin
     "dsir_resample_docs",              # new: DSIR acceptance sampler
     "decontaminate_fuzzy_docs",        # new: MinHash eval-leak screen
+    "streaming_enrich_events",         # new: stream-static feature serving
+    "tpch_q13_customer_distribution",  # new: outer-join zero-bucket dist
+    "tpch_q17_small_quantity_revenue", # new: decorrelated agg subquery
     # -- CHANGED in r8 (round-before-quantize in Lloyd/ADC, contract
     #    COALESCE, blas id-type, soft-dedup broadcast un-forced, prefix
     #    localCheckpoint, multiprobe CTE factor-out) -> re-grade --
@@ -5656,12 +5791,12 @@ GRADE_PRIORITY: list[str] = [
     "lsh_verified_neardup_docs",
     "fingerprint_docs",
     "text_stats_docs",
-    "langid_docs",
-    "gap_fill_daily_events",
-    "latest_event_per_user",
     # -- oldest r5 block: the flagship fills slot 50 --
     "lag_events_wide",
     # ---- grading window ends here (first 50 of the above) ----
+    "langid_docs",
+    "gap_fill_daily_events",
+    "latest_event_per_user",
     "stratified_sample_events",
     # -- r5-graded remainder --
     "lag_events_fill_inf",

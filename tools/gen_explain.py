@@ -81,6 +81,8 @@ SHOWCASE = {
     "tpch_q12_ship_priority": "Q12 (delay buckets): one fact-fact equi-join on the order key, priority split as two SUM(CASE) slots of a single partial-aggregated pass.",
     "tpch_q19_discounted_revenue": "Q19: the disjunctive predicate straddling both sides - part-only arms (brand IN + size bounds) derived below the broadcast join, mixed arms evaluate as the join residual; never a nested loop.",
     "decontaminate_fuzzy_docs": "Fuzzy eval-leak screen: ONE MinHash signature chain over the side-tagged union, band-key equi-join restricted to cross-side pairs, exact-Jaccard verify on the |candidates| rows - never train x train, never all-pairs.",
+    "tpch_q13_customer_distribution": "Q13: LEFT OUTER with the non-key filter ON THE JOIN (a WHERE would silently turn it inner and lose the c_count=0 bucket); two chained partial-aggregated groupBys.",
+    "tpch_q17_small_quantity_revenue": "Q17: the correlated avg-quantity subquery in decorrelated form - one partial-aggregated per-part mean re-joined on the part key; the brand dimension broadcasts.",
 }
 
 SF_DIR = "/root/testdata/sf0.01"
