@@ -245,3 +245,39 @@ def test_ewma_scan_equals_groupwise_random_nans(case):
             .reset_index(drop=True)
         )
     pd.testing.assert_frame_equal(a, b)
+def test_cluster_balanced_sample_caps_and_determinism(spark):
+    from time_sift_spark.operators.similarity import cluster_balanced_sample
+    from time_sift_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.01")
+    out = cluster_balanced_sample(emb, "vec_id", "embedding", num_cells=16, cap=10)
+    pdf = out.toPandas()
+    # cap respected per cell; ids unique; fully deterministic across runs
+    per_cell = pdf.groupby("cell").size()
+    assert (per_cell <= 10).all()
+    assert pdf["vec_id"].is_unique
+    pdf2 = (
+        cluster_balanced_sample(emb, "vec_id", "embedding", num_cells=16, cap=10)
+        .toPandas()
+        .sort_values(["cell", "vec_id"])
+        .reset_index(drop=True)
+    )
+    pd1 = pdf.sort_values(["cell", "vec_id"]).reset_index(drop=True)
+    assert pd1.equals(pdf2)
+    # a tight cap strictly shrinks dense cells but never empties a non-empty cell set
+    tight = cluster_balanced_sample(
+        emb, "vec_id", "embedding", num_cells=16, cap=3
+    ).toPandas()
+    assert set(tight["cell"]) == set(pdf["cell"])
+    assert (tight.groupby("cell").size() <= 3).all()
+
+
+def test_group_split_never_straddles_sources(spark):
+    from time_sift_spark.queries import REGISTRY
+
+    out = REGISTRY["group_split_docs"].spark_fn(spark, "/root/testdata/sf0.01")
+    pdf = out.toPandas()
+    # every source maps to exactly one split — the leakage guard
+    assert (pdf.groupby("source")["split"].nunique() == 1).all()
+    assert set(pdf["split"]) <= {"train", "val", "test"}
+    assert len(pdf) == 500

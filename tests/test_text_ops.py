@@ -130,3 +130,41 @@ def test_quality_classifier_feature_hashing_bounds_weight_table(spark):
     ).toPandas()
     assert len(out) == docs.where("size(split(text, ' ')) >= 2").count()
     assert out.quality_score.between(0, 1).all()
+
+
+def test_quality_model_persisted_equals_inline(spark, tmp_path):
+    """build_quality_model → score_quality_model must return EXACTLY what
+    the inline one-statement classifier returns (integer counts persist,
+    the posterior/prior doubles are recomputed from the same shared
+    expression text), and the serve plan must contain no training
+    subtree (the weight aggregation was paid at build time)."""
+    from time_sift_spark.functions.text_fns import SPARK as _S
+    from time_sift_spark.operators.text import (
+        build_quality_model,
+        quality_classifier_score,
+        score_quality_model,
+    )
+    from time_sift_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    train_pred = f"({_S.md5_long('CAST(doc_id AS STRING)')} % 2 = 0)"
+    path = str(tmp_path / "qc_model")
+    build_quality_model(
+        docs, "text", "doc_id", path,
+        label_pred="lang = 'en'", train_pred=train_pred,
+    )
+    inline = quality_classifier_score(
+        docs, "text", "doc_id", label_pred="lang = 'en'", train_pred=train_pred
+    ).toPandas().sort_values("doc_id").reset_index(drop=True)
+    served = score_quality_model(spark, path, docs) \
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(served, inline)
+
+    # weight table bounded by construction; serve plan has no training agg
+    import pyarrow.parquet as pq
+
+    n_weights = pq.read_table(f"{path}/weights").num_rows
+    assert n_weights <= 65536
+    plan = score_quality_model(spark, path, docs) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "is_t" not in plan

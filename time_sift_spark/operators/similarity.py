@@ -460,6 +460,70 @@ def ann_ivf_topk_sql(
     """
 
 
+def cluster_balanced_sample_sql(
+    vd: VectorDialect,
+    table: str,
+    id_col: str,
+    vec_col: str,
+    *,
+    num_cells: int = 16,
+    cap: int = 10,
+) -> str:
+    """Cluster-balanced (diversity) sampling — the curation step that
+    keeps a training subset SPANNING the embedding space instead of
+    oversampling its dense regions (the DataComp/SemDeDup-adjacent
+    'cap each cluster's contribution' rule).
+
+    Same deterministic coarse quantizer as :func:`ann_ivf_topk_sql`
+    (hash-ordered seed centroids, nearest-cosine assignment — zero
+    training, so the whole pipeline is oracle-expressible), then a
+    per-cell md5-rank cap: each cell forwards at most ``cap`` vectors,
+    chosen by hash of their id (uniform within the cell, reproducible,
+    cluster-layout-independent — the class_capped_sample discipline).
+    Dense cells are truncated; sparse cells survive whole, which is the
+    point.  At scale the centroid set is a broadcast relation, the
+    assignment window partitions on the vector id, and the cap compiles
+    to WindowGroupLimit (each input partition forwards ≤ cap rows per
+    cell to the final exchange)."""
+    cos_vc = vd.cosine(f"v.{vec_col}", f"c.{vec_col}")
+    return f"""
+    WITH cents AS (
+      SELECT {id_col} AS cid, {vec_col} FROM {table}
+      ORDER BY md5(CAST({id_col} AS STRING)), {id_col}
+      LIMIT {num_cells}
+    ),
+    assigned AS (
+      SELECT vid, cid FROM (
+        SELECT v.{id_col} AS vid, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.{id_col}
+                                  ORDER BY {cos_vc} DESC, c.cid) AS crank
+        FROM {table} v CROSS JOIN cents c
+      ) WHERE crank = 1
+    )
+    SELECT vid AS {id_col}, cid AS cell FROM (
+      SELECT vid, cid,
+             ROW_NUMBER() OVER (PARTITION BY cid
+                                ORDER BY md5(CAST(vid AS STRING)), vid) AS rnk
+      FROM assigned
+    ) WHERE rnk <= {cap}
+    """
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    num_cells: int = 16,
+    cap: int = 10,
+) -> DataFrame:
+    view = _next_view()
+    sql = cluster_balanced_sample_sql(
+        _VSPARK, view, id_col, vec_col, num_cells=num_cells, cap=cap
+    )
+    return _run(df, sql, view)
+
+
 def _explode_dims(vd: VectorDialect, src: str, cols: str = "cid") -> str:
     """(cols…, j, val) rows — one per vector dimension, j 1-based on BOTH
     engines (Spark posexplode is 0-based; +1 aligns it with DuckDB's

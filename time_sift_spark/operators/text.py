@@ -516,6 +516,33 @@ def dsir_resample(
     return df.sparkSession.sql(sql)
 
 
+def _qc_fkey(d, n_buckets: int) -> str:
+    """Hashed-bigram feature key — ONE text shared by the inline
+    statement and the build/serve split, so persisted weights join the
+    exact keys the inline form computes."""
+    bigram = "concat(w1, ' ', w2)"
+    return f"({d.md5_long(bigram)} % {int(n_buckets)})"
+
+
+def _qc_exprs(alpha: float, round_to: int) -> tuple[str, str, str]:
+    """(per-feature posterior r, prior p0, exact-decimal score sum) —
+    shared verbatim between the inline statement and the serve side so
+    persisted ≡ inline is bit-exact. alpha literals via repr so both
+    engines parse identical doubles."""
+    from ._num import round_double
+
+    r = round_double(
+        f"(CAST(cpos + {alpha!r} AS DOUBLE) / CAST(ctot + {2 * alpha!r} AS DOUBLE))", 6
+    )
+    p0 = round_double(
+        f"(CAST(tpos + {alpha!r} AS DOUBLE) / CAST(ttot + {2 * alpha!r} AS DOUBLE))", 6
+    )
+    rsum = (
+        f"CAST(ROUND(SUM(CAST(COALESCE({r}, p0) AS DECIMAL(27,6))), {round_to}) AS DOUBLE)"
+    )
+    return r, p0, rsum
+
+
 def quality_classifier_sql(
     d,
     table: str,
@@ -567,8 +594,6 @@ def quality_classifier_sql(
     bigrams and drop out (nothing to score them by — the fluency rule).
     Output: ({id_col}, n_bigrams, quality_score, predicted).
     """
-    from ._num import round_double
-
     if d.name == "spark":
         ex = (
             f"SELECT did, is_t, is_pos, pos, w FROM base "
@@ -579,18 +604,8 @@ def quality_classifier_sql(
             f"SELECT did, is_t, is_pos, i AS pos, _toks[i] AS w FROM "
             f"(SELECT did, is_t, is_pos, _toks, unnest(range(1, len(_toks) + 1)) AS i FROM base)"
         )
-    bigram = "concat(w1, ' ', w2)"
-    fkey = f"({d.md5_long(bigram)} % {int(n_buckets)})"
-    # alpha literals via repr so both engines parse identical doubles
-    r = round_double(
-        f"(CAST(cpos + {alpha!r} AS DOUBLE) / CAST(ctot + {2 * alpha!r} AS DOUBLE))", 6
-    )
-    p0 = round_double(
-        f"(CAST(tpos + {alpha!r} AS DOUBLE) / CAST(ttot + {2 * alpha!r} AS DOUBLE))", 6
-    )
-    rsum = (
-        f"CAST(ROUND(SUM(CAST(COALESCE({r}, p0) AS DECIMAL(27,6))), {round_to}) AS DOUBLE)"
-    )
+    fkey = _qc_fkey(d, n_buckets)
+    r, p0, rsum = _qc_exprs(alpha, round_to)
     return f"""
     WITH base AS (
       SELECT {id_col} AS did, {d.tokens(text_col)} AS _toks,
@@ -645,3 +660,108 @@ def quality_classifier_score(
     )
     df.createOrReplaceTempView("_ts_qc_in")
     return df.sparkSession.sql(sql)
+
+
+def build_quality_model(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    path: str,
+    *,
+    label_pred: str,
+    train_pred: str,
+    alpha: float = 0.5,
+    n_buckets: int = 65536,
+    round_to: int = 6,
+) -> None:
+    """Train-once half of the quality classifier: materialize the weight
+    relation (``{path}/weights``: fkey, cpos, ctot — exact integer
+    counts, at most ``n_buckets`` rows by construction) and the prior
+    totals (``{path}/prior``: tpos, ttot — a one-row re-aggregation of
+    the weights frame, never a second corpus pass), then ``params``
+    LAST (the completeness marker). Counts are stored as integers and
+    the posterior/prior doubles are recomputed at serve time with the
+    SAME shared expression text (:func:`_qc_exprs`), so serve ≡ inline
+    is bit-exact — the ANN build/serve contract applied to the text
+    tier. At 100 TB the training explode runs ONCE here instead of
+    inside every scoring query (the r7-verdict amortization doctrine)."""
+    _check(df, [text_col, id_col])
+    spark = df.sparkSession
+    view = "_ts_qcb_in"
+    df.createOrReplaceTempView(view)
+    d = SPARK
+    ex = (
+        "SELECT did, is_pos, pos, w FROM base "
+        "LATERAL VIEW posexplode(_toks) t AS pos, w"
+    )
+    fkey = _qc_fkey(d, n_buckets)
+    weights = spark.sql(f"""
+    WITH base AS (
+      SELECT {id_col} AS did, {d.tokens(text_col)} AS _toks,
+             CASE WHEN {label_pred} THEN 1 ELSE 0 END AS is_pos
+      FROM {view} WHERE {train_pred}
+    ),
+    tok AS ({ex}),
+    feats AS (
+      SELECT did, is_pos, {fkey} AS fkey FROM (
+        SELECT did, is_pos, w AS w1,
+               LEAD(w) OVER (PARTITION BY did ORDER BY pos) AS w2
+        FROM tok
+      ) WHERE w2 IS NOT NULL AND w1 <> '' AND w2 <> ''
+    )
+    SELECT fkey, SUM(is_pos) AS cpos, COUNT(*) AS ctot
+    FROM feats GROUP BY fkey
+    """)
+    weights.write.mode("overwrite").parquet(f"{path}/weights")
+    wview = "_ts_qcb_w"
+    spark.read.parquet(f"{path}/weights").createOrReplaceTempView(wview)
+    spark.sql(
+        f"SELECT SUM(cpos) AS tpos, SUM(ctot) AS ttot FROM {wview}"
+    ).write.mode("overwrite").parquet(f"{path}/prior")
+    spark.createDataFrame(
+        [(id_col, text_col, float(alpha), int(n_buckets), int(round_to))],
+        "id_col string, text_col string, alpha double, n_buckets int, round_to int",
+    ).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def score_quality_model(spark, path: str, df: DataFrame) -> DataFrame:
+    """Serve half: score a corpus frame against persisted weights. The
+    scored side pays only its own feature explode; the weight relation
+    (≤ n_buckets rows regardless of corpus size — the feature-hashing
+    guarantee) arrives as a broadcast equi-join, and the prior is a
+    one-row cross join. No training subtree in the plan: no is_t
+    filter, no weight aggregation — those were paid at build time."""
+    p = spark.read.parquet(f"{path}/params").collect()[0]
+    id_col, text_col = p["id_col"], p["text_col"]
+    _check(df, [text_col, id_col])
+    view, wview, pview = "_ts_qcs_in", "_ts_qcs_w", "_ts_qcs_p"
+    df.createOrReplaceTempView(view)
+    spark.read.parquet(f"{path}/weights").createOrReplaceTempView(wview)
+    spark.read.parquet(f"{path}/prior").createOrReplaceTempView(pview)
+    d = SPARK
+    fkey = _qc_fkey(d, p["n_buckets"])
+    r, p0, rsum = _qc_exprs(p["alpha"], p["round_to"])
+    return spark.sql(f"""
+    WITH base AS (
+      SELECT {id_col} AS did, {d.tokens(text_col)} AS _toks FROM {view}
+    ),
+    tok AS (
+      SELECT did, pos, w FROM base LATERAL VIEW posexplode(_toks) t AS pos, w
+    ),
+    feats AS (
+      SELECT did, {fkey} AS fkey FROM (
+        SELECT did, w AS w1,
+               LEAD(w) OVER (PARTITION BY did ORDER BY pos) AS w2
+        FROM tok
+      ) WHERE w2 IS NOT NULL AND w1 <> '' AND w2 <> ''
+    ),
+    weights AS (SELECT fkey, cpos, ctot FROM {wview}),
+    prior AS (SELECT {p0} AS p0 FROM {pview})
+    SELECT feats.did AS {id_col}, COUNT(*) AS n_bigrams,
+           ({rsum} / COUNT(*)) AS quality_score,
+           (({rsum} / COUNT(*)) >= MIN(p0)) AS predicted
+    FROM feats
+    LEFT JOIN weights ON weights.fkey = feats.fkey
+    CROSS JOIN prior
+    GROUP BY feats.did
+    """)

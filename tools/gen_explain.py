@@ -83,6 +83,17 @@ SHOWCASE = {
     "decontaminate_fuzzy_docs": "Fuzzy eval-leak screen: ONE MinHash signature chain over the side-tagged union, band-key equi-join restricted to cross-side pairs, exact-Jaccard verify on the |candidates| rows - never train x train, never all-pairs.",
     "tpch_q13_customer_distribution": "Q13: LEFT OUTER with the non-key filter ON THE JOIN (a WHERE would silently turn it inner and lose the c_count=0 bucket); two chained partial-aggregated groupBys.",
     "tpch_q17_small_quantity_revenue": "Q17: the correlated avg-quantity subquery in decorrelated form - one partial-aggregated per-part mean re-joined on the part key; the brand dimension broadcasts.",
+    "tpch_q8_market_share": "Q8: 6-relation star with ONE fact-fact exchange (lineitem x orders); customer-nation-region collapses to a broadcast key set filtered to the region BEFORE joining; both ratio sums ride one aggregation pass.",
+    "tpch_q11_important_stock": "Q11: the global-fraction HAVING - the total is a one-row re-aggregation of the per-part frame (never a second fact scan) broadcast back as a scalar threshold.",
+    "tpch_q15_top_supplier": "Q15: revenue view + argmax-by-join - the max is a one-row re-aggregation broadcast back as an equality condition (ties all surface, unlike LIMIT 1); exact-decimal revenue makes the equality safe.",
+    "tpch_q2_min_cost_supplier": "Q2: the correlated-MIN subquery decorrelated - the per-part min rides ONE WINDOW on the part key over the already-scoped pair frame (not groupBy + join-back); part/supplier/nation/region all broadcast, so the exchanges are the pair groupBy + that window.",
+    "tpch_q9_product_type_profit": "Q9: profit star - the part LIKE filter broadcasts and prunes lineitem BEFORE the one fact-fact exchange with orders; supplier-nation is a broadcast projection; profit addends quantized per-row (dsum).",
+    "tpch_q20_dominant_supplier": "Q20: two-level aggregate + fraction threshold ending in a semi-join - the per-part total rides ONE WINDOW over the pair frame (not groupBy + join-back); quantity sums stay DECIMAL end-to-end so 2*q > tq is exact; DISTINCT suppliers then broadcast-join the nation-filtered supplier dim.",
+    "tpch_q21_waiting_supplier": "Q21: the spec's EXISTS + NOT EXISTS self-join pair collapsed to per-order WINDOW counts over the distinct (order, supplier, late) frame - one fact-fact exchange, one pair groupBy, ONE window exchange replacing both correlated self-joins.",
+    "tpch_q22_global_sales_opportunity": "Q22: scalar-subquery threshold (exact-decimal positive-balance mean) broadcast back, ANTI-join against recent orders AFTER the balance filter (only the rich minority shuffles), then the per-nation aggregate.",
+    "cluster_balanced_sample_embeddings": "Cluster-balanced diversity sampling: 16-row centroid set broadcasts, nearest-cell assignment windows on the vector id, the per-cell md5-rank cap compiles to WindowGroupLimit - each partition forwards <= cap rows per cell to the final exchange.",
+    "group_split_docs": "Group-held-out split: a PURE PROJECTION (md5 of the SOURCE, not the doc id) - zero exchanges, zero broadcasts; every document of a source lands in the same split, the leakage guard a doc-hash split cannot give.",
+    "quality_score_persisted_docs": "Train-once classifier serve: the scored frame pays only its own feature explode; the persisted integer-count weight relation (<= n_buckets rows by the hashing trick) broadcasts; NO training subtree (no is_t filter, no weight aggregation) in the plan.",
 }
 
 SF_DIR = "/root/testdata/sf0.01"
