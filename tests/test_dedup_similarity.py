@@ -672,3 +672,30 @@ def test_line_dedup_in_document_repetition_not_cross_doc(spark):
     out = line_dedup(df, "doc_id", "text", max_line_docs=3, min_line_chars=10).toPandas()
     assert out.iloc[0].n_dropped == 0
     assert out.iloc[0].text_dedup == "\n".join([line] * 10)
+
+
+def test_incremental_dedup_screen_and_idempotence(spark, tmp_path):
+    """build → screen → append → re-screen: the persisted-fingerprint
+    crawl screen rejects re-crawls of ingested pages without re-scanning
+    the corpus, and after append_dedup_index folds an increment in, a
+    re-screen of that same increment admits NOTHING (idempotent
+    ingestion — the property a daily pipeline restarts rely on)."""
+    from time_sift_spark.operators.dedup import (
+        append_dedup_index,
+        build_dedup_index,
+        screen_new_docs,
+    )
+    from time_sift_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    path = str(tmp_path / "dedup_idx")
+    build_dedup_index(docs.where("doc_id < 40"), "doc_id", "text", path)
+    newb = (
+        docs.where("doc_id >= 40").select("doc_id", "text")
+        .unionAll(docs.where("doc_id < 5").selectExpr("doc_id + 1000 AS doc_id", "text"))
+    )
+    accepted = screen_new_docs(spark, path, newb).toPandas()
+    assert set(accepted.doc_id) == set(range(40, 500))  # re-crawls rejected
+    append_dedup_index(spark, path, screen_new_docs(spark, path, newb))
+    rescreen = screen_new_docs(spark, path, newb).toPandas()
+    assert len(rescreen) == 0  # idempotent after append

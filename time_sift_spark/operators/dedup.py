@@ -452,6 +452,69 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return _run(df, exact_dedup_sql, id_col, text_col)
 
 
+def build_dedup_index(df: DataFrame, id_col: str, text_col: str, path: str) -> None:
+    """Materialize the corpus's exact-dedup fingerprint table —
+    ``{path}/hashes`` (text_hash = md5(text), kept_id = first ingested
+    id), repartitioned by hash so an incremental screen equi-joins
+    hash-clustered files — then ``params`` LAST (the completeness
+    marker). This is the ingestion-side answer to "a daily increment
+    must not re-scan the 100 TB corpus": the corpus is hashed ONCE; each
+    increment thereafter joins only the (increment × fingerprint-table)
+    pair. Same contract as the BM25/ANN persisted artifacts."""
+    for c in (id_col, text_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    spark = df.sparkSession
+    view = "_ts_ddb_in"
+    df.createOrReplaceTempView(view)
+    hashes = spark.sql(
+        f"SELECT md5({text_col}) AS text_hash, MIN({id_col}) AS kept_id "
+        f"FROM {view} GROUP BY md5({text_col})"
+    )
+    hashes.repartition("text_hash").write.mode("overwrite").parquet(f"{path}/hashes")
+    spark.createDataFrame(
+        [(id_col, text_col)], "id_col string, text_col string"
+    ).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def screen_new_docs(spark, path: str, new_df: DataFrame) -> DataFrame:
+    """Incremental exact-dedup screen: admit only increment documents
+    whose text hash appears neither in the persisted corpus fingerprints
+    nor earlier in the increment itself (within-batch firsts by MIN id).
+    Output: (kept_id AS <id_col>, text_hash) of accepted documents.
+    The corpus side never re-scans — the anti-join touches the stored
+    hash table only; within-batch dedup is one partial-aggregated
+    groupBy over the increment."""
+    p = spark.read.parquet(f"{path}/params").collect()[0]
+    id_col, text_col = p["id_col"], p["text_col"]
+    for c in (id_col, text_col):
+        if c not in new_df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {new_df.columns}")
+    from pyspark.sql import functions as F
+
+    firsts = (
+        new_df.select(
+            F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col).alias("_nid")
+        )
+        .groupBy("text_hash")
+        .agg(F.min("_nid").alias(id_col))
+    )
+    corpus = spark.read.parquet(f"{path}/hashes").select("text_hash")
+    return firsts.join(corpus, "text_hash", "left_anti").select(id_col, "text_hash")
+
+
+def append_dedup_index(spark, path: str, accepted: DataFrame) -> None:
+    """Fold an increment's ACCEPTED documents into the fingerprint table
+    (append-mode parquet — fingerprints are row-independent, so append ≡
+    rebuild, the BM25 incremental-index contract). After the append, a
+    re-screen of the same increment admits nothing — ingestion is
+    idempotent (pinned in tests/test_dedup_similarity.py)."""
+    p = spark.read.parquet(f"{path}/params").collect()[0]
+    accepted.selectExpr(
+        "text_hash", f"{p['id_col']} AS kept_id"
+    ).repartition("text_hash").write.mode("append").parquet(f"{path}/hashes")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, *, threshold: float, block_exprs: tuple[str, ...] = ("1",)
 ) -> DataFrame:

@@ -779,6 +779,48 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dd.exact_dedup(docs, "doc_id", "text")
 
 
+@register(
+    "dedup_incremental_docs",
+    oracle="""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+    newb AS (
+      SELECT doc_id, text FROM documents WHERE doc_id >= 400
+      UNION ALL
+      SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 50
+    ),
+    firsts AS (
+      SELECT md5(text) AS text_hash, MIN(doc_id) AS doc_id
+      FROM newb GROUP BY md5(text)
+    )
+    SELECT f.doc_id, f.text_hash FROM firsts f
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE md5(c.text) = f.text_hash)
+    """,
+)
+def dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact-dedup screen — the daily-crawl ingestion step:
+    the corpus (doc_id < 400) is fingerprinted ONCE into a persisted
+    hash table (build_dedup_index); the increment (the remaining docs
+    PLUS 50 planted re-crawls of already-ingested pages) is admitted
+    only where its text hash is new to both the corpus AND the
+    increment itself. The 50 re-crawls are rejected without ever
+    re-scanning the corpus — the anti-join touches the stored
+    fingerprint table only, the posture that matters when the corpus is
+    100 TB and the increment is 0.1%. append_dedup_index then folds
+    accepted hashes in (append ≡ rebuild; idempotence pinned in
+    tests/test_dedup_similarity.py)."""
+    from .operators.dedup import build_dedup_index, screen_new_docs
+
+    docs = load_table(spark, "documents", sf_dir)
+    path = _index_dir("ts_dedup_index", sf_dir, "exact_v1_lt400", table="documents")
+    if not _index_ready(path):
+        build_dedup_index(docs.where("doc_id < 400"), "doc_id", "text", path)
+    newb = (
+        docs.where("doc_id >= 400").select("doc_id", "text")
+        .unionAll(docs.where("doc_id < 50").selectExpr("doc_id + 10000 AS doc_id", "text"))
+    )
+    return screen_new_docs(spark, path, newb)
+
+
 def _jaccard_blocks(d):
     return ("lang", _int_div(d, "n_chars", 200))
 
@@ -6372,6 +6414,7 @@ GRADE_PRIORITY: list[str] = [
     "group_split_docs",                # new: group-held-out leakage guard
     "quality_score_persisted_docs",    # new: train-once classifier serve
     "streaming_countmin_users",        # new: bounded-state sketch merge online
+    "dedup_incremental_docs",          # new: persisted-fingerprint crawl screen
     # -- CHANGED in r8 (round-before-quantize in Lloyd/ADC, contract
     #    COALESCE, blas id-type, soft-dedup broadcast un-forced, prefix
     #    localCheckpoint, multiprobe CTE factor-out) -> re-grade --
@@ -6397,10 +6440,10 @@ GRADE_PRIORITY: list[str] = [
     "topk_orders_per_customer",
     "signup_users_no_purchase",
     "asof_join_purchases_bcast",
-    "blob_metadata_docs",
     # -- oldest r5 block: the flagship fills slot 50 --
     "lag_events_wide",
     # ---- grading window ends here (first 50 of the above) ----
+    "blob_metadata_docs",
     "decode_image_stub_docs",
     "extract_features_docs",
     # -- r4-stale backlog (rotated out again by the late-r8 additions;

@@ -94,6 +94,7 @@ SHOWCASE = {
     "cluster_balanced_sample_embeddings": "Cluster-balanced diversity sampling: 16-row centroid set broadcasts, nearest-cell assignment windows on the vector id, the per-cell md5-rank cap compiles to WindowGroupLimit - each partition forwards <= cap rows per cell to the final exchange.",
     "group_split_docs": "Group-held-out split: a PURE PROJECTION (md5 of the SOURCE, not the doc id) - zero exchanges, zero broadcasts; every document of a source lands in the same split, the leakage guard a doc-hash split cannot give.",
     "quality_score_persisted_docs": "Train-once classifier serve: the scored frame pays only its own feature explode; the persisted integer-count weight relation (<= n_buckets rows by the hashing trick) broadcasts; NO training subtree (no is_t filter, no weight aggregation) in the plan.",
+    "dedup_incremental_docs": "Incremental crawl screen: the increment pays one within-batch partial-agg groupBy + an anti-join against the STORED fingerprint table - the corpus (fingerprinted once at build) is never re-scanned; increment cost is O(increment), not O(corpus).",
 }
 
 SF_DIR = "/root/testdata/sf0.01"
