@@ -2673,6 +2673,89 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pipeline_manifest_oracle() -> str:
+    from .operators.corpus import decontaminate_sql
+
+    gated = (
+        "(SELECT d.doc_id, d.source, d.text, "
+        f"{DUCK.ws_token_count('d.text')} AS n_tokens_ws "
+        "FROM documents d JOIN (SELECT MIN(doc_id) AS doc_id FROM documents "
+        "GROUP BY md5(text)) kept USING (doc_id) "
+        f"WHERE {DUCK.quality_score('d.text')} >= 0.5)"
+    )
+    decon = decontaminate_sql(
+        DUCK,
+        f"(SELECT * FROM {gated} g WHERE g.doc_id % 41 <> 0)",
+        "(SELECT text FROM documents WHERE doc_id % 41 = 0)",
+        "text",
+        k=3,
+    )
+    split_h = "(('0x' || substr(md5(g.source), 1, 8))::BIGINT) % 100"
+    return f"""
+    WITH decon AS ({decon})
+    SELECT g.doc_id, g.source,
+           CASE WHEN {split_h} < 80 THEN 'train'
+                WHEN {split_h} < 90 THEN 'val' ELSE 'test' END AS split,
+           g.n_tokens_ws
+    FROM {gated} g
+    JOIN decon ON decon.doc_id = g.doc_id
+    WHERE NOT decon.contaminated
+    """
+
+
+@register("pipeline_pretraining_manifest", oracle=_pipeline_manifest_oracle())
+def pipeline_pretraining_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pretraining-data assembly line in ONE composed plan:
+    exact dedup (keep first per md5) → quality gate (score ≥ 0.5) →
+    benchmark decontamination (3-gram screen vs the %41 eval slice,
+    bench side broadcast) → group-held-out split assignment — emitting
+    the training MANIFEST (doc_id, source, split, token count) a
+    downstream tokenizer consumes. Every stage is an engine operator
+    composed as DataFrames (dedup groupBy is the only corpus-wide
+    shuffle; gates are codegen'd projections; the contamination
+    anti-filter joins the broadcast gram hashes), so Catalyst fuses the
+    whole line into one job — the point of building curation ops INSIDE
+    the query engine instead of gluing scripts."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from .operators.corpus import decontaminate
+    from .operators.text import text_stats
+
+    docs = load_table(spark, "documents", sf_dir)
+    # exact dedup as ONE window (first id per text hash), not
+    # groupBy + join-back — one exchange replaces three
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        docs.withColumn("_rn", F.row_number().over(w)).where("_rn = 1").drop("_rn")
+    )
+    # text carries THROUGH the stats projection (keep_cols), so the
+    # quality gate needs no join back to recover it
+    gated = (
+        text_stats(deduped, "text", keep_cols=("doc_id", "source", "text"))
+        .where("quality_score >= 0.5")
+        .select("doc_id", "source", "text", "n_tokens_ws")
+    )
+    train = gated.where("doc_id % 41 <> 0")
+    bench = docs.where("doc_id % 41 = 0").select("text")
+    # the contaminated set is eval-suite-sized (tiny) — anti-join it
+    # back broadcast, instead of joining the O(corpus) flag frame
+    contaminated = decontaminate(train, bench, "text", k=3).where(
+        "contaminated"
+    ).select("doc_id")
+    split_h = "CAST(conv(substr(md5(source), 1, 8), 16, 10) AS BIGINT) % 100"
+    return (
+        train.join(F.broadcast(contaminated), "doc_id", "left_anti")
+        .selectExpr(
+            "doc_id",
+            "source",
+            f"CASE WHEN {split_h} < 80 THEN 'train' "
+            f"WHEN {split_h} < 90 THEN 'val' ELSE 'test' END AS split",
+            "n_tokens_ws",
+        )
+    )
+
+
 @register(
     "interval_join_error_click",
     oracle="""
@@ -6415,6 +6498,7 @@ GRADE_PRIORITY: list[str] = [
     "quality_score_persisted_docs",    # new: train-once classifier serve
     "streaming_countmin_users",        # new: bounded-state sketch merge online
     "dedup_incremental_docs",          # new: persisted-fingerprint crawl screen
+    "pipeline_pretraining_manifest",   # new: full curation line, one plan
     # -- CHANGED in r8 (round-before-quantize in Lloyd/ADC, contract
     #    COALESCE, blas id-type, soft-dedup broadcast un-forced, prefix
     #    localCheckpoint, multiprobe CTE factor-out) -> re-grade --
@@ -6439,10 +6523,10 @@ GRADE_PRIORITY: list[str] = [
     "embedding_neardup",
     "topk_orders_per_customer",
     "signup_users_no_purchase",
-    "asof_join_purchases_bcast",
     # -- oldest r5 block: the flagship fills slot 50 --
     "lag_events_wide",
     # ---- grading window ends here (first 50 of the above) ----
+    "asof_join_purchases_bcast",
     "blob_metadata_docs",
     "decode_image_stub_docs",
     "extract_features_docs",

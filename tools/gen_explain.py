@@ -95,6 +95,7 @@ SHOWCASE = {
     "group_split_docs": "Group-held-out split: a PURE PROJECTION (md5 of the SOURCE, not the doc id) - zero exchanges, zero broadcasts; every document of a source lands in the same split, the leakage guard a doc-hash split cannot give.",
     "quality_score_persisted_docs": "Train-once classifier serve: the scored frame pays only its own feature explode; the persisted integer-count weight relation (<= n_buckets rows by the hashing trick) broadcasts; NO training subtree (no is_t filter, no weight aggregation) in the plan.",
     "dedup_incremental_docs": "Incremental crawl screen: the increment pays one within-batch partial-agg groupBy + an anti-join against the STORED fingerprint table - the corpus (fingerprinted once at build) is never re-scanned; increment cost is O(increment), not O(corpus).",
+    "pipeline_pretraining_manifest": "The full curation line fused into one job: dedup is ONE window exchange (not groupBy + join-back), the quality gate a codegen'd projection with text carried through, the contamination screen an equi-join on broadcast gram hashes whose tiny hit set anti-joins back broadcast, split assignment a pure projection (13 -> 6 exchanges vs the naive join-per-stage composition).",
 }
 
 SF_DIR = "/root/testdata/sf0.01"
