@@ -581,3 +581,51 @@ def test_fuzz_decontaminate_fuzzy(train_pdf, bench_pdf):
         decontaminate_fuzzy_sql(DUCK, "_fz_dc_t", "_fz_dc_b", "text", threshold=0.4)
     ).df()
     _compare(got, exp)
+
+
+@FUZZ_SETTINGS
+@given(vectors())
+def test_fuzz_cluster_balanced_sample(pdf):
+    from time_sift_spark.operators.similarity import cluster_balanced_sample_sql
+
+    got, exp = _run_both(
+        pdf,
+        cluster_balanced_sample_sql(
+            VSPARK, "_fzv3", "vec_id", "embedding", num_cells=3, cap=2
+        ),
+        cluster_balanced_sample_sql(
+            VDUCK, "_fzv3", "vec_id", "embedding", num_cells=3, cap=2
+        ),
+        "_fzv3",
+        schema="vec_id long, embedding array<double>, label long",
+    )
+    _compare(got, exp)
+
+
+@FUZZ_SETTINGS
+@given(st.lists(st.integers(-1000, 1000), min_size=1, max_size=30))
+def test_fuzz_countmin_cells(ids):
+    """The streaming count-min oracle's cell construction (row-mixed md5
+    buckets + GROUP BY) must agree cell-for-cell across engines on
+    arbitrary integer key streams, including negatives (the %-sign
+    normalization in cm_bucket_expr)."""
+    from time_sift_spark.operators.sketch import cm_bucket_expr
+    from time_sift_spark.functions.text_fns import DUCK as _D, SPARK as _S
+
+    pdf = pd.DataFrame({"user_id": ids})
+    sp = " UNION ALL ".join(
+        f"SELECT {i} AS row, {cm_bucket_expr(_S, 'user_id', i, 16)} AS bucket FROM _fzcm"
+        for i in range(3)
+    )
+    du = " UNION ALL ".join(
+        f"SELECT {i} AS row, {cm_bucket_expr(_D, 'user_id', i, 16)} AS bucket FROM _fzcm"
+        for i in range(3)
+    )
+    got, exp = _run_both(
+        pdf,
+        f"WITH rb AS ({sp}) SELECT row, bucket, COUNT(*) AS cell FROM rb GROUP BY row, bucket",
+        f"WITH rb AS ({du}) SELECT row, bucket, COUNT(*) AS cell FROM rb GROUP BY row, bucket",
+        "_fzcm",
+        schema="user_id long",
+    )
+    _compare(got, exp)
