@@ -699,3 +699,86 @@ def test_incremental_dedup_screen_and_idempotence(spark, tmp_path):
     append_dedup_index(spark, path, screen_new_docs(spark, path, newb))
     rescreen = screen_new_docs(spark, path, newb).toPandas()
     assert len(rescreen) == 0  # idempotent after append
+
+
+def test_incremental_fuzzy_screen(spark, tmp_path):
+    """The persisted-MinHash crawl screen catches what the exact screen
+    cannot: a re-crawl with one appended token (md5 differs, Jaccard
+    stays ~(n-2)/(n-1)) is rejected; novel docs are accepted; within a
+    batch the smaller-id member of a near-dup pair wins."""
+    import pandas as pd
+
+    from time_sift_spark.operators.dedup import (
+        build_minhash_store,
+        screen_new_docs_fuzzy,
+    )
+
+    corpus_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    corpus_text,
+                    "one two three four five six seven eight nine ten",
+                ],
+            }
+        )
+    )
+    path = str(tmp_path / "mh_store")
+    build_minhash_store(corpus, "doc_id", "text", path)
+
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [10, 11, 12, 13],
+                "text": [
+                    corpus_text + " qz",  # near-dup of corpus doc 1
+                    "totally different words about spark shuffles and parquet files here",
+                    "red orange yellow green blue indigo violet ultraviolet infrared xray",
+                    "red orange yellow green blue indigo violet ultraviolet infrared gamma",
+                    # ^ within-batch near-dup of doc 12 (one token changed)
+                ],
+            }
+        )
+    )
+    out = (
+        screen_new_docs_fuzzy(spark, path, batch, threshold=0.5)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert not out.loc[10].accepted and out.loc[10].max_jaccard > 0.8
+    assert out.loc[11].accepted and out.loc[11].max_jaccard == 0.0
+    assert out.loc[12].accepted  # smaller id of the within-batch pair wins
+    assert not out.loc[13].accepted  # shadowed by doc 12
+
+
+def test_incremental_fuzzy_append_idempotence(spark, tmp_path):
+    """After append_minhash_store folds an increment's accepted docs in,
+    re-screening the same increment rejects every previously-accepted
+    doc (each now has its exact twin, Jaccard 1.0, in the store) —
+    idempotent fuzzy ingestion."""
+    from time_sift_spark.operators.dedup import (
+        append_minhash_store,
+        build_minhash_store,
+        screen_new_docs_fuzzy,
+    )
+    from time_sift_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    path = str(tmp_path / "mh_store")
+    build_minhash_store(
+        docs.where("doc_id < 40").select("doc_id", "text"), "doc_id", "text", path
+    )
+    newb = docs.where("doc_id >= 40 AND doc_id < 80").select("doc_id", "text")
+    first = screen_new_docs_fuzzy(spark, path, newb).toPandas()
+    accepted_ids = set(first[first.accepted].doc_id)
+    assert accepted_ids  # the screen admits at least some novel docs
+    append_minhash_store(
+        spark, path, newb.where(f"doc_id IN ({','.join(map(str, accepted_ids))})")
+    )
+    rescreen = screen_new_docs_fuzzy(spark, path, newb).toPandas()
+    re_acc = rescreen[rescreen.accepted]
+    assert set(re_acc.doc_id).isdisjoint(accepted_ids)  # idempotent
+    assert (rescreen.set_index("doc_id").loc[sorted(accepted_ids)].max_jaccard == 1.0).all()

@@ -629,3 +629,33 @@ def test_fuzz_countmin_cells(ids):
         schema="user_id long",
     )
     _compare(got, exp)
+
+
+@FUZZ_SETTINGS
+@given(corpus(), corpus())
+def test_fuzz_dedup_incremental_fuzzy(corpus_pdf, new_pdf):
+    """The incremental fuzzy screen's inline form must agree cell-for-
+    cell across engines on arbitrary corpora — including empty shingle
+    sets, duplicate texts, and within-batch near-dup chains."""
+    from time_sift_spark.operators.dedup import dedup_incremental_fuzzy_sql
+
+    spark = _get_session()
+    schema = "doc_id long, text string"
+    sdf_c = spark.createDataFrame(corpus_pdf, schema)
+    sdf_n = spark.createDataFrame(new_pdf, schema)
+    sdf_c.createOrReplaceTempView("_fz_if_c")
+    sdf_n.createOrReplaceTempView("_fz_if_n")
+    got = spark.sql(
+        dedup_incremental_fuzzy_sql(
+            SPARK, "_fz_if_c", "_fz_if_n", "doc_id", "text", threshold=0.4
+        )
+    ).toPandas()
+    con = duckdb.connect()
+    con.register("_fz_if_c", corpus_pdf)
+    con.register("_fz_if_n", new_pdf)
+    exp = con.execute(
+        dedup_incremental_fuzzy_sql(
+            DUCK, "_fz_if_c", "_fz_if_n", "doc_id", "text", threshold=0.4
+        )
+    ).df()
+    _compare(got, exp)

@@ -119,3 +119,24 @@ def test_upsert_sink_epoch_redelivery_idempotent(spark, tmp_path):
     sink(b, 0)  # redelivery of the same epoch
     twice = sorted(map(tuple, read_latest_snapshot(spark, base).collect()))
     assert once == twice
+
+
+def test_streaming_fuzzy_dedup_cross_batch_state(spark):
+    """The novel property of streaming fuzzy ingestion: a batch-2
+    re-crawl of a BATCH-1 page (never in the built corpus) is rejected
+    purely through the state the sink appended after batch 1, and the
+    drained verdicts equal the chained two-round inline screen."""
+    from time_sift_spark.queries import REGISTRY
+
+    out = (
+        REGISTRY["streaming_dedup_fuzzy_docs"]
+        .spark_fn(spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    b2_recrawls = out.loc[[i for i in out.index if i >= 20000]]
+    assert len(b2_recrawls) == 10
+    assert (~b2_recrawls.accepted).all()  # rejected via cross-batch state only
+    assert (b2_recrawls.max_jaccard >= 0.5).all()
+    b1_recrawls = out.loc[[i for i in out.index if 10000 <= i < 20000]]
+    assert (~b1_recrawls.accepted).all()  # corpus re-crawls rejected in epoch 1

@@ -1137,3 +1137,251 @@ def soft_dedup(
             (draw | F.coalesce(F.col("is_canonical"), F.lit(True))).alias("kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental FUZZY dedup — persisted MinHash store + per-increment screen
+# ---------------------------------------------------------------------------
+
+
+def _verify_exprs(d: Dialect) -> tuple[str, str, str, str]:
+    """(tset, inter, setsize, jaccard) fragments for exact shingle-set
+    verification — the same texts lsh_verified_neardup_sql and
+    decontaminate_fuzzy_sql inline; factored so the incremental screen's
+    inline and persisted forms cannot drift from them."""
+    if d.name == "spark":
+        tset, inter, setsize = "collect_set(h)", "size(array_intersect(a.hs, b.hs))", "size"
+    else:
+        tset = "list(DISTINCT h)"
+        inter = "len(list_filter(a.hs, x -> list_contains(b.hs, x)))"
+        setsize = "len"
+    jaccard = "(CAST(n_inter AS DOUBLE) / CAST(n_sum - n_inter AS DOUBLE))"
+    return tset, inter, setsize, jaccard
+
+
+def _fuzzy_screen_tail(
+    d: Dialect, new_table: str, id_col: str, *, threshold: float
+) -> str:
+    """cand→pairs→hits→final SELECT shared VERBATIM by the inline
+    (oracle) and persisted (serve) forms of the fuzzy screen; both
+    provide CTEs ``bands``(did, band, bkey) and ``tsets``(did, hs) whose
+    dids carry a ``'c:'``/``'n:'`` side tag.
+
+    Candidate rule: an increment doc pairs with every same-band corpus
+    doc, and with every SMALLER-id increment doc (min-id-wins within the
+    batch, the semantic_dedup ``drops`` convention — a rejected near-dup
+    still shadows its own later near-dups, keeping the screen one-pass
+    and order-free).  Verification is EXACT Jaccard over the hashed
+    shingle sets, so acceptance is exact given the band screen (the
+    lsh_verified_neardup_sql contract).  max_jaccard reports only
+    at-or-above-threshold matches (0.0 for accepted docs), matching
+    decontaminate_fuzzy_sql's ``hits`` convention.
+    """
+    _, inter, setsize, jaccard = _verify_exprs(d)
+    cast = "STRING" if d.name == "spark" else "VARCHAR"
+    nid = "CAST(substring({t}.did, 3) AS BIGINT)"
+    return f"""
+    cand AS (
+      SELECT y.did AS ndid, x.did AS odid
+      FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
+      WHERE y.did LIKE 'n:%'
+        AND (x.did LIKE 'c:%'
+             OR (x.did LIKE 'n:%' AND {nid.format(t="x")} < {nid.format(t="y")}))
+      GROUP BY y.did, x.did
+    ),
+    pairs AS (
+      SELECT cand.ndid,
+             {inter} AS n_inter,
+             {setsize}(a.hs) + {setsize}(b.hs) AS n_sum
+      FROM cand
+      JOIN tsets a ON a.did = cand.odid
+      JOIN tsets b ON b.did = cand.ndid
+    ),
+    hits AS (
+      SELECT ndid, MAX({jaccard}) AS max_jaccard
+      FROM pairs
+      WHERE {jaccard} >= {threshold}
+      GROUP BY ndid
+    )
+    SELECT nt.{id_col} AS doc_id,
+           COALESCE(h.max_jaccard, 0.0) AS max_jaccard,
+           h.ndid IS NULL AS accepted
+    FROM {new_table} nt
+    LEFT JOIN hits h ON h.ndid = concat('n:', CAST(nt.{id_col} AS {cast}))
+    """
+
+
+def dedup_incremental_fuzzy_sql(
+    d: Dialect,
+    corpus_table: str,
+    new_table: str,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.5,
+    num_perm: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> str:
+    """Inline (oracle) form of the incremental FUZZY dedup screen: admit
+    an increment document only if its exact shingle-set Jaccard stays
+    below ``threshold`` against EVERY corpus document and every
+    smaller-id increment document.  The near-duplicate complement of the
+    exact incremental screen (screen_new_docs): a re-crawl with one
+    changed token hashes to a new md5 (exact screen admits it) but keeps
+    Jaccard ≈ (n-1)/n (this screen rejects it).
+
+    Composition: both sides union into one 'c:'/'n:'-tagged stream (the
+    decontaminate_fuzzy_sql shape), ONE MinHash chain signs both, LSH
+    band keys block candidates (never all-pairs), exact verify via
+    _fuzzy_screen_tail.  Output: one row per increment doc —
+    (doc_id, max_jaccard, accepted).
+    """
+    cast = "STRING" if d.name == "spark" else "VARCHAR"
+    union = (
+        f"(SELECT concat('c:', CAST({id_col} AS {cast})) AS uid, {text_col} AS _utxt "
+        f"FROM {corpus_table} "
+        f"UNION ALL "
+        f"SELECT concat('n:', CAST({id_col} AS {cast})) AS uid, {text_col} AS _utxt "
+        f"FROM {new_table})"
+    )
+    sig_cte = _minhash_sig_cte(d, union, "uid", "_utxt", num_perm, shingle_k, seed)
+    tset, _, _, _ = _verify_exprs(d)
+    band_selects = _band_selects(d, num_perm, bands)
+    tail = _fuzzy_screen_tail(d, new_table, id_col, threshold=threshold)
+    return f"""
+    WITH {sig_cte},
+    tsets AS (
+      SELECT did, {tset} AS hs FROM hashed GROUP BY did
+    ),
+    bands AS ({band_selects}),
+    {tail}
+    """
+
+
+def build_minhash_store(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    *,
+    num_perm: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> None:
+    """Materialize the corpus's MinHash artifacts for incremental fuzzy
+    screening — ``{path}/bands`` (did, band, bkey; repartitioned by bkey
+    so increment screens equi-join band-clustered files) and
+    ``{path}/tsets`` (did, hs = distinct hashed shingle set, the exact-
+    verify side) — then ``params`` LAST (the completeness marker, the
+    build_dedup_index contract).  The 100 TB corpus is tokenized,
+    shingled, and signed ONCE; every increment thereafter touches only
+    (increment × stored-band/tset) equi-joins."""
+    for c in (id_col, text_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    from ..functions.text_fns import SPARK as _S
+
+    spark = df.sparkSession
+    view = "_ts_mhf_build"
+    df.createOrReplaceTempView(view)
+    sig_cte = _minhash_sig_cte(_S, view, id_col, text_col, num_perm, shingle_k, seed)
+    tset, _, _, _ = _verify_exprs(_S)
+    band_selects = _band_selects(_S, num_perm, bands)
+    spark.sql(f"WITH {sig_cte} SELECT did, band, bkey FROM ({band_selects})").repartition(
+        "bkey"
+    ).write.mode("overwrite").parquet(f"{path}/bands")
+    spark.sql(
+        f"WITH {sig_cte} SELECT did, {tset} AS hs FROM hashed GROUP BY did"
+    ).repartition("did").write.mode("overwrite").parquet(f"{path}/tsets")
+    spark.createDataFrame(
+        [(id_col, text_col, num_perm, bands, shingle_k, seed)],
+        "id_col string, text_col string, num_perm int, bands int, shingle_k int, seed int",
+    ).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def screen_new_docs_fuzzy(
+    spark, path: str, new_df: DataFrame, *, threshold: float = 0.5
+) -> DataFrame:
+    """Incremental fuzzy screen against a persisted MinHash store: the
+    increment is signed inline (one MinHash chain over the batch only);
+    candidates come from the increment-bands × stored-bands equi-join
+    plus smaller-id within-batch pairs; exact shingle-set Jaccard
+    verifies.  The corpus is NEVER re-signed — the joins touch only the
+    stored artifacts, the posture that matters when the corpus is 100 TB
+    and the increment is 0.1%.  Output ≡ dedup_incremental_fuzzy_sql
+    (persisted ≡ inline, driver-proven): (doc_id, max_jaccard, accepted).
+    """
+    from ..functions.text_fns import SPARK as _S
+
+    # Temp views are PER-SESSION: inside foreachBatch the batch frame
+    # belongs to a cloned micro-batch session, so every view registration
+    # and the final sql() must run on new_df's OWN session or the views
+    # resolve against the wrong catalog (streaming_dedup_fuzzy_docs).
+    spark = new_df.sparkSession
+    p = spark.read.parquet(f"{path}/params").collect()[0]
+    id_col, text_col = p["id_col"], p["text_col"]
+    for c in (id_col, text_col):
+        if c not in new_df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {new_df.columns}")
+    nview = "_ts_mhf_new"
+    new_df.createOrReplaceTempView(nview)
+    spark.read.parquet(f"{path}/bands").createOrReplaceTempView("_ts_mhf_cbands")
+    spark.read.parquet(f"{path}/tsets").createOrReplaceTempView("_ts_mhf_ctsets")
+    tagged_new = (
+        f"(SELECT concat('n:', CAST({id_col} AS STRING)) AS uid, {text_col} AS _utxt "
+        f"FROM {nview})"
+    )
+    sig_cte = _minhash_sig_cte(
+        _S, tagged_new, "uid", "_utxt", p["num_perm"], p["shingle_k"], p["seed"]
+    )
+    tset, _, _, _ = _verify_exprs(_S)
+    band_selects = _band_selects(_S, p["num_perm"], p["bands"])
+    tail = _fuzzy_screen_tail(_S, nview, id_col, threshold=threshold)
+    return spark.sql(f"""
+    WITH {sig_cte},
+    tsets AS (
+      SELECT did, {tset} AS hs FROM hashed GROUP BY did
+      UNION ALL
+      SELECT concat('c:', CAST(did AS STRING)) AS did, hs FROM _ts_mhf_ctsets
+    ),
+    bands AS (
+      SELECT did, band, bkey FROM ({band_selects})
+      UNION ALL
+      SELECT concat('c:', CAST(did AS STRING)) AS did, band, bkey FROM _ts_mhf_cbands
+    ),
+    {tail}
+    """)
+
+
+def append_minhash_store(spark, path: str, accepted_docs: DataFrame) -> None:
+    """Fold an increment's ACCEPTED documents (id + text) into the
+    MinHash store: their bands and shingle sets are computed with the
+    store's own params and appended (row-independent artifacts, so
+    append ≡ rebuild — the append_dedup_index contract).  After the
+    append, re-screening the same increment admits nothing: every
+    accepted doc now has an exact twin (itself, Jaccard 1.0) in the
+    store (idempotence pinned in tests/test_dedup_similarity.py)."""
+    from ..functions.text_fns import SPARK as _S
+
+    spark = accepted_docs.sparkSession  # foreachBatch clone safety, as above
+    p = spark.read.parquet(f"{path}/params").collect()[0]
+    id_col, text_col = p["id_col"], p["text_col"]
+    for c in (id_col, text_col):
+        if c not in accepted_docs.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {accepted_docs.columns}")
+    view = "_ts_mhf_append"
+    accepted_docs.createOrReplaceTempView(view)
+    sig_cte = _minhash_sig_cte(
+        _S, view, id_col, text_col, p["num_perm"], p["shingle_k"], p["seed"]
+    )
+    tset, _, _, _ = _verify_exprs(_S)
+    band_selects = _band_selects(_S, p["num_perm"], p["bands"])
+    spark.sql(f"WITH {sig_cte} SELECT did, band, bkey FROM ({band_selects})").repartition(
+        "bkey"
+    ).write.mode("append").parquet(f"{path}/bands")
+    spark.sql(
+        f"WITH {sig_cte} SELECT did, {tset} AS hs FROM hashed GROUP BY did"
+    ).repartition("did").write.mode("append").parquet(f"{path}/tsets")

@@ -821,6 +821,200 @@ def dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return screen_new_docs(spark, path, newb)
 
 
+_FZI_CORPUS = "(SELECT doc_id, text FROM documents WHERE doc_id < 400)"
+_FZI_NEWB = (
+    "(SELECT doc_id, text FROM documents WHERE doc_id >= 400"
+    " UNION ALL "
+    "SELECT doc_id + 10000 AS doc_id, concat(text, ' qz') AS text"
+    " FROM documents WHERE doc_id < 50 AND text IS NOT NULL)"
+)
+
+
+@register(
+    "dedup_incremental_fuzzy_docs",
+    oracle=_dd.dedup_incremental_fuzzy_sql(
+        DUCK, _FZI_CORPUS, _FZI_NEWB, "doc_id", "text", threshold=0.5
+    ),
+)
+def dedup_incremental_fuzzy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental FUZZY dedup screen — the near-duplicate complement of
+    dedup_incremental_docs, and the screen that actually catches
+    re-crawls: the 50 planted re-visits each carry one appended token
+    (' qz'), so their md5 differs (the exact screen ADMITS all 50) but
+    their shingle Jaccard vs the original stays ≈0.97 (this screen
+    rejects all 50).  The corpus (doc_id < 400) is tokenized, shingled,
+    and MinHash-signed ONCE into a persisted store
+    (build_minhash_store: band table + shingle-set table); the increment
+    is signed inline and screened via (increment-bands × stored-bands)
+    equi-joins + exact Jaccard verify — the corpus is never re-signed
+    (operators/dedup.py:screen_new_docs_fuzzy).  The oracle runs the
+    INLINE two-corpus form (dedup_incremental_fuzzy_sql), so the driver
+    proves persisted ≡ inline.  Output: one row per increment doc —
+    (doc_id, max_jaccard, accepted)."""
+    from .operators.dedup import build_minhash_store, screen_new_docs_fuzzy
+
+    docs = load_table(spark, "documents", sf_dir)
+    path = _index_dir(
+        "ts_mh_store", sf_dir, "fuzzy_v1_lt400_p16b8k3s42", table="documents"
+    )
+    if not _index_ready(path):
+        build_minhash_store(
+            docs.where("doc_id < 400").select("doc_id", "text"), "doc_id", "text", path
+        )
+    newb = (
+        docs.where("doc_id >= 400").select("doc_id", "text")
+        .unionAll(
+            docs.where("doc_id < 50 AND text IS NOT NULL")
+            .selectExpr("doc_id + 10000 AS doc_id", "concat(text, ' qz') AS text")
+        )
+    )
+    return screen_new_docs_fuzzy(spark, path, newb, threshold=0.5)
+
+
+_SFZ_NEW1 = (
+    "(SELECT doc_id, text FROM documents WHERE doc_id >= 400 AND doc_id < 450"
+    " UNION ALL "
+    "SELECT doc_id + 10000 AS doc_id, concat(text, ' qz') AS text"
+    " FROM documents WHERE doc_id < 10 AND text IS NOT NULL)"
+)
+_SFZ_NEW2 = (
+    "(SELECT doc_id, text FROM documents WHERE doc_id >= 450"
+    " UNION ALL "
+    "SELECT doc_id + 20000 AS doc_id, concat(text, ' qz') AS text"
+    " FROM documents WHERE doc_id >= 400 AND doc_id < 410 AND text IS NOT NULL)"
+)
+
+
+def _stream_fuzzy_oracle() -> str:
+    """Two chained rounds of the inline fuzzy screen: round 2's corpus is
+    round 1's corpus PLUS round 1's ACCEPTED docs — exactly the state the
+    streaming foreachBatch sink accumulates by appending to the MinHash
+    store between micro-batches."""
+    q1 = _dd.dedup_incremental_fuzzy_sql(
+        DUCK, _FZI_CORPUS, _SFZ_NEW1, "doc_id", "text", threshold=0.5
+    )
+    corpus2 = (
+        f"(SELECT n1.doc_id, n1.text FROM {_SFZ_NEW1} n1 "
+        f"WHERE n1.doc_id IN (SELECT r.doc_id FROM ({q1}) r WHERE r.accepted) "
+        f"UNION ALL SELECT c0.doc_id, c0.text FROM {_FZI_CORPUS} c0)"
+    )
+    q2 = _dd.dedup_incremental_fuzzy_sql(
+        DUCK, corpus2, _SFZ_NEW2, "doc_id", "text", threshold=0.5
+    )
+    return f"SELECT * FROM ({q1}) u1 UNION ALL SELECT * FROM ({q2}) u2"
+
+
+def _fuzzy_chunked_docs(sf_dir: str) -> str:
+    """Chunk the crawl increment into 2 arrival-ordered parquet files —
+    deterministic stream-input scaffolding (the _late_chunked_events
+    convention: named AND mtime-ordered so the file source triggers them
+    in order).  Chunk 0: docs 400-449 plus 10 one-token-appended
+    re-crawls of CORPUS pages; chunk 1: the remaining docs plus 10
+    re-crawls of CHUNK-0 pages — rejectable only through the state the
+    sink appended after chunk 0."""
+    import hashlib
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fp = _source_fingerprint(sf_dir, "documents")
+    key = hashlib.md5(f"{sf_dir}|sfz2|{fp}".encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"ts_sfz_chunks_{key}")
+    marker = os.path.join(out, "_READY")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    pdf = pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pandas()
+    pdf = pdf[pdf["text"].notna()][["doc_id", "text"]]
+
+    def _planted(src, offset):
+        p = src[["doc_id", "text"]].copy()
+        p["doc_id"] = p["doc_id"] + offset
+        p["text"] = p["text"] + " qz"
+        return p
+
+    import pandas as pd
+
+    c0 = pd.concat(
+        [
+            pdf[(pdf.doc_id >= 400) & (pdf.doc_id < 450)],
+            _planted(pdf[pdf.doc_id < 10], 10000),
+        ]
+    ).reset_index(drop=True)
+    c1 = pd.concat(
+        [
+            pdf[pdf.doc_id >= 450],
+            _planted(pdf[(pdf.doc_id >= 400) & (pdf.doc_id < 410)], 20000),
+        ]
+    ).reset_index(drop=True)
+    for seq, chunk in enumerate((c0, c1)):
+        f = os.path.join(out, f"chunk-{seq:02d}.parquet")
+        pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False), f)
+        os.utime(f, (1_700_000_000 + seq, 1_700_000_000 + seq))
+    open(marker, "w").close()
+    return out
+
+
+@register("streaming_dedup_fuzzy_docs", oracle=_stream_fuzzy_oracle())
+def streaming_dedup_fuzzy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING fuzzy ingestion — the persisted MinHash store as live
+    crawl state: the increment arrives in 2 micro-batches
+    (maxFilesPerTrigger=1 over mtime-ordered chunks) and each epoch's
+    foreachBatch sink (a) screens the batch against the CURRENT store
+    (band equi-join + exact-Jaccard verify, screen_new_docs_fuzzy),
+    (b) writes the per-doc verdicts to the result sink, then (c) appends
+    the batch's accepted docs into the store — so chunk 1's 10 planted
+    re-crawls of CHUNK-0 pages are rejected purely through cross-batch
+    state (chunk 0's pages were never in the built corpus), alongside
+    its corpus re-crawls.  The store is built fresh per run (appends
+    mutate it) under a pid-keyed dir; state is BOUNDED by the store's
+    O(corpus) artifacts, never per-pair.  The oracle chains two rounds
+    of the inline screen, round 2's corpus = corpus + round 1's
+    accepted — drain ≡ chained-batch proven by the driver."""
+    from .operators.dedup import (
+        append_minhash_store,
+        build_minhash_store,
+        screen_new_docs_fuzzy,
+    )
+    from .streaming.lag_stream import _next_stream_name
+
+    docs = load_table(spark, "documents", sf_dir)
+    base = _roundtrip_dir("ts_sfz_") + "/" + _next_stream_name("v")
+    store = f"{base}/store"
+    results = f"{base}/results"
+    build_minhash_store(
+        docs.where("doc_id < 400").select("doc_id", "text"), "doc_id", "text", store
+    )
+    chunk_dir = _fuzzy_chunked_docs(sf_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(chunk_dir)
+    )
+
+    def _sink(bdf, epoch_id):
+        bsp = bdf.sparkSession  # micro-batch session clone — stay on it
+        out = screen_new_docs_fuzzy(bsp, store, bdf, threshold=0.5)
+        out.write.mode("append").parquet(results)
+        verdicts = bsp.read.parquet(results)
+        accepted = bdf.join(
+            verdicts.where("accepted").select("doc_id"), "doc_id", "left_semi"
+        )
+        append_minhash_store(bsp, store, accepted)
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .queryName(_next_stream_name("ts_stream_fuzzy"))
+        .option("checkpointLocation", f"{base}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(results)
+
+
 def _jaccard_blocks(d):
     return ("lang", _int_div(d, "n_chars", 200))
 
@@ -6469,6 +6663,8 @@ def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
 
 GRADE_PRIORITY: list[str] = [
     # -- NEW in r8 -> grade first --
+    "dedup_incremental_fuzzy_docs",    # new: persisted-MinHash crawl screen
+    "streaming_dedup_fuzzy_docs",      # new: the store as live stream state
     "ann_ivf_refined_persisted_topk",  # new: train-once refined IVF serve
     "pq_persisted_topk",               # new: train-once PQ serve
     "semantic_dedup_persisted_docs",   # new: SemDeDup from stored cells
@@ -6521,11 +6717,11 @@ GRADE_PRIORITY: list[str] = [
     "interop_roundtrip_events",
     "simhash_docs",
     "embedding_neardup",
-    "topk_orders_per_customer",
-    "signup_users_no_purchase",
     # -- oldest r5 block: the flagship fills slot 50 --
     "lag_events_wide",
     # ---- grading window ends here (first 50 of the above) ----
+    "topk_orders_per_customer",  # displaced by the late fuzzy-screen adds
+    "signup_users_no_purchase",  # displaced by the late fuzzy-screen add
     "asof_join_purchases_bcast",
     "blob_metadata_docs",
     "decode_image_stub_docs",

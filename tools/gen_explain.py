@@ -96,6 +96,7 @@ SHOWCASE = {
     "quality_score_persisted_docs": "Train-once classifier serve: the scored frame pays only its own feature explode; the persisted integer-count weight relation (<= n_buckets rows by the hashing trick) broadcasts; NO training subtree (no is_t filter, no weight aggregation) in the plan.",
     "dedup_incremental_docs": "Incremental crawl screen: the increment pays one within-batch partial-agg groupBy + an anti-join against the STORED fingerprint table - the corpus (fingerprinted once at build) is never re-scanned; increment cost is O(increment), not O(corpus).",
     "pipeline_pretraining_manifest": "The full curation line fused into one job: dedup is ONE window exchange (not groupBy + join-back), the quality gate a codegen'd projection with text carried through, the contamination screen an equi-join on broadcast gram hashes whose tiny hit set anti-joins back broadcast, split assignment a pure projection (13 -> 6 exchanges vs the naive join-per-stage composition).",
+    "dedup_incremental_fuzzy_docs": "Incremental FUZZY crawl screen: only the increment is tokenized/shingled/MinHash-signed (one groupBy exchange); the corpus arrives as STORED band + shingle-set parquet scans, candidates via the band-key equi-join, exact-Jaccard verify touches only candidate rows - the corpus is never re-signed, so increment cost is O(increment + candidates).",
 }
 
 SF_DIR = "/root/testdata/sf0.01"
