@@ -659,3 +659,60 @@ def test_fuzz_dedup_incremental_fuzzy(corpus_pdf, new_pdf):
         )
     ).df()
     _compare(got, exp)
+
+
+@FUZZ_SETTINGS
+@given(corpus(), corpus())
+def test_fuzz_decontaminate_exact(train_pdf, bench_pdf):
+    """Exact k-gram decontamination on arbitrary corpora — short texts
+    (< k tokens, zero shingles) and NULL texts must flag nothing, in
+    both engines."""
+    from time_sift_spark.operators.corpus import decontaminate_sql
+
+    spark = _get_session()
+    schema = "doc_id long, text string"
+    spark.createDataFrame(train_pdf, schema).createOrReplaceTempView("_fz_de_t")
+    spark.createDataFrame(bench_pdf, schema).createOrReplaceTempView("_fz_de_b")
+    got = spark.sql(
+        decontaminate_sql(SPARK, "_fz_de_t", "_fz_de_b", "text", k=3)
+    ).toPandas()
+    con = duckdb.connect()
+    con.register("_fz_de_t", train_pdf)
+    con.register("_fz_de_b", bench_pdf)
+    exp = con.execute(decontaminate_sql(DUCK, "_fz_de_t", "_fz_de_b", "text", k=3)).df()
+    _compare(got, exp)
+
+
+@FUZZ_SETTINGS
+@given(corpus())
+def test_fuzz_chunk_documents(pdf):
+    """Sliding-window chunking boundary arithmetic (size/overlap/last
+    partial chunk) must agree across engines on arbitrary texts."""
+    from time_sift_spark.operators.corpus import chunk_documents_sql
+
+    got, exp = _run_both(
+        pdf,
+        chunk_documents_sql(SPARK, "_fz_ch", "text", size=7, overlap=3),
+        chunk_documents_sql(DUCK, "_fz_ch", "text", size=7, overlap=3),
+        "_fz_ch",
+        schema="doc_id long, text string",
+    )
+    _compare(got, exp)
+
+
+@FUZZ_SETTINGS
+@given(st.lists(st.integers(-1000, 1000), min_size=1, max_size=40))
+def test_fuzz_linear_count_distinct(ids):
+    """Linear-counting register construction (md5 bucket bitmap) must
+    agree register-for-register across engines, negatives included."""
+    from time_sift_spark.operators.sketch import linear_count_distinct_sql
+
+    pdf = pd.DataFrame({"user_id": ids})
+    got, exp = _run_both(
+        pdf,
+        linear_count_distinct_sql(SPARK, "_fz_lc", "user_id", k=64),
+        linear_count_distinct_sql(DUCK, "_fz_lc", "user_id", k=64),
+        "_fz_lc",
+        schema="user_id long",
+    )
+    _compare(got, exp)

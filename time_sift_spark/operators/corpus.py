@@ -103,11 +103,13 @@ def chunk_documents_sql(
     overlap: int = 50,
     id_cols: Sequence[str] = ("doc_id",),
 ) -> str:
+    from .dedup import _unnest
+
     seq, sub = _chunk_exprs(d, text, size, overlap)
     ids = ", ".join(id_cols)
     return f"""
     SELECT {ids}, _pos AS chunk_start, {sub} AS chunk, length({sub}) AS n_chars_chunk
-    FROM (SELECT {ids}, {text}, unnest({seq}) AS _pos FROM {table})
+    FROM (SELECT {ids}, {text}, {_unnest(d, seq, "_pos")} FROM {table})
     """
 
 
@@ -227,16 +229,29 @@ def decontaminate_sql(
     k: int = 8,
     id_col: str = "doc_id",
 ) -> str:
-    grams = d.shingles(d.tokens(text), k)
+    from .dedup import _unnest
+
+    # tokens are STAGED as a column and NULL-guarded before shingling —
+    # the _minhash_sig_cte convention. The guard also pins cross-engine
+    # NULL semantics: DuckDB renders shingles(NULL) as [''] (one empty
+    # gram, which would let two NULL-text docs "contaminate" each other)
+    # while Spark yields NULL -> zero rows; filtering _toks IS NOT NULL
+    # makes both engines emit zero grams, matching the DataFrame form.
+    grams = d.shingles("_toks", k)
     h = d.md5_long("_g")
+    un = _unnest(d, grams, "_g")
     return f"""
     WITH bench_hashes AS (
       SELECT DISTINCT {h} AS _h
-      FROM (SELECT unnest({grams}) AS _g FROM {bench_table})
+      FROM (SELECT {un}
+            FROM (SELECT {d.tokens(text)} AS _toks FROM {bench_table})
+            WHERE _toks IS NOT NULL)
     ),
     train_grams AS (
       SELECT DISTINCT {id_col}, {h} AS _h
-      FROM (SELECT {id_col}, unnest({grams}) AS _g FROM {train_table})
+      FROM (SELECT {id_col}, {un}
+            FROM (SELECT {id_col}, {d.tokens(text)} AS _toks FROM {train_table})
+            WHERE _toks IS NOT NULL)
     ),
     hits AS (
       SELECT {id_col}, COUNT(*) AS n_contaminated_ngrams
