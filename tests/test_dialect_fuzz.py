@@ -716,3 +716,20 @@ def test_fuzz_linear_count_distinct(ids):
         schema="user_id long",
     )
     _compare(got, exp)
+
+
+@FUZZ_SETTINGS
+@given(corpus())
+def test_fuzz_count_min_token_freq(pdf):
+    """Count-min heavy-hitter probe (tokenize -> cells -> min-over-rows
+    estimate) must agree across engines on arbitrary corpora."""
+    from time_sift_spark.operators.sketch import count_min_token_freq_sql
+
+    got, exp = _run_both(
+        pdf,
+        count_min_token_freq_sql(SPARK, "_fz_cmt", "text", width=32, depth=2, top_n=5),
+        count_min_token_freq_sql(DUCK, "_fz_cmt", "text", width=32, depth=2, top_n=5),
+        "_fz_cmt",
+        schema="doc_id long, text string",
+    )
+    _compare(got, exp)

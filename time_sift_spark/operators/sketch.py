@@ -217,6 +217,8 @@ def count_min_token_freq_sql(
     depth: int = 3,
     top_n: int = 20,
 ) -> str:
+    from .dedup import _unnest
+
     rows = list(range(depth))
     rb_union = " UNION ALL ".join(
         f"SELECT token, {i} AS row, {cm_bucket_expr(d, 'token', i, width)} AS bucket FROM toks"
@@ -228,7 +230,7 @@ def count_min_token_freq_sql(
     )
     return f"""
     WITH toks AS (
-      SELECT unnest({d.tokens(text)}) AS token FROM {table}
+      SELECT {_unnest(d, d.tokens(text), "token")} FROM {table}
     ),
     exact AS (
       SELECT token, COUNT(*) AS n_exact FROM toks GROUP BY token
