@@ -782,3 +782,143 @@ def test_incremental_fuzzy_append_idempotence(spark, tmp_path):
     re_acc = rescreen[rescreen.accepted]
     assert set(re_acc.doc_id).isdisjoint(accepted_ids)  # idempotent
     assert (rescreen.set_index("doc_id").loc[sorted(accepted_ids)].max_jaccard == 1.0).all()
+
+
+def test_incremental_fuzzy_screen_string_ids(spark, tmp_path):
+    """String doc ids work end-to-end in the fuzzy screen: the
+    within-batch smaller-id-wins rule compares the RAW id column in its
+    native type (nids CTE), so non-numeric ids form within-batch pairs
+    instead of silently passing (the old CAST(substring(did,3) AS
+    BIGINT) NULLed every comparison on Spark and errored on DuckDB).
+    Inline SQL agrees Spark↔DuckDB and the persisted screen matches the
+    inline form."""
+    import duckdb
+
+    from time_sift_spark.functions.text_fns import DUCK, SPARK
+    from time_sift_spark.operators.dedup import (
+        build_minhash_store,
+        dedup_incremental_fuzzy_sql,
+        screen_new_docs_fuzzy,
+    )
+
+    corpus_pdf = pd.DataFrame(
+        {
+            "doc_id": ["page-a", "page-b"],
+            "text": [
+                "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+                "one two three four five six seven eight nine ten",
+            ],
+        }
+    )
+    batch_pdf = pd.DataFrame(
+        {
+            "doc_id": ["crawl-m", "crawl-n", "crawl-z"],
+            "text": [
+                "red orange yellow green blue indigo violet ultraviolet infrared xray",
+                "red orange yellow green blue indigo violet ultraviolet infrared gamma",
+                # ^ within-batch near-dup pair: 'crawl-m' < 'crawl-n' lexically,
+                # compared in the id column's NATIVE (string) type
+                "alpha beta gamma delta epsilon zeta eta theta iota kappa qz",
+                # ^ near-dup of corpus 'page-a'
+            ],
+        }
+    )
+    corpus = spark.createDataFrame(corpus_pdf)
+    batch = spark.createDataFrame(batch_pdf)
+    corpus.createOrReplaceTempView("_t_sfc")
+    batch.createOrReplaceTempView("_t_sfn")
+    got = (
+        spark.sql(
+            dedup_incremental_fuzzy_sql(SPARK, "_t_sfc", "_t_sfn", "doc_id", "text")
+        )
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert got.loc["crawl-m"].accepted  # smaller string id wins the pair
+    assert not got.loc["crawl-n"].accepted  # shadowed within-batch
+    assert not got.loc["crawl-z"].accepted  # rejected vs persisted corpus
+
+    con = duckdb.connect()
+    con.register("_t_sfc", corpus_pdf)
+    con.register("_t_sfn", batch_pdf)
+    exp = (
+        con.execute(
+            dedup_incremental_fuzzy_sql(DUCK, "_t_sfc", "_t_sfn", "doc_id", "text")
+        )
+        .df()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    path = str(tmp_path / "mh_store_sid")
+    build_minhash_store(corpus, "doc_id", "text", path)
+    served = (
+        screen_new_docs_fuzzy(spark, path, batch, threshold=0.5)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    pd.testing.assert_frame_equal(served, got, check_dtype=False)
+
+
+def test_every_builder_invalidates_before_rebuild():
+    """Every persisted-index builder must call begin_build(path) so the
+    params completeness marker is absent for the whole rebuild window —
+    a crash mid-rebuild must read as not-ready, never as ready-over-torn
+    artifacts."""
+    import inspect
+
+    from time_sift_spark.operators.dedup import build_dedup_index, build_minhash_store
+    from time_sift_spark.operators.pq import build_ivfpq_index, build_pq_index
+    from time_sift_spark.operators.search import build_text_index
+    from time_sift_spark.operators.similarity import (
+        build_ivf_index,
+        build_lsh_index,
+        build_refined_ivf_index,
+    )
+    from time_sift_spark.operators.text import build_quality_model
+
+    for fn in (
+        build_dedup_index,
+        build_minhash_store,
+        build_text_index,
+        build_lsh_index,
+        build_ivf_index,
+        build_refined_ivf_index,
+        build_pq_index,
+        build_ivfpq_index,
+        build_quality_model,
+    ):
+        src = inspect.getsource(fn)
+        assert "begin_build(path)" in src, fn.__name__
+        # the invalidation must precede the first artifact write
+        assert src.index("begin_build(path)") < src.index(".write.mode("), fn.__name__
+
+
+def test_torn_rebuild_reads_not_ready(spark, tmp_path, monkeypatch):
+    """A rebuild that crashes after artifacts start landing but before
+    the new params write leaves the index NOT ready (the old marker was
+    deleted up front), so serve paths re-build instead of silently
+    serving a mix of new and stale artifacts."""
+    from time_sift_spark.operators.dedup import build_dedup_index
+    from time_sift_spark.queries import _index_ready
+
+    path = str(tmp_path / "ddx")
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a b c", "d e f"]})
+    )
+    build_dedup_index(corpus, "doc_id", "text", path)
+    assert _index_ready(path)
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before the params write")
+
+    monkeypatch.setattr(spark, "createDataFrame", boom)
+    with pytest.raises(RuntimeError):
+        build_dedup_index(corpus, "doc_id", "text", path)
+    monkeypatch.undo()
+    assert not _index_ready(path)  # torn rebuild is visible, not silent
+    build_dedup_index(corpus, "doc_id", "text", path)
+    assert _index_ready(path)  # a completed rebuild restores readiness

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 
 from ..errors import ColumnNotFoundError
 from ..functions.text_fns import Dialect
+from .artifacts import begin_build
 
 MERSENNE31 = 2_147_483_647  # 2^31 - 1
 
@@ -464,6 +465,7 @@ def build_dedup_index(df: DataFrame, id_col: str, text_col: str, path: str) -> N
     for c in (id_col, text_col):
         if c not in df.columns:
             raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    begin_build(path)
     spark = df.sparkSession
     view = "_ts_ddb_in"
     df.createOrReplaceTempView(view)
@@ -1171,22 +1173,33 @@ def _fuzzy_screen_tail(
     doc, and with every SMALLER-id increment doc (min-id-wins within the
     batch, the semantic_dedup ``drops`` convention — a rejected near-dup
     still shadows its own later near-dups, keeping the screen one-pass
-    and order-free).  Verification is EXACT Jaccard over the hashed
-    shingle sets, so acceptance is exact given the band screen (the
+    and order-free).  The within-batch order compares the RAW id column
+    in its NATIVE type (an ``nids`` did→raw-id mapping CTE joined back to
+    ``{new_table}``), never a cast of the tag-stripped string — casting
+    ``substring(did, 3)`` to BIGINT silently NULLs non-numeric ids on
+    Spark (dropping within-batch pairs) and errors on DuckDB, so any
+    orderable id type (int, string, date) now works identically on both
+    engines.  Verification is EXACT Jaccard over the hashed shingle
+    sets, so acceptance is exact given the band screen (the
     lsh_verified_neardup_sql contract).  max_jaccard reports only
     at-or-above-threshold matches (0.0 for accepted docs), matching
     decontaminate_fuzzy_sql's ``hits`` convention.
     """
     _, inter, setsize, jaccard = _verify_exprs(d)
     cast = "STRING" if d.name == "spark" else "VARCHAR"
-    nid = "CAST(substring({t}.did, 3) AS BIGINT)"
     return f"""
+    nids AS (
+      SELECT concat('n:', CAST({id_col} AS {cast})) AS did, {id_col} AS rid
+      FROM {new_table}
+    ),
     cand AS (
       SELECT y.did AS ndid, x.did AS odid
       FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
+      LEFT JOIN nids xv ON xv.did = x.did
+      LEFT JOIN nids yv ON yv.did = y.did
       WHERE y.did LIKE 'n:%'
         AND (x.did LIKE 'c:%'
-             OR (x.did LIKE 'n:%' AND {nid.format(t="x")} < {nid.format(t="y")}))
+             OR (x.did LIKE 'n:%' AND xv.rid < yv.rid))
       GROUP BY y.did, x.did
     ),
     pairs AS (
@@ -1282,6 +1295,7 @@ def build_minhash_store(
     for c in (id_col, text_col):
         if c not in df.columns:
             raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    begin_build(path)
     from ..functions.text_fns import SPARK as _S
 
     spark = df.sparkSession

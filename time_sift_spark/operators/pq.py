@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame
 from ..errors import ColumnNotFoundError
 from ..functions.vector_fns import VectorDialect
 from ._num import dec_to_double
+from .artifacts import begin_build
 
 _VSPARK = VectorDialect("spark")
 _VIEW_SEQ = [0]
@@ -462,6 +463,7 @@ def build_ivfpq_index(
     view = _next_view()
     df.createOrReplaceTempView(view)
     vd = _VSPARK
+    begin_build(path)
     spark.sql(f"""
       SELECT vid, emb, {vd.norm("emb")} AS nv FROM (
         SELECT {id_col} AS vid, transform({vec_col}, x -> CAST(x AS DOUBLE)) AS emb
@@ -631,6 +633,7 @@ def build_pq_index(
     view = _next_view()
     df.createOrReplaceTempView(view)
     vd = _VSPARK
+    begin_build(path)
     spark.sql(f"""
       SELECT {id_col} AS vid, transform({vec_col}, x -> CAST(x AS DOUBLE)) AS emb
       FROM {view}

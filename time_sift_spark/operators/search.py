@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 
 from ..errors import ColumnNotFoundError
 from ..functions.text_fns import DUCK, SPARK, Dialect
+from .artifacts import begin_build
 
 __all__ = [
     "bm25_topk",
@@ -245,6 +246,7 @@ def build_text_index(
         .groupBy(id_col, "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    begin_build(path)
     postings.repartition("term").write.mode("overwrite").parquet(f"{path}/postings")
     base.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 
 from ..errors import ColumnNotFoundError
 from ..functions.vector_fns import VectorDialect, random_hyperplanes
+from .artifacts import begin_build
 
 _VSPARK = VectorDialect("spark")
 _VIEW_SEQ = [0]
@@ -1143,6 +1144,7 @@ def build_lsh_index(
     vectors = spark.sql(
         f"SELECT {id_col} AS vid, {vec_col} AS {vec_col}, {_VSPARK.norm(vec_col)} AS nrm FROM {view}"
     )
+    begin_build(path)
     vectors.write.mode("overwrite").parquet(f"{path}/vectors")
     vview = _next_view()
     spark.read.parquet(f"{path}/vectors").createOrReplaceTempView(vview)
@@ -1229,6 +1231,7 @@ def build_ivf_index(
     view = _next_view()
     df.createOrReplaceTempView(view)
     cos_vc = _VSPARK.cosine(f"v.{vec_col}", f"c.{vec_col}")
+    begin_build(path)
     spark.sql(f"""
       SELECT {id_col} AS cid, {vec_col} FROM {view}
       ORDER BY md5(CAST({id_col} AS STRING)), {id_col}
@@ -1332,6 +1335,7 @@ def build_refined_ivf_index(
     view = _next_view()
     df.createOrReplaceTempView(view)
     vd = _VSPARK
+    begin_build(path)
     spark.sql(f"""
       SELECT vid, emb, {vd.norm("emb")} AS nv FROM (
         SELECT {id_col} AS vid, transform({vec_col}, x -> CAST(x AS DOUBLE)) AS emb

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..errors import ColumnNotFoundError
 from ..functions.text_fns import SPARK
+from .artifacts import begin_build
 
 
 def _check(df: DataFrame, cols: Sequence[str]) -> None:
@@ -712,6 +713,7 @@ def build_quality_model(
     SELECT fkey, SUM(is_pos) AS cpos, COUNT(*) AS ctot
     FROM feats GROUP BY fkey
     """)
+    begin_build(path)
     weights.write.mode("overwrite").parquet(f"{path}/weights")
     wview = "_ts_qcb_w"
     spark.read.parquet(f"{path}/weights").createOrReplaceTempView(wview)

@@ -995,14 +995,29 @@ def streaming_dedup_fuzzy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _sink(bdf, epoch_id):
+        # foreachBatch is at-least-once: a redelivered epoch must not
+        # duplicate verdict rows or store artifacts.  Verdicts land in an
+        # epoch-keyed subdirectory with overwrite mode (the
+        # parquet_epoch_sink recipe test_upsert_sink_epoch_redelivery_
+        # idempotent pins) and the store append is guarded by a
+        # per-epoch applied marker — a fully-applied epoch's redelivery
+        # is a no-op (re-screening it against the post-append store
+        # would wrongly reject its own accepted docs as J=1.0 twins).
+        import os
+
         bsp = bdf.sparkSession  # micro-batch session clone — stay on it
+        marker = f"{base}/applied-epoch-{epoch_id}"
+        if os.path.exists(marker):
+            return
+        edir = f"{results}/epoch-{epoch_id}"
         out = screen_new_docs_fuzzy(bsp, store, bdf, threshold=0.5)
-        out.write.mode("append").parquet(results)
-        verdicts = bsp.read.parquet(results)
+        out.write.mode("overwrite").parquet(edir)
+        verdicts = bsp.read.parquet(edir)
         accepted = bdf.join(
             verdicts.where("accepted").select("doc_id"), "doc_id", "left_semi"
         )
         append_minhash_store(bsp, store, accepted)
+        os.makedirs(marker)
 
     q = (
         stream.writeStream.foreachBatch(_sink)
@@ -1012,7 +1027,7 @@ def streaming_dedup_fuzzy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(results)
+    return spark.read.option("recursiveFileLookup", "true").parquet(results)
 
 
 def _jaccard_blocks(d):

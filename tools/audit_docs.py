@@ -62,9 +62,11 @@ def main() -> int:
             print(f"SURVEY mentions unregistered query-like name: {name}")
             bad += 1
 
-    # 2. every registered query is mentioned in SURVEY
+    # 2. every registered query is mentioned in SURVEY — as a standalone
+    # identifier, not as a substring of a longer name (a plain `in` test
+    # passes vacuously when one registered name embeds another)
     for name in sorted(REGISTRY):
-        if name not in survey:
+        if not re.search(rf"(?<![a-z0-9_]){re.escape(name)}(?![a-z0-9_])", survey):
             print(f"registered query missing from SURVEY.md: {name}")
             bad += 1
 
