@@ -6649,6 +6649,94 @@ def rolling_corr_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_corr(hourly, "x_click", "y_purchase", "bucket", 24)
 
 
+
+# --------------------------------------------------------------------------
+# Web-crawl URL surface (operators/web.py) — SURVEY §2.5 r9
+# --------------------------------------------------------------------------
+
+# documents carry no URL column, so the queries synthesize one
+# DETERMINISTICALLY from (doc_id, source) with every mess the normalizer
+# must handle: mixed-case scheme/host, www., scheme-default ports,
+# tracking params, unordered query strings, trailing slashes, fragments.
+# ONE dialect-neutral SQL text builds it on both engines.  Because the
+# raw-spelling variation (%7 query class, %11 slash, %6 fragment, %2 www)
+# all normalizes away, doc_id and doc_id+120 render DIFFERENT raw URLs
+# with the SAME url_norm — planted re-crawl spellings, like the dedup
+# demos plant copies.
+_URL_EXPR = (
+    "concat("
+    "CASE WHEN doc_id % 3 = 0 THEN 'HTTP://' ELSE 'https://' END, "
+    "CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END, "
+    "source, "
+    "CASE doc_id % 4 WHEN 0 THEN '.Example.co.uk' WHEN 1 THEN '.example.com' "
+    "WHEN 2 THEN '.news-site.org' ELSE '.example.com.au' END, "
+    "CASE WHEN doc_id % 5 = 0 THEN "
+    "CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE ':443' END ELSE '' END, "
+    "'/articles/', CAST(doc_id % 40 AS STRING), "
+    "CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END, "
+    "CASE doc_id % 7 WHEN 0 THEN '?utm_source=feed&b=2&a=1' "
+    "WHEN 1 THEN '?b=2&a=1&gclid=xyz' WHEN 2 THEN '?a=1&utm_campaign=w1&b=2' "
+    "WHEN 3 THEN '?b=2&a=1' ELSE '?a=1&b=2' END, "
+    "CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END"
+    ")"
+)
+
+
+def _url_docs(tbl: str) -> str:
+    return f"(SELECT doc_id, {_URL_EXPR} AS url FROM {tbl})"
+
+
+def _url_normalize_oracle() -> str:
+    from .operators.web import url_normalize_sql
+
+    return url_normalize_sql(DUCK, _url_docs("documents"), "doc_id", "url")
+
+
+@register("url_normalize_docs", oracle=_url_normalize_oracle())
+def url_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-URL canonicalization (operators/web.py): lowercased
+    scheme/host, www. and scheme-default-port stripped, tracking params
+    dropped, surviving params sorted, fragment dropped, trailing slash
+    stripped — plus n_dup_spellings, the per-url_norm spelling count
+    that shows what normalization buys (every planted d/d+120 pair
+    collapses).  Zero-shuffle per-row projection except the ONE
+    url_norm window count; all engine-native string/array expressions,
+    no UDFs."""
+    from .functions.text_fns import SPARK as _S
+
+    from .operators.web import url_normalize_sql
+
+    docs = load_table(spark, "documents", sf_dir)
+    docs.createOrReplaceTempView("_ts_web_docs")
+    return spark.sql(url_normalize_sql(_S, _url_docs("_ts_web_docs"), "doc_id", "url"))
+
+
+def _domain_cap_oracle() -> str:
+    from .operators.web import domain_cap_sample_sql
+
+    return domain_cap_sample_sql(DUCK, _url_docs("documents"), "doc_id", "url", cap=3)
+
+
+@register("domain_cap_sample_docs", oracle=_domain_cap_oracle())
+def domain_cap_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain corpus balancing (the RefinedWeb/Dolma
+    diversity rule): spelling-dedup on url_norm, then keep at most 3
+    docs per registered domain by the deterministic md5 draw.  The
+    multi-part public-suffix rule is exercised by construction (the
+    synthesized hosts span .co.uk / .com / .org / .com.au).  Two
+    shuffles total — url_norm rank, then registered_domain rank — both
+    on bounded keys; reproducible on any cluster size."""
+    from .functions.text_fns import SPARK as _S
+
+    from .operators.web import domain_cap_sample_sql
+
+    docs = load_table(spark, "documents", sf_dir)
+    docs.createOrReplaceTempView("_ts_web_docs")
+    return spark.sql(
+        domain_cap_sample_sql(_S, _url_docs("_ts_web_docs"), "doc_id", "url", cap=3)
+    )
+
+
 def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
     """Every registry callable must work on a session the engine didn't
     build (the external harness's bare SparkSession) — set the runtime
