@@ -1,0 +1,92 @@
+"""PageRank operator tests: known closed-form graphs, mass conservation,
+cross-engine agreement, and the DataFrame front door's error surface."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from time_sift_spark.errors import ColumnNotFoundError
+from time_sift_spark.functions.text_fns import DUCK, SPARK
+from time_sift_spark.operators.graph import (
+    doc_link_edges_ctes,
+    pagerank,
+    pagerank_sql,
+)
+
+
+def _duck_pr(edges: pd.DataFrame, **kw) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.register("_edges", edges)
+    ctes = "e AS (SELECT src, dst FROM _edges)"
+    return con.execute(pagerank_sql(DUCK, ctes, **kw)).df()
+
+
+def test_two_node_cycle_is_uniform():
+    # A↔B: the stationary distribution is exactly (0.5, 0.5) and the
+    # power method holds it from the uniform start at every iteration.
+    edges = pd.DataFrame({"src": [1, 2], "dst": [2, 1]})
+    out = _duck_pr(edges, iters=5).set_index("node")
+    assert out.loc[1, "pagerank"] == pytest.approx(0.5, abs=1e-9)
+    assert out.loc[2, "pagerank"] == pytest.approx(0.5, abs=1e-9)
+
+
+def test_star_center_dominates_and_mass_conserved():
+    # 1..5 all point to 0; 0 points back to 1 — no dangling nodes, so
+    # total mass stays 1 (up to the per-iteration 1e-12 rounding grain).
+    edges = pd.DataFrame(
+        {"src": [1, 2, 3, 4, 5, 0], "dst": [0, 0, 0, 0, 0, 1]}
+    )
+    out = _duck_pr(edges, iters=8)
+    assert out.pagerank.sum() == pytest.approx(1.0, abs=1e-9)
+    # the 0↔1 2-cycle makes the power method oscillate with period 2
+    # (damped by 0.85² per round), so after any finite iteration count
+    # the top spot alternates between 0 and 1 — assert the structure,
+    # not the oscillation phase: {0,1} dominate and leaves stay at the
+    # teleport floor.
+    ranked = out.sort_values("pagerank", ascending=False).reset_index(drop=True)
+    assert set(ranked.node[:2]) == {0, 1}
+    assert ranked.pagerank[1] > 2 * ranked.pagerank[2]
+    leaves = out[out.node.isin([2, 3, 4, 5])]
+    assert leaves.pagerank.max() == pytest.approx(0.15 / 6, abs=1e-9)
+
+
+def test_cross_engine_agreement(spark):
+    # deterministic pseudo-random multigraph incl. self-loops/dup edges
+    import hashlib
+
+    src, dst = [], []
+    for i in range(60):
+        for j in range(3):
+            h = int(hashlib.md5(f"{i}|{j}".encode()).hexdigest()[:8], 16)
+            src.append(i)
+            dst.append(h % 60)
+    edges = pd.DataFrame({"src": src, "dst": dst})
+    got = (
+        pagerank(spark.createDataFrame(edges), "src", "dst", iters=5)
+        .toPandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    exp = _duck_pr(edges, iters=5).sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert (got.pagerank > 0).all()
+
+
+def test_doc_link_edges_deterministic_and_in_range():
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    e = con.execute(
+        "WITH " + doc_link_edges_ctes(DUCK, "documents", "doc_id", fanout=3).strip().rstrip(",")
+        + " SELECT * FROM e"
+    ).df()
+    assert len(e) == 3 * 500  # every doc emits exactly fanout edges
+    assert set(e.dst).issubset(set(e.src))  # targets are real doc ids
+
+
+def test_pagerank_bad_column_raises(spark):
+    edges = spark.createDataFrame(pd.DataFrame({"src": [1], "dst": [2]}))
+    with pytest.raises(ColumnNotFoundError):
+        pagerank(edges, "nope", "dst")

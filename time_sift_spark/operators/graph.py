@@ -1,0 +1,165 @@
+"""PageRank — fixed-iteration power method as pure relational algebra.
+
+The canonical iterative-graph workload (Page et al. 1999; the Spark/
+GraphX and Flink/Gelly demo algorithm), expressed the way a relational
+engine wants it: each iteration is ONE equi-join of the edge list with
+the current rank vector, ONE partial-aggregated sum per destination, and
+ONE left join back to the node set.  Unrolled to a fixed iteration count
+as CTEs, the whole computation is a single declarative statement —
+Catalyst sees every join and can pipeline scans, broadcast the bounded
+relations (deg, nn), and AQE the per-iteration shuffles.
+
+Determinism (the driver's value-hash gate): the per-destination
+contribution sum is the ONLY reassociable float reduction, so each
+contribution is quantized to DECIMAL(28,14) and summed exactly —
+order-independent on any partitioning — then rounded to 12 decimals
+(the dsum discipline of queries.py; scale-14 ties are not binary-
+representable, and the decimal magnitudes stay < 10^12 so the final
+decimal→double cast is a single exact conversion on both engines).  The
+scalar per-node update ((1-d)/n + d·contrib) is identical-input IEEE
+arithmetic — deterministic without quantization.
+
+Scale posture (SCALE.md: pagerank): edges shuffle ONCE per iteration on
+dst (the contribution aggregation); rank and deg are O(nodes) relations
+joined on their keys; nn is a one-row aggregate STATE reduce (the
+SinglePartition-of-state convention).  No driver-side loop state — the
+unrolled plan ships whole.  The variant is the standard no-dangling-
+redistribution form: nodes without out-edges leak their mass (total rank
+< 1), documented because the synthetic link graphs used by the
+registered query give every node a fixed out-degree, so no mass leaks
+there.
+
+Reference parity note: the reference (Rust lag-matrix crate,
+src/lib.rs) has no graph surface; charter extension (SURVEY.md §2.5),
+complementing the connected-components operators in operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..errors import ColumnNotFoundError
+from ..functions.text_fns import SPARK, Dialect
+
+__all__ = ["doc_link_edges_ctes", "pagerank_sql", "pagerank"]
+
+
+def doc_link_edges_ctes(
+    d: Dialect, table: str, id_col: str, *, fanout: int = 3
+) -> str:
+    """CTE fragment defining ``e``(src, dst): a deterministic synthetic
+    link graph over ``table``'s actual id set — every row links to
+    ``fanout`` md5-chosen rows (duplicates and self-loops kept: a
+    multigraph is valid PageRank input and exercises edge multiplicity).
+
+    The md5 draw picks a ROW NUMBER, then joins back to the id at that
+    rank, so the construction works for ANY id set (sparse, string,
+    non-contiguous) — never assumes ids are 0..n-1.  This is the
+    link-graph analogue of how the dedup demos plant copies: the corpus
+    has no native hyperlinks, so the query manufactures a reproducible
+    web to rank.
+    """
+    cast = "STRING" if d.name == "spark" else "VARCHAR"
+    js = ", ".join(f"({j})" for j in range(1, fanout + 1))
+    draw = d.md5_long(
+        f"concat('pr|', CAST(t.{id_col} AS {cast}), '#', CAST(js.j AS {cast}))"
+    )
+    return f"""
+    _gn AS (SELECT COUNT(*) AS n FROM {table}),
+    _rows AS (
+      SELECT {id_col} AS did,
+             ROW_NUMBER() OVER (ORDER BY {id_col}) AS rn
+      FROM {table}
+    ),
+    _tgt AS (
+      SELECT t.{id_col} AS src,
+             (((({draw}) % _gn.n) + _gn.n) % _gn.n) + 1 AS trn
+      FROM {table} t CROSS JOIN _gn CROSS JOIN (VALUES {js}) AS js(j)
+    ),
+    e AS (
+      SELECT _tgt.src, _rows.did AS dst
+      FROM _tgt JOIN _rows ON _rows.rn = _tgt.trn
+    )
+    """
+
+
+def pagerank_sql(
+    d: Dialect,
+    edges_ctes: str,
+    *,
+    iters: int = 5,
+    damping: float = 0.85,
+    id_alias: str = "node",
+    topk: int | None = None,
+) -> str:
+    """Full PageRank statement over a CTE fragment that defines
+    ``e``(src, dst) — e.g. :func:`doc_link_edges_ctes`, or any caller-
+    supplied edge relation wrapped as ``e AS (SELECT ... src, ... dst)``.
+
+    Output: ({id_alias}, pagerank) — every node, or the top ``topk``
+    ordered by (pagerank DESC, {id_alias}) when given (rank ties break
+    on the id, so the cut is deterministic).
+    """
+    one_minus_d = repr(1.0 - damping)
+    dmp = repr(damping)
+    parts = [
+        edges_ctes.strip().rstrip(","),
+        """
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (
+      SELECT node, CAST(1.0 AS DOUBLE) / CAST(nn.n AS DOUBLE) AS rank
+      FROM nodes CROSS JOIN nn
+    )""",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(f"""
+    cb{k} AS (
+      SELECT e.dst AS node,
+             CAST(ROUND(SUM(CAST(r.rank / CAST(deg.outdeg AS DOUBLE)
+                                 AS DECIMAL(28,14))), 12) AS DOUBLE) AS contrib
+      FROM e
+      JOIN r{k - 1} r ON r.node = e.src
+      JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    ),
+    r{k} AS (
+      SELECT nodes.node,
+             ({one_minus_d} / CAST(nn.n AS DOUBLE)
+              + {dmp} * COALESCE(cb.contrib, CAST(0.0 AS DOUBLE))) AS rank
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN cb{k} cb ON cb.node = nodes.node
+    )""")
+    tail = f"SELECT node AS {id_alias}, rank AS pagerank FROM r{iters}"
+    if topk is not None:
+        tail += f" ORDER BY pagerank DESC, {id_alias} LIMIT {topk}"
+    return "WITH " + ",".join(parts) + "\n    " + tail
+
+
+_VIEW_SEQ = [0]
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    *,
+    iters: int = 5,
+    damping: float = 0.85,
+    id_alias: str = "node",
+    topk: int | None = None,
+) -> DataFrame:
+    """DataFrame front door: rank an explicit (src, dst) edge list."""
+    for c in (src_col, dst_col):
+        if c not in edges.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {edges.columns}")
+    _VIEW_SEQ[0] += 1
+    view = f"_ts_pr_edges_{_VIEW_SEQ[0]}"
+    edges.createOrReplaceTempView(view)
+    ctes = f"e AS (SELECT {src_col} AS src, {dst_col} AS dst FROM {view})"
+    return edges.sparkSession.sql(
+        pagerank_sql(
+            SPARK, ctes, iters=iters, damping=damping, id_alias=id_alias, topk=topk
+        )
+    )

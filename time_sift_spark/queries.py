@@ -6737,6 +6737,51 @@ def domain_cap_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# --------------------------------------------------------------------------
+# PageRank (operators/graph.py) — SURVEY §2.5 r9
+# --------------------------------------------------------------------------
+
+
+def _pagerank_oracle() -> str:
+    from .operators.graph import doc_link_edges_ctes, pagerank_sql
+
+    return pagerank_sql(
+        DUCK,
+        doc_link_edges_ctes(DUCK, "documents", "doc_id", fanout=3),
+        iters=5,
+        id_alias="doc_id",
+        topk=30,
+    )
+
+
+@register("pagerank_docs", oracle=_pagerank_oracle())
+def pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five power-method iterations over a deterministic synthetic link
+    graph (every doc links to 3 md5-chosen docs), top 30 by rank — the
+    canonical iterative-graph workload unrolled into ONE declarative
+    statement (operators/graph.py).  Per iteration: one edge⋈rank
+    equi-join, one decimal-exact per-dst contribution sum (the only
+    reassociable reduction — dsum discipline), one left join back to
+    nodes; deg/nn stay broadcast-sized.  Complements the connected-
+    components operators as the ranking half of the graph surface."""
+    from .functions.text_fns import SPARK as _S
+
+    from .operators.graph import doc_link_edges_ctes, pagerank_sql
+
+    docs = load_table(spark, "documents", sf_dir)
+    docs.createOrReplaceTempView("_ts_pr_docs")
+    return spark.sql(
+        pagerank_sql(
+            _S,
+            doc_link_edges_ctes(_S, "_ts_pr_docs", "doc_id", fanout=3),
+            iters=5,
+            id_alias="doc_id",
+            topk=30,
+        )
+    )
+
+
 def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
     """Every registry callable must work on a session the engine didn't
     build (the external harness's bare SparkSession) — set the runtime
