@@ -316,3 +316,97 @@ def test_histogram_quantiles_auto_degenerate_and_validation(spark):
         histogram_quantiles_auto(df, "v", bins=1)
     with pytest.raises(ColumnNotFoundError):
         histogram_quantiles_auto(df, "nope")
+
+
+def test_bloom_screen_cross_engine_and_truth(spark):
+    """Planted exact copies are always possibly_seen (no false
+    negatives — a Bloom invariant), novel docs are overwhelmingly
+    definitely-new, and the engines agree bit-for-bit including any
+    false positives."""
+    import duckdb
+    import pandas as pd
+
+    from time_sift_spark.functions.text_fns import DUCK, SPARK
+    from time_sift_spark.operators.sketch import bloom_screen_sql
+
+    corpus = "(SELECT doc_id, text FROM docs WHERE doc_id < 60)"
+    newb = (
+        "(SELECT doc_id, text FROM docs WHERE doc_id >= 60"
+        " UNION ALL SELECT doc_id + 1000, text FROM docs WHERE doc_id < 10)"
+    )
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(100),
+            "text": [f"document body number {i} with unique words w{i}" for i in range(100)],
+        }
+    )
+    pdf.loc[5, "text"] = None  # NULL text: probes nothing, reports false
+    sdf = spark.createDataFrame(pdf)
+    sdf.createOrReplaceTempView("docs")
+    got = (
+        spark.sql(bloom_screen_sql(SPARK, corpus, newb, "doc_id", "text"))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    exp = (
+        con.execute(bloom_screen_sql(DUCK, corpus, newb, "doc_id", "text"))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    planted = got[got.doc_id >= 1000]
+    assert planted[planted.doc_id != 1005].possibly_seen.all()
+    assert planted[planted.doc_id != 1005].is_dup.all()
+    null_row = got[got.doc_id == 1005].iloc[0]
+    assert not null_row.possibly_seen and not null_row.is_dup
+    novel = got[(got.doc_id >= 60) & (got.doc_id < 1000)]
+    assert not novel.is_dup.any()
+    # m=65536, 60 docs: FP probability ~1e-11 — all novel definitely-new
+    assert not novel.possibly_seen.any()
+
+
+def test_bloom_persisted_equals_inline(spark, tmp_path):
+    import pandas as pd
+
+    from time_sift_spark.functions.text_fns import SPARK as _S
+    from time_sift_spark.operators.sketch import (
+        bloom_screen_persisted,
+        bloom_screen_sql,
+        build_bloom_filter,
+    )
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(80), "text": [f"text body {i} tok{i % 7}" for i in range(80)]}
+    )
+    sdf = spark.createDataFrame(pdf)
+    sdf.createOrReplaceTempView("docs_bp")
+    corpus = sdf.where("doc_id < 50")
+    newb = sdf.where("doc_id >= 50")
+    path = str(tmp_path / "bloom")
+    build_bloom_filter(corpus.select("doc_id", "text"), "text", path)
+    served = (
+        bloom_screen_persisted(spark, path, newb, "doc_id")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    inline = (
+        spark.sql(
+            bloom_screen_sql(
+                _S,
+                "(SELECT doc_id, text FROM docs_bp WHERE doc_id < 50)",
+                "(SELECT doc_id, text FROM docs_bp WHERE doc_id >= 50)",
+                "doc_id",
+                "text",
+                with_truth=False,
+            )
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(served, inline, check_dtype=False)

@@ -549,3 +549,177 @@ def histogram_quantiles_auto(
     )
     df.createOrReplaceTempView("_ts_hq_auto_in")
     return df.sparkSession.sql(sql)
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter membership screen (build/serve + inline)
+# --------------------------------------------------------------------------
+#
+# The sketch-world complement of the exact incremental screen
+# (dedup.build_dedup_index): the exact fingerprint table is O(corpus)
+# rows and the increment must equi-join against ALL of it; a Bloom
+# filter compresses corpus membership into m bits with a bounded,
+# DETERMINISTIC false-positive rate — the classic pre-filter that lets
+# 100 TB ingestion answer "definitely new" for the overwhelming majority
+# of documents from a broadcast-sized bitset, reserving the exact join
+# for the few "possibly seen" survivors (Bloom 1970; the same role
+# Spark's own runtime bloom-filter join pruning plays, but cross-engine
+# reproducible).  Positions come from k md5-slice hashes (the engine's
+# md5-prefix hash discipline), so Spark and DuckDB build bit-identical
+# filters — false positives included — and the screen passes a
+# value-hash oracle.  The bitset is stored as DISTINCT occupied
+# positions (≤ min(m, k·n) rows of one int): mergeable by UNION
+# (append ≡ rebuild, row-independent), broadcastable by construction.
+
+
+def bloom_pos_array(d: Dialect, item_sql: str, *, m: int, k: int) -> str:
+    """Array literal of the k bloom positions of ``item_sql`` — k
+    independent hash functions from one md5 chain by mixing the slot
+    index into the input (the cm_bucket_expr convention)."""
+    exprs = [
+        f"((({d.md5_long(f_concat)}) % {m}) + {m}) % {m}"
+        for f_concat in (
+            f"concat('bf{i}|', {item_sql})" for i in range(k)
+        )
+    ]
+    body = ", ".join(exprs)
+    return f"array({body})" if d.name == "spark" else f"[{body}]"
+
+
+def bloom_bits_sql(
+    d: Dialect, corpus_table: str, text_col: str, *, m: int, k: int
+) -> str:
+    """Occupied-position relation ``(pos)`` of the corpus filter.
+    NULL texts contribute nothing (DuckDB's NULL-skipping concat would
+    otherwise hash 'bf{i}|' where Spark propagates NULL — the engine's
+    standing concat-divergence guard)."""
+    from .dedup import _unnest
+
+    arr = bloom_pos_array(d, text_col, m=m, k=k)
+    return (
+        f"SELECT DISTINCT pos FROM ("
+        f"SELECT {_unnest(d, arr, 'pos')} FROM {corpus_table} "
+        f"WHERE {text_col} IS NOT NULL)"
+    )
+
+
+def _bloom_screen_tail(
+    d: Dialect,
+    new_table: str,
+    id_col: str,
+    text_col: str,
+    *,
+    m: int,
+    k: int,
+    with_truth: bool,
+) -> str:
+    """probes→flags→final SELECT, shared VERBATIM by the inline
+    (oracle) and persisted (serve) screens — both provide a CTE
+    ``bits``(pos); the inline form adds ``chash`` for the exact-truth
+    audit column.  possibly_seen is true iff ALL k probe positions are
+    occupied; NULL-text rows probe nothing and report false."""
+    from .dedup import _unnest
+
+    arr = bloom_pos_array(d, f"n.{text_col}", m=m, k=k)
+    truth_sel = (
+        ",\n           (ch.h IS NOT NULL) AS is_dup" if with_truth else ""
+    )
+    truth_join = (
+        f"\n    LEFT JOIN chash ch ON ch.h = md5(n.{text_col})" if with_truth else ""
+    )
+    return f"""
+    probes AS (
+      SELECT did, pos FROM (
+        SELECT n.{id_col} AS did, {_unnest(d, arr, "pos")}
+        FROM {new_table} n WHERE n.{text_col} IS NOT NULL
+      ) GROUP BY did, pos
+    ),
+    flags AS (
+      SELECT p.did,
+             MIN(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) AS allhit
+      FROM probes p LEFT JOIN bits b ON b.pos = p.pos
+      GROUP BY p.did
+    )
+    SELECT n.{id_col},
+           COALESCE(f.allhit = 1, FALSE) AS possibly_seen{truth_sel}
+    FROM {new_table} n
+    LEFT JOIN flags f ON f.did = n.{id_col}{truth_join}
+    """
+
+
+def bloom_screen_sql(
+    d: Dialect,
+    corpus_table: str,
+    new_table: str,
+    id_col: str,
+    text_col: str,
+    *,
+    m: int = 65536,
+    k: int = 4,
+    with_truth: bool = True,
+) -> str:
+    """Inline Bloom screen: every increment document against the corpus
+    filter, plus (``with_truth``) the exact md5 verdict so the output
+    itself audits the false-positive set (possibly_seen AND NOT is_dup
+    — deterministic, both engines build the identical filter).
+    Output: ({id_col}, possibly_seen[, is_dup]) for EVERY increment row.
+    """
+    bits = bloom_bits_sql(d, corpus_table, text_col, m=m, k=k)
+    truth_cte = (
+        f"chash AS (SELECT DISTINCT md5({text_col}) AS h FROM {corpus_table} "
+        f"WHERE {text_col} IS NOT NULL),\n    "
+        if with_truth
+        else ""
+    )
+    tail = _bloom_screen_tail(
+        d, new_table, id_col, text_col, m=m, k=k, with_truth=with_truth
+    )
+    return f"""
+    WITH bits AS ({bits}),
+    {truth_cte}{tail}
+    """
+
+
+def build_bloom_filter(
+    df: DataFrame, text_col: str, path: str, *, m: int = 65536, k: int = 4
+) -> None:
+    """Materialize the corpus Bloom filter: ``{path}/bits`` (occupied
+    positions, ≤ min(m, k·n) single-int rows — broadcast-sized by
+    construction) then ``params`` LAST (the build_dedup_index
+    completeness contract; begin_build first so a rebuild crash reads
+    as not-ready).  Bits are row-independent: folding an increment in
+    is a parquet append of its positions (append ≡ rebuild)."""
+    from .artifacts import begin_build
+
+    if text_col not in df.columns:
+        raise ColumnNotFoundError(f"column {text_col!r} not in {df.columns}")
+    begin_build(path)
+    spark = df.sparkSession
+    view = "_ts_bloom_build"
+    df.createOrReplaceTempView(view)
+    spark.sql(bloom_bits_sql(SPARK, view, text_col, m=m, k=k)).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/bits")
+    spark.createDataFrame(
+        [(text_col, m, k)], "text_col string, m int, k int"
+    ).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def bloom_screen_persisted(spark, path: str, new_df: DataFrame, id_col: str) -> DataFrame:
+    """Serve the persisted filter against an increment: the corpus is
+    never re-hashed — the screen touches only the stored position rows
+    (broadcastable) and the increment.  Output ≡ the inline screen with
+    ``with_truth=False`` (persisted ≡ inline, driver-proven)."""
+    spark = new_df.sparkSession  # foreachBatch clone safety
+    p = spark.read.parquet(f"{path}/params").collect()[0]
+    text_col = p["text_col"]
+    for c in (id_col, text_col):
+        if c not in new_df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {new_df.columns}")
+    new_df.createOrReplaceTempView("_ts_bloom_new")
+    spark.read.parquet(f"{path}/bits").createOrReplaceTempView("_ts_bloom_bits")
+    tail = _bloom_screen_tail(
+        SPARK, "_ts_bloom_new", id_col, text_col,
+        m=p["m"], k=p["k"], with_truth=False,
+    )
+    return spark.sql(f"WITH bits AS (SELECT pos FROM _ts_bloom_bits),\n    {tail}")

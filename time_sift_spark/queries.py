@@ -6782,6 +6782,70 @@ def pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# --------------------------------------------------------------------------
+# Bloom-filter membership screen (operators/sketch.py) — SURVEY §2.5 r9
+# --------------------------------------------------------------------------
+
+_BLOOM_CORPUS = "(SELECT doc_id, text FROM documents WHERE doc_id < 400)"
+_BLOOM_NEWB = (
+    "(SELECT doc_id, text FROM documents WHERE doc_id >= 400"
+    " UNION ALL "
+    "SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 50)"
+)
+
+
+def _bloom_oracle(with_truth: bool) -> str:
+    from .operators.sketch import bloom_screen_sql
+
+    return bloom_screen_sql(
+        DUCK, _BLOOM_CORPUS, _BLOOM_NEWB, "doc_id", "text", with_truth=with_truth
+    )
+
+
+@register("bloom_screen_docs", oracle=_bloom_oracle(True))
+def bloom_screen_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter ingestion pre-screen: the corpus (doc_id < 400)
+    compressed to occupied bit positions (k=4 md5 slices mod 65536 —
+    bit-identical on both engines, false positives included); the
+    increment (novel docs + 50 planted exact re-crawls) probes the
+    broadcast-sized bitset and answers definitely-new/possibly-seen,
+    with the exact md5 verdict alongside so the output audits the FP
+    set.  The sketch pre-filter that spares the O(corpus) fingerprint
+    join for the overwhelming majority at 100 TB ingestion."""
+    from .functions.text_fns import SPARK as _S
+
+    from .operators.sketch import bloom_screen_sql
+
+    docs = load_table(spark, "documents", sf_dir)
+    docs.createOrReplaceTempView("documents")
+    return spark.sql(
+        bloom_screen_sql(
+            _S, _BLOOM_CORPUS, _BLOOM_NEWB, "doc_id", "text", with_truth=True
+        )
+    )
+
+
+@register("bloom_screen_persisted_docs", oracle=_bloom_oracle(False))
+def bloom_screen_persisted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same screen served from the PERSISTED filter: the corpus is
+    hashed once at build (build_bloom_filter, params-last + begin_build
+    rebuild safety); each increment touches only the stored position
+    rows.  Oracle is the inline statement — persisted ≡ inline,
+    driver-proven (the build_lsh_index contract)."""
+    from .operators.sketch import bloom_screen_persisted, build_bloom_filter
+
+    docs = load_table(spark, "documents", sf_dir)
+    path = _index_dir("ts_bloom", sf_dir, "m65536_k4_lt400", table="documents")
+    if not _index_ready(path):
+        build_bloom_filter(
+            docs.where("doc_id < 400").select("doc_id", "text"), "text", path
+        )
+    docs.createOrReplaceTempView("documents")
+    newb = spark.sql(f"SELECT * FROM {_BLOOM_NEWB} _n")
+    return bloom_screen_persisted(spark, path, newb, "doc_id")
+
+
 def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
     """Every registry callable must work on a session the engine didn't
     build (the external harness's bare SparkSession) — set the runtime
