@@ -410,3 +410,85 @@ def test_bloom_persisted_equals_inline(spark, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(served, inline, check_dtype=False)
+
+
+def test_hll_accuracy_and_cross_engine_large(spark):
+    """50k distinct values: the raw-branch estimate stays within ~3σ of
+    the HLL standard error (1.04/√1024 ≈ 3.25%) and both engines emit
+    the identical estimate (shared literals, ladder, one IEEE division).
+    """
+    import duckdb
+    import pandas as pd
+
+    from time_sift_spark.functions.text_fns import DUCK, SPARK
+    from time_sift_spark.operators.sketch import hll_distinct_sql
+
+    pdf = pd.DataFrame({"v": range(50_000)})
+    sdf = spark.createDataFrame(pdf)
+    sdf.createOrReplaceTempView("_hll_big")
+    got = spark.sql(
+        hll_distinct_sql(SPARK, "_hll_big", "v", with_exact=False)
+    ).toPandas()
+    con = duckdb.connect()
+    con.register("_hll_big", pdf)
+    exp = con.execute(
+        hll_distinct_sql(DUCK, "_hll_big", "v", with_exact=False)
+    ).df()
+    assert got.n_estimate[0] == exp.n_estimate[0]
+    assert abs(got.n_estimate[0] - 50_000) / 50_000 < 0.10
+
+
+def test_hll_merge_equals_direct():
+    """Weekly estimates from merged daily register states equal a direct
+    weekly sketch on the same rows — MAX is associative+idempotent."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "'/root/testdata/sf0.01/events.parquet'"
+    )
+    from time_sift_spark.functions.text_fns import DUCK
+    from time_sift_spark.operators.sketch import hll_distinct_sql, hll_rollup_sql
+
+    rolled = con.execute(hll_rollup_sql(DUCK, "events", "user_id", "ts")).df()
+    direct = con.execute(
+        "WITH weekly AS (SELECT date_trunc('week', ts) AS week, user_id FROM events) "
+        + hll_distinct_sql(
+            DUCK, "weekly", "user_id", group_by=("week",), with_exact=False
+        ).replace("WITH ", ", ", 1)
+    ).df()
+    r = rolled.sort_values("week").reset_index(drop=True)
+    d = direct.sort_values("week").reset_index(drop=True)
+    assert (r.n_estimate.values == d.n_estimate.values).all()
+    assert (r.used_registers.values == d.used_registers.values).all()
+
+
+def test_hll_small_range_uses_linear_counting():
+    """Tiny cardinalities hit the linear-counting branch and stay exact
+    to within a register collision or two."""
+    import duckdb
+    import pandas as pd
+
+    from time_sift_spark.functions.text_fns import DUCK
+    from time_sift_spark.operators.sketch import hll_distinct_sql
+
+    con = duckdb.connect()
+    con.register("_t", pd.DataFrame({"v": list(range(20)) * 3}))
+    out = con.execute(hll_distinct_sql(DUCK, "_t", "v")).df()
+    assert out.n_exact[0] == 20
+    assert abs(out.n_estimate[0] - 20) < 1.5
+
+
+def test_hll_bad_args(spark):
+    import pandas as pd
+    import pytest as _pt
+
+    from time_sift_spark.errors import ColumnNotFoundError
+    from time_sift_spark.operators.sketch import hll_distinct
+
+    sdf = spark.createDataFrame(pd.DataFrame({"v": [1]}))
+    with _pt.raises(ColumnNotFoundError):
+        hll_distinct(sdf, "nope")
+    with _pt.raises(ValueError):
+        hll_distinct(sdf, "v", m=1000)  # not a power of two

@@ -723,3 +723,236 @@ def bloom_screen_persisted(spark, path: str, new_df: DataFrame, id_col: str) -> 
         m=p["m"], k=p["k"], with_truth=False,
     )
     return spark.sql(f"WITH bits AS (SELECT pos FROM _ts_bloom_bits),\n    {tail}")
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog (deterministic, cross-engine, mergeable)
+# --------------------------------------------------------------------------
+#
+# The linear counter above saturates near K·ln K; HyperLogLog (Flajolet
+# et al. 2007) estimates unbounded cardinalities from m fixed registers
+# holding MAX(leading-zero rank) — the industry-standard sketch
+# (Spark's approx_count_distinct, DuckDB's approx sketch — neither
+# cross-engine reproducible, which is why this one exists, same charter
+# as linear_count_distinct).  Determinism engineering:
+#
+# * register index and rank word come from two salted md5_long draws —
+#   identical bits on both engines;
+# * rho = 60-bit leading-zero rank via a comparison LADDER (no log2 —
+#   a libm-vs-JVM ulp at a power-of-two boundary could flip floor);
+# * rho is CAPPED at 40, so every 2^-rho term is an exact multiple of
+#   2^-40 and group sums stay < 2^11: ALL partial double sums are
+#   exactly representable → SUM is order-independent (no decimal
+#   quantization needed, unlike arbitrary-double dsum);
+# * 2^-rho values and the small-range linear-counting table
+#   m·ln(m/V) are Python-computed literal arrays (the estimate_expr
+#   convention) — neither engine evaluates a transcendental;
+# * the raw estimate alpha·m²/S is ONE IEEE division on identical
+#   inputs, then round_double (pure double arithmetic, tie-free).
+#
+# Mergeability is the register MAX — hll_rollup merges daily register
+# states into weekly estimates without rescanning values, and the merge
+# is exactly what a direct weekly sketch computes (MAX is associative
+# and idempotent), which tests assert.
+
+_HLL_RHO_CAP = 40
+
+
+def _hll_reg_expr(d: Dialect, col: str, m: int) -> str:
+    h = d.md5_long(f"concat('hr|', CAST({col} AS STRING))")
+    return f"((({h}) % {m}) + {m}) % {m}"
+
+
+def _hll_w_expr(d: Dialect, col: str) -> str:
+    """60-bit rank word (independent of the register draw by salt)."""
+    return d.md5_long(f"concat('hw|', CAST({col} AS STRING))")
+
+
+def _hll_rho_expr(wcol: str) -> str:
+    """Leading-zero rank (1-based) of a 60-bit word COLUMN, capped at
+    _HLL_RHO_CAP — a comparison ladder over integer literals, identical
+    text on both dialects (no log2: a libm-vs-JVM ulp at a power-of-two
+    boundary could flip a floor).  Takes a column name, not an
+    expression: the builders stage the word once per row first."""
+    whens = " ".join(
+        f"WHEN {wcol} >= {1 << (60 - r)} THEN {min(r, _HLL_RHO_CAP)}"
+        for r in range(1, 61)
+    )
+    return f"(CASE {whens} ELSE {_HLL_RHO_CAP} END)"
+
+
+def _hll_pow2_expr(d: Dialect, rho_sql: str) -> str:
+    lits = ", ".join(repr(2.0 ** -r) for r in range(1, _HLL_RHO_CAP + 1))
+    if d.name == "spark":
+        return f"element_at(array({lits}), CAST({rho_sql} AS INT))"
+    return f"([{lits}])[CAST({rho_sql} AS INT)]"
+
+
+def _hll_estimate_expr(d: Dialect, sp: str, present: str, m: int, round_to: int) -> str:
+    """Estimate from (sum of 2^-rho over PRESENT registers, present
+    count).  S adds one unit per EMPTY register; small-range correction
+    switches to linear counting below 2.5m when empties exist."""
+    import math
+
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    a_lit = repr(alpha * m * m)
+    v = f"({m} - ({present}))"
+    s = f"(({sp}) + CAST({v} AS DOUBLE))"
+    raw = f"({a_lit} / {s})"
+    lc = []
+    for vv in range(m + 1):
+        if vv == 0:
+            lc.append("CAST('infinity' AS DOUBLE)")  # unreachable (V>0 branch)
+        else:
+            lc.append(repr(round(m * math.log(m / vv), round_to)))
+    idx = f"CAST({v} AS INT) + 1"
+    if d.name == "spark":
+        lc_lookup = f"element_at(array({', '.join(lc)}), {idx})"
+    else:
+        lc_lookup = f"([{', '.join(lc)}])[{idx}]"
+    from ._num import round_double
+
+    return (
+        f"CASE WHEN {raw} <= {repr(2.5 * m)} AND {v} > 0 THEN {lc_lookup} "
+        f"ELSE {round_double(raw, round_to)} END"
+    )
+
+
+def hll_distinct_sql(
+    d: Dialect,
+    table: str,
+    col: str,
+    *,
+    group_by: Sequence[str] = (),
+    m: int = 1024,
+    round_to: int = 2,
+    with_exact: bool = True,
+) -> str:
+    """Per-group HLL distinct estimate: ``used_registers`` (exact sketch
+    state size), ``n_estimate`` and (``with_exact``) the true
+    ``n_exact`` error audit — the linear_count_distinct_sql surface,
+    unbounded range."""
+    groups = list(group_by)
+    g = ", ".join(groups)
+    gsel = f"{g}, " if g else ""
+    reg = _hll_reg_expr(d, col, m)
+    w = _hll_w_expr(d, col)
+    rho = _hll_rho_expr("_w")
+    pow2 = _hll_pow2_expr(d, "_mx")
+    est = _hll_estimate_expr(d, "_sp", "_present", m, round_to)
+    exact_join = (
+        f"JOIN _x ON {' AND '.join(f'_s.{c} = _x.{c}' for c in groups)}"
+        if groups
+        else "CROSS JOIN _x"
+    )
+    exact_sel = ", _x.n_exact AS n_exact" if with_exact else ""
+    exact_cte = (
+        f""",
+    _x AS (
+      SELECT {gsel}COUNT(DISTINCT {col}) AS n_exact FROM {table}
+      {f'GROUP BY {g}' if g else ''}
+    )"""
+        if with_exact
+        else ""
+    )
+    qual_g = ", ".join(f"_s.{c}" for c in groups)
+    return f"""
+    WITH _h0 AS (
+      SELECT {gsel}{reg} AS _reg, {w} AS _w
+      FROM {table} WHERE {col} IS NOT NULL
+    ),
+    _r AS (
+      SELECT {gsel}_reg, MAX({rho}) AS _mx FROM _h0 GROUP BY {gsel}_reg
+    ),
+    _s AS (
+      SELECT {gsel}COUNT(*) AS _present, SUM({pow2}) AS _sp
+      FROM _r {f'GROUP BY {g}' if g else ''}
+    ){exact_cte}
+    SELECT {qual_g + ', ' if qual_g else ''}_s._present AS used_registers,
+           {est} AS n_estimate{exact_sel}
+    FROM _s {exact_join if with_exact else ''}
+    """
+
+
+def hll_distinct(
+    df: DataFrame,
+    col: str,
+    *,
+    group_by: Sequence[str] = (),
+    m: int = 1024,
+    round_to: int = 2,
+    with_exact: bool = True,
+) -> DataFrame:
+    groups = list(group_by)
+    missing = [c for c in (col, *groups) if c not in df.columns]
+    if missing:
+        raise ColumnNotFoundError(f"columns not in DataFrame: {missing}")
+    if m < 16 or (m & (m - 1)) != 0:
+        raise ValueError(f"m must be a power of two >= 16, got {m}")
+    view = "_ts_hll_in"
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(
+        hll_distinct_sql(
+            SPARK, view, col, group_by=groups, m=m, round_to=round_to,
+            with_exact=with_exact,
+        )
+    )
+
+
+def hll_rollup_sql(
+    d: Dialect,
+    table: str,
+    col: str,
+    time_col: str,
+    *,
+    group_by: Sequence[str] = (),
+    m: int = 1024,
+    round_to: int = 2,
+) -> str:
+    """Weekly HLL estimates merged from DAILY register states (per
+    (group, day, register) MAX(rho) rows — the stored continuous
+    aggregate); the weekly layer re-MAXes registers across days and
+    estimates from the merged state, never rescanning values.  MAX is
+    associative+idempotent, so merged ≡ direct on the same data (tested).
+    Outputs per (group, week): used_registers, n_estimate, n_days."""
+    groups = list(group_by)
+    g = ", ".join(groups)
+    gsel = f"{g}, " if g else ""
+    reg = _hll_reg_expr(d, col, m)
+    w = _hll_w_expr(d, col)
+    rho = _hll_rho_expr("_w")
+    pow2 = _hll_pow2_expr(d, "_mx")
+    est = _hll_estimate_expr(d, "_sp", "_present", m, round_to)
+    return f"""
+    WITH _h0 AS (
+      SELECT {gsel}date_trunc('day', {time_col}) AS _day, {reg} AS _reg,
+             {w} AS _w
+      FROM {table} WHERE {col} IS NOT NULL
+    ),
+    daily AS (
+      SELECT {gsel}_day, _reg, MAX({rho}) AS _rho
+      FROM _h0
+      GROUP BY {gsel}_day, _reg
+    ),
+    weekly AS (
+      SELECT {gsel}date_trunc('week', _day) AS week, _reg, MAX(_rho) AS _mx,
+             COUNT(DISTINCT _day) AS _nd
+      FROM daily GROUP BY {gsel}date_trunc('week', _day), _reg
+    ),
+    merged AS (
+      SELECT {gsel}week, COUNT(*) AS _present, SUM({pow2}) AS _sp,
+             MAX(_nd) AS _ndmax
+      FROM weekly GROUP BY {gsel}week
+    ),
+    ndays AS (
+      SELECT {gsel}date_trunc('week', _day) AS week,
+             COUNT(DISTINCT _day) AS n_days
+      FROM daily GROUP BY {gsel}date_trunc('week', _day)
+    )
+    SELECT {''.join(f'merged.{c}, ' for c in groups)}merged.week,
+           merged._present AS used_registers,
+           {est} AS n_estimate,
+           ndays.n_days AS n_days
+    FROM merged JOIN ndays
+      ON merged.week = ndays.week{''.join(f' AND merged.{c} = ndays.{c}' for c in groups)}
+    """

@@ -6846,6 +6846,60 @@ def bloom_screen_persisted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_screen_persisted(spark, path, newb, "doc_id")
 
 
+
+# --------------------------------------------------------------------------
+# HyperLogLog (operators/sketch.py) — SURVEY §2.5 r9
+# --------------------------------------------------------------------------
+
+
+def _hll_distinct_oracle() -> str:
+    from .operators.sketch import hll_distinct_sql
+
+    return hll_distinct_sql(DUCK, "events", "user_id", group_by=("event_type",))
+
+
+@register("hll_distinct_users_by_type", oracle=_hll_distinct_oracle())
+def hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog per-event-type distinct users — the unbounded-range
+    companion to the linear-counting sketch: m=1024 MAX(rho) registers
+    from two salted md5 draws, the leading-zero rank via a comparison
+    ladder (no transcendentals engine-side; the 2^-rho and linear-
+    counting tables are Python-computed literals), rho capped at 40 so
+    every partial register sum is exactly representable and therefore
+    order-independent.  n_exact rides along as the error audit."""
+    from .functions.text_fns import SPARK as _S
+
+    from .operators.sketch import hll_distinct_sql
+
+    events = load_table(spark, "events", sf_dir)
+    events.createOrReplaceTempView("events")
+    return spark.sql(
+        hll_distinct_sql(_S, "events", "user_id", group_by=("event_type",))
+    )
+
+
+def _hll_rollup_oracle() -> str:
+    from .operators.sketch import hll_rollup_sql
+
+    return hll_rollup_sql(DUCK, "events", "user_id", "ts")
+
+
+@register("hll_rollup_weekly", oracle=_hll_rollup_oracle())
+def hll_rollup_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly distinct users REAGGREGATED from daily HLL register
+    states (MAX is associative+idempotent, so merged ≡ direct — the
+    property that makes the sketch a materialized continuous
+    aggregate; tests assert it).  The daily layer stores ≤ m register
+    rows per day; the weekly layer never rescans user_id."""
+    from .functions.text_fns import SPARK as _S
+
+    from .operators.sketch import hll_rollup_sql
+
+    events = load_table(spark, "events", sf_dir)
+    events.createOrReplaceTempView("events")
+    return spark.sql(hll_rollup_sql(_S, "events", "user_id", "ts"))
+
+
 def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
     """Every registry callable must work on a session the engine didn't
     build (the external harness's bare SparkSession) — set the runtime
