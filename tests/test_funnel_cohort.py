@@ -78,3 +78,49 @@ def test_funnel_validation(spark):
         funnel(df, "ts", "user_id", [])
     with pytest.raises(ColumnNotFoundError):
         funnel(df, "nope", "user_id", STEPS)
+
+
+def test_sequence_ngrams_handcrafted(spark):
+    """Known streams: u1,u2 share A→B→C (support 2); u3's lone D→E→F
+    stays below min_keys; an in-stream repeat raises n_occurrences but
+    not n_keys."""
+    import pandas as pd
+
+    from time_sift_spark.operators.funnel import sequence_ngrams
+
+    rows = []
+    for uid, stream in [
+        (1, ["A", "B", "C", "A", "B", "C"]),  # A,B,C twice within one user
+        (2, ["A", "B", "C"]),
+        (3, ["D", "E", "F"]),
+    ]:
+        for i, ev in enumerate(stream):
+            rows.append((uid, ev, i, uid * 100 + i))
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_type", "t", "event_id"])
+    out = sequence_ngrams(
+        spark.createDataFrame(pdf), "user_id", "event_type", "t", "event_id",
+        n=3, min_keys=2,
+    ).toPandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row.g1, row.g2, row.g3) == ("A", "B", "C")
+    assert row.n_occurrences == 3  # 2 from u1 (incl. the wrap A,B,C? no: contiguous) + 1 from u2
+    assert row.n_keys == 2
+
+
+def test_sequence_ngrams_cross_engine(spark):
+    import duckdb
+    import pandas as pd
+
+    from time_sift_spark.operators.funnel import sequence_ngrams_sql
+
+    rng = [(u, f"e{(u * 7 + i * 3) % 4}", i, u * 1000 + i) for u in range(8) for i in range(10)]
+    pdf = pd.DataFrame(rng, columns=["user_id", "event_type", "t", "event_id"])
+    sdf = spark.createDataFrame(pdf)
+    sdf.createOrReplaceTempView("_seq_t")
+    q = sequence_ngrams_sql("_seq_t", "user_id", "event_type", "t", "event_id", n=2, min_keys=2)
+    got = spark.sql(q).toPandas()
+    con = duckdb.connect()
+    con.register("_seq_t", pdf)
+    exp = con.execute(q).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

@@ -92,3 +92,77 @@ def funnel_oracle_sql(
     SELECT {part}, {mins}, ({stage}) AS funnel_stage
     FROM {prev} GROUP BY {part}
     """
+
+
+def sequence_ngrams_sql(
+    table: str,
+    key_col: str,
+    item_col: str,
+    time_col: str,
+    order_extra: str,
+    *,
+    n: int = 3,
+    min_keys: int = 2,
+) -> str:
+    """Frequent behavioral n-grams (PrefixSpan-lite, Pei et al. 2001,
+    restricted to CONTIGUOUS n-grams — which is what makes it pure
+    relational algebra): for every key's event stream ordered by
+    (time, tiebreak), count each length-n contiguous item pattern
+    globally, keep patterns supported by at least ``min_keys`` distinct
+    keys.  Dialect-neutral text: LEAD windows + GROUP BY parse
+    identically on Spark and DuckDB (the engine's LEAD-window n-gram
+    convention — never a per-row transform lambda).
+
+    Output: (g1..gn, n_occurrences, n_keys), support-ordered with a
+    full deterministic tiebreak.
+
+    Scale shape: ONE shuffle on key (the window), ONE on the n-gram
+    pattern (the count) — the same two-exchange plan as the hopping/
+    session analytics; min_keys is the df-cap that keeps the output
+    bounded under vocabulary skew (a bot replaying one pattern can
+    inflate n_occurrences but never n_keys).
+    """
+    grams = ", ".join(
+        f"LEAD({item_col}, {i}) OVER w AS g{i + 1}" if i else f"{item_col} AS g1"
+        for i in range(n)
+    )
+    gcols = ", ".join(f"g{i + 1}" for i in range(n))
+    notnull = " AND ".join(f"g{i + 1} IS NOT NULL" for i in range(n))
+    return f"""
+    WITH seq AS (
+      SELECT {key_col} AS _k, {grams}
+      FROM {table}
+      WINDOW w AS (PARTITION BY {key_col} ORDER BY {time_col}, {order_extra})
+    )
+    SELECT {gcols},
+           COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT _k) AS n_keys
+    FROM seq
+    WHERE {notnull}
+    GROUP BY {gcols}
+    HAVING COUNT(DISTINCT _k) >= {min_keys}
+    ORDER BY n_keys DESC, n_occurrences DESC, {gcols}
+    """
+
+
+def sequence_ngrams(
+    df: DataFrame,
+    key_col: str,
+    item_col: str,
+    time_col: str,
+    order_extra: str,
+    *,
+    n: int = 3,
+    min_keys: int = 2,
+) -> DataFrame:
+    """DataFrame front door for :func:`sequence_ngrams_sql`."""
+    for c in (key_col, item_col, time_col, order_extra):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    view = "_ts_seqng_in"
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(
+        sequence_ngrams_sql(
+            view, key_col, item_col, time_col, order_extra, n=n, min_keys=min_keys
+        )
+    )

@@ -6900,6 +6900,35 @@ def hll_rollup_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(hll_rollup_sql(_S, "events", "user_id", "ts"))
 
 
+
+# --------------------------------------------------------------------------
+# Behavioral sequence mining (operators/funnel.py) — SURVEY §2.5 r9
+# --------------------------------------------------------------------------
+
+
+def _seq_mining_oracle() -> str:
+    from .operators.funnel import sequence_ngrams_sql
+
+    return sequence_ngrams_sql(
+        "events", "user_id", "event_type", "ts", "event_id", n=3, min_keys=2
+    )
+
+
+@register("sequence_mining_events", oracle=_seq_mining_oracle())
+def sequence_mining_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent contiguous event-type trigrams across user streams
+    (PrefixSpan-lite): LEAD-window n-grams per user, global pattern
+    counts, min-support on DISTINCT users (bot-replay-proof).  Two
+    exchanges total — the user window, then the pattern count — the
+    funnel/session plan family extended to open-vocabulary patterns."""
+    from .operators.funnel import sequence_ngrams
+
+    events = load_table(spark, "events", sf_dir)
+    return sequence_ngrams(
+        events, "user_id", "event_type", "ts", "event_id", n=3, min_keys=2
+    )
+
+
 def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
     """Every registry callable must work on a session the engine didn't
     build (the external harness's bare SparkSession) — set the runtime
