@@ -297,3 +297,52 @@ def test_salted_join_validation(spark):
         salted_join(left, right, "k", salt=0)
     with pytest.raises(ValueError):
         salted_join(left, right, "k", how="full")
+
+
+def test_zvalue_interleave_known_bits():
+    """Closed-form Morton checks: (x,y)=(0,0)→0, (1,0)→2, (0,1)→1,
+    (3,3)→15, (255,255)→65535 — and engines agree on a full 16×16 grid.
+    """
+    import duckdb
+    import pandas as pd
+
+    from time_sift_spark.functions.text_fns import DUCK
+    from time_sift_spark.operators.scale import zvalue_expr
+
+    con = duckdb.connect()
+    grid = pd.DataFrame(
+        [(x, y) for x in range(16) for y in range(16)], columns=["x", "y"]
+    )
+    con.register("g", grid)
+    out = con.execute(
+        f"SELECT x, y, {zvalue_expr(DUCK, 'x', 'y')} AS z FROM g"
+    ).df()
+    zmap = {(r.x, r.y): r.z for r in out.itertuples()}
+    assert zmap[(0, 0)] == 0
+    assert zmap[(1, 0)] == 2
+    assert zmap[(0, 1)] == 1
+    assert zmap[(3, 3)] == 15
+    assert len(set(zmap.values())) == 256  # bijective on the grid
+
+
+def test_zvalue_cross_engine_and_block_clustering(spark):
+    import duckdb
+    import pandas as pd
+
+    from time_sift_spark.functions.text_fns import DUCK, SPARK
+    from time_sift_spark.operators.scale import zorder_block_stats_sql
+
+    pdf = pd.DataFrame(
+        [(i % 256, (i * 37) % 256) for i in range(4096)], columns=["bx", "yb"]
+    )
+    sdf = spark.createDataFrame(pdf)
+    sdf.createOrReplaceTempView("_zt")
+    got = spark.sql(zorder_block_stats_sql(SPARK, "_zt", "bx", "yb")).toPandas()
+    con = duckdb.connect()
+    con.register("_zt", pdf)
+    exp = con.execute(zorder_block_stats_sql(DUCK, "_zt", "bx", "yb")).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+    # blocks of 64 z-values cover at most an 8x8 tile: spans bounded by 7
+    assert (got.x_span <= 7).all() and (got.y_span <= 7).all()

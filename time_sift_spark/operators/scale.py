@@ -330,3 +330,74 @@ def salted_join(
         "_salt", F.explode(F.expr(f"sequence(0, {int(salt) - 1})"))
     ).withColumn("_salt", F.col("_salt").cast("int"))
     return lsalt.join(rsalt, [*keys, "_salt"], how).drop("_salt")
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) data layout
+# --------------------------------------------------------------------------
+
+
+def zvalue_expr(d, xcol: str, ycol: str, *, bits: int = 8) -> str:
+    """Morton interleave of two ``bits``-bit non-negative bucket columns
+    (Morton 1966; the Delta/Iceberg OPTIMIZE ZORDER layout key): bit i
+    of x lands at position 2i+1, bit i of y at 2i, so sorting by the
+    z-value clusters rows that are close in BOTH dimensions — a range
+    predicate on EITHER column prunes most blocks, which a single-column
+    sort only achieves for its leading column.
+
+    Dialect-paired pure-integer arithmetic (shift/mod — no UDF, no
+    lookup join); ``d`` is a functions.text_fns.Dialect.
+    """
+    terms = []
+    for i in range(bits):
+        if d.name == "spark":
+            terms.append(f"shiftleft(shiftright({xcol}, {i}) % 2, {2 * i + 1})")
+            terms.append(f"shiftleft(shiftright({ycol}, {i}) % 2, {2 * i})")
+        else:
+            terms.append(f"((({xcol} >> {i}) % 2) << {2 * i + 1})")
+            terms.append(f"((({ycol} >> {i}) % 2) << {2 * i})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_block_stats_sql(
+    d,
+    table: str,
+    x_expr: str,
+    y_expr: str,
+    *,
+    bits: int = 8,
+    rows_per_block_shift: int = 6,
+) -> str:
+    """Per-z-block clustering audit: bucket both dimensions, interleave,
+    group rows into blocks of 2^shift consecutive z-values (the file/
+    row-group analogue), and report each block's row count and min/max
+    extent in BOTH dimensions.  Small per-block spans in x AND y are
+    the measurable clustering property that makes z-ordered files
+    prunable by either predicate — the audit a layout job runs after
+    OPTIMIZE ZORDER, expressed engine-natively.
+
+    At 100 TB the layout itself is ``repartitionByRange(zv) +
+    sortWithinPartitions(zv)`` on the write path; this statement is the
+    read-side proof, ONE shuffle on the block id.
+    """
+    from .dedup import _int_div
+
+    z = zvalue_expr(d, "_zx", "_zy", bits=bits)
+    block = _int_div(d, "_zv", 1 << rows_per_block_shift)
+    return f"""
+    WITH _zb AS (
+      SELECT {x_expr} AS _zx, {y_expr} AS _zy FROM {table}
+    ),
+    _zv AS (
+      SELECT _zx, _zy, {z} AS _zv FROM _zb
+    )
+    SELECT {block} AS block_id,
+           COUNT(*) AS n_rows,
+           MIN(_zx) AS x_min, MAX(_zx) AS x_max,
+           MIN(_zy) AS y_min, MAX(_zy) AS y_max,
+           MAX(_zx) - MIN(_zx) AS x_span,
+           MAX(_zy) - MIN(_zy) AS y_span
+    FROM _zv
+    GROUP BY {block}
+    ORDER BY block_id
+    """

@@ -6929,6 +6929,51 @@ def sequence_mining_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# --------------------------------------------------------------------------
+# Z-order layout audit (operators/scale.py) — SURVEY §2.5 r9
+# --------------------------------------------------------------------------
+
+# x = user bucket; y = value bucket over the observed range (min/max is a
+# one-row aggregate-state reduce; the affine bucketing is identical-input
+# IEEE arithmetic on both engines).
+_ZORD_X = "CAST(user_id % 256 AS BIGINT)"
+_ZORD_Y = (
+    "CAST(LEAST(255, CAST(FLOOR((value - _mn) / ((_mx - _mn) / 256.0 + 1e-12)) "
+    "AS INT)) AS BIGINT)"
+)
+_ZORD_SRC = (
+    "(SELECT user_id, value, _mn, _mx FROM events CROSS JOIN "
+    "(SELECT MIN(value) AS _mn, MAX(value) AS _mx FROM events) _mm)"
+)
+
+
+def _zorder_oracle() -> str:
+    from .operators.scale import zorder_block_stats_sql
+
+    return zorder_block_stats_sql(DUCK, _ZORD_SRC, _ZORD_X, _ZORD_Y)
+
+
+@register("zorder_layout_events", oracle=_zorder_oracle())
+def zorder_layout_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout audit over events bucketed by (user,
+    value): interleave the two 8-bit bucket keys, group into blocks of
+    64 consecutive z-values (the file/row-group analogue), report each
+    block's extent in BOTH dimensions — the measurable clustering that
+    makes a z-ordered table prunable by either predicate, where a
+    single-column sort clusters only its leading key.  Pure integer
+    shift/mod expressions, ONE shuffle on the block id; at scale the
+    write path is repartitionByRange(zv) + sortWithinPartitions(zv)
+    (operators/scale.zvalue_expr)."""
+    from .functions.text_fns import SPARK as _S
+
+    from .operators.scale import zorder_block_stats_sql
+
+    events = load_table(spark, "events", sf_dir)
+    events.createOrReplaceTempView("events")
+    return spark.sql(zorder_block_stats_sql(_S, _ZORD_SRC, _ZORD_X, _ZORD_Y))
+
+
 def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
     """Every registry callable must work on a session the engine didn't
     build (the external harness's bare SparkSession) — set the runtime
