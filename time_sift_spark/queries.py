@@ -6974,6 +6974,92 @@ def zorder_layout_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(zorder_block_stats_sql(_S, _ZORD_SRC, _ZORD_X, _ZORD_Y))
 
 
+
+# --------------------------------------------------------------------------
+# Entity resolution (operators/entity.py) — SURVEY §2.5 r9
+# --------------------------------------------------------------------------
+
+# Dirty-record corpus: customer names plus two planted typo families —
+# a DROPPED padding digit (length changes, name suffix survives) and a
+# REPLACED last character (suffix breaks, long prefix survives).  Each
+# typo family defeats one candidate strategy and is caught by the other:
+# suffix blocking finds the dropped-digit twins, the within-block sorted
+# neighborhood finds the trailing-edit twins.  ONE dialect-neutral text.
+_ER_CUSTOMERS = (
+    "(SELECT c_custkey AS cid, c_name AS name FROM customer"
+    " UNION ALL "
+    "SELECT c_custkey + 100000, concat(substr(c_name, 1, 9), substr(c_name, 11))"
+    " FROM customer WHERE c_custkey % 37 = 0"
+    " UNION ALL "
+    "SELECT c_custkey + 200000,"
+    " concat(substr(c_name, 1, length(c_name) - 1), 'X')"
+    " FROM customer WHERE c_custkey % 53 = 0)"
+)
+
+
+def _entity_match_oracle() -> str:
+    from .operators.entity import entity_match_sql
+
+    return entity_match_sql(
+        DUCK, _ER_CUSTOMERS, "cid", "name",
+        block_exprs=("substr(name, length(name) - 3)",), max_distance=2,
+    )
+
+
+@register("entity_match_customer", oracle=_entity_match_oracle())
+def entity_match_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance record linkage: candidates from an
+    equi-join on the name's 4-char suffix (never all-pairs — the
+    MinHash-LSH discipline applied to records), verified with the
+    engine-native classic levenshtein.  Finds every planted
+    dropped-digit twin; the trailing-edit twins deliberately escape
+    this blocking (the recall/cost dial) and are the sorted-
+    neighborhood query's catch."""
+    from .functions.text_fns import SPARK as _S
+
+    from .operators.entity import entity_match_sql
+
+    cust = load_table(spark, "customer", sf_dir)
+    cust.createOrReplaceTempView("customer")
+    return spark.sql(
+        entity_match_sql(
+            _S, _ER_CUSTOMERS, "cid", "name",
+            block_exprs=("substr(name, length(name) - 3)",), max_distance=2,
+        )
+    )
+
+
+def _snm_oracle() -> str:
+    from .operators.entity import sorted_neighborhood_sql
+
+    return sorted_neighborhood_sql(
+        DUCK, _ER_CUSTOMERS, "cid", "name",
+        block_expr="substr(name, 1, length(name) - 2)", window=3, max_distance=2,
+    )
+
+
+@register("sorted_neighborhood_customer", oracle=_snm_oracle())
+def sorted_neighborhood_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood linkage WITHIN blocks (Hernández-Stolfo,
+    distributed form): names sorted inside each long-prefix block, each
+    record compared to its next 3 neighbors via LEAD — no self-join, no
+    global un-partitioned sort.  Catches the trailing-edit twins whose
+    suffix block the typo broke; complementary to entity_match_customer
+    by construction."""
+    from .functions.text_fns import SPARK as _S
+
+    from .operators.entity import sorted_neighborhood_sql
+
+    cust = load_table(spark, "customer", sf_dir)
+    cust.createOrReplaceTempView("customer")
+    return spark.sql(
+        sorted_neighborhood_sql(
+            _S, _ER_CUSTOMERS, "cid", "name",
+            block_expr="substr(name, 1, length(name) - 2)", window=3, max_distance=2,
+        )
+    )
+
+
 def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
     """Every registry callable must work on a session the engine didn't
     build (the external harness's bare SparkSession) — set the runtime
