@@ -492,3 +492,31 @@ def test_hll_bad_args(spark):
         hll_distinct(sdf, "nope")
     with _pt.raises(ValueError):
         hll_distinct(sdf, "v", m=1000)  # not a power of two
+
+
+def test_bloom_append_idempotent_ingestion(spark, tmp_path):
+    """After append_bloom_filter folds an increment in, re-screening the
+    same increment reports every appended doc possibly_seen — idempotent
+    ingestion; and duplicate appended positions don't change verdicts
+    (presence semantics)."""
+    import pandas as pd
+
+    from time_sift_spark.operators.sketch import (
+        append_bloom_filter,
+        bloom_screen_persisted,
+        build_bloom_filter,
+    )
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(40), "text": [f"bloom body {i} q{i % 5}" for i in range(40)]}
+    )
+    sdf = spark.createDataFrame(pdf)
+    path = str(tmp_path / "bloom_app")
+    build_bloom_filter(sdf.where("doc_id < 25").select("doc_id", "text"), "text", path)
+    newb = sdf.where("doc_id >= 25")
+    first = bloom_screen_persisted(spark, path, newb, "doc_id").toPandas()
+    assert not first.possibly_seen.any()
+    append_bloom_filter(spark, path, newb)
+    append_bloom_filter(spark, path, newb)  # double append — still presence
+    again = bloom_screen_persisted(spark, path, newb, "doc_id").toPandas()
+    assert again.possibly_seen.all()

@@ -956,3 +956,25 @@ def hll_rollup_sql(
     FROM merged JOIN ndays
       ON merged.week = ndays.week{''.join(f' AND merged.{c} = ndays.{c}' for c in groups)}
     """
+
+
+def append_bloom_filter(spark, path: str, accepted_docs: DataFrame) -> None:
+    """Fold an increment's ACCEPTED documents into the persisted filter:
+    their k positions append to ``bits`` (set-semantics survive
+    duplicates — the screen probes presence, and its probe/flag
+    aggregations are duplicate-proof — so append ≡ rebuild, the
+    append_dedup_index contract).  After the append, re-screening the
+    same increment reports every appended doc possibly_seen
+    (idempotent ingestion, pinned in tests)."""
+    spark = accepted_docs.sparkSession  # foreachBatch clone safety
+    p = spark.read.parquet(f"{path}/params").collect()[0]
+    text_col = p["text_col"]
+    if text_col not in accepted_docs.columns:
+        raise ColumnNotFoundError(
+            f"column {text_col!r} not in {accepted_docs.columns}"
+        )
+    view = "_ts_bloom_append"
+    accepted_docs.createOrReplaceTempView(view)
+    spark.sql(
+        bloom_bits_sql(SPARK, view, text_col, m=p["m"], k=p["k"])
+    ).write.mode("append").parquet(f"{path}/bits")

@@ -7060,6 +7060,155 @@ def sorted_neighborhood_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# --------------------------------------------------------------------------
+# Streaming Bloom screen (operators/sketch.py) — SURVEY §2.5 r9
+# --------------------------------------------------------------------------
+
+_SBL_NEW1 = (
+    "(SELECT doc_id, text FROM documents WHERE doc_id BETWEEN 400 AND 449"
+    " UNION ALL "
+    "SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 10)"
+)
+_SBL_NEW2 = (
+    "(SELECT doc_id, text FROM documents WHERE doc_id >= 450"
+    " UNION ALL "
+    "SELECT doc_id + 20000 AS doc_id, text FROM documents"
+    " WHERE doc_id BETWEEN 400 AND 409)"
+)
+
+
+def _stream_bloom_oracle() -> str:
+    """Two chained rounds of the inline Bloom screen: round 2's corpus
+    is round 1's corpus PLUS round 1's ACCEPTED (definitely-new) docs —
+    the state the streaming sink accumulates by appending positions
+    between micro-batches (the _stream_fuzzy_oracle convention)."""
+    from .operators.sketch import bloom_screen_sql
+
+    q1 = bloom_screen_sql(
+        DUCK, _BLOOM_CORPUS, _SBL_NEW1, "doc_id", "text", with_truth=False
+    )
+    corpus2 = (
+        f"(SELECT n1.doc_id, n1.text FROM {_SBL_NEW1} n1 "
+        f"WHERE n1.doc_id IN "
+        f"(SELECT r.doc_id FROM ({q1}) r WHERE NOT r.possibly_seen) "
+        f"UNION ALL SELECT c0.doc_id, c0.text FROM {_BLOOM_CORPUS} c0)"
+    )
+    q2 = bloom_screen_sql(
+        DUCK, corpus2, _SBL_NEW2, "doc_id", "text", with_truth=False
+    )
+    return f"SELECT * FROM ({q1}) u1 UNION ALL SELECT * FROM ({q2}) u2"
+
+
+def _bloom_chunked_docs(sf_dir: str) -> str:
+    """Chunk the crawl increment into 2 arrival-ordered parquet files
+    with EXACT re-crawl copies (a Bloom screen tests exact membership —
+    the fuzzy chunks' one-token edits would rightly pass it).  Chunk 0:
+    docs 400-449 plus 10 exact copies of CORPUS pages; chunk 1: the
+    rest plus 10 exact copies of CHUNK-0 pages — rejectable only via
+    the positions the sink appended after chunk 0."""
+    import hashlib
+    import os
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fp = _source_fingerprint(sf_dir, "documents")
+    key = hashlib.md5(f"{sf_dir}|sbl1|{fp}".encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"ts_sbl_chunks_{key}")
+    marker = os.path.join(out, "_READY")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    pdf = pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pandas()
+    pdf = pdf[pdf["text"].notna()][["doc_id", "text"]]
+
+    def _copies(src, offset):
+        p = src[["doc_id", "text"]].copy()
+        p["doc_id"] = p["doc_id"] + offset
+        return p
+
+    c0 = pd.concat(
+        [
+            pdf[(pdf.doc_id >= 400) & (pdf.doc_id < 450)],
+            _copies(pdf[pdf.doc_id < 10], 10000),
+        ]
+    ).reset_index(drop=True)
+    c1 = pd.concat(
+        [
+            pdf[pdf.doc_id >= 450],
+            _copies(pdf[(pdf.doc_id >= 400) & (pdf.doc_id < 410)], 20000),
+        ]
+    ).reset_index(drop=True)
+    for seq, chunk in enumerate((c0, c1)):
+        f = os.path.join(out, f"chunk-{seq:02d}.parquet")
+        pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False), f)
+        os.utime(f, (1_700_000_000 + seq, 1_700_000_000 + seq))
+    open(marker, "w").close()
+    return out
+
+
+@register("streaming_bloom_screen_docs", oracle=_stream_bloom_oracle())
+def streaming_bloom_screen_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Bloom ingestion — the persisted filter as live crawl
+    state: 2 micro-batches; each epoch's foreachBatch sink (a) screens
+    the batch against the CURRENT stored positions
+    (bloom_screen_persisted), (b) writes verdicts to an epoch-keyed
+    overwrite directory, (c) appends the batch's definitely-new docs'
+    positions (append ≡ rebuild — presence semantics survive
+    duplicates) guarded by a per-epoch applied marker (the
+    streaming_dedup_fuzzy_docs at-least-once recipe).  Chunk 1's 10
+    exact copies of CHUNK-0 pages are rejected purely through
+    cross-batch state.  State is O(m) bits, never O(corpus)."""
+    from .operators.sketch import append_bloom_filter, bloom_screen_persisted, build_bloom_filter
+    from .streaming.lag_stream import _next_stream_name
+
+    docs = load_table(spark, "documents", sf_dir)
+    base = _roundtrip_dir("ts_sbl_") + "/" + _next_stream_name("v")
+    store = f"{base}/store"
+    results = f"{base}/results"
+    build_bloom_filter(
+        docs.where("doc_id < 400").select("doc_id", "text"), "text", store
+    )
+    chunk_dir = _bloom_chunked_docs(sf_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(chunk_dir)
+    )
+
+    def _sink(bdf, epoch_id):
+        import os
+
+        bsp = bdf.sparkSession  # micro-batch session clone — stay on it
+        marker = f"{base}/applied-epoch-{epoch_id}"
+        if os.path.exists(marker):
+            return
+        edir = f"{results}/epoch-{epoch_id}"
+        out = bloom_screen_persisted(bsp, store, bdf, "doc_id")
+        out.write.mode("overwrite").parquet(edir)
+        verdicts = bsp.read.parquet(edir)
+        accepted = bdf.join(
+            verdicts.where("NOT possibly_seen").select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        append_bloom_filter(bsp, store, accepted)
+        os.makedirs(marker)
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .queryName(_next_stream_name("ts_stream_bloom"))
+        .option("checkpointLocation", f"{base}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.option("recursiveFileLookup", "true").parquet(results)
+
+
 def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
     """Every registry callable must work on a session the engine didn't
     build (the external harness's bare SparkSession) — set the runtime
