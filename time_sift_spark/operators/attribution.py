@@ -1,0 +1,150 @@
+"""Marketing attribution: first-touch / last-touch revenue assignment.
+
+The standard funnel-economics workload (every product-analytics store —
+GA4, Amplitude, Snowplow models — ships it): each conversion event's
+value is credited to a touch event in the same key's history — the most
+recent touch within a lookback tolerance (last-touch) or the earliest
+touch ever seen (first-touch).
+
+Relational formulation without a join: one window pass per key.  Each
+touch row encodes (event-time, campaign) into a single BIGINT
+(micros·128 + campaign); conversion rows carry NULL.  A running
+MAX/MIN over the (key, time) window yields the last/first touch at
+every conversion — MAX/MIN skip NULLs by SQL semantics on both engines,
+so no IGNORE NULLS dialect divergence, and the encoding makes
+"latest ts wins, then largest campaign" a single integer comparison
+(deterministic tiebreak).  ONE shuffle on the key; the campaign
+aggregation is a second bounded-key shuffle with the engine's
+decimal-exact revenue sum.
+
+Reference parity note: no attribution surface exists in the reference
+(Rust lag-matrix crate); charter extension (SURVEY §2.5), composing the
+funnel/sessionize family with the as-of-join temporal semantics in
+window form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..errors import ColumnNotFoundError
+from ..functions.text_fns import SPARK, Dialect
+
+__all__ = ["attribution_sql", "attribution"]
+
+_CAMP_MOD = 128  # campaign ids folded mod 128 into the low bits
+
+
+def _json_long(d: Dialect, col: str, path: str) -> str:
+    if d.name == "spark":
+        return f"CAST(get_json_object({col}, '{path}') AS BIGINT)"
+    return f"CAST(json_extract_string({col}, '{path}') AS BIGINT)"
+
+
+def _epoch_micros(d: Dialect, col: str) -> str:
+    return f"unix_micros({col})" if d.name == "spark" else f"epoch_us({col})"
+
+
+def _intdiv(d: Dialect, num: str, den: int) -> str:
+    """INTEGER division — plain ``/`` is float division on BOTH engines
+    and micros-scaled encodings exceed 2^53, so ``/`` would corrupt the
+    decoded timestamp."""
+    return f"({num} div {den})" if d.name == "spark" else f"({num} // {den})"
+
+
+def attribution_sql(
+    d: Dialect,
+    table: str,
+    *,
+    key_col: str,
+    time_col: str,
+    order_col: str,
+    type_col: str,
+    touch_type: str,
+    convert_type: str,
+    value_col: str,
+    campaign_json_col: str,
+    campaign_json_path: str = "$.k",
+    tolerance_days: int = 3,
+) -> str:
+    """Long-format attribution report: one row per (model, campaign) —
+    model ∈ ('first', 'last') — with conversion count and decimal-exact
+    attributed revenue; campaign NULL collects unattributed conversions
+    (no prior touch, or outside the last-touch lookback).
+
+    Equal-timestamp touch/conversion pairs credit the touch (touches
+    order before conversions at the same instant; ``order_col`` breaks
+    remaining ties) — the convention documented here so both engines
+    and both models share it.
+    """
+    camp = f"({_json_long(d, campaign_json_col, campaign_json_path)}) % {_CAMP_MOD}"
+    mic = _epoch_micros(d, time_col)
+    tol_us = tolerance_days * 86_400_000_000
+    rev = "CAST(ROUND(SUM(CAST((value) AS DECIMAL(27,6))), 4) AS DOUBLE)"
+    return f"""
+    WITH _ev AS (
+      SELECT {key_col} AS k, {time_col} AS ts, {order_col} AS oid,
+             CASE WHEN {type_col} = '{convert_type}' THEN 1 ELSE 0 END AS is_conv,
+             CASE WHEN {type_col} = '{touch_type}'
+                  THEN ({mic}) * {_CAMP_MOD} + ({camp}) END AS enc,
+             CASE WHEN {type_col} = '{convert_type}' THEN {value_col} END AS value
+      FROM {table}
+      WHERE {type_col} IN ('{touch_type}', '{convert_type}')
+    ),
+    _run AS (
+      SELECT k, ts, oid, is_conv, value,
+             MAX(enc) OVER w AS last_enc,
+             MIN(enc) OVER w AS first_enc
+      FROM _ev
+      WINDOW w AS (
+        PARTITION BY k ORDER BY ts, is_conv, oid
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      )
+    ),
+    _conv AS (
+      SELECT value,
+             CASE WHEN last_enc IS NOT NULL
+                   AND ({_epoch_micros(d, "ts")}) - {_intdiv(d, "last_enc", _CAMP_MOD)} <= {tol_us}
+                  THEN CAST(last_enc % {_CAMP_MOD} AS INT) END AS last_campaign,
+             CAST(first_enc % {_CAMP_MOD} AS INT) AS first_campaign
+      FROM _run WHERE is_conv = 1
+    )
+    SELECT 'last' AS model, last_campaign AS campaign,
+           COUNT(*) AS n_conversions, {rev} AS revenue
+    FROM _conv GROUP BY last_campaign
+    UNION ALL
+    SELECT 'first' AS model, first_campaign AS campaign,
+           COUNT(*) AS n_conversions, {rev} AS revenue
+    FROM _conv GROUP BY first_campaign
+    ORDER BY model, campaign
+    """
+
+
+def attribution(
+    df: DataFrame,
+    *,
+    key_col: str,
+    time_col: str,
+    order_col: str,
+    type_col: str,
+    touch_type: str,
+    convert_type: str,
+    value_col: str,
+    campaign_json_col: str,
+    campaign_json_path: str = "$.k",
+    tolerance_days: int = 3,
+) -> DataFrame:
+    for c in (key_col, time_col, order_col, type_col, value_col, campaign_json_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    view = "_ts_attr_in"
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(
+        attribution_sql(
+            SPARK, view,
+            key_col=key_col, time_col=time_col, order_col=order_col,
+            type_col=type_col, touch_type=touch_type, convert_type=convert_type,
+            value_col=value_col, campaign_json_col=campaign_json_col,
+            campaign_json_path=campaign_json_path, tolerance_days=tolerance_days,
+        )
+    )

@@ -7209,6 +7209,43 @@ def streaming_bloom_screen_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.option("recursiveFileLookup", "true").parquet(results)
 
 
+
+# --------------------------------------------------------------------------
+# Marketing attribution (operators/attribution.py) — SURVEY §2.5 r9
+# --------------------------------------------------------------------------
+
+
+def _attribution_oracle() -> str:
+    from .operators.attribution import attribution_sql
+
+    return attribution_sql(
+        DUCK, "events",
+        key_col="user_id", time_col="ts", order_col="event_id",
+        type_col="event_type", touch_type="click", convert_type="purchase",
+        value_col="value", campaign_json_col="props", tolerance_days=3,
+    )
+
+
+@register("attribution_revenue_events", oracle=_attribution_oracle())
+def attribution_revenue_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch and last-touch revenue attribution in ONE window
+    pass: each click encodes (micros, campaign-from-props) into a
+    BIGINT; running MAX/MIN over the user timeline decode to the
+    last/first touch at every purchase (MAX/MIN skip NULLs on both
+    engines — no IGNORE NULLS dialect risk), with a 3-day last-touch
+    lookback and decimal-exact revenue sums per campaign.  One shuffle
+    on user, one on campaign (operators/attribution.py)."""
+    from .operators.attribution import attribution
+
+    events = load_table(spark, "events", sf_dir)
+    return attribution(
+        events,
+        key_col="user_id", time_col="ts", order_col="event_id",
+        type_col="event_type", touch_type="click", convert_type="purchase",
+        value_col="value", campaign_json_col="props", tolerance_days=3,
+    )
+
+
 def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
     """Every registry callable must work on a session the engine didn't
     build (the external harness's bare SparkSession) — set the runtime
