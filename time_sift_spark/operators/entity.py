@@ -72,6 +72,51 @@ def entity_match_sql(
     """
 
 
+def _snm_stage_sql(
+    d: Dialect,
+    table: str,
+    id_col: str,
+    name_col: str,
+    *,
+    block_expr: str,
+    window: int,
+) -> str:
+    """The sort-and-LEAD stage: one window over (block, name) producing
+    each record plus its next ``window`` neighbors as columns."""
+    leads = ", ".join(
+        f"LEAD(rid, {i}) OVER w AS _nid{i}, LEAD(rname, {i}) OVER w AS _nn{i}"
+        for i in range(1, window + 1)
+    )
+    return f"""
+    SELECT rid, rname, {leads}
+    FROM (
+      SELECT {id_col} AS rid, {name_col} AS rname, {block_expr} AS _blk
+      FROM {table}
+    ) _snb
+    WINDOW w AS (PARTITION BY _blk ORDER BY rname, rid)
+    """
+
+
+def _snm_tail_sql(sn_table: str, *, window: int, max_distance: int) -> str:
+    """Neighbor-arm unfold + levenshtein verify over a staged LEAD
+    relation — dialect-neutral text, shared VERBATIM by the one-
+    statement oracle and the staged Spark path."""
+    arms = " UNION ALL ".join(
+        f"SELECT rid, rname, _nid{i} AS nid, _nn{i} AS nn FROM {sn_table}"
+        for i in range(1, window + 1)
+    )
+    return f"""
+    WITH _cand AS ({arms})
+    SELECT LEAST(rid, nid) AS id_a, GREATEST(rid, nid) AS id_b,
+           CASE WHEN rid < nid THEN rname ELSE nn END AS name_a,
+           CASE WHEN rid < nid THEN nn ELSE rname END AS name_b,
+           levenshtein(rname, nn) AS distance
+    FROM _cand
+    WHERE nid IS NOT NULL AND levenshtein(rname, nn) <= {max_distance}
+    ORDER BY id_a, id_b
+    """
+
+
 def sorted_neighborhood_sql(
     d: Dialect,
     table: str,
@@ -89,34 +134,20 @@ def sorted_neighborhood_sql(
     distributed).  Catches pairs whose fine blocking key a trailing-edit
     typo broke, because lexicographically-adjacent names stay adjacent.
     Output: (id_a, id_b, name_a, name_b, distance), id-ordered pairs.
+
+    NOTE: this one-statement form is the ORACLE text; the DataFrame
+    front door stages the window once (Spark inlines each union arm's
+    CTE reference, which would recompute the sort ``window``× — the
+    pagerank unrolled-plan lesson).
     """
-    leads = ", ".join(
-        f"LEAD(rid, {i}) OVER w AS _nid{i}, LEAD(rname, {i}) OVER w AS _nn{i}"
-        for i in range(1, window + 1)
+    stage = _snm_stage_sql(
+        d, table, id_col, name_col, block_expr=block_expr, window=window
     )
-    arms = " UNION ALL ".join(
-        f"SELECT rid, rname, _nid{i} AS nid, _nn{i} AS nn FROM _sn"
-        for i in range(1, window + 1)
+    tail = _snm_tail_sql("_sn", window=window, max_distance=max_distance)
+    # splice the staged relation in as the tail's leading CTE
+    return tail.replace(
+        "WITH _cand AS (", f"WITH _sn AS ({stage}),\n    _cand AS (", 1
     )
-    return f"""
-    WITH _snb AS (
-      SELECT {id_col} AS rid, {name_col} AS rname, {block_expr} AS _blk
-      FROM {table}
-    ),
-    _sn AS (
-      SELECT rid, rname, {leads}
-      FROM _snb
-      WINDOW w AS (PARTITION BY _blk ORDER BY rname, rid)
-    ),
-    _cand AS ({arms})
-    SELECT LEAST(rid, nid) AS id_a, GREATEST(rid, nid) AS id_b,
-           CASE WHEN rid < nid THEN rname ELSE nn END AS name_a,
-           CASE WHEN rid < nid THEN nn ELSE rname END AS name_b,
-           levenshtein(rname, nn) AS distance
-    FROM _cand
-    WHERE nid IS NOT NULL AND levenshtein(rname, nn) <= {max_distance}
-    ORDER BY id_a, id_b
-    """
 
 
 _VIEW_SEQ = [0]
@@ -155,10 +186,24 @@ def sorted_neighborhood(
     window: int = 3,
     max_distance: int = 2,
 ) -> DataFrame:
+    """Staged execution: the sort-and-LEAD window materializes ONCE
+    (localCheckpoint, lazy) and the union arms read the staged frame —
+    Spark would otherwise inline the window CTE into every arm and
+    recompute the sort ``window`` times.  The tail text is shared
+    verbatim with the one-statement oracle form."""
     for c in (id_col, name_col):
         if c not in df.columns:
             raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
-    return _run(
-        df, sorted_neighborhood_sql, id_col, name_col,
-        block_expr=block_expr, window=window, max_distance=max_distance,
-    )
+    _VIEW_SEQ[0] += 1
+    view = f"_ts_er_in_{_VIEW_SEQ[0]}"
+    df.createOrReplaceTempView(view)
+    spark = df.sparkSession
+    sn = spark.sql(
+        _snm_stage_sql(
+            SPARK, view, id_col, name_col, block_expr=block_expr, window=window
+        )
+    ).localCheckpoint(eager=False)
+    _VIEW_SEQ[0] += 1
+    sn_view = f"_ts_er_sn_{_VIEW_SEQ[0]}"
+    sn.createOrReplaceTempView(sn_view)
+    return spark.sql(_snm_tail_sql(sn_view, window=window, max_distance=max_distance))

@@ -7049,17 +7049,16 @@ def sorted_neighborhood_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     global un-partitioned sort.  Catches the trailing-edit twins whose
     suffix block the typo broke; complementary to entity_match_customer
     by construction."""
-    from .functions.text_fns import SPARK as _S
-
-    from .operators.entity import sorted_neighborhood_sql
+    from .operators.entity import sorted_neighborhood
 
     cust = load_table(spark, "customer", sf_dir)
     cust.createOrReplaceTempView("customer")
-    return spark.sql(
-        sorted_neighborhood_sql(
-            _S, _ER_CUSTOMERS, "cid", "name",
-            block_expr="substr(name, 1, length(name) - 2)", window=3, max_distance=2,
-        )
+    # staged path: the sort-and-LEAD window materializes once; the
+    # one-statement builder remains the oracle (tail text shared verbatim)
+    dirty = spark.sql(f"SELECT * FROM {_ER_CUSTOMERS} _er0")
+    return sorted_neighborhood(
+        dirty, "cid", "name",
+        block_expr="substr(name, 1, length(name) - 2)", window=3, max_distance=2,
     )
 
 
