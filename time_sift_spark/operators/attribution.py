@@ -52,6 +52,73 @@ def _intdiv(d: Dialect, num: str, den: int) -> str:
     return f"({num} div {den})" if d.name == "spark" else f"({num} // {den})"
 
 
+def _attr_stage_sql(
+    d: Dialect,
+    table: str,
+    *,
+    key_col: str,
+    time_col: str,
+    order_col: str,
+    type_col: str,
+    touch_type: str,
+    convert_type: str,
+    value_col: str,
+    campaign_json_col: str,
+    campaign_json_path: str,
+    tolerance_days: int,
+) -> str:
+    """Per-conversion stage: (value, last_campaign, first_campaign) —
+    one window pass; shared by the one-statement oracle and the staged
+    DataFrame path (which materializes it once: Spark inlines the CTE
+    into BOTH model arms, recomputing the timeline window twice)."""
+    camp = f"({_json_long(d, campaign_json_col, campaign_json_path)}) % {_CAMP_MOD}"
+    mic = _epoch_micros(d, time_col)
+    tol_us = tolerance_days * 86_400_000_000
+    return f"""
+    SELECT value,
+           CASE WHEN last_enc IS NOT NULL
+                 AND ({_epoch_micros(d, "ts")}) - {_intdiv(d, "last_enc", _CAMP_MOD)} <= {tol_us}
+                THEN CAST(last_enc % {_CAMP_MOD} AS INT) END AS last_campaign,
+           CAST(first_enc % {_CAMP_MOD} AS INT) AS first_campaign
+    FROM (
+      SELECT k, ts, oid, is_conv, value,
+             MAX(enc) OVER w AS last_enc,
+             MIN(enc) OVER w AS first_enc
+      FROM (
+        SELECT {key_col} AS k, {time_col} AS ts, {order_col} AS oid,
+               CASE WHEN {type_col} = '{convert_type}' THEN 1 ELSE 0 END AS is_conv,
+               CASE WHEN {type_col} = '{touch_type}'
+                    THEN ({mic}) * {_CAMP_MOD} + ({camp}) END AS enc,
+               CASE WHEN {type_col} = '{convert_type}' THEN {value_col} END AS value
+        FROM {table}
+        WHERE {type_col} IN ('{touch_type}', '{convert_type}')
+      ) _ev
+      WINDOW w AS (
+        PARTITION BY k ORDER BY ts, is_conv, oid
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      )
+    ) _run
+    WHERE is_conv = 1
+    """
+
+
+def _attr_tail_sql(conv_table: str) -> str:
+    """The two model aggregation arms over a staged per-conversion
+    relation — dialect-neutral, shared verbatim by oracle and staged
+    paths."""
+    rev = "CAST(ROUND(SUM(CAST((value) AS DECIMAL(27,6))), 4) AS DOUBLE)"
+    return f"""
+    SELECT 'last' AS model, last_campaign AS campaign,
+           COUNT(*) AS n_conversions, {rev} AS revenue
+    FROM {conv_table} GROUP BY last_campaign
+    UNION ALL
+    SELECT 'first' AS model, first_campaign AS campaign,
+           COUNT(*) AS n_conversions, {rev} AS revenue
+    FROM {conv_table} GROUP BY first_campaign
+    ORDER BY model, campaign
+    """
+
+
 def attribution_sql(
     d: Dialect,
     table: str,
@@ -75,49 +142,17 @@ def attribution_sql(
     Equal-timestamp touch/conversion pairs credit the touch (touches
     order before conversions at the same instant; ``order_col`` breaks
     remaining ties) — the convention documented here so both engines
-    and both models share it.
+    and both models share it.  This one-statement form is the ORACLE;
+    the DataFrame front door stages the window once.
     """
-    camp = f"({_json_long(d, campaign_json_col, campaign_json_path)}) % {_CAMP_MOD}"
-    mic = _epoch_micros(d, time_col)
-    tol_us = tolerance_days * 86_400_000_000
-    rev = "CAST(ROUND(SUM(CAST((value) AS DECIMAL(27,6))), 4) AS DOUBLE)"
-    return f"""
-    WITH _ev AS (
-      SELECT {key_col} AS k, {time_col} AS ts, {order_col} AS oid,
-             CASE WHEN {type_col} = '{convert_type}' THEN 1 ELSE 0 END AS is_conv,
-             CASE WHEN {type_col} = '{touch_type}'
-                  THEN ({mic}) * {_CAMP_MOD} + ({camp}) END AS enc,
-             CASE WHEN {type_col} = '{convert_type}' THEN {value_col} END AS value
-      FROM {table}
-      WHERE {type_col} IN ('{touch_type}', '{convert_type}')
-    ),
-    _run AS (
-      SELECT k, ts, oid, is_conv, value,
-             MAX(enc) OVER w AS last_enc,
-             MIN(enc) OVER w AS first_enc
-      FROM _ev
-      WINDOW w AS (
-        PARTITION BY k ORDER BY ts, is_conv, oid
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-      )
-    ),
-    _conv AS (
-      SELECT value,
-             CASE WHEN last_enc IS NOT NULL
-                   AND ({_epoch_micros(d, "ts")}) - {_intdiv(d, "last_enc", _CAMP_MOD)} <= {tol_us}
-                  THEN CAST(last_enc % {_CAMP_MOD} AS INT) END AS last_campaign,
-             CAST(first_enc % {_CAMP_MOD} AS INT) AS first_campaign
-      FROM _run WHERE is_conv = 1
+    stage = _attr_stage_sql(
+        d, table,
+        key_col=key_col, time_col=time_col, order_col=order_col,
+        type_col=type_col, touch_type=touch_type, convert_type=convert_type,
+        value_col=value_col, campaign_json_col=campaign_json_col,
+        campaign_json_path=campaign_json_path, tolerance_days=tolerance_days,
     )
-    SELECT 'last' AS model, last_campaign AS campaign,
-           COUNT(*) AS n_conversions, {rev} AS revenue
-    FROM _conv GROUP BY last_campaign
-    UNION ALL
-    SELECT 'first' AS model, first_campaign AS campaign,
-           COUNT(*) AS n_conversions, {rev} AS revenue
-    FROM _conv GROUP BY first_campaign
-    ORDER BY model, campaign
-    """
+    return f"WITH _conv AS ({stage})\n" + _attr_tail_sql("_conv")
 
 
 def attribution(
@@ -134,17 +169,25 @@ def attribution(
     campaign_json_path: str = "$.k",
     tolerance_days: int = 3,
 ) -> DataFrame:
+    """Staged execution: the per-conversion window stage materializes
+    ONCE (lazy localCheckpoint) and both model arms aggregate the
+    staged frame — the one-statement form (kept as the oracle) inlines
+    the stage CTE into each arm, recomputing the timeline window twice.
+    Tail text shared verbatim, so staged ≡ one-statement."""
     for c in (key_col, time_col, order_col, type_col, value_col, campaign_json_col):
         if c not in df.columns:
             raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    spark = df.sparkSession
     view = "_ts_attr_in"
     df.createOrReplaceTempView(view)
-    return df.sparkSession.sql(
-        attribution_sql(
+    conv = spark.sql(
+        _attr_stage_sql(
             SPARK, view,
             key_col=key_col, time_col=time_col, order_col=order_col,
             type_col=type_col, touch_type=touch_type, convert_type=convert_type,
             value_col=value_col, campaign_json_col=campaign_json_col,
             campaign_json_path=campaign_json_path, tolerance_days=tolerance_days,
         )
-    )
+    ).localCheckpoint(eager=False)
+    conv.createOrReplaceTempView("_ts_attr_conv")
+    return spark.sql(_attr_tail_sql("_ts_attr_conv"))

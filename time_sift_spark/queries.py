@@ -7276,42 +7276,85 @@ def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
 # --------------------------------------------------------------------------
 
 GRADE_PRIORITY: list[str] = [
-    # -- NEW in r8 -> grade first --
-    "dedup_incremental_fuzzy_docs",    # new: persisted-MinHash crawl screen
-    "streaming_dedup_fuzzy_docs",      # new: the store as live stream state
-    "ann_ivf_refined_persisted_topk",  # new: train-once refined IVF serve
-    "pq_persisted_topk",               # new: train-once PQ serve
-    "semantic_dedup_persisted_docs",   # new: SemDeDup from stored cells
-    "hard_negatives_ann_topk",         # new: multiprobe-shortlist mining
-    "line_dedup_docs",                 # new: CCNet line-level dedup
-    "quality_score_docs",              # new: hashed-bigram NB classifier
-    "tpch_q7_volume_shipping",         # new: nation-pair flows, 1 fact shuffle
-    "tpch_q12_ship_priority",          # new: fact-fact conditional counts
-    "tpch_q19_discounted_revenue",     # new: disjunctive mixed-side predicate
-    "ivfpq_topk",                      # new: composed IVF-PQ ANN layout
-    "ivfpq_persisted_topk",            # new: its train-once serve twin
-    "dsir_resample_docs",              # new: DSIR acceptance sampler
-    "decontaminate_fuzzy_docs",        # new: MinHash eval-leak screen
-    "streaming_enrich_events",         # new: stream-static feature serving
-    "tpch_q13_customer_distribution",  # new: outer-join zero-bucket dist
-    "tpch_q17_small_quantity_revenue", # new: decorrelated agg subquery
-    "tpch_q8_market_share",            # new: conditional-agg ratio star
-    "tpch_q11_important_stock",        # new: global-fraction threshold
-    "tpch_q15_top_supplier",           # new: revenue-view argmax join
-    "tpch_q2_min_cost_supplier",       # new: correlated-min decorrelation
-    "tpch_q9_product_type_profit",     # new: profit star, broadcast pruning
-    "tpch_q20_dominant_supplier",      # new: two-level fraction semi-join
-    "tpch_q21_waiting_supplier",       # new: EXISTS pair via one window
-    "tpch_q22_global_sales_opportunity",  # new: scalar threshold + anti-join
-    "cluster_balanced_sample_embeddings",  # new: cap-per-cell diversity subset
-    "group_split_docs",                # new: group-held-out leakage guard
-    "quality_score_persisted_docs",    # new: train-once classifier serve
-    "streaming_countmin_users",        # new: bounded-state sketch merge online
-    "dedup_incremental_docs",          # new: persisted-fingerprint crawl screen
-    "pipeline_pretraining_manifest",   # new: full curation line, one plan
-    # -- CHANGED in r8 (round-before-quantize in Lloyd/ADC, contract
-    #    COALESCE, blas id-type, soft-dedup broadcast un-forced, prefix
-    #    localCheckpoint, multiprobe CTE factor-out) -> re-grade --
+    # -- NEW in r9 -> grade first --
+    "url_normalize_docs",
+    "domain_cap_sample_docs",
+    "pagerank_docs",
+    "bloom_screen_docs",
+    "bloom_screen_persisted_docs",
+    "streaming_bloom_screen_docs",
+    "hll_distinct_users_by_type",
+    "hll_rollup_weekly",
+    "sequence_mining_events",
+    "zorder_layout_events",
+    "entity_match_customer",
+    "sorted_neighborhood_customer",
+    "attribution_revenue_events",
+    # -- changed in r9 (fuzzy-screen id fix, sink idempotence, builder rebuild markers) --
+    "dedup_incremental_fuzzy_docs",
+    "streaming_dedup_fuzzy_docs",
+    "dedup_incremental_docs",
+    "ann_lsh_persisted_topk",
+    "ann_ivf_persisted_topk",
+    "ann_ivf_refined_persisted_topk",
+    "pq_persisted_topk",
+    "ivfpq_persisted_topk",
+    "semantic_dedup_persisted_docs",
+    "quality_score_persisted_docs",
+    "bm25_persisted_topk",
+    # -- staleness rotation: oldest-driver-graded first (r4/r5 vintage) --
+    "asof_join_purchases_bcast",  # last graded r2
+    "blob_metadata_docs",  # last graded r2
+    "decode_image_stub_docs",  # last graded r2
+    "extract_features_docs",  # last graded r2
+    "signup_users_no_purchase",  # last graded r2
+    "topk_orders_per_customer",  # last graded r2
+    "ann_ivf_topk",  # last graded r4
+    "dedup_exact_docs",  # last graded r4
+    "embedding_neardup_blas",  # last graded r4
+    "fingerprint_docs",  # last graded r4
+    "gap_fill_daily_events",  # last graded r4
+    "knn_cosine_topk",  # last graded r4
+    "langid_docs",  # last graded r4
+    "latest_event_per_user",  # last graded r4
+    "lsh_verified_neardup_docs",  # last graded r4
+    "minhash_lsh_pairs_docs",  # last graded r4
+    "minhash_sigs_docs",  # last graded r4
+    "ngram_jaccard_docs",  # last graded r4
+    "stratified_sample_events",  # last graded r4
+    "text_stats_docs",  # last graded r4
+    "asof_join_next_purchase",  # last graded r5
+    "bucketed_join_revenue",  # last graded r5
+    "class_capped_sample_events",  # last graded r5
+    "corr_quantity_price",  # last graded r5
+    "csv_roundtrip_orders",  # last graded r5
+    # -- flagship pinned at slot 50 --
+    "lag_events_wide",
+    # -- tail: outside the 50-slot window this round --
+    "hard_negatives_ann_topk",
+    "line_dedup_docs",
+    "quality_score_docs",
+    "tpch_q7_volume_shipping",
+    "tpch_q12_ship_priority",
+    "tpch_q19_discounted_revenue",
+    "ivfpq_topk",
+    "dsir_resample_docs",
+    "decontaminate_fuzzy_docs",
+    "streaming_enrich_events",
+    "tpch_q13_customer_distribution",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q8_market_share",
+    "tpch_q11_important_stock",
+    "tpch_q15_top_supplier",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "tpch_q20_dominant_supplier",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_global_sales_opportunity",
+    "cluster_balanced_sample_embeddings",
+    "group_split_docs",
+    "streaming_countmin_users",
+    "pipeline_pretraining_manifest",
     "pq_adc_topk",
     "ann_ivf_refined_topk",
     "ann_lsh_multiprobe_topk",
@@ -7323,40 +7366,12 @@ GRADE_PRIORITY: list[str] = [
     "shuffle_rank_docs",
     "concurrency_sweep_events",
     "hard_negatives_topk",
-    # -- r2-stale backlog (last driver-graded in round 2; locally
-    #    parity-green every suite run) -> rotate back into the window --
     "lag_lineitem_price",
     "lead_events",
     "lag_sugar_shape_orders",
     "interop_roundtrip_events",
     "simhash_docs",
     "embedding_neardup",
-    # -- oldest r5 block: the flagship fills slot 50 --
-    "lag_events_wide",
-    # ---- grading window ends here (first 50 of the above) ----
-    "topk_orders_per_customer",  # displaced by the late fuzzy-screen adds
-    "signup_users_no_purchase",  # displaced by the late fuzzy-screen add
-    "asof_join_purchases_bcast",
-    "blob_metadata_docs",
-    "decode_image_stub_docs",
-    "extract_features_docs",
-    # -- r4-stale backlog (rotated out again by the late-r8 additions;
-    #    locally parity-green every suite run) --
-    "knn_cosine_topk",
-    "ann_ivf_topk",
-    "embedding_neardup_blas",
-    "dedup_exact_docs",
-    "ngram_jaccard_docs",
-    "minhash_sigs_docs",
-    "minhash_lsh_pairs_docs",
-    "lsh_verified_neardup_docs",
-    "fingerprint_docs",
-    "text_stats_docs",
-    "langid_docs",
-    "gap_fill_daily_events",
-    "latest_event_per_user",
-    "stratified_sample_events",
-    # -- r5-graded remainder --
     "lag_events_fill_inf",
     "lag_events_long_unordered",
     "lag_global_hourly",
@@ -7372,16 +7387,12 @@ GRADE_PRIORITY: list[str] = [
     "series_arrays_events",
     "tpch_q3_shipping_priority",
     "orc_roundtrip_nation",
-    "asof_join_next_purchase",
     "value_deciles_events",
-    "class_capped_sample_events",
-    "bucketed_join_revenue",
     "json_props_stats",
     "lsh_neardup_capped_docs",
     "quantiles_by_type",
     "value_histogram",
     "zscore_events",
-    "corr_quantity_price",
     "pivot_qty_by_status",
     "unpivot_lineitem_metrics",
     "cube_counts_flag_status",
@@ -7389,7 +7400,6 @@ GRADE_PRIORITY: list[str] = [
     "sql_shared_text",
     "rolling_events",
     "resample_events_hourly",
-    "csv_roundtrip_orders",
     "json_roundtrip_events",
     "tpch_q1_pricing_summary",
     "revenue_by_nation",
@@ -7401,8 +7411,6 @@ GRADE_PRIORITY: list[str] = [
     "streaming_session_windows",
     "streaming_windowed_counts",
     "stream_stream_join",
-    "ann_ivf_persisted_topk",
-    # -- r6-graded block --
     "salted_join_priority_revenue",
     "mixture_resample_docs",
     "streaming_hopping_counts",
@@ -7444,19 +7452,16 @@ GRADE_PRIORITY: list[str] = [
     "streaming_lag_steady_state",
     "ewma_events",
     "ewma_horizon_events",
-    # -- r7-graded block (freshest; fills the tail) --
     "asof_join_purchases",
     "asof_join_nearest_purchase",
     "asof_join_purchases_tolerance",
     "asof_interpolate_purchase",
     "scd2_user_event_type",
     "bm25_topk_docs",
-    "bm25_persisted_topk",
     "bm25_topk_capped_docs",
     "quantile_sketch_by_type",
     "quantile_sketch_auto_by_type",
     "ann_lsh_topk",
-    "ann_lsh_persisted_topk",
     "resize_image_docs",
     "sample_frames_docs",
     "resize_image_real_docs",

@@ -96,6 +96,18 @@ SHOWCASE = {
     "quality_score_persisted_docs": "Train-once classifier serve: the scored frame pays only its own feature explode; the persisted integer-count weight relation (<= n_buckets rows by the hashing trick) broadcasts; NO training subtree (no is_t filter, no weight aggregation) in the plan.",
     "dedup_incremental_docs": "Incremental crawl screen: the increment pays one within-batch partial-agg groupBy + an anti-join against the STORED fingerprint table - the corpus (fingerprinted once at build) is never re-scanned; increment cost is O(increment), not O(corpus).",
     "pipeline_pretraining_manifest": "The full curation line fused into one job: dedup is ONE window exchange (not groupBy + join-back), the quality gate a codegen'd projection with text carried through, the contamination screen an equi-join on broadcast gram hashes whose tiny hit set anti-joins back broadcast, split assignment a pure projection (13 -> 6 exchanges vs the naive join-per-stage composition).",
+    "url_normalize_docs": "URL canonicalization: pure string/array projection pipelined into the scan; the ONE exchange is the url_norm spelling-count window - normalization itself is shuffle-free.",
+    "domain_cap_sample_docs": "Per-domain cap: two window ranks (url_norm spelling dedup, then the registered-domain cap), both rank filters compile to WindowGroupLimit so each partition forwards <= cap rows per key to its exchange.",
+    "pagerank_docs": "Iterative PageRank: the visible plan is a checkpoint read - edges/deg/nodes materialized once and each iteration ran as a constant-size join->decimal-sum->left-join job (the unrolled oracle statement would inline the edge CTEs: 209 exchanges measured; the iterative path replaces that with per-iteration jobs).",
+    "bloom_screen_docs": "Bloom pre-screen: the corpus collapses to <= min(m, k*n) position rows (DISTINCT after a k-way unnest) that BROADCAST into the probe join; flags aggregate per doc; the exact-truth audit join reuses the same broadcast shape.",
+    "bloom_screen_persisted_docs": "Persisted Bloom serving: the bits relation is a parquet read (no corpus hashing subtree) broadcast into the increment's probe join - the build paid the k*n hashing once.",
+    "hll_distinct_users_by_type": "HyperLogLog: the (group, register) MAX(rho) layer partial-aggregates each partition to <= m rows before its exchange; the estimate is a literal-array lookup + one IEEE division - no transcendental, no second scan of user_id.",
+    "hll_rollup_weekly": "HLL mergeability: daily (day, register) MAX states re-MAX into weekly registers - user_id is never rescanned above the daily layer; MAX is associative+idempotent so merged == direct (asserted in tests).",
+    "sequence_mining_events": "Sequence mining: ONE user-partition window builds all LEAD n-gram columns, then the pattern count partial-aggregates; COUNT(DISTINCT user) expands inside the same aggregation - two logical exchanges plus the distinct expand, never a self-join.",
+    "zorder_layout_events": "Z-order audit: the Morton key is per-row integer shift/mod arithmetic in one codegen span; min/max bounds arrive as a 1-row broadcast; the one data shuffle is the block-id aggregation (the SinglePartition exchange below is the final ORDER BY over the <= 2^10 aggregated block rows, not data).",
+    "entity_match_customer": "Blocked record linkage: ONE equi-join on the name-suffix blocking key (never all-pairs), levenshtein evaluated per candidate pair as the join residual.",
+    "sorted_neighborhood_customer": "Sorted-neighborhood linkage: the per-block sort-and-LEAD window is STAGED once (checkpoint read in this plan) and the neighbor arms union over the staged frame - the one-statement form would recompute the window per arm (3 windows / 9 scans measured).",
+    "attribution_revenue_events": "Attribution: the per-conversion window stage is materialized ONCE (checkpoint read in this plan - the one-statement oracle would recompute the timeline window per model arm); both model aggregations are bounded-key exchanges with decimal-exact revenue.",
     "dedup_incremental_fuzzy_docs": "Incremental FUZZY crawl screen: only the increment is tokenized/shingled/MinHash-signed (one groupBy exchange); the corpus arrives as STORED band + shingle-set parquet scans, candidates via the band-key equi-join, exact-Jaccard verify touches only candidate rows - the corpus is never re-signed, so increment cost is O(increment + candidates).",
 }
 
