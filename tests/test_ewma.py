@@ -255,3 +255,68 @@ def test_ewma_horizon_null_values_skipped_cross_engine(spark):
     assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), (a, b)
     # key 2 is all-null: every row must be NULL, not 0.0 or an error
     assert np.isnan(a[6:]).all()
+
+
+def test_brown_scan_matches_scalar_recurrence(spark):
+    """brown_scan vs an explicit per-key scalar Brown recurrence —
+    bit-exact (the cross-engine contract the oracle relies on)."""
+    from time_sift_spark.operators.ewma import brown_scan
+
+    rng = np.random.RandomState(11)
+    pdf = pd.DataFrame(
+        {
+            "k": np.repeat([1, 2, 3], 40),
+            "t": np.tile(np.arange(40, dtype="int64"), 3),
+            "v": rng.randn(120) * 10.0,
+        }
+    )
+    a = 0.3
+    out = (
+        brown_scan(spark.createDataFrame(pdf), "v", "t", a, partition_by="k")
+        .orderBy("k", "t")
+        .toPandas()
+    )
+    coef = np.float64(a) / (np.float64(1.0) - np.float64(a))
+    for k in (1, 2, 3):
+        sub = pdf[pdf.k == k].sort_values("t")
+        got = out[out.k == k]
+        s1 = s2 = None
+        exp_l, exp_t, exp_f = [], [], []
+        for x in sub.v.to_numpy():
+            if s1 is None:
+                s1, s2 = np.float64(x), np.float64(x)
+            else:
+                # same IEEE op order as pandas' adjust=False kernel
+                s1 = (np.float64(1.0) - np.float64(a)) * s1 + np.float64(a) * np.float64(x)
+                s2 = (np.float64(1.0) - np.float64(a)) * s2 + np.float64(a) * s1
+            lev = np.float64(2.0) * s1 - s2
+            tr = coef * (s1 - s2)
+            exp_l.append(lev)
+            exp_t.append(tr)
+            exp_f.append(lev + tr)
+        assert got.v_level.to_numpy().tolist() == exp_l
+        assert got.v_trend.to_numpy().tolist() == exp_t
+        assert got.v_fcst.to_numpy().tolist() == exp_f
+
+
+def test_brown_scan_trend_tracks_linear_ramp(spark):
+    """On a noiseless linear ramp the Brown trend estimate converges to
+    the true slope and the one-step forecast to the next value."""
+    from time_sift_spark.operators.ewma import brown_scan
+
+    slope = 2.5
+    pdf = pd.DataFrame(
+        {
+            "k": np.zeros(200, dtype="int64"),
+            "t": np.arange(200, dtype="int64"),
+            "v": slope * np.arange(200, dtype="float64") + 7.0,
+        }
+    )
+    out = (
+        brown_scan(spark.createDataFrame(pdf), "v", "t", 0.3, partition_by="k")
+        .orderBy("t")
+        .toPandas()
+    )
+    tail = out.iloc[-1]
+    assert abs(tail.v_trend - slope) < 1e-6
+    assert abs(tail.v_fcst - (slope * 200 + 7.0)) < 1e-5

@@ -134,6 +134,108 @@ def ewma_scan(
     return parted.mapInPandas(_scan, schema)
 
 
+def brown_scan(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    alpha: float,
+    *,
+    partition_by: str | Sequence[str],
+    order_extra: Sequence[str] = (),
+) -> DataFrame:
+    """Brown double exponential smoothing per series — level, trend and
+    one-step forecast from TWO chained adjust=False EWMAs (Brown 1959;
+    the single-parameter linear-trend member of the Holt family):
+
+        s1_t = α·x_t  + (1−α)·s1_{t−1}
+        s2_t = α·s1_t + (1−α)·s2_{t−1}
+        level_t    = 2·s1_t − s2_t
+        trend_t    = (α/(1−α))·(s1_t − s2_t)
+        forecast_t = level_t + trend_t          (x̂_{t+1})
+
+    Because both recurrences are plain EWMAs, the whole operator is two
+    vectorized cython ``groupby().ewm()`` passes inside ONE mapInPandas
+    partition scan — no Python row loop — reusing :func:`ewma_scan`'s
+    strategy (hash-repartition + sort once, stream Arrow batches, hold
+    back the in-progress key).  Holt's two-parameter form needs a
+    genuinely scalar loop per row; Brown's buys the trend component at
+    EWMA cost, which is why it is the production path here.
+
+    Bit-exactness contract (the driver's value-hash gate): pandas'
+    adjust=False kernel evaluates fl(fl((1−α)·y) + fl(α·x)) and divides
+    by (1−α)+α == 1.0 exactly for α=0.3 (verified — see
+    queries.ewma_events); the second pass feeds s1 through the same
+    kernel, and the derived columns are elementwise IEEE ops in the SAME
+    order as the paired recursive-CTE oracle (2·s1−s2; the α/(1−α)
+    constant is written as the division 0.3/(1−0.3) on BOTH sides — its
+    fl differs from literal 0.428…, and fl(1−0.3) differs from literal
+    0.7, so neither is ever spelled as a folded constant).
+
+    Scale: identical posture to ewma_scan — one shuffle on the series
+    key, per-key rows bounded by the series-locality assumption the
+    reference makes globally (src/lib.rs:487-488).  Not-null input for
+    oracle-grade parity (pandas carries over NaN where SQL propagates
+    NULL).
+    """
+    import numpy as np
+
+    partition_by, sort_cols, _, in_cols, _ = _prep(
+        df, value_col, time_col, alpha, partition_by, order_extra
+    )
+    l_name = f"{value_col}_level"
+    t_name = f"{value_col}_trend"
+    f_name = f"{value_col}_fcst"
+    schema = ", ".join(
+        [f"`{c}` {dict(df.dtypes)[c]}" for c in in_cols]
+        + [f"`{c}` double" for c in (l_name, t_name, f_name)]
+    )
+    a = np.float64(alpha)
+    coef = a / (np.float64(1.0) - a)  # fl(α/(1−α)) — same division as the oracle
+
+    def _compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Rows arrive key-contiguous and time-sorted, so group-major ewm
+        # output order == row order (the ewma_scan invariant).
+        g = pdf.groupby(partition_by, sort=False, dropna=False)
+        s1 = g[value_col].ewm(alpha=alpha, adjust=False).mean().to_numpy()
+        pdf = pdf.copy()
+        pdf["_s1"] = s1
+        s2 = (
+            pdf.groupby(partition_by, sort=False, dropna=False)["_s1"]
+            .ewm(alpha=alpha, adjust=False)
+            .mean()
+            .to_numpy()
+        )
+        level = np.float64(2.0) * s1 - s2
+        trend = coef * (s1 - s2)
+        pdf[l_name] = level
+        pdf[t_name] = trend
+        pdf[f_name] = level + trend
+        return pdf[in_cols + [l_name, t_name, f_name]]
+
+    def _scan(batches):
+        leftover = None
+        for pdf in batches:
+            if leftover is not None:
+                pdf = pd.concat([leftover, pdf], ignore_index=True)
+                leftover = None
+            if len(pdf) == 0:
+                continue
+            gid = pdf.groupby(partition_by, sort=False, dropna=False).ngroup()
+            done = (gid != gid.iloc[-1]).to_numpy()
+            leftover = pdf[~done]
+            if done.any():
+                yield _compute(pdf[done])
+        if leftover is not None and len(leftover):
+            yield _compute(leftover)
+
+    parted = (
+        df.select(*in_cols)
+        .repartition(*partition_by)
+        .sortWithinPartitions(*partition_by, *sort_cols)
+    )
+    return parted.mapInPandas(_scan, schema)
+
+
 def ewma_horizon(
     df,
     value_col: str,

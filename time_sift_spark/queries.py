@@ -3260,6 +3260,54 @@ def ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "brown_trend_events",
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    rec AS (
+      SELECT user_id, event_id, value, rn, value AS s1, value AS s2
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.event_id, s.value, s.rn,
+             (1 - CAST(0.3 AS DOUBLE)) * r.s1 + CAST(0.3 AS DOUBLE) * s.value AS s1,
+             (1 - CAST(0.3 AS DOUBLE)) * r.s2 + CAST(0.3 AS DOUBLE) *
+               ((1 - CAST(0.3 AS DOUBLE)) * r.s1 + CAST(0.3 AS DOUBLE) * s.value) AS s2
+      FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, value,
+           2 * s1 - s2 AS value_level,
+           (CAST(0.3 AS DOUBLE) / (1 - CAST(0.3 AS DOUBLE))) * (s1 - s2) AS value_trend,
+           (2 * s1 - s2)
+             + (CAST(0.3 AS DOUBLE) / (1 - CAST(0.3 AS DOUBLE))) * (s1 - s2) AS value_fcst
+    FROM rec
+    """,
+)
+def brown_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user level/trend/one-step-forecast via Brown double
+    exponential smoothing (two chained adjust=False EWMAs — the
+    single-parameter linear-trend member of the Holt family, vectorized
+    end-to-end; operators/ewma.brown_scan documents why Brown, not
+    two-parameter Holt, is the production form).
+
+    ORACLE: recursive CTE stepping BOTH smoothing recurrences rn → rn+1
+    per key — s2's step inlines s1's update expression so the working
+    table carries exactly (s1, s2).  Bit-exact cross-engine for the
+    verified α=0.3 kernel (see ewma_events); every derived column spells
+    the SAME IEEE op order on both sides, with α/(1−α) written as the
+    division 0.3/(1−0.3) — never the folded literal — because
+    fl(1−0.3) ≠ fl(0.7)."""
+    from .operators.ewma import brown_scan
+
+    events = load_table(spark, "events", sf_dir)
+    return brown_scan(
+        events, "value", "ts", 0.3, partition_by="user_id", order_extra=("event_id",)
+    ).select("user_id", "event_id", "value", "value_level", "value_trend", "value_fcst")
+
+
+@register(
     "zscore_events",
     oracle="""
     SELECT user_id, ts, event_id,
@@ -7277,6 +7325,7 @@ def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
 
 GRADE_PRIORITY: list[str] = [
     # -- NEW in r9 -> grade first --
+    "brown_trend_events",
     "url_normalize_docs",
     "domain_cap_sample_docs",
     "pagerank_docs",
