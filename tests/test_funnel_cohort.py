@@ -124,3 +124,53 @@ def test_sequence_ngrams_cross_engine(spark):
     con.register("_seq_t", pdf)
     exp = con.execute(q).df()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_transition_matrix_probabilities(spark):
+    """Known tiny stream: counts exact, rows-per-src probs sum to 1."""
+    import pandas as pd
+
+    from time_sift_spark.operators.funnel import transition_matrix
+
+    pdf = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 1, 2, 2, 2],
+            "t": [1, 2, 3, 4, 1, 2, 3],
+            "i": [0, 0, 0, 0, 0, 0, 0],
+            "e": ["a", "b", "a", "c", "a", "b", "b"],
+        }
+    )
+    out = (
+        transition_matrix(spark.createDataFrame(pdf), "k", "e", "t", "i")
+        .toPandas()
+        .set_index(["src_type", "dst_type"])
+    )
+    # streams: a->b->a->c and a->b->b
+    assert out.loc[("a", "b")].transitions == 2
+    assert out.loc[("b", "a")].transitions == 1
+    assert out.loc[("b", "b")].transitions == 1
+    assert out.loc[("a", "c")].transitions == 1
+    sums = out.reset_index().groupby("src_type")["prob"].sum()
+    assert all(abs(s - 1.0) < 1e-12 for s in sums)
+
+
+def test_transition_matrix_min_transitions_renormalizes(spark):
+    import pandas as pd
+
+    from time_sift_spark.operators.funnel import transition_matrix
+
+    pdf = pd.DataFrame(
+        {
+            "k": [1] * 5,
+            "t": list(range(5)),
+            "i": [0] * 5,
+            "e": ["a", "b", "a", "b", "c"],
+        }
+    )
+    out = transition_matrix(
+        spark.createDataFrame(pdf), "k", "e", "t", "i", min_transitions=2
+    ).toPandas()
+    # only a->b (2x) survives; prob renormalizes over the kept matrix
+    assert len(out) == 1
+    assert out.iloc[0].src_type == "a" and out.iloc[0].dst_type == "b"
+    assert out.iloc[0].prob == 1.0

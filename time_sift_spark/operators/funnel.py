@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..errors import ColumnNotFoundError
 
-__all__ = ["funnel", "funnel_oracle_sql"]
+__all__ = ["funnel", "funnel_oracle_sql", "sequence_ngrams", "transition_matrix"]
 
 
 def _step_exprs(
@@ -164,5 +164,76 @@ def sequence_ngrams(
     return df.sparkSession.sql(
         sequence_ngrams_sql(
             view, key_col, item_col, time_col, order_extra, n=n, min_keys=min_keys
+        )
+    )
+
+
+def transition_matrix_sql(
+    table: str,
+    key_col: str,
+    item_col: str,
+    time_col: str,
+    order_extra: str,
+    *,
+    min_transitions: int = 1,
+) -> str:
+    """First-order Markov transition matrix over per-key event streams:
+    P(dst | src) estimated from consecutive pairs (the LEAD-window
+    convention — one window pass builds every (src, dst) step, never a
+    self-join on adjacent rows).
+
+    Determinism: ``transitions`` and the per-src totals are exact
+    integers; ``prob`` is ONE IEEE division of two exactly-represented
+    BIGINTs — bit-identical cross-engine, no quantization needed.  The
+    per-src denominator is a window SUM over the already-grouped matrix
+    (|src types| × |dst types| rows), not a join-back — saving an
+    exchange (the window-over-frame convention).
+
+    Scale shape: ONE shuffle on key (the LEAD window), ONE on
+    (src, dst) (the count); the denominator window repartitions only the
+    tiny grouped matrix.  ``min_transitions`` bounds output under item
+    vocabulary explosion (URLs-as-states); at web scale the state space
+    itself must be capped upstream (domain_cap / top-k states) — the
+    matrix is dense in |states|².
+    """
+    return f"""
+    WITH steps AS (
+      SELECT {item_col} AS src_type,
+             LEAD({item_col}) OVER (
+               PARTITION BY {key_col} ORDER BY {time_col}, {order_extra}
+             ) AS dst_type
+      FROM {table}
+    )
+    SELECT src_type, dst_type,
+           COUNT(*) AS transitions,
+           CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(COUNT(*)) OVER (PARTITION BY src_type) AS DOUBLE) AS prob
+    FROM steps
+    WHERE dst_type IS NOT NULL
+    GROUP BY src_type, dst_type
+    HAVING COUNT(*) >= {min_transitions}
+    ORDER BY src_type, dst_type
+    """
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str,
+    item_col: str,
+    time_col: str,
+    order_extra: str,
+    *,
+    min_transitions: int = 1,
+) -> DataFrame:
+    """DataFrame front door for :func:`transition_matrix_sql`."""
+    for c in (key_col, item_col, time_col, order_extra):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    view = "_ts_markov_in"
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(
+        transition_matrix_sql(
+            view, key_col, item_col, time_col, order_extra,
+            min_transitions=min_transitions,
         )
     )

@@ -6980,6 +6980,26 @@ def sequence_mining_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _markov_oracle() -> str:
+    from .operators.funnel import transition_matrix_sql
+
+    return transition_matrix_sql("events", "user_id", "event_type", "ts", "event_id")
+
+
+@register("markov_transitions_events", oracle=_markov_oracle())
+def markov_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    P(next event type | current) from LEAD-window consecutive pairs.
+    ``prob`` is ONE IEEE division of two exact BIGINTs — bit-exact with
+    no quantization; the per-src denominator is a window SUM over the
+    already-grouped (tiny) matrix, not a join-back.  Two data exchanges
+    (user window, pair count) — the sequence-mining plan family."""
+    from .operators.funnel import transition_matrix
+
+    events = load_table(spark, "events", sf_dir)
+    return transition_matrix(events, "user_id", "event_type", "ts", "event_id")
+
+
 
 # --------------------------------------------------------------------------
 # Z-order layout audit (operators/scale.py) — SURVEY §2.5 r9
@@ -7326,6 +7346,7 @@ def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
 GRADE_PRIORITY: list[str] = [
     # -- NEW in r9 -> grade first --
     "brown_trend_events",
+    "markov_transitions_events",
     "url_normalize_docs",
     "domain_cap_sample_docs",
     "pagerank_docs",
