@@ -90,3 +90,38 @@ def test_pagerank_bad_column_raises(spark):
     edges = spark.createDataFrame(pd.DataFrame({"src": [1], "dst": [2]}))
     with pytest.raises(ColumnNotFoundError):
         pagerank(edges, "nope", "dst")
+
+
+def test_triangle_counts_k4_plus_path(spark):
+    """K4 (every node in C(3,2)=3 triangles) plus a triangle-free tail;
+    duplicate/self/reversed edges must not change counts."""
+    import pandas as pd
+
+    from time_sift_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    noise = [(1, 0), (2, 2), (0, 1)]          # reversed dup, self-loop, dup
+    tail = [(3, 10), (10, 11)]                # no new triangles
+    pdf = pd.DataFrame(k4 + noise + tail, columns=["s", "t"])
+    out = (
+        triangle_counts(spark.createDataFrame(pdf), "s", "t", id_alias="n", topk=None)
+        .toPandas()
+        .set_index("n")["triangles"]
+    )
+    assert out.to_dict() == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_counts_counts_each_triangle_once(spark):
+    """Two triangles sharing an edge: shared nodes count 2, others 1."""
+    import pandas as pd
+
+    from time_sift_spark.operators.graph import triangle_counts
+
+    edges = [(0, 1), (1, 2), (0, 2), (1, 3), (2, 3)]
+    pdf = pd.DataFrame(edges, columns=["s", "t"])
+    out = (
+        triangle_counts(spark.createDataFrame(pdf), "s", "t", id_alias="n", topk=None)
+        .toPandas()
+        .set_index("n")["triangles"]
+    )
+    assert out.to_dict() == {1: 2, 2: 2, 0: 1, 3: 1}

@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame
 from ..errors import ColumnNotFoundError
 from ..functions.text_fns import SPARK, Dialect
 
-__all__ = ["doc_link_edges_ctes", "pagerank_sql", "pagerank"]
+__all__ = ["doc_link_edges_ctes", "pagerank_sql", "pagerank", "triangle_count_sql", "triangle_counts"]
 
 
 def doc_link_edges_ctes(
@@ -210,3 +210,135 @@ def pagerank(
     if topk is not None:
         out = out.orderBy(F.desc("pagerank"), id_alias).limit(topk)
     return out
+
+
+def triangle_count_sql(
+    edges_ctes: str,
+    *,
+    id_alias: str = "node",
+    topk: int | None = 30,
+) -> str:
+    """Per-node triangle counts via degree-ordered edge orientation
+    (the MapReduce triangle algorithm of Suri & Vassilvitskii 2011 /
+    Cohen 2009), over a CTE fragment defining ``e``(src, dst).
+
+    Shape: undirect + dedupe the edge list, compute degrees, orient
+    every edge from the lower (degree, id) endpoint to the higher —
+    orientation bounds oriented out-degree by O(√m), so the wedge
+    self-join's output is Σ outdeg² = O(m^1.5), never the naive Σ deg².
+    A triangle {a,b,c} with rank(a)<rank(b)<rank(c) is found exactly
+    once: wedge (a→b, a→c) closed by oriented edge (b→c).  The rank
+    order is compared TUPLE-wise on (deg, id) carried through the
+    oriented relation — no global ROW_NUMBER, so there is NO
+    single-partition window anywhere in the plan (the scale hazard a
+    rank-column formulation would plant).  Integer-only arithmetic:
+    nothing to quantize, hash-exact on any engine.
+
+    Output: ({id_alias}, triangles) for nodes in ≥1 triangle, ordered
+    (triangles DESC, {id_alias}) with an optional deterministic top-k.
+    """
+    tail = f" LIMIT {topk}" if topk is not None else ""
+    return f"""
+    WITH {edges_ctes.strip().rstrip(',')},
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+      FROM e WHERE src <> dst
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d
+      FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und) ends
+      GROUP BY node
+    ),
+    o AS (
+      SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND und.u < und.v)
+                  THEN und.u ELSE und.v END AS a,
+             CASE WHEN du.d < dv.d OR (du.d = dv.d AND und.u < und.v)
+                  THEN und.v ELSE und.u END AS b,
+             CASE WHEN du.d < dv.d OR (du.d = dv.d AND und.u < und.v)
+                  THEN dv.d ELSE du.d END AS db
+      FROM und
+      JOIN deg du ON du.node = und.u
+      JOIN deg dv ON dv.node = und.v
+    ),
+    tri AS (
+      SELECT w1.a AS na, w1.b AS nb, w2.b AS nc
+      FROM o w1
+      JOIN o w2 ON w2.a = w1.a
+               AND (w1.db < w2.db OR (w1.db = w2.db AND w1.b < w2.b))
+      JOIN o w3 ON w3.a = w1.b AND w3.b = w2.b
+    )
+    SELECT node AS {id_alias}, COUNT(*) AS triangles
+    FROM (
+      SELECT na AS node FROM tri
+      UNION ALL SELECT nb AS node FROM tri
+      UNION ALL SELECT nc AS node FROM tri
+    ) corners
+    GROUP BY node
+    ORDER BY triangles DESC, {id_alias}{tail}
+    """
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    *,
+    id_alias: str = "node",
+    topk: int | None = 30,
+) -> DataFrame:
+    """DataFrame front door: per-node triangle counts for an explicit
+    (src, dst) edge list — same relational shape as
+    :func:`triangle_count_sql`, but the oriented relation ``o``
+    materializes ONCE (``localCheckpoint(eager=False)``, the pagerank/
+    connected-components convention) instead of being inlined per
+    mention: Spark re-plans a CTE at every reference, and ``o`` is
+    referenced three times by the wedge closure, which would rescan the
+    edge construction 3× (and anything upstream of it 9×)."""
+    from pyspark.sql import functions as F
+
+    for c in (src_col, dst_col):
+        if c not in edges.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {edges.columns}")
+    e = edges.selectExpr(f"{src_col} AS src", f"{dst_col} AS dst")
+    und = (
+        e.where("src <> dst")
+        .selectExpr("LEAST(src, dst) AS u", "GREATEST(src, dst) AS v")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.selectExpr("u AS node")
+        .unionAll(und.selectExpr("v AS node"))
+        .groupBy("node")
+        .count()
+        .withColumnRenamed("count", "d")
+    )
+    lo = F.expr("du < dv OR (du = dv AND u < v)")
+    o = (
+        und.join(deg.selectExpr("node AS u", "d AS du"), "u")
+        .join(deg.selectExpr("node AS v", "d AS dv"), "v")
+        .select(
+            F.when(lo, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(lo, F.col("v")).otherwise(F.col("u")).alias("b"),
+            F.when(lo, F.col("dv")).otherwise(F.col("du")).alias("db"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w1 = o.selectExpr("a", "b AS nb", "db AS rb")
+    w2 = o.selectExpr("a", "b AS nc", "db AS rc")
+    wedges = w1.join(w2, "a").where("rb < rc OR (rb = rc AND nb < nc)")
+    tri = wedges.join(
+        o.selectExpr("a AS nb", "b AS nc"), ["nb", "nc"]
+    ).selectExpr("a AS na", "nb", "nc")
+    corners = (
+        tri.selectExpr("na AS node")
+        .unionAll(tri.selectExpr("nb AS node"))
+        .unionAll(tri.selectExpr("nc AS node"))
+    )
+    out = (
+        corners.groupBy("node")
+        .count()
+        .selectExpr(f"node AS {id_alias}", "count AS triangles")
+        .orderBy(F.desc("triangles"), id_alias)
+    )
+    return out.limit(topk) if topk is not None else out

@@ -6833,6 +6833,39 @@ def pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, "src", "dst", iters=5, id_alias="doc_id", topk=30)
 
 
+def _triangle_oracle() -> str:
+    from .operators.graph import doc_link_edges_ctes, triangle_count_sql
+
+    return triangle_count_sql(
+        doc_link_edges_ctes(DUCK, "documents", "doc_id", fanout=6),
+        id_alias="doc_id",
+        topk=30,
+    )
+
+
+@register("triangle_count_docs", oracle=_triangle_oracle())
+def triangle_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the fanout-6 synthetic link graph
+    (degree-ordered orientation — Suri & Vassilvitskii 2011): oriented
+    out-degree is O(√m), the wedge self-join never exceeds O(m^1.5),
+    and rank is compared tuple-wise on carried (deg, id) so the plan has
+    NO single-partition window.  Integer-only — hash-exact with no
+    quantization.  The clustering half of the graph surface, next to
+    pagerank (ranking) and connected components (segmentation)."""
+    from .functions.text_fns import SPARK as _S
+
+    from .operators.graph import doc_link_edges_ctes, triangle_counts
+
+    docs = load_table(spark, "documents", sf_dir)
+    docs.createOrReplaceTempView("_ts_tri_docs")
+    edges = spark.sql(
+        "WITH "
+        + doc_link_edges_ctes(_S, "_ts_tri_docs", "doc_id", fanout=6).strip().rstrip(",")
+        + " SELECT src, dst FROM e"
+    )
+    return triangle_counts(edges, "src", "dst", id_alias="doc_id", topk=30)
+
+
 
 # --------------------------------------------------------------------------
 # Bloom-filter membership screen (operators/sketch.py) — SURVEY §2.5 r9
@@ -7347,6 +7380,7 @@ GRADE_PRIORITY: list[str] = [
     # -- NEW in r9 -> grade first --
     "brown_trend_events",
     "markov_transitions_events",
+    "triangle_count_docs",
     "url_normalize_docs",
     "domain_cap_sample_docs",
     "pagerank_docs",
