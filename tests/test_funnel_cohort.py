@@ -174,3 +174,29 @@ def test_transition_matrix_min_transitions_renormalizes(spark):
     assert len(out) == 1
     assert out.iloc[0].src_type == "a" and out.iloc[0].dst_type == "b"
     assert out.iloc[0].prob == 1.0
+
+
+def test_basket_pairs_counts_and_lift(spark):
+    """Hand-checked baskets: pair counts, lift, and the mega-basket drop."""
+    import pandas as pd
+
+    from time_sift_spark.operators.basket import basket_pairs
+
+    rows = []
+    # baskets 1..3 contain {x,y}; basket 4 = {x,z}; basket 5 oversized
+    for b in (1, 2, 3):
+        rows += [(b, "x"), (b, "y")]
+    rows += [(4, "x"), (4, "z"), (4, "x")]  # dup item collapses
+    rows += [(5, it) for it in "abcdefghij"]  # 10 items > cap 5 -> dropped
+    pdf = pd.DataFrame(rows, columns=["bk", "it"])
+    out = basket_pairs(
+        spark.createDataFrame(pdf), "bk", "it",
+        min_pairs=1, max_basket=5, topk=None,
+    ).toPandas()
+    got = {(r.item_a, r.item_b): (r.n_pairs, r.lift) for r in out.itertuples()}
+    assert set(got) == {("x", "y"), ("x", "z")}
+    # 4 surviving baskets; x in 4, y in 3, z in 1
+    n, lift = got[("x", "y")]
+    assert n == 3 and abs(lift - (3 * 4) / (4 * 3)) < 1e-15
+    n, lift = got[("x", "z")]
+    assert n == 1 and abs(lift - (1 * 4) / (4 * 1)) < 1e-15

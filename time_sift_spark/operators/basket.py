@@ -1,0 +1,107 @@
+"""Market-basket co-occurrence — pairwise item affinity within baskets.
+
+The classic association-mining primitive (Agrawal & Srikant 1994's
+frequent-pair stage): for items grouped into baskets (parts within an
+order, products within a session), count each unordered item pair's
+co-occurrence across baskets and score it with lift
+P(ab) / (P(a)·P(b)).  Pure relational algebra: a self-equi-join on the
+basket key — the engine's blocked-pairs discipline (MinHash bands, IVF
+cells) applied to transactions, never an all-pairs item join.
+
+Determinism: every count is an exact integer; lift is computed as
+fl(fl(n_pair·n_baskets) / fl(n_a·n_b)) — both products are exact while
+counts stay below 2^26.5 (always, for pair counts at any realistic
+basket cap), and the one division is the same IEEE op on both engines.
+No quantization needed.
+
+Scale posture (SCALE.md: basket): the pair generation shuffles ONCE on
+the basket key; a basket of k items emits C(k,2) pairs, so the
+``max_basket`` cap is the skew guard — a degenerate mega-basket (one
+user's crawl session with 10^5 items) would otherwise emit 5·10^9 pairs
+from a single key.  Capped baskets are DROPPED (the Gopher-rule
+convention: filter the pathological row, don't truncate it silently —
+truncation would bias which pairs survive).  min_pairs is the df-cap
+bounding the output relation under vocabulary skew.
+
+Reference parity note: the reference (Rust lag-matrix crate,
+src/lib.rs) has no association-mining surface; charter extension
+(SURVEY.md §2.5), the transactional sibling of the sequential
+sequence-mining operator (operators/funnel.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..errors import ColumnNotFoundError
+
+__all__ = ["basket_pairs_sql", "basket_pairs"]
+
+
+def basket_pairs_sql(
+    table: str,
+    basket_col: str,
+    item_col: str,
+    *,
+    min_pairs: int = 2,
+    max_basket: int = 20,
+    topk: int | None = 50,
+) -> str:
+    """Dialect-neutral co-occurrence statement over ``table``.
+
+    Output: (item_a, item_b, n_pairs, lift), ordered
+    (n_pairs DESC, item_a, item_b) with an optional deterministic top-k.
+    """
+    tail = f" LIMIT {topk}" if topk is not None else ""
+    return f"""
+    WITH raw_items AS (
+      SELECT DISTINCT {basket_col} AS bk, {item_col} AS it FROM {table}
+    ),
+    sized AS (
+      SELECT bk, COUNT(*) AS basket_n FROM raw_items GROUP BY bk
+    ),
+    items AS (
+      SELECT r.bk, r.it
+      FROM raw_items r JOIN sized s ON s.bk = r.bk
+      WHERE s.basket_n <= {max_basket}
+    ),
+    nb AS (SELECT COUNT(DISTINCT bk) AS n_baskets FROM items),
+    supp AS (SELECT it, COUNT(*) AS n FROM items GROUP BY it),
+    pairs AS (
+      SELECT a.it AS item_a, b.it AS item_b, COUNT(*) AS n_pairs
+      FROM items a JOIN items b ON a.bk = b.bk AND a.it < b.it
+      GROUP BY a.it, b.it
+      HAVING COUNT(*) >= {min_pairs}
+    )
+    SELECT p.item_a, p.item_b, p.n_pairs,
+           CAST(p.n_pairs AS DOUBLE) * CAST(nb.n_baskets AS DOUBLE)
+             / (CAST(sa.n AS DOUBLE) * CAST(sb.n AS DOUBLE)) AS lift
+    FROM pairs p
+    JOIN supp sa ON sa.it = p.item_a
+    JOIN supp sb ON sb.it = p.item_b
+    CROSS JOIN nb
+    ORDER BY p.n_pairs DESC, p.item_a, p.item_b{tail}
+    """
+
+
+def basket_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    *,
+    min_pairs: int = 2,
+    max_basket: int = 20,
+    topk: int | None = 50,
+) -> DataFrame:
+    """DataFrame front door for :func:`basket_pairs_sql`."""
+    for c in (basket_col, item_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    view = "_ts_basket_in"
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(
+        basket_pairs_sql(
+            view, basket_col, item_col,
+            min_pairs=min_pairs, max_basket=max_basket, topk=topk,
+        )
+    )

@@ -7033,6 +7033,27 @@ def markov_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_matrix(events, "user_id", "event_type", "ts", "event_id")
 
 
+def _basket_oracle() -> str:
+    from .operators.basket import basket_pairs_sql
+
+    return basket_pairs_sql("lineitem", "l_orderkey", "l_partkey")
+
+
+@register("basket_pairs_lineitem", oracle=_basket_oracle())
+def basket_pairs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket part-pair affinity within orders: co-occurrence
+    counts + lift over the l_orderkey self-equi-join (never an all-pairs
+    item join), top-50 with full deterministic tiebreak.  ONE shuffle on
+    the basket key generates pairs; the support and basket-count
+    relations are broadcast-sized; max_basket drops degenerate
+    mega-baskets (the C(k,2) blowup guard — operators/basket.py).
+    Integer counts + one IEEE division each: hash-exact unquantized."""
+    from .operators.basket import basket_pairs
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return basket_pairs(li, "l_orderkey", "l_partkey")
+
+
 
 # --------------------------------------------------------------------------
 # Z-order layout audit (operators/scale.py) — SURVEY §2.5 r9
@@ -7381,6 +7402,7 @@ GRADE_PRIORITY: list[str] = [
     "brown_trend_events",
     "markov_transitions_events",
     "triangle_count_docs",
+    "basket_pairs_lineitem",
     "url_normalize_docs",
     "domain_cap_sample_docs",
     "pagerank_docs",
