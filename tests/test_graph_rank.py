@@ -125,3 +125,25 @@ def test_triangle_counts_counts_each_triangle_once(spark):
         .set_index("n")["triangles"]
     )
     assert out.to_dict() == {1: 2, 2: 2, 0: 1, 3: 1}
+
+
+def test_clustering_coefficients_known_graph(spark):
+    """Two triangles sharing edge (1,2): nodes 1,2 have d=3, T=2 ->
+    2*2/(3*2)=2/3; nodes 0,3 have d=2, T=1 -> 1.0; a degree-1 pendant
+    is excluded."""
+    import pandas as pd
+
+    from time_sift_spark.operators.graph import clustering_coefficients
+
+    edges = [(0, 1), (1, 2), (0, 2), (1, 3), (2, 3), (3, 9)]
+    pdf = pd.DataFrame(edges, columns=["s", "t"])
+    out = (
+        clustering_coefficients(spark.createDataFrame(pdf), "s", "t", id_alias="n", topk=None)
+        .toPandas()
+        .set_index("n")
+    )
+    assert 9 not in out.index
+    assert out.loc[0].clustering_coeff == 1.0
+    assert abs(out.loc[1].clustering_coeff - 2 / 3) < 1e-15
+    assert abs(out.loc[2].clustering_coeff - 2 / 3) < 1e-15
+    assert out.loc[3].triangles == 1 and out.loc[3].degree == 3

@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame
 from ..errors import ColumnNotFoundError
 from ..functions.text_fns import SPARK, Dialect
 
-__all__ = ["doc_link_edges_ctes", "pagerank_sql", "pagerank", "triangle_count_sql", "triangle_counts"]
+__all__ = ["doc_link_edges_ctes", "pagerank_sql", "pagerank", "triangle_count_sql", "triangle_counts", "clustering_coefficient_sql", "clustering_coefficients"]
 
 
 def doc_link_edges_ctes(
@@ -212,32 +212,10 @@ def pagerank(
     return out
 
 
-def triangle_count_sql(
-    edges_ctes: str,
-    *,
-    id_alias: str = "node",
-    topk: int | None = 30,
-) -> str:
-    """Per-node triangle counts via degree-ordered edge orientation
-    (the MapReduce triangle algorithm of Suri & Vassilvitskii 2011 /
-    Cohen 2009), over a CTE fragment defining ``e``(src, dst).
-
-    Shape: undirect + dedupe the edge list, compute degrees, orient
-    every edge from the lower (degree, id) endpoint to the higher —
-    orientation bounds oriented out-degree by O(√m), so the wedge
-    self-join's output is Σ outdeg² = O(m^1.5), never the naive Σ deg².
-    A triangle {a,b,c} with rank(a)<rank(b)<rank(c) is found exactly
-    once: wedge (a→b, a→c) closed by oriented edge (b→c).  The rank
-    order is compared TUPLE-wise on (deg, id) carried through the
-    oriented relation — no global ROW_NUMBER, so there is NO
-    single-partition window anywhere in the plan (the scale hazard a
-    rank-column formulation would plant).  Integer-only arithmetic:
-    nothing to quantize, hash-exact on any engine.
-
-    Output: ({id_alias}, triangles) for nodes in ≥1 triangle, ordered
-    (triangles DESC, {id_alias}) with an optional deterministic top-k.
-    """
-    tail = f" LIMIT {topk}" if topk is not None else ""
+def _tri_ctes(edges_ctes: str) -> str:
+    """Shared CTE chain edges → und → deg → o → tri (one source of
+    truth for the triangle enumeration so the count and the clustering-
+    coefficient statements cannot drift)."""
     return f"""
     WITH {edges_ctes.strip().rstrip(',')},
     und AS (
@@ -266,14 +244,47 @@ def triangle_count_sql(
       JOIN o w2 ON w2.a = w1.a
                AND (w1.db < w2.db OR (w1.db = w2.db AND w1.b < w2.b))
       JOIN o w3 ON w3.a = w1.b AND w3.b = w2.b
+    )"""
+
+
+def triangle_count_sql(
+    edges_ctes: str,
+    *,
+    id_alias: str = "node",
+    topk: int | None = 30,
+) -> str:
+    """Per-node triangle counts via degree-ordered edge orientation
+    (the MapReduce triangle algorithm of Suri & Vassilvitskii 2011 /
+    Cohen 2009), over a CTE fragment defining ``e``(src, dst).
+
+    Shape: undirect + dedupe the edge list, compute degrees, orient
+    every edge from the lower (degree, id) endpoint to the higher —
+    orientation bounds oriented out-degree by O(√m), so the wedge
+    self-join's output is Σ outdeg² = O(m^1.5), never the naive Σ deg².
+    A triangle {a,b,c} with rank(a)<rank(b)<rank(c) is found exactly
+    once: wedge (a→b, a→c) closed by oriented edge (b→c).  The rank
+    order is compared TUPLE-wise on (deg, id) carried through the
+    oriented relation — no global ROW_NUMBER, so there is NO
+    single-partition window anywhere in the plan (the scale hazard a
+    rank-column formulation would plant).  Integer-only arithmetic:
+    nothing to quantize, hash-exact on any engine.
+
+    Output: ({id_alias}, triangles) for nodes in ≥1 triangle, ordered
+    (triangles DESC, {id_alias}) with an optional deterministic top-k.
+    """
+    tail = f" LIMIT {topk}" if topk is not None else ""
+    return f"""
+    {_tri_ctes(edges_ctes)},
+    tcount AS (
+      SELECT node, COUNT(*) AS triangles
+      FROM (
+        SELECT na AS node FROM tri
+        UNION ALL SELECT nb AS node FROM tri
+        UNION ALL SELECT nc AS node FROM tri
+      ) corners
+      GROUP BY node
     )
-    SELECT node AS {id_alias}, COUNT(*) AS triangles
-    FROM (
-      SELECT na AS node FROM tri
-      UNION ALL SELECT nb AS node FROM tri
-      UNION ALL SELECT nc AS node FROM tri
-    ) corners
-    GROUP BY node
+    SELECT node AS {id_alias}, triangles FROM tcount
     ORDER BY triangles DESC, {id_alias}{tail}
     """
 
@@ -294,6 +305,21 @@ def triangle_counts(
     mention: Spark re-plans a CTE at every reference, and ``o`` is
     referenced three times by the wedge closure, which would rescan the
     edge construction 3× (and anything upstream of it 9×)."""
+    from pyspark.sql import functions as F
+
+    tri, _deg = _tri_frames(edges, src_col, dst_col)
+    out = (
+        _tri_corner_counts(tri)
+        .selectExpr(f"node AS {id_alias}", "triangles")
+        .orderBy(F.desc("triangles"), id_alias)
+    )
+    return out.limit(topk) if topk is not None else out
+
+
+def _tri_frames(edges: DataFrame, src_col: str, dst_col: str):
+    """(tri, deg) DataFrames — the checkpointed-``o`` execution of
+    :func:`_tri_ctes` (see triangle_counts' docstring for why the
+    oriented relation must materialize once)."""
     from pyspark.sql import functions as F
 
     for c in (src_col, dst_col):
@@ -330,15 +356,84 @@ def triangle_counts(
     tri = wedges.join(
         o.selectExpr("a AS nb", "b AS nc"), ["nb", "nc"]
     ).selectExpr("a AS na", "nb", "nc")
+    return tri, deg
+
+
+def _tri_corner_counts(tri: DataFrame) -> DataFrame:
+    """(node, triangles) from the triangle corner multiset."""
     corners = (
         tri.selectExpr("na AS node")
         .unionAll(tri.selectExpr("nb AS node"))
         .unionAll(tri.selectExpr("nc AS node"))
     )
+    return corners.groupBy("node").count().withColumnRenamed("count", "triangles")
+
+
+def clustering_coefficient_sql(
+    edges_ctes: str,
+    *,
+    id_alias: str = "node",
+    topk: int | None = 30,
+) -> str:
+    """Local clustering coefficient (Watts & Strogatz 1998) per node:
+    2·triangles / (d·(d−1)) — how close the node's neighborhood is to a
+    clique.  Shares the full triangle-enumeration CTE chain with
+    :func:`triangle_count_sql` (one source of truth, :func:`_tri_ctes`);
+    the coefficient is one IEEE division of two exact integers — no
+    quantization.  Nodes of degree < 2 are excluded (the coefficient is
+    undefined, and emitting 0 would conflate 'no neighbors to close'
+    with 'open neighborhood').
+
+    Output: ({id_alias}, triangles, degree, clustering_coeff) ordered
+    (clustering_coeff DESC, {id_alias}) with an optional top-k.
+    """
+    tail = f" LIMIT {topk}" if topk is not None else ""
+    return f"""
+    {_tri_ctes(edges_ctes)},
+    tcount AS (
+      SELECT node, COUNT(*) AS triangles
+      FROM (
+        SELECT na AS node FROM tri
+        UNION ALL SELECT nb AS node FROM tri
+        UNION ALL SELECT nc AS node FROM tri
+      ) corners
+      GROUP BY node
+    )
+    SELECT deg.node AS {id_alias},
+           COALESCE(t.triangles, 0) AS triangles,
+           deg.d AS degree,
+           CAST(2 * COALESCE(t.triangles, 0) AS DOUBLE)
+             / CAST(deg.d * (deg.d - 1) AS DOUBLE) AS clustering_coeff
+    FROM deg LEFT JOIN tcount t ON t.node = deg.node
+    WHERE deg.d >= 2
+    ORDER BY clustering_coeff DESC, {id_alias}{tail}
+    """
+
+
+def clustering_coefficients(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    *,
+    id_alias: str = "node",
+    topk: int | None = 30,
+) -> DataFrame:
+    """DataFrame front door for :func:`clustering_coefficient_sql` —
+    same checkpointed-``o`` execution as :func:`triangle_counts`."""
+    from pyspark.sql import functions as F
+
+    tri, deg = _tri_frames(edges, src_col, dst_col)
+    t = _tri_corner_counts(tri)
     out = (
-        corners.groupBy("node")
-        .count()
-        .selectExpr(f"node AS {id_alias}", "count AS triangles")
-        .orderBy(F.desc("triangles"), id_alias)
+        deg.where("d >= 2")
+        .join(t, "node", "left")
+        .selectExpr(
+            f"node AS {id_alias}",
+            "COALESCE(triangles, 0) AS triangles",
+            "d AS degree",
+            "CAST(2 * COALESCE(triangles, 0) AS DOUBLE)"
+            " / CAST(d * (d - 1) AS DOUBLE) AS clustering_coeff",
+        )
+        .orderBy(F.desc("clustering_coeff"), id_alias)
     )
     return out.limit(topk) if topk is not None else out

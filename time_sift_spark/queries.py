@@ -6866,6 +6866,37 @@ def triangle_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges, "src", "dst", id_alias="doc_id", topk=30)
 
 
+def _clustering_oracle() -> str:
+    from .operators.graph import clustering_coefficient_sql, doc_link_edges_ctes
+
+    return clustering_coefficient_sql(
+        doc_link_edges_ctes(DUCK, "documents", "doc_id", fanout=6),
+        id_alias="doc_id",
+        topk=30,
+    )
+
+
+@register("clustering_coeff_docs", oracle=_clustering_oracle())
+def clustering_coeff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient 2·T/(d·(d−1)) per node over the same
+    fanout-6 link graph — shares the triangle-enumeration CTE chain with
+    triangle_count_docs (one source of truth in operators/graph.py), adds
+    a broadcast-sized degree left-join and ONE IEEE division of exact
+    integers.  Degree-<2 nodes excluded (coefficient undefined)."""
+    from .functions.text_fns import SPARK as _S
+
+    from .operators.graph import clustering_coefficients, doc_link_edges_ctes
+
+    docs = load_table(spark, "documents", sf_dir)
+    docs.createOrReplaceTempView("_ts_cc_docs")
+    edges = spark.sql(
+        "WITH "
+        + doc_link_edges_ctes(_S, "_ts_cc_docs", "doc_id", fanout=6).strip().rstrip(",")
+        + " SELECT src, dst FROM e"
+    )
+    return clustering_coefficients(edges, "src", "dst", id_alias="doc_id", topk=30)
+
+
 
 # --------------------------------------------------------------------------
 # Bloom-filter membership screen (operators/sketch.py) — SURVEY §2.5 r9
@@ -7402,6 +7433,7 @@ GRADE_PRIORITY: list[str] = [
     "brown_trend_events",
     "markov_transitions_events",
     "triangle_count_docs",
+    "clustering_coeff_docs",
     "basket_pairs_lineitem",
     "url_normalize_docs",
     "domain_cap_sample_docs",
