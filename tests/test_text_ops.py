@@ -168,3 +168,27 @@ def test_quality_model_persisted_equals_inline(spark, tmp_path):
     plan = score_quality_model(spark, path, docs) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "is_t" not in plan
+
+
+def test_keyword_extract_ranks_rare_terms(spark):
+    """Planted corpus: a term concentrated in one doc outranks the
+    ubiquitous filler; stop-word cap and min_df prune as documented."""
+    import pandas as pd
+
+    from time_sift_spark.operators.search import keyword_extract
+
+    docs = ["common rare rare", "common xyz", "common xyz", "common only"]
+    pdf = pd.DataFrame({"id": range(4), "txt": docs})
+    out = keyword_extract(
+        spark.createDataFrame(pdf), "id", "txt", topn=2, min_df=1, max_df_frac=0.9
+    ).toPandas()
+    # 'common' (df=4 = 1.0·N > 0.9·N) is capped out everywhere
+    assert "common" not in set(out.term)
+    d0 = out[out.id == 0]
+    assert list(d0.term) == ["rare"]          # tf=2, df=1 -> top (and only) keyword
+    assert d0.iloc[0].rnk == 1
+    # hapax pruning: min_df=2 removes 'rare'/'only' but keeps 'xyz' (df=2)
+    out2 = keyword_extract(
+        spark.createDataFrame(pdf), "id", "txt", topn=2, min_df=2, max_df_frac=0.9
+    ).toPandas()
+    assert set(out2.term) == {"xyz"} and set(out2.id) == {1, 2}

@@ -57,6 +57,8 @@ __all__ = [
     "build_text_index",
     "append_text_index",
     "query_text_index",
+    "keyword_extract",
+    "keyword_extract_sql",
 ]
 
 
@@ -352,3 +354,93 @@ def append_text_index(
         [(old["n_docs"] + delta["n_docs"], (old["sum_dl"] or 0) + (delta["sum_dl"] or 0))],
         "n_docs long, sum_dl long",
     ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def keyword_extract_sql(
+    d: Dialect,
+    table: str,
+    id_col: str,
+    text_col: str,
+    *,
+    topn: int = 3,
+    min_df: int = 2,
+    max_df_frac: float = 0.5,
+) -> str:
+    """Per-document keyword extraction — top-n terms by rational TF-IDF
+    tf · (N − df + 0.5)/(df + 0.5) (the module's BM25-rational idf, a
+    monotone transform of ln-idf, so term rankings agree while every op
+    stays IEEE +,-,*,/ — bit-exact cross-engine, no quantization).
+
+    Unlike :func:`bm25_topk` (query-conditioned retrieval), this scores
+    EVERY (doc, term) pair: the per-doc tf groupBy is the one wide
+    shuffle (|corpus tokens| input, |distinct doc-term| output); df and
+    N are a broadcast-sized term relation and a one-row aggregate state.
+    ``min_df`` prunes hapax noise; ``max_df_frac`` is the stop-word cap
+    (terms in more than that fraction of docs carry no keyword signal
+    and would otherwise dominate the ranked-window input).  The per-doc
+    rank window partitions on doc_id — never a global window.
+
+    Output: ({id_col}, term, tf, df, score, rnk ≤ topn), ordered
+    ({id_col}, rnk) — fully deterministic (score ties break on term).
+    """
+    from .dedup import _unnest
+
+    toks = d.tokens(text_col)
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, {toks} AS _toks FROM {table}
+    ),
+    tok AS (
+      SELECT {id_col}, {_unnest(d, "_toks", "term")}
+      FROM base WHERE _toks IS NOT NULL
+    ),
+    tf AS (
+      SELECT {id_col}, term, COUNT(*) AS tf FROM tok GROUP BY {id_col}, term
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs FROM base),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.{id_col}, tf.term, tf.tf, dfreq.df,
+             CAST(tf.tf AS DOUBLE)
+               * ((CAST(stats.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5)
+                  / (CAST(dfreq.df AS DOUBLE) + 0.5)) AS score
+      FROM tf
+      JOIN dfreq ON dfreq.term = tf.term
+      CROSS JOIN stats
+      WHERE dfreq.df >= {int(min_df)}
+        AND CAST(dfreq.df AS DOUBLE) <= {max_df_frac!r} * CAST(stats.n_docs AS DOUBLE)
+    ),
+    ranked AS (
+      SELECT {id_col}, term, tf, df, score,
+             ROW_NUMBER() OVER (
+               PARTITION BY {id_col} ORDER BY score DESC, term
+             ) AS rnk
+      FROM scored
+    )
+    SELECT {id_col}, term, tf, df, score, rnk
+    FROM ranked WHERE rnk <= {int(topn)}
+    ORDER BY {id_col}, rnk
+    """
+
+
+def keyword_extract(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    topn: int = 3,
+    min_df: int = 2,
+    max_df_frac: float = 0.5,
+) -> DataFrame:
+    """DataFrame front door for :func:`keyword_extract_sql`."""
+    for c in (id_col, text_col):
+        if c not in docs.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {docs.columns}")
+    view = "_ts_kw_in"
+    docs.createOrReplaceTempView(view)
+    return docs.sparkSession.sql(
+        keyword_extract_sql(
+            SPARK, view, id_col, text_col,
+            topn=topn, min_df=min_df, max_df_frac=max_df_frac,
+        )
+    )

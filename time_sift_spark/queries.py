@@ -5869,6 +5869,31 @@ def bm25_topk_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, "text", "doc_id", _BM25_CAP_TERMS, k=20, max_df_frac=0.5)
 
 
+def _keywords_oracle() -> str:
+    from .operators.search import keyword_extract_sql
+
+    return keyword_extract_sql(
+        DUCK, "documents", "doc_id", "text", topn=3, min_df=2, max_df_frac=1.0
+    )
+
+
+@register("keywords_docs", oracle=_keywords_oracle())
+def keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 keywords per document by rational TF-IDF (the BM25-rational
+    idf fraction without the ln — bit-exact IEEE ops, no quantization).
+    One wide shuffle (the per-doc tf groupBy); df/N are broadcast-sized;
+    the rank window partitions per doc.  max_df_frac is opened to 1.0
+    here because the synthetic corpus's shared vocabulary is DENSE (31
+    terms, most in >75% of docs — the probe in the r9 build log); real
+    corpora keep the operator's 0.5 stop-word default."""
+    from .operators.search import keyword_extract
+
+    docs = load_table(spark, "documents", sf_dir)
+    return keyword_extract(
+        docs, "doc_id", "text", topn=3, min_df=2, max_df_frac=1.0
+    )
+
+
 @register(
     "streaming_upsert_latest",
     oracle="""
@@ -7435,6 +7460,7 @@ GRADE_PRIORITY: list[str] = [
     "triangle_count_docs",
     "clustering_coeff_docs",
     "basket_pairs_lineitem",
+    "keywords_docs",
     "url_normalize_docs",
     "domain_cap_sample_docs",
     "pagerank_docs",
