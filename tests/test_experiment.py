@@ -1,0 +1,78 @@
+"""CUPED experiment analysis vs a numpy reference."""
+
+import numpy as np
+import pandas as pd
+
+
+def _mk_events(n_users=40, seed=3):
+    """Per-user pre/post events; Y = 2·X + noise + arm effect."""
+    rng = np.random.RandomState(seed)
+    rows = []
+    import hashlib
+
+    for u in range(n_users):
+        arm = (
+            int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16) % 2
+        )
+        x = float(np.round(rng.uniform(10, 100), 2))
+        y = float(np.round(2.0 * x + rng.normal(0, 1) + 5.0 * arm, 2))
+        rows.append((u, pd.Timestamp("2024-01-10"), x))
+        rows.append((u, pd.Timestamp("2024-01-20"), y))
+    return pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+
+
+def test_cuped_theta_and_adjustment(spark):
+    from time_sift_spark.operators.experiment import cuped
+
+    pdf = _mk_events()
+    out = (
+        cuped(
+            spark.createDataFrame(pdf),
+            "user_id",
+            "ts",
+            "value",
+            cutoff="2024-01-15 00:00:00",
+        )
+        .toPandas()
+        .sort_values("arm")
+        .reset_index(drop=True)
+    )
+    assert list(out.arm) == [0, 1]
+    # numpy reference
+    per = pdf.assign(pre=pdf.ts < pd.Timestamp("2024-01-15"))
+    x = per[per.pre].set_index("user_id").value
+    y = per[~per.pre].set_index("user_id").value
+    theta = np.cov(x, y, bias=True)[0, 1] / np.var(x)
+    assert abs(out.theta[0] - theta) < 1e-9 * max(1.0, abs(theta))
+    # adjustment removes the X-driven spread: adjusted means are far
+    # closer to (intercept + effect) than raw post means are
+    import hashlib
+
+    arms = pd.Series(
+        {
+            u: int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16) % 2
+            for u in x.index
+        }
+    )
+    for a in (0, 1):
+        mask = arms == a
+        adj = y[mask] - theta * (x[mask] - x.mean())
+        assert abs(out.mean_adj[a] - adj.mean()) < 1e-9
+    raw_gap = abs(out.mean_post[1] - out.mean_post[0])
+    adj_gap = abs(out.mean_adj[1] - out.mean_adj[0])
+    assert abs(adj_gap - 5.0) < abs(raw_gap - 5.0) + 1e-9
+
+
+def test_cuped_assignment_is_deterministic(spark):
+    from time_sift_spark.operators.experiment import cuped
+
+    pdf = _mk_events(seed=9)
+    a = cuped(
+        spark.createDataFrame(pdf), "user_id", "ts", "value",
+        cutoff="2024-01-15 00:00:00",
+    ).toPandas()
+    b = cuped(
+        spark.createDataFrame(pdf), "user_id", "ts", "value",
+        cutoff="2024-01-15 00:00:00",
+    ).toPandas()
+    pd.testing.assert_frame_equal(a, b)

@@ -1,0 +1,125 @@
+"""Experiment analysis — CUPED variance-reduced A/B readout.
+
+CUPED (Controlled-experiment Using Pre-Experiment Data; Deng, Xu,
+Kohavi & Walker, WSDM 2013) adjusts each unit's experiment-period
+metric Y with its pre-period covariate X:
+
+    Y_adj = Y − θ·(X − mean(X)),   θ = cov(X, Y) / var(X)
+
+removing the X-explained variance from the treatment comparison —
+the standard way to shrink A/B confidence intervals without touching
+the randomization.  Arms are assigned by the engine's deterministic
+md5 hash-range discipline (never an RNG), so assignment is stable
+under corpus growth and reproducible cross-engine.
+
+Determinism (the driver's value-hash gate): per-user X/Y are EXACT
+decimal sums of DECIMAL(18,6)-quantized values (the dsum discipline —
+raw-column quantize, one deterministic rounding per addend); the
+moment sums Σx, Σy, Σxy, Σxx stay in exact decimal — each product is
+DECIMAL(18,6)×DECIMAL(19,6): Spark's result lands EXACTLY at the
+(18+19+1 = 38, 12) boundary and DuckDB's at (37,12) int128, so neither
+engine enters its precision-loss regime and the scale-12 product is
+exact on both —
+and θ, means, and adjusted means are computed from one decimal→double
+cast each (the same IEEE value on both engines) with the op order
+spelled identically on both sides.  The arm means use the algebraic
+identity mean(Y − θ·(X − mx)) = mean(Y) − θ·(mean(X) − mx): no
+per-row double accumulation anywhere, so nothing reassociates.
+
+Scale posture (SCALE.md: experiment): ONE shuffle on the unit key
+builds the per-user (x, y) frame with partial aggregation; the global
+and per-arm moment reductions are one-row / |arms|-row aggregate STATE
+(the SinglePartition-of-state convention).  The DECIMAL(38,12) moment
+headroom bounds Σxy at 10^26 — per-unit metrics up to 10^9 across
+10^8 units; beyond that, shard the moment sums by unit-hash and merge
+(the sketch-rollup pattern).
+
+Reference parity note: the reference (Rust lag-matrix crate,
+src/lib.rs) has no experimentation surface; charter extension
+(SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..errors import ColumnNotFoundError
+from ..functions.text_fns import SPARK, Dialect
+
+__all__ = ["cuped_sql", "cuped"]
+
+
+def cuped_sql(
+    d: Dialect,
+    table: str,
+    user_col: str,
+    time_col: str,
+    value_col: str,
+    *,
+    cutoff: str,
+) -> str:
+    """Full CUPED statement: pre-period covariate before ``cutoff``,
+    experiment metric from ``cutoff`` on, md5-parity arm assignment.
+
+    Output: (arm, n_users, theta, mean_post, mean_adj), ordered by arm.
+    """
+    cast = "STRING" if d.name == "spark" else "VARCHAR"
+    arm = f"{d.md5_long(f'CAST({user_col} AS {cast})')} % 2"
+    dec = f"CAST({value_col} AS DECIMAL(18,6))"
+    return f"""
+    WITH peruser AS (
+      SELECT {user_col} AS uid, {arm} AS arm,
+             CAST(COALESCE(SUM(CASE WHEN {time_col} < TIMESTAMP '{cutoff}'
+                                    THEN {dec} END), 0) AS DECIMAL(18,6)) AS x,
+             CAST(COALESCE(SUM(CASE WHEN {time_col} >= TIMESTAMP '{cutoff}'
+                                    THEN {dec} END), 0) AS DECIMAL(18,6)) AS y
+      FROM {table}
+      GROUP BY {user_col}
+    ),
+    gmoments AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(CAST(x * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS sxy,
+             SUM(CAST(x * CAST(x AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS sxx
+      FROM peruser
+    ),
+    coeffs AS (
+      SELECT
+        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta,
+        CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx
+      FROM gmoments
+    ),
+    perarm AS (
+      SELECT arm, COUNT(*) AS n_users, SUM(x) AS sxa, SUM(y) AS sya
+      FROM peruser
+      GROUP BY arm
+    )
+    SELECT arm, n_users, c.theta,
+           CAST(sya AS DOUBLE) / CAST(n_users AS DOUBLE) AS mean_post,
+           CAST(sya AS DOUBLE) / CAST(n_users AS DOUBLE)
+             - c.theta * (CAST(sxa AS DOUBLE) / CAST(n_users AS DOUBLE) - c.mx)
+             AS mean_adj
+    FROM perarm CROSS JOIN coeffs c
+    ORDER BY arm
+    """
+
+
+def cuped(
+    df: DataFrame,
+    user_col: str,
+    time_col: str,
+    value_col: str,
+    *,
+    cutoff: str,
+) -> DataFrame:
+    """DataFrame front door for :func:`cuped_sql`."""
+    for c in (user_col, time_col, value_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    view = "_ts_cuped_in"
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(
+        cuped_sql(SPARK, view, user_col, time_col, value_col, cutoff=cutoff)
+    )

@@ -7089,6 +7089,32 @@ def markov_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_matrix(events, "user_id", "event_type", "ts", "event_id")
 
 
+def _cuped_oracle() -> str:
+    from .operators.experiment import cuped_sql
+
+    return cuped_sql(
+        DUCK, "events", "user_id", "ts", "value", cutoff="2024-01-15 00:00:00"
+    )
+
+
+@register("cuped_events", oracle=_cuped_oracle())
+def cuped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al., WSDM 2013):
+    md5-parity arms, pre-period covariate before Jan 15, experiment
+    metric after; θ = cov(X,Y)/var(X) from EXACT decimal moment sums
+    (products kept at scale 12, never touching the 38-digit cap where
+    the engines' precision-loss rules diverge), arm means adjusted via
+    the algebraic identity mean(Y−θ·(X−mx)) = mean(Y)−θ·(mean(X)−mx) —
+    no per-row double accumulation anywhere (operators/experiment.py).
+    One shuffle on the unit key; moments are aggregate STATE."""
+    from .operators.experiment import cuped
+
+    events = load_table(spark, "events", sf_dir)
+    return cuped(
+        events, "user_id", "ts", "value", cutoff="2024-01-15 00:00:00"
+    )
+
+
 def _basket_oracle() -> str:
     from .operators.basket import basket_pairs_sql
 
@@ -7461,6 +7487,7 @@ GRADE_PRIORITY: list[str] = [
     "clustering_coeff_docs",
     "basket_pairs_lineitem",
     "keywords_docs",
+    "cuped_events",
     "url_normalize_docs",
     "domain_cap_sample_docs",
     "pagerank_docs",
