@@ -5121,6 +5121,36 @@ def mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad_outliers(events, "value", partition_by="user_id")
 
 
+def _seasonal_anomaly_oracle() -> str:
+    from .operators.rolling import mad_outliers_oracle_sql
+    from .operators.seasonal import deseasonalize_sql
+
+    inner = deseasonalize_sql("events", "value", "ts", "user_id", season="hour")
+    return mad_outliers_oracle_sql(
+        f"({inner})", "value_deseason", "user_id", "user_id, ts, value"
+    )
+
+
+@register("seasonal_anomaly_events", oracle=_seasonal_anomaly_oracle())
+def seasonal_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-aware anomaly screen — the composition the two pieces
+    exist for: remove each user's hour-of-day seasonal mean
+    (deseasonalize), then flag residuals beyond 3·1.4826·MAD of the
+    user's residual distribution (mad_outliers).  A raw MAD screen
+    flags every rush-hour peak; deseasonalizing first leaves only
+    off-pattern behavior.  Both stages share the user_id partitioning —
+    the season window adds one slot-keyed exchange, the MAD windows
+    reuse the user exchange."""
+    from .operators.rolling import mad_outliers
+    from .operators.seasonal import deseasonalize
+
+    events = load_table(spark, "events", sf_dir)
+    des = deseasonalize(
+        events, "value", "ts", partition_by="user_id", season="hour"
+    ).select("user_id", "ts", "value", "value_deseason")
+    return mad_outliers(des, "value_deseason", partition_by="user_id")
+
+
 def _countmin_oracle() -> str:
     from .operators.sketch import count_min_token_freq_sql
 
@@ -7488,6 +7518,7 @@ GRADE_PRIORITY: list[str] = [
     "basket_pairs_lineitem",
     "keywords_docs",
     "cuped_events",
+    "seasonal_anomaly_events",
     "url_normalize_docs",
     "domain_cap_sample_docs",
     "pagerank_docs",
