@@ -76,3 +76,30 @@ def test_cuped_assignment_is_deterministic(spark):
         cutoff="2024-01-15 00:00:00",
     ).toPandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_ranked_auc_tie_aware(spark):
+    from time_sift_spark.operators.experiment import ranked_auc
+
+    pdf = pd.DataFrame(
+        {"s": [0.1, 0.2, 0.2, 0.3], "y": [0, 0, 1, 1], "p": [False, False, True, True]}
+    )
+    out = ranked_auc(spark.createDataFrame(pdf), "s", "y", "p").toPandas()
+    assert out.n_eval[0] == 4 and out.n_pos[0] == 2 and out.n_neg[0] == 2
+    # pairs: (0.2pos vs 0.1neg)=1, (0.2pos vs 0.2neg)=0.5, (0.3pos vs both)=2
+    assert abs(out.auc[0] - 3.5 / 4) < 1e-15
+    assert out.accuracy[0] == 1.0
+
+
+def test_ranked_auc_perfect_and_inverted(spark):
+    from time_sift_spark.operators.experiment import ranked_auc
+
+    n = 50
+    pdf = pd.DataFrame(
+        {"s": np.arange(n, dtype="float64"), "y": (np.arange(n) >= n // 2).astype(int)}
+    )
+    perfect = ranked_auc(spark.createDataFrame(pdf), "s", "y").toPandas()
+    assert perfect.auc[0] == 1.0
+    pdf["s"] = -pdf["s"]
+    inverted = ranked_auc(spark.createDataFrame(pdf), "s", "y").toPandas()
+    assert inverted.auc[0] == 0.0

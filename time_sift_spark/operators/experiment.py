@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame
 from ..errors import ColumnNotFoundError
 from ..functions.text_fns import SPARK, Dialect
 
-__all__ = ["cuped_sql", "cuped"]
+__all__ = ["cuped_sql", "cuped", "ranked_auc"]
 
 
 def cuped_sql(
@@ -123,3 +123,81 @@ def cuped(
     return df.sparkSession.sql(
         cuped_sql(SPARK, view, user_col, time_col, value_col, cutoff=cutoff)
     )
+
+
+def ranked_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    pred_col: str | None = None,
+) -> DataFrame:
+    """ROC AUC (+ optional accuracy) for a scored, binary-labeled frame
+    — the Mann-Whitney U formulation with tie-aware ½ credit, computed
+    WITHOUT a global rank window: rows reduce to one group per DISTINCT
+    score (n_pos, n_neg), the cumulative negative count comes from the
+    engine's distributed prefix scan (operators/prefix.prefix_sum_global
+    — bucketed two-pass Blelloch, no single-task window), and
+
+        AUC = Σ_g [ n_pos_g · (2·cum_neg_before_g + n_neg_g) ]
+              / (2 · n_pos · n_neg)
+
+    where the ×2 keeps tie credit in EXACT integer arithmetic until one
+    final IEEE division — hash-exact cross-engine (the oracle's window
+    formulation computes the identical integers).
+
+    Scale: one shuffle groups by score, the prefix scan's bucket pass
+    orders the (distinct-score)-sized frame, and the final reduce is
+    one-row aggregate STATE.  |distinct scores| ≤ |rows| and is
+    typically tiny for quantized/rounded scores — the relation the
+    global order touches is the REDUCED one, never the row population.
+
+    Output (one row): n_eval, n_pos, n_neg, auc [, accuracy].
+    """
+    from pyspark.sql import functions as F
+
+    from .prefix import prefix_sum_global
+
+    need = [score_col, label_col] + ([pred_col] if pred_col else [])
+    for c in need:
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    ev = df.select(
+        F.col(score_col).alias("_s"),
+        F.expr(f"CASE WHEN {label_col} = 1 THEN 1 ELSE 0 END").alias("_y"),
+        *(
+            [F.expr(
+                f"CASE WHEN ({pred_col} AND {label_col} = 1)"
+                f" OR ((NOT {pred_col}) AND {label_col} = 0)"
+                " THEN 1 ELSE 0 END"
+            ).alias("_ok")]
+            if pred_col
+            else []
+        ),
+    ).localCheckpoint(eager=False)
+    grp = ev.groupBy("_s").agg(
+        F.sum("_y").alias("np"),
+        (F.count("*") - F.sum("_y")).alias("nn"),
+    )
+    cum = prefix_sum_global(grp, "nn", "_s", out_col="_cn")
+    agg = cum.selectExpr(
+        "np", "nn", "CAST(_cn AS BIGINT) AS cn"
+    ).selectExpr(
+        "CAST(SUM(np * (2 * (cn - nn) + nn)) AS BIGINT) AS num2",
+        "CAST(SUM(np) AS BIGINT) AS n_pos",
+        "CAST(SUM(nn) AS BIGINT) AS n_neg",
+    )
+    out = agg.selectExpr(
+        "n_pos + n_neg AS n_eval",
+        "n_pos",
+        "n_neg",
+        "CAST(num2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc",
+    )
+    if pred_col:
+        acc = ev.selectExpr(
+            "CAST(SUM(_ok) AS BIGINT) AS n_correct",
+            "COUNT(*) AS n_rows",
+        ).selectExpr(
+            "CAST(n_correct AS DOUBLE) / CAST(n_rows AS DOUBLE) AS accuracy"
+        )
+        out = out.crossJoin(acc)
+    return out

@@ -5650,6 +5650,80 @@ def quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quality_auc_oracle() -> str:
+    from .operators.text import quality_classifier_sql
+
+    qc = quality_classifier_sql(
+        DUCK, "documents", "text", "doc_id",
+        label_pred="lang = 'en'", train_pred=_qc_train_pred(DUCK),
+    )
+    return f"""
+    WITH scored AS ({qc}),
+    lab AS (
+      SELECT doc_id AS did2, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents WHERE NOT ({_qc_train_pred(DUCK)})
+    ),
+    ev AS (
+      SELECT s.quality_score AS score, l.y, s.predicted
+      FROM scored s JOIN lab l ON l.did2 = s.doc_id
+    ),
+    grp AS (
+      SELECT score, CAST(SUM(y) AS BIGINT) AS np,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS nn
+      FROM ev GROUP BY score
+    ),
+    cum AS (
+      SELECT np, nn, CAST(SUM(nn) OVER (ORDER BY score) AS BIGINT) AS cn
+      FROM grp
+    ),
+    agg AS (
+      SELECT CAST(SUM(np * (2 * (cn - nn) + nn)) AS BIGINT) AS num2,
+             CAST(SUM(np) AS BIGINT) AS n_pos,
+             CAST(SUM(nn) AS BIGINT) AS n_neg
+      FROM cum
+    ),
+    acc AS (
+      SELECT CAST(SUM(CASE WHEN (predicted AND y = 1)
+                            OR ((NOT predicted) AND y = 0)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+             COUNT(*) AS n_rows
+      FROM ev
+    )
+    SELECT n_pos + n_neg AS n_eval, n_pos, n_neg,
+           CAST(num2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc,
+           CAST(n_correct AS DOUBLE) / CAST(n_rows AS DOUBLE) AS accuracy
+    FROM agg CROSS JOIN acc
+    """
+
+
+@register("quality_auc_docs", oracle=_quality_auc_oracle())
+def quality_auc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out evaluation of the quality classifier: ROC AUC
+    (tie-aware Mann-Whitney) + accuracy on the md5-half the training
+    never saw.  AUC is computed WITHOUT a global rank window — rows
+    reduce to per-distinct-score (n_pos, n_neg) groups and the
+    cumulative negative count comes from the distributed prefix scan
+    (operators/experiment.ranked_auc over operators/prefix.py); the ×2
+    integer trick keeps tie credit exact until ONE final IEEE division.
+    The oracle computes the identical integers with a window — the
+    formulation differs, the arithmetic cannot."""
+    from .functions.text_fns import SPARK as _S
+
+    from .operators.experiment import ranked_auc
+    from .operators.text import quality_classifier_score
+
+    docs = load_table(spark, "documents", sf_dir)
+    scored = quality_classifier_score(
+        docs, "text", "doc_id",
+        label_pred="lang = 'en'", train_pred=_qc_train_pred(_S),
+    )
+    lab = docs.where(f"NOT ({_qc_train_pred(_S)})").selectExpr(
+        "doc_id", "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y"
+    )
+    ev = scored.join(lab, "doc_id").select("quality_score", "y", "predicted")
+    return ranked_auc(ev, "quality_score", "y", "predicted")
+
+
 @register("quality_score_persisted_docs", oracle=_qc_oracle())
 def quality_score_persisted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """build_quality_model → score_quality_model two-step: the training
@@ -7519,6 +7593,7 @@ GRADE_PRIORITY: list[str] = [
     "keywords_docs",
     "cuped_events",
     "seasonal_anomaly_events",
+    "quality_auc_docs",
     "url_normalize_docs",
     "domain_cap_sample_docs",
     "pagerank_docs",
