@@ -147,3 +147,53 @@ def test_clustering_coefficients_known_graph(spark):
     assert abs(out.loc[1].clustering_coeff - 2 / 3) < 1e-15
     assert abs(out.loc[2].clustering_coeff - 2 / 3) < 1e-15
     assert out.loc[3].triangles == 1 and out.loc[3].degree == 3
+
+
+def test_kcore_known_graph(spark):
+    """K5 with a pendant chain: the 4-core is exactly the K5, each at
+    induced degree 4; a 2-core keeps the K5 and drops the chain."""
+    import pandas as pd
+
+    from time_sift_spark.operators.graph import kcore
+
+    k5 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    chain = [(4, 10), (10, 11), (11, 12)]
+    pdf = pd.DataFrame(k5 + chain, columns=["s", "t"])
+    four = kcore(spark.createDataFrame(pdf), "s", "t", k=4, id_alias="n").toPandas()
+    assert four.n.tolist() == [0, 1, 2, 3, 4]
+    assert four.core_degree.tolist() == [4] * 5
+    two = kcore(spark.createDataFrame(pdf), "s", "t", k=2, id_alias="n").toPandas()
+    assert two.n.tolist() == [0, 1, 2, 3, 4]
+
+
+def test_kcore_raises_when_not_converged(spark):
+    import pandas as pd
+    import pytest
+
+    from time_sift_spark.operators.graph import kcore
+
+    # peeling a path from k=2 takes multiple rounds; cap at 1 must raise
+    path = [(i, i + 1) for i in range(6)]
+    pdf = pd.DataFrame(path, columns=["s", "t"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore(spark.createDataFrame(pdf), "s", "t", k=2, max_iterations=1)
+
+
+def test_kcore_sql_matches_iterative(spark):
+    """Unrolled oracle chain ≡ iterative peel on an explicit edge list."""
+    import duckdb
+    import pandas as pd
+
+    from time_sift_spark.operators.graph import kcore, kcore_sql
+
+    rng = __import__("numpy").random.RandomState(7)
+    eds = sorted({(int(a), int(b)) for a, b in rng.randint(0, 30, (120, 2)) if a != b})
+    pdf = pd.DataFrame(eds, columns=["src", "dst"])
+    got = kcore(spark.createDataFrame(pdf), "src", "dst", k=4, id_alias="n").toPandas()
+    con = duckdb.connect()
+    con.register("edges_in", pdf)
+    sql = kcore_sql("e AS (SELECT src, dst FROM edges_in)", k=4, iters=10, id_alias="n")
+    exp = con.execute(sql).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.astype(got.dtypes.to_dict()).reset_index(drop=True)
+    )

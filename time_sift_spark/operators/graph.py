@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame
 from ..errors import ColumnNotFoundError
 from ..functions.text_fns import SPARK, Dialect
 
-__all__ = ["doc_link_edges_ctes", "pagerank_sql", "pagerank", "triangle_count_sql", "triangle_counts", "clustering_coefficient_sql", "clustering_coefficients"]
+__all__ = ["doc_link_edges_ctes", "pagerank_sql", "pagerank", "triangle_count_sql", "triangle_counts", "clustering_coefficient_sql", "clustering_coefficients", "kcore_sql", "kcore"]
 
 
 def doc_link_edges_ctes(
@@ -437,3 +437,128 @@ def clustering_coefficients(
         .orderBy(F.desc("clustering_coeff"), id_alias)
     )
     return out.limit(topk) if topk is not None else out
+
+
+def kcore_sql(
+    edges_ctes: str,
+    *,
+    k: int,
+    iters: int,
+    id_alias: str = "node",
+) -> str:
+    """k-core membership as an UNROLLED peel chain (Seidman 1983;
+    Batagelj & Zaveršnik 2003's peeling, truncated to ``iters`` levels):
+    s0 = all nodes; s_{i+1} = nodes whose degree in the subgraph INDUCED
+    by s_i is ≥ k.  Mirrors pagerank_sql's fixed-unroll role — this is
+    the ORACLE formulation; executable peeling is :func:`kcore` (the
+    iterative twin, bit-identical when it converges within ``iters``,
+    loud failure when not).
+
+    Output: ({id_alias}, core_degree) — the surviving nodes with their
+    induced degree at the final level, ordered by id.  Integer-only.
+    """
+    # Every level references und once-per-arm and s_{i-1} twice; inlined
+    # (the default for single-reference CTEs) that doubles per level —
+    # an EXPONENTIAL re-expansion of the base scan by s_iters.  AS
+    # MATERIALIZED pins each level to evaluate exactly once (DuckDB's
+    # materialization hint; the oracle engine).
+    parts = [
+        edges_ctes.strip().rstrip(","),
+        """
+    und AS MATERIALIZED (
+      SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+      FROM e WHERE src <> dst
+    ),
+    s0 AS MATERIALIZED (SELECT u AS n FROM und UNION SELECT v AS n FROM und)""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+    d{i} AS MATERIALIZED (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT und.u AS node FROM und
+        JOIN s{i - 1} a ON a.n = und.u JOIN s{i - 1} b ON b.n = und.v
+        UNION ALL
+        SELECT und.v AS node FROM und
+        JOIN s{i - 1} a ON a.n = und.u JOIN s{i - 1} b ON b.n = und.v
+      ) ends GROUP BY node
+    ),
+    s{i} AS MATERIALIZED (SELECT node AS n FROM d{i} WHERE d >= {int(k)})""")
+    tail = (
+        f"SELECT d.node AS {id_alias}, d.d AS core_degree "
+        f"FROM d{iters} d JOIN s{iters} s ON s.n = d.node "
+        f"ORDER BY {id_alias}"
+    )
+    return "WITH " + ",".join(parts) + "\n    " + tail
+
+
+def kcore(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    *,
+    k: int,
+    max_iterations: int = 20,
+    id_alias: str = "node",
+) -> DataFrame:
+    """Iterative k-core peeling over checkpointed frames — the
+    executable twin of :func:`kcore_sql` (the connected-components /
+    pagerank convention: the unrolled statement replans the edge
+    relation per CTE mention; here ``und`` materializes once and each
+    peel round is one induced-degree job of CONSTANT plan size).
+
+    Per round: two semi-joins restrict ``und`` to the surviving node
+    set, an ends-union groupBy computes induced degrees (one shuffle on
+    the node key), and the ≥k filter yields the next set; the
+    convergence probe is a bounded driver scalar (the surviving COUNT).
+    Raises rather than returning a non-fixpoint set when
+    ``max_iterations`` is exhausted — a silently-shallow peel would
+    report a SUPERSET of the k-core.
+    """
+    for c in (src_col, dst_col):
+        if c not in edges.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {edges.columns}")
+    e = edges.selectExpr(f"{src_col} AS src", f"{dst_col} AS dst")
+    und = (
+        e.where("src <> dst")
+        .selectExpr("LEAST(src, dst) AS u", "GREATEST(src, dst) AS v")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    cur = (
+        und.selectExpr("u AS n").union(und.selectExpr("v AS n")).distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_cur = cur.count()
+    deg = None
+    for _ in range(max_iterations):
+        ind = (
+            und.join(cur.selectExpr("n AS u"), "u", "left_semi")
+            .join(cur.selectExpr("n AS v"), "v", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+        deg = (
+            ind.selectExpr("u AS node")
+            .unionAll(ind.selectExpr("v AS node"))
+            .groupBy("node")
+            .count()
+            .withColumnRenamed("count", "d")
+            .localCheckpoint(eager=False)
+        )
+        nxt = deg.where(f"d >= {int(k)}").select(deg.node.alias("n"))
+        n_nxt = nxt.count()
+        if n_nxt == n_cur:
+            break
+        cur, n_cur = nxt.localCheckpoint(eager=False), n_nxt
+        if n_cur == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"kcore did not converge within {max_iterations} iterations "
+            f"({n_cur} nodes still in play) — raise max_iterations for "
+            f"this graph"
+        )
+    return (
+        deg.where(f"d >= {int(k)}")
+        .selectExpr(f"node AS {id_alias}", "d AS core_degree")
+        .orderBy(id_alias)
+    )
