@@ -109,6 +109,16 @@ SHOWCASE = {
     "sorted_neighborhood_customer": "Sorted-neighborhood linkage: the per-block sort-and-LEAD window is STAGED once (checkpoint read in this plan) and the neighbor arms union over the staged frame - the one-statement form would recompute the window per arm (3 windows / 9 scans measured).",
     "attribution_revenue_events": "Attribution: the per-conversion window stage is materialized ONCE (checkpoint read in this plan - the one-statement oracle would recompute the timeline window per model arm); both model aggregations are bounded-key exchanges with decimal-exact revenue.",
     "dedup_incremental_fuzzy_docs": "Incremental FUZZY crawl screen: only the increment is tokenized/shingled/MinHash-signed (one groupBy exchange); the corpus arrives as STORED band + shingle-set parquet scans, candidates via the band-key equi-join, exact-Jaccard verify touches only candidate rows - the corpus is never re-signed, so increment cost is O(increment + candidates).",
+    "brown_trend_events": "Brown smoothing: the plan is the EWMA partition scan - ONE hash repartition + sortWithinPartitions feeding a single mapInPandas (two chained cython EWM passes inside; no per-key applyInPandas round-trips, no Python row loop).",
+    "markov_transitions_events": "Markov transitions: the LEAD window and the (src,dst) count are the two data exchanges; the per-src denominator window runs over the already-grouped matrix rows, never a join-back to the event stream.",
+    "triangle_count_docs": "Triangle counting: orientation and wedge closure are plain equi-joins over the checkpointed oriented relation (referenced 3x - inlining would replan the edge construction 9x); NO global ROW_NUMBER window anywhere - rank is tuple-compared on carried (deg,id).",
+    "clustering_coeff_docs": "Clustering coefficient: the triangle subtree plus ONE broadcast-sized degree left-join and a single exact-integer division; degree<2 nodes filtered before the join.",
+    "kcore_docs": "k-core: the visible plan is the final >= k filter over the LAST peel round's checkpointed induced-degree frame - each round ran as a constant-size semi-join + groupBy job; the convergence probe was a bounded driver COUNT per round.",
+    "basket_pairs_lineitem": "Market-basket pairs: the capped items relation is STAGED once (checkpoint read - as one statement Spark re-inlined it per reference: 19 exchanges measured vs this staged plan); the basket-key self-join generates pairs, support/basket-count join back broadcast-sized, lift is one exact-integer IEEE division.",
+    "keywords_docs": "Keyword extraction: explode feeds the per-doc tf groupBy (the one wide shuffle); df joins back broadcast-sized and N is a one-row state; the rank window partitions by doc_id - no global window.",
+    "cuped_events": "CUPED: one unit-key exchange builds per-user (x,y) with partial agg; global and per-arm moment reductions collapse aggregate STATE rows (the SinglePartition exchanges below carry one-row moments, not data); theta/means are scalar IEEE ops on decimal-cast literals.",
+    "quality_auc_docs": "Ranked AUC: rows reduce to per-distinct-score groups BEFORE any ordering; the cumulative count is the two-pass bucketed prefix scan (per-bucket windows + an O(buckets) driver fold) - the global order never touches the row population.",
+    "seasonal_anomaly_events": "Seasonal anomaly: the hour-slot stats window and the two MAD medians are the composition's windows - the MAD pair shares ONE user_id exchange; the screen is windows + projections, no joins at all.",
 }
 
 SF_DIR = "/root/testdata/sf0.01"
