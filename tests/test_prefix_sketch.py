@@ -520,3 +520,75 @@ def test_bloom_append_idempotent_ingestion(spark, tmp_path):
     append_bloom_filter(spark, path, newb)  # double append — still presence
     again = bloom_screen_persisted(spark, path, newb, "doc_id").toPandas()
     assert again.possibly_seen.all()
+
+
+def test_kmv_merge_identity_and_estimate(spark):
+    """k-smallest of the union of two halves' sketches == the whole
+    population's sketch (the exact KMV merge identity), and the
+    capacity-regime estimate lands within the ~1/sqrt(k) error band."""
+    import pandas as pd
+
+    from time_sift_spark.operators.sketch import kmv_distinct
+
+    n = 5000
+    pdf = pd.DataFrame({
+        "g": ["h1"] * n + ["h2"] * n,
+        "v": list(range(n)) + list(range(2500, 7500)),
+    })
+    df = spark.createDataFrame(pdf)
+    k = 128
+    # per-half sketches (the stored state): recompute hashes and take
+    # k-smallest of the union in pandas, compare against the direct
+    # whole-population sketch
+    from time_sift_spark.functions.text_fns import SPARK as D
+
+    h = df.selectExpr("g", D.md5_long("CAST(v AS STRING)") + " AS h").toPandas()
+    sk1 = sorted(set(h[h.g == "h1"].h))[:k]
+    sk2 = sorted(set(h[h.g == "h2"].h))[:k]
+    merged = sorted(set(sk1) | set(sk2))[:k]
+    whole = sorted(set(h.h))[:k]
+    assert merged == whole
+    # estimate accuracy on the whole population (7500 distinct)
+    one = df.selectExpr("'all' AS g", "v")
+    est = kmv_distinct(one, "v", "g", k=k).toPandas()
+    assert abs(est.n_estimate[0] - 7500) / 7500 < 3.0 / (k ** 0.5)
+    assert est.n_exact[0] == 7500
+
+
+def test_kmv_overlap_estimates_jaccard(spark):
+    """Planted overlap: |A|=4000, |B|=4000, |A∩B|=2000 -> J=1/3; the
+    sketch Jaccard and intersection estimates must land within the
+    sampling error band, and exact audit columns must be exact."""
+    import pandas as pd
+
+    from time_sift_spark.functions.text_fns import SPARK as D
+    from time_sift_spark.operators.sketch import kmv_overlap_sql
+
+    pdf = pd.DataFrame({
+        "g": ["a"] * 4000 + ["b"] * 4000,
+        "v": list(range(4000)) + list(range(2000, 6000)),
+    })
+    spark.createDataFrame(pdf).createOrReplaceTempView("_kmv_t")
+    out = spark.sql(
+        kmv_overlap_sql(D, "_kmv_t", "v", "g", "a", "b", k=256)
+    ).toPandas()
+    r = out.iloc[0]
+    assert r.n_exact_a == 4000 and r.n_exact_b == 4000
+    assert abs(r.jaccard_exact - 1 / 3) < 1e-3
+    assert abs(r.jaccard_kmv - 1 / 3) < 0.1
+    assert abs(r.est_intersection - 2000) / 2000 < 0.25
+    assert abs(r.est_union - 6000) / 6000 < 0.2
+
+
+def test_kmv_validation(spark):
+    import pandas as pd
+    import pytest
+
+    from time_sift_spark.errors import ColumnNotFoundError as CNF
+    from time_sift_spark.operators.sketch import kmv_distinct
+
+    df = spark.createDataFrame(pd.DataFrame({"x": [1], "g": ["a"]}))
+    with pytest.raises(CNF):
+        kmv_distinct(df, "nope", "g")
+    with pytest.raises(ValueError):
+        kmv_distinct(df, "x", "g", k=4)

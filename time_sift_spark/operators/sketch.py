@@ -978,3 +978,222 @@ def append_bloom_filter(spark, path: str, accepted_docs: DataFrame) -> None:
     spark.sql(
         bloom_bits_sql(SPARK, view, text_col, m=p["m"], k=p["k"])
     ).write.mode("append").parquet(f"{path}/bits")
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) sketch — distinct estimates PLUS set operations
+# --------------------------------------------------------------------------
+#
+# HLL and linear counting estimate |A| per group but cannot intersect:
+# register states destroy membership. KMV (Bar-Yossef et al. 2002,
+# "Counting distinct elements in a data stream") keeps the k SMALLEST
+# distinct hash values of a group. Properties this module exploits:
+#   * estimate |A| ≈ (k-1)·R / h_(k)  (R = hash range, h_(k) = k-th
+#     smallest hash) — one IEEE division of exact integers;
+#   * MERGE(A, B) = k-smallest of (sketch_A ∪ sketch_B) — the
+#     k-smallest of a union of k-smallests IS the k-smallest of the
+#     union (set identity, so merged ≡ direct EXACTLY, tested);
+#   * Jaccard(A, B) ≈ |K_union ∩ sketch_A ∩ sketch_B| / |K_union| —
+#     the union sketch is a uniform sample of A ∪ B, so membership in
+#     both sketches estimates the overlap fraction; intersection
+#     cardinality = Jaccard · |A ∪ B| estimate.
+# Every sketch state is EXACT integers from the shared md5-prefix hash,
+# so the whole pipeline is cross-engine deterministic; only the final
+# scalar divisions are IEEE ops on identical inputs.
+
+_KMV_RANGE = 1 << 60  # md5_long draws 15 hex chars -> [0, 2^60)
+
+
+def _kmv_h(d: Dialect, col: str) -> str:
+    return d.md5_long(f"CAST({col} AS STRING)")
+
+
+def _kmv_est(n_sk: str, hk: str, k: int, round_to: int) -> str:
+    """Distinct estimate from sketch size + k-th hash: exact below k,
+    (k-1)·R/h_(k) at capacity. (k-1)·R is exactly representable (k-1
+    needs ≤ 12 bits, R is a power of two), so the literal parses to the
+    same double in both engines; h_(k) < 2^60 converts with one correct
+    rounding; the division is one shared IEEE op."""
+    from . import _num
+
+    num = repr(float((k - 1) * _KMV_RANGE))
+    est = f"({num} / CAST({hk} AS DOUBLE))"
+    return (
+        f"CASE WHEN {n_sk} < {k} THEN CAST({n_sk} AS DOUBLE) "
+        f"ELSE {_num.round_double(est, round_to)} END"
+    )
+
+
+def _kmv_ctes(
+    d: Dialect, table: str, col: str, grp: str, where: str, k: int
+) -> str:
+    """Shared CTE chain: distinct (group, hash) -> per-group rank ->
+    k-smallest sketch -> per-group (size, k-th hash) state."""
+    return f"""
+    _kh AS (
+      SELECT {grp} AS g, {_kmv_h(d, col)} AS h
+      FROM {table} WHERE {col} IS NOT NULL{where}
+      GROUP BY {grp}, {_kmv_h(d, col)}
+    ),
+    _kr AS (
+      SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+      FROM _kh
+    ),
+    _ksk AS (SELECT g, h, rn FROM _kr WHERE rn <= {k}),
+    _ke AS (
+      SELECT g, COUNT(*) AS n_sk,
+             MAX(CASE WHEN rn = {k} THEN h END) AS hk
+      FROM _ksk GROUP BY g
+    )"""
+
+
+def kmv_distinct_sql(
+    d: Dialect,
+    table: str,
+    col: str,
+    group_col: str,
+    *,
+    k: int = 256,
+    round_to: int = 2,
+    with_exact: bool = True,
+) -> str:
+    """Per-group KMV distinct estimate: ``n_sketch`` (stored state
+    size), ``n_estimate``, and (``with_exact``) the ``n_exact`` audit —
+    the linear-count/HLL surface with a mergeable, intersectable
+    state."""
+    exact_cte = (
+        f""",
+    _kx AS (
+      SELECT {group_col} AS g, COUNT(DISTINCT {col}) AS n_exact
+      FROM {table} WHERE {col} IS NOT NULL GROUP BY {group_col}
+    )"""
+        if with_exact
+        else ""
+    )
+    exact_sel = ", _kx.n_exact AS n_exact" if with_exact else ""
+    exact_join = " JOIN _kx ON _ke.g = _kx.g" if with_exact else ""
+    return f"""
+    WITH {_kmv_ctes(d, table, col, group_col, "", k).lstrip()}{exact_cte}
+    SELECT _ke.g AS {group_col}, _ke.n_sk AS n_sketch,
+           {_kmv_est('_ke.n_sk', '_ke.hk', k, round_to)} AS n_estimate{exact_sel}
+    FROM _ke{exact_join}
+    """
+
+
+def kmv_distinct(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    *,
+    k: int = 256,
+    round_to: int = 2,
+    with_exact: bool = True,
+) -> DataFrame:
+    missing = [c for c in (col, group_col) if c not in df.columns]
+    if missing:
+        raise ColumnNotFoundError(f"columns not in DataFrame: {missing}")
+    if k < 16:
+        raise ValueError(f"k must be >= 16, got {k}")
+    view = "_ts_kmv_in"
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(
+        kmv_distinct_sql(
+            SPARK, view, col, group_col, k=k, round_to=round_to,
+            with_exact=with_exact,
+        )
+    )
+
+
+def kmv_overlap_sql(
+    d: Dialect,
+    table: str,
+    col: str,
+    group_col: str,
+    grp_a: str,
+    grp_b: str,
+    *,
+    k: int = 256,
+    round_to: int = 2,
+    with_exact: bool = True,
+) -> str:
+    """Set-operation estimates between two groups' KMV sketches: per-
+    group distinct, union distinct, Jaccard, and intersection
+    cardinality — all from two k-row states. The union sketch is the
+    k-smallest of the two sketches' hash union (the exact merge
+    identity); its members present in BOTH input sketches estimate the
+    overlap fraction. The global ROW_NUMBER in ``_ku`` orders ≤ 2k
+    sketch rows — bounded state, never data."""
+    from . import _num
+
+    qa, qb = f"'{grp_a}'", f"'{grp_b}'"
+    where = f" AND {group_col} IN ({qa}, {qb})"
+    # raw (unrounded) union estimate and jaccard, shared by the
+    # intersection product so rounding happens once per output column
+    u_raw = f"({repr(float((k - 1) * _KMV_RANGE))} / CAST(_kj.hk_u AS DOUBLE))"
+    u_est = (
+        f"CASE WHEN _kj.n_u < {k} THEN CAST(_kj.n_u AS DOUBLE) "
+        f"ELSE {_num.round_double(u_raw, round_to)} END"
+    )
+    j_raw = f"(CAST(_kj.n_both AS DOUBLE) / CAST(_kj.n_u AS DOUBLE))"
+    j_est = (
+        f"CASE WHEN _kj.n_u = 0 THEN 0.0 "
+        f"ELSE {_num.round_double(j_raw, 4)} END"
+    )
+    i_raw = (
+        f"({j_raw} * (CASE WHEN _kj.n_u < {k} "
+        f"THEN CAST(_kj.n_u AS DOUBLE) ELSE {u_raw} END))"
+    )
+    i_est = (
+        f"CASE WHEN _kj.n_u = 0 THEN 0.0 "
+        f"ELSE {_num.round_double(i_raw, round_to)} END"
+    )
+    exact_cte = (
+        f""",
+    _kx AS (
+      SELECT COUNT(DISTINCT CASE WHEN {group_col} = {qa} THEN {col} END) AS nxa,
+             COUNT(DISTINCT CASE WHEN {group_col} = {qb} THEN {col} END) AS nxb,
+             COUNT(DISTINCT {col}) AS nxu
+      FROM {table} WHERE {col} IS NOT NULL{where}
+    )"""
+        if with_exact
+        else ""
+    )
+    exact_sel = (
+        ", _kx.nxa AS n_exact_a, _kx.nxb AS n_exact_b, "
+        + _num.round_double(
+            "(CAST(_kx.nxa + _kx.nxb - _kx.nxu AS DOUBLE)"
+            " / CAST(_kx.nxu AS DOUBLE))",
+            4,
+        )
+        + " AS jaccard_exact"
+        if with_exact
+        else ""
+    )
+    return f"""
+    WITH {_kmv_ctes(d, table, col, group_col, where, k).lstrip()},
+    _ku AS (
+      SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+      FROM (SELECT h FROM _ksk GROUP BY h) _kd
+    ),
+    _kusk AS (SELECT h, rn FROM _ku WHERE rn <= {k}),
+    _kj AS (
+      SELECT COUNT(*) AS n_u,
+             MAX(CASE WHEN _kusk.rn = {k} THEN _kusk.h END) AS hk_u,
+             CAST(SUM(CASE WHEN _ka.h IS NOT NULL AND _kb.h IS NOT NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+      FROM _kusk
+      LEFT JOIN (SELECT h FROM _ksk WHERE g = {qa}) _ka ON _kusk.h = _ka.h
+      LEFT JOIN (SELECT h FROM _ksk WHERE g = {qb}) _kb ON _kusk.h = _kb.h
+    ),
+    _kea AS (SELECT n_sk, hk FROM _ke WHERE g = {qa}),
+    _keb AS (SELECT n_sk, hk FROM _ke WHERE g = {qb})
+    {f",{exact_cte.lstrip().lstrip(',')}" if with_exact else ""}
+    SELECT {qa} AS grp_a, {qb} AS grp_b,
+           {_kmv_est('_kea.n_sk', '_kea.hk', k, round_to)} AS est_a,
+           {_kmv_est('_keb.n_sk', '_keb.hk', k, round_to)} AS est_b,
+           {u_est} AS est_union,
+           {j_est} AS jaccard_kmv,
+           {i_est} AS est_intersection{exact_sel}
+    FROM _kj CROSS JOIN _kea CROSS JOIN _keb
+    {"CROSS JOIN _kx" if with_exact else ""}
+    """

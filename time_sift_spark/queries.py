@@ -7179,6 +7179,63 @@ def hll_rollup_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(hll_rollup_sql(_S, "events", "user_id", "ts"))
 
 
+# --------------------------------------------------------------------------
+# KMV set-operation sketch (operators/sketch.py) — SURVEY §2.5 r9
+# --------------------------------------------------------------------------
+
+
+def _kmv_distinct_oracle() -> str:
+    from .operators.sketch import kmv_distinct_sql
+
+    return kmv_distinct_sql(DUCK, "lineitem", "l_orderkey", "l_returnflag")
+
+
+@register("kmv_distinct_orders_by_flag", oracle=_kmv_distinct_oracle())
+def kmv_distinct_orders_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) per-returnflag distinct-orderkey
+    estimate: the k smallest distinct md5 hashes per group ARE the
+    stored sketch; the estimate (k-1)·R/h_(k) is one IEEE division of
+    exact integers, so Spark and DuckDB agree bit-for-bit.  Unlike the
+    HLL/linear-count registers, this state supports set operations
+    (see kmv_audience_overlap_lineitem) and merges exactly: k-smallest
+    of a union of k-smallests is the k-smallest of the union
+    (tests pin merged ≡ direct).  n_exact rides along as the audit."""
+    from .functions.text_fns import SPARK as _S
+    from .operators.sketch import kmv_distinct_sql
+
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("lineitem")
+    return spark.sql(
+        kmv_distinct_sql(_S, "lineitem", "l_orderkey", "l_returnflag")
+    )
+
+
+def _kmv_overlap_oracle() -> str:
+    from .operators.sketch import kmv_overlap_sql
+
+    return kmv_overlap_sql(
+        DUCK, "lineitem", "l_orderkey", "l_returnflag", "R", "A"
+    )
+
+
+@register("kmv_audience_overlap_lineitem", oracle=_kmv_overlap_oracle())
+def kmv_audience_overlap_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation estimates BETWEEN sketches — the capability that
+    justifies KMV over HLL: union cardinality, Jaccard, and
+    intersection size of returned-vs-A-flag order populations, all
+    computed from two 256-row sketch states (the union sketch is the
+    exact k-smallest merge; members present in both input sketches
+    estimate the overlap fraction).  The one global ROW_NUMBER orders
+    ≤ 2k sketch rows — bounded state, never data.  Exact counts and
+    exact Jaccard ride along: at sf0.01 the estimates land within ~3%
+    (k=256 ⇒ RSE ≈ 1/√k ≈ 6%)."""
+    from .functions.text_fns import SPARK as _S
+    from .operators.sketch import kmv_overlap_sql
+
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("lineitem")
+    return spark.sql(
+        kmv_overlap_sql(_S, "lineitem", "l_orderkey", "l_returnflag", "R", "A")
+    )
+
 
 # --------------------------------------------------------------------------
 # Behavioral sequence mining (operators/funnel.py) — SURVEY §2.5 r9
@@ -7620,6 +7677,8 @@ def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
 
 GRADE_PRIORITY: list[str] = [
     # -- NEW in r9 -> grade first --
+    "kmv_distinct_orders_by_flag",
+    "kmv_audience_overlap_lineitem",
     "brown_trend_events",
     "markov_transitions_events",
     "triangle_count_docs",
