@@ -1,0 +1,159 @@
+"""Leakage-safe categorical target encoding (LOO + K-fold).
+
+Target encoding replaces a high-cardinality categorical feature with
+the mean of the label over that category — the classic trick for
+tree/linear models over web-scale categoricals (Micci-Barreca, 2001,
+"A preprocessing scheme for high-cardinality categorical attributes").
+Done naively it LEAKS: row i's own label contributes to its feature.
+Two standard leakage-safe forms, both here:
+
+* leave-one-out: enc_i = (S_c − y_i + m·prior) / (n_c − 1 + m)
+* K-fold:        enc_i = (S_c − S_cf + m·prior) / (n_c − n_cf + m)
+  (row i in fold f gets statistics from the OTHER folds only)
+
+with additive smoothing toward the global prior (m pseudo-counts) so
+rare categories shrink to the prior instead of memorizing noise.
+
+Determinism (the driver's value-hash gate): labels quantize to
+DECIMAL(18,6) at the scan (the dsum discipline), category / fold sums
+stay exact decimal, subtractions are exact decimal ops, and each
+output value is ONE dec→double cast + one multiply-add + one IEEE
+division with the op order spelled identically in both dialects.
+Folds come from the engine's md5 hash-range discipline — never an
+RNG — so the assignment is reproducible cross-engine and stable under
+corpus growth.
+
+Scale posture (SCALE.md: target encoding): the per-category and
+per-(category, fold) statistics are window aggregates over ONE hash
+exchange on the category key (hash partitioning on ``cat`` co-locates
+every (cat, fold) group, so the finer window rides the same exchange);
+the global prior is a one-row aggregate STATE cross join.  No joins,
+no second shuffle, output is per-row.  A mega-category is one
+partition's window state — bounded: the window computes two decimal
+sums + counts, not an array.
+
+Reference parity note: the reference (Rust lag-matrix crate,
+src/lib.rs) has no feature-encoding surface; charter extension
+(SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..errors import ColumnNotFoundError
+from ..functions.text_fns import SPARK, Dialect
+from . import _num
+
+__all__ = ["target_encode_loo_sql", "target_encode_loo", "target_encode_kfold_sql"]
+
+
+def _prior_cte(table: str, ydec: str) -> str:
+    return f"""
+    _tprior AS (
+      SELECT CAST(SUM({ydec}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS prior
+      FROM {table}
+    )"""
+
+
+def target_encode_loo_sql(
+    d: Dialect,
+    table: str,
+    id_col: str,
+    cat_col: str,
+    label_col: str,
+    *,
+    smoothing: float = 10.0,
+) -> str:
+    """Per-row leave-one-out encoding: (id, cat, te_loo)."""
+    ydec = f"CAST({label_col} AS DECIMAL(18,6))"
+    m = repr(float(smoothing))
+    num = (
+        f"({_num.dec_to_double(f'(sc - y)')} + {m} * prior)"
+    )
+    den = f"(CAST(nc - 1 AS DOUBLE) + {m})"
+    enc = (
+        f"CASE WHEN (nc - 1) = 0 AND {m} = 0.0 THEN prior "
+        f"ELSE {num} / {den} END"
+    )
+    return f"""
+    WITH _trows AS (
+      SELECT {id_col} AS id, {cat_col} AS cat, {ydec} AS y,
+             SUM({ydec}) OVER (PARTITION BY {cat_col}) AS sc,
+             COUNT(*) OVER (PARTITION BY {cat_col}) AS nc
+      FROM {table}
+    ),{_prior_cte(table, ydec).lstrip().lstrip(',')}
+    SELECT id AS {id_col}, cat AS {cat_col}, {enc} AS te_loo
+    FROM _trows CROSS JOIN _tprior
+    """
+
+
+def target_encode_kfold_sql(
+    d: Dialect,
+    table: str,
+    id_col: str,
+    cat_col: str,
+    label_col: str,
+    *,
+    folds: int = 5,
+    smoothing: float = 10.0,
+) -> str:
+    """Per-row K-fold out-of-fold encoding: (id, cat, fold, te_oof).
+
+    The fold is the md5 hash range of the id — deterministic,
+    cross-engine, stable under appends (a new row never reshuffles
+    existing folds).
+    """
+    cast = "STRING" if d.name == "spark" else "VARCHAR"
+    fold = (
+        f"((({d.md5_long(f'CAST({id_col} AS {cast})')}) % {folds})"
+        f" + {folds}) % {folds}"
+    )
+    ydec = f"CAST({label_col} AS DECIMAL(18,6))"
+    m = repr(float(smoothing))
+    num = f"({_num.dec_to_double('(sc - scf)')} + {m} * prior)"
+    den = f"(CAST(nc - ncf AS DOUBLE) + {m})"
+    enc = (
+        f"CASE WHEN (nc - ncf) = 0 AND {m} = 0.0 THEN prior "
+        f"ELSE {num} / {den} END"
+    )
+    return f"""
+    WITH _tf AS (
+      SELECT {id_col} AS id, {cat_col} AS cat, {ydec} AS y,
+             {fold} AS fold
+      FROM {table}
+    ),
+    _trows AS (
+      SELECT id, cat, fold,
+             SUM(y) OVER (PARTITION BY cat) AS sc,
+             COUNT(*) OVER (PARTITION BY cat) AS nc,
+             SUM(y) OVER (PARTITION BY cat, fold) AS scf,
+             COUNT(*) OVER (PARTITION BY cat, fold) AS ncf
+      FROM _tf
+    ),{_prior_cte(table, ydec).lstrip().lstrip(',')}
+    SELECT id AS {id_col}, cat AS {cat_col}, fold, {enc} AS te_oof
+    FROM _trows CROSS JOIN _tprior
+    """
+
+
+def target_encode_loo(
+    df: DataFrame,
+    id_col: str,
+    cat_col: str,
+    label_col: str,
+    *,
+    smoothing: float = 10.0,
+) -> DataFrame:
+    """DataFrame front door for :func:`target_encode_loo_sql`."""
+    for c in (id_col, cat_col, label_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    if smoothing < 0:
+        raise ValueError(f"smoothing must be >= 0, got {smoothing}")
+    view = "_ts_te_in"
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(
+        target_encode_loo_sql(
+            SPARK, view, id_col, cat_col, label_col, smoothing=smoothing
+        )
+    )

@@ -7238,6 +7238,63 @@ def kmv_audience_overlap_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # --------------------------------------------------------------------------
+# Leakage-safe target encoding (operators/encode.py) — SURVEY §2.5 r9
+# --------------------------------------------------------------------------
+
+
+def _te_loo_oracle() -> str:
+    from .operators.encode import target_encode_loo_sql
+
+    return target_encode_loo_sql(
+        DUCK, "orders", "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+
+
+@register("target_encode_loo_orders", oracle=_te_loo_oracle())
+def target_encode_loo_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of order priority against order
+    value — the leakage-safe categorical encoder (row i's own label is
+    subtracted from its category's EXACT decimal sum before the one
+    IEEE division; m=10 pseudo-counts shrink rare categories to the
+    global prior).  ONE window exchange on the category key; the prior
+    is a one-row aggregate state cross join."""
+    from .operators.encode import target_encode_loo
+
+    orders = load_table(spark, "orders", sf_dir)
+    return target_encode_loo(
+        orders, "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+
+
+def _te_kfold_oracle() -> str:
+    from .operators.encode import target_encode_kfold_sql
+
+    return target_encode_kfold_sql(
+        DUCK, "orders", "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+
+
+@register("target_encode_kfold_orders", oracle=_te_kfold_oracle())
+def target_encode_kfold_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold out-of-fold target encoding: row i in fold f (md5
+    hash-range of the id — deterministic, append-stable, never an RNG)
+    is encoded from the OTHER folds' exact decimal statistics.  Both
+    the per-category and per-(category, fold) windows ride the SAME
+    category-key exchange (hash partitioning on cat co-locates every
+    (cat, fold) group), so the oof variant costs no extra shuffle over
+    the LOO form."""
+    from .functions.text_fns import SPARK as _S
+    from .operators.encode import target_encode_kfold_sql
+
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders")
+    return spark.sql(
+        target_encode_kfold_sql(
+            _S, "orders", "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Behavioral sequence mining (operators/funnel.py) — SURVEY §2.5 r9
 # --------------------------------------------------------------------------
 
@@ -7677,6 +7734,8 @@ def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
 
 GRADE_PRIORITY: list[str] = [
     # -- NEW in r9 -> grade first --
+    "target_encode_loo_orders",
+    "target_encode_kfold_orders",
     "kmv_distinct_orders_by_flag",
     "kmv_audience_overlap_lineitem",
     "brown_trend_events",
