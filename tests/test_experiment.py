@@ -103,3 +103,47 @@ def test_ranked_auc_perfect_and_inverted(spark):
     pdf["s"] = -pdf["s"]
     inverted = ranked_auc(spark.createDataFrame(pdf), "s", "y").toPandas()
     assert inverted.auc[0] == 0.0
+
+
+def test_calibration_bins_perfectly_calibrated(spark):
+    """Score == within-bin positive rate by construction -> gap 0."""
+    from time_sift_spark.functions.text_fns import SPARK as D
+    from time_sift_spark.operators.experiment import calibration_bins_sql
+
+    rows = []
+    for b in range(10):
+        p = b / 10 + 0.05
+        for i in range(100):
+            rows.append((p, 1 if i < round(p * 100) else 0))
+    pdf = pd.DataFrame(rows, columns=["s", "y"])
+    spark.createDataFrame(pdf).createOrReplaceTempView("_cal_t")
+    out = (
+        spark.sql(calibration_bins_sql(D, "_cal_t", "s", "y"))
+        .toPandas().sort_values("bin").reset_index(drop=True)
+    )
+    assert len(out) == 10
+    assert (out.n_bin == 100).all()
+    assert out.gap.abs().max() <= 0.001 + 1e-12
+
+
+def test_brier_decomposition_identity(spark):
+    """Murphy identity: brier == reliability - resolution + uncertainty
+    when scores are constant within bins (planted that way)."""
+    from time_sift_spark.functions.text_fns import SPARK as D
+    from time_sift_spark.operators.experiment import brier_decomposition_sql
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for b in range(10):
+        p = b / 10 + 0.05
+        frac = min(1.0, max(0.0, p + (0.1 if b % 2 else -0.1)))
+        for i in range(200):
+            rows.append((p, 1 if i < round(frac * 200) else 0))
+    pdf = pd.DataFrame(rows, columns=["s", "y"])
+    spark.createDataFrame(pdf).createOrReplaceTempView("_br_t")
+    out = spark.sql(brier_decomposition_sql(D, "_br_t", "s", "y")).toPandas()
+    r = out.iloc[0]
+    assert r.n_eval == 2000
+    assert abs(r.brier - (r.reliability - r.resolution + r.uncertainty)) < 1e-4
+    # reliability reflects the planted +-0.1 miscalibration: ~0.01
+    assert 0.005 < r.reliability < 0.02

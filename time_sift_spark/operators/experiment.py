@@ -46,7 +46,10 @@ from pyspark.sql import DataFrame
 from ..errors import ColumnNotFoundError
 from ..functions.text_fns import SPARK, Dialect
 
-__all__ = ["cuped_sql", "cuped", "ranked_auc"]
+__all__ = [
+    "cuped_sql", "cuped", "ranked_auc",
+    "calibration_bins_sql", "brier_decomposition_sql",
+]
 
 
 def cuped_sql(
@@ -201,3 +204,122 @@ def ranked_auc(
         )
         out = out.crossJoin(acc)
     return out
+
+
+def calibration_bins_sql(
+    d: Dialect,
+    table: str,
+    score_col: str,
+    label_col: str,
+    *,
+    bins: int = 10,
+    round_to: int = 6,
+) -> str:
+    """Reliability-curve bins for a probability-like score: per bin,
+    the count, exact-decimal mean score, empirical positive fraction,
+    and their gap — the table a calibration plot (and Platt/isotonic
+    recalibration decision) reads.  Determinism: the score quantizes to
+    DECIMAL(18,6) at the scan, bin sums stay exact decimal, and each
+    output double is one dec→double cast + one IEEE division; the gap
+    is round_double'd in pure double arithmetic.  Scale: ONE shuffle on
+    the (≤ ``bins``-valued) bin key with partial aggregation.
+    """
+    from . import _num
+
+    sdec = f"CAST({score_col} AS DECIMAL(18,6))"
+    b = (
+        f"LEAST(CAST(FLOOR(CAST({score_col} AS DOUBLE) * {bins}.0) AS INT),"
+        f" {bins - 1})"
+    )
+    mean_s = f"({_num.dec_to_double('ssum')} / CAST(n_bin AS DOUBLE))"
+    frac = "(CAST(ny AS DOUBLE) / CAST(n_bin AS DOUBLE))"
+    return f"""
+    WITH _cb AS (
+      SELECT {b} AS bin, {sdec} AS s,
+             CASE WHEN {label_col} = 1 THEN 1 ELSE 0 END AS y
+      FROM {table}
+    ),
+    _cg AS (
+      SELECT bin, COUNT(*) AS n_bin, SUM(s) AS ssum,
+             CAST(SUM(y) AS BIGINT) AS ny
+      FROM _cb GROUP BY bin
+    )
+    SELECT bin, n_bin,
+           {_num.round_double(mean_s, round_to)} AS mean_score,
+           {_num.round_double(frac, round_to)} AS frac_pos,
+           {_num.round_double(f"({frac} - {mean_s})", round_to)} AS gap
+    FROM _cg
+    """
+
+
+def brier_decomposition_sql(
+    d: Dialect,
+    table: str,
+    score_col: str,
+    label_col: str,
+    *,
+    bins: int = 10,
+    round_to: int = 6,
+) -> str:
+    """Brier score + Murphy (1973) decomposition into reliability −
+    resolution + uncertainty, computed bin-wise.  The per-row squared
+    error (p−y)² is an EXACT decimal product (the CUPED moment
+    discipline: DECIMAL(18,6) × DECIMAL(19,6) → scale-12, inside both
+    engines' exact range), so the Brier sum never reassociates; the
+    per-bin decomposition terms are rounded in pure double arithmetic
+    and quantized to decimal BEFORE their ≤ ``bins``-row sum, which
+    makes the k-term additions exact too.  One shuffle on the bin key;
+    the global moments are one-row aggregate STATE.
+    Output (one row): n_eval, brier, reliability, resolution,
+    uncertainty.
+    """
+    from . import _num
+
+    sdec = f"CAST({score_col} AS DECIMAL(18,6))"
+    b = (
+        f"LEAST(CAST(FLOOR(CAST({score_col} AS DOUBLE) * {bins}.0) AS INT),"
+        f" {bins - 1})"
+    )
+    sq = (
+        "CAST((s - y) * CAST((s - y) AS DECIMAL(19,6)) AS DECIMAL(38,12))"
+    )
+    pbar_k = f"({_num.dec_to_double('ssum')} / CAST(n_k AS DOUBLE))"
+    ybar_k = "(CAST(ny AS DOUBLE) / CAST(n_k AS DOUBLE))"
+    ybar = "(CAST(gy AS DOUBLE) / CAST(gn AS DOUBLE))"
+    rel_t = _num.round_double(
+        f"(CAST(n_k AS DOUBLE) * ({pbar_k} - {ybar_k}) * ({pbar_k} - {ybar_k}))",
+        8,
+    )
+    res_t = _num.round_double(
+        f"(CAST(n_k AS DOUBLE) * ({ybar_k} - {ybar}) * ({ybar_k} - {ybar}))",
+        8,
+    )
+    return f"""
+    WITH _bb AS (
+      SELECT {b} AS bin, {sdec} AS s,
+             CASE WHEN {label_col} = 1 THEN 1 ELSE 0 END AS y
+      FROM {table}
+    ),
+    _bg AS (
+      SELECT bin, COUNT(*) AS n_k, SUM(s) AS ssum,
+             CAST(SUM(y) AS BIGINT) AS ny,
+             SUM({sq}) AS sq_k
+      FROM _bb GROUP BY bin
+    ),
+    _bglob AS (
+      SELECT CAST(SUM(n_k) AS BIGINT) AS gn, CAST(SUM(ny) AS BIGINT) AS gy,
+             CAST(SUM(sq_k) AS DECIMAL(38,12)) AS gsq
+      FROM _bg
+    ),
+    _bterms AS (
+      SELECT CAST(SUM(CAST({rel_t} AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS rel_sum,
+             CAST(SUM(CAST({res_t} AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS res_sum
+      FROM _bg CROSS JOIN _bglob
+    )
+    SELECT gn AS n_eval,
+           {_num.round_double(f"({_num.dec_to_double('gsq')} / CAST(gn AS DOUBLE))", round_to)} AS brier,
+           {_num.round_double(f"({_num.dec_to_double('rel_sum')} / CAST(gn AS DOUBLE))", round_to)} AS reliability,
+           {_num.round_double(f"({_num.dec_to_double('res_sum')} / CAST(gn AS DOUBLE))", round_to)} AS resolution,
+           {_num.round_double(f"({ybar} * (1.0 - {ybar}))", round_to)} AS uncertainty
+    FROM _bglob CROSS JOIN _bterms
+    """

@@ -5747,6 +5747,92 @@ def quality_score_persisted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_quality_model(spark, path, docs)
 
 
+def _quality_eval_view(spark: SparkSession, sf_dir: str, view: str):
+    """Held-out (quality_score, y) frame — the shared eval input of the
+    AUC / calibration / Brier queries."""
+    from .functions.text_fns import SPARK as _S
+    from .operators.text import quality_classifier_score
+
+    docs = load_table(spark, "documents", sf_dir)
+    scored = quality_classifier_score(
+        docs, "text", "doc_id",
+        label_pred="lang = 'en'", train_pred=_qc_train_pred(_S),
+    )
+    lab = docs.where(f"NOT ({_qc_train_pred(_S)})").selectExpr(
+        "doc_id", "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y"
+    )
+    scored.join(lab, "doc_id").select(
+        "quality_score", "y"
+    ).createOrReplaceTempView(view)
+
+
+def _quality_eval_oracle_ctes() -> str:
+    from .operators.text import quality_classifier_sql
+
+    qc = quality_classifier_sql(
+        DUCK, "documents", "text", "doc_id",
+        label_pred="lang = 'en'", train_pred=_qc_train_pred(DUCK),
+    )
+    return f"""
+    WITH scored AS ({qc}),
+    lab AS (
+      SELECT doc_id AS did2, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents WHERE NOT ({_qc_train_pred(DUCK)})
+    ),
+    _qev AS (
+      SELECT s.quality_score, l.y
+      FROM scored s JOIN lab l ON l.did2 = s.doc_id
+    )"""
+
+
+def _calibration_oracle() -> str:
+    from .operators.experiment import calibration_bins_sql
+
+    inner = calibration_bins_sql(DUCK, "_qev", "quality_score", "y")
+    return f"{_quality_eval_oracle_ctes()} SELECT * FROM ({inner}) _c"
+
+
+@register("calibration_quality_docs", oracle=_calibration_oracle())
+def calibration_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability curve of the quality classifier on its held-out
+    md5-half: decile bins of the mean-posterior score vs the empirical
+    positive fraction, with the per-bin gap — the evaluation a
+    recalibration decision (Platt/isotonic) reads, next to
+    quality_auc_docs' ranking view.  ONE shuffle on the ≤10-valued bin
+    key; per-bin means are exact decimal sums with one IEEE division
+    each (operators/experiment.calibration_bins_sql)."""
+    from .functions.text_fns import SPARK as _S
+    from .operators.experiment import calibration_bins_sql
+
+    _quality_eval_view(spark, sf_dir, "_qev")
+    return spark.sql(calibration_bins_sql(_S, "_qev", "quality_score", "y"))
+
+
+def _brier_oracle() -> str:
+    from .operators.experiment import brier_decomposition_sql
+
+    inner = brier_decomposition_sql(DUCK, "_qev", "quality_score", "y")
+    return f"{_quality_eval_oracle_ctes()} SELECT * FROM ({inner}) _b"
+
+
+@register("brier_quality_docs", oracle=_brier_oracle())
+def brier_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score + Murphy decomposition (reliability − resolution +
+    uncertainty) of the quality classifier — the PROPER-score companion
+    to AUC: AUC rewards ranking, Brier punishes miscalibrated
+    confidence.  The per-row squared error is an exact decimal product
+    (the CUPED moment discipline), the ≤10 decomposition terms quantize
+    to decimal before their sum, and the global moments are one-row
+    aggregate state (operators/experiment.brier_decomposition_sql)."""
+    from .functions.text_fns import SPARK as _S
+    from .operators.experiment import brier_decomposition_sql
+
+    _quality_eval_view(spark, sf_dir, "_qev")
+    return spark.sql(
+        brier_decomposition_sql(_S, "_qev", "quality_score", "y")
+    )
+
+
 def _dsir_resample_oracle() -> str:
     from .operators.text import dsir_resample_sql
 
@@ -7734,6 +7820,8 @@ def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
 
 GRADE_PRIORITY: list[str] = [
     # -- NEW in r9 -> grade first --
+    "calibration_quality_docs",
+    "brier_quality_docs",
     "target_encode_loo_orders",
     "target_encode_kfold_orders",
     "kmv_distinct_orders_by_flag",
