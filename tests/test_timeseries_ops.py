@@ -853,3 +853,57 @@ def test_interval_join_auto_picks_strategy_by_size(spark):
     a = small.orderBy("l_lv", "delta_us").toPandas()
     b = big.orderBy("l_lv", "delta_us").toPandas()
     pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+def test_theil_sen_recovers_planted_slope(spark):
+    """Clean linear series: slope recovered exactly (all pairwise
+    slopes identical -> their median is the slope)."""
+    import pandas as pd
+
+    from time_sift_spark.operators.trend import theil_sen
+
+    ts = pd.date_range("2024-01-01", periods=20, freq="D")
+    pdf = pd.DataFrame({
+        "k": ["a"] * 20,
+        "ts": ts,
+        "v": [100.0 + 2.5 * i for i in range(20)],
+    })
+    out = theil_sen(spark.createDataFrame(pdf), "v", "ts", "k").toPandas()
+    assert out.n_points[0] == 20 and out.n_pairs[0] == 190
+    assert abs(out.slope_per_day[0] - 2.5) < 1e-9
+
+
+def test_theil_sen_robust_to_outlier_where_ols_is_not(spark):
+    """One corrupted day: OLS slope moves by >3x, Theil-Sen stays
+    within 10% of truth — the breakdown-point claim, measured."""
+    import pandas as pd
+
+    from time_sift_spark.operators.trend import linear_trend, theil_sen
+
+    ts = pd.date_range("2024-01-01", periods=21, freq="D")
+    v = [10.0 + 1.0 * i for i in range(21)]
+    v[20] = 10000.0  # corrupted bucket (at the end, where OLS leverage is max)
+    pdf = pd.DataFrame({"k": ["a"] * 21, "ts": ts, "v": v})
+    df = spark.createDataFrame(pdf)
+    robust = theil_sen(df, "v", "ts", "k").toPandas().slope_per_day[0]
+    ols = linear_trend(df, "v", "ts", group_by="k").toPandas().slope_per_day[0]
+    assert abs(robust - 1.0) < 0.1
+    assert abs(ols - 1.0) > 3.0
+
+
+def test_theil_sen_single_bucket_series_drops(spark):
+    import pandas as pd
+    import pytest
+
+    from time_sift_spark.errors import ColumnNotFoundError
+    from time_sift_spark.operators.trend import theil_sen
+
+    ts = pd.to_datetime(["2024-01-01", "2024-01-01", "2024-01-02"])
+    pdf = pd.DataFrame({"k": ["solo", "solo", "ok"], "ts": ts,
+                        "v": [1.0, 2.0, 3.0]})
+    # 'solo' has one bucket (two rows, same day) -> no pairs; 'ok' has
+    # one bucket -> also drops; frame with a two-bucket key survives
+    out = theil_sen(spark.createDataFrame(pdf), "v", "ts", "k").toPandas()
+    assert len(out) == 0
+    with pytest.raises(ColumnNotFoundError):
+        theil_sen(spark.createDataFrame(pdf), "nope", "ts", "k")

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from ..errors import ColumnNotFoundError
 from ._time import assert_time_dtype
 
-__all__ = ["linear_trend", "linear_trend_oracle_sql"]
+__all__ = ["linear_trend", "linear_trend_oracle_sql", "theil_sen", "theil_sen_sql"]
 
 # x in epoch seconds minus a fixed conditioning offset (integer ops,
 # exact in both engines). Without the offset, n·Sxx - Sx² cancels ~10 of
@@ -124,3 +124,125 @@ def linear_trend_oracle_sql(
     )
     SELECT {group_by}, {fit_sel} FROM sums
     """
+
+
+# -- Theil-Sen robust trend ------------------------------------------------
+
+def _ts_sorted_arr(d, col: str) -> str:
+    if d.name == "spark":
+        return f"sort_array(collect_list({col}))"
+    return f"list_sort(list({col}))"
+
+
+def _ts_mid(d, arr: str) -> str:
+    """Sorted-array middle interpolation (the rolling_median shared
+    expression, dialect-dispatched): one add + one division on the same
+    two elements in both engines."""
+    if d.name == "spark":
+        lo = f"element_at({arr}, CAST(floor((size({arr})+1)/2) AS INT))"
+        hi = f"element_at({arr}, CAST(floor((size({arr})+2)/2) AS INT))"
+    else:
+        lo = f"({arr})[CAST(floor((len({arr})+1)/2) AS INT)]"
+        hi = f"({arr})[CAST(floor((len({arr})+2)/2) AS INT)]"
+    return f"(({lo} + {hi})/2.0)"
+
+
+def theil_sen_sql(
+    d,
+    table: str,
+    value_col: str,
+    time_col: str,
+    group_col: str,
+    *,
+    round_to: int = 6,
+) -> str:
+    """Per-series Theil-Sen robust trend (Theil 1950 / Sen 1968): the
+    MEDIAN of all pairwise slopes over the DAILY-bucketed series, plus
+    the median-residual intercept — the estimator with a 29% breakdown
+    point where OLS (linear_trend) has zero: a single corrupted bucket
+    moves the OLS slope arbitrarily but not this one (tested).
+
+    Shape: the day bucketing is one exact-decimal groupBy; pairs come
+    from a SELF EQUI-JOIN on the series key (never a cross join across
+    keys); medians are sorted-array middles per key.  Pair count is
+    C(buckets, 2) per series — quadratic in the BOUNDED bucket
+    calendar (the rolling-corr posture), never in row count: 10 years
+    of daily buckets is ~6.7M pairs per key, one partition's aggregate
+    state.  Determinism: bucket sums are exact decimal; each slope is
+    one dec→double cast + one IEEE division of exact integers; the
+    median interpolation is the rolling_median shared expression; the
+    slope is round_double'd BEFORE the residual multiply so the
+    intercept pass consumes the identical double on both engines.
+
+    Output per series: n_points, n_pairs, slope_per_day, intercept
+    (median of y − slope·day at day 0 = 1970-01-01).  Series with a
+    single bucket drop out (no pairs — nothing to estimate).
+    """
+    from . import _num
+
+    if d.name == "spark":
+        day = f"datediff(CAST({time_col} AS DATE), DATE '1970-01-01')"
+    else:
+        day = f"datediff('day', DATE '1970-01-01', CAST({time_col} AS DATE))"
+    ydec = f"CAST({value_col} AS DECIMAL(18,6))"
+    slope_raw = (
+        f"({_num.dec_to_double('(b.y - a.y)')} / CAST(b.x - a.x AS DOUBLE))"
+    )
+    return f"""
+    WITH _tsb AS (
+      SELECT {group_col} AS k, {day} AS x,
+             CAST(SUM({ydec}) AS DECIMAL(18,6)) AS y
+      FROM {table} GROUP BY {group_col}, {day}
+    ),
+    _tsp AS (
+      SELECT a.k AS k, {slope_raw} AS slope
+      FROM _tsb a JOIN _tsb b ON a.k = b.k AND b.x > a.x
+    ),
+    _tsa AS (
+      SELECT k, {_ts_sorted_arr(d, 'slope')} AS sarr,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM _tsp GROUP BY k
+    ),
+    _tss AS (
+      SELECT k, n_pairs,
+             {_num.round_double(_ts_mid(d, 'sarr'), round_to)} AS slope
+      FROM _tsa
+    ),
+    _tsr AS (
+      SELECT p.k AS k, s.slope AS slope, s.n_pairs AS n_pairs,
+             ({_num.dec_to_double('p.y')} - s.slope * CAST(p.x AS DOUBLE))
+               AS resid
+      FROM _tsb p JOIN _tss s ON p.k = s.k
+    ),
+    _tsi AS (
+      SELECT k, slope, n_pairs, CAST(COUNT(*) AS BIGINT) AS n_points,
+             {_ts_sorted_arr(d, 'resid')} AS rarr
+      FROM _tsr GROUP BY k, slope, n_pairs
+    )
+    SELECT k AS {group_col}, n_points, n_pairs, slope AS slope_per_day,
+           {_num.round_double(_ts_mid(d, 'rarr'), round_to)} AS intercept
+    FROM _tsi
+    """
+
+
+def theil_sen(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    group_col: str,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """DataFrame front door for :func:`theil_sen_sql`."""
+    from ..functions.text_fns import SPARK as _S
+
+    for c in (value_col, time_col, group_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    assert_time_dtype(df, time_col)
+    view = "_ts_theilsen_in"
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(
+        theil_sen_sql(_S, view, value_col, time_col, group_col,
+                      round_to=round_to)
+    )

@@ -5098,6 +5098,28 @@ def trend_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linear_trend(events, "value", "ts", group_by="user_id")
 
 
+def _theil_sen_oracle() -> str:
+    from .operators.trend import theil_sen_sql
+
+    return theil_sen_sql(DUCK, "events", "value", "ts", "event_type")
+
+
+@register("theil_sen_trend_events", oracle=_theil_sen_oracle())
+def theil_sen_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust daily trend per event type — the median of all
+    pairwise bucket slopes (29% breakdown point where the OLS
+    trend_user_value has zero; a single corrupted day can't move it —
+    tested).  Day bucketing is one exact-decimal groupBy; pairs come
+    from a SELF equi-join on the series key over the bounded bucket
+    calendar (C(30,2)=435 pairs/series here — quadratic in buckets,
+    never rows); medians are sorted-array middles with the
+    rolling_median shared interpolation (operators/trend.theil_sen)."""
+    from .operators.trend import theil_sen
+
+    events = load_table(spark, "events", sf_dir)
+    return theil_sen(events, "value", "ts", "event_type")
+
+
 def _mad_oracle() -> str:
     from .operators.rolling import mad_outliers_oracle_sql
 
@@ -7820,6 +7842,7 @@ def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
 
 GRADE_PRIORITY: list[str] = [
     # -- NEW in r9 -> grade first --
+    "theil_sen_trend_events",
     "calibration_quality_docs",
     "brier_quality_docs",
     "target_encode_loo_orders",
