@@ -192,3 +192,43 @@ def test_keyword_extract_ranks_rare_terms(spark):
         spark.createDataFrame(pdf), "id", "txt", topn=2, min_df=2, max_df_frac=0.9
     ).toPandas()
     assert set(out2.term) == {"xyz"} and set(out2.id) == {1, 2}
+
+
+def test_readability_sentences_and_syllables(spark):
+    from time_sift_spark.operators.text import readability
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    # 2 sentences, 6 words; known vowel groups
+                    "The cat sat. The dog ran!",
+                    # no punctuation -> one sentence (the corpus case)
+                    "alpha beta gamma",
+                    # vowel-less tokens floor at 1 syllable each
+                    "zzz brr tsk",
+                    # repeated token -> high simpson_rep, low ttr
+                    "spark spark spark spark",
+                ],
+            }
+        )
+    )
+    rows = {r["doc_id"]: r for r in readability(df, "text", "doc_id").collect()}
+
+    r0 = rows[0]
+    assert r0["n_sentences"] == 2 and r0["n_words"] == 6
+    # the/cat/sat/the/dog/ran -> 1 vowel group each
+    assert r0["n_syllables"] == 6
+    # W/S = 3, Syl/W = 1 -> flesch = 206.835 - 3.045 - 84.6
+    assert rows[0]["flesch"] == pytest.approx(119.19, abs=1e-6)
+
+    assert rows[1]["n_sentences"] == 1
+    assert rows[1]["n_syllables"] == 2 + 2 + 2  # al-pha, be-ta(+a? groups: a/a, e/a, a/a) = 6
+
+    assert rows[2]["n_syllables"] == 3  # floor 1 per vowel-less token
+    assert rows[3]["ttr"] == pytest.approx(0.25)
+    assert rows[3]["simpson_rep"] == pytest.approx(1.0)
+    # zero-token docs drop out
+    empty = spark.createDataFrame(pd.DataFrame({"doc_id": [9], "text": ["!!! ..."]}))
+    assert readability(empty, "text", "doc_id").count() == 0

@@ -7813,6 +7813,28 @@ def attribution_revenue_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _readability_oracle() -> str:
+    from .operators.text import readability_sql
+
+    return readability_sql(DUCK, "documents", "text", "doc_id")
+
+
+@register("readability_docs", oracle=_readability_oracle())
+def readability_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document readability + lexical-diversity panel (Flesch,
+    FK grade, type-token ratio, Simpson repeat probability) over
+    deterministic structural proxies — vowel-group syllables,
+    terminator-run sentences (this corpus has no punctuation, so every
+    doc reads as one sentence; the unit tests exercise the splitter on
+    punctuated text).  One explode → (doc, token) partial agg → per-doc
+    reduce; every ratio is one IEEE division of exact BIGINTs
+    (operators/text.py:readability_sql)."""
+    from .operators.text import readability
+
+    docs = load_table(spark, "documents", sf_dir)
+    return readability(docs, "text", "doc_id")
+
+
 def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
     """Every registry callable must work on a session the engine didn't
     build (the external harness's bare SparkSession) — set the runtime
@@ -7842,6 +7864,7 @@ def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
 
 GRADE_PRIORITY: list[str] = [
     # -- NEW in r9 -> grade first --
+    "readability_docs",
     "theil_sen_trend_events",
     "calibration_quality_docs",
     "brier_quality_docs",
