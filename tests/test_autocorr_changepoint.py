@@ -153,3 +153,38 @@ def test_linear_trend_constant_series(spark):
     assert r.intercept == 7.0
     # zero y-variance: R² is undefined -> NULL (same convention as corr)
     assert pd.isna(r.r2)
+
+
+def test_changepoint_locator_finds_planted_shift(spark):
+    from time_sift_spark.operators.changepoint import changepoint_locate
+
+    # 30 daily buckets per key; key "a" jumps from ~1.0 to ~5.0 after day 14,
+    # key "b" is stable. Noise is small vs the 4.0 shift.
+    rng = np.random.default_rng(7)
+    rows = []
+    for day in range(30):
+        ts = pd.Timestamp("2024-01-01") + pd.Timedelta(days=day)
+        base_a = 1.0 if day < 15 else 5.0
+        for _ in range(3):
+            rows.append(("a", ts, base_a + rng.normal(scale=0.05)))
+            rows.append(("b", ts, 2.0 + rng.normal(scale=0.05)))
+    pdf = pd.DataFrame(rows, columns=["k", "ts", "v"])
+    out = {
+        r["k"]: r
+        for r in changepoint_locate(
+            spark.createDataFrame(pdf), "v", "ts", "k"
+        ).collect()
+    }
+    a = out["a"]
+    assert a["n_buckets"] == 30
+    assert a["cp_index"] == 15  # last bucket of the low regime
+    assert a["cp_last_day_before"] == pd.Timestamp("2024-01-15")
+    # daily buckets SUM 3 draws -> means ~3.0 and ~15.0
+    assert a["mean_before"] == pytest.approx(3.0, abs=0.5)
+    assert a["mean_after"] == pytest.approx(15.0, abs=0.5)
+    # the stable key's best split has near-zero gain vs the shifted key's
+    assert out["b"]["gain"] < a["gain"] / 100.0
+
+    # single-bucket series drop out (no candidate split)
+    one = pd.DataFrame({"k": ["c"], "ts": [pd.Timestamp("2024-01-01")], "v": [1.0]})
+    assert changepoint_locate(spark.createDataFrame(one), "v", "ts", "k").count() == 0

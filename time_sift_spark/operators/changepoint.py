@@ -151,3 +151,115 @@ def cusum(
         F.expr(ex["cusum"]).alias("cusum"),
         F.expr(ex["is_shift"]).alias("is_shift"),
     )
+
+
+def changepoint_locate_sql(
+    d,
+    table: str,
+    value_col: str,
+    time_col: str,
+    group_col: str,
+    *,
+    round_to: int = 6,
+) -> str:
+    """AMOC (at-most-one-changepoint) mean-shift LOCATOR per series —
+    the companion of the CUSUM flag above: CUSUM says *whether* the
+    level shifted, this says *where* and *by how much*.  For every
+    candidate split i of the daily-bucketed series it scores the
+    classic two-segment separation statistic
+
+        gain(i) = i·(n−i)/n · (mean_left − mean_right)²
+
+    (the likelihood-ratio statistic for a single mean shift under fixed
+    variance — exactly what binary segmentation maximizes) and returns
+    the argmax split: its day, both segment means, and the gain.
+
+    Shape: day bucketing is one exact-decimal groupBy; ONE exchange on
+    the series key then feeds all three window frames (row index,
+    ordered cumulative sum, per-key total) — the cusum plan; the argmax
+    is a per-key rank window over the ≤ |bucket calendar| candidate
+    rows.  Quadratic in NOTHING: unlike Theil-Sen's pairwise slopes,
+    the scan is linear in buckets.
+
+    Determinism: bucket sums, cumulative and total sums are exact
+    decimals; each mean is one dec→double cast + one IEEE division; the
+    gain is pure double arithmetic on those two quotients, round_double'd
+    BEFORE the rank, and ties break on the earlier split — both engines
+    rank identical doubles identically.  Series with a single bucket
+    have no candidate split and drop out (nothing to locate).
+    """
+    from ._num import dec_to_double, round_double
+
+    if d.name == "spark":
+        day = f"datediff(CAST({time_col} AS DATE), DATE '1970-01-01')"
+        # TIMESTAMP, not DATE: pandas reads Spark DATE as date objects but
+        # DuckDB DATE as datetime64 — the harness's representation-kind gate
+        cp_day = "CAST(date_add(DATE '1970-01-01', CAST(x AS INT)) AS TIMESTAMP)"
+    else:
+        day = f"datediff('day', DATE '1970-01-01', CAST({time_col} AS DATE))"
+        cp_day = "CAST((DATE '1970-01-01' + CAST(x AS INT)) AS TIMESTAMP)"
+    ydec = f"CAST({value_col} AS DECIMAL(18,6))"
+    m1 = f"({dec_to_double('cs')} / CAST(i AS DOUBLE))"
+    m2 = f"({dec_to_double('(st - cs)')} / CAST(n - i AS DOUBLE))"
+    gain = (
+        f"((CAST(i AS DOUBLE) * CAST(n - i AS DOUBLE) / CAST(n AS DOUBLE))"
+        f" * ({m1} - {m2}) * ({m1} - {m2}))"
+    )
+    return f"""
+    WITH _cpb AS (
+      SELECT {group_col} AS k, {day} AS x,
+             CAST(SUM({ydec}) AS DECIMAL(18,6)) AS y
+      FROM {table} GROUP BY {group_col}, {day}
+    ),
+    _cpw AS (
+      SELECT k, x, y,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY x) AS i,
+             CAST(SUM(y) OVER (PARTITION BY k ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DECIMAL(27,6)) AS cs,
+             COUNT(*) OVER (PARTITION BY k) AS n,
+             CAST(SUM(y) OVER (PARTITION BY k) AS DECIMAL(27,6)) AS st
+      FROM _cpb
+    ),
+    _cpg AS (
+      SELECT k, x, i, n,
+             {round_double(m1, round_to)} AS mean_before,
+             {round_double(m2, round_to)} AS mean_after,
+             {round_double(gain, round_to)} AS gain
+      FROM _cpw WHERE i < n
+    ),
+    _cpr AS (
+      SELECT k, x, i, n, mean_before, mean_after, gain,
+             ROW_NUMBER() OVER (PARTITION BY k
+               ORDER BY gain DESC, i ASC) AS rnk
+      FROM _cpg
+    )
+    SELECT k AS {group_col}, CAST(n AS BIGINT) AS n_buckets,
+           CAST(i AS BIGINT) AS cp_index, {cp_day} AS cp_last_day_before,
+           mean_before, mean_after, gain
+    FROM _cpr WHERE rnk = 1
+    """
+
+
+def changepoint_locate(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    group_col: str,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """DataFrame front door for :func:`changepoint_locate_sql`."""
+    from ..functions.text_fns import SPARK as _S
+    from ._time import assert_time_dtype
+
+    for c in (value_col, time_col, group_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    assert_time_dtype(df, time_col)
+    view = "_ts_cploc_in"
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(
+        changepoint_locate_sql(_S, view, value_col, time_col, group_col,
+                               round_to=round_to)
+    )

@@ -7813,6 +7813,26 @@ def attribution_revenue_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cp_locate_oracle() -> str:
+    from .operators.changepoint import changepoint_locate_sql
+
+    return changepoint_locate_sql(DUCK, "events", "value", "ts", "event_type")
+
+
+@register("changepoint_locate_events", oracle=_cp_locate_oracle())
+def changepoint_locate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMOC mean-shift locator per event type: argmax over daily-bucket
+    splits of i·(n−i)/n·(Δmean)² — where the CUSUM flag says a level
+    shifted, this returns the split day, both segment means, and the
+    gain.  One exchange on the series key feeds all three window
+    frames; the argmax is a per-key rank over the bounded bucket
+    calendar (operators/changepoint.py:changepoint_locate)."""
+    from .operators.changepoint import changepoint_locate
+
+    events = load_table(spark, "events", sf_dir)
+    return changepoint_locate(events, "value", "ts", "event_type")
+
+
 def _readability_oracle() -> str:
     from .operators.text import readability_sql
 
@@ -7864,6 +7884,7 @@ def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
 
 GRADE_PRIORITY: list[str] = [
     # -- NEW in r9 -> grade first --
+    "changepoint_locate_events",
     "readability_docs",
     "theil_sen_trend_events",
     "calibration_quality_docs",
