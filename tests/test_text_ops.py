@@ -232,3 +232,33 @@ def test_readability_sentences_and_syllables(spark):
     # zero-token docs drop out
     empty = spark.createDataFrame(pd.DataFrame({"doc_id": [9], "text": ["!!! ..."]}))
     assert readability(empty, "text", "doc_id").count() == 0
+
+
+def test_token_label_chisq_known_table(spark):
+    from time_sift_spark.operators.text import token_label_chisq
+
+    # 4 docs: "yes" appears exactly in the 2 positives, "no" in the 2
+    # negatives, "the" in all 4 (c+d = 0 -> guarded to 0.0).
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "lang": ["en", "en", "fr", "fr"],
+                "text": ["the yes yes", "the yes", "the no", "the no no"],
+            }
+        )
+    )
+    out = {
+        r["token"]: r
+        for r in token_label_chisq(
+            df, "text", "doc_id", "lang = 'en'", min_df=2
+        ).collect()
+    }
+    # perfect association: chi2 == N
+    assert out["yes"]["chisq"] == pytest.approx(4.0)
+    assert out["no"]["chisq"] == pytest.approx(4.0)
+    assert out["yes"]["df_pos"] == 2 and out["yes"]["df_neg"] == 0
+    # token in every doc carries no signal
+    assert out["the"]["chisq"] == 0.0
+    # repeats inside one doc count once (presence, not tf)
+    assert out["yes"]["df"] == 2

@@ -872,3 +872,111 @@ def readability(
     return df.sparkSession.sql(
         readability_sql(SPARK, view, text_col, id_col, round_to=round_to)
     )
+
+
+def token_label_chisq_sql(
+    d,
+    table: str,
+    text_col: str,
+    id_col: str,
+    label_expr: str,
+    *,
+    min_df: int = 2,
+    round_to: int = 6,
+) -> str:
+    """Per-token chi-square association with a boolean document label —
+    the classic feature-selection screen (which vocabulary separates
+    positive documents from negative ones) run as ONE explode pass.
+
+    For each token with document frequency ≥ ``min_df``, form the 2×2
+    presence/label contingency table (a = positive docs containing it,
+    b = negative docs containing it, c/d = the complements) and score
+
+        χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)).
+
+    Rational form — exact integer counts, then a fixed double
+    expression tree (products of exact-in-double integers, one final
+    IEEE division), round_double'd: deterministic on both engines with
+    no transcendentals (the bigram-fluency discipline).  A token
+    present in EVERY document has c+d = 0 and is scored 0 (carries no
+    signal — CASE-guarded, not an error).
+
+    Shape: explode → DISTINCT (doc, label, token) collapses repeats
+    map-side, the per-token groupBy is the one wide shuffle, and the
+    label totals are a one-row aggregate STATE crossed back in.  At
+    100 TB the contingency counts fit BIGINT (≤ doc count) and the χ²
+    products run in double — magnitude ~N⁵ ≤ 1e60 is double range
+    (overflow-free), losing only ulps that both engines lose
+    identically on the SAME expression tree.
+    """
+    from ._num import round_double
+    from .dedup import _unnest
+
+    num = (
+        "(CAST(n_tot AS DOUBLE) * (CAST(a AS DOUBLE) * CAST(dd AS DOUBLE)"
+        " - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))"
+        " * (CAST(a AS DOUBLE) * CAST(dd AS DOUBLE)"
+        " - CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))"
+    )
+    den = (
+        "(CAST(a + b AS DOUBLE) * CAST(c + dd AS DOUBLE)"
+        " * CAST(a + c AS DOUBLE) * CAST(b + dd AS DOUBLE))"
+    )
+    chisq = (
+        f"CASE WHEN (c + dd) = 0 THEN CAST(0.0 AS DOUBLE)"
+        f" ELSE {round_double(f'({num} / {den})', round_to)} END"
+    )
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS did,
+             CASE WHEN {label_expr} THEN 1 ELSE 0 END AS pos,
+             {d.tokens(text_col)} AS _toks
+      FROM {table}
+    ),
+    tok AS (
+      SELECT DISTINCT did, pos, w FROM (
+        SELECT did, pos, {_unnest(d, "_toks", "w")}
+        FROM base WHERE _toks IS NOT NULL
+      )
+    ),
+    tot AS (
+      SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(COUNT(*) - SUM(pos) AS BIGINT) AS n_neg,
+             CAST(COUNT(*) AS BIGINT) AS n_tot
+      FROM base
+    ),
+    tc AS (
+      SELECT w, CAST(SUM(pos) AS BIGINT) AS a,
+             CAST(COUNT(*) - SUM(pos) AS BIGINT) AS b
+      FROM tok GROUP BY w
+      HAVING COUNT(*) >= {min_df}
+    ),
+    ct AS (
+      SELECT w, a, b, (n_pos - a) AS c, (n_neg - b) AS dd, n_tot
+      FROM tc CROSS JOIN tot
+    )
+    SELECT w AS token, (a + b) AS df, a AS df_pos, b AS df_neg,
+           {chisq} AS chisq
+    FROM ct
+    """
+
+
+def token_label_chisq(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    label_expr: str,
+    *,
+    min_df: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """DataFrame entry point for :func:`token_label_chisq_sql`."""
+    _check(df, [text_col, id_col])
+    view = "_ts_chisq_in"
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(
+        token_label_chisq_sql(
+            SPARK, view, text_col, id_col, label_expr,
+            min_df=min_df, round_to=round_to,
+        )
+    )

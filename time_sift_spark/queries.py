@@ -7833,6 +7833,28 @@ def changepoint_locate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return changepoint_locate(events, "value", "ts", "event_type")
 
 
+def _chisq_oracle() -> str:
+    from .operators.text import token_label_chisq_sql
+
+    return token_label_chisq_sql(
+        DUCK, "documents", "text", "doc_id", "lang = 'en'", min_df=2
+    )
+
+
+@register("token_chisq_docs", oracle=_chisq_oracle())
+def token_chisq_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square token–label feature selection: which vocabulary
+    separates English docs from the rest — 2×2 presence/label
+    contingency per token from ONE explode pass, χ² in rational form
+    (exact BIGINT counts, one fixed double expression tree).  The
+    distinct (doc, token) collapse partial-aggregates map-side; label
+    totals are one-row state (operators/text.py:token_label_chisq)."""
+    from .operators.text import token_label_chisq
+
+    docs = load_table(spark, "documents", sf_dir)
+    return token_label_chisq(docs, "text", "doc_id", "lang = 'en'", min_df=2)
+
+
 def _readability_oracle() -> str:
     from .operators.text import readability_sql
 
@@ -7885,6 +7907,7 @@ def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
 GRADE_PRIORITY: list[str] = [
     # -- NEW in r9 -> grade first --
     "changepoint_locate_events",
+    "token_chisq_docs",
     "readability_docs",
     "theil_sen_trend_events",
     "calibration_quality_docs",

@@ -120,6 +120,7 @@ SHOWCASE = {
     "quality_auc_docs": "Ranked AUC: rows reduce to per-distinct-score groups BEFORE any ordering; the cumulative count is the two-pass bucketed prefix scan (per-bucket windows + an O(buckets) driver fold) - the global order never touches the row population.",
     "seasonal_anomaly_events": "Seasonal anomaly: the hour-slot stats window and the two MAD medians are the composition's windows - the MAD pair shares ONE user_id exchange; the screen is windows + projections, no joins at all.",
     "changepoint_locate_events": "Changepoint locator: the daily-bucket groupBy then ONE series-key exchange feeding index/cumsum/total window frames and the argmax rank - linear in buckets; means are one dec->double division each and the gain is ranked AFTER round_double with an earlier-split tiebreak.",
+    "token_chisq_docs": "Token-label chi-square: explode feeds the DISTINCT (doc,label,token) collapse (map-side partial), then ONE token-key shuffle; label totals are a one-row state cross join; the chi-square is a fixed double tree over exact BIGINT counts.",
     "readability_docs": "Readability: one explode feeds the (doc, token) partial-aggregated groupBy, then the per-doc reduce - sentence counts ride the grouping keys (no join-back); every ratio is one IEEE division of exact BIGINTs.",
     "theil_sen_trend_events": "Theil-Sen: daily buckets from one exact-decimal groupBy; pairwise slopes via a SELF EQUI-JOIN on the series key (never cross-key); both medians are per-key sorted-array middles - pair state is quadratic in the bounded bucket calendar, not in rows.",
     "calibration_quality_docs": "Calibration bins: scores quantize at the scan, ONE shuffle on the <=10-valued bin key with partial agg; every output double is one dec->double cast + one IEEE division.",
