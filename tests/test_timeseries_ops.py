@@ -907,3 +907,41 @@ def test_theil_sen_single_bucket_series_drops(spark):
     assert len(out) == 0
     with pytest.raises(ColumnNotFoundError):
         theil_sen(spark.createDataFrame(pdf), "nope", "ts", "k")
+
+
+def test_mase_backtest_perfect_weekly_season(spark):
+    import pandas as pd
+
+    from time_sift_spark.operators.backtest import mase_backtest
+
+    # 28 days of an exact period-7 pattern: seasonal-naive is PERFECT
+    # (mae_seasonal = 0, mase = 0), naive errs by the day-to-day step.
+    pattern = [10.0, 20.0, 30.0, 40.0, 30.0, 20.0, 10.0]
+    rows = [
+        ("a", pd.Timestamp("2024-01-01") + pd.Timedelta(days=i), pattern[i % 7])
+        for i in range(28)
+    ]
+    # constant series: mae_naive = 0 -> MASE is NULL, not an error
+    rows += [
+        ("b", pd.Timestamp("2024-01-01") + pd.Timedelta(days=i), 5.0)
+        for i in range(28)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["k", "ts", "v"]))
+    out = {r["k"]: r for r in mase_backtest(df, "v", "ts", "k").collect()}
+    a = out["a"]
+    assert a["n_eval"] == 21  # rows 8..28 have both forecasts
+    assert a["mae_seasonal"] == 0.0
+    assert a["mase"] == 0.0
+    assert a["mae_naive"] > 0.0
+    b = out["b"]
+    assert b["mae_naive"] == 0.0 and b["mase"] is None
+
+    # series shorter than season+1 buckets drop out
+    short = spark.createDataFrame(
+        pd.DataFrame(
+            [("c", pd.Timestamp("2024-01-01") + pd.Timedelta(days=i), 1.0 * i)
+             for i in range(5)],
+            columns=["k", "ts", "v"],
+        )
+    )
+    assert mase_backtest(short, "v", "ts", "k").count() == 0

@@ -7833,6 +7833,26 @@ def changepoint_locate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return changepoint_locate(events, "value", "ts", "event_type")
 
 
+def _mase_oracle() -> str:
+    from .operators.backtest import mase_backtest_sql
+
+    return mase_backtest_sql(DUCK, "events", "value", "ts", "event_type")
+
+
+@register("mase_backtest_events", oracle=_mase_oracle())
+def mase_backtest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast yardstick per event type: naive and seasonal-naive MAE
+    over daily buckets plus their MASE ratio on the shared evaluation
+    window — the scale-free baseline any candidate forecaster must
+    beat.  One exchange on the series key feeds both LAG frames and the
+    per-key reduce; errors stay exact decimal until the two final
+    divisions (operators/backtest.py:mase_backtest)."""
+    from .operators.backtest import mase_backtest
+
+    events = load_table(spark, "events", sf_dir)
+    return mase_backtest(events, "value", "ts", "event_type", season=7)
+
+
 def _chisq_oracle() -> str:
     from .operators.text import token_label_chisq_sql
 
@@ -7907,6 +7927,7 @@ def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
 GRADE_PRIORITY: list[str] = [
     # -- NEW in r9 -> grade first --
     "changepoint_locate_events",
+    "mase_backtest_events",
     "token_chisq_docs",
     "readability_docs",
     "theil_sen_trend_events",
