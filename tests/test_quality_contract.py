@@ -129,3 +129,38 @@ def test_streaming_contract_equals_batch_at_drain(spark, tmp_path):
 
     with pytest.raises(ValueError, match="not streamable"):
         streaming_contract(stream, [dq_unique("k")], query_name="t_dq_stream2")
+
+
+def test_distribution_drift_detects_shift_and_handles_edges(spark):
+    import numpy as np
+    import pandas as pd
+
+    from time_sift_spark.operators.quality import distribution_drift
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for day in range(20):
+        ts = pd.Timestamp("2024-01-01") + pd.Timedelta(days=day)
+        for _ in range(50):
+            # "shifted": mean jumps 0 -> 5 in the current window
+            v = rng.normal(0.0 if day < 10 else 5.0, 1.0)
+            rows.append(("shifted", ts, v))
+            # "stable": same distribution throughout
+            rows.append(("stable", ts, rng.normal(0.0, 1.0)))
+    # reference-only group: no current rows -> NULL drift
+    rows += [("refonly", pd.Timestamp("2024-01-02"), 1.0 * i) for i in range(20)]
+    # current-only group: no reference envelope -> drops out
+    rows += [("curonly", pd.Timestamp("2024-01-15"), 1.0 * i) for i in range(20)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["k", "ts", "v"]))
+    out = {
+        r["k"]: r
+        for r in distribution_drift(df, "v", "ts", "k", "2024-01-11").collect()
+    }
+    assert "curonly" not in out
+    assert out["refonly"]["tv_distance"] is None
+    assert out["refonly"]["chisq_drift"] is None
+    # a 5-sigma mean shift clamps most current mass into the top edge bin
+    assert out["shifted"]["tv_distance"] > 0.8
+    assert out["stable"]["tv_distance"] < 0.15
+    assert out["shifted"]["chisq_drift"] > out["stable"]["chisq_drift"] * 10
+    assert out["shifted"]["n_ref"] == 500 and out["shifted"]["n_cur"] == 500

@@ -301,3 +301,140 @@ def streaming_contract(
     return drained.selectExpr(f"explode(array({arr})) AS r").select(
         "r.expectation", "r.kind", "r.metric", "r.threshold", "r.passed"
     )
+
+
+def distribution_drift_sql(
+    d,
+    table: str,
+    value_col: str,
+    time_col: str,
+    group_col: str,
+    split_date: str,
+    *,
+    bins: int = 10,
+    round_to: int = 6,
+) -> str:
+    """Distribution-drift monitor per group: total-variation distance
+    and the chi-square drift statistic between the REFERENCE window
+    (rows before ``split_date``) and the CURRENT window (rows at/after)
+    — the companion of the expectation contracts above for the question
+    they can't answer: the column is still valid, but is it still
+    *distributed* like the data the model was trained on?
+
+    PSI — the industry habit — needs ln(); under the engine-wide
+    no-transcendentals rule the monitor reports the two rational
+    measures that bound the same decision: TV = ½·Σ|p_i − q_i| (the
+    worst-case probability gap any event can see) and
+    χ² = Σ (c_cur − n_cur·p_i)²/(n_cur·p_i) over reference-supported
+    bins (the test-statistic form; mass on NOVEL bins is invisible to
+    χ² by construction and shows up in TV via the clamped edge bins).
+
+    Binning is ``bins`` fixed-width cells over the REFERENCE min/max
+    per group (exact decimals); current rows outside the reference
+    range clamp into the edge bins — exactly where range drift should
+    land.  A constant reference (min = max) puts all mass in bin 0.
+    Groups with no reference rows drop out (nothing to compare
+    against); a group with no current rows reports NULL drift
+    (undefined, not zero).
+
+    Determinism: bin ids come from one shared double expression over
+    exact-decimal differences; p/q are exact-integer divisions; each
+    per-bin term is round_double'd then DECIMAL-quantized so the ≤bins
+    -row sums are exact — order-independent on both engines.  Shape:
+    one groupBy for the reference envelope (broadcast-sized, |groups|
+    rows), one (group, bin) count shuffle, one per-group reduce.
+    """
+    from ._num import dec_to_double, round_double
+
+    if d.name == "spark":
+        on_or_after = f"(CAST({time_col} AS DATE) >= DATE '{split_date}')"
+    else:
+        on_or_after = f"(CAST({time_col} AS DATE) >= DATE '{split_date}')"
+    vdec = f"CAST({value_col} AS DECIMAL(18,6))"
+    width = f"({dec_to_double('(m.vmax - m.vmin)')} / {bins}.0)"
+    ratio = f"({dec_to_double('(b.v - m.vmin)')} / {width})"
+    bin_expr = (
+        f"CASE WHEN m.vmax = m.vmin THEN 0 "
+        f"ELSE LEAST(GREATEST(CAST(FLOOR({ratio}) AS INT), 0), {bins - 1}) END"
+    )
+    p = "(CAST(c_ref AS DOUBLE) / CAST(n_ref AS DOUBLE))"
+    q = "(CAST(c_cur AS DOUBLE) / CAST(n_cur AS DOUBLE))"
+    tv_term = round_double(f"ABS({p} - {q})", 9)
+    e_cur = f"(CAST(n_cur AS DOUBLE) * {p})"
+    chi_term = round_double(
+        f"((CAST(c_cur AS DOUBLE) - {e_cur}) * (CAST(c_cur AS DOUBLE) - {e_cur})"
+        f" / {e_cur})",
+        9,
+    )
+    return f"""
+    WITH _db AS (
+      SELECT {group_col} AS k,
+             CASE WHEN {on_or_after} THEN 1 ELSE 0 END AS cur,
+             {vdec} AS v
+      FROM {table} WHERE {value_col} IS NOT NULL
+    ),
+    _dmm AS (
+      SELECT k, MIN(v) AS vmin, MAX(v) AS vmax
+      FROM _db WHERE cur = 0 GROUP BY k
+    ),
+    _dbin AS (
+      SELECT b.k AS k, b.cur AS cur, {bin_expr} AS bin
+      FROM _db b JOIN _dmm m ON b.k = m.k
+    ),
+    _dc AS (
+      SELECT k, bin,
+             CAST(SUM(1 - cur) AS BIGINT) AS c_ref,
+             CAST(SUM(cur) AS BIGINT) AS c_cur
+      FROM _dbin GROUP BY k, bin
+    ),
+    _dn AS (
+      SELECT k, CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+             CAST(SUM(c_cur) AS BIGINT) AS n_cur
+      FROM _dc GROUP BY k
+    ),
+    _dt AS (
+      SELECT c.k AS k, n.n_ref AS n_ref, n.n_cur AS n_cur,
+             CASE WHEN n.n_cur = 0 THEN CAST(NULL AS DECIMAL(20,9))
+                  ELSE CAST({tv_term} AS DECIMAL(20,9)) END AS tv_term,
+             CASE WHEN n.n_cur = 0 THEN CAST(NULL AS DECIMAL(20,9))
+                  WHEN c.c_ref = 0 THEN CAST(0.0 AS DECIMAL(20,9))
+                  ELSE CAST({chi_term} AS DECIMAL(20,9)) END AS chi_term
+      FROM _dc c JOIN _dn n ON c.k = n.k
+    )
+    SELECT k AS {group_col}, n_ref, n_cur,
+           {round_double(f"(0.5 * {dec_to_double('SUM(tv_term)')})", round_to)}
+             AS tv_distance,
+           {round_double(dec_to_double('SUM(chi_term)'), round_to)}
+             AS chisq_drift
+    FROM _dt GROUP BY k, n_ref, n_cur
+    """
+
+
+def distribution_drift(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    group_col: str,
+    split_date: str,
+    *,
+    bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """DataFrame front door for :func:`distribution_drift_sql`."""
+    from ..functions.text_fns import SPARK as _S
+    from ._time import assert_time_dtype
+
+    for c in (value_col, time_col, group_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    assert_time_dtype(df, time_col)
+    view = "_ts_drift_in"
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(
+        distribution_drift_sql(
+            _S, view, value_col, time_col, group_col, split_date,
+            bins=bins, round_to=round_to,
+        )
+    )

@@ -7833,6 +7833,31 @@ def changepoint_locate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return changepoint_locate(events, "value", "ts", "event_type")
 
 
+def _drift_oracle() -> str:
+    from .operators.quality import distribution_drift_sql
+
+    return distribution_drift_sql(
+        DUCK, "events", "value", "ts", "event_type", "2024-01-16"
+    )
+
+
+@register("distribution_drift_events", oracle=_drift_oracle())
+def distribution_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: TV distance + χ² drift of the value
+    distribution per event type, second half of January vs the first —
+    the question expectation contracts can't answer (still valid, but
+    still distributed like the training data?).  PSI needs ln(); these
+    are the rational measures under the no-transcendentals rule.  One
+    broadcast-sized reference envelope, one (group, bin) shuffle, exact
+    quantized ≤bins-row sums (operators/quality.py:distribution_drift)."""
+    from .operators.quality import distribution_drift
+
+    events = load_table(spark, "events", sf_dir)
+    return distribution_drift(
+        events, "value", "ts", "event_type", "2024-01-16"
+    )
+
+
 def _mase_oracle() -> str:
     from .operators.backtest import mase_backtest_sql
 
@@ -7927,6 +7952,7 @@ def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
 GRADE_PRIORITY: list[str] = [
     # -- NEW in r9 -> grade first --
     "changepoint_locate_events",
+    "distribution_drift_events",
     "mase_backtest_events",
     "token_chisq_docs",
     "readability_docs",
