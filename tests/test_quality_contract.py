@@ -164,3 +164,41 @@ def test_distribution_drift_detects_shift_and_handles_edges(spark):
     assert out["stable"]["tv_distance"] < 0.15
     assert out["shifted"]["chisq_drift"] > out["stable"]["chisq_drift"] * 10
     assert out["shifted"]["n_ref"] == 500 and out["shifted"]["n_cur"] == 500
+
+
+def test_streaming_drift_equals_batch_at_drain(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    from time_sift_spark.operators.quality import (
+        distribution_drift,
+        streaming_distribution_drift,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for day in range(20):
+        ts = pd.Timestamp("2024-01-01") + pd.Timedelta(days=day)
+        for _ in range(25):
+            rows.append(("a", ts, rng.normal(0.0 if day < 10 else 3.0, 1.0)))
+            rows.append(("b", ts, rng.normal(1.0, 0.5)))
+    pdf = pd.DataFrame(rows, columns=["k", "ts", "v"])
+    path = str(tmp_path / "src")
+    spark.createDataFrame(pdf).coalesce(4).write.parquet(path)
+    static = spark.read.parquet(path)
+    stream = spark.readStream.schema("k string, ts timestamp, v double").parquet(path)
+    got = (
+        streaming_distribution_drift(
+            stream, static, "v", "ts", "k", "2024-01-11",
+            query_name="t_drift_stream",
+        )
+        .toPandas().sort_values("k").reset_index(drop=True)
+    )
+    want = (
+        distribution_drift(static, "v", "ts", "k", "2024-01-11")
+        .toPandas().sort_values("k").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert got.loc[got.k == "a", "tv_distance"].iloc[0] > got.loc[
+        got.k == "b", "tv_distance"
+    ].iloc[0]

@@ -303,6 +303,63 @@ def streaming_contract(
     )
 
 
+def _drift_bin_case(bins: int, v: str, vmin: str, vmax: str) -> str:
+    """The shared bin expression (batch SQL, DuckDB oracle, and the
+    streaming twin all render THIS text — structural equivalence, the
+    _qc_exprs rule): ``bins`` fixed-width cells over the reference
+    envelope, out-of-range values clamped into the edge bins, constant
+    envelope collapsed to bin 0."""
+    from ._num import dec_to_double
+
+    width = f"({dec_to_double(f'({vmax} - {vmin})')} / {bins}.0)"
+    ratio = f"({dec_to_double(f'({v} - {vmin})')} / {width})"
+    return (
+        f"CASE WHEN {vmax} = {vmin} THEN 0 "
+        f"ELSE LEAST(GREATEST(CAST(FLOOR({ratio}) AS INT), 0), {bins - 1}) END"
+    )
+
+
+def _drift_combine_sql(counts: str, group_col: str, round_to: int) -> str:
+    """Final drift arithmetic over a ``counts`` relation of
+    (k, bin, c_ref, c_cur) — shared verbatim by the batch statement and
+    the streaming twin's post-drain combine.  Returns a CTE-list +
+    SELECT fragment (no leading WITH) so callers splice it into their
+    own WITH chain."""
+    from ._num import dec_to_double, round_double
+
+    p = "(CAST(c_ref AS DOUBLE) / CAST(n_ref AS DOUBLE))"
+    q = "(CAST(c_cur AS DOUBLE) / CAST(n_cur AS DOUBLE))"
+    tv_term = round_double(f"ABS({p} - {q})", 9)
+    e_cur = f"(CAST(n_cur AS DOUBLE) * {p})"
+    chi_term = round_double(
+        f"((CAST(c_cur AS DOUBLE) - {e_cur}) * (CAST(c_cur AS DOUBLE) - {e_cur})"
+        f" / {e_cur})",
+        9,
+    )
+    return f"""
+    _dn AS (
+      SELECT k, CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+             CAST(SUM(c_cur) AS BIGINT) AS n_cur
+      FROM {counts} GROUP BY k
+    ),
+    _dt AS (
+      SELECT c.k AS k, n.n_ref AS n_ref, n.n_cur AS n_cur,
+             CASE WHEN n.n_cur = 0 THEN CAST(NULL AS DECIMAL(20,9))
+                  ELSE CAST({tv_term} AS DECIMAL(20,9)) END AS tv_term,
+             CASE WHEN n.n_cur = 0 THEN CAST(NULL AS DECIMAL(20,9))
+                  WHEN c.c_ref = 0 THEN CAST(0.0 AS DECIMAL(20,9))
+                  ELSE CAST({chi_term} AS DECIMAL(20,9)) END AS chi_term
+      FROM {counts} c JOIN _dn n ON c.k = n.k
+    )
+    SELECT k AS {group_col}, n_ref, n_cur,
+           {round_double(f"(0.5 * {dec_to_double('SUM(tv_term)')})", round_to)}
+             AS tv_distance,
+           {round_double(dec_to_double('SUM(chi_term)'), round_to)}
+             AS chisq_drift
+    FROM _dt GROUP BY k, n_ref, n_cur
+    """
+
+
 def distribution_drift_sql(
     d,
     table: str,
@@ -344,28 +401,9 @@ def distribution_drift_sql(
     one groupBy for the reference envelope (broadcast-sized, |groups|
     rows), one (group, bin) count shuffle, one per-group reduce.
     """
-    from ._num import dec_to_double, round_double
-
-    if d.name == "spark":
-        on_or_after = f"(CAST({time_col} AS DATE) >= DATE '{split_date}')"
-    else:
-        on_or_after = f"(CAST({time_col} AS DATE) >= DATE '{split_date}')"
+    on_or_after = f"(CAST({time_col} AS DATE) >= DATE '{split_date}')"
     vdec = f"CAST({value_col} AS DECIMAL(18,6))"
-    width = f"({dec_to_double('(m.vmax - m.vmin)')} / {bins}.0)"
-    ratio = f"({dec_to_double('(b.v - m.vmin)')} / {width})"
-    bin_expr = (
-        f"CASE WHEN m.vmax = m.vmin THEN 0 "
-        f"ELSE LEAST(GREATEST(CAST(FLOOR({ratio}) AS INT), 0), {bins - 1}) END"
-    )
-    p = "(CAST(c_ref AS DOUBLE) / CAST(n_ref AS DOUBLE))"
-    q = "(CAST(c_cur AS DOUBLE) / CAST(n_cur AS DOUBLE))"
-    tv_term = round_double(f"ABS({p} - {q})", 9)
-    e_cur = f"(CAST(n_cur AS DOUBLE) * {p})"
-    chi_term = round_double(
-        f"((CAST(c_cur AS DOUBLE) - {e_cur}) * (CAST(c_cur AS DOUBLE) - {e_cur})"
-        f" / {e_cur})",
-        9,
-    )
+    bin_expr = _drift_bin_case(bins, "b.v", "m.vmin", "m.vmax")
     return f"""
     WITH _db AS (
       SELECT {group_col} AS k,
@@ -387,26 +425,7 @@ def distribution_drift_sql(
              CAST(SUM(cur) AS BIGINT) AS c_cur
       FROM _dbin GROUP BY k, bin
     ),
-    _dn AS (
-      SELECT k, CAST(SUM(c_ref) AS BIGINT) AS n_ref,
-             CAST(SUM(c_cur) AS BIGINT) AS n_cur
-      FROM _dc GROUP BY k
-    ),
-    _dt AS (
-      SELECT c.k AS k, n.n_ref AS n_ref, n.n_cur AS n_cur,
-             CASE WHEN n.n_cur = 0 THEN CAST(NULL AS DECIMAL(20,9))
-                  ELSE CAST({tv_term} AS DECIMAL(20,9)) END AS tv_term,
-             CASE WHEN n.n_cur = 0 THEN CAST(NULL AS DECIMAL(20,9))
-                  WHEN c.c_ref = 0 THEN CAST(0.0 AS DECIMAL(20,9))
-                  ELSE CAST({chi_term} AS DECIMAL(20,9)) END AS chi_term
-      FROM _dc c JOIN _dn n ON c.k = n.k
-    )
-    SELECT k AS {group_col}, n_ref, n_cur,
-           {round_double(f"(0.5 * {dec_to_double('SUM(tv_term)')})", round_to)}
-             AS tv_distance,
-           {round_double(dec_to_double('SUM(chi_term)'), round_to)}
-             AS chisq_drift
-    FROM _dt GROUP BY k, n_ref, n_cur
+    {_drift_combine_sql('_dc', group_col, round_to).strip()}
     """
 
 
@@ -438,3 +457,95 @@ def distribution_drift(
             bins=bins, round_to=round_to,
         )
     )
+
+
+def streaming_distribution_drift(
+    stream_df: DataFrame,
+    static_df: DataFrame,
+    value_col: str,
+    time_col: str,
+    group_col: str,
+    split_date: str,
+    *,
+    bins: int = 10,
+    round_to: int = 6,
+    query_name: str,
+) -> DataFrame:
+    """Continuous form of :func:`distribution_drift`: the CURRENT window
+    arrives as a stream while the reference envelope and counts come
+    from the static frame the monitor was armed with.  Per micro-batch
+    the only state is the (group, bin) count aggregation (complete
+    mode, ≤ |groups|·bins rows — bounded regardless of stream volume);
+    at drain the combine over (static reference counts ⟗ drained
+    current counts) must equal the batch monitor over everything that
+    arrived, which IS the registered query's oracle.
+
+    Structural equivalence, not re-derivation: the bin expression and
+    the final combine are the SAME rendered SQL text as the batch
+    statement (`_drift_bin_case` / `_drift_combine_sql` — the
+    _qc_exprs rule), and the stream side derives its session from the
+    input frame (the foreachBatch-clone discipline).
+    """
+    from pyspark.sql import functions as F
+
+    for c in (value_col, time_col, group_col):
+        for frame, tag in ((stream_df, "stream"), (static_df, "static")):
+            if c not in frame.columns:
+                raise ColumnNotFoundError(
+                    f"column {c!r} not in {tag} frame {frame.columns}"
+                )
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    spark = static_df.sparkSession
+
+    on_or_after = f"(CAST({time_col} AS DATE) >= DATE '{split_date}')"
+    vdec = f"CAST({value_col} AS DECIMAL(18,6))"
+
+    # reference side (batch): envelope + (k, bin) counts
+    sview = "_ts_sdrift_static"
+    static_df.createOrReplaceTempView(sview)
+    env = spark.sql(f"""
+        SELECT {group_col} AS k, MIN({vdec}) AS vmin, MAX({vdec}) AS vmax
+        FROM {sview}
+        WHERE {value_col} IS NOT NULL AND NOT {on_or_after}
+        GROUP BY {group_col}
+    """)
+    env.createOrReplaceTempView("_ts_sdrift_env")
+    ref_counts = spark.sql(f"""
+        SELECT b.k AS k, {_drift_bin_case(bins, 'b.v', 'm.vmin', 'm.vmax')} AS bin,
+               CAST(COUNT(*) AS BIGINT) AS c_ref
+        FROM (
+          SELECT {group_col} AS k, {vdec} AS v FROM {sview}
+          WHERE {value_col} IS NOT NULL AND NOT {on_or_after}
+        ) b JOIN _ts_sdrift_env m ON b.k = m.k
+        GROUP BY b.k, {_drift_bin_case(bins, 'b.v', 'm.vmin', 'm.vmax')}
+    """)
+
+    # current side (stream): filter, stream-static join the envelope,
+    # bin with the SAME expression text, count in complete mode
+    cur = (
+        stream_df.where(F.expr(f"{value_col} IS NOT NULL AND {on_or_after}"))
+        .selectExpr(f"{group_col} AS k", f"{vdec} AS v")
+        .alias("b")
+        .join(env.alias("m"), "k")
+        .selectExpr("k", f"{_drift_bin_case(bins, 'b.v', 'm.vmin', 'm.vmax')} AS bin")
+        .groupBy("k", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_cur"))
+    )
+    from ..streaming.lag_stream import run_stream_to_df
+
+    drained = run_stream_to_df(cur, query_name, output_mode="complete")
+
+    # combine: full outer join of the two count relations, then the
+    # shared final arithmetic
+    ref_counts.createOrReplaceTempView("_ts_sdrift_ref")
+    drained.createOrReplaceTempView("_ts_sdrift_cur")
+    return spark.sql(f"""
+    WITH _dc AS (
+      SELECT COALESCE(r.k, c.k) AS k, COALESCE(r.bin, c.bin) AS bin,
+             COALESCE(r.c_ref, 0) AS c_ref, COALESCE(c.c_cur, 0) AS c_cur
+      FROM _ts_sdrift_ref r
+      FULL OUTER JOIN _ts_sdrift_cur c ON r.k = c.k AND r.bin = c.bin
+    ),
+    {_drift_combine_sql('_dc', group_col, round_to).strip()}
+    """)

@@ -7858,6 +7858,27 @@ def distribution_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("streaming_drift_events", oracle=_drift_oracle())
+def streaming_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of distribution_drift_events: the current window
+    arrives as a replayed stream, the reference envelope/counts come
+    from the static frame, and per-micro-batch state is the bounded
+    (group, bin) count aggregation.  At drain the combine must equal
+    the batch monitor over everything that arrived — the oracle IS the
+    batch statement; bin and combine SQL are shared text
+    (operators/quality.py:streaming_distribution_drift)."""
+    from .operators.quality import streaming_distribution_drift
+    from .sources.catalog import read_events_stream
+    from .streaming.lag_stream import _next_stream_name
+
+    stream = read_events_stream(spark, sf_dir)
+    static = load_table(spark, "events", sf_dir)
+    return streaming_distribution_drift(
+        stream, static, "value", "ts", "event_type", "2024-01-16",
+        query_name=_next_stream_name("drift"),
+    )
+
+
 def _mase_oracle() -> str:
     from .operators.backtest import mase_backtest_sql
 
@@ -7953,6 +7974,7 @@ GRADE_PRIORITY: list[str] = [
     # -- NEW in r9 -> grade first --
     "changepoint_locate_events",
     "distribution_drift_events",
+    "streaming_drift_events",
     "mase_backtest_events",
     "token_chisq_docs",
     "readability_docs",

@@ -51,6 +51,7 @@ def main() -> int:
         "lag_shape", "lag_matrix_pd", "lag_plan", "lag_stream", "ann_lsh",
         "lag_rank", "lag_set", "stream_df", "streaming_lag",
         "lag_map", "lag_matrix_np",          # API/prose tokens, not queries
+        "streaming_distribution_drift",      # operator function, not a query
         "lag_orders_totalprice",             # deliberate historical citation
     }
     for name in sorted(queryish - set(REGISTRY) - allow):

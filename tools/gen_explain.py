@@ -120,6 +120,7 @@ SHOWCASE = {
     "quality_auc_docs": "Ranked AUC: rows reduce to per-distinct-score groups BEFORE any ordering; the cumulative count is the two-pass bucketed prefix scan (per-bucket windows + an O(buckets) driver fold) - the global order never touches the row population.",
     "seasonal_anomaly_events": "Seasonal anomaly: the hour-slot stats window and the two MAD medians are the composition's windows - the MAD pair shares ONE user_id exchange; the screen is windows + projections, no joins at all.",
     "distribution_drift_events": "Distribution drift: one scan feeds both windows; the reference envelope joins back broadcast-sized; the (group,bin) count is the one data shuffle and the per-group reduce sums decimal-quantized <=bins-row terms.",
+    "streaming_drift_events": "Streaming drift: the stream side carries only the bounded (group,bin) complete-mode count; the reference envelope stream-static joins in; the post-drain combine is the SAME rendered SQL as the batch monitor.",
     "mase_backtest_events": "MASE backtest: the daily-bucket groupBy then ONE series-key exchange - both LAG frames and the per-key MAE reduce share that partitioning; absolute errors stay exact decimal until the two final divisions.",
     "changepoint_locate_events": "Changepoint locator: the daily-bucket groupBy then ONE series-key exchange feeding index/cumsum/total window frames and the argmax rank - linear in buckets; means are one dec->double division each and the gain is ranked AFTER round_double with an earlier-split tiebreak.",
     "token_chisq_docs": "Token-label chi-square: explode feeds the DISTINCT (doc,label,token) collapse (map-side partial), then ONE token-key shuffle; label totals are a one-row state cross join; the chi-square is a fixed double tree over exact BIGINT counts.",
