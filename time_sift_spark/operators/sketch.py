@@ -1115,6 +1115,7 @@ def kmv_overlap_sql(
     k: int = 256,
     round_to: int = 2,
     with_exact: bool = True,
+    staged_sketch: str | None = None,
 ) -> str:
     """Set-operation estimates between two groups' KMV sketches: per-
     group distinct, union distinct, Jaccard, and intersection
@@ -1122,7 +1123,15 @@ def kmv_overlap_sql(
     k-smallest of the two sketches' hash union (the exact merge
     identity); its members present in BOTH input sketches estimate the
     overlap fraction. The global ROW_NUMBER in ``_ku`` orders ≤ 2k
-    sketch rows — bounded state, never data."""
+    sketch rows — bounded state, never data.
+
+    ``staged_sketch`` (Spark path): a pre-materialized (g, h, rn) view
+    of the ``_ksk`` sketch rows — ``_ksk`` is referenced three times
+    and ``_ke`` twice, and Catalyst inlines CTEs per reference, so the
+    unstaged statement replans the distinct-hash groupBy and its base
+    scan ~5× (12 exchanges measured in EXPLAIN.md).  Re-deriving
+    ``_ke`` from the staged ≤2k-row frame is free; the exact-audit CTE
+    still scans the base table once by design."""
     from . import _num
 
     qa, qb = f"'{grp_a}'", f"'{grp_b}'"
@@ -1169,8 +1178,17 @@ def kmv_overlap_sql(
         if with_exact
         else ""
     )
+    if staged_sketch:
+        sketch_ctes = f"""_ksk AS (SELECT g, h, rn FROM {staged_sketch}),
+    _ke AS (
+      SELECT g, COUNT(*) AS n_sk,
+             MAX(CASE WHEN rn = {k} THEN h END) AS hk
+      FROM _ksk GROUP BY g
+    )"""
+    else:
+        sketch_ctes = _kmv_ctes(d, table, col, group_col, where, k).lstrip()
     return f"""
-    WITH {_kmv_ctes(d, table, col, group_col, where, k).lstrip()},
+    WITH {sketch_ctes},
     _ku AS (
       SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
       FROM (SELECT h FROM _ksk GROUP BY h) _kd
@@ -1197,3 +1215,44 @@ def kmv_overlap_sql(
     FROM _kj CROSS JOIN _kea CROSS JOIN _keb
     {"CROSS JOIN _kx" if with_exact else ""}
     """
+
+
+def kmv_overlap(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    grp_a: str,
+    grp_b: str,
+    *,
+    k: int = 256,
+    round_to: int = 2,
+    with_exact: bool = True,
+) -> DataFrame:
+    """DataFrame front door for :func:`kmv_overlap_sql` — stages the
+    ≤2k-row sketch once (lazy localCheckpoint, the engine staging rule)
+    so the set-operation statement never replans the distinct-hash
+    groupBy; the DuckDB oracle keeps the one-statement form."""
+    from ..functions.text_fns import SPARK
+
+    missing = [c for c in (col, group_col) if c not in df.columns]
+    if missing:
+        raise ColumnNotFoundError(f"columns not in DataFrame: {missing}")
+    if k < 16:
+        raise ValueError(f"k must be >= 16, got {k}")
+    view = "_ts_kmvo_in"
+    df.createOrReplaceTempView(view)
+    spark = df.sparkSession
+    qa, qb = f"'{grp_a}'", f"'{grp_b}'"
+    where = f" AND {group_col} IN ({qa}, {qb})"
+    sview = "_ts_kmvo_sketch"
+    spark.sql(
+        f"WITH {_kmv_ctes(SPARK, view, col, group_col, where, k).lstrip()} "
+        f"SELECT g, h, rn FROM _ksk"
+    ).localCheckpoint(eager=False).createOrReplaceTempView(sview)
+    return spark.sql(
+        kmv_overlap_sql(
+            SPARK, view, col, group_col, grp_a, grp_b,
+            k=k, round_to=round_to, with_exact=with_exact,
+            staged_sketch=sview,
+        )
+    )

@@ -147,6 +147,22 @@ def _ts_mid(d, arr: str) -> str:
     return f"(({lo} + {hi})/2.0)"
 
 
+def _ts_bucket_select(d, table: str, value_col: str, time_col: str,
+                      group_col: str) -> str:
+    """The daily-bucket SELECT — one shared text for the inline CTE and
+    the staged front-door frame (structural equivalence)."""
+    if d.name == "spark":
+        day = f"datediff(CAST({time_col} AS DATE), DATE '1970-01-01')"
+    else:
+        day = f"datediff('day', DATE '1970-01-01', CAST({time_col} AS DATE))"
+    ydec = f"CAST({value_col} AS DECIMAL(18,6))"
+    return (
+        f"SELECT {group_col} AS k, {day} AS x, "
+        f"CAST(SUM({ydec}) AS DECIMAL(18,6)) AS y "
+        f"FROM {table} GROUP BY {group_col}, {day}"
+    )
+
+
 def theil_sen_sql(
     d,
     table: str,
@@ -155,6 +171,7 @@ def theil_sen_sql(
     group_col: str,
     *,
     round_to: int = 6,
+    staged_bucket: str | None = None,
 ) -> str:
     """Per-series Theil-Sen robust trend (Theil 1950 / Sen 1968): the
     MEDIAN of all pairwise slopes over the DAILY-bucketed series, plus
@@ -180,19 +197,16 @@ def theil_sen_sql(
     """
     from . import _num
 
-    if d.name == "spark":
-        day = f"datediff(CAST({time_col} AS DATE), DATE '1970-01-01')"
-    else:
-        day = f"datediff('day', DATE '1970-01-01', CAST({time_col} AS DATE))"
-    ydec = f"CAST({value_col} AS DECIMAL(18,6))"
+    bucket = (
+        f"SELECT k, x, y FROM {staged_bucket}" if staged_bucket
+        else _ts_bucket_select(d, table, value_col, time_col, group_col)
+    )
     slope_raw = (
         f"({_num.dec_to_double('(b.y - a.y)')} / CAST(b.x - a.x AS DOUBLE))"
     )
     return f"""
     WITH _tsb AS (
-      SELECT {group_col} AS k, {day} AS x,
-             CAST(SUM({ydec}) AS DECIMAL(18,6)) AS y
-      FROM {table} GROUP BY {group_col}, {day}
+      {bucket}
     ),
     _tsp AS (
       SELECT a.k AS k, {slope_raw} AS slope
@@ -242,7 +256,16 @@ def theil_sen(
     assert_time_dtype(df, time_col)
     view = "_ts_theilsen_in"
     df.createOrReplaceTempView(view)
+    # STAGE the bucket frame once (lazy localCheckpoint): _tsb is
+    # referenced three times (both pair arms + the residual pass) and
+    # Catalyst inlines CTEs per reference — unstaged, the bucket groupBy
+    # and its base-table scan replan 3×.  The staged frame is
+    # |series|×|calendar| rows; the oracle keeps the one-statement form.
+    bview = "_ts_theilsen_buckets"
+    df.sparkSession.sql(
+        _ts_bucket_select(_S, view, value_col, time_col, group_col)
+    ).localCheckpoint(eager=False).createOrReplaceTempView(bview)
     return df.sparkSession.sql(
         theil_sen_sql(_S, view, value_col, time_col, group_col,
-                      round_to=round_to)
+                      round_to=round_to, staged_bucket=bview)
     )

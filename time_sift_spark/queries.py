@@ -5783,9 +5783,15 @@ def _quality_eval_view(spark: SparkSession, sf_dir: str, view: str):
     lab = docs.where(f"NOT ({_qc_train_pred(_S)})").selectExpr(
         "doc_id", "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y"
     )
+    # STAGE the scored eval frame once (lazy localCheckpoint — the
+    # engine-wide staging rule): the Brier statement references its bin
+    # CTE from both the global-moment and decomposition-term branches,
+    # and Catalyst inlines temp views per reference — unstaged, the
+    # whole classifier-scoring subtree replans 3× (15 exchanges
+    # measured in EXPLAIN.md vs 2 data shuffles staged).
     scored.join(lab, "doc_id").select(
         "quality_score", "y"
-    ).createOrReplaceTempView(view)
+    ).localCheckpoint(eager=False).createOrReplaceTempView(view)
 
 
 def _quality_eval_oracle_ctes() -> str:
@@ -7336,12 +7342,11 @@ def kmv_audience_overlap_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame
     ≤ 2k sketch rows — bounded state, never data.  Exact counts and
     exact Jaccard ride along: at sf0.01 the estimates land within ~3%
     (k=256 ⇒ RSE ≈ 1/√k ≈ 6%)."""
-    from .functions.text_fns import SPARK as _S
-    from .operators.sketch import kmv_overlap_sql
+    from .operators.sketch import kmv_overlap
 
-    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("lineitem")
-    return spark.sql(
-        kmv_overlap_sql(_S, "lineitem", "l_orderkey", "l_returnflag", "R", "A")
+    return kmv_overlap(
+        load_table(spark, "lineitem", sf_dir),
+        "l_orderkey", "l_returnflag", "R", "A",
     )
 
 

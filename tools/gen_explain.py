@@ -125,13 +125,13 @@ SHOWCASE = {
     "changepoint_locate_events": "Changepoint locator: the daily-bucket groupBy then ONE series-key exchange feeding index/cumsum/total window frames and the argmax rank - linear in buckets; means are one dec->double division each and the gain is ranked AFTER round_double with an earlier-split tiebreak.",
     "token_chisq_docs": "Token-label chi-square: explode feeds the DISTINCT (doc,label,token) collapse (map-side partial), then ONE token-key shuffle; label totals are a one-row state cross join; the chi-square is a fixed double tree over exact BIGINT counts.",
     "readability_docs": "Readability: one explode feeds the (doc, token) partial-aggregated groupBy, then the per-doc reduce - sentence counts ride the grouping keys (no join-back); every ratio is one IEEE division of exact BIGINTs.",
-    "theil_sen_trend_events": "Theil-Sen: daily buckets from one exact-decimal groupBy; pairwise slopes via a SELF EQUI-JOIN on the series key (never cross-key); both medians are per-key sorted-array middles - pair state is quadratic in the bounded bucket calendar, not in rows.",
+    "theil_sen_trend_events": "Theil-Sen: the daily-bucket frame is STAGED once (ExistingRDD scans below - unstaged, Catalyst re-inlined the bucket groupBy per reference: both pair arms + the residual pass); pairwise slopes via a SELF EQUI-JOIN on the series key; medians are per-key sorted-array middles - quadratic only in the bounded bucket calendar.",
     "calibration_quality_docs": "Calibration bins: scores quantize at the scan, ONE shuffle on the <=10-valued bin key with partial agg; every output double is one dec->double cast + one IEEE division.",
-    "brier_quality_docs": "Brier-Murphy: same one-bin-key-shuffle shape; the global moment and decomposition-term reduces below are <=bins-row aggregate STATE (SinglePartition of state, not data); (p-y)^2 stays an exact decimal product.",
+    "brier_quality_docs": "Brier-Murphy: the shared classifier-eval frame is STAGED once (the ExistingRDD scans below - unstaged, Catalyst re-inlined the scoring subtree per CTE reference: 15 exchanges measured); every aggregate below runs on the tiny (score,y) relation and <=bins-row STATE.",
     "target_encode_loo_orders": "LOO target encoding: ONE category-key exchange - both frame sums ride windows over that partitioning (no join-back); the prior is a one-row broadcast state crossed in.",
     "target_encode_kfold_orders": "K-fold target encoding: the cat and (cat,fold) window frames share the SAME category exchange (fold windows are subpartitions); folds are md5-of-id so appends never reshuffle existing rows.",
     "kmv_distinct_orders_by_flag": "KMV distinct: map-side-combining (group,hash) dedup, then the per-group rank window keeps k smallest - everything after the dedup touches <=k rows per group.",
-    "kmv_audience_overlap_lineitem": "KMV set ops: two k-row sketch states drive union/Jaccard/intersection; the global ROW_NUMBER below orders <=2k sketch rows (bounded state, never data).",
+    "kmv_audience_overlap_lineitem": "KMV set ops: the <=2k-row sketch is STAGED once (ExistingRDD scans - unstaged, the distinct-hash groupBy replanned ~5x across _ksk/_ke references: 12 exchanges measured); union/Jaccard/intersection read two k-row states; the exact-audit CTE scans the base once by design.",
 }
 
 SF_DIR = "/root/testdata/sf0.01"
