@@ -200,3 +200,39 @@ def test_basket_pairs_counts_and_lift(spark):
     assert n == 3 and abs(lift - (3 * 4) / (4 * 3)) < 1e-15
     n, lift = got[("x", "z")]
     assert n == 1 and abs(lift - (1 * 4) / (4 * 1)) < 1e-15
+
+
+def test_km_survival_textbook_curve(spark):
+    import pandas as pd
+    import pytest
+
+    from time_sift_spark.operators.survival import km_survival
+
+    T = pd.Timestamp
+    rows = [
+        # (user, ts, type) — all signups in the Jan-1 ISO week
+        ("A", T("2024-01-01"), "signup"), ("A", T("2024-01-02"), "purchase"),
+        ("B", T("2024-01-04"), "signup"),  # censored at horizon -> dur 2
+        ("B", T("2024-01-09"), "purchase"),  # AFTER horizon: must not count
+        ("C", T("2024-01-01"), "signup"), ("C", T("2024-01-04"), "purchase"),
+        ("D", T("2024-01-01"), "signup"), ("D", T("2024-01-05"), "purchase"),
+        ("E", T("2024-01-01"), "signup"),  # censored -> dur 5
+        ("F", T("2024-01-02"), "purchase"),  # no signup: not a subject
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["u", "ts", "et"]))
+    out = {
+        r["duration_days"]: r
+        for r in km_survival(
+            df, "u", "ts", "et", "signup", "purchase", "2024-01-06"
+        ).collect()
+    }
+    # classic 5-subject curve: events at 1,3,4; censorings at 2,5
+    assert out[1]["n_at_risk"] == 5 and out[1]["d_events"] == 1
+    assert out[1]["survival"] == pytest.approx(0.8)
+    assert out[2]["c_censored"] == 1 and out[2]["survival"] == pytest.approx(0.8)
+    assert out[3]["survival"] == pytest.approx(0.533333, abs=1e-6)
+    assert out[4]["survival"] == pytest.approx(0.266667, abs=1e-6)
+    assert out[5]["survival"] == pytest.approx(0.266667, abs=1e-6)
+    assert len(out) == 5
+    # one cohort: all subjects signed up in the same ISO week
+    assert out[1]["cohort"] == T("2024-01-01")

@@ -1,0 +1,173 @@
+"""Survival analysis: Kaplan-Meier curves per cohort (time-to-event
+with right censoring).
+
+The retention question product analytics actually asks — "what fraction
+of the users who signed up in week W had purchased within d days?" —
+with the censoring handled correctly: users whose observation window
+ends before they convert are NOT failures, they leave the at-risk set
+(naive conversion-rate-by-day silently treats them as never-converting
+and biases every cohort whose tail is still open).
+
+    Ŝ(t) = Π_{t_i ≤ t} (1 − d_i / n_i)        (Kaplan & Meier 1958)
+
+with d_i events and n_i subjects at risk at event time t_i (events at
+t precede censorings at t — the standard convention).
+
+Determinism (the driver's value-hash gate): d_i, c_i, n_i are exact
+BIGINTs from one groupBy + two window sums; each factor is ONE IEEE
+division of exact integers; the survival product folds the ORDERED
+per-cohort factor prefix left-to-right on both engines (Spark
+``aggregate(arr, 1.0, *)`` vs DuckDB ``list_reduce(list_prepend(1.0,
+arr), *)`` — ``1.0·x ≡ x`` exactly, so the multiply sequences are
+identical and the doubles bit-equal), then round_double's.
+
+Scale: subjects reduce to per-(cohort, duration) rows BEFORE any
+window — the curve relation is |cohorts| × |distinct durations|, never
+the subject population; ONE exchange on the cohort key carries the
+at-risk sums, the ordered prefix-factor list, and the fold.  The
+prefix fold is O(|durations|²) multiplies per cohort — bounded by the
+observation calendar (30-day horizon → ≤ 465 multiplies), the
+rolling-corr bounded-calendar posture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..errors import ColumnNotFoundError
+
+__all__ = ["km_survival", "km_survival_sql"]
+
+
+def km_survival_sql(
+    d,
+    table: str,
+    user_col: str,
+    time_col: str,
+    type_col: str,
+    start_type: str,
+    event_type: str,
+    horizon_date: str,
+    *,
+    round_to: int = 6,
+) -> str:
+    """Per-signup-week-cohort KM curve: one row per (cohort, duration)
+    with the at-risk count, events, censorings, and Ŝ(duration).
+
+    Subjects are users with a ``start_type`` row at/before
+    ``horizon_date``; the event is their first ``event_type`` row at or
+    after their start; subjects without one by the horizon are censored
+    AT the horizon.  Durations are whole days.
+    """
+    from ._num import round_double
+
+    q = lambda s: "'" + s.replace("'", "''") + "'"  # noqa: E731
+    hz = f"DATE '{horizon_date}'"
+    if d.name == "spark":
+        day_diff = lambda a, b: f"datediff({a}, {b})"  # noqa: E731
+        week = "CAST(date_trunc('week', t0) AS TIMESTAMP)"
+        prefix = "collect_list(factor) OVER _wcum"
+        fold = (
+            "aggregate(pfx, CAST(1.0 AS DOUBLE), (acc, x) -> acc * x)"
+        )
+    else:
+        day_diff = lambda a, b: f"datediff('day', {b}, {a})"  # noqa: E731
+        week = "CAST(date_trunc('week', t0) AS TIMESTAMP)"
+        prefix = "list(factor) OVER _wcum"
+        fold = (
+            "list_reduce(list_prepend(CAST(1.0 AS DOUBLE), pfx),"
+            " (acc, x) -> acc * x)"
+        )
+    factor = (
+        "(CAST(n_at_risk - d_events AS DOUBLE) / CAST(n_at_risk AS DOUBLE))"
+    )
+    return f"""
+    WITH _kms AS (
+      SELECT {user_col} AS uid,
+             CAST(MIN(CASE WHEN {type_col} = {q(start_type)}
+                           THEN {time_col} END) AS DATE) AS t0
+      FROM {table}
+      GROUP BY {user_col}
+      HAVING MIN(CASE WHEN {type_col} = {q(start_type)}
+                 THEN {time_col} END) IS NOT NULL
+    ),
+    _kmev AS (
+      SELECT s.uid AS uid, s.t0 AS t0,
+             MIN(CASE WHEN e.ok THEN e.td END) AS te
+      FROM _kms s
+      LEFT JOIN (
+        SELECT {user_col} AS uid, CAST({time_col} AS DATE) AS td,
+               ({type_col} = {q(event_type)}) AS ok
+        FROM {table}
+      ) e ON e.uid = s.uid AND e.ok AND e.td >= s.t0 AND e.td <= {hz}
+      GROUP BY s.uid, s.t0
+    ),
+    _kmsub AS (
+      SELECT uid, {week} AS cohort,
+             CASE WHEN te IS NOT NULL THEN {day_diff('te', 't0')}
+                  ELSE {day_diff(hz, 't0')} END AS dur,
+             CASE WHEN te IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM _kmev
+      WHERE t0 <= {hz}
+    ),
+    _kme AS (
+      SELECT cohort, dur,
+             CAST(SUM(ev) AS BIGINT) AS d_events,
+             CAST(SUM(1 - ev) AS BIGINT) AS c_censored
+      FROM _kmsub GROUP BY cohort, dur
+    ),
+    _kmr AS (
+      SELECT cohort, dur, d_events, c_censored,
+             (SUM(d_events + c_censored) OVER (PARTITION BY cohort)
+              - COALESCE(SUM(d_events + c_censored) OVER (
+                  PARTITION BY cohort ORDER BY dur
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+               AS n_at_risk
+      FROM _kme
+    ),
+    _kmf AS (
+      SELECT cohort, dur, d_events, c_censored, n_at_risk,
+             {factor} AS factor
+      FROM _kmr
+    ),
+    _kmp AS (
+      SELECT cohort, dur, d_events, c_censored, n_at_risk,
+             {prefix} AS pfx
+      FROM _kmf
+      WINDOW _wcum AS (PARTITION BY cohort ORDER BY dur
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT cohort, CAST(dur AS BIGINT) AS duration_days,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk, d_events, c_censored,
+           {round_double(fold, round_to)} AS survival
+    FROM _kmp
+    """
+
+
+def km_survival(
+    df: DataFrame,
+    user_col: str,
+    time_col: str,
+    type_col: str,
+    start_type: str,
+    event_type: str,
+    horizon_date: str,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """DataFrame front door for :func:`km_survival_sql`."""
+    from ..functions.text_fns import SPARK as _S
+    from ._time import assert_time_dtype
+
+    for c in (user_col, time_col, type_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    assert_time_dtype(df, time_col)
+    view = "_ts_km_in"
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(
+        km_survival_sql(
+            _S, view, user_col, time_col, type_col,
+            start_type, event_type, horizon_date, round_to=round_to,
+        )
+    )

@@ -7842,6 +7842,33 @@ def changepoint_locate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return changepoint_locate(events, "value", "ts", "event_type")
 
 
+def _km_oracle() -> str:
+    from .operators.survival import km_survival_sql
+
+    return km_survival_sql(
+        DUCK, "events", "user_id", "ts", "event_type",
+        "signup", "purchase", "2024-01-31",
+    )
+
+
+@register("km_survival_events", oracle=_km_oracle())
+def km_survival_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier signup→purchase curves per signup-week cohort with
+    right censoring at the horizon — the retention question answered
+    WITHOUT the never-converted bias (censored users leave the at-risk
+    set instead of counting as failures).  Subjects reduce to
+    (cohort, duration) rows before any window; the survival product is
+    an ordered prefix fold of exact-integer factors, bit-equal on both
+    engines (operators/survival.py:km_survival)."""
+    from .operators.survival import km_survival
+
+    events = load_table(spark, "events", sf_dir)
+    return km_survival(
+        events, "user_id", "ts", "event_type",
+        "signup", "purchase", "2024-01-31",
+    )
+
+
 def _drift_oracle() -> str:
     from .operators.quality import distribution_drift_sql
 
@@ -7981,6 +8008,7 @@ def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
 
 GRADE_PRIORITY: list[str] = [
     # -- NEW in r9 -> grade first --
+    "km_survival_events",
     "changepoint_locate_events",
     "distribution_drift_events",
     "streaming_drift_events",
