@@ -202,3 +202,40 @@ def test_streaming_drift_equals_batch_at_drain(spark, tmp_path):
     assert got.loc[got.k == "a", "tv_distance"].iloc[0] > got.loc[
         got.k == "b", "tv_distance"
     ].iloc[0]
+
+
+def test_snapshot_diff_verdicts_and_null_safety(spark):
+    import pandas as pd
+
+    from time_sift_spark.operators.reconcile import snapshot_diff
+
+    old = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 2, 3, 4, 5],
+                "a": ["x", "y", None, "w", "v"],
+                "b": [1.0, 2.0, 3.0, None, 5.0],
+            }
+        )
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                # 2 removed, 6 added, 3: NULL->filled (changed in a),
+                # 4: both cols changed, 5: identical incl. NULL equality
+                "k": [1, 3, 4, 5, 6],
+                "a": ["x", "z", "W", "v", "new"],
+                "b": [1.0, 3.0, 4.0, 5.0, 6.0],
+            }
+        )
+    )
+    out = {
+        r["k"]: r
+        for r in snapshot_diff(old, new, ["k"], ["a", "b"]).collect()
+    }
+    assert out[2]["verdict"] == "removed"
+    assert out[6]["verdict"] == "added"
+    assert out[3]["verdict"] == "changed" and out[3]["changed_cols"] == "a"
+    assert out[4]["verdict"] == "changed" and out[4]["changed_cols"] == "a,b"
+    assert out[4]["n_cols_changed"] == 2
+    assert 1 not in out and 5 not in out  # unchanged rows never emitted

@@ -1,0 +1,103 @@
+"""Snapshot reconciliation: row-level diff between two versions of a
+keyed table.
+
+The ETL acceptance gate nothing else in the contract family covers:
+after a backfill / migration / CDC replay, WHICH rows appeared,
+vanished, or changed — and in which columns?  (The expectation
+contracts say whether each snapshot is internally valid; SCD2 tracks
+history of a stream; this compares two materialized states directly.)
+
+Shape: ONE full outer equi-join on the key — both sides shuffle once
+on the key and the verdict is a projection; per-column comparison uses
+``IS DISTINCT FROM`` (NULL-safe, identical semantics on both engines),
+and unchanged rows are dropped before the result leaves the join
+stage, so the output is bounded by the CHANGE volume, not the table.
+Keys are assumed unique per snapshot (the snapshot-table contract);
+duplicate keys would fan out the join — run the `unique` expectation
+contract first, which is exactly its job.
+
+At 100 TB: the two scans prune to key + compared columns; the join is
+the one shuffle (bucketed snapshot tables co-locate it to zero
+Exchange — the sources/catalog bucketing pattern); verdict counts are
+a partial-aggregated afterthought.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+
+from ..errors import ColumnNotFoundError
+
+__all__ = ["snapshot_diff", "snapshot_diff_sql"]
+
+
+def snapshot_diff_sql(
+    d,
+    old_table: str,
+    new_table: str,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+) -> str:
+    """Row-level diff: one row per key present in either snapshot whose
+    state differs — verdict ``added`` / ``removed`` / ``changed`` plus
+    ``changed_cols`` (comma-joined, declaration order) and the change
+    count.  Unchanged rows never leave the join."""
+    keys = list(key_cols)
+    cols = list(compare_cols)
+    on = " AND ".join(f"o.{k} = n.{k}" for k in keys)
+    key_out = ", ".join(f"COALESCE(o.{k}, n.{k}) AS {k}" for k in keys)
+    o_present = f"o.{keys[0]} IS NOT NULL"
+    n_present = f"n.{keys[0]} IS NOT NULL"
+    diffs = [f"(o.{c} IS DISTINCT FROM n.{c})" for c in cols]
+    n_changed = " + ".join(f"CASE WHEN {x} THEN 1 ELSE 0 END" for x in diffs)
+    changed_cols = (
+        "CONCAT_WS(',', "
+        + ", ".join(f"CASE WHEN {x} THEN '{c}' END" for x, c in zip(diffs, cols))
+        + ")"
+    )
+    any_diff = " OR ".join(diffs)
+    return f"""
+    WITH _sd AS (
+      SELECT {key_out},
+             CASE WHEN NOT {o_present} THEN 'added'
+                  WHEN NOT {n_present} THEN 'removed'
+                  WHEN {any_diff} THEN 'changed'
+                  ELSE 'unchanged' END AS verdict,
+             CASE WHEN {o_present} AND {n_present}
+                  THEN CAST({n_changed} AS INT) ELSE CAST(0 AS INT)
+             END AS n_cols_changed,
+             CASE WHEN {o_present} AND {n_present}
+                  THEN {changed_cols} ELSE '' END AS changed_cols
+      FROM {old_table} o
+      FULL OUTER JOIN {new_table} n ON {on}
+    )
+    SELECT * FROM _sd WHERE verdict <> 'unchanged'
+    """
+
+
+def snapshot_diff(
+    df_old: DataFrame,
+    df_new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """DataFrame front door for :func:`snapshot_diff_sql`."""
+    from ..functions.text_fns import SPARK as _S
+
+    for frame, tag in ((df_old, "old"), (df_new, "new")):
+        missing = [c for c in (*key_cols, *compare_cols)
+                   if c not in frame.columns]
+        if missing:
+            raise ColumnNotFoundError(
+                f"columns not in {tag} frame: {missing}"
+            )
+    if not key_cols or not compare_cols:
+        raise ValueError("key_cols and compare_cols must be non-empty")
+    df_old.createOrReplaceTempView("_ts_sd_old")
+    df_new.createOrReplaceTempView("_ts_sd_new")
+    return df_old.sparkSession.sql(
+        snapshot_diff_sql(_S, "_ts_sd_old", "_ts_sd_new",
+                          key_cols, compare_cols)
+    )

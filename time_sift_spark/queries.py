@@ -7842,6 +7842,57 @@ def changepoint_locate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return changepoint_locate(events, "value", "ts", "event_type")
 
 
+def _sd_old_sql(table: str) -> str:
+    return (
+        f"SELECT event_id, user_id, event_type, value FROM {table} "
+        "WHERE CAST(ts AS DATE) <= DATE '2024-01-20'"
+    )
+
+
+def _sd_new_sql(table: str) -> str:
+    # the replayed snapshot: 5 more days of rows (added), a planted
+    # value correction on user_id % 97 == 0 (changed), and a planted
+    # drop of event_id % 101 == 0 (removed) — the three verdicts the
+    # reconciliation must separate
+    return (
+        "SELECT event_id, user_id, event_type, "
+        "CASE WHEN user_id % 97 = 0 THEN value + 1.0 ELSE value END AS value "
+        f"FROM {table} "
+        "WHERE CAST(ts AS DATE) <= DATE '2024-01-25' AND event_id % 101 <> 0"
+    )
+
+
+def _snapshot_diff_oracle() -> str:
+    from .operators.reconcile import snapshot_diff_sql
+
+    return snapshot_diff_sql(
+        DUCK,
+        f"({_sd_old_sql('events')})",
+        f"({_sd_new_sql('events')})",
+        ["event_id"],
+        ["user_id", "event_type", "value"],
+    )
+
+
+@register("snapshot_diff_events", oracle=_snapshot_diff_oracle())
+def snapshot_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation after a simulated CDC replay: the Jan-20
+    snapshot vs a Jan-25 replay with a planted value correction and a
+    planted drop — one full outer equi-join on the key, NULL-safe
+    per-column comparison (IS DISTINCT FROM), unchanged rows never
+    leave the join so output is bounded by change volume
+    (operators/reconcile.py:snapshot_diff).  The snapshot definitions
+    are one shared SQL text on both engines."""
+    from .operators.reconcile import snapshot_diff
+
+    load_table(spark, "events", sf_dir).createOrReplaceTempView("_ts_sd_ev")
+    old = spark.sql(_sd_old_sql("_ts_sd_ev"))
+    new = spark.sql(_sd_new_sql("_ts_sd_ev"))
+    return snapshot_diff(
+        old, new, ["event_id"], ["user_id", "event_type", "value"]
+    )
+
+
 def _km_oracle() -> str:
     from .operators.survival import km_survival_sql
 
@@ -8008,6 +8059,7 @@ def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
 
 GRADE_PRIORITY: list[str] = [
     # -- NEW in r9 -> grade first --
+    "snapshot_diff_events",
     "km_survival_events",
     "changepoint_locate_events",
     "distribution_drift_events",
