@@ -922,3 +922,34 @@ def test_torn_rebuild_reads_not_ready(spark, tmp_path, monkeypatch):
     assert not _index_ready(path)  # torn rebuild is visible, not silent
     build_dedup_index(corpus, "doc_id", "text", path)
     assert _index_ready(path)  # a completed rebuild restores readiness
+
+
+def test_embedding_centroid_drift_planted_shift(spark):
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from time_sift_spark.operators.similarity import embedding_centroid_drift
+
+    rng = np.random.default_rng(5)
+    dim = 8
+    rows = []
+    for i in range(40):
+        # label 0: both vec_id%2 halves cluster on e1 -> no drift
+        rows.append((i, (np.eye(dim)[0] + rng.normal(0, 0.01, dim)).tolist(), 0))
+        # label 1: even ids on e1, odd ids on e2 -> near-orthogonal shift
+        axis = 0 if i % 2 == 0 else 1
+        rows.append((1000 + i, (np.eye(dim)[axis] + rng.normal(0, 0.01, dim)).tolist(), 1))
+    # label 2: one side only (a single even id) -> drops out
+    rows.append((2000, np.eye(dim)[0].tolist(), 2))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    df = spark.createDataFrame(pdf)
+    out = {
+        r["label"]: r
+        for r in embedding_centroid_drift(df, "vec_id", "embedding", "label").collect()
+    }
+    assert 2 not in out
+    assert out[0]["cosine_shift"] == pytest.approx(1.0, abs=0.01)
+    assert out[0]["l2_shift"] < 0.05
+    assert out[1]["cosine_shift"] == pytest.approx(0.0, abs=0.05)
+    assert out[1]["l2_shift"] == pytest.approx(np.sqrt(2.0), abs=0.1)

@@ -1708,3 +1708,101 @@ def hard_negatives_ann(
         num_planes=num_planes, num_tables=num_tables, seed=seed, dim=dim,
     )
     return _run(df, sql, view)
+
+
+def embedding_centroid_drift_sql(
+    vd: VectorDialect,
+    table: str,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    *,
+    round_to: int = 6,
+) -> str:
+    """Embedding-space drift monitor per label: centroid cosine shift
+    and L2 displacement between two deterministic halves of the corpus
+    (``id % 2`` — the reference/current split an embedding pipeline
+    re-runs after a re-embed or encoder upgrade).  The vector
+    counterpart of quality.distribution_drift: scalar columns get TV/χ²
+    bins, embedding columns get centroid geometry.
+
+    Numerics: per-(label, side, dim) sums are exact decimals (the
+    Lloyd mean discipline — parallel partial aggregation cannot
+    reassociate them); each centroid coordinate is one dec→double cast
+    + one IEEE division; the dim-indexed products quantize to decimal
+    before their 64-term sums (exact, order-independent); SQRT is
+    IEEE-correctly-rounded on both engines (unlike ln — it is the one
+    transcendental-looking op the determinism rules allow); final
+    ratios round_double.  Shape: posexplode → ONE (label, side, dim)
+    shuffle with partial agg; everything after runs on the
+    |labels|×2×dims centroid relation.  Labels missing a side drop out
+    of the join (nothing to compare); zero-norm centroids yield NULL
+    cosine (undefined, not invented).
+    """
+    from ._num import dec_to_double, round_double
+
+    base = (
+        f"(SELECT {label_col} AS lab, ({id_col} % 2) AS side, "
+        f"{vec_col} AS emb FROM {table})"
+    )
+    ed = _explode_dims(vd, f"{base} _ebase", "lab, side")
+    mean = _mean_expr()
+    q12 = lambda e: f"CAST({round_double(e, 12)} AS DECIMAL(28,12))"  # noqa: E731
+    dsum_dot = dec_to_double("SUM(dotp)")
+    dsum_nr2 = dec_to_double("SUM(nr2)")
+    dsum_nc2 = dec_to_double("SUM(nc2)")
+    cos_raw = round_double(
+        f"({dsum_dot} / SQRT({dsum_nr2} * {dsum_nc2}))", round_to
+    )
+    cos = (
+        f"CASE WHEN {dsum_nr2} = 0.0 OR {dsum_nc2} = 0.0 "
+        f"THEN CAST(NULL AS DOUBLE) ELSE {cos_raw} END"
+    )
+    l2 = round_double(f"SQRT({dec_to_double('SUM(d2)')})", round_to)
+    return f"""
+    WITH _ed AS ({ed}),
+    _em AS (
+      SELECT lab, side, j,
+             CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DECIMAL(27,9)) AS s,
+             COUNT(*) AS n
+      FROM _ed GROUP BY lab, side, j
+    ),
+    _ec AS (SELECT lab, side, j, {mean} AS m, n FROM _em),
+    _ej AS (
+      SELECT a.lab AS lab, a.n AS n_ref, b.n AS n_cur,
+             {q12('(a.m * b.m)')} AS dotp,
+             {q12('(a.m * a.m)')} AS nr2,
+             {q12('(b.m * b.m)')} AS nc2,
+             {q12('((a.m - b.m) * (a.m - b.m))')} AS d2
+      FROM (SELECT * FROM _ec WHERE side = 0) a
+      JOIN (SELECT * FROM _ec WHERE side = 1) b
+        ON a.lab = b.lab AND a.j = b.j
+    )
+    SELECT lab AS {label_col}, CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           {cos} AS cosine_shift,
+           {l2} AS l2_shift
+    FROM _ej GROUP BY lab, n_ref, n_cur
+    """
+
+
+def embedding_centroid_drift(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """DataFrame front door for :func:`embedding_centroid_drift_sql`."""
+    for c in (id_col, vec_col, label_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    view = _next_view()
+    return _run(
+        df,
+        embedding_centroid_drift_sql(
+            _VSPARK, view, id_col, vec_col, label_col, round_to=round_to
+        ),
+        view,
+    )

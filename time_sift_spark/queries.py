@@ -7842,6 +7842,30 @@ def changepoint_locate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return changepoint_locate(events, "value", "ts", "event_type")
 
 
+def _emb_drift_oracle() -> str:
+    from .functions.vector_fns import VectorDialect
+    from .operators.similarity import embedding_centroid_drift_sql
+
+    return embedding_centroid_drift_sql(
+        VectorDialect("duck"), "embeddings", "vec_id", "embedding", "label"
+    )
+
+
+@register("embedding_drift_labels", oracle=_emb_drift_oracle())
+def embedding_drift_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift per label: centroid cosine shift + L2
+    displacement between the two deterministic vec_id%2 halves — the
+    vector counterpart of distribution_drift_events (what a re-embed /
+    encoder-upgrade pipeline checks before swapping indexes).  One
+    (label, side, dim) shuffle; everything after runs on the
+    labels×2×64 centroid relation with quantized exact dim sums
+    (operators/similarity.py:embedding_centroid_drift)."""
+    from .operators.similarity import embedding_centroid_drift
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return embedding_centroid_drift(emb, "vec_id", "embedding", "label")
+
+
 def _sd_old_sql(table: str) -> str:
     return (
         f"SELECT event_id, user_id, event_type, value FROM {table} "
@@ -8059,6 +8083,7 @@ def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
 
 GRADE_PRIORITY: list[str] = [
     # -- NEW in r9 -> grade first --
+    "embedding_drift_labels",
     "snapshot_diff_events",
     "km_survival_events",
     "changepoint_locate_events",
