@@ -147,3 +147,30 @@ def test_brier_decomposition_identity(spark):
     assert abs(r.brier - (r.reliability - r.resolution + r.uncertainty)) < 1e-4
     # reliability reflects the planted +-0.1 miscalibration: ~0.01
     assert 0.005 < r.reliability < 0.02
+
+
+def test_classification_report_hand_matrix(spark):
+    import pandas as pd
+    import pytest
+
+    from time_sift_spark.operators.experiment import classification_report
+
+    # pred/actual pairs: a: tp=2, fp=1 (b->a), fn=1 (a->b); c never
+    # predicted (recall 0, precision 0 by the zero-division convention)
+    pairs = [("a", "a"), ("a", "a"), ("b", "a"), ("a", "b"), ("b", "b"), ("b", "c")]
+    df = spark.createDataFrame(pd.DataFrame(pairs, columns=["p", "y"]))
+    out = {r["class"]: r for r in classification_report(df, "p", "y").collect()}
+    a = out["a"]
+    assert (a["tp"], a["fp"], a["fn"], a["support"]) == (2, 1, 1, 3)
+    assert a["precision_score"] == pytest.approx(2 / 3)
+    assert a["recall_score"] == pytest.approx(2 / 3)
+    assert a["f1"] == pytest.approx(2 / 3)
+    b = out["b"]
+    assert (b["tp"], b["fp"], b["fn"]) == (1, 2, 1)
+    assert b["precision_score"] == pytest.approx(1 / 3)
+    assert b["recall_score"] == pytest.approx(0.5)
+    assert b["f1"] == pytest.approx(0.4)  # 2tp/(2tp+fp+fn) = 2/5
+    c = out["c"]
+    assert (c["tp"], c["fp"], c["fn"]) == (0, 0, 1)
+    assert c["precision_score"] == 0.0 and c["recall_score"] == 0.0 and c["f1"] == 0.0
+    assert set(out) == {"a", "b", "c"}

@@ -323,3 +323,92 @@ def brier_decomposition_sql(
            {_num.round_double(f"({ybar} * (1.0 - {ybar}))", round_to)} AS uncertainty
     FROM _bglob CROSS JOIN _bterms
     """
+
+
+def classification_report_sql(
+    d: Dialect,
+    table: str,
+    pred_expr: str,
+    actual_expr: str,
+    *,
+    round_to: int = 6,
+) -> str:
+    """Multi-class classification report: per-class TP/FP/FN with
+    precision, recall, and F1 — the evaluation table AUC/Brier (binary,
+    score-based) cannot produce for a hard multi-class predictor.
+
+    Rational throughout: the confusion matrix is exact BIGINT counts,
+    precision/recall are one IEEE division each, and F1 uses the
+    harmonic form 2·tp / (2·tp + fp + fn) — a SINGLE division of exact
+    integers (algebraically equal to 2PR/(P+R) but with no intermediate
+    rounding), so the report hashes to the digit.  Classes with no
+    predictions (or no support) report 0 for the undefined ratio — the
+    sklearn zero_division=0 convention, documented not invented.
+
+    Shape: one (pred, actual) groupBy collapses the row population to a
+    ≤|classes|² matrix; the class roll-up and per-class sums all run on
+    that tiny relation (a classes × matrix cross join, both sides
+    broadcast-sized).
+    """
+    from . import _num
+
+    prec = "(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))"
+    rec = "(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))"
+    f1 = "(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE))"
+    z = lambda cond, e: (  # noqa: E731
+        f"CASE WHEN {cond} THEN CAST(0.0 AS DOUBLE) "
+        f"ELSE {_num.round_double(e, round_to)} END"
+    )
+    return f"""
+    WITH _cr AS (
+      SELECT {pred_expr} AS pred, {actual_expr} AS actual FROM {table}
+    ),
+    _cm AS (
+      SELECT pred, actual, CAST(COUNT(*) AS BIGINT) AS n
+      FROM _cr GROUP BY pred, actual
+    ),
+    _cls AS (
+      SELECT actual AS c FROM _cm GROUP BY actual
+      UNION
+      SELECT pred AS c FROM _cm GROUP BY pred
+    ),
+    _cagg AS (
+      SELECT _cls.c AS c,
+             CAST(SUM(CASE WHEN _cm.pred = _cls.c AND _cm.actual = _cls.c
+                           THEN _cm.n ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN _cm.pred = _cls.c AND _cm.actual <> _cls.c
+                           THEN _cm.n ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN _cm.pred <> _cls.c AND _cm.actual = _cls.c
+                           THEN _cm.n ELSE 0 END) AS BIGINT) AS fn
+      FROM _cls CROSS JOIN _cm
+      GROUP BY _cls.c
+    )
+    SELECT c AS class, tp, fp, fn,
+           (tp + fn) AS support,
+           {z('tp + fp = 0', prec)} AS precision_score,
+           {z('tp + fn = 0', rec)} AS recall_score,
+           {z('2 * tp + fp + fn = 0', f1)} AS f1
+    FROM _cagg
+    """
+
+
+def classification_report(
+    df: DataFrame,
+    pred_col: str,
+    actual_col: str,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """DataFrame front door for :func:`classification_report_sql`."""
+    from ..errors import ColumnNotFoundError
+    from ..functions.text_fns import SPARK
+
+    for c in (pred_col, actual_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    view = "_ts_clsrep_in"
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(
+        classification_report_sql(SPARK, view, pred_col, actual_col,
+                                  round_to=round_to)
+    )

@@ -7842,6 +7842,36 @@ def changepoint_locate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return changepoint_locate(events, "value", "ts", "event_type")
 
 
+def _langid_report_oracle() -> str:
+    from .operators.experiment import classification_report_sql
+
+    return classification_report_sql(
+        DUCK, "documents", DUCK.lang_id("text"), "lang"
+    )
+
+
+@register("langid_report_docs", oracle=_langid_report_oracle())
+def langid_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 of the heuristic language-ID
+    against the corpus's lang labels — the multi-class evaluation table
+    AUC/Brier (binary, score-based) can't produce, and the honest
+    measurement of langid_docs' stopword heuristic.  One (pred, actual)
+    groupBy collapses rows to the ≤|classes|² confusion matrix; F1 is
+    the single-division harmonic form 2tp/(2tp+fp+fn)
+    (operators/experiment.py:classification_report)."""
+    from .functions.text_fns import SPARK as _S
+    from .operators.experiment import classification_report_sql
+
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView(
+        "_ts_lidrep_docs"
+    )
+    return spark.sql(
+        classification_report_sql(
+            _S, "_ts_lidrep_docs", _S.lang_id("text"), "lang"
+        )
+    )
+
+
 def _emb_drift_oracle() -> str:
     from .functions.vector_fns import VectorDialect
     from .operators.similarity import embedding_centroid_drift_sql
@@ -8083,6 +8113,7 @@ def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
 
 GRADE_PRIORITY: list[str] = [
     # -- NEW in r9 -> grade first --
+    "langid_report_docs",
     "embedding_drift_labels",
     "snapshot_diff_events",
     "km_survival_events",
