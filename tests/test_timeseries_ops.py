@@ -945,3 +945,37 @@ def test_mase_backtest_perfect_weekly_season(spark):
         )
     )
     assert mase_backtest(short, "v", "ts", "k").count() == 0
+
+
+def test_conformal_interval_rank_and_coverage(spark):
+    import pandas as pd
+    import pytest
+
+    from time_sift_spark.operators.backtest import conformal_backtest
+
+    # exact period-7 series plus spikes on three known odd days: the
+    # seasonal-naive scores are 0 except at the spikes, so q_hat = 0 and
+    # coverage = 1 - spikes/n_eval exactly.
+    pattern = [10.0, 20.0, 30.0, 40.0, 30.0, 20.0, 10.0]
+    rows = []
+    for i in range(35):
+        v = pattern[i % 7]
+        day = pd.Timestamp("2024-01-01") + pd.Timedelta(days=i)
+        x = (day - pd.Timestamp("1970-01-01")).days
+        if i in (9, 15, 23) and x % 2 == 1:
+            v += 100.0
+        rows.append(("a", day, v))
+    # count planted spikes that actually landed on odd (eval) days
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["k", "ts", "v"]))
+    out = conformal_backtest(df, "v", "ts", "k", alpha=0.2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_cal"] + r["n_eval"] == 28  # 35 days - 7 burn-in
+    # calibration scores: mostly zero (spikes sit on eval days or echo
+    # into the next week) -> q_alpha is a small nonneg decimal
+    assert r["q_alpha"] is not None and r["q_alpha"] >= 0.0
+    assert r["coverage"] is not None and 0.0 < r["coverage"] <= 1.0
+
+    # too few calibration points for alpha=0.01 -> NULL, not a clamp
+    out2 = conformal_backtest(df, "v", "ts", "k", alpha=0.01).collect()[0]
+    assert out2["q_alpha"] is None and out2["coverage"] is None

@@ -24,7 +24,8 @@ from pyspark.sql import DataFrame
 
 from ..errors import ColumnNotFoundError
 
-__all__ = ["mase_backtest", "mase_backtest_sql"]
+__all__ = ["conformal_backtest", "conformal_backtest_sql",
+           "mase_backtest", "mase_backtest_sql"]
 
 
 def mase_backtest_sql(
@@ -115,4 +116,122 @@ def mase_backtest(
     return df.sparkSession.sql(
         mase_backtest_sql(_S, view, value_col, time_col, group_col,
                           season=season, round_to=round_to)
+    )
+
+
+def conformal_backtest_sql(
+    d,
+    table: str,
+    value_col: str,
+    time_col: str,
+    group_col: str,
+    *,
+    season: int = 7,
+    alpha: float = 0.1,
+    round_to: int = 6,
+) -> str:
+    """Split-conformal prediction interval for the seasonal-naive
+    forecaster, per series (Vovk et al.; the distribution-free
+    guarantee every forecast consumer actually wants: ŷ ± q̂ covers the
+    truth with probability ≥ 1−α, no model assumptions).
+
+    Calibration = even bucket days, evaluation = odd (deterministic
+    split); nonconformity = |y − ŷ|; q̂ is the ⌈(n_cal+1)(1−α)⌉-th
+    smallest calibration score (the finite-sample-correct order
+    statistic — NOT the naive quantile); the eval half reports the
+    EMPIRICAL coverage of ±q̂, which the guarantee lower-bounds.
+
+    Determinism: scores are exact decimals (ABS of decimal LAG
+    differences), the order statistic is an element_at into the sorted
+    per-series array, and coverage compares decimals exactly — only
+    the final ratio is a double.  When the rank exceeds n_cal (too few
+    calibration points for the requested α) q̂ and coverage are NULL —
+    the honest "not enough data for this guarantee", not a clamped
+    pretend-interval.  Shape: the MASE plan (bucket groupBy + ONE
+    series-key exchange for the LAG frame) plus a broadcast-sized
+    per-series q̂ join; the sorted array is per-series calibration
+    scores — the bounded-calendar posture.
+    """
+    from ._num import round_double
+
+    if d.name == "spark":
+        day = f"datediff(CAST({time_col} AS DATE), DATE '1970-01-01')"
+        arr = "sort_array(collect_list(score))"
+        at = "element_at(sarr, rank_q)"
+    else:
+        day = f"datediff('day', DATE '1970-01-01', CAST({time_col} AS DATE))"
+        arr = "list_sort(list(score))"
+        at = "sarr[rank_q]"
+    ydec = f"CAST({value_col} AS DECIMAL(18,6))"
+    one_m_a = repr(1.0 - float(alpha))
+    cov = "(CAST(covered AS DOUBLE) / CAST(n_eval AS DOUBLE))"
+    return f"""
+    WITH _cbb AS (
+      SELECT {group_col} AS k, {day} AS x,
+             CAST(SUM({ydec}) AS DECIMAL(18,6)) AS y
+      FROM {table} GROUP BY {group_col}, {day}
+    ),
+    _cbl AS (
+      SELECT k, x, y,
+             LAG(y, {season}) OVER (PARTITION BY k ORDER BY x) AS f
+      FROM _cbb
+    ),
+    _cbs AS (
+      SELECT k, x, CAST(ABS(y - f) AS DECIMAL(18,6)) AS score,
+             (x % 2 = 0) AS is_cal
+      FROM _cbl WHERE f IS NOT NULL
+    ),
+    _cbq AS (
+      SELECT k, {arr} AS sarr, CAST(COUNT(*) AS BIGINT) AS n_cal,
+             CAST(CEIL(CAST(COUNT(*) + 1 AS DOUBLE) * {one_m_a}) AS INT)
+               AS rank_q
+      FROM _cbs WHERE is_cal GROUP BY k
+    ),
+    _cbqv AS (
+      SELECT k, n_cal,
+             CASE WHEN rank_q <= n_cal THEN {at} END AS q_hat
+      FROM _cbq
+    ),
+    _cbe AS (
+      SELECT s.k AS k, q.n_cal AS n_cal, q.q_hat AS q_hat,
+             CAST(COUNT(*) AS BIGINT) AS n_eval,
+             CAST(SUM(CASE WHEN s.score <= q.q_hat THEN 1 ELSE 0 END)
+                  AS BIGINT) AS covered
+      FROM _cbs s JOIN _cbqv q ON s.k = q.k
+      WHERE NOT s.is_cal
+      GROUP BY s.k, q.n_cal, q.q_hat
+    )
+    SELECT k AS {group_col}, n_cal, n_eval,
+           CAST(q_hat AS DOUBLE) AS q_alpha,
+           CASE WHEN q_hat IS NULL THEN CAST(NULL AS DOUBLE)
+                ELSE {round_double(cov, round_to)} END AS coverage
+    FROM _cbe
+    """
+
+
+def conformal_backtest(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    group_col: str,
+    *,
+    season: int = 7,
+    alpha: float = 0.1,
+    round_to: int = 6,
+) -> DataFrame:
+    """DataFrame front door for :func:`conformal_backtest_sql`."""
+    from ..functions.text_fns import SPARK as _S
+    from ._time import assert_time_dtype
+
+    for c in (value_col, time_col, group_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    if not (0.0 < alpha < 1.0):
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    assert_time_dtype(df, time_col)
+    view = "_ts_conf_in"
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(
+        conformal_backtest_sql(_S, view, value_col, time_col, group_col,
+                               season=season, alpha=alpha, round_to=round_to)
     )

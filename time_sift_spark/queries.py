@@ -7842,6 +7842,30 @@ def changepoint_locate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return changepoint_locate(events, "value", "ts", "event_type")
 
 
+def _conformal_oracle() -> str:
+    from .operators.backtest import conformal_backtest_sql
+
+    return conformal_backtest_sql(
+        DUCK, "events", "value", "ts", "event_type", alpha=0.2
+    )
+
+
+@register("conformal_interval_events", oracle=_conformal_oracle())
+def conformal_interval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal interval for the seasonal-naive forecaster per
+    event type (α=0.2 — the 30-day calendar leaves ~11 calibration
+    buckets, enough for the ⌈(n+1)·0.8⌉ order statistic): q̂ from the
+    even-day calibration scores, empirical coverage audited on the odd
+    days.  Exact-decimal scores, element_at order statistic, one
+    series-key exchange (operators/backtest.py:conformal_backtest)."""
+    from .operators.backtest import conformal_backtest
+
+    events = load_table(spark, "events", sf_dir)
+    return conformal_backtest(
+        events, "value", "ts", "event_type", alpha=0.2
+    )
+
+
 def _langid_report_oracle() -> str:
     from .operators.experiment import classification_report_sql
 
@@ -8113,6 +8137,7 @@ def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
 
 GRADE_PRIORITY: list[str] = [
     # -- NEW in r9 -> grade first --
+    "conformal_interval_events",
     "langid_report_docs",
     "embedding_drift_labels",
     "snapshot_diff_events",
