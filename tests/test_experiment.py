@@ -174,3 +174,43 @@ def test_classification_report_hand_matrix(spark):
     assert (c["tp"], c["fp"], c["fn"]) == (0, 0, 1)
     assert c["precision_score"] == 0.0 and c["recall_score"] == 0.0 and c["f1"] == 0.0
     assert set(out) == {"a", "b", "c"}
+
+
+def test_welch_ttest_matches_scipy_free_formula(spark):
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from time_sift_spark.operators.experiment import welch_ttest
+    from time_sift_spark.functions.text_fns import SPARK as _S
+
+    # per-user single rows; planted effect on arm 1
+    rng = np.random.default_rng(13)
+    users = [f"u{i}" for i in range(400)]
+    pdf = pd.DataFrame({"u": users, "v": rng.normal(10.0, 2.0, 400)})
+    # compute each user's md5-parity arm the same way the operator does
+    arms = (
+        spark.createDataFrame(pdf)
+        .selectExpr("u", f"{_S.md5_long('CAST(u AS STRING)')} % 2 AS arm")
+        .toPandas()
+    )
+    pdf = pdf.merge(arms, on="u")
+    pdf.loc[pdf.arm == 1, "v"] += 1.5
+    out = welch_ttest(spark.createDataFrame(pdf[["u", "v"]]), "u", "v").collect()[0]
+
+    # reference Welch computation on decimal-quantized values (the
+    # operator's scan cast), pure numpy
+    q = pdf.assign(vq=pdf.v.round(6))
+    g0, g1 = q[q.arm == 0].vq.to_numpy(), q[q.arm == 1].vq.to_numpy()
+    m0, m1 = g0.mean(), g1.mean()
+    v0, v1 = g0.var(ddof=1), g1.var(ddof=1)
+    se2 = v0 / len(g0) + v1 / len(g1)
+    t_ref = (m1 - m0) / np.sqrt(se2)
+    df_ref = se2**2 / (
+        (v0 / len(g0)) ** 2 / (len(g0) - 1) + (v1 / len(g1)) ** 2 / (len(g1) - 1)
+    )
+    assert out["n0"] + out["n1"] == 400
+    assert out["mean_0"] == pytest.approx(m0, abs=1e-4)
+    assert out["t_stat"] == pytest.approx(t_ref, rel=1e-4)
+    assert out["df_welch"] == pytest.approx(df_ref, rel=1e-3)
+    assert out["significant"] is True and abs(out["t_stat"]) > 5

@@ -412,3 +412,109 @@ def classification_report(
         classification_report_sql(SPARK, view, pred_col, actual_col,
                                   round_to=round_to)
     )
+
+
+def welch_ttest_sql(
+    d: Dialect,
+    table: str,
+    user_col: str,
+    value_col: str,
+    *,
+    crit: float = 1.96,
+    round_to: int = 6,
+) -> str:
+    """Welch's unequal-variance two-sample t on per-unit metric sums,
+    md5-parity arms (the CUPED assignment — stable, cross-engine, never
+    an RNG): the significance readout CUPED's variance reduction feeds.
+
+    Reports the t statistic and the Welch-Satterthwaite degrees of
+    freedom; the decision column compares |t| against an explicit
+    critical-value LITERAL (1.96 ≈ two-sided 5% for the large df this
+    readout targets) — the normal-tail CDF itself needs erf(), which
+    the no-transcendentals rule bans, so the statistic is the output
+    and the literal threshold is the documented decision rule.
+
+    Numerics: per-unit sums and the arm moments (n, Σy, Σy²) are exact
+    decimals (the CUPED DECIMAL(18,6)×DECIMAL(19,6) product headroom);
+    means/variances are dec→double casts + IEEE arithmetic in one
+    shared expression tree; SQRT is IEEE-correctly-rounded on both
+    engines.  Sample variance uses the (Σy² − (Σy)²/n)/(n−1) form ON
+    EXACT DECIMAL INPUTS — the catastrophic-cancellation caveat of that
+    form applies to accumulated floats, not exact sums cast once.
+    Shape: one unit-key exchange, then a 2-row arm-moment STATE reduce.
+    """
+    from . import _num
+
+    cast = "STRING" if d.name == "spark" else "VARCHAR"
+    arm = f"{d.md5_long(f'CAST({user_col} AS {cast})')} % 2"
+    dec = f"CAST({value_col} AS DECIMAL(18,6))"
+    m = lambda a: f"({_num.dec_to_double(f'sy{a}')} / CAST(n{a} AS DOUBLE))"  # noqa: E731
+    # sample variance from exact decimal moments
+    v = lambda a: (  # noqa: E731
+        f"(({_num.dec_to_double(f'syy{a}')} - {_num.dec_to_double(f'sy{a}')}"
+        f" * {_num.dec_to_double(f'sy{a}')} / CAST(n{a} AS DOUBLE))"
+        f" / CAST(n{a} - 1 AS DOUBLE))"
+    )
+    se2 = f"({v(0)} / CAST(n0 AS DOUBLE) + {v(1)} / CAST(n1 AS DOUBLE))"
+    t = f"(({m(1)} - {m(0)}) / SQRT({se2}))"
+    dfw = (
+        f"(({se2} * {se2}) / "
+        f"(({v(0)} / CAST(n0 AS DOUBLE)) * ({v(0)} / CAST(n0 AS DOUBLE))"
+        f" / CAST(n0 - 1 AS DOUBLE)"
+        f" + ({v(1)} / CAST(n1 AS DOUBLE)) * ({v(1)} / CAST(n1 AS DOUBLE))"
+        f" / CAST(n1 - 1 AS DOUBLE)))"
+    )
+    return f"""
+    WITH _wu AS (
+      SELECT {user_col} AS uid, {arm} AS arm,
+             CAST(COALESCE(SUM({dec}), 0) AS DECIMAL(18,6)) AS y
+      FROM {table} GROUP BY {user_col}
+    ),
+    _wm AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS DECIMAL(27,6)) AS sy,
+             CAST(SUM(CAST(y * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,12)))
+                  AS DECIMAL(38,12)) AS syy
+      FROM _wu GROUP BY arm
+    ),
+    _wp AS (
+      SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+             MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+             MAX(CASE WHEN arm = 0 THEN sy END) AS sy0,
+             MAX(CASE WHEN arm = 1 THEN sy END) AS sy1,
+             MAX(CASE WHEN arm = 0 THEN syy END) AS syy0,
+             MAX(CASE WHEN arm = 1 THEN syy END) AS syy1
+      FROM _wm
+    )
+    SELECT n0, n1,
+           {_num.round_double(m(0), round_to)} AS mean_0,
+           {_num.round_double(m(1), round_to)} AS mean_1,
+           {_num.round_double(f"({m(1)} - {m(0)})", round_to)} AS diff,
+           {_num.round_double(t, round_to)} AS t_stat,
+           {_num.round_double(dfw, round_to)} AS df_welch,
+           (ABS({t}) > {crit!r}) AS significant
+    FROM _wp
+    """
+
+
+def welch_ttest(
+    df: DataFrame,
+    user_col: str,
+    value_col: str,
+    *,
+    crit: float = 1.96,
+    round_to: int = 6,
+) -> DataFrame:
+    """DataFrame front door for :func:`welch_ttest_sql`."""
+    from ..errors import ColumnNotFoundError
+    from ..functions.text_fns import SPARK
+
+    for c in (user_col, value_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    view = "_ts_welch_in"
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(
+        welch_ttest_sql(SPARK, view, user_col, value_col,
+                        crit=crit, round_to=round_to)
+    )

@@ -7842,6 +7842,27 @@ def changepoint_locate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return changepoint_locate(events, "value", "ts", "event_type")
 
 
+def _welch_oracle() -> str:
+    from .operators.experiment import welch_ttest_sql
+
+    return welch_ttest_sql(DUCK, "events", "user_id", "value")
+
+
+@register("welch_ab_events", oracle=_welch_oracle())
+def welch_ab_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch unequal-variance A/B readout on per-user value sums with
+    md5-parity arms — the significance statistic CUPED's variance
+    reduction feeds.  The decision column compares |t| to the explicit
+    1.96 literal (the normal CDF needs erf — banned; the statistic is
+    the output, the literal is the documented rule).  One unit-key
+    exchange then a 2-row arm-moment state reduce
+    (operators/experiment.py:welch_ttest)."""
+    from .operators.experiment import welch_ttest
+
+    events = load_table(spark, "events", sf_dir)
+    return welch_ttest(events, "user_id", "value")
+
+
 def _conformal_oracle() -> str:
     from .operators.backtest import conformal_backtest_sql
 
@@ -8137,6 +8158,7 @@ def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
 
 GRADE_PRIORITY: list[str] = [
     # -- NEW in r9 -> grade first --
+    "welch_ab_events",
     "conformal_interval_events",
     "langid_report_docs",
     "embedding_drift_labels",
