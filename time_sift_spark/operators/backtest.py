@@ -119,6 +119,30 @@ def mase_backtest(
     )
 
 
+def _conformal_scores_select(d, table: str, value_col: str, time_col: str,
+                             group_col: str, season: int) -> str:
+    """The bucket → LAG → nonconformity-score chain as one SELECT — a
+    shared text for the inline CTE and the staged front-door frame
+    (referenced by BOTH the calibration and evaluation arms, so the
+    engine-wide staging rule applies: unstaged, Catalyst replans the
+    bucket groupBy and the LAG window per arm)."""
+    if d.name == "spark":
+        day = f"datediff(CAST({time_col} AS DATE), DATE '1970-01-01')"
+    else:
+        day = f"datediff('day', DATE '1970-01-01', CAST({time_col} AS DATE))"
+    ydec = f"CAST({value_col} AS DECIMAL(18,6))"
+    return f"""SELECT k, x, CAST(ABS(y - f) AS DECIMAL(18,6)) AS score,
+             (x % 2 = 0) AS is_cal
+      FROM (
+        SELECT k, x, y, LAG(y, {season}) OVER (PARTITION BY k ORDER BY x) AS f
+        FROM (
+          SELECT {group_col} AS k, {day} AS x,
+                 CAST(SUM({ydec}) AS DECIMAL(18,6)) AS y
+          FROM {table} GROUP BY {group_col}, {day}
+        ) _cbb
+      ) _cbl WHERE f IS NOT NULL"""
+
+
 def conformal_backtest_sql(
     d,
     table: str,
@@ -129,6 +153,7 @@ def conformal_backtest_sql(
     season: int = 7,
     alpha: float = 0.1,
     round_to: int = 6,
+    staged_scores: str | None = None,
 ) -> str:
     """Split-conformal prediction interval for the seasonal-naive
     forecaster, per series (Vovk et al.; the distribution-free
@@ -155,31 +180,21 @@ def conformal_backtest_sql(
     from ._num import round_double
 
     if d.name == "spark":
-        day = f"datediff(CAST({time_col} AS DATE), DATE '1970-01-01')"
         arr = "sort_array(collect_list(score))"
         at = "element_at(sarr, rank_q)"
     else:
-        day = f"datediff('day', DATE '1970-01-01', CAST({time_col} AS DATE))"
         arr = "list_sort(list(score))"
         at = "sarr[rank_q]"
-    ydec = f"CAST({value_col} AS DECIMAL(18,6))"
+    scores = (
+        f"SELECT k, x, score, is_cal FROM {staged_scores}" if staged_scores
+        else _conformal_scores_select(d, table, value_col, time_col,
+                                      group_col, season)
+    )
     one_m_a = repr(1.0 - float(alpha))
     cov = "(CAST(covered AS DOUBLE) / CAST(n_eval AS DOUBLE))"
     return f"""
-    WITH _cbb AS (
-      SELECT {group_col} AS k, {day} AS x,
-             CAST(SUM({ydec}) AS DECIMAL(18,6)) AS y
-      FROM {table} GROUP BY {group_col}, {day}
-    ),
-    _cbl AS (
-      SELECT k, x, y,
-             LAG(y, {season}) OVER (PARTITION BY k ORDER BY x) AS f
-      FROM _cbb
-    ),
-    _cbs AS (
-      SELECT k, x, CAST(ABS(y - f) AS DECIMAL(18,6)) AS score,
-             (x % 2 = 0) AS is_cal
-      FROM _cbl WHERE f IS NOT NULL
+    WITH _cbs AS (
+      {scores}
     ),
     _cbq AS (
       SELECT k, {arr} AS sarr, CAST(COUNT(*) AS BIGINT) AS n_cal,
@@ -231,7 +246,16 @@ def conformal_backtest(
     assert_time_dtype(df, time_col)
     view = "_ts_conf_in"
     df.createOrReplaceTempView(view)
+    # STAGE the scored frame once (the engine staging rule): _cbs is
+    # referenced by both the calibration and evaluation arms, and
+    # Catalyst replans the bucket groupBy + LAG window per reference.
+    sview = "_ts_conf_scores"
+    df.sparkSession.sql(
+        _conformal_scores_select(_S, view, value_col, time_col,
+                                 group_col, season)
+    ).localCheckpoint(eager=False).createOrReplaceTempView(sview)
     return df.sparkSession.sql(
         conformal_backtest_sql(_S, view, value_col, time_col, group_col,
-                               season=season, alpha=alpha, round_to=round_to)
+                               season=season, alpha=alpha,
+                               round_to=round_to, staged_scores=sview)
     )
