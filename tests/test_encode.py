@@ -82,3 +82,31 @@ def test_encode_validation(spark):
         target_encode_loo(df, "id", "nope", "y")
     with pytest.raises(ValueError):
         target_encode_loo(df, "id", "cat", "y", smoothing=-1)
+
+
+def test_robust_scale_matches_numpy_quantiles(spark):
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from time_sift_spark.operators.encode import robust_scale
+
+    rng = np.random.default_rng(17)
+    vals = np.round(rng.normal(50, 10, 101), 6)
+    pdf = pd.DataFrame(
+        {"id": range(101), "g": "a", "v": vals}
+    )
+    # constant group -> NULL robust_z
+    pdf2 = pd.DataFrame({"id": range(1000, 1005), "g": "c", "v": 7.0})
+    df = spark.createDataFrame(pd.concat([pdf, pdf2], ignore_index=True))
+    out = robust_scale(df, "v", "g", "id").toPandas()
+    a = out[out.g == "a"].sort_values("id").reset_index(drop=True)
+    med = np.quantile(vals, 0.5, method="linear")
+    q1 = np.quantile(vals, 0.25, method="linear")
+    q3 = np.quantile(vals, 0.75, method="linear")
+    assert a.group_median[0] == pytest.approx(med, abs=1e-6)
+    assert a.group_iqr[0] == pytest.approx(q3 - q1, abs=1e-6)
+    assert a.robust_z[5] == pytest.approx((vals[5] - med) / (q3 - q1), abs=1e-5)
+    c = out[out.g == "c"]
+    assert len(c) == 5 and c.robust_z.isna().all()
+    assert (c.group_iqr == 0.0).all()

@@ -157,3 +157,109 @@ def target_encode_loo(
             SPARK, view, id_col, cat_col, label_col, smoothing=smoothing
         )
     )
+
+
+def _rs_sorted_arr(d: Dialect, col: str) -> str:
+    if d.name == "spark":
+        return f"sort_array(collect_list({col}))"
+    return f"list_sort(list({col}))"
+
+
+def _rs_q_exprs(d: Dialect, arr: str, q: float) -> str:
+    """Type-7 (R default) linear-interpolated quantile over a sorted
+    decimal array: position (n−1)·q, lo/hi element accesses through
+    dec_to_double, one multiply-add — identical scalar text on both
+    engines."""
+    from . import _num
+
+    n = f"CAST({'size' if d.name == 'spark' else 'len'}({arr}) AS DOUBLE)"
+    pos = f"(({n} - 1.0) * {q!r})"
+    lo_i = f"(CAST(FLOOR({pos}) AS INT) + 1)"
+    hi_i = f"(CAST(CEIL({pos}) AS INT) + 1)"
+    if d.name == "spark":
+        lo = _num.dec_to_double(f"element_at({arr}, {lo_i})")
+        hi = _num.dec_to_double(f"element_at({arr}, {hi_i})")
+    else:
+        lo = _num.dec_to_double(f"({arr})[{lo_i}]")
+        hi = _num.dec_to_double(f"({arr})[{hi_i}]")
+    frac = f"({pos} - FLOOR({pos}))"
+    return f"({lo} + ({hi} - {lo}) * {frac})"
+
+
+def robust_scale_sql(
+    d: Dialect,
+    table: str,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    *,
+    round_to: int = 6,
+) -> str:
+    """Per-group robust scaling: (x − median) / IQR — the feature
+    transform that survives the outliers z-score normalization is
+    destroyed by (one corrupted reading moves a mean/std arbitrarily;
+    it moves the median/IQR not at all — the winsorize/MAD rationale
+    applied to SCALING rather than flagging).
+
+    Output: one row per input row with the group's median, IQR, and
+    the scaled value; a zero-IQR group (constant values) yields NULL
+    robust_z — undefined, not a division blow-up.
+
+    Determinism: values quantize to DECIMAL(18,6) at the scan, the
+    per-group sorted array is exact, quantiles are type-7 interpolated
+    through dec_to_double element reads (one multiply-add), and the
+    final ratio round_double's.  Shape: ONE group exchange builds the
+    |groups|-row stats relation; it joins back broadcast-sized.  The
+    per-group sorted array is the mad_outliers bound — groups past
+    ~1e6 rows switch to the bucketed-quantile sketch.
+    """
+    from . import _num
+
+    vdec = f"CAST({value_col} AS DECIMAL(18,6))"
+    med = _rs_q_exprs(d, "arr", 0.5)
+    q1 = _rs_q_exprs(d, "arr", 0.25)
+    q3 = _rs_q_exprs(d, "arr", 0.75)
+    z = f"(({_num.dec_to_double('b.v')} - s.med) / s.iqr)"
+    return f"""
+    WITH _rsb AS (
+      SELECT {id_col} AS i, {group_col} AS k, {vdec} AS v
+      FROM {table} WHERE {value_col} IS NOT NULL
+    ),
+    _rsa AS (
+      SELECT k, {_rs_sorted_arr(d, 'v')} AS arr,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM _rsb GROUP BY k
+    ),
+    _rsq AS (
+      SELECT k, n, {med} AS med,
+             ({q3} - {q1}) AS iqr
+      FROM _rsa
+    )
+    SELECT b.i AS {id_col}, b.k AS {group_col},
+           CAST(b.v AS DOUBLE) AS value_q,
+           {_num.round_double('s.med', round_to)} AS group_median,
+           {_num.round_double('s.iqr', round_to)} AS group_iqr,
+           CASE WHEN s.iqr = 0.0 THEN CAST(NULL AS DOUBLE)
+                ELSE {_num.round_double(z, round_to)} END AS robust_z
+    FROM _rsb b JOIN _rsq s ON b.k = s.k
+    """
+
+
+def robust_scale(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """DataFrame front door for :func:`robust_scale_sql`."""
+    for c in (value_col, group_col, id_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    view = "_ts_rscale_in"
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(
+        robust_scale_sql(SPARK, view, value_col, group_col, id_col,
+                         round_to=round_to)
+    )

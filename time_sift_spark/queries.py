@@ -7842,6 +7842,27 @@ def changepoint_locate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return changepoint_locate(events, "value", "ts", "event_type")
 
 
+def _robust_scale_oracle() -> str:
+    from .operators.encode import robust_scale_sql
+
+    return robust_scale_sql(DUCK, "events", "value", "event_type", "event_id")
+
+
+@register("robust_scale_events", oracle=_robust_scale_oracle())
+def robust_scale_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust scaling (x − median)/IQR — the outlier-
+    immune companion of zscore_events (a corrupted reading moves a
+    mean/std arbitrarily, the median/IQR not at all).  Type-7
+    interpolated quantiles over exact per-group sorted decimal arrays;
+    ONE group exchange builds the stats relation, joined back
+    broadcast-sized; constant groups yield NULL robust_z
+    (operators/encode.py:robust_scale)."""
+    from .operators.encode import robust_scale
+
+    events = load_table(spark, "events", sf_dir)
+    return robust_scale(events, "value", "event_type", "event_id")
+
+
 def _welch_oracle() -> str:
     from .operators.experiment import welch_ttest_sql
 
@@ -8158,6 +8179,7 @@ def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
 
 GRADE_PRIORITY: list[str] = [
     # -- NEW in r9 -> grade first --
+    "robust_scale_events",
     "welch_ab_events",
     "conformal_interval_events",
     "langid_report_docs",
