@@ -188,3 +188,32 @@ def test_changepoint_locator_finds_planted_shift(spark):
     # single-bucket series drop out (no candidate split)
     one = pd.DataFrame({"k": ["c"], "ts": [pd.Timestamp("2024-01-01")], "v": [1.0]})
     assert changepoint_locate(spark.createDataFrame(one), "v", "ts", "k").count() == 0
+
+
+def test_corr_matrix_planted_correlations(spark):
+    import pandas as pd
+
+    from time_sift_spark.operators.autocorr import corr_matrix
+
+    rng = np.random.default_rng(23)
+    rows = []
+    base = rng.normal(10, 2, 30)
+    for day in range(30):
+        ts = pd.Timestamp("2024-01-01") + pd.Timedelta(days=day)
+        rows.append(("a", ts, base[day]))
+        rows.append(("b", ts, 3.0 * base[day] + 1.0))   # corr(a,b) = +1
+        rows.append(("c", ts, -2.0 * base[day]))        # corr(a,c) = -1
+        rows.append(("d", ts, rng.normal(5, 1)))        # independent
+    # series sharing only 2 days with the rest -> pair dropped
+    rows += [("e", pd.Timestamp("2024-01-01"), 1.0),
+             ("e", pd.Timestamp("2024-01-02"), 2.0)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["k", "ts", "v"]))
+    out = {(r["type_a"], r["type_b"]): r for r in corr_matrix(df, "v", "ts", "k").collect()}
+    # upper triangle only, e-pairs dropped by the >=3 shared-days rule
+    assert all(a < b for a, b in out)
+    assert not any("e" in p for p in out)
+    assert out[("a", "b")]["corr"] == pytest.approx(1.0, abs=1e-3)
+    assert out[("a", "c")]["corr"] == pytest.approx(-1.0, abs=1e-3)
+    assert abs(out[("a", "d")]["corr"]) < 0.5
+    assert out[("a", "b")]["n_days"] == 30
+    assert len(out) == 6  # C(4,2) pairs among a,b,c,d

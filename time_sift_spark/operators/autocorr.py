@@ -342,3 +342,91 @@ def rolling_corr_oracle_sql(
       FROM ({inner_sql})
     )
     """
+
+
+def _cm_bucket_select(d_name: str, table: str, value_col: str,
+                      time_col: str, group_col: str) -> str:
+    """Daily-bucket SELECT shared by the inline CTE and the staged
+    front-door frame (the engine staging rule — the bucket frame is
+    referenced by BOTH arms of the pair self-join)."""
+    if d_name == "spark":
+        day = f"datediff(CAST({time_col} AS DATE), DATE '1970-01-01')"
+    else:
+        day = f"datediff('day', DATE '1970-01-01', CAST({time_col} AS DATE))"
+    ydec = f"CAST({value_col} AS DECIMAL(18,6))"
+    return (
+        f"SELECT {group_col} AS k, {day} AS x, "
+        f"CAST(SUM({ydec}) AS DECIMAL(18,6)) AS y "
+        f"FROM {table} GROUP BY {group_col}, {day}"
+    )
+
+
+def corr_matrix_sql(
+    d_name: str,
+    table: str,
+    value_col: str,
+    time_col: str,
+    group_col: str,
+    *,
+    round_to: int = 4,
+    staged_bucket: str | None = None,
+) -> str:
+    """Cross-series Pearson correlation matrix (upper triangle): which
+    event types move together day to day — the lag-0 companion of
+    ccf_global's single-pair lead/lag scan, over ALL series pairs at
+    once.
+
+    Series align on SHARED days via a self equi-join of the daily
+    bucket frame on the day key (never a cross join; pair count is
+    C(|series|, 2) × |shared calendar| — bounded by the bucket
+    calendar, the Theil-Sen posture).  The correlation per pair is
+    :func:`exact_corr_sql`'s order-independent exact-decimal aggregate.
+    Ties: the upper triangle is k_a < k_b by string comparison —
+    deterministic on both engines.  Pairs sharing < 3 days are dropped
+    (a 2-point correlation is ±1 by construction — noise, documented).
+    """
+    width = 18 if d_name == "spark" else 19
+    bucket = (
+        f"SELECT k, x, y FROM {staged_bucket}" if staged_bucket
+        else _cm_bucket_select(d_name, table, value_col, time_col, group_col)
+    )
+    corr = exact_corr_sql("a.y", "b.y", round_to, width=width)
+    return f"""
+    WITH _cmb AS (
+      {bucket}
+    )
+    SELECT a.k AS type_a, b.k AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           {corr} AS corr
+    FROM _cmb a JOIN _cmb b ON a.x = b.x AND a.k < b.k
+    GROUP BY a.k, b.k
+    HAVING COUNT(*) >= 3
+    """
+
+
+def corr_matrix(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    group_col: str,
+    *,
+    round_to: int = 4,
+) -> DataFrame:
+    """DataFrame front door for :func:`corr_matrix_sql` — stages the
+    bucket frame once (both self-join arms share it)."""
+    from ._time import assert_time_dtype
+
+    for c in (value_col, time_col, group_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    assert_time_dtype(df, time_col)
+    view = "_ts_cmx_in"
+    df.createOrReplaceTempView(view)
+    bview = "_ts_cmx_buckets"
+    df.sparkSession.sql(
+        _cm_bucket_select("spark", view, value_col, time_col, group_col)
+    ).localCheckpoint(eager=False).createOrReplaceTempView(bview)
+    return df.sparkSession.sql(
+        corr_matrix_sql("spark", view, value_col, time_col, group_col,
+                        round_to=round_to, staged_bucket=bview)
+    )

@@ -7842,6 +7842,26 @@ def changepoint_locate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return changepoint_locate(events, "value", "ts", "event_type")
 
 
+def _corr_matrix_oracle() -> str:
+    from .operators.autocorr import corr_matrix_sql
+
+    return corr_matrix_sql("duck", "events", "value", "ts", "event_type")
+
+
+@register("corr_matrix_events", oracle=_corr_matrix_oracle())
+def corr_matrix_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-series correlation matrix: pairwise Pearson between event
+    types' daily value sums over shared days — the lag-0 all-pairs
+    companion of ccf_click_purchase_hourly's single-pair scan.  The
+    bucket frame is STAGED once (both self-join arms share it); each
+    pair's correlation is the exact-decimal order-independent aggregate
+    (operators/autocorr.py:corr_matrix)."""
+    from .operators.autocorr import corr_matrix
+
+    events = load_table(spark, "events", sf_dir)
+    return corr_matrix(events, "value", "ts", "event_type")
+
+
 def _robust_scale_oracle() -> str:
     from .operators.encode import robust_scale_sql
 
@@ -8179,6 +8199,7 @@ def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
 
 GRADE_PRIORITY: list[str] = [
     # -- NEW in r9 -> grade first --
+    "corr_matrix_events",
     "robust_scale_events",
     "welch_ab_events",
     "conformal_interval_events",
