@@ -110,3 +110,27 @@ def test_robust_scale_matches_numpy_quantiles(spark):
     c = out[out.g == "c"]
     assert len(c) == 5 and c.robust_z.isna().all()
     assert (c.group_iqr == 0.0).all()
+
+
+def test_frequency_encode_rare_collapse(spark):
+    import pandas as pd
+    import pytest
+
+    from time_sift_spark.operators.encode import frequency_encode
+
+    # "big": 6 rows, "mid": 5, "r1": 2, "r2": 1 -> rare bucket = 3 rows
+    cats = ["big"] * 6 + ["mid"] * 5 + ["r1"] * 2 + ["r2"]
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": range(len(cats)), "c": cats})
+    )
+    out = frequency_encode(df, "id", "c", min_count=5).toPandas()
+    assert len(out) == 14  # one row per input row
+    by_cat = out.groupby("c").first()
+    assert by_cat.loc["big", "cat_enc"] == "big"
+    assert by_cat.loc["mid", "cat_enc"] == "mid"
+    assert by_cat.loc["r1", "cat_enc"] == "__rare__"
+    assert by_cat.loc["r2", "cat_enc"] == "__rare__"
+    # post-collapse semantics: the rare bucket counts ALL its members
+    assert by_cat.loc["r1", "n_bucket"] == 3
+    assert by_cat.loc["r1", "freq_enc"] == pytest.approx(3 / 14, abs=1e-6)
+    assert by_cat.loc["big", "freq_enc"] == pytest.approx(6 / 14, abs=1e-6)

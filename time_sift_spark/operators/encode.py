@@ -263,3 +263,82 @@ def robust_scale(
         robust_scale_sql(SPARK, view, value_col, group_col, id_col,
                          round_to=round_to)
     )
+
+
+def frequency_encode_sql(
+    d: Dialect,
+    table: str,
+    id_col: str,
+    cat_col: str,
+    *,
+    min_count: int = 5,
+    round_to: int = 6,
+) -> str:
+    """Frequency encoding with rare-category collapse — the third leg
+    of the categorical-encoding surface (target encoding carries label
+    signal, this carries pure prevalence, and the ``__rare__`` bucket
+    is how production feature pipelines stop the long tail of
+    once-seen categories from exploding the model's vocabulary).
+
+    Output per row: the original category, the collapsed category
+    (categories with fewer than ``min_count`` rows map to
+    ``'__rare__'``), the collapsed bucket's row count, and its
+    frequency n_bucket/N.  The rare bucket's count is the SUM of its
+    members' counts (post-collapse semantics — what the model will
+    actually see), not the per-member count.
+
+    Determinism: counts are exact BIGINTs; the frequency is one IEEE
+    division round_double'd.  Shape: ONE category-key exchange builds
+    the count relation; the collapse is a projection over it; both the
+    per-category and the collapsed relation are |categories|-row and
+    join back broadcast-sized; N is one-row state.
+    """
+    from . import _num
+
+    freq = "(CAST(n_bucket AS DOUBLE) / CAST(n_total AS DOUBLE))"
+    return f"""
+    WITH _fec AS (
+      SELECT {cat_col} AS cat, CAST(COUNT(*) AS BIGINT) AS n_cat
+      FROM {table} GROUP BY {cat_col}
+    ),
+    _fem AS (
+      SELECT cat,
+             CASE WHEN n_cat < {min_count} THEN '__rare__'
+                  ELSE CAST(cat AS {'STRING' if d.name == 'spark' else 'VARCHAR'})
+             END AS cat_enc,
+             n_cat
+      FROM _fec
+    ),
+    _feb AS (
+      SELECT cat_enc, CAST(SUM(n_cat) AS BIGINT) AS n_bucket
+      FROM _fem GROUP BY cat_enc
+    ),
+    _fen AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM {table})
+    SELECT t.{id_col} AS {id_col}, t.{cat_col} AS {cat_col},
+           m.cat_enc AS cat_enc, b.n_bucket AS n_bucket,
+           {_num.round_double(freq, round_to)} AS freq_enc
+    FROM {table} t
+    JOIN _fem m ON t.{cat_col} = m.cat
+    JOIN _feb b ON m.cat_enc = b.cat_enc
+    CROSS JOIN _fen
+    """
+
+
+def frequency_encode(
+    df: DataFrame,
+    id_col: str,
+    cat_col: str,
+    *,
+    min_count: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """DataFrame front door for :func:`frequency_encode_sql`."""
+    for c in (id_col, cat_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    view = "_ts_freqenc_in"
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(
+        frequency_encode_sql(SPARK, view, id_col, cat_col,
+                             min_count=min_count, round_to=round_to)
+    )

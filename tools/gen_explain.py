@@ -122,6 +122,7 @@ SHOWCASE = {
     "distribution_drift_events": "Distribution drift: one scan feeds both windows; the reference envelope joins back broadcast-sized; the (group,bin) count is the one data shuffle and the per-group reduce sums decimal-quantized <=bins-row terms.",
     "streaming_drift_events": "Streaming drift: the stream side carries only the bounded (group,bin) complete-mode count; the reference envelope stream-static joins in; the post-drain combine is the SAME rendered SQL as the batch monitor.",
     "mase_backtest_events": "MASE backtest: the daily-bucket groupBy then ONE series-key exchange - both LAG frames and the per-key MAE reduce share that partitioning; absolute errors stay exact decimal until the two final divisions.",
+    "frequency_encode_part": "Frequency encoding: one category-key exchange builds the counts; the collapse mapping and bucket counts join back as BroadcastHashJoins; N is a one-row state cross join.",
     "corr_matrix_events": "Correlation matrix: the staged bucket frame (ExistingRDD scans) self-joins on the day key; pair rows partial-aggregate into the exact-decimal corr sums - C(series,2) x calendar rows, never the event population.",
     "robust_scale_events": "Robust scaling: one group exchange builds the quantile stats relation; it joins back as a BroadcastHashJoin and the scaling itself is a codegen projection.",
     "welch_ab_events": "Welch t-test: one unit-key exchange with partial agg; the arm-moment reduce below is 2-row aggregate STATE; t/df are scalar IEEE ops on decimal casts with IEEE-exact SQRT.",
