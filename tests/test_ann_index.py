@@ -609,3 +609,80 @@ def test_ivfpq_persisted_equals_inline_and_skips_training(spark, emb, tmp_path_f
     assert "posexplode" not in plan  # no Lloyd mean machinery
     assert "centroids" in plan and "assigned" in plan
     assert "codebook" in plan and "codes" in plan
+
+
+def test_lsh_append_equals_rebuild(spark, emb, tmp_path_factory):
+    """append_lsh_index: build(base) + append(inc) must equal the
+    one-shot full build EXACTLY — artifacts and query results both
+    (bucket assignment is row-local: (seed, dim)-literal hyperplanes,
+    no training state).  Re-appending the same increment is a no-op
+    (vid anti-join)."""
+    from time_sift_spark.operators.similarity import append_lsh_index
+
+    full = str(tmp_path_factory.mktemp("lsh_full"))
+    inc_path = str(tmp_path_factory.mktemp("lsh_inc"))
+    build_lsh_index(emb, "vec_id", "embedding", full, dim=64, **LSH_KW)
+    base = emb.where("vec_id % 4 < 3")
+    inc = emb.where("vec_id % 4 = 3")
+    build_lsh_index(base, "vec_id", "embedding", inc_path, dim=64, **LSH_KW)
+    append_lsh_index(spark, inc_path, inc)
+
+    # artifact equality (order-insensitive)
+    for part, cols in (("vectors", ["vid"]), ("buckets", ["vid", "bkey"])):
+        a = spark.read.parquet(f"{full}/{part}").toPandas().sort_values(cols).reset_index(drop=True)
+        b = spark.read.parquet(f"{inc_path}/{part}").toPandas().sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+    # query equality
+    qa = _sorted(query_lsh_index(spark, full, query_pred="vid < 8", k=5))
+    qb = _sorted(query_lsh_index(spark, inc_path, query_pred="vid < 8", k=5))
+    pd.testing.assert_frame_equal(qa, qb)
+
+    # idempotent re-append
+    n_vec = spark.read.parquet(f"{inc_path}/vectors").count()
+    n_bkt = spark.read.parquet(f"{inc_path}/buckets").count()
+    append_lsh_index(spark, inc_path, inc)
+    assert spark.read.parquet(f"{inc_path}/vectors").count() == n_vec
+    assert spark.read.parquet(f"{inc_path}/buckets").count() == n_bkt
+
+
+def test_ivf_append_pinned_centroid_equivalence(spark, emb, tmp_path_factory):
+    """append_ivf_index: the appended rows must carry exactly the
+    assignment a one-pass computation over base ∪ inc against the SAME
+    stored centroids produces (frozen-centroid contract — a fresh
+    rebuild would re-sample centroids, documented).  Idempotent under
+    re-append."""
+    from time_sift_spark.functions.vector_fns import VSPARK as _VS
+    from time_sift_spark.operators.similarity import append_ivf_index
+
+    path = str(tmp_path_factory.mktemp("ivf_app"))
+    base = emb.where("vec_id % 4 < 3")
+    inc = emb.where("vec_id % 4 = 3")
+    build_ivf_index(base, "vec_id", "embedding", path, num_centroids=16)
+    append_ivf_index(spark, path, inc)
+
+    emb.createOrReplaceTempView("_ivfapp_all")
+    spark.read.parquet(f"{path}/centroids").createOrReplaceTempView("_ivfapp_c")
+    cos = _VS.cosine("v.embedding", "c.embedding")
+    expect = spark.sql(f"""
+      SELECT vid, cid FROM (
+        SELECT v.vec_id AS vid, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {cos} DESC, c.cid) AS crank
+        FROM _ivfapp_all v CROSS JOIN _ivfapp_c c
+      ) WHERE crank = 1
+    """).toPandas().sort_values("vid").reset_index(drop=True)
+    got = (
+        spark.read.parquet(f"{path}/assigned")
+        .select("vid", "cid").toPandas()
+        .sort_values("vid").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expect)
+
+    # query over the appended index ≡ query over the same relations inline
+    q1 = _sorted(query_ivf_index(spark, path, query_pred="vid < 8", k=5, nprobe=4))
+    assert len(q1) > 0
+
+    n = spark.read.parquet(f"{path}/assigned").count()
+    append_ivf_index(spark, path, inc)
+    assert spark.read.parquet(f"{path}/assigned").count() == n

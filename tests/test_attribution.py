@@ -77,3 +77,46 @@ def test_attribution_bad_column(spark):
     sdf = spark.createDataFrame(_timeline())
     with pytest.raises(ColumnNotFoundError):
         attribution(sdf, **{**_KW, "value_col": "nope"})
+
+
+def test_attribution_campaign_fold_is_sign_safe(spark):
+    """ADVICE r9: negative / >=128 campaign ids must fold via the
+    double-mod idiom — a negative remainder would corrupt the MAX/MIN
+    encode-compare tiebreak, and the over-range fold is a documented
+    collision, not corruption.  -5 → 123, 133 → 5; a non-numeric
+    campaign touch is unattributable (documented skip)."""
+    base = pd.Timestamp("2024-03-01 12:00:00")
+    day = pd.Timedelta(days=1)
+    rows = [
+        (1, base, 10, "click", 0.0, '{"k": -5}'),
+        (1, base + day, 11, "purchase", 40.0, "{}"),
+        (2, base, 20, "click", 0.0, '{"k": 133}'),
+        (2, base + day, 21, "purchase", 60.0, "{}"),
+        (3, base, 30, "click", 0.0, '{"k": "oops"}'),
+        (3, base + day, 31, "purchase", 25.0, "{}"),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["user_id", "ts", "event_id", "event_type", "value", "props"]
+    )
+    out = attribution(spark.createDataFrame(pdf), **_KW).toPandas()
+    last = {
+        (None if pd.isna(r.campaign) else int(r.campaign)): r.revenue
+        for r in out[out.model == "last"].itertuples()
+    }
+    assert last == {123: 40.0, 5: 60.0, None: 25.0}
+
+    # cross-engine parity on the folded domain
+    import duckdb
+
+    sdf = spark.createDataFrame(pdf)
+    sdf.createOrReplaceTempView("_attr_fold_t")
+    got = spark.sql(attribution_sql(SPARK, "_attr_fold_t", **_KW)).toPandas()
+    con = duckdb.connect()
+    con.register("_attr_fold_t", pdf)
+    exp = con.execute(attribution_sql(DUCK, "_attr_fold_t", **_KW)).df()
+    key = ["model", "campaign"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        exp.sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )

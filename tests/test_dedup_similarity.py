@@ -953,3 +953,104 @@ def test_embedding_centroid_drift_planted_shift(spark):
     assert out[0]["l2_shift"] < 0.05
     assert out[1]["cosine_shift"] == pytest.approx(0.0, abs=0.05)
     assert out[1]["l2_shift"] == pytest.approx(np.sqrt(2.0), abs=0.1)
+
+
+def test_substring_remove_excises_all_but_canonical(spark):
+    """A 6-token span copied from doc 1 into docs 2 and 3 (k=3): the
+    canonical (earliest (doc,pos)) copy survives, every other
+    occurrence's covered tokens are excised, unique prose is untouched."""
+    import pandas as pd
+
+    from time_sift_spark.operators.dedup import substring_remove
+
+    span = "quick brown foxes jump over fences"
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            f"one unique opening here {span} and a tail",
+            f"totally different start {span} closing words now",
+            f"{span} third document body",
+            "completely original content with nothing shared anywhere",
+        ],
+    })
+    out = (
+        substring_remove(spark.createDataFrame(pdf), "doc_id", "text", k=3)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    # doc 1 holds the canonical copy: nothing removed
+    assert out.loc[1, "n_removed"] == 0
+    assert span in out.loc[1, "text_dedup"]
+    # docs 2 and 3 lose exactly the 6 span tokens
+    assert out.loc[2, "n_removed"] == 6
+    assert span not in out.loc[2, "text_dedup"]
+    assert "totally different start" in out.loc[2, "text_dedup"]
+    assert "closing words now" in out.loc[2, "text_dedup"]
+    assert out.loc[3, "n_removed"] == 6
+    assert out.loc[3, "text_dedup"] == "third document body"
+    # untouched doc reassembles to its (lowercased-token) self
+    assert out.loc[4, "n_removed"] == 0
+    assert out.loc[4, "n_kept"] == out.loc[4, "n_tokens"]
+
+
+def test_substring_remove_boilerplate_cap_removes_everywhere(spark):
+    """A gram in more than gram_doc_cap docs is boilerplate: removed
+    from EVERY occurrence, canonical included (the CCNet rule)."""
+    import pandas as pd
+
+    from time_sift_spark.operators.dedup import substring_remove
+
+    banner = "all rights reserved worldwide"
+    pdf = pd.DataFrame({
+        "doc_id": list(range(1, 6)),
+        "text": [f"body text number {i} stands alone {banner}" for i in range(1, 6)],
+    })
+    out = (
+        substring_remove(spark.createDataFrame(pdf), "doc_id", "text", k=4,
+                         gram_doc_cap=3)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    for i in range(1, 6):
+        assert banner not in out.loc[i, "text_dedup"]
+        # "stands alone" goes too: the shared-suffix windows that START
+        # there ("stands alone all rights", ...) are themselves >cap
+        # boilerplate grams, and coverage is per-window, not per-gram-end
+        assert out.loc[i, "text_dedup"] == f"body text number {i}"
+        assert out.loc[i, "n_removed"] == 6
+
+
+def test_substring_remove_cross_engine_and_validation(spark):
+    import duckdb
+    import pandas as pd
+    import pytest
+
+    from time_sift_spark.functions.text_fns import DUCK
+    from time_sift_spark.operators.dedup import substring_remove, substring_remove_sql
+
+    span = "shared ten token window content appears here twice in corpus"
+    pdf = pd.DataFrame({
+        "doc_id": [10, 20, 30],
+        "text": [
+            f"intro words {span} outro words",
+            f"other intro {span} other outro",
+            "standalone document with its very own words only",
+        ],
+    })
+    sdf = spark.createDataFrame(pdf)
+    got = substring_remove(sdf, "doc_id", "text", k=10).toPandas()
+    con = duckdb.connect()
+    con.register("_ssr_t", pdf)
+    exp = con.execute(
+        substring_remove_sql(DUCK, "_ssr_t", "doc_id", "text", k=10)
+    ).df()
+    key = ["doc_id"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True)[sorted(got.columns)],
+        exp.sort_values(key).reset_index(drop=True)[sorted(exp.columns)],
+        check_dtype=False,
+    )
+
+    with pytest.raises(ValueError):
+        substring_remove(
+            sdf.selectExpr("CAST(doc_id AS STRING) AS doc_id", "text"),
+            "doc_id", "text",
+        )

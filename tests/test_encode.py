@@ -134,3 +134,128 @@ def test_frequency_encode_rare_collapse(spark):
     assert by_cat.loc["r1", "n_bucket"] == 3
     assert by_cat.loc["r1", "freq_enc"] == pytest.approx(3 / 14, abs=1e-6)
     assert by_cat.loc["big", "freq_enc"] == pytest.approx(6 / 14, abs=1e-6)
+
+
+def test_frequency_encode_null_category(spark):
+    """NULL categories keep the one-row-per-input contract (ADVICE r9:
+    the NULL-unsafe join-back dropped them while n_total still counted
+    them) — grouped by _fec, collapsed into __rare__ below min_count,
+    and joined back NULL-safely on BOTH engines."""
+    import duckdb
+    import pandas as pd
+    import pytest
+
+    from time_sift_spark.functions.text_fns import DUCK, SPARK
+    from time_sift_spark.operators.encode import frequency_encode, frequency_encode_sql
+
+    pdf = pd.DataFrame({
+        "id": [1, 2, 3, 4, 5],
+        "c": ["a", "a", "a", None, None],
+    })
+    df = spark.createDataFrame(pdf.astype({"c": "object"}))
+    out = frequency_encode(df, "id", "c", min_count=3).toPandas()
+    assert len(out) == 5  # one row per input row, NULLs included
+    nulls = out[out.c.isna()]
+    assert len(nulls) == 2
+    assert (nulls.cat_enc == "__rare__").all()
+    assert (nulls.n_bucket == 2).all()
+    assert nulls.freq_enc.iloc[0] == pytest.approx(2 / 5, abs=1e-9)
+    assert out[out.c == "a"].freq_enc.iloc[0] == pytest.approx(3 / 5, abs=1e-9)
+
+    # NULL category ABOVE min_count keeps its own (NULL) bucket
+    out2 = frequency_encode(df, "id", "c", min_count=2).toPandas()
+    n2 = out2[out2.c.isna()]
+    assert len(n2) == 2 and n2.cat_enc.isna().all() and (n2.n_bucket == 2).all()
+
+    # cross-engine: the DuckDB rendering keeps the same contract
+    con = duckdb.connect()
+    con.register("_fe_t", pdf)
+    exp = con.execute(
+        frequency_encode_sql(DUCK, "_fe_t", "id", "c", min_count=3)
+    ).df()
+    df.createOrReplaceTempView("_fe_t")
+    got = spark.sql(
+        frequency_encode_sql(SPARK, "_fe_t", "id", "c", min_count=3)
+    ).toPandas()
+    assert len(exp) == 5 and len(got) == 5
+    key = ["id"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        exp.sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_robust_scale_sketch_bounded_plan_and_accuracy(spark):
+    """The sketch form must (a) contain NO per-group sorted array in its
+    plan — the r9 VERDICT scale cliff — and (b) land within one bin
+    width of the exact quantiles."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from time_sift_spark.operators.encode import robust_scale, robust_scale_sketch
+
+    rng = np.random.default_rng(23)
+    vals = np.round(rng.normal(100, 20, 2000), 6)
+    pdf = pd.DataFrame({"id": range(2000), "g": "a", "v": vals})
+    df = spark.createDataFrame(pdf)
+    sk = robust_scale_sketch(df, "v", "g", "id", bins=4096)
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan and "sort_array" not in plan
+    out = sk.toPandas()
+    assert len(out) == 2000
+    exact = robust_scale(df, "v", "g", "id").toPandas()
+    bin_w = (vals.max() - vals.min()) / 4096
+    assert abs(out.group_median[0] - exact.group_median[0]) <= bin_w + 1e-9
+    assert abs(out.group_iqr[0] - exact.group_iqr[0]) <= 2 * bin_w + 1e-9
+
+    # cross-engine: DuckDB rendering bit-equal to the Spark rendering
+    import duckdb
+
+    from time_sift_spark.functions.text_fns import DUCK
+    from time_sift_spark.operators.encode import robust_scale_sketch_sql
+
+    con = duckdb.connect()
+    con.register("_rsk_t", pdf)
+    exp = con.execute(
+        robust_scale_sketch_sql(DUCK, "_rsk_t", "v", "g", "id", bins=4096)
+    ).df()
+    got = out.sort_values("id").reset_index(drop=True)
+    exp = exp.sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False
+    )
+
+
+def test_robust_scale_auto_routes_by_group_size(spark):
+    """The picker: under the bound → the exact sorted-array plan; a
+    group past the bound → the sketch plan (no collect_list), on the
+    WHOLE frame."""
+    import numpy as np
+    import pandas as pd
+
+    from time_sift_spark.operators.encode import robust_scale, robust_scale_auto
+
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame({
+        "id": range(300),
+        "g": ["big"] * 250 + ["small"] * 50,
+        "v": np.round(rng.normal(0, 1, 300), 6),
+    })
+    df = spark.createDataFrame(pdf)
+
+    exact = robust_scale_auto(df, "v", "g", "id", exact_max_group_rows=1000)
+    plan = exact._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" in plan or "sort_array" in plan
+    import pandas.testing as pt
+
+    pt.assert_frame_equal(
+        exact.toPandas().sort_values("id").reset_index(drop=True),
+        robust_scale(df, "v", "g", "id").toPandas().sort_values("id").reset_index(drop=True),
+    )
+
+    sk = robust_scale_auto(df, "v", "g", "id", exact_max_group_rows=100)
+    plan_sk = sk._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan_sk and "sort_array" not in plan_sk
+    assert sk.count() == 300

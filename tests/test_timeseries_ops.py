@@ -979,3 +979,41 @@ def test_conformal_interval_rank_and_coverage(spark):
     # too few calibration points for alpha=0.01 -> NULL, not a clamp
     out2 = conformal_backtest(df, "v", "ts", "k", alpha=0.01).collect()[0]
     assert out2["q_alpha"] is None and out2["coverage"] is None
+
+
+def test_conformal_series_without_eval_half_surfaces(spark):
+    """ADVICE r9: a series whose scored rows are ALL calibration (data
+    only on even epoch-days) must still surface with its q_hat and NULL
+    n_eval/coverage — the eval arm LEFT JOINs on, never an inner-join
+    drop-out."""
+    import duckdb
+    import pandas as pd
+
+    from time_sift_spark.functions.text_fns import DUCK, SPARK
+    from time_sift_spark.operators.backtest import conformal_backtest, conformal_backtest_sql
+
+    # even epoch-days only: every scored row lands in the calibration half
+    day0 = pd.Timestamp("2024-01-02")  # epoch day 19724 (even)
+    assert (day0 - pd.Timestamp("1970-01-01")).days % 2 == 0
+    rows = [
+        ("solo", day0 + pd.Timedelta(days=2 * i), float(10 + (i % 3)))
+        for i in range(20)
+    ]
+    pdf = pd.DataFrame(rows, columns=["k", "ts", "v"])
+    df = spark.createDataFrame(pdf)
+    out = conformal_backtest(df, "v", "ts", "k", alpha=0.2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_cal"] == 13  # 20 points - 7 burn-in, all even days
+    assert r["q_alpha"] is not None
+    assert r["n_eval"] is None and r["coverage"] is None
+
+    # cross-engine: DuckDB rendering keeps the series too
+    con = duckdb.connect()
+    con.register("_conf_t", pdf)
+    exp = con.execute(
+        conformal_backtest_sql(DUCK, "_conf_t", "v", "ts", "k", alpha=0.2)
+    ).df()
+    assert len(exp) == 1
+    assert pd.isna(exp["coverage"].iloc[0]) and pd.isna(exp["n_eval"].iloc[0])
+    assert exp["q_alpha"].iloc[0] == r["q_alpha"]

@@ -32,13 +32,24 @@ from ..functions.text_fns import SPARK, Dialect
 
 __all__ = ["attribution_sql", "attribution"]
 
-_CAMP_MOD = 128  # campaign ids folded mod 128 into the low bits
+# Campaign-id domain contract: ids fold into [0, 128) via the engine's
+# double-mod idiom (((x % 128) + 128) % 128) — sign-safe, so a negative
+# id can never produce a negative remainder that would corrupt the
+# MAX/MIN encode-compare tiebreak.  Ids outside [0, 128) COLLIDE after
+# the fold (campaign 5 and 133 share a bucket); callers with wider id
+# spaces must pre-bucket.  A touch whose campaign JSON is missing or
+# non-numeric has no encodable campaign: its enc is NULL, so it is
+# skipped as unattributable (the conversion falls to an earlier touch
+# or to the NULL `campaign` bucket) — a contract, not an accident.
+_CAMP_MOD = 128
 
 
 def _json_long(d: Dialect, col: str, path: str) -> str:
+    # TRY_CAST on both engines: a non-numeric campaign is the documented
+    # NULL-enc skip, not an ANSI cast error killing the whole job.
     if d.name == "spark":
-        return f"CAST(get_json_object({col}, '{path}') AS BIGINT)"
-    return f"CAST(json_extract_string({col}, '{path}') AS BIGINT)"
+        return f"TRY_CAST(get_json_object({col}, '{path}') AS BIGINT)"
+    return f"TRY_CAST(json_extract_string({col}, '{path}') AS BIGINT)"
 
 
 def _epoch_micros(d: Dialect, col: str) -> str:
@@ -71,7 +82,10 @@ def _attr_stage_sql(
     one window pass; shared by the one-statement oracle and the staged
     DataFrame path (which materializes it once: Spark inlines the CTE
     into BOTH model arms, recomputing the timeline window twice)."""
-    camp = f"({_json_long(d, campaign_json_col, campaign_json_path)}) % {_CAMP_MOD}"
+    camp = (
+        f"((({_json_long(d, campaign_json_col, campaign_json_path)})"
+        f" % {_CAMP_MOD} + {_CAMP_MOD}) % {_CAMP_MOD})"
+    )
     mic = _epoch_micros(d, time_col)
     tol_us = tolerance_days * 86_400_000_000
     return f"""
@@ -173,7 +187,12 @@ def attribution(
     ONCE (lazy localCheckpoint) and both model arms aggregate the
     staged frame — the one-statement form (kept as the oracle) inlines
     the stage CTE into each arm, recomputing the timeline window twice.
-    Tail text shared verbatim, so staged ≡ one-statement."""
+    Tail text shared verbatim, so staged ≡ one-statement.
+
+    Campaign-id domain: see the ``_CAMP_MOD`` contract at module top —
+    ids fold sign-safely into [0, 128) (wider spaces collide; pre-bucket
+    if that matters), and a touch with a missing/non-numeric campaign is
+    unattributable and skipped."""
     for c in (key_col, time_col, order_col, type_col, value_col, campaign_json_col):
         if c not in df.columns:
             raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")

@@ -172,7 +172,10 @@ def conformal_backtest_sql(
     the final ratio is a double.  When the rank exceeds n_cal (too few
     calibration points for the requested α) q̂ and coverage are NULL —
     the honest "not enough data for this guarantee", not a clamped
-    pretend-interval.  Shape: the MASE plan (bucket groupBy + ONE
+    pretend-interval.  A series with calibration scores but NO
+    evaluation (odd-day) scores still surfaces — q_alpha with NULL
+    n_eval/coverage (LEFT JOIN of the eval arm onto the per-series q̂
+    relation), never a silent drop-out.  Shape: the MASE plan (bucket groupBy + ONE
     series-key exchange for the LAG frame) plus a broadcast-sized
     per-series q̂ join; the sorted array is per-series calibration
     scores — the bounded-calendar posture.
@@ -191,7 +194,7 @@ def conformal_backtest_sql(
                                       group_col, season)
     )
     one_m_a = repr(1.0 - float(alpha))
-    cov = "(CAST(covered AS DOUBLE) / CAST(n_eval AS DOUBLE))"
+    cov = "(CAST(e.covered AS DOUBLE) / CAST(e.n_eval AS DOUBLE))"
     return f"""
     WITH _cbs AS (
       {scores}
@@ -208,19 +211,20 @@ def conformal_backtest_sql(
       FROM _cbq
     ),
     _cbe AS (
-      SELECT s.k AS k, q.n_cal AS n_cal, q.q_hat AS q_hat,
+      SELECT s.k AS k,
              CAST(COUNT(*) AS BIGINT) AS n_eval,
              CAST(SUM(CASE WHEN s.score <= q.q_hat THEN 1 ELSE 0 END)
                   AS BIGINT) AS covered
       FROM _cbs s JOIN _cbqv q ON s.k = q.k
       WHERE NOT s.is_cal
-      GROUP BY s.k, q.n_cal, q.q_hat
+      GROUP BY s.k
     )
-    SELECT k AS {group_col}, n_cal, n_eval,
-           CAST(q_hat AS DOUBLE) AS q_alpha,
-           CASE WHEN q_hat IS NULL THEN CAST(NULL AS DOUBLE)
+    SELECT q.k AS {group_col}, q.n_cal AS n_cal, e.n_eval AS n_eval,
+           CAST(q.q_hat AS DOUBLE) AS q_alpha,
+           CASE WHEN q.q_hat IS NULL OR e.n_eval IS NULL
+                THEN CAST(NULL AS DOUBLE)
                 ELSE {round_double(cov, round_to)} END AS coverage
-    FROM _cbe
+    FROM _cbqv q LEFT JOIN _cbe e ON q.k = e.k
     """
 
 

@@ -958,6 +958,195 @@ def exact_substring_pairs(
     return _run(df, exact_substring_pairs_sql, id_col, text_col, **kw)
 
 
+def _ssr_pos_explode(d: Dialect, table: str, id_col: str, arr_expr: str,
+                     elem_alias: str, where: str) -> str:
+    """(did, pos, {elem_alias}) from positionally exploding ``arr_expr``
+    — Spark 0-based posexplode / DuckDB 1-based unnest-range (the
+    line_dedup pattern).  Cross-engine safety: each engine is
+    SELF-consistent (token and window positions share one base), and
+    every cross-position computation downstream is base-shift-invariant
+    (argmin ordering, within-doc frames) — positions never reach the
+    output."""
+    if d.name == "spark":
+        return (
+            f"SELECT did, pos, {elem_alias} FROM "
+            f"(SELECT {id_col} AS did, {arr_expr} AS _arr FROM {table} WHERE {where}) "
+            f"LATERAL VIEW posexplode(_arr) t AS pos, {elem_alias}"
+        )
+    return (
+        f"SELECT did, i AS pos, _arr[i] AS {elem_alias} FROM "
+        f"(SELECT did, _arr, unnest(range(1, len(_arr) + 1)) AS i FROM "
+        f"(SELECT {id_col} AS did, {arr_expr} AS _arr FROM {table} WHERE {where}))"
+    )
+
+
+def _ssr_wins_select(d: Dialect, table: str, id_col: str, text_col: str,
+                     k: int) -> str:
+    """(did, pos, g): every k-token window start with its 60-bit gram
+    hash — the shared text between the inline oracle and the staged
+    Spark frame (the engine staging rule: this relation is referenced by
+    both the frequency pass and the flag join)."""
+    toks = d.tokens(text_col)
+    where = f"({toks}) IS NOT NULL AND {d.size(toks)} >= 1"
+    inner = _ssr_pos_explode(d, table, id_col, d.shingles(toks, k), "sh", where)
+    return f"SELECT did, pos, {d.md5_long('sh')} AS g FROM ({inner})"
+
+
+# position bound for the (did, pos) → BIGINT occurrence encoding:
+# pos < 2^20 tokens per document and |did| < 2^43 — the attribution
+# encode-compare discipline (exact integer argmin, no struct-ordering
+# dialect divergence).
+_SSR_POS_MOD = 1 << 20
+
+
+def substring_remove_sql(
+    d: Dialect,
+    table: str,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 10,
+    gram_doc_cap: int | None = None,
+    staged_wins: str | None = None,
+    staged_toks: str | None = None,
+) -> str:
+    """Duplicate-SPAN removal — the excision step of ExactSubstr dedup
+    (Lee et al. 2022, arXiv:2107.06499 §4.1: "deduplicating the dataset
+    by removing all but one occurrence of each repeated substring"),
+    completing what :func:`exact_substring_pairs_sql` only FINDS: every
+    k-token window whose gram repeats anywhere in the corpus is excised
+    from every occurrence EXCEPT one canonical copy, and each document
+    reassembles from its surviving tokens in original order (the
+    line_dedup reassembly generalized from lines to token spans).
+
+    Rules, all deterministic:
+
+    * gram key = the shared 60-bit md5 over the k-token shingle — the
+      same window hashing as exact_substring_pairs, so "pair found
+      there" ≡ "span removed here";
+    * canonical occurrence = the corpus-wide argmin of (doc, position),
+      chosen via an exact integer encode (did·2^20 + pos — the
+      attribution encode-compare idiom; bounds documented at
+      ``_SSR_POS_MOD``), so exactly one copy of every duplicated span
+      survives, in the earliest document;
+    * a gram in more than ``gram_doc_cap`` documents is boilerplate and
+      is removed EVERYWHERE (canonical included) — the band-freq-cap
+      rule carried over as CCNet-style boilerplate semantics;
+    * a token is removed when ANY removal-flagged window covers it:
+      coverage = running MAX over the dense token-position frame
+      (ROWS k-1 PRECEDING — positions are gapless by construction, so
+      the ROWS frame IS the span);
+    * documents shorter than k tokens form one undersized whole-doc
+      window (the shingles() clamp), so exact whole-doc twins below k
+      tokens still dedup.
+
+    Shape: one explode+hash pass (one shuffle on the gram key for the
+    partial-aggregated frequency/canonical table — counters and one
+    integer argmin per gram, NEVER a pair join), one equi-join back,
+    one per-doc window + reassembly exchange.  A million-document
+    boilerplate gram costs one counter row (the cap decides its fate),
+    not 10¹² pairs.  Output: ({id_col}, text_dedup, n_tokens, n_kept,
+    n_removed) for every input row — NULL/empty docs reassemble to ''.
+    """
+    toks = d.tokens(text_col)
+    where = f"({toks}) IS NOT NULL AND {d.size(toks)} >= 1"
+    wins = (
+        f"SELECT did, pos, g FROM {staged_wins}" if staged_wins
+        else _ssr_wins_select(d, table, id_col, text_col, k)
+    )
+    toksx = (
+        f"SELECT did, pos, tok FROM {staged_toks}" if staged_toks
+        else _ssr_pos_explode(d, table, id_col, toks, "tok", where)
+    )
+    enc = f"(did * {_SSR_POS_MOD} + pos)"
+    cap_branch = (
+        f"WHEN f.n_docs > {int(gram_doc_cap)} THEN 1\n               "
+        if gram_doc_cap is not None else ""
+    )
+    if d.name == "spark":
+        reasm = (
+            "concat_ws(' ', transform(array_sort(collect_list("
+            "CASE WHEN removed = 0 THEN struct(pos, tok) END)), s -> s.tok))"
+        )
+    else:
+        reasm = "string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE removed = 0)"
+    return f"""
+    WITH _srw AS ({wins}),
+    _srt AS ({toksx}),
+    _srf AS (
+      SELECT g, COUNT(*) AS n_occ, COUNT(DISTINCT did) AS n_docs,
+             MIN({enc}) AS min_enc
+      FROM _srw GROUP BY g
+    ),
+    _srg AS (
+      SELECT w.did AS did, w.pos AS pos,
+             CASE {cap_branch}WHEN f.n_occ >= 2
+                    AND (w.did * {_SSR_POS_MOD} + w.pos) <> f.min_enc THEN 1
+                  ELSE 0 END AS rm
+      FROM _srw w JOIN _srf f ON f.g = w.g
+    ),
+    _src AS (
+      SELECT t.did AS did, t.pos AS pos, t.tok AS tok,
+             MAX(COALESCE(s.rm, 0)) OVER (
+               PARTITION BY t.did ORDER BY t.pos
+               ROWS BETWEEN {int(k) - 1} PRECEDING AND CURRENT ROW
+             ) AS removed
+      FROM _srt t LEFT JOIN _srg s ON s.did = t.did AND s.pos = t.pos
+    ),
+    _sra AS (
+      SELECT did,
+             COUNT(*) AS n_tokens,
+             SUM(removed) AS n_removed,
+             {reasm} AS text_dedup
+      FROM _src GROUP BY did
+    )
+    SELECT b.{id_col}, COALESCE(a.text_dedup, '') AS text_dedup,
+           CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(a.n_tokens, 0) - COALESCE(a.n_removed, 0) AS BIGINT) AS n_kept,
+           CAST(COALESCE(a.n_removed, 0) AS BIGINT) AS n_removed
+    FROM {table} b LEFT JOIN _sra a ON a.did = b.{id_col}
+    """
+
+
+def substring_remove(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 10,
+    gram_doc_cap: int | None = None,
+) -> DataFrame:
+    """DataFrame entry point for :func:`substring_remove_sql` — stages
+    the window-gram relation ONCE (lazy localCheckpoint; it feeds both
+    the frequency pass and the flag join, and Catalyst would otherwise
+    replan the explode+hash per reference — the engine staging rule)."""
+    from ..functions.text_fns import SPARK as _S
+
+    for c in (id_col, text_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    id_type = df.schema[id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"substring_remove needs an integral id column for the "
+            f"(doc, pos) canonical-occurrence encode; got {id_col!r} of "
+            f"type {id_type} (see _SSR_POS_MOD)"
+        )
+    spark = df.sparkSession
+    view = "_ts_ssr_in"
+    df.createOrReplaceTempView(view)
+    wview = "_ts_ssr_wins"
+    spark.sql(
+        _ssr_wins_select(_S, view, id_col, text_col, k)
+    ).localCheckpoint(eager=False).createOrReplaceTempView(wview)
+    return spark.sql(
+        substring_remove_sql(
+            _S, view, id_col, text_col, k=k, gram_doc_cap=gram_doc_cap,
+            staged_wins=wview,
+        )
+    )
+
+
 def line_dedup_sql(
     d: Dialect,
     table: str,

@@ -45,7 +45,18 @@ from ..errors import ColumnNotFoundError
 from ..functions.text_fns import SPARK, Dialect
 from . import _num
 
-__all__ = ["target_encode_loo_sql", "target_encode_loo", "target_encode_kfold_sql"]
+__all__ = [
+    "target_encode_loo_sql",
+    "target_encode_loo",
+    "target_encode_kfold_sql",
+    "robust_scale",
+    "robust_scale_sql",
+    "robust_scale_sketch",
+    "robust_scale_sketch_sql",
+    "robust_scale_auto",
+    "frequency_encode",
+    "frequency_encode_sql",
+]
 
 
 def _prior_cte(table: str, ydec: str) -> str:
@@ -210,8 +221,10 @@ def robust_scale_sql(
     through dec_to_double element reads (one multiply-add), and the
     final ratio round_double's.  Shape: ONE group exchange builds the
     |groups|-row stats relation; it joins back broadcast-sized.  The
-    per-group sorted array is the mad_outliers bound — groups past
-    ~1e6 rows switch to the bucketed-quantile sketch.
+    per-group sorted array is the mad_outliers bound — use
+    :func:`robust_scale_auto` when group sizes are unknown: it probes
+    and routes groups past ``exact_max_group_rows`` (default 1e6) to
+    the bounded histogram-sketch form (:func:`robust_scale_sketch`).
     """
     from . import _num
 
@@ -265,6 +278,159 @@ def robust_scale(
     )
 
 
+def robust_scale_sketch_sql(
+    d: Dialect,
+    table: str,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    *,
+    bins: int = 4096,
+    round_to: int = 6,
+) -> str:
+    """The SKETCH form of :func:`robust_scale_sql` — per-group
+    median/IQR from the mergeable fixed-bin histogram
+    (``sketch.histogram_quantiles`` machinery: one global (min, max)
+    bounds pass, then per-(group, bin) counts with exact decimal
+    crossing thresholds and double interpolation), joined back per-row.
+
+    This is the 100 TB path: per-group state is ≤ ``bins`` counter rows
+    — BOUNDED, unlike the exact form's ``sort_array(collect_list(...))``
+    whose single-task array grows with the group.  Error ≤ one bin
+    width of the GLOBAL value range (global bounds keep the sketch
+    merge-compatible across groups/partitions/days).  Contract matches
+    the exact form: one output row per non-NULL input row, NULL
+    robust_z for a zero-IQR (or width-degenerate) group.
+
+    Cross-engine determinism: MIN/MAX move values unchanged, the bin
+    width is one IEEE division, crossing decisions are exact decimal,
+    and the interpolation + final ratio are shared expression text.
+    """
+    from ._num import round_double
+    from .sketch import _hq_estimate
+
+    if bins < 2:
+        raise ValueError(f"need >= 2 bins, got {bins}")
+    vdec = f"CAST({value_col} AS DECIMAL(18,6))"
+    bin_expr = (
+        f"LEAST(GREATEST(CAST(FLOOR(CASE WHEN _w > 0 THEN "
+        f"(CAST(v AS DOUBLE) - _lo) / _w ELSE 0.0 END) AS INT), 0), {bins - 1})"
+    )
+    picks = []
+    for p in (0.25, 0.5, 0.75):
+        pred, est = _hq_estimate(p, "_lo", "_w", round_to)
+        picks.append(
+            f"MAX(CASE WHEN {pred} THEN {est} END) AS est_p{str(p).replace('0.', '')}"
+        )
+    z = "((CAST(b.v AS DOUBLE) - s.med) / s.iqr)"
+    return f"""
+    WITH _rkb AS (
+      SELECT {id_col} AS i, {group_col} AS k, {vdec} AS v
+      FROM {table} WHERE {value_col} IS NOT NULL
+    ),
+    _rkw AS (
+      SELECT _lo, _hi, ((_hi - _lo) / CAST({bins} AS DOUBLE)) AS _w
+      FROM (SELECT CAST(MIN(v) AS DOUBLE) AS _lo,
+                   CAST(MAX(v) AS DOUBLE) AS _hi FROM _rkb) _rkbnds
+    ),
+    _rkh AS (
+      SELECT k, _bin, _lo, _w, COUNT(*) AS _c
+      FROM (SELECT k, {bin_expr} AS _bin, _lo, _w
+            FROM _rkb CROSS JOIN _rkw)
+      GROUP BY k, _bin, _lo, _w
+    ),
+    _rkc AS (
+      SELECT k, _bin, _lo, _w, _c,
+             SUM(_c) OVER (PARTITION BY k ORDER BY _bin) AS _cum,
+             SUM(_c) OVER (PARTITION BY k) AS _n
+      FROM _rkh
+    ),
+    _rkq AS (
+      SELECT k, CAST(MAX(_n) AS BIGINT) AS n, {", ".join(picks)}
+      FROM _rkc GROUP BY k
+    ),
+    _rks AS (
+      SELECT k, n, est_p5 AS med, (est_p75 - est_p25) AS iqr FROM _rkq
+    )
+    SELECT b.i AS {id_col}, b.k AS {group_col},
+           CAST(b.v AS DOUBLE) AS value_q,
+           {round_double('s.med', round_to)} AS group_median,
+           {round_double('s.iqr', round_to)} AS group_iqr,
+           CASE WHEN s.iqr = 0.0 THEN CAST(NULL AS DOUBLE)
+                ELSE {round_double(z, round_to)} END AS robust_z
+    FROM _rkb b JOIN _rks s ON b.k = s.k
+    """
+
+
+def robust_scale_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    *,
+    bins: int = 4096,
+    round_to: int = 6,
+) -> DataFrame:
+    """DataFrame front door for :func:`robust_scale_sketch_sql`."""
+    for c in (value_col, group_col, id_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    view = "_ts_rsk_in"
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(
+        robust_scale_sketch_sql(SPARK, view, value_col, group_col, id_col,
+                                bins=bins, round_to=round_to)
+    )
+
+
+def robust_scale_auto(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    *,
+    exact_max_group_rows: int = 1_000_000,
+    bins: int = 4096,
+    round_to: int = 6,
+) -> DataFrame:
+    """Strategy-picking robust scaling — the ONE entry point callers
+    should use when they have not sized their groups (the
+    ``asof_join_auto`` pattern): groups at or under
+    ``exact_max_group_rows`` get the EXACT type-7 sorted-array form
+    (:func:`robust_scale`); any larger group routes the whole frame to
+    the bounded histogram-sketch form (:func:`robust_scale_sketch`),
+    whose per-group state is ≤ ``bins`` counters — so a single hot
+    group can never materialize an unbounded single-task array (the
+    r9 VERDICT scale cliff).
+
+    Probe cost: first a BOUNDED total-row probe (``limit(bound+1)`` —
+    if the whole frame fits, no group can exceed it: one cheap job that
+    never scans past ``bound + 1`` rows); only past that, one
+    partial-aggregated per-group count (map-side combined, |groups|-row
+    shuffle) for the true max group size."""
+    for c in (value_col, group_col, id_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    from pyspark.sql import functions as F
+
+    exact = lambda: robust_scale(  # noqa: E731
+        df, value_col, group_col, id_col, round_to=round_to
+    )
+    if df.limit(exact_max_group_rows + 1).count() <= exact_max_group_rows:
+        return exact()
+    mx = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.max("_n"))
+        .collect()[0][0]
+    )
+    if mx is not None and mx <= exact_max_group_rows:
+        return exact()
+    return robust_scale_sketch(df, value_col, group_col, id_col,
+                               bins=bins, round_to=round_to)
+
+
 def frequency_encode_sql(
     d: Dialect,
     table: str,
@@ -292,9 +458,22 @@ def frequency_encode_sql(
     the count relation; the collapse is a projection over it; both the
     per-category and the collapsed relation are |categories|-row and
     join back broadcast-sized; N is one-row state.
+
+    NULL categories are first-class: ``_fec`` groups them (GROUP BY
+    keeps a NULL group), and the join-back is NULL-safe (``<=>`` on
+    Spark / ``IS NOT DISTINCT FROM`` on DuckDB), so the one-row-per-
+    input contract holds for NULL-category rows too — they collapse
+    into ``'__rare__'`` when below ``min_count`` like any other
+    category (an equi-join would silently drop them while n_total
+    still counted them, skewing every frequency).
     """
     from . import _num
 
+    null_eq = (
+        f"t.{cat_col} <=> m.cat"
+        if d.name == "spark"
+        else f"t.{cat_col} IS NOT DISTINCT FROM m.cat"
+    )
     freq = "(CAST(n_bucket AS DOUBLE) / CAST(n_total AS DOUBLE))"
     return f"""
     WITH _fec AS (
@@ -318,8 +497,8 @@ def frequency_encode_sql(
            m.cat_enc AS cat_enc, b.n_bucket AS n_bucket,
            {_num.round_double(freq, round_to)} AS freq_enc
     FROM {table} t
-    JOIN _fem m ON t.{cat_col} = m.cat
-    JOIN _feb b ON m.cat_enc = b.cat_enc
+    JOIN _fem m ON {null_eq}
+    JOIN _feb b ON {"m.cat_enc <=> b.cat_enc" if d.name == "spark" else "m.cat_enc IS NOT DISTINCT FROM b.cat_enc"}
     CROSS JOIN _fen
     """
 

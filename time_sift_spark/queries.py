@@ -1001,8 +1001,18 @@ def streaming_dedup_fuzzy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # parquet_epoch_sink recipe test_upsert_sink_epoch_redelivery_
         # idempotent pins) and the store append is guarded by a
         # per-epoch applied marker — a fully-applied epoch's redelivery
-        # is a no-op (re-screening it against the post-append store
-        # would wrongly reject its own accepted docs as J=1.0 twins).
+        # is a no-op.  The crash window BETWEEN the append and the
+        # marker is covered by verdict reuse: if this epoch's verdict
+        # parquet is already complete (_SUCCESS), the redelivery reuses
+        # it instead of re-screening — re-screening against the
+        # post-append store would wrongly reject the epoch's own
+        # accepted docs as J=1.0 twins AND overwrite the verdict dir
+        # with those wrong verdicts.  The one remaining double-apply
+        # (append ran, crash, append re-runs) only duplicates store
+        # rows, which the screen is proof against: cand GROUP-BYs the
+        # pair and hits MAXes identical jaccards (_fuzzy_screen_tail),
+        # so verdicts are unchanged (bloat only, pinned in
+        # tests/test_dedup_similarity.py).
         import os
 
         bsp = bdf.sparkSession  # micro-batch session clone — stay on it
@@ -1010,8 +1020,9 @@ def streaming_dedup_fuzzy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         if os.path.exists(marker):
             return
         edir = f"{results}/epoch-{epoch_id}"
-        out = screen_new_docs_fuzzy(bsp, store, bdf, threshold=0.5)
-        out.write.mode("overwrite").parquet(edir)
+        if not os.path.exists(f"{edir}/_SUCCESS"):
+            out = screen_new_docs_fuzzy(bsp, store, bdf, threshold=0.5)
+            out.write.mode("overwrite").parquet(edir)
         verdicts = bsp.read.parquet(edir)
         accepted = bdf.join(
             verdicts.where("accepted").select("doc_id"), "doc_id", "left_semi"
@@ -1447,6 +1458,35 @@ def ann_lsh_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_lsh_index(
             emb, "vec_id", "embedding", path, num_planes=4, num_tables=8, dim=64
         )
+    return query_lsh_index(spark, path, query_pred="vid < 8", k=5)
+
+
+@register(
+    "ann_lsh_appended_topk",
+    oracle=_sim.ann_lsh_topk_sql(
+        VDUCK, "embeddings", "vec_id", "embedding", query_pred="vid < 8", k=5,
+        num_planes=4, num_tables=8,
+    ),
+)
+def ann_lsh_appended_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN-index APPEND, driver-proven (r9 VERDICT residual):
+    build_lsh_index on 3/4 of the corpus (vec_id % 4 < 3), then
+    append_lsh_index folds the last quarter in — and the oracle is the
+    INLINE full-corpus LSH query, so append ≡ one-shot rebuild is
+    value-hash-proven every round (bucket assignment is row-local:
+    hyperplanes are (seed, dim) literals, no training state).  The
+    index is pid-keyed fresh per run because appends mutate it (the
+    minhash-store posture); production pays the build once and each
+    append O(increment) + one vid-pruned lookup column."""
+    from .operators.similarity import append_lsh_index, build_lsh_index, query_lsh_index
+
+    path = _roundtrip_dir("ts_lsh_app_") + "/index"
+    emb = load_table(spark, "embeddings", sf_dir)
+    build_lsh_index(
+        emb.where("vec_id % 4 < 3"), "vec_id", "embedding", path,
+        num_planes=4, num_tables=8, dim=64,
+    )
+    append_lsh_index(spark, path, emb.where("vec_id % 4 = 3"))
     return query_lsh_index(spark, path, query_pred="vid < 8", k=5)
 
 
@@ -2716,6 +2756,92 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("delta_us"),
     )
     name = _next_stream_name("ts_stream_join")
+    return run_stream_to_df(joined, name)
+
+
+@register(
+    "streaming_outer_join",
+    oracle="""
+    WITH l AS (
+      SELECT user_id, event_id AS click_id, ts AS l_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    r AS (
+      SELECT user_id AS r_user_id, event_id AS purchase_id, ts AS r_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (
+      SELECT LEAST(
+        (SELECT MAX(epoch_us(ts)) FROM events WHERE event_type = 'click'),
+        (SELECT MAX(epoch_us(ts)) FROM events WHERE event_type = 'purchase')
+      ) - 3600000000 AS w
+    )
+    SELECT l.user_id, l.click_id, r.purchase_id,
+           epoch_us(r.r_ts) - epoch_us(l.l_ts) AS delta_us
+    FROM l JOIN r
+      ON l.user_id = r.r_user_id
+     AND r.r_ts >= l.l_ts
+     AND r.r_ts <= l.l_ts + INTERVAL 30 MINUTE
+    UNION ALL
+    SELECT l.user_id, l.click_id,
+           CAST(NULL AS BIGINT) AS purchase_id,
+           CAST(NULL AS BIGINT) AS delta_us
+    FROM l CROSS JOIN wm
+    WHERE NOT EXISTS (
+      SELECT 1 FROM r
+      WHERE r.r_user_id = l.user_id
+        AND r.r_ts >= l.l_ts
+        AND r.r_ts <= l.l_ts + INTERVAL 30 MINUTE
+    )
+    AND epoch_us(l.l_ts) + 1800000000 < wm.w
+    """,
+)
+def streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermark-conditioned NULL
+    emission — the click-without-purchase attribution shape (r9 VERDICT
+    residual; inner exists as stream_stream_join): clicks LEFT OUTER
+    purchases by user within [click, click + 30 min].  Matches emit
+    immediately; an UNMATCHED click emits its NULL row only when the
+    global watermark (min of both sides' max-event-time − 1 h delay)
+    passes the end of its match window and evicts its state — Spark
+    runs the no-data micro-batch after the last data batch, so the
+    drain emits exactly the closed-window NULLs.  The oracle is the
+    batch LEFT OUTER split into its two arms with the SAME eviction
+    predicate (l_ts + 30 min < watermark) on the NULL arm — trailing
+    unmatched clicks inside the un-closed horizon are withheld by BOTH
+    sides, making drain ≡ oracle exact."""
+    import pyspark.sql.functions as F
+
+    from .sources.catalog import read_events_stream
+    from .streaming.lag_stream import _next_stream_name, run_stream_to_df
+
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .where("event_type = 'click'")
+        .selectExpr("user_id", "event_id AS click_id", "ts AS l_ts")
+        .withWatermark("l_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .where("event_type = 'purchase'")
+        .selectExpr("user_id AS r_user_id", "event_id AS purchase_id", "ts AS r_ts")
+        .withWatermark("r_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = r_user_id AND "
+            "r_ts >= l_ts AND "
+            "r_ts <= l_ts + INTERVAL 30 MINUTES"
+        ),
+        "left_outer",
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("delta_us"),
+    )
+    name = _next_stream_name("ts_stream_louter")
     return run_stream_to_df(joined, name)
 
 
@@ -5529,6 +5655,31 @@ def exact_substring_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_pairs(docs, "doc_id", "text", k=10, gram_doc_cap=50)
 
 
+def _substring_remove_oracle() -> str:
+    from .operators.dedup import substring_remove_sql
+
+    return substring_remove_sql(
+        DUCK, "documents", "doc_id", "text", k=10, gram_doc_cap=50
+    )
+
+
+@register("substring_remove_docs", oracle=_substring_remove_oracle())
+def substring_remove_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-SPAN removal (ExactSubstr excision, Lee et al. 2022):
+    the repeated 10-token windows exact_substring_pairs_docs FINDS are
+    now EXCISED — every occurrence except the corpus-wide earliest
+    (exact integer (doc, pos) argmin) loses its covered tokens, grams in
+    >50 docs are boilerplate and go everywhere, and each doc reassembles
+    from surviving tokens in order (the line_dedup reassembly
+    generalized from lines to spans).  Gram-key frequency table is
+    counters + one argmin — never a pair join
+    (operators/dedup.substring_remove)."""
+    from .operators.dedup import substring_remove
+
+    docs = load_table(spark, "documents", sf_dir)
+    return substring_remove(docs, "doc_id", "text", k=10, gram_doc_cap=50)
+
+
 def _fluency_oracle() -> str:
     from .operators.text import bigram_fluency_sql
 
@@ -7148,6 +7299,40 @@ def kcore_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(edges, "src", "dst", k=9, max_iterations=64, id_alias="doc_id")
 
 
+def _kcore3_oracle() -> str:
+    from .operators.graph import doc_link_edges_ctes, kcore_sql
+
+    return kcore_sql(
+        doc_link_edges_ctes(DUCK, "documents", "doc_id", fanout=6),
+        k=3,
+        iters=14,
+        id_alias="doc_id",
+    )
+
+
+@register("kcore3_docs", oracle=_kcore3_oracle())
+def kcore3_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the fanout-6 link graph — the NON-EMPTY companion
+    grade to :func:`kcore_docs` (r9 VERDICT: the sf0.01 9-core is
+    empty, so that row's hash match was vacuous — both engines
+    returning zero rows proves nothing about the induced-degree value
+    logic; at k=3 the grading corpus keeps a dense majority, so every
+    surviving node's core_degree is value-checked by the driver).
+    Same iterative peel, same unrolled-oracle twin discipline."""
+    from .functions.text_fns import SPARK as _S
+
+    from .operators.graph import doc_link_edges_ctes, kcore
+
+    docs = load_table(spark, "documents", sf_dir)
+    docs.createOrReplaceTempView("_ts_kc3_docs")
+    edges = spark.sql(
+        "WITH "
+        + doc_link_edges_ctes(_S, "_ts_kc3_docs", "doc_id", fanout=6).strip().rstrip(",")
+        + " SELECT src, dst FROM e"
+    )
+    return kcore(edges, "src", "dst", k=3, max_iterations=64, id_alias="doc_id")
+
+
 def _clustering_oracle() -> str:
     from .operators.graph import clustering_coefficient_sql, doc_link_edges_ctes
 
@@ -7763,8 +7948,15 @@ def streaming_bloom_screen_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         if os.path.exists(marker):
             return
         edir = f"{results}/epoch-{epoch_id}"
-        out = bloom_screen_persisted(bsp, store, bdf, "doc_id")
-        out.write.mode("overwrite").parquet(edir)
+        # Crash-window cover (the streaming_dedup_fuzzy_docs recipe):
+        # a redelivery whose verdicts already persisted reuses them —
+        # re-screening after the append would mark the epoch's own docs
+        # possibly_seen and overwrite the verdicts wrongly.  Re-running
+        # the append is safe: Bloom positions are set-semantics (double
+        # append pinned in tests/test_prefix_sketch.py).
+        if not os.path.exists(f"{edir}/_SUCCESS"):
+            out = bloom_screen_persisted(bsp, store, bdf, "doc_id")
+            out.write.mode("overwrite").parquet(edir)
         verdicts = bsp.read.parquet(edir)
         accepted = bdf.join(
             verdicts.where("NOT possibly_seen").select("doc_id"),
@@ -7903,6 +8095,29 @@ def robust_scale_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, "events", sf_dir)
     return robust_scale(events, "value", "event_type", "event_id")
+
+
+def _robust_scale_sketch_oracle() -> str:
+    from .operators.encode import robust_scale_sketch_sql
+
+    return robust_scale_sketch_sql(
+        DUCK, "events", "value", "event_type", "event_id", bins=4096
+    )
+
+
+@register("robust_scale_sketch_events", oracle=_robust_scale_sketch_oracle())
+def robust_scale_sketch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKETCH form of robust_scale_events — per-group median/IQR
+    from the mergeable 4096-bin histogram (global bounds pass, exact
+    decimal crossing decisions, double interpolation), joined back
+    per-row.  This is the 100 TB path the r9 VERDICT asked for: a hot
+    group's state is ≤ 4096 counter rows, never a sorted
+    collect_list array; `robust_scale_auto` size-probes and routes
+    between the two forms (operators/encode.py:robust_scale_sketch)."""
+    from .operators.encode import robust_scale_sketch
+
+    events = load_table(spark, "events", sf_dir)
+    return robust_scale_sketch(events, "value", "event_type", "event_id", bins=4096)
 
 
 def _welch_oracle() -> str:
@@ -8220,12 +8435,45 @@ def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
 # --------------------------------------------------------------------------
 
 GRADE_PRIORITY: list[str] = [
-    # -- NEW in r9 -> grade first --
+    # -- NEW in r10 -> grade first --
+    "substring_remove_docs",
+    "streaming_outer_join",
+    "ann_lsh_appended_topk",
+    "kcore3_docs",
+    "robust_scale_sketch_events",
+    # -- CHANGED in r10 (ADVICE fixes: NULL-safe freq-encode join,
+    #    sign-safe attribution fold + TRY_CAST, conformal eval LEFT
+    #    JOIN, sink redelivery verdict-reuse) --
     "frequency_encode_part",
+    "attribution_revenue_events",
+    "conformal_interval_events",
+    "streaming_dedup_fuzzy_docs",
+    "streaming_bloom_screen_docs",
+    # -- staleness rotation (r02/r04 vintage, the r9 VERDICT list) --
+    "asof_join_purchases_bcast",
+    "blob_metadata_docs",
+    "decode_image_stub_docs",
+    "extract_features_docs",
+    "signup_users_no_purchase",
+    "topk_orders_per_customer",
+    "ann_ivf_topk",
+    "dedup_exact_docs",
+    "embedding_neardup_blas",
+    "fingerprint_docs",
+    "gap_fill_daily_events",
+    "knn_cosine_topk",
+    "langid_docs",
+    "latest_event_per_user",
+    "lsh_verified_neardup_docs",
+    "minhash_lsh_pairs_docs",
+    "minhash_sigs_docs",
+    "ngram_jaccard_docs",
+    "stratified_sample_events",
+    "text_stats_docs",
+    # -- r9 window (graded r9, all green) --
     "corr_matrix_events",
     "robust_scale_events",
     "welch_ab_events",
-    "conformal_interval_events",
     "langid_report_docs",
     "embedding_drift_labels",
     "snapshot_diff_events",
@@ -8258,17 +8506,14 @@ GRADE_PRIORITY: list[str] = [
     "pagerank_docs",
     "bloom_screen_docs",
     "bloom_screen_persisted_docs",
-    "streaming_bloom_screen_docs",
     "hll_distinct_users_by_type",
     "hll_rollup_weekly",
     "sequence_mining_events",
     "zorder_layout_events",
     "entity_match_customer",
     "sorted_neighborhood_customer",
-    "attribution_revenue_events",
     # -- changed in r9 (fuzzy-screen id fix, sink idempotence, builder rebuild markers) --
     "dedup_incremental_fuzzy_docs",
-    "streaming_dedup_fuzzy_docs",
     "dedup_incremental_docs",
     "ann_lsh_persisted_topk",
     "ann_ivf_persisted_topk",
@@ -8279,26 +8524,6 @@ GRADE_PRIORITY: list[str] = [
     "quality_score_persisted_docs",
     "bm25_persisted_topk",
     # -- staleness rotation: oldest-driver-graded first (r4/r5 vintage) --
-    "asof_join_purchases_bcast",  # last graded r2
-    "blob_metadata_docs",  # last graded r2
-    "decode_image_stub_docs",  # last graded r2
-    "extract_features_docs",  # last graded r2
-    "signup_users_no_purchase",  # last graded r2
-    "topk_orders_per_customer",  # last graded r2
-    "ann_ivf_topk",  # last graded r4
-    "dedup_exact_docs",  # last graded r4
-    "embedding_neardup_blas",  # last graded r4
-    "fingerprint_docs",  # last graded r4
-    "gap_fill_daily_events",  # last graded r4
-    "knn_cosine_topk",  # last graded r4
-    "langid_docs",  # last graded r4
-    "latest_event_per_user",  # last graded r4
-    "lsh_verified_neardup_docs",  # last graded r4
-    "minhash_lsh_pairs_docs",  # last graded r4
-    "minhash_sigs_docs",  # last graded r4
-    "ngram_jaccard_docs",  # last graded r4
-    "stratified_sample_events",  # last graded r4
-    "text_stats_docs",  # last graded r4
     "asof_join_next_purchase",  # last graded r5
     "bucketed_join_revenue",  # last graded r5
     "class_capped_sample_events",  # last graded r5

@@ -63,12 +63,27 @@ def main() -> int:
             print(f"SURVEY mentions unregistered query-like name: {name}")
             bad += 1
 
-    # 2. every registered query is mentioned in SURVEY — as a standalone
-    # identifier, not as a substring of a longer name (a plain `in` test
-    # passes vacuously when one registered name embeds another)
+    # 2. every registered query must have a §2.5 status-TABLE row — not
+    # just any prose mention (the r9 verdict: 8 families existed only in
+    # prose, and a prose mention satisfied the old check vacuously).
+    # The table is the run of |-rows following the "| §2 item |" header.
+    header = "| §2 item | Implementation | Driver queries |"
+    if header not in survey:
+        print("SURVEY.md §2.5 status-table header not found")
+        bad += 1
+        table = survey  # degrade to whole-file so check 2 still runs
+    else:
+        lines = survey[survey.index(header):].splitlines()
+        rows = []
+        for ln in lines:
+            if ln.startswith("|"):
+                rows.append(ln)
+            elif rows and ln.strip() == "":
+                break
+        table = "\n".join(rows)
     for name in sorted(REGISTRY):
-        if not re.search(rf"(?<![a-z0-9_]){re.escape(name)}(?![a-z0-9_])", survey):
-            print(f"registered query missing from SURVEY.md: {name}")
+        if not re.search(rf"(?<![a-z0-9_]){re.escape(name)}(?![a-z0-9_])", table):
+            print(f"registered query has no SURVEY §2.5 table row: {name}")
             bad += 1
 
     # 3./4. GRADE_PRIORITY total and membership
