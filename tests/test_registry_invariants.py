@@ -55,3 +55,42 @@ def test_oracles_are_valid_duckdb_sql():
             con.execute(f"EXPLAIN {sql}")
         except Exception as exc:  # pragma: no cover
             raise AssertionError(f"oracle for {name!r} does not plan: {exc}") from exc
+
+
+def test_staged_plan_exchange_counts_pinned(spark):
+    """Plan-shape regression gate for the r9 staging wins (VERDICT item:
+    a Catalyst-inlining regression should fail pytest, not surface as a
+    bench diff).  Catalyst inlines temp views/CTEs per reference, so the
+    staged shared frames (lazy localCheckpoint) are what keep these
+    shuffle counts down — unstaged, the trio measured 15 exchanges, KMV
+    12, Theil-Sen 4.  Counts are ceilings on the EXECUTED plan's
+    hash-partitioning exchanges at sf0.001 (structure, not data, decides
+    them)."""
+    import re
+
+    from time_sift_spark.queries import REGISTRY
+
+    SF = "/root/testdata/sf0.001"
+    ceilings = {
+        "calibration_quality_docs": 1,
+        "brier_quality_docs": 3,
+        "quality_auc_docs": 1,
+        "theil_sen_trend_events": 1,   # ONE data shuffle (staged buckets)
+        "kmv_audience_overlap_lineitem": 4,
+        # r10 staging: the window-gram frame feeds freq + flag arms
+        "substring_remove_docs": 4,
+        # r9 staging kept for the conformal/attribution shared frames
+        "attribution_revenue_events": 2,
+        "conformal_interval_events": 3,
+        "robust_scale_sketch_events": 2,
+    }
+    bad = []
+    for name, cap in ceilings.items():
+        plan = (
+            REGISTRY[name].spark_fn(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        n = len(re.findall(r"Exchange hashpartitioning", plan))
+        if n > cap:
+            bad.append(f"{name}: {n} hash exchanges > pinned ceiling {cap}")
+    assert not bad, "; ".join(bad)
