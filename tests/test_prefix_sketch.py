@@ -592,3 +592,30 @@ def test_kmv_validation(spark):
         kmv_distinct(df, "nope", "g")
     with pytest.raises(ValueError):
         kmv_distinct(df, "x", "g", k=4)
+
+
+def test_heavy_hitters_equals_naive_filter(spark):
+    """Count-min one-sidedness: the CM-screened + exact-verified output
+    must EQUAL the naive GROUP BY/HAVING exactly — even at a tiny width
+    where collisions make the candidate set much larger."""
+    import pandas as pd
+
+    from time_sift_spark.operators.sketch import heavy_hitters
+
+    texts = (
+        ["alpha beta alpha"] * 30          # alpha 60, beta 30
+        + ["gamma delta"] * 10             # gamma/delta 10
+        + [f"unique{i} filler{i}" for i in range(50)]
+    )
+    df = spark.createDataFrame(pd.DataFrame({"text": texts}))
+    for width in (8, 1024):  # width 8 forces collisions
+        out = (
+            heavy_hitters(df, "text", threshold=20, width=width)
+            .toPandas().set_index("token").n_exact.sort_index()
+        )
+        assert out.to_dict() == {"alpha": 60, "beta": 30}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "text", threshold=0)

@@ -239,3 +239,40 @@ def test_snapshot_diff_verdicts_and_null_safety(spark):
     assert out[4]["verdict"] == "changed" and out[4]["changed_cols"] == "a,b"
     assert out[4]["n_cols_changed"] == 2
     assert 1 not in out and 5 not in out  # unchanged rows never emitted
+
+
+def test_merge_upsert_iud_semantics(spark):
+    """CDC MERGE: I inserts, U updates, D deletes; last-writer-wins per
+    key by seq; untouched keys pass through; I-on-existing and
+    U-on-absent both resolve to the upsert (tolerant MERGE)."""
+    import pandas as pd
+
+    from time_sift_spark.operators.reconcile import merge_upsert
+
+    snap = spark.createDataFrame(pd.DataFrame({
+        "k": [1, 2, 3, 4],
+        "v": ["a", "b", "c", "d"],
+    }))
+    chg = spark.createDataFrame(pd.DataFrame({
+        "k":   [2,    3,   5,   6,   2],
+        "v":   ["b2", None, "e", "f", "b1"],
+        "op":  ["U",  "D", "I", "U", "U"],
+        "seq": [20,   30,  50,  60,  10],  # k=2: seq 20 wins over 10
+    }))
+    out = (
+        merge_upsert(snap, chg, ["k"], ["v"])
+        .toPandas().set_index("k").sort_index()
+    )
+    assert out.loc[1, "v"] == "a"      # untouched
+    assert out.loc[2, "v"] == "b2"     # last-writer (seq 20)
+    assert 3 not in out.index          # deleted
+    assert out.loc[4, "v"] == "d"      # untouched
+    assert out.loc[5, "v"] == "e"      # inserted
+    assert out.loc[6, "v"] == "f"      # U on absent key upserts
+    assert len(out) == 5
+
+    # idempotent re-apply: merging the same batch into the result is a no-op
+    out2 = merge_upsert(
+        merge_upsert(snap, chg, ["k"], ["v"]), chg, ["k"], ["v"]
+    ).toPandas().set_index("k").sort_index()
+    pd.testing.assert_frame_equal(out, out2)

@@ -115,3 +115,53 @@ def test_interval_lookup_guardrail_falls_back(spark):
         rows2 = sorted(map(tuple, interval_join_lookup(left, right, max_broadcast_rows=100, **kw).collect()))
     assert not any("falling back" in str(w.message) for w in caught)
     assert rows2 == expect
+
+
+def test_interval_overlap_join_semantics(spark):
+    """Overlap join: nested, partial, touching (overlap 0), and
+    disjoint pairs; a long interval spanning many buckets pairs exactly
+    once."""
+    import pandas as pd
+    import pytest
+
+    from time_sift_spark.errors import ColumnNotFoundError
+    from time_sift_spark.operators.rangejoin import interval_overlap_join
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    h = pd.Timedelta(hours=1)
+    left = pd.DataFrame([
+        ("u", 1, t0, t0 + 10 * h),          # long: covers many buckets
+        ("u", 2, t0 + 20 * h, t0 + 21 * h), # disjoint from rights
+    ], columns=["k", "lid", "s", "e"])
+    right = pd.DataFrame([
+        ("u", 101, t0 + 2 * h, t0 + 3 * h),    # nested in lid 1
+        ("u", 102, t0 + 9 * h, t0 + 12 * h),   # partial overlap with lid 1
+        ("u", 103, t0 + 10 * h, t0 + 11 * h),  # touches lid 1's end exactly
+        ("u", 104, t0 + 15 * h, t0 + 16 * h),  # disjoint
+    ], columns=["k", "rid", "s", "e"])
+    out = interval_overlap_join(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        on="k", left_start="s", left_end="e", right_start="s", right_end="e",
+        left_cols=["lid"], right_cols=["rid"], bucket_seconds=3600,
+    ).toPandas().sort_values(["l_lid", "r_rid"]).reset_index(drop=True)
+    pairs = set(zip(out.l_lid, out.r_rid))
+    assert pairs == {(1, 101), (1, 102), (1, 103)}
+    by = out.set_index(["l_lid", "r_rid"]).overlap_us
+    assert by[(1, 101)] == 3600_000_000        # fully nested hour
+    assert by[(1, 102)] == 3600_000_000        # 9h-10h overlap
+    assert by[(1, 103)] == 0                   # instant touch
+    # k-bucket dedup: each pair appears exactly once
+    assert len(out) == 3
+
+    with pytest.raises(ValueError):
+        interval_overlap_join(
+            spark.createDataFrame(left), spark.createDataFrame(right),
+            on="k", left_start="s", left_end="e", right_start="s", right_end="e",
+            left_cols=[], right_cols=["rid"],
+        )
+    with pytest.raises(ColumnNotFoundError):
+        interval_overlap_join(
+            spark.createDataFrame(left), spark.createDataFrame(right),
+            on="k", left_start="nope", left_end="e", right_start="s", right_end="e",
+            left_cols=["lid"], right_cols=["rid"],
+        )

@@ -578,3 +578,85 @@ def temperature_resample_oracle_sql(
     WHERE (('0x' || substr(md5(CAST(t.{id_col} AS VARCHAR)), 1, 8))::BIGINT)
             % {int(resolution)} < r._keep_below
     """
+
+
+def epoch_upsample_sql(
+    d: Dialect,
+    table: str,
+    id_col: str,
+    group_col: str,
+    weights: dict[str, float],
+) -> str:
+    """Dataset mixing by REPEAT factors — the >1-epoch half of corpus
+    rebalancing (mixture_resample handles the ≤1 downsampling half):
+    a doc from a group with weight w is emitted ⌊w⌋ times plus once
+    more with probability frac(w), so the group's expected token share
+    scales by exactly w — how pretraining mixtures upsample high-value
+    sources (wiki ×3.5, code ×2) without materializing w as a float
+    per row (Hoffmann et al. 2022-style epoch schedules; repetition
+    factors are data curation's standard knob).
+
+    Determinism: the fractional repeat is an exact integer md5 draw —
+    32-bit id-hash < round(frac(w)·2³²), the soft_dedup/dsir_resample
+    coin — never an RNG; the weight table is a VALUES relation joined
+    in (planes-as-data: no per-row literal trees), unlisted groups
+    default to weight 1.  Output one row per (doc, repeat) with the
+    1-based ``rep`` index, so downstream shuffles see distinct rows.
+
+    Scale: weight relation is |groups|-row broadcast; the explode
+    multiplies rows by ~Σw/|groups| — size downstream shuffle
+    partitions for the POST-upsample row count (the chunking rule).
+    """
+    if not weights:
+        raise ValueError("weights must name at least one group")
+    rows = []
+    for g, w in sorted(weights.items()):
+        if w < 1.0:
+            raise ValueError(
+                f"epoch_upsample needs weights >= 1 (got {g}={w}); "
+                "use mixture_resample for downsampling"
+            )
+        base = int(w)
+        thr = round((float(w) - base) * 4294967296)
+        gq = "'" + g.replace("'", "''") + "'"
+        rows.append(f"({gq}, {base}, {thr})")
+    vals = ", ".join(rows)
+    h32 = (
+        f"CAST(conv(substr(md5(concat('epoch|', CAST({id_col} AS STRING))),1,8),16,10) AS BIGINT)"
+        if d.name == "spark"
+        else f"(('0x' || substr(md5(concat('epoch|', CAST({id_col} AS VARCHAR))),1,8))::BIGINT)"
+    )
+    n_reps = (
+        "(COALESCE(w.base, 1) + CASE WHEN COALESCE(w.thr, 0) > 0 "
+        f"AND {h32} < COALESCE(w.thr, 0) THEN 1 ELSE 0 END)"
+    )
+    if d.name == "spark":
+        seq = f"explode(sequence(1, {n_reps})) AS rep"
+        frm = f"FROM {table} t LEFT JOIN (SELECT * FROM VALUES {vals} AS _w(grp, base, thr)) w ON t.{group_col} = w.grp"
+        return f"""
+    SELECT {id_col}, {group_col}, rep FROM (
+      SELECT t.{id_col} AS {id_col}, t.{group_col} AS {group_col}, {seq}
+      {frm}
+    )"""
+    return f"""
+    SELECT t.{id_col} AS {id_col}, t.{group_col} AS {group_col},
+           unnest(range(1, {n_reps} + 1)) AS rep
+    FROM {table} t
+    LEFT JOIN (SELECT * FROM (VALUES {vals}) _w(grp, base, thr)) w
+      ON t.{group_col} = w.grp
+    """
+
+
+def epoch_upsample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    weights: dict[str, float],
+) -> DataFrame:
+    """DataFrame front door for :func:`epoch_upsample_sql`."""
+    _check(df, [id_col, group_col])
+    view = "_ts_epoch_in"
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(
+        epoch_upsample_sql(SPARK, view, id_col, group_col, weights)
+    )

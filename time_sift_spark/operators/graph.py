@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame
 from ..errors import ColumnNotFoundError
 from ..functions.text_fns import SPARK, Dialect
 
-__all__ = ["doc_link_edges_ctes", "pagerank_sql", "pagerank", "triangle_count_sql", "triangle_counts", "clustering_coefficient_sql", "clustering_coefficients", "kcore_sql", "kcore"]
+__all__ = ["doc_link_edges_ctes", "pagerank_sql", "pagerank", "triangle_count_sql", "triangle_counts", "clustering_coefficient_sql", "clustering_coefficients", "kcore_sql", "kcore", "label_propagation_sql", "label_propagation"]
 
 
 def doc_link_edges_ctes(
@@ -562,3 +562,126 @@ def kcore(
         .selectExpr(f"node AS {id_alias}", "d AS core_degree")
         .orderBy(id_alias)
     )
+
+
+# Label-propagation encode bounds: labels (node ids) < 2^40, neighbor
+# counts < 2^23 — cnt·2^40 + (2^40−1−label) stays inside BIGINT, argmax
+# of the encode = (max count, then MIN label), the attribution
+# encode-compare idiom applied to the LPA tiebreak.
+_LPA_LMOD = 1 << 40
+
+
+def _lpa_vote_select(src_labels: str, und: str) -> str:
+    """One synchronous LPA round as dialect-neutral SQL over
+    ``{und}``(u, v) and ``{src_labels}``(n, lbl): every node adopts the
+    most frequent neighbor label, ties to the SMALLEST label, keeping
+    its own label when it has no neighbors.  Shared VERBATIM by the
+    iterative executor and the unrolled oracle."""
+    enc = f"(CAST(c.cnt AS BIGINT) * {_LPA_LMOD} + ({_LPA_LMOD} - 1 - c.lbl))"
+    return f"""
+      SELECT p.n AS n,
+             COALESCE({_LPA_LMOD} - 1 - (MAX({enc}) % {_LPA_LMOD}), p.lbl) AS lbl
+      FROM {src_labels} p
+      LEFT JOIN (
+        SELECT node, lbl, COUNT(*) AS cnt FROM (
+          SELECT e.u AS node, l.lbl AS lbl FROM {und} e JOIN {src_labels} l ON l.n = e.v
+          UNION ALL
+          SELECT e.v AS node, l.lbl AS lbl FROM {und} e JOIN {src_labels} l ON l.n = e.u
+        ) _votes GROUP BY node, lbl
+      ) c ON c.node = p.n
+      GROUP BY p.n, p.lbl"""
+
+
+def label_propagation_sql(
+    edges_ctes: str,
+    *,
+    iters: int,
+    id_alias: str = "node",
+) -> str:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007), unrolled to ``iters`` fixed rounds — the ORACLE
+    formulation (the pagerank/kcore twin discipline; executable
+    iteration is :func:`label_propagation`).  Deterministic variant:
+    every node simultaneously adopts its neighbors' most frequent
+    label with ties to the SMALLEST label (the stochastic original
+    breaks ties randomly; fixed rounds + min-tiebreak make the
+    fixpoint question moot and the result reproducible — the
+    fixed-unroll convention PageRank set).
+
+    Output: ({id_alias}, community, community_size), community = the
+    propagated label after ``iters`` rounds.  Integer-only: hash-exact.
+    """
+    parts = [
+        edges_ctes.strip().rstrip(","),
+        """
+    _lund AS MATERIALIZED (
+      SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+      FROM e WHERE src <> dst
+    ),
+    _ll0 AS MATERIALIZED (
+      SELECT n, n AS lbl FROM (
+        SELECT u AS n FROM _lund UNION SELECT v AS n FROM _lund
+      ) _lnodes
+    )""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""
+    _ll{i} AS MATERIALIZED ({_lpa_vote_select(f'_ll{i - 1}', '_lund')}
+    )"""
+        )
+    tail = f"""SELECT l.n AS {id_alias}, l.lbl AS community,
+           CAST(COUNT(*) OVER (PARTITION BY l.lbl) AS BIGINT) AS community_size
+    FROM _ll{iters} l
+    ORDER BY {id_alias}"""
+    return "WITH " + ",".join(parts) + "\n    " + tail
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    *,
+    iters: int = 4,
+    id_alias: str = "node",
+) -> DataFrame:
+    """Iterative executor for :func:`label_propagation_sql` — each round
+    is ONE vote statement of constant plan size over localCheckpointed
+    frames (the kcore/pagerank convention: the unrolled text replans
+    the edge relation per CTE mention; here the undirected relation
+    materializes once and each round's labels checkpoint before the
+    next).  Scale: per round, two label equi-joins + one
+    partial-aggregated (node, label) vote count — one node-key shuffle;
+    a celebrity node's vote partition is bounded by its degree (the
+    pagerank hub answer: AQE skew split)."""
+    for c in (src_col, dst_col):
+        if c not in edges.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {edges.columns}")
+    if iters < 1:
+        raise ValueError(f"need >= 1 iteration, got {iters}")
+    spark = edges.sparkSession
+    e = edges.selectExpr(f"{src_col} AS src", f"{dst_col} AS dst")
+    und = (
+        e.where("src <> dst")
+        .selectExpr("LEAST(src, dst) AS u", "GREATEST(src, dst) AS v")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    und.createOrReplaceTempView("_ts_lpa_und")
+    cur = (
+        und.selectExpr("u AS n").union(und.selectExpr("v AS n")).distinct()
+        .selectExpr("n", "n AS lbl")
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(iters):
+        cur.createOrReplaceTempView("_ts_lpa_cur")
+        cur = spark.sql(
+            _lpa_vote_select("_ts_lpa_cur", "_ts_lpa_und")
+        ).localCheckpoint(eager=False)
+    cur.createOrReplaceTempView("_ts_lpa_fin")
+    return spark.sql(f"""
+      SELECT l.n AS {id_alias}, l.lbl AS community,
+             CAST(COUNT(*) OVER (PARTITION BY l.lbl) AS BIGINT) AS community_size
+      FROM _ts_lpa_fin l
+      ORDER BY {id_alias}
+    """)

@@ -198,3 +198,83 @@ def interval_join_auto(
         tolerance_seconds=tolerance_seconds,
         left_cols=left_cols, right_cols=right_cols,
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str | Sequence[str],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    left_cols: Sequence[str],
+    right_cols: Sequence[str],
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval × interval OVERLAP join: pair rows whose [start, end]
+    ranges intersect (``a.start ≤ b.end AND b.start ≤ a.end``) on the
+    same key — the two-sided generalization of :func:`interval_join`
+    (point within ±tolerance), covering session-vs-incident,
+    campaign-vs-outage, shift-vs-event alignment.
+
+    Blocking: BOTH sides explode each interval into the time buckets it
+    covers (``sequence(start div W, end div W)``); overlapping
+    intervals share at least one bucket, so candidates come from a
+    plain (keys…, bucket) equi-join; a pair sharing k buckets is
+    produced k times and deduplicated by the identifying columns
+    (dropDuplicates on keys + payloads — ``left_cols``/``right_cols``
+    MUST identify their rows, e.g. include the row id); the exact
+    overlap predicate filters residuals.
+
+    Cost: Σ(interval length / W) exploded rows per side — pick
+    ``bucket_seconds`` near the typical interval length so each
+    interval lands in O(1) buckets; a mega-interval (one row spanning
+    the whole calendar) explodes to calendar/W rows — cap or split such
+    outliers upstream, the usual skew answer.  Output adds
+    ``overlap_us`` = min(ends) − max(starts) in µs (≥ 0; 0 for
+    instant-touch overlaps).
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    for c in [*on, left_start, left_end, *left_cols]:
+        if c not in left.columns:
+            raise ColumnNotFoundError(f"left column {c!r} not in {left.columns}")
+    for c in [*on, right_start, right_end, *right_cols]:
+        if c not in right.columns:
+            raise ColumnNotFoundError(f"right column {c!r} not in {right.columns}")
+    if not left_cols or not right_cols:
+        raise ValueError("left_cols/right_cols must identify their rows "
+                         "(the k-bucket dedup key) — pass at least the row id")
+    for t, a, b in ((left, left_start, left_end), (right, right_start, right_end)):
+        assert_time_dtype(t, a)
+        assert_time_dtype(t, b)
+    w_us = int(bucket_seconds) * 1_000_000
+
+    def _explode(df, start, end, cols, pfx):
+        return df.select(
+            *on,
+            *[F.col(c).alias(f"{pfx}_{c}") for c in cols],
+            ts_us(F.col(start)).alias(f"_{pfx}_s"),
+            ts_us(F.col(end)).alias(f"_{pfx}_e"),
+            F.explode(
+                F.expr(
+                    f"sequence({ts_us_sql(start)} div {w_us}, "
+                    f"{ts_us_sql(end)} div {w_us})"
+                )
+            ).alias("_bucket"),
+        )
+
+    lb = _explode(left, left_start, left_end, left_cols, "l")
+    rb = _explode(right, right_start, right_end, right_cols, "r")
+    joined = lb.join(rb, on=[*on, "_bucket"]).where(
+        (F.col("_l_s") <= F.col("_r_e")) & (F.col("_r_s") <= F.col("_l_e"))
+    )
+    out_cols = [*on, *[f"l_{c}" for c in left_cols], *[f"r_{c}" for c in right_cols]]
+    return (
+        joined.select(
+            *out_cols,
+            (F.least("_l_e", "_r_e") - F.greatest("_l_s", "_r_s")).alias("overlap_us"),
+        )
+        .dropDuplicates(out_cols)
+    )

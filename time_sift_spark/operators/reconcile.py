@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 
 from ..errors import ColumnNotFoundError
 
-__all__ = ["snapshot_diff", "snapshot_diff_sql"]
+__all__ = ["snapshot_diff", "snapshot_diff_sql", "merge_upsert", "merge_upsert_sql"]
 
 
 def snapshot_diff_sql(
@@ -100,4 +100,89 @@ def snapshot_diff(
     return df_old.sparkSession.sql(
         snapshot_diff_sql(_S, "_ts_sd_old", "_ts_sd_new",
                           key_cols, compare_cols)
+    )
+
+
+def merge_upsert_sql(
+    d,
+    snapshot_table: str,
+    changes_table: str,
+    key_cols: Sequence[str],
+    value_cols: Sequence[str],
+    *,
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> str:
+    """CDC MERGE apply — the missing third leg of the CDC family
+    (scd2 builds history, snapshot_diff compares states, this PRODUCES
+    the next state): fold a change batch of I/U/D operations into a
+    keyed snapshot, exactly the semantics of ``MERGE INTO`` with
+    last-writer-wins per key (Delta/Iceberg upsert, Kafka compacted-
+    topic materialization).
+
+    Rules, all deterministic:
+
+    * per key, only the HIGHEST-``seq_col`` change applies (ROW_NUMBER
+      over (key ORDER BY seq DESC) — ties forbidden by the CDC
+      contract: seq is a log offset, unique per key);
+    * ``op`` ∈ ('I', 'U', 'D'): D deletes the key, I/U upsert the
+      change row's values (I on an existing key and U on an absent key
+      both resolve to the upsert — the tolerant MERGE convention, since
+      a replayed log cannot distinguish them);
+    * snapshot keys untouched by the batch pass through unchanged.
+
+    Shape: the change batch collapses to ≤ |batch keys| rows BEFORE the
+    join (one batch-key exchange); the apply is ONE full outer equi-join
+    on the key — the snapshot_diff plan; output is the new snapshot.
+    At 100 TB: changes ≪ snapshot, so the collapsed batch broadcasts
+    and the snapshot never shuffles (AQE decides, the soft_dedup rule).
+    """
+    keys = list(key_cols)
+    cols = list(value_cols)
+    on = " AND ".join(f"s.{k} = c.{k}" for k in keys)
+    key_out = ", ".join(f"COALESCE(c.{k}, s.{k}) AS {k}" for k in keys)
+    val_out = ", ".join(
+        f"CASE WHEN c.{keys[0]} IS NOT NULL THEN c.{v} ELSE s.{v} END AS {v}"
+        for v in cols
+    )
+    return f"""
+    WITH _mrg_last AS (
+      SELECT * FROM (
+        SELECT {", ".join(keys)}, {", ".join(cols)}, {op_col},
+               ROW_NUMBER() OVER (PARTITION BY {", ".join(keys)}
+                                  ORDER BY {seq_col} DESC) AS _rn
+        FROM {changes_table}
+      ) _mc WHERE _rn = 1
+    )
+    SELECT {key_out}, {val_out}
+    FROM {snapshot_table} s
+    FULL OUTER JOIN _mrg_last c ON {on}
+    WHERE COALESCE(c.{op_col}, '') <> 'D'
+    """
+
+
+def merge_upsert(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    value_cols: Sequence[str],
+    *,
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """DataFrame front door for :func:`merge_upsert_sql`."""
+    from ..functions.text_fns import SPARK as _S
+
+    for c in [*key_cols, *value_cols]:
+        if c not in snapshot.columns:
+            raise ColumnNotFoundError(f"snapshot column {c!r} not in {snapshot.columns}")
+    for c in [*key_cols, *value_cols, op_col, seq_col]:
+        if c not in changes.columns:
+            raise ColumnNotFoundError(f"changes column {c!r} not in {changes.columns}")
+    sview, cview = "_ts_mrg_snap", "_ts_mrg_chg"
+    snapshot.createOrReplaceTempView(sview)
+    changes.createOrReplaceTempView(cview)
+    return snapshot.sparkSession.sql(
+        merge_upsert_sql(_S, sview, cview, key_cols, value_cols,
+                         op_col=op_col, seq_col=seq_col)
     )

@@ -1254,6 +1254,145 @@ def append_lsh_index(spark, path: str, df: DataFrame) -> None:
     ).repartition("bkey").write.mode("append").parquet(f"{path}/buckets")
 
 
+def _lsh_screen_tail(
+    vd: VectorDialect, new_table: str, id_col: str, vec_col: str,
+    *, threshold: float,
+) -> str:
+    """cand→scored→hits→final SELECT shared VERBATIM by the inline
+    (oracle) and persisted (serve) forms of the vector near-dup screen —
+    the ``_fuzzy_screen_tail`` discipline transplanted to embedding
+    space.  Expects CTEs ``allv``(did, {vec_col}, nrm) and
+    ``akeys``(did, bkey), dids carrying the ``'c:'``/``'n:'`` side tag;
+    within-batch pairs compare RAW ids via the ``nids`` mapping CTE
+    (min-id-wins, order-free).  A new vector is accepted when NO
+    candidate reaches the cosine threshold; an exact re-crawl copy
+    shares every table's bucket with its original, so it is a
+    guaranteed candidate — recall 1.0 on exact twins by construction."""
+    dot = vd.dot(f"a.{vec_col}", f"b.{vec_col}")
+    cos = f"({dot} / greatest(a.nrm * b.nrm, 1e-300))"
+    cast = "STRING" if vd.name == "spark" else "VARCHAR"
+    return f"""
+    nids AS (
+      SELECT concat('n:', CAST({id_col} AS {cast})) AS did, {id_col} AS rid
+      FROM {new_table}
+    ),
+    cand AS (
+      SELECT y.did AS ndid, x.did AS odid
+      FROM akeys x JOIN akeys y ON x.bkey = y.bkey
+      LEFT JOIN nids xv ON xv.did = x.did
+      LEFT JOIN nids yv ON yv.did = y.did
+      WHERE y.did LIKE 'n:%'
+        AND (x.did LIKE 'c:%'
+             OR (x.did LIKE 'n:%' AND xv.rid < yv.rid))
+      GROUP BY y.did, x.did
+    ),
+    scored AS (
+      SELECT cand.ndid, {cos} AS csim
+      FROM cand
+      JOIN allv a ON a.did = cand.odid
+      JOIN allv b ON b.did = cand.ndid
+    ),
+    hits AS (
+      SELECT ndid, MAX(csim) AS max_cosine
+      FROM scored WHERE csim >= {threshold!r} GROUP BY ndid
+    )
+    SELECT nt.{id_col} AS {id_col},
+           COALESCE(h.max_cosine, 0.0) AS max_cosine,
+           h.ndid IS NULL AS accepted
+    FROM {new_table} nt
+    LEFT JOIN hits h ON h.ndid = concat('n:', CAST(nt.{id_col} AS {cast}))
+    """
+
+
+def lsh_screen_sql(
+    vd: VectorDialect,
+    corpus_table: str,
+    new_table: str,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.9,
+    num_planes: int = 4,
+    num_tables: int = 8,
+    seed: int = 42,
+    dim: int = DEFAULT_DIM,
+) -> str:
+    """Inline (one-statement) embedding near-dup SCREEN: which of
+    ``new_table``'s vectors are cosine-≥-threshold twins of
+    ``corpus_table`` (or of a smaller-id batch sibling)?  The
+    fuzzy-dedup incremental screen transplanted to vectors — candidates
+    only via multi-table LSH bucket equi-joins, never all-pairs; this
+    form is the ORACLE for the persisted serve twin
+    (:func:`screen_new_vectors_lsh`) and for the streaming ingest
+    chain."""
+    cast = "STRING" if vd.name == "spark" else "VARCHAR"
+    tagged = f"""
+    allv0 AS (
+      SELECT concat('c:', CAST({id_col} AS {cast})) AS vid,
+             {vec_col} AS {vec_col}, {vd.norm(vec_col)} AS nrm
+      FROM {corpus_table}
+      UNION ALL
+      SELECT concat('n:', CAST({id_col} AS {cast})) AS vid,
+             {vec_col} AS {vec_col}, {vd.norm(vec_col)} AS nrm
+      FROM {new_table}
+    )"""
+    keys = _lsh_keys_select(vd, vec_col, "allv0", num_planes, num_tables, seed, dim)
+    tail = _lsh_screen_tail(vd, new_table, id_col, vec_col, threshold=threshold)
+    return f"""
+    WITH {tagged},
+    akeys AS (SELECT vid AS did, bkey FROM ({keys})),
+    allv AS (SELECT vid AS did, {vec_col}, nrm FROM allv0),
+    {tail}
+    """
+
+
+def screen_new_vectors_lsh(
+    spark, path: str, new_df: DataFrame, *, threshold: float = 0.9
+) -> DataFrame:
+    """Incremental vector screen against a persisted LSH index: the
+    batch is signed inline (|batch| bucket computations with the stored
+    params); candidates come from the batch-keys × STORED-buckets
+    equi-join plus smaller-id within-batch pairs; cosine verifies
+    against the stored vectors.  The corpus is never re-signed — the
+    100 TB ingest posture (the ``screen_new_docs_fuzzy`` twin in
+    embedding space).  Output ≡ :func:`lsh_screen_sql` (persisted ≡
+    inline, driver-proven): ({id_col}, max_cosine, accepted)."""
+    spark = new_df.sparkSession  # foreachBatch clone safety
+    p = spark.read.parquet(f"{path}/params").collect()[0]
+    id_col, vec_col = p["id_col"], p["vec_col"]
+    for c in (id_col, vec_col):
+        if c not in new_df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {new_df.columns}")
+    nview = _next_view()
+    new_df.createOrReplaceTempView(nview)
+    sv, sb = _next_view(), _next_view()
+    spark.read.parquet(f"{path}/vectors").createOrReplaceTempView(sv)
+    spark.read.parquet(f"{path}/buckets").createOrReplaceTempView(sb)
+    ntagged = (
+        f"(SELECT concat('n:', CAST({id_col} AS STRING)) AS vid, "
+        f"{vec_col} AS {vec_col}, {_VSPARK.norm(vec_col)} AS nrm FROM {nview})"
+    )
+    nkeys = _lsh_keys_select(
+        _VSPARK, vec_col, "ntag", p["num_planes"], p["num_tables"],
+        p["seed"], p["dim"],
+    )
+    tail = _lsh_screen_tail(_VSPARK, nview, id_col, vec_col, threshold=threshold)
+    return spark.sql(f"""
+    WITH ntag AS (SELECT * FROM {ntagged} _nt),
+    akeys AS (
+      SELECT vid AS did, bkey FROM ({nkeys})
+      UNION ALL
+      SELECT concat('c:', CAST(vid AS STRING)) AS did, bkey FROM {sb}
+    ),
+    allv AS (
+      SELECT vid AS did, {vec_col}, nrm FROM ntag
+      UNION ALL
+      SELECT concat('c:', CAST(vid AS STRING)) AS did, {vec_col}, nrm FROM {sv}
+    ),
+    {tail}
+    """)
+
+
 def build_ivf_index(
     df: DataFrame,
     id_col: str,

@@ -1256,3 +1256,77 @@ def kmv_overlap(
             staged_sketch=sview,
         )
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    text_col: str,
+    *,
+    threshold: int,
+    width: int = 1024,
+    depth: int = 3,
+) -> DataFrame:
+    """Heavy hitters (tokens with exact frequency ≥ ``threshold``) via
+    the count-min candidate screen + exact verification — the
+    distributed form of the classic sketch guarantee put to work:
+    count-min is ONE-SIDED (estimate ≥ exact always), so the candidate
+    set {est ≥ t} is a SUPERSET of the true heavy hitters, and exact-
+    counting only the candidates returns EXACTLY the naive
+    ``GROUP BY token HAVING COUNT(*) ≥ t`` — which is therefore the
+    registered oracle: the sketch path is provably-equal, not
+    approximately-equal.
+
+    Why this shape at 100 TB: the naive plan shuffles the FULL
+    (token, count) relation — O(vocabulary).  Here the d×W cell table
+    is the only full-stream aggregate (fixed size, partial-agg
+    mergeable), it comes back as a BROADCAST, each occurrence probes
+    its d cells map-side, and only occurrences of CANDIDATE tokens
+    reach the token-key exchange — the big shuffle shrinks from
+    O(stream) to O(candidate occurrences).  False candidates (CM
+    overestimates) cost exactly their own occurrences' shuffle and are
+    filtered by the exact HAVING.
+
+    The cell frame is localCheckpointed before its ``depth`` probe
+    joins (the engine staging rule — Catalyst would rebuild the
+    full-stream cell aggregation per probe join).
+    """
+    from ..errors import ColumnNotFoundError
+
+    if text_col not in df.columns:
+        raise ColumnNotFoundError(f"column {text_col!r} not in DataFrame")
+    if threshold < 1:
+        raise ValueError(f"threshold must be >= 1, got {threshold}")
+    toks = df.select(F.explode(F.expr(SPARK.tokens(text_col))).alias("token"))
+    rows = list(range(depth))
+    cells = (
+        toks.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        F.expr(cm_bucket_expr(SPARK, "token", i, width)).alias("bucket"),
+                    )
+                    for i in rows
+                ])
+            ).alias("rb")
+        )
+        .select("rb.row", "rb.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell"))
+        .localCheckpoint(eager=False)
+    )
+    probed = toks
+    for i in rows:
+        ci = cells.where(F.col("row") == i).select(
+            F.col("bucket").alias(f"_b{i}"), F.col("cell").alias(f"_c{i}")
+        )
+        probed = probed.withColumn(
+            f"_b{i}", F.expr(cm_bucket_expr(SPARK, "token", i, width))
+        ).join(F.broadcast(ci), f"_b{i}")
+    est = F.least(*[F.col(f"_c{i}") for i in rows])
+    return (
+        probed.where(est >= threshold)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .where(F.col("n_exact") >= threshold)
+    )

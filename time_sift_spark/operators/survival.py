@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame
 
 from ..errors import ColumnNotFoundError
 
-__all__ = ["km_survival", "km_survival_sql"]
+__all__ = ["km_survival", "km_survival_sql", "nelson_aalen", "nelson_aalen_sql"]
 
 
 def km_survival_sql(
@@ -61,18 +61,14 @@ def km_survival_sql(
     """
     from ._num import round_double
 
-    q = lambda s: "'" + s.replace("'", "''") + "'"  # noqa: E731
-    hz = f"DATE '{horizon_date}'"
+    base = _surv_at_risk_ctes(d, table, user_col, time_col, type_col,
+                              start_type, event_type, horizon_date)
     if d.name == "spark":
-        day_diff = lambda a, b: f"datediff({a}, {b})"  # noqa: E731
-        week = "CAST(date_trunc('week', t0) AS TIMESTAMP)"
         prefix = "collect_list(factor) OVER _wcum"
         fold = (
             "aggregate(pfx, CAST(1.0 AS DOUBLE), (acc, x) -> acc * x)"
         )
     else:
-        day_diff = lambda a, b: f"datediff('day', {b}, {a})"  # noqa: E731
-        week = "CAST(date_trunc('week', t0) AS TIMESTAMP)"
         prefix = "list(factor) OVER _wcum"
         fold = (
             "list_reduce(list_prepend(CAST(1.0 AS DOUBLE), pfx),"
@@ -82,7 +78,49 @@ def km_survival_sql(
         "(CAST(n_at_risk - d_events AS DOUBLE) / CAST(n_at_risk AS DOUBLE))"
     )
     return f"""
-    WITH _kms AS (
+    WITH {base},
+    _kmf AS (
+      SELECT cohort, dur, d_events, c_censored, n_at_risk,
+             {factor} AS factor
+      FROM _kmr
+    ),
+    _kmp AS (
+      SELECT cohort, dur, d_events, c_censored, n_at_risk,
+             {prefix} AS pfx
+      FROM _kmf
+      WINDOW _wcum AS (PARTITION BY cohort ORDER BY dur
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT cohort, CAST(dur AS BIGINT) AS duration_days,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk, d_events, c_censored,
+           {round_double(fold, round_to)} AS survival
+    FROM _kmp
+    """
+
+
+def _surv_at_risk_ctes(
+    d,
+    table: str,
+    user_col: str,
+    time_col: str,
+    type_col: str,
+    start_type: str,
+    event_type: str,
+    horizon_date: str,
+) -> str:
+    """The subject → (cohort, duration) → at-risk CTE chain shared
+    VERBATIM by KM (product of survival factors) and Nelson-Aalen (sum
+    of hazard increments): subjects reduce to per-(cohort, duration)
+    rows BEFORE any window, so both estimators run on the
+    |cohorts| × |durations| relation, never the subject population."""
+    q = lambda s: "'" + s.replace("'", "''") + "'"  # noqa: E731
+    hz = f"DATE '{horizon_date}'"
+    if d.name == "spark":
+        day_diff = lambda a, b: f"datediff({a}, {b})"  # noqa: E731
+    else:
+        day_diff = lambda a, b: f"datediff('day', {b}, {a})"  # noqa: E731
+    week = "CAST(date_trunc('week', t0) AS TIMESTAMP)"
+    return f"""_kms AS (
       SELECT {user_col} AS uid,
              CAST(MIN(CASE WHEN {type_col} = {q(start_type)}
                            THEN {time_col} END) AS DATE) AS t0
@@ -124,24 +162,7 @@ def km_survival_sql(
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
                AS n_at_risk
       FROM _kme
-    ),
-    _kmf AS (
-      SELECT cohort, dur, d_events, c_censored, n_at_risk,
-             {factor} AS factor
-      FROM _kmr
-    ),
-    _kmp AS (
-      SELECT cohort, dur, d_events, c_censored, n_at_risk,
-             {prefix} AS pfx
-      FROM _kmf
-      WINDOW _wcum AS (PARTITION BY cohort ORDER BY dur
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-    )
-    SELECT cohort, CAST(dur AS BIGINT) AS duration_days,
-           CAST(n_at_risk AS BIGINT) AS n_at_risk, d_events, c_censored,
-           {round_double(fold, round_to)} AS survival
-    FROM _kmp
-    """
+    )"""
 
 
 def km_survival(
@@ -167,6 +188,102 @@ def km_survival(
     df.createOrReplaceTempView(view)
     return df.sparkSession.sql(
         km_survival_sql(
+            _S, view, user_col, time_col, type_col,
+            start_type, event_type, horizon_date, round_to=round_to,
+        )
+    )
+
+
+def nelson_aalen_sql(
+    d,
+    table: str,
+    user_col: str,
+    time_col: str,
+    type_col: str,
+    start_type: str,
+    event_type: str,
+    horizon_date: str,
+    *,
+    round_to: int = 6,
+) -> str:
+    """Nelson-Aalen cumulative hazard per cohort — the additive
+    companion of :func:`km_survival_sql` (Nelson 1972; Aalen 1978):
+
+        Ĥ(t) = Σ_{t_i ≤ t} d_i / n_i
+
+    The hazard view of the same data: where Ŝ(t) answers "what fraction
+    survives to t", Ĥ(t)'s increments are the per-interval event RATES —
+    the quantity rate-regression and competing-risk analyses consume,
+    and a better-behaved estimator than −ln(Ŝ) in small samples (and
+    ln is banned here anyway — Ĥ is the rational object).
+
+    Determinism: identical skeleton to KM — the shared
+    :func:`_surv_at_risk_ctes` chain (VERBATIM text), each increment is
+    one IEEE division of exact BIGINTs, and the cumulative sum is the
+    ORDERED prefix fold (``aggregate(..., 0.0, acc + x)`` ≡ DuckDB
+    ``list_reduce(list_prepend(0.0, ...), acc + x)``, 0.0 + x ≡ x
+    exactly) — never a windowed double SUM, whose accumulation order
+    engines don't promise.  Scale posture: the KM row (curve relation =
+    |cohorts| × |durations|, one cohort-key exchange).
+    """
+    from ._num import round_double
+
+    base = _surv_at_risk_ctes(d, table, user_col, time_col, type_col,
+                              start_type, event_type, horizon_date)
+    if d.name == "spark":
+        prefix = "collect_list(hinc) OVER _wcum"
+        fold = "aggregate(pfx, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    else:
+        prefix = "list(hinc) OVER _wcum"
+        fold = (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), pfx),"
+            " (acc, x) -> acc + x)"
+        )
+    hinc = "(CAST(d_events AS DOUBLE) / CAST(n_at_risk AS DOUBLE))"
+    return f"""
+    WITH {base},
+    _naf AS (
+      SELECT cohort, dur, d_events, c_censored, n_at_risk,
+             {hinc} AS hinc
+      FROM _kmr
+    ),
+    _nap AS (
+      SELECT cohort, dur, d_events, c_censored, n_at_risk,
+             {prefix} AS pfx
+      FROM _naf
+      WINDOW _wcum AS (PARTITION BY cohort ORDER BY dur
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT cohort, CAST(dur AS BIGINT) AS duration_days,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk, d_events, c_censored,
+           {round_double(fold, round_to)} AS cum_hazard
+    FROM _nap
+    """
+
+
+def nelson_aalen(
+    df: DataFrame,
+    user_col: str,
+    time_col: str,
+    type_col: str,
+    start_type: str,
+    event_type: str,
+    horizon_date: str,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """DataFrame front door for :func:`nelson_aalen_sql`."""
+    from ..functions.text_fns import SPARK as _S
+    from ._time import assert_time_dtype
+
+    for c in (user_col, time_col, type_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    assert_time_dtype(df, time_col)
+    view = "_ts_na_in"
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(
+        nelson_aalen_sql(
             _S, view, user_col, time_col, type_col,
             start_type, event_type, horizon_date, round_to=round_to,
         )

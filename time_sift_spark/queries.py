@@ -2760,6 +2760,53 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "interval_overlap_events",
+    oracle="""
+    SELECT l.user_id,
+           l.event_id AS l_event_id,
+           r.event_id AS r_event_id,
+           LEAST(epoch_us(l.ts) + 7200000000, epoch_us(r.ts) + 3600000000)
+             - GREATEST(epoch_us(l.ts), epoch_us(r.ts)) AS overlap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    JOIN (SELECT * FROM events WHERE event_type = 'error') r
+      ON l.user_id = r.user_id
+     AND epoch_us(l.ts) <= epoch_us(r.ts) + 3600000000
+     AND epoch_us(r.ts) <= epoch_us(l.ts) + 7200000000
+    """,
+)
+def interval_overlap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval OVERLAP join — the two-sided generalization
+    of the band join: per-user purchase activity windows [ts, ts+2h]
+    intersecting error windows [ts, ts+1h].  BOTH sides explode into
+    covered time buckets (sequence of integer-µs divs), candidates via
+    the (user, bucket) equi-join, k-bucket duplicates collapsed on the
+    identifying columns, exact overlap predicate filters residuals —
+    cost scales with Σ(length/W), never per-key rows²
+    (operators/rangejoin.py:interval_overlap_join)."""
+    import pyspark.sql.functions as F
+
+    from .operators.rangejoin import interval_overlap_join
+
+    events = load_table(spark, "events", sf_dir)
+    purchases = events.where("event_type = 'purchase'").select(
+        "user_id", "event_id", "ts",
+        F.expr("ts + INTERVAL 2 HOURS").alias("te"),
+    )
+    errors = events.where("event_type = 'error'").select(
+        "user_id", "event_id", "ts",
+        F.expr("ts + INTERVAL 1 HOUR").alias("te"),
+    )
+    return interval_overlap_join(
+        purchases, errors,
+        on="user_id",
+        left_start="ts", left_end="te",
+        right_start="ts", right_end="te",
+        left_cols=["event_id"], right_cols=["event_id"],
+        bucket_seconds=3600,
+    )
+
+
+@register(
     "streaming_outer_join",
     oracle="""
     WITH l AS (
@@ -5655,6 +5702,30 @@ def exact_substring_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_pairs(docs, "doc_id", "text", k=10, gram_doc_cap=50)
 
 
+_EPOCH_WEIGHTS = {"src0": 3.5, "src1": 2.0, "src2": 1.25}
+
+
+def _epoch_upsample_oracle() -> str:
+    from .operators.corpus import epoch_upsample_sql
+
+    return epoch_upsample_sql(DUCK, "documents", "doc_id", "source", _EPOCH_WEIGHTS)
+
+
+@register("epoch_upsample_docs", oracle=_epoch_upsample_oracle())
+def epoch_upsample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixing by repeat factors — the >1-epoch upsampling half
+    of corpus rebalancing (mixture_resample_docs is the ≤1 half): src0
+    docs emit 3.5× (3 copies + a 50% exact-md5-coin fourth), src1 2×,
+    src2 1.25×, everything else 1× — the pretraining-mixture epoch
+    schedule with per-(doc, rep)-indexed output rows.  Weight table is
+    a VALUES broadcast relation; the coin is the soft_dedup integer
+    draw, never an RNG (operators/corpus.py:epoch_upsample)."""
+    from .operators.corpus import epoch_upsample
+
+    docs = load_table(spark, "documents", sf_dir)
+    return epoch_upsample(docs, "doc_id", "source", _EPOCH_WEIGHTS)
+
+
 def _substring_remove_oracle() -> str:
     from .operators.dedup import substring_remove_sql
 
@@ -7299,6 +7370,43 @@ def kcore_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(edges, "src", "dst", k=9, max_iterations=64, id_alias="doc_id")
 
 
+def _lpa_oracle() -> str:
+    from .operators.graph import doc_link_edges_ctes, label_propagation_sql
+
+    return label_propagation_sql(
+        doc_link_edges_ctes(DUCK, "documents", "doc_id", fanout=6),
+        iters=4,
+        id_alias="doc_id",
+    )
+
+
+@register("label_propagation_docs", oracle=_lpa_oracle())
+def label_propagation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    fanout-6 link graph — 4 fixed rounds, every node adopting its
+    neighbors' most frequent label with ties to the SMALLEST label (the
+    deterministic variant of Raghavan et al. 2007: fixed rounds +
+    min-tiebreak replace the original's random tie coin, making the
+    result reproducible and the oracle an unrolled twin).  Iterative
+    constant-plan rounds over localCheckpointed frames ≡ the unrolled
+    MATERIALIZED oracle — the pagerank/kcore discipline; the vote
+    argmax rides one integer encode (count·2^40 + reversed label), the
+    attribution encode-compare idiom
+    (operators/graph.py:label_propagation)."""
+    from .functions.text_fns import SPARK as _S
+
+    from .operators.graph import doc_link_edges_ctes, label_propagation
+
+    docs = load_table(spark, "documents", sf_dir)
+    docs.createOrReplaceTempView("_ts_lpa_docs")
+    edges = spark.sql(
+        "WITH "
+        + doc_link_edges_ctes(_S, "_ts_lpa_docs", "doc_id", fanout=6).strip().rstrip(",")
+        + " SELECT src, dst FROM e"
+    )
+    return label_propagation(edges, "src", "dst", iters=4, id_alias="doc_id")
+
+
 def _kcore3_oracle() -> str:
     from .operators.graph import doc_link_edges_ctes, kcore_sql
 
@@ -7983,6 +8091,206 @@ def streaming_bloom_screen_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+# --------------------------------------------------------------------------
+# Vector ingest screen (operators/similarity.py lsh_screen) — SURVEY §2.5 r10
+# --------------------------------------------------------------------------
+
+_VSC_CORPUS = "(SELECT vec_id, embedding FROM embeddings WHERE vec_id < 400)"
+_VSC_NEWB = (
+    "(SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 400"
+    " UNION ALL "
+    "SELECT vec_id + 10000 AS vec_id, embedding"
+    " FROM embeddings WHERE vec_id < 10)"
+)
+_SVI_NEW1 = (
+    "(SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 400 AND vec_id < 450"
+    " UNION ALL "
+    "SELECT vec_id + 10000 AS vec_id, embedding"
+    " FROM embeddings WHERE vec_id < 10)"
+)
+_SVI_NEW2 = (
+    "(SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 450"
+    " UNION ALL "
+    "SELECT vec_id + 20000 AS vec_id, embedding"
+    " FROM embeddings WHERE vec_id >= 400 AND vec_id < 410)"
+)
+_VSC_KW = dict(threshold=0.9, num_planes=4, num_tables=8, dim=64)
+
+
+def _vector_screen_oracle() -> str:
+    return _sim.lsh_screen_sql(
+        VDUCK, _VSC_CORPUS, _VSC_NEWB, "vec_id", "embedding", **_VSC_KW
+    )
+
+
+@register("vector_screen_embeddings", oracle=_vector_screen_oracle())
+def vector_screen_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental VECTOR near-dup screen against a persisted LSH index
+    — the fuzzy-dedup ingestion screen transplanted to embedding space:
+    the batch (100 fresh vectors + 10 planted exact re-crawl copies of
+    indexed ones) is signed inline, candidates come from the
+    batch-keys × STORED-buckets equi-join plus smaller-id within-batch
+    pairs, cosine verifies.  An exact copy shares every table's bucket
+    with its original — guaranteed candidate, so the 10 plants are
+    rejected with max_cosine 1.0.  The corpus is never re-signed
+    (O(batch) ingest, the 100 TB posture); the oracle is the INLINE
+    two-sided screen, so persisted ≡ inline is driver-proven
+    (operators/similarity.py:screen_new_vectors_lsh)."""
+    from .operators.similarity import build_lsh_index, screen_new_vectors_lsh
+
+    path = _index_dir("ts_vscreen_idx", sf_dir, "planes4_tables8_dim64_scr_v1",
+                      table="embeddings")
+    if not _index_ready(path):
+        emb = load_table(spark, "embeddings", sf_dir)
+        build_lsh_index(
+            emb.where("vec_id < 400").select("vec_id", "embedding"),
+            "vec_id", "embedding", path,
+            num_planes=4, num_tables=8, dim=64,
+        )
+    emb = load_table(spark, "embeddings", sf_dir)
+    emb.createOrReplaceTempView("_ts_vsc_emb")
+    new = spark.sql(
+        _VSC_NEWB.strip("()").replace("embeddings", "_ts_vsc_emb")
+    )
+    return screen_new_vectors_lsh(spark, path, new, threshold=0.9)
+
+
+def _stream_vector_oracle() -> str:
+    """Two chained rounds of the inline vector screen: round 2's corpus
+    is round 1's corpus PLUS round 1's ACCEPTED vectors — the state the
+    streaming foreachBatch sink accumulates by append_lsh_index between
+    micro-batches (the _stream_fuzzy_oracle convention)."""
+    q1 = _sim.lsh_screen_sql(
+        VDUCK, _VSC_CORPUS, _SVI_NEW1, "vec_id", "embedding", **_VSC_KW
+    )
+    corpus2 = (
+        f"(SELECT n1.vec_id, n1.embedding FROM {_SVI_NEW1} n1 "
+        f"WHERE n1.vec_id IN (SELECT r.vec_id FROM ({q1}) r WHERE r.accepted) "
+        f"UNION ALL SELECT c0.vec_id, c0.embedding FROM {_VSC_CORPUS} c0)"
+    )
+    q2 = _sim.lsh_screen_sql(
+        VDUCK, corpus2, _SVI_NEW2, "vec_id", "embedding", **_VSC_KW
+    )
+    return f"SELECT * FROM ({q1}) u1 UNION ALL SELECT * FROM ({q2}) u2"
+
+
+def _vector_chunked_embeddings(sf_dir: str) -> str:
+    """Chunk the vector-crawl increment into 2 arrival-ordered parquet
+    files (the _fuzzy_chunked_docs convention): chunk 0 = vectors
+    400-449 plus 10 exact copies of INDEXED vectors (+10000 ids);
+    chunk 1 = the rest plus 10 exact copies of CHUNK-0 vectors
+    (+20000) — rejectable only through the state the sink appended
+    after chunk 0."""
+    import hashlib
+    import os
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fp = _source_fingerprint(sf_dir, "embeddings")
+    key = hashlib.md5(f"{sf_dir}|svi1|{fp}".encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"ts_svi_chunks_{key}")
+    marker = os.path.join(out, "_READY")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    pdf = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
+    pdf = pdf[["vec_id", "embedding"]]
+
+    def _copies(src, offset):
+        p = src.copy()
+        p["vec_id"] = p["vec_id"] + offset
+        return p
+
+    c0 = pd.concat(
+        [
+            pdf[(pdf.vec_id >= 400) & (pdf.vec_id < 450)],
+            _copies(pdf[pdf.vec_id < 10], 10000),
+        ]
+    ).reset_index(drop=True)
+    c1 = pd.concat(
+        [
+            pdf[pdf.vec_id >= 450],
+            _copies(pdf[(pdf.vec_id >= 400) & (pdf.vec_id < 410)], 20000),
+        ]
+    ).reset_index(drop=True)
+    for seq, chunk in enumerate((c0, c1)):
+        f = os.path.join(out, f"chunk-{seq:02d}.parquet")
+        pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False), f)
+        os.utime(f, (1_700_000_000 + seq, 1_700_000_000 + seq))
+    open(marker, "w").close()
+    return out
+
+
+@register("streaming_vector_ingest", oracle=_stream_vector_oracle())
+def streaming_vector_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING vector ingestion — the persisted LSH index as LIVE
+    crawl state, closing the loop on append_lsh_index: 2 micro-batches;
+    each epoch's foreachBatch sink (a) screens the batch against the
+    CURRENT index (bucket equi-join + cosine verify,
+    screen_new_vectors_lsh), (b) writes verdicts to an epoch-keyed
+    overwrite dir, (c) appends the batch's ACCEPTED vectors into the
+    index via append_lsh_index (row-local bucket assignment — the
+    proven append ≡ rebuild path — and its vid anti-join makes
+    re-appends no-ops).  Chunk 1's 10 exact copies of CHUNK-0 vectors
+    are rejected purely through cross-batch state.  Redelivery reuses
+    persisted verdicts (the streaming_dedup_fuzzy_docs crash-window
+    recipe).  Oracle chains two inline screen rounds — drain ≡
+    chained-batch, driver-proven."""
+    from .operators.similarity import (
+        append_lsh_index,
+        build_lsh_index,
+        screen_new_vectors_lsh,
+    )
+    from .streaming.lag_stream import _next_stream_name
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = _roundtrip_dir("ts_svi_") + "/" + _next_stream_name("v")
+    store = f"{base}/index"
+    results = f"{base}/results"
+    build_lsh_index(
+        emb.where("vec_id < 400").select("vec_id", "embedding"),
+        "vec_id", "embedding", store,
+        num_planes=4, num_tables=8, dim=64,
+    )
+    chunk_dir = _vector_chunked_embeddings(sf_dir)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(chunk_dir)
+    )
+
+    def _sink(bdf, epoch_id):
+        import os
+
+        bsp = bdf.sparkSession  # micro-batch session clone — stay on it
+        marker = f"{base}/applied-epoch-{epoch_id}"
+        if os.path.exists(marker):
+            return
+        edir = f"{results}/epoch-{epoch_id}"
+        if not os.path.exists(f"{edir}/_SUCCESS"):
+            out = screen_new_vectors_lsh(bsp, store, bdf, threshold=0.9)
+            out.write.mode("overwrite").parquet(edir)
+        verdicts = bsp.read.parquet(edir)
+        accepted = bdf.join(
+            verdicts.where("accepted").select("vec_id"), "vec_id", "left_semi"
+        )
+        append_lsh_index(bsp, store, accepted)
+        os.makedirs(marker)
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .queryName(_next_stream_name("ts_stream_vingest"))
+        .option("checkpointLocation", f"{base}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.option("recursiveFileLookup", "true").parquet(results)
+
+
 def _attribution_oracle() -> str:
     from .operators.attribution import attribution_sql
 
@@ -8095,6 +8403,33 @@ def robust_scale_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, "events", sf_dir)
     return robust_scale(events, "value", "event_type", "event_id")
+
+
+def _rfm_oracle() -> str:
+    from .operators.segment import rfm_segments_sql
+
+    return rfm_segments_sql(
+        DUCK, "orders", "o_custkey", "o_orderdate", "o_totalprice",
+        "2001-08-01",
+    )
+
+
+@register("rfm_segments_orders", oracle=_rfm_oracle())
+def rfm_segments_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation over orders: per-customer recency /
+    frequency / monetary quintile scores (5 = best) and the
+    concatenated segment digits — the campaign-targeting workhorse.
+    The quintile cuts come from the adaptive-bounds histogram sketch
+    (one-row broadcast relations), NEVER an NTILE global sort — the
+    single-partition cliff the engine's sketch machinery exists to
+    avoid; scoring is pure CASE comparisons over the staged
+    per-customer base (operators/segment.py:rfm_segments)."""
+    from .operators.segment import rfm_segments
+
+    orders = load_table(spark, "orders", sf_dir)
+    return rfm_segments(
+        orders, "o_custkey", "o_orderdate", "o_totalprice", "2001-08-01"
+    )
 
 
 def _robust_scale_sketch_oracle() -> str:
@@ -8297,6 +8632,144 @@ def km_survival_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "percentile_rank_events",
+    oracle="""
+    SELECT event_id, event_type, value,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cdf
+    FROM events
+    WHERE value IS NOT NULL
+    WINDOW w AS (PARTITION BY event_type ORDER BY value)
+    """,
+)
+def percentile_rank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group CDF feature transform: PERCENT_RANK and CUME_DIST of
+    value within its event type — the rank-based normalization
+    (rank-gauss without the gauss, which would need the banned inverse
+    erf) that makes features comparable across wildly different scales.
+    One event-type exchange carries both window functions; ties share
+    ranks identically on both engines — (rank−1)/(n−1) and the ≤-count
+    fraction are single IEEE divisions of identical integers, so no
+    quantization is needed (the raw doubles are bit-equal)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    events = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value")
+    return (
+        events.where("value IS NOT NULL")
+        .select(
+            "event_id", "event_type", "value",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cdf"),
+        )
+    )
+
+
+def _heavy_hitter_oracle() -> str:
+    # the naive exact filter — provably EQUAL to the sketch path by
+    # count-min's one-sided guarantee; tokenizer text shared via the
+    # Dialect so it can never drift from the Spark side
+    return f"""
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n_exact
+    FROM (SELECT {_dd._unnest(DUCK, DUCK.tokens('text'), 'token')}
+          FROM documents WHERE text IS NOT NULL)
+    GROUP BY token HAVING COUNT(*) >= 400
+    """
+
+
+@register("heavy_hitter_tokens", oracle=_heavy_hitter_oracle())
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via count-min candidates + exact verification:
+    count-min's one-sided guarantee (estimate ≥ exact) makes the
+    candidate set a SUPERSET of the true ≥400-count tokens, so
+    exact-verifying candidates equals the naive GROUP BY ... HAVING
+    exactly — the oracle IS the naive filter, proving the sketch path
+    rather than approximating it.  At scale only candidate-token
+    occurrences reach the token exchange; the d×W cell table is the
+    lone full-stream aggregate, staged then broadcast for map-side
+    probes (operators/sketch.py:heavy_hitters)."""
+    from .operators.sketch import heavy_hitters
+
+    docs = load_table(spark, "documents", sf_dir)
+    return heavy_hitters(docs.where("text IS NOT NULL"), "text", threshold=400)
+
+
+_CDC_SNAP = (
+    "(SELECT user_id, event_type, value FROM ("
+    "SELECT user_id, event_type, value, "
+    "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+    "FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00') _s WHERE rn = 1)"
+)
+_CDC_CHG = (
+    "(SELECT user_id, event_type, value, "
+    "CASE WHEN event_type = 'error' THEN 'D' "
+    "WHEN event_type = 'signup' THEN 'I' ELSE 'U' END AS op, "
+    "event_id AS seq "
+    "FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00')"
+)
+
+
+def _cdc_merge_oracle() -> str:
+    from .operators.reconcile import merge_upsert_sql
+
+    return merge_upsert_sql(
+        DUCK, _CDC_SNAP, _CDC_CHG, ["user_id"], ["event_type", "value"]
+    )
+
+
+@register("cdc_merge_events", oracle=_cdc_merge_oracle())
+def cdc_merge_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE apply — the third leg of the CDC family (scd2 builds
+    history, snapshot_diff compares states, this PRODUCES the next
+    one): the pre-cutoff latest-per-user snapshot absorbs the
+    post-cutoff event log as I/U/D operations with last-writer-wins
+    per key (ROW_NUMBER by log offset), D deleting the key, untouched
+    keys passing through.  The change batch collapses to ≤|batch keys|
+    rows BEFORE the one full-outer key join — the Delta/Iceberg MERGE
+    INTO shape as pure relational algebra
+    (operators/reconcile.py:merge_upsert)."""
+    from .operators.reconcile import merge_upsert
+
+    events = load_table(spark, "events", sf_dir)
+    events.createOrReplaceTempView("_ts_cdc_events")
+    snap = spark.sql(
+        "SELECT * FROM " + _CDC_SNAP.replace("FROM events", "FROM _ts_cdc_events") + " _sn"
+    )
+    chg = spark.sql(
+        "SELECT * FROM " + _CDC_CHG.replace("FROM events", "FROM _ts_cdc_events") + " _ch"
+    )
+    return merge_upsert(snap, chg, ["user_id"], ["event_type", "value"])
+
+
+def _na_oracle() -> str:
+    from .operators.survival import nelson_aalen_sql
+
+    return nelson_aalen_sql(
+        DUCK, "events", "user_id", "ts", "event_type",
+        "signup", "purchase", "2024-01-31",
+    )
+
+
+@register("nelson_aalen_events", oracle=_na_oracle())
+def nelson_aalen_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard per signup-week cohort — the
+    additive companion of km_survival_events: Ĥ's increments are the
+    per-interval event RATES (the quantity rate regressions consume,
+    and the rational object where −ln(Ŝ) would need the banned ln).
+    Same shared at-risk chain, same ordered prefix fold — a SUM fold
+    this time, never a windowed double SUM whose accumulation order
+    engines don't promise (operators/survival.py:nelson_aalen)."""
+    from .operators.survival import nelson_aalen
+
+    events = load_table(spark, "events", sf_dir)
+    return nelson_aalen(
+        events, "user_id", "ts", "event_type",
+        "signup", "purchase", "2024-01-31",
+    )
+
+
 def _drift_oracle() -> str:
     from .operators.quality import distribution_drift_sql
 
@@ -8441,6 +8914,16 @@ GRADE_PRIORITY: list[str] = [
     "ann_lsh_appended_topk",
     "kcore3_docs",
     "robust_scale_sketch_events",
+    "vector_screen_embeddings",
+    "streaming_vector_ingest",
+    "label_propagation_docs",
+    "nelson_aalen_events",
+    "rfm_segments_orders",
+    "interval_overlap_events",
+    "epoch_upsample_docs",
+    "cdc_merge_events",
+    "heavy_hitter_tokens",
+    "percentile_rank_events",
     # -- CHANGED in r10 (ADVICE fixes: NULL-safe freq-encode join,
     #    sign-safe attribution fold + TRY_CAST, conformal eval LEFT
     #    JOIN, sink redelivery verdict-reuse) --

@@ -140,6 +140,14 @@ SHOWCASE = {
     "target_encode_loo_orders": "LOO target encoding: ONE category-key exchange - both frame sums ride windows over that partitioning (no join-back); the prior is a one-row broadcast state crossed in.",
     "target_encode_kfold_orders": "K-fold target encoding: the cat and (cat,fold) window frames share the SAME category exchange (fold windows are subpartitions); folds are md5-of-id so appends never reshuffle existing rows.",
     "kmv_distinct_orders_by_flag": "KMV distinct: map-side-combining (group,hash) dedup, then the per-group rank window keeps k smallest - everything after the dedup touches <=k rows per group.",
+    "substring_remove_docs": "Duplicate-span removal: the staged window-gram frame (ExistingRDD) feeds the partial-aggregated freq/argmin pass and the flag join; coverage is one doc-key window; reassembly rides the same exchange - counters and one integer argmin per gram, never a pair join.",
+    "vector_screen_embeddings": "Vector ingest screen: only the batch side explodes bucket keys (|batch| computations); stored buckets and vectors arrive as plain parquet scans; candidates via the bkey equi-join - the corpus is never re-signed.",
+    "label_propagation_docs": "Label propagation: each round is one constant-size vote statement over checkpointed frames (two label equi-joins + one partial-aggregated vote count); the unrolled form exists only as the DuckDB oracle.",
+    "rfm_segments_orders": "RFM segmentation: ONE customer-key exchange builds the staged 3-metric base; each quintile-cut sketch collapses to a one-row broadcast relation (BroadcastNestedLoopJoin); scoring is per-row CASE arithmetic - no NTILE, no global sort.",
+    "interval_overlap_events": "Interval-overlap join: both sides explode to covered hour buckets, ONE (user, bucket) equi-join, dedup on identifying columns - match-density-proportional, never per-key rows squared.",
+    "epoch_upsample_docs": "Epoch upsampling: VALUES weight relation broadcast; repeat counts are integer arithmetic + one md5 coin; the explode is map-side - zero data shuffles.",
+    "nelson_aalen_events": "Nelson-Aalen: the KM plan verbatim - subjects reduce to (cohort, duration) rows before any window; one cohort exchange carries at-risk sums and the ordered hazard prefix fold.",
+    "robust_scale_sketch_events": "Robust-scale sketch form: per-group (bin) counters with map-side partial agg - NO collect_list/sort_array anywhere in the plan (the r9 cliff closed); the stats relation joins back broadcast-sized.",
     "kmv_audience_overlap_lineitem": "KMV set ops: the <=2k-row sketch is STAGED once (ExistingRDD scans - unstaged, the distinct-hash groupBy replanned ~5x across _ksk/_ke references: 12 exchanges measured); union/Jaccard/intersection read two k-row states; the exact-audit CTE scans the base once by design.",
 }
 
