@@ -320,3 +320,34 @@ def test_brown_scan_trend_tracks_linear_ramp(spark):
     tail = out.iloc[-1]
     assert abs(tail.v_trend - slope) < 1e-6
     assert abs(tail.v_fcst - (slope * 200 + 7.0)) < 1e-5
+
+
+def test_streaming_ewma_seeded_continuation_bit_exact():
+    """The streaming operator's whole correctness claim at the kernel
+    level: running ewm(adjust=False) on a chunk PREPENDED with the
+    carried last smoothed value, then dropping row 0, is BIT-identical
+    to one uninterrupted pass over the concatenated series — for any
+    chunking.  (streaming/lag_stream.py:streaming_ewma; the recurrence
+    y_t = (1-a)*y_{t-1} + a*x_t depends only on (y_{t-1}, x_t), and
+    step 0 of pandas' ewm IS the seed.)"""
+    rng = np.random.RandomState(17)
+    x = pd.Series(rng.randn(257))
+    full = x.ewm(alpha=0.3, adjust=False).mean()
+    for cuts in ([64, 130, 200], [1, 2, 3], [256]):
+        got = []
+        prev = None
+        lo = 0
+        for hi in [*cuts, len(x)]:
+            chunk = x.iloc[lo:hi].reset_index(drop=True)
+            if prev is None:
+                y = chunk.ewm(alpha=0.3, adjust=False).mean()
+            else:
+                seeded = pd.concat(
+                    [pd.Series([prev], dtype="float64"), chunk], ignore_index=True
+                )
+                y = seeded.ewm(alpha=0.3, adjust=False).mean().iloc[1:]
+            got.append(y.reset_index(drop=True))
+            prev = float(y.iloc[-1])
+            lo = hi
+        cat = pd.concat(got, ignore_index=True)
+        assert (cat.to_numpy() == full.to_numpy()).all(), cuts

@@ -2034,3 +2034,220 @@ def embedding_centroid_drift(
         ),
         view,
     )
+
+
+def ann_recall_report_sql(
+    vd: VectorDialect,
+    table: str,
+    id_col: str,
+    vec_col: str,
+    *,
+    query_pred: str,
+    truth_pred: str,
+    k: int = 5,
+    num_planes: int = 4,
+    num_tables: int = 8,
+    seed: int = 42,
+    dim: int = DEFAULT_DIM,
+    multiprobe: bool = True,
+) -> str:
+    """Retrieval evaluation AS A QUERY: per-query recall@k and MRR of
+    the (multiprobe) LSH tier against the brute-force truth — the
+    numbers tests/test_ann_index.py gates, computed by the engine
+    itself so a production index can be audited in-pipeline (run it on
+    a hash-sample of queries, alert when recall drifts — the
+    quality-monitor pattern applied to the ANN tier).
+
+    Rational by construction (nDCG's log2 discount is banned; these
+    two are the standard transcendental-free IR metrics): recall@k =
+    |approx ∩ truth| / k, MRR = 1 / (approx rank of the first
+    truth-relevant hit) — each ONE IEEE division of exact integers,
+    cross-engine hash-stable.  Shape: the two inline forms compose,
+    the overlap join rides (query_id, neighbor_id), and the report
+    relation is |Q| rows.
+    """
+    # the two inline forms expose different query-side column names
+    # (knn keeps {id_col}; LSH aliases it vid) — hence two pred params
+    truth = knn_topk_sql(vd, table, id_col, vec_col,
+                         query_pred=truth_pred, k=k)
+    approx = ann_lsh_topk_sql(
+        vd, table, id_col, vec_col, query_pred=query_pred, k=k,
+        num_planes=num_planes, num_tables=num_tables, seed=seed, dim=dim,
+        multiprobe=multiprobe,
+    )
+    return f"""
+    WITH _art AS ({truth}),
+    _ara AS ({approx}),
+    _arh AS (
+      SELECT t.query_id AS query_id, a.rank AS arank
+      FROM _art t LEFT JOIN _ara a
+        ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+    ),
+    _arq AS (
+      SELECT query_id,
+             CAST(SUM(CASE WHEN arank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hit,
+             MIN(arank) AS first_rel_rank
+      FROM _arh GROUP BY query_id
+    )
+    SELECT query_id, n_hit,
+           (CAST(n_hit AS DOUBLE) / CAST({k} AS DOUBLE)) AS recall_at_k,
+           CASE WHEN first_rel_rank IS NULL THEN 0.0
+                ELSE (1.0 / CAST(first_rel_rank AS DOUBLE)) END AS mrr
+    FROM _arq
+    """
+
+
+def _centroid_base(table: str, id_col: str, vec_col: str, label_col: str) -> str:
+    """Shared train/eval split relation — even ids train, odd ids
+    evaluate (the md5-free deterministic split: parity of the id)."""
+    return (
+        f"(SELECT {label_col} AS lab, ({id_col} % 2) AS side, "
+        f"{id_col} AS vid, {vec_col} AS emb FROM {table})"
+    )
+
+
+def centroid_train_sql(
+    vd: VectorDialect, table: str, id_col: str, vec_col: str, label_col: str
+) -> str:
+    """Per-label centroid TRAINING as a standalone statement →
+    (lab, j, m) rows: exact decimal per-dim sums (order-independent)
+    divided once — the Lloyd mean discipline.  ONE (label, dim)
+    shuffle over the train-side explode.  The staged Spark path
+    localCheckpoints this relation so the eval tail's two references
+    (norms + the dot join) don't re-plan the train scan (Catalyst
+    inlines per reference — the engine-wide staging rule)."""
+    base = _centroid_base(table, id_col, vec_col, label_col)
+    tr = _explode_dims(vd, f"(SELECT lab, emb FROM {base} _cb WHERE side = 0) _ct",
+                       "lab")
+    return f"""
+    WITH _cct AS ({tr}),
+    _ccm AS (
+      SELECT lab, j,
+             CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DECIMAL(27,9)) AS s,
+             COUNT(*) AS n
+      FROM _cct GROUP BY lab, j
+    )
+    SELECT lab, j, {_mean_expr()} AS m FROM _ccm
+    """
+
+
+def centroid_predict_sql(
+    vd: VectorDialect,
+    table: str,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    cent_table: str,
+) -> str:
+    """Prediction tail over a centroid relation ``cent_table``
+    ((lab, j, m) — the inline ``_ccc`` CTE or a staged view): every
+    odd-id embedding assigns to its highest-scoring centroid →
+    (vid, actual, pred) rows.  The staged Spark path localCheckpoints
+    THIS relation too — the report's confusion matrix references its
+    input 3× (class roll-up UNION + the per-class sum), and unstaged
+    each reference re-inlines the eval join + argmax window."""
+    from ._num import dec_to_double, round_double
+
+    base = _centroid_base(table, id_col, vec_col, label_col)
+    ev = _explode_dims(vd, f"(SELECT vid, lab AS actual, emb FROM {base} _cb "
+                           f"WHERE side = 1) _ce", "vid, actual")
+    q12 = lambda e: f"CAST({round_double(e, 12)} AS DECIMAL(28,12))"  # noqa: E731
+    score = f"({dec_to_double('dotd')} / SQRT({dec_to_double('nc2d')}))"
+    return f"""
+    WITH _ccn AS (
+      SELECT lab, CAST(SUM({q12('(m * m)')}) AS DECIMAL(38,12)) AS nc2
+      FROM {cent_table} GROUP BY lab
+    ),
+    _cce AS ({ev}),
+    _ccd AS (
+      SELECT e.vid AS vid, e.actual AS actual, c.lab AS lab,
+             CAST(SUM({q12('(e.val * c.m)')}) AS DECIMAL(38,12)) AS dotd,
+             CAST(MAX(n.nc2) AS DECIMAL(38,12)) AS nc2d
+      FROM _cce e
+      JOIN {cent_table} c ON c.j = e.j
+      JOIN _ccn n ON n.lab = c.lab
+      GROUP BY e.vid, e.actual, c.lab
+    ),
+    _ccs AS (
+      SELECT vid, actual, lab, {score} AS score
+      FROM _ccd
+    )
+    SELECT vid, actual, lab AS pred FROM (
+      SELECT vid, actual, lab,
+             ROW_NUMBER() OVER (PARTITION BY vid
+                                ORDER BY score DESC, lab) AS rn
+      FROM _ccs
+    ) _ccr WHERE rn = 1
+    """
+
+
+def centroid_eval_report_sql(
+    vd: VectorDialect,
+    table: str,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    cent_table: str,
+    *,
+    round_to: int = 6,
+) -> str:
+    """Eval + report tail over a centroid relation ``cent_table``:
+    :func:`centroid_predict_sql` composed with the multi-class
+    precision/recall/F1 report (experiment.classification_report_sql)
+    over (pred, actual)."""
+    from .experiment import classification_report_sql
+
+    predict = centroid_predict_sql(
+        vd, table, id_col, vec_col, label_col, cent_table
+    )
+    # classification_report_sql only branches on d.name, which the
+    # vector dialect carries too — safe to pass through
+    report = classification_report_sql(
+        vd, "_ccp", "pred", "actual", round_to=round_to,
+    ).strip().removeprefix("WITH ")
+    return f"""
+    WITH _ccp AS ({predict}),
+    {report}
+    """
+
+
+def centroid_classifier_report_sql(
+    vd: VectorDialect,
+    table: str,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    *,
+    round_to: int = 6,
+) -> str:
+    """Nearest-centroid classification, trained AND evaluated in-engine:
+    per-label centroids from the even-id half (exact decimal per-dim
+    means — the Lloyd discipline), every odd-id embedding assigned to
+    its highest-scoring centroid, and the multi-class
+    precision/recall/F1 report (experiment.classification_report_sql)
+    over (pred, actual) — the complete train → serve → evaluate loop of
+    the simplest embedding classifier (Rocchio / nearest class mean) as
+    ONE declarative statement.  Composes :func:`centroid_train_sql` +
+    :func:`centroid_eval_report_sql` so the inline form IS structurally
+    the staged form (shared expression text, the persisted-index
+    discipline).
+
+    Scoring: per (eval-id, label), score = Σ_j q12(val_j · m_j) /
+    SQRT(Σ_j q12(m_j²)) — cosine without the per-id norm, which is
+    constant within each argmax group (fewer IEEE ops, same winner);
+    products quantize to decimal before their dim sums
+    (order-independent), ties break to the smaller label.  Shape: ONE
+    (label, dim) centroid shuffle over the train explode; the eval
+    explode joins centroids on the dim key — (eval rows × labels × dim)
+    partial-aggregated products, the brute-kNN cost profile with
+    |labels| in place of n; the report runs on the ≤|labels|² matrix.
+    """
+    train = centroid_train_sql(vd, table, id_col, vec_col, label_col)
+    tail = centroid_eval_report_sql(
+        vd, table, id_col, vec_col, label_col, "_ccc", round_to=round_to
+    ).strip().removeprefix("WITH ")
+    return f"""
+    WITH _ccc AS ({train}),
+    {tail}
+    """

@@ -4888,6 +4888,60 @@ def streaming_lag_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_df(out, _next_stream_name("ts_stream_late"))
 
 
+@register(
+    "streaming_ewma_events",
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, epoch_us(ts) AS ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY (event_id % 97 = 0), ts, event_id) AS rn
+      FROM events WHERE value IS NOT NULL
+    ),
+    rec AS (
+      SELECT user_id, ts, event_id, value, rn, value AS value_ewma
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.ts, s.event_id, s.value, s.rn,
+             (1 - CAST(0.3 AS DOUBLE)) * r.value_ewma
+               + CAST(0.3 AS DOUBLE) * s.value AS value_ewma
+      FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, ts, event_id, value, value_ewma FROM rec
+    """,
+)
+def streaming_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming EWMA with ONE-SCALAR per-key state — the
+    recurrence continued across 5 micro-batches (4 time-ordered chunks
+    + the late file) by seeding each batch's cython ewm kernel with the
+    carried value: seeded continuation ≡ one uninterrupted pass
+    bit-exactly, so the drain equals the batch recursive-CTE oracle in
+    ARRIVAL order ((is_late, ts, event_id) — the streaming-lag late
+    contract; late rows smooth against state as of arrival, no
+    retroactive recompute).  NULL values filtered upstream (the
+    carried-scalar sufficiency contract, streaming/lag_stream.py:
+    streaming_ewma)."""
+    import pyspark.sql.functions as F
+
+    from .sources.catalog import ensure_session_confs
+    from .streaming.lag_stream import _next_stream_name, run_stream_to_df, streaming_ewma
+
+    ensure_session_confs(spark)
+    chunk_dir = _late_chunked_events(sf_dir)
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(chunk_dir)
+        .where("value IS NOT NULL")
+        .withColumn("ts", F.unix_micros("ts"))
+    )
+    out = streaming_ewma(
+        stream, "value", "ts", 0.3, partition_by="user_id", order_extra=("event_id",)
+    )
+    return run_stream_to_df(out, _next_stream_name("ts_stream_ewma"))
+
+
 # --------------------------------------------------------------------------
 # Serial-dependence analytics on top of the lag core (ACF / CCF / CUSUM) —
 # the canonical consumers of a lag matrix (reference README.md:5-6 frames
@@ -8632,6 +8686,163 @@ def km_survival_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _funnel_chain_sql(d, table: str) -> str:
+    """Per-user funnel timestamps (t0 signup → t1 first click ≥ t0 →
+    t2 first purchase ≥ t1, t2 nullable) — each CTE referenced ONCE
+    (the chain carries earlier timestamps forward), shared by the
+    one-statement oracle and the staged Spark path."""
+    mic = (lambda c: f"unix_micros({c})") if d.name == "spark" else (
+        lambda c: f"epoch_us({c})"
+    )
+    return f"""
+    _fls AS (
+      SELECT user_id, MIN(ts) AS t0 FROM {table}
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    _flc AS (
+      SELECT e.user_id AS user_id, s.t0 AS t0, MIN(e.ts) AS t1
+      FROM {table} e JOIN _fls s ON s.user_id = e.user_id AND e.ts >= s.t0
+      WHERE e.event_type = 'click'
+      GROUP BY e.user_id, s.t0
+    ),
+    _flp AS (
+      SELECT c.user_id AS user_id,
+             ({mic('c.t1')} - {mic('c.t0')}) AS d1_us,
+             MIN(CASE WHEN e.event_type = 'purchase' AND e.ts >= c.t1
+                      THEN {mic('e.ts')} END) - {mic('c.t1')} AS d2_us
+      FROM _flc c LEFT JOIN {table} e ON e.user_id = c.user_id
+      GROUP BY c.user_id, c.t0, c.t1
+    )"""
+
+
+_FL_DELAYS = (
+    "SELECT 'signup_to_click' AS step, d1_us AS delay_us FROM _flp "
+    "UNION ALL "
+    "SELECT 'click_to_purchase' AS step, d2_us AS delay_us FROM _flp "
+    "WHERE d2_us IS NOT NULL"
+)
+
+
+def _funnel_latency_oracle() -> str:
+    from .operators.sketch import histogram_quantiles_auto_sql
+
+    hq = histogram_quantiles_auto_sql(
+        "_fld", "delay_us", bins=4096, probs=(0.5, 0.9), group_by=("step",)
+    )
+    # hq is a full statement starting with its own WITH — merge the
+    # two CTE lists into one
+    return (
+        "WITH " + _funnel_chain_sql(DUCK, "events").strip().lstrip(",")
+        + f", _fld AS ({_FL_DELAYS}), "
+        + hq.strip().removeprefix("WITH ")
+    )
+
+
+@register("funnel_latency_quantiles", oracle=_funnel_latency_oracle())
+def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency percentiles: p50/p90 of signup→click and
+    click→purchase conversion delays — the time-to-convert readout the
+    step-count funnel (funnel_signup_click_purchase) doesn't give.
+    Delays reduce to per-user integer µs rows; quantiles come from the
+    adaptive-bounds histogram sketch (mergeable (step, bin) counters —
+    never a per-step sorted delay array, the robust_scale_auto
+    discipline).  The Spark path stages the per-user chain frame once
+    (the delays union references it twice); the oracle is the
+    one-statement form (composed: funnel chain + sketch)."""
+    from .functions.text_fns import SPARK as _S
+
+    from .operators.sketch import histogram_quantiles_auto_sql
+
+    events = load_table(spark, "events", sf_dir)
+    events.createOrReplaceTempView("_ts_fl_events")
+    chain = spark.sql(
+        "WITH " + _funnel_chain_sql(_S, "_ts_fl_events").strip().lstrip(",")
+        + " SELECT * FROM _flp"
+    ).localCheckpoint(eager=False)
+    chain.createOrReplaceTempView("_flp")
+    spark.sql(_FL_DELAYS).createOrReplaceTempView("_ts_fl_delays")
+    return spark.sql(
+        histogram_quantiles_auto_sql(
+            "_ts_fl_delays", "delay_us", bins=4096, probs=(0.5, 0.9),
+            group_by=("step",),
+        )
+    )
+
+
+@register(
+    "centroid_classifier_labels",
+    oracle=_sim.centroid_classifier_report_sql(
+        VDUCK, "embeddings", "vec_id", "embedding", "label"
+    ),
+)
+def centroid_classifier_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification of embeddings, trained
+    AND evaluated in-engine as one statement: even-id embeddings train
+    per-label centroids (exact decimal dim means, the Lloyd
+    discipline), odd-id embeddings assign to their highest-scoring
+    centroid (quantized dot / centroid norm — per-id norm constant
+    within the argmax, omitted), and the multi-class
+    precision/recall/F1 report evaluates predictions against true
+    labels — the complete train → serve → evaluate ML loop with zero
+    UDFs.  The Spark path STAGES the trained centroid relation AND the
+    prediction relation (lazy localCheckpoints) — the eval tail
+    references centroids twice (norms + the dot join) and the report's
+    confusion matrix references its input 3×; unstaged, Catalyst
+    re-inlined those subtrees per reference (19 exchanges measured →
+    6 staged); the oracle is the composed one-statement form,
+    structurally the same text (operators/similarity.py:
+    centroid_train_sql + centroid_predict_sql +
+    experiment.classification_report_sql)."""
+    from .functions.vector_fns import VSPARK
+
+    from .operators.experiment import classification_report_sql
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    emb.createOrReplaceTempView("_ts_ccl_emb")
+    cent = spark.sql(
+        _sim.centroid_train_sql(VSPARK, "_ts_ccl_emb", "vec_id", "embedding", "label")
+    ).localCheckpoint(eager=False)
+    cent.createOrReplaceTempView("_ts_ccl_cent")
+    preds = spark.sql(
+        _sim.centroid_predict_sql(
+            VSPARK, "_ts_ccl_emb", "vec_id", "embedding", "label", "_ts_ccl_cent"
+        )
+    ).localCheckpoint(eager=False)
+    preds.createOrReplaceTempView("_ts_ccl_preds")
+    return spark.sql(
+        classification_report_sql(VSPARK, "_ts_ccl_preds", "pred", "actual")
+    )
+
+
+@register(
+    "ann_recall_report",
+    oracle=_sim.ann_recall_report_sql(
+        VDUCK, "embeddings", "vec_id", "embedding",
+        query_pred="vid < 10", truth_pred="vec_id < 10", k=5,
+        num_planes=4, num_tables=8, dim=64, multiprobe=True,
+    ),
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation AS A QUERY: per-query recall@5 and MRR of
+    the multiprobe-LSH tier against the brute-force truth — the
+    test-suite recall gates computed by the engine itself, so a
+    production index can be audited in-pipeline on a query sample and
+    alerted on drift.  Rational by construction (recall and reciprocal
+    rank are single integer divisions; nDCG's log2 discount is banned)
+    (operators/similarity.py:ann_recall_report_sql)."""
+    from .functions.vector_fns import VSPARK
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    emb.createOrReplaceTempView("_ts_arr_emb")
+    return spark.sql(
+        _sim.ann_recall_report_sql(
+            VSPARK, "_ts_arr_emb", "vec_id", "embedding",
+            query_pred="vid < 10", truth_pred="vec_id < 10", k=5,
+            num_planes=4, num_tables=8, dim=64, multiprobe=True,
+        )
+    )
+
+
 @register(
     "percentile_rank_events",
     oracle="""
@@ -8924,6 +9135,10 @@ GRADE_PRIORITY: list[str] = [
     "cdc_merge_events",
     "heavy_hitter_tokens",
     "percentile_rank_events",
+    "ann_recall_report",
+    "funnel_latency_quantiles",
+    "streaming_ewma_events",
+    "centroid_classifier_labels",
     # -- CHANGED in r10 (ADVICE fixes: NULL-safe freq-encode join,
     #    sign-safe attribution fold + TRY_CAST, conformal eval LEFT
     #    JOIN, sink redelivery verdict-reuse) --

@@ -252,3 +252,72 @@ def streaming_asof_join(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_ewma(
+    stream_df: DataFrame,
+    value_col: str,
+    time_col,
+    alpha: float,
+    *,
+    partition_by: str,
+    order_extra: Sequence[str] = (),
+) -> DataFrame:
+    """Stateful streaming EWMA — per-key state is ONE scalar (the last
+    smoothed value), the theoretical minimum for the adjust=False
+    recurrence: y_t = (1−α)·y_{t−1} + α·x_t.
+
+    Each micro-batch sorts its rows, PREPENDS the carried state as a
+    synthetic first observation, and runs the same cython
+    ``ewm(adjust=False)`` kernel the batch operator uses — the seeded
+    continuation is BIT-identical to one uninterrupted pass (step t
+    depends only on (y_{t−1}, x_t), and step 0 of ewm IS the seed), so
+    the drain over an ordered replay equals batch EWMA exactly, which
+    the registered oracle (the ewma_events recursive CTE, α=0.3
+    verified kernel) asserts.
+
+    Contract: NULL values must be filtered upstream — pandas'
+    ignore_na=False accumulates a WEIGHT state across NaNs that a
+    carried scalar cannot represent (the ewma_scan holdback note);
+    with NULLs excluded the scalar is sufficient.  Late rows smooth in
+    ARRIVAL order (the streaming-lag late-data contract).
+    """
+    sort_cols = [time_col, *order_extra]
+    out_name = f"{value_col}_ewma"
+    output_schema = ", ".join([
+        f"{partition_by} long",
+        f"{time_col} long",
+        *[f"{c} long" for c in order_extra],
+        f"{value_col} double",
+        f"{out_name} double",
+    ])
+    state_schema = "last_ewma double"
+
+    def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            sort_cols, kind="mergesort"
+        )
+        vals = batch[value_col].astype("float64").reset_index(drop=True)
+        if state.exists:
+            (prev,) = state.get
+            seeded = pd.concat([pd.Series([prev], dtype="float64"), vals],
+                               ignore_index=True)
+            y = seeded.ewm(alpha=alpha, adjust=False).mean().iloc[1:].reset_index(drop=True)
+        else:
+            y = vals.ewm(alpha=alpha, adjust=False).mean()
+        out = batch[[time_col, *order_extra, value_col]].reset_index(drop=True)
+        out[out_name] = y
+        out.insert(0, partition_by, key[0])
+        state.update((float(y.iloc[-1]),))
+        yield out[[partition_by, time_col, *order_extra, value_col, out_name]]
+
+    return (
+        stream_df.groupBy(partition_by)
+        .applyInPandasWithState(
+            _update,
+            output_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

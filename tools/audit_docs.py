@@ -53,6 +53,8 @@ def main() -> int:
         "lag_map", "lag_matrix_np",          # API/prose tokens, not queries
         "streaming_distribution_drift",      # operator function, not a query
         "lag_orders_totalprice",             # deliberate historical citation
+        "ann_recall_report_sql",             # operator function, not a query
+        "streaming_ewma",                    # operator function, not a query
     }
     for name in sorted(queryish - set(REGISTRY) - allow):
         # only flag names that are one-edit siblings of real registered

@@ -149,6 +149,17 @@ SHOWCASE = {
     "nelson_aalen_events": "Nelson-Aalen: the KM plan verbatim - subjects reduce to (cohort, duration) rows before any window; one cohort exchange carries at-risk sums and the ordered hazard prefix fold.",
     "robust_scale_sketch_events": "Robust-scale sketch form: per-group (bin) counters with map-side partial agg - NO collect_list/sort_array anywhere in the plan (the r9 cliff closed); the stats relation joins back broadcast-sized.",
     "kmv_audience_overlap_lineitem": "KMV set ops: the <=2k-row sketch is STAGED once (ExistingRDD scans - unstaged, the distinct-hash groupBy replanned ~5x across _ksk/_ke references: 12 exchanges measured); union/Jaccard/intersection read two k-row states; the exact-audit CTE scans the base once by design.",
+    "cdc_merge_events": "CDC MERGE apply: the change batch collapses to latest-op-per-key rows (one small exchange), then ONE full-outer key join folds it into the snapshot - with changes << snapshot AQE broadcasts the collapsed batch; a bucketed snapshot would co-locate to zero Exchange.",
+    "heavy_hitter_tokens": "Heavy hitters: the d x W count-min cell table is the only full-stream aggregate (fixed size, partial-agg, broadcast back); occurrences probe map-side, so ONLY candidate-token occurrences reach the token exchange - one-sided error makes the verified output equal the naive GROUP BY/HAVING exactly.",
+    "percentile_rank_events": "Per-group CDF transform: PERCENT_RANK and CUME_DIST share ONE window exchange on the group key; both are single IEEE divisions of identical integers - bit-equal cross-engine without rounding.",
+    "ann_recall_report": "ANN recall report: the brute-truth and LSH arms compose as CTEs each referenced once; the overlap LEFT JOIN rides (query_id, neighbor_id) on |Q| x k rows; recall@k and MRR are one integer division each (nDCG's log2 ban documented).",
+    "funnel_latency_quantiles": "Funnel latency quantiles: the per-user chain frame is STAGED once (the delays union references it twice); delays reduce to per-user integer-us rows and quantiles come from the mergeable (step,bin) histogram sketch - never a per-step sorted delay array.",
+    "centroid_classifier_labels": "Nearest-centroid classifier: the trained centroid relation AND the prediction relation are STAGED (ExistingRDD scans - unstaged, Catalyst re-inlined the train scan per norm/dot reference and the eval join + argmax window per confusion-matrix reference: 19 exchanges measured -> 4 staged); eval joins centroids on the dim key, the report runs on the <=labels^2 matrix.",
+    "streaming_ewma_events": "Streaming EWMA: per-key state is ONE double (the recurrence's entire memory); each micro-batch seeds the cython ewm kernel with the carried value - seeded continuation is bit-identical to an uninterrupted pass, so the drain equals the batch recursive-CTE oracle in arrival order.",
+    "streaming_outer_join": "Stream-stream LEFT OUTER join: watermark-conditioned NULL emission - matched rows emit inner-join style, unmatched left rows emit exactly once when the watermark passes their join window; state is bounded by the watermark horizon.",
+    "ann_lsh_appended_topk": "Incremental ANN append: append_lsh_index signs ONLY the increment (bucket assignment is row-local) and appends bkey-clustered parquet; the serve plan is unchanged - the oracle is the INLINE full-corpus LSH, so append == rebuild is driver-proven.",
+    "kcore3_docs": "k-core (k=3): iterative peel - each round is a constant-size degree filter + semi-join over checkpointed frames (zero data exchanges in the final plan; rounds are bounded driver scalar probes); k=3 grades non-vacuously at sf0.01 (the 9-core is empty there - kcore_docs stays as the deep-stress form).",
+    "streaming_vector_ingest": "Streaming vector ingest screen: each micro-batch signs ONLY its own rows (bucket keys are row-local), probes the persisted bucket store via the bkey equi-join, and appends accepted vectors - per-epoch cost is O(batch), never O(corpus).",
 }
 
 SF_DIR = "/root/testdata/sf0.01"
