@@ -448,3 +448,70 @@ def test_sample_frames_real_loud_on_compressed(spark):
     with pytest.raises(Exception) as ei:
         out.collect()
     assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+
+
+def test_image_dhash_brightness_invariant_and_algebraic():
+    """image_dhash over the REAL codec chain must (a) equal the
+    algebraic bit derivation from the gradient parameters and (b) be
+    invariant under the bounded brightness shift — the two properties
+    the registered oracle relies on."""
+    from time_sift_spark.operators.multimodal import (
+        decode_png_pixels,
+        resize_pixels_nearest,
+        synthesize_png_gradient,
+    )
+
+    def op_hash(a, b, d, w, h):
+        px = decode_png_pixels(synthesize_png_gradient(a, b, d, w, h))
+        small = resize_pixels_nearest(px[:, :, 0], 9, 8)
+        bits = small[:, 1:] > small[:, :-1]
+        return "".join(
+            f"{sum(int(bits[r, c]) << c for c in range(8)):02x}" for r in range(8)
+        )
+
+    def alg_hash(a, b, w, h):
+        yi = [min(int((r + 0.5) * h / 8), h - 1) for r in range(8)]
+        xi = [min(int((c + 0.5) * w / 9), w - 1) for c in range(9)]
+        out = []
+        for r in range(8):
+            byte = 0
+            for c in range(8):
+                v1 = (a * yi[r] + b * xi[c]) % 200
+                v2 = (a * yi[r] + b * xi[c + 1]) % 200
+                byte |= int(v2 > v1) << c
+            out.append(f"{byte:02x}")
+        return "".join(out)
+
+    import random
+
+    rng = random.Random(7)
+    for _ in range(50):
+        a, b = 1 + rng.randrange(17), 1 + rng.randrange(13)
+        d = rng.randrange(55)
+        w, h = 9 + rng.randrange(56), 8 + rng.randrange(57)
+        assert op_hash(a, b, d, w, h) == alg_hash(a, b, w, h)
+        assert op_hash(a, b, (d + 7) % 55, w, h) == op_hash(a, b, d, w, h)
+
+
+def test_image_dhash_spark_and_loud_failure(spark):
+    import pandas as pd
+
+    from time_sift_spark.operators.multimodal import image_dhash, synthesize_png_gradient
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2], "blob": [synthesize_png_gradient(3, 5, 10, 20, 15)] * 2}
+        )
+    )
+    out = image_dhash(df, "blob", id_col="doc_id").collect()
+    assert len(out) == 2 and out[0].dhash == out[1].dhash
+    assert len(out[0].dhash) == 16
+
+    bad = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "blob": [b"GIF89a not a png"]})
+    )
+    import pytest as _pt
+
+    with _pt.raises(Exception) as ei:
+        image_dhash(bad, "blob", id_col="doc_id").collect()
+    assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)

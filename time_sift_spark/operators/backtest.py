@@ -25,7 +25,8 @@ from pyspark.sql import DataFrame
 from ..errors import ColumnNotFoundError
 
 __all__ = ["conformal_backtest", "conformal_backtest_sql",
-           "mase_backtest", "mase_backtest_sql"]
+           "mase_backtest", "mase_backtest_sql",
+           "pinball_backtest", "pinball_backtest_sql"]
 
 
 def mase_backtest_sql(
@@ -262,4 +263,136 @@ def conformal_backtest(
         conformal_backtest_sql(_S, view, value_col, time_col, group_col,
                                season=season, alpha=alpha,
                                round_to=round_to, staged_scores=sview)
+    )
+
+
+def pinball_backtest_sql(
+    d,
+    table: str,
+    value_col: str,
+    time_col: str,
+    group_col: str,
+    *,
+    taus: tuple[tuple[int, int], ...] = ((1, 2), (9, 10)),
+    round_to: int = 6,
+    staged_buckets: str | None = None,
+) -> str:
+    """Quantile-forecast evaluation: the PINBALL (quantile) loss of the
+    empirical-quantile forecaster per series and per τ — the proper
+    scoring rule for quantile forecasts (the M5-Uncertainty metric),
+    completing the backtest family: MASE scores point forecasts,
+    coverage audits conformal intervals, pinball scores the quantiles
+    themselves.
+
+    Split: even bucket-days calibrate, odd days evaluate (the conformal
+    discipline).  q̂_τ is the type-1 empirical quantile — the
+    ⌈τ·n_cal⌉-th order statistic, rank computed as EXACT integer
+    arithmetic ((num·n + den − 1) intdiv den with τ = num/den, so no
+    float-ceil edge case exists by construction).  Loss terms
+    max(τ·(y−q̂), (τ−1)·(y−q̂)) are doubles from one decimal
+    difference each, quantized before the exact-decimal sum
+    (order-independent), one division at the end.
+
+    Plan: ONE bucket groupBy + one series-key exchange for the
+    calibration sort; the ≤|series|×|τ| q̂ relation joins the eval arm
+    broadcast-sized.  The bucket frame is referenced by BOTH arms, so
+    the engine-wide staging rule applies — the Spark front door stages
+    it (``staged_buckets``), the oracle keeps the inline text.
+    """
+    from ._num import dec_to_double, round_double
+
+    if d.name == "spark":
+        day = f"datediff(CAST({time_col} AS DATE), DATE '1970-01-01')"
+        arr = "sort_array(collect_list(y))"
+        at = "element_at(sarr, rank_q)"
+        idiv = lambda a, b: f"({a} DIV {b})"  # noqa: E731
+        tvals = "SELECT * FROM VALUES {body} AS _pbt(tau, num, den)"
+    else:
+        day = f"datediff('day', DATE '1970-01-01', CAST({time_col} AS DATE))"
+        arr = "list_sort(list(y))"
+        at = "sarr[rank_q]"
+        idiv = lambda a, b: f"({a} // {b})"  # noqa: E731
+        tvals = "SELECT * FROM (VALUES {body}) AS _pbt(tau, num, den)"
+    body = ", ".join(
+        f"(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE), {num}, {den})"
+        for num, den in taus
+    )
+    ydec = f"CAST({value_col} AS DECIMAL(18,6))"
+    buckets = (
+        f"SELECT k, x, y, is_cal FROM {staged_buckets}" if staged_buckets
+        else f"""SELECT {group_col} AS k, {day} AS x,
+             CAST(SUM({ydec}) AS DECIMAL(18,6)) AS y,
+             ({day} % 2 = 0) AS is_cal
+      FROM {table} GROUP BY {group_col}, {day}"""
+    )
+    diff = "CAST(e.y - q.qhat AS DOUBLE)"
+    term = f"GREATEST(q.tau * {diff}, (q.tau - 1.0) * {diff})"
+    qterm = f"CAST({round_double(term, 9)} AS DECIMAL(27,9))"
+    mean_pb = f"({dec_to_double('spb')} / CAST(n_eval AS DOUBLE))"
+    return f"""
+    WITH _pbb AS (
+      {buckets}
+    ),
+    _pbq AS (
+      SELECT k, {arr} AS sarr, CAST(COUNT(*) AS BIGINT) AS n_cal
+      FROM _pbb WHERE is_cal GROUP BY k
+    ),
+    _pbqt AS (
+      SELECT q.k AS k, t.tau AS tau, t.num AS num, t.den AS den, q.n_cal AS n_cal,
+             CAST({idiv('(t.num * q.n_cal + t.den - 1)', 't.den')} AS INT) AS rank_q
+      FROM _pbq q CROSS JOIN ({tvals.format(body=body)}) t
+    ),
+    _pbqv AS (
+      SELECT p.k AS k, p.tau AS tau, p.num AS num, p.den AS den, p.n_cal AS n_cal,
+             CASE WHEN p.rank_q >= 1 AND p.rank_q <= p.n_cal
+                  THEN {at.replace('sarr', 'q.sarr').replace('rank_q', 'p.rank_q')} END AS qhat
+      FROM _pbqt p JOIN _pbq q ON q.k = p.k
+    ),
+    _pbe AS (
+      SELECT q.k AS k, q.tau AS tau, q.num AS num, q.den AS den, q.n_cal AS n_cal,
+             CAST(COUNT(e.y) AS BIGINT) AS n_eval,
+             CAST(SUM({qterm}) AS DECIMAL(38,9)) AS spb
+      FROM _pbqv q LEFT JOIN _pbb e ON e.k = q.k AND NOT e.is_cal
+      WHERE q.qhat IS NOT NULL
+      GROUP BY q.k, q.tau, q.num, q.den, q.n_cal
+    )
+    SELECT k AS {group_col}, num, den, n_cal, n_eval,
+           CASE WHEN n_eval = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE {round_double(mean_pb, round_to)} END AS pinball_loss
+    FROM _pbe
+    """
+
+
+def pinball_backtest(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    group_col: str,
+    *,
+    taus: tuple[tuple[int, int], ...] = ((1, 2), (9, 10)),
+    round_to: int = 6,
+) -> DataFrame:
+    """DataFrame front door for :func:`pinball_backtest_sql` — stages
+    the bucket frame once (lazy localCheckpoint; both the calibration
+    and evaluation arms reference it)."""
+    from ..functions.text_fns import SPARK as _S
+    from ._time import assert_time_dtype
+
+    for c in (value_col, time_col, group_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    assert_time_dtype(df, time_col)
+    spark = df.sparkSession
+    view = "_ts_pinball_in"
+    df.createOrReplaceTempView(view)
+    inline = pinball_backtest_sql(_S, view, value_col, time_col, group_col,
+                                  taus=taus, round_to=round_to)
+    bucket_sel = inline.split("_pbb AS (", 1)[1].split("\n    ),", 1)[0]
+    staged = spark.sql(bucket_sel).localCheckpoint(eager=False)
+    sview = "_ts_pinball_buckets"
+    staged.createOrReplaceTempView(sview)
+    return spark.sql(
+        pinball_backtest_sql(_S, view, value_col, time_col, group_col,
+                             taus=taus, round_to=round_to,
+                             staged_buckets=sview)
     )

@@ -556,3 +556,81 @@ def extract_features(
             yield pd.DataFrame(rows, columns=[id_col, "feature"])
 
     return df.select(id_col, binary_col).mapInPandas(_feat, schema)
+
+
+def synthesize_png_gradient(a: int, b: int, d: int, width: int, height: int) -> bytes:
+    """A VALID greyscale PNG with NON-TRIVIAL deterministic pixels:
+    pixel(r, c) = (a·r + b·c) % 200 + d, so the image is a wrapped
+    planar gradient with brightness offset ``d`` ∈ [0, 55].  The mod
+    keeps the gradient term under 200 and the offset keeps the sum
+    ≤ 255 with NO wrap on the +d — which makes every pairwise pixel
+    comparison invariant under a brightness shift ((v1+d) > (v2+d) ⟺
+    v1 > v2), the property :func:`image_dhash` exploits: a
+    brightness-shifted twin has the IDENTICAL dHash by construction,
+    not approximately."""
+    import numpy as np
+
+    r = np.arange(height, dtype=np.int64)[:, None]
+    c = np.arange(width, dtype=np.int64)[None, :]
+    px = ((a * r + b * c) % 200 + d).astype(np.uint8)
+    return encode_png_pixels(px[:, :, None])
+
+
+def image_dhash(
+    df: DataFrame, binary_col: str, *, id_col: str, width: int = 9, height: int = 8
+) -> DataFrame:
+    """Perceptual difference hash (dHash) over REAL decoded pixels — the
+    image analogue of the text near-dup fingerprint: stdlib PNG decode
+    (:func:`decode_png_pixels` — inflate + all-five-filter unfiltering),
+    nearest-neighbor resample to ``width×height``
+    (:func:`resize_pixels_nearest`, center-of-pixel rule), then bit
+    (r, c) = px[r][c+1] > px[r][c] packed row-major into a
+    ``(width−1)·height``-bit lowercase-hex string (one %02x byte per
+    row of 8 comparisons at the 9×8 default — the classic 64-bit
+    dHash).  Multi-channel input is reduced to luminance by the
+    integer mean across channels BEFORE resampling.
+
+    Hash equality is then a BLOCKING KEY: near-duplicate detection is
+    one equi-join on the hex string (the MinHash-LSH band-bucket
+    discipline applied to images — never an all-pairs Hamming scan).
+    Arrow-batched mapInPandas, shuffle-free; non-PNG input raises
+    loudly (never fabricated bits)."""
+    import hashlib as _hl  # noqa: F401  (parity with sibling operators)
+
+    for c in (binary_col, id_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    schema = f"{id_col} long, dhash string"
+
+    def _hash_one(raw: bytes) -> str:
+        import numpy as np
+
+        if raw[:8] != b"\x89PNG\r\n\x1a\n":
+            raise NotImplementedError(
+                "image_dhash decodes 8-bit non-interlaced PNG via the stdlib "
+                "codec; other formats need PIL"
+            )
+        px = decode_png_pixels(raw)
+        if px.shape[2] > 1:
+            px = (px.astype(np.int64).sum(axis=2) // px.shape[2]).astype(np.uint8)[
+                :, :, None
+            ]
+        small = resize_pixels_nearest(px[:, :, 0], width, height)
+        bits = small[:, 1:] > small[:, :-1]
+        out = []
+        for r in range(height):
+            byte = 0
+            for c in range(width - 1):
+                byte |= int(bits[r, c]) << c
+            out.append(f"{byte:02x}")
+        return "".join(out)
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [
+                _hash_one(bytes(blob)) if blob is not None else None
+                for blob in pdf[binary_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "dhash": hashes})
+
+    return df.mapInPandas(_run, schema)

@@ -549,3 +549,109 @@ def streaming_distribution_drift(
     ),
     {_drift_combine_sql('_dc', group_col, round_to).strip()}
     """)
+
+
+def benford_screen_sql(d, table: str, value_col: str, group_col: str,
+                       *, round_to: int = 6,
+                       staged_counts: str | None = None) -> str:
+    """Benford first-digit screen per group: observed leading-digit
+    distribution of ``value_col`` vs the Benford expectation, reported
+    as the χ² statistic (8 df) and total-variation distance, with a
+    flag at the 0.05 critical value — the classic forensic test for
+    fabricated or truncated numeric columns, here as a data-quality
+    monitor next to distribution_drift (which needs a reference WINDOW;
+    Benford needs only the law).
+
+    Determinism: log10 appears ONLY as nine Python-computed literals
+    (the engine's transcendental discipline); leading digit extraction
+    FLOORs before the BIGINT cast (Spark truncates decimal→int casts,
+    DuckDB rounds — FLOOR first removes the dialect divergence); every
+    χ²/TV term is one double expression over exact BIGINT counts and a
+    literal, quantized before the exact-decimal 9-term sum.  Absent
+    digits contribute their full expected mass via the digit-relation
+    LEFT JOIN (a group missing digit d still pays (n·p_d)² / n·p_d).
+    Rows with value < 1 are excluded (no leading digit in Benford's
+    domain).  Plan: one (group, digit) groupBy, then the ≤9-row-per-
+    group reduce; the digit relation is a 9-row literal VALUES.  The
+    counts CTE is referenced twice (group totals + the digit LEFT
+    JOIN), so the engine-wide staging rule applies — the Spark front
+    door stages it (``staged_counts``; unstaged, Catalyst re-plans the
+    table scan per reference), the oracle keeps the inline text.
+    """
+    import math
+
+    from ._num import dec_to_double, round_double
+
+    body = ", ".join(
+        f"({dig}, CAST({math.log10(1.0 + 1.0 / dig)!r} AS DOUBLE))"
+        for dig in range(1, 10)
+    )
+    if d.name == "spark":
+        dvals = f"SELECT * FROM VALUES {body} AS _bfd(dig, p)"
+    else:
+        dvals = f"SELECT * FROM (VALUES {body}) AS _bfd(dig, p)"
+    digit = (
+        f"CAST(substr(CAST(CAST(FLOOR({value_col}) AS BIGINT) AS STRING), 1, 1)"
+        f" AS INT)"
+    )
+    exp = "(CAST(g.n AS DOUBLE) * d.p)"
+    chi_term = f"(((CAST(COALESCE(c.n_d, 0) AS DOUBLE) - {exp}) * (CAST(COALESCE(c.n_d, 0) AS DOUBLE) - {exp})) / {exp})"
+    tv_term = f"ABS((CAST(COALESCE(c.n_d, 0) AS DOUBLE) / CAST(g.n AS DOUBLE)) - d.p)"
+    q9 = lambda e: f"CAST({round_double(e, 9)} AS DECIMAL(27,9))"  # noqa: E731
+    counts = (
+        f"SELECT grp, dig, n_d FROM {staged_counts}" if staged_counts
+        else f"""SELECT {group_col} AS grp, {digit} AS dig,
+             CAST(COUNT(*) AS BIGINT) AS n_d
+      FROM (SELECT {group_col}, {value_col} FROM {table}
+            WHERE {value_col} >= 1) _bfx
+      GROUP BY {group_col}, {digit}"""
+    )
+    chi2 = dec_to_double("chi_s")
+    tv = f"({dec_to_double('tv_s')} / 2.0)"
+    return f"""
+    WITH _bfc AS (
+      {counts}
+    ),
+    _bfg AS (
+      SELECT grp, CAST(SUM(n_d) AS BIGINT) AS n FROM _bfc GROUP BY grp
+    ),
+    _bft AS (
+      SELECT g.grp AS grp, g.n AS n,
+             CAST(SUM({q9(chi_term)}) AS DECIMAL(38,9)) AS chi_s,
+             CAST(SUM({q9(tv_term)}) AS DECIMAL(38,9)) AS tv_s
+      FROM _bfg g
+      CROSS JOIN ({dvals}) d
+      LEFT JOIN _bfc c ON c.grp = g.grp AND c.dig = d.dig
+      GROUP BY g.grp, g.n
+    )
+    SELECT grp AS {group_col}, n,
+           {round_double(chi2, round_to)} AS chi2,
+           {round_double(tv, round_to)} AS tv_dist,
+           ({dec_to_double('chi_s')} > 15.507) AS flagged
+    FROM _bft
+    """
+
+
+def benford_screen(df: DataFrame, value_col: str, group_col: str,
+                   *, round_to: int = 6) -> DataFrame:
+    """DataFrame front door for :func:`benford_screen_sql` — stages the
+    (group, digit) counts frame once (lazy localCheckpoint; group
+    totals and the 9-digit LEFT JOIN both reference it)."""
+    from ..functions.text_fns import SPARK as _S
+
+    for c in (value_col, group_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    spark = df.sparkSession
+    view = "_ts_benford_in"
+    df.createOrReplaceTempView(view)
+    inline = benford_screen_sql(_S, view, value_col, group_col,
+                                round_to=round_to)
+    counts_sel = inline.split("_bfc AS (", 1)[1].split("\n    ),", 1)[0]
+    staged = spark.sql(counts_sel).localCheckpoint(eager=False)
+    sview = "_ts_benford_counts"
+    staged.createOrReplaceTempView(sview)
+    return spark.sql(
+        benford_screen_sql(_S, view, value_col, group_col,
+                           round_to=round_to, staged_counts=sview)
+    )

@@ -360,3 +360,85 @@ def mad_outliers_oracle_sql(
                 ELSE abs({value} - _med) > {threshold} * 1.4826 * _mad END AS is_outlier
     FROM s4
     """
+
+
+def rolling_moments_sql(
+    d,
+    table: str,
+    value_col: str,
+    time_col: str,
+    group_col: str,
+    *,
+    order_extra: Sequence[str] = (),
+    window: int = 20,
+    round_to: int = 6,
+) -> str:
+    """Trailing rolling SKEWNESS and EXCESS KURTOSIS per series — the
+    higher-moment companions of rolling mean/stddev: the shape stats a
+    risk monitor watches (return asymmetry, tail heaviness) that no
+    built-in rolling aggregate provides cross-engine deterministically.
+
+    Method: raw power sums S1..S4 over the ROWS frame as EXACT decimal
+    sums of PRE-QUANTIZED powers (each power is one fixed double
+    expression — (v·v), ((v·v)·v), ((v·v)·(v·v)) — rounded then cast to
+    decimal, so the frame sum is order-independent: Spark iterates the
+    frame, DuckDB reassociates via segment tree; doubles would diverge
+    at a rounding boundary, the r2 failure class).  Central moments
+    come from the power sums by the standard identities, bound as
+    COLUMNS layer by layer (each CTE referenced once — no staging
+    hazard), so both engines evaluate the identical IEEE expression
+    tree; skew = m3 / (m2·√m2), excess kurtosis = m4/m2² − 3, NULL when
+    m2 = 0 (constant window — undefined, not invented).
+
+    Plan: ONE window exchange on the series key; all four frame sums +
+    the count share it (the lag-plan discipline).
+    """
+    from ._num import dec_to_double, round_double
+
+    oext = "".join(f", {c}" for c in order_extra)
+    v = f"CAST({value_col} AS DOUBLE)"
+    qp = lambda e, p: (  # noqa: E731
+        f"CAST({round_double(e, 6)} AS DECIMAL({p},6))"
+    )
+    w = (f"PARTITION BY {group_col} ORDER BY {time_col}{oext} "
+         f"ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW")
+    rd = lambda e: round_double(e, round_to)  # noqa: E731
+    return f"""
+    WITH _rmw AS (
+      SELECT {group_col}, {time_col}{oext}, {value_col},
+             CAST(COUNT({value_col}) OVER ({w}) AS BIGINT) AS n,
+             CAST(SUM({qp(v, 18)}) OVER ({w}) AS DECIMAL(27,6)) AS s1,
+             CAST(SUM({qp(f'({v} * {v})', 24)}) OVER ({w}) AS DECIMAL(33,6)) AS s2,
+             CAST(SUM({qp(f'(({v} * {v}) * {v})', 27)}) OVER ({w}) AS DECIMAL(36,6)) AS s3,
+             CAST(SUM({qp(f'(({v} * {v}) * ({v} * {v}))', 29)}) OVER ({w}) AS DECIMAL(38,6)) AS s4
+      FROM {table}
+    ),
+    _rmd AS (
+      SELECT {group_col}, {time_col}{oext}, {value_col}, n,
+             CAST(n AS DOUBLE) AS nd,
+             {dec_to_double('s1')} AS s1d, {dec_to_double('s2')} AS s2d,
+             {dec_to_double('s3')} AS s3d, {dec_to_double('s4')} AS s4d
+      FROM _rmw
+    ),
+    _rmm AS (
+      SELECT {group_col}, {time_col}{oext}, {value_col}, n,
+             (s1d / nd) AS mean, (s2d / nd) AS e2,
+             (s3d / nd) AS e3, (s4d / nd) AS e4
+      FROM _rmd
+    ),
+    _rmc AS (
+      SELECT {group_col}, {time_col}{oext}, {value_col}, n, mean,
+             (e2 - (mean * mean)) AS m2,
+             ((e3 - ((3.0 * mean) * e2)) + ((2.0 * mean) * (mean * mean))) AS m3,
+             (((e4 - ((4.0 * mean) * e3)) + (((6.0 * mean) * mean) * e2))
+              - (((3.0 * mean) * mean) * (mean * mean))) AS m4
+      FROM _rmm
+    )
+    SELECT {group_col}, {time_col}{oext}, {value_col}, n,
+           {rd('mean')} AS roll_mean,
+           CASE WHEN m2 <= 0.0 THEN CAST(NULL AS DOUBLE)
+                ELSE {rd('(m3 / (m2 * SQRT(m2)))')} END AS roll_skew,
+           CASE WHEN m2 <= 0.0 THEN CAST(NULL AS DOUBLE)
+                ELSE {rd('((m4 / (m2 * m2)) - 3.0)')} END AS roll_kurt_excess
+    FROM _rmc
+    """

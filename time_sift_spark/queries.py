@@ -1917,6 +1917,95 @@ def resize_image_real_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_image(pngs, "blob", id_col="doc_id", width=16, height=12, fake=False)
 
 
+@register(
+    "image_dhash_neardup_docs",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             1 + (('0x' || substr(md5(text), 1, 4))::BIGINT % 17) AS a,
+             1 + (('0x' || substr(md5(text), 5, 4))::BIGINT % 13) AS b,
+             9 + (('0x' || substr(md5(text), 9, 3))::BIGINT % 56) AS w,
+             8 + (('0x' || substr(md5(text), 12, 3))::BIGINT % 57) AS h
+      FROM documents WHERE text IS NOT NULL
+    ),
+    u AS (
+      SELECT doc_id AS img_id, a, b, w, h FROM p
+      UNION ALL
+      SELECT doc_id + 1000000, a, b, w, h FROM p WHERE doc_id % 7 = 0
+    ),
+    bits AS (
+      SELECT u.img_id, rr.r AS r, cc.c AS c,
+             CASE WHEN ((a * LEAST(CAST(FLOOR(((rr.r + 0.5) * h) / 8.0) AS BIGINT), h - 1)
+                         + b * LEAST(CAST(FLOOR(((cc.c + 1.5) * w) / 9.0) AS BIGINT), w - 1)) % 200)
+                     > ((a * LEAST(CAST(FLOOR(((rr.r + 0.5) * h) / 8.0) AS BIGINT), h - 1)
+                         + b * LEAST(CAST(FLOOR(((cc.c + 0.5) * w) / 9.0) AS BIGINT), w - 1)) % 200)
+                  THEN 1 ELSE 0 END AS bit
+      FROM u CROSS JOIN range(8) rr(r) CROSS JOIN range(8) cc(c)
+    ),
+    rb AS (
+      SELECT img_id, r, CAST(SUM(bit * (1 << c)) AS BIGINT) AS byte
+      FROM bits GROUP BY img_id, r
+    ),
+    hs AS (
+      SELECT img_id, string_agg(printf('%02x', byte), '' ORDER BY r) AS dhash
+      FROM rb GROUP BY img_id
+    )
+    SELECT x.img_id AS id_a, y.img_id AS id_b, x.dhash AS dhash
+    FROM hs x JOIN hs y ON x.dhash = y.dhash AND x.img_id < y.img_id
+    """,
+)
+def image_dhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-duplicate detection over REAL pixels: each doc becomes
+    a greyscale gradient PNG (pixel = (a·r + b·c) % 200 + d, parameters
+    from md5(text)), every seventh doc gets a BRIGHTNESS-SHIFTED twin
+    (d′ = (d+7) % 55 — visually near-identical, byte-different file), and
+    the operator decodes (stdlib inflate + unfilter), resamples to 9×8,
+    and packs the 64 adjacent-pixel comparisons into the classic dHash
+    (operators/multimodal.image_dhash).  Near-dup pairs come from ONE
+    equi-join on the hash — hash equality is the blocking key, the
+    MinHash-LSH discipline applied to images; no pairwise Hamming scan
+    exists in the plan.  The oracle never decodes a byte: it derives
+    the same 64 bits ALGEBRAICALLY from the gradient parameters
+    (brightness shift provably cancels in every comparison), so one
+    wrong byte anywhere in the encode → inflate → unfilter → resample →
+    compare chain breaks the value hash."""
+    import hashlib as _hl
+
+    from .operators.multimodal import image_dhash, synthesize_png_gradient
+
+    docs = load_table(spark, "documents", sf_dir).where("text IS NOT NULL").select(
+        "doc_id", "text"
+    )
+
+    def _blobs(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did, t in zip(pdf["doc_id"], pdf["text"]):
+                hx = _hl.md5(t.encode("utf-8")).hexdigest()
+                a = 1 + int(hx[0:4], 16) % 17
+                b = 1 + int(hx[4:8], 16) % 13
+                w = 9 + int(hx[8:11], 16) % 56
+                h = 8 + int(hx[11:14], 16) % 57
+                d = int(hx[14:16], 16) % 55
+                ids.append(did)
+                blobs.append(synthesize_png_gradient(a, b, d, w, h))
+                if did % 7 == 0:
+                    ids.append(did + 1000000)
+                    blobs.append(synthesize_png_gradient(a, b, (d + 7) % 55, w, h))
+            yield pd.DataFrame({"img_id": ids, "blob": blobs})
+
+    pngs = docs.mapInPandas(_blobs, "img_id long, blob binary")
+    hashes = image_dhash(pngs, "blob", id_col="img_id").localCheckpoint(eager=False)
+    hashes.createOrReplaceTempView("_ts_dhash")
+    return spark.sql("""
+      SELECT x.img_id AS id_a, y.img_id AS id_b, x.dhash AS dhash
+      FROM _ts_dhash x JOIN _ts_dhash y
+        ON x.dhash = y.dhash AND x.img_id < y.img_id
+    """)
+
+
 def _sample_frames_real_oracle() -> str:
     """Frames of the synthesized y4m depend only on the frame index
     (fixed 8x6 dims, luma = idx, chroma neutral), so each sampled
@@ -7838,6 +7927,33 @@ def _basket_oracle() -> str:
     return basket_pairs_sql("lineitem", "l_orderkey", "l_partkey")
 
 
+def _item_sim_oracle() -> str:
+    from .operators.basket import item_similarity_sql
+
+    return item_similarity_sql(
+        "lineitem", "l_orderkey", "l_partkey", min_pairs=2, max_basket=20, k=3
+    )
+
+
+@register("item_similarity_lineitem", oracle=_item_sim_oracle())
+def item_similarity_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item cosine neighborhood from order baskets — the classic
+    "customers who bought X" recommender readout: cos(i,j) =
+    n_ij / (√n_i·√n_j) over binary basket incidence, top-3 neighbors
+    per part (ties to the smaller id).  Counts are exact BIGINTs, each
+    unordered pair's cosine computed once and reused for both
+    orientations; the basket cap bounds the self-join (mega-baskets
+    drop, documented).  The capped items relation and the scored pair
+    relation are both staged per the engine staging rule
+    (operators/basket.py:item_similarity)."""
+    from .operators.basket import item_similarity
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return item_similarity(
+        li, "l_orderkey", "l_partkey", min_pairs=2, max_basket=20, k=3
+    )
+
+
 @register("basket_pairs_lineitem", oracle=_basket_oracle())
 def basket_pairs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket part-pair affinity within orders: co-occurrence
@@ -8989,6 +9105,29 @@ def _drift_oracle() -> str:
     )
 
 
+def _benford_oracle() -> str:
+    from .operators.quality import benford_screen_sql
+
+    return benford_screen_sql(DUCK, "orders", "o_totalprice", "o_orderstatus")
+
+
+@register("benford_screen_orders", oracle=_benford_oracle())
+def benford_screen_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen on order totals per status: observed
+    leading-digit shares vs the Benford law, reported as χ² (8 df) and
+    total-variation distance with a 0.05-critical-value flag — the
+    forensic fabricated-numbers test as a data-quality monitor (and an
+    honest demo: TPC-H totalprice is uniform-ish, so every status
+    flags).  log10 exists only as nine Python literals; FLOOR precedes
+    the BIGINT cast (Spark truncates, DuckDB rounds); absent digits pay
+    their full expected mass.  The (group, digit) counts frame is
+    staged once (operators/quality.py:benford_screen)."""
+    from .operators.quality import benford_screen
+
+    orders = load_table(spark, "orders", sf_dir)
+    return benford_screen(orders, "o_totalprice", "o_orderstatus")
+
+
 @register("distribution_drift_events", oracle=_drift_oracle())
 def distribution_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift monitor: TV distance + χ² drift of the value
@@ -9031,6 +9170,65 @@ def _mase_oracle() -> str:
     from .operators.backtest import mase_backtest_sql
 
     return mase_backtest_sql(DUCK, "events", "value", "ts", "event_type")
+
+
+def _rolling_moments_oracle() -> str:
+    from .operators.rolling import rolling_moments_sql
+
+    return rolling_moments_sql(
+        DUCK, "events", "value", "ts", "user_id", order_extra=("event_id",),
+        window=20,
+    )
+
+
+@register("rolling_skew_events", oracle=_rolling_moments_oracle())
+def rolling_skew_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 20-row rolling skewness and excess kurtosis per user —
+    the higher-moment shape stats (return asymmetry, tail heaviness)
+    completing the rolling family beyond mean/min/max/stddev.  Power
+    sums are exact decimal sums of pre-quantized fixed double
+    expressions (order-independent across Spark's frame iteration and
+    DuckDB's segment-tree reassociation); central-moment identities
+    bind layer by layer so both engines run the identical IEEE tree;
+    constant windows report NULL, not invented zeros.  ONE window
+    exchange carries all four frame sums
+    (operators/rolling.py:rolling_moments_sql)."""
+    from .functions.text_fns import SPARK as _S
+
+    from .operators.rolling import rolling_moments_sql
+
+    events = load_table(spark, "events", sf_dir)
+    events.createOrReplaceTempView("_ts_rsk_events")
+    return spark.sql(
+        rolling_moments_sql(
+            _S, "_ts_rsk_events", "value", "ts", "user_id",
+            order_extra=("event_id",), window=20,
+        )
+    )
+
+
+def _pinball_oracle() -> str:
+    from .operators.backtest import pinball_backtest_sql
+
+    return pinball_backtest_sql(DUCK, "events", "value", "ts", "event_type")
+
+
+@register("pinball_backtest_events", oracle=_pinball_oracle())
+def pinball_backtest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss of the empirical-quantile forecaster per
+    event type at τ = 1/2 and 9/10 — the proper scoring rule for
+    quantile forecasts, completing the backtest family (MASE scores the
+    point forecast, conformal audits interval coverage, pinball scores
+    the quantiles themselves).  q̂_τ is the ⌈τ·n_cal⌉-th order
+    statistic of the even-day calibration buckets, rank from EXACT
+    integer arithmetic; loss terms quantize before the exact-decimal
+    sum.  The bucket frame is staged once — both the calibration sort
+    and the eval arm reference it
+    (operators/backtest.py:pinball_backtest)."""
+    from .operators.backtest import pinball_backtest
+
+    events = load_table(spark, "events", sf_dir)
+    return pinball_backtest(events, "value", "ts", "event_type")
 
 
 @register("mase_backtest_events", oracle=_mase_oracle())
@@ -9139,6 +9337,11 @@ GRADE_PRIORITY: list[str] = [
     "funnel_latency_quantiles",
     "streaming_ewma_events",
     "centroid_classifier_labels",
+    "image_dhash_neardup_docs",
+    "pinball_backtest_events",
+    "benford_screen_orders",
+    "rolling_skew_events",
+    "item_similarity_lineitem",
     # -- CHANGED in r10 (ADVICE fixes: NULL-safe freq-encode join,
     #    sign-safe attribution fold + TRY_CAST, conformal eval LEFT
     #    JOIN, sink redelivery verdict-reuse) --

@@ -160,6 +160,11 @@ SHOWCASE = {
     "ann_lsh_appended_topk": "Incremental ANN append: append_lsh_index signs ONLY the increment (bucket assignment is row-local) and appends bkey-clustered parquet; the serve plan is unchanged - the oracle is the INLINE full-corpus LSH, so append == rebuild is driver-proven.",
     "kcore3_docs": "k-core (k=3): iterative peel - each round is a constant-size degree filter + semi-join over checkpointed frames (zero data exchanges in the final plan; rounds are bounded driver scalar probes); k=3 grades non-vacuously at sf0.01 (the 9-core is empty there - kcore_docs stays as the deep-stress form).",
     "streaming_vector_ingest": "Streaming vector ingest screen: each micro-batch signs ONLY its own rows (bucket keys are row-local), probes the persisted bucket store via the bkey equi-join, and appends accepted vectors - per-epoch cost is O(batch), never O(corpus).",
+    "image_dhash_neardup_docs": "Image dHash near-dup: decode+hash is mapInPandas (shuffle-free, Arrow-batched); pairing is ONE equi-join on the staged 64-bit hash relation - hash equality is the blocking key, no pairwise Hamming scan exists.",
+    "pinball_backtest_events": "Pinball backtest: the staged bucket frame (ExistingRDD) feeds both the calibration sort (one series-key exchange) and the eval arm; the <=series x tau q-hat relation joins back broadcast-sized.",
+    "benford_screen_orders": "Benford screen: one (group, digit) partial-agg shuffle (staged - group totals and the 9-digit LEFT JOIN both reference it); the law is a 9-row VALUES literal; the reduce runs on groups x 9 rows.",
+    "rolling_skew_events": "Rolling skew/kurt: ONE window exchange carries all four decimal power sums and the count; the central-moment identities are per-row projections layered after - no second shuffle anywhere.",
+    "item_similarity_lineitem": "Item-item cosine: the capped items relation and the scored pair relation are both STAGED (basket_pairs convention); pair counts partial-aggregate off the basket-key self-join; top-k per item is a WindowGroupLimit.",
 }
 
 SF_DIR = "/root/testdata/sf0.01"
