@@ -1,0 +1,210 @@
+"""Round-10 second-wave operator tests: BFS hop distances, Holt-Winters
+edge contracts, Gini feature selection on hand-checkable corpora,
+lift/gains on a constructed score, and the key-skew bucket identity.
+Value-level cross-engine parity for all five registered queries is
+covered by tests/test_oracle_parity.py; these pin the semantics the
+oracle can't see (error surfaces, dropout gates, closed-form cases)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from time_sift_spark.errors import ColumnNotFoundError
+from time_sift_spark.functions.text_fns import DUCK
+from time_sift_spark.operators.graph import bfs_hops, bfs_hops_sql
+
+
+def _mk(spark, pdf):
+    return spark.createDataFrame(pdf)
+
+
+# ---------------------------------------------------------------- BFS
+
+def test_bfs_line_graph_hops(spark):
+    # 0→1→2→3→4: hops from seed {0} are the node ids themselves.
+    edges = _mk(spark, pd.DataFrame({"src": [0, 1, 2, 3], "dst": [1, 2, 3, 4]}))
+    seeds = _mk(spark, pd.DataFrame({"n": [0]}))
+    out = {r["node"]: r["hops"] for r in bfs_hops(edges, "src", "dst", seeds).collect()}
+    assert out == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+
+
+def test_bfs_max_hops_caps_and_multi_source_min(spark):
+    # Two seeds; node 3 is 1 hop from seed 2 even though 3 hops from 0;
+    # node 5 is beyond max_hops=2 from every seed and must be absent.
+    edges = _mk(spark, pd.DataFrame(
+        {"src": [0, 1, 2, 3, 4], "dst": [1, 2, 3, 4, 5]}
+    ))
+    seeds = _mk(spark, pd.DataFrame({"n": [0, 2]}))
+    out = {r["node"]: r["hops"]
+           for r in bfs_hops(edges, "src", "dst", seeds, max_hops=2).collect()}
+    assert out == {0: 0, 1: 1, 2: 0, 3: 1, 4: 2}
+
+
+def test_bfs_directed_and_cycle_terminates(spark):
+    # Directed: no backward reach; a cycle must not loop forever.
+    edges = _mk(spark, pd.DataFrame({"src": [1, 2, 3], "dst": [2, 3, 1]}))
+    seeds = _mk(spark, pd.DataFrame({"n": [2]}))
+    out = {r["node"]: r["hops"]
+           for r in bfs_hops(edges, "src", "dst", seeds, max_hops=10).collect()}
+    assert out == {2: 0, 3: 1, 1: 2}
+
+
+def test_bfs_sql_unrolled_matches_iterative(spark):
+    # The oracle form on the same ad-hoc graph (DuckDB) equals the
+    # iterative frontier — the kcore/pagerank iterative==unrolled proof
+    # on a graph with a reconvergent diamond (two paths to node 3).
+    pdf = pd.DataFrame({"src": [0, 0, 1, 2, 3], "dst": [1, 2, 3, 3, 4]})
+    con = duckdb.connect()
+    con.register("_edges", pdf)
+    con.execute("CREATE TABLE nodes AS SELECT UNNEST([0,1,2,3,4]) AS nid")
+    sql = bfs_hops_sql(
+        DUCK, "e AS (SELECT src, dst FROM _edges)",
+        "nodes", "nid", "nid = 0", max_hops=4,
+    )
+    duck = {int(r[0]): int(r[1]) for r in con.execute(sql).fetchall()}
+    edges = _mk(spark, pdf)
+    seeds = _mk(spark, pd.DataFrame({"n": [0]}))
+    it = {r["node"]: r["hops"] for r in bfs_hops(edges, "src", "dst", seeds).collect()}
+    assert duck == it == {0: 0, 1: 1, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_bad_column_raises(spark):
+    edges = _mk(spark, pd.DataFrame({"src": [0], "dst": [1]}))
+    seeds = _mk(spark, pd.DataFrame({"n": [0]}))
+    with pytest.raises(ColumnNotFoundError):
+        bfs_hops(edges, "nope", "dst", seeds)
+
+
+# ------------------------------------------------------- Holt-Winters
+
+def _hw_frame(spark, days, keys=("a",)):
+    import datetime
+    rows = []
+    for k in keys:
+        for i in range(days):
+            rows.append((k, datetime.datetime(2024, 1, 1 + i % 28, 12)
+                         + datetime.timedelta(days=28 * (i // 28)), float(i + 1)))
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["k", "ts", "v"]))
+
+
+def test_hw_short_series_drops_out(spark):
+    # 13 days < 2*period(7): the HAVING gate drops the series (loudly
+    # empty, never a half-initialized recurrence).
+    from time_sift_spark.operators.seasonal import holt_winters
+
+    df = _hw_frame(spark, 13)
+    assert holt_winters(df, "v", "ts", "k", period=7).count() == 0
+
+
+def test_hw_emits_n_minus_period_rows_and_linear_trend_fits(spark):
+    # 21 gap-free days: 21-7=14 fitted rows; on a perfectly linear
+    # series the one-step forecast converges toward the truth (errors
+    # shrink; the last error is small relative to the first).
+    from time_sift_spark.operators.seasonal import holt_winters
+
+    df = _hw_frame(spark, 21)
+    out = holt_winters(df, "v", "ts", "k", period=7).orderBy("day_x").collect()
+    assert len(out) == 14
+    # closed form at t=8: l0=mean(1..7)=4, b0=(mean(8..14)-4)/7=1,
+    # s_1=y_1-l0=-3 → fit=(4+1)+(-3)=2, err=8-2=6 (the documented init
+    # absorbs the in-season trend into s0; the recurrence then unwinds it)
+    assert out[0]["hw_fit"] == pytest.approx(2.0, abs=1e-9)
+    assert out[0]["hw_err"] == pytest.approx(6.0, abs=1e-9)
+    assert abs(out[-1]["hw_err"]) < abs(out[0]["hw_err"])
+
+
+def test_hw_rejects_bad_column(spark):
+    from time_sift_spark.operators.seasonal import holt_winters
+
+    df = _hw_frame(spark, 21)
+    with pytest.raises(ColumnNotFoundError):
+        holt_winters(df, "nope", "ts", "k")
+
+
+# ------------------------------------------------------------- Gini
+
+def test_gini_perfect_separator_scores_base_gini(spark):
+    # 4 docs, 2 classes; token 'xx' appears exactly in class-a docs →
+    # both split arms are pure: gain == base Gini == 1 - 2*(1/2)^2 = 0.5.
+    from time_sift_spark.operators.text import gini_feature_select
+
+    docs = _mk(spark, pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["xx yy", "xx yy", "zz yy", "zz yy"],
+        "lang": ["a", "a", "b", "b"],
+    }))
+    out = {r["token"]: r["gini_gain"]
+           for r in gini_feature_select(docs, "text", "doc_id", "lang",
+                                        min_df=1).collect()}
+    assert out["xx"] == pytest.approx(0.5, abs=1e-9)
+    assert out["zz"] == pytest.approx(0.5, abs=1e-9)
+    # 'yy' is in every doc: the without-arm is empty → gain 0 by the
+    # CASE guard (carries no signal, not an error)
+    assert out["yy"] == 0.0
+
+
+def test_gini_multiclass_beats_binary_blind_spot(spark):
+    # Token splitting class c from {a,b} has positive gain even though
+    # neither arm is pure — the multi-class case chi-square-vs-one-label
+    # setups miss.
+    from time_sift_spark.operators.text import gini_feature_select
+
+    docs = _mk(spark, pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": ["mm", "mm", "mm", "mm qq", "qq", "qq"],
+        "lang": ["a", "a", "b", "b", "c", "c"],
+    }))
+    out = {r["token"]: r["gini_gain"]
+           for r in gini_feature_select(docs, "text", "doc_id", "lang",
+                                        min_df=1).collect()}
+    assert out["qq"] > 0.2
+    assert out["mm"] > 0.2
+
+
+# -------------------------------------------------------- Lift/gains
+
+def test_lift_gains_perfect_ranker(spark):
+    # 100 rows, 20 positives all with the top scores: deciles 1-2 carry
+    # every positive → cum_gain hits 1.0 at tile 2, tile_lift = 5.0 for
+    # the pure-positive deciles, and cum_n sums to 100.
+    from time_sift_spark.operators.experiment import lift_gains
+
+    pdf = pd.DataFrame({
+        "doc_id": range(100),
+        "score": [1.0 - i / 100.0 for i in range(100)],
+        "y": [1] * 20 + [0] * 80,
+    })
+    out = lift_gains(_mk(spark, pdf), "score", "y", "doc_id").orderBy("tile").collect()
+    assert [r["n"] for r in out] == [10] * 10
+    assert out[0]["tile_lift"] == pytest.approx(5.0)
+    assert out[1]["cum_gain"] == pytest.approx(1.0)
+    assert out[-1]["cum_n"] == 100
+    assert out[-1]["cum_lift"] == pytest.approx(1.0)
+
+
+def test_lift_gains_zero_positives_null_not_crash(spark):
+    from time_sift_spark.operators.experiment import lift_gains
+
+    pdf = pd.DataFrame({"doc_id": range(20),
+                        "score": [float(i) for i in range(20)],
+                        "y": [0] * 20})
+    out = lift_gains(_mk(spark, pdf), "score", "y", "doc_id").collect()
+    assert all(r["tile_lift"] is None and r["cum_gain"] is None for r in out)
+
+
+# -------------------------------------------------------- Key skew
+
+def test_key_skew_bucket_identity(spark):
+    # Per-key counts 1,2,3,8 → buckets floor(log2) = 0,1,1,3; shares
+    # sum to 1 and min/max are exact.
+    from time_sift_spark.operators.quality import key_skew_profile
+
+    rows = (["a"] * 1 + ["b"] * 2 + ["c"] * 3 + ["d"] * 8)
+    df = _mk(spark, pd.DataFrame({"k": rows}))
+    out = {r["bucket"]: r for r in key_skew_profile(df, "k").collect()}
+    assert set(out) == {0, 1, 3}
+    assert out[0]["n_keys"] == 1 and out[0]["n_rows"] == 1
+    assert out[1]["n_keys"] == 2 and out[1]["n_rows"] == 5
+    assert out[1]["min_cnt"] == 2 and out[1]["max_cnt"] == 3
+    assert out[3]["n_keys"] == 1 and out[3]["n_rows"] == 8
+    assert sum(r["rows_share"] for r in out.values()) == pytest.approx(1.0)

@@ -49,6 +49,7 @@ from ..functions.text_fns import SPARK, Dialect
 __all__ = [
     "cuped_sql", "cuped", "ranked_auc",
     "calibration_bins_sql", "brier_decomposition_sql",
+    "lift_gains", "lift_gains_sql",
 ]
 
 
@@ -517,4 +518,117 @@ def welch_ttest(
     return df.sparkSession.sql(
         welch_ttest_sql(SPARK, view, user_col, value_col,
                         crit=crit, round_to=round_to)
+    )
+
+
+def lift_gains_sql(
+    d: Dialect,
+    table: str,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    *,
+    n_tiles: int = 10,
+    round_to: int = 6,
+    staged_tiles: str | None = None,
+) -> str:
+    """Decile lift & cumulative-gains table for a classifier score —
+    the campaign-targeting readout ("contact the top 20% by model
+    score; how many of the positives do we capture?") completing the
+    eval family: AUC ranks, calibration/Brier audit confidence, the
+    gains table prices a CUTOFF.  Per descending-score ``n_tiles``-tile:
+    count, positives, per-tile lift over the base rate, cumulative
+    capture (gain) and cumulative lift.
+
+    Determinism: tiles come from ``NTILE`` over the TOTAL order
+    (score DESC, then ``id_col`` — score ties alone would let the two
+    engines split a tie group across tiles differently, the hash-gate
+    trap); all counts are exact BIGINTs and every output double is a
+    fixed division tree of exact-in-double integers, round_double'd.
+
+    Scale: the global NTILE is a total sort — correct on EVAL-SLICE
+    volumes (bounded by the labeling budget, the posture of every
+    query on this view).  For full-corpus deciles, compute boundary
+    scores with the mergeable histogram-quantile sketch and broadcast
+    them instead (the robust_scale_auto escape hatch) — same output
+    contract, no total sort.  The per-tile relation is referenced by
+    BOTH the totals state and the cumulative window, so the engine-wide
+    staging rule applies: the Spark front door stages it
+    (``staged_tiles``), the oracle keeps the inline text.
+    """
+    from . import _num
+
+    tiles = (
+        f"SELECT tile, n, pos FROM {staged_tiles}" if staged_tiles
+        else f"""SELECT tile, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS pos
+      FROM (
+        SELECT CASE WHEN {label_col} = 1 THEN 1 ELSE 0 END AS y,
+               NTILE({n_tiles}) OVER (ORDER BY {score_col} DESC, {id_col}) AS tile
+        FROM {table}
+      ) _lgr
+      GROUP BY tile"""
+    )
+    rd = lambda e: _num.round_double(e, round_to)  # noqa: E731
+    base = "(CAST(pos_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))"
+    lift = f"((CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)) / {base})"
+    cgain = "(CAST(cum_pos AS DOUBLE) / CAST(pos_tot AS DOUBLE))"
+    clift = f"((CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE)) / {base})"
+    return f"""
+    WITH _lga AS (
+      {tiles}
+    ),
+    _lgt AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+             CAST(SUM(pos) AS BIGINT) AS pos_tot
+      FROM _lga
+    ),
+    _lgc AS (
+      SELECT tile, n, pos,
+             CAST(SUM(n) OVER (ORDER BY tile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+             CAST(SUM(pos) OVER (ORDER BY tile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos
+      FROM _lga
+    )
+    SELECT tile, n, pos, cum_n, cum_pos,
+           CASE WHEN pos_tot = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE {rd(lift)} END AS tile_lift,
+           CASE WHEN pos_tot = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE {rd(cgain)} END AS cum_gain,
+           CASE WHEN pos_tot = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE {rd(clift)} END AS cum_lift
+    FROM _lgc CROSS JOIN _lgt
+    ORDER BY tile
+    """
+
+
+def lift_gains(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    *,
+    n_tiles: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """DataFrame front door for :func:`lift_gains_sql` — stages the
+    per-tile counts frame once (lazy localCheckpoint; the totals state
+    and the cumulative window both reference it)."""
+    for c in (score_col, label_col, id_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    spark = df.sparkSession
+    view = "_ts_lift_in"
+    df.createOrReplaceTempView(view)
+    inline = lift_gains_sql(SPARK, view, score_col, label_col, id_col,
+                            n_tiles=n_tiles, round_to=round_to)
+    tiles_sel = inline.split("_lga AS (", 1)[1].split("\n    ),", 1)[0]
+    staged = spark.sql(tiles_sel).localCheckpoint(eager=False)
+    sview = "_ts_lift_tiles"
+    staged.createOrReplaceTempView(sview)
+    return spark.sql(
+        lift_gains_sql(SPARK, view, score_col, label_col, id_col,
+                       n_tiles=n_tiles, round_to=round_to,
+                       staged_tiles=sview)
     )

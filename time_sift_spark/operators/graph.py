@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame
 from ..errors import ColumnNotFoundError
 from ..functions.text_fns import SPARK, Dialect
 
-__all__ = ["doc_link_edges_ctes", "pagerank_sql", "pagerank", "triangle_count_sql", "triangle_counts", "clustering_coefficient_sql", "clustering_coefficients", "kcore_sql", "kcore", "label_propagation_sql", "label_propagation"]
+__all__ = ["doc_link_edges_ctes", "pagerank_sql", "pagerank", "bfs_hops", "bfs_hops_sql", "triangle_count_sql", "triangle_counts", "clustering_coefficient_sql", "clustering_coefficients", "kcore_sql", "kcore", "label_propagation_sql", "label_propagation"]
 
 
 def doc_link_edges_ctes(
@@ -685,3 +685,101 @@ def label_propagation(
       FROM _ts_lpa_fin l
       ORDER BY {id_alias}
     """)
+
+
+def bfs_hops_sql(
+    d: Dialect,
+    edges_ctes: str,
+    seed_table: str,
+    seed_id: str,
+    seed_pred: str,
+    *,
+    max_hops: int = 4,
+) -> str:
+    """Multi-source BFS hop distance as ONE declarative statement —
+    the unrolled form (the pagerank convention): level h is the
+    distinct one-hop expansion of level h−1 along DIRECTED edges, and
+    the distance is MIN(h) over the level a node first appears in
+    (re-visits at deeper levels lose the MIN, so no visited-set is
+    needed declaratively).  Completes the graph-distance surface next
+    to components (reachability), PageRank (centrality), k-core
+    (density) and LPA (communities): "how many clicks from the seed
+    set" — the crawl-frontier / link-spam-radius question.
+
+    Both engines run this text verbatim (pure ANSI over the edge CTEs)
+    — it is the ORACLE and the proof twin of the iterative
+    :func:`bfs_hops`, which anti-joins a visited set per round instead
+    of re-expanding (at scale the unrolled re-expansion does O(Σ|level
+    h| · fanout) work even inside already-visited regions; the
+    iterative frontier pays only the NEW nodes — but replans per CTE
+    mention, so the unrolled form stays oracle-only, exactly the
+    kcore/pagerank split).  All distances are exact integers — no
+    float discipline needed anywhere.
+    """
+    lv = [f"_l0 AS (SELECT {seed_id} AS did FROM {seed_table} WHERE {seed_pred})"]
+    for h in range(1, max_hops + 1):
+        lv.append(
+            f"_l{h} AS (SELECT DISTINCT e.dst AS did "
+            f"FROM _l{h - 1} JOIN e ON e.src = _l{h - 1}.did)"
+        )
+    union = "\n      UNION ALL ".join(
+        f"SELECT did, {h} AS h FROM _l{h}" for h in range(max_hops + 1)
+    )
+    return f"""
+    WITH {edges_ctes},
+    {", ".join(lv)}
+    SELECT did, CAST(MIN(h) AS INT) AS hops
+    FROM ({union}) _bfsu
+    GROUP BY did
+    ORDER BY did
+    """
+
+
+def bfs_hops(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    seeds: DataFrame,
+    *,
+    max_hops: int = 4,
+    id_alias: str = "node",
+) -> DataFrame:
+    """Iterative frontier BFS over checkpointed frames — the executable
+    twin of :func:`bfs_hops_sql` (the kcore/pagerank convention).  Per
+    round: ONE equi-join of the frontier with the edge list on the
+    src key, a distinct, and an anti-join against the accumulated
+    distance set, so each round's cost is proportional to the NEW
+    frontier, never the visited region; rounds are bounded by
+    ``max_hops`` (driver loop with a bounded scalar probe per round —
+    the empty-frontier early exit).  ``seeds`` is a one-column frame of
+    node ids at distance 0.
+    """
+    from pyspark.sql import functions as F
+
+    for c in (src_col, dst_col):
+        if c not in edges.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {edges.columns}")
+    (sid,) = seeds.columns
+    e = edges.selectExpr(f"{src_col} AS src", f"{dst_col} AS dst").localCheckpoint(
+        eager=False
+    )
+    dist = (
+        seeds.selectExpr(f"{sid} AS did").distinct()
+        .withColumn("hops", F.lit(0).cast("int"))
+        .localCheckpoint(eager=False)
+    )
+    frontier = dist.select("did")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier.did == e.src)
+            .select(e.dst.alias("did"))
+            .distinct()
+            .join(dist.select("did"), "did", "left_anti")
+            .withColumn("hops", F.lit(h).cast("int"))
+            .localCheckpoint(eager=False)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionAll(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("did")
+    return dist.selectExpr(f"did AS {id_alias}", "hops").orderBy(id_alias)

@@ -655,3 +655,65 @@ def benford_screen(df: DataFrame, value_col: str, group_col: str,
         benford_screen_sql(_S, view, value_col, group_col,
                            round_to=round_to, staged_counts=sview)
     )
+
+
+def key_skew_profile_sql(d, table: str, key_col: str,
+                         *, round_to: int = 6) -> str:
+    """Partition-key SKEW profile: the distribution of per-key row
+    counts, bucketed by power of two — the diagnostic to read BEFORE
+    choosing a shuffle key at scale (a hot key shows up as mass in the
+    top buckets; the salting / hot-key-halo decision in SCALE.md is
+    made from exactly this table).  Per bucket ⌊log₂(count)⌋: how many
+    keys land there, how many rows they carry, the min/max per-key
+    count, and the bucket's share of all rows.
+
+    Determinism: ⌊log₂ n⌋ is computed as ``LENGTH(bin(n)) − 1`` — an
+    exact INTEGER string-length identity on both engines, never a
+    floating log (the transcendental ban); counts are exact BIGINTs;
+    the share is one IEEE division against a window total.
+
+    Scale: one shuffle on the key (the per-key count — partial-
+    aggregated map-side), then a ≤64-row bucket reduce; the window
+    total runs over the ≤64-row bucket relation (a scalar-state final
+    stage, not a data-volume SinglePartition).
+    """
+    from ._num import round_double
+
+    return f"""
+    WITH _skc AS (
+      SELECT {key_col} AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM {table} GROUP BY {key_col}
+    ),
+    _skb AS (
+      SELECT CAST(LENGTH(bin(cnt)) - 1 AS INT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(MIN(cnt) AS BIGINT) AS min_cnt,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt
+      FROM _skc GROUP BY CAST(LENGTH(bin(cnt)) - 1 AS INT)
+    ),
+    _skt AS (
+      SELECT bucket, n_keys, n_rows, min_cnt, max_cnt,
+             CAST(SUM(n_rows) OVER () AS BIGINT) AS total_rows
+      FROM _skb
+    )
+    SELECT bucket, n_keys, n_rows, min_cnt, max_cnt,
+           {round_double('(CAST(n_rows AS DOUBLE) / CAST(total_rows AS DOUBLE))', round_to)} AS rows_share
+    FROM _skt
+    ORDER BY bucket
+    """
+
+
+def key_skew_profile(df: DataFrame, key_col: str,
+                     *, round_to: int = 6) -> DataFrame:
+    """DataFrame front door for :func:`key_skew_profile_sql` (every CTE
+    referenced once — no staging needed)."""
+    from ..functions.text_fns import SPARK as _S
+
+    if key_col not in df.columns:
+        raise ColumnNotFoundError(f"column {key_col!r} not in {df.columns}")
+    view = "_ts_skew_in"
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(
+        key_skew_profile_sql(_S, view, key_col, round_to=round_to)
+    )

@@ -21,7 +21,8 @@ from pyspark.sql import functions as F
 
 from ..errors import ColumnNotFoundError
 
-__all__ = ["deseasonalize", "deseasonalize_sql", "SEASON_FNS"]
+__all__ = ["deseasonalize", "deseasonalize_sql", "SEASON_FNS",
+           "holt_winters", "holt_winters_sql"]
 
 # Season slot expressions valid verbatim AND value-identical in BOTH
 # Spark SQL and DuckDB.  dayofweek is deliberately absent: Spark numbers
@@ -125,3 +126,220 @@ def deseasonalize_sql(
       FROM {table}
     )
     """
+
+
+def _hw_scalar_exprs(
+    l: str, b: str, s1: str, yd: str,
+    alpha: float, beta: float, gamma: float,
+) -> dict[str, str]:
+    """The four per-step Holt-Winters scalar expressions, parameterized
+    by the VARIABLE SPELLING only (Spark fold: acc.l / element_at;
+    DuckDB recursion: r.l / [1]) so both engines evaluate the IDENTICAL
+    IEEE tree in the identical order — the KM-fold bit-exactness
+    discipline applied to a struct-state recurrence.
+
+    Complements are Python-computed literals (``repr(1.0 - alpha)``):
+    whatever double that parses to, BOTH engines parse the same text to
+    the same double — never spelled as an in-SQL ``1 - alpha`` (whose
+    folding differs) and never as a hand-rounded constant.  ``lnew`` is
+    INLINED into ``bnew``/``snew`` (SQL has no let-binding inside a
+    lambda/recursive arm); textual duplication keeps the trees equal.
+    """
+    a, ca = repr(float(alpha)), repr(1.0 - float(alpha))
+    bb, cb = repr(float(beta)), repr(1.0 - float(beta))
+    g, cg = repr(float(gamma)), repr(1.0 - float(gamma))
+    fit = f"(({l} + {b}) + {s1})"
+    lnew = f"(({a} * ({yd} - {s1})) + ({ca} * ({l} + {b})))"
+    bnew = f"(({bb} * ({lnew} - {l})) + ({cb} * {b}))"
+    snew = f"(({g} * ({yd} - {lnew})) + ({cg} * {s1}))"
+    return {"fit": fit, "lnew": lnew, "bnew": bnew, "snew": snew}
+
+
+def _hw_init_exprs(m: int) -> tuple[str, str]:
+    """(l0, b0) from the exact decimal first/second-season sums
+    ``s1m``/``s2m`` (in scope under those names on both engines): each
+    is a fixed tree of exact ingredients and 1-3 IEEE divisions."""
+    from ._num import dec_to_double
+
+    s1d, s2d, md = dec_to_double("s1m"), dec_to_double("s2m"), f"{m}.0"
+    l0 = f"({s1d} / {md})"
+    b0 = f"((({s2d} / {md}) - ({s1d} / {md})) / {md})"
+    return l0, b0
+
+
+def holt_winters_sql(
+    d,
+    table: str,
+    value_col: str,
+    time_col: str,
+    group_col: str,
+    *,
+    period: int = 7,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    round_to: int = 6,
+) -> str:
+    """Additive Holt-Winters triple exponential smoothing per series
+    over the day-bucketed calendar — level + trend + seasonal state,
+    the classic operational forecaster (Winters 1960; the ETS(A,A,A)
+    member), emitting the one-step-ahead in-sample forecast
+    ``hw_fit = (l + b) + s_{t-m}`` and its error per bucket:
+
+        l_t = α(y_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        s_t = γ(y_t − l_t)     + (1−γ)·s_{t−m}
+
+    Init (needs ≥ 2·period buckets; shorter series drop out loudly via
+    HAVING): l₀ = mean(first season), b₀ = (mean(second season) −
+    mean(first season))/m, s₀ᵢ = yᵢ − l₀; the recurrence starts at
+    bucket m+1.  Brown (operators/ewma.brown_scan) stays the ROW-level
+    streaming path — its recurrence is two cython EWMAs; Holt-Winters'
+    struct state needs a genuine scalar fold, affordable here because
+    the DAY-BUCKET calendar bounds every series (30 days → 23 steps),
+    the KM-survival bounded-fold posture.
+
+    Engine split: Spark folds the sorted per-series bucket array with
+    ``aggregate()`` carrying ``named_struct(l, b, seas, fit)`` — JVM-
+    side, ONE exchange on the series key, seasonal queue rotated by
+    slice+append; DuckDB (no struct-typed list_reduce) runs the same
+    recurrence as a recursive CTE stepping rn→rn+1.  Both sides draw
+    every scalar from :func:`_hw_scalar_exprs`, so each step is the
+    identical IEEE tree on identical inputs → bit-equal doubles (the
+    driver's value-hash gate).  y values enter via dec_to_double of the
+    exact DECIMAL(18,6) bucket sum.
+
+    Gap-free contract: seasonal index alignment is BY ROW, so it equals
+    calendar alignment only on dense calendars (the MASE LAG-by-rows
+    contract) — gap-fill first on holey series.
+    """
+    from ._num import dec_to_double, round_double
+
+    m = int(period)
+    rd = lambda e: round_double(e, round_to)  # noqa: E731
+    l0, b0 = _hw_init_exprs(m)
+    if d.name == "spark":
+        day = f"datediff(CAST({time_col} AS DATE), DATE '1970-01-01')"
+    else:
+        day = f"datediff('day', DATE '1970-01-01', CAST({time_col} AS DATE))"
+    bucket = f"""SELECT {group_col} AS k, {day} AS x,
+             CAST(SUM(CAST({value_col} AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS y
+      FROM {table} GROUP BY {group_col}, {day}"""
+    if d.name == "spark":
+        yd_e = dec_to_double("e.y")
+        step = _hw_scalar_exprs(
+            "acc.l", "acc.b", "element_at(acc.seas, 1)", yd_e,
+            alpha, beta, gamma,
+        )
+        yd_out = dec_to_double(f"element_at(arr, pos + {m + 1}).y")
+        return f"""
+    WITH _hwb AS (
+      {bucket}
+    ),
+    _hwg AS (
+      SELECT k, sort_array(collect_list(named_struct('x', x, 'y', y))) AS arr,
+             CAST(COUNT(*) AS INT) AS n,
+             CAST(SUM(y) FILTER (WHERE rn <= {m}) AS DECIMAL(27,6)) AS s1m,
+             CAST(SUM(y) FILTER (WHERE rn > {m} AND rn <= {2 * m}) AS DECIMAL(27,6)) AS s2m
+      FROM (SELECT k, x, y,
+                   ROW_NUMBER() OVER (PARTITION BY k ORDER BY x) AS rn
+            FROM _hwb)
+      GROUP BY k
+      HAVING COUNT(*) >= {2 * m}
+    ),
+    _hwf AS (
+      SELECT k, arr, n,
+        aggregate(
+          slice(arr, {m + 1}, n - {m}),
+          named_struct('l', {l0}, 'b', {b0},
+                       'seas', transform(slice(arr, 1, {m}),
+                                         e -> ({dec_to_double('e.y')} - {l0})),
+                       'fit', CAST(array() AS ARRAY<DOUBLE>)),
+          (acc, e) -> named_struct(
+              'l', {step['lnew']}, 'b', {step['bnew']},
+              'seas', concat(slice(acc.seas, 2, {m - 1}), array({step['snew']})),
+              'fit', concat(acc.fit, array({step['fit']}))),
+          acc -> acc.fit) AS fits
+      FROM _hwg
+    )
+    SELECT k AS {group_col},
+           CAST(element_at(arr, pos + {m + 1}).x AS BIGINT) AS day_x,
+           {yd_out} AS y_val,
+           {rd('fitv')} AS hw_fit,
+           {rd(f'({yd_out} - fitv)')} AS hw_err
+    FROM _hwf LATERAL VIEW posexplode(fits) _t AS pos, fitv
+    """
+    yd_b = dec_to_double("b.y")
+    step = _hw_scalar_exprs("r.l", "r.b", "r.seas[1]", yd_b, alpha, beta, gamma)
+    return f"""
+    WITH RECURSIVE _hwb AS (
+      {bucket}
+    ),
+    _hwr0 AS (
+      SELECT k, x, y, ROW_NUMBER() OVER (PARTITION BY k ORDER BY x) AS rn
+      FROM _hwb
+    ),
+    _hwa AS (
+      SELECT k, CAST(COUNT(*) AS INT) AS n,
+             CAST(SUM(y) FILTER (WHERE rn <= {m}) AS DECIMAL(27,6)) AS s1m,
+             CAST(SUM(y) FILTER (WHERE rn > {m} AND rn <= {2 * m}) AS DECIMAL(27,6)) AS s2m
+      FROM _hwr0 GROUP BY k HAVING COUNT(*) >= {2 * m}
+    ),
+    _hwi AS (
+      SELECT k, n, {l0} AS l0, {b0} AS b0 FROM _hwa
+    ),
+    _hws AS (
+      SELECT b.k AS k,
+             list({dec_to_double('b.y')} - i.l0 ORDER BY b.rn) AS seas0
+      FROM _hwr0 b JOIN _hwi i ON i.k = b.k
+      WHERE b.rn <= {m}
+      GROUP BY b.k
+    ),
+    _hwr AS (
+      SELECT i.k AS k, CAST({m} AS BIGINT) AS rn, i.l0 AS l, i.b0 AS b,
+             s.seas0 AS seas, CAST(NULL AS DOUBLE) AS fit,
+             CAST(NULL AS DOUBLE) AS yv, CAST(NULL AS BIGINT) AS x
+      FROM _hwi i JOIN _hws s ON s.k = i.k
+      UNION ALL
+      SELECT r.k, r.rn + 1, {step['lnew']}, {step['bnew']},
+             list_append(r.seas[2:{m}], {step['snew']}),
+             {step['fit']}, {yd_b}, CAST(b.x AS BIGINT)
+      FROM _hwr r JOIN _hwr0 b ON b.k = r.k AND b.rn = r.rn + 1
+    )
+    SELECT k AS {group_col}, x AS day_x, yv AS y_val,
+           {rd('fit')} AS hw_fit,
+           {rd('(yv - fit)')} AS hw_err
+    FROM _hwr WHERE rn > {m}
+    """
+
+
+def holt_winters(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    group_col: str,
+    *,
+    period: int = 7,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    round_to: int = 6,
+) -> DataFrame:
+    """DataFrame front door for :func:`holt_winters_sql` (Spark
+    rendering; every CTE is referenced once, so no staging is needed —
+    the chain inlines into one plan with a single series-key
+    exchange)."""
+    from ..functions.text_fns import SPARK as _S
+    from ._time import assert_time_dtype
+
+    for c in (value_col, time_col, group_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    assert_time_dtype(df, time_col)
+    view = "_ts_hw_in"
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(
+        holt_winters_sql(_S, view, value_col, time_col, group_col,
+                         period=period, alpha=alpha, beta=beta,
+                         gamma=gamma, round_to=round_to)
+    )

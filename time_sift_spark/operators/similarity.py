@@ -397,8 +397,16 @@ def ann_ivf_topk_sql(
     k: int = 5,
     num_centroids: int = 16,
     nprobe: int = 2,
+    train_pred: str = "TRUE",
 ) -> str:
     """IVF (inverted-file) ANN: a deterministic coarse quantizer.
+
+    ``train_pred`` restricts the CENTROID draw (not the assignment or
+    the query set) — the oracle form of the frozen-centroid append
+    contract: :func:`build_ivf_index` on the ``train_pred`` subset
+    followed by :func:`append_ivf_index` of the rest equals this
+    statement with the same predicate, making append ≡ pinned-centroid
+    rebuild driver-provable (the ann_ivf_appended_topk query).
 
     Centroids are a deterministic hash-ordered sample: the
     ``num_centroids`` vectors with the smallest ``md5(id)`` — an unbiased
@@ -426,6 +434,7 @@ def ann_ivf_topk_sql(
     return f"""
     WITH cents AS (
       SELECT {id_col} AS cid, {vec_col} FROM {table}
+      WHERE {train_pred}
       ORDER BY md5(CAST({id_col} AS STRING)), {id_col}
       LIMIT {num_centroids}
     ),

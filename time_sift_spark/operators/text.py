@@ -980,3 +980,117 @@ def token_label_chisq(
             min_df=min_df, round_to=round_to,
         )
     )
+
+
+def gini_feature_select_sql(
+    d,
+    table: str,
+    text_col: str,
+    id_col: str,
+    label_col: str,
+    *,
+    min_df: int = 2,
+    topk: int = 100,
+    round_to: int = 6,
+) -> str:
+    """Per-token GINI IMPURITY REDUCTION against a MULTI-CLASS document
+    label — the CART split criterion as a vocabulary screen: which
+    tokens, used as a presence split, most purify the label
+    distribution.  The multi-class companion of
+    :func:`token_label_chisq_sql` (which is 2×2 by construction):
+
+        ΔGini(w) = G(base) − (n_w/N)·G(docs ∋ w) − ((N−n_w)/N)·G(rest)
+        G(S)     = 1 − Σ_c p_c²
+
+    Rational-form determinism: every Σ p² is computed from the EXACT
+    integer identity Σ n_c² / n² — the squared counts are summed as
+    exact DECIMAL(38,0) (order-independent; BIGINT would overflow at
+    n_c ~ 1e12 docs), and the absent-class completion for the
+    without-split arm uses Σ_all (n_l−n_wl)² = T2 + Σ_present
+    ((n_l−n_wl)² − n_l²) so the (token × class) relation never needs
+    rows for classes a token misses.  The only doubles are the final
+    fixed expression tree (dec_to_double'd exact decimals, exact-in-
+    double BIGINTs, three divisions), round_double'd — no
+    transcendentals (the chi-square discipline).
+
+    Shape: explode → DISTINCT (doc, label, token), one (token, label)
+    groupBy, one token groupBy; label totals and (N, T2) are
+    broadcast-sized state crossed back in.  Output: top-``topk`` tokens
+    by gain (token tiebreak) with df ≥ ``min_df`` — a distributed
+    top-K, not a single-partition sort.
+    """
+    from ._num import dec_to_double, round_double
+    from .dedup import _unnest
+
+    dec = lambda e: f"CAST({e} AS DECIMAL(18,0))"  # noqa: E731
+    nd, nwd = "CAST(n_tot AS DOUBLE)", "CAST(n_w AS DOUBLE)"
+    wod = "CAST(n_tot - n_w AS DOUBLE)"
+    g_base = f"(1.0 - ({dec_to_double('t2')} / ({nd} * {nd})))"
+    g_with = f"(1.0 - ({dec_to_double('s_w')} / ({nwd} * {nwd})))"
+    g_wo = f"(1.0 - ({dec_to_double('(t2 + sw2)')} / ({wod} * {wod})))"
+    raw_gain = (
+        f"(({g_base} - (({nwd} / {nd}) * {g_with}))"
+        f" - (({wod} / {nd}) * {g_wo}))"
+    )
+    gain = (
+        f"CASE WHEN (n_tot - n_w) = 0 THEN CAST(0.0 AS DOUBLE)"
+        f" ELSE {round_double(raw_gain, round_to)} END"
+    )
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS did, {label_col} AS lbl, {d.tokens(text_col)} AS _toks
+      FROM {table}
+    ),
+    tok AS (
+      SELECT DISTINCT did, lbl, w FROM (
+        SELECT did, lbl, {_unnest(d, "_toks", "w")}
+        FROM base WHERE _toks IS NOT NULL
+      )
+    ),
+    nl AS (
+      SELECT lbl, CAST(COUNT(*) AS BIGINT) AS n_l FROM base GROUP BY lbl
+    ),
+    st AS (
+      SELECT CAST(SUM(n_l) AS BIGINT) AS n_tot,
+             CAST(SUM({dec('n_l')} * {dec('n_l')}) AS DECIMAL(38,0)) AS t2
+      FROM nl
+    ),
+    twl AS (
+      SELECT w, lbl, CAST(COUNT(*) AS BIGINT) AS n_wl FROM tok GROUP BY w, lbl
+    ),
+    tw AS (
+      SELECT t.w AS w, CAST(SUM(t.n_wl) AS BIGINT) AS n_w,
+             CAST(SUM({dec('t.n_wl')} * {dec('t.n_wl')}) AS DECIMAL(38,0)) AS s_w,
+             CAST(SUM(({dec('(l.n_l - t.n_wl)')} * {dec('(l.n_l - t.n_wl)')})
+                      - ({dec('l.n_l')} * {dec('l.n_l')})) AS DECIMAL(38,0)) AS sw2
+      FROM twl t JOIN nl l ON l.lbl = t.lbl
+      GROUP BY t.w
+      HAVING SUM(t.n_wl) >= {min_df}
+    )
+    SELECT w AS token, n_w AS df, {gain} AS gini_gain
+    FROM tw CROSS JOIN st
+    ORDER BY gini_gain DESC, token
+    LIMIT {topk}
+    """
+
+
+def gini_feature_select(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    label_col: str,
+    *,
+    min_df: int = 2,
+    topk: int = 100,
+    round_to: int = 6,
+) -> DataFrame:
+    """DataFrame entry point for :func:`gini_feature_select_sql`."""
+    _check(df, [text_col, id_col, label_col])
+    view = "_ts_gini_in"
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(
+        gini_feature_select_sql(
+            SPARK, view, text_col, id_col, label_col,
+            min_df=min_df, topk=topk, round_to=round_to,
+        )
+    )

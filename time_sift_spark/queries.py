@@ -1491,6 +1491,38 @@ def ann_lsh_appended_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_appended_topk",
+    oracle=_sim.ann_ivf_topk_sql(
+        VDUCK, "embeddings", "vec_id", "embedding", query_pred="vec_id < 8",
+        k=5, num_centroids=32, nprobe=8, train_pred="vec_id % 4 < 3",
+    ),
+)
+def ann_ivf_appended_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF append, driver-proven under the HONEST contract
+    (append ≡ rebuild *with the centroid set pinned* — the FAISS
+    IndexIVF.add posture; a fresh rebuild would re-draw centroids, so
+    full-rebuild equivalence does NOT hold for IVF by construction,
+    unlike LSH): build_ivf_index on 3/4 of the corpus, append the last
+    quarter under the frozen centroids, and the oracle is the INLINE
+    IVF whose centroid draw carries the SAME train predicate
+    (`train_pred` in ann_ivf_topk_sql) while assigning the full corpus
+    — exactly what the persisted index holds after the append.  Closes
+    the r9 VERDICT residual for the IVF tier; the index is pid-keyed
+    fresh per run because appends mutate it (the minhash-store
+    posture)."""
+    from .operators.similarity import append_ivf_index, build_ivf_index, query_ivf_index
+
+    path = _roundtrip_dir("ts_ivf_app_") + "/index"
+    emb = load_table(spark, "embeddings", sf_dir)
+    build_ivf_index(
+        emb.where("vec_id % 4 < 3"), "vec_id", "embedding", path,
+        num_centroids=32,
+    )
+    append_ivf_index(spark, path, emb.where("vec_id % 4 = 3"))
+    return query_ivf_index(spark, path, query_pred="vid < 8", k=5, nprobe=8)
+
+
+@register(
     "ann_ivf_persisted_topk",
     oracle=_sim.ann_ivf_topk_sql(
         VDUCK, "embeddings", "vec_id", "embedding", query_pred="vec_id < 8", k=5,
@@ -6154,8 +6186,11 @@ def _quality_eval_view(spark: SparkSession, sf_dir: str, view: str):
     # and Catalyst inlines temp views per reference — unstaged, the
     # whole classifier-scoring subtree replans 3× (15 exchanges
     # measured in EXPLAIN.md vs 2 data shuffles staged).
+    # doc_id rides along as the deterministic tiebreak for total-order
+    # consumers (lift_gains' NTILE); the AUC/calibration/Brier queries
+    # ignore it.
     scored.join(lab, "doc_id").select(
-        "quality_score", "y"
+        "doc_id", "quality_score", "y"
     ).localCheckpoint(eager=False).createOrReplaceTempView(view)
 
 
@@ -6173,7 +6208,7 @@ def _quality_eval_oracle_ctes() -> str:
       FROM documents WHERE NOT ({_qc_train_pred(DUCK)})
     ),
     _qev AS (
-      SELECT s.quality_score, l.y
+      SELECT s.doc_id, s.quality_score, l.y
       FROM scored s JOIN lab l ON l.did2 = s.doc_id
     )"""
 
@@ -6223,6 +6258,31 @@ def brier_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _quality_eval_view(spark, sf_dir, "_qev")
     return spark.sql(
         brier_decomposition_sql(_S, "_qev", "quality_score", "y")
+    )
+
+
+def _lift_gains_oracle() -> str:
+    from .operators.experiment import lift_gains_sql
+
+    inner = lift_gains_sql(DUCK, "_qev", "quality_score", "y", "doc_id")
+    return f"{_quality_eval_oracle_ctes()} SELECT * FROM ({inner}) _g"
+
+
+@register("lift_gains_quality_docs", oracle=_lift_gains_oracle())
+def lift_gains_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift & cumulative-gains table of the quality classifier
+    on its held-out md5-half — the cutoff-pricing readout ("keep the
+    top-k% by score; how many English docs does that capture?")
+    completing the eval family next to AUC (ranking), calibration and
+    Brier (confidence).  NTILE runs over the TOTAL order (score DESC,
+    doc_id tiebreak — ties alone would split across engines); the
+    per-tile counts frame is staged once for the totals state + the
+    cumulative window (operators/experiment.lift_gains)."""
+    from .operators.experiment import lift_gains
+
+    _quality_eval_view(spark, sf_dir, "_qev")
+    return lift_gains(
+        spark.table("_qev"), "quality_score", "y", "doc_id"
     )
 
 
@@ -7439,6 +7499,42 @@ def pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         + " SELECT src, dst FROM e"
     )
     return pagerank(edges, "src", "dst", iters=5, id_alias="doc_id", topk=30)
+
+
+def _bfs_oracle() -> str:
+    from .operators.graph import bfs_hops_sql, doc_link_edges_ctes
+
+    return bfs_hops_sql(
+        DUCK, doc_link_edges_ctes(DUCK, "documents", "doc_id", fanout=3),
+        "documents", "doc_id", "doc_id % 97 = 0", max_hops=4,
+    )
+
+
+@register("bfs_hops_docs", oracle=_bfs_oracle())
+def bfs_hops_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance over the synthetic link graph —
+    "how many clicks from the seed set", the graph-distance member the
+    surface lacked (components = reachability, PageRank = centrality,
+    k-core = density, LPA = communities).  The Spark path is the
+    ITERATIVE frontier: per round one frontier⋈edges equi-join +
+    distinct + anti-join vs the visited set over checkpointed frames,
+    so each round pays only the NEW nodes; the oracle is the UNROLLED
+    level expansion with MIN(h) — iterative ≡ unrolled driver-proven,
+    the kcore/pagerank split.  All values exact integers
+    (operators/graph.py:bfs_hops)."""
+    from .functions.text_fns import SPARK as _S
+
+    from .operators.graph import bfs_hops, doc_link_edges_ctes
+
+    docs = load_table(spark, "documents", sf_dir)
+    docs.createOrReplaceTempView("_ts_bfs_docs")
+    edges = spark.sql(
+        "WITH "
+        + doc_link_edges_ctes(_S, "_ts_bfs_docs", "doc_id", fanout=3).strip().rstrip(",")
+        + " SELECT src, dst FROM e"
+    )
+    seeds = docs.where("doc_id % 97 = 0").select("doc_id")
+    return bfs_hops(edges, "src", "dst", seeds, max_hops=4, id_alias="did")
 
 
 def _triangle_oracle() -> str:
@@ -9128,6 +9224,27 @@ def benford_screen_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_screen(orders, "o_totalprice", "o_orderstatus")
 
 
+def _skew_oracle() -> str:
+    from .operators.quality import key_skew_profile_sql
+
+    return key_skew_profile_sql(DUCK, "events", "user_id")
+
+
+@register("key_skew_profile_events", oracle=_skew_oracle())
+def key_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-key skew profile of events.user_id: per ⌊log₂(per-key
+    rows)⌋ bucket, the key count, row mass, min/max, and share — the
+    table the salting / hot-key-halo / AQE-skew-join decision is read
+    from BEFORE shuffling 100 TB on a key (SCALE.md's hot-key rows cite
+    exactly this distribution).  ⌊log₂⌋ is the exact LENGTH(bin(n))−1
+    string identity — no floating log; one key shuffle + a ≤64-row
+    reduce (operators/quality.py:key_skew_profile)."""
+    from .operators.quality import key_skew_profile
+
+    events = load_table(spark, "events", sf_dir)
+    return key_skew_profile(events, "user_id")
+
+
 @register("distribution_drift_events", oracle=_drift_oracle())
 def distribution_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift monitor: TV distance + χ² drift of the value
@@ -9231,6 +9348,31 @@ def pinball_backtest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pinball_backtest(events, "value", "ts", "event_type")
 
 
+def _hw_oracle() -> str:
+    from .operators.seasonal import holt_winters_sql
+
+    return holt_winters_sql(DUCK, "events", "value", "ts", "event_type")
+
+
+@register("holt_winters_events", oracle=_hw_oracle())
+def holt_winters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (level + trend + weekly season) per event
+    type over daily buckets — the ETS(A,A,A) operational forecaster,
+    emitting the one-step-ahead in-sample fit and error per bucket.
+    Spark folds the sorted per-series bucket array JVM-side
+    (aggregate() with struct state; ONE series-key exchange, fold
+    bounded by the 30-day calendar — the KM posture); the oracle runs
+    the identical recurrence as a DuckDB recursive CTE, every scalar
+    drawn from the SAME expression builder so the doubles are
+    bit-equal.  Brown stays the row-level streaming path; Holt-Winters
+    is the bucket-calendar seasonal tier above it
+    (operators/seasonal.py:holt_winters_sql)."""
+    from .operators.seasonal import holt_winters
+
+    events = load_table(spark, "events", sf_dir)
+    return holt_winters(events, "value", "ts", "event_type", period=7)
+
+
 @register("mase_backtest_events", oracle=_mase_oracle())
 def mase_backtest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forecast yardstick per event type: naive and seasonal-naive MAE
@@ -9265,6 +9407,31 @@ def token_chisq_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return token_label_chisq(docs, "text", "doc_id", "lang = 'en'", min_df=2)
+
+
+def _gini_oracle() -> str:
+    from .operators.text import gini_feature_select_sql
+
+    return gini_feature_select_sql(
+        DUCK, "documents", "text", "doc_id", "lang", min_df=2, topk=100
+    )
+
+
+@register("gini_feature_select_docs", oracle=_gini_oracle())
+def gini_feature_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini impurity reduction per token against the MULTI-CLASS lang
+    label — the CART split criterion as a vocabulary screen, the
+    multi-class companion of token_chisq_docs (2×2 by construction).
+    Every Σp² comes from the exact integer identity Σn_c²/n² summed as
+    DECIMAL(38,0); absent classes complete algebraically (T2 + Σ
+    present-class deltas), so the (token, label) relation stays sparse;
+    the only doubles are the final fixed tree.  One explode, one
+    (token, label) groupBy, one token groupBy, broadcast state; output
+    is a distributed top-100 (operators/text.py:gini_feature_select)."""
+    from .operators.text import gini_feature_select
+
+    docs = load_table(spark, "documents", sf_dir)
+    return gini_feature_select(docs, "text", "doc_id", "lang", min_df=2, topk=100)
 
 
 def _readability_oracle() -> str:
@@ -9342,6 +9509,16 @@ GRADE_PRIORITY: list[str] = [
     "benford_screen_orders",
     "rolling_skew_events",
     "item_similarity_lineitem",
+    "ann_ivf_appended_topk",
+    "holt_winters_events",
+    "bfs_hops_docs",
+    "gini_feature_select_docs",
+    "lift_gains_quality_docs",
+    "key_skew_profile_events",
+    # -- CHANGED in r10 (eval view gained doc_id for lift_gains' NTILE
+    #    tiebreak — oracle text of the _qev consumers changed) --
+    "calibration_quality_docs",
+    "brier_quality_docs",
     # -- CHANGED in r10 (ADVICE fixes: NULL-safe freq-encode join,
     #    sign-safe attribution fold + TRY_CAST, conformal eval LEFT
     #    JOIN, sink redelivery verdict-reuse) --
@@ -9386,8 +9563,6 @@ GRADE_PRIORITY: list[str] = [
     "token_chisq_docs",
     "readability_docs",
     "theil_sen_trend_events",
-    "calibration_quality_docs",
-    "brier_quality_docs",
     "target_encode_loo_orders",
     "target_encode_kfold_orders",
     "kmv_distinct_orders_by_flag",
