@@ -208,3 +208,130 @@ def test_key_skew_bucket_identity(spark):
     assert out[1]["min_cnt"] == 2 and out[1]["max_cnt"] == 3
     assert out[3]["n_keys"] == 1 and out[3]["n_rows"] == 8
     assert sum(r["rows_share"] for r in out.values()) == pytest.approx(1.0)
+
+
+# ----------------------------------------------- Prefix Jaccard join
+
+def test_prefix_jaccard_equals_brute_and_threshold_edge(spark):
+    # Planted corpus: docs 1/2 share most shingles (J >= 1/2), doc 3 is
+    # disjoint; the prefix-filtered Spark form must equal DuckDB brute
+    # force exactly, including a pair sitting exactly AT the threshold.
+    from time_sift_spark.operators.dedup import (
+        prefix_jaccard_join,
+        prefix_jaccard_join_sql,
+    )
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "alpha beta gamma delta epsilon zeta",
+            "alpha beta gamma delta epsilon eta",
+            "one two three four five six",
+            "alpha beta gamma delta epsilon zeta",  # exact twin of 1
+        ],
+    })
+    out = prefix_jaccard_join(
+        _mk(spark, pdf), "doc_id", "text", threshold=(1, 2)
+    ).collect()
+    got = {(r["doc_id_a"], r["doc_id_b"]): r["jaccard"] for r in out}
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    brute = con.execute(prefix_jaccard_join_sql(
+        DUCK, "documents", "doc_id", "text", threshold=(1, 2), brute=True,
+    )).fetchall()
+    assert got == {(a, b): j for a, b, j in brute}
+    assert got[(1, 4)] == 1.0  # the exact twin survives at J=1
+    assert (1, 2) in got and (2, 4) in got
+    assert not any(3 in p for p in got)
+
+
+def test_prefix_jaccard_bad_column_raises(spark):
+    from time_sift_spark.operators.dedup import prefix_jaccard_join
+
+    with pytest.raises(ColumnNotFoundError):
+        prefix_jaccard_join(
+            _mk(spark, pd.DataFrame({"doc_id": [1], "text": ["x"]})),
+            "nope", "text",
+        )
+
+
+# --------------------------------------- Streaming HW numeric replicas
+
+def test_dec6_to_double_matches_sql_dec_to_double():
+    # The Python replica must equal the SQL dec_to_double on a
+    # DECIMAL(18,6) for positive, negative, and >2^26-integral values.
+    from time_sift_spark.operators._num import dec_to_double
+    from time_sift_spark.streaming.lag_stream import _dec6_to_double
+
+    con = duckdb.connect()
+    for micros in [0, 1, -1, 123456789, -987654321, 10**15 + 7,
+                   -(10**15 + 7), 999999, -999999, 20152415783501905]:
+        sql = dec_to_double(f"CAST({micros} AS DECIMAL(27,6)) / 1000000")
+        # build the decimal value micros * 1e-6 exactly
+        sql = dec_to_double(
+            f"CAST({micros} AS DECIMAL(27,0)) / CAST(1000000 AS DECIMAL(7,0))"
+        )
+        want = con.execute(f"SELECT {sql}").fetchone()[0]
+        assert _dec6_to_double(micros) == want, micros
+
+
+def test_round_double_py_matches_sql():
+    from time_sift_spark.operators._num import round_double
+    from time_sift_spark.streaming.lag_stream import _round_double_py
+
+    con = duckdb.connect()
+    for v in [0.0, 1.2345675, -1.2345675, 0.0078125, -0.0078125,
+              123456.9999995, 2e9, -2e9, 1e-7]:
+        want = con.execute(
+            f"SELECT {round_double(f'CAST({v!r} AS DOUBLE)', 6)}"
+        ).fetchone()[0]
+        assert _round_double_py(v) == want, v
+
+
+# ------------------------------------------- Range partition planner
+
+def test_range_partition_plan_uniform_balances(spark):
+    from time_sift_spark.operators.sketch import range_partition_plan
+
+    pdf = pd.DataFrame({"v": [float(i) for i in range(1, 801)]})
+    out = range_partition_plan(_mk(spark, pdf), "v", n_buckets=8).collect()
+    assert len(out) == 8
+    assert sum(r["n_rows"] for r in out) == 800
+    # uniform data: every realized share within 2 bin-widths of 1/8
+    assert all(abs(r["rows_share"] - 0.125) < 0.02 for r in out)
+    # boundaries are monotone and bucket 0 has no lower boundary
+    bl = [r["boundary_lo"] for r in sorted(out, key=lambda r: r["bucket"])]
+    assert bl[0] is None and all(a < b for a, b in zip(bl[1:], bl[2:]))
+
+
+def test_range_partition_plan_duplicate_straddle_is_reported(spark):
+    # one value carries half the rows: no range plan can split it — the
+    # realized share of its bucket must show >= 0.5, not be hidden
+    from time_sift_spark.operators.sketch import range_partition_plan
+
+    pdf = pd.DataFrame({"v": [42.0] * 400 + [float(i) for i in range(400)]})
+    out = range_partition_plan(_mk(spark, pdf), "v", n_buckets=8).collect()
+    assert max(r["rows_share"] for r in out) >= 0.5
+
+
+# ------------------------------------------------------ Time features
+
+def test_time_features_known_dates(spark):
+    import datetime
+
+    from time_sift_spark.operators.seasonal import time_features
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "event_id": [1, 2, 3],
+        "ts": [datetime.datetime(2024, 1, 1, 12, 0, 0),   # Monday noon
+               datetime.datetime(2024, 1, 6, 0, 0, 0),    # Saturday
+               datetime.datetime(1970, 1, 1, 18, 0, 0)],  # Thursday epoch
+    }))
+    out = {r["event_id"]: r for r in time_features(df, "ts", ("event_id",)).collect()}
+    assert out[1]["iso_dow"] == 1 and not out[1]["is_weekend"]
+    assert out[1]["day_frac"] == pytest.approx(0.5)
+    assert out[2]["iso_dow"] == 6 and out[2]["is_weekend"]
+    assert out[3]["iso_dow"] == 4 and out[3]["epoch_day"] == 0
+    assert out[3]["day_frac"] == pytest.approx(0.75)
+    assert out[1]["week_index"] * 7 <= out[1]["epoch_day"]
+    assert out[1]["day_of_year"] == 1 and out[1]["month_of_year"] == 1

@@ -1588,3 +1588,168 @@ def append_minhash_store(spark, path: str, accepted_docs: DataFrame) -> None:
     spark.sql(
         f"WITH {sig_cte} SELECT did, {tset} AS hs FROM hashed GROUP BY did"
     ).repartition("did").write.mode("append").parquet(f"{path}/tsets")
+
+
+def prefix_jaccard_join_sql(
+    d: Dialect,
+    table: str,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: tuple[int, int] = (1, 2),
+    shingle_k: int = 3,
+    brute: bool = False,
+    staged_hdist: str | None = None,
+) -> str:
+    """EXACT all-pairs Jaccard similarity join via PREFIX FILTERING —
+    the PPJoin discipline (Chaudhuri et al. 2006; Xiao et al. 2008;
+    Vernica et al. 2010 for the MapReduce shape): every pair with
+    J ≥ θ over distinct hashed ``shingle_k``-gram sets is returned,
+    with a LOSSLESSNESS GUARANTEE the MinHash tier cannot give (LSH
+    trades recall for cost; the prefix filter trades nothing — it is
+    exact blocked pairwise whose blocking key provably catches every
+    qualifying pair).
+
+    The lemma: order each doc's shingles by a GLOBAL canonical order
+    (document frequency ascending, shingle ascending — rarest first);
+    with θ = num/den, a doc of set size n keeps its first
+    n − ⌈θ·n⌉ + 1 shingles as its PREFIX.  Any pair with
+    |x∩y| ≥ ⌈θ·max(|x|,|y|)⌉ (implied by J ≥ θ) must share a prefix
+    shingle — per-doc ⌈θ·n⌉ under-bounds the pair overlap requirement
+    exactly when the mutual size filter den·min ≥ num·max holds, which
+    J ≥ θ also implies — so the candidate equi-join on prefix shingles
+    plus the integer size filter misses nothing, and the exact verify
+    keeps only true pairs.
+
+    Determinism: ⌈θ·n⌉ = (num·n + den − 1) intdiv den — exact integer
+    arithmetic (the pinball rank idiom); the size filter and the final
+    J ≥ θ compare are pure integer cross-multiplications
+    (den·n_inter ≥ num·n_union), never a float threshold; the reported
+    jaccard is one IEEE division of exact integers (the
+    lsh_verified_neardup convention).
+
+    Scale: df and per-doc rank are one shuffle each; the candidate join
+    shuffles on the PREFIX SHINGLE — and prefix shingles are by
+    construction each doc's RAREST features (the df-ascending canonical
+    order is the whole trick), so bucket sizes are self-limiting where
+    LSH needs an explicit band-frequency cap.  The verify touches only
+    |candidates| rows.  ``brute=True`` replaces the candidate screen
+    with the open all-pairs join — the ORACLE form, so the driver
+    proves prefix-filtered ≡ brute force (losslessness) every round;
+    never run the brute form at scale.
+
+    Spark plan note: the distinct (doc, shingle-hash) relation is
+    referenced four times (df, sizes, rank, verify sets) — the
+    engine-wide staging rule applies; the front door stages it
+    (``staged_hdist``), the oracle keeps the inline text.
+    """
+    num, den = int(threshold[0]), int(threshold[1])
+    if d.name == "spark":
+        tset = "collect_set(h)"
+        inter = "size(array_intersect(a.hs, b.hs))"
+        setsize = "size"
+        idiv = lambda a_, b_: f"({a_} DIV {b_})"  # noqa: E731
+    else:
+        tset = "list(DISTINCT h)"
+        inter = "len(list_filter(a.hs, x -> list_contains(b.hs, x)))"
+        setsize = "len"
+        idiv = lambda a_, b_: f"({a_} // {b_})"  # noqa: E731
+    shingles = d.shingles("_toks", shingle_k)
+    ceil_tn = idiv(f"({num} * n + {den} - 1)", f"{den}")
+    hdist = (
+        f"SELECT did, h FROM {staged_hdist}" if staged_hdist
+        else f"""SELECT DISTINCT did, h FROM (
+        SELECT did, {_md5_32(d, "sh")} AS h FROM (
+          SELECT did, {_unnest(d, shingles, "sh")} FROM (
+            SELECT did, _toks FROM (
+              SELECT {id_col} AS did, {d.tokens(text_col)} AS _toks
+              FROM {table}
+            ) _ppt0 WHERE _toks IS NOT NULL
+          ) _ppt1
+        ) _ppt2
+      ) _ppt3"""
+    )
+    if brute:
+        cand = f"""
+      SELECT a.did AS did_a, b.did AS did_b
+      FROM _ppn a JOIN _ppn b ON a.did < b.did"""
+    else:
+        cand = f"""
+      SELECT a.did AS did_a, b.did AS did_b
+      FROM _ppp a JOIN _ppp b
+        ON a.h = b.h AND a.did < b.did
+       AND {den} * LEAST(a.n, b.n) >= {num} * GREATEST(a.n, b.n)
+      GROUP BY a.did, b.did"""
+    jaccard = "(CAST(n_inter AS DOUBLE) / CAST(n_sum - n_inter AS DOUBLE))"
+    return f"""
+    WITH _pph AS (
+      {hdist}
+    ),
+    _ppn AS (
+      SELECT did, CAST(COUNT(*) AS BIGINT) AS n FROM _pph GROUP BY did
+    ),
+    _ppf AS (
+      SELECT h, CAST(COUNT(*) AS BIGINT) AS dfc FROM _pph GROUP BY h
+    ),
+    _ppp AS (
+      SELECT did, h, n FROM (
+        SELECT t.did AS did, t.h AS h, n.n AS n,
+               ROW_NUMBER() OVER (PARTITION BY t.did
+                                  ORDER BY f.dfc, t.h) AS rnk
+        FROM _pph t JOIN _ppf f ON f.h = t.h JOIN _ppn n ON n.did = t.did
+      ) _ppr WHERE rnk <= (n - {ceil_tn} + 1)
+    ),
+    _ppc AS ({cand}
+    ),
+    _ppts AS (
+      SELECT did, {tset} AS hs FROM _pph GROUP BY did
+    ),
+    _ppv AS (
+      SELECT c.did_a, c.did_b,
+             {inter} AS n_inter,
+             {setsize}(a.hs) + {setsize}(b.hs) AS n_sum
+      FROM _ppc c
+      JOIN _ppts a ON a.did = c.did_a
+      JOIN _ppts b ON b.did = c.did_b
+    )
+    SELECT did_a AS doc_id_a, did_b AS doc_id_b, {jaccard} AS jaccard
+    FROM _ppv
+    WHERE {den} * n_inter >= {num} * (n_sum - n_inter)
+    ORDER BY doc_id_a, doc_id_b
+    """
+
+
+def prefix_jaccard_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: tuple[int, int] = (1, 2),
+    shingle_k: int = 3,
+) -> DataFrame:
+    """DataFrame front door for :func:`prefix_jaccard_join_sql` —
+    stages the distinct (doc, shingle-hash) relation once (lazy
+    localCheckpoint): df, sizes, per-doc rank, and the verify sets all
+    read it, and Catalyst would otherwise replan the tokenize → shingle
+    → md5 subtree per reference."""
+    from ..functions.text_fns import SPARK as _S
+
+    for c in (id_col, text_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    spark = df.sparkSession
+    view = "_ts_ppj_in"
+    df.createOrReplaceTempView(view)
+    inline = prefix_jaccard_join_sql(
+        _S, view, id_col, text_col, threshold=threshold, shingle_k=shingle_k
+    )
+    hdist_sel = inline.split("_pph AS (", 1)[1].split("\n    ),", 1)[0]
+    staged = spark.sql(hdist_sel).localCheckpoint(eager=False)
+    sview = "_ts_ppj_hdist"
+    staged.createOrReplaceTempView(sview)
+    return spark.sql(
+        prefix_jaccard_join_sql(
+            _S, view, id_col, text_col, threshold=threshold,
+            shingle_k=shingle_k, staged_hdist=sview,
+        )
+    )

@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 from ..errors import ColumnNotFoundError
 
 __all__ = ["deseasonalize", "deseasonalize_sql", "SEASON_FNS",
-           "holt_winters", "holt_winters_sql"]
+           "holt_winters", "holt_winters_sql",
+           "time_features", "time_features_sql"]
 
 # Season slot expressions valid verbatim AND value-identical in BOTH
 # Spark SQL and DuckDB.  dayofweek is deliberately absent: Spark numbers
@@ -342,4 +343,89 @@ def holt_winters(
         holt_winters_sql(_S, view, value_col, time_col, group_col,
                          period=period, alpha=alpha, beta=beta,
                          gamma=gamma, round_to=round_to)
+    )
+
+
+def time_features_sql(
+    d,
+    table: str,
+    time_col: str,
+    keep_cols: Sequence[str] = (),
+    *,
+    round_to: int = 6,
+) -> str:
+    """Calendar feature projection — the time-side companion of the lag
+    matrix (reference README frames lag matrices as ML feature
+    engineering; a supervised model wants WHEN next to WHAT-CAME-
+    BEFORE): epoch day index, ISO weekday, weekend flag, day-of-month,
+    month, absolute week index, day-of-year, hour, and the fractional
+    position within the day.
+
+    The dialect landmine this exists to bury: ``dayofweek`` numbers
+    Sunday=1..7 on Spark and Sunday=0..6 on DuckDB (the SEASON_FNS
+    exclusion note), and ISO ``weekofyear`` differs at year edges — so
+    weekday is derived PURELY ARITHMETICALLY from the epoch-day
+    integer: 1970-01-01 was a Thursday, hence
+    iso_dow = ((epoch_day + 3) % 7) + 1 (Monday=1..Sunday=7), and the
+    week index is the absolute ``epoch_day DIV 7`` bucket (what a
+    model wants anyway — a monotone week counter, not a year-wrapped
+    one).  day/month/dayofyear/hour are value-identical shared text
+    (SEASON_FNS-verified family); day_frac is one exact integer µs
+    residue over the literal 86400e6, one IEEE division.
+
+    Plan: pure projection — zero shuffles, pushdown-safe, fuses into
+    whatever scan feeds it.  NULL timestamps propagate NULL features.
+    """
+    from ._num import round_double
+
+    keep = "".join(f"{c}, " for c in keep_cols)
+    if d.name == "spark":
+        eday = f"datediff(CAST({time_col} AS DATE), DATE '1970-01-01')"
+        us = f"unix_micros({time_col})"
+    else:
+        eday = f"datediff('day', DATE '1970-01-01', CAST({time_col} AS DATE))"
+        us = f"epoch_us({time_col})"
+    day_us = f"({us} - (CAST({eday} AS BIGINT) * 86400000000))"
+    day_frac = round_double(
+        f"(CAST({day_us} AS DOUBLE) / 86400000000.0)", round_to
+    )
+    ed = f"CAST({eday} AS BIGINT)"
+    wnum = f"({ed} - ((({ed} % 7) + 7) % 7))"
+    widx = f"({wnum} DIV 7)" if d.name == "spark" else f"({wnum} // 7)"
+    iso_dow = f"(((({eday}) + 3) % 7) + 1)"
+    return f"""
+    SELECT {keep}{time_col},
+           CAST({eday} AS BIGINT) AS epoch_day,
+           CAST({iso_dow} AS INT) AS iso_dow,
+           ({iso_dow} >= 6) AS is_weekend,
+           CAST(day({time_col}) AS INT) AS day_of_month,
+           CAST(month({time_col}) AS INT) AS month_of_year,
+           CAST({widx} AS BIGINT) AS week_index,
+           CAST(dayofyear({time_col}) AS INT) AS day_of_year,
+           CAST(hour({time_col}) AS INT) AS hour_of_day,
+           {day_frac} AS day_frac
+    FROM {table}
+    """
+
+
+def time_features(
+    df: DataFrame,
+    time_col: str,
+    keep_cols: Sequence[str] = (),
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """DataFrame front door for :func:`time_features_sql` (projection
+    only — zero shuffles)."""
+    from ..functions.text_fns import SPARK as _S
+    from ._time import assert_time_dtype
+
+    for c in (time_col, *keep_cols):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    assert_time_dtype(df, time_col)
+    view = "_ts_tfeat_in"
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(
+        time_features_sql(_S, view, time_col, keep_cols, round_to=round_to)
     )

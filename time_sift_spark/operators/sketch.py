@@ -1330,3 +1330,127 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias("n_exact"))
         .where(F.col("n_exact") >= threshold)
     )
+
+
+def range_partition_plan_sql(
+    table: str,
+    col: str,
+    *,
+    n_buckets: int = 8,
+    bins: int = 256,
+    round_to: int = 6,
+) -> str:
+    """Range-partitioning PLANNER: equi-depth boundary values for
+    ``col`` from the mergeable histogram sketch, then the REALIZED
+    balance of assigning every row against those boundaries — the
+    table you read before ``repartitionByRange``/sorted-table writes at
+    scale (Spark itself plans range partitions from a sample; this is
+    the deterministic sketch-planned version, with the honesty check
+    built in: planned equi-depth vs realized share per bucket, which
+    diverge exactly where duplicate values straddle a boundary — range
+    partitioning cannot split equal keys, and this report shows that
+    instead of hiding it).
+
+    Mechanics: adaptive (min, max) bounds pass → (bin) sketch counts →
+    boundary i = the i/n_buckets quantile estimate (exact-decimal
+    crossing decision, double interpolation — the histogram_quantiles
+    machinery verbatim) → every row buckets via a fixed CASE chain
+    against the ONE-ROW boundary relation (broadcast cross join) → per-
+    bucket reduce.  Dialect-neutral text; the boundary columns ride the
+    assignment rows so the boundary subtree is referenced ONCE (no
+    staging hazard).
+
+    Scale: two column scans + one (bin) micro-shuffle for the sketch,
+    one broadcast cross join, one ≤n_buckets reduce.  NULLs are
+    excluded (a range partitioner routes them to a dedicated partition;
+    out of scope here and documented).
+    """
+    from ._num import round_double
+
+    if n_buckets < 2:
+        raise ValueError(f"need >= 2 buckets, got {n_buckets}")
+    bin_expr = (
+        f"LEAST(GREATEST(CAST(FLOOR(CASE WHEN _w > 0 THEN "
+        f"(CAST({col} AS DOUBLE) - _lo) / _w ELSE 0.0 END) AS INT), 0), {bins - 1})"
+    )
+    bnames = [f"b{i}" for i in range(1, n_buckets)]
+    picks = []
+    for i in range(1, n_buckets):
+        pred_row, est_row = _hq_estimate(i / n_buckets, "_lo", "_w", round_to)
+        picks.append(f"MAX(CASE WHEN {pred_row} THEN {est_row} END) AS b{i}")
+    chain = " + ".join(
+        f"(CASE WHEN CAST({col} AS DOUBLE) >= {b} THEN 1 ELSE 0 END)"
+        for b in bnames
+    )
+    bcarry = ", ".join(bnames)
+    bpick = ", ".join(f"MAX({b}) AS {b}" for b in bnames)
+    lo_case = " ".join(
+        f"WHEN bucket = {i} THEN b{i}" for i in range(1, n_buckets)
+    )
+    share = round_double(
+        "(CAST(n_rows AS DOUBLE) / CAST(total_rows AS DOUBLE))", round_to
+    )
+    return f"""
+    WITH _rpb AS (
+      SELECT CAST(MIN({col}) AS DOUBLE) AS _lo, CAST(MAX({col}) AS DOUBLE) AS _hi
+      FROM {table} WHERE {col} IS NOT NULL
+    ),
+    _rpw AS (
+      SELECT _lo, _hi, ((_hi - _lo) / CAST({bins} AS DOUBLE)) AS _w FROM _rpb
+    ),
+    _rph AS (
+      SELECT _bin, _lo, _w, COUNT(*) AS _c
+      FROM (SELECT {bin_expr} AS _bin, _lo, _w
+            FROM {table} CROSS JOIN _rpw WHERE {col} IS NOT NULL)
+      GROUP BY _bin, _lo, _w
+    ),
+    _rpc AS (
+      SELECT _bin, _lo, _w, _c,
+             SUM(_c) OVER (ORDER BY _bin) AS _cum,
+             SUM(_c) OVER () AS _n
+      FROM _rph
+    ),
+    _rpq AS (
+      SELECT {", ".join(p for p in picks)}
+      FROM _rpc
+    ),
+    _rpa AS (
+      SELECT ({chain}) AS bucket, {bcarry}
+      FROM {table} CROSS JOIN _rpq WHERE {col} IS NOT NULL
+    ),
+    _rpg AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows, {bpick}
+      FROM _rpa GROUP BY bucket
+    ),
+    _rpt AS (
+      SELECT bucket, n_rows, {bcarry},
+             CAST(SUM(n_rows) OVER () AS BIGINT) AS total_rows
+      FROM _rpg
+    )
+    SELECT bucket, CASE {lo_case} ELSE CAST(NULL AS DOUBLE) END AS boundary_lo,
+           n_rows, {share} AS rows_share
+    FROM _rpt
+    ORDER BY bucket
+    """
+
+
+def range_partition_plan(
+    df: DataFrame,
+    col: str,
+    *,
+    n_buckets: int = 8,
+    bins: int = 256,
+    round_to: int = 6,
+) -> DataFrame:
+    """DataFrame front door for :func:`range_partition_plan_sql` (the
+    boundary relation rides the assignment rows, so every CTE is
+    referenced once — no staging needed)."""
+    if col not in df.columns:
+        raise ColumnNotFoundError(f"column {col!r} not in {df.columns}")
+    view = "_ts_rpp_in"
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(
+        range_partition_plan_sql(
+            view, col, n_buckets=n_buckets, bins=bins, round_to=round_to
+        )
+    )

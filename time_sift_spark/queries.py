@@ -1104,6 +1104,27 @@ def lsh_verified_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "prefix_jaccard_join_docs",
+    oracle=_dd.prefix_jaccard_join_sql(
+        DUCK, "documents", "doc_id", "text", threshold=(1, 2), brute=True,
+    ),
+)
+def prefix_jaccard_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs Jaccard ≥ 1/2 via PREFIX FILTERING (PPJoin) —
+    the LOSSLESS blocking tier between exact blocked pairwise (heuristic
+    blocks, quadratic in block size) and MinHash-LSH (cheap, but trades
+    recall): candidates come from an equi-join on each doc's RAREST
+    shingles (df-ascending canonical order — prefix buckets are
+    self-limiting where LSH needs a band-frequency cap), the size and
+    J≥θ gates are exact integer cross-multiplications, and the ORACLE
+    is the BRUTE-FORCE all-pairs join — so the driver proves
+    prefix-filtered ≡ brute force (zero false negatives) every round
+    (operators/dedup.py:prefix_jaccard_join)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return _dd.prefix_jaccard_join(docs, "doc_id", "text", threshold=(1, 2))
+
+
+@register(
     "neardup_clusters_docs",
     oracle=_dd.neardup_clusters_oracle_sql(DUCK, "documents", "doc_id", "text", threshold=0.5),
 )
@@ -5063,6 +5084,85 @@ def streaming_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_df(out, _next_stream_name("ts_stream_ewma"))
 
 
+def _hw_bucket_chunks(sf_dir: str) -> str:
+    """Chunk the FINALIZED day-bucket relation of events into 5
+    time-ordered files (6 days each over the 30-day calendar) carrying
+    the exact bucket sum as INTEGER MICROS — deterministic stream-input
+    scaffolding for the streaming Holt-Winters query (what an upstream
+    watermark+window aggregation provides in production).  The bucket
+    values are the exact DECIMAL(18,6) sums the batch operator and its
+    oracle use, so the streaming recurrence sees bit-identical inputs."""
+    import hashlib
+    import os
+    import tempfile
+
+    import duckdb
+
+    fp = _source_fingerprint(sf_dir, "events")
+    key = hashlib.md5(f"{sf_dir}|hwbuckets|{fp}".encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"ts_hw_chunks_{key}")
+    marker = os.path.join(out, "_READY")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    pdf = con.execute(f"""
+        SELECT event_type AS k,
+               CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS y_micros
+        FROM '{os.path.join(sf_dir, "events.parquet")}'
+        GROUP BY 1, 2 ORDER BY x, k
+    """).df()
+    xs = sorted(pdf["x"].unique())
+    step = (len(xs) + 4) // 5 or 1
+    for i in range(5):
+        lo = i * step
+        chunk = pdf[pdf["x"].isin(xs[lo : lo + step])]
+        chunk.reset_index(drop=True).to_parquet(
+            os.path.join(out, f"chunk-{i:02d}.parquet")
+        )
+    os.makedirs(marker, exist_ok=True)
+    return out
+
+
+def _hw_stream_oracle() -> str:
+    from .operators.seasonal import holt_winters_sql
+
+    return holt_winters_sql(DUCK, "events", "value", "ts", "event_type")
+
+
+@register("streaming_holt_winters_events", oracle=_hw_stream_oracle())
+def streaming_holt_winters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming Holt-Winters: the level/trend/seasonal-queue
+    recurrence continued across 5 micro-batches of finalized day
+    buckets — state is exactly the recurrence's memory (two scalars +
+    the 7-slot seasonal queue) after a ≤2·period init buffer drains;
+    every scalar op replicates the batch operator's expression tree on
+    IEEE doubles and y enters via the exact integer-micros bucket sum,
+    so the drain ≡ the batch holt_winters_sql statement bit-for-bit —
+    the oracle IS the batch oracle (the streaming_ewma continuation
+    proof lifted to struct state;
+    streaming/lag_stream.py:streaming_holt_winters)."""
+    from .sources.catalog import ensure_session_confs
+    from .streaming.lag_stream import (
+        _next_stream_name,
+        run_stream_to_df,
+        streaming_holt_winters,
+    )
+
+    ensure_session_confs(spark)
+    chunk_dir = _hw_bucket_chunks(sf_dir)
+    stream = (
+        spark.readStream.schema("k string, x long, y_micros long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(chunk_dir)
+    )
+    out = streaming_holt_winters(stream, key_col="k", period=7)
+    return run_stream_to_df(
+        out, _next_stream_name("ts_stream_hw")
+    ).withColumnRenamed("k", "event_type")
+
+
 # --------------------------------------------------------------------------
 # Serial-dependence analytics on top of the lag core (ACF / CCF / CUSUM) —
 # the canonical consumers of a lag matrix (reference README.md:5-6 frames
@@ -6933,6 +7033,30 @@ def quantile_sketch_auto_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rpp_oracle() -> str:
+    from .operators.sketch import range_partition_plan_sql
+
+    return range_partition_plan_sql("events", "value", n_buckets=8, bins=256)
+
+
+@register("range_partition_plan_events", oracle=_rpp_oracle())
+def range_partition_plan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioning planner for events.value: 8 equi-depth
+    boundaries from the mergeable histogram sketch (the deterministic
+    version of the sampling Spark's repartitionByRange does), then the
+    REALIZED per-bucket balance from assigning every row — planned
+    equi-depth vs realized share diverges exactly where duplicate
+    values straddle a boundary, which range partitioning cannot split;
+    the report shows it instead of hiding it.  Completes the layout
+    family: zorder_layout_events packs multi-column locality,
+    key_skew_profile_events diagnoses the key, this one prices the
+    sorted-table write (operators/sketch.py:range_partition_plan)."""
+    from .operators.sketch import range_partition_plan
+
+    events = load_table(spark, "events", sf_dir)
+    return range_partition_plan(events, "value", n_buckets=8, bins=256)
+
+
 @register("quantile_sketch_by_type", oracle=_hq_oracle())
 def quantile_sketch_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate p50/p95/p99 of value per event type from a MERGEABLE
@@ -7499,6 +7623,29 @@ def pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         + " SELECT src, dst FROM e"
     )
     return pagerank(edges, "src", "dst", iters=5, id_alias="doc_id", topk=30)
+
+
+def _tfeat_oracle() -> str:
+    from .operators.seasonal import time_features_sql
+
+    return time_features_sql(DUCK, "events", "ts", ("event_id",))
+
+
+@register("time_features_events", oracle=_tfeat_oracle())
+def time_features_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar feature projection per event — the time-side companion
+    of the lag matrix (a supervised model wants WHEN next to
+    WHAT-CAME-BEFORE): epoch day, ISO weekday, weekend flag,
+    day-of-month/-year, month, absolute week index, hour, day
+    fraction.  Weekday comes from PURE epoch-day arithmetic
+    (((d+3)%7)+1 — 1970-01-01 was a Thursday) because dayofweek
+    numbers Sundays differently on the two engines and ISO weekofyear
+    wraps at year edges; zero shuffles, pushdown-safe
+    (operators/seasonal.py:time_features)."""
+    from .operators.seasonal import time_features
+
+    events = load_table(spark, "events", sf_dir)
+    return time_features(events, "ts", ("event_id",))
 
 
 def _bfs_oracle() -> str:
@@ -9515,6 +9662,10 @@ GRADE_PRIORITY: list[str] = [
     "gini_feature_select_docs",
     "lift_gains_quality_docs",
     "key_skew_profile_events",
+    "prefix_jaccard_join_docs",
+    "streaming_holt_winters_events",
+    "range_partition_plan_events",
+    "time_features_events",
     # -- CHANGED in r10 (eval view gained doc_id for lift_gains' NTILE
     #    tiebreak — oracle text of the _qev consumers changed) --
     "calibration_quality_docs",

@@ -321,3 +321,138 @@ def streaming_ewma(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def _dec6_to_double(micros: int) -> float:
+    """Python replica of _num.dec_to_double for a DECIMAL(_,6) carried
+    as integer micro-units: truncating split (sign of the dividend, the
+    SQL decimal % semantics), exact integral conversion, one correctly
+    rounded fractional division, one IEEE add — bit-equal to the SQL
+    expression on both engines."""
+    q = int(micros / 10**6) if micros >= 0 else -int((-micros) / 10**6)
+    r = micros - q * 10**6
+    return float(q) + (r / 1e6)
+
+
+def _round_double_py(e: float, nd: int = 6, guard: float = 1e9) -> float:
+    """Python replica of _num.round_double: same ops, same order."""
+    import math
+
+    if abs(e) >= guard:
+        return e
+    scale = 10.0**nd
+    mag = math.floor(abs(e) * scale + 0.5) / scale
+    return -mag if e < 0.0 else mag
+
+
+def streaming_holt_winters(
+    stream_df: DataFrame,
+    *,
+    key_col: str,
+    x_col: str = "x",
+    micros_col: str = "y_micros",
+    period: int = 7,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+) -> DataFrame:
+    """Stateful streaming Holt-Winters over FINALIZED day buckets —
+    per-key state is exactly the recurrence's memory: (level, trend,
+    the ``period``-slot seasonal queue), plus a ≤ 2·period init buffer
+    that drains the moment initialization completes (the batch
+    operator's l0/b0/s0 need the first two seasons; a stream cannot
+    know them earlier, so the state machine buffers then replays —
+    after that the buffer stays empty forever and the state is O(m)).
+
+    Bit-exactness contract: every scalar op replicates
+    operators/seasonal._hw_scalar_exprs in the SAME order on IEEE
+    doubles (Python floats ARE the same doubles; 1−α is computed once,
+    matching the SQL's repr(1.0−alpha) literal), and y values enter
+    via :func:`_dec6_to_double` of the EXACT integer-micros bucket sum
+    — so the drain over an ordered replay equals the batch
+    holt_winters_sql statement bit-for-bit, which the registered
+    oracle asserts.  The per-bucket Python loop is bounded by the
+    bucket CALENDAR, never the event volume (the bounded-fold
+    posture); events aggregate to buckets upstream.
+
+    Contract: buckets must arrive FINALIZED and in order per key (the
+    feeder's watermark duty); a late bucket would step the recurrence
+    in arrival order like every streaming op here.
+    """
+    m = int(period)
+    a, ca = float(alpha), 1.0 - float(alpha)
+    bb, cb = float(beta), 1.0 - float(beta)
+    g, cg = float(gamma), 1.0 - float(gamma)
+    output_schema = (
+        f"{key_col} string, day_x long, y_val double, "
+        f"hw_fit double, hw_err double"
+    )
+    state_schema = (
+        "bx array<long>, by array<long>, l double, b double, "
+        "seas array<double>"
+    )
+
+    def _init(bx, by):
+        s1m = sum(by[:m])
+        s2m = sum(by[m : 2 * m])
+        mf = float(m)
+        t1 = _dec6_to_double(s1m) / mf
+        t2 = _dec6_to_double(s2m) / mf
+        l0 = t1
+        b0 = (t2 - t1) / mf
+        seas = [_dec6_to_double(by[i]) - l0 for i in range(m)]
+        return l0, b0, seas
+
+    def _step(l, b, seas, micros):
+        yd = _dec6_to_double(micros)
+        s1 = seas[0]
+        fit = (l + b) + s1
+        lnew = (a * (yd - s1)) + (ca * (l + b))
+        bnew = (bb * (lnew - l)) + (cb * b)
+        snew = (g * (yd - lnew)) + (cg * s1)
+        return lnew, bnew, seas[1:] + [snew], fit, yd
+
+    def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            x_col, kind="mergesort"
+        )
+        if state.exists:
+            bx, by, l, b, seas = state.get
+            bx, by, seas = list(bx), list(by), list(seas)
+        else:
+            bx, by, l, b, seas = [], [], 0.0, 0.0, []
+        rows = []
+        for x, micros in zip(batch[x_col], batch[micros_col]):
+            x, micros = int(x), int(micros)
+            if not seas:
+                bx.append(x)
+                by.append(micros)
+                if len(by) == 2 * m:
+                    l, b, seas = _init(bx, by)
+                    for i in range(m, 2 * m):
+                        l, b, seas, fit, yd = _step(l, b, seas, by[i])
+                        rows.append((key[0], bx[i],
+                                     _dec6_to_double(by[i]),
+                                     _round_double_py(fit),
+                                     _round_double_py(yd - fit)))
+                    bx, by = [], []
+            else:
+                l, b, seas, fit, yd = _step(l, b, seas, micros)
+                rows.append((key[0], x, yd,
+                             _round_double_py(fit),
+                             _round_double_py(yd - fit)))
+        state.update((bx, by, float(l), float(b), seas))
+        yield pd.DataFrame(
+            rows, columns=[key_col, "day_x", "y_val", "hw_fit", "hw_err"]
+        )
+
+    return (
+        stream_df.groupBy(key_col)
+        .applyInPandasWithState(
+            _update,
+            output_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

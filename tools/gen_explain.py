@@ -171,6 +171,9 @@ SHOWCASE = {
     "gini_feature_select_docs": "Gini selection: one explode + DISTINCT (map-side collapse), one (token,label) and one token partial-agg shuffle; label totals and (N,T2) are broadcast one-row state; top-100 is TakeOrderedAndProject.",
     "lift_gains_quality_docs": "Lift/gains: the per-tile counts frame is STAGED (ExistingRDD) - the totals state and the cumulative window both read it; the NTILE total sort runs on the eval slice only (documented posture).",
     "key_skew_profile_events": "Key-skew profile: one partial-aggregated shuffle on the profiled key; the log2 bucket reduce and the window total run on <=64 rows (scalar-state final stage).",
+    "prefix_jaccard_join_docs": "Prefix Jaccard join: the distinct (doc,hash) relation is STAGED (ExistingRDD, read 4x); candidates equi-join on the df-rarest prefix shingles; the verify join touches only candidate pairs - the brute all-pairs form lives ONLY in the oracle.",
+    "range_partition_plan_events": "Range-partition planner: two column scans + one (bin) micro-shuffle for the sketch; the one-row boundary relation broadcast-cross-joins the assignment scan; the realized-balance reduce is <=n_buckets rows.",
+    "time_features_events": "Time features: pure projection - zero exchanges, fused into the scan (pushdown-safe).",
 }
 
 SF_DIR = "/root/testdata/sf0.01"
