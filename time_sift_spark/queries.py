@@ -9667,7 +9667,9 @@ GRADE_PRIORITY: list[str] = [
     "range_partition_plan_events",
     "time_features_events",
     # -- CHANGED in r10 (eval view gained doc_id for lift_gains' NTILE
-    #    tiebreak — oracle text of the _qev consumers changed) --
+    #    tiebreak — oracle text of the _qev consumers changed; ann_ivf_topk_sql
+    #    gained train_pred, touching ann_ivf_topk [in window below] and
+    #    ann_ivf_persisted_topk [locally re-verified, PARITY_r10]) --
     "calibration_quality_docs",
     "brier_quality_docs",
     # -- CHANGED in r10 (ADVICE fixes: NULL-safe freq-encode join,
@@ -9678,7 +9680,12 @@ GRADE_PRIORITY: list[str] = [
     "conformal_interval_events",
     "streaming_dedup_fuzzy_docs",
     "streaming_bloom_screen_docs",
-    # -- staleness rotation (r02/r04 vintage, the r9 VERDICT list) --
+    # -- staleness rotation (r02/r04 vintage, the r9 VERDICT list).
+    #    The 50-slot window holds 34 r10 additions + 7 changed, so 9 of
+    #    these 20 fit this round; the remaining 11 (fingerprint_docs
+    #    onward) lead the r11 rotation. All 262 are locally
+    #    oracle-verified every round regardless (PARITY_r10.txt,
+    #    tests/test_oracle_parity.py). --
     "asof_join_purchases_bcast",
     "blob_metadata_docs",
     "decode_image_stub_docs",

@@ -165,12 +165,12 @@ SHOWCASE = {
     "benford_screen_orders": "Benford screen: one (group, digit) partial-agg shuffle (staged - group totals and the 9-digit LEFT JOIN both reference it); the law is a 9-row VALUES literal; the reduce runs on groups x 9 rows.",
     "rolling_skew_events": "Rolling skew/kurt: ONE window exchange carries all four decimal power sums and the count; the central-moment identities are per-row projections layered after - no second shuffle anywhere.",
     "item_similarity_lineitem": "Item-item cosine: the capped items relation and the scored pair relation are both STAGED (basket_pairs convention); pair counts partial-aggregate off the basket-key self-join; top-k per item is a WindowGroupLimit.",
-    "holt_winters_events": "Holt-Winters: ONE exchange on the series key; the day-bucket groupBy, the rn window, the collect, and the aggregate() fold all ride it - the fold is a per-row projection (no second shuffle); posexplode emits the fitted rows.",
+    "holt_winters_events": "Holt-Winters: TWO exchanges total - the (series, day) bucket groupBy, then ONE series-key exchange that the rn window, the collect, and the aggregate() fold all ride; the fold itself is a per-row projection (no further shuffle) and posexplode emits the fitted rows.",
     "bfs_hops_docs": "BFS hops (iterative): final plan is the accumulated union of per-round checkpointed frontiers (ExistingRDDs) - each round paid one frontier-edges equi-join + anti-join, never a re-expansion of the visited region.",
     "ann_ivf_appended_topk": "IVF append: the increment's assignment joins the broadcast centroid table only (row-local); the serve plan is unchanged - the oracle is the INLINE IVF with the SAME train_pred centroid draw, so append == pinned-centroid rebuild is driver-proven.",
-    "gini_feature_select_docs": "Gini selection: one explode + DISTINCT (map-side collapse), one (token,label) and one token partial-agg shuffle; label totals and (N,T2) are broadcast one-row state; top-100 is TakeOrderedAndProject.",
+    "gini_feature_select_docs": "Gini selection: each reduction step changes key, so the shuffles are the (doc,label,token) DISTINCT collapse, the per-label totals, the (token,label) counts, and the token rollup - all partial-aggregated; label totals and (N,T2) arrive as broadcast/one-row scalar state; top-100 is TakeOrderedAndProject, never a global sort.",
     "lift_gains_quality_docs": "Lift/gains: the per-tile counts frame is STAGED (ExistingRDD) - the totals state and the cumulative window both read it; the NTILE total sort runs on the eval slice only (documented posture).",
-    "key_skew_profile_events": "Key-skew profile: one partial-aggregated shuffle on the profiled key; the log2 bucket reduce and the window total run on <=64 rows (scalar-state final stage).",
+    "key_skew_profile_events": "Key-skew profile: two partial-aggregated shuffles (the per-key count, then the <=64-row log2-bucket reduce); the window total is the <=64-row scalar-state SinglePartition stage, not a data shuffle.",
     "prefix_jaccard_join_docs": "Prefix Jaccard join: the distinct (doc,hash) relation is STAGED (ExistingRDD, read 4x); candidates equi-join on the df-rarest prefix shingles; the verify join touches only candidate pairs - the brute all-pairs form lives ONLY in the oracle.",
     "range_partition_plan_events": "Range-partition planner: two column scans + one (bin) micro-shuffle for the sketch; the one-row boundary relation broadcast-cross-joins the assignment scan; the realized-balance reduce is <=n_buckets rows.",
     "time_features_events": "Time features: pure projection - zero exchanges, fused into the scan (pushdown-safe).",
