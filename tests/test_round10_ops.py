@@ -335,3 +335,95 @@ def test_time_features_known_dates(spark):
     assert out[3]["day_frac"] == pytest.approx(0.75)
     assert out[1]["week_index"] * 7 <= out[1]["epoch_day"]
     assert out[1]["day_of_year"] == 1 and out[1]["month_of_year"] == 1
+
+
+# --------------------------------------------------------- Winnowing
+
+def test_winnow_detection_floor_and_df_cap(spark):
+    # Docs 1/2 share a 6-token run >= window+k-1 = 6 → MUST pair
+    # (the structural guarantee); doc 3 disjoint → never pairs.
+    from time_sift_spark.operators.dedup import winnow_pairs
+
+    docs = _mk(spark, pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b c d e f g h",
+                 "z z a b c d e f q q",
+                 "one two three four five six seven"],
+    }))
+    out = {(r["doc_id_a"], r["doc_id_b"]): r["n_shared"]
+           for r in winnow_pairs(docs, "doc_id", "text", shingle_k=3,
+                                 window=4, min_shared=1).collect()}
+    assert (1, 2) in out and out[(1, 2)] >= 1
+    assert not any(3 in p for p in out)
+
+
+def test_winnow_boilerplate_df_cap_drops_hot_fingerprint(spark):
+    # The same text in 5 docs with df_cap=3: every shared fingerprint is
+    # over-cap, so NO pairs survive — the documented mega-cluster route.
+    from time_sift_spark.operators.dedup import winnow_pairs
+
+    docs = _mk(spark, pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["spam spam common boiler plate text here now"] * 5,
+    }))
+    out = winnow_pairs(docs, "doc_id", "text", df_cap=3, min_shared=1).collect()
+    assert out == []
+
+
+def test_winnow_spark_equals_duck(spark):
+    from time_sift_spark.operators.dedup import winnow_pairs, winnow_pairs_sql
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["the quick brown fox jumps over the lazy dog",
+                 "quick brown fox jumps over the lazy cat today",
+                 "completely different words in this one here",
+                 "the quick brown fox jumps over the lazy dog"],
+    })
+    got = {(r["doc_id_a"], r["doc_id_b"]): r["n_shared"]
+           for r in winnow_pairs(_mk(spark, pdf), "doc_id", "text",
+                                 min_shared=1).collect()}
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = {(a, b): n for a, b, n in con.execute(winnow_pairs_sql(
+        DUCK, "documents", "doc_id", "text", min_shared=1)).fetchall()}
+    assert got == want and (1, 4) in got
+
+
+# ---------------------------------------------------- Feature hashing
+
+def test_hash_vectorize_exact_counts_and_sign(spark):
+    # Same token twice doubles its weight; disjoint docs with the same
+    # token land identical (dim, weight); weights are signed ints.
+    from time_sift_spark.operators.text import hash_vectorize
+
+    docs = _mk(spark, pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["aa aa bb", "aa"],
+    }))
+    out = hash_vectorize(docs, "text", "doc_id", dim=16).collect()
+    d1 = {(r["dim_idx"]): r["weight"] for r in out if r["doc_id"] == 1}
+    d2 = {(r["dim_idx"]): r["weight"] for r in out if r["doc_id"] == 2}
+    (aa_dim, aa_w), = d2.items()
+    assert abs(aa_w) == 1
+    # doc 1 holds 2*aa at aa's dim, plus bb which either lands elsewhere
+    # (exact 2*aa_w) or collides (±1 off) — both are legal hashing-trick
+    # outcomes; what matters is the signed-count arithmetic is exact
+    assert d1[aa_dim] in (2 * aa_w, 2 * aa_w + 1, 2 * aa_w - 1)
+    assert all(isinstance(r["weight"], int) for r in out)
+
+
+def test_hash_vectorize_inner_product_sanity(spark):
+    # Hashed vectors of identical docs are identical; of disjoint docs
+    # nearly orthogonal (here: exactly, since no collisions at dim=64
+    # with 3 distinct tokens is likely — assert identical case only).
+    from time_sift_spark.operators.text import hash_vectorize
+
+    docs = _mk(spark, pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["x y z", "x y z"],
+    }))
+    out = hash_vectorize(docs, "text", "doc_id", dim=64).collect()
+    v1 = sorted((r["dim_idx"], r["weight"]) for r in out if r["doc_id"] == 1)
+    v2 = sorted((r["dim_idx"], r["weight"]) for r in out if r["doc_id"] == 2)
+    assert v1 == v2 and len(v1) >= 1

@@ -1753,3 +1753,143 @@ def prefix_jaccard_join(
             shingle_k=shingle_k, staged_hdist=sview,
         )
     )
+
+
+def winnow_fingerprints_sql(
+    d: Dialect,
+    table: str,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 3,
+    window: int = 4,
+    df_cap: int | None = None,
+) -> str:
+    """Document fingerprints by WINNOWING (Schleimer, Wilkerson &
+    Aiken 2003 — the MOSS algorithm): hash every ``shingle_k``-gram by
+    position, slide a ``window``-wide frame over the position sequence,
+    keep each frame's MINIMUM hash, emit the DISTINCT kept values per
+    document.  The guarantee MinHash cannot give: any shared token run
+    of length ≥ window + shingle_k − 1 produces at least one SHARED
+    fingerprint (both documents' frames over that run select the same
+    minimum), while the fingerprint density stays ~2/(window+1) of all
+    positions — local, deterministic sampling with a detection floor.
+
+    Taking DISTINCT minimum VALUES per document (rather than MOSS's
+    rightmost-tie position bookkeeping) yields the identical
+    fingerprint SET — position metadata only matters for locating the
+    match, which exact_substring_pairs already does.
+
+    ``df_cap`` drops fingerprints shared by more than ``df_cap``
+    documents BEFORE any pairing — the boilerplate mitigation, same
+    discipline as the LSH band-frequency cap and the CCNet line-df cap.
+
+    Plan: one explode (position-indexed shingles), one per-doc window
+    min (rides the doc-key exchange), one DISTINCT — all shuffles on
+    the doc key until the optional df screen.  All values exact
+    integers.
+    """
+    # tokens staged as a column BEFORE shingling (the _minhash_sig_cte
+    # rule: a token pipeline inside the shingle lambda re-tokenizes once
+    # per shingle index, ~7x slower at sf0.1)
+    toked = (f"(SELECT {id_col} AS {id_col}, {d.tokens(text_col)} AS _toks "
+             f"FROM {table}) _wtk")
+    pos_sel = _ssr_pos_explode(
+        d, toked, id_col, d.shingles("_toks", shingle_k), "sh",
+        "_toks IS NOT NULL",
+    )
+    fp = f"""
+    _wnp AS (
+      SELECT did, pos, {_md5_32(d, "sh")} AS h
+      FROM ({pos_sel}) _wn1
+    ),
+    _wnm AS (
+      SELECT DISTINCT did, mh FROM (
+        SELECT did, pos,
+               MIN(h) OVER (PARTITION BY did ORDER BY pos
+                            ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW) AS mh,
+               ROW_NUMBER() OVER (PARTITION BY did ORDER BY pos) AS rn
+        FROM _wnp
+      ) _wn2 WHERE rn >= {window}
+    )"""
+    if df_cap is not None:
+        fp += f""",
+    _wnf AS (
+      SELECT did, mh FROM (
+        SELECT did, mh, COUNT(*) OVER (PARTITION BY mh) AS dfc FROM _wnm
+      ) _wn3 WHERE dfc <= {int(df_cap)}
+    )"""
+    return fp
+
+
+def winnow_pairs_sql(
+    d: Dialect,
+    table: str,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 3,
+    window: int = 4,
+    df_cap: int = 50,
+    min_shared: int = 2,
+) -> str:
+    """Near-dup candidate pairs from shared winnowing fingerprints:
+    docs sharing ≥ ``min_shared`` fingerprints, with the shared count —
+    the MOSS match screen.  The join key is the fingerprint (blocking
+    discipline), the df cap bounds bucket sizes, and the detection
+    floor is structural: a shared run of ≥ window+shingle_k−1 tokens
+    cannot be missed (vs MinHash-LSH's probabilistic recall)."""
+    fps = winnow_fingerprints_sql(
+        d, table, id_col, text_col,
+        shingle_k=shingle_k, window=window, df_cap=df_cap,
+    )
+    src = "_wnf" if df_cap is not None else "_wnm"
+    return f"""
+    WITH {fps}
+    SELECT a.did AS doc_id_a, b.did AS doc_id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM {src} a JOIN {src} b ON a.mh = b.mh AND a.did < b.did
+    GROUP BY a.did, b.did
+    HAVING COUNT(*) >= {min_shared}
+    ORDER BY doc_id_a, doc_id_b
+    """
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 3,
+    window: int = 4,
+    df_cap: int = 50,
+    min_shared: int = 2,
+) -> DataFrame:
+    """DataFrame front door for :func:`winnow_pairs_sql` — stages the
+    fingerprint relation once (lazy localCheckpoint): the pair
+    self-join references it twice and Catalyst would replan the
+    explode + window-min subtree per side."""
+    from ..functions.text_fns import SPARK as _S
+
+    for c in (id_col, text_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    spark = df.sparkSession
+    view = "_ts_wn_in"
+    df.createOrReplaceTempView(view)
+    fps = winnow_fingerprints_sql(
+        _S, view, id_col, text_col,
+        shingle_k=shingle_k, window=window, df_cap=df_cap,
+    )
+    staged = spark.sql(f"WITH {fps} SELECT did, mh FROM _wnf").localCheckpoint(
+        eager=False
+    )
+    staged.createOrReplaceTempView("_ts_wn_fps")
+    return spark.sql(f"""
+    SELECT a.did AS doc_id_a, b.did AS doc_id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM _ts_wn_fps a JOIN _ts_wn_fps b ON a.mh = b.mh AND a.did < b.did
+    GROUP BY a.did, b.did
+    HAVING COUNT(*) >= {min_shared}
+    ORDER BY doc_id_a, doc_id_b
+    """)

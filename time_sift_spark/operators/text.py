@@ -1094,3 +1094,73 @@ def gini_feature_select(
             min_df=min_df, topk=topk, round_to=round_to,
         )
     )
+
+
+def hash_vectorize_sql(
+    d,
+    table: str,
+    text_col: str,
+    id_col: str,
+    *,
+    dim: int = 64,
+) -> str:
+    """Feature-HASHING (the hashing trick — Weinberger et al. 2009)
+    vectorizer: each token routes to ``h % dim`` with a ±1 SIGN drawn
+    from an independent bit of the same hash, and the document's sparse
+    vector is the signed count per dimension — the fixed-width,
+    vocabulary-free representation a linear scorer or sketch-based
+    similarity consumes when a learned vocabulary (quality-classifier
+    style) is unavailable or must stay drift-free across corpus
+    versions.  The sign hash is what makes collision noise zero-mean
+    (unbiased inner products), the property plain modulo-bucketed
+    counts lack.
+
+    Output: sparse (doc, dim_idx, weight) triples, zero weights
+    dropped.  Determinism: md5_long is non-negative (60-bit), so the
+    modulo needs no double-mod fold; the sign bit is the hash's parity
+    AFTER the dim division (independent of ``h % dim`` for even
+    ``dim``... which is exactly when independence matters — documented
+    choice: bit 60-down draw via intdiv, never the reused low bits).
+    All values exact BIGINTs — no float anywhere.
+
+    Plan: one token explode + ONE (doc, dim) partial-aggregated
+    shuffle; at 100 TB the (doc, dim) key count is ≤ docs × dim and
+    combiner-friendly (repeated tokens collapse map-side).
+    """
+    from .dedup import _int_div, _unnest
+
+    toks = d.tokens(text_col)
+    h = d.md5_long("tok")
+    sign = f"CASE WHEN ({_int_div(d, h, dim)} % 2) = 0 THEN 1 ELSE -1 END"
+    return f"""
+    WITH _fhx AS (
+      SELECT did, {_unnest(d, "_toks", "tok")} FROM (
+        SELECT {id_col} AS did, {toks} AS _toks FROM {table}
+      ) _fh0 WHERE _toks IS NOT NULL
+    ),
+    _fhw AS (
+      SELECT did, CAST(({h} % {dim}) AS INT) AS dim_idx,
+             CAST(SUM({sign}) AS BIGINT) AS weight
+      FROM _fhx
+      GROUP BY did, CAST(({h} % {dim}) AS INT)
+    )
+    SELECT did AS {id_col}, dim_idx, weight
+    FROM _fhw WHERE weight <> 0
+    ORDER BY {id_col}, dim_idx
+    """
+
+
+def hash_vectorize(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    dim: int = 64,
+) -> DataFrame:
+    """DataFrame entry point for :func:`hash_vectorize_sql`."""
+    _check(df, [text_col, id_col])
+    view = "_ts_fh_in"
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(
+        hash_vectorize_sql(SPARK, view, text_col, id_col, dim=dim)
+    )

@@ -1104,6 +1104,30 @@ def lsh_verified_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "winnow_pairs_docs",
+    oracle=_dd.winnow_pairs_sql(
+        DUCK, "documents", "doc_id", "text",
+        shingle_k=3, window=4, df_cap=50, min_shared=2,
+    ),
+)
+def winnow_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair screen by WINNOWING (the MOSS fingerprint
+    algorithm): per-position shingle hashes → sliding-window minimum →
+    distinct kept values per doc → fingerprint equi-join.  The
+    STRUCTURAL guarantee MinHash-LSH trades away: any shared token run
+    of ≥ window+k−1 tokens produces a shared fingerprint (detection
+    floor), at ~2/(window+1) sampling density; the df cap is the
+    boilerplate mitigation (the band-cap discipline).  Fingerprint
+    relation staged once — the pair self-join reads it twice
+    (operators/dedup.py:winnow_pairs)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return _dd.winnow_pairs(
+        docs, "doc_id", "text",
+        shingle_k=3, window=4, df_cap=50, min_shared=2,
+    )
+
+
+@register(
     "prefix_jaccard_join_docs",
     oracle=_dd.prefix_jaccard_join_sql(
         DUCK, "documents", "doc_id", "text", threshold=(1, 2), brute=True,
@@ -9556,6 +9580,28 @@ def token_chisq_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_label_chisq(docs, "text", "doc_id", "lang = 'en'", min_df=2)
 
 
+def _fh_oracle() -> str:
+    from .operators.text import hash_vectorize_sql
+
+    return hash_vectorize_sql(DUCK, "documents", "text", "doc_id", dim=32)
+
+
+@register("hash_vectorize_docs", oracle=_fh_oracle())
+def hash_vectorize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing (hashing-trick) vectorizer: 32-dim signed-count
+    sparse vectors per doc — the vocabulary-free, drift-free text
+    representation for linear scorers when a learned vocabulary
+    (quality-classifier tier) is unavailable; the ±1 sign hash (an
+    independent bit of the token hash) makes collision noise zero-mean,
+    the property plain bucketed counts lack.  One explode + ONE
+    (doc, dim) combiner-friendly shuffle; all values exact BIGINTs
+    (operators/text.py:hash_vectorize)."""
+    from .operators.text import hash_vectorize
+
+    docs = load_table(spark, "documents", sf_dir)
+    return hash_vectorize(docs, "text", "doc_id", dim=32)
+
+
 def _gini_oracle() -> str:
     from .operators.text import gini_feature_select_sql
 
@@ -9666,6 +9712,8 @@ GRADE_PRIORITY: list[str] = [
     "streaming_holt_winters_events",
     "range_partition_plan_events",
     "time_features_events",
+    "winnow_pairs_docs",
+    "hash_vectorize_docs",
     # -- CHANGED in r10 (eval view gained doc_id for lift_gains' NTILE
     #    tiebreak — oracle text of the _qev consumers changed; ann_ivf_topk_sql
     #    gained train_pred, touching ann_ivf_topk [in window below] and
@@ -9681,9 +9729,9 @@ GRADE_PRIORITY: list[str] = [
     "streaming_dedup_fuzzy_docs",
     "streaming_bloom_screen_docs",
     # -- staleness rotation (r02/r04 vintage, the r9 VERDICT list).
-    #    The 50-slot window holds 34 r10 additions + 7 changed, so 9 of
-    #    these 20 fit this round; the remaining 11 (fingerprint_docs
-    #    onward) lead the r11 rotation. All 262 are locally
+    #    The 50-slot window holds 36 r10 additions + 7 changed, so 7 of
+    #    these 20 fit this round; the remaining 13 (extract_features_docs
+    #    onward) lead the r11 rotation. All 264 are locally
     #    oracle-verified every round regardless (PARITY_r10.txt,
     #    tests/test_oracle_parity.py). --
     "asof_join_purchases_bcast",

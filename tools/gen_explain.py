@@ -174,6 +174,8 @@ SHOWCASE = {
     "prefix_jaccard_join_docs": "Prefix Jaccard join: the distinct (doc,hash) relation is STAGED (ExistingRDD, read 4x); candidates equi-join on the df-rarest prefix shingles; the verify join touches only candidate pairs - the brute all-pairs form lives ONLY in the oracle.",
     "range_partition_plan_events": "Range-partition planner: two column scans + one (bin) micro-shuffle for the sketch; the one-row boundary relation broadcast-cross-joins the assignment scan; the realized-balance reduce is <=n_buckets rows.",
     "time_features_events": "Time features: pure projection - zero exchanges, fused into the scan (pushdown-safe).",
+    "winnow_pairs_docs": "Winnowing pair screen: the fingerprint relation is STAGED (ExistingRDD, read by both self-join sides); build = explode + window-min + DISTINCT riding the doc-key exchange; pairing is a fingerprint equi-join bounded by the df cap.",
+    "hash_vectorize_docs": "Feature hashing: one token explode + ONE (doc,dim) partial-aggregated shuffle - repeated tokens collapse map-side; all-integer output.",
 }
 
 SF_DIR = "/root/testdata/sf0.01"
