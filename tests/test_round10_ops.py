@@ -427,3 +427,80 @@ def test_hash_vectorize_inner_product_sanity(spark):
     v1 = sorted((r["dim_idx"], r["weight"]) for r in out if r["doc_id"] == 1)
     v2 = sorted((r["dim_idx"], r["weight"]) for r in out if r["doc_id"] == 2)
     assert v1 == v2 and len(v1) >= 1
+
+
+# ---------------------------------------------------------- SymSpell
+
+def test_symspell_catches_every_single_typo_position(spark):
+    # insert, delete, substitute at head/middle/tail — ALL must pair
+    # with the original (the deletion-neighborhood guarantee); the
+    # distance-2 name must not.
+    from time_sift_spark.operators.entity import symspell_match
+
+    df = _mk(spark, pd.DataFrame({
+        "cid": [1, 2, 3, 4, 5, 6],
+        "name": ["abcdef",   # original
+                 "bcdef",    # head deletion
+                 "abcxdef",  # middle insertion
+                 "abcdeX",   # tail substitution
+                 "Xbcdef",   # head substitution
+                 "abXXef"],  # distance 2 — must NOT pair with 1
+    }))
+    out = {(r["id_a"], r["id_b"]) for r in
+           symspell_match(df, "cid", "name", max_distance=1).collect()}
+    for other in (2, 3, 4, 5):
+        assert (1, other) in out, other
+    assert (1, 6) not in out
+
+
+def test_symspell_variant_df_cap(spark):
+    # identical names everywhere with cap 2: all variants over-cap, no
+    # pairs — the formulaic-name hot-key route.
+    from time_sift_spark.operators.entity import symspell_match
+
+    df = _mk(spark, pd.DataFrame({"cid": [1, 2, 3, 4],
+                                  "name": ["same"] * 4}))
+    assert symspell_match(df, "cid", "name",
+                          variant_df_cap=2).collect() == []
+
+
+# ----------------------------------------------------- Quantile drift
+
+def test_quantile_drift_detects_location_shift(spark):
+    import datetime
+
+    from time_sift_spark.operators.quality import quantile_drift
+
+    rows = []
+    for i in range(600):
+        day = i % 30
+        v = float(i % 100) + (300.0 if day >= 15 else 0.0)
+        rows.append(("t", datetime.datetime(2024, 1, 1 + day), v))
+    df = _mk(spark, pd.DataFrame(rows, columns=["event_type", "ts", "v"]))
+    out = quantile_drift(df, "v", "ts", "event_type", "2024-01-16").collect()
+    assert len(out) == 1 and out[0]["flagged"]
+    assert out[0]["shift_p5"] == pytest.approx(300.0, abs=5.0)
+
+
+# ------------------------------------------------------------- Burst
+
+def test_burst_detect_flags_spike_not_baseline(spark):
+    import datetime
+
+    from time_sift_spark.operators.rolling import burst_detect
+
+    rows = []
+    for day in range(10):
+        n = 50 if day == 8 else 10
+        for i in range(n):
+            rows.append(("err", datetime.datetime(2024, 1, 1 + day, 12, 0, i % 60)))
+    df = _mk(spark, pd.DataFrame(rows, columns=["event_type", "ts"]))
+    out = {r["day_x"]: r for r in
+           burst_detect(df, "ts", "event_type").collect()}
+    days = sorted(out)
+    first, spike, after = out[days[0]], out[days[8]], out[days[9]]
+    assert first["burst_ratio"] is None and not first["flagged"]
+    assert spike["flagged"] and spike["burst_ratio"] == pytest.approx(5.0)
+    # the spiked day inflates later baselines but day 9 itself (10
+    # events vs mean ~15) must NOT flag
+    assert not after["flagged"]

@@ -717,3 +717,90 @@ def key_skew_profile(df: DataFrame, key_col: str,
     return df.sparkSession.sql(
         key_skew_profile_sql(_S, view, key_col, round_to=round_to)
     )
+
+
+def quantile_drift_sql(d, table: str, value_col: str, time_col: str,
+                       group_col: str, split_date: str,
+                       *, lo: float = 0.0, hi: float = 1000.0,
+                       bins: int = 500, flag_shift: float = 50.0,
+                       round_to: int = 4) -> str:
+    """Quantile (QQ) drift monitor: per group, the p10/p25/p50/p75/p90
+    sketch estimates BEFORE vs FROM ``split_date``, their shifts, and a
+    flag when any quantile moved more than ``flag_shift`` — the
+    LOCATION/SCALE half of the drift family (distribution_drift's
+    TV/χ² sees mass moved between bins; a pure median shift inside wide
+    bins can hide from it, and conversely a reshuffle that keeps every
+    quantile fixed hides from this one — run both, which is why they
+    share a module).
+
+    Mechanics: ONE (group, side, bin) histogram pass over the fixed
+    [lo, hi) domain (the mergeable sketch — exact decimal crossing
+    decisions, double interpolation, histogram_quantiles machinery
+    verbatim via its SQL builder's group_by hook), then the two sides
+    PIVOT onto one row per group with MAX(CASE) — no self-join, no
+    staging hazard (the sketch relation is referenced once).
+
+    Scale: the sketch is the scale answer (mergeable bin counts,
+    partial aggregation); the pivot runs on 2 rows per group.
+    """
+    from .sketch import histogram_quantiles_sql as _hqs
+    from ._num import round_double
+
+    probs = (0.1, 0.25, 0.5, 0.75, 0.9)
+    names = [f"est_p{str(p).replace('0.', '')}" for p in probs]
+    side = (f"(CAST({time_col} AS DATE) < DATE '{split_date}')")
+    src = (f"(SELECT {group_col}, {value_col}, {side} AS is_base "
+           f"FROM {table} WHERE {value_col} IS NOT NULL) _qqd0")
+    inner = _hqs(src, value_col, lo=lo, hi=hi, bins=bins, probs=probs,
+                 group_by=(group_col, "is_base"))
+    picks = []
+    for p, nm in zip(probs, names):
+        tag = nm.replace("est_", "")
+        picks.append(f"MAX(CASE WHEN is_base THEN {nm} END) AS base_{tag}")
+        picks.append(f"MAX(CASE WHEN NOT is_base THEN {nm} END) AS cur_{tag}")
+    # shift columns: cur - base per quantile, rounded
+    shift_cols = ", ".join(
+        f"{round_double(f'(cur_{nm[4:]} - base_{nm[4:]})', round_to)} AS shift_{nm[4:]}"
+        for nm in names
+    )
+    abs_terms = ", ".join(f"ABS(cur_{nm[4:]} - base_{nm[4:]})" for nm in names)
+    return f"""
+    WITH _qqs AS (
+      {inner}
+    ),
+    _qqp AS (
+      SELECT {group_col},
+             CAST(MAX(CASE WHEN is_base THEN n END) AS BIGINT) AS n_base,
+             CAST(MAX(CASE WHEN NOT is_base THEN n END) AS BIGINT) AS n_cur,
+             {", ".join(picks)}
+      FROM _qqs GROUP BY {group_col}
+    )
+    SELECT {group_col}, n_base, n_cur,
+           {shift_cols},
+           (GREATEST({abs_terms}) > {flag_shift!r}) AS flagged
+    FROM _qqp
+    ORDER BY {group_col}
+    """
+
+
+def quantile_drift(df: DataFrame, value_col: str, time_col: str,
+                   group_col: str, split_date: str,
+                   *, lo: float = 0.0, hi: float = 1000.0,
+                   bins: int = 500, flag_shift: float = 50.0,
+                   round_to: int = 4) -> DataFrame:
+    """DataFrame front door for :func:`quantile_drift_sql` (single
+    sketch reference — no staging needed)."""
+    from ..functions.text_fns import SPARK as _S
+    from ._time import assert_time_dtype
+
+    for c in (value_col, time_col, group_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    assert_time_dtype(df, time_col)
+    view = "_ts_qqd_in"
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(
+        quantile_drift_sql(_S, view, value_col, time_col, group_col,
+                           split_date, lo=lo, hi=hi, bins=bins,
+                           flag_shift=flag_shift, round_to=round_to)
+    )

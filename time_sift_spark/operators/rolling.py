@@ -442,3 +442,91 @@ def rolling_moments_sql(
                 ELSE {rd('((m4 / (m2 * m2)) - 3.0)')} END AS roll_kurt_excess
     FROM _rmc
     """
+
+
+def burst_detect_sql(
+    d,
+    table: str,
+    time_col: str,
+    group_col: str,
+    *,
+    baseline_days: int = 7,
+    flag_ratio: float = 2.0,
+    round_to: int = 6,
+) -> str:
+    """Burst detection on event rates: per (group, day), today's event
+    count against the trailing ``baseline_days``-day mean (current day
+    EXCLUDED — a burst must not inflate its own baseline), the ratio,
+    and a ≥ ``flag_ratio`` flag — the ops-monitoring primitive behind
+    "error rate is 3× its trailing week" alerts, the rate-side
+    companion of the value-side monitors (seasonal anomaly screens
+    values; this screens VOLUME).
+
+    Determinism: counts are exact BIGINTs over the day-bucket groupBy;
+    the baseline mean is one IEEE division of the exact trailing SUM by
+    the actual frame COUNT (so the first days use their real shorter
+    baseline, never an imputed divisor); rows with an EMPTY baseline
+    (each group's first day) report NULL ratio and never flag.
+    LAG-by-rows equals LAG-by-calendar only on gap-free daily series —
+    the MASE contract; gap-fill first on holey calendars.
+
+    Plan: one (group, day) partial-agg shuffle; ONE window exchange on
+    the group key carries both trailing frames; per-key state bounded
+    by the bucket calendar.
+    """
+    from ._num import round_double
+
+    if d.name == "spark":
+        day = f"datediff(CAST({time_col} AS DATE), DATE '1970-01-01')"
+    else:
+        day = f"datediff('day', DATE '1970-01-01', CAST({time_col} AS DATE))"
+    w = (f"PARTITION BY k ORDER BY x "
+         f"ROWS BETWEEN {baseline_days} PRECEDING AND 1 PRECEDING")
+    ratio = "(CAST(cnt AS DOUBLE) / (CAST(base_sum AS DOUBLE) / CAST(base_n AS DOUBLE)))"
+    return f"""
+    WITH _bdb AS (
+      SELECT {group_col} AS k, {day} AS x, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM {table} GROUP BY {group_col}, {day}
+    ),
+    _bdw AS (
+      SELECT k, x, cnt,
+             CAST(SUM(cnt) OVER ({w}) AS BIGINT) AS base_sum,
+             CAST(COUNT(cnt) OVER ({w}) AS BIGINT) AS base_n
+      FROM _bdb
+    )
+    SELECT k AS {group_col}, CAST(x AS BIGINT) AS day_x, cnt,
+           base_sum, base_n,
+           CASE WHEN base_n = 0 OR base_sum = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE {round_double(ratio, round_to)} END AS burst_ratio,
+           CASE WHEN base_n = 0 OR base_sum = 0 THEN FALSE
+                ELSE ({ratio} >= {flag_ratio!r}) END AS flagged
+    FROM _bdw
+    ORDER BY {group_col}, day_x
+    """
+
+
+def burst_detect(
+    df: DataFrame,
+    time_col: str,
+    group_col: str,
+    *,
+    baseline_days: int = 7,
+    flag_ratio: float = 2.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """DataFrame front door for :func:`burst_detect_sql` (every CTE
+    referenced once — no staging needed)."""
+    from ..functions.text_fns import SPARK as _S
+    from ._time import assert_time_dtype
+
+    for c in (time_col, group_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    assert_time_dtype(df, time_col)
+    view = "_ts_burst_in"
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(
+        burst_detect_sql(_S, view, time_col, group_col,
+                         baseline_days=baseline_days,
+                         flag_ratio=flag_ratio, round_to=round_to)
+    )

@@ -8336,6 +8336,33 @@ def entity_match_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _symspell_oracle() -> str:
+    from .operators.entity import symspell_match_sql
+
+    return symspell_match_sql(DUCK, _ER_CUSTOMERS, "cid", "name", max_distance=1)
+
+
+@register("symspell_match_customer", oracle=_symspell_oracle())
+def symspell_match_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant linkage by DELETION-NEIGHBORHOOD blocking (the
+    SymSpell discipline): every name emits its 1-deletion variants as
+    blocking keys, so ANY single-typo twin — insert, delete, or
+    substitute, anywhere in the string — shares a key, the guarantee
+    the suffix block (misses trailing edits) and sorted neighborhood
+    (misses early edits) each trade away.  Both planted twin families
+    (dropped digit, trailing X) are distance-1 and must all surface.
+    Variant relation staged once; levenshtein verifies candidates only
+    (operators/entity.py:symspell_match)."""
+    from .operators.entity import symspell_match
+
+    cust = load_table(spark, "customer", sf_dir)
+    cust.createOrReplaceTempView("customer")
+    return symspell_match(
+        spark.sql(f"SELECT * FROM {_ER_CUSTOMERS} _erc"), "cid", "name",
+        max_distance=1,
+    )
+
+
 def _snm_oracle() -> str:
     from .operators.entity import sorted_neighborhood_sql
 
@@ -9416,6 +9443,51 @@ def key_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_profile(events, "user_id")
 
 
+def _burst_oracle() -> str:
+    from .operators.rolling import burst_detect_sql
+
+    return burst_detect_sql(DUCK, "events", "ts", "event_type")
+
+
+@register("burst_detect_events", oracle=_burst_oracle())
+def burst_detect_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate burst detection: per (event_type, day), today's count
+    vs the trailing 7-day mean (current day excluded — a burst must not
+    inflate its own baseline), ratio + ≥2× flag — the VOLUME-side
+    monitor next to the value-side screens (seasonal anomaly, drift).
+    One (group, day) shuffle + ONE group-key window exchange; exact
+    counts, one division; first days use their real shorter baseline
+    and an empty baseline reports NULL, never flags
+    (operators/rolling.py:burst_detect)."""
+    from .operators.rolling import burst_detect
+
+    events = load_table(spark, "events", sf_dir)
+    return burst_detect(events, "ts", "event_type")
+
+
+def _qq_drift_oracle() -> str:
+    from .operators.quality import quantile_drift_sql
+
+    return quantile_drift_sql(
+        DUCK, "events", "value", "ts", "event_type", "2024-01-16"
+    )
+
+
+@register("quantile_drift_events", oracle=_qq_drift_oracle())
+def quantile_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile (QQ) drift monitor: p10/p25/p50/p75/p90 sketch
+    estimates of value per event type, second half of January vs the
+    first, with per-quantile shifts and a >50-unit flag — the
+    location/scale half of the drift family (TV/χ² sees mass moved
+    between bins; a median shift inside wide bins can hide from it).
+    ONE (group, side, bin) mergeable-sketch pass, two-row-per-group
+    pivot, no self-join (operators/quality.py:quantile_drift)."""
+    from .operators.quality import quantile_drift
+
+    events = load_table(spark, "events", sf_dir)
+    return quantile_drift(events, "value", "ts", "event_type", "2024-01-16")
+
+
 @register("distribution_drift_events", oracle=_drift_oracle())
 def distribution_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift monitor: TV distance + χ² drift of the value
@@ -9714,6 +9786,9 @@ GRADE_PRIORITY: list[str] = [
     "time_features_events",
     "winnow_pairs_docs",
     "hash_vectorize_docs",
+    "symspell_match_customer",
+    "quantile_drift_events",
+    "burst_detect_events",
     # -- CHANGED in r10 (eval view gained doc_id for lift_gains' NTILE
     #    tiebreak — oracle text of the _qev consumers changed; ann_ivf_topk_sql
     #    gained train_pred, touching ann_ivf_topk [in window below] and
@@ -9729,9 +9804,9 @@ GRADE_PRIORITY: list[str] = [
     "streaming_dedup_fuzzy_docs",
     "streaming_bloom_screen_docs",
     # -- staleness rotation (r02/r04 vintage, the r9 VERDICT list).
-    #    The 50-slot window holds 36 r10 additions + 7 changed, so 7 of
-    #    these 20 fit this round; the remaining 13 (extract_features_docs
-    #    onward) lead the r11 rotation. All 264 are locally
+    #    The 50-slot window holds 39 r10 additions + 7 changed, so 4 of
+    #    these 20 fit this round; the remaining 16 (signup_users_no_purchase
+    #    onward) lead the r11 rotation. All 267 are locally
     #    oracle-verified every round regardless (PARITY_r10.txt,
     #    tests/test_oracle_parity.py). --
     "asof_join_purchases_bcast",
