@@ -646,6 +646,64 @@ def test_lsh_append_equals_rebuild(spark, emb, tmp_path_factory):
     assert spark.read.parquet(f"{inc_path}/buckets").count() == n_bkt
 
 
+def test_lsh_append_crash_recovery(spark, emb, tmp_path_factory):
+    """The append's documented write-order recovery rule: buckets
+    commit FIRST, vectors (which drives the idempotence anti-join)
+    LAST.  A crash between the two leaves orphaned bucket rows; the
+    RETRY must land the increment fully — no stranded vids skipped
+    forever (the r10 ADVICE failure mode: anti-join on the
+    first-written artifact made partial appends permanent recall
+    loss).  Post-retry: vectors duplicate-free and query ≡ one-shot
+    full build; buckets may carry duplicate rows, harmless because
+    every consumer dedups candidates."""
+    from time_sift_spark.functions.vector_fns import VSPARK as _VS
+    from time_sift_spark.operators.similarity import (
+        _lsh_keys_select,
+        append_lsh_index,
+    )
+
+    full = str(tmp_path_factory.mktemp("lsh_crash_full"))
+    inc_path = str(tmp_path_factory.mktemp("lsh_crash_inc"))
+    build_lsh_index(emb, "vec_id", "embedding", full, dim=64, **LSH_KW)
+    base = emb.where("vec_id % 4 < 3")
+    inc = emb.where("vec_id % 4 = 3")
+    build_lsh_index(base, "vec_id", "embedding", inc_path, dim=64, **LSH_KW)
+
+    # simulate the crash window: the buckets append landed, the
+    # vectors append did not (exactly what a failure between the two
+    # writes leaves behind under the buckets-first order)
+    p = spark.read.parquet(f"{inc_path}/params").collect()[0]
+    inc.createOrReplaceTempView("_lshcrash_inc")
+    partial = spark.sql(
+        "SELECT vec_id AS vid, embedding, "
+        f"{_VS.norm('embedding')} AS nrm FROM _lshcrash_inc"
+    )
+    partial.createOrReplaceTempView("_lshcrash_fresh")
+    spark.sql(
+        _lsh_keys_select(
+            _VS, "embedding", "_lshcrash_fresh", p["num_planes"],
+            p["num_tables"], p["seed"], p["dim"],
+        )
+    ).write.mode("append").parquet(f"{inc_path}/buckets")
+    n_vec_before = spark.read.parquet(f"{inc_path}/vectors").count()
+
+    # the retry: must re-derive and land the WHOLE increment
+    append_lsh_index(spark, inc_path, inc)
+
+    vecs = spark.read.parquet(f"{inc_path}/vectors").select("vid").toPandas()
+    assert vecs.vid.is_unique, "vectors must stay duplicate-free"
+    assert len(vecs) == n_vec_before + inc.count()
+    full_b = spark.read.parquet(f"{full}/buckets").select("vid", "bkey")
+    inc_b = spark.read.parquet(f"{inc_path}/buckets").select("vid", "bkey")
+    assert (
+        inc_b.distinct().exceptAll(full_b.distinct()).count() == 0
+        and full_b.distinct().exceptAll(inc_b.distinct()).count() == 0
+    ), "DISTINCT bucket set must equal the one-shot full build's"
+    qa = _sorted(query_lsh_index(spark, full, query_pred="vid < 8", k=5))
+    qb = _sorted(query_lsh_index(spark, inc_path, query_pred="vid < 8", k=5))
+    pd.testing.assert_frame_equal(qa, qb)
+
+
 def test_ivf_append_pinned_centroid_equivalence(spark, emb, tmp_path_factory):
     """append_ivf_index: the appended rows must carry exactly the
     assignment a one-pass computation over base ∪ inc against the SAME

@@ -276,3 +276,28 @@ def test_merge_upsert_iud_semantics(spark):
         merge_upsert(snap, chg, ["k"], ["v"]), chg, ["k"], ["v"]
     ).toPandas().set_index("k").sort_index()
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_merge_upsert_null_key_contract(spark):
+    """Non-NULL-key CDC contract (r10 ADVICE): a NULL-keyed change row
+    can never address a snapshot key (equi-join never matches NULL), so
+    it is filtered out of the batch rather than emitted as an all-NULL
+    garbage row."""
+    import pandas as pd
+
+    from time_sift_spark.operators.reconcile import merge_upsert
+
+    snap = spark.createDataFrame(pd.DataFrame({"k": [1, 2], "v": ["a", "b"]}))
+    chg = spark.createDataFrame(
+        pd.DataFrame({
+            "k": pd.array([None, 2], dtype="Int64"),
+            "v": ["ghost", "b2"],
+            "op": ["I", "U"],
+            "seq": [1, 2],
+        })
+    )
+    out = merge_upsert(snap, chg, ["k"], ["v"]).toPandas()
+    assert out.k.notna().all(), "no NULL-keyed output rows"
+    assert len(out) == 2
+    got = out.set_index("k").v
+    assert got.loc[1] == "a" and got.loc[2] == "b2"

@@ -77,8 +77,10 @@ def test_staged_plan_exchange_counts_pinned(spark):
         "quality_auc_docs": 1,
         "theil_sen_trend_events": 1,   # ONE data shuffle (staged buckets)
         "kmv_audience_overlap_lineitem": 4,
-        # r10 staging: the window-gram frame feeds freq + flag arms
-        "substring_remove_docs": 4,
+        # r11 rewrite: flags via window functions over ONE gram
+        # exchange + the per-doc removal aggregate — no groupBy+join
+        # -back, no second corpus explode (was 4 staged / 13.2s weak)
+        "substring_remove_docs": 2,
         # r9 staging kept for the conformal/attribution shared frames
         "attribution_revenue_events": 2,
         "conformal_interval_events": 3,

@@ -264,13 +264,20 @@ def test_dec6_to_double_matches_sql_dec_to_double():
     from time_sift_spark.streaming.lag_stream import _dec6_to_double
 
     con = duckdb.connect()
+    # The last four are 18-digit values (legal DECIMAL(18,6) micros)
+    # where the pre-r11 float true-division split rounded the quotient
+    # across an integer boundary (q one too high, r NEGATIVE — a q/r
+    # decomposition the SQL decimal % semantics never produces); the
+    # exact-integer floor split matches at ALL BIGINT magnitudes.  The
+    # decimal operand is built from the digit string: a DECIMAL/DECIMAL
+    # division would itself degrade to double at these widths.
     for micros in [0, 1, -1, 123456789, -987654321, 10**15 + 7,
-                   -(10**15 + 7), 999999, -999999, 20152415783501905]:
-        sql = dec_to_double(f"CAST({micros} AS DECIMAL(27,6)) / 1000000")
-        # build the decimal value micros * 1e-6 exactly
-        sql = dec_to_double(
-            f"CAST({micros} AS DECIMAL(27,0)) / CAST(1000000 AS DECIMAL(7,0))"
-        )
+                   -(10**15 + 7), 999999, -999999, 20152415783501905,
+                   559226890874999949, -559226890874999949,
+                   209288111064999991, -887603361312999997]:
+        s = str(abs(micros)).rjust(7, "0")
+        lit = ("-" if micros < 0 else "") + s[:-6] + "." + s[-6:]
+        sql = dec_to_double(f"CAST('{lit}' AS DECIMAL(27,6))")
         want = con.execute(f"SELECT {sql}").fetchone()[0]
         assert _dec6_to_double(micros) == want, micros
 

@@ -1007,8 +1007,6 @@ def substring_remove_sql(
     *,
     k: int = 10,
     gram_doc_cap: int | None = None,
-    staged_wins: str | None = None,
-    staged_toks: str | None = None,
 ) -> str:
     """Duplicate-SPAN removal — the excision step of ExactSubstr dedup
     (Lee et al. 2022, arXiv:2107.06499 §4.1: "deduplicating the dataset
@@ -1032,79 +1030,91 @@ def substring_remove_sql(
     * a gram in more than ``gram_doc_cap`` documents is boilerplate and
       is removed EVERYWHERE (canonical included) — the band-freq-cap
       rule carried over as CCNet-style boilerplate semantics;
-    * a token is removed when ANY removal-flagged window covers it:
-      coverage = running MAX over the dense token-position frame
-      (ROWS k-1 PRECEDING — positions are gapless by construction, so
-      the ROWS frame IS the span);
+    * a token is removed when ANY removal-flagged window covers it
+      (window start p covers token positions [p, p+k-1]);
     * documents shorter than k tokens form one undersized whole-doc
       window (the shingles() clamp), so exact whole-doc twins below k
       tokens still dedup.
 
-    Shape: one explode+hash pass (one shuffle on the gram key for the
-    partial-aggregated frequency/canonical table — counters and one
-    integer argmin per gram, NEVER a pair join), one equi-join back,
-    one per-doc window + reassembly exchange.  A million-document
-    boilerplate gram costs one counter row (the cap decides its fate),
-    not 10¹² pairs.  Output: ({id_col}, text_dedup, n_tokens, n_kept,
-    n_removed) for every input row — NULL/empty docs reassemble to ''.
+    Shape (the r10 verdict's weak-plan fix): documents are SINGLE ROWS,
+    so everything per-document is ROW-LOCAL array arithmetic — only the
+    gram statistics need a shuffle.  ONE narrow explode+hash pass over
+    the corpus, ONE exchange on the gram key where window functions
+    compute n_occ / argmin / distinct-doc count in place (no groupBy +
+    join-back — the window-over-frame rule; distinct docs via the
+    LAG-run-boundary trick, exact because rows are did-ordered within
+    each gram partition), then ONLY the flagged (did, pos) rows — the
+    removals, a tiny fraction of the corpus — aggregate per doc and
+    join back to the base table, where coverage expansion, token
+    filtering, and reassembly are per-row array expressions (covered =
+    distinct-flatten of the flagged spans; kept = ordered set-minus of
+    positions; O(span tokens), hash-based — never a second corpus
+    explode, never a (did, pos) equi-join, never a second corpus-wide
+    window sort).  A million-document boilerplate gram costs counter
+    rows in one gram partition, not 10¹² pairs.  Output: ({id_col},
+    text_dedup, n_tokens, n_kept, n_removed) for every input row —
+    NULL/empty docs reassemble to ''.
     """
     toks = d.tokens(text_col)
-    where = f"({toks}) IS NOT NULL AND {d.size(toks)} >= 1"
-    wins = (
-        f"SELECT did, pos, g FROM {staged_wins}" if staged_wins
-        else _ssr_wins_select(d, table, id_col, text_col, k)
-    )
-    toksx = (
-        f"SELECT did, pos, tok FROM {staged_toks}" if staged_toks
-        else _ssr_pos_explode(d, table, id_col, toks, "tok", where)
-    )
+    wins = _ssr_wins_select(d, table, id_col, text_col, k)
     enc = f"(did * {_SSR_POS_MOD} + pos)"
-    cap_branch = (
-        f"WHEN f.n_docs > {int(gram_doc_cap)} THEN 1\n               "
-        if gram_doc_cap is not None else ""
-    )
-    if d.name == "spark":
-        reasm = (
-            "concat_ws(' ', transform(array_sort(collect_list("
-            "CASE WHEN removed = 0 THEN struct(pos, tok) END)), s -> s.tok))"
-        )
+    if gram_doc_cap is not None:
+        # first row of each (g, did) run in (did, pos) order — summed
+        # per gram this IS the exact distinct-doc count (did NOT NULL)
+        nd = ("CASE WHEN COALESCE(LAG(did) OVER (PARTITION BY g "
+              "ORDER BY did, pos), -1) <> did THEN 1 ELSE 0 END AS _nd,")
+        ndocs_sel = "SUM(_nd) OVER (PARTITION BY g) AS n_docs,"
+        rm_pred = (f"n_docs > {int(gram_doc_cap)} OR "
+                   f"(n_occ >= 2 AND enc <> min_enc)")
     else:
-        reasm = "string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE removed = 0)"
+        nd, ndocs_sel = "", ""
+        rm_pred = "n_occ >= 2 AND enc <> min_enc"
+    if d.name == "spark":
+        rps_agg = "array_sort(collect_list(pos))"
+        empty = "CAST(array() AS ARRAY<INT>)"
+        cov = (f"array_distinct(flatten(transform(_rps, "
+               f"p -> sequence(p, p + {int(k) - 1}))))")
+        kept = ("CASE WHEN size(_tk) >= 1 THEN "
+                "array_except(sequence(0, size(_tk) - 1), _cov) END")
+        reasm = "concat_ws(' ', transform(_kept, i -> element_at(_tk, i + 1)))"
+    else:
+        rps_agg = "list_sort(list(pos))"
+        empty = "[]"
+        cov = (f"list_distinct(flatten(list_transform(_rps, "
+               f"p -> generate_series(p, p + {int(k) - 1}))))")
+        kept = ("list_filter(generate_series(1, len(_tk)), "
+                "i -> NOT list_contains(_cov, i))")
+        reasm = "array_to_string(list_transform(_kept, i -> _tk[i]), ' ')"
     return f"""
-    WITH _srw AS ({wins}),
-    _srt AS ({toksx}),
-    _srf AS (
-      SELECT g, COUNT(*) AS n_occ, COUNT(DISTINCT did) AS n_docs,
-             MIN({enc}) AS min_enc
-      FROM _srw GROUP BY g
+    WITH _srw AS (
+      SELECT did, pos, {nd} {enc} AS enc, g
+      FROM ({wins})
     ),
-    _srg AS (
-      SELECT w.did AS did, w.pos AS pos,
-             CASE {cap_branch}WHEN f.n_occ >= 2
-                    AND (w.did * {_SSR_POS_MOD} + w.pos) <> f.min_enc THEN 1
-                  ELSE 0 END AS rm
-      FROM _srw w JOIN _srf f ON f.g = w.g
-    ),
-    _src AS (
-      SELECT t.did AS did, t.pos AS pos, t.tok AS tok,
-             MAX(COALESCE(s.rm, 0)) OVER (
-               PARTITION BY t.did ORDER BY t.pos
-               ROWS BETWEEN {int(k) - 1} PRECEDING AND CURRENT ROW
-             ) AS removed
-      FROM _srt t LEFT JOIN _srg s ON s.did = t.did AND s.pos = t.pos
+    _srs AS (
+      SELECT did, pos, enc,
+             {ndocs_sel}
+             COUNT(*) OVER (PARTITION BY g) AS n_occ,
+             MIN(enc) OVER (PARTITION BY g) AS min_enc
+      FROM _srw
     ),
     _sra AS (
-      SELECT did,
-             COUNT(*) AS n_tokens,
-             SUM(removed) AS n_removed,
-             {reasm} AS text_dedup
-      FROM _src GROUP BY did
-    )
-    SELECT b.{id_col}, COALESCE(a.text_dedup, '') AS text_dedup,
-           CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
-           CAST(COALESCE(a.n_tokens, 0) - COALESCE(a.n_removed, 0) AS BIGINT) AS n_kept,
-           CAST(COALESCE(a.n_removed, 0) AS BIGINT) AS n_removed
-    FROM {table} b LEFT JOIN _sra a ON a.did = b.{id_col}
+      SELECT did, {rps_agg} AS rps
+      FROM _srs WHERE {rm_pred} GROUP BY did
+    ),
+    _srb AS (
+      SELECT b.{id_col} AS did_out, {d.tokens(f"b.{text_col}")} AS _tk,
+             COALESCE(a.rps, {empty}) AS _rps
+      FROM {table} b LEFT JOIN _sra a ON a.did = b.{id_col}
+    ),
+    _src AS (SELECT did_out, _tk, {cov} AS _cov FROM _srb),
+    _srk AS (SELECT did_out, _tk, {kept} AS _kept FROM _src)
+    SELECT did_out AS {id_col},
+           COALESCE({reasm}, '') AS text_dedup,
+           CAST(COALESCE({d.size('_tk')}, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE({d.size('_kept')}, 0) AS BIGINT) AS n_kept,
+           CAST(COALESCE({d.size('_tk')}, 0)
+                - COALESCE({d.size('_kept')}, 0) AS BIGINT) AS n_removed
+    FROM _srk
     """
 
 
@@ -1116,10 +1126,11 @@ def substring_remove(
     k: int = 10,
     gram_doc_cap: int | None = None,
 ) -> DataFrame:
-    """DataFrame entry point for :func:`substring_remove_sql` — stages
-    the window-gram relation ONCE (lazy localCheckpoint; it feeds both
-    the frequency pass and the flag join, and Catalyst would otherwise
-    replan the explode+hash per reference — the engine staging rule)."""
+    """DataFrame entry point for :func:`substring_remove_sql`.  No
+    staging needed since the r11 rewrite: the gram stream is referenced
+    exactly once (the flag computation is window functions over the one
+    gram exchange, not a groupBy + join-back), so the statement is a
+    single Catalyst plan with nothing to re-inline."""
     from ..functions.text_fns import SPARK as _S
 
     for c in (id_col, text_col):
@@ -1135,14 +1146,9 @@ def substring_remove(
     spark = df.sparkSession
     view = "_ts_ssr_in"
     df.createOrReplaceTempView(view)
-    wview = "_ts_ssr_wins"
-    spark.sql(
-        _ssr_wins_select(_S, view, id_col, text_col, k)
-    ).localCheckpoint(eager=False).createOrReplaceTempView(wview)
     return spark.sql(
         substring_remove_sql(
             _S, view, id_col, text_col, k=k, gram_doc_cap=gram_doc_cap,
-            staged_wins=wview,
         )
     )
 

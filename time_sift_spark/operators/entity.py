@@ -216,6 +216,7 @@ def symspell_match_sql(
     name_col: str,
     *,
     max_distance: int = 1,
+    max_deletions: int = 1,
     variant_df_cap: int | None = None,
     staged_variants: str | None = None,
 ) -> str:
@@ -230,38 +231,77 @@ def symspell_match_sql(
     anywhere in the string) shares a deletion variant — a deletion pair
     shares the short form, an insertion pair is its mirror, and a
     substitution pair shares the variant that deletes the differing
-    position.  So the trio completes: suffix blocks catch cheap bulk
-    dupes, SNM catches near-sorted clusters, SymSpell catches EVERY
-    single-typo twin regardless of where the typo falls.  (Distance-2
-    coverage needs 2-deletion neighborhoods — |name|² keys; the
-    documented dial, not built here.)
+    position.  ``max_deletions=2`` extends the neighborhood to all
+    two-position deletions (C(|name|,2) extra keys — the documented
+    |name|²-key dial): any pair within edit distance 2 shares a
+    depth-≤2 deletion variant (each side deletes its ≤2 edited
+    positions; a transposition is 2 substitutions under classic
+    levenshtein and shares the variant deleting both swapped slots), so
+    the d2 form catches every DOUBLE-typo twin the d1 key provably
+    cannot block on.
 
     ``variant_df_cap`` drops variants shared by more than that many
     records before pairing — the hot-key mitigation for short or
     formulaic names (the LSH band-cap discipline); long structured
-    names (the registered query's customer keys) need none.
+    names (the registered query's customer keys) need none at d1, but
+    the d2 neighborhood of FORMULAIC names (shared templates, digit
+    runs) makes the cap mandatory: it bounds every candidate bucket at
+    cap rows BEFORE the self-join, the same recall-for-cost contract as
+    lsh_neardup_capped.
 
-    Plan: one explode (|name|+1 variants per record), one variant-key
-    equi-join, levenshtein only on candidates.  The variant relation is
-    referenced by BOTH self-join sides — the engine staging rule; the
-    Spark front door stages it (``staged_variants``), the oracle keeps
-    the inline text.
+    Variants are DEDUPLICATED per record before exploding (deleting any
+    character of an equal-character run yields the same string — a
+    zero-padded id's run of 8 zeros emits 1 variant, not 8), which
+    shrinks both the explode and every downstream bucket at zero recall
+    cost (the pair set is DISTINCT anyway).
+
+    Plan: one explode (≤ |name|+1 variants per record at d1,
+    O(|name|²/2) at d2), one variant-key equi-join, levenshtein only on
+    candidates.  The variant relation is referenced by BOTH self-join
+    sides — the engine staging rule; the Spark front door stages it
+    (``staged_variants``), the oracle keeps the inline text.
     """
+    if max_deletions not in (1, 2):
+        raise ValueError(f"max_deletions must be 1 or 2, got {max_deletions}")
+    n = f"length({name_col})"
     if d.name == "spark":
-        seq = f"sequence(1, length({name_col}))"
+        seq = f"sequence(1, {n})"
+        dels = (
+            f"transform({seq}, i -> concat(substr({name_col}, 1, i - 1),"
+            f" substr({name_col}, i + 1)))"
+        )
+        dels2 = (
+            f"CASE WHEN {n} >= 2 THEN "
+            f"flatten(transform(sequence(1, {n} - 1), i -> "
+            f"transform(sequence(i + 1, {n}), j -> "
+            f"concat(substr({name_col}, 1, i - 1),"
+            f" substr({name_col}, i + 1, j - i - 1),"
+            f" substr({name_col}, j + 1))))) "
+            f"ELSE CAST(array() AS ARRAY<STRING>) END"
+        )
+        arr = f"concat(array({name_col}), {dels})"
+        if max_deletions == 2:
+            arr = f"concat({arr}, {dels2})"
+        arr = f"array_distinct({arr})"
     else:
-        seq = f"generate_series(1, length({name_col}))"
-    dels = (
-        f"transform({seq}, i -> concat(substr({name_col}, 1, i - 1),"
-        f" substr({name_col}, i + 1)))"
-        if d.name == "spark"
-        else f"list_transform({seq}, i -> substr({name_col}, 1, i - 1)"
-        f" || substr({name_col}, i + 1))"
-    )
-    arr = (
-        f"concat(array({name_col}), {dels})" if d.name == "spark"
-        else f"list_prepend({name_col}, {dels})"
-    )
+        seq = f"generate_series(1, {n})"
+        dels = (
+            f"list_transform({seq}, i -> substr({name_col}, 1, i - 1)"
+            f" || substr({name_col}, i + 1))"
+        )
+        dels2 = (
+            f"CASE WHEN {n} >= 2 THEN "
+            f"flatten(list_transform(generate_series(1, {n} - 1), i -> "
+            f"list_transform(generate_series(i + 1, {n}), j -> "
+            f"substr({name_col}, 1, i - 1)"
+            f" || substr({name_col}, i + 1, j - i - 1)"
+            f" || substr({name_col}, j + 1)))) "
+            f"ELSE [] END"
+        )
+        arr = f"list_prepend({name_col}, {dels})"
+        if max_deletions == 2:
+            arr = f"list_concat({arr}, {dels2})"
+        arr = f"list_distinct({arr})"
     if d.name == "spark":
         unn = "explode(_vars) AS v"
     else:
@@ -307,6 +347,7 @@ def symspell_match(
     name_col: str,
     *,
     max_distance: int = 1,
+    max_deletions: int = 1,
     variant_df_cap: int | None = None,
 ) -> DataFrame:
     """DataFrame front door for :func:`symspell_match_sql` — stages the
@@ -322,6 +363,7 @@ def symspell_match(
     df.createOrReplaceTempView(view)
     inline = symspell_match_sql(_S, view, id_col, name_col,
                                 max_distance=max_distance,
+                                max_deletions=max_deletions,
                                 variant_df_cap=variant_df_cap)
     var_sel = inline.split("_syv AS (", 1)[1].split("\n    )", 1)[0]
     staged = spark.sql(var_sel).localCheckpoint(eager=False)
@@ -331,6 +373,7 @@ def symspell_match(
     return spark.sql(
         symspell_match_sql(_S, view, id_col, name_col,
                            max_distance=max_distance,
+                           max_deletions=max_deletions,
                            variant_df_cap=variant_df_cap,
                            staged_variants=sview)
     )

@@ -129,7 +129,14 @@ def merge_upsert_sql(
       change row's values (I on an existing key and U on an absent key
       both resolve to the upsert — the tolerant MERGE convention, since
       a replayed log cannot distinguish them);
-    * snapshot keys untouched by the batch pass through unchanged.
+    * snapshot keys untouched by the batch pass through unchanged;
+    * NON-NULL-KEY CDC CONTRACT: change rows must carry non-NULL keys.
+      A NULL key can never address a snapshot row (the equi-join never
+      matches NULL), so such a row would otherwise emit an output row
+      whose key AND value columns are all NULL — silent garbage.  The
+      ``_mrg_last`` CTE filters NULL-keyed change rows out explicitly
+      (they are contract violations, not data), and the behavior is
+      part of the documented contract alongside unique-seq.
 
     Shape: the change batch collapses to ≤ |batch keys| rows BEFORE the
     join (one batch-key exchange); the apply is ONE full outer equi-join
@@ -139,6 +146,7 @@ def merge_upsert_sql(
     """
     keys = list(key_cols)
     cols = list(value_cols)
+    keys_not_null = " AND ".join(f"{k} IS NOT NULL" for k in keys)
     on = " AND ".join(f"s.{k} = c.{k}" for k in keys)
     key_out = ", ".join(f"COALESCE(c.{k}, s.{k}) AS {k}" for k in keys)
     val_out = ", ".join(
@@ -152,6 +160,7 @@ def merge_upsert_sql(
                ROW_NUMBER() OVER (PARTITION BY {", ".join(keys)}
                                   ORDER BY {seq_col} DESC) AS _rn
         FROM {changes_table}
+        WHERE {keys_not_null}
       ) _mc WHERE _rn = 1
     )
     SELECT {key_out}, {val_out}

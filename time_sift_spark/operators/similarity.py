@@ -1232,12 +1232,26 @@ def append_lsh_index(spark, path: str, df: DataFrame) -> None:
     byte-identical artifacts to a full rebuild.  Contrast IVF
     (:func:`append_ivf_index`), whose rebuild would re-SAMPLE centroids.
 
-    Idempotence: the increment is anti-joined against the stored vids
-    first, so a redelivered append is a no-op (duplicate vid rows would
-    multiply the query's scored join).  The anti-join reads the stored
-    ``vectors`` column-pruned to vid — O(n) scan, O(increment) write;
-    the 100 TB posture is unchanged (builds are one-time, appends pay
-    the increment plus one pruned lookup column).
+    Idempotence AND crash recovery: the increment is anti-joined
+    against the stored vids first, so a redelivered append is a no-op
+    (duplicate vid rows would multiply the query's scored join).  The
+    two artifacts cannot be appended atomically together, so the WRITE
+    ORDER is the recovery rule: ``buckets`` first, then ``vectors`` —
+    the artifact that DRIVES the anti-join commits LAST.  A failure
+    between the two leaves bucket rows whose vid is absent from
+    ``vectors``; the retry re-derives the same fresh set (bucket
+    assignment is row-local and deterministic) and re-appends, so
+    ``vectors`` stays duplicate-free while ``buckets`` may carry
+    duplicate (vid, bkey) rows after a crash-retry — harmless by
+    construction, because every consumer dedups candidates
+    (``SELECT DISTINCT`` in the persisted top-k's cand CTE,
+    ``GROUP BY`` in ``_lsh_screen_tail``), and orphaned bucket rows
+    never join to a stored vector until the retry lands it.  The
+    OPPOSITE order would strand vectors rows that the anti-join then
+    skips forever — silent recall loss.  The anti-join reads the
+    stored ``vectors`` column-pruned to vid — O(n) scan, O(increment)
+    write; the 100 TB posture is unchanged (builds are one-time,
+    appends pay the increment plus one pruned lookup column).
     """
     p = spark.read.parquet(f"{path}/params").collect()[0]
     id_col, vec_col = p["id_col"], p["vec_col"]
@@ -1252,7 +1266,6 @@ def append_lsh_index(spark, path: str, df: DataFrame) -> None:
         f"SELECT {id_col} AS vid, {vec_col} AS {vec_col}, "
         f"{_VSPARK.norm(vec_col)} AS nrm FROM {view}"
     ).join(seen, "vid", "left_anti").localCheckpoint(eager=False)
-    fresh.write.mode("append").parquet(f"{path}/vectors")
     fview = _next_view()
     fresh.createOrReplaceTempView(fview)
     spark.sql(
@@ -1261,6 +1274,7 @@ def append_lsh_index(spark, path: str, df: DataFrame) -> None:
             p["seed"], p["dim"],
         )
     ).repartition("bkey").write.mode("append").parquet(f"{path}/buckets")
+    fresh.write.mode("append").parquet(f"{path}/vectors")
 
 
 def _lsh_screen_tail(
@@ -2069,10 +2083,15 @@ def ann_recall_report_sql(
 
     Rational by construction (nDCG's log2 discount is banned; these
     two are the standard transcendental-free IR metrics): recall@k =
-    |approx ∩ truth| / k, MRR = 1 / (approx rank of the first
-    truth-relevant hit) — each ONE IEEE division of exact integers,
-    cross-engine hash-stable.  Shape: the two inline forms compose,
-    the overlap join rides (query_id, neighbor_id), and the report
+    |approx ∩ truth| / |truth(q)|, MRR = 1 / (approx rank of the
+    first truth-relevant hit) — each ONE IEEE division of exact
+    integers, cross-engine hash-stable.  The denominator is the
+    PER-QUERY truth count, not the constant k: the brute-force arm
+    can legitimately return < k rows (corpus smaller than k, fewer
+    eligible neighbors), and dividing by k there would understate
+    recall and cap it below 1.0 for exactly the queries where the
+    index did perfectly.  Shape: the two inline forms compose, the
+    overlap join rides (query_id, neighbor_id), and the report
     relation is |Q| rows.
     """
     # the two inline forms expose different query-side column names
@@ -2096,11 +2115,12 @@ def ann_recall_report_sql(
       SELECT query_id,
              CAST(SUM(CASE WHEN arank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
                AS n_hit,
+             COUNT(*) AS n_truth,
              MIN(arank) AS first_rel_rank
       FROM _arh GROUP BY query_id
     )
     SELECT query_id, n_hit,
-           (CAST(n_hit AS DOUBLE) / CAST({k} AS DOUBLE)) AS recall_at_k,
+           (CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE)) AS recall_at_k,
            CASE WHEN first_rel_rank IS NULL THEN 0.0
                 ELSE (1.0 / CAST(first_rel_rank AS DOUBLE)) END AS mrr
     FROM _arq

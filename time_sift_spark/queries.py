@@ -8363,6 +8363,84 @@ def symspell_match_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _symspell_capped_oracle() -> str:
+    from .operators.entity import symspell_match_sql
+
+    return symspell_match_sql(
+        DUCK, _ER_CUSTOMERS, "cid", "name", max_distance=1, variant_df_cap=20
+    )
+
+
+@register("symspell_match_capped_customer", oracle=_symspell_capped_oracle())
+def symspell_match_capped_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION twin of the deliberate dense stress: same
+    dirty-customer corpus, same deletion-neighborhood blocking, but
+    ``variant_df_cap=20`` drops every variant bucket larger than the
+    cap BEFORE the self-join (the lsh_neardup_capped recall-for-cost
+    contract).  Zero-padded sequential ids make the digit-suffix
+    variants dense (buckets of 24-31 at sf0.01 — every id within one
+    substitution of dozens of digit-siblings); the cap prunes exactly
+    those, keeping both planted typo families' rarer alpha-prefix keys,
+    so the answer shrinks from the 20k dense digit-sibling relation to
+    the ~900 genuine-typo pairs at a fraction of the join cost
+    (operators/entity.py:symspell_match, variant_df_cap)."""
+    from .operators.entity import symspell_match
+
+    cust = load_table(spark, "customer", sf_dir)
+    cust.createOrReplaceTempView("customer")
+    return symspell_match(
+        spark.sql(f"SELECT * FROM {_ER_CUSTOMERS} _erc"), "cid", "name",
+        max_distance=1, variant_df_cap=20,
+    )
+
+
+# Distance-2 corpus: customer names plus a DOUBLE-typo family (u→v
+# substitution AND an inserted 'q', both in the alphabetic prefix:
+# 'Customer#…' → 'Cvqstomer#…') — edit distance exactly 2, sharing NO
+# single-deletion variant with the original (two separated edits), so
+# the d1 key provably cannot block the pair; the depth-2 neighborhood
+# shares 'Cstomer#<all 9 digits>', whose bucket is the one typo family
+# (the full digit block keeps it rare — under any sane df cap).
+_ER_CUSTOMERS_D2 = (
+    "(SELECT c_custkey AS cid, c_name AS name FROM customer"
+    " UNION ALL "
+    "SELECT c_custkey + 300000, concat('Cvq', substr(c_name, 3))"
+    " FROM customer WHERE c_custkey % 41 = 0)"
+)
+
+
+def _symspell_d2_oracle() -> str:
+    from .operators.entity import symspell_match_sql
+
+    return symspell_match_sql(
+        DUCK, _ER_CUSTOMERS_D2, "cid", "name",
+        max_distance=2, max_deletions=2, variant_df_cap=20,
+    )
+
+
+@register("symspell_match_d2_customer", oracle=_symspell_d2_oracle())
+def symspell_match_d2_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell at edit distance 2 via 2-DELETION neighborhoods (the
+    documented |name|²-key dial, now built): each name emits itself,
+    its |name| single deletions, and its C(|name|,2) double deletions
+    as blocking keys — any pair within distance 2 shares a depth-≤2
+    variant, so the planted DOUBLE-typo family ('Cvqstomer#…': one
+    substitution + one insertion, which shares no d1 key) must all
+    surface, with levenshtein ≤ 2 verifying.  The quadratic key count
+    on formulaic names makes ``variant_df_cap`` mandatory here: the
+    shared-template buckets (up to ~300 records at sf0.01) are pruned
+    before pairing, bounding every candidate bucket at 20
+    (operators/entity.py:symspell_match, max_deletions=2)."""
+    from .operators.entity import symspell_match
+
+    cust = load_table(spark, "customer", sf_dir)
+    cust.createOrReplaceTempView("customer")
+    return symspell_match(
+        spark.sql(f"SELECT * FROM {_ER_CUSTOMERS_D2} _erc"), "cid", "name",
+        max_distance=2, max_deletions=2, variant_df_cap=20,
+    )
+
+
 def _snm_oracle() -> str:
     from .operators.entity import sorted_neighborhood_sql
 
@@ -9749,6 +9827,9 @@ def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
 # --------------------------------------------------------------------------
 
 GRADE_PRIORITY: list[str] = [
+    # -- NEW in r11 -> grade first --
+    "symspell_match_capped_customer",
+    "symspell_match_d2_customer",
     # -- NEW in r10 -> grade first --
     "substring_remove_docs",
     "streaming_outer_join",

@@ -328,8 +328,12 @@ def _dec6_to_double(micros: int) -> float:
     as integer micro-units: truncating split (sign of the dividend, the
     SQL decimal % semantics), exact integral conversion, one correctly
     rounded fractional division, one IEEE add — bit-equal to the SQL
-    expression on both engines."""
-    q = int(micros / 10**6) if micros >= 0 else -int((-micros) / 10**6)
+    expression on both engines.  The split uses exact INTEGER floor
+    division (not float true-division): near the DECIMAL(18,6)
+    magnitude limit |micros| approaches 2^53, where a float quotient
+    can round across an integer boundary and break the bit-equality
+    contract with holt_winters_sql."""
+    q = micros // 10**6 if micros >= 0 else -((-micros) // 10**6)
     r = micros - q * 10**6
     return float(q) + (r / 1e6)
 
