@@ -204,6 +204,45 @@ def test_streaming_drift_equals_batch_at_drain(spark, tmp_path):
     ].iloc[0]
 
 
+def test_streaming_quantile_drift_equals_batch_at_drain(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    from time_sift_spark.operators.quality import (
+        quantile_drift,
+        streaming_quantile_drift,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for day in range(20):
+        ts = pd.Timestamp("2024-01-01") + pd.Timedelta(days=day)
+        for _ in range(25):
+            # 'a' median shifts +200 after the split; 'b' is stable
+            rows.append(("a", ts, rng.uniform(100, 300) + (200 if day >= 10 else 0)))
+            rows.append(("b", ts, rng.uniform(400, 600)))
+    pdf = pd.DataFrame(rows, columns=["k", "ts", "v"])
+    path = str(tmp_path / "src")
+    spark.createDataFrame(pdf).coalesce(4).write.parquet(path)
+    static = spark.read.parquet(path)
+    stream = spark.readStream.schema("k string, ts timestamp, v double").parquet(path)
+    got = (
+        streaming_quantile_drift(
+            stream, static, "v", "ts", "k", "2024-01-11",
+            query_name="t_qq_stream",
+        )
+        .toPandas().sort_values("k").reset_index(drop=True)
+    )
+    want = (
+        quantile_drift(static, "v", "ts", "k", "2024-01-11")
+        .toPandas().sort_values("k").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    a, b = got.set_index("k").loc["a"], got.set_index("k").loc["b"]
+    assert bool(a.flagged) and not bool(b.flagged)
+    assert a["shift_p5"] > 150  # p=0.5 renders as _p5 (the batch naming)
+
+
 def test_snapshot_diff_verdicts_and_null_safety(spark):
     import pandas as pd
 

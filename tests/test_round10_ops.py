@@ -121,6 +121,51 @@ def test_hw_rejects_bad_column(spark):
         holt_winters(df, "nope", "ts", "k")
 
 
+def test_hw_mul_closed_form_and_diverges_from_add(spark):
+    # Multiplicative first step at t=8 on the linear series: l0=4,
+    # b0=1, s_1=y_1/l0=0.25 → fit=(4+1)*0.25=1.25, err=8-1.25=6.75.
+    # Also pins that the mode actually switches the recurrence (a mode
+    # bug that ignores `seasonal` would reproduce the additive fits).
+    from time_sift_spark.operators.seasonal import holt_winters
+
+    df = _hw_frame(spark, 21)
+    mul = holt_winters(df, "v", "ts", "k", period=7,
+                       seasonal="mul").orderBy("day_x").collect()
+    add = holt_winters(df, "v", "ts", "k", period=7).orderBy("day_x").collect()
+    assert len(mul) == 14
+    assert mul[0]["hw_fit"] == pytest.approx(1.25, abs=1e-9)
+    assert mul[0]["hw_err"] == pytest.approx(6.75, abs=1e-9)
+    assert any(a["hw_fit"] != m["hw_fit"] for a, m in zip(add, mul))
+
+
+def test_hw_mul_positivity_guard_drops_nonpositive_series(spark):
+    # The zero-value guard the additive form doesn't need: a series
+    # with ANY non-positive day bucket is excluded wholesale (division
+    # recurrence undefined), while positive series still fit; the
+    # additive form keeps both.
+    import datetime
+
+    from time_sift_spark.operators.seasonal import holt_winters
+
+    rows = []
+    for k, dip in (("pos", False), ("zer", True)):
+        for i in range(21):
+            v = 0.0 if (dip and i == 10) else float(i + 1)
+            rows.append((k, datetime.datetime(2024, 1, 1 + i, 12), v))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["k", "ts", "v"]))
+    mul = holt_winters(df, "v", "ts", "k", period=7, seasonal="mul").toPandas()
+    add = holt_winters(df, "v", "ts", "k", period=7).toPandas()
+    assert set(mul.k) == {"pos"}
+    assert set(add.k) == {"pos", "zer"}
+
+
+def test_hw_bad_seasonal_mode_raises(spark):
+    from time_sift_spark.operators.seasonal import holt_winters
+
+    with pytest.raises(ValueError):
+        holt_winters(_hw_frame(spark, 21), "v", "ts", "k", seasonal="damped")
+
+
 # ------------------------------------------------------------- Gini
 
 def test_gini_perfect_separator_scores_base_gini(spark):

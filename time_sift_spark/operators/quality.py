@@ -719,6 +719,43 @@ def key_skew_profile(df: DataFrame, key_col: str,
     )
 
 
+_QQ_PROBS = (0.1, 0.25, 0.5, 0.75, 0.9)
+
+
+def _qq_tail(group_col: str, flag_shift: float, round_to: int) -> str:
+    """The pivot + shift + flag tail over a ``_qqs`` relation
+    ({group_col}, is_base, n, est_p10..est_p90) — shared VERBATIM by
+    the batch statement and the streaming twin's drain combine (the
+    _drift_combine_sql discipline), so drain ≡ batch is structural."""
+    from ._num import round_double
+
+    names = [f"est_p{str(p).replace('0.', '')}" for p in _QQ_PROBS]
+    picks = []
+    for nm in names:
+        tag = nm.replace("est_", "")
+        picks.append(f"MAX(CASE WHEN is_base THEN {nm} END) AS base_{tag}")
+        picks.append(f"MAX(CASE WHEN NOT is_base THEN {nm} END) AS cur_{tag}")
+    shift_cols = ", ".join(
+        f"{round_double(f'(cur_{nm[4:]} - base_{nm[4:]})', round_to)} AS shift_{nm[4:]}"
+        for nm in names
+    )
+    abs_terms = ", ".join(f"ABS(cur_{nm[4:]} - base_{nm[4:]})" for nm in names)
+    return f"""
+    _qqp AS (
+      SELECT {group_col},
+             CAST(MAX(CASE WHEN is_base THEN n END) AS BIGINT) AS n_base,
+             CAST(MAX(CASE WHEN NOT is_base THEN n END) AS BIGINT) AS n_cur,
+             {", ".join(picks)}
+      FROM _qqs GROUP BY {group_col}
+    )
+    SELECT {group_col}, n_base, n_cur,
+           {shift_cols},
+           (GREATEST({abs_terms}) > {flag_shift!r}) AS flagged
+    FROM _qqp
+    ORDER BY {group_col}
+    """
+
+
 def quantile_drift_sql(d, table: str, value_col: str, time_col: str,
                        group_col: str, split_date: str,
                        *, lo: float = 0.0, hi: float = 1000.0,
@@ -744,42 +781,17 @@ def quantile_drift_sql(d, table: str, value_col: str, time_col: str,
     partial aggregation); the pivot runs on 2 rows per group.
     """
     from .sketch import histogram_quantiles_sql as _hqs
-    from ._num import round_double
 
-    probs = (0.1, 0.25, 0.5, 0.75, 0.9)
-    names = [f"est_p{str(p).replace('0.', '')}" for p in probs]
     side = (f"(CAST({time_col} AS DATE) < DATE '{split_date}')")
     src = (f"(SELECT {group_col}, {value_col}, {side} AS is_base "
            f"FROM {table} WHERE {value_col} IS NOT NULL) _qqd0")
-    inner = _hqs(src, value_col, lo=lo, hi=hi, bins=bins, probs=probs,
+    inner = _hqs(src, value_col, lo=lo, hi=hi, bins=bins, probs=_QQ_PROBS,
                  group_by=(group_col, "is_base"))
-    picks = []
-    for p, nm in zip(probs, names):
-        tag = nm.replace("est_", "")
-        picks.append(f"MAX(CASE WHEN is_base THEN {nm} END) AS base_{tag}")
-        picks.append(f"MAX(CASE WHEN NOT is_base THEN {nm} END) AS cur_{tag}")
-    # shift columns: cur - base per quantile, rounded
-    shift_cols = ", ".join(
-        f"{round_double(f'(cur_{nm[4:]} - base_{nm[4:]})', round_to)} AS shift_{nm[4:]}"
-        for nm in names
-    )
-    abs_terms = ", ".join(f"ABS(cur_{nm[4:]} - base_{nm[4:]})" for nm in names)
     return f"""
     WITH _qqs AS (
       {inner}
     ),
-    _qqp AS (
-      SELECT {group_col},
-             CAST(MAX(CASE WHEN is_base THEN n END) AS BIGINT) AS n_base,
-             CAST(MAX(CASE WHEN NOT is_base THEN n END) AS BIGINT) AS n_cur,
-             {", ".join(picks)}
-      FROM _qqs GROUP BY {group_col}
-    )
-    SELECT {group_col}, n_base, n_cur,
-           {shift_cols},
-           (GREATEST({abs_terms}) > {flag_shift!r}) AS flagged
-    FROM _qqp
-    ORDER BY {group_col}
+    {_qq_tail(group_col, flag_shift, round_to).strip()}
     """
 
 
@@ -804,3 +816,95 @@ def quantile_drift(df: DataFrame, value_col: str, time_col: str,
                            split_date, lo=lo, hi=hi, bins=bins,
                            flag_shift=flag_shift, round_to=round_to)
     )
+
+
+def streaming_quantile_drift(
+    stream_df: DataFrame,
+    static_df: DataFrame,
+    value_col: str,
+    time_col: str,
+    group_col: str,
+    split_date: str,
+    *,
+    lo: float = 0.0,
+    hi: float = 1000.0,
+    bins: int = 500,
+    flag_shift: float = 50.0,
+    round_to: int = 4,
+    query_name: str,
+) -> DataFrame:
+    """Continuous form of :func:`quantile_drift` — the
+    streaming_distribution_drift recipe applied to the quantile
+    sketch's bin counts: the CURRENT window arrives as a stream whose
+    per-micro-batch state is the bounded (group, bin) count aggregation
+    (complete mode, ≤ |groups|·bins rows regardless of stream volume);
+    the BASE side's bin counts come from the static frame the monitor
+    was armed with.  At drain, base ∪ drained-current counts feed the
+    histogram sketch's merge entry point
+    (``histogram_quantiles_sql(staged_counts=...)``) and the SAME
+    pivot/shift/flag tail as the batch statement (``_qq_tail`` — the
+    _qc_exprs shared-text rule), so drain ≡ batch over everything that
+    arrived is structural, and the registered query's oracle IS the
+    batch statement.
+
+    The stream side bins values with the SAME rendered bin expression
+    (``_hq_parts`` text) before aggregating, and derives its session
+    from the input frame (the foreachBatch-clone discipline).
+    """
+    from pyspark.sql import functions as F
+
+    from .sketch import _hq_parts, histogram_quantiles_sql as _hqs
+
+    for c in (value_col, time_col, group_col):
+        for frame, tag in ((stream_df, "stream"), (static_df, "static")):
+            if c not in frame.columns:
+                raise ColumnNotFoundError(
+                    f"column {c!r} not in {tag} frame {frame.columns}"
+                )
+    spark = static_df.sparkSession
+    before = f"(CAST({time_col} AS DATE) < DATE '{split_date}')"
+    bin_expr, _ = _hq_parts(value_col, lo, hi, bins)
+
+    # base side (batch): (k, is_base=true, _bin, _c)
+    sview = "_ts_sqq_static"
+    static_df.createOrReplaceTempView(sview)
+    base_counts = spark.sql(f"""
+        SELECT {group_col} AS k, {bin_expr} AS _bin,
+               CAST(COUNT(*) AS BIGINT) AS _c
+        FROM {sview}
+        WHERE {value_col} IS NOT NULL AND {before}
+        GROUP BY {group_col}, {bin_expr}
+    """)
+
+    # current side (stream): same bin text, bounded complete-mode counts
+    cur = (
+        stream_df.where(F.expr(f"{value_col} IS NOT NULL AND NOT {before}"))
+        .selectExpr(f"{group_col} AS k", f"{bin_expr} AS _bin")
+        .groupBy("k", "_bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    from ..streaming.lag_stream import run_stream_to_df
+
+    drained = run_stream_to_df(cur, query_name, output_mode="complete")
+
+    # merge: union the two tagged count relations, then the shared
+    # sketch tail + pivot tail (both rendered text, not re-derivations)
+    base_counts.createOrReplaceTempView("_ts_sqq_base")
+    drained.createOrReplaceTempView("_ts_sqq_cur")
+    counts_union = (
+        "(SELECT k AS _qqk, TRUE AS is_base, _bin, _c FROM _ts_sqq_base"
+        " UNION ALL "
+        "SELECT k AS _qqk, FALSE AS is_base, _bin, _c FROM _ts_sqq_cur) _sqqu"
+    )
+    sketch = _hqs("_ignored_", value_col, lo=lo, hi=hi, bins=bins,
+                  probs=_QQ_PROBS, group_by=("_qqk", "is_base"),
+                  staged_counts=counts_union)
+    # the tail names columns by the caller's group_col; alias in _qqs
+    return spark.sql(f"""
+    WITH _qqs AS (
+      SELECT _qqk AS {group_col}, is_base, n,
+             {", ".join(f"est_p{str(p).replace('0.', '')}" for p in _QQ_PROBS)}
+      FROM ({sketch}) _sqqs
+    ),
+    {_qq_tail(group_col, flag_shift, round_to).strip()}
+    """)

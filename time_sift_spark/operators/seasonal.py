@@ -132,12 +132,19 @@ def deseasonalize_sql(
 def _hw_scalar_exprs(
     l: str, b: str, s1: str, yd: str,
     alpha: float, beta: float, gamma: float,
+    seasonal: str = "add",
 ) -> dict[str, str]:
     """The four per-step Holt-Winters scalar expressions, parameterized
     by the VARIABLE SPELLING only (Spark fold: acc.l / element_at;
     DuckDB recursion: r.l / [1]) so both engines evaluate the IDENTICAL
     IEEE tree in the identical order — the KM-fold bit-exactness
     discipline applied to a struct-state recurrence.
+
+    ``seasonal='mul'`` swaps the seasonal interactions for the
+    ETS(A,A,M) member: the season DIVIDES into the level update and the
+    fit MULTIPLIES it back (y/s and y/l replace y−s and y−l) — same
+    tree shape, division recurrence, so the bit-equality argument is
+    unchanged (one IEEE divide is as correctly-rounded as one subtract).
 
     Complements are Python-computed literals (``repr(1.0 - alpha)``):
     whatever double that parses to, BOTH engines parse the same text to
@@ -149,10 +156,16 @@ def _hw_scalar_exprs(
     a, ca = repr(float(alpha)), repr(1.0 - float(alpha))
     bb, cb = repr(float(beta)), repr(1.0 - float(beta))
     g, cg = repr(float(gamma)), repr(1.0 - float(gamma))
-    fit = f"(({l} + {b}) + {s1})"
-    lnew = f"(({a} * ({yd} - {s1})) + ({ca} * ({l} + {b})))"
+    if seasonal == "mul":
+        fit = f"(({l} + {b}) * {s1})"
+        lnew = f"(({a} * ({yd} / {s1})) + ({ca} * ({l} + {b})))"
+        snew_src = f"({yd} / {lnew})"
+    else:
+        fit = f"(({l} + {b}) + {s1})"
+        lnew = f"(({a} * ({yd} - {s1})) + ({ca} * ({l} + {b})))"
+        snew_src = f"({yd} - {lnew})"
     bnew = f"(({bb} * ({lnew} - {l})) + ({cb} * {b}))"
-    snew = f"(({g} * ({yd} - {lnew})) + ({cg} * {s1}))"
+    snew = f"(({g} * {snew_src}) + ({cg} * {s1}))"
     return {"fit": fit, "lnew": lnew, "bnew": bnew, "snew": snew}
 
 
@@ -180,25 +193,38 @@ def holt_winters_sql(
     beta: float = 0.1,
     gamma: float = 0.2,
     round_to: int = 6,
+    seasonal: str = "add",
 ) -> str:
-    """Additive Holt-Winters triple exponential smoothing per series
-    over the day-bucketed calendar — level + trend + seasonal state,
-    the classic operational forecaster (Winters 1960; the ETS(A,A,A)
-    member), emitting the one-step-ahead in-sample forecast
-    ``hw_fit = (l + b) + s_{t-m}`` and its error per bucket:
+    """Holt-Winters triple exponential smoothing per series over the
+    day-bucketed calendar — level + trend + seasonal state, the classic
+    operational forecaster (Winters 1960), emitting the one-step-ahead
+    in-sample forecast and its error per bucket.  ``seasonal='add'``
+    (default) is the ETS(A,A,A) member:
 
+        fit = (l + b) + s_{t−m}
         l_t = α(y_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
         b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
         s_t = γ(y_t − l_t)     + (1−γ)·s_{t−m}
 
+    ``seasonal='mul'`` is ETS(A,A,M) — the season scales with the
+    level (retail/traffic patterns whose weekly swing grows with
+    volume): fit = (l + b)·s_{t−m}, l_t = α(y_t/s_{t−m}) + …,
+    s_t = γ(y_t/l_t) + (1−γ)s_{t−m}, s₀ᵢ = yᵢ/l₀.  The division
+    recurrence is only defined on STRICTLY POSITIVE series — the
+    zero-value guard the additive form doesn't need: any series with a
+    non-positive day bucket drops out loudly via ``HAVING MIN(y) > 0``
+    (an exact decimal comparison, deterministic on both engines), the
+    same contract as the too-short-series HAVING.
+
     Init (needs ≥ 2·period buckets; shorter series drop out loudly via
     HAVING): l₀ = mean(first season), b₀ = (mean(second season) −
-    mean(first season))/m, s₀ᵢ = yᵢ − l₀; the recurrence starts at
-    bucket m+1.  Brown (operators/ewma.brown_scan) stays the ROW-level
-    streaming path — its recurrence is two cython EWMAs; Holt-Winters'
-    struct state needs a genuine scalar fold, affordable here because
-    the DAY-BUCKET calendar bounds every series (30 days → 23 steps),
-    the KM-survival bounded-fold posture.
+    mean(first season))/m, s₀ᵢ = yᵢ − l₀ (additive) or yᵢ/l₀
+    (multiplicative); the recurrence starts at bucket m+1.  Brown
+    (operators/ewma.brown_scan) stays the ROW-level streaming path —
+    its recurrence is two cython EWMAs; Holt-Winters' struct state
+    needs a genuine scalar fold, affordable here because the DAY-BUCKET
+    calendar bounds every series (30 days → 23 steps), the KM-survival
+    bounded-fold posture.
 
     Engine split: Spark folds the sorted per-series bucket array with
     ``aggregate()`` carrying ``named_struct(l, b, seas, fit)`` — JVM-
@@ -216,9 +242,13 @@ def holt_winters_sql(
     """
     from ._num import dec_to_double, round_double
 
+    if seasonal not in ("add", "mul"):
+        raise ValueError(f"seasonal must be 'add' or 'mul', got {seasonal!r}")
     m = int(period)
     rd = lambda e: round_double(e, round_to)  # noqa: E731
     l0, b0 = _hw_init_exprs(m)
+    s0_op = "/" if seasonal == "mul" else "-"
+    pos_guard = " AND MIN(y) > 0" if seasonal == "mul" else ""
     if d.name == "spark":
         day = f"datediff(CAST({time_col} AS DATE), DATE '1970-01-01')"
     else:
@@ -230,7 +260,7 @@ def holt_winters_sql(
         yd_e = dec_to_double("e.y")
         step = _hw_scalar_exprs(
             "acc.l", "acc.b", "element_at(acc.seas, 1)", yd_e,
-            alpha, beta, gamma,
+            alpha, beta, gamma, seasonal,
         )
         yd_out = dec_to_double(f"element_at(arr, pos + {m + 1}).y")
         return f"""
@@ -246,7 +276,7 @@ def holt_winters_sql(
                    ROW_NUMBER() OVER (PARTITION BY k ORDER BY x) AS rn
             FROM _hwb)
       GROUP BY k
-      HAVING COUNT(*) >= {2 * m}
+      HAVING COUNT(*) >= {2 * m}{pos_guard}
     ),
     _hwf AS (
       SELECT k, arr, n,
@@ -254,7 +284,7 @@ def holt_winters_sql(
           slice(arr, {m + 1}, n - {m}),
           named_struct('l', {l0}, 'b', {b0},
                        'seas', transform(slice(arr, 1, {m}),
-                                         e -> ({dec_to_double('e.y')} - {l0})),
+                                         e -> ({dec_to_double('e.y')} {s0_op} {l0})),
                        'fit', CAST(array() AS ARRAY<DOUBLE>)),
           (acc, e) -> named_struct(
               'l', {step['lnew']}, 'b', {step['bnew']},
@@ -271,7 +301,8 @@ def holt_winters_sql(
     FROM _hwf LATERAL VIEW posexplode(fits) _t AS pos, fitv
     """
     yd_b = dec_to_double("b.y")
-    step = _hw_scalar_exprs("r.l", "r.b", "r.seas[1]", yd_b, alpha, beta, gamma)
+    step = _hw_scalar_exprs("r.l", "r.b", "r.seas[1]", yd_b,
+                            alpha, beta, gamma, seasonal)
     return f"""
     WITH RECURSIVE _hwb AS (
       {bucket}
@@ -284,14 +315,14 @@ def holt_winters_sql(
       SELECT k, CAST(COUNT(*) AS INT) AS n,
              CAST(SUM(y) FILTER (WHERE rn <= {m}) AS DECIMAL(27,6)) AS s1m,
              CAST(SUM(y) FILTER (WHERE rn > {m} AND rn <= {2 * m}) AS DECIMAL(27,6)) AS s2m
-      FROM _hwr0 GROUP BY k HAVING COUNT(*) >= {2 * m}
+      FROM _hwr0 GROUP BY k HAVING COUNT(*) >= {2 * m}{pos_guard}
     ),
     _hwi AS (
       SELECT k, n, {l0} AS l0, {b0} AS b0 FROM _hwa
     ),
     _hws AS (
       SELECT b.k AS k,
-             list({dec_to_double('b.y')} - i.l0 ORDER BY b.rn) AS seas0
+             list({dec_to_double('b.y')} {s0_op} i.l0 ORDER BY b.rn) AS seas0
       FROM _hwr0 b JOIN _hwi i ON i.k = b.k
       WHERE b.rn <= {m}
       GROUP BY b.k
@@ -325,6 +356,7 @@ def holt_winters(
     beta: float = 0.1,
     gamma: float = 0.2,
     round_to: int = 6,
+    seasonal: str = "add",
 ) -> DataFrame:
     """DataFrame front door for :func:`holt_winters_sql` (Spark
     rendering; every CTE is referenced once, so no staging is needed —
@@ -342,7 +374,7 @@ def holt_winters(
     return df.sparkSession.sql(
         holt_winters_sql(_S, view, value_col, time_col, group_col,
                          period=period, alpha=alpha, beta=beta,
-                         gamma=gamma, round_to=round_to)
+                         gamma=gamma, round_to=round_to, seasonal=seasonal)
     )
 
 

@@ -426,8 +426,17 @@ def histogram_quantiles_sql(
     probs: Sequence[float] = (0.5, 0.95, 0.99),
     group_by: Sequence[str] = (),
     round_to: int = 4,
+    staged_counts: str | None = None,
 ) -> str:
-    """The same sketch as one dialect-neutral SQL statement."""
+    """The same sketch as one dialect-neutral SQL statement.
+
+    ``staged_counts`` swaps the raw-value histogram pass for a
+    pre-aggregated ({group_by...}, _bin, _c) relation — the MERGE entry
+    point: sketches accumulated elsewhere (a drained stream's complete-
+    mode counts, per-day partial sketches) feed the identical cum/
+    estimate tail, which is what makes the bin counts a mergeable state
+    rather than a one-shot plan (the streaming QQ-drift twin rides
+    this)."""
     groups = list(group_by)
     g = ", ".join(groups)
     gsel = f"{g}, " if g else ""
@@ -439,11 +448,15 @@ def histogram_quantiles_sql(
         )
         name = f"est_p{str(p).replace('0.', '')}"
         picks.append(f"MAX(CASE WHEN {pred} THEN {est} END) AS {name}")
+    hist_src = (
+        f"SELECT {gsel}_bin, _c FROM {staged_counts}" if staged_counts
+        else f"""SELECT {gsel}_bin, COUNT(*) AS _c
+      FROM (SELECT {gsel}{bin_expr} AS _bin FROM {table} WHERE {col} IS NOT NULL)
+      GROUP BY {gsel}_bin"""
+    )
     return f"""
     WITH hist AS (
-      SELECT {gsel}_bin, COUNT(*) AS _c
-      FROM (SELECT {gsel}{bin_expr} AS _bin FROM {table} WHERE {col} IS NOT NULL)
-      GROUP BY {gsel}_bin
+      {hist_src}
     ),
     cum AS (
       SELECT {gsel}_bin, _c,

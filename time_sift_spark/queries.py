@@ -9566,6 +9566,28 @@ def quantile_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_drift(events, "value", "ts", "event_type", "2024-01-16")
 
 
+@register("streaming_quantile_drift_events", oracle=_qq_drift_oracle())
+def streaming_quantile_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of quantile_drift_events: the current window
+    arrives as a replayed stream whose per-micro-batch state is the
+    bounded (group, bin) count aggregation; the base side's bin counts
+    come from the static frame.  At drain, base ∪ current counts feed
+    the histogram sketch's merge entry point (staged_counts) and the
+    SAME pivot/shift/flag tail as the batch statement — drain ≡ batch
+    is structural, so the oracle IS the batch statement
+    (operators/quality.py:streaming_quantile_drift)."""
+    from .operators.quality import streaming_quantile_drift
+    from .sources.catalog import read_events_stream
+    from .streaming.lag_stream import _next_stream_name
+
+    stream = read_events_stream(spark, sf_dir)
+    static = load_table(spark, "events", sf_dir)
+    return streaming_quantile_drift(
+        stream, static, "value", "ts", "event_type", "2024-01-16",
+        query_name=_next_stream_name("qqdrift"),
+    )
+
+
 @register("distribution_drift_events", oracle=_drift_oracle())
 def distribution_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift monitor: TV distance + χ² drift of the value
@@ -9692,6 +9714,48 @@ def holt_winters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, "events", sf_dir)
     return holt_winters(events, "value", "ts", "event_type", period=7)
+
+
+# Multiplicative-HW corpus: the real event series (every daily bucket
+# strictly positive) plus a planted all-negative 'refund' series — the
+# zero-value guard (HAVING MIN(y) > 0) must drop it loudly, making the
+# guard's grade non-vacuous (the kcore3 lesson).  Dialect-neutral text.
+_HW_MUL_SRC = (
+    "(SELECT ts, event_type, value FROM events"
+    " UNION ALL "
+    "SELECT ts, 'refund' AS event_type, -value AS value"
+    " FROM events WHERE event_type = 'purchase')"
+)
+
+
+def _hw_mul_oracle() -> str:
+    from .operators.seasonal import holt_winters_sql
+
+    return holt_winters_sql(DUCK, _HW_MUL_SRC, "value", "ts", "event_type",
+                            seasonal="mul")
+
+
+@register("holt_winters_mul_events", oracle=_hw_mul_oracle())
+def holt_winters_mul_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIPLICATIVE Holt-Winters — the ETS(A,A,M) member, where the
+    weekly season SCALES with the level (y/s and y/l replace y−s and
+    y−l in the same fold skeleton; one IEEE divide per interaction, so
+    the bit-equality contract with the recursive-CTE oracle is
+    unchanged).  The division recurrence is only defined on strictly
+    positive series: the planted all-negative 'refund' series must be
+    dropped by the HAVING MIN(y) > 0 zero-value guard — the guard the
+    additive form doesn't need, demonstrated non-vacuously
+    (operators/seasonal.py:holt_winters_sql, seasonal='mul')."""
+    from .functions.text_fns import SPARK as _S
+
+    from .operators.seasonal import holt_winters_sql
+
+    events = load_table(spark, "events", sf_dir)
+    events.createOrReplaceTempView("events")
+    return spark.sql(
+        holt_winters_sql(_S, _HW_MUL_SRC, "value", "ts", "event_type",
+                         seasonal="mul")
+    )
 
 
 @register("mase_backtest_events", oracle=_mase_oracle())
@@ -9830,6 +9894,8 @@ GRADE_PRIORITY: list[str] = [
     # -- NEW in r11 -> grade first --
     "symspell_match_capped_customer",
     "symspell_match_d2_customer",
+    "holt_winters_mul_events",
+    "streaming_quantile_drift_events",
     # -- NEW in r10 -> grade first --
     "substring_remove_docs",
     "streaming_outer_join",
