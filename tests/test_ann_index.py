@@ -744,3 +744,43 @@ def test_ivf_append_pinned_centroid_equivalence(spark, emb, tmp_path_factory):
     n = spark.read.parquet(f"{path}/assigned").count()
     append_ivf_index(spark, path, inc)
     assert spark.read.parquet(f"{path}/assigned").count() == n
+
+
+def test_contrastive_triplets_structure_and_ann_overlap(spark):
+    """Triplet mining: the planted scaled twin is every anchor's
+    positive (cosine scale-invariance) in BOTH forms, margins are
+    positive (the positive band sits above every negative by
+    construction), anchors without a positive emit nothing, and the
+    ANN shortlist recovers >= 0.85 of the brute negative set (the
+    hard_negatives_ann gate applied to the triplet tail)."""
+    from time_sift_spark.functions.vector_fns import VSPARK
+    from time_sift_spark.operators import similarity as _sim
+    from time_sift_spark.queries import _CT_ANCHORS_ANN, _CT_ANCHORS_EXACT, _ct_src
+
+    emb01 = load_table(spark, "embeddings", SF_RECALL)
+    emb01.createOrReplaceTempView("embeddings")
+    exact = spark.sql(_sim.contrastive_triplets_sql(
+        VSPARK, _ct_src("spark"), "vec_id", "embedding",
+        query_pred=_CT_ANCHORS_EXACT, pos_threshold=0.9, n_neg=3,
+    )).toPandas()
+    ann = spark.sql(_sim.contrastive_triplets_ann_sql(
+        VSPARK, _ct_src("spark"), "vec_id", "embedding",
+        query_pred=_CT_ANCHORS_ANN, pos_threshold=0.9, n_neg=3,
+        shortlist=32, num_planes=4, num_tables=8,
+    )).toPandas()
+    n_anchors = emb01.where("vec_id % 20 = 0").count()
+    for out in (exact, ann):
+        # every anchor triplets (the plant guarantees the positive leg)
+        assert set(out.anchor_id) == set(
+            r.vec_id for r in emb01.where("vec_id % 20 = 0").collect()
+        )
+        assert (out.positive_id == out.anchor_id + 1000000).all()
+        assert (out.pos_sim > 0.99).all()
+        assert (out.margin > 0).all()
+        assert out.groupby("anchor_id").size().max() <= 3
+    assert len(exact) == 3 * n_anchors
+    # negative-leg overlap gate
+    bsets = {a: set(g.negative_id) for a, g in exact.groupby("anchor_id")}
+    hits = sum(len(set(g.negative_id) & bsets[a])
+               for a, g in ann.groupby("anchor_id"))
+    assert hits / len(exact) >= 0.85

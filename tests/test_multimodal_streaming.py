@@ -515,3 +515,45 @@ def test_image_dhash_spark_and_loud_failure(spark):
     with _pt.raises(Exception) as ei:
         image_dhash(bad, "blob", id_col="doc_id").collect()
     assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+
+
+def test_audio_energy_hand_case_and_width_gate(spark):
+    """Hand-checkable PCM: amp=100, 5 frames, mono → samples
+    (100,0,100,0,100): n=5, peak=100, silence 2/5, rms
+    sqrt(30000/5); stereo duplicates per channel.  A 1-byte-width WAV
+    raises NotImplementedError (loud, never made-up numbers)."""
+    import io
+    import math
+    import wave
+
+    import pandas as pd
+    import pytest as _pt
+
+    from time_sift_spark.operators.multimodal import (
+        audio_energy,
+        synthesize_wav_square,
+    )
+
+    mono = synthesize_wav_square(8000, 1, 5, 100)
+    stereo = synthesize_wav_square(16000, 2, 5, 100)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "blob": [mono, stereo]})
+    )
+    out = audio_energy(df, "blob", id_col="doc_id").toPandas().set_index("doc_id")
+    assert out.loc[1, "n_samples"] == 5 and out.loc[2, "n_samples"] == 10
+    assert (out.peak == 100).all()
+    assert out.loc[1, "silence_ratio"] == 2 / 5
+    assert out.loc[1, "rms"] == math.sqrt((100 * 100 * 3) / 5)
+    assert out.loc[2, "silence_ratio"] == 4 / 10
+    assert out.loc[2, "rms"] == math.sqrt((100 * 100 * 6) / 10)
+
+    # 8-bit PCM: unsupported width must raise loudly at executor time
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(b"\x40" * 10)
+    bad = spark.createDataFrame(pd.DataFrame({"doc_id": [3], "blob": [buf.getvalue()]}))
+    with _pt.raises(Exception, match="16-bit"):
+        audio_energy(bad, "blob", id_col="doc_id").collect()

@@ -85,6 +85,21 @@ def test_staged_plan_exchange_counts_pinned(spark):
         "attribution_revenue_events": 2,
         "conformal_interval_events": 3,
         "robust_scale_sketch_events": 2,
+        # r10 staging wins, pinned in r11 (VERDICT item 8) at the
+        # counts measured from the executed plans — a Catalyst-
+        # inlining regression on the staged centroid/eval, funnel
+        # chain, basket-pair, prefix-hdist, or fingerprint frames
+        # fails here before it surfaces as a bench diff
+        "centroid_classifier_labels": 4,
+        "funnel_latency_quantiles": 2,
+        "item_similarity_lineitem": 1,
+        "prefix_jaccard_join_docs": 8,
+        "winnow_pairs_docs": 1,
+        # r11 rewrites/additions
+        "symspell_match_capped_customer": 3,
+        # one series-key exchange + one for the planted-union day
+        # bucketing (the UNION ALL source re-partitions by (k, day))
+        "holt_winters_mul_events": 2,
     }
     bad = []
     for name, cap in ceilings.items():

@@ -556,3 +556,47 @@ def test_burst_detect_flags_spike_not_baseline(spark):
     # the spiked day inflates later baselines but day 9 itself (10
     # events vs mean ~15) must NOT flag
     assert not after["flagged"]
+
+
+# ----------------------------------------- Classical decomposition (r11)
+
+def test_classical_decompose_recovers_planted_components(spark):
+    # y = 100 + 10*iso_dow: a pure weekly profile over a flat trend.
+    # Any full 7-day centered window averages every weekday once, so
+    # trend = 100 + 10*mean(1..7) = 140 exactly; seasonal(dow) =
+    # 10*dow - 40; resid = 0 on the interior; edges (first/last 3
+    # days) are NULL, never shrunken-window estimates.
+    import datetime
+
+    from time_sift_spark.operators.seasonal import classical_decompose
+
+    rows = []
+    for i in range(28):
+        ts = datetime.datetime(2024, 1, 1 + i % 28, 12)
+        epoch_day = (ts.date() - datetime.date(1970, 1, 1)).days
+        dow = ((epoch_day + 3) % 7) + 1
+        rows.append(("a", ts, float(100 + 10 * dow)))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["k", "ts", "v"]))
+    out = classical_decompose(df, "v", "ts", "k").toPandas().sort_values("day_x")
+    assert len(out) == 28
+    assert out.trend.head(3).isna().all() and out.trend.tail(3).isna().all()
+    interior = out.iloc[3:-3]
+    assert (interior.trend == 140.0).all()
+    assert (interior.resid.abs() < 1e-9).all()
+    # component identity on the interior
+    recon = interior.trend + interior.seasonal + interior.resid
+    assert (recon - interior.y_val).abs().max() < 1e-9
+
+
+def test_classical_decompose_validation(spark):
+    import datetime
+
+    from time_sift_spark.operators.seasonal import classical_decompose
+
+    df = spark.createDataFrame(pd.DataFrame(
+        {"k": ["a"], "ts": [datetime.datetime(2024, 1, 1)], "v": [1.0]}
+    ))
+    with pytest.raises(ColumnNotFoundError):
+        classical_decompose(df, "nope", "ts", "k")
+    with pytest.raises(ValueError):
+        classical_decompose(df, "v", "ts", "k", period=1)

@@ -386,6 +386,99 @@ def decode_audio(df: DataFrame, binary_col: str, *, id_col: str) -> DataFrame:
     return df.select(id_col, binary_col).mapInPandas(_decode, schema)
 
 
+def synthesize_wav_square(
+    sample_rate: int, channels: int, n_frames: int, amp: int
+) -> bytes:
+    """A VALID 16-bit PCM WAV whose samples alternate (+amp, 0,
+    +amp, 0, …) per frame across all channels — the deterministic
+    non-silent companion of :func:`synthesize_wav`, giving every
+    energy statistic a CLOSED FORM the SQL oracle can reproduce from
+    (amp, n) arithmetic alone: peak = amp, silent samples = ⌊n/2⌋,
+    Σs² = amp²·⌈n/2⌉."""
+    import io
+    import wave
+
+    frames = bytearray()
+    for i in range(n_frames):
+        s = amp if i % 2 == 0 else 0
+        frames += int(s).to_bytes(2, "little", signed=True) * channels
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def audio_energy(
+    df: DataFrame, binary_col: str, *, id_col: str, silence_floor: int = 0
+) -> DataFrame:
+    """REAL PCM energy panel → (id, n_samples, peak, silence_ratio,
+    rms): the stdlib ``wave`` reader parses the RIFF chunks and numpy
+    unpacks the int16 PCM — genuine sample-level audio analysis with
+    no external codec (the VAD/loudness-normalization front gate of an
+    audio-training pipeline: drop silent clips, flag clipped ones).
+
+    Only 16-bit PCM is supported; other sample widths raise
+    ``NotImplementedError`` at executor time (loud, never made-up
+    numbers — the decode_image contract).
+
+    Cross-engine determinism of the doubles: peak / silent-count /
+    Σs² are exact integers (Σs² ≤ 2^15²·frames < 2^53); rms =
+    sqrt(Σs²/n) and silence_ratio = n_sil/n are each ONE IEEE division
+    (+ one correctly-rounded sqrt — allowed, unlike ln/erf), the same
+    ops the SQL oracle runs on its closed-form integers.
+
+    Shape: mapInPandas over (id, blob) — Arrow-batched, shuffle-free,
+    column-pruned to the two columns; the 100 TB posture is the
+    decode_audio one (blobs never shuffle, stats are tiny rows).
+    """
+    for c in (binary_col, id_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    floor = int(silence_floor)
+    schema = (
+        f"{id_col} long, n_samples long, peak int, "
+        f"silence_ratio double, rms double"
+    )
+
+    def _energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import math
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for vid, blob in zip(pdf[id_col], pdf[binary_col]):
+                with wave.open(io.BytesIO(bytes(blob)), "rb") as w:
+                    if w.getsampwidth() != 2:
+                        raise NotImplementedError(
+                            f"only 16-bit PCM supported, got sample width "
+                            f"{w.getsampwidth()} — extend audio_energy for "
+                            f"other widths rather than guessing"
+                        )
+                    raw = w.readframes(w.getnframes())
+                s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                n = int(s.size)
+                if n == 0:
+                    rows.append((vid, 0, None, None, None))
+                    continue
+                a = np.abs(s)
+                peak = int(a.max())
+                n_sil = int((a <= floor).sum())
+                sum_sq = int((s * s).sum())
+                rows.append((vid, n, peak, n_sil / n, math.sqrt(sum_sq / n)))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "n_samples", "peak", "silence_ratio", "rms"],
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(_energy, schema)
+
+
 def resize_image(
     df: DataFrame, binary_col: str, *, id_col: str, width: int, height: int, fake: bool = True
 ) -> DataFrame:

@@ -23,6 +23,7 @@ from ..errors import ColumnNotFoundError
 
 __all__ = ["deseasonalize", "deseasonalize_sql", "SEASON_FNS",
            "holt_winters", "holt_winters_sql",
+           "classical_decompose", "classical_decompose_sql",
            "time_features", "time_features_sql"]
 
 # Season slot expressions valid verbatim AND value-identical in BOTH
@@ -375,6 +376,121 @@ def holt_winters(
         holt_winters_sql(_S, view, value_col, time_col, group_col,
                          period=period, alpha=alpha, beta=beta,
                          gamma=gamma, round_to=round_to, seasonal=seasonal)
+    )
+
+
+def classical_decompose_sql(
+    d,
+    table: str,
+    value_col: str,
+    time_col: str,
+    group_col: str,
+    *,
+    period: int = 7,
+    round_to: int = 6,
+) -> str:
+    """Classical additive seasonal decomposition per series over daily
+    buckets (Kendall's moving-average decomposition — the pre-loess
+    ancestor of STL, and the deterministic member of that family the
+    engine can hash-grade): y = trend + seasonal + resid, where
+
+    * trend    = centered (2h+1)-day moving average (h = period//2),
+      emitted only for FULL windows — edges are NULL, never a
+      shrunken-window estimate pretending to be a trend;
+    * seasonal = per (series, day-of-week) mean of the detrended
+      interior (the season profile re-estimated from what the trend
+      pass left behind — unlike deseasonalize's raw-slot means, this
+      one is trend-adjusted);
+    * resid    = y − trend − seasonal (NULL at the edges with trend).
+
+    Determinism: day buckets are exact decimal sums; the MA divides a
+    decimal window sum once; detrended values are round_double-
+    quantized to DECIMAL(18,6) before the seasonal mean's window sum
+    (the dsum discipline for DERIVED doubles); day-of-week comes from
+    pure epoch-day arithmetic (((x+3) % 7) + 1 — the time_features
+    trick; engine dayofweek() disagrees).  ISO weekday is used for the
+    slot; any ``period`` ≠ 7 slots by x % period instead.
+
+    Gap-free contract: the ROWS frame IS the calendar only on dense
+    daily series (the MASE/Holt-Winters contract) — gap-fill first on
+    holey series.
+
+    Shape: one (k, day) bucket exchange, one k-window (the MA), one
+    (k, slot) unordered window for the seasonal mean — window-over-
+    frame, no join-back, no staging (every CTE referenced once); the
+    bucket relation is |series|·|days| rows, the scale answer.
+    """
+    from ._num import dec_to_double, round_double
+
+    m = int(period)
+    if m < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    h = m // 2
+    rd = lambda e: round_double(e, round_to)  # noqa: E731
+    if d.name == "spark":
+        day = f"datediff(CAST({time_col} AS DATE), DATE '1970-01-01')"
+    else:
+        day = f"datediff('day', DATE '1970-01-01', CAST({time_col} AS DATE))"
+    slot = f"(((x + 3) % 7) + 1)" if m == 7 else f"(x % {m})"
+    w = f"(PARTITION BY k ORDER BY x ROWS BETWEEN {h} PRECEDING AND {h} FOLLOWING)"
+    wd = "(PARTITION BY k, slot)"
+    yd = dec_to_double("y")
+    ma_sum = dec_to_double(f"SUM(y) OVER {w}")
+    det = rd(f"({yd} - trend)")
+    seas_sum = dec_to_double(f"SUM(det_d) OVER {wd}")
+    return f"""
+    WITH _cdb AS (
+      SELECT {group_col} AS k, {day} AS x,
+             CAST(SUM(CAST({value_col} AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS y
+      FROM {table} GROUP BY {group_col}, {day}
+    ),
+    _cdt AS (
+      SELECT k, x, y,
+             CASE WHEN COUNT(*) OVER {w} = {2 * h + 1}
+                  THEN ({ma_sum} / {2 * h + 1}.0) END AS trend
+      FROM _cdb
+    ),
+    _cdd AS (
+      SELECT k, x, y, trend, {slot} AS slot,
+             CASE WHEN trend IS NOT NULL
+                  THEN CAST({det} AS DECIMAL(18,6)) END AS det_d
+      FROM _cdt
+    ),
+    _cds AS (
+      SELECT k, x, y, trend,
+             ({seas_sum} / CAST(COUNT(det_d) OVER {wd} AS DOUBLE)) AS seas
+      FROM _cdd
+    )
+    SELECT k AS {group_col}, CAST(x AS BIGINT) AS day_x, {yd} AS y_val,
+           {rd('trend')} AS trend,
+           {rd('seas')} AS seasonal,
+           {rd(f'(({yd} - trend) - seas)')} AS resid
+    FROM _cds
+    """
+
+
+def classical_decompose(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    group_col: str,
+    *,
+    period: int = 7,
+    round_to: int = 6,
+) -> DataFrame:
+    """DataFrame front door for :func:`classical_decompose_sql`."""
+    from ..functions.text_fns import SPARK as _S
+    from ._time import assert_time_dtype
+
+    for c in (value_col, time_col, group_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    assert_time_dtype(df, time_col)
+    view = "_ts_cd_in"
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(
+        classical_decompose_sql(_S, view, value_col, time_col, group_col,
+                                period=period, round_to=round_to)
     )
 
 

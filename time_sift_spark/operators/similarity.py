@@ -1866,6 +1866,137 @@ def hard_negatives(
     return _run(df, sql, view)
 
 
+def _ct_tail(tau: float, n_neg: int) -> str:
+    """Positive/negative split + triplet assembly over a ``ctsc``
+    relation (query_id, neighbor_id, cosine_sim) — shared VERBATIM by
+    the exact (oracle) and ANN-shortlist forms, the persisted≡inline
+    discipline.  One ranked pass tags each candidate's side (cos ≥ τ →
+    positive band), a second unordered window broadcasts the rank-1
+    positive onto the anchor's rows (window-over-frame, no self-join,
+    no staging), and anchors with no positive drop out — a triplet
+    needs all three legs."""
+    return f"""
+    _ctr AS (
+      SELECT query_id, neighbor_id, cosine_sim,
+             (cosine_sim >= {tau!r}) AS is_pos,
+             ROW_NUMBER() OVER (PARTITION BY query_id, (cosine_sim >= {tau!r})
+                                ORDER BY cosine_sim DESC, neighbor_id) AS rnk
+      FROM ctsc
+    ),
+    _ctp AS (
+      SELECT query_id, neighbor_id, cosine_sim, is_pos, rnk,
+             MAX(CASE WHEN is_pos AND rnk = 1 THEN neighbor_id END)
+               OVER (PARTITION BY query_id) AS pos_id,
+             MAX(CASE WHEN is_pos AND rnk = 1 THEN cosine_sim END)
+               OVER (PARTITION BY query_id) AS pos_sim
+      FROM _ctr
+    )
+    SELECT query_id AS anchor_id, pos_id AS positive_id, pos_sim,
+           neighbor_id AS negative_id, cosine_sim AS neg_sim,
+           (pos_sim - cosine_sim) AS margin,
+           CAST(rnk AS BIGINT) AS neg_rank
+    FROM _ctp
+    WHERE NOT is_pos AND rnk <= {int(n_neg)} AND pos_id IS NOT NULL
+    """
+
+
+def contrastive_triplets_sql(
+    vd: VectorDialect,
+    table: str,
+    id_col: str,
+    vec_col: str,
+    *,
+    query_pred: str,
+    pos_threshold: float = 0.9,
+    n_neg: int = 3,
+) -> str:
+    """Contrastive TRIPLET mining for embedding training — the
+    label-free composition of the similarity tier into the artifact a
+    contrastive trainer actually consumes: per anchor (``query_pred``),
+    the single best NATURAL POSITIVE (most similar item with cosine ≥
+    ``pos_threshold`` — the near-dup band; deterministic rank-1
+    tie-break) paired with the ``n_neg`` HARDEST NEGATIVES (most
+    similar items BELOW the band — highest-loss, the hard_negatives
+    posture without needing labeled positives) and the training margin
+    pos_sim − neg_sim per triplet.  Anchors with no positive in the
+    band emit nothing — a triplet needs all three legs, and silence
+    beats a fabricated positive.
+
+    This exact form scores anchor × corpus (the knn_cosine_topk brute
+    relation) — the ORACLE; production mining rides the multiprobe-LSH
+    shortlist (:func:`contrastive_triplets_ann_sql`), same tail text.
+    """
+    dot = vd.dot(f"q.{vec_col}", f"c.{vec_col}")
+    cos = f"({dot} / greatest(q.nrm * c.nrm, 1e-300))"
+    return f"""
+    WITH v AS (
+      SELECT {id_col}, {vec_col}, {vd.norm(vec_col)} AS nrm FROM {table}
+    ),
+    ctsc AS (
+      SELECT q.{id_col} AS query_id, c.{id_col} AS neighbor_id,
+             {cos} AS cosine_sim
+      FROM (SELECT * FROM v WHERE {query_pred}) q
+      JOIN v c ON q.{id_col} <> c.{id_col}
+    ),
+    {_ct_tail(pos_threshold, n_neg).strip()}
+    """
+
+
+def contrastive_triplets_ann_sql(
+    vd: VectorDialect,
+    table: str,
+    id_col: str,
+    vec_col: str,
+    *,
+    query_pred: str,
+    pos_threshold: float = 0.9,
+    n_neg: int = 3,
+    shortlist: int = 32,
+    num_planes: int = 4,
+    num_tables: int = 8,
+    seed: int = 42,
+    dim: int = DEFAULT_DIM,
+) -> str:
+    """Production form of :func:`contrastive_triplets_sql`: candidates
+    come from the multiprobe-LSH top-``shortlist`` (bucket equi-joins,
+    never anchor × corpus), then the SAME triplet tail runs on the
+    shortlist.  Linear-ish at 100 TB like hard_negatives_ann; recall vs
+    the exact form is gated in tests/test_ann_index.py rather than
+    assumed (a shortlist can miss a positive → that anchor drops)."""
+    inner = ann_lsh_topk_sql(
+        vd, table, id_col, vec_col, query_pred=query_pred, k=shortlist,
+        num_planes=num_planes, num_tables=num_tables, seed=seed, dim=dim,
+        multiprobe=True,
+    )
+    return f"""
+    WITH ctsc AS (
+      SELECT query_id, neighbor_id, cosine_sim FROM ({inner}) _ctsl
+    ),
+    {_ct_tail(pos_threshold, n_neg).strip()}
+    """
+
+
+def contrastive_triplets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    query_pred: str,
+    pos_threshold: float = 0.9,
+    n_neg: int = 3,
+) -> DataFrame:
+    """DataFrame front door for the exact form (the recall oracle)."""
+    for c in (id_col, vec_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    view = _next_view()
+    sql = contrastive_triplets_sql(
+        _VSPARK, view, id_col, vec_col, query_pred=query_pred,
+        pos_threshold=pos_threshold, n_neg=n_neg,
+    )
+    return _run(df, sql, view)
+
+
 def hard_negatives_ann_sql(
     vd: VectorDialect,
     table: str,

@@ -1393,6 +1393,88 @@ WHERE a.vec_id < 8
 """
 
 
+def _ct_src(dialect_name: str) -> str:
+    """Contrastive-mining corpus: embeddings plus a SCALED copy
+    (1.1×, id + 1000000) of every anchor — cosine is scale-invariant,
+    so each anchor gets exactly one planted natural positive at
+    cos ≈ 1.0 while the isotropic-Gaussian corpus tops out far below
+    the 0.9 band (the dedup plant discipline: the corpus has no
+    organic near-dups, so the demo plants them).  Sign-LSH buckets are
+    ALSO scale-invariant, so the ANN form's positive is a guaranteed
+    candidate in every table — recall 1.0 on the positive leg by
+    construction, the vector_screen exact-twin guarantee."""
+    tf = "transform" if dialect_name == "spark" else "list_transform"
+    # CAST the scale to DOUBLE: DuckDB parses a bare 1.1 as DECIMAL and
+    # the decimal-tainted multiply diverges from Spark in the last ulps
+    return (
+        "(SELECT vec_id, embedding FROM embeddings UNION ALL "
+        f"SELECT vec_id + 1000000 AS vec_id, "
+        f"{tf}(embedding, x -> x * CAST(1.1 AS DOUBLE)) "
+        "AS embedding FROM embeddings WHERE vec_id % 20 = 0)"
+    )
+
+
+_CT_ANCHORS_EXACT = "(vec_id % 20 = 0 AND vec_id < 1000000)"
+_CT_ANCHORS_ANN = "(vid % 20 = 0 AND vid < 1000000)"
+
+
+@register(
+    "contrastive_triplets_embeddings",
+    oracle=_sim.contrastive_triplets_sql(
+        VDUCK, _ct_src("duck"), "vec_id", "embedding",
+        query_pred=_CT_ANCHORS_EXACT, pos_threshold=0.9, n_neg=3,
+    ),
+)
+def contrastive_triplets_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive TRIPLET mining — the label-free training-data
+    artifact for embedding models: per anchor, its best natural
+    positive (cosine ≥ 0.9, the planted scaled twin) + the 3 hardest
+    negatives below the band + the pos−neg margin.  Anchors without a
+    positive emit nothing (a triplet needs all three legs).  This is
+    the exact anchor × corpus form — the recall oracle for the ANN
+    twin (operators/similarity.py:contrastive_triplets)."""
+    from .functions.vector_fns import VSPARK
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    emb.createOrReplaceTempView("embeddings")
+    return spark.sql(
+        _sim.contrastive_triplets_sql(
+            VSPARK, _ct_src("spark"), "vec_id", "embedding",
+            query_pred=_CT_ANCHORS_EXACT, pos_threshold=0.9, n_neg=3,
+        )
+    )
+
+
+@register(
+    "contrastive_triplets_ann",
+    oracle=_sim.contrastive_triplets_ann_sql(
+        VDUCK, _ct_src("duck"), "vec_id", "embedding",
+        query_pred=_CT_ANCHORS_ANN, pos_threshold=0.9, n_neg=3,
+        shortlist=32, num_planes=4, num_tables=8,
+    ),
+)
+def contrastive_triplets_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production contrastive mining: the multiprobe-LSH top-32
+    shortlist replaces the anchor × corpus scoring arm (bucket
+    equi-joins, linear-ish at 100 TB — the hard_negatives_ann
+    posture), then the SAME triplet tail text assembles positives,
+    hard negatives, and margins.  The planted positive is a guaranteed
+    shortlist member (sign-LSH is scale-invariant); negative-leg
+    overlap vs the exact form is gated in tests/test_ann_index.py
+    (operators/similarity.py:contrastive_triplets_ann_sql)."""
+    from .functions.vector_fns import VSPARK
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    emb.createOrReplaceTempView("embeddings")
+    return spark.sql(
+        _sim.contrastive_triplets_ann_sql(
+            VSPARK, _ct_src("spark"), "vec_id", "embedding",
+            query_pred=_CT_ANCHORS_ANN, pos_threshold=0.9, n_neg=3,
+            shortlist=32, num_planes=4, num_tables=8,
+        )
+    )
+
+
 @register(
     "hard_negatives_topk",
     oracle=_sim.hard_negatives_sql(
@@ -2184,6 +2266,62 @@ def decode_audio_real_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wavs = docs.mapInPandas(_blobs, "doc_id long, blob binary")
     return decode_audio(wavs, "blob", id_col="doc_id")
+
+
+@register(
+    "audio_energy_docs",
+    oracle="""
+    SELECT doc_id,
+           CAST(nf * ch AS BIGINT) AS n_samples,
+           CAST(amp AS INT) AS peak,
+           (CAST((nf // 2) * ch AS DOUBLE) / CAST(nf * ch AS DOUBLE))
+             AS silence_ratio,
+           sqrt(CAST(amp * amp * ((nf + 1) // 2) * ch AS DOUBLE)
+                / CAST(nf * ch AS DOUBLE)) AS rms
+    FROM (
+      SELECT doc_id,
+             1 + ((('0x' || substr(md5(text), 1, 6))::BIGINT // 3) % 2) AS ch,
+             1 + ((('0x' || substr(md5(text), 1, 6))::BIGINT // 6) % 500) AS nf,
+             1 + (('0x' || substr(md5(text), 1, 6))::BIGINT % 3000) AS amp
+      FROM documents WHERE text IS NOT NULL
+    ) _ae
+    """,
+)
+def audio_energy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM energy panel, graded: each doc becomes a VALID 16-bit
+    WAV whose samples alternate (+amp, 0) per frame (amp, channels,
+    frame count all md5(text)-derived), audio_energy genuinely unpacks
+    the int16 PCM (stdlib wave + numpy) and reports n_samples / peak /
+    silence_ratio / rms, and the oracle predicts every statistic from
+    the (amp, n) closed forms — peak = amp, silent = ⌊nf/2⌋·ch,
+    Σs² = amp²·⌈nf/2⌉·ch, one division + one sqrt each
+    (operators/multimodal.py:audio_energy, synthesize_wav_square)."""
+    import hashlib as _hl
+
+    from .operators.multimodal import audio_energy, synthesize_wav_square
+
+    docs = load_table(spark, "documents", sf_dir).where("text IS NOT NULL").select(
+        "doc_id", "text"
+    )
+    rates = (8000, 16000, 44100)
+
+    def _blobs(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = []
+            for t in pdf["text"]:
+                h = int(_hl.md5(t.encode("utf-8")).hexdigest()[:6], 16)
+                blobs.append(
+                    synthesize_wav_square(
+                        rates[h % 3], 1 + (h // 3) % 2, 1 + (h // 6) % 500,
+                        1 + h % 3000,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    wavs = docs.mapInPandas(_blobs, "doc_id long, blob binary")
+    return audio_energy(wavs, "blob", id_col="doc_id")
 
 
 @register(
@@ -9728,6 +9866,29 @@ _HW_MUL_SRC = (
 )
 
 
+def _cd_oracle() -> str:
+    from .operators.seasonal import classical_decompose_sql
+
+    return classical_decompose_sql(DUCK, "events", "value", "ts", "event_type")
+
+
+@register("classical_decompose_events", oracle=_cd_oracle())
+def classical_decompose_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition per event type over daily
+    buckets: trend = centered 7-day moving average (full windows only),
+    seasonal = per-ISO-weekday mean of the trend-adjusted interior,
+    resid = y − trend − seasonal — the deterministic pre-loess member
+    of the STL family, completing the seasonal tier (deseasonalize =
+    raw slot profile, Holt-Winters = recursive state, this =
+    moving-average decomposition).  One bucket exchange, one ordered
+    k-window, one unordered (k, weekday) window — no join-back
+    (operators/seasonal.py:classical_decompose)."""
+    from .operators.seasonal import classical_decompose
+
+    events = load_table(spark, "events", sf_dir)
+    return classical_decompose(events, "value", "ts", "event_type")
+
+
 def _hw_mul_oracle() -> str:
     from .operators.seasonal import holt_winters_sql
 
@@ -9896,6 +10057,10 @@ GRADE_PRIORITY: list[str] = [
     "symspell_match_d2_customer",
     "holt_winters_mul_events",
     "streaming_quantile_drift_events",
+    "classical_decompose_events",
+    "contrastive_triplets_embeddings",
+    "contrastive_triplets_ann",
+    "audio_energy_docs",
     # -- NEW in r10 -> grade first --
     "substring_remove_docs",
     "streaming_outer_join",
