@@ -217,3 +217,45 @@ def test_corr_matrix_planted_correlations(spark):
     assert abs(out[("a", "d")]["corr"]) < 0.5
     assert out[("a", "b")]["n_days"] == 30
     assert len(out) == 6  # C(4,2) pairs among a,b,c,d
+
+
+def test_spearman_monotone_is_one_pearson_is_not(spark):
+    """An exponential-ish monotone pair: Spearman must be exactly 1.0
+    while Pearson is dragged below it by the spike day; tie handling
+    is the average-rank convention via the exact 2r+c-1 surrogate."""
+    import datetime
+
+    import pandas as pd
+
+    from time_sift_spark.operators.autocorr import corr_matrix, spearman_matrix
+
+    rows = []
+    ys = {"a": [1.0, 2.0, 3.0, 4.0, 1000.0], "b": [1.0, 4.0, 9.0, 16.0, 25.0]}
+    for k, vals in ys.items():
+        for i, v in enumerate(vals):
+            rows.append((k, datetime.datetime(2024, 1, 1 + i, 12), v))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["k", "ts", "v"]))
+    sp = spearman_matrix(df, "v", "ts", "k").toPandas()
+    pe = corr_matrix(df, "v", "ts", "k").toPandas()
+    assert len(sp) == 1 and sp.loc[0, "spearman"] == 1.0
+    assert pe.loc[0, "corr"] < 0.9
+
+
+def test_spearman_tie_average_ranks(spark):
+    """Ties on one side: series a = (1,2,2,3) vs strictly increasing b.
+    Average ranks for a are (1, 2.5, 2.5, 4) → Spearman = Pearson of
+    (1,2.5,2.5,4) vs (1,2,3,4) = 0.9487 (scipy.stats.spearmanr value,
+    rounded to the engine's 4 decimals)."""
+    import datetime
+
+    import pandas as pd
+
+    from time_sift_spark.operators.autocorr import spearman_matrix
+
+    rows = []
+    for k, vals in {"a": [1.0, 2.0, 2.0, 3.0], "b": [1.0, 2.0, 3.0, 4.0]}.items():
+        for i, v in enumerate(vals):
+            rows.append((k, datetime.datetime(2024, 1, 1 + i, 12), v))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["k", "ts", "v"]))
+    sp = spearman_matrix(df, "v", "ts", "k").toPandas()
+    assert sp.loc[0, "spearman"] == 0.9487

@@ -272,3 +272,33 @@ def test_nelson_aalen_hand_check(spark):
     # same skeleton: identical at-risk/event columns
     assert (km.n_at_risk == na.n_at_risk).all()
     assert (km.d_events == na.d_events).all()
+
+
+def test_top_paths_order_truncation_and_ties(spark):
+    """Paths respect time order (not insertion order), truncate at
+    max_steps, and the (count DESC, path) tie-break is deterministic."""
+    import datetime
+
+    import pandas as pd
+
+    from time_sift_spark.operators.funnel import top_paths
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    # users 1,2: A>B>C; user 3: B>A (inserted out of time order);
+    # user 4: 5 events but max_steps=3 keeps A>A>B
+    for u, seq in ((1, "ABC"), (2, "ABC")):
+        for i, e in enumerate(seq):
+            rows.append((u, e, t0 + datetime.timedelta(minutes=i), i))
+    rows.append((3, "A", t0 + datetime.timedelta(minutes=5), 1))
+    rows.append((3, "B", t0, 0))
+    for i, e in enumerate("AABZZ"):
+        rows.append((4, e, t0 + datetime.timedelta(minutes=i), i))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "event_type", "ts", "event_id"])
+    )
+    out = top_paths(df, "user_id", "event_type", "ts", "event_id",
+                    max_steps=3, top_k=10).toPandas()
+    got = dict(zip(out.path, out.n_keys))
+    assert got == {"A>B>C": 2, "B>A": 1, "A>A>B": 1}
+    assert list(out.path) == ["A>B>C", "A>A>B", "B>A"]  # count desc, then path

@@ -557,3 +557,26 @@ def test_audio_energy_hand_case_and_width_gate(spark):
     bad = spark.createDataFrame(pd.DataFrame({"doc_id": [3], "blob": [buf.getvalue()]}))
     with _pt.raises(Exception, match="16-bit"):
         audio_energy(bad, "blob", id_col="doc_id").collect()
+
+
+def test_scene_changes_hand_case_and_codec_gate(spark):
+    """step=200 over 4 frames: lumas 0,200,144,88 → diffs 200,56,56 →
+    cut only at frame 1 with threshold 64; non-y4m bytes raise loudly."""
+    import pandas as pd
+    import pytest as _pt
+
+    from time_sift_spark.operators.multimodal import scene_changes, synthesize_y4m
+
+    vid = synthesize_y4m(8, 8, 4, step=200)
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "blob": [vid]}))
+    out = (
+        scene_changes(df, "blob", id_col="doc_id")
+        .toPandas().sort_values("frame_idx").reset_index(drop=True)
+    )
+    assert list(out.frame_idx) == [1, 2, 3]
+    assert list(out.mean_abs_diff) == [200.0, 56.0, 56.0]
+    assert list(out.is_cut) == [True, False, False]
+
+    bad = spark.createDataFrame(pd.DataFrame({"doc_id": [2], "blob": [b"mp4 junk"]}))
+    with _pt.raises(Exception, match="y4m"):
+        scene_changes(bad, "blob", id_col="doc_id").collect()

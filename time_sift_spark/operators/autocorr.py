@@ -44,6 +44,8 @@ __all__ = [
     "ccf_oracle_sql",
     "rolling_corr",
     "rolling_corr_oracle_sql",
+    "spearman_matrix",
+    "spearman_matrix_sql",
 ]
 
 
@@ -402,6 +404,90 @@ def corr_matrix_sql(
     GROUP BY a.k, b.k
     HAVING COUNT(*) >= 3
     """
+
+
+def spearman_matrix_sql(
+    d_name: str,
+    table: str,
+    value_col: str,
+    time_col: str,
+    group_col: str,
+    *,
+    round_to: int = 4,
+    staged_rank: str | None = None,
+) -> str:
+    """Cross-series SPEARMAN rank correlation matrix — the
+    monotone-association companion of :func:`corr_matrix_sql` (Pearson
+    sees linear co-movement and is dragged by spike days; rank
+    correlation sees any monotone relation and is outlier-robust, the
+    standard pair for drift/association dashboards).
+
+    Exactness without fractions: Spearman = Pearson over AVERAGE ranks,
+    and average ranks under ties are r + (c−1)/2 (r = min-rank, c = tie
+    count).  Correlation is invariant under the affine map 2·rank, so
+    the surrogate 2r + c − 1 — an exact INTEGER per row — feeds the
+    same :func:`exact_corr_sql` aggregate with zero new floating-point
+    hazard (the engine's rational-form discipline).  Ranks come from
+    one per-series window over the daily bucket frame (RANK + tie
+    COUNT share the (k) partition); pairs align on shared days via the
+    corr_matrix self equi-join, never a cross join; < 3 shared days
+    drop (a 2-point correlation is ±1 by construction).
+    """
+    width = 18 if d_name == "spark" else 19
+    bucket = _cm_bucket_select(d_name, table, value_col, time_col, group_col)
+    ranked = (
+        f"SELECT k, x, CAST(2 * RANK() OVER (PARTITION BY k ORDER BY y) "
+        f"+ COUNT(*) OVER (PARTITION BY k ORDER BY y "
+        f"RANGE BETWEEN CURRENT ROW AND CURRENT ROW) - 1 AS BIGINT) AS yr "
+        f"FROM ({bucket}) _smb0"
+    )
+    src = f"SELECT k, x, yr FROM {staged_rank}" if staged_rank else ranked
+    corr = exact_corr_sql("a.yr", "b.yr", round_to, width=width)
+    return f"""
+    WITH _smr AS (
+      {src}
+    )
+    SELECT a.k AS type_a, b.k AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           {corr} AS spearman
+    FROM _smr a JOIN _smr b ON a.x = b.x AND a.k < b.k
+    GROUP BY a.k, b.k
+    HAVING COUNT(*) >= 3
+    """
+
+
+def spearman_matrix(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    group_col: str,
+    *,
+    round_to: int = 4,
+) -> DataFrame:
+    """DataFrame front door for :func:`spearman_matrix_sql` — stages
+    the ranked frame once (both self-join arms share it, the
+    corr_matrix staging)."""
+    from ._time import assert_time_dtype
+
+    for c in (value_col, time_col, group_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    assert_time_dtype(df, time_col)
+    view = "_ts_smx_in"
+    df.createOrReplaceTempView(view)
+    bucket = _cm_bucket_select("spark", view, value_col, time_col, group_col)
+    ranked = (
+        f"SELECT k, x, CAST(2 * RANK() OVER (PARTITION BY k ORDER BY y) "
+        f"+ COUNT(*) OVER (PARTITION BY k ORDER BY y "
+        f"RANGE BETWEEN CURRENT ROW AND CURRENT ROW) - 1 AS BIGINT) AS yr "
+        f"FROM ({bucket}) _smb0"
+    )
+    rview = "_ts_smx_ranked"
+    df.sparkSession.sql(ranked).localCheckpoint(eager=False).createOrReplaceTempView(rview)
+    return df.sparkSession.sql(
+        spearman_matrix_sql("spark", view, value_col, time_col, group_col,
+                            round_to=round_to, staged_rank=rview)
+    )
 
 
 def corr_matrix(

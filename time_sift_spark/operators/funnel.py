@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 
 from ..errors import ColumnNotFoundError
 
-__all__ = ["funnel", "funnel_oracle_sql", "sequence_ngrams", "transition_matrix"]
+__all__ = ["funnel", "funnel_oracle_sql", "sequence_ngrams",
+           "top_paths", "top_paths_sql", "transition_matrix"]
 
 
 def _step_exprs(
@@ -236,4 +237,83 @@ def transition_matrix(
             view, key_col, item_col, time_col, order_extra,
             min_transitions=min_transitions,
         )
+    )
+
+
+def top_paths_sql(
+    d,
+    table: str,
+    key_col: str,
+    item_col: str,
+    time_col: str,
+    order_extra: str,
+    *,
+    max_steps: int = 8,
+    top_k: int = 20,
+) -> str:
+    """Top-k ENTRY PATHS: each key's first ``max_steps`` events in time
+    order collapse to one '>'-joined path string, and the most common
+    paths rank by user count — the whole-journey companion of the
+    n-gram (sequence_ngrams) and pairwise (transition_matrix) views:
+    n-grams see local motifs, the matrix sees one step, this sees the
+    full head of the journey (the product-analytics "paths" report).
+
+    Determinism: step order is (time, ``order_extra``) — a unique total
+    order; Spark reassembles via the array_sort(collect_list(struct))
+    idiom over the rank-prefixed struct (integer rank leads, so struct
+    ordering is the integer ordering — no timestamp/struct dialect
+    hazard), DuckDB via string_agg ORDER BY the same rank; counts are
+    exact integers and the final top-k orders by (n_keys DESC, path) —
+    a deterministic total order.
+
+    Scale shape: ONE window exchange on the key (rank), the per-key
+    reassembly reuses that partitioning, ONE exchange on the path
+    string (the count), and the top-k is a TakeOrdered — no sort of the
+    full path relation.  ``max_steps`` bounds the path string; the path
+    vocabulary is capped by the top-k, never materialized wholesale.
+    """
+    rn = (f"ROW_NUMBER() OVER (PARTITION BY {key_col} "
+          f"ORDER BY {time_col}, {order_extra})")
+    if d.name == "spark":
+        reasm = ("concat_ws('>', transform(array_sort(collect_list("
+                 "struct(rn, it))), s -> s.it))")
+    else:
+        reasm = "string_agg(it, '>' ORDER BY rn)"
+    return f"""
+    WITH _tp0 AS (
+      SELECT {key_col} AS k, {item_col} AS it, {rn} AS rn FROM {table}
+    ),
+    _tp1 AS (
+      SELECT k, {reasm} AS path
+      FROM _tp0 WHERE rn <= {int(max_steps)} GROUP BY k
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_keys
+    FROM _tp1 GROUP BY path
+    ORDER BY n_keys DESC, path
+    LIMIT {int(top_k)}
+    """
+
+
+def top_paths(
+    df: DataFrame,
+    key_col: str,
+    item_col: str,
+    time_col: str,
+    order_extra: str,
+    *,
+    max_steps: int = 8,
+    top_k: int = 20,
+) -> DataFrame:
+    """DataFrame front door for :func:`top_paths_sql`."""
+    from ..errors import ColumnNotFoundError
+    from ..functions.text_fns import SPARK as _S
+
+    for c in (key_col, item_col, time_col, order_extra):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    view = "_ts_tp_in"
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(
+        top_paths_sql(_S, view, key_col, item_col, time_col, order_extra,
+                      max_steps=max_steps, top_k=top_k)
     )

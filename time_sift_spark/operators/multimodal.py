@@ -533,18 +533,23 @@ def resize_image(
     return df.select(id_col, binary_col).mapInPandas(_resize, schema)
 
 
-def synthesize_y4m(width: int, height: int, n_frames: int) -> bytes:
+def synthesize_y4m(width: int, height: int, n_frames: int, step: int = 1) -> bytes:
     """A VALID YUV4MPEG2 (y4m) video: the standard UNCOMPRESSED video
     container (mjpegtools/ffmpeg-readable) — stream header + per-frame
     ``FRAME`` markers + raw 4:2:0 planar YUV.  Frame f's luma plane is
-    filled with byte value f (mod 256), chroma neutral 128 — so every
-    frame has distinct, independently-predictable content."""
+    filled with byte value f·step (mod 256), chroma neutral 128 — so
+    every frame has distinct, independently-predictable content, and
+    the inter-frame luma delta is a CLOSED FORM (|((f·step) −
+    ((f−1)·step)) mod-256 bytes|), which is what lets the scene-change
+    oracle predict every cut from arithmetic alone.  ``step=1`` is the
+    original gentle fade (the decode/sample queries); larger steps
+    manufacture hard cuts."""
     hdr = f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C420\n".encode()
     ysz, csz = width * height, (width // 2) * (height // 2)
     out = [hdr]
     for f in range(n_frames):
         out.append(b"FRAME\n")
-        out.append(bytes([f % 256]) * ysz + b"\x80" * (2 * csz))
+        out.append(bytes([(f * step) % 256]) * ysz + b"\x80" * (2 * csz))
     return b"".join(out)
 
 
@@ -625,6 +630,61 @@ def sample_frames(
             yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "frame_md5"])
 
     return df.select(id_col, binary_col).mapInPandas(_sample, schema)
+
+
+def scene_changes(
+    df: DataFrame, binary_col: str, *, id_col: str, threshold: float = 64.0
+) -> DataFrame:
+    """Scene-cut detection over REAL decoded video frames → one row per
+    frame transition (id, frame_idx, mean_abs_diff, is_cut): the y4m
+    container is genuinely parsed (:func:`parse_y4m` — header walk +
+    exact per-frame strides), the LUMA planes of consecutive frames are
+    differenced per pixel (numpy int64 — exact), and a transition whose
+    mean absolute luma delta exceeds ``threshold`` is a cut — the
+    shot-boundary front gate of a video-training pipeline (sample
+    around cuts, not inside static shots).  Compressed containers raise
+    ``NotImplementedError`` loudly (the no-codec contract).
+
+    Determinism of the double: Σ|Δ| is an exact integer (≤ 255·plane),
+    mean_abs_diff = Σ|Δ| / plane_size is ONE IEEE division of exact
+    ints — the audio_energy discipline.  Shape: mapInPandas over
+    (id, blob), shuffle-free; stats rows are tiny.
+    """
+    for c in (binary_col, id_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    thr = float(threshold)
+    schema = (
+        f"{id_col} long, frame_idx int, mean_abs_diff double, is_cut boolean"
+    )
+
+    def _cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for vid, blob in zip(pdf[id_col], pdf[binary_col]):
+                raw = bytes(blob) if blob is not None else b""
+                if raw[:9] != b"YUV4MPEG2":
+                    raise NotImplementedError(
+                        "scene detection decodes y4m (uncompressed); "
+                        "compressed containers need a codec not installed here"
+                    )
+                w, h, frames = parse_y4m(raw)
+                ysz = w * h
+                prev = None
+                for idx, fr in enumerate(frames):
+                    luma = np.frombuffer(fr[:ysz], dtype=np.uint8).astype(np.int64)
+                    if prev is not None:
+                        sad = int(np.abs(luma - prev).sum())
+                        mad = sad / ysz
+                        rows.append((vid, idx, mad, mad > thr))
+                    prev = luma
+            yield pd.DataFrame(
+                rows, columns=[id_col, "frame_idx", "mean_abs_diff", "is_cut"]
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(_cuts, schema)
 
 
 def extract_features(

@@ -2325,6 +2325,56 @@ def audio_energy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scene_changes_docs",
+    oracle="""
+    SELECT doc_id, CAST(f AS INT) AS frame_idx,
+           CAST(ABS(((f * st) % 256) - (((f - 1) * st) % 256)) AS DOUBLE)
+             AS mean_abs_diff,
+           (CAST(ABS(((f * st) % 256) - (((f - 1) * st) % 256)) AS DOUBLE)
+            > 64.0) AS is_cut
+    FROM (
+      SELECT doc_id, st, unnest(generate_series(1, nf - 1)) AS f
+      FROM (
+        SELECT doc_id,
+               2 + ((('0x' || substr(md5(text), 1, 6))::BIGINT) % 20) AS nf,
+               1 + ((('0x' || substr(md5(text), 1, 6))::BIGINT) % 97) AS st
+        FROM documents WHERE text IS NOT NULL
+      ) _sc0
+    ) _sc1
+    """,
+)
+def scene_changes_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video scene-cut detection, graded: each doc becomes a VALID
+    y4m stream whose frame-f luma plane is the byte (f·step) mod 256
+    (step and frame count md5(text)-derived), scene_changes genuinely
+    parses the container and differences consecutive 16×16 luma planes
+    per pixel, and the oracle predicts every transition's mean |Δluma|
+    and cut flag from the mod-256 arithmetic alone — the shot-boundary
+    front gate of a video-training pipeline
+    (operators/multimodal.py:scene_changes, synthesize_y4m step)."""
+    import hashlib as _hl
+
+    from .operators.multimodal import scene_changes, synthesize_y4m
+
+    docs = load_table(spark, "documents", sf_dir).where("text IS NOT NULL").select(
+        "doc_id", "text"
+    )
+
+    def _blobs(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = []
+            for t in pdf["text"]:
+                h = int(_hl.md5(t.encode("utf-8")).hexdigest()[:6], 16)
+                blobs.append(synthesize_y4m(16, 16, 2 + h % 20, step=1 + h % 97))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    vids = docs.mapInPandas(_blobs, "doc_id long, blob binary")
+    return scene_changes(vids, "blob", id_col="doc_id")
+
+
+@register(
     "interop_roundtrip_events",
     oracle=f"""
     SELECT ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS row_idx,
@@ -8280,6 +8330,32 @@ def sequence_mining_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _top_paths_oracle() -> str:
+    from .operators.funnel import top_paths_sql
+
+    return top_paths_sql(
+        DUCK, "events", "user_id", "event_type", "ts", "event_id",
+        max_steps=8, top_k=20,
+    )
+
+
+@register("top_paths_events", oracle=_top_paths_oracle())
+def top_paths_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 ENTRY PATHS: each user's first 8 events in time order
+    collapse to one '>'-joined journey string, ranked by user count —
+    the whole-journey view completing the behavioral tier (n-grams =
+    local motifs, Markov = one step, funnel = one fixed path, this =
+    the empirical path head distribution).  One user-window exchange,
+    per-user reassembly on the same partitioning, one path-count
+    exchange, TakeOrdered top-k
+    (operators/funnel.py:top_paths)."""
+    from .operators.funnel import top_paths
+
+    events = load_table(spark, "events", sf_dir)
+    return top_paths(events, "user_id", "event_type", "ts", "event_id",
+                     max_steps=8, top_k=20)
+
+
 def _markov_oracle() -> str:
     from .operators.funnel import transition_matrix_sql
 
@@ -9062,6 +9138,29 @@ def corr_matrix_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, "events", sf_dir)
     return corr_matrix(events, "value", "ts", "event_type")
+
+
+def _spearman_matrix_oracle() -> str:
+    from .operators.autocorr import spearman_matrix_sql
+
+    return spearman_matrix_sql("duck", "events", "value", "ts", "event_type")
+
+
+@register("spearman_matrix_events", oracle=_spearman_matrix_oracle())
+def spearman_matrix_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-series SPEARMAN rank correlation matrix — the
+    outlier-robust monotone-association companion of
+    corr_matrix_events.  Average ranks under ties ride the exact
+    integer surrogate 2·rank + ties − 1 (correlation is affine-
+    invariant), so the rational-form Pearson aggregate computes
+    Spearman with zero new floating-point hazard; rank + peer count
+    share ONE per-series window exchange (RANGE CURRENT ROW peers),
+    and the ranked frame is staged once for the pair self-join
+    (operators/autocorr.py:spearman_matrix)."""
+    from .operators.autocorr import spearman_matrix
+
+    events = load_table(spark, "events", sf_dir)
+    return spearman_matrix(events, "value", "ts", "event_type")
 
 
 def _robust_scale_oracle() -> str:
@@ -10061,6 +10160,9 @@ GRADE_PRIORITY: list[str] = [
     "contrastive_triplets_embeddings",
     "contrastive_triplets_ann",
     "audio_energy_docs",
+    "scene_changes_docs",
+    "spearman_matrix_events",
+    "top_paths_events",
     # -- NEW in r10 -> grade first --
     "substring_remove_docs",
     "streaming_outer_join",
