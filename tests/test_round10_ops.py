@@ -600,3 +600,17 @@ def test_classical_decompose_validation(spark):
         classical_decompose(df, "nope", "ts", "k")
     with pytest.raises(ValueError):
         classical_decompose(df, "v", "ts", "k", period=1)
+
+
+def test_hw_damped_flattens_trend_and_validates(spark):
+    # On the linear series the damped fit at t=8 uses phi*b0: l0=4,
+    # b0=1, phi=0.5 -> fit=(4+0.5)+(-3)=1.5 (vs undamped 2.0); phi
+    # outside (0,1] raises.
+    from time_sift_spark.operators.seasonal import holt_winters
+
+    df = _hw_frame(spark, 21)
+    out = holt_winters(df, "v", "ts", "k", period=7,
+                       damping=0.5).orderBy("day_x").collect()
+    assert out[0]["hw_fit"] == pytest.approx(1.5, abs=1e-9)
+    with pytest.raises(ValueError):
+        holt_winters(df, "v", "ts", "k", damping=1.5)

@@ -134,6 +134,7 @@ def _hw_scalar_exprs(
     l: str, b: str, s1: str, yd: str,
     alpha: float, beta: float, gamma: float,
     seasonal: str = "add",
+    damping: float | None = None,
 ) -> dict[str, str]:
     """The four per-step Holt-Winters scalar expressions, parameterized
     by the VARIABLE SPELLING only (Spark fold: acc.l / element_at;
@@ -147,6 +148,15 @@ def _hw_scalar_exprs(
     tree shape, division recurrence, so the bit-equality argument is
     unchanged (one IEEE divide is as correctly-rounded as one subtract).
 
+    ``damping`` (φ ∈ (0, 1]) gives the DAMPED-TREND members (Ad —
+    Gardner & McKenzie 1985): every read of the carried trend becomes
+    φ·b (fit, level update, AND the trend recurrence's persistence
+    term), flattening long-horizon extrapolation — the literal is a
+    Python ``repr`` like the smoothing complements, so both engines
+    parse the identical double.  ``None`` keeps the undamped tree with
+    NO extra multiply (φ=1.0 would change the IEEE tree shape of
+    existing grades).
+
     Complements are Python-computed literals (``repr(1.0 - alpha)``):
     whatever double that parses to, BOTH engines parse the same text to
     the same double — never spelled as an in-SQL ``1 - alpha`` (whose
@@ -157,15 +167,16 @@ def _hw_scalar_exprs(
     a, ca = repr(float(alpha)), repr(1.0 - float(alpha))
     bb, cb = repr(float(beta)), repr(1.0 - float(beta))
     g, cg = repr(float(gamma)), repr(1.0 - float(gamma))
+    bterm = b if damping is None else f"({repr(float(damping))} * {b})"
     if seasonal == "mul":
-        fit = f"(({l} + {b}) * {s1})"
-        lnew = f"(({a} * ({yd} / {s1})) + ({ca} * ({l} + {b})))"
+        fit = f"(({l} + {bterm}) * {s1})"
+        lnew = f"(({a} * ({yd} / {s1})) + ({ca} * ({l} + {bterm})))"
         snew_src = f"({yd} / {lnew})"
     else:
-        fit = f"(({l} + {b}) + {s1})"
-        lnew = f"(({a} * ({yd} - {s1})) + ({ca} * ({l} + {b})))"
+        fit = f"(({l} + {bterm}) + {s1})"
+        lnew = f"(({a} * ({yd} - {s1})) + ({ca} * ({l} + {bterm})))"
         snew_src = f"({yd} - {lnew})"
-    bnew = f"(({bb} * ({lnew} - {l})) + ({cb} * {b}))"
+    bnew = f"(({bb} * ({lnew} - {l})) + ({cb} * {bterm}))"
     snew = f"(({g} * {snew_src}) + ({cg} * {s1}))"
     return {"fit": fit, "lnew": lnew, "bnew": bnew, "snew": snew}
 
@@ -195,6 +206,7 @@ def holt_winters_sql(
     gamma: float = 0.2,
     round_to: int = 6,
     seasonal: str = "add",
+    damping: float | None = None,
 ) -> str:
     """Holt-Winters triple exponential smoothing per series over the
     day-bucketed calendar — level + trend + seasonal state, the classic
@@ -245,6 +257,8 @@ def holt_winters_sql(
 
     if seasonal not in ("add", "mul"):
         raise ValueError(f"seasonal must be 'add' or 'mul', got {seasonal!r}")
+    if damping is not None and not (0.0 < float(damping) <= 1.0):
+        raise ValueError(f"damping must be in (0, 1], got {damping}")
     m = int(period)
     rd = lambda e: round_double(e, round_to)  # noqa: E731
     l0, b0 = _hw_init_exprs(m)
@@ -261,7 +275,7 @@ def holt_winters_sql(
         yd_e = dec_to_double("e.y")
         step = _hw_scalar_exprs(
             "acc.l", "acc.b", "element_at(acc.seas, 1)", yd_e,
-            alpha, beta, gamma, seasonal,
+            alpha, beta, gamma, seasonal, damping,
         )
         yd_out = dec_to_double(f"element_at(arr, pos + {m + 1}).y")
         return f"""
@@ -303,7 +317,7 @@ def holt_winters_sql(
     """
     yd_b = dec_to_double("b.y")
     step = _hw_scalar_exprs("r.l", "r.b", "r.seas[1]", yd_b,
-                            alpha, beta, gamma, seasonal)
+                            alpha, beta, gamma, seasonal, damping)
     return f"""
     WITH RECURSIVE _hwb AS (
       {bucket}
@@ -358,6 +372,7 @@ def holt_winters(
     gamma: float = 0.2,
     round_to: int = 6,
     seasonal: str = "add",
+    damping: float | None = None,
 ) -> DataFrame:
     """DataFrame front door for :func:`holt_winters_sql` (Spark
     rendering; every CTE is referenced once, so no staging is needed —
@@ -375,7 +390,8 @@ def holt_winters(
     return df.sparkSession.sql(
         holt_winters_sql(_S, view, value_col, time_col, group_col,
                          period=period, alpha=alpha, beta=beta,
-                         gamma=gamma, round_to=round_to, seasonal=seasonal)
+                         gamma=gamma, round_to=round_to, seasonal=seasonal,
+                         damping=damping)
     )
 
 

@@ -10018,6 +10018,30 @@ def holt_winters_mul_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hw_damped_oracle() -> str:
+    from .operators.seasonal import holt_winters_sql
+
+    return holt_winters_sql(DUCK, "events", "value", "ts", "event_type",
+                            damping=0.9)
+
+
+@register("holt_winters_damped_events", oracle=_hw_damped_oracle())
+def holt_winters_damped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAMPED-TREND Holt-Winters — the ETS(A,Ad,A) member (Gardner &
+    McKenzie 1985): every read of the carried trend is φ·b (φ=0.9),
+    flattening long-horizon extrapolation, the default production
+    forecaster in the ETS family.  Same fold skeleton and shared
+    scalar-expression builder as the undamped form; φ enters as a
+    repr() literal so both engines parse the identical double and the
+    recursive-CTE oracle stays bit-equal
+    (operators/seasonal.py:holt_winters_sql, damping)."""
+    from .operators.seasonal import holt_winters
+
+    events = load_table(spark, "events", sf_dir)
+    return holt_winters(events, "value", "ts", "event_type", period=7,
+                        damping=0.9)
+
+
 @register("mase_backtest_events", oracle=_mase_oracle())
 def mase_backtest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forecast yardstick per event type: naive and seasonal-naive MAE
@@ -10151,82 +10175,8 @@ def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
 # --------------------------------------------------------------------------
 
 GRADE_PRIORITY: list[str] = [
-    # -- NEW in r11 -> grade first --
-    "symspell_match_capped_customer",
-    "symspell_match_d2_customer",
-    "holt_winters_mul_events",
-    "streaming_quantile_drift_events",
-    "classical_decompose_events",
-    "contrastive_triplets_embeddings",
-    "contrastive_triplets_ann",
-    "audio_energy_docs",
-    "scene_changes_docs",
-    "spearman_matrix_events",
-    "top_paths_events",
-    # -- NEW in r10 -> grade first --
-    "substring_remove_docs",
-    "streaming_outer_join",
-    "ann_lsh_appended_topk",
-    "kcore3_docs",
-    "robust_scale_sketch_events",
-    "vector_screen_embeddings",
-    "streaming_vector_ingest",
-    "label_propagation_docs",
-    "nelson_aalen_events",
-    "rfm_segments_orders",
-    "interval_overlap_events",
-    "epoch_upsample_docs",
-    "cdc_merge_events",
-    "heavy_hitter_tokens",
-    "percentile_rank_events",
-    "ann_recall_report",
-    "funnel_latency_quantiles",
-    "streaming_ewma_events",
-    "centroid_classifier_labels",
-    "image_dhash_neardup_docs",
-    "pinball_backtest_events",
-    "benford_screen_orders",
-    "rolling_skew_events",
-    "item_similarity_lineitem",
-    "ann_ivf_appended_topk",
-    "holt_winters_events",
-    "bfs_hops_docs",
-    "gini_feature_select_docs",
-    "lift_gains_quality_docs",
-    "key_skew_profile_events",
-    "prefix_jaccard_join_docs",
-    "streaming_holt_winters_events",
-    "range_partition_plan_events",
-    "time_features_events",
-    "winnow_pairs_docs",
-    "hash_vectorize_docs",
-    "symspell_match_customer",
-    "quantile_drift_events",
-    "burst_detect_events",
-    # -- CHANGED in r10 (eval view gained doc_id for lift_gains' NTILE
-    #    tiebreak — oracle text of the _qev consumers changed; ann_ivf_topk_sql
-    #    gained train_pred, touching ann_ivf_topk [in window below] and
-    #    ann_ivf_persisted_topk [locally re-verified, PARITY_r10]) --
-    "calibration_quality_docs",
-    "brier_quality_docs",
-    # -- CHANGED in r10 (ADVICE fixes: NULL-safe freq-encode join,
-    #    sign-safe attribution fold + TRY_CAST, conformal eval LEFT
-    #    JOIN, sink redelivery verdict-reuse) --
-    "frequency_encode_part",
-    "attribution_revenue_events",
-    "conformal_interval_events",
-    "streaming_dedup_fuzzy_docs",
-    "streaming_bloom_screen_docs",
-    # -- staleness rotation (r02/r04 vintage, the r9 VERDICT list).
-    #    The 50-slot window holds 39 r10 additions + 7 changed, so 4 of
-    #    these 20 fit this round; the remaining 16 (signup_users_no_purchase
-    #    onward) lead the r11 rotation. All 267 are locally
-    #    oracle-verified every round regardless (PARITY_r10.txt,
-    #    tests/test_oracle_parity.py). --
-    "asof_join_purchases_bcast",
-    "blob_metadata_docs",
-    "decode_image_stub_docs",
-    "extract_features_docs",
+    # -- staleness rotation first (r02/r04 vintage, the r10 VERDICT list)
+    #    + ann_ivf_persisted_topk's r10-changed oracle --
     "signup_users_no_purchase",
     "topk_orders_per_customer",
     "ann_ivf_topk",
@@ -10243,7 +10193,88 @@ GRADE_PRIORITY: list[str] = [
     "ngram_jaccard_docs",
     "stratified_sample_events",
     "text_stats_docs",
-    # -- r9 window (graded r9, all green) --
+    "ann_ivf_persisted_topk",
+    # -- NEW in r11 --
+    "symspell_match_capped_customer",
+    "symspell_match_d2_customer",
+    "holt_winters_mul_events",
+    "holt_winters_damped_events",
+    "streaming_quantile_drift_events",
+    "classical_decompose_events",
+    "contrastive_triplets_embeddings",
+    "contrastive_triplets_ann",
+    "audio_energy_docs",
+    "scene_changes_docs",
+    "spearman_matrix_events",
+    "top_paths_events",
+    # -- CHANGED in r11 (substring excision plan+oracle rewrite;
+    #    recall denominator; CDC NULL-key filter; symspell variant
+    #    dedup; QQ tail refactor; LSH append write order; streaming
+    #    HW exact integer split) --
+    "substring_remove_docs",
+    "ann_recall_report",
+    "cdc_merge_events",
+    "symspell_match_customer",
+    "quantile_drift_events",
+    "ann_lsh_appended_topk",
+    "vector_screen_embeddings",
+    "streaming_vector_ingest",
+    "streaming_holt_winters_events",
+    "exact_substring_pairs_docs",
+    # -- next-oldest rotation (r5 vintage) --
+    "asof_join_next_purchase",
+    "bucketed_join_revenue",
+    "class_capped_sample_events",
+    "corr_quantity_price",
+    "csv_roundtrip_orders",
+    "sessionize_events",
+    "time_weighted_avg_events",
+    "range_rolling_events",
+    "rollup_hourly_daily",
+    "interval_join_error_click",
+    # -- flagship pinned at slot 50 --
+    "lag_events_wide",
+    "streaming_outer_join",
+    "kcore3_docs",
+    "robust_scale_sketch_events",
+    "label_propagation_docs",
+    "nelson_aalen_events",
+    "rfm_segments_orders",
+    "interval_overlap_events",
+    "epoch_upsample_docs",
+    "heavy_hitter_tokens",
+    "percentile_rank_events",
+    "funnel_latency_quantiles",
+    "streaming_ewma_events",
+    "centroid_classifier_labels",
+    "image_dhash_neardup_docs",
+    "pinball_backtest_events",
+    "benford_screen_orders",
+    "rolling_skew_events",
+    "item_similarity_lineitem",
+    "ann_ivf_appended_topk",
+    "holt_winters_events",
+    "bfs_hops_docs",
+    "gini_feature_select_docs",
+    "lift_gains_quality_docs",
+    "key_skew_profile_events",
+    "prefix_jaccard_join_docs",
+    "range_partition_plan_events",
+    "time_features_events",
+    "winnow_pairs_docs",
+    "hash_vectorize_docs",
+    "burst_detect_events",
+    "calibration_quality_docs",
+    "brier_quality_docs",
+    "frequency_encode_part",
+    "attribution_revenue_events",
+    "conformal_interval_events",
+    "streaming_dedup_fuzzy_docs",
+    "streaming_bloom_screen_docs",
+    "asof_join_purchases_bcast",
+    "blob_metadata_docs",
+    "decode_image_stub_docs",
+    "extract_features_docs",
     "corr_matrix_events",
     "robust_scale_events",
     "welch_ab_events",
@@ -10283,25 +10314,15 @@ GRADE_PRIORITY: list[str] = [
     "zorder_layout_events",
     "entity_match_customer",
     "sorted_neighborhood_customer",
-    # -- changed in r9 (fuzzy-screen id fix, sink idempotence, builder rebuild markers) --
     "dedup_incremental_fuzzy_docs",
     "dedup_incremental_docs",
     "ann_lsh_persisted_topk",
-    "ann_ivf_persisted_topk",
     "ann_ivf_refined_persisted_topk",
     "pq_persisted_topk",
     "ivfpq_persisted_topk",
     "semantic_dedup_persisted_docs",
     "quality_score_persisted_docs",
     "bm25_persisted_topk",
-    # -- staleness rotation: oldest-driver-graded first (r4/r5 vintage) --
-    "asof_join_next_purchase",  # last graded r5
-    "bucketed_join_revenue",  # last graded r5
-    "class_capped_sample_events",  # last graded r5
-    "corr_quantity_price",  # last graded r5
-    "csv_roundtrip_orders",  # last graded r5
-    # -- flagship pinned at slot 50 --
-    "lag_events_wide",
     # -- tail: outside the 50-slot window this round --
     "hard_negatives_ann_topk",
     "line_dedup_docs",
@@ -10350,12 +10371,7 @@ GRADE_PRIORITY: list[str] = [
     "lag_hotkey_events",
     "neardup_clusters_docs",
     "pipeline_clean_corpus",
-    "interval_join_error_click",
     "interval_join_bcast",
-    "sessionize_events",
-    "time_weighted_avg_events",
-    "range_rolling_events",
-    "rollup_hourly_daily",
     "series_arrays_events",
     "tpch_q3_shipping_priority",
     "orc_roundtrip_nation",
@@ -10439,7 +10455,6 @@ GRADE_PRIORITY: list[str] = [
     "resize_image_real_docs",
     "sample_frames_real_docs",
     "repetition_filter_docs",
-    "exact_substring_pairs_docs",
     "m4_downsample_events",
     "tpch_q4_order_priority",
     "tpch_q10_returned_items",
