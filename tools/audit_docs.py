@@ -56,6 +56,7 @@ def main() -> int:
         "ann_recall_report_sql",             # operator function, not a query
         "streaming_ewma",                    # operator function, not a query
         "streaming_holt_winters",            # operator function, not a query
+        "streaming_quantile_drift",          # operator function, not a query
     }
     for name in sorted(queryish - set(REGISTRY) - allow):
         # only flag names that are one-edit siblings of real registered
