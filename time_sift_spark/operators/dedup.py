@@ -983,12 +983,21 @@ def _ssr_pos_explode(d: Dialect, table: str, id_col: str, arr_expr: str,
 def _ssr_wins_select(d: Dialect, table: str, id_col: str, text_col: str,
                      k: int) -> str:
     """(did, pos, g): every k-token window start with its 60-bit gram
-    hash — the shared text between the inline oracle and the staged
-    Spark frame (the engine staging rule: this relation is referenced by
-    both the frequency pass and the flag join)."""
+    hash — the shared gram construction of the excision statement.
+
+    Tokens are STAGED AS A COLUMN before shingling (the finder's
+    ``base`` discipline): inlining the tokens() text into the shingle
+    lambda re-splits the document once PER SHINGLE INDEX — O(n²) chars
+    per doc, measured 7.3 s vs ~1 s for the whole wins pass at sf0.1
+    (Catalyst keeps the staged projection because the column is
+    referenced more than once by a non-cheap expression)."""
     toks = d.tokens(text_col)
-    where = f"({toks}) IS NOT NULL AND {d.size(toks)} >= 1"
-    inner = _ssr_pos_explode(d, table, id_col, d.shingles(toks, k), "sh", where)
+    staged = (
+        f"(SELECT {id_col} AS _sid, {toks} AS toks FROM {table}) _srwb"
+    )
+    where = f"toks IS NOT NULL AND {d.size('toks')} >= 1"
+    inner = _ssr_pos_explode(d, staged, "_sid", d.shingles("toks", k),
+                             "sh", where)
     return f"SELECT did, pos, {d.md5_long('sh')} AS g FROM ({inner})"
 
 
@@ -1069,22 +1078,34 @@ def substring_remove_sql(
     else:
         nd, ndocs_sel = "", ""
         rm_pred = "n_occ >= 2 AND enc <> min_enc"
+    # FAST PATH: most documents have NO removals (rps empty after the
+    # LEFT JOIN) — their _cov stays NULL and the whole coverage/except/
+    # index-reassembly machinery is skipped per row (CASE is lazy on
+    # both engines); clean docs reassemble as a direct token join,
+    # which is value-identical to keeping every index.
     if d.name == "spark":
         rps_agg = "array_sort(collect_list(pos))"
         empty = "CAST(array() AS ARRAY<INT>)"
-        cov = (f"array_distinct(flatten(transform(_rps, "
-               f"p -> sequence(p, p + {int(k) - 1}))))")
-        kept = ("CASE WHEN size(_tk) >= 1 THEN "
+        cov = (f"CASE WHEN size(_rps) > 0 THEN "
+               f"array_distinct(flatten(transform(_rps, "
+               f"p -> sequence(p, p + {int(k) - 1})))) END")
+        kept = ("CASE WHEN _cov IS NOT NULL AND size(_tk) >= 1 THEN "
                 "array_except(sequence(0, size(_tk) - 1), _cov) END")
         reasm = "concat_ws(' ', transform(_kept, i -> element_at(_tk, i + 1)))"
+        clean = "concat_ws(' ', _tk)"
     else:
         rps_agg = "list_sort(list(pos))"
         empty = "[]"
-        cov = (f"list_distinct(flatten(list_transform(_rps, "
-               f"p -> generate_series(p, p + {int(k) - 1}))))")
-        kept = ("list_filter(generate_series(1, len(_tk)), "
-                "i -> NOT list_contains(_cov, i))")
+        cov = (f"CASE WHEN len(_rps) > 0 THEN "
+               f"list_distinct(flatten(list_transform(_rps, "
+               f"p -> generate_series(p, p + {int(k) - 1})))) END")
+        kept = ("CASE WHEN _cov IS NOT NULL THEN "
+                "list_filter(generate_series(1, len(_tk)), "
+                "i -> NOT list_contains(_cov, i)) END")
         reasm = "array_to_string(list_transform(_kept, i -> _tk[i]), ' ')"
+        clean = "array_to_string(_tk, ' ')"
+    n_kept = (f"CASE WHEN _cov IS NULL THEN {d.size('_tk')} "
+              f"ELSE {d.size('_kept')} END")
     return f"""
     WITH _srw AS (
       SELECT did, pos, {nd} {enc} AS enc, g
@@ -1107,13 +1128,14 @@ def substring_remove_sql(
       FROM {table} b LEFT JOIN _sra a ON a.did = b.{id_col}
     ),
     _src AS (SELECT did_out, _tk, {cov} AS _cov FROM _srb),
-    _srk AS (SELECT did_out, _tk, {kept} AS _kept FROM _src)
+    _srk AS (SELECT did_out, _tk, _cov, {kept} AS _kept FROM _src)
     SELECT did_out AS {id_col},
-           COALESCE({reasm}, '') AS text_dedup,
+           COALESCE(CASE WHEN _cov IS NULL THEN {clean}
+                         ELSE {reasm} END, '') AS text_dedup,
            CAST(COALESCE({d.size('_tk')}, 0) AS BIGINT) AS n_tokens,
-           CAST(COALESCE({d.size('_kept')}, 0) AS BIGINT) AS n_kept,
+           CAST(COALESCE({n_kept}, 0) AS BIGINT) AS n_kept,
            CAST(COALESCE({d.size('_tk')}, 0)
-                - COALESCE({d.size('_kept')}, 0) AS BIGINT) AS n_removed
+                - COALESCE({n_kept}, 0) AS BIGINT) AS n_removed
     FROM _srk
     """
 
