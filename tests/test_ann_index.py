@@ -784,3 +784,40 @@ def test_contrastive_triplets_structure_and_ann_overlap(spark):
     hits = sum(len(set(g.negative_id) & bsets[a])
                for a, g in ann.groupby("anchor_id"))
     assert hits / len(exact) >= 0.85
+
+
+def test_contrastive_persisted_equals_inline_ann(spark, tmp_path_factory):
+    """Persisted-index contrastive mining ≡ the inline ANN form with
+    the same parameters, and the serve plan hashes only the probe side
+    (one bucket-explode subtree; candidates from the parquet scan)."""
+    from time_sift_spark.functions.vector_fns import VSPARK
+    from time_sift_spark.operators import similarity as _sim
+    from time_sift_spark.queries import _CT_ANCHORS_ANN, _ct_src
+
+    emb01 = load_table(spark, "embeddings", SF_RECALL)
+    emb01.createOrReplaceTempView("embeddings")
+    corpus = spark.sql(f"SELECT * FROM {_ct_src('spark')} _c")
+    path = str(tmp_path_factory.mktemp("lsh_ct"))
+    build_lsh_index(corpus, "vec_id", "embedding", path,
+                    num_planes=4, num_tables=8, dim=64)
+    served = _sim.contrastive_triplets_persisted(
+        spark, path, query_pred=_CT_ANCHORS_ANN, pos_threshold=0.9,
+        n_neg=3, shortlist=32,
+    )
+    inline = spark.sql(_sim.contrastive_triplets_ann_sql(
+        VSPARK, _ct_src("spark"), "vec_id", "embedding",
+        query_pred=_CT_ANCHORS_ANN, pos_threshold=0.9, n_neg=3,
+        shortlist=32, num_planes=4, num_tables=8,
+    ))
+    key = ["anchor_id", "neg_rank"]
+    a = served.toPandas().sort_values(key).reset_index(drop=True)
+    b = inline.toPandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # amortization is structural: the serve plan's candidate side is the
+    # persisted bucket parquet (fewer explode subtrees than the inline
+    # form, which signs the corpus per run — multiprobe contributes two
+    # query-side Generates in both plans)
+    sp = served._jdf.queryExecution().executedPlan().toString()
+    ip = inline._jdf.queryExecution().executedPlan().toString()
+    assert "buckets" in sp
+    assert sp.count("Generate explode") < ip.count("Generate explode")

@@ -580,3 +580,25 @@ def test_scene_changes_hand_case_and_codec_gate(spark):
     bad = spark.createDataFrame(pd.DataFrame({"doc_id": [2], "blob": [b"mp4 junk"]}))
     with _pt.raises(Exception, match="y4m"):
         scene_changes(bad, "blob", id_col="doc_id").collect()
+
+
+def test_scene_changes_stride_samples_and_validates(spark):
+    """stride=2 over 6 frames of step=200: sampled lumas at 0,2,4 are
+    0,144,32 → diffs |144-0|=144, |32-144|=112 at frame_idx 2,4; the
+    intermediate cut at frame 1 is deliberately not visible (the
+    documented recall trade)."""
+    import pandas as pd
+    import pytest as _pt
+
+    from time_sift_spark.operators.multimodal import scene_changes, synthesize_y4m
+
+    vid = synthesize_y4m(8, 8, 6, step=200)
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "blob": [vid]}))
+    out = (
+        scene_changes(df, "blob", id_col="doc_id", stride=2)
+        .toPandas().sort_values("frame_idx").reset_index(drop=True)
+    )
+    assert list(out.frame_idx) == [2, 4]
+    assert list(out.mean_abs_diff) == [144.0, 112.0]
+    with _pt.raises(ValueError):
+        scene_changes(df, "blob", id_col="doc_id", stride=0)

@@ -340,3 +340,34 @@ def test_merge_upsert_null_key_contract(spark):
     assert len(out) == 2
     got = out.set_index("k").v
     assert got.loc[1] == "a" and got.loc[2] == "b2"
+
+
+def test_streaming_burst_detect_equals_batch_at_drain(spark, tmp_path):
+    import pandas as pd
+
+    from time_sift_spark.operators.rolling import burst_detect, streaming_burst_detect
+
+    rows = []
+    for day in range(15):
+        ts = pd.Timestamp("2024-01-01") + pd.Timedelta(days=day)
+        n = 100 if (day == 10) else 10      # a 10x burst on day 10 for 'a'
+        for i in range(n):
+            rows.append(("a", ts))
+        for i in range(12):
+            rows.append(("b", ts))
+    pdf = pd.DataFrame(rows, columns=["k", "ts"])
+    path = str(tmp_path / "src")
+    spark.createDataFrame(pdf).coalesce(4).write.parquet(path)
+    static = spark.read.parquet(path)
+    stream = spark.readStream.schema("k string, ts timestamp").parquet(path)
+    got = (
+        streaming_burst_detect(stream, "ts", "k", query_name="t_burst_stream")
+        .toPandas().sort_values(["k", "day_x"]).reset_index(drop=True)
+    )
+    want = (
+        burst_detect(static, "ts", "k")
+        .toPandas().sort_values(["k", "day_x"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    a = got[got.k == "a"]
+    assert bool(a.flagged.any()) and not bool(got[got.k == "b"].flagged.any())

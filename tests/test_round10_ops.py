@@ -614,3 +614,14 @@ def test_hw_damped_flattens_trend_and_validates(spark):
     assert out[0]["hw_fit"] == pytest.approx(1.5, abs=1e-9)
     with pytest.raises(ValueError):
         holt_winters(df, "v", "ts", "k", damping=1.5)
+
+
+def test_hw_damped_mul_dials_compose(spark):
+    # The combined ETS(A,Ad,M) member: fit at t=8 = (l0 + phi*b0) * s_1
+    # = (4 + 0.5) * 0.25 = 1.125 — both dials visible in one number.
+    from time_sift_spark.operators.seasonal import holt_winters
+
+    df = _hw_frame(spark, 21)
+    out = holt_winters(df, "v", "ts", "k", period=7, seasonal="mul",
+                       damping=0.5).orderBy("day_x").collect()
+    assert out[0]["hw_fit"] == pytest.approx(1.125, abs=1e-9)

@@ -633,7 +633,8 @@ def sample_frames(
 
 
 def scene_changes(
-    df: DataFrame, binary_col: str, *, id_col: str, threshold: float = 64.0
+    df: DataFrame, binary_col: str, *, id_col: str, threshold: float = 64.0,
+    stride: int = 1,
 ) -> DataFrame:
     """Scene-cut detection over REAL decoded video frames → one row per
     frame transition (id, frame_idx, mean_abs_diff, is_cut): the y4m
@@ -649,11 +650,21 @@ def scene_changes(
     mean_abs_diff = Σ|Δ| / plane_size is ONE IEEE division of exact
     ints — the audio_energy discipline.  Shape: mapInPandas over
     (id, blob), shuffle-free; stats rows are tiny.
+
+    ``stride`` > 1 is the LONG-VIDEO dial (the sample_frames every-n
+    posture composed in): only frames at multiples of the stride are
+    decoded and each is differenced against the frame one stride back —
+    O(frames/stride) pixel work per blob, at the documented cost that
+    a cut-and-return FASTER than the stride window is missed (the
+    recall-for-cost contract, same family as the LSH band cap).
     """
     for c in (binary_col, id_col):
         if c not in df.columns:
             raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
     thr = float(threshold)
+    st = int(stride)
     schema = (
         f"{id_col} long, frame_idx int, mean_abs_diff double, is_cut boolean"
     )
@@ -673,8 +684,10 @@ def scene_changes(
                 w, h, frames = parse_y4m(raw)
                 ysz = w * h
                 prev = None
-                for idx, fr in enumerate(frames):
-                    luma = np.frombuffer(fr[:ysz], dtype=np.uint8).astype(np.int64)
+                for idx in range(0, len(frames), st):
+                    luma = np.frombuffer(
+                        frames[idx][:ysz], dtype=np.uint8
+                    ).astype(np.int64)
                     if prev is not None:
                         sad = int(np.abs(luma - prev).sum())
                         mad = sad / ysz

@@ -453,6 +453,7 @@ def burst_detect_sql(
     baseline_days: int = 7,
     flag_ratio: float = 2.0,
     round_to: int = 6,
+    staged_counts: str | None = None,
 ) -> str:
     """Burst detection on event rates: per (group, day), today's event
     count against the trailing ``baseline_days``-day mean (current day
@@ -461,6 +462,12 @@ def burst_detect_sql(
     "error rate is 3× its trailing week" alerts, the rate-side
     companion of the value-side monitors (seasonal anomaly screens
     values; this screens VOLUME).
+
+    ``staged_counts`` swaps the raw-event day bucketing for a
+    pre-aggregated (k, x, cnt) relation — the merge entry point the
+    STREAMING twin drains into (the histogram sketch's staged_counts
+    discipline): counts accumulated elsewhere feed the identical
+    trailing-window tail.
 
     Determinism: counts are exact BIGINTs over the day-bucket groupBy;
     the baseline mean is one IEEE division of the exact trailing SUM by
@@ -483,10 +490,14 @@ def burst_detect_sql(
     w = (f"PARTITION BY k ORDER BY x "
          f"ROWS BETWEEN {baseline_days} PRECEDING AND 1 PRECEDING")
     ratio = "(CAST(cnt AS DOUBLE) / (CAST(base_sum AS DOUBLE) / CAST(base_n AS DOUBLE)))"
+    bucket = (
+        f"SELECT k, x, cnt FROM {staged_counts}" if staged_counts
+        else f"""SELECT {group_col} AS k, {day} AS x, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM {table} GROUP BY {group_col}, {day}"""
+    )
     return f"""
     WITH _bdb AS (
-      SELECT {group_col} AS k, {day} AS x, CAST(COUNT(*) AS BIGINT) AS cnt
-      FROM {table} GROUP BY {group_col}, {day}
+      {bucket}
     ),
     _bdw AS (
       SELECT k, x, cnt,
@@ -529,4 +540,58 @@ def burst_detect(
         burst_detect_sql(_S, view, time_col, group_col,
                          baseline_days=baseline_days,
                          flag_ratio=flag_ratio, round_to=round_to)
+    )
+
+
+def streaming_burst_detect(
+    stream_df: DataFrame,
+    time_col: str,
+    group_col: str,
+    *,
+    baseline_days: int = 7,
+    flag_ratio: float = 2.0,
+    round_to: int = 6,
+    query_name: str,
+) -> DataFrame:
+    """Continuous form of :func:`burst_detect` — the
+    streaming_distribution_drift recipe applied to the burst baseline:
+    per micro-batch the only state is the (group, day) count
+    aggregation (complete mode — bounded by the CALENDAR the batch
+    plan's bucket relation materializes anyway; an unbounded-horizon
+    deployment ages out days beyond ``baseline_days`` behind a
+    watermark, the documented dial).  At drain the counts feed the
+    batch statement's trailing-window tail VERBATIM through its
+    ``staged_counts`` merge entry point, so drain ≡ batch over
+    everything that arrived is structural and the registered query's
+    oracle IS the batch statement.
+
+    The stream side buckets with the SAME rendered day expression text
+    and derives its session from the input frame (the foreachBatch-
+    clone discipline)."""
+    from pyspark.sql import functions as F
+
+    from ..errors import ColumnNotFoundError
+    from ..functions.text_fns import SPARK as _S
+
+    for c in (time_col, group_col):
+        if c not in stream_df.columns:
+            raise ColumnNotFoundError(
+                f"column {c!r} not in stream frame {stream_df.columns}"
+            )
+    spark = stream_df.sparkSession
+    day = f"datediff(CAST({time_col} AS DATE), DATE '1970-01-01')"
+    cur = (
+        stream_df.selectExpr(f"{group_col} AS k", f"{day} AS x")
+        .groupBy("k", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    from ..streaming.lag_stream import run_stream_to_df
+
+    drained = run_stream_to_df(cur, query_name, output_mode="complete")
+    drained.createOrReplaceTempView("_ts_sburst_counts")
+    return spark.sql(
+        burst_detect_sql(_S, "_ignored_", time_col, group_col,
+                         baseline_days=baseline_days,
+                         flag_ratio=flag_ratio, round_to=round_to,
+                         staged_counts="_ts_sburst_counts")
     )

@@ -1997,6 +1997,37 @@ def contrastive_triplets(
     return _run(df, sql, view)
 
 
+def contrastive_triplets_persisted(
+    spark,
+    path: str,
+    *,
+    query_pred: str,
+    pos_threshold: float = 0.9,
+    n_neg: int = 3,
+    shortlist: int = 32,
+) -> DataFrame:
+    """Contrastive triplet mining SERVED from a persisted LSH index —
+    the build-once posture the inline ANN form re-signs per run: the
+    shortlist comes from :func:`query_lsh_index` (only the |anchors|
+    probes are hashed; candidates equi-join the stored bucket table),
+    then the SAME triplet tail text assembles positives, negatives,
+    and margins.  Serve cost is independent of corpus size beyond the
+    bucket scan — the nightly-mining posture of an embedding-training
+    pipeline.  Output ≡ :func:`contrastive_triplets_ann_sql` with the
+    same (planes, tables, seed, dim, shortlist) — persisted ≡ inline,
+    driver-proven through the registered query's inline oracle."""
+    sl = query_lsh_index(spark, path, query_pred=query_pred, k=shortlist,
+                         multiprobe=True)
+    view = _next_view()
+    sl.createOrReplaceTempView(view)
+    return spark.sql(f"""
+    WITH ctsc AS (
+      SELECT query_id, neighbor_id, cosine_sim FROM {view}
+    ),
+    {_ct_tail(pos_threshold, n_neg).strip()}
+    """)
+
+
 def hard_negatives_ann_sql(
     vd: VectorDialect,
     table: str,

@@ -2375,6 +2375,55 @@ def scene_changes_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scene_changes_strided_docs",
+    oracle="""
+    SELECT doc_id, CAST(f AS INT) AS frame_idx,
+           CAST(ABS(((f * st) % 256) - (((f - 3) * st) % 256)) AS DOUBLE)
+             AS mean_abs_diff,
+           (CAST(ABS(((f * st) % 256) - (((f - 3) * st) % 256)) AS DOUBLE)
+            > 64.0) AS is_cut
+    FROM (
+      SELECT doc_id, st, unnest(generate_series(3, nf - 1, 3)) AS f
+      FROM (
+        SELECT doc_id,
+               2 + ((('0x' || substr(md5(text), 1, 6))::BIGINT) % 20) AS nf,
+               1 + ((('0x' || substr(md5(text), 1, 6))::BIGINT) % 97) AS st
+        FROM documents WHERE text IS NOT NULL
+      ) _scs0
+    ) _scs1
+    """,
+)
+def scene_changes_strided_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene detection with the LONG-VIDEO stride dial (sample_frames'
+    every-n posture composed in): only every 3rd frame decodes, each
+    differenced against the frame one stride back — O(frames/3) pixel
+    work, with the documented recall trade (a cut that fully returns
+    within the stride window is missed).  The oracle predicts every
+    sampled transition from the same mod-256 arithmetic at stride
+    offsets (operators/multimodal.py:scene_changes, stride=3)."""
+    import hashlib as _hl
+
+    from .operators.multimodal import scene_changes, synthesize_y4m
+
+    docs = load_table(spark, "documents", sf_dir).where("text IS NOT NULL").select(
+        "doc_id", "text"
+    )
+
+    def _blobs(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = []
+            for t in pdf["text"]:
+                h = int(_hl.md5(t.encode("utf-8")).hexdigest()[:6], 16)
+                blobs.append(synthesize_y4m(16, 16, 2 + h % 20, step=1 + h % 97))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    vids = docs.mapInPandas(_blobs, "doc_id long, blob binary")
+    return scene_changes(vids, "blob", id_col="doc_id", stride=3)
+
+
+@register(
     "interop_roundtrip_events",
     oracle=f"""
     SELECT ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS row_idx,
@@ -8655,6 +8704,38 @@ def symspell_match_d2_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "contrastive_triplets_persisted",
+    oracle=_sim.contrastive_triplets_ann_sql(
+        VDUCK, _ct_src("duck"), "vec_id", "embedding",
+        query_pred=_CT_ANCHORS_ANN, pos_threshold=0.9, n_neg=3,
+        shortlist=32, num_planes=4, num_tables=8,
+    ),
+)
+def contrastive_triplets_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive mining SERVED from the persisted LSH index — the
+    build-once posture the inline ANN twin re-signs per run: only the
+    anchor probes hash at serve time, candidates equi-join the stored
+    bucket table, and the SAME triplet tail runs on the shortlist.
+    The oracle is the INLINE ANN statement with identical parameters,
+    so persisted ≡ inline is driver-proven every round
+    (operators/similarity.py:contrastive_triplets_persisted)."""
+    from .operators.similarity import build_lsh_index
+
+    from .operators.similarity import contrastive_triplets_persisted as _ctp
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    emb.createOrReplaceTempView("embeddings")
+    path = _index_dir("ts_lsh_ct_index", sf_dir,
+                      "planes4_tables8_dim64_ctv1", table="embeddings")
+    if not _index_ready(path):
+        corpus = spark.sql(f"SELECT * FROM {_ct_src('spark')} _ctsrc")
+        build_lsh_index(corpus, "vec_id", "embedding", path,
+                        num_planes=4, num_tables=8, dim=64)
+    return _ctp(spark, path, query_pred=_CT_ANCHORS_ANN,
+                pos_threshold=0.9, n_neg=3, shortlist=32)
+
+
 def _snm_oracle() -> str:
     from .operators.entity import sorted_neighborhood_sql
 
@@ -9780,6 +9861,27 @@ def burst_detect_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return burst_detect(events, "ts", "event_type")
 
 
+@register("streaming_burst_detect_events", oracle=_burst_oracle())
+def streaming_burst_detect_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of burst_detect_events: the event stream's only
+    per-micro-batch state is the (group, day) count aggregation
+    (calendar-bounded, exactly the bucket relation the batch plan
+    materializes; an unbounded horizon ages out days beyond the
+    baseline behind a watermark — the documented dial), and at drain
+    the counts feed the batch statement's trailing-window tail
+    VERBATIM through its staged_counts merge entry point — drain ≡
+    batch is structural, the oracle IS the batch statement
+    (operators/rolling.py:streaming_burst_detect)."""
+    from .operators.rolling import streaming_burst_detect
+    from .sources.catalog import read_events_stream
+    from .streaming.lag_stream import _next_stream_name
+
+    stream = read_events_stream(spark, sf_dir)
+    return streaming_burst_detect(
+        stream, "ts", "event_type", query_name=_next_stream_name("sburst"),
+    )
+
+
 def _qq_drift_oracle() -> str:
     from .operators.quality import quantile_drift_sql
 
@@ -10018,6 +10120,34 @@ def holt_winters_mul_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hw_damped_mul_oracle() -> str:
+    from .operators.seasonal import holt_winters_sql
+
+    return holt_winters_sql(DUCK, _HW_MUL_SRC, "value", "ts", "event_type",
+                            seasonal="mul", damping=0.9)
+
+
+@register("holt_winters_damped_mul_events", oracle=_hw_damped_mul_oracle())
+def holt_winters_damped_mul_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMBINED ETS member — damped trend × multiplicative season
+    (A,Ad,M): pins that the two dials COMPOSE (φ·b inside the y/s
+    level update and the (l+φb)·s fit), on the same planted-negative
+    corpus so the positivity guard grades under damping too.  Same
+    fold skeleton, same recursive-CTE oracle, zero new operators
+    (operators/seasonal.py:holt_winters_sql, seasonal='mul' +
+    damping)."""
+    from .functions.text_fns import SPARK as _S
+
+    from .operators.seasonal import holt_winters_sql
+
+    events = load_table(spark, "events", sf_dir)
+    events.createOrReplaceTempView("events")
+    return spark.sql(
+        holt_winters_sql(_S, _HW_MUL_SRC, "value", "ts", "event_type",
+                         seasonal="mul", damping=0.9)
+    )
+
+
 def _hw_damped_oracle() -> str:
     from .operators.seasonal import holt_winters_sql
 
@@ -10207,6 +10337,10 @@ GRADE_PRIORITY: list[str] = [
     "scene_changes_docs",
     "spearman_matrix_events",
     "top_paths_events",
+    "holt_winters_damped_mul_events",
+    "streaming_burst_detect_events",
+    "contrastive_triplets_persisted",
+    "scene_changes_strided_docs",
     # -- CHANGED in r11 (substring excision plan+oracle rewrite;
     #    recall denominator; CDC NULL-key filter; symspell variant
     #    dedup; QQ tail refactor; LSH append write order; streaming
@@ -10228,12 +10362,13 @@ GRADE_PRIORITY: list[str] = [
     "corr_quantity_price",
     "csv_roundtrip_orders",
     "sessionize_events",
+    # -- flagship pinned at slot 50 --
+    "lag_events_wide",
+    # -- displaced r5-rotation (slots 51+; lead the r12 window) --
     "time_weighted_avg_events",
     "range_rolling_events",
     "rollup_hourly_daily",
     "interval_join_error_click",
-    # -- flagship pinned at slot 50 --
-    "lag_events_wide",
     "streaming_outer_join",
     "kcore3_docs",
     "robust_scale_sketch_events",
