@@ -100,6 +100,11 @@ def test_staged_plan_exchange_counts_pinned(spark):
         # one series-key exchange + one for the planted-union day
         # bucketing (the UNION ALL source re-partitions by (k, day))
         "holt_winters_mul_events": 2,
+        # aliased-key window so the reassembly groupBy reuses the rank
+        # partitioning (was 3 before the alias fix)
+        "top_paths_events": 2,
+        "classical_decompose_events": 2,
+        "spearman_matrix_events": 1,
     }
     bad = []
     for name, cap in ceilings.items():

@@ -272,16 +272,21 @@ def top_paths_sql(
     full path relation.  ``max_steps`` bounds the path string; the path
     vocabulary is capped by the top-k, never materialized wholesale.
     """
-    rn = (f"ROW_NUMBER() OVER (PARTITION BY {key_col} "
-          f"ORDER BY {time_col}, {order_extra})")
     if d.name == "spark":
         reasm = ("concat_ws('>', transform(array_sort(collect_list("
                  "struct(rn, it))), s -> s.it))")
     else:
         reasm = "string_agg(it, '>' ORDER BY rn)"
     return f"""
-    WITH _tp0 AS (
-      SELECT {key_col} AS k, {item_col} AS it, {rn} AS rn FROM {table}
+    WITH _tpa AS (
+      SELECT {key_col} AS k, {item_col} AS it, {time_col} AS t,
+             {order_extra} AS o
+      FROM {table}
+    ),
+    _tp0 AS (
+      SELECT k, it,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY t, o) AS rn
+      FROM _tpa
     ),
     _tp1 AS (
       SELECT k, {reasm} AS path
