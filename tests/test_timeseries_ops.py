@@ -1017,3 +1017,33 @@ def test_conformal_series_without_eval_half_surfaces(spark):
     assert len(exp) == 1
     assert pd.isna(exp["coverage"].iloc[0]) and pd.isna(exp["n_eval"].iloc[0])
     assert exp["q_alpha"].iloc[0] == r["q_alpha"]
+
+
+def test_rolling_quantile_hand_case_and_validation(spark):
+    """Type-7 on a hand window: values 10,20,30,40 in time order,
+    window 4, p=0.9 → at the 4th row h=0.9*3=2.7, q = a[3] + 0.7*(a[4]
+    − a[3]) = 30 + 7 = 37; p=0.5 equals the rolling median; p out of
+    range and bad columns raise."""
+    import pandas as pd
+    import pytest as _pt
+
+    from time_sift_spark.errors import ColumnNotFoundError
+    from time_sift_spark.operators.rolling import rolling_median, rolling_quantile
+
+    pdf = pd.DataFrame({
+        "k": ["a"] * 4, "t": [1, 2, 3, 4], "v": [10.0, 20.0, 30.0, 40.0],
+    })
+    df = spark.createDataFrame(pdf)
+    out = (
+        rolling_quantile(df, "v", "t", 4, 0.9, partition_by="k")
+        .toPandas().sort_values("t").reset_index(drop=True)
+    )
+    assert out.loc[3, "v_r4_p9"] == 37.0
+    assert out.loc[0, "v_r4_p9"] == 10.0   # 1-row prefix: its real window
+    med = rolling_median(df, "v", "t", 4, partition_by="k").toPandas().sort_values("t")
+    p5 = rolling_quantile(df, "v", "t", 4, 0.5, partition_by="k").toPandas().sort_values("t")
+    assert list(p5.v_r4_p5) == list(med.v_r4_median)
+    with _pt.raises(ValueError):
+        rolling_quantile(df, "v", "t", 4, 1.5, partition_by="k")
+    with _pt.raises(ColumnNotFoundError):
+        rolling_quantile(df, "nope", "t", 4, 0.9, partition_by="k")

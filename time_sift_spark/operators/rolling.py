@@ -244,6 +244,101 @@ def rolling_median_oracle_sql(
     """
 
 
+def _rq_expr(arr: str, p: float, *, duck: bool = False) -> str:
+    """Type-7 (linear-interpolation) quantile over a SORTED array
+    column, 1-based — the rolling_median interpolation generalized to
+    any p: h = p·(n−1), q = a[⌊h⌋+1] + (h−⌊h⌋)·(a[⌊h⌋+2 clamped] −
+    a[⌊h⌋+1]).  The ARITHMETIC tree (multiply, floor, subtract,
+    interpolate) is identical text on both engines; only the indexing
+    spelling differs (element_at vs list subscript), which moves values
+    unchanged — the robust_scale type-7 discipline on a trailing
+    frame."""
+    n = f"len({arr})" if duck else f"size({arr})"
+    at = (lambda i: f"{arr}[{i}]") if duck else (
+        lambda i: f"element_at({arr}, {i})")
+    h = f"({p!r} * ({n} - 1))"
+    lo = f"(CAST(floor({h}) AS INT) + 1)"
+    hi = f"LEAST({lo} + 1, {n})"
+    return (f"({at(lo)} + ({h} - floor({h})) * "
+            f"({at(hi)} - {at(lo)}))")
+
+
+def rolling_quantile(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    window_size: int,
+    p: float,
+    *,
+    partition_by: str | Sequence[str] | None = None,
+    order_extra: str | Sequence[str] | None = None,
+    keep_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Exact trailing-window quantile (rolling p95 latency, p90 load —
+    the ops-dashboard staple): ``{v}_r{n}_p{tag}`` via
+    sort_array(collect_list) + the explicit type-7 interpolation
+    (:func:`_rq_expr`) — the rolling_median generalization; engine
+    percentile aggregates interpolate with different trees and drift a
+    ulp cross-engine.  O(w log w) per row, for the small trailing
+    windows rolling stats use; shorter-than-w prefixes use their real
+    window (type-7 over what exists), never an imputed width."""
+    parts = (
+        [] if partition_by is None
+        else [partition_by] if isinstance(partition_by, str)
+        else list(partition_by)
+    )
+    extra = (
+        [] if order_extra is None
+        else [order_extra] if isinstance(order_extra, str)
+        else list(order_extra)
+    )
+    n = int(window_size)
+    if n < 1:
+        raise InvalidLagsError(f"window size must be >= 1, got {window_size}")
+    if not (0.0 <= float(p) <= 1.0):
+        raise ValueError(f"p must be in [0, 1], got {p}")
+    missing = [c for c in (value_col, time_col, *parts, *extra) if c not in df.columns]
+    if missing:
+        raise ColumnNotFoundError(f"columns not in DataFrame: {missing}")
+    order_by = [time_col, *extra]
+    base = Window.partitionBy(*parts).orderBy(*order_by) if parts else Window.orderBy(*order_by)
+    frame = base.rowsBetween(-(n - 1), 0)
+    keep = list(keep_cols) if keep_cols is not None else [*parts, *order_by]
+    tag = str(p).replace("0.", "")
+    staged = df.select(
+        *keep,
+        F.col(value_col),
+        F.sort_array(F.collect_list(F.col(value_col)).over(frame)).alias("_rqa"),
+    )
+    return staged.select(
+        *keep,
+        F.col(value_col),
+        F.expr(_rq_expr("_rqa", float(p))).alias(f"{value_col}_r{n}_p{tag}"),
+    )
+
+
+def rolling_quantile_oracle_sql(
+    table: str, value: str, part: str, order: str, window_size: int, p: float
+) -> str:
+    """DuckDB oracle: same sorted-array type-7 interpolation, two-stage
+    (a window call can't nest inside list_sort's argument)."""
+    n = int(window_size)
+    frame = (
+        f"(PARTITION BY {part} ORDER BY {order} "
+        f"ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)"
+    )
+    tag = str(p).replace("0.", "")
+    q = _rq_expr("list_sort(arr)", float(p), duck=True)
+    return f"""
+    WITH f AS (
+      SELECT {part}, {order}, {value}, list({value}) OVER {frame} AS arr
+      FROM {table}
+    )
+    SELECT {part}, {order}, {value}, {q} AS {value}_r{n}_p{tag}
+    FROM f
+    """
+
+
 def _median_mid_exprs(arr: str) -> str:
     """Shared middle-element interpolation over a sorted array column
     (1-based). Identical scalar text on both engines — see

@@ -5631,6 +5631,31 @@ def rolling_median_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rolling_p90_oracle() -> str:
+    from .operators.rolling import rolling_quantile_oracle_sql
+
+    return rolling_quantile_oracle_sql(
+        "(SELECT * FROM events) _rq0", "value", "user_id", "ts, event_id", 20, 0.9
+    )
+
+
+@register("rolling_p90_events", oracle=_rolling_p90_oracle())
+def rolling_p90_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing 20-row p90 per user — the ops-dashboard staple
+    (rolling p95 latency generalized): the rolling_median machinery at
+    arbitrary p via the explicit shared type-7 interpolation (engine
+    percentile aggregates interpolate with different trees and drift a
+    ulp); short prefixes use their real window
+    (operators/rolling.py:rolling_quantile)."""
+    from .operators.rolling import rolling_quantile
+
+    events = load_table(spark, "events", sf_dir)
+    return rolling_quantile(
+        events, "value", "ts", 20, 0.9,
+        partition_by="user_id", order_extra="event_id",
+    )
+
+
 def _sketch_oracle() -> str:
     from .operators.sketch import linear_count_distinct_sql
 
@@ -10341,6 +10366,7 @@ GRADE_PRIORITY: list[str] = [
     "streaming_burst_detect_events",
     "contrastive_triplets_persisted",
     "scene_changes_strided_docs",
+    "rolling_p90_events",
     # -- CHANGED in r11 (substring excision plan+oracle rewrite;
     #    recall denominator; CDC NULL-key filter; symspell variant
     #    dedup; QQ tail refactor; LSH append write order; streaming
@@ -10361,10 +10387,10 @@ GRADE_PRIORITY: list[str] = [
     "class_capped_sample_events",
     "corr_quantity_price",
     "csv_roundtrip_orders",
-    "sessionize_events",
     # -- flagship pinned at slot 50 --
     "lag_events_wide",
     # -- displaced r5-rotation (slots 51+; lead the r12 window) --
+    "sessionize_events",
     "time_weighted_avg_events",
     "range_rolling_events",
     "rollup_hourly_daily",
