@@ -1054,3 +1054,57 @@ def test_substring_remove_cross_engine_and_validation(spark):
             sdf.selectExpr("CAST(doc_id AS STRING) AS doc_id", "text"),
             "doc_id", "text",
         )
+
+
+def test_prefix_index_persisted_equals_inline_and_threshold_contract(spark, tmp_path):
+    """query_prefix_index ≡ the inline PPJoin at the build θ; a tighter
+    serve θ' ≥ θ is a SUBSET (lossless candidates re-filtered); a serve
+    θ' < θ refuses loudly; the serve plan carries no explode subtree
+    (tokenize/df/rank paid at build)."""
+    import pandas as pd
+
+    from time_sift_spark.operators.dedup import (
+        build_prefix_index,
+        prefix_jaccard_join,
+        query_prefix_index,
+    )
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),
+        (3, "a completely different document about spark engines"),
+        (4, "a completely different document about spark planners"),
+        (5, "unrelated text with nothing shared at all here ok"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    path = str(tmp_path / "ppj")
+    build_prefix_index(df, "doc_id", "text", path, threshold=(1, 2))
+
+    inline = prefix_jaccard_join(df, "doc_id", "text", threshold=(1, 2)).toPandas()
+    served = query_prefix_index(spark, path).toPandas()
+    pd.testing.assert_frame_equal(served, inline)
+    assert len(served) >= 2  # both near-dup pairs found
+
+    # tighter serve threshold: subset of the build-θ pairs
+    tight = query_prefix_index(spark, path, threshold=(3, 4)).toPandas()
+    t_pairs = set(zip(tight.doc_id_a, tight.doc_id_b))
+    s_pairs = set(zip(served.doc_id_a, served.doc_id_b))
+    assert t_pairs <= s_pairs
+    inline_tight = prefix_jaccard_join(
+        df, "doc_id", "text", threshold=(3, 4)
+    ).toPandas()
+    pd.testing.assert_frame_equal(tight, inline_tight)
+
+    # below-build threshold refuses loudly
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="BELOW the build threshold"):
+        query_prefix_index(spark, path, threshold=(1, 4))
+
+    # serve plan: no explode (the build pipeline is absent)
+    plan = query_prefix_index(spark, path)._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" not in plan and "posexplode" not in plan
+    # both parquet artifacts are scanned (paths get elided in the
+    # printed plan — match on their ReadSchemas instead)
+    assert "hs:array<bigint>" in plan          # tsets scan
+    assert "h:bigint" in plan                  # prefix scan

@@ -1618,6 +1618,25 @@ def append_minhash_store(spark, path: str, accepted_docs: DataFrame) -> None:
     ).repartition("did").write.mode("append").parquet(f"{path}/tsets")
 
 
+def _ppj_exprs(d: Dialect):
+    """(tset, inter, setsize, idiv) — the PPJoin dialect snippets,
+    shared verbatim by the inline statement and the persisted-index
+    serve path so the verify arithmetic cannot drift between them."""
+    if d.name == "spark":
+        return (
+            "collect_set(h)",
+            "size(array_intersect(a.hs, b.hs))",
+            "size",
+            lambda a_, b_: f"({a_} DIV {b_})",
+        )
+    return (
+        "list(DISTINCT h)",
+        "len(list_filter(a.hs, x -> list_contains(b.hs, x)))",
+        "len",
+        lambda a_, b_: f"({a_} // {b_})",
+    )
+
+
 def prefix_jaccard_join_sql(
     d: Dialect,
     table: str,
@@ -1672,16 +1691,7 @@ def prefix_jaccard_join_sql(
     (``staged_hdist``), the oracle keeps the inline text.
     """
     num, den = int(threshold[0]), int(threshold[1])
-    if d.name == "spark":
-        tset = "collect_set(h)"
-        inter = "size(array_intersect(a.hs, b.hs))"
-        setsize = "size"
-        idiv = lambda a_, b_: f"({a_} DIV {b_})"  # noqa: E731
-    else:
-        tset = "list(DISTINCT h)"
-        inter = "len(list_filter(a.hs, x -> list_contains(b.hs, x)))"
-        setsize = "len"
-        idiv = lambda a_, b_: f"({a_} // {b_})"  # noqa: E731
+    tset, inter, setsize, idiv = _ppj_exprs(d)
     shingles = d.shingles("_toks", shingle_k)
     ceil_tn = idiv(f"({num} * n + {den} - 1)", f"{den}")
     hdist = (
@@ -1781,6 +1791,119 @@ def prefix_jaccard_join(
             shingle_k=shingle_k, staged_hdist=sview,
         )
     )
+
+
+def build_prefix_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    *,
+    threshold: tuple[int, int] = (1, 2),
+    shingle_k: int = 3,
+) -> None:
+    """Materialize the PPJoin structures :func:`prefix_jaccard_join`
+    recomputes per run — the build-once posture applied to the LOSSLESS
+    dedup tier (the LSH-bucket/BM25-postings discipline):
+
+    * ``{path}/prefix`` — (did, h, n): each doc's prefix entries under
+      the BUILD threshold θ (the df-ascending rank, the size, the
+      rarest shingles), repartitioned by the candidate join key h;
+    * ``{path}/tsets``  — (did, hs): the full distinct hash set per
+      doc for the exact verify, did-clustered;
+    * ``{path}/params`` LAST (the ``_index_ready`` marker), carrying
+      (num, den, shingle_k).
+
+    The tokenize → shingle → md5 → df → rank pipeline is paid ONCE; a
+    serve (:func:`query_prefix_index`) is candidates ⋈ verify over the
+    two parquet tables.  THRESHOLD CONTRACT: a θ'-prefix LENGTHENS as
+    θ' drops, so the stored θ-prefix remains a lossless candidate
+    source for any SERVE threshold θ' ≥ θ (the size and verify filters
+    re-apply at θ'); serving below the build θ would silently lose
+    pairs, so the serve path refuses it loudly.
+    """
+    from ..functions.text_fns import SPARK as _S
+
+    for c in (id_col, text_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    num, den = int(threshold[0]), int(threshold[1])
+    spark = df.sparkSession
+    view = "_ts_ppb_in"
+    df.createOrReplaceTempView(view)
+    inline = prefix_jaccard_join_sql(
+        _S, view, id_col, text_col, threshold=threshold, shingle_k=shingle_k
+    )
+    # reuse the inline statement's own text up to the prefix relation
+    # (shared rendering — the build cannot drift from the inline form)
+    head = inline.split("_ppc AS (", 1)[0].rstrip().rstrip(",")
+    begin_build(path)
+    spark.sql(f"{head}\nSELECT did, h, n FROM _ppp").repartition("h").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/prefix")
+    tset, _, _, _ = _ppj_exprs(_S)
+    spark.sql(
+        f"{head}\nSELECT did, {tset} AS hs FROM _pph GROUP BY did"
+    ).repartition("did").write.mode("overwrite").parquet(f"{path}/tsets")
+    spark.createDataFrame(
+        [(num, den, int(shingle_k), id_col, text_col)],
+        "num int, den int, shingle_k int, id_col string, text_col string",
+    ).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def query_prefix_index(
+    spark, path: str, *, threshold: tuple[int, int] | None = None
+) -> DataFrame:
+    """Serve the exact Jaccard pair join from a persisted PPJoin index:
+    candidates equi-join the stored prefix table on the shingle hash,
+    the verify joins the stored per-doc sets — the tokenize/df/rank
+    build pipeline is ABSENT from the serve plan (pytest-pinned: no
+    explode subtree).  ``threshold`` defaults to the build θ; a serve
+    θ' ≥ θ tightens the same stored candidates losslessly (integer
+    cross-multiplication check num'·den ≥ num·den'), and θ' < θ raises
+    — the stored prefixes are too short to guarantee recall there.
+    Output ≡ :func:`prefix_jaccard_join_sql` at θ' (persisted ≡ inline,
+    driver-proven through the registered query's inline oracle)."""
+    p = spark.read.parquet(f"{path}/params").collect()[0]
+    num, den = int(p["num"]), int(p["den"])
+    if threshold is None:
+        qn, qd = num, den
+    else:
+        qn, qd = int(threshold[0]), int(threshold[1])
+        if qn * den < num * qd:
+            raise ValueError(
+                f"serve threshold {qn}/{qd} is BELOW the build threshold "
+                f"{num}/{den}: the stored prefixes are too short to "
+                f"guarantee losslessness — rebuild the index at the lower θ"
+            )
+    from ..functions.text_fns import SPARK as _S
+
+    _, inter, setsize, _ = _ppj_exprs(_S)
+    pv, tv = "_ts_ppq_prefix", "_ts_ppq_tsets"
+    spark.read.parquet(f"{path}/prefix").createOrReplaceTempView(pv)
+    spark.read.parquet(f"{path}/tsets").createOrReplaceTempView(tv)
+    jaccard = "(CAST(n_inter AS DOUBLE) / CAST(n_sum - n_inter AS DOUBLE))"
+    return spark.sql(f"""
+    WITH _ppc AS (
+      SELECT a.did AS did_a, b.did AS did_b
+      FROM {pv} a JOIN {pv} b
+        ON a.h = b.h AND a.did < b.did
+       AND {qd} * LEAST(a.n, b.n) >= {qn} * GREATEST(a.n, b.n)
+      GROUP BY a.did, b.did
+    ),
+    _ppv AS (
+      SELECT c.did_a, c.did_b,
+             {inter} AS n_inter,
+             {setsize}(a.hs) + {setsize}(b.hs) AS n_sum
+      FROM _ppc c
+      JOIN {tv} a ON a.did = c.did_a
+      JOIN {tv} b ON b.did = c.did_b
+    )
+    SELECT did_a AS doc_id_a, did_b AS doc_id_b, {jaccard} AS jaccard
+    FROM _ppv
+    WHERE {qd} * n_inter >= {qn} * (n_sum - n_inter)
+    ORDER BY doc_id_a, doc_id_b
+    """)
 
 
 def winnow_fingerprints_sql(
