@@ -602,3 +602,160 @@ def test_scene_changes_stride_samples_and_validates(spark):
     assert list(out.mean_abs_diff) == [144.0, 112.0]
     with _pt.raises(ValueError):
         scene_changes(df, "blob", id_col="doc_id", stride=0)
+
+
+def test_scene_changes_color_catches_chroma_only_cut(spark):
+    """A color-only cut (luma steady, chroma jumps 200) is INVISIBLE to
+    the luma detector (mean_abs_diff 0) but over-threshold for the
+    color detector's combined MAD; per-plane MADs follow the mod-256
+    closed forms exactly."""
+    import pandas as pd
+
+    from time_sift_spark.operators.multimodal import (
+        scene_changes,
+        scene_changes_color,
+        synthesize_y4m_color,
+    )
+
+    # luma static (ystep=0 is disallowed by synthesize? step 0 fine: f*0=0),
+    # chroma steps 200: U lumas 0,200,144; V same.
+    vid = synthesize_y4m_color(8, 8, 3, ystep=0, ustep=200, vstep=200)
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "blob": [vid]}))
+    luma = (
+        scene_changes(df, "blob", id_col="doc_id")
+        .toPandas().sort_values("frame_idx").reset_index(drop=True)
+    )
+    assert list(luma.mean_abs_diff) == [0.0, 0.0]
+    assert not luma.is_cut.any()
+
+    color = (
+        scene_changes_color(df, "blob", id_col="doc_id")
+        .toPandas().sort_values("frame_idx").reset_index(drop=True)
+    )
+    assert list(color.mad_y) == [0.0, 0.0]
+    assert list(color.mad_u) == [200.0, 56.0]
+    assert list(color.mad_v) == [200.0, 56.0]
+    # 8x8 4:2:0: ysz=64, csz=16, total=96
+    assert list(color.mad_all) == [
+        (200 * 16 + 200 * 16) / 96,
+        (56 * 16 + 56 * 16) / 96,
+    ]
+    assert list(color.is_cut) == [True, False]
+
+
+def test_audio_energy_channels_catches_dead_channel(spark):
+    """A stereo clip with one live and one dead channel: the POOLED
+    panel reports a plausible nonzero RMS and 75% silence, but the
+    per-channel panel isolates channel 1 as fully silent — the
+    channel-health gate.  Closed forms: live channel = the mono
+    square-wave stats."""
+    import io
+    import math
+    import wave
+
+    import pandas as pd
+
+    from time_sift_spark.operators.multimodal import (
+        audio_energy,
+        audio_energy_channels,
+    )
+
+    # hand-build: ch0 alternates (100, 0), ch1 all zero, 5 frames
+    frames = bytearray()
+    for i in range(5):
+        s0 = 100 if i % 2 == 0 else 0
+        frames += int(s0).to_bytes(2, "little", signed=True)
+        frames += (0).to_bytes(2, "little", signed=True)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(bytes(frames))
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "blob": [buf.getvalue()]})
+    )
+
+    pooled = audio_energy(df, "blob", id_col="doc_id").toPandas()
+    assert pooled.loc[0, "silence_ratio"] == 7 / 10  # dead ch masked
+    assert pooled.loc[0, "rms"] == math.sqrt(100 * 100 * 3 / 10)
+
+    per = (
+        audio_energy_channels(df, "blob", id_col="doc_id")
+        .toPandas().sort_values("channel").reset_index(drop=True)
+    )
+    assert list(per.channel) == [0, 1]
+    assert list(per.n_samples) == [5, 5]
+    assert list(per.peak) == [100, 0]
+    assert per.loc[0, "silence_ratio"] == 2 / 5
+    assert per.loc[0, "rms"] == math.sqrt(100 * 100 * 3 / 5)
+    assert per.loc[1, "silence_ratio"] == 1.0
+    assert per.loc[1, "rms"] == 0.0
+
+
+def test_audio_energy_channels_multi_amp_closed_forms(spark):
+    """synthesize_wav_square_multi: 3 channels at amps 50/100/150 —
+    each channel's panel matches its closed form independently."""
+    import math
+
+    import pandas as pd
+
+    from time_sift_spark.operators.multimodal import (
+        audio_energy_channels,
+        synthesize_wav_square_multi,
+    )
+
+    blob = synthesize_wav_square_multi(16000, 3, 7, 50)
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "blob": [blob]}))
+    per = (
+        audio_energy_channels(df, "blob", id_col="doc_id")
+        .toPandas().sort_values("channel").reset_index(drop=True)
+    )
+    assert list(per.peak) == [50, 100, 150]
+    for c in range(3):
+        amp = 50 * (c + 1)
+        assert per.loc[c, "n_samples"] == 7
+        assert per.loc[c, "silence_ratio"] == 3 / 7
+        assert per.loc[c, "rms"] == math.sqrt(amp * amp * 4 / 7)
+
+
+def test_session_paths_and_streaming_twin(spark, tmp_path):
+    """Hand case: user 1 has two sessions (gap > 30 min splits), user 2
+    one session sharing user 1's first journey; max_steps truncation
+    applies within a session.  The streaming twin over a file replay
+    returns the identical top-path relation."""
+    import pandas as pd
+
+    from time_sift_spark.operators.funnel import (
+        session_paths_sql,
+        streaming_top_paths,
+    )
+    from time_sift_spark.functions.text_fns import SPARK as _S
+
+    rows = []
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    # user 1, session A: a>b ; session B (2h later): c
+    rows += [(1, "a", base, 1), (1, "b", base + pd.Timedelta(minutes=5), 2),
+             (1, "c", base + pd.Timedelta(hours=2), 3)]
+    # user 2, one session: a>b
+    rows += [(2, "a", base, 4), (2, "b", base + pd.Timedelta(minutes=10), 5)]
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_type", "ts", "event_id"])
+    df = spark.createDataFrame(pdf)
+    df.createOrReplaceTempView("_t_spaths")
+    batch = spark.sql(session_paths_sql(
+        _S, "_t_spaths", "user_id", "event_type", "ts", "event_id",
+        gap_minutes=30, max_steps=2, top_k=10,
+    )).toPandas()
+    assert list(batch.path) == ["a>b", "c"]
+    assert list(batch.n_sessions) == [2, 1]
+
+    src = str(tmp_path / "spaths_parquet")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = streaming_top_paths(
+        stream, "user_id", "event_type", "ts", "event_id",
+        gap_minutes=30, max_steps=2, top_k=10,
+        query_name="t_spaths_stream",
+    ).toPandas()
+    assert list(out.path) == ["a>b", "c"]
+    assert list(out.n_sessions) == [2, 1]

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from ..errors import ColumnNotFoundError
 
 __all__ = ["funnel", "funnel_oracle_sql", "sequence_ngrams",
+           "session_paths_sql", "streaming_top_paths",
            "top_paths", "top_paths_sql", "transition_matrix"]
 
 
@@ -321,4 +322,148 @@ def top_paths(
     return df.sparkSession.sql(
         top_paths_sql(_S, view, key_col, item_col, time_col, order_extra,
                       max_steps=max_steps, top_k=top_k)
+    )
+
+
+def session_paths_sql(
+    d,
+    table: str,
+    key_col: str,
+    item_col: str,
+    time_col: str,
+    order_extra: str,
+    *,
+    gap_minutes: int = 30,
+    max_steps: int = 8,
+    top_k: int = 20,
+) -> str:
+    """Top-k SESSION journey paths: events sessionize under an
+    inactivity gap (lag + running-sum, the operators/sessionize
+    formulation), each session's first ``max_steps`` events in
+    (time, ``order_extra``) order collapse to one '>'-joined path, and
+    the most common session journeys rank by session count.  top_paths
+    sees each key's whole-history head; this sees the per-VISIT journey
+    — the batch statement that doubles as the streaming twin's oracle
+    (drain ≡ batch: Spark's ``session_window`` gap semantics coincide
+    with the lag/running-sum sessionizer on finalized replay, the
+    equivalence streaming_session_windows already pins).
+
+    Determinism: (time, order_extra) is a unique total order within a
+    key; counts are exact integers; the final top-k orders by
+    (n_sessions DESC, path) — a deterministic total order.
+
+    Scale shape: ONE window exchange on the key serves BOTH the session
+    boundary lag and the running session id (same partitioning, no
+    second exchange); the per-session rank and reassembly reuse it
+    ((key, sess) is a refinement of the key partitioning); ONE exchange
+    on the path string; the top-k is a TakeOrdered.
+    """
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    if d.name == "spark":
+        reasm = ("concat_ws('>', transform(array_sort(collect_list("
+                 "struct(rn, it))), s -> s.it))")
+        ep = "unix_micros"
+    else:
+        reasm = "string_agg(it, '>' ORDER BY rn)"
+        ep = "epoch_us"
+    return f"""
+    WITH _spa AS (
+      SELECT {key_col} AS k, {item_col} AS it, {time_col} AS t,
+             {order_extra} AS o
+      FROM {table}
+    ),
+    _sp0 AS (
+      SELECT k, it, t, o,
+             CASE WHEN LAG(t) OVER w IS NULL
+                       OR {ep}(t) - {ep}(LAG(t) OVER w) > {gap_us}
+                  THEN 1 ELSE 0 END AS is_start
+      FROM _spa
+      WINDOW w AS (PARTITION BY k ORDER BY t, o)
+    ),
+    _sp1 AS (
+      SELECT k, it, t, o,
+             SUM(is_start) OVER (PARTITION BY k ORDER BY t, o
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      FROM _sp0
+    ),
+    _sp2 AS (
+      SELECT k, sess, it,
+             ROW_NUMBER() OVER (PARTITION BY k, sess ORDER BY t, o) AS rn
+      FROM _sp1
+    ),
+    _sp3 AS (
+      SELECT k, sess, {reasm} AS path
+      FROM _sp2 WHERE rn <= {int(max_steps)} GROUP BY k, sess
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM _sp3 GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT {int(top_k)}
+    """
+
+
+def streaming_top_paths(
+    stream_df: DataFrame,
+    key_col: str,
+    item_col: str,
+    time_col: str,
+    order_extra: str,
+    *,
+    gap_minutes: int = 30,
+    max_steps: int = 8,
+    top_k: int = 20,
+    query_name: str = "ts_stream_paths",
+) -> DataFrame:
+    """Streaming twin of :func:`session_paths_sql`: per-session journey
+    strings assembled under Spark's native ``session_window`` gap state,
+    ranked by a batch tail at drain.
+
+    Stream stage: ``groupBy(session_window(gap), key)`` collects each
+    session's (time, order, item) structs — the ONLY streaming state is
+    the open sessions themselves (closed sessions finalize and leave the
+    store once the watermark passes; state per session is bounded by
+    session length, and a production deploy would additionally cap
+    collected steps — the journey only needs ``max_steps``).  Batch
+    tail: array_sort → slice(max_steps) → '>'-join → path count → top-k,
+    exactly :func:`session_paths_sql`'s reassembly tail, so drain ≡
+    batch is structural and the registered oracle IS the batch
+    statement.
+
+    Struct sort note: structs sort field-major, so (t, o, it) orders by
+    the unique (time, order_extra) key — ``it`` never participates.
+    """
+    from ..errors import ColumnNotFoundError
+    from ..streaming.lag_stream import run_stream_to_df
+
+    for c in (key_col, item_col, time_col, order_extra):
+        if c not in stream_df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {stream_df.columns}")
+    sess = (
+        stream_df.withWatermark(time_col, "1 hour")
+        .groupBy(
+            F.session_window(time_col, f"{int(gap_minutes)} minutes"),
+            key_col,
+        )
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col(time_col).alias("t"),
+                    F.col(order_extra).alias("o"),
+                    F.col(item_col).alias("it"),
+                )
+            ).alias("evs")
+        )
+    )
+    drained = run_stream_to_df(sess, query_name, output_mode="complete")
+    paths = drained.select(
+        F.concat_ws(
+            ">",
+            F.expr(f"transform(slice(array_sort(evs), 1, {int(max_steps)}), s -> s.it)"),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(int(top_k))
     )

@@ -800,3 +800,198 @@ def image_dhash(
             yield pd.DataFrame({id_col: pdf[id_col], "dhash": hashes})
 
     return df.mapInPandas(_run, schema)
+
+
+def synthesize_y4m_color(
+    width: int, height: int, n_frames: int,
+    ystep: int = 1, ustep: int = 1, vstep: int = 1,
+) -> bytes:
+    """:func:`synthesize_y4m` with MOVING CHROMA: frame f's planes fill
+    with Y = (f·ystep) mod 256, U = (f·ustep) mod 256, V = (f·vstep)
+    mod 256 — so each plane has its own closed-form inter-frame delta
+    and a color-only cut (chroma jumps, luma steady) is manufacturable
+    by step choice, which is exactly what the luma-only detector is
+    blind to and :func:`scene_changes_color` exists to catch."""
+    hdr = f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C420\n".encode()
+    ysz, csz = width * height, (width // 2) * (height // 2)
+    out = [hdr]
+    for f in range(n_frames):
+        out.append(b"FRAME\n")
+        out.append(
+            bytes([(f * ystep) % 256]) * ysz
+            + bytes([(f * ustep) % 256]) * csz
+            + bytes([(f * vstep) % 256]) * csz
+        )
+    return b"".join(out)
+
+
+def scene_changes_color(
+    df: DataFrame, binary_col: str, *, id_col: str, threshold: float = 64.0,
+    stride: int = 1,
+) -> DataFrame:
+    """Scene-cut detection over ALL THREE decoded planes → one row per
+    transition (id, frame_idx, mad_y, mad_u, mad_v, mad_all, is_cut):
+    the multi-plane completion of :func:`scene_changes` (which parses
+    the chroma planes but differences luma only) — a hard color cut
+    between equal-brightness shots moves U/V while Y barely changes,
+    so the luma-only detector misses it; here the cut flag gates on
+    the byte-weighted combined MAD over Y+U+V (4:2:0: luma carries
+    w·h bytes, each chroma plane (w/2)·(h/2)).
+
+    Determinism: each plane's Σ|Δ| is an exact integer; mad_y/u/v and
+    mad_all are each ONE IEEE division of exact ints (the combined
+    numerator/denominator are exact sums, ≤ 255·bytes < 2^53) — the
+    audio_energy discipline.  ``stride`` is the same long-video dial
+    as :func:`scene_changes`.  Shape: mapInPandas over (id, blob),
+    column-pruned, shuffle-free.
+    """
+    for c in (binary_col, id_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    thr = float(threshold)
+    st = int(stride)
+    schema = (
+        f"{id_col} long, frame_idx int, mad_y double, mad_u double, "
+        f"mad_v double, mad_all double, is_cut boolean"
+    )
+
+    def _cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for vid, blob in zip(pdf[id_col], pdf[binary_col]):
+                raw = bytes(blob) if blob is not None else b""
+                if raw[:9] != b"YUV4MPEG2":
+                    raise NotImplementedError(
+                        "scene detection decodes y4m (uncompressed); "
+                        "compressed containers need a codec not installed here"
+                    )
+                w, h, frames = parse_y4m(raw)
+                ysz = w * h
+                csz = (w // 2) * (h // 2)
+                total = ysz + 2 * csz
+                prev = None
+                for idx in range(0, len(frames), st):
+                    planes = np.frombuffer(frames[idx], dtype=np.uint8).astype(
+                        np.int64
+                    )
+                    if prev is not None:
+                        d = np.abs(planes - prev)
+                        sy = int(d[:ysz].sum())
+                        su = int(d[ysz : ysz + csz].sum())
+                        sv = int(d[ysz + csz :].sum())
+                        mad_all = (sy + su + sv) / total
+                        rows.append(
+                            (vid, idx, sy / ysz, su / csz, sv / csz,
+                             mad_all, mad_all > thr)
+                        )
+                    prev = planes
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "frame_idx", "mad_y", "mad_u", "mad_v",
+                         "mad_all", "is_cut"],
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(_cuts, schema)
+
+
+def synthesize_wav_square_multi(
+    sample_rate: int, channels: int, n_frames: int, base_amp: int
+) -> bytes:
+    """:func:`synthesize_wav_square` with PER-CHANNEL amplitude: channel
+    c's samples alternate (+base_amp·(c+1), 0) per frame — a valid
+    multi-channel 16-bit PCM WAV where each channel's energy panel has
+    its own closed form (peak_c = base_amp·(c+1), silent_c = ⌊n/2⌋,
+    Σs²_c = (base_amp·(c+1))²·⌈n/2⌉), the oracle fuel for
+    :func:`audio_energy_channels`.  Caller must keep
+    base_amp·channels ≤ 32767."""
+    import io
+    import wave
+
+    frames = bytearray()
+    for i in range(n_frames):
+        for c in range(channels):
+            s = base_amp * (c + 1) if i % 2 == 0 else 0
+            frames += int(s).to_bytes(2, "little", signed=True)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def audio_energy_channels(
+    df: DataFrame, binary_col: str, *, id_col: str, silence_floor: int = 0
+) -> DataFrame:
+    """PER-CHANNEL PCM energy panel → one row per (id, channel):
+    (n_samples, peak, silence_ratio, rms) for each channel separately —
+    the multi-channel completion of :func:`audio_energy` (which parses
+    the channel count but pools the interleaved samples): a dead left
+    channel in a stereo clip averages into a plausible mono RMS and
+    sails through the pooled silence gate, but is unmissable per
+    channel (the channel-health front gate of an audio pipeline).
+
+    The interleaved int16 stream deinterleaves by
+    ``reshape(-1, n_channels)`` column slicing — frame-major layout is
+    the WAV spec.  Same exactness discipline as :func:`audio_energy`:
+    per-channel peak / silent-count / Σs² are exact integers, ratio and
+    rms are one IEEE division (+ one sqrt).  Only 16-bit PCM; other
+    widths raise loudly.  Shape: mapInPandas, shuffle-free; ≤ channels
+    rows out per blob.
+    """
+    for c in (binary_col, id_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    floor = int(silence_floor)
+    schema = (
+        f"{id_col} long, channel int, n_samples long, peak int, "
+        f"silence_ratio double, rms double"
+    )
+
+    def _energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import math
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for vid, blob in zip(pdf[id_col], pdf[binary_col]):
+                with wave.open(io.BytesIO(bytes(blob)), "rb") as w:
+                    if w.getsampwidth() != 2:
+                        raise NotImplementedError(
+                            f"only 16-bit PCM supported, got sample width "
+                            f"{w.getsampwidth()} — extend audio_energy_"
+                            f"channels for other widths rather than guessing"
+                        )
+                    nch = w.getnchannels()
+                    raw = w.readframes(w.getnframes())
+                s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                if s.size == 0:
+                    for c in range(nch):
+                        rows.append((vid, c, 0, None, None, None))
+                    continue
+                frames_ = s.reshape(-1, nch)
+                for c in range(nch):
+                    ch = frames_[:, c]
+                    n = int(ch.size)
+                    a = np.abs(ch)
+                    peak = int(a.max())
+                    n_sil = int((a <= floor).sum())
+                    sum_sq = int((ch * ch).sum())
+                    rows.append(
+                        (vid, c, n, peak, n_sil / n, math.sqrt(sum_sq / n))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "channel", "n_samples", "peak",
+                         "silence_ratio", "rms"],
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(_energy, schema)

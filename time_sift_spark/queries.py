@@ -2449,6 +2449,141 @@ def scene_changes_strided_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scene_changes_color_docs",
+    oracle="""
+    SELECT doc_id, CAST(f AS INT) AS frame_idx,
+           CAST(dy AS DOUBLE) AS mad_y,
+           CAST(du AS DOUBLE) AS mad_u,
+           CAST(dv AS DOUBLE) AS mad_v,
+           (CAST(dy * 256 + du * 64 + dv * 64 AS DOUBLE)
+            / CAST(384 AS DOUBLE)) AS mad_all,
+           ((CAST(dy * 256 + du * 64 + dv * 64 AS DOUBLE)
+             / CAST(384 AS DOUBLE)) > 64.0) AS is_cut
+    FROM (
+      SELECT doc_id, f,
+             ABS(((f * ys) % 256) - (((f - 1) * ys) % 256)) AS dy,
+             ABS(((f * us) % 256) - (((f - 1) * us) % 256)) AS du,
+             ABS(((f * vs) % 256) - (((f - 1) * vs) % 256)) AS dv
+      FROM (
+        SELECT doc_id, ys, us, vs, unnest(generate_series(1, nf - 1)) AS f
+        FROM (
+          SELECT doc_id,
+                 2 + (h % 20) AS nf,
+                 1 + (h % 97) AS ys,
+                 1 + ((h // 7) % 89) AS us,
+                 1 + ((h // 11) % 83) AS vs
+          FROM (
+            SELECT doc_id,
+                   ('0x' || substr(md5(text), 1, 6))::BIGINT AS h
+            FROM documents WHERE text IS NOT NULL
+          ) _scc0
+        ) _scc1
+      ) _scc2
+    ) _scc3
+    """,
+)
+def scene_changes_color_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-plane scene-cut detection, graded: each doc becomes a y4m
+    whose Y/U/V planes move at INDEPENDENT per-frame steps (all
+    md5(text)-derived), scene_changes_color differences all three
+    decoded planes per pixel and gates the cut on the byte-weighted
+    combined MAD — catching the color-only cuts (chroma jumps, luma
+    steady) the luma-only detector is structurally blind to.  The
+    oracle predicts every per-plane MAD and the 4:2:0-weighted
+    combination from mod-256 arithmetic alone
+    (operators/multimodal.py:scene_changes_color,
+    synthesize_y4m_color)."""
+    import hashlib as _hl
+
+    from .operators.multimodal import scene_changes_color, synthesize_y4m_color
+
+    docs = load_table(spark, "documents", sf_dir).where("text IS NOT NULL").select(
+        "doc_id", "text"
+    )
+
+    def _blobs(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = []
+            for t in pdf["text"]:
+                h = int(_hl.md5(t.encode("utf-8")).hexdigest()[:6], 16)
+                blobs.append(synthesize_y4m_color(
+                    16, 16, 2 + h % 20,
+                    ystep=1 + h % 97,
+                    ustep=1 + (h // 7) % 89,
+                    vstep=1 + (h // 11) % 83,
+                ))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    vids = docs.mapInPandas(_blobs, "doc_id long, blob binary")
+    return scene_changes_color(vids, "blob", id_col="doc_id")
+
+
+@register(
+    "audio_energy_channels_docs",
+    oracle="""
+    SELECT doc_id, CAST(c AS INT) AS channel,
+           CAST(nf AS BIGINT) AS n_samples,
+           CAST(amp * (c + 1) AS INT) AS peak,
+           (CAST(nf // 2 AS DOUBLE) / CAST(nf AS DOUBLE)) AS silence_ratio,
+           sqrt(CAST(amp * (c + 1) * amp * (c + 1) * ((nf + 1) // 2) AS DOUBLE)
+                / CAST(nf AS DOUBLE)) AS rms
+    FROM (
+      SELECT doc_id, nf, amp, unnest(generate_series(0, ch - 1)) AS c
+      FROM (
+        SELECT doc_id,
+               1 + (('0x' || substr(md5(text), 1, 6))::BIGINT % 3) AS ch,
+               1 + ((('0x' || substr(md5(text), 1, 6))::BIGINT // 6) % 500) AS nf,
+               1 + ((('0x' || substr(md5(text), 1, 6))::BIGINT // 3) % 3000) AS amp
+        FROM documents WHERE text IS NOT NULL
+      ) _aec0
+    ) _aec1
+    """,
+)
+def audio_energy_channels_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel PCM energy panel, graded: each doc becomes a valid
+    multi-channel WAV whose channel c alternates (+amp·(c+1), 0) per
+    frame, audio_energy_channels deinterleaves the int16 stream by the
+    WAV frame-major layout and reports each channel's n_samples / peak
+    / silence_ratio / rms — the channel-health gate the pooled
+    audio_energy can't provide (a dead channel averages into a
+    plausible mono RMS).  The oracle predicts every per-channel
+    statistic from (amp, c, nf) closed forms
+    (operators/multimodal.py:audio_energy_channels,
+    synthesize_wav_square_multi)."""
+    import hashlib as _hl
+
+    from .operators.multimodal import (
+        audio_energy_channels,
+        synthesize_wav_square_multi,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).where("text IS NOT NULL").select(
+        "doc_id", "text"
+    )
+    rates = (8000, 16000, 44100)
+
+    def _blobs(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = []
+            for t in pdf["text"]:
+                h = int(_hl.md5(t.encode("utf-8")).hexdigest()[:6], 16)
+                blobs.append(
+                    synthesize_wav_square_multi(
+                        rates[h % 3], 1 + h % 3, 1 + (h // 6) % 500,
+                        1 + (h // 3) % 3000,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    wavs = docs.mapInPandas(_blobs, "doc_id long, blob binary")
+    return audio_energy_channels(wavs, "blob", id_col="doc_id")
+
+
+@register(
     "interop_roundtrip_events",
     oracle=f"""
     SELECT ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS row_idx,
@@ -8455,6 +8590,58 @@ def top_paths_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                      max_steps=8, top_k=20)
 
 
+def _session_paths_oracle() -> str:
+    from .operators.funnel import session_paths_sql
+
+    return session_paths_sql(
+        DUCK, "events", "user_id", "event_type", "ts", "event_id",
+        gap_minutes=30, max_steps=8, top_k=20,
+    )
+
+
+@register("session_paths_events", oracle=_session_paths_oracle())
+def session_paths_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 SESSION journey paths: events sessionize under a 30-min
+    inactivity gap (lag + running-sum), each session's first 8 events
+    collapse to one '>'-joined journey, ranked by session count —
+    top_paths per VISIT rather than per lifetime.  One user-window
+    exchange serves both the gap lag and the running session id; the
+    per-session rank/reassembly reuse it; one path-count exchange;
+    TakeOrdered top-k (operators/funnel.py:session_paths_sql)."""
+    from .functions.text_fns import SPARK as _S
+    from .operators.funnel import session_paths_sql
+
+    events = load_table(spark, "events", sf_dir)
+    events.createOrReplaceTempView("_ts_spaths_in")
+    return spark.sql(session_paths_sql(
+        _S, "_ts_spaths_in", "user_id", "event_type", "ts", "event_id",
+        gap_minutes=30, max_steps=8, top_k=20,
+    ))
+
+
+@register("streaming_top_paths_events", oracle=_session_paths_oracle())
+def streaming_top_paths_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of session_paths_events: the event stream's only
+    state is the open ``session_window`` groups (each holding its
+    session's (t, o, item) structs until the watermark closes it); the
+    drain's batch tail runs session_paths_sql's reassembly verbatim
+    (sort → slice 8 → '>'-join → count → top-20), so drain ≡ batch is
+    structural and the oracle IS the batch statement — relying on the
+    session_window ≡ lag/running-sum equivalence that
+    streaming_session_windows pins
+    (operators/funnel.py:streaming_top_paths)."""
+    from .operators.funnel import streaming_top_paths
+    from .sources.catalog import read_events_stream
+    from .streaming.lag_stream import _next_stream_name
+
+    stream = read_events_stream(spark, sf_dir)
+    return streaming_top_paths(
+        stream, "user_id", "event_type", "ts", "event_id",
+        gap_minutes=30, max_steps=8, top_k=20,
+        query_name=_next_stream_name("spaths"),
+    )
+
+
 def _markov_oracle() -> str:
     from .operators.funnel import transition_matrix_sql
 
@@ -10393,6 +10580,10 @@ GRADE_PRIORITY: list[str] = [
     "scene_changes_strided_docs",
     "rolling_p90_events",
     "prefix_jaccard_persisted_docs",
+    "session_paths_events",
+    "streaming_top_paths_events",
+    "scene_changes_color_docs",
+    "audio_energy_channels_docs",
     # -- CHANGED in r11 (substring excision plan+oracle rewrite;
     #    recall denominator; CDC NULL-key filter; symspell variant
     #    dedup; QQ tail refactor; LSH append write order; streaming

@@ -58,6 +58,7 @@ def main() -> int:
         "streaming_holt_winters",            # operator function, not a query
         "streaming_quantile_drift",          # operator function, not a query
         "streaming_burst_detect",            # operator function, not a query
+        "streaming_top_paths",               # operator function, not a query
     }
     for name in sorted(queryish - set(REGISTRY) - allow):
         # only flag names that are one-edit siblings of real registered
