@@ -1,0 +1,400 @@
+"""Round-12 operator tests: Croston intermittent demand, Mann-Kendall
+trend test, two-sample log-rank, and the AMS F₂ sketch.  Value-level
+cross-engine parity for the registered queries is covered by
+tests/test_oracle_parity.py; these pin the closed-form hand cases, the
+dropout gates, and (for log-rank / AMS) a pure-Python differential
+reference over the same md5 arms/signs."""
+
+import hashlib
+import math
+
+import pandas as pd
+import pytest
+
+from time_sift_spark.errors import ColumnNotFoundError
+
+
+def _md5_60bit(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+# ---------------------------------------------------------------- Croston
+
+def test_croston_hand_case(spark):
+    """Demands 10/20/30 on days 0/2/5, α=0.5: z₀=10, p₀=2;
+    step@2: z=15, p=2, rate 7.5; step@5: z=22.5, p=2.5, rate 9.0;
+    SBA multiplies by 0.75."""
+    from time_sift_spark.operators.seasonal import croston
+
+    base = pd.Timestamp("2024-01-01")
+    pdf = pd.DataFrame({
+        "ts": [base, base + pd.Timedelta(days=2), base + pd.Timedelta(days=5)],
+        "k": ["a"] * 3,
+        "v": [10.0, 20.0, 30.0],
+    })
+    out = (
+        croston(spark.createDataFrame(pdf), "v", "ts", "k", alpha=0.5)
+        .toPandas().sort_values("day_x").reset_index(drop=True)
+    )
+    assert list(out.gap_days) == [2, 3]
+    assert list(out.y_val) == [20.0, 30.0]
+    assert list(out.croston_rate) == [7.5, 9.0]
+    assert list(out.sba_rate) == [7.5 * 0.75, 9.0 * 0.75]
+
+
+def test_croston_zero_days_excluded_and_short_series_drop(spark):
+    """Zero/negative-demand days are not demand events (they set the
+    gaps, not the recurrence); a series with one nonzero bucket has no
+    interval estimate and drops out loudly."""
+    from time_sift_spark.operators.seasonal import croston
+
+    base = pd.Timestamp("2024-01-01")
+    pdf = pd.DataFrame({
+        "ts": [base + pd.Timedelta(days=i) for i in range(4)] + [base],
+        "k": ["a"] * 4 + ["single"],
+        "v": [5.0, 0.0, 0.0, 7.0, 3.0],
+    })
+    out = (
+        croston(spark.createDataFrame(pdf), "v", "ts", "k", alpha=0.5)
+        .toPandas()
+    )
+    assert set(out.k) == {"a"}
+    # nonzero buckets are days 0 and 3 → one step with gap 3
+    assert list(out.gap_days) == [3]
+    # z = .5*7+.5*5 = 6, p = .5*3+.5*3 = 3 → rate 2.0
+    assert list(out.croston_rate) == [2.0]
+
+    with pytest.raises(ColumnNotFoundError):
+        croston(spark.createDataFrame(pdf), "nope", "ts", "k")
+
+
+# ---------------------------------------------------------------- Mann-Kendall
+
+def test_mann_kendall_monotone_and_flat(spark):
+    """Strictly increasing 5-day series: S=10, Var=50/9·3=16.67,
+    Z=(10−1)/√Var≈2.2045, significant.  A flat series: S=0, tie term
+    cancels the variance entirely → Z=0, not significant."""
+    from time_sift_spark.operators.trend import mann_kendall
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for i in range(5):
+        rows.append((base + pd.Timedelta(days=i), "up", float(i + 1)))
+        rows.append((base + pd.Timedelta(days=i), "flat", 4.0))
+    pdf = pd.DataFrame(rows, columns=["ts", "k", "v"])
+    out = (
+        mann_kendall(spark.createDataFrame(pdf), "v", "ts", "k")
+        .toPandas().set_index("k")
+    )
+    up = out.loc["up"]
+    assert up.n_days == 5 and up.n_pairs == 10 and up.s_stat == 10
+    var = 5 * 4 * 15 / 18
+    assert up.var_s == var
+    assert up.z_stat == 9 / math.sqrt(var)
+    assert bool(up.significant)
+    flat = out.loc["flat"]
+    assert flat.s_stat == 0 and flat.var_s == 0.0 and flat.z_stat == 0.0
+    assert not bool(flat.significant)
+
+
+def test_mann_kendall_tie_correction(spark):
+    """Series 1,2,2,3: S = 5 (one tied pair contributes 0); tie group
+    of size 2 subtracts 2·1·9=18 from 4·3·13=156 → Var=138/18."""
+    from time_sift_spark.operators.trend import mann_kendall
+
+    base = pd.Timestamp("2024-01-01")
+    pdf = pd.DataFrame({
+        "ts": [base + pd.Timedelta(days=i) for i in range(4)],
+        "k": ["a"] * 4,
+        "v": [1.0, 2.0, 2.0, 3.0],
+    })
+    out = mann_kendall(spark.createDataFrame(pdf), "v", "ts", "k").toPandas()
+    assert out.loc[0, "s_stat"] == 5
+    assert out.loc[0, "var_s"] == (4 * 3 * 13 - 2 * 1 * 9) / 18
+
+
+# ---------------------------------------------------------------- log-rank
+
+def _py_logrank(subjects):
+    """Pure-Python reference: subjects = [(arm, dur, ev)]; returns
+    (oe_sum, v_sum, chisq) WITHOUT the decimal quantization (the test
+    compares to 1e-6, inside the quantization grid)."""
+    times = sorted({d for _, d, e in subjects if e})
+    oe = v = 0.0
+    for t in times:
+        n1 = sum(1 for a, d, _ in subjects if a == 1 and d >= t)
+        n0 = sum(1 for a, d, _ in subjects if a == 0 and d >= t)
+        n = n1 + n0
+        d1 = sum(1 for a, d, e in subjects if a == 1 and d == t and e)
+        dt = sum(1 for a, d, e in subjects if d == t and e)
+        oe += d1 - dt * n1 / n
+        if n > 1:
+            v += dt * (n - dt) * n1 * n0 / (n * n * (n - 1))
+    chisq = (oe * oe / v) if v > 0 else None
+    return oe, v, chisq
+
+
+def test_logrank_differential_vs_python(spark):
+    """Drive the operator on a constructed single-cohort population and
+    compare O−E / V / χ² against an independent pure-Python evaluation
+    using the same md5-parity arms."""
+    from time_sift_spark.operators.survival import logrank
+
+    base = pd.Timestamp("2024-01-01")  # a Monday → one signup-week cohort
+    rows = []
+    subjects = []
+    horizon = 20
+    for uid in range(40):
+        arm = _md5_60bit(str(uid)) % 2
+        # deterministic duration spread; ~half convert inside the horizon
+        dur = (uid * 7) % 25
+        ev = 1 if dur <= horizon - 3 - (arm * 2) else 0
+        rows.append((uid, "signup", base))
+        if ev:
+            rows.append((uid, "purchase", base + pd.Timedelta(days=dur)))
+        subjects.append((arm, dur if ev else horizon, ev))
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_type", "ts"])
+    out = logrank(
+        spark.createDataFrame(pdf), "user_id", "ts", "event_type",
+        "signup", "purchase", str((base + pd.Timedelta(days=horizon)).date()),
+    ).toPandas()
+    assert len(out) == 1
+    oe, v, chisq = _py_logrank(subjects)
+    assert abs(out.loc[0, "oe_sum"] - oe) < 1e-5
+    assert abs(out.loc[0, "v_sum"] - v) < 1e-5
+    assert abs(out.loc[0, "chisq"] - chisq) < 1e-3
+    assert out.loc[0, "o1_events"] == sum(
+        e for a, _, e in subjects if a == 1
+    )
+
+
+def test_logrank_identical_arms_no_signal(spark):
+    """Mirror-image arms (every duration present once per arm, all
+    events): O−E = 0 exactly, χ² = 0."""
+    from time_sift_spark.operators.survival import logrank
+
+    base = pd.Timestamp("2024-01-01")
+    # pick uids whose md5 parity gives arm 0 and arm 1 deterministically
+    arm0 = [u for u in range(200) if _md5_60bit(str(u)) % 2 == 0][:10]
+    arm1 = [u for u in range(200) if _md5_60bit(str(u)) % 2 == 1][:10]
+    rows = []
+    for i, (u0, u1) in enumerate(zip(arm0, arm1)):
+        dur = i + 1
+        for u in (u0, u1):
+            rows.append((u, "signup", base))
+            rows.append((u, "purchase", base + pd.Timedelta(days=dur)))
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_type", "ts"])
+    out = logrank(
+        spark.createDataFrame(pdf), "user_id", "ts", "event_type",
+        "signup", "purchase", "2024-02-01",
+    ).toPandas()
+    assert len(out) == 1
+    assert out.loc[0, "oe_sum"] == 0.0
+    assert out.loc[0, "chisq"] == 0.0
+
+
+# ---------------------------------------------------------------- AMS F2
+
+def test_ams_f2_exact_and_estimator_differential(spark):
+    """Exact F₂ = Σf² is exact; the estimator median equals a
+    pure-Python replay of the same md5 signs."""
+    from time_sift_spark.operators.sketch import ams_f2
+
+    rows = []
+    freqs = {"u%d" % i: i + 1 for i in range(8)}  # f = 1..8
+    for v, f in freqs.items():
+        rows += [("g", v)] * f
+    pdf = pd.DataFrame(rows, columns=["k", "v"])
+    d_est = 15
+    out = ams_f2(
+        spark.createDataFrame(pdf), "v", "k", d_est=d_est
+    ).toPandas()
+    f2 = sum(f * f for f in freqs.values())
+    assert out.loc[0, "n_keys"] == 8
+    assert out.loc[0, "f2_exact"] == float(f2)
+
+    ests = []
+    for i in range(d_est):
+        sx = sum(
+            (1 - 2 * (_md5_60bit(f"{v}|{i}") % 2)) * f
+            for v, f in freqs.items()
+        )
+        ests.append(float(sx * sx))
+    med = sorted(ests)[(d_est + 1) // 2 - 1]
+    assert out.loc[0, "f2_est"] == round(med, 2)
+    assert abs(
+        out.loc[0, "rel_err"] - round(abs(med - f2) / f2, 6)
+    ) < 1e-9
+
+
+def test_ams_f2_uniform_vs_skewed_separation(spark):
+    """The sketch must SEPARATE a uniform key (F₂ = n) from a skewed
+    one (F₂ ≈ n²) — the join-size question it exists to answer."""
+    from time_sift_spark.operators.sketch import ams_f2
+
+    rows = [("uniform", f"u{i}") for i in range(64)]
+    rows += [("skewed", "hot")] * 56 + [("skewed", f"s{i}") for i in range(8)]
+    pdf = pd.DataFrame(rows, columns=["k", "v"])
+    out = ams_f2(spark.createDataFrame(pdf), "v", "k").toPandas().set_index("k")
+    assert out.loc["uniform", "f2_exact"] == 64.0
+    assert out.loc["skewed", "f2_exact"] == 56.0 ** 2 + 8
+    # estimates land on the right side of the order-of-magnitude gap
+    assert out.loc["skewed", "f2_est"] > 4 * out.loc["uniform", "f2_est"]
+
+
+# ---------------------------------------------------------------- KS test
+
+def test_ks_two_sample_hand_case(spark):
+    """ref {1,2,3,4} vs cur {3,4,5,6}: D = 0.5 (the ECDF gap at v∈[2,4]);
+    identical samples give D = 0."""
+    from time_sift_spark.operators.quality import ks_test
+
+    split = pd.Timestamp("2024-01-16")
+    rows = []
+    for v in (1.0, 2.0, 3.0, 4.0):
+        rows.append((split - pd.Timedelta(days=1), "shift", v))
+        rows.append((split - pd.Timedelta(days=1), "same", v))
+        rows.append((split + pd.Timedelta(days=1), "same", v))
+    for v in (3.0, 4.0, 5.0, 6.0):
+        rows.append((split + pd.Timedelta(days=1), "shift", v))
+    pdf = pd.DataFrame(rows, columns=["ts", "k", "v"])
+    out = (
+        ks_test(spark.createDataFrame(pdf), "v", "ts", "k", "2024-01-16")
+        .toPandas().set_index("k")
+    )
+    assert out.loc["shift", "n_ref"] == 4 and out.loc["shift", "n_cur"] == 4
+    assert out.loc["shift", "d_stat"] == 0.5
+    assert not bool(out.loc["shift", "drifted"])  # crit ≈ 0.96 at n=4+4
+    assert out.loc["same", "d_stat"] == 0.0
+
+
+def test_ks_detects_planted_shift(spark):
+    """A two-unit location shift over 200+200 samples (D = 0.2 vs the
+    ~0.136 critical value) crosses the 5% line; the unshifted twin does
+    not."""
+    from time_sift_spark.operators.quality import ks_test
+
+    split = pd.Timestamp("2024-01-16")
+    rows = []
+    for i in range(200):
+        v = (i % 40) / 4.0
+        rows.append((split - pd.Timedelta(days=1), "shift", v))
+        rows.append((split + pd.Timedelta(days=1), "shift", v + 2.0))
+        rows.append((split - pd.Timedelta(days=1), "same", v))
+        rows.append((split + pd.Timedelta(days=1), "same", v))
+    pdf = pd.DataFrame(rows, columns=["ts", "k", "v"])
+    out = (
+        ks_test(spark.createDataFrame(pdf), "v", "ts", "k", "2024-01-16")
+        .toPandas().set_index("k")
+    )
+    assert bool(out.loc["shift", "drifted"])
+    assert not bool(out.loc["same", "drifted"])
+
+
+# ---------------------------------------------------------------- Hampel
+
+def test_hampel_repairs_spike_in_trend(spark):
+    """10,11,12,100,13,14,15: the spike's full window has med 13,
+    MAD 2 → 87 > 3·1.4826·2 flags and repairs to 13; the edge point's
+    truncated window does not flag it."""
+    from time_sift_spark.operators.rolling import hampel_filter
+
+    base = pd.Timestamp("2024-01-01")
+    vals = [10.0, 11.0, 12.0, 100.0, 13.0, 14.0, 15.0]
+    pdf = pd.DataFrame({
+        "ts": [base + pd.Timedelta(minutes=i) for i in range(7)],
+        "k": ["a"] * 7,
+        "eid": list(range(7)),
+        "v": vals,
+    })
+    out = (
+        hampel_filter(
+            spark.createDataFrame(pdf), "v", "ts",
+            partition_by="k", order_extra="eid", half_width=3,
+        )
+        .toPandas().sort_values("ts").reset_index(drop=True)
+    )
+    assert out.loc[3, "v_med"] == 13.0 and out.loc[3, "v_mad"] == 2.0
+    assert bool(out.loc[3, "is_spike"])
+    assert out.loc[3, "v_repaired"] == 13.0
+    # edge row 0: window [10,11,12,100], med 11.5, MAD (0.5+1.5)/2 = 1.0
+    assert out.loc[0, "v_med"] == 11.5 and out.loc[0, "v_mad"] == 1.0
+    assert not bool(out.loc[0, "is_spike"])
+    assert out.loc[0, "v_repaired"] == 10.0
+    # non-spike rows keep their values
+    assert list(out.v_repaired) == [10.0, 11.0, 12.0, 13.0, 13.0, 14.0, 15.0]
+
+
+def test_hampel_mad_zero_keeps_value(spark):
+    """A constant window has MAD 0 → NULL flag, value kept (the
+    mad_outliers convention)."""
+    from time_sift_spark.operators.rolling import hampel_filter
+
+    base = pd.Timestamp("2024-01-01")
+    pdf = pd.DataFrame({
+        "ts": [base + pd.Timedelta(minutes=i) for i in range(5)],
+        "k": ["a"] * 5,
+        "eid": list(range(5)),
+        "v": [7.0] * 5,
+    })
+    out = hampel_filter(
+        spark.createDataFrame(pdf), "v", "ts",
+        partition_by="k", order_extra="eid", half_width=2,
+    ).toPandas()
+    assert out.is_spike.isna().all()
+    assert (out.v_repaired == 7.0).all()
+
+
+# ---------------------------------------------------------------- Theta
+
+def test_theta_forecast_python_differential(spark):
+    """Replicate the exact recurrence (OLS over centered days, theta
+    line, SES with the shared literal complements) in Python floats and
+    compare to 1e-9 after the same 6-decimal rounding."""
+    from time_sift_spark.operators.seasonal import theta_forecast
+
+    base = pd.Timestamp("2024-01-01")
+    vals = [4.0, 7.0, 5.0, 9.0, 8.0, 12.0]
+    pdf = pd.DataFrame({
+        "ts": [base + pd.Timedelta(days=i) for i in range(6)],
+        "k": ["a"] * 6,
+        "v": vals,
+    })
+    out = (
+        theta_forecast(spark.createDataFrame(pdf), "v", "ts", "k", alpha=0.3)
+        .toPandas().sort_values("day_x").reset_index(drop=True)
+    )
+    n = 6
+    xs = list(range(n))
+    sx, sy = float(sum(xs)), float(sum(vals))
+    sxx = float(sum(x * x for x in xs))
+    sxy = float(sum(x * y for x, y in zip(xs, vals)))
+    b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    a = (sy - b * sx) / n
+    alpha, ca = 0.3, 0.7
+    z = (2.0 * vals[0]) - (a + (b * 0.0))
+    fits = []
+    for i in range(1, n):
+        line = a + (b * float(xs[i]))
+        fits.append(0.5 * (z + line))
+        zt = (2.0 * vals[i]) - line
+        z = (alpha * zt) + (ca * z)
+    assert len(out) == n - 1
+    for i, f in enumerate(fits):
+        assert abs(out.loc[i, "theta_fit"] - f) < 1e-6
+        assert abs(out.loc[i, "theta_err"] - (vals[i + 1] - f)) < 1e-6
+
+
+def test_theta_short_or_degenerate_series_drop(spark):
+    """One bucket (no OLS) and a single-day series (zero x-variance)
+    drop out loudly."""
+    from time_sift_spark.operators.seasonal import theta_forecast
+
+    base = pd.Timestamp("2024-01-01")
+    pdf = pd.DataFrame({
+        "ts": [base, base, base + pd.Timedelta(days=1)],
+        "k": ["single", "two", "two"],
+        "v": [5.0, 1.0, 2.0],
+    })
+    out = theta_forecast(spark.createDataFrame(pdf), "v", "ts", "k").toPandas()
+    assert set(out.k) == {"two"}

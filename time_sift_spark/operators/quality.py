@@ -908,3 +908,106 @@ def streaming_quantile_drift(
     ),
     {_qq_tail(group_col, flag_shift, round_to).strip()}
     """)
+
+
+def ks_test_sql(
+    d,
+    table: str,
+    value_col: str,
+    time_col: str,
+    group_col: str,
+    split_date: str,
+    *,
+    round_to: int = 6,
+) -> str:
+    """Two-sample Kolmogorov-Smirnov drift test per group: D = the
+    maximum gap between the reference (before ``split_date``) and
+    current empirical CDFs of ``value_col`` — the EXACT, binning-free
+    member of the drift family (TV/χ² quantize into bins and can hide
+    a shift smaller than a bin; the quantile monitor watches five fixed
+    points; D sees the supremum over EVERY observed value).  The 5%
+    decision compares D to the large-sample critical value
+    c(α)·√((n₁+n₂)/(n₁·n₂)) with c(0.05) = 1.358 (a literal — the
+    Smirnov asymptotic constant, no transcendental evaluated here).
+
+    Determinism: the ECDFs are cumulative EXACT BIGINT counts over the
+    pooled distinct values (grouping on raw double bits — a
+    deterministic equality both engines share); each ECDF value is one
+    IEEE division; the gap is one subtract + ABS, and MAX over doubles
+    is order-free.  √ is IEEE-exact.
+
+    Scale shape: one (group, value) partial-aggregated exchange
+    collapses duplicates BEFORE the window (the percentile_rank
+    posture); the cumulative counts and the final MAX ride ONE window
+    exchange on the group key; output is |groups| rows.
+    """
+    from ._num import round_double
+
+    split = f"TIMESTAMP '{split_date} 00:00:00'"
+    rd = lambda e: round_double(e, round_to)  # noqa: E731
+    ecdf_gap = (
+        "ABS((CAST(cum_ref AS DOUBLE) / CAST(n_ref AS DOUBLE))"
+        " - (CAST(cum_cur AS DOUBLE) / CAST(n_cur AS DOUBLE)))"
+    )
+    return f"""
+    WITH _ks0 AS (
+      SELECT {group_col} AS g, {value_col} AS v,
+             CAST(SUM(CASE WHEN {time_col} < {split} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_ref,
+             CAST(SUM(CASE WHEN {time_col} >= {split} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_cur
+      FROM {table}
+      GROUP BY {group_col}, {value_col}
+    ),
+    _ks1 AS (
+      SELECT g, v,
+             SUM(c_ref) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ref,
+             SUM(c_cur) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cur,
+             SUM(c_ref) OVER (PARTITION BY g) AS n_ref,
+             SUM(c_cur) OVER (PARTITION BY g) AS n_cur
+      FROM _ks0
+    ),
+    _ks2 AS (
+      SELECT g,
+             CAST(MAX(n_ref) AS BIGINT) AS n_ref,
+             CAST(MAX(n_cur) AS BIGINT) AS n_cur,
+             MAX({ecdf_gap}) AS d_stat
+      FROM _ks1
+      WHERE n_ref > 0 AND n_cur > 0
+      GROUP BY g
+    )
+    SELECT g AS {group_col}, n_ref, n_cur,
+           {rd('d_stat')} AS d_stat,
+           {rd('(1.358 * sqrt(CAST(n_ref + n_cur AS DOUBLE) '
+               '/ CAST(n_ref * n_cur AS DOUBLE)))')} AS d_crit,
+           d_stat > (1.358 * sqrt(CAST(n_ref + n_cur AS DOUBLE)
+                     / CAST(n_ref * n_cur AS DOUBLE))) AS drifted
+    FROM _ks2
+    """
+
+
+def ks_test(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    group_col: str,
+    split_date: str,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """DataFrame front door for :func:`ks_test_sql`."""
+    from ..functions.text_fns import SPARK as _S
+    from ._time import assert_time_dtype
+
+    for c in (value_col, time_col, group_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    assert_time_dtype(df, time_col)
+    view = "_ts_ks_in"
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(
+        ks_test_sql(_S, view, value_col, time_col, group_col, split_date,
+                    round_to=round_to)
+    )

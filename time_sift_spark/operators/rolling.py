@@ -690,3 +690,144 @@ def streaming_burst_detect(
                          flag_ratio=flag_ratio, round_to=round_to,
                          staged_counts="_ts_sburst_counts")
     )
+
+
+def hampel_filter(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    *,
+    partition_by: str | Sequence[str],
+    order_extra: str | Sequence[str] | None = None,
+    half_width: int = 3,
+    threshold: float = 3.0,
+    round_to: int = 4,
+) -> DataFrame:
+    """Hampel identifier + repair over a CENTERED rolling window
+    (Hampel 1974; the Pearson et al. 2016 engineering form): for each
+    point, the window median and the MAD of deviations FROM THAT median
+    over ``2·half_width+1`` centered neighbors; ``|x − med| >
+    threshold·1.4826·MAD`` flags the point and the repaired series
+    substitutes the window median — the standard sensor-despiking /
+    series-cleaning pass, and the ROLLING companion of the global
+    :func:`mad_outliers` (a spike in a trending series is invisible to
+    a whole-series MAD but obvious to its neighbors).
+
+    The MAD here deviates from mad_outliers' two-window composition ON
+    PURPOSE: rolling MAD needs |x_i − med_t| — deviations from the
+    CENTER row's median — so it evaluates as array expressions over the
+    one collected window (sort → mid → transform → sort → mid), never a
+    second window pass.  ONE window exchange total; O(w log w) per row,
+    intended for small windows.
+
+    Output: ``{v}_med``, ``{v}_mad``, ``is_spike`` (NULL when the
+    window MAD is 0 — the mad_outliers convention), ``{v}_repaired``
+    (the rounded window median where flagged, else the original).
+    Window edges use the truncated frame (fewer neighbors) — the
+    standard streaming-unfriendly centered form; a trailing variant is
+    rolling_median + this flag logic.
+    """
+    parts = (
+        [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    )
+    extra = (
+        [] if order_extra is None
+        else [order_extra] if isinstance(order_extra, str)
+        else list(order_extra)
+    )
+    if not parts:
+        raise ColumnNotFoundError("hampel_filter requires a partition key")
+    k = int(half_width)
+    if k < 1:
+        raise InvalidLagsError(f"half_width must be >= 1, got {half_width}")
+    missing = [c for c in (value_col, time_col, *parts, *extra)
+               if c not in df.columns]
+    if missing:
+        raise ColumnNotFoundError(f"columns not in DataFrame: {missing}")
+    from ._num import round_double
+
+    v = value_col
+    order_by = [time_col, *extra]
+    frame = (
+        Window.partitionBy(*parts).orderBy(*order_by).rowsBetween(-k, k)
+    )
+    sarr = F.sort_array(F.collect_list(F.col(v)).over(frame))
+    staged = df.select(*df.columns, sarr.alias("_sarr")).withColumn(
+        "_med", F.expr(_median_mid_exprs("_sarr"))
+    )
+    madarr = "sort_array(transform(_sarr, e -> abs(e - _med)))"
+    staged2 = staged.withColumn(
+        "_mad", F.expr(_median_mid_exprs(madarr))
+    )
+    flag = (
+        f"CASE WHEN _mad = 0.0 THEN CAST(NULL AS BOOLEAN) "
+        f"ELSE abs({v} - _med) > {threshold} * 1.4826 * _mad END"
+    )
+    dr = lambda e: round_double(e, round_to)  # noqa: E731
+    return staged2.select(
+        *parts,
+        *order_by,
+        F.col(v),
+        F.expr(dr("_med")).alias(f"{v}_med"),
+        F.expr(dr("_mad")).alias(f"{v}_mad"),
+        F.expr(flag).alias("is_spike"),
+        F.expr(
+            f"CASE WHEN ({flag}) THEN {dr('_med')} ELSE {v} END"
+        ).alias(f"{v}_repaired"),
+    )
+
+
+def hampel_filter_oracle_sql(
+    table: str,
+    value: str,
+    part: str,
+    order: str,
+    *,
+    half_width: int = 3,
+    threshold: float = 3.0,
+    round_to: int = 4,
+) -> str:
+    """DuckDB oracle: the same one-window + array-expression chain
+    (list_sort / list_transform, 1-based indexing, shared interpolation
+    and flag text)."""
+    from ._num import round_double
+
+    k = int(half_width)
+    v = value
+
+    def mid(arr: str) -> str:
+        return (
+            f"(list_sort({arr})[CAST(floor((len({arr})+1)/2) AS INT)]"
+            f" + list_sort({arr})[CAST(floor((len({arr})+2)/2) AS INT)])/2.0"
+        )
+
+    frame = (
+        f"(PARTITION BY {part} ORDER BY {order} "
+        f"ROWS BETWEEN {k} PRECEDING AND {k} FOLLOWING)"
+    )
+    flag = (
+        f"CASE WHEN _mad = 0.0 THEN CAST(NULL AS BOOLEAN) "
+        f"ELSE abs({v} - _med) > {threshold} * 1.4826 * _mad END"
+    )
+    dr = lambda e: round_double(e, round_to)  # noqa: E731
+    return f"""
+    WITH _hp0 AS (
+      SELECT {part}, {order}, {v}, list({v}) OVER {frame} AS _arr
+      FROM {table}
+    ),
+    _hp1 AS (
+      SELECT {part}, {order}, {v}, {mid('_arr')} AS _med, _arr FROM _hp0
+    ),
+    _hp2 AS (
+      SELECT {part}, {order}, {v}, _med,
+             {mid(f'list_transform(_arr, e -> abs(e - _med))')} AS _mad
+      FROM _hp1
+    )
+    SELECT {part}, {order}, {v},
+           {dr('_med')} AS {v}_med,
+           {dr('_mad')} AS {v}_mad,
+           {flag} AS is_spike,
+           CASE WHEN ({flag}) THEN {dr('_med')} ELSE {v} END
+             AS {v}_repaired
+    FROM _hp2
+    """

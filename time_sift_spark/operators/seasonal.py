@@ -23,6 +23,8 @@ from ..errors import ColumnNotFoundError
 
 __all__ = ["deseasonalize", "deseasonalize_sql", "SEASON_FNS",
            "holt_winters", "holt_winters_sql",
+           "croston", "croston_sql",
+           "theta_forecast", "theta_forecast_sql",
            "classical_decompose", "classical_decompose_sql",
            "time_features", "time_features_sql"]
 
@@ -592,4 +594,386 @@ def time_features(
     df.createOrReplaceTempView(view)
     return df.sparkSession.sql(
         time_features_sql(_S, view, time_col, keep_cols, round_to=round_to)
+    )
+
+
+def _croston_scalar_exprs(z: str, p: str, yd: str, q: str, alpha: float) -> dict[str, str]:
+    """The two per-step Croston scalar expressions (SES on nonzero
+    demand sizes, SES on inter-demand intervals), parameterized by the
+    variable spelling only — the _hw_scalar_exprs bit-exactness
+    discipline.  Complements are Python-computed ``repr`` literals."""
+    a, ca = repr(float(alpha)), repr(1.0 - float(alpha))
+    return {
+        "znew": f"(({a} * {yd}) + ({ca} * {z}))",
+        "pnew": f"(({a} * {q}) + ({ca} * {p}))",
+    }
+
+
+def croston_sql(
+    d,
+    table: str,
+    value_col: str,
+    time_col: str,
+    group_col: str,
+    *,
+    alpha: float = 0.2,
+    round_to: int = 6,
+) -> str:
+    """Croston's method for INTERMITTENT demand per series (Croston
+    1972): the forecaster for series that are mostly zero — spare
+    parts, long-tail SKUs, rare event types — where SES/Holt-Winters
+    smear the zeros into a meaningless small mean.  Croston separates
+    the signal into two SES recurrences over the NONZERO day buckets
+    only:
+
+        z_t = α·y_t + (1−α)·z_{t−1}        (demand size)
+        p_t = α·q_t + (1−α)·p_{t−1}        (inter-demand interval, days)
+        rate_t = z_t / p_t                 (demand per day)
+
+    with q_t the day gap since the previous nonzero bucket.  Also
+    emitted: the Syntetos-Boylan approximation ``sba_rate =
+    (1 − α/2)·rate`` (Syntetos & Boylan 2005), the bias-corrected
+    production form.  Init: z₁ = first nonzero demand, p = the first
+    gap (x₂ − x₁); the recurrence starts AT the second nonzero bucket
+    (q₂ = that same first gap — the standard warm-start; documented,
+    identical on both engines).  Series need ≥ 2 nonzero buckets
+    (HAVING, loud drop-out) and only y > 0 buckets count as demand
+    (exact decimal comparison).
+
+    Engine split and determinism: the holt_winters_sql skeleton —
+    Spark folds the sorted nonzero array with ``aggregate()`` carrying
+    ``named_struct(z, p, px, fit)``; DuckDB steps the identical
+    recurrence as a recursive CTE; both draw every scalar from
+    :func:`_croston_scalar_exprs` (y via dec_to_double of the exact
+    DECIMAL(18,6) bucket sum, q an exact integer day gap), so each
+    step is the identical IEEE tree → bit-equal doubles.
+
+    Scale: ONE exchange on the series key; the fold runs on the
+    NONZERO bucket subsequence — for genuinely intermittent series
+    that is a small fraction of an already calendar-bounded relation
+    (the KM bounded-fold posture).
+    """
+    from ._num import dec_to_double, round_double
+
+    rd = lambda e: round_double(e, round_to)  # noqa: E731
+    sba = repr(1.0 - float(alpha) / 2.0)
+    if d.name == "spark":
+        day = f"datediff(CAST({time_col} AS DATE), DATE '1970-01-01')"
+    else:
+        day = f"datediff('day', DATE '1970-01-01', CAST({time_col} AS DATE))"
+    bucket = f"""SELECT {group_col} AS k, {day} AS x,
+             CAST(SUM(CAST({value_col} AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS y
+      FROM {table} GROUP BY {group_col}, {day}"""
+    if d.name == "spark":
+        step = _croston_scalar_exprs(
+            "acc.z", "acc.p", dec_to_double("e.y"),
+            "CAST(e.x - acc.px AS DOUBLE)", alpha,
+        )
+        z0 = dec_to_double("element_at(arr, 1).y")
+        # try_element_at: ANSI Spark evaluates the init projection in the
+        # same codegen stage as the HAVING filter, so a 1-element group's
+        # arr[2] access must be total even though its row is filtered out
+        p0 = "CAST(try_element_at(arr, 2).x - element_at(arr, 1).x AS DOUBLE)"
+        yd_out = dec_to_double("element_at(arr, pos + 2).y")
+        return f"""
+    WITH _crb AS (
+      {bucket}
+    ),
+    _crg AS (
+      SELECT k, sort_array(collect_list(named_struct('x', x, 'y', y))) AS arr,
+             CAST(COUNT(*) AS INT) AS n
+      FROM _crb WHERE y > 0
+      GROUP BY k HAVING COUNT(*) >= 2
+    ),
+    _crf AS (
+      SELECT k, arr, n,
+        aggregate(
+          slice(arr, 2, n - 1),
+          named_struct('z', {z0}, 'p', {p0},
+                       'px', element_at(arr, 1).x,
+                       'fit', CAST(array() AS ARRAY<DOUBLE>)),
+          (acc, e) -> named_struct(
+              'z', {step['znew']}, 'p', {step['pnew']}, 'px', e.x,
+              'fit', concat(acc.fit,
+                            array(({step['znew']}) / ({step['pnew']})))),
+          acc -> acc.fit) AS fits
+      FROM _crg
+    )
+    SELECT k AS {group_col},
+           CAST(element_at(arr, pos + 2).x AS BIGINT) AS day_x,
+           {yd_out} AS y_val,
+           CAST(element_at(arr, pos + 2).x - element_at(arr, pos + 1).x
+                AS BIGINT) AS gap_days,
+           {rd('fitv')} AS croston_rate,
+           {rd(f'(fitv * {sba})')} AS sba_rate
+    FROM _crf LATERAL VIEW posexplode(fits) _t AS pos, fitv
+    """
+    step = _croston_scalar_exprs(
+        "r.z", "r.p", dec_to_double("b.y"),
+        "CAST(b.x - r.px AS DOUBLE)", alpha,
+    )
+    z0 = dec_to_double("b1.y")
+    p0 = "CAST(b2.x - b1.x AS DOUBLE)"
+    return f"""
+    WITH RECURSIVE _crb AS (
+      {bucket}
+    ),
+    _crn AS (
+      SELECT k, x, y, ROW_NUMBER() OVER (PARTITION BY k ORDER BY x) AS rn
+      FROM _crb WHERE y > 0
+    ),
+    _cra AS (
+      SELECT k, CAST(COUNT(*) AS INT) AS n
+      FROM _crn GROUP BY k HAVING COUNT(*) >= 2
+    ),
+    _cri AS (
+      SELECT a.k AS k, {z0} AS z, {p0} AS p, b1.x AS px
+      FROM _cra a
+      JOIN _crn b1 ON b1.k = a.k AND b1.rn = 1
+      JOIN _crn b2 ON b2.k = a.k AND b2.rn = 2
+    ),
+    _crr AS (
+      SELECT k, CAST(1 AS BIGINT) AS rn, z, p, px,
+             CAST(NULL AS DOUBLE) AS rate, CAST(NULL AS DOUBLE) AS yv,
+             CAST(NULL AS BIGINT) AS x, CAST(NULL AS BIGINT) AS gap
+      FROM _cri
+      UNION ALL
+      SELECT r.k, r.rn + 1, {step['znew']}, {step['pnew']}, b.x,
+             ({step['znew']}) / ({step['pnew']}),
+             {dec_to_double('b.y')}, CAST(b.x AS BIGINT),
+             CAST(b.x - r.px AS BIGINT)
+      FROM _crr r JOIN _crn b ON b.k = r.k AND b.rn = r.rn + 1
+    )
+    SELECT k AS {group_col}, x AS day_x, yv AS y_val, gap AS gap_days,
+           {rd('rate')} AS croston_rate,
+           {rd(f'(rate * {sba})')} AS sba_rate
+    FROM _crr WHERE rn >= 2
+    """
+
+
+def croston(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    group_col: str,
+    *,
+    alpha: float = 0.2,
+    round_to: int = 6,
+) -> DataFrame:
+    """DataFrame front door for :func:`croston_sql`."""
+    from ..functions.text_fns import SPARK as _S
+    from ._time import assert_time_dtype
+
+    for c in (value_col, time_col, group_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    assert_time_dtype(df, time_col)
+    view = "_ts_croston_in"
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(
+        croston_sql(_S, view, value_col, time_col, group_col,
+                    alpha=alpha, round_to=round_to)
+    )
+
+
+def _theta_scalar_exprs(z: str, yd: str, x: str, alpha: float) -> dict[str, str]:
+    """Per-step Theta scalars, parameterized by variable spelling only
+    (the _hw/_croston discipline).  ``a``/``b`` are the per-series OLS
+    coefficients, in scope as columns under those names on both
+    engines; the trend line evaluates at the CENTERED day index."""
+    a_, ca = repr(float(alpha)), repr(1.0 - float(alpha))
+    line = f"(a + (b * CAST({x} AS DOUBLE)))"
+    zt = f"((2.0 * {yd}) - {line})"
+    return {
+        "line": line,
+        "zt": zt,
+        "fit": f"(0.5 * ({z} + {line}))",
+        "znew": f"(({a_} * {zt}) + ({ca} * {z}))",
+    }
+
+
+def theta_forecast_sql(
+    d,
+    table: str,
+    value_col: str,
+    time_col: str,
+    group_col: str,
+    *,
+    alpha: float = 0.3,
+    round_to: int = 6,
+) -> str:
+    """Theta-method in-sample forecast per series (Assimakopoulos &
+    Nikolopoulos 2000 — the M3 competition winner; θ = 2): decompose
+    the day-bucketed series into the OLS trend line (θ = 0, pure
+    long-run drift) and the theta line Z_t = 2·y_t − line_t (θ = 2,
+    doubled curvature), SES-smooth the theta line, and blend the two
+    halves equally:
+
+        fit_t = ½·(z_{t−1} + line_t),   z_t = α·Z_t + (1−α)·z_{t−1}
+
+    (z carries the SES state of Z; the fit uses the PRE-update state —
+    a genuine one-step-ahead).  Init z = Z₁; emission starts at the
+    second bucket.
+
+    Determinism: the OLS coefficients are one/two IEEE ops over EXACT
+    decimal sums of the CENTERED day index (x − min(x) per series —
+    uncentered epoch-day magnitudes cancel ~10 digits in n·Σxx − Σx²,
+    the linear_trend conditioning note), guarded by an exact-decimal
+    positive-variance HAVING; every step scalar comes from
+    :func:`_theta_scalar_exprs`, so Spark's aggregate() fold and the
+    DuckDB recursive CTE run identical IEEE trees (the holt_winters
+    skeleton) → bit-equal doubles.
+
+    Scale: the bucket groupBy, a broadcast-sized per-series (min, OLS)
+    frame joined back, and ONE series-key exchange carrying the sorted
+    collect + fold — linear in the bounded calendar.
+    """
+    from ._num import dec_to_double, round_double
+
+    rd = lambda e: round_double(e, round_to)  # noqa: E731
+    if d.name == "spark":
+        day = f"datediff(CAST({time_col} AS DATE), DATE '1970-01-01')"
+    else:
+        day = f"datediff('day', DATE '1970-01-01', CAST({time_col} AS DATE))"
+    bucket = f"""SELECT {group_col} AS k, {day} AS x,
+             CAST(SUM(CAST({value_col} AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS y
+      FROM {table} GROUP BY {group_col}, {day}"""
+    # exact decimal sufficient statistics over the centered index; the
+    # OLS combine runs in DOUBLES over their exact conversions (the
+    # linear_trend convention — a products-of-sums decimal would blow
+    # DuckDB's 38-digit width cap), deterministic because centering
+    # keeps the magnitudes small and the tree is shared text
+    sums = """SELECT k,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(xc AS DECIMAL(18,0))) AS DECIMAL(18,0)) AS sx,
+             CAST(SUM(y) AS DECIMAL(27,6)) AS sy,
+             CAST(SUM(CAST(xc * xc AS DECIMAL(18,0))) AS DECIMAL(18,0)) AS sxx,
+             CAST(SUM(CAST(xc AS DECIMAL(12,0)) * y) AS DECIMAL(32,6)) AS sxy
+      FROM _thc GROUP BY k"""
+    nd = "CAST(n AS DOUBLE)"
+    sxd, syd = dec_to_double("sx"), dec_to_double("sy")
+    sxxd, sxyd = dec_to_double("sxx"), dec_to_double("sxy")
+    den = f"(({nd} * {sxxd}) - ({sxd} * {sxd}))"
+    bexpr = f"((({nd} * {sxyd}) - ({sxd} * {syd})) / {den})"
+    aexpr = f"(({syd} - (b * {sxd})) / {nd})"
+    fit_guard = f"WHERE n >= 2 AND {den} > 0.0"
+    if d.name == "spark":
+        step = _theta_scalar_exprs(
+            "acc.z", dec_to_double("e.y"), "e.xc", alpha,
+        )
+        init = _theta_scalar_exprs(
+            "0.0", dec_to_double("element_at(arr, 1).y"),
+            "element_at(arr, 1).xc", alpha,
+        )
+        yd_out = dec_to_double("element_at(arr, pos + 2).y")
+        return f"""
+    WITH _thb AS (
+      {bucket}
+    ),
+    _thc AS (
+      SELECT b.k AS k, b.x - m.xmin AS xc, b.x AS x, b.y AS y
+      FROM _thb b
+      JOIN (SELECT k, MIN(x) AS xmin FROM _thb GROUP BY k) m ON m.k = b.k
+    ),
+    _tha AS (
+      {sums}
+    ),
+    _tho AS (
+      SELECT k, b, {aexpr} AS a
+      FROM (SELECT k, n, sx, sy, {bexpr} AS b FROM _tha {fit_guard})
+    ),
+    _thg AS (
+      SELECT c.k AS k, o.a AS a, o.b AS b,
+             sort_array(collect_list(named_struct('xc', c.xc, 'x', c.x,
+                                                  'y', c.y))) AS arr,
+             CAST(COUNT(*) AS INT) AS n
+      FROM _thc c JOIN _tho o ON o.k = c.k
+      GROUP BY c.k, o.a, o.b
+    ),
+    _thf AS (
+      SELECT k, a, b, arr, n,
+        aggregate(
+          slice(arr, 2, n - 1),
+          named_struct('z', {init['zt']},
+                       'fit', CAST(array() AS ARRAY<DOUBLE>)),
+          (acc, e) -> named_struct(
+              'z', {step['znew']},
+              'fit', concat(acc.fit, array({step['fit']}))),
+          acc -> acc.fit) AS fits
+      FROM _thg
+    )
+    SELECT k AS {group_col},
+           CAST(element_at(arr, pos + 2).x AS BIGINT) AS day_x,
+           {yd_out} AS y_val,
+           {rd('fitv')} AS theta_fit,
+           {rd(f'({yd_out} - fitv)')} AS theta_err
+    FROM _thf LATERAL VIEW posexplode(fits) _t AS pos, fitv
+    """
+    step = _theta_scalar_exprs("r.z", dec_to_double("c.y"), "c.xc", alpha)
+    init = _theta_scalar_exprs(
+        "0.0", dec_to_double("b1.y"), "b1.xc", alpha,
+    )
+    return f"""
+    WITH RECURSIVE _thb AS (
+      {bucket}
+    ),
+    _thc AS (
+      SELECT b.k AS k, b.x - m.xmin AS xc, b.x AS x, b.y AS y
+      FROM _thb b
+      JOIN (SELECT k, MIN(x) AS xmin FROM _thb GROUP BY k) m ON m.k = b.k
+    ),
+    _thn AS (
+      SELECT k, xc, x, y, ROW_NUMBER() OVER (PARTITION BY k ORDER BY xc) AS rn
+      FROM _thc
+    ),
+    _tha AS (
+      {sums}
+    ),
+    _tho AS (
+      SELECT k, b, {aexpr} AS a
+      FROM (SELECT k, n, sx, sy, {bexpr} AS b FROM _tha {fit_guard})
+    ),
+    _thi AS (
+      SELECT o.k AS k, o.a AS a, o.b AS b, {init['zt']} AS z
+      FROM _tho o JOIN _thn b1 ON b1.k = o.k AND b1.rn = 1
+    ),
+    _thr AS (
+      SELECT k, a, b, CAST(1 AS BIGINT) AS rn, z,
+             CAST(NULL AS DOUBLE) AS fit, CAST(NULL AS DOUBLE) AS yv,
+             CAST(NULL AS BIGINT) AS x
+      FROM _thi
+      UNION ALL
+      SELECT r.k, r.a, r.b, r.rn + 1, {step['znew']},
+             {step['fit']}, {dec_to_double('c.y')}, CAST(c.x AS BIGINT)
+      FROM _thr r JOIN _thn c ON c.k = r.k AND c.rn = r.rn + 1
+    )
+    SELECT k AS {group_col}, x AS day_x, yv AS y_val,
+           {rd('fit')} AS theta_fit,
+           {rd('(yv - fit)')} AS theta_err
+    FROM _thr WHERE rn >= 2
+    """
+
+
+def theta_forecast(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    group_col: str,
+    *,
+    alpha: float = 0.3,
+    round_to: int = 6,
+) -> DataFrame:
+    """DataFrame front door for :func:`theta_forecast_sql`."""
+    from ..functions.text_fns import SPARK as _S
+    from ._time import assert_time_dtype
+
+    for c in (value_col, time_col, group_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    assert_time_dtype(df, time_col)
+    view = "_ts_theta_in"
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(
+        theta_forecast_sql(_S, view, value_col, time_col, group_col,
+                           alpha=alpha, round_to=round_to)
     )

@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 from ..errors import ColumnNotFoundError
 from ._time import assert_time_dtype
 
-__all__ = ["linear_trend", "linear_trend_oracle_sql", "theil_sen", "theil_sen_sql"]
+__all__ = ["linear_trend", "linear_trend_oracle_sql",
+           "mann_kendall", "mann_kendall_sql", "theil_sen", "theil_sen_sql"]
 
 # x in epoch seconds minus a fixed conditioning offset (integer ops,
 # exact in both engines). Without the offset, n·Sxx - Sx² cancels ~10 of
@@ -268,4 +269,95 @@ def theil_sen(
     return df.sparkSession.sql(
         theil_sen_sql(_S, view, value_col, time_col, group_col,
                       round_to=round_to, staged_bucket=bview)
+    )
+
+
+def mann_kendall_sql(
+    d,
+    table: str,
+    value_col: str,
+    time_col: str,
+    group_col: str,
+) -> str:
+    """Per-series Mann-Kendall trend TEST (Mann 1945; Kendall 1975) over
+    the daily-bucketed series: is there a monotone trend at all?  The
+    significance companion of Theil-Sen — Sen's slope says how steep,
+    this says whether to believe it.  The statistic:
+
+        S = Σ_{i<j} sign(y_j − y_i)
+        Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18
+        Z = (S∓1)/√Var(S)  (continuity-corrected; 0 when S = 0)
+
+    with t the tie-group sizes (ties on the EXACT decimal bucket sum —
+    a deterministic equality).  No transcendental: Z needs only one
+    sqrt (IEEE-exact) and one division; S, both variance terms, and n
+    are exact BIGINTs.  ``significant`` flags |Z| > 1.96 (the 5%
+    two-sided normal critical value, a literal).
+
+    Shape: the Theil-Sen posture verbatim — daily buckets via one
+    exact-decimal groupBy, pair signs from the SELF EQUI-JOIN on the
+    series key (C(buckets, 2) pairs per series, quadratic only in the
+    bounded calendar), tie groups one more bounded groupBy.  Series
+    with a single bucket drop out (no pairs — no test).
+    """
+    bucket = _ts_bucket_select(d, table, value_col, time_col, group_col)
+    z = ("CASE WHEN var_s <= 0 THEN CAST(0.0 AS DOUBLE)"
+         " WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)"
+         " WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)"
+         " ELSE CAST(0.0 AS DOUBLE) END")
+    return f"""
+    WITH _mkb AS (
+      {bucket}
+    ),
+    _mkp AS (
+      SELECT a.k AS k,
+             CASE WHEN b.y > a.y THEN 1
+                  WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn
+      FROM _mkb a JOIN _mkb b ON a.k = b.k AND b.x > a.x
+    ),
+    _mks AS (
+      SELECT k, CAST(SUM(sgn) AS BIGINT) AS s_stat,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM _mkp GROUP BY k
+    ),
+    _mkt AS (
+      SELECT k,
+             CAST(SUM(t) AS BIGINT) AS n_days,
+             CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      FROM (SELECT k, y, CAST(COUNT(*) AS BIGINT) AS t
+            FROM _mkb GROUP BY k, y) _mkg
+      GROUP BY k
+    ),
+    _mkv AS (
+      SELECT s.k AS k, t.n_days AS n_days, s.n_pairs AS n_pairs,
+             s.s_stat AS s_stat,
+             (CAST(t.n_days * (t.n_days - 1) * (2 * t.n_days + 5)
+                   - t.tie_term AS DOUBLE) / CAST(18 AS DOUBLE)) AS var_s
+      FROM _mks s JOIN _mkt t ON t.k = s.k
+    )
+    SELECT k AS {group_col}, n_days, n_pairs, s_stat, var_s,
+           {z} AS z_stat,
+           ABS({z}) > 1.96 AS significant
+    FROM _mkv
+    """
+
+
+def mann_kendall(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    group_col: str,
+) -> DataFrame:
+    """DataFrame front door for :func:`mann_kendall_sql`."""
+    from ..functions.text_fns import SPARK as _S
+    from ._time import assert_time_dtype
+
+    for c in (value_col, time_col, group_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    assert_time_dtype(df, time_col)
+    view = "_ts_mk_in"
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(
+        mann_kendall_sql(_S, view, value_col, time_col, group_col)
     )

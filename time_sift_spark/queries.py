@@ -9729,6 +9729,72 @@ def km_survival_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _logrank_oracle() -> str:
+    from .operators.survival import logrank_sql
+
+    return logrank_sql(
+        DUCK, "events", "user_id", "ts", "event_type",
+        "signup", "purchase", "2024-01-31",
+    )
+
+
+@register("logrank_events", oracle=_logrank_oracle())
+def logrank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample log-rank test per signup-week cohort: does arm A's
+    signup→purchase time distribution differ from arm B's (md5-parity
+    arms), with censoring handled correctly — the inferential
+    companion of the KM curve and the statistic an A/B readout over
+    censored durations actually needs.  Subjects reduce to
+    (cohort, arm, dur) rows first; at-risk counts ride one cohort-key
+    RANGE window over removals ∪ the pooled event-time grid; O−E and
+    hypergeometric-variance terms quantize to exact decimals before
+    summing; χ² is two IEEE ops (operators/survival.py:logrank)."""
+    from .operators.survival import logrank
+
+    events = load_table(spark, "events", sf_dir)
+    return logrank(
+        events, "user_id", "ts", "event_type",
+        "signup", "purchase", "2024-01-31",
+    )
+
+
+# Demand is genuinely INTERMITTENT only above a value floor: the dense
+# event calendar has every day nonzero, so the floor manufactures real
+# inter-demand gaps (1-3 days at sf0.01) and the interval recurrence
+# grades non-vacuously — the planted-corpus convention (_HW_MUL_SRC).
+_CROSTON_SRC = "(SELECT ts, event_type, value FROM events WHERE value > 195)"
+
+
+def _croston_oracle() -> str:
+    from .operators.seasonal import croston_sql
+
+    return croston_sql(DUCK, _CROSTON_SRC, "value", "ts", "event_type",
+                       alpha=0.2)
+
+
+@register("croston_events", oracle=_croston_oracle())
+def croston_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston intermittent-demand forecast per event type: SES over
+    nonzero day-bucket demand sizes × SES over inter-demand day gaps,
+    emitting the per-day demand rate and the Syntetos-Boylan
+    bias-corrected rate — the forecast-family member for mostly-zero
+    series that Holt-Winters smears.  The value floor makes the
+    sf-corpus demand genuinely intermittent (gaps 1–3 days) so the
+    interval recurrence grades non-vacuously.  Spark folds the sorted
+    nonzero buckets with aggregate() struct state (one series-key
+    exchange); the oracle is the identical recurrence as a recursive
+    CTE — bit-equal by the shared scalar-expression discipline
+    (operators/seasonal.py:croston)."""
+    from .functions.text_fns import SPARK as _S
+    from .operators.seasonal import croston_sql
+
+    events = load_table(spark, "events", sf_dir)
+    events.createOrReplaceTempView("events")
+    return spark.sql(
+        croston_sql(_S, _CROSTON_SRC, "value", "ts", "event_type", alpha=0.2)
+    )
+
+
 def _funnel_chain_sql(d, table: str) -> str:
     """Per-user funnel timestamps (t0 signup → t1 first click ≥ t0 →
     t2 first purchase ≥ t1, t2 nullable) — each CTE referenced ONCE
@@ -9919,6 +9985,127 @@ def percentile_rank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.cume_dist().over(w).alias("cdf"),
         )
     )
+
+
+def _theta_oracle() -> str:
+    from .operators.seasonal import theta_forecast_sql
+
+    return theta_forecast_sql(DUCK, "events", "value", "ts", "event_type",
+                              alpha=0.3)
+
+
+@register("theta_forecast_events", oracle=_theta_oracle())
+def theta_forecast_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-method in-sample forecast per event type (θ = 2, the M3
+    winner): OLS trend line + SES-smoothed theta line blended equally,
+    one-step-ahead fits from the pre-update SES state — the
+    curvature-aware member completing the forecast family (SES/Brown/
+    HW/Croston cover level/trend/season/intermittency; Theta covers
+    drift-plus-curvature).  Exact decimal OLS stats over the CENTERED
+    day index, broadcast-sized coefficient join-back, one series-key
+    fold exchange; the oracle is the identical recurrence as a
+    recursive CTE (operators/seasonal.py:theta_forecast)."""
+    from .operators.seasonal import theta_forecast
+
+    events = load_table(spark, "events", sf_dir)
+    return theta_forecast(events, "value", "ts", "event_type", alpha=0.3)
+
+
+def _ks_oracle() -> str:
+    from .operators.quality import ks_test_sql
+
+    return ks_test_sql(DUCK, "events", "value", "ts", "event_type",
+                       "2024-01-16")
+
+
+@register("ks_drift_events", oracle=_ks_oracle())
+def ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test per event type: the
+    max ECDF gap between the first and second half of January — the
+    EXACT, binning-free drift member (TV/χ² can hide a sub-bin shift;
+    the QQ monitor watches five fixed quantiles; D sees the supremum
+    over every observed value), with the 1.358·√((n₁+n₂)/(n₁n₂)) 5%
+    decision.  One (group, value) partial-agg collapse BEFORE the
+    window, cumulative exact counts on one group-key window exchange,
+    |groups| rows out (operators/quality.py:ks_test)."""
+    from .operators.quality import ks_test
+
+    events = load_table(spark, "events", sf_dir)
+    return ks_test(events, "value", "ts", "event_type", "2024-01-16")
+
+
+def _hampel_oracle() -> str:
+    from .operators.rolling import hampel_filter_oracle_sql
+
+    return hampel_filter_oracle_sql(
+        "events", "value", "user_id", "ts, event_id",
+        half_width=3, threshold=3.0,
+    )
+
+
+@register("hampel_filter_events", oracle=_hampel_oracle())
+def hampel_filter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel spike repair per user series: centered 7-point window
+    median + MAD-from-that-median, |x−med| > 3·1.4826·MAD flags and
+    the repaired series substitutes the window median — the ROLLING
+    robust cleaner (a spike in a trending series hides from the
+    whole-series MAD but not from its neighbors).  ONE window exchange;
+    the MAD evaluates as array expressions over the one collected
+    window, never a second window pass
+    (operators/rolling.py:hampel_filter)."""
+    from .operators.rolling import hampel_filter
+
+    events = load_table(spark, "events", sf_dir)
+    return hampel_filter(
+        events, "value", "ts", partition_by="user_id",
+        order_extra="event_id", half_width=3, threshold=3.0,
+    )
+
+
+def _ams_oracle() -> str:
+    from .operators.sketch import ams_f2_sql
+
+    return ams_f2_sql(DUCK, "events", "user_id", "event_type", d_est=15)
+
+
+@register("ams_f2_users_by_type", oracle=_ams_oracle())
+def ams_f2_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS F₂ sketch per event type: estimate Σf² of the user frequency
+    vector — the SELF-JOIN SIZE a cost-based planner needs and the
+    repeat-concentration statistic behind skew profiles — from 15
+    ±1-md5-hash estimators (median of squares), with the exact F₂
+    audit riding the same distinct (group, user, f) relation so the
+    grade proves the estimator.  One (group, key) partial-agg
+    exchange, a 15× sign explode partial-aggregated to 15 rows per
+    group, everything after on |groups|×15 rows
+    (operators/sketch.py:ams_f2)."""
+    from .operators.sketch import ams_f2
+
+    events = load_table(spark, "events", sf_dir)
+    return ams_f2(events, "user_id", "event_type", d_est=15)
+
+
+def _mk_oracle() -> str:
+    from .operators.trend import mann_kendall_sql
+
+    return mann_kendall_sql(DUCK, "events", "value", "ts", "event_type")
+
+
+@register("mann_kendall_events", oracle=_mk_oracle())
+def mann_kendall_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test per event type: S = Σ pairwise
+    signs over the daily-bucketed series, tie-corrected variance, and
+    the continuity-corrected Z with a 5% significance flag — the
+    inferential companion of Theil-Sen (slope says how steep, this
+    says whether to believe it), rational except one IEEE sqrt.
+    The theil_sen posture: exact-decimal day buckets, pair signs from
+    the series-key self equi-join (quadratic only in the bounded
+    calendar), tie groups one more bounded groupBy
+    (operators/trend.py:mann_kendall)."""
+    from .operators.trend import mann_kendall
+
+    events = load_table(spark, "events", sf_dir)
+    return mann_kendall(events, "value", "ts", "event_type")
 
 
 def _heavy_hitter_oracle() -> str:
@@ -10584,6 +10771,13 @@ GRADE_PRIORITY: list[str] = [
     "streaming_top_paths_events",
     "scene_changes_color_docs",
     "audio_energy_channels_docs",
+    "logrank_events",
+    "croston_events",
+    "mann_kendall_events",
+    "ams_f2_users_by_type",
+    "theta_forecast_events",
+    "ks_drift_events",
+    "hampel_filter_events",
     # -- CHANGED in r11 (substring excision plan+oracle rewrite;
     #    recall denominator; CDC NULL-key filter; symspell variant
     #    dedup; QQ tail refactor; LSH append write order; streaming
