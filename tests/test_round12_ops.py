@@ -398,3 +398,148 @@ def test_theta_short_or_degenerate_series_drop(spark):
     })
     out = theta_forecast(spark.createDataFrame(pdf), "v", "ts", "k").toPandas()
     assert set(out.k) == {"two"}
+
+
+# ---------------------------------------------------------------- Pettitt
+
+def test_pettitt_level_shift_and_flat(spark):
+    """A clean level shift (10×0 then 10×5) maximizes |U| at the last
+    pre-shift day with K = 100 (every cross pair signs −1), k_norm =
+    6·100²/(20²·21) ≈ 7.14 > 3.6889 → significant; a flat series has
+    K = 0 and no signal."""
+    from time_sift_spark.operators.trend import pettitt
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for i in range(20):
+        rows.append((base + pd.Timedelta(days=i), "shift",
+                     0.0 if i < 10 else 5.0))
+        rows.append((base + pd.Timedelta(days=i), "flat", 3.0))
+    pdf = pd.DataFrame(rows, columns=["ts", "k", "v"])
+    out = (
+        pettitt(spark.createDataFrame(pdf), "v", "ts", "k")
+        .toPandas().set_index("k")
+    )
+    sh = out.loc["shift"]
+    assert sh.n_days == 20 and sh.k_stat == 100
+    assert abs(sh.k_norm - 6.0 * 100 * 100 / (20.0 * 20.0 * 21.0)) < 1e-12
+    assert bool(sh.significant)
+    day0 = (base - pd.Timestamp("1970-01-01")).days
+    assert sh.changepoint_day == day0 + 9  # last pre-shift day
+    fl = out.loc["flat"]
+    assert fl.k_stat == 0 and not bool(fl.significant)
+
+
+def test_pettitt_python_differential(spark):
+    """Replicate U_t = Σ_{i≤t,j>t} sgn(x_i − x_j) brute-force in Python
+    on an arbitrary series and compare K and the location."""
+    from time_sift_spark.operators.trend import pettitt
+
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0, 5.0]
+    base = pd.Timestamp("2024-01-01")
+    pdf = pd.DataFrame({
+        "ts": [base + pd.Timedelta(days=i) for i in range(len(vals))],
+        "k": ["a"] * len(vals),
+        "v": vals,
+    })
+    n = len(vals)
+    sgn = lambda d: (d > 0) - (d < 0)  # noqa: E731
+    us = []
+    for t in range(n - 1):  # t indexes the last element of the left part
+        us.append(sum(sgn(vals[i] - vals[j])
+                      for i in range(t + 1) for j in range(t + 1, n)))
+    k_ref = max(abs(u) for u in us)
+    loc_ref = min(i for i, u in enumerate(us) if abs(u) == k_ref)
+    out = pettitt(spark.createDataFrame(pdf), "v", "ts", "k").toPandas()
+    day0 = (base - pd.Timestamp("1970-01-01")).days
+    assert out.loc[0, "k_stat"] == k_ref
+    assert out.loc[0, "changepoint_day"] == day0 + loc_ref
+
+
+# ---------------------------------------------------------------- phrase
+
+def test_phrase_search_consecutive_only(spark):
+    """'new york' matches only consecutive occurrences; reversed or
+    gapped tokens do not match; double counting is per occurrence."""
+    from time_sift_spark.operators.search import phrase_search
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "i love new york in new york",   # 2 matches
+            "york new",                       # reversed — no match
+            "new big york",                   # gapped — no match
+            "brand new york style",           # 1 match
+        ],
+    })
+    out = (
+        phrase_search(spark.createDataFrame(pdf), "text", "doc_id",
+                      ["new", "york"])
+        .toPandas().set_index("doc_id")
+    )
+    assert out.loc[1, "n_matches"] == 2
+    assert out.loc[4, "n_matches"] == 1
+    assert 2 not in out.index and 3 not in out.index
+
+
+def test_phrase_search_duplicate_token_phrase(spark):
+    """A phrase with a REPEATED token ('buffalo buffalo buffalo') only
+    matches a genuine triple — the offset-join must not let one
+    posting satisfy two offsets at the same anchor."""
+    from time_sift_spark.operators.search import phrase_search
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": [
+            "buffalo buffalo buffalo ok",   # one triple (positions 0-2)...
+            "buffalo ok buffalo",           # no triple
+        ],
+    })
+    out = (
+        phrase_search(spark.createDataFrame(pdf), "text", "doc_id",
+                      ["buffalo", "buffalo", "buffalo"])
+        .toPandas().set_index("doc_id")
+    )
+    assert out.loc[1, "n_matches"] == 1
+    assert 2 not in out.index
+
+
+# ---------------------------------------------------------------- streaming croston
+
+def test_streaming_croston_state_across_batches(spark, tmp_path):
+    """Chunked replay (one file per micro-batch) equals the single-pass
+    recurrence: the state machine's init buffer and (z, p, px) carry
+    across batch boundaries."""
+    from time_sift_spark.streaming.lag_stream import (
+        run_stream_to_df,
+        streaming_croston,
+    )
+
+    # buckets: days 0,2,5,9 with demands 10,20,30,40 (micros), α=0.5
+    buckets = [(0, 10_000_000), (2, 20_000_000), (5, 30_000_000),
+               (9, 40_000_000)]
+    src = tmp_path / "croston_chunks"
+    src.mkdir()
+    for i, (x, ym) in enumerate(buckets):
+        pd.DataFrame({"k": ["a"], "x": [x], "y_micros": [ym]}).to_parquet(
+            src / f"chunk-{i:02d}.parquet"
+        )
+    stream = (
+        spark.readStream.schema("k string, x long, y_micros long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = (
+        run_stream_to_df(
+            streaming_croston(stream, key_col="k", alpha=0.5),
+            "t_croston_stream",
+        )
+        .toPandas().sort_values("day_x").reset_index(drop=True)
+    )
+    # replicate: z0=10, p0=2; @2: z=15,p=2,rate 7.5; @5: q=3,z=22.5,p=2.5,
+    # rate 9.0; @9: q=4, z=.5*40+.5*22.5=31.25, p=.5*4+.5*2.5=3.25,
+    # rate 9.615384...
+    assert list(out.day_x) == [2, 5, 9]
+    assert list(out.gap_days) == [2, 3, 4]
+    assert list(out.croston_rate)[:2] == [7.5, 9.0]
+    assert abs(out.loc[2, "croston_rate"] - 31.25 / 3.25) < 1e-6

@@ -59,6 +59,8 @@ __all__ = [
     "query_text_index",
     "keyword_extract",
     "keyword_extract_sql",
+    "phrase_search",
+    "phrase_search_sql",
 ]
 
 
@@ -443,4 +445,84 @@ def keyword_extract(
             SPARK, view, id_col, text_col,
             topn=topn, min_df=min_df, max_df_frac=max_df_frac,
         )
+    )
+
+
+def phrase_search_sql(
+    d: Dialect,
+    table: str,
+    text_col: str,
+    id_col: str,
+    phrase: Sequence[str],
+) -> str:
+    """Exact PHRASE search over positional postings: documents where the
+    query tokens appear CONSECUTIVELY, with the match count — the
+    capability BM25's bag-of-words scoring cannot express ("new york"
+    must not match "york … new"), and the positional-index half of a
+    lexical retrieval stack.
+
+    The classic anchor trick makes it ONE join + one groupBy, never
+    m−1 chained self-joins: each posting of a phrase term computes its
+    implied phrase START (pos − offset via the m-row query relation),
+    and a start where ALL m distinct offsets appear is a match —
+    ``COUNT(DISTINCT off) = m`` (duplicate tokens in the phrase are
+    handled by the offset join fanning one posting to each of its
+    offsets).  Cross-engine: positions are 0-based on Spark / 1-based
+    on DuckDB (the _ssr_pos_explode bases), but anchors only compare
+    WITHIN an engine — base-shift-invariant, positions never reach the
+    output.
+
+    Scale shape: the term filter sits directly above the positional
+    explode (the BM25 posting convention — postings volume = matching
+    tokens only, never the corpus token stream); the m-row query
+    relation joins broadcast-style; the (doc, anchor) groupBy and the
+    per-doc count are partial-aggregated exchanges on doc-sized keys.
+    """
+    from .dedup import _ssr_pos_explode
+
+    terms = [t for t in phrase]
+    if not terms:
+        raise ValueError("phrase_search needs at least one term")
+    m = len(terms)
+    q = lambda s: "'" + s.replace("'", "''") + "'"  # noqa: E731
+    qrel = " UNION ALL ".join(
+        f"SELECT {q(t)} AS qt, {i} AS off" for i, t in enumerate(terms)
+    )
+    in_list = ", ".join(q(t) for t in sorted(set(terms)))
+    postings = _ssr_pos_explode(
+        d, table, id_col, d.tokens(text_col), "term",
+        f"{text_col} IS NOT NULL",
+    )
+    return f"""
+    WITH _phq AS (
+      {qrel}
+    ),
+    _php AS (
+      SELECT did, pos, term FROM ({postings}) WHERE term IN ({in_list})
+    ),
+    _pha AS (
+      SELECT p.did AS did, p.pos - q.off AS anchor
+      FROM _php p JOIN _phq q ON q.qt = p.term
+      GROUP BY p.did, p.pos - q.off
+      HAVING COUNT(DISTINCT q.off) = {m}
+    )
+    SELECT did AS {id_col}, CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM _pha GROUP BY did
+    """
+
+
+def phrase_search(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    phrase: Sequence[str],
+) -> DataFrame:
+    """DataFrame front door for :func:`phrase_search_sql`."""
+    for c in (text_col, id_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    view = "_ts_phrase_in"
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(
+        phrase_search_sql(SPARK, view, text_col, id_col, phrase)
     )

@@ -25,7 +25,8 @@ from ..errors import ColumnNotFoundError
 from ._time import assert_time_dtype
 
 __all__ = ["linear_trend", "linear_trend_oracle_sql",
-           "mann_kendall", "mann_kendall_sql", "theil_sen", "theil_sen_sql"]
+           "mann_kendall", "mann_kendall_sql", "pettitt", "pettitt_sql",
+           "theil_sen", "theil_sen_sql"]
 
 # x in epoch seconds minus a fixed conditioning offset (integer ops,
 # exact in both engines). Without the offset, n·Sxx - Sx² cancels ~10 of
@@ -360,4 +361,96 @@ def mann_kendall(
     df.createOrReplaceTempView(view)
     return df.sparkSession.sql(
         mann_kendall_sql(_S, view, value_col, time_col, group_col)
+    )
+
+
+def pettitt_sql(
+    d,
+    table: str,
+    value_col: str,
+    time_col: str,
+    group_col: str,
+) -> str:
+    """Pettitt change-point test per series (Pettitt 1979): the
+    rank-based, distribution-free companion of the CUSUM locator
+    (changepoint_locate finds the best MEAN split; this asks whether
+    ANY distributional shift is significant without assuming
+    normality).  Over the daily-bucketed series:
+
+        V_t = Σ_j sign(y_t − y_j)   (against ALL buckets)
+        U_t = Σ_{i ≤ t} V_i,   K = max_t |U_t|,  t < n
+
+    with the changepoint located at the earliest argmax.  Significance
+    uses the standard approximation p ≈ 2·exp(−6K²/(n³+n²)); exp is
+    banned here, so the emitted decision is on the EXPONENT:
+    ``k_norm = 6K²/(n³+n²) > 3.6889`` ⟺ p < 0.05 (3.6889 = ln(2/0.05),
+    a precomputed literal — the 1.358/1.4826 convention).
+
+    No pair join: V_t comes from rank algebra — V_t = 2·(#less) +
+    (#eq) − n with #less = RANK−1 over the VALUE order and #eq a
+    (key, value) window count — so the whole test is windows over ONE
+    series-key exchange (value order, tie count, time-order prefix
+    sum, and the argmax), O(n log n) where the textbook form is O(n²).
+    Exact BIGINTs end-to-end; k_norm is a fixed 3-op IEEE tree.
+    """
+    bucket = _ts_bucket_select(d, table, value_col, time_col, group_col)
+    return f"""
+    WITH _ptb AS (
+      {bucket}
+    ),
+    _ptv AS (
+      SELECT k, x,
+             (2 * (RANK() OVER (PARTITION BY k ORDER BY y) - 1)
+              + COUNT(*) OVER (PARTITION BY k, y)
+              - COUNT(*) OVER (PARTITION BY k)) AS v,
+             COUNT(*) OVER (PARTITION BY k) AS n,
+             MAX(x) OVER (PARTITION BY k) AS xmax
+      FROM _ptb
+    ),
+    _ptu AS (
+      SELECT k, x, n,
+             SUM(v) OVER (PARTITION BY k ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS u
+      FROM _ptv
+      WHERE x < xmax
+    ),
+    _ptm AS (
+      SELECT k, x, n, ABS(u) AS au,
+             MAX(ABS(u)) OVER (PARTITION BY k) AS k_stat
+      FROM _ptu
+    )
+    SELECT k AS {group_col},
+           CAST(MAX(n) AS BIGINT) AS n_days,
+           CAST(MAX(k_stat) AS BIGINT) AS k_stat,
+           ((6.0 * CAST(MAX(k_stat) AS DOUBLE) * CAST(MAX(k_stat) AS DOUBLE))
+            / (CAST(MAX(n) AS DOUBLE) * CAST(MAX(n) AS DOUBLE)
+               * (CAST(MAX(n) AS DOUBLE) + 1.0))) AS k_norm,
+           ((6.0 * CAST(MAX(k_stat) AS DOUBLE) * CAST(MAX(k_stat) AS DOUBLE))
+            / (CAST(MAX(n) AS DOUBLE) * CAST(MAX(n) AS DOUBLE)
+               * (CAST(MAX(n) AS DOUBLE) + 1.0))) > 3.6889 AS significant,
+           CAST(MIN(CASE WHEN au = k_stat THEN x END) AS BIGINT)
+             AS changepoint_day
+    FROM _ptm
+    GROUP BY k
+    """
+
+
+def pettitt(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    group_col: str,
+) -> DataFrame:
+    """DataFrame front door for :func:`pettitt_sql`."""
+    from ..functions.text_fns import SPARK as _S
+    from ._time import assert_time_dtype
+
+    for c in (value_col, time_col, group_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    assert_time_dtype(df, time_col)
+    view = "_ts_pettitt_in"
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(
+        pettitt_sql(_S, view, value_col, time_col, group_col)
     )

@@ -9987,6 +9987,123 @@ def percentile_rank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pettitt_oracle() -> str:
+    from .operators.trend import pettitt_sql
+
+    return pettitt_sql(DUCK, "events", "value", "ts", "event_type")
+
+
+@register("pettitt_events", oracle=_pettitt_oracle())
+def pettitt_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt change-point test per event type: rank-based K = max|U_t|
+    with the earliest-argmax location and the p<0.05 decision on the
+    exponent (k_norm > ln(2/.05) — exp is banned, the threshold is the
+    precomputed literal) — the distribution-free companion of the CUSUM
+    locator.  NO pair join: V_t comes from rank algebra, so the whole
+    test is four windows sharing ONE series-key exchange, O(n log n)
+    where the textbook form is O(n²)
+    (operators/trend.py:pettitt)."""
+    from .operators.trend import pettitt
+
+    events = load_table(spark, "events", sf_dir)
+    return pettitt(events, "value", "ts", "event_type")
+
+
+def _phrase_oracle() -> str:
+    from .operators.search import phrase_search_sql
+
+    return phrase_search_sql(DUCK, "documents", "text", "doc_id",
+                             ["data", "slow"])
+
+
+@register("phrase_search_docs", oracle=_phrase_oracle())
+def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ('data slow', consecutive) over positional
+    postings — the capability BM25's bag-of-words cannot express, via
+    the anchor trick: each posting implies a phrase start (pos −
+    offset), and a start with all m distinct offsets present is a
+    match — ONE join + one groupBy, never m−1 chained self-joins.  The
+    term filter sits directly above the positional explode (the BM25
+    posting convention) (operators/search.py:phrase_search)."""
+    from .operators.search import phrase_search
+
+    docs = load_table(spark, "documents", sf_dir)
+    return phrase_search(docs, "text", "doc_id", ["data", "slow"])
+
+
+def _croston_bucket_chunks(sf_dir: str) -> str:
+    """Chunk the FINALIZED nonzero-demand day buckets of the
+    value-floored events source (_CROSTON_SRC) into 5 time-ordered
+    files carrying exact integer-micros sums — the streaming-Croston
+    feeder, the _hw_bucket_chunks recipe over the intermittent
+    source."""
+    import hashlib as _hl
+    import os
+    import tempfile
+
+    import duckdb
+
+    fp = _source_fingerprint(sf_dir, "events")
+    key = _hl.md5(f"{sf_dir}|crostonbuckets|{fp}".encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"ts_croston_chunks_{key}")
+    marker = os.path.join(out, "_READY")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    pdf = con.execute(f"""
+        SELECT event_type AS k,
+               CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS y_micros
+        FROM '{os.path.join(sf_dir, "events.parquet")}'
+        WHERE value > 195
+        GROUP BY 1, 2
+        HAVING SUM(CAST(value AS DECIMAL(18,6))) > 0
+        ORDER BY x, k
+    """).df()
+    xs = sorted(pdf["x"].unique())
+    step = (len(xs) + 4) // 5 or 1
+    for i in range(5):
+        lo = i * step
+        chunk = pdf[pdf["x"].isin(xs[lo : lo + step])]
+        chunk.reset_index(drop=True).to_parquet(
+            os.path.join(out, f"chunk-{i:02d}.parquet")
+        )
+    os.makedirs(marker, exist_ok=True)
+    return out
+
+
+@register("streaming_croston_events", oracle=_croston_oracle())
+def streaming_croston_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming Croston: the (z, p, last-day) recurrence
+    continued across 5 micro-batches of finalized nonzero demand
+    buckets — state is exactly the recurrence's memory after a
+    one-bucket init buffer drains; every scalar replicates the batch
+    fold's IEEE tree and demand enters via the exact integer-micros
+    bucket sum, so the drain ≡ the batch croston_sql statement
+    bit-for-bit — the oracle IS the batch oracle (the
+    streaming_holt_winters continuation proof on the intermittent
+    recurrence; streaming/lag_stream.py:streaming_croston)."""
+    from .sources.catalog import ensure_session_confs
+    from .streaming.lag_stream import (
+        _next_stream_name,
+        run_stream_to_df,
+        streaming_croston,
+    )
+
+    ensure_session_confs(spark)
+    chunk_dir = _croston_bucket_chunks(sf_dir)
+    stream = (
+        spark.readStream.schema("k string, x long, y_micros long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(chunk_dir)
+    )
+    out = streaming_croston(stream, key_col="k", alpha=0.2)
+    return run_stream_to_df(
+        out, _next_stream_name("ts_stream_croston")
+    ).withColumnRenamed("k", "event_type")
+
+
 def _theta_oracle() -> str:
     from .operators.seasonal import theta_forecast_sql
 
@@ -10778,6 +10895,9 @@ GRADE_PRIORITY: list[str] = [
     "theta_forecast_events",
     "ks_drift_events",
     "hampel_filter_events",
+    "pettitt_events",
+    "phrase_search_docs",
+    "streaming_croston_events",
     # -- CHANGED in r11 (substring excision plan+oracle rewrite;
     #    recall denominator; CDC NULL-key filter; symspell variant
     #    dedup; QQ tail refactor; LSH append write order; streaming

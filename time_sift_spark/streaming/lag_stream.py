@@ -460,3 +460,86 @@ def streaming_holt_winters(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_croston(
+    stream_df: DataFrame,
+    *,
+    key_col: str,
+    x_col: str = "x",
+    micros_col: str = "y_micros",
+    alpha: float = 0.2,
+) -> DataFrame:
+    """Stateful streaming Croston over FINALIZED nonzero day buckets —
+    per-key state is exactly the recurrence's memory: (z, p, last
+    demand day), plus a ONE-bucket init buffer (the batch operator's
+    z₀/p₀ need the first two nonzero buckets; the buffer holds the
+    first until the second arrives, then stays empty forever).
+
+    Bit-exactness contract (the streaming_holt_winters discipline):
+    every scalar op replicates operators/seasonal._croston_scalar_exprs
+    in the SAME order on IEEE doubles (1−α computed once, matching the
+    SQL's repr literal; q is an exact integer day gap), and demand
+    enters via :func:`_dec6_to_double` of the EXACT integer-micros
+    bucket sum — so the drain over an ordered replay equals the batch
+    croston_sql statement bit-for-bit, which the registered oracle
+    asserts.
+
+    Contract: buckets must arrive FINALIZED (nonzero-demand days only
+    — the feeder's filter duty) and in order per key.
+    """
+    a = float(alpha)
+    ca = 1.0 - a
+    sba = 1.0 - a / 2.0
+    output_schema = (
+        f"{key_col} string, day_x long, y_val double, gap_days long, "
+        f"croston_rate double, sba_rate double"
+    )
+    state_schema = "bx array<long>, by array<long>, z double, p double, px long"
+
+    def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            x_col, kind="mergesort"
+        )
+        if state.exists:
+            bx, by, z, p, px = state.get
+            bx, by = list(bx), list(by)
+        else:
+            bx, by, z, p, px = [], [], 0.0, -1.0, 0
+        rows = []
+        for x, micros in zip(batch[x_col], batch[micros_col]):
+            x, micros = int(x), int(micros)
+            if p < 0.0 and not bx:
+                bx, by = [x], [micros]
+                continue
+            if p < 0.0:
+                z = _dec6_to_double(by[0])
+                p = float(x - bx[0])
+                px = bx[0]
+                bx, by = [], []
+            q = float(x - px)
+            yd = _dec6_to_double(micros)
+            z = (a * yd) + (ca * z)
+            p = (a * q) + (ca * p)
+            rate = z / p
+            rows.append((key[0], x, yd, x - px,
+                         _round_double_py(rate),
+                         _round_double_py(rate * sba)))
+            px = x
+        state.update((bx, by, float(z), float(p), int(px)))
+        yield pd.DataFrame(
+            rows,
+            columns=[key_col, "day_x", "y_val", "gap_days",
+                     "croston_rate", "sba_rate"],
+        )
+
+    return (
+        stream_df.groupBy(key_col)
+        .applyInPandasWithState(
+            _update,
+            output_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
