@@ -543,3 +543,157 @@ def test_streaming_croston_state_across_batches(spark, tmp_path):
     assert list(out.gap_days) == [2, 3, 4]
     assert list(out.croston_rate)[:2] == [7.5, 9.0]
     assert abs(out.loc[2, "croston_rate"] - 31.25 / 3.25) < 1e-6
+
+
+# ---------------------------------------------------------------- prop z-test
+
+def test_prop_ztest_hand_case_and_degenerate(spark):
+    """Controlled arms via md5-parity-selected uids: arm1 converts 8/10,
+    arm0 converts 2/10 → z computed from the pooled form; an all-convert
+    population yields NULL z (zero pooled variance)."""
+    from time_sift_spark.operators.experiment import prop_ztest
+
+    arm0 = [u for u in range(200) if _md5_60bit(str(u)) % 2 == 0][:10]
+    arm1 = [u for u in range(200) if _md5_60bit(str(u)) % 2 == 1][:10]
+    rows = []
+    for i, u in enumerate(arm0):
+        rows.append((u, "signup"))
+        if i < 2:
+            rows.append((u, "purchase"))
+    for i, u in enumerate(arm1):
+        rows.append((u, "signup"))
+        if i < 8:
+            rows.append((u, "purchase"))
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_type"])
+    out = prop_ztest(
+        spark.createDataFrame(pdf), "user_id", "event_type", "purchase"
+    ).toPandas()
+    r = out.loc[0]
+    assert (r.n0, r.n1, r.x0, r.x1) == (10, 10, 2, 8)
+    assert r.p0 == 0.2 and r.p1 == 0.8 and r.p_diff == 0.6
+    pool = 0.5
+    se = math.sqrt(pool * 0.5 * (0.1 + 0.1))
+    assert abs(r.z_stat - 0.6 / se) < 1e-6
+    assert bool(r.significant)
+    req = math.ceil((1.96 + 0.8416) ** 2 * (0.2 * 0.8 + 0.8 * 0.2) / 0.36)
+    assert r.required_n_per_arm == req
+
+    # degenerate: everyone converts → NULL z / significance
+    rows2 = [(u, "purchase") for u in range(20)]
+    out2 = prop_ztest(
+        spark.createDataFrame(pd.DataFrame(rows2, columns=["user_id", "event_type"])),
+        "user_id", "event_type", "purchase",
+    ).toPandas()
+    assert pd.isna(out2.loc[0, "z_stat"])
+    assert pd.isna(out2.loc[0, "significant"])
+
+
+# ---------------------------------------------------------------- regression report
+
+def test_regression_report_hand_pairs(spark):
+    """Direct pairs through the SQL: yhat=[3,5], y=[4,4] → bias 0,
+    MAE 1, RMSE 1, R² NULL-guard when actuals are constant (SST=0),
+    MAPE 0.25; a perfect predictor scores 0/0/0 with R²=1."""
+    from time_sift_spark.functions.text_fns import SPARK as _S
+    from time_sift_spark.operators.backtest import regression_report_sql
+
+    pdf = pd.DataFrame({
+        "g": ["const", "const", "perf", "perf", "perf"],
+        "yhat": [3.0, 5.0, 1.0, 2.0, 3.0],
+        "y": [4.0, 4.0, 1.0, 2.0, 3.0],
+    })
+    spark.createDataFrame(pdf).createOrReplaceTempView("_t_regr")
+    out = spark.sql(regression_report_sql(
+        _S, "SELECT g, yhat, y FROM _t_regr", "g"
+    )).toPandas().set_index("g")
+    c = out.loc["const"]
+    assert c.n == 2 and c.bias == 0.0 and c.mae == 1.0 and c.rmse == 1.0
+    assert pd.isna(c.r2)  # constant actuals: SST = 0
+    assert c.mape == 0.25
+    p = out.loc["perf"]
+    assert p.mae == 0.0 and p.rmse == 0.0 and p.r2 == 1.0 and p.mape == 0.0
+
+
+# ---------------------------------------------------------------- season detect
+
+def test_season_detect_planted_period(spark):
+    """A clean period-3 series (1,5,9 repeating) detects period 3 with
+    ACF 1.0; a 21-day monotone ramp is maximally autocorrelated at the
+    SHORTEST lag (ACF falls with lag on a finite trend), so the argmax
+    period is min_lag — the documented trend caveat."""
+    from time_sift_spark.operators.autocorr import season_detect
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for i in range(21):
+        rows.append((base + pd.Timedelta(days=i), "p3", float([1, 5, 9][i % 3])))
+        rows.append((base + pd.Timedelta(days=i), "trend", float(i)))
+    pdf = pd.DataFrame(rows, columns=["ts", "k", "v"])
+    out = (
+        season_detect(spark.createDataFrame(pdf), "v", "ts", "k")
+        .toPandas().set_index("k")
+    )
+    assert out.loc["p3", "period"] == 3
+    assert out.loc["p3", "period_acf"] == 1.0
+    assert out.loc["p3", "acf_6"] == 1.0  # harmonics also perfect; 3 wins ties
+    assert out.loc["trend", "period"] == 2
+
+
+def test_season_detect_short_series_null(spark):
+    """A 3-bucket series has no computable candidate ACF → NULL period."""
+    from time_sift_spark.operators.autocorr import season_detect
+
+    base = pd.Timestamp("2024-01-01")
+    pdf = pd.DataFrame({
+        "ts": [base + pd.Timedelta(days=i) for i in range(3)],
+        "k": ["a"] * 3,
+        "v": [1.0, 2.0, 3.0],
+    })
+    out = season_detect(spark.createDataFrame(pdf), "v", "ts", "k").toPandas()
+    assert pd.isna(out.loc[0, "period"])
+    assert pd.isna(out.loc[0, "period_acf"])
+
+
+# ---------------------------------------------------------------- HW forecast
+
+def test_hw_forecast_python_differential(spark):
+    """Replicate the fold (init + steps, the _hw_scalar_exprs order) and
+    the extrapolation tree in Python floats for a 15-bucket period-3
+    series; constant series forecast exactly the constant."""
+    from time_sift_spark.operators.seasonal import holt_winters_forecast
+
+    base = pd.Timestamp("2024-01-01")
+    m, h_max = 3, 5
+    vals = [4.0, 7.0, 5.0, 6.0, 9.0, 7.0, 8.0, 11.0, 9.0, 10.0, 13.0,
+            11.0, 12.0, 15.0, 13.0]
+    rows = [(base + pd.Timedelta(days=i), "a", v) for i, v in enumerate(vals)]
+    rows += [(base + pd.Timedelta(days=i), "const", 5.0) for i in range(15)]
+    pdf = pd.DataFrame(rows, columns=["ts", "k", "v"])
+    out = (
+        holt_winters_forecast(
+            spark.createDataFrame(pdf), "v", "ts", "k",
+            period=m, horizon=h_max,
+        )
+        .toPandas()
+    )
+    const = out[out.k == "const"].sort_values("h_step")
+    assert list(const.hw_forecast) == [5.0] * h_max
+
+    a, b_, g = 0.3, 0.1, 0.2
+    ca, cb, cg = 1.0 - a, 1.0 - b_, 1.0 - g
+    t1 = sum(vals[:m]) / float(m)
+    t2 = sum(vals[m:2 * m]) / float(m)
+    l, b = t1, (t2 - t1) / float(m)
+    seas = [vals[i] - l for i in range(m)]
+    for y in vals[m:]:
+        s1 = seas[0]
+        lnew = (a * (y - s1)) + (ca * (l + b))
+        bnew = (b_ * (lnew - l)) + (cb * b)
+        snew = (g * (y - lnew)) + (cg * s1)
+        l, b, seas = lnew, bnew, seas[1:] + [snew]
+    got = out[out.k == "a"].sort_values("h_step").reset_index(drop=True)
+    day0 = (base - pd.Timestamp("1970-01-01")).days
+    for h in range(1, h_max + 1):
+        fc = (l + h * b) + seas[(h - 1) % m]
+        assert abs(got.loc[h - 1, "hw_forecast"] - fc) < 1e-6
+        assert got.loc[h - 1, "day_x"] == day0 + 14 + h

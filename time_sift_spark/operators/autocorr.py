@@ -39,6 +39,8 @@ from .lag import lag_features
 __all__ = [
     "acf",
     "ccf_global",
+    "season_detect",
+    "season_detect_sql",
     "exact_corr_sql",
     "acf_oracle_sql",
     "ccf_oracle_sql",
@@ -515,4 +517,110 @@ def corr_matrix(
     return df.sparkSession.sql(
         corr_matrix_sql("spark", view, value_col, time_col, group_col,
                         round_to=round_to, staged_bucket=bview)
+    )
+
+
+def season_detect_sql(
+    d,
+    table: str,
+    value_col: str,
+    time_col: str,
+    group_col: str,
+    *,
+    min_lag: int = 2,
+    max_lag: int = 10,
+    round_to: int = 4,
+) -> str:
+    """Season-length detection per series: the ACF over the
+    day-bucketed series at every candidate lag, and the ARGMAX lag as
+    the detected period — the missing front door to the seasonal tier
+    (holt_winters/classical_decompose/deseasonalize all ASSUME a
+    period; this measures one: "which m do I pass?").  Smallest-lag
+    tie-break; NULL period when every candidate ACF is NULL (series
+    shorter than min_lag+2 buckets).
+
+    Determinism: each ACF is the exact-decimal Pearson template
+    (exact_corr_sql — order-independent quantized sums, one shared
+    IEEE tree); the argmax compares the ROUNDED outputs via
+    COALESCE(…, −2.0) so NULL candidates lose without engine-specific
+    GREATEST-NULL semantics (Spark's GREATEST ignores NULLs, DuckDB's
+    propagates — coalescing first makes the question moot).
+
+    Shape: the day bucketing is one exact-decimal groupBy; ONE
+    series-key window exchange carries every LAG column; the per-key
+    reduce rides the same partitioning (the acf plan over the bucketed
+    calendar).  Output is |series| rows.
+    """
+    if not (1 <= min_lag <= max_lag):
+        raise ValueError(f"need 1 <= min_lag <= max_lag, got {min_lag}..{max_lag}")
+    width = 18 if d.name == "spark" else 19
+    lags = list(range(int(min_lag), int(max_lag) + 1))
+    if d.name == "spark":
+        day = f"datediff(CAST({time_col} AS DATE), DATE '1970-01-01')"
+    else:
+        day = f"datediff('day', DATE '1970-01-01', CAST({time_col} AS DATE))"
+    lag_cols = ",\n             ".join(
+        f"LAG(y, {j}) OVER w AS y_l{j}" for j in lags
+    )
+    corrs = ",\n           ".join(
+        f"{exact_corr_sql('y', f'y_l{j}', round_to, width=width)} AS acf_{j}"
+        for j in lags
+    )
+    co = lambda j: f"COALESCE(acf_{j}, -2.0)"  # noqa: E731
+    best = "GREATEST(" + ", ".join(co(j) for j in lags) + ")"
+    pick = " ".join(
+        f"WHEN {co(j)} = _best THEN {j}" for j in lags
+    )
+    return f"""
+    WITH _sdb AS (
+      SELECT {group_col} AS k, {day} AS x,
+             CAST(SUM(CAST({value_col} AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS y
+      FROM {table} GROUP BY {group_col}, {day}
+    ),
+    _sdl AS (
+      SELECT k, y,
+             {lag_cols}
+      FROM _sdb
+      WINDOW w AS (PARTITION BY k ORDER BY x)
+    ),
+    _sda AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n_obs,
+             {corrs}
+      FROM _sdl GROUP BY k
+    ),
+    _sdm AS (
+      SELECT *, {best} AS _best FROM _sda
+    )
+    SELECT k AS {group_col}, n_obs,
+           {", ".join(f"acf_{j}" for j in lags)},
+           CASE WHEN _best = -2.0 THEN CAST(NULL AS INT)
+                ELSE CAST(CASE {pick} END AS INT) END AS period,
+           CASE WHEN _best = -2.0 THEN CAST(NULL AS DOUBLE)
+                ELSE _best END AS period_acf
+    FROM _sdm
+    """
+
+
+def season_detect(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    group_col: str,
+    *,
+    min_lag: int = 2,
+    max_lag: int = 10,
+    round_to: int = 4,
+) -> DataFrame:
+    """DataFrame front door for :func:`season_detect_sql`."""
+    from ..functions.text_fns import SPARK as _S
+
+    for c in (value_col, time_col, group_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    view = "_ts_sdetect_in"
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(
+        season_detect_sql(_S, view, value_col, time_col, group_col,
+                          min_lag=min_lag, max_lag=max_lag,
+                          round_to=round_to)
     )

@@ -26,7 +26,9 @@ from ..errors import ColumnNotFoundError
 
 __all__ = ["conformal_backtest", "conformal_backtest_sql",
            "mase_backtest", "mase_backtest_sql",
-           "pinball_backtest", "pinball_backtest_sql"]
+           "naive7_pairs_select",
+           "pinball_backtest", "pinball_backtest_sql",
+           "regression_report", "regression_report_sql"]
 
 
 def mase_backtest_sql(
@@ -395,4 +397,122 @@ def pinball_backtest(
         pinball_backtest_sql(_S, view, value_col, time_col, group_col,
                              taus=taus, round_to=round_to,
                              staged_buckets=sview)
+    )
+
+
+def regression_report_sql(
+    d,
+    pairs_select: str,
+    group_col: str,
+    *,
+    round_to: int = 6,
+) -> str:
+    """Regression evaluation panel per group over a (g, yhat, y)
+    relation: n, bias (mean error), MAE, RMSE, R², and MAPE over the
+    nonzero-actual subset (with its own count, so the exclusion is
+    visible) — the regression companion of the classification tier
+    (AUC / calibration / Brier / report), and the generic scorer any
+    forecast in this module can feed.
+
+    ``pairs_select`` is a dialect-rendered SELECT producing
+    ``(g, yhat DOUBLE, y DOUBLE)`` — the caller owns the prediction
+    join (the point-in-time discipline); this statement owns only the
+    metrics.
+
+    Determinism: every accumulated term (error, |error|, error²,
+    y, y², |error/y|) quantizes to DECIMAL(27,6)/(38,12) BEFORE its
+    SUM (the dsum discipline — double sums reassociate); the final
+    metrics are fixed IEEE trees over the exact decimal-backed sums
+    (RMSE adds one sqrt; R² = 1 − SSE/SST with a zero-variance NULL
+    guard).  Shape: ONE partial-aggregated exchange on the group key;
+    output is |groups| rows.
+    """
+    from ._num import dec_to_double, round_double
+
+    rd = lambda e: round_double(e, round_to)  # noqa: E731
+    d6 = lambda e: f"CAST({e} AS DECIMAL(27,6))"  # noqa: E731
+    d12 = lambda e: f"CAST({e} AS DECIMAL(38,12))"  # noqa: E731
+    nD = "CAST(n AS DOUBLE)"
+    se_, sae = dec_to_double("s_err"), dec_to_double("s_abs")
+    sq_, sy_ = dec_to_double("s_sq"), dec_to_double("s_y")
+    syy_ = dec_to_double("s_yy")
+    sape, nnz = dec_to_double("s_ape"), "CAST(n_nz AS DOUBLE)"
+    sst = f"({syy_} - ({sy_} * {sy_} / {nD}))"
+    return f"""
+    WITH _rrp AS (
+      {pairs_select}
+    ),
+    _rra AS (
+      SELECT g,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM({d6('(yhat - y)')}) AS s_err,
+             SUM({d6('ABS(yhat - y)')}) AS s_abs,
+             SUM({d12('((yhat - y) * (yhat - y))')}) AS s_sq,
+             SUM({d6('y')}) AS s_y,
+             SUM({d12('(y * y)')}) AS s_yy,
+             CAST(SUM(CASE WHEN y <> 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nz,
+             SUM(CASE WHEN y <> 0.0
+                      THEN {d6('ABS((yhat - y) / y)')}
+                      ELSE {d6('0.0')} END) AS s_ape
+      FROM _rrp GROUP BY g
+    )
+    SELECT g AS {group_col}, n, n_nz,
+           {rd(f'({se_} / {nD})')} AS bias,
+           {rd(f'({sae} / {nD})')} AS mae,
+           {rd(f'sqrt({sq_} / {nD})')} AS rmse,
+           CASE WHEN {sst} <= 0.0 THEN CAST(NULL AS DOUBLE)
+                ELSE {rd(f'(1.0 - ({sq_} / {sst}))')} END AS r2,
+           CASE WHEN n_nz = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE {rd(f'({sape} / {nnz})')} END AS mape
+    FROM _rra
+    """
+
+
+def naive7_pairs_select(d, table: str, value_col: str, time_col: str,
+                        group_col: str) -> str:
+    """(g, yhat, y) pairs for the SEASONAL-NAIVE-7 forecast over the
+    day-bucketed series (yhat = the bucket 7 ROWS back — the MASE
+    LAG-by-rows contract: calendar-correct on dense calendars) — the
+    canonical baseline feed for :func:`regression_report_sql`."""
+    from ._num import dec_to_double
+
+    if d.name == "spark":
+        day = f"datediff(CAST({time_col} AS DATE), DATE '1970-01-01')"
+    else:
+        day = f"datediff('day', DATE '1970-01-01', CAST({time_col} AS DATE))"
+    return f"""SELECT g, yhat, y FROM (
+        SELECT k AS g,
+               {dec_to_double('LAG(yb, 7) OVER (PARTITION BY k ORDER BY x)')}
+                 AS yhat,
+               {dec_to_double('yb')} AS y
+        FROM (SELECT {group_col} AS k, {day} AS x,
+                     CAST(SUM(CAST({value_col} AS DECIMAL(18,6)))
+                          AS DECIMAL(18,6)) AS yb
+              FROM {table} GROUP BY {group_col}, {day})
+      ) WHERE yhat IS NOT NULL"""
+
+
+def regression_report(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    group_col: str,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """DataFrame front door: score the seasonal-naive-7 baseline on the
+    day-bucketed series via :func:`regression_report_sql`."""
+    from ..functions.text_fns import SPARK as _S
+    from ._time import assert_time_dtype
+
+    for c in (value_col, time_col, group_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    assert_time_dtype(df, time_col)
+    view = "_ts_regr_in"
+    df.createOrReplaceTempView(view)
+    pairs = naive7_pairs_select(_S, view, value_col, time_col, group_col)
+    return df.sparkSession.sql(
+        regression_report_sql(_S, pairs, group_col, round_to=round_to)
     )

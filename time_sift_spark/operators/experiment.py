@@ -50,6 +50,7 @@ __all__ = [
     "cuped_sql", "cuped", "ranked_auc",
     "calibration_bins_sql", "brier_decomposition_sql",
     "lift_gains", "lift_gains_sql",
+    "prop_ztest", "prop_ztest_sql",
 ]
 
 
@@ -631,4 +632,107 @@ def lift_gains(
         lift_gains_sql(SPARK, view, score_col, label_col, id_col,
                        n_tiles=n_tiles, round_to=round_to,
                        staged_tiles=sview)
+    )
+
+
+def prop_ztest_sql(
+    d: Dialect,
+    table: str,
+    user_col: str,
+    type_col: str,
+    convert_type: str,
+    *,
+    crit: float = 1.96,
+    power_z: float = 0.8416,
+    round_to: int = 6,
+) -> str:
+    """Two-proportion z-test on CONVERSION (did the unit ever emit a
+    ``convert_type`` event?), md5-parity arms — the most-used A/B
+    statistic there is, and the binary companion of :func:`welch_ttest`
+    (means need Welch; conversion needs this).  Pooled-variance form:
+
+        z = (p₁ − p₀) / √( p̂(1−p̂)·(1/n₀ + 1/n₁) )
+
+    The decision compares |z| against the explicit ``crit`` literal
+    (1.96 ≈ two-sided 5%; the normal CDF needs erf, which stays
+    banned).  Also emitted: ``required_n_per_arm`` — the classic
+    sample-size formula n = (z_{α/2}+z_β)²·(p₀q₀+p₁q₁)/Δ² at 80% power
+    (``power_z`` = 0.8416, a literal), the "how much longer must this
+    test run" readout, NULL when the observed Δ is 0.
+
+    Numerics: conversions and arm sizes are exact BIGINTs; every
+    ratio/√ is a fixed shared-text IEEE tree over their exact
+    conversions.  Shape: one unit-key aggregation (conversion is a
+    MAX(CASE) over the unit's events), then a 2-row arm reduce —
+    aggregate STATE, not data.
+    """
+    from . import _num
+
+    q = lambda s: "'" + s.replace("'", "''") + "'"  # noqa: E731
+    cast = "STRING" if d.name == "spark" else "VARCHAR"
+    arm = f"{d.md5_long(f'CAST({user_col} AS {cast})')} % 2"
+    rd = lambda e: _num.round_double(e, round_to)  # noqa: E731
+    p = lambda a: f"(CAST(x{a} AS DOUBLE) / CAST(n{a} AS DOUBLE))"  # noqa: E731
+    pool = "(CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))"
+    se = (
+        f"sqrt(({pool} * (1.0 - {pool}))"
+        " * ((1.0 / CAST(n0 AS DOUBLE)) + (1.0 / CAST(n1 AS DOUBLE))))"
+    )
+    diff = f"({p(1)} - {p(0)})"
+    zexpr = f"({diff} / {se})"
+    req_n = (
+        f"ceil((({crit!r} + {power_z!r}) * ({crit!r} + {power_z!r}))"
+        f" * (({p(0)} * (1.0 - {p(0)})) + ({p(1)} * (1.0 - {p(1)})))"
+        f" / ({diff} * {diff}))"
+    )
+    return f"""
+    WITH _pzu AS (
+      SELECT {user_col} AS uid, {arm} AS arm,
+             MAX(CASE WHEN {type_col} = {q(convert_type)} THEN 1 ELSE 0 END)
+               AS conv
+      FROM {table} GROUP BY {user_col}
+    ),
+    _pza AS (
+      SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS x0,
+             CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS x1
+      FROM _pzu
+    )
+    SELECT n0, n1, x0, x1,
+           {rd(p(0))} AS p0,
+           {rd(p(1))} AS p1,
+           {rd(diff)} AS p_diff,
+           CASE WHEN x0 + x1 = 0 OR x0 + x1 = n0 + n1
+                THEN CAST(NULL AS DOUBLE)
+                ELSE {rd(zexpr)} END AS z_stat,
+           CASE WHEN x0 + x1 = 0 OR x0 + x1 = n0 + n1
+                THEN CAST(NULL AS BOOLEAN)
+                ELSE ABS({zexpr}) > {crit!r} END AS significant,
+           CASE WHEN {diff} = 0.0 THEN CAST(NULL AS BIGINT)
+                ELSE CAST({req_n} AS BIGINT) END AS required_n_per_arm
+    FROM _pza
+    """
+
+
+def prop_ztest(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    convert_type: str,
+    *,
+    crit: float = 1.96,
+    round_to: int = 6,
+) -> DataFrame:
+    """DataFrame front door for :func:`prop_ztest_sql`."""
+    from ..functions.text_fns import SPARK as _S
+
+    for c in (user_col, type_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    view = "_ts_propz_in"
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(
+        prop_ztest_sql(_S, view, user_col, type_col, convert_type,
+                       crit=crit, round_to=round_to)
     )

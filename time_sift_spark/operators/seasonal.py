@@ -23,6 +23,7 @@ from ..errors import ColumnNotFoundError
 
 __all__ = ["deseasonalize", "deseasonalize_sql", "SEASON_FNS",
            "holt_winters", "holt_winters_sql",
+           "holt_winters_forecast", "holt_winters_forecast_sql",
            "croston", "croston_sql",
            "theta_forecast", "theta_forecast_sql",
            "classical_decompose", "classical_decompose_sql",
@@ -976,4 +977,179 @@ def theta_forecast(
     return df.sparkSession.sql(
         theta_forecast_sql(_S, view, value_col, time_col, group_col,
                            alpha=alpha, round_to=round_to)
+    )
+
+
+def holt_winters_forecast_sql(
+    d,
+    table: str,
+    value_col: str,
+    time_col: str,
+    group_col: str,
+    *,
+    period: int = 7,
+    horizon: int = 7,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    round_to: int = 6,
+) -> str:
+    """Holt-Winters H-STEP EXTRAPOLATION per series — the actual
+    forecast (:func:`holt_winters_sql` emits in-sample one-step fits;
+    a user deploying the forecaster wants ŷ_{t+h}).  Additive member:
+
+        ŷ_{n+h} = (l_n + h·b_n) + s_{n+h−m}
+
+    with the seasonal index wrapping the final m-slot queue
+    (position ((h−1) mod m) + 1 — slot i of the final queue is the
+    state for step i ahead).  Emits ``horizon`` future rows per
+    series: (day_x = last bucket + h on the dense-calendar contract,
+    h_step, hw_forecast).
+
+    Engine split: the SAME init/step machinery as holt_winters_sql
+    (shared _hw_init_exprs/_hw_scalar_exprs text — Spark's
+    aggregate() fold finishing with the FULL state struct instead of
+    the fit array; DuckDB's recursion filtered to its final row), so
+    (l_n, b_n, seas_n) are bit-equal by the existing proof, and the
+    forecast is one shared fixed IEEE tree over them.  Same ≥ 2·period
+    HAVING dropout; same gap-free contract.
+    """
+    from ._num import dec_to_double, round_double
+
+    m = int(period)
+    h_max = int(horizon)
+    if h_max < 1:
+        raise ValueError(f"horizon must be >= 1, got {horizon}")
+    rd = lambda e: round_double(e, round_to)  # noqa: E731
+    l0, b0 = _hw_init_exprs(m)
+    if d.name == "spark":
+        day = f"datediff(CAST({time_col} AS DATE), DATE '1970-01-01')"
+    else:
+        day = f"datediff('day', DATE '1970-01-01', CAST({time_col} AS DATE))"
+    bucket = f"""SELECT {group_col} AS k, {day} AS x,
+             CAST(SUM(CAST({value_col} AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS y
+      FROM {table} GROUP BY {group_col}, {day}"""
+    if d.name == "spark":
+        yd_e = dec_to_double("e.y")
+        step = _hw_scalar_exprs(
+            "acc.l", "acc.b", "element_at(acc.seas, 1)", yd_e,
+            alpha, beta, gamma, "add", None,
+        )
+        s_h = f"element_at(fin.seas, ((h - 1) % {m}) + 1)"
+        fc = f"((fin.l + (CAST(h AS DOUBLE) * fin.b)) + {s_h})"
+        return f"""
+    WITH _hfb AS (
+      {bucket}
+    ),
+    _hfg AS (
+      SELECT k, sort_array(collect_list(named_struct('x', x, 'y', y))) AS arr,
+             CAST(COUNT(*) AS INT) AS n,
+             CAST(SUM(y) FILTER (WHERE rn <= {m}) AS DECIMAL(27,6)) AS s1m,
+             CAST(SUM(y) FILTER (WHERE rn > {m} AND rn <= {2 * m}) AS DECIMAL(27,6)) AS s2m
+      FROM (SELECT k, x, y,
+                   ROW_NUMBER() OVER (PARTITION BY k ORDER BY x) AS rn
+            FROM _hfb)
+      GROUP BY k
+      HAVING COUNT(*) >= {2 * m}
+    ),
+    _hff AS (
+      SELECT k, element_at(arr, n).x AS last_x,
+        aggregate(
+          slice(arr, {m + 1}, n - {m}),
+          named_struct('l', {l0}, 'b', {b0},
+                       'seas', transform(slice(arr, 1, {m}),
+                                         e -> ({dec_to_double('e.y')} - {l0}))),
+          (acc, e) -> named_struct(
+              'l', {step['lnew']}, 'b', {step['bnew']},
+              'seas', concat(slice(acc.seas, 2, {m - 1}), array({step['snew']})))
+        ) AS fin
+      FROM _hfg
+    )
+    SELECT k AS {group_col},
+           CAST(last_x + h AS BIGINT) AS day_x,
+           CAST(h AS INT) AS h_step,
+           {rd(fc)} AS hw_forecast
+    FROM _hff LATERAL VIEW explode(sequence(1, {h_max})) _t AS h
+    """
+    yd_b = dec_to_double("b.y")
+    step = _hw_scalar_exprs("r.l", "r.b", "r.seas[1]", yd_b,
+                            alpha, beta, gamma, "add", None)
+    s_h = f"fin.seas[((h - 1) % {m}) + 1]"
+    fc = f"((fin.l + (CAST(h AS DOUBLE) * fin.b)) + {s_h})"
+    return f"""
+    WITH RECURSIVE _hfb AS (
+      {bucket}
+    ),
+    _hfr0 AS (
+      SELECT k, x, y, ROW_NUMBER() OVER (PARTITION BY k ORDER BY x) AS rn
+      FROM _hfb
+    ),
+    _hfa AS (
+      SELECT k, CAST(COUNT(*) AS INT) AS n,
+             CAST(MAX(x) AS BIGINT) AS last_x,
+             CAST(SUM(y) FILTER (WHERE rn <= {m}) AS DECIMAL(27,6)) AS s1m,
+             CAST(SUM(y) FILTER (WHERE rn > {m} AND rn <= {2 * m}) AS DECIMAL(27,6)) AS s2m
+      FROM _hfr0 GROUP BY k HAVING COUNT(*) >= {2 * m}
+    ),
+    _hfi AS (
+      SELECT k, n, last_x, {l0} AS l0, {b0} AS b0 FROM _hfa
+    ),
+    _hfs AS (
+      SELECT b.k AS k,
+             list({dec_to_double('b.y')} - i.l0 ORDER BY b.rn) AS seas0
+      FROM _hfr0 b JOIN _hfi i ON i.k = b.k
+      WHERE b.rn <= {m}
+      GROUP BY b.k
+    ),
+    _hfr AS (
+      SELECT i.k AS k, CAST({m} AS BIGINT) AS rn, i.l0 AS l, i.b0 AS b,
+             s.seas0 AS seas
+      FROM _hfi i JOIN _hfs s ON s.k = i.k
+      UNION ALL
+      SELECT r.k, r.rn + 1, {step['lnew']}, {step['bnew']},
+             list_append(r.seas[2:{m}], {step['snew']})
+      FROM _hfr r JOIN _hfr0 b ON b.k = r.k AND b.rn = r.rn + 1
+    ),
+    _hff AS (
+      SELECT r.k AS k, a.last_x AS last_x,
+             {{'l': r.l, 'b': r.b, 'seas': r.seas}} AS fin
+      FROM _hfr r JOIN _hfa a ON a.k = r.k AND r.rn = a.n
+    )
+    SELECT k AS {group_col},
+           CAST(last_x + h AS BIGINT) AS day_x,
+           CAST(h AS INT) AS h_step,
+           {rd(fc)} AS hw_forecast
+    FROM _hff CROSS JOIN (SELECT unnest(generate_series(1, {h_max})) AS h) _t
+    """
+
+
+def holt_winters_forecast(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    group_col: str,
+    *,
+    period: int = 7,
+    horizon: int = 7,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    round_to: int = 6,
+) -> DataFrame:
+    """DataFrame front door for :func:`holt_winters_forecast_sql`."""
+    from ..functions.text_fns import SPARK as _S
+    from ._time import assert_time_dtype
+
+    for c in (value_col, time_col, group_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    assert_time_dtype(df, time_col)
+    view = "_ts_hwfc_in"
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(
+        holt_winters_forecast_sql(
+            _S, view, value_col, time_col, group_col,
+            period=period, horizon=horizon,
+            alpha=alpha, beta=beta, gamma=gamma, round_to=round_to,
+        )
     )

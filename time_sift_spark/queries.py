@@ -9987,6 +9987,98 @@ def percentile_rank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hw_fc_oracle() -> str:
+    from .operators.seasonal import holt_winters_forecast_sql
+
+    return holt_winters_forecast_sql(
+        DUCK, "events", "value", "ts", "event_type", period=7, horizon=7,
+    )
+
+
+@register("holt_winters_forecast_events", oracle=_hw_fc_oracle())
+def holt_winters_forecast_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters 7-step EXTRAPOLATION per event type — the actual
+    forecast (the in-sample query proves the fit; a deployed
+    forecaster emits ŷ_{t+h}): (l_n + h·b_n) + the wrapped final
+    seasonal queue, 7 future rows per series.  Same fold machinery
+    finishing with the full state struct instead of the fit array, so
+    the state is bit-equal by the existing proof and the forecast is
+    one shared IEEE tree
+    (operators/seasonal.py:holt_winters_forecast)."""
+    from .operators.seasonal import holt_winters_forecast
+
+    events = load_table(spark, "events", sf_dir)
+    return holt_winters_forecast(
+        events, "value", "ts", "event_type", period=7, horizon=7,
+    )
+
+
+def _sdetect_oracle() -> str:
+    from .operators.autocorr import season_detect_sql
+
+    return season_detect_sql(DUCK, "events", "value", "ts", "event_type")
+
+
+@register("season_detect_events", oracle=_sdetect_oracle())
+def season_detect_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Season-length detection per event type: the daily-series ACF at
+    every candidate lag 2–10 and the argmax lag as the detected period
+    — the missing front door to the seasonal tier (HW / decomposition
+    / deseasonalize all ASSUME a period; this measures one).
+    Exact-decimal Pearson per lag; NULL-candidate argmax via
+    COALESCE(−2.0) so Spark/DuckDB GREATEST-NULL semantics never
+    enter; one bucket groupBy + ONE series-key window exchange
+    (operators/autocorr.py:season_detect)."""
+    from .operators.autocorr import season_detect
+
+    events = load_table(spark, "events", sf_dir)
+    return season_detect(events, "value", "ts", "event_type")
+
+
+def _propz_oracle() -> str:
+    from .operators.experiment import prop_ztest_sql
+
+    return prop_ztest_sql(DUCK, "events", "user_id", "event_type", "purchase")
+
+
+@register("prop_ztest_events", oracle=_propz_oracle())
+def prop_ztest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on signup→purchase CONVERSION, md5-parity
+    arms — the most-used A/B statistic (the binary companion of
+    welch_ab_events), plus the 80%-power required-n-per-arm readout
+    ("how much longer must this run").  Conversion is one MAX(CASE)
+    per unit; the arm reduce is 2-row aggregate STATE; every ratio/√
+    is a fixed IEEE tree over exact BIGINTs
+    (operators/experiment.py:prop_ztest)."""
+    from .operators.experiment import prop_ztest
+
+    events = load_table(spark, "events", sf_dir)
+    return prop_ztest(events, "user_id", "event_type", "purchase")
+
+
+def _regr_oracle() -> str:
+    from .operators.backtest import naive7_pairs_select, regression_report_sql
+
+    pairs = naive7_pairs_select(DUCK, "events", "value", "ts", "event_type")
+    return regression_report_sql(DUCK, pairs, "event_type")
+
+
+@register("regression_report_events", oracle=_regr_oracle())
+def regression_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression evaluation panel (n / bias / MAE / RMSE / R² / MAPE
+    with a visible nonzero-actual count) scoring the seasonal-naive-7
+    baseline per event type — the regression companion of the
+    classification eval tier, and the generic scorer any forecast in
+    the module can feed through its (g, yhat, y) front door.  Every
+    accumulated term decimal-quantizes before its SUM; ONE
+    partial-aggregated group exchange
+    (operators/backtest.py:regression_report)."""
+    from .operators.backtest import regression_report
+
+    events = load_table(spark, "events", sf_dir)
+    return regression_report(events, "value", "ts", "event_type")
+
+
 def _pettitt_oracle() -> str:
     from .operators.trend import pettitt_sql
 
@@ -10898,6 +10990,10 @@ GRADE_PRIORITY: list[str] = [
     "pettitt_events",
     "phrase_search_docs",
     "streaming_croston_events",
+    "prop_ztest_events",
+    "regression_report_events",
+    "season_detect_events",
+    "holt_winters_forecast_events",
     # -- CHANGED in r11 (substring excision plan+oracle rewrite;
     #    recall denominator; CDC NULL-key filter; symspell variant
     #    dedup; QQ tail refactor; LSH append write order; streaming
