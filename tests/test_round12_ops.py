@@ -697,3 +697,80 @@ def test_hw_forecast_python_differential(spark):
         fc = (l + h * b) + seas[(h - 1) % m]
         assert abs(got.loc[h - 1, "hw_forecast"] - fc) < 1e-6
         assert got.loc[h - 1, "day_x"] == day0 + 14 + h
+
+
+def test_hw_forecast_damped_mul_python_differential(spark):
+    """The combined ETS(A,Ad,M) extrapolation: replicate init (s0 =
+    y/l0), damped-mul steps, and the Φ_h = Σφ^i ladder in Python
+    floats on a positive period-3 series."""
+    from time_sift_spark.operators.seasonal import holt_winters_forecast
+
+    base = pd.Timestamp("2024-01-01")
+    m, h_max, phi = 3, 5, 0.9
+    vals = [4.0, 7.0, 5.0, 6.0, 9.0, 7.0, 8.0, 11.0, 9.0, 10.0, 13.0,
+            11.0, 12.0, 15.0, 13.0]
+    pdf = pd.DataFrame(
+        [(base + pd.Timedelta(days=i), "a", v) for i, v in enumerate(vals)],
+        columns=["ts", "k", "v"],
+    )
+    out = (
+        holt_winters_forecast(
+            spark.createDataFrame(pdf), "v", "ts", "k",
+            period=m, horizon=h_max, seasonal="mul", damping=phi,
+        )
+        .toPandas().sort_values("h_step").reset_index(drop=True)
+    )
+    a, b_, g = 0.3, 0.1, 0.2
+    ca, cb, cg = 1.0 - a, 1.0 - b_, 1.0 - g
+    t1 = sum(vals[:m]) / float(m)
+    t2 = sum(vals[m:2 * m]) / float(m)
+    l, b = t1, (t2 - t1) / float(m)
+    seas = [vals[i] / l for i in range(m)]
+    for y in vals[m:]:
+        s1 = seas[0]
+        bt = phi * b
+        lnew = (a * (y / s1)) + (ca * (l + bt))
+        bnew = (b_ * (lnew - l)) + (cb * bt)
+        snew = (g * (y / lnew)) + (cg * s1)
+        l, b, seas = lnew, bnew, seas[1:] + [snew]
+    ps, pw = 0.0, 1.0
+    for h in range(1, h_max + 1):
+        pw *= phi
+        ps += pw
+        fc = (l + ps * b) * seas[(h - 1) % m]
+        assert abs(out.loc[h - 1, "hw_forecast"] - fc) < 1e-6
+
+
+def test_phrase_index_persisted_equals_inline(spark, tmp_path):
+    """build → serve returns exactly the inline phrase relation, and
+    the serve plan contains NO tokenizer subtree (the explode is paid
+    at build)."""
+    from time_sift_spark.operators.search import (
+        build_phrase_index,
+        phrase_search,
+        query_phrase_index,
+    )
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["new york new york", "york new", "the new york times"],
+    })
+    docs = spark.createDataFrame(pdf)
+    path = str(tmp_path / "phrase_idx")
+    build_phrase_index(docs, "text", "doc_id", path)
+    inline = (
+        phrase_search(docs, "text", "doc_id", ["new", "york"])
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    served = (
+        query_phrase_index(spark, path, ["new", "york"])
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert inline.equals(served)
+    assert list(served.doc_id) == [1, 3]
+    assert list(served.n_matches) == [2, 1]
+
+    plan = query_phrase_index(
+        spark, path, ["new", "york"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "split(" not in plan  # tokenizer absent: paid at build

@@ -61,6 +61,8 @@ __all__ = [
     "keyword_extract_sql",
     "phrase_search",
     "phrase_search_sql",
+    "build_phrase_index",
+    "query_phrase_index",
 ]
 
 
@@ -525,4 +527,76 @@ def phrase_search(
     df.createOrReplaceTempView(view)
     return df.sparkSession.sql(
         phrase_search_sql(SPARK, view, text_col, id_col, phrase)
+    )
+
+
+def build_phrase_index(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    path: str,
+) -> None:
+    """Materialize the POSITIONAL postings :func:`phrase_search`
+    recomputes per query: ``{path}/postings_pos`` (term, id, pos) —
+    the full positional index, repartitioned by term so a reader gets
+    term-clustered files — with ``{path}/params`` written LAST (the
+    _index_ready completeness contract).  Positions are the Spark
+    0-base; the serve side only ever DIFFERENCES them (anchors), so
+    the base never matters.
+
+    At 100 TB: the tokenize + positional explode is paid ONCE; each
+    phrase query then reads only its terms' row groups (min/max
+    pruning on the term-clustered files) — the positional half of the
+    inverted index build_text_index materializes for scoring."""
+    for c in (text_col, id_col):
+        if c not in docs.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in DataFrame")
+    postings = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.expr(SPARK.tokens(text_col)).alias("toks"))
+        .select(id_col, F.posexplode("toks").alias("pos", "term"))
+    )
+    begin_build(path)
+    postings.repartition("term").write.mode("overwrite").parquet(
+        f"{path}/postings_pos"
+    )
+    docs.sparkSession.createDataFrame(
+        [(id_col, text_col)], "id_col string, text_col string"
+    ).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def query_phrase_index(
+    spark,
+    path: str,
+    phrase: Sequence[str],
+) -> DataFrame:
+    """Phrase search against the persisted positional index — returns
+    exactly what the inline :func:`phrase_search` returns on the same
+    corpus (build→serve ≡ inline, the ANN/bm25 persisted contract).
+    The term filter sits directly on the postings scan (PushedFilters:
+    In(term)) so only matching row groups are read; the anchor
+    groupBy + per-doc count run on |matching postings| rows — the
+    corpus tokenize/explode subtree is ABSENT from this plan."""
+    terms = [t for t in phrase]
+    if not terms:
+        raise ValueError("query_phrase_index needs at least one term")
+    m = len(terms)
+    p = spark.read.parquet(f"{path}/params").collect()[0]
+    id_col = p["id_col"]
+    qrel = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(terms)], "qt string, off int"
+    )
+    postings = (
+        spark.read.parquet(f"{path}/postings_pos")
+        .where(F.col("term").isin(sorted(set(terms))))
+    )
+    anchors = (
+        postings.join(F.broadcast(qrel), postings["term"] == qrel["qt"])
+        .select(id_col, (F.col("pos") - F.col("off")).alias("anchor"), "off")
+        .groupBy(id_col, "anchor")
+        .agg(F.countDistinct("off").alias("n_off"))
+        .where(F.col("n_off") == m)
+    )
+    return anchors.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches")
     )

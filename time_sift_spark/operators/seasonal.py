@@ -993,18 +993,26 @@ def holt_winters_forecast_sql(
     beta: float = 0.1,
     gamma: float = 0.2,
     round_to: int = 6,
+    seasonal: str = "add",
+    damping: float | None = None,
 ) -> str:
     """Holt-Winters H-STEP EXTRAPOLATION per series — the actual
     forecast (:func:`holt_winters_sql` emits in-sample one-step fits;
-    a user deploying the forecaster wants ŷ_{t+h}).  Additive member:
+    a user deploying the forecaster wants ŷ_{t+h}).  All four ETS
+    members the in-sample family covers:
 
-        ŷ_{n+h} = (l_n + h·b_n) + s_{n+h−m}
+        ŷ_{n+h} = (l_n + Φ_h·b_n) ⊕ s_{n+h−m}
 
-    with the seasonal index wrapping the final m-slot queue
-    (position ((h−1) mod m) + 1 — slot i of the final queue is the
-    state for step i ahead).  Emits ``horizon`` future rows per
-    series: (day_x = last bucket + h on the dense-calendar contract,
-    h_step, hw_forecast).
+    with ⊕ = + (``seasonal='add'``) or × (``'mul'``) and Φ_h the
+    damped trend ladder Σ_{i=1..h} φ^i (Gardner & McKenzie 1985;
+    φ = 1 ⇒ Φ_h = h, the undamped line).  Each Φ_h is a
+    Python-computed ``repr`` literal riding the h-relation — both
+    engines parse identical doubles, and no in-SQL power function is
+    needed (pow stays banned).  The seasonal index wraps the final
+    m-slot queue (position ((h−1) mod m) + 1 — slot i of the final
+    queue is the state for step i ahead).  Emits ``horizon`` future
+    rows per series: (day_x = last bucket + h on the dense-calendar
+    contract, h_step, hw_forecast).
 
     Engine split: the SAME init/step machinery as holt_winters_sql
     (shared _hw_init_exprs/_hw_scalar_exprs text — Spark's
@@ -1012,16 +1020,33 @@ def holt_winters_forecast_sql(
     the fit array; DuckDB's recursion filtered to its final row), so
     (l_n, b_n, seas_n) are bit-equal by the existing proof, and the
     forecast is one shared fixed IEEE tree over them.  Same ≥ 2·period
-    HAVING dropout; same gap-free contract.
+    HAVING dropout (+ the positivity guard for 'mul'); same gap-free
+    contract.
     """
     from ._num import dec_to_double, round_double
 
+    if seasonal not in ("add", "mul"):
+        raise ValueError(f"seasonal must be 'add' or 'mul', got {seasonal!r}")
+    if damping is not None and not (0.0 < float(damping) <= 1.0):
+        raise ValueError(f"damping must be in (0, 1], got {damping}")
     m = int(period)
     h_max = int(horizon)
     if h_max < 1:
         raise ValueError(f"horizon must be >= 1, got {horizon}")
     rd = lambda e: round_double(e, round_to)  # noqa: E731
     l0, b0 = _hw_init_exprs(m)
+    s0_op = "/" if seasonal == "mul" else "-"
+    s_op = "*" if seasonal == "mul" else "+"
+    pos_guard = " AND MIN(y) > 0" if seasonal == "mul" else ""
+    phi = 1.0 if damping is None else float(damping)
+    ladder, acc_pow, acc_sum = [], 1.0, 0.0
+    for h in range(1, h_max + 1):
+        acc_pow = acc_pow * phi
+        acc_sum = acc_sum + acc_pow
+        ladder.append((h, acc_sum))
+    hs_rel = " UNION ALL ".join(
+        f"SELECT {h} AS h, {ps!r} AS ps" for h, ps in ladder
+    )
     if d.name == "spark":
         day = f"datediff(CAST({time_col} AS DATE), DATE '1970-01-01')"
     else:
@@ -1033,10 +1058,10 @@ def holt_winters_forecast_sql(
         yd_e = dec_to_double("e.y")
         step = _hw_scalar_exprs(
             "acc.l", "acc.b", "element_at(acc.seas, 1)", yd_e,
-            alpha, beta, gamma, "add", None,
+            alpha, beta, gamma, seasonal, damping,
         )
         s_h = f"element_at(fin.seas, ((h - 1) % {m}) + 1)"
-        fc = f"((fin.l + (CAST(h AS DOUBLE) * fin.b)) + {s_h})"
+        fc = f"((fin.l + (ps * fin.b)) {s_op} {s_h})"
         return f"""
     WITH _hfb AS (
       {bucket}
@@ -1050,7 +1075,7 @@ def holt_winters_forecast_sql(
                    ROW_NUMBER() OVER (PARTITION BY k ORDER BY x) AS rn
             FROM _hfb)
       GROUP BY k
-      HAVING COUNT(*) >= {2 * m}
+      HAVING COUNT(*) >= {2 * m}{pos_guard}
     ),
     _hff AS (
       SELECT k, element_at(arr, n).x AS last_x,
@@ -1058,7 +1083,7 @@ def holt_winters_forecast_sql(
           slice(arr, {m + 1}, n - {m}),
           named_struct('l', {l0}, 'b', {b0},
                        'seas', transform(slice(arr, 1, {m}),
-                                         e -> ({dec_to_double('e.y')} - {l0}))),
+                                         e -> ({dec_to_double('e.y')} {s0_op} {l0}))),
           (acc, e) -> named_struct(
               'l', {step['lnew']}, 'b', {step['bnew']},
               'seas', concat(slice(acc.seas, 2, {m - 1}), array({step['snew']})))
@@ -1069,13 +1094,13 @@ def holt_winters_forecast_sql(
            CAST(last_x + h AS BIGINT) AS day_x,
            CAST(h AS INT) AS h_step,
            {rd(fc)} AS hw_forecast
-    FROM _hff LATERAL VIEW explode(sequence(1, {h_max})) _t AS h
+    FROM _hff CROSS JOIN ({hs_rel}) _t
     """
     yd_b = dec_to_double("b.y")
     step = _hw_scalar_exprs("r.l", "r.b", "r.seas[1]", yd_b,
-                            alpha, beta, gamma, "add", None)
+                            alpha, beta, gamma, seasonal, damping)
     s_h = f"fin.seas[((h - 1) % {m}) + 1]"
-    fc = f"((fin.l + (CAST(h AS DOUBLE) * fin.b)) + {s_h})"
+    fc = f"((fin.l + (ps * fin.b)) {s_op} {s_h})"
     return f"""
     WITH RECURSIVE _hfb AS (
       {bucket}
@@ -1089,14 +1114,14 @@ def holt_winters_forecast_sql(
              CAST(MAX(x) AS BIGINT) AS last_x,
              CAST(SUM(y) FILTER (WHERE rn <= {m}) AS DECIMAL(27,6)) AS s1m,
              CAST(SUM(y) FILTER (WHERE rn > {m} AND rn <= {2 * m}) AS DECIMAL(27,6)) AS s2m
-      FROM _hfr0 GROUP BY k HAVING COUNT(*) >= {2 * m}
+      FROM _hfr0 GROUP BY k HAVING COUNT(*) >= {2 * m}{pos_guard}
     ),
     _hfi AS (
       SELECT k, n, last_x, {l0} AS l0, {b0} AS b0 FROM _hfa
     ),
     _hfs AS (
       SELECT b.k AS k,
-             list({dec_to_double('b.y')} - i.l0 ORDER BY b.rn) AS seas0
+             list({dec_to_double('b.y')} {s0_op} i.l0 ORDER BY b.rn) AS seas0
       FROM _hfr0 b JOIN _hfi i ON i.k = b.k
       WHERE b.rn <= {m}
       GROUP BY b.k
@@ -1119,7 +1144,7 @@ def holt_winters_forecast_sql(
            CAST(last_x + h AS BIGINT) AS day_x,
            CAST(h AS INT) AS h_step,
            {rd(fc)} AS hw_forecast
-    FROM _hff CROSS JOIN (SELECT unnest(generate_series(1, {h_max})) AS h) _t
+    FROM _hff CROSS JOIN ({hs_rel}) _t
     """
 
 
@@ -1135,6 +1160,8 @@ def holt_winters_forecast(
     beta: float = 0.1,
     gamma: float = 0.2,
     round_to: int = 6,
+    seasonal: str = "add",
+    damping: float | None = None,
 ) -> DataFrame:
     """DataFrame front door for :func:`holt_winters_forecast_sql`."""
     from ..functions.text_fns import SPARK as _S
@@ -1151,5 +1178,6 @@ def holt_winters_forecast(
             _S, view, value_col, time_col, group_col,
             period=period, horizon=horizon,
             alpha=alpha, beta=beta, gamma=gamma, round_to=round_to,
+            seasonal=seasonal, damping=damping,
         )
     )

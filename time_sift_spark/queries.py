@@ -45,6 +45,16 @@ def register(name: str, oracle: Optional[str] = None, headline: bool = False):
 
 INF_SQL = "CAST('infinity' AS DOUBLE)"
 
+# Planted-negative twin corpus for the multiplicative ETS members: the
+# 'refund' series carries negated purchase values so the positivity
+# guard (HAVING MIN(y) > 0) grades non-vacuously.
+_HW_MUL_SRC = (
+    "(SELECT ts, event_type, value FROM events"
+    " UNION ALL "
+    "SELECT ts, 'refund' AS event_type, -value AS value"
+    " FROM events WHERE event_type = 'purchase')"
+)
+
 
 def dsum(expr: str, nd: int = 4, over: str = "") -> str:
     """Cross-engine EXACT rounded sum (dialect-neutral SQL text).
@@ -10013,6 +10023,36 @@ def holt_winters_forecast_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hw_fc_dm_oracle() -> str:
+    from .operators.seasonal import holt_winters_forecast_sql
+
+    return holt_winters_forecast_sql(
+        DUCK, _HW_MUL_SRC, "value", "ts", "event_type",
+        period=7, horizon=7, seasonal="mul", damping=0.9,
+    )
+
+
+@register("hw_forecast_damped_mul_events", oracle=_hw_fc_dm_oracle())
+def hw_forecast_damped_mul_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The combined ETS(A,Ad,M) member EXTRAPOLATED: damped trend ×
+    multiplicative season in the h-step forecast ŷ_{n+h} =
+    (l + Φ_h·b)·s_wrap, with the Φ_h = Σφ^i ladder as Python-repr
+    literals riding the h-relation (no in-SQL pow — the ban holds).
+    Same planted-negative corpus as the in-sample combined member, so
+    the positivity guard grades in extrapolation too
+    (operators/seasonal.py:holt_winters_forecast_sql, seasonal='mul' +
+    damping)."""
+    from .functions.text_fns import SPARK as _S
+    from .operators.seasonal import holt_winters_forecast_sql
+
+    events = load_table(spark, "events", sf_dir)
+    events.createOrReplaceTempView("events")
+    return spark.sql(holt_winters_forecast_sql(
+        _S, _HW_MUL_SRC, "value", "ts", "event_type",
+        period=7, horizon=7, seasonal="mul", damping=0.9,
+    ))
+
+
 def _sdetect_oracle() -> str:
     from .operators.autocorr import season_detect_sql
 
@@ -10121,6 +10161,26 @@ def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return phrase_search(docs, "text", "doc_id", ["data", "slow"])
+
+
+@register("phrase_search_persisted_docs", oracle=_phrase_oracle())
+def phrase_search_persisted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """build_phrase_index → query_phrase_index two-step: the positional
+    explode is paid at build time and written term-clustered; the
+    query filters the persisted postings to its terms (pushed to the
+    scan) and runs the anchor groupBy on matching rows only — the
+    corpus tokenize subtree is absent from the serve plan.  The oracle
+    is the INLINE phrase statement — persisted ≡ inline, driver-checked
+    (the bm25_persisted contract on the positional half)
+    (operators/search.py:build_phrase_index, query_phrase_index)."""
+    from .operators.search import build_phrase_index, query_phrase_index
+
+    path = _index_dir("ts_phrase_index", sf_dir, "phrase_v1",
+                      table="documents")
+    if not _index_ready(path):
+        docs = load_table(spark, "documents", sf_dir)
+        build_phrase_index(docs, "text", "doc_id", path)
+    return query_phrase_index(spark, path, ["data", "slow"])
 
 
 def _croston_bucket_chunks(sf_dir: str) -> str:
@@ -10692,14 +10752,6 @@ def holt_winters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # strictly positive) plus a planted all-negative 'refund' series — the
 # zero-value guard (HAVING MIN(y) > 0) must drop it loudly, making the
 # guard's grade non-vacuous (the kcore3 lesson).  Dialect-neutral text.
-_HW_MUL_SRC = (
-    "(SELECT ts, event_type, value FROM events"
-    " UNION ALL "
-    "SELECT ts, 'refund' AS event_type, -value AS value"
-    " FROM events WHERE event_type = 'purchase')"
-)
-
-
 def _cd_oracle() -> str:
     from .operators.seasonal import classical_decompose_sql
 
@@ -10994,6 +11046,8 @@ GRADE_PRIORITY: list[str] = [
     "regression_report_events",
     "season_detect_events",
     "holt_winters_forecast_events",
+    "hw_forecast_damped_mul_events",
+    "phrase_search_persisted_docs",
     # -- CHANGED in r11 (substring excision plan+oracle rewrite;
     #    recall denominator; CDC NULL-key filter; symspell variant
     #    dedup; QQ tail refactor; LSH append write order; streaming
