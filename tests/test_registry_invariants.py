@@ -105,6 +105,24 @@ def test_staged_plan_exchange_counts_pinned(spark):
         "top_paths_events": 2,
         "classical_decompose_events": 2,
         "spearman_matrix_events": 1,
+        # r12 additions: ceilings at the measured executed-plan counts
+        # (staged frames where a shared CTE would replan per reference:
+        # logrank's subject reduction, MK/pettitt/theta buckets, AMS
+        # frequencies — unstaged they measured 16/12/4/9/10)
+        "logrank_events": 8,
+        "mann_kendall_events": 6,
+        "pettitt_events": 2,
+        "ams_f2_users_by_type": 6,
+        "theta_forecast_events": 4,
+        "session_paths_events": 4,
+        "ks_drift_events": 4,
+        "croston_events": 4,
+        "hampel_filter_events": 2,
+        "phrase_search_docs": 6,
+        "prop_ztest_events": 2,
+        "regression_report_events": 6,
+        "season_detect_events": 4,
+        "holt_winters_forecast_events": 4,
     }
     bad = []
     for name, cap in ceilings.items():

@@ -802,6 +802,7 @@ def theta_forecast_sql(
     *,
     alpha: float = 0.3,
     round_to: int = 6,
+    staged_centered: str | None = None,
 ) -> str:
     """Theta-method in-sample forecast per series (Assimakopoulos &
     Nikolopoulos 2000 — the M3 competition winner; θ = 2): decompose
@@ -839,6 +840,12 @@ def theta_forecast_sql(
     bucket = f"""SELECT {group_col} AS k, {day} AS x,
              CAST(SUM(CAST({value_col} AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS y
       FROM {table} GROUP BY {group_col}, {day}"""
+    thc_body = (
+        f"SELECT k, xc, x, y FROM {staged_centered}" if staged_centered
+        else """SELECT b.k AS k, b.x - m.xmin AS xc, b.x AS x, b.y AS y
+      FROM _thb b
+      JOIN (SELECT k, MIN(x) AS xmin FROM _thb GROUP BY k) m ON m.k = b.k"""
+    )
     # exact decimal sufficient statistics over the centered index; the
     # OLS combine runs in DOUBLES over their exact conversions (the
     # linear_trend convention — a products-of-sums decimal would blow
@@ -872,9 +879,7 @@ def theta_forecast_sql(
       {bucket}
     ),
     _thc AS (
-      SELECT b.k AS k, b.x - m.xmin AS xc, b.x AS x, b.y AS y
-      FROM _thb b
-      JOIN (SELECT k, MIN(x) AS xmin FROM _thb GROUP BY k) m ON m.k = b.k
+      {thc_body}
     ),
     _tha AS (
       {sums}
@@ -919,9 +924,7 @@ def theta_forecast_sql(
       {bucket}
     ),
     _thc AS (
-      SELECT b.k AS k, b.x - m.xmin AS xc, b.x AS x, b.y AS y
-      FROM _thb b
-      JOIN (SELECT k, MIN(x) AS xmin FROM _thb GROUP BY k) m ON m.k = b.k
+      {thc_body}
     ),
     _thn AS (
       SELECT k, xc, x, y, ROW_NUMBER() OVER (PARTITION BY k ORDER BY xc) AS rn
@@ -974,9 +977,29 @@ def theta_forecast(
     assert_time_dtype(df, time_col)
     view = "_ts_theta_in"
     df.createOrReplaceTempView(view)
+    # STAGE the centered bucket frame: it feeds the OLS stats AND the
+    # fold group, and its own build reads the bucket relation twice
+    # (rows + per-key min) — unstaged, Catalyst replans the bucket
+    # groupBy + scan per reference (9 exchanges measured).  The staged
+    # frame is |series|×|calendar| rows; the oracle keeps the
+    # one-statement form.
+    day = f"datediff(CAST({time_col} AS DATE), DATE '1970-01-01')"
+    cview = "_ts_theta_centered"
+    df.sparkSession.sql(f"""
+      WITH _thb AS (
+        SELECT {group_col} AS k, {day} AS x,
+               CAST(SUM(CAST({value_col} AS DECIMAL(18,6)))
+                    AS DECIMAL(18,6)) AS y
+        FROM {view} GROUP BY {group_col}, {day}
+      )
+      SELECT b.k AS k, b.x - m.xmin AS xc, b.x AS x, b.y AS y
+      FROM _thb b
+      JOIN (SELECT k, MIN(x) AS xmin FROM _thb GROUP BY k) m ON m.k = b.k
+    """).localCheckpoint(eager=False).createOrReplaceTempView(cview)
     return df.sparkSession.sql(
         theta_forecast_sql(_S, view, value_col, time_col, group_col,
-                           alpha=alpha, round_to=round_to)
+                           alpha=alpha, round_to=round_to,
+                           staged_centered=cview)
     )
 
 

@@ -1486,6 +1486,7 @@ def ams_f2_sql(
     *,
     d_est: int = 15,
     round_to: int = 2,
+    staged_freq: str | None = None,
 ) -> str:
     """AMS second-frequency-moment sketch per group (Alon, Matias &
     Szegedy 1996): estimate F₂ = Σ_v f_v² of the ``key_col`` frequency
@@ -1529,11 +1530,15 @@ def ams_f2_sql(
         med = f"element_at(array_sort(collect_list(x)), {(d_est + 1) // 2})"
     else:
         med = f"(list_sort(list(x)))[{(d_est + 1) // 2}]"
+    freq_body = (
+        f"SELECT g, v, f FROM {staged_freq}" if staged_freq
+        else (f"SELECT {group_col} AS g, {key_col} AS v, "
+              f"CAST(COUNT(*) AS BIGINT) AS f "
+              f"FROM {table} GROUP BY {group_col}, {key_col}")
+    )
     return f"""
     WITH _amf AS (
-      SELECT {group_col} AS g, {key_col} AS v,
-             CAST(COUNT(*) AS BIGINT) AS f
-      FROM {table} GROUP BY {group_col}, {key_col}
+      {freq_body}
     ),
     _amx AS (
       SELECT g, i, CAST(SUM({sgn} * f) AS BIGINT) AS sx
@@ -1575,7 +1580,17 @@ def ams_f2(
             raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
     view = "_ts_ams_in"
     df.createOrReplaceTempView(view)
+    # STAGE the frequency relation: _amf feeds both the sign-explode
+    # estimators and the exact audit — unstaged, Catalyst replans the
+    # (group, key) aggregation + scan per reference (10 exchanges
+    # measured).  The staged frame is |distinct keys| rows.
+    fview = "_ts_ams_freq"
+    df.sparkSession.sql(
+        f"SELECT {group_col} AS g, {key_col} AS v, "
+        f"CAST(COUNT(*) AS BIGINT) AS f FROM {view} "
+        f"GROUP BY {group_col}, {key_col}"
+    ).localCheckpoint(eager=False).createOrReplaceTempView(fview)
     return df.sparkSession.sql(
         ams_f2_sql(SPARK, view, key_col, group_col,
-                   d_est=d_est, round_to=round_to)
+                   d_est=d_est, round_to=round_to, staged_freq=fview)
     )

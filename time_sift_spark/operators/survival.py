@@ -36,8 +36,8 @@ from pyspark.sql import DataFrame
 
 from ..errors import ColumnNotFoundError
 
-__all__ = ["km_survival", "km_survival_sql", "logrank", "logrank_sql",
-           "nelson_aalen", "nelson_aalen_sql"]
+__all__ = ["km_survival", "km_survival_sql", "logrank", "logrank_lge_sql",
+           "logrank_sql", "nelson_aalen", "nelson_aalen_sql"]
 
 
 def km_survival_sql(
@@ -291,6 +291,68 @@ def nelson_aalen(
     )
 
 
+def logrank_lge_sql(
+    d,
+    table: str,
+    user_col: str,
+    time_col: str,
+    type_col: str,
+    start_type: str,
+    event_type: str,
+    horizon_date: str,
+) -> str:
+    """The (cohort, arm, dur) → (d_arm, removed) subject reduction of
+    the log-rank statement as a STANDALONE statement — the stageable
+    shared frame (referenced by both the pooled-time grid and the
+    at-risk union; unstaged, Catalyst replans the whole subject
+    reduction — two corpus scans + three aggregations — per
+    reference)."""
+    q = lambda s: "'" + s.replace("'", "''") + "'"  # noqa: E731
+    hz = f"DATE '{horizon_date}'"
+    if d.name == "spark":
+        day_diff = lambda a, b: f"datediff({a}, {b})"  # noqa: E731
+        cast_s = "STRING"
+    else:
+        day_diff = lambda a, b: f"datediff('day', {b}, {a})"  # noqa: E731
+        cast_s = "VARCHAR"
+    arm = f"({d.md5_long(f'CAST({user_col} AS {cast_s})')} % 2)"
+    week = "CAST(date_trunc('week', t0) AS TIMESTAMP)"
+    return f"""
+    WITH _lgs AS (
+      SELECT {user_col} AS uid, {arm} AS arm,
+             CAST(MIN(CASE WHEN {type_col} = {q(start_type)}
+                           THEN {time_col} END) AS DATE) AS t0
+      FROM {table}
+      GROUP BY {user_col}
+      HAVING MIN(CASE WHEN {type_col} = {q(start_type)}
+                 THEN {time_col} END) IS NOT NULL
+    ),
+    _lgev AS (
+      SELECT s.uid AS uid, s.arm AS arm, s.t0 AS t0,
+             MIN(CASE WHEN e.ok THEN e.td END) AS te
+      FROM _lgs s
+      LEFT JOIN (
+        SELECT {user_col} AS uid, CAST({time_col} AS DATE) AS td,
+               ({type_col} = {q(event_type)}) AS ok
+        FROM {table}
+      ) e ON e.uid = s.uid AND e.ok AND e.td >= s.t0 AND e.td <= {hz}
+      GROUP BY s.uid, s.arm, s.t0
+    ),
+    _lgsub AS (
+      SELECT uid, arm, {week} AS cohort,
+             CASE WHEN te IS NOT NULL THEN {day_diff('te', 't0')}
+                  ELSE {day_diff(hz, 't0')} END AS dur,
+             CASE WHEN te IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM _lgev
+      WHERE t0 <= {hz}
+    )
+    SELECT cohort, arm, dur,
+           CAST(SUM(ev) AS BIGINT) AS d_arm,
+           CAST(COUNT(*) AS BIGINT) AS removed
+    FROM _lgsub GROUP BY cohort, arm, dur
+    """
+
+
 def logrank_sql(
     d,
     table: str,
@@ -302,6 +364,7 @@ def logrank_sql(
     horizon_date: str,
     *,
     round_to: int = 6,
+    staged_lge: str | None = None,
 ) -> str:
     """Two-sample log-rank test per cohort (Mantel 1966; Peto & Peto
     1972): does arm A's time-to-event distribution differ from arm B's?
@@ -338,16 +401,12 @@ def logrank_sql(
     """
     from ._num import round_double
 
-    q = lambda s: "'" + s.replace("'", "''") + "'"  # noqa: E731
-    hz = f"DATE '{horizon_date}'"
-    if d.name == "spark":
-        day_diff = lambda a, b: f"datediff({a}, {b})"  # noqa: E731
-        cast_s = "STRING"
+    if staged_lge:
+        lge_body = f"SELECT * FROM {staged_lge}"
     else:
-        day_diff = lambda a, b: f"datediff('day', {b}, {a})"  # noqa: E731
-        cast_s = "VARCHAR"
-    arm = f"({d.md5_long(f'CAST({user_col} AS {cast_s})')} % 2)"
-    week = "CAST(date_trunc('week', t0) AS TIMESTAMP)"
+        inner = logrank_lge_sql(d, table, user_col, time_col, type_col,
+                                start_type, event_type, horizon_date)
+        lge_body = f"SELECT * FROM ({inner})"
     rd = lambda e: round_double(e, round_to)  # noqa: E731
     dsum6 = lambda e: (  # noqa: E731
         f"CAST(ROUND(SUM(CAST({e} AS DECIMAL(27,6))), 6) AS DOUBLE)"
@@ -362,39 +421,8 @@ def logrank_sql(
         " ELSE 0.0 END)"
     )
     return f"""
-    WITH _lgs AS (
-      SELECT {user_col} AS uid, {arm} AS arm,
-             CAST(MIN(CASE WHEN {type_col} = {q(start_type)}
-                           THEN {time_col} END) AS DATE) AS t0
-      FROM {table}
-      GROUP BY {user_col}
-      HAVING MIN(CASE WHEN {type_col} = {q(start_type)}
-                 THEN {time_col} END) IS NOT NULL
-    ),
-    _lgev AS (
-      SELECT s.uid AS uid, s.arm AS arm, s.t0 AS t0,
-             MIN(CASE WHEN e.ok THEN e.td END) AS te
-      FROM _lgs s
-      LEFT JOIN (
-        SELECT {user_col} AS uid, CAST({time_col} AS DATE) AS td,
-               ({type_col} = {q(event_type)}) AS ok
-        FROM {table}
-      ) e ON e.uid = s.uid AND e.ok AND e.td >= s.t0 AND e.td <= {hz}
-      GROUP BY s.uid, s.arm, s.t0
-    ),
-    _lgsub AS (
-      SELECT uid, arm, {week} AS cohort,
-             CASE WHEN te IS NOT NULL THEN {day_diff('te', 't0')}
-                  ELSE {day_diff(hz, 't0')} END AS dur,
-             CASE WHEN te IS NOT NULL THEN 1 ELSE 0 END AS ev
-      FROM _lgev
-      WHERE t0 <= {hz}
-    ),
-    _lge AS (
-      SELECT cohort, arm, dur,
-             CAST(SUM(ev) AS BIGINT) AS d_arm,
-             CAST(COUNT(*) AS BIGINT) AS removed
-      FROM _lgsub GROUP BY cohort, arm, dur
+    WITH _lge AS (
+      {lge_body}
     ),
     _lgt AS (
       SELECT cohort, dur FROM _lge
@@ -470,9 +498,22 @@ def logrank(
     assert_time_dtype(df, time_col)
     view = "_ts_logrank_in"
     df.createOrReplaceTempView(view)
+    # STAGE the subject reduction (lazy localCheckpoint): _lge is
+    # referenced by both the pooled-time grid and the at-risk union,
+    # and Catalyst inlines CTEs per reference — unstaged, the whole
+    # reduction (two corpus scans + three aggregations) replans twice
+    # (16 exchanges measured).  The staged frame is
+    # |cohorts|×|arms|×|durations| rows; the oracle keeps the
+    # one-statement form.
+    lview = "_ts_logrank_lge"
+    df.sparkSession.sql(
+        logrank_lge_sql(_S, view, user_col, time_col, type_col,
+                        start_type, event_type, horizon_date)
+    ).localCheckpoint(eager=False).createOrReplaceTempView(lview)
     return df.sparkSession.sql(
         logrank_sql(
             _S, view, user_col, time_col, type_col,
             start_type, event_type, horizon_date, round_to=round_to,
+            staged_lge=lview,
         )
     )

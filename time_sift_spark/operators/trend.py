@@ -279,6 +279,8 @@ def mann_kendall_sql(
     value_col: str,
     time_col: str,
     group_col: str,
+    *,
+    staged_bucket: str | None = None,
 ) -> str:
     """Per-series Mann-Kendall trend TEST (Mann 1945; Kendall 1975) over
     the daily-bucketed series: is there a monotone trend at all?  The
@@ -301,7 +303,10 @@ def mann_kendall_sql(
     bounded calendar), tie groups one more bounded groupBy.  Series
     with a single bucket drop out (no pairs — no test).
     """
-    bucket = _ts_bucket_select(d, table, value_col, time_col, group_col)
+    bucket = (
+        f"SELECT k, x, y FROM {staged_bucket}" if staged_bucket
+        else _ts_bucket_select(d, table, value_col, time_col, group_col)
+    )
     z = ("CASE WHEN var_s <= 0 THEN CAST(0.0 AS DOUBLE)"
          " WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)"
          " WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)"
@@ -359,8 +364,17 @@ def mann_kendall(
     assert_time_dtype(df, time_col)
     view = "_ts_mk_in"
     df.createOrReplaceTempView(view)
+    # STAGE the bucket frame (the theil_sen convention): _mkb is
+    # referenced four times (both pair arms, the tie groups) and
+    # Catalyst inlines CTEs per reference — unstaged, the bucket
+    # groupBy and its scan replanned 4× (12 exchanges measured).
+    bview = "_ts_mk_buckets"
+    df.sparkSession.sql(
+        _ts_bucket_select(_S, view, value_col, time_col, group_col)
+    ).localCheckpoint(eager=False).createOrReplaceTempView(bview)
     return df.sparkSession.sql(
-        mann_kendall_sql(_S, view, value_col, time_col, group_col)
+        mann_kendall_sql(_S, view, value_col, time_col, group_col,
+                         staged_bucket=bview)
     )
 
 
@@ -370,6 +384,8 @@ def pettitt_sql(
     value_col: str,
     time_col: str,
     group_col: str,
+    *,
+    staged_bucket: str | None = None,
 ) -> str:
     """Pettitt change-point test per series (Pettitt 1979): the
     rank-based, distribution-free companion of the CUSUM locator
@@ -393,7 +409,10 @@ def pettitt_sql(
     sum, and the argmax), O(n log n) where the textbook form is O(n²).
     Exact BIGINTs end-to-end; k_norm is a fixed 3-op IEEE tree.
     """
-    bucket = _ts_bucket_select(d, table, value_col, time_col, group_col)
+    bucket = (
+        f"SELECT k, x, y FROM {staged_bucket}" if staged_bucket
+        else _ts_bucket_select(d, table, value_col, time_col, group_col)
+    )
     return f"""
     WITH _ptb AS (
       {bucket}
@@ -401,7 +420,8 @@ def pettitt_sql(
     _ptv AS (
       SELECT k, x,
              (2 * (RANK() OVER (PARTITION BY k ORDER BY y) - 1)
-              + COUNT(*) OVER (PARTITION BY k, y)
+              + COUNT(*) OVER (PARTITION BY k ORDER BY y
+                  RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
               - COUNT(*) OVER (PARTITION BY k)) AS v,
              COUNT(*) OVER (PARTITION BY k) AS n,
              MAX(x) OVER (PARTITION BY k) AS xmax
@@ -451,6 +471,11 @@ def pettitt(
     assert_time_dtype(df, time_col)
     view = "_ts_pettitt_in"
     df.createOrReplaceTempView(view)
+    bview = "_ts_pettitt_buckets"
+    df.sparkSession.sql(
+        _ts_bucket_select(_S, view, value_col, time_col, group_col)
+    ).localCheckpoint(eager=False).createOrReplaceTempView(bview)
     return df.sparkSession.sql(
-        pettitt_sql(_S, view, value_col, time_col, group_col)
+        pettitt_sql(_S, view, value_col, time_col, group_col,
+                    staged_bucket=bview)
     )
