@@ -774,3 +774,36 @@ def test_phrase_index_persisted_equals_inline(spark, tmp_path):
         spark, path, ["new", "york"]
     )._jdf.queryExecution().executedPlan().toString()
     assert "split(" not in plan  # tokenizer absent: paid at build
+
+
+def test_phrase_index_append_equals_full_build(spark, tmp_path):
+    """build(A) + append(B) answers every phrase query exactly like
+    build(A ∪ B) — no corpus statistics exist, so the postings append
+    is the whole maintenance."""
+    from time_sift_spark.operators.search import (
+        append_phrase_index,
+        build_phrase_index,
+        query_phrase_index,
+    )
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["new york here", "only york", "new york new york", "no match"],
+    })
+    docs = spark.createDataFrame(pdf)
+    p_inc = str(tmp_path / "idx_inc")
+    build_phrase_index(docs.where("doc_id <= 2"), "text", "doc_id", p_inc)
+    append_phrase_index(docs.where("doc_id > 2"), p_inc)
+    p_full = str(tmp_path / "idx_full")
+    build_phrase_index(docs, "text", "doc_id", p_full)
+    inc = (
+        query_phrase_index(spark, p_inc, ["new", "york"])
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    full = (
+        query_phrase_index(spark, p_full, ["new", "york"])
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert inc.equals(full)
+    assert list(inc.doc_id) == [1, 3]
+    assert list(inc.n_matches) == [1, 2]

@@ -62,6 +62,7 @@ __all__ = [
     "phrase_search",
     "phrase_search_sql",
     "build_phrase_index",
+    "append_phrase_index",
     "query_phrase_index",
 ]
 
@@ -599,4 +600,33 @@ def query_phrase_index(
     )
     return anchors.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_matches")
+    )
+
+
+def append_phrase_index(
+    docs: DataFrame,
+    path: str,
+) -> None:
+    """Incremental maintenance for the POSITIONAL index: new documents
+    append their (term, id, pos) rows to ``{path}/postings_pos`` —
+    parquet append mode, old files' term-clustering untouched, new
+    files term-repartitioned among themselves.  Phrase matching has no
+    corpus-level statistics at all (anchors are purely within-doc), so
+    the append IS the whole maintenance — no stats merge, and
+    build(A) + append(B) ≡ build(A ∪ B) structurally (pinned in
+    tests).  Caller owns id uniqueness across appends (re-appending a
+    doc double-counts its matches, exactly as the corpus union would).
+    """
+    p = docs.sparkSession.read.parquet(f"{path}/params").collect()[0]
+    id_col, text_col = p["id_col"], p["text_col"]
+    for c in (text_col, id_col):
+        if c not in docs.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {docs.columns}")
+    postings = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.expr(SPARK.tokens(text_col)).alias("toks"))
+        .select(id_col, F.posexplode("toks").alias("pos", "term"))
+    )
+    postings.repartition("term").write.mode("append").parquet(
+        f"{path}/postings_pos"
     )

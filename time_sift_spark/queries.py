@@ -10183,6 +10183,29 @@ def phrase_search_persisted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query_phrase_index(spark, path, ["data", "slow"])
 
 
+@register("phrase_search_appended_docs", oracle=_phrase_oracle())
+def phrase_search_appended_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental phrase-index APPEND, driver-proven: build the
+    positional index on even doc_ids, append_phrase_index folds the
+    odd half in, and the oracle is the INLINE full-corpus phrase
+    statement — append ≡ one-shot rebuild is value-hash-proven (phrase
+    matching has no corpus statistics, so the postings append IS the
+    whole maintenance; the LSH-append posture with nothing to merge).
+    The index is pid-keyed fresh per run because appends mutate it
+    (operators/search.py:append_phrase_index)."""
+    from .operators.search import (
+        append_phrase_index,
+        build_phrase_index,
+        query_phrase_index,
+    )
+
+    path = _roundtrip_dir("ts_phrase_app_") + "/index"
+    docs = load_table(spark, "documents", sf_dir)
+    build_phrase_index(docs.where("doc_id % 2 = 0"), "text", "doc_id", path)
+    append_phrase_index(docs.where("doc_id % 2 = 1"), path)
+    return query_phrase_index(spark, path, ["data", "slow"])
+
+
 def _croston_bucket_chunks(sf_dir: str) -> str:
     """Chunk the FINALIZED nonzero-demand day buckets of the
     value-floored events source (_CROSTON_SRC) into 5 time-ordered
@@ -11048,6 +11071,7 @@ GRADE_PRIORITY: list[str] = [
     "holt_winters_forecast_events",
     "hw_forecast_damped_mul_events",
     "phrase_search_persisted_docs",
+    "phrase_search_appended_docs",
     # -- CHANGED in r11 (substring excision plan+oracle rewrite;
     #    recall denominator; CDC NULL-key filter; symspell variant
     #    dedup; QQ tail refactor; LSH append write order; streaming
