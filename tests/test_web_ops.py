@@ -96,3 +96,115 @@ def test_spelling_dedup_before_domain_cap():
     got, _ = _both(pdf, domain_cap_sample_sql, "doc_id", "url", cap=10)
     assert len(got) == 2
     assert set(got.url_norm) == {"https://site.com/x", "https://site.com/y"}
+
+
+# --------------------------------------------------------------------------
+# HTML → main-text extraction (r12)
+# --------------------------------------------------------------------------
+
+_PAGES = [
+    # 1: full page — title, style, script, comment, nav, unique body,
+    #    entities, footer
+    (
+        1,
+        '<html><head><title> Alpha &amp; Beta </title>'
+        "<style>body{margin:0}</style><script>var a=1;</script></head>"
+        '<body><div id="nav"><a href="/">Home</a> | <a href="/n">News</a>'
+        "</div><!-- cms --><h1>Unique heading one</h1>"
+        "<p>the quick brown fox jumps over the lazy dog</p>"
+        "<p>Tags: a &amp; b &lt;en&gt; #1</p>"
+        "<div>Copyright 2024 Example Media. All rights reserved.</div>"
+        "</body></html>",
+    ),
+    (
+        2,
+        '<body><div id="nav"><a href="/">Home</a> | <a href="/n">News</a>'
+        "</div><p>pack my box with five dozen liquor jugs</p>"
+        "<div>Copyright 2024 Example Media. All rights reserved.</div></body>",
+    ),
+    (
+        3,
+        '<body><div id="nav"><a href="/">Home</a> | <a href="/n">News</a>'
+        "</div><p>sphinx of black quartz judge my vow</p>"
+        "<div>Copyright 2024 Example Media. All rights reserved.</div></body>",
+    ),
+    # 4: page that is ALL chrome — extracts to ''
+    (
+        4,
+        '<body><div id="nav"><a href="/">Home</a> | <a href="/n">News</a>'
+        "</div><div>Copyright 2024 Example Media. All rights reserved.</div>"
+        "</body>",
+    ),
+]
+
+
+def _extract_both(pdf: pd.DataFrame, **kwargs):
+    from time_sift_spark.operators.web import html_extract, html_extract_sql
+
+    from tests.test_dialect_fuzz import _get_session
+
+    spark = _get_session()
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        html_extract(sdf, "doc_id", "html", **kwargs)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("_t_pages", pdf)
+    exp = (
+        con.execute(html_extract_sql(DUCK, "_t_pages", "doc_id", "html", **kwargs))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return got, exp
+
+
+def test_html_extract_rules_cross_engine():
+    pdf = pd.DataFrame(
+        {"doc_id": [p[0] for p in _PAGES], "html": [p[1] for p in _PAGES]}
+    )
+    got, exp = _extract_both(pdf, max_line_docs=2)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    by_id = {r.doc_id: r for r in got.itertuples()}
+    # title extracted and trimmed, entity decoded
+    assert by_id[1].title == "Alpha & Beta"
+    assert by_id[2].title == ""
+    # chrome lines (nav 3×>2, copyright 4×>2) dropped; prose kept
+    assert "Home" not in by_id[1].main_text
+    assert "Copyright" not in by_id[1].main_text
+    assert "the quick brown fox jumps over the lazy dog" in by_id[1].main_text
+    # script/style/comment content never surfaces
+    assert "var a=1" not in by_id[1].main_text
+    assert "margin" not in by_id[1].main_text
+    assert "cms" not in by_id[1].main_text
+    # entities decode exactly once; title text is a kept page line
+    assert "Tags: a & b <en> #1" in by_id[1].main_text
+    # all-chrome page extracts to '' but still emits its row
+    assert by_id[4].main_text == ""
+    assert by_id[4].n_kept == 0 and by_id[4].n_boiler == 2
+    # line accounting: n_lines = kept + boiler, nonempty only
+    assert all(r.n_lines == r.n_kept + r.n_boiler for r in got.itertuples())
+
+
+def test_html_extract_short_line_exemption_and_df_cap():
+    # the SAME short line ('Menu') in every page is EXEMPT from the df
+    # rule (< min_line_chars); a long repeated line is dropped only
+    # when df EXCEEDS the cap (> , not >=)
+    pages = [
+        (i, "<p>Menu</p><p>unique prose line number %d here</p>"
+            "<p>a repeated long boilerplate line</p>" % i)
+        for i in range(1, 5)
+    ]
+    pdf = pd.DataFrame({"doc_id": [p[0] for p in pages], "html": [p[1] for p in pages]})
+    got, exp = _extract_both(pdf, max_line_docs=4, min_line_chars=10)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # df == 4 == cap → kept (strictly-greater rule)
+    assert all("a repeated long boilerplate line" in t for t in got.main_text)
+    got2, exp2 = _extract_both(pdf, max_line_docs=3, min_line_chars=10)
+    pd.testing.assert_frame_equal(got2, exp2, check_dtype=False)
+    assert all("a repeated long boilerplate line" not in t for t in got2.main_text)
+    # short 'Menu' survives every cap
+    assert all("Menu" in t for t in got2.main_text)

@@ -35,6 +35,10 @@ __all__ = [
     "url_parts_ctes",
     "url_normalize_sql",
     "domain_cap_sample_sql",
+    "html_title_expr",
+    "html_text_expr",
+    "html_extract_sql",
+    "html_extract",
 ]
 
 # Multi-part public suffixes recognized by the registered-domain rule.
@@ -253,3 +257,246 @@ def domain_cap_sample_sql(
     WHERE domain_rank <= {cap}
     ORDER BY registered_domain, domain_rank
     """
+
+
+# --------------------------------------------------------------------------
+# HTML → main-text extraction (the step BEFORE url/dedup/quality in a real
+# crawl pipeline: raw pages arrive as markup, not clean text)
+# --------------------------------------------------------------------------
+
+# The six entities every extractor must decode (the HTML4 core set that
+# appears in running prose).  Decode order matters: named/numeric forms
+# first, '&amp;' LAST, so '&amp;lt;' decodes to the literal '&lt;' the
+# author escaped, never to '<' (the standard single-pass contract).
+_HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+# Tags whose CLOSE marks the end of a block of prose: each becomes a
+# newline so the line-level boilerplate rule sees the page's visual
+# line structure.  <br> is the one VOID tag with line semantics.
+_BLOCK_END_PATTERN = (
+    "(?i)</(p|div|h[1-6]|li|tr|td|th|blockquote|title|article|section"
+    "|header|footer|nav|ul|ol|table)>|<br[^>]*>"
+)
+
+
+def _rx_sub_nl(d: Dialect, col: str, pattern: str) -> str:
+    """Global regex substitution with a NEWLINE replacement (chr(10) —
+    an expression, not a quoted literal, so neither engine's string-
+    escape rules are in play)."""
+    if d.name == "spark":
+        return f"regexp_replace({col}, {d._q(pattern)}, chr(10))"
+    return f"regexp_replace({col}, {d._q(pattern)}, chr(10), 'g')"
+
+
+def _entity_decode(d: Dialect, e: str) -> str:
+    """Chain the six core entity replaces over an expression
+    ('&amp;' last — see _HTML_ENTITIES)."""
+    for ent, ch in _HTML_ENTITIES:
+        e = f"replace({e}, {d._q(ent)}, {d._q(ch)})"
+    return e
+
+
+def html_title_expr(d: Dialect, col: str) -> str:
+    """The page's <title> text (trimmed, entities decoded; '' when the
+    page has none).  Both engines' regexp_extract return '' on no
+    match."""
+    raw = f"trim(regexp_extract({col}, {d._q('(?is)<title[^>]*>(.*?)</title>')}, 1))"
+    return _entity_decode(d, raw)
+
+
+def html_text_expr(d: Dialect, col: str) -> str:
+    """Markup-stripped page text with the block line structure kept.
+
+    The fixed strip chain (each stage is one global engine-native regex
+    pass — Java regex on Spark, RE2 on DuckDB; every pattern below sits
+    in the common subset: inline (?is) flags, non-greedy '.*?',
+    character classes — no backreferences, which RE2 lacks):
+
+    1. comments ``<!-- … -->`` → ' '  (they may CONTAIN markup; first)
+    2. ``<script>…</script>`` / ``<style>…</style>`` blocks → ' '
+       (their CONTENT is code, not prose — two passes because RE2 has
+       no backreference to share one)
+    3. block-closing tags and ``<br>`` → newline (visual line
+       structure becomes literal line structure)
+    4. every remaining tag ``<[^>]*>`` → ' '  (inline markup vanishes,
+       its text content survives)
+    5. the six core entities decode ('&amp;' last)
+    6. horizontal whitespace collapses to single spaces
+
+    Line-level trim/empty-drop happens in :func:`html_extract_sql`
+    (the split side), not here — this expression stays a pure per-row
+    projection that pipelines into the scan (zero shuffle).
+    """
+    e = d.regexp_sub(col, "(?s)<!--.*?-->", " ")
+    e = d.regexp_sub(e, "(?is)<script[^>]*>.*?</script>", " ")
+    e = d.regexp_sub(e, "(?is)<style[^>]*>.*?</style>", " ")
+    e = _rx_sub_nl(d, e, _BLOCK_END_PATTERN)
+    e = d.regexp_sub(e, "<[^>]*>", " ")
+    e = _entity_decode(d, e)
+    e = d.regexp_sub(e, "[ \\t\\r]+", " ")
+    return e
+
+
+def _hx_tail(
+    d: Dialect,
+    id_col: str,
+    *,
+    max_line_docs: int,
+    min_line_chars: int,
+) -> str:
+    """The extraction tail over an ``_hx0`` relation (did, title,
+    stripped) — shared VERBATIM by the one-statement form
+    (:func:`html_extract_sql`, the oracle) and the staged front door
+    (:func:`html_extract`), the _qq_tail/_drift_combine_sql shared-text
+    discipline, so staged ≡ one-statement is structural."""
+    lines_arr = d.split("stripped", "\\n")
+    if d.name == "spark":
+        ex = (
+            f"SELECT did, pos, trim(line) AS line FROM "
+            f"(SELECT did, {lines_arr} AS _ls FROM _hx0) "
+            f"LATERAL VIEW posexplode(_ls) t AS pos, line"
+        )
+        reasm = (
+            "concat_ws(chr(10), transform(array_sort(collect_list("
+            "CASE WHEN NOT boiler THEN struct(pos, line) END)), s -> s.line))"
+        )
+    else:
+        ex = (
+            f"SELECT did, i AS pos, trim(_ls[i]) AS line FROM "
+            f"(SELECT did, _ls, unnest(range(1, len(_ls) + 1)) AS i FROM "
+            f"(SELECT did, {lines_arr} AS _ls FROM _hx0))"
+        )
+        reasm = (
+            "string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT boiler)"
+        )
+    return f"""
+    _hxl AS (
+      SELECT did, pos, line,
+             CASE WHEN length(line) >= {int(min_line_chars)}
+                  THEN {d.md5_long("line")} END AS lkey
+      FROM ({ex}) _hxe
+      WHERE length(line) > 0
+    ),
+    _hxf AS (
+      SELECT lkey, COUNT(DISTINCT did) AS ndocs
+      FROM _hxl WHERE lkey IS NOT NULL GROUP BY lkey
+    ),
+    _hxg AS (
+      SELECT l.did, l.pos, l.line,
+             (l.lkey IS NOT NULL
+              AND COALESCE(f.ndocs, 0) > {int(max_line_docs)}) AS boiler
+      FROM _hxl l LEFT JOIN _hxf f ON f.lkey = l.lkey
+    ),
+    _hxa AS (
+      SELECT did,
+             COUNT(*) AS n_lines,
+             SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS n_boiler,
+             {reasm} AS main_text
+      FROM _hxg GROUP BY did
+    )
+    SELECT b.did AS {id_col}, b.title,
+           COALESCE(a.main_text, '') AS main_text,
+           CAST(COALESCE(a.n_lines, 0) AS BIGINT) AS n_lines,
+           CAST(COALESCE(a.n_lines, 0) - COALESCE(a.n_boiler, 0) AS BIGINT) AS n_kept,
+           CAST(COALESCE(a.n_boiler, 0) AS BIGINT) AS n_boiler
+    FROM _hx0 b LEFT JOIN _hxa a ON a.did = b.did
+    """
+
+
+def html_extract_sql(
+    d: Dialect,
+    table: str,
+    id_col: str,
+    html_col: str,
+    *,
+    max_line_docs: int = 5,
+    min_line_chars: int = 10,
+) -> str:
+    """HTML → main-text extraction: strip markup, then drop BOILERPLATE
+    lines — the trafilatura/jusText step that turns a crawled page into
+    training prose, re-based from per-page DOM heuristics to the
+    engine's cross-corpus signal (the line_dedup/CCNet df rule,
+    operators/dedup.py:line_dedup_sql): a line whose trimmed content
+    appears in more than ``max_line_docs`` documents is chrome
+    (navigation, cookie banners, share prompts, footers) — boilerplate
+    repeats ACROSS pages while body prose does not.  Per-page
+    extractors guess from tag context; the corpus-level rule MEASURES
+    repetition, which is the scalable signal (Wenzek et al. 2020
+    §3.1 applied at line granularity).
+
+    Chain: :func:`html_text_expr` (per-row strip projection) → split
+    on newline → trim each line → EMPTY lines drop structurally (markup
+    residue, not content — unlike line_dedup's blank-line exemption,
+    an extractor's output has no formatting to preserve) → short
+    non-empty lines (< ``min_line_chars``) are EXEMPT from the df rule
+    (headings, bullets) → one partial-aggregated line-key frequency
+    count → key join back → per-doc ordered reassembly.
+
+    Output: one row per input page — ({id_col}, title, main_text,
+    n_lines, n_kept, n_boiler) where n_lines counts NON-EMPTY stripped
+    lines and n_boiler the ones the df rule removed.  Pages whose every
+    line is boilerplate extract to ''.
+
+    Scale shape (the line_dedup posture): the strip chain and the split
+    pipeline into the scan; ONE shuffle on the 60-bit line key for the
+    frequency count (a line shared by a million pages costs one
+    counter, never a pair join); ONE broadcast-friendly key join back;
+    ONE groupBy(doc) reassembly.  The ``_hx0`` strip relation is
+    referenced twice (explode chain + final join) — the Spark front
+    door (:func:`html_extract`) STAGES it so the 6-pass regex chain
+    runs once; the one-statement form here is the oracle/portability
+    rendering.  The reference engine (a Rust lag-matrix crate,
+    src/lib.rs) has no text surface; this is charter extension surface
+    (SURVEY.md §2.5).
+    """
+    return f"""
+    WITH _hx0 AS (
+      SELECT {id_col} AS did, {html_title_expr(d, html_col)} AS title,
+             {html_text_expr(d, html_col)} AS stripped
+      FROM {table}
+    ),
+    {_hx_tail(d, id_col, max_line_docs=max_line_docs,
+              min_line_chars=min_line_chars).strip()}
+    """
+
+
+def html_extract(
+    df,
+    id_col: str,
+    html_col: str,
+    *,
+    max_line_docs: int = 5,
+    min_line_chars: int = 10,
+):
+    """DataFrame front door for :func:`html_extract_sql`, with the
+    strip relation STAGED (lazy localCheckpoint — the theil_sen/logrank
+    convention): ``_hx0`` feeds both the explode chain and the final
+    per-page join, and Catalyst inlines CTEs per reference, so the
+    one-statement form would run the 6-pass regex chain twice."""
+    from ..errors import ColumnNotFoundError
+    from ..functions.text_fns import SPARK as _S
+
+    for c in (id_col, html_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    spark = df.sparkSession
+    view = "_ts_hx_in"
+    df.createOrReplaceTempView(view)
+    staged = spark.sql(f"""
+        SELECT {id_col} AS did, {html_title_expr(_S, html_col)} AS title,
+               {html_text_expr(_S, html_col)} AS stripped
+        FROM {view}
+    """).localCheckpoint(eager=False)
+    staged.createOrReplaceTempView("_ts_hx0_staged")
+    return spark.sql(f"""
+    WITH _hx0 AS (SELECT * FROM _ts_hx0_staged),
+    {_hx_tail(_S, id_col, max_line_docs=max_line_docs,
+              min_line_chars=min_line_chars).strip()}
+    """)
