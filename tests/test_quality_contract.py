@@ -371,3 +371,69 @@ def test_streaming_burst_detect_equals_batch_at_drain(spark, tmp_path):
     pd.testing.assert_frame_equal(got, want)
     a = got[got.k == "a"]
     assert bool(a.flagged.any()) and not bool(got[got.k == "b"].flagged.any())
+
+
+def test_streaming_ks_drift_equals_batch_at_drain(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    from time_sift_spark.operators.quality import ks_test_binned, streaming_ks_test
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for day in range(20):
+        ts = pd.Timestamp("2024-01-01") + pd.Timedelta(days=day)
+        for _ in range(25):
+            # 'a' shifts +300 after the split (crosses many 2-unit bins);
+            # 'b' is stable
+            rows.append(("a", ts, rng.uniform(100, 300) + (300 if day >= 10 else 0)))
+            rows.append(("b", ts, rng.uniform(400, 600)))
+    pdf = pd.DataFrame(rows, columns=["k", "ts", "v"])
+    path = str(tmp_path / "src")
+    spark.createDataFrame(pdf).coalesce(4).write.parquet(path)
+    static = spark.read.parquet(path)
+    stream = spark.readStream.schema("k string, ts timestamp, v double").parquet(path)
+    got = (
+        streaming_ks_test(
+            stream, static, "v", "ts", "k", "2024-01-11",
+            query_name="t_ks_stream",
+        )
+        .toPandas().sort_values("k").reset_index(drop=True)
+    )
+    want = (
+        ks_test_binned(static, "v", "ts", "k", "2024-01-11")
+        .toPandas().sort_values("k").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    a, b = got.set_index("k").loc["a"], got.set_index("k").loc["b"]
+    assert bool(a.drifted) and not bool(b.drifted)
+
+
+def test_ks_binned_lower_bounds_exact_and_bin_granularity(spark):
+    import pandas as pd
+
+    from time_sift_spark.operators.quality import ks_test, ks_test_binned
+
+    # drift strictly INSIDE one bin: [0,1000)/500 → bin width 2; ref
+    # values 100.2, cur values 100.8 — same bin 50, exact D = 1.0
+    t_ref = pd.Timestamp("2024-01-05")
+    t_cur = pd.Timestamp("2024-01-20")
+    rows = [("g", t_ref, 100.2)] * 30 + [("g", t_cur, 100.8)] * 30
+    # a second group drifting ACROSS bins: 100 → 500
+    rows += [("h", t_ref, 100.0)] * 30 + [("h", t_cur, 500.0)] * 30
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["k", "ts", "v"]))
+    exact = (
+        ks_test(df, "v", "ts", "k", "2024-01-11")
+        .toPandas().set_index("k")
+    )
+    binned = (
+        ks_test_binned(df, "v", "ts", "k", "2024-01-11")
+        .toPandas().set_index("k")
+    )
+    # lower-bound contract: D̂ ≤ D for every group
+    assert (binned.d_stat <= exact.d_stat + 1e-12).all()
+    # sub-bin shift is invisible to the quantized form, total to exact
+    assert exact.loc["g"].d_stat == 1.0 and binned.loc["g"].d_stat == 0.0
+    assert not bool(binned.loc["g"].drifted)
+    # cross-bin shift: both see it fully
+    assert binned.loc["h"].d_stat == 1.0 and bool(binned.loc["h"].drifted)

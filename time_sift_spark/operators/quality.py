@@ -910,6 +910,48 @@ def streaming_quantile_drift(
     """)
 
 
+def _ks_tail(group_col: str, round_to: int) -> str:
+    """The cumulative-ECDF / max-gap / decision tail over a ``_ks0``
+    relation (g, v, c_ref, c_cur) — shared VERBATIM by the exact form
+    (:func:`ks_test_sql`, v = raw value), the binned form
+    (:func:`ks_test_binned_sql`, v = bin index), and the streaming
+    twin's drain combine (the _qq_tail shared-text discipline), so
+    every KS spelling computes the identical IEEE tree."""
+    from ._num import round_double
+
+    rd = lambda e: round_double(e, round_to)  # noqa: E731
+    ecdf_gap = (
+        "ABS((CAST(cum_ref AS DOUBLE) / CAST(n_ref AS DOUBLE))"
+        " - (CAST(cum_cur AS DOUBLE) / CAST(n_cur AS DOUBLE)))"
+    )
+    return f"""_ks1 AS (
+      SELECT g, v,
+             SUM(c_ref) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ref,
+             SUM(c_cur) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cur,
+             SUM(c_ref) OVER (PARTITION BY g) AS n_ref,
+             SUM(c_cur) OVER (PARTITION BY g) AS n_cur
+      FROM _ks0
+    ),
+    _ks2 AS (
+      SELECT g,
+             CAST(MAX(n_ref) AS BIGINT) AS n_ref,
+             CAST(MAX(n_cur) AS BIGINT) AS n_cur,
+             MAX({ecdf_gap}) AS d_stat
+      FROM _ks1
+      WHERE n_ref > 0 AND n_cur > 0
+      GROUP BY g
+    )
+    SELECT g AS {group_col}, n_ref, n_cur,
+           {rd('d_stat')} AS d_stat,
+           {rd('(1.358 * sqrt(CAST(n_ref + n_cur AS DOUBLE) '
+               '/ CAST(n_ref * n_cur AS DOUBLE)))')} AS d_crit,
+           d_stat > (1.358 * sqrt(CAST(n_ref + n_cur AS DOUBLE)
+                     / CAST(n_ref * n_cur AS DOUBLE))) AS drifted
+    FROM _ks2"""
+
+
 def ks_test_sql(
     d,
     table: str,
@@ -941,14 +983,7 @@ def ks_test_sql(
     posture); the cumulative counts and the final MAX ride ONE window
     exchange on the group key; output is |groups| rows.
     """
-    from ._num import round_double
-
     split = f"TIMESTAMP '{split_date} 00:00:00'"
-    rd = lambda e: round_double(e, round_to)  # noqa: E731
-    ecdf_gap = (
-        "ABS((CAST(cum_ref AS DOUBLE) / CAST(n_ref AS DOUBLE))"
-        " - (CAST(cum_cur AS DOUBLE) / CAST(n_cur AS DOUBLE)))"
-    )
     return f"""
     WITH _ks0 AS (
       SELECT {group_col} AS g, {value_col} AS v,
@@ -959,32 +994,7 @@ def ks_test_sql(
       FROM {table}
       GROUP BY {group_col}, {value_col}
     ),
-    _ks1 AS (
-      SELECT g, v,
-             SUM(c_ref) OVER (PARTITION BY g ORDER BY v
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ref,
-             SUM(c_cur) OVER (PARTITION BY g ORDER BY v
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cur,
-             SUM(c_ref) OVER (PARTITION BY g) AS n_ref,
-             SUM(c_cur) OVER (PARTITION BY g) AS n_cur
-      FROM _ks0
-    ),
-    _ks2 AS (
-      SELECT g,
-             CAST(MAX(n_ref) AS BIGINT) AS n_ref,
-             CAST(MAX(n_cur) AS BIGINT) AS n_cur,
-             MAX({ecdf_gap}) AS d_stat
-      FROM _ks1
-      WHERE n_ref > 0 AND n_cur > 0
-      GROUP BY g
-    )
-    SELECT g AS {group_col}, n_ref, n_cur,
-           {rd('d_stat')} AS d_stat,
-           {rd('(1.358 * sqrt(CAST(n_ref + n_cur AS DOUBLE) '
-               '/ CAST(n_ref * n_cur AS DOUBLE)))')} AS d_crit,
-           d_stat > (1.358 * sqrt(CAST(n_ref + n_cur AS DOUBLE)
-                     / CAST(n_ref * n_cur AS DOUBLE))) AS drifted
-    FROM _ks2
+    {_ks_tail(group_col, round_to)}
     """
 
 
@@ -1011,3 +1021,177 @@ def ks_test(
         ks_test_sql(_S, view, value_col, time_col, group_col, split_date,
                     round_to=round_to)
     )
+
+
+def ks_test_binned_sql(
+    d,
+    table: str,
+    value_col: str,
+    time_col: str,
+    group_col: str,
+    split_date: str,
+    *,
+    lo: float = 0.0,
+    hi: float = 1000.0,
+    bins: int = 500,
+    round_to: int = 6,
+) -> str:
+    """QUANTIZED two-sample KS drift test: the max ECDF gap evaluated
+    at the ``bins`` right edges of a fixed [lo, hi) histogram instead
+    of at every observed value — the bounded-state member of the KS
+    pair, and the batch statement the streaming twin
+    (:func:`streaming_ks_test`) drains into (its oracle).
+
+    Contract vs the exact form (:func:`ks_test_sql`) — the quantized
+    statistic is a LOWER BOUND: D̂ = max over bin edges ≤ D = sup over
+    all values (the sup ranges over a subset of thresholds), so
+
+    * any drift D̂ detects is REAL (no new false positives — the
+      decision threshold is unchanged and the test only gets more
+      conservative);
+    * drift concentrated STRICTLY INSIDE one bin is invisible: D̂
+      underestimates D by at most the larger side's within-bin ECDF
+      mass, so detection granularity is the bin width
+      (hi − lo)/bins — 2 value units at the defaults.  Size bins to
+      the shift you must catch.
+
+    Same _ks0-shape head as the exact form with v = the bin index
+    (the histogram sketch's clamped-bin expression, _hq_parts text);
+    the cumulative/max/decision tail is the SHARED ``_ks_tail`` —
+    identical IEEE tree.  State/shape: the (group, bin) relation is
+    ≤ |groups|·bins rows regardless of input volume (the mergeable-
+    sketch posture), partial-aggregated map-side; one window exchange
+    on the group key; |groups| rows out.
+    """
+    from .sketch import _hq_parts
+
+    split = f"TIMESTAMP '{split_date} 00:00:00'"
+    bin_expr, _ = _hq_parts(value_col, lo, hi, bins)
+    return f"""
+    WITH _ks0 AS (
+      SELECT {group_col} AS g, {bin_expr} AS v,
+             CAST(SUM(CASE WHEN {time_col} < {split} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_ref,
+             CAST(SUM(CASE WHEN {time_col} >= {split} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_cur
+      FROM {table}
+      WHERE {value_col} IS NOT NULL
+      GROUP BY {group_col}, {bin_expr}
+    ),
+    {_ks_tail(group_col, round_to)}
+    """
+
+
+def ks_test_binned(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    group_col: str,
+    split_date: str,
+    *,
+    lo: float = 0.0,
+    hi: float = 1000.0,
+    bins: int = 500,
+    round_to: int = 6,
+) -> DataFrame:
+    """DataFrame front door for :func:`ks_test_binned_sql`."""
+    from ..functions.text_fns import SPARK as _S
+    from ._time import assert_time_dtype
+
+    for c in (value_col, time_col, group_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    assert_time_dtype(df, time_col)
+    view = "_ts_ksb_in"
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(
+        ks_test_binned_sql(_S, view, value_col, time_col, group_col,
+                           split_date, lo=lo, hi=hi, bins=bins,
+                           round_to=round_to)
+    )
+
+
+def streaming_ks_test(
+    stream_df: DataFrame,
+    static_df: DataFrame,
+    value_col: str,
+    time_col: str,
+    group_col: str,
+    split_date: str,
+    *,
+    lo: float = 0.0,
+    hi: float = 1000.0,
+    bins: int = 500,
+    round_to: int = 6,
+    query_name: str,
+) -> DataFrame:
+    """Continuous KS drift — the streaming_quantile_drift recipe
+    applied to the KS statistic: the CURRENT window arrives as a
+    stream whose per-micro-batch state is the bounded (group, bin)
+    count aggregation (complete mode, ≤ |groups|·bins rows regardless
+    of stream volume — the contract an exact streaming KS cannot make,
+    since a raw-value ECDF's support grows with the stream); the
+    REFERENCE side's bin counts come from the static frame the monitor
+    was armed with.  At drain, base ∪ drained-current counts rebuild
+    the ``_ks0`` relation and the SHARED ``_ks_tail`` computes the
+    identical quantized statistic, so drain ≡ batch over everything
+    that arrived is structural and the registered query's oracle IS
+    :func:`ks_test_binned_sql`'s statement.  What the quantized D̂ can
+    and cannot detect is that function's documented contract (lower
+    bound; granularity = bin width).
+
+    The stream side bins values with the SAME rendered bin expression
+    (``_hq_parts`` text) before aggregating, and derives its session
+    from the input frame (the foreachBatch-clone discipline).
+    """
+    from pyspark.sql import functions as F
+
+    from .sketch import _hq_parts
+
+    for c in (value_col, time_col, group_col):
+        for frame, tag in ((stream_df, "stream"), (static_df, "static")):
+            if c not in frame.columns:
+                raise ColumnNotFoundError(
+                    f"column {c!r} not in {tag} frame {frame.columns}"
+                )
+    spark = static_df.sparkSession
+    before = f"({time_col} < TIMESTAMP '{split_date} 00:00:00')"
+    bin_expr, _ = _hq_parts(value_col, lo, hi, bins)
+
+    # reference side (batch): (k, _bin, _c)
+    sview = "_ts_sks_static"
+    static_df.createOrReplaceTempView(sview)
+    base_counts = spark.sql(f"""
+        SELECT {group_col} AS k, {bin_expr} AS _bin,
+               CAST(COUNT(*) AS BIGINT) AS _c
+        FROM {sview}
+        WHERE {value_col} IS NOT NULL AND {before}
+        GROUP BY {group_col}, {bin_expr}
+    """)
+
+    # current side (stream): same bin text, bounded complete-mode counts
+    cur = (
+        stream_df.where(F.expr(f"{value_col} IS NOT NULL AND NOT {before}"))
+        .selectExpr(f"{group_col} AS k", f"{bin_expr} AS _bin")
+        .groupBy("k", "_bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    from ..streaming.lag_stream import run_stream_to_df
+
+    drained = run_stream_to_df(cur, query_name, output_mode="complete")
+
+    # merge: the two tagged count relations rebuild _ks0, then the
+    # shared tail (rendered text, not a re-derivation)
+    base_counts.createOrReplaceTempView("_ts_sks_base")
+    drained.createOrReplaceTempView("_ts_sks_cur")
+    return spark.sql(f"""
+    WITH _ks0 AS (
+      SELECT COALESCE(b.k, c.k) AS g,
+             COALESCE(b._bin, c._bin) AS v,
+             CAST(COALESCE(b._c, 0) AS BIGINT) AS c_ref,
+             CAST(COALESCE(c._c, 0) AS BIGINT) AS c_cur
+      FROM _ts_sks_base b
+      FULL OUTER JOIN _ts_sks_cur c ON c.k = b.k AND c._bin = b._bin
+    ),
+    {_ks_tail(group_col, round_to)}
+    """)

@@ -11088,6 +11088,61 @@ def pipeline_html_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Quantized KS drift: bounded-state batch form + streaming twin
+# (operators/quality.py) — SURVEY §2.5 r12
+# --------------------------------------------------------------------------
+
+
+def _ks_binned_oracle() -> str:
+    from .operators.quality import ks_test_binned_sql
+
+    return ks_test_binned_sql(
+        DUCK, "events", "value", "ts", "event_type", "2024-01-16"
+    )
+
+
+@register("ks_drift_binned_events", oracle=_ks_binned_oracle())
+def ks_drift_binned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized KS drift per event type: the max ECDF gap evaluated at
+    the 500 right edges of the fixed [0, 1000) histogram — the
+    bounded-state member of the KS pair and the statement the
+    streaming twin drains into.  D̂ is a LOWER BOUND of the exact D
+    (sup over a threshold subset): flags it raises are real, drift
+    strictly inside one 2-unit bin is invisible — the documented
+    price of (group, bin)-bounded state.  One map-side partial agg to
+    ≤ |groups|·500 rows, one group-key window exchange
+    (operators/quality.py:ks_test_binned)."""
+    from .operators.quality import ks_test_binned
+
+    events = load_table(spark, "events", sf_dir)
+    return ks_test_binned(events, "value", "ts", "event_type", "2024-01-16")
+
+
+@register("streaming_ks_drift_events", oracle=_ks_binned_oracle())
+def streaming_ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ks_drift_binned_events: the current window
+    arrives as a replayed stream whose per-micro-batch state is the
+    bounded (group, bin) count aggregation — the contract an EXACT
+    streaming KS cannot make (a raw-value ECDF's support grows with
+    the stream); the reference side's counts come from the static
+    frame the monitor was armed with.  At drain, base ∪ current
+    counts rebuild the _ks0 relation and the SHARED _ks_tail computes
+    the identical quantized statistic — drain ≡ batch is structural,
+    so the oracle IS the batch statement
+    (operators/quality.py:streaming_ks_test)."""
+    from .operators.quality import streaming_ks_test
+    from .sources.catalog import read_events_stream
+    from .streaming.lag_stream import _next_stream_name
+
+    stream = read_events_stream(spark, sf_dir)
+    static = load_table(spark, "events", sf_dir)
+    return streaming_ks_test(
+        stream, static, "value", "ts", "event_type", "2024-01-16",
+        query_name=_next_stream_name("ksdrift"),
+    )
+
+
 def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
     """Every registry callable must work on a session the engine didn't
     build (the external harness's bare SparkSession) — set the runtime
@@ -11143,6 +11198,8 @@ GRADE_PRIORITY: list[str] = [
     # -- NEW in r12 (inserted as registered this round) --
     "html_extract_docs",
     "pipeline_html_quality_docs",
+    "ks_drift_binned_events",
+    "streaming_ks_drift_events",
     # -- changed in r11, never driver-regraded (excision plan+oracle
     #    rewrite; recall denominator; CDC NULL-key filter; symspell
     #    variant dedup; QQ tail refactor; LSH append write order;
