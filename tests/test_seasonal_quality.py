@@ -96,3 +96,77 @@ def test_mad_constant_group_null_flag(spark):
     out = mad_outliers(spark.createDataFrame(pdf), "v", partition_by="sid").toPandas()
     assert out.is_outlier.isna().all()
     assert (out.v_mad == 0.0).all()
+
+
+# --------------------------------------------------------------------------
+# Double-seasonal Holt-Winters (r12)
+# --------------------------------------------------------------------------
+
+
+def _hw2_frame(n_hours=720, series=("a", "b")):
+    """Dense hourly frame with GENUINE double seasonality: daily
+    triangle (period 24) + irregular weekly profile (period 168)."""
+    rows = []
+    for k in series:
+        amp = 3 + len(k)  # deterministic per-series amplitude
+        for h in range(n_hours):
+            d7 = (h // 24) % 7
+            y = 300.0 + amp * (12 - abs((h % 24) - 12)) + 5 * ((d7 * (d7 + 2)) % 11)
+            rows.append((k, pd.Timestamp("2024-01-01") + pd.Timedelta(hours=h), y))
+    return pd.DataFrame(rows, columns=["k", "ts", "v"])
+
+
+def test_hw_two_season_cross_engine_and_short_series_drop(spark):
+    import duckdb
+
+    from time_sift_spark.functions.text_fns import DUCK
+    from time_sift_spark.operators.seasonal import (
+        holt_winters_two_season,
+        holt_winters_two_season_sql,
+    )
+
+    pdf = _hw2_frame(n_hours=40, series=("a", "b"))
+    # tiny periods so the fold is short: m1=4, m2=8 (needs >= 16 buckets)
+    got = (
+        holt_winters_two_season(
+            spark.createDataFrame(pdf), "v", "ts", "k", m1=4, m2=8
+        )
+        .toPandas().sort_values(["k", "hour_x"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("_t_hw2", pdf)
+    exp = (
+        con.execute(
+            holt_winters_two_season_sql(DUCK, "_t_hw2", "v", "ts", "k", m1=4, m2=8)
+        )
+        .df().sort_values(["k", "hour_x"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert len(got) == 2 * (40 - 8)
+    # a series shorter than 2*m2 drops out loudly (the HAVING contract)
+    short = pdf[(pdf.k == "a") | (pdf.ts < pd.Timestamp("2024-01-01 15:00:00"))]
+    out2 = holt_winters_two_season(
+        spark.createDataFrame(short), "v", "ts", "k", m1=4, m2=8
+    ).toPandas()
+    assert set(out2.k) == {"a"}
+
+
+def test_hw_two_season_captures_week_where_single_period_cannot(spark):
+    """The NON-VACUOUS double-seasonality check: on a series carrying
+    both a daily and a weekly cycle, the full (24, 168) model fits the
+    converged tail essentially exactly, while a model whose long queue
+    is too short to hold the week (m2=48) leaves structural error of
+    the weekly component's magnitude."""
+    from time_sift_spark.operators.seasonal import holt_winters_two_season
+
+    pdf = _hw2_frame(n_hours=720, series=("a",))
+    sdf = spark.createDataFrame(pdf)
+    full = holt_winters_two_season(sdf, "v", "ts", "k", m1=24, m2=168).toPandas()
+    crippled = holt_winters_two_season(sdf, "v", "ts", "k", m1=24, m2=48).toPandas()
+    tail_mse = lambda df: (df.sort_values("hour_x").tail(336).hw2_err ** 2).mean()  # noqa: E731
+    full_mse, crippled_mse = tail_mse(full), tail_mse(crippled)
+    # the planted series is noise-free and 168-periodic: the full model's
+    # init is exactly consistent -> zero error; the short-queue model
+    # cannot represent the week at all
+    assert full_mse < 1e-12
+    assert crippled_mse > 25.0  # weekly profile spans 0..50

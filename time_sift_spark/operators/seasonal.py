@@ -1204,3 +1204,273 @@ def holt_winters_forecast(
             seasonal=seasonal, damping=damping,
         )
     )
+
+
+def _hw2_scalar_exprs(
+    l: str, b: str, s1: str, s2: str, yd: str,
+    alpha: float, beta: float, gamma1: float, gamma2: float,
+) -> dict[str, str]:
+    """The five per-step DOUBLE-seasonal Holt-Winters scalar
+    expressions (Taylor 2003 — ETS(A,A,A×A)-style additive form with
+    two seasonal queues), parameterized by the VARIABLE SPELLING only
+    (the _hw_scalar_exprs discipline): Spark fold reads acc.l /
+    element_at(...), the DuckDB recursion reads r.l / [1], and both
+    evaluate the IDENTICAL IEEE tree in the identical order.
+
+        fit  = (l + b) + s1_{t−m1} + s2_{t−m2}
+        l_t  = α(y_t − s1_{t−m1} − s2_{t−m2}) + (1−α)(l + b)
+        b_t  = β(l_t − l) + (1−β)·b
+        s1_t = γ₁(y_t − l_t − s2_{t−m2}) + (1−γ₁)·s1_{t−m1}
+        s2_t = γ₂(y_t − l_t − s1_t)     + (1−γ₂)·s2_{t−m2}
+
+    The s2 update reads the JUST-UPDATED s1_t (Taylor's sequential
+    decomposition: the intraday queue absorbs what the level left,
+    the weekly queue absorbs what intraday left) — ``s1new`` is
+    INLINED into ``s2new`` like ``lnew`` into both (SQL has no
+    let-binding inside a lambda/recursive arm; textual duplication
+    keeps the trees equal).  Complements are Python-computed repr
+    literals, never in-SQL ``1 - α``.
+    """
+    a, ca = repr(float(alpha)), repr(1.0 - float(alpha))
+    bb, cb = repr(float(beta)), repr(1.0 - float(beta))
+    g1, cg1 = repr(float(gamma1)), repr(1.0 - float(gamma1))
+    g2, cg2 = repr(float(gamma2)), repr(1.0 - float(gamma2))
+    fit = f"((({l} + {b}) + {s1}) + {s2})"
+    lnew = f"(({a} * (({yd} - {s1}) - {s2})) + ({ca} * ({l} + {b})))"
+    bnew = f"(({bb} * ({lnew} - {l})) + ({cb} * {b}))"
+    s1new = f"(({g1} * (({yd} - {lnew}) - {s2})) + ({cg1} * {s1}))"
+    s2new = f"(({g2} * (({yd} - {lnew}) - {s1new})) + ({cg2} * {s2}))"
+    return {"fit": fit, "lnew": lnew, "bnew": bnew,
+            "s1new": s1new, "s2new": s2new}
+
+
+def holt_winters_two_season_sql(
+    d,
+    table: str,
+    value_col: str,
+    time_col: str,
+    group_col: str,
+    *,
+    m1: int = 24,
+    m2: int = 168,
+    alpha: float = 0.25,
+    beta: float = 0.05,
+    gamma1: float = 0.3,
+    gamma2: float = 0.2,
+    round_to: int = 6,
+) -> str:
+    """DOUBLE-seasonal additive Holt-Winters over the HOUR-bucketed
+    calendar — Taylor 2003 (the intraday-electricity-load model): a
+    level/trend pair plus TWO seasonal queues, the short cycle ``m1``
+    (default 24 = hour-of-day) NESTED inside the long cycle ``m2``
+    (default 168 = hour-of-week; ``m1`` must divide ``m2``), emitting
+    the one-step in-sample fit and error per bucket.  A single-season
+    fit at either period mis-fits a series that genuinely carries
+    both cycles — the two-queue recurrence is what captures e.g.
+    daily shape × weekend depression (pinned by the misfit test in
+    tests/test_seasonal_quality.py).
+
+    Init (needs ≥ 2·m2 buckets; shorter series drop out loudly via
+    HAVING, the holt_winters_sql contract): l₀/b₀ from the first/
+    second m2-bucket means (the _hw_init_exprs trees at m=m2);
+    s1₀[j] = (mean of the first-m2 rows in intraday phase j) − l₀ —
+    each phase has EXACTLY m2/m1 rows because init is row-aligned;
+    s2₀[i] = (yᵢ − l₀) − s1₀[phase(i)] for i = 1..m2 (the long queue
+    holds what level + short season leave).  The recurrence starts at
+    bucket m2+1, whose intraday phase is 1 because m1 | m2 — so the
+    natural phase order IS the correct initial queue order.
+
+    Engine split (the holt_winters_sql machinery with a second queue):
+    Spark folds the sorted per-series bucket array with ``aggregate()``
+    carrying ``named_struct(l, b, s1[m1], s2[m2], fit)`` — JVM-side,
+    the init scalars (l₀, b₀, s1₀ array) computed ONCE as columns of
+    the pre-fold CTE; DuckDB runs the same recurrence as a recursive
+    CTE stepping rn→rn+1 with two list states.  Both sides draw every
+    scalar from :func:`_hw2_scalar_exprs` → bit-equal doubles.  y
+    enters via dec_to_double of the exact DECIMAL(18,6) bucket sum.
+
+    Gap-free contract: seasonal alignment is BY ROW (the MASE
+    LAG-by-rows rule) — it equals calendar alignment only on dense
+    hourly calendars; gap-fill first on holey series.
+
+    Scale: series count × ≤ thousands of hourly buckets bounds the
+    fold (the KM bounded-fold posture); ONE exchange on (k, x) for
+    the bucket sum, the rn window and per-series collapse ride the
+    series key.  State per step is m1+m2+2 doubles — constant.
+    """
+    from ._num import dec_to_double, round_double
+
+    m1, m2 = int(m1), int(m2)
+    if m1 < 2 or m2 <= m1 or m2 % m1 != 0:
+        raise ValueError(f"need 2 <= m1 < m2 with m1 | m2, got ({m1}, {m2})")
+    rd = lambda e: round_double(e, round_to)  # noqa: E731
+    l0, b0 = _hw_init_exprs(m2)
+    reps = m2 // m1
+    if d.name == "spark":
+        hx = f"(unix_micros(CAST({time_col} AS TIMESTAMP)) DIV 3600000000)"
+    else:
+        hx = f"(epoch_us({time_col}) // 3600000000)"
+    bucket = f"""SELECT {group_col} AS k, {hx} AS x,
+             CAST(SUM(CAST({value_col} AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS y
+      FROM {table} GROUP BY {group_col}, {hx}"""
+    # per-intraday-phase sums over the first m2 rows (phase j = 0-based
+    # (rn-1) % m1), each with exactly m2/m1 = reps rows — the s1 init
+    phase_sums = ", ".join(
+        f"CAST(SUM(y) FILTER (WHERE rn <= {m2} AND ((rn - 1) % {m1}) = {j}) "
+        f"AS DECIMAL(27,6)) AS ph{j}"
+        for j in range(m1)
+    )
+    s1_init_elems = ", ".join(
+        f"(({dec_to_double(f'ph{j}')} / {float(reps)!r}) - l0)"
+        for j in range(m1)
+    )
+    if d.name == "spark":
+        yd_e = dec_to_double("e.y")
+        step = _hw2_scalar_exprs(
+            "acc.l", "acc.b",
+            "element_at(acc.s1, 1)", "element_at(acc.s2, 1)", yd_e,
+            alpha, beta, gamma1, gamma2,
+        )
+        yd_init = dec_to_double("e.y")
+        yd_out = dec_to_double(f"element_at(arr, pos + {m2 + 1}).y")
+        return f"""
+    WITH _h2b AS (
+      {bucket}
+    ),
+    _h2g AS (
+      SELECT k, sort_array(collect_list(named_struct('x', x, 'y', y))) AS arr,
+             CAST(COUNT(*) AS INT) AS n,
+             CAST(SUM(y) FILTER (WHERE rn <= {m2}) AS DECIMAL(27,6)) AS s1m,
+             CAST(SUM(y) FILTER (WHERE rn > {m2} AND rn <= {2 * m2}) AS DECIMAL(27,6)) AS s2m,
+             {phase_sums}
+      FROM (SELECT k, x, y,
+                   ROW_NUMBER() OVER (PARTITION BY k ORDER BY x) AS rn
+            FROM _h2b)
+      GROUP BY k
+      HAVING COUNT(*) >= {2 * m2}
+    ),
+    _h2i AS (
+      SELECT k, arr, n, {l0} AS l0, {b0} AS b0,
+             {", ".join(f"ph{j}" for j in range(m1))}
+      FROM _h2g
+    ),
+    _h2s AS (
+      SELECT k, arr, n, l0, b0, array({s1_init_elems}) AS s1arr
+      FROM _h2i
+    ),
+    _h2f AS (
+      SELECT k, arr, n,
+        aggregate(
+          slice(arr, {m2 + 1}, n - {m2}),
+          named_struct('l', l0, 'b', b0,
+                       's1', s1arr,
+                       's2', transform(slice(arr, 1, {m2}),
+                                       (e, i) -> (({yd_init} - l0)
+                                                  - element_at(s1arr, (i % {m1}) + 1))),
+                       'fit', CAST(array() AS ARRAY<DOUBLE>)),
+          (acc, e) -> named_struct(
+              'l', {step['lnew']}, 'b', {step['bnew']},
+              's1', concat(slice(acc.s1, 2, {m1 - 1}), array({step['s1new']})),
+              's2', concat(slice(acc.s2, 2, {m2 - 1}), array({step['s2new']})),
+              'fit', concat(acc.fit, array({step['fit']}))),
+          acc -> acc.fit) AS fits
+      FROM _h2s
+    )
+    SELECT k AS {group_col},
+           CAST(element_at(arr, pos + {m2 + 1}).x AS BIGINT) AS hour_x,
+           {yd_out} AS y_val,
+           {rd('fitv')} AS hw2_fit,
+           {rd(f'({yd_out} - fitv)')} AS hw2_err
+    FROM _h2f LATERAL VIEW posexplode(fits) _t AS pos, fitv
+    """
+    yd_b = dec_to_double("b.y")
+    step = _hw2_scalar_exprs("r.l", "r.b", "r.seas1[1]", "r.seas2[1]", yd_b,
+                             alpha, beta, gamma1, gamma2)
+    s1_init_list = ", ".join(
+        f"(({dec_to_double(f'ph{j}')} / {float(reps)!r}) - l0)"
+        for j in range(m1)
+    )
+    return f"""
+    WITH RECURSIVE _h2b AS (
+      {bucket}
+    ),
+    _h2r0 AS (
+      SELECT k, x, y, ROW_NUMBER() OVER (PARTITION BY k ORDER BY x) AS rn
+      FROM _h2b
+    ),
+    _h2a AS (
+      SELECT k, CAST(COUNT(*) AS INT) AS n,
+             CAST(SUM(y) FILTER (WHERE rn <= {m2}) AS DECIMAL(27,6)) AS s1m,
+             CAST(SUM(y) FILTER (WHERE rn > {m2} AND rn <= {2 * m2}) AS DECIMAL(27,6)) AS s2m,
+             {phase_sums}
+      FROM _h2r0 GROUP BY k HAVING COUNT(*) >= {2 * m2}
+    ),
+    _h2i AS (
+      SELECT k, n, {l0} AS l0, {b0} AS b0, s1m, s2m,
+             {", ".join(f"ph{j}" for j in range(m1))}
+      FROM _h2a
+    ),
+    _h2s1 AS (
+      SELECT k, n, l0, b0, list_value({s1_init_list}) AS s1arr
+      FROM _h2i
+    ),
+    _h2s2 AS (
+      SELECT b.k AS k,
+             list(({yd_b} - i.l0) - i.s1arr[(((b.rn - 1) % {m1}) + 1)]
+                  ORDER BY b.rn) AS s2arr
+      FROM _h2r0 b JOIN _h2s1 i ON i.k = b.k
+      WHERE b.rn <= {m2}
+      GROUP BY b.k
+    ),
+    _h2r AS (
+      SELECT i.k AS k, CAST({m2} AS BIGINT) AS rn, i.l0 AS l, i.b0 AS b,
+             i.s1arr AS seas1, s.s2arr AS seas2, CAST(NULL AS DOUBLE) AS fit,
+             CAST(NULL AS DOUBLE) AS yv, CAST(NULL AS BIGINT) AS x
+      FROM _h2s1 i JOIN _h2s2 s ON s.k = i.k
+      UNION ALL
+      SELECT r.k, r.rn + 1, {step['lnew']}, {step['bnew']},
+             list_append(r.seas1[2:{m1}], {step['s1new']}),
+             list_append(r.seas2[2:{m2}], {step['s2new']}),
+             {step['fit']}, {yd_b}, CAST(b.x AS BIGINT)
+      FROM _h2r r JOIN _h2r0 b ON b.k = r.k AND b.rn = r.rn + 1
+    )
+    SELECT k AS {group_col}, x AS hour_x, yv AS y_val,
+           {rd('fit')} AS hw2_fit,
+           {rd('(yv - fit)')} AS hw2_err
+    FROM _h2r WHERE rn > {m2}
+    """
+
+
+def holt_winters_two_season(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    group_col: str,
+    *,
+    m1: int = 24,
+    m2: int = 168,
+    alpha: float = 0.25,
+    beta: float = 0.05,
+    gamma1: float = 0.3,
+    gamma2: float = 0.2,
+    round_to: int = 6,
+) -> DataFrame:
+    """DataFrame front door for :func:`holt_winters_two_season_sql`
+    (every CTE referenced once → one inlined plan, single series-key
+    exchange after the bucket collapse)."""
+    from ..functions.text_fns import SPARK as _S
+    from ._time import assert_time_dtype
+
+    for c in (value_col, time_col, group_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    assert_time_dtype(df, time_col)
+    view = "_ts_hw2_in"
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(
+        holt_winters_two_season_sql(
+            _S, view, value_col, time_col, group_col,
+            m1=m1, m2=m2, alpha=alpha, beta=beta,
+            gamma1=gamma1, gamma2=gamma2, round_to=round_to,
+        )
+    )

@@ -11143,6 +11143,77 @@ def streaming_ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Double-seasonal Holt-Winters (operators/seasonal.py) — SURVEY §2.5 r12
+# --------------------------------------------------------------------------
+
+# events carry no genuine double seasonality, so the query PLANTS one
+# (the synthesized-media/URL pattern): the hourly calendar axis comes
+# from the real events table (DISTINCT hour buckets — the query still
+# reads the data), three series ride it via a 3-row literal relation,
+# and the value composes a daily triangular wave (period 24), an
+# irregular weekly profile (period 168 via (d%7)(d%7+2) mod 11 — not
+# sinusoidal, not expressible by the daily queue), a per-series base +
+# amplitude, and a 0..4 md5 noise term.  All exact integer arithmetic;
+# floor(hx/24.0) is the dialect-neutral integer day (hx < 2^53/24).
+
+
+def _hw2_series(d, tbl: str) -> str:
+    if d.name == "spark":
+        hx = "(unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000)"
+        mk_ts = "timestamp_micros(hx * 3600000000)"
+        s = "STRING"
+    else:
+        hx = "(epoch_us(ts) // 3600000000)"
+        mk_ts = "make_timestamp(hx * 3600000000)"
+        s = "VARCHAR"
+    key = f"concat('hw2|', CAST(sid AS {s}), '|', CAST(hx AS {s}))"
+    noise = f"({d.md5_long(key)} % 5)"
+    day7 = "(CAST(floor(hx / 24.0) AS BIGINT) % 7)"
+    return f"""(
+      SELECT concat('s', CAST(sid AS {s})) AS series_k,
+             {mk_ts} AS ts,
+             CAST(((((300 + (sid * 40))
+               + ((12 - abs((hx % 24) - 12)) * (3 + sid)))
+               + (((({day7} * ({day7} + 2)) % 11)) * 5))
+               + {noise}) AS DOUBLE) AS y
+      FROM (SELECT DISTINCT {hx} AS hx FROM {tbl}) _hxs
+      CROSS JOIN (SELECT 1 AS sid UNION ALL SELECT 2 UNION ALL SELECT 3) _sids
+    ) _hw2src"""
+
+
+def _hw2_oracle() -> str:
+    from .operators.seasonal import holt_winters_two_season_sql
+
+    return holt_winters_two_season_sql(
+        DUCK, _hw2_series(DUCK, "events"), "y", "ts", "series_k"
+    )
+
+
+@register("hw_two_season_events", oracle=_hw2_oracle())
+def hw_two_season_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOUBLE-seasonal additive Holt-Winters (Taylor 2003, the
+    intraday-load model): level + trend + an m1=24 hour-of-day queue
+    NESTED in an m2=168 hour-of-week queue, folded per series over the
+    hourly calendar — in-sample fit + error per bucket.  The planted
+    corpus carries BOTH cycles (triangular daily × irregular weekly +
+    md5 noise); the misfit test pins that an m2 too short to hold the
+    week leaves structural error the full model doesn't.  Spark folds
+    aggregate() with a two-queue struct state (init scalars computed
+    once as pre-fold columns); the oracle is the identical recurrence
+    as a recursive CTE; every scalar from ONE expression builder →
+    bit-equal (operators/seasonal.py:holt_winters_two_season)."""
+    from .functions.text_fns import SPARK as _S
+    from .operators.seasonal import holt_winters_two_season
+
+    events = load_table(spark, "events", sf_dir)
+    events.createOrReplaceTempView("_ts_hw2_events")
+    planted = spark.sql(
+        f"SELECT * FROM {_hw2_series(_S, '_ts_hw2_events')}"
+    )
+    return holt_winters_two_season(planted, "y", "ts", "series_k")
+
+
 def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
     """Every registry callable must work on a session the engine didn't
     build (the external harness's bare SparkSession) — set the runtime
@@ -11200,6 +11271,7 @@ GRADE_PRIORITY: list[str] = [
     "pipeline_html_quality_docs",
     "ks_drift_binned_events",
     "streaming_ks_drift_events",
+    "hw_two_season_events",
     # -- changed in r11, never driver-regraded (excision plan+oracle
     #    rewrite; recall denominator; CDC NULL-key filter; symspell
     #    variant dedup; QQ tail refactor; LSH append write order;
