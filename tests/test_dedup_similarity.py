@@ -1108,3 +1108,48 @@ def test_prefix_index_persisted_equals_inline_and_threshold_contract(spark, tmp_
     # printed plan — match on their ReadSchemas instead)
     assert "hs:array<bigint>" in plan          # tsets scan
     assert "h:bigint" in plan                  # prefix scan
+
+
+def test_simhash_neardup_band_screen_is_lossless(spark):
+    """Pigeonhole contract: the banded screen finds EVERY pair within
+    Hamming k — verified against the brute-force all-pairs distance on
+    a small corpus with planted near-identical variants."""
+    import itertools
+
+    import pandas as pd
+
+    from time_sift_spark.operators.dedup import simhash, simhash_neardup
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "cat naps by the warm stone wall in the late afternoon sun")
+    docs = [(0, base)]
+    # planted variants: single-token swaps → tiny Hamming perturbations
+    for i, repl in enumerate(
+        ["quick→swift", "lazy→idle", "warm→cold", "dog→dog"], start=1
+    ):
+        a, b = repl.split("→")
+        docs.append((i, base.replace(a, b)))
+    # unrelated documents
+    docs += [
+        (10, "completely different subject matter about spark shuffles "
+             "partitions exchanges joins aggregations and codegen stages"),
+        (11, "yet another unrelated text on parquet footers row groups "
+             "column chunks dictionaries and page level statistics"),
+    ]
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        simhash_neardup(sdf, "doc_id", "text", k=3, bands=4)
+        .toPandas()
+        .sort_values(["doc_id_a", "doc_id_b"])
+        .reset_index(drop=True)
+    )
+    sigs = simhash(sdf, "doc_id", "text").toPandas().set_index("doc_id").simhash
+    brute = []
+    for a, b in itertools.combinations(sorted(sigs.index), 2):
+        d = bin(int(sigs[a]) ^ int(sigs[b])).count("1")
+        if d <= 3:
+            brute.append((a, b, d))
+    assert list(map(tuple, got.itertuples(index=False))) == brute
+    # the exact copy (dog→dog) is a distance-0 pair
+    assert ((got.hamming == 0) & (got.doc_id_a == 0) & (got.doc_id_b == 4)).any()

@@ -11214,6 +11214,34 @@ def hw_two_season_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_winters_two_season(planted, "y", "ts", "series_k")
 
 
+# --------------------------------------------------------------------------
+# SimHash Hamming-ball near-dup join (operators/dedup.py) — SURVEY §2.5 r12
+# --------------------------------------------------------------------------
+
+
+def _simhash_neardup_oracle() -> str:
+    from .operators.dedup import simhash_neardup_sql
+
+    return simhash_neardup_sql(DUCK, "documents", "doc_id", "text")
+
+
+@register("simhash_neardup_docs", oracle=_simhash_neardup_oracle())
+def simhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 3 — the signature
+    tier's missing JOIN (simhash_docs emits fingerprints; this finds
+    the pairs): pigeonhole band blocking (4×15-bit slices of the 60-bit
+    signature; ≤3 flipped bits must leave ≥1 slice equal — LOSSLESS for
+    the ball, Manku et al. 2007), candidates from one band equi-join,
+    exact bit_count(xor) verify on candidates only.  Deterministic
+    recall contrast to MinHash-LSH's probabilistic bands; the staged
+    signature frame keeps the 60-vote aggregation out of the 4 UNION
+    branches (operators/dedup.py:simhash_neardup)."""
+    from .operators.dedup import simhash_neardup
+
+    docs = load_table(spark, "documents", sf_dir)
+    return simhash_neardup(docs, "doc_id", "text")
+
+
 def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
     """Every registry callable must work on a session the engine didn't
     build (the external harness's bare SparkSession) — set the runtime
@@ -11272,6 +11300,7 @@ GRADE_PRIORITY: list[str] = [
     "ks_drift_binned_events",
     "streaming_ks_drift_events",
     "hw_two_season_events",
+    "simhash_neardup_docs",
     # -- changed in r11, never driver-regraded (excision plan+oracle
     #    rewrite; recall denominator; CDC NULL-key filter; symspell
     #    variant dedup; QQ tail refactor; LSH append write order;
