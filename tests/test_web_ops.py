@@ -208,3 +208,40 @@ def test_html_extract_short_line_exemption_and_df_cap():
     assert all("a repeated long boilerplate line" not in t for t in got2.main_text)
     # short 'Menu' survives every cap
     assert all("Menu" in t for t in got2.main_text)
+
+
+def test_html_links_extraction_rules():
+    from time_sift_spark.operators.web import html_links, html_links_sql
+
+    from tests.test_dialect_fuzz import _get_session
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2],
+        "html": [
+            '<body><a href="/x">One &amp; two</a> mid '
+            '<a class="z" href="/y"><b>Bold</b>  link</a>'
+            '<a name="anchor-only">no href → no edge</a></body>',
+            "<body>no links at all</body>",
+        ],
+    })
+    spark = _get_session()
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        html_links(sdf, "doc_id", "html")
+        .toPandas().sort_values(["doc_id", "pos"]).reset_index(drop=True)
+    )
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("_t_hl", pdf)
+    exp = (
+        con.execute(html_links_sql(DUCK, "_t_hl", "doc_id", "html"))
+        .df().sort_values(["doc_id", "pos"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # href captured raw; anchor text tag-stripped, entity-decoded,
+    # whitespace-collapsed; href-less anchors and linkless pages: no rows
+    assert list(got.itertuples(index=False)) == [
+        (1, 0, "/x", "One & two"),
+        (1, 1, "/y", "Bold link"),
+    ]

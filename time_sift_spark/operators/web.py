@@ -39,6 +39,8 @@ __all__ = [
     "html_text_expr",
     "html_extract_sql",
     "html_extract",
+    "html_links_sql",
+    "html_links",
 ]
 
 # Multi-part public suffixes recognized by the registered-domain rule.
@@ -500,3 +502,74 @@ def html_extract(
     {_hx_tail(_S, id_col, max_line_docs=max_line_docs,
               min_line_chars=min_line_chars).strip()}
     """)
+
+
+# anchor tags: href in double quotes (the synthesized-corpus contract;
+# single-quoted/bare href values are crawl-frontier variants a
+# production pattern would add as alternates).  No backreferences —
+# RE2-safe; non-greedy body so adjacent anchors don't merge.
+_ANCHOR_PATTERN = '(?is)<a\\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>'
+
+
+def html_links_sql(
+    d: Dialect,
+    table: str,
+    id_col: str,
+    html_col: str,
+) -> str:
+    """Outlink extraction — the crawl-frontier/link-graph step: every
+    ``<a href="...">`` in every page becomes one edge row
+    ({id_col}, pos, href, anchor) where ``pos`` is the link's order on
+    the page, ``href`` the raw target (feed it to url_normalize_sql /
+    registered_domain_expr downstream), and ``anchor`` the link's
+    VISIBLE text (inline tags stripped, entities decoded, whitespace
+    collapsed, trimmed) — the classic web-IR relevance signal
+    (anchor text describes the TARGET, not the source).
+
+    Shape: regexp_extract_all finds whole-match anchor tags (one
+    engine-native pass per row), posexplode/unnest fans them out, and
+    href/anchor extract per match — a pure scan-side explode with ZERO
+    shuffles; downstream aggregations (in-link counts, per-domain
+    frontier dedup) decide their own keys.  Pages with no links emit
+    no rows (edges, not pages, are the unit here — LEFT-join back to
+    the page table when page coverage matters).
+    """
+    matches = d.regexp_extract_all(html_col, _ANCHOR_PATTERN)
+    href = f"regexp_extract(m, {d._q(_ANCHOR_PATTERN)}, 1)"
+    anchor_raw = f"regexp_extract(m, {d._q(_ANCHOR_PATTERN)}, 2)"
+    anchor = d.regexp_sub(anchor_raw, "<[^>]*>", " ")
+    anchor = _entity_decode(d, anchor)
+    anchor_ws = d.regexp_sub(anchor, "[ \\t\\r\\n]+", " ")
+    anchor = f"trim({anchor_ws})"
+    if d.name == "spark":
+        ex = (
+            f"SELECT did, pos, m FROM "
+            f"(SELECT {id_col} AS did, {matches} AS _ms FROM {table}) "
+            f"LATERAL VIEW posexplode(_ms) t AS pos, m"
+        )
+    else:
+        ex = (
+            f"SELECT did, i - 1 AS pos, _ms[i] AS m FROM "
+            f"(SELECT did, _ms, unnest(range(1, len(_ms) + 1)) AS i FROM "
+            f"(SELECT {id_col} AS did, {matches} AS _ms FROM {table}))"
+        )
+    return f"""
+    SELECT did AS {id_col}, CAST(pos AS INT) AS pos,
+           {href} AS href,
+           {anchor} AS anchor
+    FROM ({ex}) _hle
+    """
+
+
+def html_links(df, id_col: str, html_col: str):
+    """DataFrame front door for :func:`html_links_sql` (single-pass
+    projection + explode — nothing to stage)."""
+    from ..errors import ColumnNotFoundError
+    from ..functions.text_fns import SPARK as _S
+
+    for c in (id_col, html_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    view = "_ts_hl_in"
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(html_links_sql(_S, view, id_col, html_col))

@@ -11016,6 +11016,13 @@ _HTML_PAGE_EXPR = (
     "'<p>', substr(text, CAST(floor(length(text) / 2) AS INT) + 1), '</p>', "
     "'<p>Tags: alpha &amp; omega #', CAST(doc_id AS STRING), "
     "' &lt;', lang, '&gt;</p>', "
+    # per-doc outlinks into the _URL_EXPR articles path space — the
+    # link GRAPH the html_links queries extract (after tag-strip the
+    # line reads the same in every page → the df rule drops it from
+    # main_text, correctly: related-story boxes are chrome)
+    "'<p>See also <a href=\"/articles/', CAST((doc_id * 7 + 3) % 40 AS STRING), "
+    "'\">related &amp; first</a> and <a href=\"/articles/', "
+    "CAST((doc_id * 13 + 5) % 40 AS STRING), '\"><b>second</b> pick</a></p>', "
     "'<div class=\"share\">Share this story on your favorite network today!"
     "</div>', "
     "'<div class=\"footer\">&copy; 2024 Example Media &amp; Co. "
@@ -11214,6 +11221,69 @@ def hw_two_season_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_winters_two_season(planted, "y", "ts", "series_k")
 
 
+def _html_links_oracle() -> str:
+    from .operators.web import html_links_sql
+
+    return html_links_sql(DUCK, _html_pages("documents"), "doc_id", "html")
+
+
+@register("html_links_docs", oracle=_html_links_oracle())
+def html_links_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction — the crawl-frontier step: every anchor tag
+    in every synthesized page becomes one (page, pos, href, anchor)
+    edge with the VISIBLE anchor text cleaned (inline tags stripped,
+    entities decoded) — chrome links (nav/cookie) and the per-doc
+    'see also' article links both surface, href raw for downstream
+    url_normalize.  Pure scan-side regexp explode, zero shuffles
+    (operators/web.py:html_links)."""
+    from .operators.web import html_links
+
+    docs = load_table(spark, "documents", sf_dir)
+    docs.createOrReplaceTempView("_ts_html_docs")
+    pages = spark.sql(f"SELECT doc_id, {_HTML_PAGE_EXPR} AS html FROM _ts_html_docs")
+    return html_links(pages, "doc_id", "html")
+
+
+def _html_inlinks_oracle() -> str:
+    from .operators.web import html_links_sql
+
+    inner = html_links_sql(DUCK, _html_pages("documents"), "doc_id", "html")
+    return f"""
+    SELECT href,
+           CAST(COUNT(*) AS BIGINT) AS n_links,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_pages
+    FROM ({inner}) _hli
+    WHERE href LIKE '/articles/%'
+    GROUP BY href
+    ORDER BY n_links DESC, href
+    """
+
+
+@register("html_inlink_counts_docs", oracle=_html_inlinks_oracle())
+def html_inlink_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The link-graph's in-link authority table: per article target,
+    how many links and how many distinct source pages point at it —
+    extraction chained into ONE aggregation (the crawl-frontier
+    composition: html_links → filter to the articles path space →
+    in-link counts).  One shuffle on href after the scan-side explode."""
+    from .operators.web import html_links
+
+    docs = load_table(spark, "documents", sf_dir)
+    docs.createOrReplaceTempView("_ts_html_docs")
+    pages = spark.sql(f"SELECT doc_id, {_HTML_PAGE_EXPR} AS html FROM _ts_html_docs")
+    links = html_links(pages, "doc_id", "html")
+    links.createOrReplaceTempView("_ts_hli")
+    return spark.sql("""
+    SELECT href,
+           CAST(COUNT(*) AS BIGINT) AS n_links,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_pages
+    FROM _ts_hli
+    WHERE href LIKE '/articles/%'
+    GROUP BY href
+    ORDER BY n_links DESC, href
+    """)
+
+
 # --------------------------------------------------------------------------
 # SimHash Hamming-ball near-dup join (operators/dedup.py) — SURVEY §2.5 r12
 # --------------------------------------------------------------------------
@@ -11301,6 +11371,8 @@ GRADE_PRIORITY: list[str] = [
     "streaming_ks_drift_events",
     "hw_two_season_events",
     "simhash_neardup_docs",
+    "html_links_docs",
+    "html_inlink_counts_docs",
     # -- changed in r11, never driver-regraded (excision plan+oracle
     #    rewrite; recall denominator; CDC NULL-key filter; symspell
     #    variant dedup; QQ tail refactor; LSH append write order;
