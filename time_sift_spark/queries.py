@@ -11389,7 +11389,18 @@ GRADE_PRIORITY: list[str] = [
     "exact_substring_pairs_docs",
     # -- flagship --
     "lag_events_wide",
-    # -- next-oldest rotation / prior-round order (tail) --
+    # -- next-oldest rotation (r5 vintage, fills the window tail) --
+    "asof_join_next_purchase",
+    "bucketed_join_revenue",
+    "class_capped_sample_events",
+    "csv_roundtrip_orders",
+    "cube_counts_flag_status",
+    "interval_join_bcast",
+    "json_props_stats",
+    "json_roundtrip_events",
+    "lag_events_long_unordered",
+    "lag_global_hourly",
+    # -- prior-round order (beyond the 50-slot window) --
     "signup_users_no_purchase",
     "topk_orders_per_customer",
     "ann_ivf_topk",
@@ -11440,10 +11451,6 @@ GRADE_PRIORITY: list[str] = [
     "phrase_search_docs",
     "streaming_croston_events",
     "prop_ztest_events",
-    "asof_join_next_purchase",
-    "bucketed_join_revenue",
-    "class_capped_sample_events",
-    "csv_roundtrip_orders",
     "time_weighted_avg_events",
     "rollup_hourly_daily",
     "streaming_outer_join",
@@ -11576,23 +11583,17 @@ GRADE_PRIORITY: list[str] = [
     "interop_roundtrip_events",
     "simhash_docs",
     "embedding_neardup",
-    "lag_events_long_unordered",
-    "lag_global_hourly",
     "lag_hotkey_events",
     "neardup_clusters_docs",
-    "interval_join_bcast",
     "series_arrays_events",
     "tpch_q3_shipping_priority",
     "orc_roundtrip_nation",
     "value_deciles_events",
-    "json_props_stats",
     "lsh_neardup_capped_docs",
     "zscore_events",
     "unpivot_lineitem_metrics",
-    "cube_counts_flag_status",
     "top_tokens",
     "sql_shared_text",
-    "json_roundtrip_events",
     "rollup_revenue_flag_status",
     "streaming_lag_late_events",
     "streaming_dedup_events",
