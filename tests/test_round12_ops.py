@@ -807,3 +807,36 @@ def test_phrase_index_append_equals_full_build(spark, tmp_path):
     assert inc.equals(full)
     assert list(inc.doc_id) == [1, 3]
     assert list(inc.n_matches) == [1, 2]
+
+
+def test_streaming_pettitt_equals_batch_at_drain(spark, tmp_path):
+    """Drain ≡ batch for the streaming twin: the (group, day) DECIMAL
+    bucket sums drained from the stream feed pettitt_sql's
+    staged_bucket entry, so the result must equal the batch statement
+    on the same data — including the significant level-shift verdict."""
+    from time_sift_spark.operators.trend import pettitt, streaming_pettitt
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for i in range(20):
+        # two events per day so the stream side genuinely aggregates
+        for j in (0, 1):
+            rows.append((base + pd.Timedelta(days=i, hours=j), "shift",
+                         0.25 if i < 10 else 5.5))
+            rows.append((base + pd.Timedelta(days=i, hours=j), "flat", 3.0))
+    pdf = pd.DataFrame(rows, columns=["ts", "k", "v"])
+    path = str(tmp_path / "src")
+    spark.createDataFrame(pdf).coalesce(4).write.parquet(path)
+    static = spark.read.parquet(path)
+    stream = spark.readStream.schema("ts timestamp, k string, v double").parquet(path)
+    got = (
+        streaming_pettitt(stream, "v", "ts", "k", query_name="t_pettitt_stream")
+        .toPandas().sort_values("k").reset_index(drop=True)
+    )
+    want = (
+        pettitt(static, "v", "ts", "k")
+        .toPandas().sort_values("k").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    sh = got.set_index("k").loc["shift"]
+    assert bool(sh.significant) and sh.k_stat == 100

@@ -479,3 +479,58 @@ def pettitt(
         pettitt_sql(_S, view, value_col, time_col, group_col,
                     staged_bucket=bview)
     )
+
+
+def streaming_pettitt(
+    stream_df,
+    value_col: str,
+    time_col: str,
+    group_col: str,
+    *,
+    query_name: str,
+):
+    """Continuous form of :func:`pettitt` — the streaming_burst_detect
+    recipe applied to the change-point test: per micro-batch the only
+    state is the (group, day) DECIMAL bucket-sum aggregation (complete
+    mode — bounded by the CALENDAR the batch plan's bucket relation
+    materializes anyway; an unbounded-horizon deployment ages out the
+    oldest days behind a watermark, accepting that the test then asks
+    about the retained window).  No value quantization is needed,
+    unlike the KS twin: Pettitt's batch semantics are ALREADY
+    day-bucketed, and its rank algebra runs over the ≤ |days| bucket
+    sums per series at drain — so the streaming state equals the batch
+    statement's own intermediate relation exactly.
+
+    At drain the bucket sums feed :func:`pettitt_sql` VERBATIM through
+    its ``staged_bucket`` entry point, so drain ≡ batch over everything
+    that arrived is structural and the registered query's oracle IS the
+    batch statement.  The stream side buckets with the SAME rendered
+    day/decimal text (the foreachBatch-clone discipline).
+    """
+    from pyspark.sql import functions as F
+
+    from ..errors import ColumnNotFoundError
+    from ..functions.text_fns import SPARK as _S
+    from ..streaming.lag_stream import run_stream_to_df
+
+    for c in (value_col, time_col, group_col):
+        if c not in stream_df.columns:
+            raise ColumnNotFoundError(
+                f"column {c!r} not in stream frame {stream_df.columns}"
+            )
+    spark = stream_df.sparkSession
+    day = f"datediff(CAST({time_col} AS DATE), DATE '1970-01-01')"
+    cur = (
+        stream_df.selectExpr(
+            f"{group_col} AS k", f"{day} AS x",
+            f"CAST({value_col} AS DECIMAL(18,6)) AS _yd",
+        )
+        .groupBy("k", "x")
+        .agg(F.expr("CAST(SUM(_yd) AS DECIMAL(18,6))").alias("y"))
+    )
+    drained = run_stream_to_df(cur, query_name, output_mode="complete")
+    drained.createOrReplaceTempView("_ts_spettitt_bucket")
+    return spark.sql(
+        pettitt_sql(_S, "_ignored_", value_col, time_col, group_col,
+                    staged_bucket="_ts_spettitt_bucket")
+    )

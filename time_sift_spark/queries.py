@@ -11284,6 +11284,27 @@ def html_inlink_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+@register("streaming_pettitt_events", oracle=_pettitt_oracle())
+def streaming_pettitt_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of pettitt_events: per-micro-batch state is the
+    calendar-bounded (group, day) DECIMAL bucket sums (complete mode)
+    — no value quantization needed, unlike the KS twin: the batch test
+    is ALREADY day-bucketed and its rank algebra runs over ≤ |days|
+    sums per series at drain.  The drained buckets feed the batch
+    statement VERBATIM through its staged_bucket entry point — drain ≡
+    batch is structural, the oracle IS the batch statement
+    (operators/trend.py:streaming_pettitt)."""
+    from .operators.trend import streaming_pettitt
+    from .sources.catalog import read_events_stream
+    from .streaming.lag_stream import _next_stream_name
+
+    stream = read_events_stream(spark, sf_dir)
+    return streaming_pettitt(
+        stream, "value", "ts", "event_type",
+        query_name=_next_stream_name("spettitt"),
+    )
+
+
 # --------------------------------------------------------------------------
 # SimHash Hamming-ball near-dup join (operators/dedup.py) — SURVEY §2.5 r12
 # --------------------------------------------------------------------------
@@ -11373,6 +11394,7 @@ GRADE_PRIORITY: list[str] = [
     "simhash_neardup_docs",
     "html_links_docs",
     "html_inlink_counts_docs",
+    "streaming_pettitt_events",
     # -- changed in r11, never driver-regraded (excision plan+oracle
     #    rewrite; recall denominator; CDC NULL-key filter; symspell
     #    variant dedup; QQ tail refactor; LSH append write order;

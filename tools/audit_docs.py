@@ -61,6 +61,7 @@ def main() -> int:
         "streaming_top_paths",               # operator function, not a query
         "streaming_croston",                 # operator function, not a query
         "streaming_ks_test",                 # operator function, not a query
+        "streaming_pettitt",                 # operator function, not a query
     }
     for name in sorted(queryish - set(REGISTRY) - allow):
         # only flag names that are one-edit siblings of real registered

@@ -10,7 +10,11 @@ Replication rules (copy c = 0..9; copy 0 is verbatim):
 * every table's keys shift by c * 10^k with 10^k above the key range,
   so FK joins stay aligned WITHIN a copy and never collide across
   copies (customer+orders+lineitem+part+supplier shift together);
-* documents: copies 1-9 suffix every token with _c — within-copy
+* documents: copies 1-9 suffix every token with q<c> (alphanumeric —
+  an underscore would SPLIT under the [^a-z0-9]+ tokenizer, making every
+  second token the copy digit and collapsing shingle diversity: the
+  first generator draft produced 26M within-copy LSH candidates that
+  way, a generator pathology, not an operator one) — within-copy
   shingle/near-dup structure is EXACTLY preserved (order untouched, so
   every planted dup family replicates 10x) while cross-copy similarity
   is zero (disjoint vocabularies); naive verbatim replication would
@@ -77,11 +81,11 @@ def replicate_documents(con) -> None:
         SELECT doc_id + {c * 10**5} AS doc_id,
                array_to_string(
                  list_transform(string_split(text, ' '),
-                                x -> x || '_{c}'), ' ') AS text,
+                                x -> x || 'q{c}'), ' ') AS text,
                lang, source,
                CAST(length(array_to_string(
                  list_transform(string_split(text, ' '),
-                                x -> x || '_{c}'), ' ')) AS BIGINT) AS n_chars
+                                x -> x || 'q{c}'), ' ')) AS BIGINT) AS n_chars
         FROM read_parquet('{SRC}/documents.parquet')
         """)
     con.execute(f"COPY ({' UNION ALL '.join(arms)}) "
