@@ -123,6 +123,16 @@ def test_staged_plan_exchange_counts_pinned(spark):
         "regression_report_events": 6,
         "season_detect_events": 4,
         "holt_winters_forecast_events": 4,
+        # r12 in-round additions: ceilings at the measured executed-plan
+        # counts (the staged strip/signature frames are what keep the
+        # html chain at 3 and the simhash band join at 1)
+        "html_extract_docs": 3,
+        "pipeline_html_quality_docs": 3,
+        "html_links_docs": 0,
+        "html_inlink_counts_docs": 2,
+        "ks_drift_binned_events": 2,
+        "hw_two_season_events": 3,
+        "simhash_neardup_docs": 1,
     }
     bad = []
     for name, cap in ceilings.items():
