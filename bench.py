@@ -1,10 +1,24 @@
 #!/usr/bin/env python
-"""Benchmark harness — times every registered query at $SPARK_GRAFT_SF_DIR
+"""Benchmark harness — times registered queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric", "value", "unit", "queries", "sf"}.
 
 Execution is forced with a noop datasource write (full plan runs, nothing
 collected to the driver). Per query: one warm-up, then best-of-2 timed runs.
+
+Timeout-proofing (BENCH_r12 was rc=124 with parsed=null — the driver's
+window expired before the single end-of-run line printed, r12 VERDICT #1):
+
+* Queries are measured in GRADE_PRIORITY order (the registry's importance
+  order), so whatever a budget cut omits is the least-important tail.
+* A wall-clock budget (SPARK_GRAFT_BENCH_BUDGET seconds, counted from
+  process start) stops measurement early; skipped queries are reported as
+  ``not_measured`` in the compact line, never silently dropped.
+* A fresh snapshot of the compact line is printed to stdout after EVERY
+  measured query, so even a hard external kill leaves a parseable line in
+  the driver's 2000-char capture tail. Console progress bars and WARN logs
+  are silenced (they polluted the r12 tail); the full-precision record
+  goes to stderr once at the end.
 """
 
 from __future__ import annotations
@@ -14,22 +28,35 @@ import os
 import sys
 import time
 
-from time_sift_spark.queries import REGISTRY
+_T0 = time.monotonic()  # budget clock starts at import, before JVM spin-up
+
+from time_sift_spark.queries import REGISTRY, _ordered_names
 from time_sift_spark.session import get_spark
+
+# The driver captures only the LAST 2000 chars of output and parses that
+# (BENCH_r{1..4}.json all recorded "parsed": null from an over-long line
+# truncated mid-JSON). MAX_LINE leaves headroom for a trailing newline
+# and any stray shutdown output.
+MAX_LINE = 1950
+
+# Wall-clock budget for the whole run (seconds, from process start). The
+# driver's window is ~1h (BENCH_r11 at ~45 min passed; r12 at ~70 min on a
+# 1.5x-slow box hit it); 2400s leaves margin even on a slow epoch.
+BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "2400"))
+
+# Quiet sessions: no console progress bar (it wrote the r12 tail noise).
+_QUIET_CONF = {"spark.ui.showConsoleProgress": "false"}
 
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-# The driver captures only the LAST 2000 chars of stdout and parses that
-# (BENCH_r{1..4}.json all recorded "parsed": null from an over-long line
-# truncated mid-JSON). MAX_LINE leaves headroom for a trailing newline
-# and any stray shutdown output.
-MAX_LINE = 1950
+def _remaining() -> float:
+    return BUDGET - (time.monotonic() - _T0)
 
 
-def compact_result_line(timings: dict, total: float, sf_val) -> str:
+def compact_result_line(timings: dict, total: float, sf_val, not_measured: int) -> str:
     """ONE parseable JSON line within the driver's capture window:
     degrade per-query precision first, then (last resort) drop the
     cheapest SUCCESSFUL queries, reporting how many were omitted.
@@ -42,11 +69,14 @@ def compact_result_line(timings: dict, total: float, sf_val) -> str:
     def line_for(qdict: dict, extra: dict) -> str:
         if failed:
             extra = {"n_failed": len(failed), **extra}
+        if not_measured:
+            extra = {"not_measured": not_measured, **extra}
         return json.dumps(
             {
                 "metric": "sum_query_seconds",
                 "value": total,
                 "unit": "sec",
+                "n_measured": len(timings),
                 "queries": qdict,
                 **extra,
                 "sf": sf_val,
@@ -66,6 +96,16 @@ def compact_result_line(timings: dict, total: float, sf_val) -> str:
         if len(out) <= MAX_LINE:
             return out
     return line_for(dict(failed), {"queries_omitted": len(ok)})
+
+
+def _emit_snapshot(timings: dict, sf_val, not_measured: int) -> None:
+    """Write the current compact line as ONE atomic stdout write so a kill
+    mid-run still leaves the previous complete line inside the capture
+    tail (only a kill landing mid-syscall can truncate it)."""
+    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    line = compact_result_line(timings, total, sf_val, not_measured)
+    sys.stdout.write(line + "\n")
+    sys.stdout.flush()
 
 
 def _time_query(spark, qd, sf_dir: str) -> float:
@@ -96,7 +136,8 @@ def _run_isolated(name: str, sf_dir: str) -> float:
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, timeout=600,
+            env=env, capture_output=True, text=True,
+            timeout=max(30.0, min(600.0, _remaining())),
         )
         sys.stderr.write(proc.stderr)
         line = proc.stdout.strip().splitlines()[-1]
@@ -112,11 +153,13 @@ def main() -> None:
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
 
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     if only:
         # child mode: time exactly one query in this fresh JVM
-        spark = get_spark("time_sift_spark_bench_1q")
+        spark = get_spark("time_sift_spark_bench_1q", extra_conf=_QUIET_CONF)
+        spark.sparkContext.setLogLevel("ERROR")
         try:
             sec = _time_query(spark, REGISTRY[only], sf_dir)
         except Exception as exc:
@@ -125,24 +168,41 @@ def main() -> None:
         print(json.dumps({"query": only, "sec": sec}))
         return
 
-    spark = get_spark("time_sift_spark_bench")
+    spark = get_spark("time_sift_spark_bench", extra_conf=_QUIET_CONF)
+    spark.sparkContext.setLogLevel("ERROR")
 
+    # GRADE_PRIORITY order: a budget cut omits the least-important tail.
+    names = _ordered_names()
     timings: dict[str, float] = {}
-    for name, qd in REGISTRY.items():
+    stopped_at = len(names)
+    for i, name in enumerate(names):
+        # A typical query costs 1-3s x 3 executions; streaming child JVMs
+        # cost ~20-60s. Stop while there is still room to emit + exit.
+        need = 60.0 if _is_streaming(name) else 15.0
+        if _remaining() < need:
+            stopped_at = i
+            print(
+                f"[bench] budget {BUDGET:.0f}s reached after {i}/{len(names)} "
+                f"queries; omitting the rest", file=sys.stderr,
+            )
+            break
+        qd = REGISTRY[name]
         if _is_streaming(name):
             timings[name] = _run_isolated(name, sf_dir)
-            continue
-        try:
-            timings[name] = _time_query(spark, qd, sf_dir)
-        except Exception as exc:  # keep benching remaining queries
-            print(f"[bench] {name} FAILED: {exc}", file=sys.stderr)
-            timings[name] = -1.0
+        else:
+            try:
+                timings[name] = _time_query(spark, qd, sf_dir)
+            except Exception as exc:  # keep benching remaining queries
+                print(f"[bench] {name} FAILED: {exc}", file=sys.stderr)
+                timings[name] = -1.0
+        _emit_snapshot(timings, sf_val, len(names) - i - 1)
 
-    total = round(sum(t for t in timings.values() if t >= 0), 4)
-    sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
+    not_measured = len(names) - stopped_at if stopped_at < len(names) else 0
+
     # Full precision for humans / the repo record.
     print(json.dumps({"queries_full": timings, "sf": sf_val}), file=sys.stderr)
-    print(compact_result_line(timings, total, sf_val))
+    sys.stderr.flush()
+    _emit_snapshot(timings, sf_val, not_measured)
 
 
 if __name__ == "__main__":

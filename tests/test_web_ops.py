@@ -245,3 +245,62 @@ def test_html_links_extraction_rules():
         (1, 0, "/x", "One & two"),
         (1, 1, "/y", "Bold link"),
     ]
+
+
+def test_title_nbsp_trim_and_br_variant_tightening():
+    """ADVICE r12: (a) title trims AFTER entity decode, so
+    '&nbsp;X' → 'X' not ' X'; (b) only real <br> variants get line
+    semantics — a tag merely NAMED br* (<brand …>) strips to a space
+    like any other inline tag instead of splitting the line."""
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "html": [
+            "<html><head><title>&nbsp;Gamma&nbsp;</title></head>"
+            "<body><p>first unique prose piece here<br/>"
+            "second unique prose piece here</p></body>",
+            "<body><p>alpha prose segment <brand x>omega prose segment"
+            "</p><p>third line via br attr<br class=c>fourth line via"
+            " self close<br /></p></body>",
+            "<body><p>plain page with one single prose line</p></body>",
+        ],
+    })
+    got, exp = _extract_both(pdf, max_line_docs=3)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    by_id = {r.doc_id: r for r in got.itertuples()}
+    # decode-then-trim: no residual entity whitespace around the title
+    assert by_id[1].title == "Gamma"
+    # <br/> splits: the two prose pieces are SEPARATE lines
+    lines1 = by_id[1].main_text.split("\n")
+    assert "first unique prose piece here" in lines1
+    assert "second unique prose piece here" in lines1
+    # <brand x> does NOT split: both segments stay on ONE line
+    lines2 = by_id[2].main_text.split("\n")
+    assert any(
+        "alpha prose segment" in ln and "omega prose segment" in ln
+        for ln in lines2
+    )
+    # <br attr> and <br /> still split
+    assert "third line via br attr" in lines2
+    assert "fourth line via self close" in lines2
+
+
+def test_streaming_twins_reject_numeric_time_column():
+    """ADVICE r12: streaming_pettitt / streaming_ks_test enforce the
+    same assert_time_dtype contract as their batch siblings — an
+    epoch-long time column must raise, not CAST per-engine."""
+    import pytest
+
+    from time_sift_spark.operators.quality import streaming_ks_test
+    from time_sift_spark.operators.trend import streaming_pettitt
+
+    from tests.test_dialect_fuzz import _get_session
+
+    spark = _get_session()
+    pdf = pd.DataFrame({"u": ["a", "b"], "ts": [1_000_000, 2_000_000],
+                        "v": [1.0, 2.0]})
+    sdf = spark.createDataFrame(pdf)
+    with pytest.raises(TypeError, match="dtype"):
+        streaming_pettitt(sdf, "v", "ts", "u", query_name="_t_sp_reject")
+    with pytest.raises(TypeError, match="dtype"):
+        streaming_ks_test(sdf, sdf, "v", "ts", "u", "2024-01-01",
+                          query_name="_t_sk_reject")

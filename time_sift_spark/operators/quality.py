@@ -1146,6 +1146,7 @@ def streaming_ks_test(
     """
     from pyspark.sql import functions as F
 
+    from ._time import assert_time_dtype
     from .sketch import _hq_parts
 
     for c in (value_col, time_col, group_col):
@@ -1154,6 +1155,10 @@ def streaming_ks_test(
                 raise ColumnNotFoundError(
                     f"column {c!r} not in {tag} frame {frame.columns}"
                 )
+    # same contract as ks_test_binned's front door: a numeric
+    # (epoch-long) time column fails loudly on BOTH sides (ADVICE r12)
+    assert_time_dtype(stream_df, time_col)
+    assert_time_dtype(static_df, time_col)
     spark = static_df.sparkSession
     before = f"({time_col} < TIMESTAMP '{split_date} 00:00:00')"
     bin_expr, _ = _hq_parts(value_col, lo, hi, bins)

@@ -512,12 +512,16 @@ def streaming_pettitt(
     from ..errors import ColumnNotFoundError
     from ..functions.text_fns import SPARK as _S
     from ..streaming.lag_stream import run_stream_to_df
+    from ._time import assert_time_dtype
 
     for c in (value_col, time_col, group_col):
         if c not in stream_df.columns:
             raise ColumnNotFoundError(
                 f"column {c!r} not in stream frame {stream_df.columns}"
             )
+    # same contract as the batch front door: a numeric (epoch-long)
+    # time column must fail loudly, not CAST per-engine (ADVICE r12)
+    assert_time_dtype(stream_df, time_col)
     spark = stream_df.sparkSession
     day = f"datediff(CAST({time_col} AS DATE), DATE '1970-01-01')"
     cur = (

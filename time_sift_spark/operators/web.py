@@ -284,7 +284,10 @@ _HTML_ENTITIES: tuple[tuple[str, str], ...] = (
 # line structure.  <br> is the one VOID tag with line semantics.
 _BLOCK_END_PATTERN = (
     "(?i)</(p|div|h[1-6]|li|tr|td|th|blockquote|title|article|section"
-    "|header|footer|nav|ul|ol|table)>|<br[^>]*>"
+    # only real <br> variants (<br>, <br/>, <br />, <br attr>) get line
+    # semantics — '<br[^>]*>' also swallowed any tag NAMED br* (e.g. a
+    # hypothetical <brand …>), which stage 4 should strip to a space
+    "|header|footer|nav|ul|ol|table)>|<br(\\s[^>]*)?/?>"
 )
 
 
@@ -309,8 +312,10 @@ def html_title_expr(d: Dialect, col: str) -> str:
     """The page's <title> text (trimmed, entities decoded; '' when the
     page has none).  Both engines' regexp_extract return '' on no
     match."""
-    raw = f"trim(regexp_extract({col}, {d._q('(?is)<title[^>]*>(.*?)</title>')}, 1))"
-    return _entity_decode(d, raw)
+    raw = f"regexp_extract({col}, {d._q('(?is)<title[^>]*>(.*?)</title>')}, 1)"
+    # trim AFTER decoding so entity-derived whitespace ('&nbsp;X' → ' X')
+    # is trimmed too, matching the body path's decode-then-trim per line
+    return f"trim({_entity_decode(d, raw)})"
 
 
 def html_text_expr(d: Dialect, col: str) -> str:

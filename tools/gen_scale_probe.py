@@ -96,11 +96,13 @@ def replicate_embeddings(con) -> None:
     arms = [f"SELECT vec_id, embedding, label FROM read_parquet('{SRC}/embeddings.parquet')"]
     for c in range(1, COPIES):
         # deterministic per-copy perturbation DIRECTION (multiplier
-        # 2c+3 mod 11 is distinct for c=1..9) at ~0.6 L2 magnitude on
-        # the unit-norm corpus, then renormalized — big enough that
-        # cross-copy cosine falls under every near-dup threshold,
-        # structure-preserving within a copy (one shared offset field)
-        pert = f"(x + CAST(0.024 * (((i * {2 * c + 3}) % 11) - 5) AS FLOAT))"
+        # c+1 ∈ {2..10} is distinct AND nonzero mod 11 for c=1..9 —
+        # 2c+3 hit 0 at c=4, collapsing that copy to one constant
+        # offset, ADVICE r12) at ~0.6 L2 magnitude on the unit-norm
+        # corpus, then renormalized — big enough that cross-copy cosine
+        # falls under every near-dup threshold, structure-preserving
+        # within a copy (one shared offset field)
+        pert = f"(x + CAST(0.024 * (((i * {c + 1}) % 11) - 5) AS FLOAT))"
         arms.append(f"""
         SELECT vec_id + {c * 10**5} AS vec_id,
                CAST(list_transform(_p, y -> CAST(y / sqrt(_n) AS FLOAT)) AS FLOAT[]) AS embedding,
