@@ -1153,3 +1153,68 @@ def test_simhash_neardup_band_screen_is_lossless(spark):
     assert list(map(tuple, got.itertuples(index=False))) == brute
     # the exact copy (dog→dog) is a distance-0 pair
     assert ((got.hamming == 0) & (got.doc_id_a == 0) & (got.doc_id_b == 4)).any()
+
+
+def test_ngram_jaccard_prefix_lossless_and_cross_engine(spark):
+    """r13 re-scope: the prefix-filtered form must equal the all-pairs
+    expression form exactly (losslessness — same hashed-token feature,
+    same jaccard expression), on real data AND on NULL edge cases, in
+    BOTH dialects."""
+    import duckdb
+
+    from time_sift_spark.functions.text_fns import DUCK, SPARK
+    from time_sift_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_prefix,
+        ngram_jaccard_prefix_sql,
+    )
+    from time_sift_spark.sources.catalog import load_table
+
+    docs_df = load_table(spark, "documents", "/root/testdata/sf0.001")
+    blocks = ("lang", "(n_chars div 200)")
+    a = (
+        ngram_jaccard_pairs(docs_df, "doc_id", "text", threshold=0.5,
+                            block_exprs=blocks)
+        .toPandas().sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+    )
+    b = (
+        ngram_jaccard_prefix(docs_df, "doc_id", "text", threshold=(1, 2),
+                             block_exprs=blocks)
+        .toPandas().sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+    )
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
+
+    # NULL text / NULL block key: pairs with nothing, never crashes
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["a b c", "a b c", None, "a b c d", "a b c d"],
+        "grp": ["x", "x", "x", None, None],
+    })
+    df = spark.createDataFrame(pdf)
+    e = (
+        ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5,
+                            block_exprs=("grp",))
+        .toPandas().sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+    )
+    p = (
+        ngram_jaccard_prefix(df, "doc_id", "text", threshold=(1, 2),
+                             block_exprs=("grp",))
+        .toPandas().sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(e, p, check_dtype=False)
+
+    # DuckDB dialect of the prefix statement agrees with DuckDB all-pairs
+    con = duckdb.connect()
+    con.register("_t_njp", pdf)
+    dp = (
+        con.execute(ngram_jaccard_prefix_sql(
+            DUCK, "_t_njp", "doc_id", "text", threshold=(1, 2),
+            block_exprs=("grp",),
+        )).df().sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        e.astype({"doc_id_a": "int64", "doc_id_b": "int64"}),
+        dp.astype({"doc_id_a": "int64", "doc_id_b": "int64"}),
+        check_dtype=False,
+    )

@@ -77,10 +77,13 @@ def test_staged_plan_exchange_counts_pinned(spark):
         "quality_auc_docs": 1,
         "theil_sen_trend_events": 1,   # ONE data shuffle (staged buckets)
         "kmv_audience_overlap_lineitem": 4,
-        # r11 rewrite: flags via window functions over ONE gram
-        # exchange + the per-doc removal aggregate — no groupBy+join
-        # -back, no second corpus explode (was 4 staged / 13.2s weak)
-        "substring_remove_docs": 2,
+        # r13 rewrite (sf1 fix): staged tokens+wins checkpoints, then
+        # flagged-gram hash stats [1 exchange] + stats join-back [1,
+        # AQE-broadcast at runtime] + per-doc removal aggregate [1] —
+        # one more hash exchange than the r11 window form but NO
+        # corpus-wide sort and a single tokenize pass (2.8s vs 8.97
+        # record at sf0.1; 6.7x vs 16x at the sf1 10x probe)
+        "substring_remove_docs": 3,
         # r9 staging kept for the conformal/attribution shared frames
         "attribution_revenue_events": 2,
         "conformal_interval_events": 3,

@@ -523,6 +523,150 @@ def ngram_jaccard_pairs(
     return _run(df, ngram_jaccard_sql, id_col, text_col, threshold=threshold, block_exprs=block_exprs)
 
 
+def _njp_hdist_select(d: Dialect, table: str, id_col: str, text_col: str,
+                      block_exprs: tuple[str, ...]) -> str:
+    """(did, blk0.., h): each doc's DISTINCT hashed-token set exploded,
+    block attributes carried along — built from the SAME
+    :func:`hashed_tokens_expr` feature as the all-pairs oracle, so
+    'lossless vs the oracle' is structural (identical sets, identical
+    sizes, identical jaccard values)."""
+    blocks = ", ".join(f"{e} AS blk{i}" for i, e in enumerate(block_exprs))
+    base = (f"SELECT {id_col} AS did, {blocks}, "
+            f"{hashed_tokens_expr(d, text_col)} AS _hts FROM {table}")
+    blk_cols = ", ".join(f"blk{i}" for i in range(len(block_exprs)))
+    return f"SELECT did, {blk_cols}, {_unnest(d, '_hts', 'h')} FROM ({base}) _njb"
+
+
+def ngram_jaccard_prefix_sql(
+    d: Dialect,
+    table: str,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: tuple[int, int] = (1, 2),
+    block_exprs: tuple[str, ...] = ("1",),
+    staged_hdist: str | None = None,
+) -> str:
+    """Blocked pairwise token Jaccard via PREFIX FILTERING — the
+    LOSSLESS scale form of :func:`ngram_jaccard_sql` (r12 verdict's
+    re-scope of the quadratic per-block comparator, measured 55× at 10×
+    data): identical output — every pair with J ≥ num/den over distinct
+    hashed-token sets within matching blocks — but candidate volume
+    grows with TRUE-pair volume, not block size squared.
+
+    The PPJoin lemma of :func:`prefix_jaccard_join_sql`, with the block
+    key folded INTO the canonical order and the candidate join: each
+    doc keeps its n − ⌈θ·n⌉ + 1 rarest tokens (document frequency
+    ascending WITHIN its block — any order shared by block-mates
+    satisfies the lemma, and rarest-first is what keeps join buckets
+    self-limiting); a qualifying pair must share a prefix token in its
+    block, so the (block, token) equi-join plus the integer mutual-size
+    filter misses nothing, and the exact verify over the full sets
+    keeps only true pairs.  All thresholds are exact integer
+    cross-multiplications; the reported jaccard is the oracle's own
+    expression (one IEEE division of exact integers, same
+    ``greatest(union, 1)`` guard).
+
+    Scale: one explode of the distinct-token stream; df and per-doc
+    rank are one hash exchange each; the candidate join shuffles on
+    (block, rare token); verify touches only |candidates| rows.  The
+    all-pairs form stays registered as the ORACLE, so the driver proves
+    losslessness on real data every round (the prefix_jaccard_join
+    discipline).
+
+    ``staged_hdist``: view holding :func:`_njp_hdist_select` output —
+    the Spark front door checkpoints it (referenced 4×: sizes, df,
+    rank, verify sets); the DuckDB oracle form inlines it.
+    """
+    num, den = int(threshold[0]), int(threshold[1])
+    tset, inter, setsize, idiv = _ppj_exprs(d)
+    ceil_tn = idiv(f"({num} * n + {den} - 1)", f"{den}")
+    nblk = len(block_exprs)
+    blk_cols = ", ".join(f"blk{i}" for i in range(nblk))
+    t_blks = ", ".join(f"t.blk{i}" for i in range(nblk))
+    f_on = " AND ".join(f"f.blk{i} = t.blk{i}" for i in range(nblk))
+    c_on = " AND ".join(f"a.blk{i} = b.blk{i}" for i in range(nblk))
+    hdist = (f"SELECT * FROM {staged_hdist}" if staged_hdist
+             else _njp_hdist_select(d, table, id_col, text_col, block_exprs))
+    jaccard = ("(CAST(n_inter AS DOUBLE) / "
+               "CAST(greatest(n_sum - n_inter, 1) AS DOUBLE))")
+    return f"""
+    WITH _njh AS (
+      {hdist}
+    ),
+    _njn AS (
+      SELECT did, CAST(COUNT(*) AS BIGINT) AS n FROM _njh GROUP BY did
+    ),
+    _njf AS (
+      SELECT {blk_cols}, h, CAST(COUNT(*) AS BIGINT) AS dfc
+      FROM _njh GROUP BY {blk_cols}, h
+    ),
+    _njp AS (
+      SELECT did, {blk_cols}, h, n FROM (
+        SELECT t.did AS did, {t_blks}, t.h AS h, n.n AS n,
+               ROW_NUMBER() OVER (PARTITION BY t.did
+                                  ORDER BY f.dfc, t.h) AS rnk
+        FROM _njh t JOIN _njf f ON {f_on} AND f.h = t.h
+        JOIN _njn n ON n.did = t.did
+      ) _njr WHERE rnk <= (n - {ceil_tn} + 1)
+    ),
+    _njc AS (
+      SELECT a.did AS did_a, b.did AS did_b
+      FROM _njp a JOIN _njp b
+        ON {c_on} AND a.h = b.h AND a.did < b.did
+       AND {den} * LEAST(a.n, b.n) >= {num} * GREATEST(a.n, b.n)
+      GROUP BY a.did, b.did
+    ),
+    _njts AS (
+      SELECT did, {tset} AS hs FROM _njh GROUP BY did
+    ),
+    _njv AS (
+      SELECT c.did_a, c.did_b,
+             {inter} AS n_inter,
+             {setsize}(a.hs) + {setsize}(b.hs) AS n_sum
+      FROM _njc c
+      JOIN _njts a ON a.did = c.did_a
+      JOIN _njts b ON b.did = c.did_b
+    )
+    SELECT did_a AS doc_id_a, did_b AS doc_id_b, {jaccard} AS jaccard
+    FROM _njv
+    WHERE {den} * n_inter >= {num} * (n_sum - n_inter)
+    """
+
+
+def ngram_jaccard_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: tuple[int, int] = (1, 2),
+    block_exprs: tuple[str, ...] = ("1",),
+) -> DataFrame:
+    """DataFrame front door for :func:`ngram_jaccard_prefix_sql` —
+    stages the exploded distinct-token relation once (lazy
+    localCheckpoint; referenced 4×, and Catalyst would otherwise replan
+    the tokenize → hash → distinct → explode subtree per reference)."""
+    from ..functions.text_fns import SPARK as _S
+
+    for c in (id_col, text_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    spark = df.sparkSession
+    view = "_ts_njp_in"
+    df.createOrReplaceTempView(view)
+    staged = spark.sql(
+        _njp_hdist_select(_S, view, id_col, text_col, block_exprs)
+    ).localCheckpoint(eager=False)
+    sview = "_ts_njp_hdist"
+    staged.createOrReplaceTempView(sview)
+    return spark.sql(
+        ngram_jaccard_prefix_sql(
+            _S, view, id_col, text_col, threshold=threshold,
+            block_exprs=block_exprs, staged_hdist=sview,
+        )
+    )
+
+
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str, **kw) -> DataFrame:
     return _run(df, minhash_signatures_sql, id_col, text_col, **kw)
 
@@ -1107,25 +1251,34 @@ def _ssr_pos_explode(d: Dialect, table: str, id_col: str, arr_expr: str,
     )
 
 
-def _ssr_wins_select(d: Dialect, table: str, id_col: str, text_col: str,
-                     k: int) -> str:
-    """(did, pos, g): every k-token window start with its 60-bit gram
-    hash — the shared gram construction of the excision statement.
-
-    Tokens are STAGED AS A COLUMN before shingling (the finder's
-    ``base`` discipline): inlining the tokens() text into the shingle
-    lambda re-splits the document once PER SHINGLE INDEX — O(n²) chars
-    per doc, measured 7.3 s vs ~1 s for the whole wins pass at sf0.1
-    (Catalyst keeps the staged projection because the column is
-    referenced more than once by a non-cheap expression)."""
-    toks = d.tokens(text_col)
-    staged = (
-        f"(SELECT {id_col} AS _sid, {toks} AS toks FROM {table}) _srwb"
-    )
+def _ssr_wins_from_tokens(d: Dialect, tk_rel: str, k: int) -> str:
+    """(did, pos, g) from a (_sid, toks) tokenized relation: every
+    k-token window start with its 60-bit gram hash — the shared gram
+    construction of the excision statement."""
     where = f"toks IS NOT NULL AND {d.size('toks')} >= 1"
-    inner = _ssr_pos_explode(d, staged, "_sid", d.shingles("toks", k),
+    inner = _ssr_pos_explode(d, tk_rel, "_sid", d.shingles("toks", k),
                              "sh", where)
     return f"SELECT did, pos, {d.md5_long('sh')} AS g FROM ({inner})"
+
+
+def _ssr_tokens_select(d: Dialect, table: str, id_col: str,
+                       text_col: str) -> str:
+    """The tokenize projection the window builder consumes — split out
+    so the Spark front door can STAGE it (localCheckpoint): Catalyst
+    pushes the explode's not-null/size predicates down into the scan,
+    re-inlining the tokens() split 3-4× per row (measured 5.5 s vs
+    0.4 s for the projection alone at sf0.1); a materialized token
+    frame makes tokenization a guaranteed single pass."""
+    return f"SELECT {id_col} AS _sid, {d.tokens(text_col)} AS toks FROM {table}"
+
+
+def _ssr_wins_select(d: Dialect, table: str, id_col: str, text_col: str,
+                     k: int) -> str:
+    """One-statement (did, pos, g) form over the raw table — the oracle
+    text; the Spark front door replaces the inline tokens subquery with
+    its checkpointed twin (same rendered fragments)."""
+    staged = f"({_ssr_tokens_select(d, table, id_col, text_col)}) _srwb"
+    return _ssr_wins_from_tokens(d, staged, k)
 
 
 # position bound for the (did, pos) → BIGINT occurrence encoding:
@@ -1133,6 +1286,21 @@ def _ssr_wins_select(d: Dialect, table: str, id_col: str, text_col: str,
 # encode-compare discipline (exact integer argmin, no struct-ordering
 # dialect divergence).
 _SSR_POS_MOD = 1 << 20
+
+
+def _ssr_stats_body(d: Dialect, src: str, gram_doc_cap: int | None) -> str:
+    """FLAGGED-gram statistics over a (did, pos, enc, g) relation: one
+    HASH aggregation (map-side partial combine, never a sort) keeping
+    ONLY grams that can flag a removal — n_occ ≥ 2 covers both rules,
+    since ``n_docs > cap ≥ 1`` implies two occurrences.  The output is
+    the kept-gram volume (duplicated grams only — a small fraction of
+    the corpus on real data), which is what makes the join-back
+    broadcast-able."""
+    nd = ", COUNT(DISTINCT did) AS n_docs" if gram_doc_cap is not None else ""
+    return (
+        f"SELECT g, MIN(enc) AS min_enc{nd} FROM {src} "
+        f"GROUP BY g HAVING COUNT(*) >= 2"
+    )
 
 
 def substring_remove_sql(
@@ -1143,6 +1311,7 @@ def substring_remove_sql(
     *,
     k: int = 10,
     gram_doc_cap: int | None = None,
+    staged_wins: str | None = None,
 ) -> str:
     """Duplicate-SPAN removal — the excision step of ExactSubstr dedup
     (Lee et al. 2022, arXiv:2107.06499 §4.1: "deduplicating the dataset
@@ -1172,39 +1341,53 @@ def substring_remove_sql(
       window (the shingles() clamp), so exact whole-doc twins below k
       tokens still dedup.
 
-    Shape (the r10 verdict's weak-plan fix): documents are SINGLE ROWS,
-    so everything per-document is ROW-LOCAL array arithmetic — only the
-    gram statistics need a shuffle.  ONE narrow explode+hash pass over
-    the corpus, ONE exchange on the gram key where window functions
-    compute n_occ / argmin / distinct-doc count in place (no groupBy +
-    join-back — the window-over-frame rule; distinct docs via the
-    LAG-run-boundary trick, exact because rows are did-ordered within
-    each gram partition), then ONLY the flagged (did, pos) rows — the
-    removals, a tiny fraction of the corpus — aggregate per doc and
-    join back to the base table, where coverage expansion, token
-    filtering, and reassembly are per-row array expressions (covered =
-    distinct-flatten of the flagged spans; kept = ordered set-minus of
-    positions; O(span tokens), hash-based — never a second corpus
-    explode, never a (did, pos) equi-join, never a second corpus-wide
-    window sort).  A million-document boilerplate gram costs counter
-    rows in one gram partition, not 10¹² pairs.  Output: ({id_col},
-    text_dedup, n_tokens, n_kept, n_removed) for every input row —
-    NULL/empty docs reassemble to ''.
+    Shape (the r12 verdict's sf1 fix — the r11 window form sorted the
+    ENTIRE gram stream inside its gram partitions, the measured ~16×
+    superlinearity at 10× data): documents are SINGLE ROWS, so
+    everything per-document is ROW-LOCAL array arithmetic — only the
+    gram statistics need a shuffle, and they are now a HASH aggregation,
+    never a sort.  ONE narrow explode+hash pass feeds a
+    partial-aggregated groupBy(g) that keeps ONLY flaggable grams
+    (n_occ ≥ 2 — see :func:`_ssr_stats_body`); the occurrence stream
+    joins back against that small relation (AQE broadcast-converts it
+    on real corpora, where duplicated grams are a few percent — the
+    probe side then streams with ZERO additional exchange; a
+    pathological all-duplicate corpus degrades to one more hash
+    exchange, still sort-free), then ONLY the flagged (did, pos) rows —
+    the removals — aggregate per doc and join back to the base table,
+    where coverage expansion, token filtering, and reassembly are
+    per-row array expressions (covered = distinct-flatten of the
+    flagged spans; kept = ordered set-minus of positions; O(span
+    tokens), hash-based — never a (did, pos) equi-join, never a
+    corpus-wide sort).  The Spark front door materializes the window
+    stream once (``staged_wins``), so the stats and probe references
+    are two reads of local blocks, not two explodes — the same volume
+    a single shuffle of the stream would have written.  A
+    million-document boilerplate gram costs ONE stats row, not 10¹²
+    pairs.  Output: ({id_col}, text_dedup, n_tokens, n_kept,
+    n_removed) for every input row — NULL/empty docs reassemble to ''.
+
+    ``staged_wins``: name of a view already holding the (did, pos, g)
+    window stream (:func:`_ssr_wins_from_tokens` over checkpointed
+    tokens) — the Spark front door materializes it ONCE so (a) the
+    tokenize pass runs a single time (Catalyst's predicate pushdown
+    otherwise re-inlines the split 3-4× per row — see
+    :func:`_ssr_tokens_select`) and (b) the stats and probe references
+    both read the materialized blocks instead of recomputing the
+    explode; passing None (the DuckDB oracle) inlines the windows as a
+    CTE, so staged ≡ one-statement is structural (shared rendered
+    text).
     """
     toks = d.tokens(text_col)
-    wins = _ssr_wins_select(d, table, id_col, text_col, k)
+    wins = (f"SELECT * FROM {staged_wins}" if staged_wins
+            else _ssr_wins_select(d, table, id_col, text_col, k))
     enc = f"(did * {_SSR_POS_MOD} + pos)"
     if gram_doc_cap is not None:
-        # first row of each (g, did) run in (did, pos) order — summed
-        # per gram this IS the exact distinct-doc count (did NOT NULL)
-        nd = ("CASE WHEN COALESCE(LAG(did) OVER (PARTITION BY g "
-              "ORDER BY did, pos), -1) <> did THEN 1 ELSE 0 END AS _nd,")
-        ndocs_sel = "SUM(_nd) OVER (PARTITION BY g) AS n_docs,"
-        rm_pred = (f"n_docs > {int(gram_doc_cap)} OR "
-                   f"(n_occ >= 2 AND enc <> min_enc)")
+        rm_pred = (f"s.n_docs > {int(gram_doc_cap)} OR "
+                   f"w.enc <> s.min_enc")
     else:
-        nd, ndocs_sel = "", ""
-        rm_pred = "n_occ >= 2 AND enc <> min_enc"
+        rm_pred = "w.enc <> s.min_enc"
+    stats = _ssr_stats_body(d, "_srw", gram_doc_cap)
     # FAST PATH: most documents have NO removals (rps empty after the
     # LEFT JOIN) — their _cov stays NULL and the whole coverage/except/
     # index-reassembly machinery is skipped per row (CASE is lazy on
@@ -1235,19 +1418,14 @@ def substring_remove_sql(
               f"ELSE {d.size('_kept')} END")
     return f"""
     WITH _srw AS (
-      SELECT did, pos, {nd} {enc} AS enc, g
+      SELECT did, pos, {enc} AS enc, g
       FROM ({wins})
     ),
-    _srs AS (
-      SELECT did, pos, enc,
-             {ndocs_sel}
-             COUNT(*) OVER (PARTITION BY g) AS n_occ,
-             MIN(enc) OVER (PARTITION BY g) AS min_enc
-      FROM _srw
-    ),
+    _srg AS ({stats}),
     _sra AS (
-      SELECT did, {rps_agg} AS rps
-      FROM _srs WHERE {rm_pred} GROUP BY did
+      SELECT w.did, {rps_agg} AS rps
+      FROM _srw w JOIN _srg s ON w.g = s.g
+      WHERE {rm_pred} GROUP BY w.did
     ),
     _srb AS (
       SELECT b.{id_col} AS did_out, {d.tokens(f"b.{text_col}")} AS _tk,
@@ -1275,11 +1453,14 @@ def substring_remove(
     k: int = 10,
     gram_doc_cap: int | None = None,
 ) -> DataFrame:
-    """DataFrame entry point for :func:`substring_remove_sql`.  No
-    staging needed since the r11 rewrite: the gram stream is referenced
-    exactly once (the flag computation is window functions over the one
-    gram exchange, not a groupBy + join-back), so the statement is a
-    single Catalyst plan with nothing to re-inline."""
+    """DataFrame entry point for :func:`substring_remove_sql`.  Stages
+    (r12 verdict's sf1 fix) the tokenized corpus and then the (did,
+    pos, g) window stream via localCheckpoint: tokenization runs
+    exactly once (predicate pushdown otherwise re-inlines the split
+    3-4× per row), and the stats + probe references of the excision
+    statement both read the materialized window blocks instead of
+    recomputing the explode — every remaining step is a hash
+    aggregation or hash join, no corpus-wide sort anywhere."""
     from ..functions.text_fns import SPARK as _S
 
     for c in (id_col, text_col):
@@ -1295,9 +1476,18 @@ def substring_remove(
     spark = df.sparkSession
     view = "_ts_ssr_in"
     df.createOrReplaceTempView(view)
+    tkview = "_ts_ssr_tk"
+    spark.sql(
+        _ssr_tokens_select(_S, view, id_col, text_col)
+    ).localCheckpoint(eager=False).createOrReplaceTempView(tkview)
+    wview = "_ts_ssr_wins"
+    spark.sql(
+        _ssr_wins_from_tokens(_S, tkview, k)
+    ).localCheckpoint(eager=False).createOrReplaceTempView(wview)
     return spark.sql(
         substring_remove_sql(
             _S, view, id_col, text_col, k=k, gram_doc_cap=gram_doc_cap,
+            staged_wins=wview,
         )
     )
 
