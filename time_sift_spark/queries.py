@@ -11364,15 +11364,78 @@ def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
 # --------------------------------------------------------------------------
 
 GRADE_PRIORITY: list[str] = [
-    # -- r12 slots 1-6: the six registrations never driver-graded
-    #    (r11 VERDICT item 1) --
+    # -- r13 slots: plan/text changed this round (excision staging
+    #    rewrite; ngram prefix re-scope; web.py title-trim + <br>
+    #    tightening feed the 4 html queries; streaming dtype asserts) --
+    "substring_remove_docs",
+    "ngram_jaccard_docs",
+    "html_extract_docs",
+    "pipeline_html_quality_docs",
+    "html_links_docs",
+    "html_inlink_counts_docs",
+    "streaming_pettitt_events",
+    "streaming_ks_drift_events",
+    # -- the 20 remaining r5-vintage grades (r12 VERDICT item 4) --
+    "lag_global_hourly",
+    "lag_hotkey_events",
+    "lsh_neardup_capped_docs",
+    "neardup_clusters_docs",
+    "orc_roundtrip_nation",
+    "rollup_hourly_daily",
+    "rollup_revenue_flag_status",
+    "series_arrays_events",
+    "sql_shared_text",
+    "stream_stream_join",
+    "streaming_dedup_events",
+    "streaming_dedup_watermarked",
+    "streaming_lag_late_events",
+    "streaming_session_windows",
+    "time_weighted_avg_events",
+    "top_tokens",
+    "tpch_q3_shipping_priority",
+    "unpivot_lineitem_metrics",
+    "value_deciles_events",
+    "zscore_events",
+    # -- flagship --
+    "lag_events_wide",
+    # -- r6-vintage rotation (oldest after the r5 tier; the window
+    #    tail takes as many as fit) --
+    "acf_user_value",
+    "ccf_click_purchase_hourly",
+    "chunk_documents_200_50",
+    "cohort_retention_weekly",
+    "countmin_token_freq",
+    "cusum_user_value",
+    "decode_audio_real_docs",
+    "decode_image_real_docs",
+    "decontaminate_docs",
+    "delta_roundtrip_supplier",
+    "deseasonalize_hourly_events",
+    "ewma_events",
+    "ewma_horizon_events",
+    "funnel_signup_click_purchase",
+    "graph_components_event_chains",
+    "hopping_window_counts",
+    "mad_outliers_events",
+    "partitioned_scan_events",
+    "quality_filter_docs",
+    "redact_pii_docs",
+    "rolling_corr_click_purchase",
+    "rolling_median_events",
+    "sketch_distinct_users_by_type",
+    "streaming_distinct_sketch_daily",
+    "streaming_lag_steady_state",
+    "tpch_q18_large_volume_customer",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "trend_user_value",
+    # -- prior-round order (beyond the 50-slot window) --
     "holt_winters_forecast_events",
     "hw_forecast_damped_mul_events",
     "season_detect_events",
     "regression_report_events",
     "phrase_search_persisted_docs",
     "phrase_search_appended_docs",
-    # -- r5-vintage staleness rotation (r11 VERDICT item 3) --
     "lag_events_fill_inf",
     "rolling_events",
     "sessionize_events",
@@ -11388,21 +11451,9 @@ GRADE_PRIORITY: list[str] = [
     "interval_join_error_click",
     "pivot_qty_by_status",
     "streaming_lag_events",
-    # -- NEW in r12 (inserted as registered this round) --
-    "html_extract_docs",
-    "pipeline_html_quality_docs",
     "ks_drift_binned_events",
-    "streaming_ks_drift_events",
     "hw_two_season_events",
     "simhash_neardup_docs",
-    "html_links_docs",
-    "html_inlink_counts_docs",
-    "streaming_pettitt_events",
-    # -- changed in r11, never driver-regraded (excision plan+oracle
-    #    rewrite; recall denominator; CDC NULL-key filter; symspell
-    #    variant dedup; QQ tail refactor; LSH append write order;
-    #    streaming HW exact integer split) --
-    "substring_remove_docs",
     "ann_recall_report",
     "cdc_merge_events",
     "symspell_match_customer",
@@ -11412,9 +11463,6 @@ GRADE_PRIORITY: list[str] = [
     "streaming_vector_ingest",
     "streaming_holt_winters_events",
     "exact_substring_pairs_docs",
-    # -- flagship --
-    "lag_events_wide",
-    # -- next-oldest rotation (r5 vintage, fills the window tail) --
     "asof_join_next_purchase",
     "bucketed_join_revenue",
     "class_capped_sample_events",
@@ -11424,8 +11472,6 @@ GRADE_PRIORITY: list[str] = [
     "json_props_stats",
     "json_roundtrip_events",
     "lag_events_long_unordered",
-    "lag_global_hourly",
-    # -- prior-round order (beyond the 50-slot window) --
     "signup_users_no_purchase",
     "topk_orders_per_customer",
     "ann_ivf_topk",
@@ -11439,7 +11485,6 @@ GRADE_PRIORITY: list[str] = [
     "lsh_verified_neardup_docs",
     "minhash_lsh_pairs_docs",
     "minhash_sigs_docs",
-    "ngram_jaccard_docs",
     "stratified_sample_events",
     "text_stats_docs",
     "ann_ivf_persisted_topk",
@@ -11476,8 +11521,6 @@ GRADE_PRIORITY: list[str] = [
     "phrase_search_docs",
     "streaming_croston_events",
     "prop_ztest_events",
-    "time_weighted_avg_events",
-    "rollup_hourly_daily",
     "streaming_outer_join",
     "kcore3_docs",
     "robust_scale_sketch_events",
@@ -11608,23 +11651,6 @@ GRADE_PRIORITY: list[str] = [
     "interop_roundtrip_events",
     "simhash_docs",
     "embedding_neardup",
-    "lag_hotkey_events",
-    "neardup_clusters_docs",
-    "series_arrays_events",
-    "tpch_q3_shipping_priority",
-    "orc_roundtrip_nation",
-    "value_deciles_events",
-    "lsh_neardup_capped_docs",
-    "zscore_events",
-    "unpivot_lineitem_metrics",
-    "top_tokens",
-    "sql_shared_text",
-    "rollup_revenue_flag_status",
-    "streaming_lag_late_events",
-    "streaming_dedup_events",
-    "streaming_dedup_watermarked",
-    "streaming_session_windows",
-    "stream_stream_join",
     "salted_join_priority_revenue",
     "mixture_resample_docs",
     "streaming_hopping_counts",
@@ -11637,35 +11663,6 @@ GRADE_PRIORITY: list[str] = [
     "profile_events",
     "hybrid_rrf_retrieval",
     "pack_sequences_docs",
-    "rolling_corr_click_purchase",
-    "acf_user_value",
-    "ccf_click_purchase_hourly",
-    "cusum_user_value",
-    "chunk_documents_200_50",
-    "redact_pii_docs",
-    "decontaminate_docs",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q18_large_volume_customer",
-    "partitioned_scan_events",
-    "deseasonalize_hourly_events",
-    "quality_filter_docs",
-    "sketch_distinct_users_by_type",
-    "rolling_median_events",
-    "streaming_distinct_sketch_daily",
-    "funnel_signup_click_purchase",
-    "cohort_retention_weekly",
-    "countmin_token_freq",
-    "trend_user_value",
-    "mad_outliers_events",
-    "hopping_window_counts",
-    "graph_components_event_chains",
-    "decode_image_real_docs",
-    "decode_audio_real_docs",
-    "delta_roundtrip_supplier",
-    "streaming_lag_steady_state",
-    "ewma_events",
-    "ewma_horizon_events",
     "asof_join_purchases",
     "asof_join_nearest_purchase",
     "asof_join_purchases_tolerance",

@@ -48,7 +48,13 @@ QUERIES = [
     "ann_ivf_topk",
     "graph_components_event_chains",
     "html_extract_docs",
+    # streaming tier (r12 VERDICT item 7): one drain per streaming
+    # class — stateful lag, fuzzy-dedup store, Holt-Winters state
+    # queue, bounded-bin KS — measuring state-store scaling at 10x keys
     "streaming_lag_events",
+    "streaming_dedup_fuzzy_docs",
+    "streaming_holt_winters_events",
+    "streaming_ks_drift_events",
 ]
 
 
@@ -56,9 +62,18 @@ def main() -> None:
     if not os.path.isdir(SF1):
         sys.exit(f"{SF1} missing — run tools/gen_scale_probe.py first")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # SPARK_GRAFT_PROBE_ONLY=a,b,c re-probes a subset and MERGES into
+    # the existing SCALE_PROBE_sf1.json (full re-probes are ~1h; a
+    # plan fix or dataset regeneration usually touches a few queries)
+    only = os.environ.get("SPARK_GRAFT_PROBE_ONLY")
+    names = [q.strip() for q in only.split(",") if q.strip()] if only else QUERIES
     results: dict[str, float] = {}
+    out_path = os.path.join(REPO, "SCALE_PROBE_sf1.json")
+    if only and os.path.exists(out_path):
+        with open(out_path) as f:
+            results.update(json.load(f).get("queries", {}))
     t0 = time.time()
-    for name in QUERIES:
+    for name in names:
         env = dict(os.environ, SPARK_GRAFT_BENCH_ONLY=name,
                    SPARK_GRAFT_SF_DIR=SF1, SPARK_GRAFT_CPUS=cpus)
         try:
@@ -80,7 +95,9 @@ def main() -> None:
         "wall_s": round(time.time() - t0, 1),
         "queries": results,
     }
-    with open(os.path.join(REPO, "SCALE_PROBE_sf1.json"), "w") as f:
+    if only:
+        out["partial_reprobe"] = names
+    with open(out_path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     print(json.dumps({"metric": "scale_probe_sum_seconds",
                       "value": round(sum(v for v in results.values() if v > 0), 2),
