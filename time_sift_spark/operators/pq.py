@@ -749,3 +749,238 @@ def pq_adc_topk(
     )
     df.createOrReplaceTempView(view)
     return df.sparkSession.sql(sql)
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8) — per-dimension 8-bit codes
+# ---------------------------------------------------------------------------
+
+def _sq8_explode(vd: VectorDialect, src: str) -> str:
+    """(vid, j, x): 1-based dimension explode of a (vid, emb) relation."""
+    if vd.name == "spark":
+        return (f"SELECT vid, pos + 1 AS j, x FROM {src} "
+                f"LATERAL VIEW posexplode(emb) t AS pos, x")
+    return (f"SELECT vid, j, emb[j] AS x FROM "
+            f"(SELECT vid, emb, unnest(range(1, len(emb) + 1)) AS j FROM {src})")
+
+
+def _sq8_rebuild(vd: VectorDialect, col: str) -> str:
+    """Per-dim stats column → dimension-ordered array (one row)."""
+    if vd.name == "spark":
+        return f"transform(array_sort(collect_list(struct(j, {col}))), s -> s.{col})"
+    return f"list({col} ORDER BY j)"
+
+
+def _sq8_quant(vd: VectorDialect) -> str:
+    """emb + (lo_a, rng_a) → array<int> of 8-bit codes: each dimension
+    maps to floor(255·(x−lo)/rng + 0.5), clamped to [0, 255].  floor of
+    a derived double is the one rounding both engines share bit-for-bit
+    (no HALF_UP/HALF_EVEN divergence — the _num.py tie rule)."""
+    if vd.name == "spark":
+        return ("zip_with(zip_with(emb, lo_a, (x, y) -> x - y), rng_a, "
+                "(x, y) -> CAST(least(greatest("
+                "floor(CAST(255 AS DOUBLE) * x / y + CAST(0.5 AS DOUBLE))"
+                ", 0), 255) AS INT))")
+    return ("list_transform(range(1, len(emb) + 1), i -> "
+            "CAST(least(greatest("
+            "floor(255.0 * (emb[i] - lo_a[i]) / rng_a[i] + 0.5)"
+            ", 0), 255) AS INT))")
+
+
+def _sq8_dequant(vd: VectorDialect) -> str:
+    """code + (lo_a, rng_a) → reconstructed double array:
+    x̂ = (c·rng)/255 + lo, identical operation order on both engines."""
+    if vd.name == "spark":
+        return ("zip_with(zip_with(code, rng_a, "
+                "(x, y) -> CAST(x AS DOUBLE) * y / CAST(255 AS DOUBLE)), "
+                "lo_a, (x, y) -> x + y)")
+    return ("list_transform(range(1, len(code) + 1), i -> "
+            "CAST(code[i] AS DOUBLE) * rng_a[i] / 255.0 + lo_a[i])")
+
+
+def _sq8_tail(vd: VectorDialect, *, query_pred: str, k: int,
+              shortlist: int) -> str:
+    """The serve-side text over three staged relations — ``_sqv`` (vid,
+    emb, nrm: cast vectors + norms), ``_sqs`` (one row: lo_a, rng_a),
+    ``_sqc`` (vid, code) — shared VERBATIM by the inline statement and
+    the persisted-index serve, so persisted ≡ inline is structural:
+    dequantize codes, approximate-cosine ALL corpus codes per query
+    (sequential-fold dot — deterministic, never a reassociating SUM),
+    keep the top ``shortlist`` per query, exact-rerank only those."""
+    dq = _sq8_dequant(vd)
+    ap_dot = vd.dot("q.emb", "c.demb")
+    ex_dot = vd.dot("q2.emb", "c2.emb")
+    return f"""
+    _sqd AS (
+      SELECT vid, demb, {vd.norm("demb")} AS dnrm FROM (
+        SELECT vid, {dq} AS demb FROM _sqc CROSS JOIN _sqs
+      ) _sq_dq
+    ),
+    _sqq AS (
+      SELECT vid, emb, nrm FROM _sqv WHERE {query_pred}
+    ),
+    _sqa AS (
+      SELECT query_id, neighbor_id, approx FROM (
+        SELECT q.vid AS query_id, c.vid AS neighbor_id,
+               ({ap_dot} / greatest(q.nrm * c.dnrm, 1e-300)) AS approx,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vid
+                 ORDER BY ({ap_dot} / greatest(q.nrm * c.dnrm, 1e-300)) DESC,
+                          c.vid) AS arank
+        FROM _sqq q JOIN _sqd c ON q.vid <> c.vid
+      ) _sq_sl WHERE arank <= {int(shortlist)}
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT s.query_id, s.neighbor_id,
+             ({ex_dot} / greatest(q2.nrm * c2.nrm, 1e-300)) AS cosine_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.query_id
+               ORDER BY ({ex_dot} / greatest(q2.nrm * c2.nrm, 1e-300)) DESC,
+                        s.neighbor_id) AS rank
+      FROM _sqa s
+      JOIN _sqv q2 ON q2.vid = s.query_id
+      JOIN _sqv c2 ON c2.vid = s.neighbor_id
+    ) _sq_rr WHERE rank <= {int(k)}
+    """
+
+
+def sq8_topk_sql(
+    vd: VectorDialect,
+    table: str,
+    id_col: str,
+    vec_col: str,
+    *,
+    query_pred: str,
+    k: int = 5,
+    shortlist: int = 32,
+) -> str:
+    """Scalar-quantized (SQ8) ANN top-k — the FAISS IndexScalarQuantizer
+    (QT_8bit) posture re-expressed oracle-exact: one per-dimension
+    (min, max) stats pass over the corpus, each vector stored as dim
+    one-byte codes (4× smaller than float32, 8× than float64), queries
+    score the RAW query vector against DEQUANTIZED codes (asymmetric,
+    like ADC), and the exact re-rank touches full vectors for only the
+    top-``shortlist`` candidates per query.
+
+    Where it sits in the ANN ladder: PQ compresses harder (m bytes) but
+    pays a codebook training pass; SQ8 is training-free (two MIN/MAX
+    aggregates), reconstruction is per-dimension exact-range, and on
+    hard isotropic data its dequantized cosine ranks nearly identically
+    to exact (recall@5 ≈ 1.0 at 8 bits — gated in tests), so the
+    shortlist can stay small.
+
+    Determinism: stats are exact MIN/MAX; quantize/dequantize are
+    shared-text double arithmetic with floor rounding; cosines are
+    sequential folds; ranks carry id tiebreaks — the whole statement
+    passes the DuckDB value-hash oracle.
+    """
+    cast = ("transform" if vd.name == "spark" else "list_transform")
+    qt = _sq8_quant(vd)
+    return f"""
+    WITH _sqv AS (
+      SELECT {id_col} AS vid,
+             {cast}({vec_col}, x -> CAST(x AS DOUBLE)) AS emb,
+             {vd.norm(f"{cast}({vec_col}, x -> CAST(x AS DOUBLE))")} AS nrm
+      FROM {table} WHERE {vec_col} IS NOT NULL
+    ),
+    _sqx AS ({_sq8_explode(vd, "_sqv")}),
+    _sqt AS (
+      SELECT j, MIN(x) AS lo, MAX(x) AS hi FROM _sqx GROUP BY j
+    ),
+    _sqs AS (
+      SELECT {_sq8_rebuild(vd, "lo")} AS lo_a,
+             {_sq8_rebuild(vd, "rng")} AS rng_a
+      FROM (SELECT j, lo, greatest(hi - lo, 1e-300) AS rng FROM _sqt) _sq_r
+    ),
+    _sqc AS (
+      SELECT vid, {qt} AS code FROM _sqv CROSS JOIN _sqs
+    ),
+    {_sq8_tail(vd, query_pred=query_pred, k=k, shortlist=shortlist)}
+    """
+
+
+def sq8_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    query_pred: str,
+    k: int = 5,
+    shortlist: int = 32,
+) -> DataFrame:
+    for c in (id_col, vec_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    view = _next_view()
+    sql = sq8_topk_sql(
+        _VSPARK, view, id_col, vec_col,
+        query_pred=query_pred, k=k, shortlist=shortlist,
+    )
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(sql)
+
+
+def build_sq8_index(df: DataFrame, id_col: str, vec_col: str, path: str) -> None:
+    """Train-free build: ``{path}/vectors`` (vid, emb, nrm — for queries
+    and the exact re-rank), ``{path}/stats`` (ONE row: lo_a, rng_a —
+    broadcast-sized forever), ``{path}/codes`` (vid, code ARRAY<INT> —
+    the 4-8× compressed frame the approximate pass scans), and
+    ``{path}/params`` written LAST (the build-complete marker).  Stored
+    values come from the same rendered expressions the inline statement
+    evaluates, so serve ≡ inline bit-for-bit.  Appends are row-local
+    (codes depend only on the frozen stats row), so append ≡ rebuild
+    under frozen stats — the IVF frozen-centroid contract."""
+    for c in (id_col, vec_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    spark = df.sparkSession
+    vd = _VSPARK
+    view = _next_view()
+    df.createOrReplaceTempView(view)
+    begin_build(path)
+    spark.sql(f"""
+      SELECT vec_id AS vid, emb, {vd.norm("emb")} AS nrm FROM (
+        SELECT {id_col} AS vec_id,
+               transform({vec_col}, x -> CAST(x AS DOUBLE)) AS emb
+        FROM {view} WHERE {vec_col} IS NOT NULL
+      ) _sqb
+    """).write.mode("overwrite").parquet(f"{path}/vectors")
+    vview = _next_view()
+    spark.read.parquet(f"{path}/vectors").createOrReplaceTempView(vview)
+    spark.sql(f"""
+      WITH _sqx AS ({_sq8_explode(vd, vview)}),
+      _sqt AS (SELECT j, MIN(x) AS lo, MAX(x) AS hi FROM _sqx GROUP BY j)
+      SELECT {_sq8_rebuild(vd, "lo")} AS lo_a,
+             {_sq8_rebuild(vd, "rng")} AS rng_a
+      FROM (SELECT j, lo, greatest(hi - lo, 1e-300) AS rng FROM _sqt) _sq_r
+    """).write.mode("overwrite").parquet(f"{path}/stats")
+    sview = _next_view()
+    spark.read.parquet(f"{path}/stats").createOrReplaceTempView(sview)
+    spark.sql(f"""
+      SELECT vid, {_sq8_quant(vd)} AS code
+      FROM (SELECT vid, emb FROM {vview}) _sqv CROSS JOIN {sview}
+    """).write.mode("overwrite").parquet(f"{path}/codes")
+    spark.createDataFrame(
+        [(id_col, vec_col)], "id_col string, vec_col string"
+    ).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def query_sq8_index(
+    spark, path: str, *, query_pred: str, k: int = 5, shortlist: int = 32
+) -> DataFrame:
+    """SQ8 top-k against a persisted index: the query pays the
+    code-frame scan + dequantized scoring + the |Q|·shortlist exact
+    re-rank — no stats pass, no encode (``query_pred`` sees the stored
+    vector columns vid/emb/nrm)."""
+    spark.read.parquet(f"{path}/params").collect()  # build-complete gate
+    vview, sview, cview = _next_view(), _next_view(), _next_view()
+    spark.read.parquet(f"{path}/vectors").createOrReplaceTempView(vview)
+    spark.read.parquet(f"{path}/stats").createOrReplaceTempView(sview)
+    spark.read.parquet(f"{path}/codes").createOrReplaceTempView(cview)
+    vd = _VSPARK
+    return spark.sql(f"""
+    WITH _sqv AS (SELECT vid, emb, nrm FROM {vview}),
+    _sqs AS (SELECT lo_a, rng_a FROM {sview}),
+    _sqc AS (SELECT vid, code FROM {cview}),
+    {_sq8_tail(vd, query_pred=query_pred, k=k, shortlist=shortlist)}
+    """)

@@ -1422,6 +1422,48 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq(emb, "vec_id", "embedding", query_pred="vid < 8", k=5)
 
 
+def _sq8_oracle() -> str:
+    from .operators.pq import sq8_topk_sql
+
+    return sq8_topk_sql(
+        VDUCK, "embeddings", "vec_id", "embedding", query_pred="vid < 8", k=5,
+    )
+
+
+@register("sq8_topk", oracle=_sq8_oracle())
+def sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8) ANN — the FAISS IndexScalarQuantizer
+    QT_8bit posture: per-dimension (min, max) stats, vectors stored as
+    dim one-byte codes (4-8× scan compression), asymmetric scoring
+    (raw query × dequantized codes), exact re-rank of the top-32.
+    Training-free (two MIN/MAX aggregates) — the rung below PQ on the
+    compression ladder, above raw floats on the scan-cost ladder.
+    Recall@5 vs exact cosine: 1.0 at sf0.01 (8-bit reconstruction
+    preserves ranking on the isotropic corpus) — gated in
+    tests/test_ann_index.py; fully oracle-exact (operators/pq.py)."""
+    from .operators.pq import sq8_topk as _sq8
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return _sq8(emb, "vec_id", "embedding", query_pred="vid < 8", k=5)
+
+
+@register("sq8_persisted_topk", oracle=_sq8_oracle())
+def sq8_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """build_sq8_index → query_sq8_index two-step: the stats pass and
+    the corpus encode are paid once (stats are ONE broadcast row —
+    appends under frozen stats ≡ rebuild, the IVF frozen-centroid
+    contract); the query scans only the compressed code frame plus the
+    |Q|·shortlist exact re-rank. Oracle = the INLINE stats→encode→
+    search statement — persisted ≡ inline, stats included."""
+    from .operators.pq import build_sq8_index, query_sq8_index
+
+    path = _index_dir("ts_sq8_index", sf_dir, "b8_s32_v1", table="embeddings")
+    if not _index_ready(path):
+        emb = load_table(spark, "embeddings", sf_dir)
+        build_sq8_index(emb, "vec_id", "embedding", path)
+    return query_sq8_index(spark, path, query_pred="vid < 8", k=5)
+
+
 def _hardneg_positives(table: str) -> str:
     return f"""
 SELECT a.vec_id AS query_id, b.vec_id AS positive_id
