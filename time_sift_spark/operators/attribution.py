@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from ..errors import ColumnNotFoundError
 from ..functions.text_fns import SPARK, Dialect
 
-__all__ = ["attribution_sql", "attribution"]
+__all__ = ["attribution_sql", "attribution", "attribution_position_sql", "attribution_position"]
 
 # Campaign-id domain contract: ids fold into [0, 128) via the engine's
 # double-mod idiom (((x % 128) + 128) % 128) — sign-safe, so a negative
@@ -210,3 +210,129 @@ def attribution(
     ).localCheckpoint(eager=False)
     conv.createOrReplaceTempView("_ts_attr_conv")
     return spark.sql(_attr_tail_sql("_ts_attr_conv"))
+
+
+def attribution_position_sql(
+    d: Dialect,
+    table: str,
+    *,
+    key_col: str,
+    time_col: str,
+    order_col: str,
+    type_col: str,
+    touch_type: str,
+    convert_type: str,
+    value_col: str,
+    campaign_json_col: str,
+    campaign_json_path: str = "$.k",
+    round_to: int = 6,
+) -> str:
+    """Position-based (U-shaped) multi-touch attribution — the third
+    standard model next to first/last-touch: every conversion's value
+    splits across ALL its touches since the key's previous conversion —
+    40% to the first touch, 40% to the last, the middle 20% evenly
+    among the interior touches (n = 1 → 100%, n = 2 → 50/50 — the
+    first/last shares absorb the empty interior).
+
+    Relational shape, no self-join on time: ONE (key, time) window pass
+    computes each row's running conversion count — a conversion's count
+    of PRIOR conversions and a touch's count of conversions before it
+    are the SAME segment id, so touch → absorbing conversion is an
+    equi-join on (key, segment), never a range join.  A second window
+    over (key, segment) ranks touches and counts n; per-touch credit is
+    value · w with w from the exact rule above (IEEE doubles from exact
+    integers, identical order both engines), round_double-quantized
+    before the campaign DECIMAL sum.
+
+    Touches after a key's last conversion credit nothing (no absorbing
+    conversion — the inner join drops them); a conversion with zero
+    touches in its segment appears in no campaign row (its value is
+    unattributed, the first/last models' NULL-bucket analogue).
+    Campaign ids fold via the module's ``_CAMP_MOD`` contract.
+
+    Output: (campaign, n_touches, revenue) ordered by campaign.
+    """
+    from ._num import dec_to_double, round_double
+
+    camp = (
+        f"((({_json_long(d, campaign_json_col, campaign_json_path)})"
+        f" % {_CAMP_MOD} + {_CAMP_MOD}) % {_CAMP_MOD})"
+    )
+    w = ("(PARTITION BY k ORDER BY ts, is_conv, oid "
+         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    ws = "(PARTITION BY k, seg)"
+    wr = "(PARTITION BY k, seg ORDER BY ts, oid)"
+    share = (
+        "CASE WHEN n_seg = 1 THEN CAST(1 AS DOUBLE) "
+        "WHEN pos = 1 OR pos = n_seg THEN "
+        "CASE WHEN n_seg = 2 THEN CAST(0.5 AS DOUBLE) "
+        "ELSE CAST(0.4 AS DOUBLE) END "
+        "ELSE CAST(0.2 AS DOUBLE) / CAST(n_seg - 2 AS DOUBLE) END"
+    )
+    credit = round_double(f"({dec_to_double('conv_value')} * ({share}))",
+                          round_to)
+    return f"""
+    WITH _pab AS (
+      SELECT {key_col} AS k, {time_col} AS ts, {order_col} AS oid,
+             CASE WHEN {type_col} = '{convert_type}' THEN 1 ELSE 0 END AS is_conv,
+             CASE WHEN {type_col} = '{touch_type}' THEN ({camp}) END AS campaign,
+             CASE WHEN {type_col} = '{convert_type}'
+                  THEN CAST({value_col} AS DECIMAL(18,6)) END AS val
+      FROM {table}
+      WHERE {type_col} IN ('{touch_type}', '{convert_type}')
+    ),
+    _par AS (
+      SELECT k, ts, oid, is_conv, campaign, val,
+             SUM(is_conv) OVER {w} - is_conv AS seg
+      FROM _pab
+    ),
+    _pac AS (
+      SELECT k, seg, val AS conv_value FROM _par WHERE is_conv = 1
+    ),
+    _pat AS (
+      SELECT k, seg, campaign, ts, oid,
+             ROW_NUMBER() OVER {wr} AS pos,
+             COUNT(*) OVER {ws} AS n_seg
+      FROM _par WHERE is_conv = 0 AND campaign IS NOT NULL
+    )
+    SELECT campaign,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(ROUND(SUM(CAST({credit} AS DECIMAL(27,6))), 4) AS DOUBLE)
+             AS revenue
+    FROM _pat t JOIN _pac c ON c.k = t.k AND c.seg = t.seg
+    GROUP BY campaign
+    ORDER BY campaign
+    """
+
+
+def attribution_position(
+    df: DataFrame,
+    *,
+    key_col: str,
+    time_col: str,
+    order_col: str,
+    type_col: str,
+    touch_type: str,
+    convert_type: str,
+    value_col: str,
+    campaign_json_col: str,
+    campaign_json_path: str = "$.k",
+) -> DataFrame:
+    """DataFrame front door for :func:`attribution_position_sql` (one
+    statement — every CTE is referenced once, nothing to stage)."""
+    for c in (key_col, time_col, order_col, type_col, value_col,
+              campaign_json_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    view = "_ts_pattr_in"
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(
+        attribution_position_sql(
+            SPARK, view,
+            key_col=key_col, time_col=time_col, order_col=order_col,
+            type_col=type_col, touch_type=touch_type,
+            convert_type=convert_type, value_col=value_col,
+            campaign_json_col=campaign_json_col,
+            campaign_json_path=campaign_json_path,
+        )
+    )

@@ -2361,3 +2361,143 @@ def winnow_pairs(
     HAVING COUNT(*) >= {min_shared}
     ORDER BY doc_id_a, doc_id_b
     """)
+
+
+def containment_join_sql(
+    d: Dialect,
+    table: str,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: tuple[int, int] = (4, 5),
+    shingle_k: int = 3,
+    brute: bool = False,
+    staged_hdist: str | None = None,
+) -> str:
+    """EXACT set-containment join — C(src→dst) = |src∩dst| / |src| ≥ θ
+    over distinct hashed ``shingle_k``-gram sets, src ≠ dst.  The
+    ASYMMETRIC companion of :func:`prefix_jaccard_join_sql`: Jaccard
+    misses a short document quoted inside a long one (the union term
+    dilutes), which is exactly the benchmark-contamination and
+    quote-detection signal — a doc whose shingles are ≥ θ contained in
+    another is a copy/quote regardless of the host's length.
+
+    Losslessness (the containment prefix lemma): |src∩dst| ≥ ⌈θ·n_src⌉
+    means fewer than n_src − ⌈θ·n_src⌉ + 1 of src's shingles can miss
+    dst — so src's PREFIX of that size in ANY global canonical order
+    (df ascending, hash ascending — rarest first, the bucket-limiting
+    choice) must intersect dst.  Only the PROBE side prunes; the
+    indexed side keeps full postings (an asymmetric join has no mutual
+    size filter).  The candidate equi-join therefore misses nothing
+    and the exact verify keeps only true pairs.  ⌈θ·n⌉ is exact
+    integer arithmetic ((num·n + den − 1) intdiv den); the verify is an
+    integer cross-multiplication; the reported containment is one IEEE
+    division of exact integers.
+
+    Scale shape: shared distinct (doc, shingle-hash) relation (staged
+    by the front door — referenced by sizes, df, prefix, postings, and
+    verify sets); candidates shuffle on the probe's RAREST shingles;
+    verify touches |candidates| rows.  Boilerplate shingles make the
+    indexed postings deep — they sit LAST in every probe's prefix
+    order, so they join only for probes whose whole prefix is
+    boilerplate (the PPJoin self-limiting property, one-sided).
+
+    Output: (src_id, dst_id, containment), both directions possible.
+    ``brute=True`` replaces the candidate screen with the open
+    all-pairs join — the ORACLE form, so the driver proves the prefix
+    screen lossless on real data every round (never run it at scale).
+    """
+    num, den = int(threshold[0]), int(threshold[1])
+    tset, inter, setsize, idiv = _ppj_exprs(d)
+    shingles = d.shingles("_toks", shingle_k)
+    ceil_tn = idiv(f"({num} * n + {den} - 1)", f"{den}")
+    hdist = (
+        f"SELECT did, h FROM {staged_hdist}" if staged_hdist
+        else f"""SELECT DISTINCT did, h FROM (
+        SELECT did, {_md5_32(d, "sh")} AS h FROM (
+          SELECT did, {_unnest(d, shingles, "sh")} FROM (
+            SELECT did, _toks FROM (
+              SELECT {id_col} AS did, {d.tokens(text_col)} AS _toks
+              FROM {table}
+            ) _cjt0 WHERE _toks IS NOT NULL
+          ) _cjt1
+        ) _cjt2
+      ) _cjt3"""
+    )
+    contain = "(CAST(n_inter AS DOUBLE) / CAST(n_src AS DOUBLE))"
+    return f"""
+    WITH _cjh AS (
+      {hdist}
+    ),
+    _cjn AS (
+      SELECT did, CAST(COUNT(*) AS BIGINT) AS n FROM _cjh GROUP BY did
+    ),
+    _cjf AS (
+      SELECT h, CAST(COUNT(*) AS BIGINT) AS dfc FROM _cjh GROUP BY h
+    ),
+    _cjp AS (
+      SELECT did, h, n FROM (
+        SELECT t.did AS did, t.h AS h, n.n AS n,
+               ROW_NUMBER() OVER (PARTITION BY t.did
+                                  ORDER BY f.dfc, t.h) AS rnk
+        FROM _cjh t JOIN _cjf f ON f.h = t.h JOIN _cjn n ON n.did = t.did
+      ) _cjr WHERE rnk <= (n - {ceil_tn} + 1)
+    ),
+    _cjc AS ({'''
+      SELECT a.did AS src, b.did AS dst
+      FROM _cjn a JOIN _cjn b ON a.did <> b.did''' if brute else '''
+      SELECT a.did AS src, b.did AS dst
+      FROM _cjp a JOIN _cjh b ON a.h = b.h AND a.did <> b.did
+      GROUP BY a.did, b.did'''}
+    ),
+    _cjs AS (
+      SELECT did, {tset} AS hs FROM _cjh GROUP BY did
+    ),
+    _cjv AS (
+      SELECT c.src, c.dst,
+             {inter} AS n_inter,
+             {setsize}(a.hs) AS n_src
+      FROM _cjc c
+      JOIN _cjs a ON a.did = c.src
+      JOIN _cjs b ON b.did = c.dst
+    )
+    SELECT src AS src_id, dst AS dst_id, {contain} AS containment
+    FROM _cjv
+    WHERE {den} * n_inter >= {num} * n_src
+    ORDER BY src_id, dst_id
+    """
+
+
+def containment_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: tuple[int, int] = (4, 5),
+    shingle_k: int = 3,
+) -> DataFrame:
+    """DataFrame front door for :func:`containment_join_sql` — stages
+    the distinct (doc, shingle-hash) relation once (lazy
+    localCheckpoint; referenced 5×: sizes, df, prefix, postings,
+    verify sets)."""
+    from ..functions.text_fns import SPARK as _S
+
+    for c in (id_col, text_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    spark = df.sparkSession
+    view = "_ts_cj_in"
+    df.createOrReplaceTempView(view)
+    inline = containment_join_sql(
+        _S, view, id_col, text_col, threshold=threshold, shingle_k=shingle_k
+    )
+    hdist_sel = inline.split("_cjh AS (", 1)[1].split("\n    ),", 1)[0]
+    staged = spark.sql(hdist_sel).localCheckpoint(eager=False)
+    sview = "_ts_cj_hdist"
+    staged.createOrReplaceTempView(sview)
+    return spark.sql(
+        containment_join_sql(
+            _S, view, id_col, text_col, threshold=threshold,
+            shingle_k=shingle_k, staged_hdist=sview,
+        )
+    )

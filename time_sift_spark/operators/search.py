@@ -630,3 +630,127 @@ def append_phrase_index(
     postings.repartition("term").write.mode("append").parquet(
         f"{path}/postings_pos"
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF cosine document-pair screen (r13)
+# ---------------------------------------------------------------------------
+
+def tfidf_cosine_pairs_sql(
+    d: Dialect,
+    table: str,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.3,
+    shingle_k: int = 3,
+    pair_df_cap: int = 64,
+) -> str:
+    """Document near-dup pairs by TF-IDF-weighted cosine over hashed
+    ``shingle_k``-gram terms — the frequency-weighted complement of the
+    set-based Jaccard tier (repeated spans COUNT here; Jaccard's
+    distinct sets ignore multiplicity, SimHash's global profile dilutes
+    local repetition).  The classic all-pairs-similarity inverted-index
+    shape (Bayardo et al. 2007 "Scaling Up All Pairs Similarity
+    Search", WWW): pairs exist only where a term posting collides —
+    never an open cross join.
+
+    Rules, all deterministic:
+
+    * term = 60-bit md5 of the k-token shingle (the explode→hash→agg
+      discipline); tf = occurrences per (doc, term);
+    * weight = tf · (N / df) — the RATIONAL idf of this module (ln is
+      a transcendental whose last ulp differs across engines; N/df is
+      IEEE division of exact integers and preserves df-ordering);
+    * a term in more than ``pair_df_cap`` documents leaves the vector
+      space entirely (the band-frequency-cap rule as DYNAMIC STOP-WORD
+      semantics: it bounds every posting bucket's pair fan-out at
+      cap², and a term that common carries ~no idf signal anyway);
+    * dot and squared norms are per-term double products quantized to
+      DECIMAL(27,6) before the SUM (the ADC discipline — parallel
+      aggregation cannot reassociate them), so cosine is reproducible
+      to the hash digit;
+    * cosine = dot / (sqrt(n2_a) · sqrt(n2_b)), both roots taken
+      BEFORE the product (one shared evaluation order).
+
+    Output: (doc_id_a, doc_id_b, cosine) for cosine ≥ ``threshold``,
+    doc_id_a < doc_id_b.
+
+    Scale shape: one corpus explode+hash; tf groupBy [1 exchange]; df
+    over the tf frame [1, broadcast back]; the pair join shuffles on
+    the term hash with per-bucket fan-out ≤ cap²; pair dot groupBy [1];
+    norms join back broadcast-sized per pair side.
+    """
+    from ._num import dec_to_double, round_double
+    from .dedup import _unnest
+
+    toks = d.tokens(text_col)
+    shingles = d.shingles("_toks", shingle_k)
+    quant = lambda e: f"CAST({round_double(e, 6)} AS DECIMAL(27,6))"
+    cos = (f"({dec_to_double('dp.dot')} / "
+           f"(sqrt({dec_to_double('na.n2')}) * sqrt({dec_to_double('nb.n2')})))")
+    return f"""
+    WITH _tcb AS (
+      SELECT {id_col} AS did, {toks} AS _toks FROM {table}
+    ),
+    _tct AS (
+      SELECT did, {d.md5_long("sh")} AS term FROM (
+        SELECT did, {_unnest(d, shingles, "sh")}
+        FROM _tcb WHERE _toks IS NOT NULL AND {d.size("_toks")} >= 1
+      ) _tcx
+    ),
+    _tcf AS (
+      SELECT did, term, COUNT(*) AS tf FROM _tct GROUP BY did, term
+    ),
+    _tcn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM _tcb),
+    _tcd AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM _tcf GROUP BY term
+    ),
+    _tcw AS (
+      SELECT f.did, f.term,
+             CAST(f.tf AS DOUBLE)
+               * (CAST(s.n_docs AS DOUBLE) / CAST(dd.df AS DOUBLE)) AS wt
+      FROM _tcf f
+      JOIN _tcd dd ON dd.term = f.term
+      CROSS JOIN _tcn s
+      WHERE dd.df <= {int(pair_df_cap)}
+    ),
+    _tc2 AS (
+      SELECT did, SUM({quant("wt * wt")}) AS n2 FROM _tcw GROUP BY did
+    ),
+    _tcp AS (
+      SELECT a.did AS did_a, b.did AS did_b,
+             SUM({quant("a.wt * b.wt")}) AS dot
+      FROM _tcw a JOIN _tcw b ON a.term = b.term AND a.did < b.did
+      GROUP BY a.did, b.did
+    )
+    SELECT did_a AS doc_id_a, did_b AS doc_id_b, cosine FROM (
+      SELECT dp.did_a, dp.did_b, {cos} AS cosine
+      FROM _tcp dp
+      JOIN _tc2 na ON na.did = dp.did_a
+      JOIN _tc2 nb ON nb.did = dp.did_b
+    ) _tcc WHERE cosine >= {threshold!r}
+    """
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.3,
+    shingle_k: int = 3,
+    pair_df_cap: int = 64,
+) -> DataFrame:
+    """DataFrame front door for :func:`tfidf_cosine_pairs_sql`."""
+    for c in (id_col, text_col):
+        if c not in docs.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {docs.columns}")
+    view = "_ts_tfc_in"
+    docs.createOrReplaceTempView(view)
+    return docs.sparkSession.sql(
+        tfidf_cosine_pairs_sql(
+            SPARK, view, id_col, text_col, threshold=threshold,
+            shingle_k=shingle_k, pair_df_cap=pair_df_cap,
+        )
+    )

@@ -1474,3 +1474,106 @@ def holt_winters_two_season(
             gamma1=gamma1, gamma2=gamma2, round_to=round_to,
         )
     )
+
+
+def ts_strength_sql(
+    d,
+    table: str,
+    value_col: str,
+    time_col: str,
+    group_col: str,
+    *,
+    period: int = 7,
+    round_to: int = 6,
+) -> str:
+    """Per-series trend / seasonal STRENGTH features (Wang, Smith &
+    Hyndman 2006; the tsfeatures panel's two headline numbers, defined
+    over an additive decomposition):
+
+        F_T = max(0, 1 − Var(resid) / Var(trend + resid))
+        F_S = max(0, 1 − Var(resid) / Var(seasonal + resid))
+
+    both in [0, 1] — ~0 when the component explains nothing, → 1 when
+    it explains nearly all interior variance.  The model-selection
+    readout for a series fleet: F_S near 0 says don't pay for a
+    seasonal model (the season_detect / holt_winters dial), F_T near 0
+    says a level-only smoother suffices.
+
+    Composes VERBATIM over :func:`classical_decompose_sql` (the
+    deterministic member of the STL family here) as a staged relation:
+    strengths aggregate only the decomposition's interior rows (resid
+    non-NULL — full MA windows).  Variances are population form
+    (Σx² − (Σx)²/n)/n with every derived double round_double-quantized
+    to DECIMAL before its SUM (order-independent, the dsum discipline);
+    the final ratios are IEEE ops on identical doubles.  Zero-variance
+    guards: a constant deseasonalized/detrended series divides by
+    1e-300 and clamps into the max(0, ·) floor.
+
+    Shape: the decomposition's exchanges (one bucket groupBy, two
+    windows) + ONE per-series aggregation — nothing else.
+    """
+    from ._num import dec_to_double, round_double
+
+    dec = classical_decompose_sql(
+        d, table, value_col, time_col, group_col,
+        period=period, round_to=round_to,
+    )
+    rd = lambda e: round_double(e, round_to)  # noqa: E731
+    q18 = lambda e: f"CAST({e} AS DECIMAL(18,6))"  # noqa: E731
+    q27 = lambda e: f"CAST({rd(e)} AS DECIMAL(27,6))"  # noqa: E731
+    var = lambda s2, s1: (  # noqa: E731
+        f"(({dec_to_double(s2)} - {dec_to_double(s1)} * {dec_to_double(s1)}"
+        f" / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))"
+    )
+    strength = lambda comp: (  # noqa: E731
+        f"greatest(CAST(0 AS DOUBLE), 1.0 - {var('sr2', 'sr1')}"
+        f" / greatest({var(f'{comp}2', f'{comp}1')}, 1e-300))"
+    )
+    return f"""
+    WITH _dec AS ({dec}
+    ),
+    _tsa AS (
+      SELECT {group_col} AS k,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM({q18("resid")}) AS sr1,
+             SUM({q27("resid * resid")}) AS sr2,
+             SUM({q18("(trend + resid)")}) AS st1,
+             SUM({q27("(trend + resid) * (trend + resid)")}) AS st2,
+             SUM({q18("(seasonal + resid)")}) AS ss1,
+             SUM({q27("(seasonal + resid) * (seasonal + resid)")}) AS ss2
+      FROM _dec WHERE resid IS NOT NULL
+      GROUP BY {group_col}
+    )
+    SELECT k AS {group_col},
+           n AS n_interior,
+           {rd(strength("st"))} AS trend_strength,
+           {rd(strength("ss"))} AS seasonal_strength
+    FROM _tsa
+    """
+
+
+def ts_strength(
+    df,
+    value_col: str,
+    time_col: str,
+    group_col: str,
+    *,
+    period: int = 7,
+    round_to: int = 6,
+):
+    """DataFrame front door for :func:`ts_strength_sql`."""
+    from ..functions.text_fns import SPARK as _S
+    from ._time import assert_time_dtype
+
+    for c in (value_col, time_col, group_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    assert_time_dtype(df, time_col)
+    view = "_ts_tsf_in"
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(
+        ts_strength_sql(
+            _S, view, value_col, time_col, group_col,
+            period=period, round_to=round_to,
+        )
+    )

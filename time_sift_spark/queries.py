@@ -7121,6 +7121,54 @@ def _keywords_oracle() -> str:
     )
 
 
+@register(
+    "containment_join_docs",
+    oracle=_dd.containment_join_sql(
+        DUCK, "documents", "doc_id", "text",
+        threshold=(4, 5), shingle_k=3, brute=True,
+    ),
+)
+def containment_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-containment pairs C(src→dst) = |src∩dst|/|src| ≥ 4/5
+    over 3-gram shingle sets — the ASYMMETRIC dedup rung Jaccard
+    misses: a short doc quoted inside a long one (benchmark
+    contamination's shape) dilutes the union but not the containment.
+    Lossless one-sided prefix screen (only the probe prunes; the
+    postings side keeps full sets); the ORACLE is the brute all-pairs
+    form, so zero-false-negatives is driver-proven on real data every
+    round (operators/dedup.py:containment_join)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return _dd.containment_join(
+        docs, "doc_id", "text", threshold=(4, 5), shingle_k=3
+    )
+
+
+def _tfidf_cosine_oracle() -> str:
+    from .operators.search import tfidf_cosine_pairs_sql
+
+    return tfidf_cosine_pairs_sql(
+        DUCK, "documents", "doc_id", "text",
+        threshold=0.3, shingle_k=3, pair_df_cap=64,
+    )
+
+
+@register("tfidf_cosine_pairs_docs", oracle=_tfidf_cosine_oracle())
+def tfidf_cosine_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by TF-IDF-weighted cosine over hashed 3-gram
+    shingles ≥ 0.3 (Bayardo et al. 2007 inverted-index all-pairs shape)
+    — the frequency-weighted rung of the dedup ladder: repeated spans
+    COUNT here where Jaccard's distinct sets ignore multiplicity.
+    Rational N/df idf (no transcendentals), decimal-quantized dot/norm
+    sums, pair_df_cap=64 dynamic stop-wording bounds every posting
+    bucket's fan-out at cap² (operators/search.py)."""
+    from .operators.search import tfidf_cosine_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    return tfidf_cosine_pairs(
+        docs, "doc_id", "text", threshold=0.3, shingle_k=3, pair_df_cap=64
+    )
+
+
 @register("keywords_docs", oracle=_keywords_oracle())
 def keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 keywords per document by rational TF-IDF (the BM25-rational
@@ -9451,6 +9499,38 @@ def attribution_revenue_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _attr_pos_oracle() -> str:
+    from .operators.attribution import attribution_position_sql
+
+    return attribution_position_sql(
+        DUCK, "events",
+        key_col="user_id", time_col="ts", order_col="event_id",
+        type_col="event_type", touch_type="click", convert_type="purchase",
+        value_col="value", campaign_json_col="props",
+    )
+
+
+@register("attribution_position_events", oracle=_attr_pos_oracle())
+def attribution_position_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution — 40/20/40
+    across each purchase's click history since the user's previous
+    purchase (n=1 → 100%, n=2 → 50/50).  Touch → absorbing conversion
+    is an equi-join on (user, running-conversion-count segment) from
+    ONE timeline window — never a time-range join; per-touch credits
+    quantize before the campaign decimal sum.  Completes the
+    attribution family: first/last (one-window encode) + multi-touch
+    (operators/attribution.py:attribution_position)."""
+    from .operators.attribution import attribution_position
+
+    events = load_table(spark, "events", sf_dir)
+    return attribution_position(
+        events,
+        key_col="user_id", time_col="ts", order_col="event_id",
+        type_col="event_type", touch_type="click", convert_type="purchase",
+        value_col="value", campaign_json_col="props",
+    )
+
+
 def _cp_locate_oracle() -> str:
     from .operators.changepoint import changepoint_locate_sql
 
@@ -10841,6 +10921,28 @@ def classical_decompose_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, "events", sf_dir)
     return classical_decompose(events, "value", "ts", "event_type")
+
+
+def _tss_oracle() -> str:
+    from .operators.seasonal import ts_strength_sql
+
+    return ts_strength_sql(DUCK, "events", "value", "ts", "event_type")
+
+
+@register("ts_strength_events", oracle=_tss_oracle())
+def ts_strength_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series trend/seasonal STRENGTH features (Wang-Smith-Hyndman
+    tsfeatures): F_T = max(0, 1−Var(R)/Var(T+R)), F_S with the seasonal
+    component — the fleet-level model-selection readout (F_S ≈ 0 → skip
+    the seasonal model; F_T ≈ 0 → level-only smoother).  Composes
+    verbatim over classical_decompose's interior rows; variances are
+    decimal-quantized population sums.  Adds ONE per-series aggregation
+    to the decomposition's exchanges
+    (operators/seasonal.py:ts_strength)."""
+    from .operators.seasonal import ts_strength
+
+    events = load_table(spark, "events", sf_dir)
+    return ts_strength(events, "value", "ts", "event_type")
 
 
 def _hw_mul_oracle() -> str:
