@@ -37,6 +37,7 @@ __all__ = [
     "pack_sequences_oracle_sql",
     "temperature_resample",
     "temperature_resample_oracle_sql",
+    "budget_sample",
     "PII_PATTERNS",
 ]
 
@@ -659,4 +660,49 @@ def epoch_upsample(
     df.createOrReplaceTempView(view)
     return df.sparkSession.sql(
         epoch_upsample_sql(SPARK, view, id_col, group_col, weights)
+    )
+
+
+def budget_sample(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    score_col: str,
+    *,
+    token_budget: int,
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Token-budget corpus selection — the pretraining data-mix step
+    after scoring: keep the highest-``score_col`` documents whose
+    CUMULATIVE ``token_col`` stays within ``token_budget`` (greedy
+    prefix in (score DESC, id) order — the standard quality-ranked cut,
+    not a knapsack: a document that overflows the budget is dropped and
+    so is everything ranked below it, which keeps the selection a
+    PREFIX and therefore reproducible and monotone in the budget).
+
+    The running token total is :func:`~.prefix.prefix_sum_global` over
+    the NEGATED score (two-pass Blelloch scan — exact decimal addends,
+    one bucket exchange, never a single-task global window), so the
+    distributed cut equals the single-task window bit-for-bit and a
+    DuckDB window oracle can check it.
+
+    Output: ({id_col}, {score_col}, {token_col}, cum_tokens) for the
+    kept prefix.
+    """
+    from pyspark.sql import functions as F
+
+    from ..errors import ColumnNotFoundError
+    from .prefix import prefix_sum_global
+
+    for c in (id_col, token_col, score_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    neg = df.withColumn("_negscore", -F.col(score_col))
+    ps = prefix_sum_global(
+        neg, token_col, "_negscore",
+        order_extra=[id_col], num_buckets=num_buckets, out_col="cum_tokens",
+    )
+    return (
+        ps.where(F.col("cum_tokens") <= F.lit(token_budget))
+        .select(id_col, score_col, token_col, "cum_tokens")
     )

@@ -1203,6 +1203,82 @@ def neardup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dd.neardup_clusters(docs, "doc_id", "text", threshold=0.5)
 
 
+_BUDGET_TOKENS = 10_000
+
+
+def _budget_scored_select(d, table: str) -> str:
+    """(doc_id, score, n_tokens): lexical-diversity quality proxy
+    (distinct / total tokens — exact integer division, identical
+    doubles both engines) — the score the budget cut ranks on."""
+    if d.name == "spark":
+        dis = "size(array_distinct(_toks))"
+    else:
+        dis = "len(list_distinct(_toks))"
+    return f"""
+      SELECT doc_id,
+             (CAST({dis} AS DOUBLE)
+              / CAST(greatest({d.size("_toks")}, 1) AS DOUBLE)) AS score,
+             CAST({d.size("_toks")} AS BIGINT) AS n_tokens
+      FROM (SELECT doc_id, {d.tokens("text")} AS _toks FROM {table})
+      WHERE _toks IS NOT NULL
+    """
+
+
+
+def _cluster_best_oracle() -> str:
+    cl = _dd.neardup_clusters_oracle_sql(
+        DUCK, "documents", "doc_id", "text", threshold=0.5
+    )
+    sc = _budget_scored_select(DUCK, "documents")
+    return f"""
+    WITH _cl AS ({cl}),
+    _sc AS ({sc})
+    SELECT cluster_id, doc_id AS best_doc_id, score AS best_score,
+           cluster_size
+    FROM (
+      SELECT c.cluster_id, c.doc_id, c.cluster_size, s.score,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY s.score DESC, c.doc_id) AS rnk
+      FROM _cl c JOIN _sc s ON s.doc_id = c.doc_id
+    ) _cb WHERE rnk = 1
+    """
+
+
+@register("cluster_best_docs", oracle=_cluster_best_oracle())
+def cluster_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked cluster representative selection — the SemDeDup
+    'keep the best member, not the first' refinement of canonical-id
+    dedup: near-dup clusters (min-label components over the verified
+    LSH pair graph) each keep their highest-lexical-diversity member
+    (ties → min doc id).  One broadcast-sized score join onto the
+    cluster frame + a per-cluster rank window — composes
+    neardup_clusters with the budget-cut quality proxy; 'keep one best
+    per cluster' becomes a filter on the output (operators composed)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from .functions.text_fns import SPARK as _S
+
+    docs = load_table(spark, "documents", sf_dir)
+    clusters = _dd.neardup_clusters(docs, "doc_id", "text", threshold=0.5)
+    docs.createOrReplaceTempView("_ts_cbd_in")
+    scored = spark.sql(_budget_scored_select(_S, "_ts_cbd_in"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        clusters.join(scored.select("doc_id", "score"), "doc_id")
+        .withColumn("rnk", F.row_number().over(w))
+        .where("rnk = 1")
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("best_doc_id"),
+            F.col("score").alias("best_score"),
+            "cluster_size",
+        )
+    )
+
+
 @register(
     "graph_components_event_chains",
     oracle="""
@@ -6476,6 +6552,43 @@ def exact_substring_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return exact_substring_pairs(docs, "doc_id", "text", k=10, gram_doc_cap=50)
+
+
+def _budget_sample_oracle() -> str:
+    scored = _budget_scored_select(DUCK, "documents")
+    return f"""
+    WITH _bs AS ({scored}),
+    _bp AS (
+      SELECT doc_id, score, n_tokens,
+             CAST(SUM(CAST(n_tokens AS DECIMAL(27,6))) OVER (
+               ORDER BY -score, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS DOUBLE) AS cum_tokens
+      FROM _bs
+    )
+    SELECT doc_id, score, n_tokens, cum_tokens
+    FROM _bp WHERE cum_tokens <= {_BUDGET_TOKENS}
+    """
+
+
+@register("budget_sample_docs", oracle=_budget_sample_oracle())
+def budget_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: highest-quality documents (lexical
+    diversity proxy) whose cumulative token count stays within a 10k
+    budget — the data-mix cut after scoring.  The running total is the
+    two-pass Blelloch prefix scan (exact decimal addends, one bucket
+    exchange — never a single-task global window); the oracle is the
+    single-task window form, so distributed ≡ windowed is driver-proven
+    (operators/corpus.py:budget_sample)."""
+    from .functions.text_fns import SPARK as _S
+    from .operators.corpus import budget_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    docs.createOrReplaceTempView("_ts_bsq_in")
+    scored = spark.sql(_budget_scored_select(_S, "_ts_bsq_in"))
+    return budget_sample(
+        scored, "doc_id", "n_tokens", "score", token_budget=_BUDGET_TOKENS
+    )
 
 
 _EPOCH_WEIGHTS = {"src0": 3.5, "src1": 2.0, "src2": 1.25}
