@@ -1,0 +1,260 @@
+"""Round-13 operator tests: containment join (losslessness + direction),
+TF-IDF cosine pairs (hand case + weighting semantics), ts_strength
+(closed-form constant/periodic series), position-based attribution
+(40/20/40 hand case), budget_sample (greedy-prefix contract), and
+cluster_best (argmax-by-quality representative).  Value-level
+cross-engine parity for the registered queries is covered by
+tests/test_oracle_parity.py; these pin the semantics on handcrafted
+inputs."""
+
+import pandas as pd
+import pytest
+
+from time_sift_spark.errors import ColumnNotFoundError
+
+
+# ------------------------------------------------------------ containment
+
+def test_containment_direction_and_threshold(spark):
+    """A short doc quoted inside a long one is contained src→dst but
+    NOT dst→src; sub-threshold overlap yields no pair."""
+    from time_sift_spark.operators.dedup import containment_join
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "one two three four five six",
+            "prefix words one two three four five six suffix words tail "
+            "and plenty more unrelated content to dilute the union here",
+            "one two zebra yak xylophone walrus vulture tiger snake rhino",
+        ],
+    })
+    out = containment_join(
+        spark.createDataFrame(pdf), "doc_id", "text",
+        threshold=(4, 5), shingle_k=3,
+    ).toPandas()
+    pairs = set(map(tuple, out[["src_id", "dst_id"]].to_numpy()))
+    assert (1, 2) in pairs          # doc1 fully inside doc2
+    assert (2, 1) not in pairs      # asymmetry: doc2 not inside doc1
+    assert not any(3 in p for p in pairs)  # one shared shingle < 4/5
+    row = out[(out.src_id == 1) & (out.dst_id == 2)].iloc[0]
+    assert row.containment == 1.0
+
+
+def test_containment_screen_equals_brute(spark):
+    """The prefix screen must equal the brute all-pairs oracle on the
+    real corpus (zero false negatives — the PPJoin losslessness gate,
+    one-sided variant)."""
+    import duckdb
+
+    from time_sift_spark.functions.text_fns import DUCK
+    from time_sift_spark.operators.dedup import containment_join_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    screen = con.execute(
+        containment_join_sql(DUCK, "documents", "doc_id", "text")
+    ).df()
+    brute = con.execute(
+        containment_join_sql(DUCK, "documents", "doc_id", "text", brute=True)
+    ).df()
+    key = ["src_id", "dst_id"]
+    pd.testing.assert_frame_equal(
+        screen.sort_values(key).reset_index(drop=True),
+        brute.sort_values(key).reset_index(drop=True),
+    )
+    assert len(screen) > 0
+
+
+# ---------------------------------------------------------- tfidf cosine
+
+def test_tfidf_cosine_weighting_vs_jaccard_blindspot(spark):
+    """Two docs sharing the SAME shingle set but with 4x repetition on
+    one side: Jaccard sees identical sets (1.0); tf-idf cosine sees the
+    frequency difference (< 1).  Exact twins still score 1.0."""
+    from time_sift_spark.operators.search import tfidf_cosine_pairs
+
+    rep = "alpha beta gamma delta"
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [rep, " ".join([rep] * 4), rep],
+    })
+    out = tfidf_cosine_pairs(
+        spark.createDataFrame(pdf), "doc_id", "text",
+        threshold=0.0, shingle_k=3, pair_df_cap=64,
+    ).toPandas().set_index(["doc_id_a", "doc_id_b"]).cosine
+    assert abs(out[(1, 3)] - 1.0) < 1e-9          # exact twins
+    assert out[(1, 2)] < 1.0 - 1e-9               # repetition detected
+    # wait: doc2 = rep*4 joined by spaces has BRIDGE shingles too, so
+    # its vector is a superset — cosine strictly below the twin pair's
+    assert out[(1, 2)] == out[(2, 3)]             # symmetry of the score
+
+
+def test_tfidf_cosine_df_cap_drops_boilerplate_terms(spark):
+    """A shingle present in EVERY doc beyond the cap leaves the vector
+    space: two docs sharing only that shingle form no pair."""
+    from time_sift_spark.operators.search import tfidf_cosine_pairs
+
+    shared = "common boiler plate"
+    rows = [(i, f"{shared} unique{i} filler{i} words{i}") for i in range(1, 8)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    out = tfidf_cosine_pairs(
+        spark.createDataFrame(pdf), "doc_id", "text",
+        threshold=0.01, shingle_k=3, pair_df_cap=5,
+    ).toPandas()
+    # the only cross-doc shingles contain the shared prefix; df=7 > 5
+    assert len(out) == 0
+
+
+# ------------------------------------------------------------ ts_strength
+
+def test_ts_strength_discriminates_signal_types(spark):
+    """Pure signals saturate both strengths (resid ≈ 0 — the
+    decomposition explains everything), so the discriminating cases
+    need NOISE: with deterministic mod-13 pseudo-noise added, a linear
+    ramp shows trend ≈ 0.99 ≫ seasonal, a weekly sawtooth shows
+    seasonal ≈ 0.98 ≫ trend, and bare noise shows trend ≈ 0.  The two
+    pure signals are pinned at saturation."""
+    from time_sift_spark.operators.seasonal import ts_strength
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for x in range(35):
+        noise = float((x * 7919) % 13)
+        rows.append(("saw", base + pd.Timedelta(days=x), float(x % 7)))
+        rows.append(("ramp", base + pd.Timedelta(days=x), float(x) * 2.0))
+        rows.append(("noise", base + pd.Timedelta(days=x), noise))
+        rows.append(("ramp_n", base + pd.Timedelta(days=x), 3.0 * x + noise))
+        rows.append(("saw_n", base + pd.Timedelta(days=x),
+                     10.0 * (x % 7) + noise))
+    pdf = pd.DataFrame(rows, columns=["k", "ts", "v"])
+    out = (
+        ts_strength(spark.createDataFrame(pdf), "v", "ts", "k")
+        .toPandas().set_index("k")
+    )
+    assert out.loc["saw"].seasonal_strength > 0.999
+    assert out.loc["ramp"].trend_strength > 0.999
+    assert out.loc["noise"].trend_strength < 0.1
+    assert out.loc["ramp_n"].trend_strength > 0.95
+    assert (out.loc["ramp_n"].trend_strength
+            > out.loc["ramp_n"].seasonal_strength + 0.3)
+    assert out.loc["saw_n"].seasonal_strength > 0.95
+    assert (out.loc["saw_n"].seasonal_strength
+            > out.loc["saw_n"].trend_strength + 0.3)
+    assert (out.n_interior == 29).all()  # 35 days − 2·(7//2) edge NULLs
+
+
+def test_ts_strength_rejects_numeric_time(spark):
+    from time_sift_spark.operators.seasonal import ts_strength
+
+    pdf = pd.DataFrame({"k": ["a"], "ts": [1000], "v": [1.0]})
+    with pytest.raises(TypeError, match="dtype"):
+        ts_strength(spark.createDataFrame(pdf), "v", "ts", "k")
+
+
+# ------------------------------------------------- position attribution
+
+def test_attribution_position_hand_case(spark):
+    """User with touches on campaigns 1,2,3,4 then a 100-value
+    purchase: U-shape gives 40 to c1, 40 to c4, 10 each to c2/c3.
+    A second user with ONE touch (c7) before a 50-value purchase gives
+    c7 all 50.  Touches after the last conversion credit nothing."""
+    from time_sift_spark.operators.attribution import attribution_position
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        # user 1: 4 touches then purchase
+        (1, base + pd.Timedelta(minutes=1), 1, "click", '{"k": 1}', None),
+        (1, base + pd.Timedelta(minutes=2), 2, "click", '{"k": 2}', None),
+        (1, base + pd.Timedelta(minutes=3), 3, "click", '{"k": 3}', None),
+        (1, base + pd.Timedelta(minutes=4), 4, "click", '{"k": 4}', None),
+        (1, base + pd.Timedelta(minutes=5), 5, "purchase", None, 100.0),
+        # user 2: one touch then purchase, then a dangling touch
+        (2, base + pd.Timedelta(minutes=1), 6, "click", '{"k": 7}', None),
+        (2, base + pd.Timedelta(minutes=2), 7, "purchase", None, 50.0),
+        (2, base + pd.Timedelta(minutes=3), 8, "click", '{"k": 9}', None),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["user_id", "ts", "event_id", "event_type", "props", "value"]
+    )
+    out = attribution_position(
+        spark.createDataFrame(pdf),
+        key_col="user_id", time_col="ts", order_col="event_id",
+        type_col="event_type", touch_type="click", convert_type="purchase",
+        value_col="value", campaign_json_col="props",
+    ).toPandas().set_index("campaign")
+    assert out.loc[1].revenue == 40.0
+    assert out.loc[4].revenue == 40.0
+    assert out.loc[2].revenue == 10.0
+    assert out.loc[3].revenue == 10.0
+    assert out.loc[7].revenue == 50.0
+    assert 9 not in out.index  # dangling touch credits nothing
+    # conservation: credited total == attributable conversion value
+    assert out.revenue.sum() == 150.0
+
+
+def test_attribution_position_two_touches_split_evenly(spark):
+    from time_sift_spark.operators.attribution import attribution_position
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        (1, base + pd.Timedelta(minutes=1), 1, "click", '{"k": 1}', None),
+        (1, base + pd.Timedelta(minutes=2), 2, "click", '{"k": 2}', None),
+        (1, base + pd.Timedelta(minutes=3), 3, "purchase", None, 80.0),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["user_id", "ts", "event_id", "event_type", "props", "value"]
+    )
+    out = attribution_position(
+        spark.createDataFrame(pdf),
+        key_col="user_id", time_col="ts", order_col="event_id",
+        type_col="event_type", touch_type="click", convert_type="purchase",
+        value_col="value", campaign_json_col="props",
+    ).toPandas().set_index("campaign")
+    assert out.loc[1].revenue == 40.0 and out.loc[2].revenue == 40.0
+
+
+# ------------------------------------------------------------- budget cut
+
+def test_budget_sample_greedy_prefix_contract(spark):
+    """Selection is a PREFIX of the (score DESC, id) order: the doc
+    that overflows the budget is dropped along with everything below
+    it, even if a later smaller doc would still fit (greedy cut, not
+    knapsack)."""
+    from time_sift_spark.operators.corpus import budget_sample
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "n_tokens": [50, 60, 100, 5],
+        "score": [0.9, 0.8, 0.7, 0.6],
+    })
+    out = budget_sample(
+        spark.createDataFrame(pdf), "doc_id", "n_tokens", "score",
+        token_budget=120,
+    ).toPandas()
+    assert sorted(out.doc_id) == [1, 2]   # 50+60=110 fits; +100 would not
+    assert 4 not in set(out.doc_id)       # doc4 (5 tokens) fits but is cut
+    assert out.cum_tokens.max() == 110.0
+    with pytest.raises(ColumnNotFoundError):
+        budget_sample(
+            spark.createDataFrame(pdf), "doc_id", "nope", "score",
+            token_budget=10,
+        )
+
+
+def test_cluster_best_prefers_quality_over_min_id(spark):
+    """The representative is the argmax-by-score member, not min id."""
+    from time_sift_spark.queries import REGISTRY
+
+    df = REGISTRY["cluster_best_docs"].spark_fn(
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    assert len(df) > 0
+    # cluster_id is the component's MIN doc id; at least one cluster
+    # must pick a best_doc_id that is NOT the min (otherwise the query
+    # degenerates to canonical-id dedup on this corpus — if that ever
+    # becomes true of the testdata, plant a case instead)
+    assert (df.best_doc_id != df.cluster_id).any()

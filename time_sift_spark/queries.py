@@ -11621,6 +11621,15 @@ def _with_session_confs(fn: Callable[[SparkSession, str], DataFrame]):
 # --------------------------------------------------------------------------
 
 GRADE_PRIORITY: list[str] = [
+    # -- NEW in r13 (registered this round) --
+    "sq8_topk",
+    "sq8_persisted_topk",
+    "containment_join_docs",
+    "tfidf_cosine_pairs_docs",
+    "ts_strength_events",
+    "attribution_position_events",
+    "budget_sample_docs",
+    "cluster_best_docs",
     # -- r13 slots: plan/text changed this round (excision staging
     #    rewrite; ngram prefix re-scope; web.py title-trim + <br>
     #    tightening feed the 4 html queries; streaming dtype asserts) --
