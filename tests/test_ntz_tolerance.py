@@ -114,7 +114,7 @@ def test_late_chunker_is_deterministic_and_ordered(sf_dir):
 @pytest.mark.parametrize("n_queries", [5, 71, 200, 500])
 def test_bench_line_always_fits_capture_window(n_queries):
     timings = {f"some_quite_long_query_name_{i:03d}": i * 0.0137 for i in range(n_queries)}
-    line = bench.compact_result_line(timings, 99.9, 0.1)
+    line = bench.compact_result_line(timings, 99.9, 0.1, 0)
     assert len(line) <= bench.MAX_LINE
     parsed = json.loads(line)
     assert parsed["metric"] == "sum_query_seconds"

@@ -636,6 +636,48 @@ def append_phrase_index(
 # TF-IDF cosine document-pair screen (r13)
 # ---------------------------------------------------------------------------
 
+def _tfc_weights_select(
+    d: Dialect,
+    table: str,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int,
+    pair_df_cap: int,
+) -> str:
+    """(did, term, wt): the TF-IDF weight relation — explode + hash +
+    tf groupBy + df window + the df-cap filter, split out so the Spark
+    front door can STAGE it (localCheckpoint): the statement reads it
+    THREE times (norms + both pair-join sides), and Catalyst would
+    otherwise replan the whole explode chain per reference."""
+    from .dedup import _unnest
+
+    toks = d.tokens(text_col)
+    shingles = d.shingles("_toks", shingle_k)
+    return f"""
+      SELECT did, term,
+             CAST(tf AS DOUBLE)
+               * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS wt
+      FROM (
+        SELECT did, term, tf,
+               CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df
+        FROM (
+          SELECT did, term, COUNT(*) AS tf FROM (
+            SELECT did, {d.md5_long("sh")} AS term FROM (
+              SELECT did, {_unnest(d, shingles, "sh")}
+              FROM (SELECT {id_col} AS did, {toks} AS _toks FROM {table}) _tcb
+              WHERE _toks IS NOT NULL AND {d.size("_toks")} >= 1
+            ) _tcx
+          ) _tct GROUP BY did, term
+        ) _tcf
+      ) _tcdf
+      CROSS JOIN (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM {table}
+      ) s
+      WHERE df <= {int(pair_df_cap)}
+    """
+
+
 def tfidf_cosine_pairs_sql(
     d: Dialect,
     table: str,
@@ -645,6 +687,7 @@ def tfidf_cosine_pairs_sql(
     threshold: float = 0.3,
     shingle_k: int = 3,
     pair_df_cap: int = 64,
+    staged_w: str | None = None,
 ) -> str:
     """Document near-dup pairs by TF-IDF-weighted cosine over hashed
     ``shingle_k``-gram terms — the frequency-weighted complement of the
@@ -677,43 +720,26 @@ def tfidf_cosine_pairs_sql(
     doc_id_a < doc_id_b.
 
     Scale shape: one corpus explode+hash; tf groupBy [1 exchange]; df
-    over the tf frame [1, broadcast back]; the pair join shuffles on
-    the term hash with per-bucket fan-out ≤ cap²; pair dot groupBy [1];
-    norms join back broadcast-sized per pair side.
+    is a window over the tf frame [1 term-key exchange]; the pair join
+    shuffles on the term hash with per-bucket fan-out ≤ cap²; pair dot
+    groupBy [1]; norms join back broadcast-sized per pair side.  The
+    Spark front door STAGES the weight relation (``staged_w``,
+    localCheckpoint — it is read three times: norms + both pair-join
+    sides); the DuckDB oracle keeps the inline text, so staged ≡
+    one-statement is structural.
     """
     from ._num import dec_to_double, round_double
-    from .dedup import _unnest
 
-    toks = d.tokens(text_col)
-    shingles = d.shingles("_toks", shingle_k)
     quant = lambda e: f"CAST({round_double(e, 6)} AS DECIMAL(27,6))"
     cos = (f"({dec_to_double('dp.dot')} / "
            f"(sqrt({dec_to_double('na.n2')}) * sqrt({dec_to_double('nb.n2')})))")
+    w = (f"SELECT did, term, wt FROM {staged_w}" if staged_w
+         else _tfc_weights_select(d, table, id_col, text_col,
+                                  shingle_k=shingle_k,
+                                  pair_df_cap=pair_df_cap))
     return f"""
-    WITH _tcb AS (
-      SELECT {id_col} AS did, {toks} AS _toks FROM {table}
-    ),
-    _tct AS (
-      SELECT did, {d.md5_long("sh")} AS term FROM (
-        SELECT did, {_unnest(d, shingles, "sh")}
-        FROM _tcb WHERE _toks IS NOT NULL AND {d.size("_toks")} >= 1
-      ) _tcx
-    ),
-    _tcf AS (
-      SELECT did, term, COUNT(*) AS tf FROM _tct GROUP BY did, term
-    ),
-    _tcn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM _tcb),
-    _tcd AS (
-      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM _tcf GROUP BY term
-    ),
-    _tcw AS (
-      SELECT f.did, f.term,
-             CAST(f.tf AS DOUBLE)
-               * (CAST(s.n_docs AS DOUBLE) / CAST(dd.df AS DOUBLE)) AS wt
-      FROM _tcf f
-      JOIN _tcd dd ON dd.term = f.term
-      CROSS JOIN _tcn s
-      WHERE dd.df <= {int(pair_df_cap)}
+    WITH _tcw AS (
+      {w}
     ),
     _tc2 AS (
       SELECT did, SUM({quant("wt * wt")}) AS n2 FROM _tcw GROUP BY did
@@ -742,15 +768,25 @@ def tfidf_cosine_pairs(
     shingle_k: int = 3,
     pair_df_cap: int = 64,
 ) -> DataFrame:
-    """DataFrame front door for :func:`tfidf_cosine_pairs_sql`."""
+    """DataFrame front door for :func:`tfidf_cosine_pairs_sql` — stages
+    the (did, term, wt) weight relation once (lazy localCheckpoint)."""
     for c in (id_col, text_col):
         if c not in docs.columns:
             raise ColumnNotFoundError(f"column {c!r} not in {docs.columns}")
+    spark = docs.sparkSession
     view = "_ts_tfc_in"
     docs.createOrReplaceTempView(view)
-    return docs.sparkSession.sql(
+    staged = spark.sql(
+        _tfc_weights_select(
+            SPARK, view, id_col, text_col,
+            shingle_k=shingle_k, pair_df_cap=pair_df_cap,
+        )
+    ).localCheckpoint(eager=False)
+    sview = "_ts_tfc_w"
+    staged.createOrReplaceTempView(sview)
+    return spark.sql(
         tfidf_cosine_pairs_sql(
             SPARK, view, id_col, text_col, threshold=threshold,
-            shingle_k=shingle_k, pair_df_cap=pair_df_cap,
+            shingle_k=shingle_k, pair_df_cap=pair_df_cap, staged_w=sview,
         )
     )
