@@ -2501,3 +2501,220 @@ def containment_join(
             shingle_k=shingle_k, staged_hdist=sview,
         )
     )
+
+
+def _cjs_hdist_select(d: Dialect, table: str, id_col: str, text_col: str,
+                      shingle_k: int, where: str = "TRUE") -> str:
+    """Distinct (did, h) shingle hashes of ``table`` rows passing
+    ``where`` — the shared feature construction of the containment
+    screen (identical text on the build side, the probe side, and the
+    brute oracle, so index ≡ inline is structural)."""
+    shingles = d.shingles("_toks", shingle_k)
+    return f"""SELECT DISTINCT did, h FROM (
+        SELECT did, {_md5_32(d, "sh")} AS h FROM (
+          SELECT did, {_unnest(d, shingles, "sh")} FROM (
+            SELECT did, _toks FROM (
+              SELECT {id_col} AS did, {d.tokens(text_col)} AS _toks
+              FROM {table} WHERE {where}
+            ) _cst0 WHERE _toks IS NOT NULL
+          ) _cst1
+        ) _cst2
+      ) _cst3"""
+
+
+def containment_screen_oracle_sql(
+    d: Dialect,
+    table: str,
+    id_col: str,
+    text_col: str,
+    *,
+    bench_pred: str,
+    threshold: tuple[int, int] = (4, 5),
+    shingle_k: int = 3,
+) -> str:
+    """Brute single-statement form of the incremental containment
+    screen: every NON-benchmark row of ``table`` reports how many
+    benchmark rows (``bench_pred``) contain ≥ num/den of its shingles,
+    and the worst such containment.  Pairs come from the complete
+    shingle-hash equi-join (a pair with zero shared shingles has
+    containment 0 and cannot pass any positive threshold), so this IS
+    the exhaustive answer — the ORACLE the index-serving Spark path
+    must reproduce exactly.
+
+    ``max_containment`` is defined over CONTAMINATING pairs only
+    (≥ θ); sub-threshold overlaps report 0.0 — the screen's prefix
+    pruning guarantees every ≥ θ pair is found but not every weaker
+    one, and an operator whose output depended on unfound pairs could
+    not be served from an index.  Incoming rows with no qualifying
+    benchmark partner (or no tokens at all) report (0, 0.0, false).
+
+    Output: ({id_col}, n_contaminating, max_containment, contaminated)
+    for every non-benchmark row.
+    """
+    num, den = int(threshold[0]), int(threshold[1])
+    hb = _cjs_hdist_select(d, table, id_col, text_col, shingle_k,
+                           where=f"({bench_pred})")
+    hi = _cjs_hdist_select(d, table, id_col, text_col, shingle_k,
+                           where=f"NOT ({bench_pred})")
+    return f"""
+    WITH _csb AS ({hb}),
+    _csi AS ({hi}),
+    _csn AS (
+      SELECT did, CAST(COUNT(*) AS BIGINT) AS n FROM _csi GROUP BY did
+    ),
+    _csp AS (
+      SELECT i.did AS src, b.did AS dst, CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM _csi i JOIN _csb b ON b.h = i.h
+      GROUP BY i.did, b.did
+    ),
+    _csq AS (
+      SELECT p.src,
+             CAST(COUNT(*) AS BIGINT) AS n_contaminating,
+             MAX(p.n_inter) AS max_inter,
+             MAX(n.n) AS n_src
+      FROM _csp p JOIN _csn n ON n.did = p.src
+      WHERE {den} * p.n_inter >= {num} * n.n
+      GROUP BY p.src
+    )
+    SELECT b.{id_col},
+           CAST(COALESCE(q.n_contaminating, 0) AS BIGINT) AS n_contaminating,
+           COALESCE(CAST(q.max_inter AS DOUBLE) / CAST(q.n_src AS DOUBLE),
+                    CAST(0 AS DOUBLE)) AS max_containment,
+           COALESCE(q.n_contaminating, 0) > 0 AS contaminated
+    FROM (SELECT {id_col} FROM {table} WHERE NOT ({bench_pred})) b
+    LEFT JOIN _csq q ON q.src = b.{id_col}
+    ORDER BY {id_col}
+    """
+
+
+def build_containment_index(
+    df: DataFrame, id_col: str, text_col: str, path: str, *, shingle_k: int = 3
+) -> None:
+    """Benchmark-side artifacts for the incremental containment screen
+    (the decontamination posture: eval suites are built ONCE, then
+    every crawl increment screens against them):
+
+    * ``{path}/postings`` — distinct (did, h) shingle hashes,
+      h-clustered so the candidate equi-join reads key-local files;
+    * ``{path}/sizes``    — (did, n) set sizes (the verify only needs
+      the PROBE's size — benchmark sizes are not read at serve time,
+      but stored for audits);
+    * ``{path}/df``       — (h, dfc) benchmark document frequencies:
+      the probe side's canonical prefix order (rarest-in-benchmark
+      first; a shingle the benchmark has never seen sorts FIRST with
+      df 0 — it cannot match anything, and the lemma accepts ANY
+      fixed global order);
+    * ``{path}/params``   — written LAST (build-complete marker).
+
+    Appending new benchmark docs = appending row-independent postings
+    + REBUILDING df (df is a full-side aggregate — the BM25 persisted-
+    index stats-merge caveat applies; rebuild keeps the prefix order
+    honest, and df only ORDERS the prefix, so a stale df costs recall
+    nothing — the lemma holds for any order — only bucket balance).
+    """
+    from ..functions.text_fns import SPARK as _S
+
+    for c in (id_col, text_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
+    spark = df.sparkSession
+    from .artifacts import begin_build
+
+    view = "_ts_csb_in"
+    df.createOrReplaceTempView(view)
+    begin_build(path)
+    hd = spark.sql(
+        _cjs_hdist_select(_S, view, id_col, text_col, shingle_k)
+    ).localCheckpoint(eager=False)
+    hd.createOrReplaceTempView("_ts_csb_hd")
+    hd.repartition("h").write.mode("overwrite").parquet(f"{path}/postings")
+    spark.sql(
+        "SELECT did, CAST(COUNT(*) AS BIGINT) AS n FROM _ts_csb_hd GROUP BY did"
+    ).write.mode("overwrite").parquet(f"{path}/sizes")
+    spark.sql(
+        "SELECT h, CAST(COUNT(*) AS BIGINT) AS dfc FROM _ts_csb_hd GROUP BY h"
+    ).write.mode("overwrite").parquet(f"{path}/df")
+    spark.createDataFrame(
+        [(id_col, text_col, shingle_k)],
+        "id_col string, text_col string, shingle_k int",
+    ).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def screen_docs_containment(
+    spark,
+    path: str,
+    docs: DataFrame,
+    *,
+    threshold: tuple[int, int] = (4, 5),
+) -> DataFrame:
+    """Screen an increment against a persisted benchmark containment
+    index: per incoming doc, how many benchmark docs contain ≥ num/den
+    of its shingles, and the worst hit.  The increment pays: its own
+    shingle pass (staged once — read by sizes, prefix, and verify), a
+    broadcast-sized df join for the prefix order, the prefix ⨝ stored
+    postings candidate join, and a verify over |candidates| grouped
+    pairs.  The benchmark is NEVER re-shingled — cost is O(increment +
+    candidates), the incremental-dedup contract.  Output ≡ the brute
+    :func:`containment_screen_oracle_sql` statement (driver-proven)."""
+    from ..functions.text_fns import SPARK as _S
+
+    p = spark.read.parquet(f"{path}/params").collect()[0]
+    id_col, text_col, shingle_k = p["id_col"], p["text_col"], p["shingle_k"]
+    for c in (id_col, text_col):
+        if c not in docs.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {docs.columns}")
+    num, den = int(threshold[0]), int(threshold[1])
+    view = "_ts_css_in"
+    docs.createOrReplaceTempView(view)
+    spark.read.parquet(f"{path}/postings").createOrReplaceTempView("_ts_css_post")
+    spark.read.parquet(f"{path}/df").createOrReplaceTempView("_ts_css_df")
+    hd = spark.sql(
+        _cjs_hdist_select(_S, view, id_col, text_col, shingle_k)
+    ).localCheckpoint(eager=False)
+    hd.createOrReplaceTempView("_ts_css_hd")
+    idiv = _ppj_exprs(_S)[3]
+    ceil_tn = idiv(f"({num} * n + {den} - 1)", f"{den}")
+    return spark.sql(f"""
+    WITH _csn AS (
+      SELECT did, CAST(COUNT(*) AS BIGINT) AS n FROM _ts_css_hd GROUP BY did
+    ),
+    _cspfx AS (
+      SELECT did, h, n FROM (
+        SELECT t.did AS did, t.h AS h, n.n AS n,
+               ROW_NUMBER() OVER (PARTITION BY t.did
+                                  ORDER BY COALESCE(f.dfc, 0), t.h) AS rnk
+        FROM _ts_css_hd t
+        LEFT JOIN _ts_css_df f ON f.h = t.h
+        JOIN _csn n ON n.did = t.did
+      ) _csr WHERE rnk <= (n - {ceil_tn} + 1)
+    ),
+    _csc AS (
+      SELECT a.did AS src, b.did AS dst
+      FROM _cspfx a JOIN _ts_css_post b ON b.h = a.h
+      GROUP BY a.did, b.did
+    ),
+    _csp AS (
+      SELECT c.src, c.dst, CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM _csc c
+      JOIN _ts_css_hd i ON i.did = c.src
+      JOIN _ts_css_post b ON b.did = c.dst AND b.h = i.h
+      GROUP BY c.src, c.dst
+    ),
+    _csq AS (
+      SELECT p.src,
+             CAST(COUNT(*) AS BIGINT) AS n_contaminating,
+             MAX(p.n_inter) AS max_inter,
+             MAX(n.n) AS n_src
+      FROM _csp p JOIN _csn n ON n.did = p.src
+      WHERE {den} * p.n_inter >= {num} * n.n
+      GROUP BY p.src
+    )
+    SELECT b.{id_col},
+           CAST(COALESCE(q.n_contaminating, 0) AS BIGINT) AS n_contaminating,
+           COALESCE(CAST(q.max_inter AS DOUBLE) / CAST(q.n_src AS DOUBLE),
+                    CAST(0 AS DOUBLE)) AS max_containment,
+           COALESCE(q.n_contaminating, 0) > 0 AS contaminated
+    FROM {view} b
+    LEFT JOIN _csq q ON q.src = b.{id_col}
+    ORDER BY {id_col}
+    """)

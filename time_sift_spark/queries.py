@@ -7256,6 +7256,40 @@ def containment_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CS_BENCH_PRED = "doc_id % 5 = 0"
+
+
+@register(
+    "containment_screen_docs",
+    oracle=_dd.containment_screen_oracle_sql(
+        DUCK, "documents", "doc_id", "text",
+        bench_pred=_CS_BENCH_PRED, threshold=(4, 5), shingle_k=3,
+    ),
+)
+def containment_screen_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental contamination screen from a PERSISTED benchmark
+    containment index (the decontamination posture: the eval suite —
+    here the doc_id%5=0 fifth of the corpus — is shingled/df'd/posted
+    ONCE; every increment screens itself): per incoming doc, how many
+    benchmark docs contain ≥ 4/5 of its shingles + the worst hit.  The
+    increment pays one shingle pass + the probe-prefix ⨝ stored-postings
+    candidate join + a |candidates| verify — the benchmark is never
+    re-shingled, O(increment + candidates).  The ORACLE is the brute
+    single-statement h-join over both halves, so index-served ≡
+    exhaustive is driver-proven
+    (operators/dedup.py:build_containment_index,
+    screen_docs_containment)."""
+    path = _index_dir("ts_cscr_index", sf_dir, "t45_k3_v1", table="documents")
+    docs = load_table(spark, "documents", sf_dir)
+    if not _index_ready(path):
+        _dd.build_containment_index(
+            docs.where(_CS_BENCH_PRED), "doc_id", "text", path, shingle_k=3
+        )
+    return _dd.screen_docs_containment(
+        spark, path, docs.where(f"NOT ({_CS_BENCH_PRED})"), threshold=(4, 5)
+    )
+
+
 def _tfidf_cosine_oracle() -> str:
     from .operators.search import tfidf_cosine_pairs_sql
 
@@ -11630,6 +11664,7 @@ GRADE_PRIORITY: list[str] = [
     "attribution_position_events",
     "budget_sample_docs",
     "cluster_best_docs",
+    "containment_screen_docs",
     # -- r13 slots: plan/text changed this round (excision staging
     #    rewrite; ngram prefix re-scope; web.py title-trim + <br>
     #    tightening feed the 4 html queries; streaming dtype asserts) --
