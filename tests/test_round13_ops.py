@@ -322,3 +322,30 @@ def test_containment_screen_index_serves_increment(spark, tmp_path):
         spark, path, spark.createDataFrame(inc), threshold=(4, 5)
     ).toPandas().set_index("doc_id")
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_novelty_score_semantics(spark):
+    """First copy of a text owns its shingles (novelty 1.0); a verbatim
+    re-crawl scores 0.0; a doc quoting half of an earlier doc scores by
+    the unseen fraction; NULL-text rows report (0, 0, 0.0)."""
+    from time_sift_spark.operators.dedup import novelty_score
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "alpha beta gamma delta epsilon zeta",
+            "alpha beta gamma delta epsilon zeta",   # verbatim re-crawl
+            "alpha beta gamma fresh new words here entirely",
+            None,
+        ],
+    })
+    out = (
+        novelty_score(spark.createDataFrame(pdf), "doc_id", "text",
+                      shingle_k=3)
+        .toPandas().set_index("doc_id")
+    )
+    assert out.loc[1].novelty == 1.0
+    assert out.loc[2].novelty == 0.0      # every shingle first seen in doc1
+    assert 0.0 < out.loc[3].novelty < 1.0  # partial quote
+    assert out.loc[3].n_novel == out.loc[3].n_shingles - 1  # 'alpha beta gamma'
+    assert out.loc[4].n_shingles == 0 and out.loc[4].novelty == 0.0

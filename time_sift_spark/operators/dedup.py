@@ -2718,3 +2718,71 @@ def screen_docs_containment(
     LEFT JOIN _csq q ON q.src = b.{id_col}
     ORDER BY {id_col}
     """)
+
+
+def novelty_score_sql(
+    d: Dialect,
+    table: str,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 3,
+) -> str:
+    """Per-document NOVELTY against the corpus in ingestion (id) order:
+    the fraction of a doc's distinct ``shingle_k``-gram shingles whose
+    corpus-wide FIRST occurrence (min id) is this document.  The
+    curation dial between exact dedup and quality scoring — a verbatim
+    re-crawl scores ~0, a genuinely new document ~1, boilerplate-heavy
+    pages sit low without being exact dupes (RefinedWeb-style "what
+    does this doc add" pruning; with id = crawl order this is the
+    streaming-corpus novelty curve).
+
+    Deterministic by construction: first occurrence is an exact
+    integer MIN per shingle hash; the score is one IEEE division of
+    exact counts.  Documents with no tokens report (0, 0, 0.0) — they
+    add nothing and are flagged as such, not dropped.
+
+    Scale shape: one distinct (did, h) explode; the first-occurrence
+    aggregation is a partial-aggregated hash groupBy on h (a
+    boilerplate shingle in a million docs costs ONE stats row); the
+    join back touches the same (did, h) stream; per-doc counts ride a
+    did groupBy.  No sort, no pair join, nothing quadratic anywhere.
+
+    Output: ({id_col}, n_shingles, n_novel, novelty), one row per
+    input row.
+    """
+    hdist = _cjs_hdist_select(d, table, id_col, text_col, shingle_k)
+    return f"""
+    WITH _nvh AS ({hdist}),
+    _nvm AS (
+      SELECT h, MIN(did) AS first_did FROM _nvh GROUP BY h
+    ),
+    _nvj AS (
+      SELECT n.did,
+             CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             CAST(SUM(CASE WHEN m.first_did = n.did THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM _nvh n JOIN _nvm m ON m.h = n.h
+      GROUP BY n.did
+    )
+    SELECT b.{id_col},
+           COALESCE(j.n_shingles, 0) AS n_shingles,
+           COALESCE(j.n_novel, 0) AS n_novel,
+           COALESCE(CAST(j.n_novel AS DOUBLE)
+                    / CAST(j.n_shingles AS DOUBLE),
+                    CAST(0 AS DOUBLE)) AS novelty
+    FROM {table} b
+    LEFT JOIN _nvj j ON j.did = b.{id_col}
+    ORDER BY {id_col}
+    """
+
+
+def novelty_score(
+    df: DataFrame, id_col: str, text_col: str, *, shingle_k: int = 3
+) -> DataFrame:
+    """DataFrame front door for :func:`novelty_score_sql` (single
+    statement — the hdist stream is referenced twice, but both
+    references feed ONE join whose sides Spark plans from the same
+    exchange; measured cheap enough that staging buys nothing)."""
+    return _run(df, novelty_score_sql, id_col, text_col,
+                shingle_k=shingle_k)

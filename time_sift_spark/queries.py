@@ -7256,6 +7256,24 @@ def containment_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "novelty_score_docs",
+    oracle=_dd.novelty_score_sql(DUCK, "documents", "doc_id", "text",
+                                 shingle_k=3),
+)
+def novelty_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty in ingestion order: the fraction of a doc's
+    distinct 3-gram shingles whose corpus-wide FIRST occurrence (min
+    doc id) is this doc — the RefinedWeb-style 'what does this doc add'
+    curation dial between exact dedup (re-crawls ≈ 0) and quality
+    scoring (boilerplate sits low without being an exact dupe).  One
+    partial-aggregated hash groupBy on the shingle hash + the (did, h)
+    join back + a per-doc count — no sort, nothing quadratic
+    (operators/dedup.py:novelty_score)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return _dd.novelty_score(docs, "doc_id", "text", shingle_k=3)
+
+
 _CS_BENCH_PRED = "doc_id % 5 = 0"
 
 
@@ -11665,6 +11683,7 @@ GRADE_PRIORITY: list[str] = [
     "budget_sample_docs",
     "cluster_best_docs",
     "containment_screen_docs",
+    "novelty_score_docs",
     # -- r13 slots: plan/text changed this round (excision staging
     #    rewrite; ngram prefix re-scope; web.py title-trim + <br>
     #    tightening feed the 4 html queries; streaming dtype asserts) --
