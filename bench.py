@@ -109,12 +109,18 @@ def _emit_snapshot(timings: dict, sf_val, not_measured: int) -> None:
 
 
 def _time_query(spark, qd, sf_dir: str) -> float:
-    force(qd.spark_fn(spark, sf_dir))  # warm-up (JIT, file listing)
-    runs = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        force(qd.spark_fn(spark, sf_dir))
-        runs.append(time.perf_counter() - t0)
+    spark.sparkContext.setJobDescription(
+        f"bench:{qd.spark_fn.__name__}"
+    )  # guide §1.5
+    try:
+        force(qd.spark_fn(spark, sf_dir))  # warm-up (JIT, file listing)
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            force(qd.spark_fn(spark, sf_dir))
+            runs.append(time.perf_counter() - t0)
+    finally:
+        spark.sparkContext.setJobDescription(None)
     return round(min(runs), 4)
 
 
@@ -175,10 +181,14 @@ def main() -> None:
     names = _ordered_names()
     timings: dict[str, float] = {}
     stopped_at = len(names)
+    # Adaptive pre-query allowance (ADVICE r13): a fixed 15s/60s floor
+    # lets one slower-than-allowance query overrun BUDGET. Track the
+    # worst observed WALL time per class (in-process incl. warm-up;
+    # streaming incl. child JVM) and require 1.2x that much headroom.
+    worst_wall = {"stream": 60.0, "batch": 15.0}
     for i, name in enumerate(names):
-        # A typical query costs 1-3s x 3 executions; streaming child JVMs
-        # cost ~20-60s. Stop while there is still room to emit + exit.
-        need = 60.0 if _is_streaming(name) else 15.0
+        cls = "stream" if _is_streaming(name) else "batch"
+        need = 1.2 * worst_wall[cls]
         if _remaining() < need:
             stopped_at = i
             print(
@@ -187,6 +197,7 @@ def main() -> None:
             )
             break
         qd = REGISTRY[name]
+        t_wall = time.monotonic()
         if _is_streaming(name):
             timings[name] = _run_isolated(name, sf_dir)
         else:
@@ -195,7 +206,19 @@ def main() -> None:
             except Exception as exc:  # keep benching remaining queries
                 print(f"[bench] {name} FAILED: {exc}", file=sys.stderr)
                 timings[name] = -1.0
+        worst_wall[cls] = max(worst_wall[cls], time.monotonic() - t_wall)
         _emit_snapshot(timings, sf_val, len(names) - i - 1)
+        if (i + 1) % 20 == 0:
+            # Free ContextCleaner-tracked state (localCheckpoint blocks,
+            # broadcasts) whose Python refs died queries ago — BETWEEN
+            # timed regions, so the collection cost never lands inside a
+            # measurement (concurrent cycle via ExplicitGCInvokesConcurrent,
+            # see session.py). r13's aged-session draws (2-7x on late-run
+            # small queries) motivated this.
+            try:
+                spark._jvm.System.gc()
+            except Exception:
+                pass
 
     not_measured = len(names) - stopped_at if stopped_at < len(names) else 0
 

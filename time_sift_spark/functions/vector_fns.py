@@ -76,6 +76,25 @@ class VectorDialect:
             )
         return self._sum(self._sq_diffs(a, b))
 
+    def sqdist_fixed(self, a: str, b: str, dim: int) -> str:
+        """Squared L2 over arrays of KNOWN length ``dim`` — on Spark the
+        fold is unrolled into scalar arithmetic (element_at terms summed
+        in the same ((0+t1)+t2)+… left-fold order), because the
+        higher-order-function form is CodegenFallback: interpreted per
+        row with a per-call array allocation — measured 4.3 s → 3.5 s on
+        the PQ training chain at sf0.1, bit-identical codebooks.  Only
+        sensible for SMALL dims (the PQ subvector width): at dim 64 the
+        129-node unrolled tree measured 3× SLOWER than the HOF fold.
+        DuckDB keeps the list fold (same fold order ⇒ same doubles)."""
+        if self.name == "duck" or dim > 16:
+            return self.sqdist(a, b)
+        e = "CAST(0 AS DOUBLE)"
+        for i in range(1, dim + 1):
+            d = (f"(CAST(element_at({a}, {i}) AS DOUBLE)"
+                 f" - CAST(element_at({b}, {i}) AS DOUBLE))")
+            e = f"({e} + ({d} * {d}))"
+        return e
+
     def slice(self, a: str, start: int, length: int) -> str:
         """1-based fixed-window subvector."""
         if self.name == "spark":

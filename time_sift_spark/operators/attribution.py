@@ -258,10 +258,13 @@ def attribution_position_sql(
         f"((({_json_long(d, campaign_json_col, campaign_json_path)})"
         f" % {_CAMP_MOD} + {_CAMP_MOD}) % {_CAMP_MOD})"
     )
-    w = ("(PARTITION BY k ORDER BY ts, is_conv, oid "
+    # Explicit NULLS FIRST: Spark defaults ASC to NULLS FIRST but DuckDB
+    # to NULLS LAST, so a NULL-timestamp event would silently diverge
+    # segment assignment between engine and oracle (ADVICE r13).
+    w = ("(PARTITION BY k ORDER BY ts NULLS FIRST, is_conv, oid NULLS FIRST "
          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
     ws = "(PARTITION BY k, seg)"
-    wr = "(PARTITION BY k, seg ORDER BY ts, oid)"
+    wr = "(PARTITION BY k, seg ORDER BY ts NULLS FIRST, oid NULLS FIRST)"
     share = (
         "CASE WHEN n_seg = 1 THEN CAST(1 AS DOUBLE) "
         "WHEN pos = 1 OR pos = n_seg THEN "

@@ -889,15 +889,29 @@ def _cc_star(
         .localCheckpoint()
     )
 
-    def _large_star(e: DataFrame) -> DataFrame:
-        # symmetric neighborhoods; m = min(N(u) ∪ {u}); larger nbrs → m.
-        # No distinct here: duplicates can't change small-star's min-aggs
-        # and its output distinct restores the canonical set — one fewer
-        # shuffle per round.
-        sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    def _sym_stats(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """(sym, m): symmetric neighborhoods of the (distinct, oriented
+        child>parent) edge set, and ONE aggregation per node carrying
+        m = min(N(u) ∪ {u}) PLUS the node's child-edge and parent-edge
+        counts — the star-forest conditions ride the min-label exchange
+        the round pays anyway (guide §2.4: two operations keyed the same
+        way share one exchange), so convergence costs no extra shuffle."""
+        sym = e.select("u", "v", F.lit(1).alias("_c")).unionAll(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"), F.lit(0).alias("_c"))
+        )
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m"),
+            F.sum("_c").alias("_nc"),
+            F.sum(1 - F.col("_c")).alias("_np"),
+        )
+        return sym, m
+
+    def _large_star(sym: DataFrame, m: DataFrame) -> DataFrame:
+        # larger nbrs → m. No distinct here: duplicates can't change
+        # small-star's min-aggs and its output distinct restores the
+        # canonical set — one fewer shuffle per round.
         return (
-            sym.join(m, "u")
+            sym.join(m.select("u", "m"), "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
@@ -914,32 +928,24 @@ def _cc_star(
         )
         return own.unionAll(moved).where(F.col("u") != F.col("v")).distinct()
 
-    def _is_star_forest(e: DataFrame) -> bool:
-        # (a) multi-parent children; (b) parents that are also children —
-        # one unioned existence probe, one Spark job
-        multi = (
-            e.groupBy("u")
-            .agg(F.count_distinct("v").alias("np"))
-            .where("np > 1")
-            .select(F.lit(1).alias("one"))
-        )
-        nonroot = e.join(
-            e.select(F.col("u").alias("v")).distinct(), "v", "left_semi"
-        ).select(F.lit(1).alias("one"))
-        return multi.unionAll(nonroot).isEmpty()
-
-    for _ in range(max_iterations):
-        # lazy checkpoint: the star-forest probe below is the one action
-        # per round, materializing this round's edge set as it checks it
-        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
-        edges = new_edges
-        if _is_star_forest(new_edges):
+    for it in range(max_iterations + 1):
+        # The round's FIRST aggregation doubles as the star-forest probe
+        # (the r13 probe was a separate count_distinct + semi-join pass
+        # over the new edge set — one full extra exchange per round):
+        # the current edge set is a forest of stars iff no node is a
+        # child twice (_nc > 1: two distinct parents, e is distinct) or
+        # a child and a parent at once (_nc > 0 AND _np > 0). Soundness
+        # argument unchanged from the r13 probe (see docstring above).
+        sym, m = _sym_stats(edges)
+        m = m.localCheckpoint(eager=False)  # probe materializes; join reuses
+        if m.where("_nc > 1 OR (_nc > 0 AND _np > 0)").isEmpty():
             break
-    else:
-        raise RuntimeError(
-            f"connected_components(star) did not converge within "
-            f"{max_iterations} rounds — raise max_iterations for this graph"
-        )
+        if it == max_iterations:
+            raise RuntimeError(
+                f"connected_components(star) did not converge within "
+                f"{max_iterations} rounds — raise max_iterations for this graph"
+            )
+        edges = _small_star(_large_star(sym, m)).localCheckpoint(eager=False)
     # all-stars fixpoint: each non-minimum vertex has exactly its
     # component minimum as parent; minima have no outgoing edge
     return vertices.join(
@@ -1378,6 +1384,11 @@ def substring_remove_sql(
     CTE, so staged ≡ one-statement is structural (shared rendered
     text).
     """
+    if gram_doc_cap is not None and int(gram_doc_cap) < 1:
+        # The stats relation keeps only n_occ >= 2 grams (n_docs > cap >= 1
+        # implies two occurrences); cap 0 would flag single-occurrence
+        # grams the stats filter has already dropped (ADVICE r13).
+        raise ValueError(f"gram_doc_cap must be >= 1, got {gram_doc_cap}")
     toks = d.tokens(text_col)
     wins = (f"SELECT * FROM {staged_wins}" if staged_wins
             else _ssr_wins_select(d, table, id_col, text_col, k))
@@ -2488,10 +2499,11 @@ def containment_join(
     spark = df.sparkSession
     view = "_ts_cj_in"
     df.createOrReplaceTempView(view)
-    inline = containment_join_sql(
-        _S, view, id_col, text_col, threshold=threshold, shingle_k=shingle_k
-    )
-    hdist_sel = inline.split("_cjh AS (", 1)[1].split("\n    ),", 1)[0]
+    # Stage the same (did, h) relation containment_join_sql inlines as
+    # _cjh — rendered by the shared helper rather than parsed out of the
+    # statement text (ADVICE r13: a formatting-only edit to the template
+    # must not be able to silently stage the wrong fragment).
+    hdist_sel = _cjs_hdist_select(_S, view, id_col, text_col, shingle_k)
     staged = spark.sql(hdist_sel).localCheckpoint(eager=False)
     sview = "_ts_cj_hdist"
     staged.createOrReplaceTempView(sview)

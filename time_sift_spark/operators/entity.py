@@ -41,6 +41,26 @@ __all__ = [
 ]
 
 
+def _lev_verify(d: Dialect, a: str, b: str, max_distance: int) -> tuple[str, str]:
+    """(distance_expr, keep_pred) for the levenshtein verify step.
+
+    Spark (3.5+) exposes the BANDED form ``levenshtein(a, b, t)`` — the
+    DP early-exits outside the ±t diagonal band (O(len·t) per pair, not
+    O(len²)) and returns −1 when the distance exceeds t. For kept rows
+    (distance ≤ t) it returns the true distance, so the output values
+    are identical to the classic form; rows beyond t are filtered either
+    way. DuckDB has no threshold arg — the oracle keeps the classic DP
+    text, so engine ≡ oracle stays value-identical (guide §1: same
+    result, cheaper per-task work on the engine side only).
+    """
+    t = int(max_distance)
+    if d.name == "spark":
+        e = f"levenshtein({a}, {b}, {t})"
+        return e, f"{e} BETWEEN 0 AND {t}"
+    e = f"levenshtein({a}, {b})"
+    return e, f"{e} <= {t}"
+
+
 def entity_match_sql(
     d: Dialect,
     table: str,
@@ -59,15 +79,16 @@ def entity_match_sql(
     bk = list(block_exprs)
     on = " AND ".join(f"a._b{i} = b._b{i}" for i in range(len(bk)))
     bsel = ", ".join(f"{e} AS _b{i}" for i, e in enumerate(bk))
+    dist, keep = _lev_verify(d, "a.rname", "b.rname", max_distance)
     return f"""
     WITH _er AS (
       SELECT {id_col} AS rid, {name_col} AS rname, {bsel} FROM {table}
     )
     SELECT a.rid AS id_a, b.rid AS id_b,
            a.rname AS name_a, b.rname AS name_b,
-           levenshtein(a.rname, b.rname) AS distance
+           {dist} AS distance
     FROM _er a JOIN _er b ON {on} AND a.rid < b.rid
-    WHERE levenshtein(a.rname, b.rname) <= {max_distance}
+    WHERE {keep}
     ORDER BY id_a, id_b
     """
 
@@ -97,22 +118,24 @@ def _snm_stage_sql(
     """
 
 
-def _snm_tail_sql(sn_table: str, *, window: int, max_distance: int) -> str:
+def _snm_tail_sql(d: Dialect, sn_table: str, *, window: int, max_distance: int) -> str:
     """Neighbor-arm unfold + levenshtein verify over a staged LEAD
-    relation — dialect-neutral text, shared VERBATIM by the one-
-    statement oracle and the staged Spark path."""
+    relation — shared by the one-statement oracle and the staged Spark
+    path (value-identical; the Spark text uses the banded levenshtein,
+    see :func:`_lev_verify`)."""
     arms = " UNION ALL ".join(
         f"SELECT rid, rname, _nid{i} AS nid, _nn{i} AS nn FROM {sn_table}"
         for i in range(1, window + 1)
     )
+    dist, keep = _lev_verify(d, "rname", "nn", max_distance)
     return f"""
     WITH _cand AS ({arms})
     SELECT LEAST(rid, nid) AS id_a, GREATEST(rid, nid) AS id_b,
            CASE WHEN rid < nid THEN rname ELSE nn END AS name_a,
            CASE WHEN rid < nid THEN nn ELSE rname END AS name_b,
-           levenshtein(rname, nn) AS distance
+           {dist} AS distance
     FROM _cand
-    WHERE nid IS NOT NULL AND levenshtein(rname, nn) <= {max_distance}
+    WHERE nid IS NOT NULL AND {keep}
     ORDER BY id_a, id_b
     """
 
@@ -143,7 +166,7 @@ def sorted_neighborhood_sql(
     stage = _snm_stage_sql(
         d, table, id_col, name_col, block_expr=block_expr, window=window
     )
-    tail = _snm_tail_sql("_sn", window=window, max_distance=max_distance)
+    tail = _snm_tail_sql(d, "_sn", window=window, max_distance=max_distance)
     # splice the staged relation in as the tail's leading CTE
     return tail.replace(
         "WITH _cand AS (", f"WITH _sn AS ({stage}),\n    _cand AS (", 1
@@ -206,7 +229,9 @@ def sorted_neighborhood(
     _VIEW_SEQ[0] += 1
     sn_view = f"_ts_er_sn_{_VIEW_SEQ[0]}"
     sn.createOrReplaceTempView(sn_view)
-    return spark.sql(_snm_tail_sql(sn_view, window=window, max_distance=max_distance))
+    return spark.sql(
+        _snm_tail_sql(SPARK, sn_view, window=window, max_distance=max_distance)
+    )
 
 
 def symspell_match_sql(
@@ -325,18 +350,39 @@ def symspell_match_sql(
       ) _sy1 WHERE dfc <= {int(variant_df_cap)}
     )""" if variant_df_cap is not None else ""
     )
+    dist, keep = _lev_verify(d, "a.rname", "b.rname", max_distance)
+    # Verify BEFORE the pair DISTINCT (r14): hot variant buckets from
+    # formulaic names (digit runs) make ~1M raw candidates at sf0.1 but
+    # only a handful survive the distance filter — filtering first means
+    # the dedup exchange carries survivors (dozens of rows), not a
+    # million (id, id, name, name) tuples. distance is a pure function
+    # of the pair, so DISTINCT-then-filter ≡ filter-then-DISTINCT row
+    # for row (both dialects restructured identically; guide §2.3:
+    # shuffle fewer bytes).
+    #
+    # REPARTITION(v) on the probe side (Spark only): AQE coalesces the
+    # variant join's post-shuffle partitions by INPUT BYTES (~15 MB →
+    # 1-2 partitions) but the stage fans out to ~1M candidate pairs ×
+    # one levenshtein each — measured 7.1 s single-threaded vs 2.4 s
+    # with the user-pinned hash partitioning (count follows
+    # spark.sql.shuffle.partitions, the cluster-sized conf; AQE keeps
+    # user-specified partitioning and co-partitions the build side).
+    # (capped path excluded: its df-window already paid a full hash(v)
+    # exchange over the variant stream and the cap bounds the verify
+    # volume — measured 5.7 s without vs 7.4 s with the extra exchange)
+    src_a = (
+        f"(SELECT /*+ REPARTITION(v) */ rid, rname, v FROM {src})"
+        if d.name == "spark" and variant_df_cap is None else src
+    )
     return f"""
     WITH _syv AS (
       {variants}
     ){capped}
-    SELECT id_a, id_b, name_a, name_b,
-           levenshtein(name_a, name_b) AS distance
-    FROM (
-      SELECT DISTINCT a.rid AS id_a, b.rid AS id_b,
-             a.rname AS name_a, b.rname AS name_b
-      FROM {src} a JOIN {src} b ON a.v = b.v AND a.rid < b.rid
-    ) _sy2
-    WHERE levenshtein(name_a, name_b) <= {max_distance}
+    SELECT DISTINCT a.rid AS id_a, b.rid AS id_b,
+           a.rname AS name_a, b.rname AS name_b,
+           {dist} AS distance
+    FROM {src_a} a JOIN {src} b ON a.v = b.v AND a.rid < b.rid
+    WHERE {keep}
     ORDER BY id_a, id_b
     """
 

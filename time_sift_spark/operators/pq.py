@@ -135,7 +135,7 @@ def pq_lloyd_ctes(
     """
     from .similarity import _round_then_quantize
 
-    sq = vd.sqdist("x.svec", "c.cent")
+    sq = vd.sqdist_fixed("x.svec", "c.cent", sub_dim)
     mean = f"({dec_to_double('sm')} / n)"
     rd_val = _round_then_quantize("val")
     ctes = [
@@ -175,6 +175,58 @@ def pq_lloyd_ctes(
     return ",\n    ".join(ctes), prev
 
 
+def pq_train_sql(
+    vd: VectorDialect,
+    table: str,
+    id_col: str,
+    vec_col: str,
+    *,
+    m: int,
+    sub_dim: int,
+    k_codes: int,
+    lloyd_iters: int,
+) -> str:
+    """One-statement PQ codebook TRAINING — the unrolled subspace-Lloyd
+    chain alone, ending in the (s, cid, cent) relation.  Run once by the
+    Spark front doors and localCheckpoint'ed so the encode/search tail's
+    references read a staged frame instead of re-inlining (and
+    re-executing) the whole chain per reference — see
+    similarity.lloyd_train_sql for the measured plan blow-up."""
+    if vd.name == "spark":
+        to_double = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    else:
+        to_double = f"list_transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    ctes, cfin = pq_lloyd_ctes(
+        vd, m=m, sub_dim=sub_dim, k_codes=k_codes, iters=lloyd_iters
+    )
+    return f"""
+    WITH v AS (
+      SELECT {id_col} AS vid, {to_double} AS emb FROM {table}
+    ),
+    {ctes}
+    SELECT s, cid, cent FROM {cfin}
+    """
+
+
+def _stage_pq(df: DataFrame, view: str, id_col: str, vec_col: str,
+              *, m: int, sub_dim: int, k_codes: int,
+              lloyd_iters: int) -> str:
+    """Train the PQ codebook ONCE over ``view`` and return a temp view
+    over the lazily-checkpointed (s, cid, cent) relation."""
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    staged = spark.sql(
+        pq_train_sql(_VSPARK, view, id_col, vec_col, m=m, sub_dim=sub_dim,
+                     k_codes=k_codes, lloyd_iters=lloyd_iters)
+    ).localCheckpoint(eager=False)
+    # m * k_codes rows; broadcast-pin like _stage_lloyd (checkpointed
+    # frames carry no size stats, so joins would demote to shuffles).
+    sview = _next_view()
+    F.broadcast(staged).createOrReplaceTempView(sview)
+    return sview
+
+
 def pq_adc_topk_sql(
     vd: VectorDialect,
     table: str,
@@ -188,6 +240,7 @@ def pq_adc_topk_sql(
     k_codes: int = 16,
     lloyd_iters: int = 3,
     rerank: int = 100,
+    staged_codebook: str | None = None,
 ) -> str:
     """Train → encode → ADC search → exact re-rank, one statement.
 
@@ -199,11 +252,14 @@ def pq_adc_topk_sql(
     and only those candidates touch full vectors again.  Output:
     (query_id, neighbor_id, l2_sq, rank) — exact distances, PQ-pruned.
     """
-    sq_dt = vd.sqdist("qs.svec", "c.cent")
+    sq_dt = vd.sqdist_fixed("qs.svec", "c.cent", sub_dim)
     sq_exact = vd.sqdist("q.emb", "cand.emb")
-    ctes, cfin = pq_lloyd_ctes(
-        vd, m=m, sub_dim=sub_dim, k_codes=k_codes, iters=lloyd_iters
-    )
+    if staged_codebook:
+        ctes, cfin = f"sub AS ({_subspace_cte(vd, m, sub_dim)})", staged_codebook
+    else:
+        ctes, cfin = pq_lloyd_ctes(
+            vd, m=m, sub_dim=sub_dim, k_codes=k_codes, iters=lloyd_iters
+        )
     if vd.name == "spark":
         to_double = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
     else:
@@ -217,7 +273,7 @@ def pq_adc_topk_sql(
       SELECT vid, s, cid FROM (
         SELECT x.vid, x.s, c.cid,
                ROW_NUMBER() OVER (PARTITION BY x.vid, x.s
-                                  ORDER BY {vd.sqdist("x.svec", "c.cent")} ASC, c.cid) AS crank
+                                  ORDER BY {vd.sqdist_fixed("x.svec", "c.cent", sub_dim)} ASC, c.cid) AS crank
         FROM sub x JOIN {cfin} c ON c.s = x.s
       ) WHERE crank = 1
     ),
@@ -274,6 +330,8 @@ def ivfpq_topk_sql(
     k_codes: int = 16,
     lloyd_iters: int = 3,
     rerank: int = 50,
+    staged_cells: str | None = None,
+    staged_codebook: str | None = None,
 ) -> str:
     """IVF-PQ — the composed billion-scale ANN layout (Jégou et al.
     2011 §V; the FAISS ``IVFx,PQy`` default): a Lloyd-refined COARSE
@@ -304,17 +362,25 @@ def ivfpq_topk_sql(
     Clustered real embeddings reach the same recall at far smaller
     probe fractions — the honest-cost doctrine of the whole ANN tier.
     """
-    from .similarity import lloyd_ctes
+    from .similarity import _lv_only_cte, lloyd_ctes
 
-    sq_dt = vd.sqdist("qs.svec", "c.cent")
+    sq_dt = vd.sqdist_fixed("qs.svec", "c.cent", sub_dim)
     sq_exact = vd.sqdist("q.emb", "cand.emb")
     cos_vc = f"({vd.dot('x.emb', 'c.cent')} / greatest(x.nv * c.nc, 1e-300))"
-    coarse_ctes, coarse_final = lloyd_ctes(
-        vd, vec_col=vec_col, num_centroids=num_cells, iters=cell_lloyd_iters
-    )
-    pq_ctes, pq_final = pq_lloyd_ctes(
-        vd, m=m, sub_dim=sub_dim, k_codes=k_codes, iters=lloyd_iters
-    )
+    if staged_cells:
+        coarse_ctes, coarse_final = _lv_only_cte(vd), staged_cells
+    else:
+        coarse_ctes, coarse_final = lloyd_ctes(
+            vd, vec_col=vec_col, num_centroids=num_cells, iters=cell_lloyd_iters
+        )
+    if staged_codebook:
+        pq_ctes, pq_final = (
+            f"sub AS ({_subspace_cte(vd, m, sub_dim)})", staged_codebook
+        )
+    else:
+        pq_ctes, pq_final = pq_lloyd_ctes(
+            vd, m=m, sub_dim=sub_dim, k_codes=k_codes, iters=lloyd_iters
+        )
     if vd.name == "spark":
         to_double = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
     else:
@@ -337,7 +403,7 @@ def ivfpq_topk_sql(
       SELECT vid, s, cid FROM (
         SELECT x.vid, x.s, c.cid,
                ROW_NUMBER() OVER (PARTITION BY x.vid, x.s
-                                  ORDER BY {vd.sqdist("x.svec", "c.cent")} ASC, c.cid) AS crank
+                                  ORDER BY {vd.sqdist_fixed("x.svec", "c.cent", sub_dim)} ASC, c.cid) AS crank
         FROM sub x JOIN {pq_final} c ON c.s = x.s
       ) WHERE crank = 1
     ),
@@ -406,18 +472,24 @@ def ivfpq_topk(
     lloyd_iters: int = 3,
     rerank: int = 50,
 ) -> DataFrame:
+    from .similarity import _stage_lloyd
+
     for c in (id_col, vec_col):
         if c not in df.columns:
             raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
     _check_pq_dim(df, vec_col, m, sub_dim)
     view = _next_view()
+    df.createOrReplaceTempView(view)
+    cells_v = _stage_lloyd(df, view, id_col, vec_col,
+                           num_centroids=num_cells, iters=cell_lloyd_iters)
+    cb_v = _stage_pq(df, view, id_col, vec_col, m=m, sub_dim=sub_dim,
+                     k_codes=k_codes, lloyd_iters=lloyd_iters)
     sql = ivfpq_topk_sql(
         _VSPARK, view, id_col, vec_col, query_pred=query_pred, k=k,
         num_cells=num_cells, nprobe=nprobe, cell_lloyd_iters=cell_lloyd_iters,
         m=m, sub_dim=sub_dim, k_codes=k_codes, lloyd_iters=lloyd_iters,
-        rerank=rerank,
+        rerank=rerank, staged_cells=cells_v, staged_codebook=cb_v,
     )
-    df.createOrReplaceTempView(view)
     return df.sparkSession.sql(sql)
 
 
@@ -507,7 +579,7 @@ def build_ivfpq_index(
       SELECT vid, s, cid FROM (
         SELECT x.vid, x.s, c.cid,
                ROW_NUMBER() OVER (PARTITION BY x.vid, x.s
-                                  ORDER BY {vd.sqdist("x.svec", "c.cent")} ASC, c.cid) AS crank
+                                  ORDER BY {vd.sqdist_fixed("x.svec", "c.cent", sub_dim)} ASC, c.cid) AS crank
         FROM sub x JOIN {cbview} c ON c.s = x.s
       ) WHERE crank = 1
     """).repartition("s", "cid").write.mode("overwrite").parquet(f"{path}/codes")
@@ -539,7 +611,7 @@ def query_ivfpq_index(
     spark.read.parquet(f"{path}/codes").createOrReplaceTempView(coview)
     vd = _VSPARK
     cos_vc = f"({vd.dot('x.emb', 'c.cent')} / greatest(x.nv * c.nc, 1e-300))"
-    sq_dt = vd.sqdist("qs.svec", "c.cent")
+    sq_dt = vd.sqdist_fixed("qs.svec", "c.cent", sub_dim)
     sq_exact = vd.sqdist("q.emb", "cand.emb")
     return spark.sql(f"""
     WITH probes AS (
@@ -656,7 +728,7 @@ def build_pq_index(
       SELECT vid, s, cid FROM (
         SELECT x.vid, x.s, c.cid,
                ROW_NUMBER() OVER (PARTITION BY x.vid, x.s
-                                  ORDER BY {vd.sqdist("x.svec", "c.cent")} ASC, c.cid) AS crank
+                                  ORDER BY {vd.sqdist_fixed("x.svec", "c.cent", sub_dim)} ASC, c.cid) AS crank
         FROM sub x JOIN {cbview} c ON c.s = x.s
       ) WHERE crank = 1
     """)
@@ -683,7 +755,7 @@ def query_pq_index(
     spark.read.parquet(f"{path}/codebook").createOrReplaceTempView(cbview)
     spark.read.parquet(f"{path}/codes").createOrReplaceTempView(coview)
     vd = _VSPARK
-    sq_dt = vd.sqdist("qs.svec", "c.cent")
+    sq_dt = vd.sqdist_fixed("qs.svec", "c.cent", sub_dim)
     sq_exact = vd.sqdist("q.emb", "cand.emb")
     return spark.sql(f"""
     WITH qv AS (
@@ -742,12 +814,14 @@ def pq_adc_topk(
             raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
     _check_pq_dim(df, vec_col, m, sub_dim)
     view = _next_view()
+    df.createOrReplaceTempView(view)
+    cb_v = _stage_pq(df, view, id_col, vec_col, m=m, sub_dim=sub_dim,
+                     k_codes=k_codes, lloyd_iters=lloyd_iters)
     sql = pq_adc_topk_sql(
         _VSPARK, view, id_col, vec_col, query_pred=query_pred, k=k,
         m=m, sub_dim=sub_dim, k_codes=k_codes,
-        lloyd_iters=lloyd_iters, rerank=rerank,
+        lloyd_iters=lloyd_iters, rerank=rerank, staged_codebook=cb_v,
     )
-    df.createOrReplaceTempView(view)
     return df.sparkSession.sql(sql)
 
 

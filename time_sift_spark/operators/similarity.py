@@ -655,6 +655,47 @@ def lloyd_ctes(
     return ",\n    ".join(ctes), prev
 
 
+def lloyd_train_sql(
+    vd: VectorDialect,
+    table: str,
+    id_col: str,
+    vec_col: str,
+    *,
+    num_centroids: int,
+    iters: int,
+) -> str:
+    """One-statement centroid TRAINING — the unrolled Lloyd chain alone,
+    ending in the (cid, cent, nc) relation.  The Spark front doors run
+    this once, localCheckpoint the result, and serve every downstream
+    reference from the staged frame: Catalyst inlines CTEs per
+    reference, so the composed one-statement forms replan (and
+    re-execute) the whole training chain per consumer — the r14
+    baseline ivfpq plan carried 286 Exchanges for a 2000-row corpus,
+    nearly all replanned training subtrees (guide §3.3: materialise an
+    intermediate to truncate enormous plans).  The oracle keeps the
+    inline one-statement text, so staged ≡ inline is driver-proven."""
+    ctes, cfinal = lloyd_ctes(
+        vd, vec_col=vec_col, num_centroids=num_centroids, iters=iters
+    )
+    td = "transform" if vd.name == "spark" else "list_transform"
+    return f"""
+    WITH v AS (
+      SELECT {id_col} AS vid, {td}({vec_col}, x -> CAST(x AS DOUBLE)) AS emb
+      FROM {table}
+    ),
+    {ctes}
+    SELECT cid, cent, nc FROM {cfinal}
+    """
+
+
+def _lv_only_cte(vd: VectorDialect) -> str:
+    """The ``lv`` relation alone (vectors + once-computed norms) — what
+    a staged-centroid tail still needs from :func:`lloyd_ctes`."""
+    return f"""lv AS (
+      SELECT vid, emb, {vd.norm("emb")} AS nv FROM v
+    )"""
+
+
 def ann_ivf_refined_topk_sql(
     vd: VectorDialect,
     table: str,
@@ -667,6 +708,7 @@ def ann_ivf_refined_topk_sql(
     nprobe: int = 16,
     multi_assign: int = 3,
     lloyd_iters: int = 3,
+    staged_centroids: str | None = None,
 ) -> str:
     """IVF ANN with Lloyd-refined centroids, multi-assignment and exact
     re-rank — the recall-grade variant of :func:`ann_ivf_topk_sql`.
@@ -699,9 +741,12 @@ def ann_ivf_refined_topk_sql(
     """
     cos_vc = f"({vd.dot('x.emb', 'c.cent')} / greatest(x.nv * c.nc, 1e-300))"
     cos_qc = f"({vd.dot('q.emb', 'c.emb')} / greatest(q.nv * c.nv, 1e-300))"
-    ctes, cfinal = lloyd_ctes(
-        vd, vec_col=vec_col, num_centroids=num_centroids, iters=lloyd_iters
-    )
+    if staged_centroids:
+        ctes, cfinal = _lv_only_cte(vd), staged_centroids
+    else:
+        ctes, cfinal = lloyd_ctes(
+            vd, vec_col=vec_col, num_centroids=num_centroids, iters=lloyd_iters
+        )
     if vd.name == "spark":
         to_double = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
     else:
@@ -747,6 +792,26 @@ def ann_ivf_refined_topk_sql(
     """
 
 
+def _stage_lloyd(df: DataFrame, view: str, id_col: str, vec_col: str,
+                 *, num_centroids: int, iters: int) -> str:
+    """Train the Lloyd centroids ONCE over ``view`` and return a temp
+    view over the lazily-checkpointed (cid, cent, nc) relation (see
+    :func:`lloyd_train_sql` for why)."""
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    staged = spark.sql(
+        lloyd_train_sql(_VSPARK, view, id_col, vec_col,
+                        num_centroids=num_centroids, iters=iters)
+    ).localCheckpoint(eager=False)
+    # A checkpointed frame carries no size stats (LogicalRDD defaults to
+    # "huge"), which would demote every centroid join from broadcast to
+    # shuffle — the relation is num_centroids rows, so pin the hint.
+    sview = _next_view()
+    F.broadcast(staged).createOrReplaceTempView(sview)
+    return sview
+
+
 def ann_ivf_refined_topk(
     df: DataFrame,
     id_col: str,
@@ -759,7 +824,13 @@ def ann_ivf_refined_topk(
     multi_assign: int = 3,
     lloyd_iters: int = 3,
 ) -> DataFrame:
+    for c in (id_col, vec_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
     view = _next_view()
+    df.createOrReplaceTempView(view)
+    cview = _stage_lloyd(df, view, id_col, vec_col,
+                         num_centroids=num_centroids, iters=lloyd_iters)
     sql = ann_ivf_refined_topk_sql(
         _VSPARK,
         view,
@@ -771,8 +842,9 @@ def ann_ivf_refined_topk(
         nprobe=nprobe,
         multi_assign=multi_assign,
         lloyd_iters=lloyd_iters,
+        staged_centroids=cview,
     )
-    return _run(df, sql, view)
+    return df.sparkSession.sql(sql)
 
 
 def semantic_dedup_sql(
@@ -785,6 +857,7 @@ def semantic_dedup_sql(
     num_centroids: int = 16,
     multi_assign: int = 3,
     lloyd_iters: int = 3,
+    staged_centroids: str | None = None,
 ) -> str:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embeddings, then look for
@@ -822,9 +895,12 @@ def semantic_dedup_sql(
     # bit-identical result — same fold, same ops).
     dot_ab = vd.dot("a.emb", "b.emb")
     cos_ab = f"({dot_ab} / greatest(a.nv * b.nv, 1e-300))"
-    ctes, cfinal = lloyd_ctes(
-        vd, vec_col=vec_col, num_centroids=num_centroids, iters=lloyd_iters
-    )
+    if staged_centroids:
+        ctes, cfinal = _lv_only_cte(vd), staged_centroids
+    else:
+        ctes, cfinal = lloyd_ctes(
+            vd, vec_col=vec_col, num_centroids=num_centroids, iters=lloyd_iters
+        )
     if vd.name == "spark":
         to_double = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
     else:
@@ -872,7 +948,13 @@ def semantic_dedup(
     multi_assign: int = 3,
     lloyd_iters: int = 3,
 ) -> DataFrame:
+    for c in (id_col, vec_col):
+        if c not in df.columns:
+            raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
     view = _next_view()
+    df.createOrReplaceTempView(view)
+    cview = _stage_lloyd(df, view, id_col, vec_col,
+                         num_centroids=num_centroids, iters=lloyd_iters)
     sql = semantic_dedup_sql(
         _VSPARK,
         view,
@@ -882,8 +964,9 @@ def semantic_dedup(
         num_centroids=num_centroids,
         multi_assign=multi_assign,
         lloyd_iters=lloyd_iters,
+        staged_centroids=cview,
     )
-    return _run(df, sql, view)
+    return df.sparkSession.sql(sql)
 
 
 def semantic_dedup_blas(
@@ -913,27 +996,25 @@ def semantic_dedup_blas(
         if c not in df.columns:
             raise ColumnNotFoundError(f"column {c!r} not in {df.columns}")
     view = _next_view()
-    ctes, cfinal = lloyd_ctes(
-        _VSPARK, vec_col=vec_col, num_centroids=num_centroids, iters=lloyd_iters
-    )
+    df.createOrReplaceTempView(view)
+    cfinal = _stage_lloyd(df, view, id_col, vec_col,
+                          num_centroids=num_centroids, iters=lloyd_iters)
     cos_vc = f"({_VSPARK.dot('x.emb', 'c.cent')} / greatest(x.nv * c.nc, 1e-300))"
-    cells = _run(
-        df,
+    cells = df.sparkSession.sql(
         f"""
         WITH v AS (
           SELECT {id_col} AS vid,
                  transform({vec_col}, x -> CAST(x AS DOUBLE)) AS emb
           FROM {view}
         ),
-        {ctes}
+        {_lv_only_cte(_VSPARK)}
         SELECT vid, emb, cid FROM (
           SELECT x.vid, x.emb, c.cid,
                  ROW_NUMBER() OVER (PARTITION BY x.vid
                                     ORDER BY {cos_vc} DESC, c.cid) AS crank
           FROM lv x CROSS JOIN {cfinal} c
         ) WHERE crank <= {multi_assign}
-        """,
-        view,
+        """
     )
 
     def _cell(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -41,6 +41,24 @@ def get_spark(
         # long benching sessions (100+ queries x 3 executions) bloat the
         # driver heap with retained SQL-listener plan snapshots; keep few
         .config("spark.sql.ui.retainedExecutions", "25")
+        # Aged-session hygiene (guide §1/§5): hundreds of queries in one
+        # JVM accumulate (a) ContextCleaner-tracked localCheckpoint RDD
+        # blocks + broadcasts that are only freed after a JVM GC notices
+        # their Python references died (default periodic GC is 30min —
+        # longer than a whole bench run; r13 measured 2-7x inflation on
+        # late-run small queries), and (b) thousands of generated
+        # wholestage-codegen classes that crowd the JIT code cache
+        # (default 240 MB reserve; measured 68% full 75 queries into a
+        # 325-query run — flushing churn degrades hot loops). Reclaim
+        # sooner and reserve headroom; both are no-ops for short sessions.
+        .config("spark.cleaner.periodicGC.interval", "10min")
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+                "-XX:ReservedCodeCacheSize=512m -XX:+ExplicitGCInvokesConcurrent",
+            ),
+        )
         # saveAsTable (bucketed tables) must not drop a spark-warehouse/
         # dir into the repo cwd; static conf, so set at build time
         .config(

@@ -1,0 +1,43 @@
+"""Capture .explain('formatted') output for named registered queries.
+
+Usage: python tools/capture_plans.py SUFFIX name [name ...]
+Writes plans/r14/<name>_<SUFFIX>.txt for each query.
+"""
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from time_sift_spark.queries import REGISTRY  # noqa: E402
+from time_sift_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT_DIR = os.path.join(os.path.dirname(__file__), "..", "plans", "r14")
+
+
+def main() -> None:
+    suffix = sys.argv[1]
+    names = sys.argv[2:]
+    os.makedirs(OUT_DIR, exist_ok=True)
+    spark = get_spark("capture_plans",
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    for name in names:
+        if name not in REGISTRY:
+            print(f"{name}: NOT REGISTERED")
+            continue
+        df = REGISTRY[name].spark_fn(spark, SF_DIR)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        path = os.path.join(OUT_DIR, f"{name}_{suffix}.txt")
+        with open(path, "w") as fh:
+            fh.write(buf.getvalue())
+        print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
