@@ -82,6 +82,37 @@ def test_rocksdb_state_store_parity(spark, tmp_path):
     )
 
 
+def test_default_stream_partitions_by_state_class(spark, tmp_path, monkeypatch):
+    """The adaptive drain default: Python-state plans
+    (applyInPandasWithState) get cores/2 (capped 16, floored 4) for
+    Python-worker parallelism; JVM-stateful plans get cores/8 (floored
+    2) because the per-partition state-store cost dominates; the env
+    knob overrides both (the production sizing lever)."""
+    import pyspark.sql.functions as F
+
+    from time_sift_spark.streaming.lag_stream import (
+        default_stream_partitions,
+        streaming_lag_features,
+    )
+
+    pdf = pd.DataFrame({"t": [1, 2], "k": [0, 1], "v": [1.0, 2.0]})
+    src = str(tmp_path / "parts_src")
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("t long, k long, v double").parquet(src)
+
+    cores = spark.sparkContext.defaultParallelism
+    py_state = streaming_lag_features(stream, "v", "t", [1], partition_by="k")
+    jvm_state = stream.groupBy("k").agg(F.sum("v").alias("s"))
+
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_PARTS", raising=False)
+    assert default_stream_partitions(py_state) == max(4, min(cores // 2, 16))
+    assert default_stream_partitions(jvm_state) == max(2, cores // 8)
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_PARTS", "7")
+    assert default_stream_partitions(py_state) == 7
+    assert default_stream_partitions(jvm_state) == 7
+
+
 # --------------------------------------------------------------------------
 # Incremental upsert snapshot sink
 # --------------------------------------------------------------------------
