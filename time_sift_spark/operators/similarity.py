@@ -111,9 +111,16 @@ def _lsh_keys_select(
             variants += [xor(f"_b{t}", str(1 << f)) for f in range(num_planes)]
         keys += [f"concat('{t}_', CAST({v} AS STRING))" for v in variants]
     if vd.name == "spark":
+        # OUTER explode, not explode: ``bks`` is a literal-constructed
+        # array of len(keys) >= 1 non-null strings, so the two are
+        # row-identical — but plain explode makes Catalyst infer a
+        # ``size(bks) > 0`` constraint and push it down into the FILE
+        # SCAN stage, where it re-evaluates every plane-dot fold a
+        # second time at scan parallelism (measured: the pushed filter
+        # doubled the fold work and pinned it to the 1-partition scan).
         return (
             f"SELECT vid, bkey FROM (SELECT vid, array({', '.join(keys)}) AS bks FROM {inner}) "
-            f"LATERAL VIEW explode(bks) t AS bkey"
+            f"LATERAL VIEW OUTER explode(bks) t AS bkey"
         )
     return f"SELECT vid, unnest([{', '.join(keys)}]) AS bkey FROM {inner}"
 
@@ -1481,8 +1488,15 @@ def screen_new_vectors_lsh(
         p["seed"], p["dim"],
     )
     tail = _lsh_screen_tail(_VSPARK, nview, id_col, vec_col, threshold=threshold)
+    # The batch arrives in O(1) scan partitions (one small file), and every
+    # join here is a broadcast — so without an exchange the 32-fold bucket
+    # signing, the bucket self-join fan-out AND the candidate cosine folds
+    # all inherit that width and run near-single-threaded.  Round-robin the
+    # tagged batch across the session's cores BELOW the key computation;
+    # row order never matters (every downstream op is a join/agg).
+    n_parts = max(1, spark.sparkContext.defaultParallelism)
     return spark.sql(f"""
-    WITH ntag AS (SELECT * FROM {ntagged} _nt),
+    WITH ntag AS (SELECT /*+ REPARTITION({n_parts}) */ * FROM {ntagged} _nt),
     akeys AS (
       SELECT vid AS did, bkey FROM ({nkeys})
       UNION ALL
