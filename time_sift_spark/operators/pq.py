@@ -103,6 +103,24 @@ def _explode_svec_dims(vd: VectorDialect, src: str) -> str:
     )
 
 
+def _staged_sub_cte(
+    vd: VectorDialect, m: int, sub_dim: int, dist_partitions: int | None
+) -> str:
+    """The ``sub`` relation for a staged-codebook tail, optionally
+    hash-distributed over the encode window's (vid, s) key (spark
+    dialect only; front doors pass ``defaultParallelism``): the encode
+    ranking's rows are compute-dense (a sub_dim-wide distance per
+    (subvector, codeword) pair), so AQE's byte-based coalescing would
+    run it 1-2 wide off the single-file scan.  Value-identical — row
+    distribution only."""
+    if dist_partitions and vd.name == "spark":
+        return (
+            f"SELECT /*+ REPARTITION({dist_partitions}, vid, s) */ * "
+            f"FROM ({_subspace_cte(vd, m, sub_dim)})"
+        )
+    return _subspace_cte(vd, m, sub_dim)
+
+
 def _subspace_cte(vd: VectorDialect, m: int, sub_dim: int) -> str:
     """(vid, s, svec) — every vector exploded into its m subvectors; the
     subspace id is a group key so ALL codebooks train in one chain."""
@@ -133,46 +151,76 @@ def pq_lloyd_ctes(
     similarity.lloyd_ctes, with (a) squared-L2 instead of cosine (PQ's
     metric) and (b) the subspace id in every group key.
     """
-    from .similarity import _round_then_quantize
-
-    sq = vd.sqdist_fixed("x.svec", "c.cent", sub_dim)
-    mean = f"({dec_to_double('sm')} / n)"
-    rd_val = _round_then_quantize("val")
     ctes = [
         f"sub AS ({_subspace_cte(vd, m, sub_dim)})",
-        f"""pc0 AS (
+        f"""pc0 AS ({_pq_seed_select(vd, "sub", k_codes)})""",
+    ]
+    prev = "pc0"
+    for i in range(1, iters + 1):
+        ctes += _pq_iter_ctes(vd, i, prev=prev, sub="sub", sub_dim=sub_dim)
+        prev = f"pc{i}"
+    return ",\n    ".join(ctes), prev
+
+
+def _pq_seed_select(vd: VectorDialect, sub: str, k_codes: int) -> str:
+    """Per-subspace hash-sampled seed codebook from the ``sub`` relation."""
+    return f"""
       SELECT s, cid, cent FROM (
         SELECT s, vid AS cid, svec AS cent,
                ROW_NUMBER() OVER (PARTITION BY s
                                   ORDER BY md5(CAST(vid AS STRING)), vid) AS rk
-        FROM sub
+        FROM {sub}
       ) WHERE rk <= {k_codes}
-    )""",
-    ]
-    prev = "pc0"
-    for i in range(1, iters + 1):
-        ctes.append(f"""pa{i} AS (
+    """
+
+
+def _pq_iter_ctes(
+    vd: VectorDialect, i: int, *, prev: str, sub: str, sub_dim: int
+) -> list[str]:
+    """The three CTEs of ONE subspace-Lloyd step (assign pa{i} / mean
+    pm{i} / carry pc{i}).  Shared by the unrolled chain (the oracle
+    text) and the per-iteration staged trainer (:func:`_stage_pq`) so
+    staged ≡ inline stays bit-exact — see similarity._lloyd_iter_ctes."""
+    sq = vd.sqdist_fixed("x.svec", "c.cent", sub_dim)
+    return [
+        f"""pa{i} AS (
       SELECT vid, s, svec, cid FROM (
         SELECT x.vid, x.s, x.svec, c.cid,
                ROW_NUMBER() OVER (PARTITION BY x.vid, x.s
                                   ORDER BY {sq} ASC, c.cid) AS crank
-        FROM sub x JOIN {prev} c ON c.s = x.s
+        FROM {sub} x JOIN {prev} c ON c.s = x.s
       ) WHERE crank = 1
-    )""")
-        ctes.append(f"""pm{i} AS (
+    )""",
+        f"""pm{i} AS (
       SELECT s, cid, {_rebuild(vd)} AS cent FROM (
-        SELECT s, cid, j, {mean} AS mj FROM (
-          SELECT s, cid, j, SUM(CAST({rd_val} AS DECIMAL(27,6))) AS sm, COUNT(*) AS n
+        SELECT s, cid, j, {_pq_mean_expr()} AS mj FROM (
+          SELECT s, cid, j, SUM(CAST({_pq_rd_val()} AS DECIMAL(27,6))) AS sm, COUNT(*) AS n
           FROM ({_explode_svec_dims(vd, f"pa{i}")}) GROUP BY s, cid, j
         )
       ) GROUP BY s, cid
-    )""")
-        ctes.append(f"""pc{i} AS (
+    )""",
+        f"""pc{i} AS ({_pq_carry_select(i, prev)})""",
+    ]
+
+
+def _pq_mean_expr() -> str:
+    return f"({dec_to_double('sm')} / n)"
+
+
+def _pq_rd_val() -> str:
+    from .similarity import _round_then_quantize
+
+    return _round_then_quantize("val")
+
+
+def _pq_carry_select(i: int, prev: str) -> str:
+    """The carry SELECT of step ``i`` (the pc{i} CTE body) — rendered
+    separately so :func:`_stage_pq` can run it as the step statement's
+    final projection."""
+    return f"""
       SELECT p.s, p.cid, COALESCE(mm.cent, p.cent) AS cent
       FROM {prev} p LEFT JOIN pm{i} mm ON mm.s = p.s AND mm.cid = p.cid
-    )""")
-        prev = f"pc{i}"
-    return ",\n    ".join(ctes), prev
+    """
 
 
 def pq_train_sql(
@@ -212,19 +260,51 @@ def _stage_pq(df: DataFrame, view: str, id_col: str, vec_col: str,
               *, m: int, sub_dim: int, k_codes: int,
               lloyd_iters: int) -> str:
     """Train the PQ codebook ONCE over ``view`` and return a temp view
-    over the lazily-checkpointed (s, cid, cent) relation."""
+    over the lazily-checkpointed (s, cid, cent) relation.
+
+    Trains ITERATION BY ITERATION like similarity._stage_lloyd: the
+    one-statement chain's pc{i} references pc{i-1} twice (assign +
+    carry), so CTE inlining re-executes the (n·m)×k_codes assign pass
+    2^(iters-i) times (measured 0.98 s at iters=1 vs 4.14 s at iters=3
+    over the same corpus — 7 passes, not 3).  ``sub`` (the subspace
+    explode) is checkpointed so the n→n·m explode is paid once.  Step
+    CTEs are shared with the unrolled oracle text (:func:`_pq_iter_ctes`)
+    so staged ≡ inline stays bit-exact."""
     from pyspark.sql import functions as F
 
     spark = df.sparkSession
-    staged = spark.sql(
-        pq_train_sql(_VSPARK, view, id_col, vec_col, m=m, sub_dim=sub_dim,
-                     k_codes=k_codes, lloyd_iters=lloyd_iters)
-    ).localCheckpoint(eager=False)
-    # m * k_codes rows; broadcast-pin like _stage_lloyd (checkpointed
-    # frames carry no size stats, so joins would demote to shuffles).
-    sview = _next_view()
-    F.broadcast(staged).createOrReplaceTempView(sview)
-    return sview
+    if _VSPARK.name == "spark":
+        to_double = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    else:
+        to_double = f"list_transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    # Hash-repartition by the assign window's key BEFORE checkpointing
+    # (partitioning survives localCheckpoint) so each (n·m)×k_codes
+    # ranking sort runs at full width — see similarity._stage_lloyd.
+    n_parts = max(1, spark.sparkContext.defaultParallelism)
+    sub = spark.sql(f"""
+      WITH v AS (
+        SELECT {id_col} AS vid, {to_double} AS emb FROM {view}
+      )
+      {_subspace_cte(_VSPARK, m, sub_dim)}""").repartition(
+        n_parts, "vid", "s").localCheckpoint(eager=False)
+    subv = _next_view()
+    sub.createOrReplaceTempView(subv)
+
+    def _pin(frame):
+        # m * k_codes rows; broadcast-pin like _stage_lloyd (checkpointed
+        # frames carry no size stats, so joins would demote to shuffles).
+        v = _next_view()
+        F.broadcast(frame.localCheckpoint(eager=False)).createOrReplaceTempView(v)
+        return v
+
+    prev = _pin(spark.sql(_pq_seed_select(_VSPARK, subv, k_codes)))
+    for i in range(1, lloyd_iters + 1):
+        pa, pm, _pc = _pq_iter_ctes(_VSPARK, i, prev=prev, sub=subv,
+                                    sub_dim=sub_dim)
+        prev = _pin(spark.sql(
+            f"WITH {pa},\n    {pm}\n    {_pq_carry_select(i, prev)}"
+        ))
+    return prev
 
 
 def pq_adc_topk_sql(
@@ -241,6 +321,7 @@ def pq_adc_topk_sql(
     lloyd_iters: int = 3,
     rerank: int = 100,
     staged_codebook: str | None = None,
+    dist_partitions: int | None = None,
 ) -> str:
     """Train → encode → ADC search → exact re-rank, one statement.
 
@@ -255,7 +336,10 @@ def pq_adc_topk_sql(
     sq_dt = vd.sqdist_fixed("qs.svec", "c.cent", sub_dim)
     sq_exact = vd.sqdist("q.emb", "cand.emb")
     if staged_codebook:
-        ctes, cfin = f"sub AS ({_subspace_cte(vd, m, sub_dim)})", staged_codebook
+        ctes, cfin = (
+            f"sub AS ({_staged_sub_cte(vd, m, sub_dim, dist_partitions)})",
+            staged_codebook,
+        )
     else:
         ctes, cfin = pq_lloyd_ctes(
             vd, m=m, sub_dim=sub_dim, k_codes=k_codes, iters=lloyd_iters
@@ -332,6 +416,7 @@ def ivfpq_topk_sql(
     rerank: int = 50,
     staged_cells: str | None = None,
     staged_codebook: str | None = None,
+    dist_partitions: int | None = None,
 ) -> str:
     """IVF-PQ — the composed billion-scale ANN layout (Jégou et al.
     2011 §V; the FAISS ``IVFx,PQy`` default): a Lloyd-refined COARSE
@@ -368,14 +453,15 @@ def ivfpq_topk_sql(
     sq_exact = vd.sqdist("q.emb", "cand.emb")
     cos_vc = f"({vd.dot('x.emb', 'c.cent')} / greatest(x.nv * c.nc, 1e-300))"
     if staged_cells:
-        coarse_ctes, coarse_final = _lv_only_cte(vd), staged_cells
+        coarse_ctes, coarse_final = _lv_only_cte(vd, dist_partitions), staged_cells
     else:
         coarse_ctes, coarse_final = lloyd_ctes(
             vd, vec_col=vec_col, num_centroids=num_cells, iters=cell_lloyd_iters
         )
     if staged_codebook:
         pq_ctes, pq_final = (
-            f"sub AS ({_subspace_cte(vd, m, sub_dim)})", staged_codebook
+            f"sub AS ({_staged_sub_cte(vd, m, sub_dim, dist_partitions)})",
+            staged_codebook,
         )
     else:
         pq_ctes, pq_final = pq_lloyd_ctes(
@@ -489,6 +575,7 @@ def ivfpq_topk(
         num_cells=num_cells, nprobe=nprobe, cell_lloyd_iters=cell_lloyd_iters,
         m=m, sub_dim=sub_dim, k_codes=k_codes, lloyd_iters=lloyd_iters,
         rerank=rerank, staged_cells=cells_v, staged_codebook=cb_v,
+        dist_partitions=df.sparkSession.sparkContext.defaultParallelism,
     )
     return df.sparkSession.sql(sql)
 
@@ -821,6 +908,7 @@ def pq_adc_topk(
         _VSPARK, view, id_col, vec_col, query_pred=query_pred, k=k,
         m=m, sub_dim=sub_dim, k_codes=k_codes,
         lloyd_iters=lloyd_iters, rerank=rerank, staged_codebook=cb_v,
+        dist_partitions=df.sparkSession.sparkContext.defaultParallelism,
     )
     return df.sparkSession.sql(sql)
 

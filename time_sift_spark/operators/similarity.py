@@ -622,44 +622,70 @@ def lloyd_ctes(
     centroid CTE carries ``nc`` so callers' assignment/probe rankings
     inherit the same factoring.
     """
-    dot = vd.dot("x.emb", "c.cent")
-    cos = f"({dot} / greatest(x.nv * c.nc, 1e-300))"
     ctes = [
         f"""lv AS (
       SELECT vid, emb, {vd.norm("emb")} AS nv FROM v
     )""",
-        f"""c0 AS (
-      SELECT vid AS cid, emb AS cent, nv AS nc FROM lv
-      ORDER BY md5(CAST(vid AS STRING)), vid
-      LIMIT {num_centroids}
-    )"""
+        f"""c0 AS ({_lloyd_seed_select(vd, "lv", num_centroids)})"""
     ]
     prev = "c0"
     for i in range(1, iters + 1):
-        ctes.append(f"""a{i} AS (
+        ctes += _lloyd_iter_ctes(vd, i, prev=prev, lv="lv")
+        prev = f"c{i}"
+    return ",\n    ".join(ctes), prev
+
+
+def _lloyd_seed_select(vd: VectorDialect, lv: str, num_centroids: int) -> str:
+    """Hash-sampled seed centroids from the ``lv`` relation."""
+    return f"""
+      SELECT vid AS cid, emb AS cent, nv AS nc FROM {lv}
+      ORDER BY md5(CAST(vid AS STRING)), vid
+      LIMIT {num_centroids}
+    """
+
+
+def _lloyd_iter_ctes(
+    vd: VectorDialect, i: int, *, prev: str, lv: str
+) -> list[str]:
+    """The three CTEs of ONE Lloyd step (assign a{i} / mean m{i} /
+    carry+norm c{i}) reading vectors from ``lv`` and the previous
+    centroids from ``prev``.  Shared by the unrolled one-statement chain
+    (:func:`lloyd_ctes`, the oracle text) and the per-iteration staged
+    trainer (:func:`_stage_lloyd`) so the two can never drift — any
+    expression edit lands in both, keeping staged ≡ inline bit-exact."""
+    dot = vd.dot("x.emb", "c.cent")
+    cos = f"({dot} / greatest(x.nv * c.nc, 1e-300))"
+    return [
+        f"""a{i} AS (
       SELECT vid, emb, cid FROM (
         SELECT x.vid, x.emb, c.cid,
                ROW_NUMBER() OVER (PARTITION BY x.vid
                                   ORDER BY {cos} DESC, c.cid) AS crank
-        FROM lv x CROSS JOIN {prev} c
+        FROM {lv} x CROSS JOIN {prev} c
       ) WHERE crank = 1
-    )""")
-        ctes.append(f"""m{i} AS (
+    )""",
+        f"""m{i} AS (
       SELECT cid, {_rebuild_array(vd)} AS cent FROM (
         SELECT cid, j, {_mean_expr()} AS mj FROM (
           SELECT cid, j, SUM(CAST({_rd_val} AS DECIMAL(27,6))) AS s, COUNT(*) AS n
           FROM ({_explode_dims(vd, f"a{i}")}) GROUP BY cid, j
         )
       ) GROUP BY cid
-    )""")
-        ctes.append(f"""c{i} AS (
+    )""",
+        f"""c{i} AS ({_lloyd_carry_select(vd, i, prev)})""",
+    ]
+
+
+def _lloyd_carry_select(vd: VectorDialect, i: int, prev: str) -> str:
+    """The carry+norm SELECT of step ``i`` (the c{i} CTE body) —
+    rendered separately so :func:`_stage_lloyd` can run it as the
+    step statement's final projection without re-parsing CTE text."""
+    return f"""
       SELECT cid, cent, {vd.norm("cent")} AS nc FROM (
         SELECT p.cid, COALESCE(m.cent, p.cent) AS cent
         FROM {prev} p LEFT JOIN m{i} m ON m.cid = p.cid
       )
-    )""")
-        prev = f"c{i}"
-    return ",\n    ".join(ctes), prev
+    """
 
 
 def lloyd_train_sql(
@@ -695,11 +721,21 @@ def lloyd_train_sql(
     """
 
 
-def _lv_only_cte(vd: VectorDialect) -> str:
+def _lv_only_cte(vd: VectorDialect, repartition: int | None = None) -> str:
     """The ``lv`` relation alone (vectors + once-computed norms) — what
-    a staged-centroid tail still needs from :func:`lloyd_ctes`."""
+    a staged-centroid tail still needs from :func:`lloyd_ctes`.
+
+    ``repartition`` (spark dialect only; the front doors pass
+    ``defaultParallelism``) hash-distributes lv by vid so the tail's
+    per-vid ranking windows run at that width instead of inheriting the
+    single-file scan's 1-2 partitions — the rows are compute-dense
+    (dim-wide cosine folds), which AQE's byte-based coalescing cannot
+    see.  Value-identical: row distribution only."""
+    hint = ""
+    if repartition and vd.name == "spark":
+        hint = f"/*+ REPARTITION({repartition}, vid) */ "
     return f"""lv AS (
-      SELECT vid, emb, {vd.norm("emb")} AS nv FROM v
+      SELECT {hint}vid, emb, {vd.norm("emb")} AS nv FROM v
     )"""
 
 
@@ -716,6 +752,7 @@ def ann_ivf_refined_topk_sql(
     multi_assign: int = 3,
     lloyd_iters: int = 3,
     staged_centroids: str | None = None,
+    dist_partitions: int | None = None,
 ) -> str:
     """IVF ANN with Lloyd-refined centroids, multi-assignment and exact
     re-rank — the recall-grade variant of :func:`ann_ivf_topk_sql`.
@@ -749,7 +786,7 @@ def ann_ivf_refined_topk_sql(
     cos_vc = f"({vd.dot('x.emb', 'c.cent')} / greatest(x.nv * c.nc, 1e-300))"
     cos_qc = f"({vd.dot('q.emb', 'c.emb')} / greatest(q.nv * c.nv, 1e-300))"
     if staged_centroids:
-        ctes, cfinal = _lv_only_cte(vd), staged_centroids
+        ctes, cfinal = _lv_only_cte(vd, dist_partitions), staged_centroids
     else:
         ctes, cfinal = lloyd_ctes(
             vd, vec_col=vec_col, num_centroids=num_centroids, iters=lloyd_iters
@@ -803,20 +840,53 @@ def _stage_lloyd(df: DataFrame, view: str, id_col: str, vec_col: str,
                  *, num_centroids: int, iters: int) -> str:
     """Train the Lloyd centroids ONCE over ``view`` and return a temp
     view over the lazily-checkpointed (cid, cent, nc) relation (see
-    :func:`lloyd_train_sql` for why)."""
+    :func:`lloyd_train_sql` for why).
+
+    Trains ITERATION BY ITERATION, checkpointing each c{i}: in the
+    one-statement chain every c{i} references c{i-1} twice (the assign
+    pass and the empty-cell carry join), so CTE inlining re-executes the
+    n×K assign pass 2^(iters-i) times — 7 passes instead of 3 at
+    iters=3 (measured: 1.63/3.01/4.99 s at iters 1/2/3 over the same
+    2 000 vectors).  Staging per step makes each pass run exactly once;
+    ``lv`` (vectors + norms) is checkpointed too so the source scan and
+    norm folds are paid once, not once per iteration.  Values are
+    bit-identical by construction: both forms render the SAME step CTEs
+    (:func:`_lloyd_iter_ctes`)."""
     from pyspark.sql import functions as F
 
     spark = df.sparkSession
-    staged = spark.sql(
-        lloyd_train_sql(_VSPARK, view, id_col, vec_col,
-                        num_centroids=num_centroids, iters=iters)
-    ).localCheckpoint(eager=False)
-    # A checkpointed frame carries no size stats (LogicalRDD defaults to
-    # "huge"), which would demote every centroid join from broadcast to
-    # shuffle — the relation is num_centroids rows, so pin the hint.
-    sview = _next_view()
-    F.broadcast(staged).createOrReplaceTempView(sview)
-    return sview
+    td = "transform" if _VSPARK.name == "spark" else "list_transform"
+    # Hash-repartition by vid BEFORE checkpointing: every assign pass
+    # windows over vid, and Dataset.localCheckpoint preserves the
+    # physical partitioning — so the n×K ranking sorts ride this one
+    # exchange at full width instead of a fresh per-pass exchange that
+    # AQE byte-coalesces to 1-2 partitions (the rows are compute-dense:
+    # each carries a dim-wide cosine fold the byte heuristic can't see).
+    n_parts = max(1, spark.sparkContext.defaultParallelism)
+    lv = spark.sql(f"""
+      SELECT vid, emb, {_VSPARK.norm("emb")} AS nv FROM (
+        SELECT {id_col} AS vid, {td}({vec_col}, x -> CAST(x AS DOUBLE)) AS emb
+        FROM {view}
+      )""").repartition(n_parts, "vid").localCheckpoint(eager=False)
+    lvv = _next_view()
+    lv.createOrReplaceTempView(lvv)
+
+    def _pin(frame):
+        # A checkpointed frame carries no size stats (LogicalRDD
+        # defaults to "huge"), which would demote every centroid join
+        # from broadcast to shuffle — the relation is num_centroids
+        # rows, so pin the hint.
+        v = _next_view()
+        F.broadcast(frame.localCheckpoint(eager=False)).createOrReplaceTempView(v)
+        return v
+
+    prev = _pin(spark.sql(_lloyd_seed_select(_VSPARK, lvv, num_centroids)))
+    for i in range(1, iters + 1):
+        a, m, _c = _lloyd_iter_ctes(_VSPARK, i, prev=prev, lv=lvv)
+        prev = _pin(spark.sql(
+            f"WITH {a},\n    {m}\n    {_lloyd_carry_select(_VSPARK, i, prev)}"
+        ))
+    return prev
 
 
 def ann_ivf_refined_topk(
@@ -850,6 +920,7 @@ def ann_ivf_refined_topk(
         multi_assign=multi_assign,
         lloyd_iters=lloyd_iters,
         staged_centroids=cview,
+        dist_partitions=df.sparkSession.sparkContext.defaultParallelism,
     )
     return df.sparkSession.sql(sql)
 
@@ -865,6 +936,7 @@ def semantic_dedup_sql(
     multi_assign: int = 3,
     lloyd_iters: int = 3,
     staged_centroids: str | None = None,
+    dist_partitions: int | None = None,
 ) -> str:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embeddings, then look for
@@ -902,8 +974,17 @@ def semantic_dedup_sql(
     # bit-identical result — same fold, same ops).
     dot_ab = vd.dot("a.emb", "b.emb")
     cos_ab = f"({dot_ab} / greatest(a.nv * b.nv, 1e-300))"
+    # The candidate relation is ~|cells|·(avg cell·m choose 2) pair KEYS
+    # — a few MB that AQE coalesces to 1-2 post-DISTINCT partitions, yet
+    # each row then pays a dim-wide cosine fold in the pairs stage
+    # (measured 8.96 → 2.92 s at sf0.1 with the spread).  Round-robin
+    # the deduped pairs across the session's cores; joins/aggs above
+    # never depend on row order.
+    cand_hint = ""
+    if dist_partitions and vd.name == "spark":
+        cand_hint = f"/*+ REPARTITION({dist_partitions}) */ "
     if staged_centroids:
-        ctes, cfinal = _lv_only_cte(vd), staged_centroids
+        ctes, cfinal = _lv_only_cte(vd, dist_partitions), staged_centroids
     else:
         ctes, cfinal = lloyd_ctes(
             vd, vec_col=vec_col, num_centroids=num_centroids, iters=lloyd_iters
@@ -927,7 +1008,7 @@ def semantic_dedup_sql(
       ) WHERE crank <= {multi_assign}
     ),
     cand AS (
-      SELECT DISTINCT x.vid AS vid_a, y.vid AS vid_b
+      SELECT {cand_hint}DISTINCT x.vid AS vid_a, y.vid AS vid_b
       FROM cells x JOIN cells y ON x.cid = y.cid AND x.vid < y.vid
     ),
     pairs AS (
@@ -972,6 +1053,7 @@ def semantic_dedup(
         multi_assign=multi_assign,
         lloyd_iters=lloyd_iters,
         staged_centroids=cview,
+        dist_partitions=df.sparkSession.sparkContext.defaultParallelism,
     )
     return df.sparkSession.sql(sql)
 
@@ -1014,7 +1096,7 @@ def semantic_dedup_blas(
                  transform({vec_col}, x -> CAST(x AS DOUBLE)) AS emb
           FROM {view}
         ),
-        {_lv_only_cte(_VSPARK)}
+        {_lv_only_cte(_VSPARK, df.sparkSession.sparkContext.defaultParallelism)}
         SELECT vid, emb, cid FROM (
           SELECT x.vid, x.emb, c.cid,
                  ROW_NUMBER() OVER (PARTITION BY x.vid
