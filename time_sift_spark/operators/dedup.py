@@ -1243,12 +1243,22 @@ def _ssr_pos_explode(d: Dialect, table: str, id_col: str, arr_expr: str,
     SELF-consistent (token and window positions share one base), and
     every cross-position computation downstream is base-shift-invariant
     (argmin ordering, within-doc frames) — positions never reach the
-    output."""
+    output.
+
+    Spark uses OUTER posexplode: plain posexplode makes Catalyst infer a
+    ``size(_arr) > 0`` constraint and push it into the FILE SCAN, where
+    the whole ``arr_expr`` chain (tokenize + shingle build, interpreted
+    HOFs) re-evaluates per row at scan parallelism — measured 4.87 →
+    1.37 s on the winnow fingerprint relation at sf0.1.  Row-identical
+    for every caller: either ``where`` guarantees a non-empty array
+    (shingles clamp to ≥ 1 element) or the caller filters the element
+    downstream (NULL never passes an IN/equality) — a NEW caller must
+    keep one of those two properties."""
     if d.name == "spark":
         return (
             f"SELECT did, pos, {elem_alias} FROM "
             f"(SELECT {id_col} AS did, {arr_expr} AS _arr FROM {table} WHERE {where}) "
-            f"LATERAL VIEW posexplode(_arr) t AS pos, {elem_alias}"
+            f"LATERAL VIEW OUTER posexplode(_arr) t AS pos, {elem_alias}"
         )
     return (
         f"SELECT did, i AS pos, _arr[i] AS {elem_alias} FROM "
