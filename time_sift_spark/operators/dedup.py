@@ -1558,9 +1558,13 @@ def line_dedup_sql(
     lines_arr = d.split(text_col, "\\n")
     if d.name == "spark":
         ex = (
+            # OUTER + null-filter ≡ plain posexplode (split() elements
+            # are never NULL) — kills the inferred size(_ls)>0 scan
+            # constraint that re-splits every row (_ssr_pos_explode).
             f"SELECT did, pos, line FROM "
             f"(SELECT {id_col} AS did, {lines_arr} AS _ls FROM {table}) "
-            f"LATERAL VIEW posexplode(_ls) t AS pos, line"
+            f"LATERAL VIEW OUTER posexplode(_ls) t AS pos, line "
+            f"WHERE line IS NOT NULL"
         )
         # collect_list skips NULLs: dropped lines vanish before the sort
         reasm = (

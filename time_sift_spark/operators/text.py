@@ -173,10 +173,17 @@ def repetition_stats_sql(
     — no rounding needed for cross-engine hash equality.
     """
     kmax = max(short_k, long_k)
+    # OUTER + `w IS NOT NULL` ≡ plain posexplode here (token arrays never
+    # contain NULL elements; NULL/empty arrays are dropped by the filter
+    # either way) — but plain posexplode makes Catalyst push an inferred
+    # size(tokens(text)) > 0 constraint into the scan, re-tokenizing
+    # every row a second time (see dedup._ssr_pos_explode).  The w
+    # filter sits on generate OUTPUT, so nothing can push below.  Same
+    # pattern at every `_toks` explode in this module.
     if d.name == "spark":
         ex = (
             f"SELECT {id_col}, pos, w FROM base "
-            f"LATERAL VIEW posexplode(_toks) t AS pos, w"
+            f"LATERAL VIEW OUTER posexplode(_toks) t AS pos, w WHERE w IS NOT NULL"
         )
     else:
         ex = (
@@ -306,7 +313,7 @@ def bigram_fluency_sql(
     if d.name == "spark":
         ex = (
             f"SELECT {id_col}, pos, w FROM base "
-            f"LATERAL VIEW posexplode(_toks) t AS pos, w"
+            f"LATERAL VIEW OUTER posexplode(_toks) t AS pos, w WHERE w IS NOT NULL"
         )
     else:
         ex = (
@@ -399,7 +406,7 @@ def dsir_weights_sql(
     if d.name == "spark":
         ex = (
             f"SELECT {id_col}, is_t, pos, w FROM base "
-            f"LATERAL VIEW posexplode(_toks) t AS pos, w"
+            f"LATERAL VIEW OUTER posexplode(_toks) t AS pos, w WHERE w IS NOT NULL"
         )
     else:
         ex = (
@@ -598,7 +605,7 @@ def quality_classifier_sql(
     if d.name == "spark":
         ex = (
             f"SELECT did, is_t, is_pos, pos, w FROM base "
-            f"LATERAL VIEW posexplode(_toks) t AS pos, w"
+            f"LATERAL VIEW OUTER posexplode(_toks) t AS pos, w WHERE w IS NOT NULL"
         )
     else:
         ex = (
@@ -693,7 +700,7 @@ def build_quality_model(
     d = SPARK
     ex = (
         "SELECT did, is_pos, pos, w FROM base "
-        "LATERAL VIEW posexplode(_toks) t AS pos, w"
+        "LATERAL VIEW OUTER posexplode(_toks) t AS pos, w WHERE w IS NOT NULL"
     )
     fkey = _qc_fkey(d, n_buckets)
     weights = spark.sql(f"""
@@ -748,7 +755,7 @@ def score_quality_model(spark, path: str, df: DataFrame) -> DataFrame:
       SELECT {id_col} AS did, {d.tokens(text_col)} AS _toks FROM {view}
     ),
     tok AS (
-      SELECT did, pos, w FROM base LATERAL VIEW posexplode(_toks) t AS pos, w
+      SELECT did, pos, w FROM base LATERAL VIEW OUTER posexplode(_toks) t AS pos, w WHERE w IS NOT NULL
     ),
     feats AS (
       SELECT did, {fkey} AS fkey FROM (

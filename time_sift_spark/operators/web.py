@@ -366,9 +366,14 @@ def _hx_tail(
     lines_arr = d.split("stripped", "\\n")
     if d.name == "spark":
         ex = (
+            # OUTER + null-filter ≡ plain posexplode (split() elements
+            # are never NULL; the WHERE sees the generate output, not
+            # the trim alias) — kills the inferred size(_ls)>0 scan
+            # constraint (see dedup._ssr_pos_explode).
             f"SELECT did, pos, trim(line) AS line FROM "
             f"(SELECT did, {lines_arr} AS _ls FROM _hx0) "
-            f"LATERAL VIEW posexplode(_ls) t AS pos, line"
+            f"LATERAL VIEW OUTER posexplode(_ls) t AS pos, line "
+            f"WHERE line IS NOT NULL"
         )
         reasm = (
             "concat_ws(chr(10), transform(array_sort(collect_list("
@@ -548,9 +553,13 @@ def html_links_sql(
     anchor = f"trim({anchor_ws})"
     if d.name == "spark":
         ex = (
+            # OUTER + null-filter ≡ plain posexplode (regexp_extract_all
+            # elements are never NULL) — the inferred size(_ms)>0 scan
+            # constraint would re-run the anchor regex per row.
             f"SELECT did, pos, m FROM "
             f"(SELECT {id_col} AS did, {matches} AS _ms FROM {table}) "
-            f"LATERAL VIEW posexplode(_ms) t AS pos, m"
+            f"LATERAL VIEW OUTER posexplode(_ms) t AS pos, m "
+            f"WHERE m IS NOT NULL"
         )
     else:
         ex = (
