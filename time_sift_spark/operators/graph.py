@@ -439,6 +439,12 @@ def clustering_coefficients(
     return out.limit(topk) if topk is not None else out
 
 
+# Peel levels per checkpointed job in the iterative kcore — the
+# measured knee (plan references grow 2^steps inside a group; 3 beat 2
+# and 4 on the deep sf0.1 cascade: 3.96 vs 4.06 / 4.31 s).
+_KCORE_GROUP = 3
+
+
 def kcore_sql(
     edges_ctes: str,
     *,
@@ -506,13 +512,23 @@ def kcore(
     relation per CTE mention; here ``und`` materializes once and each
     peel round is one induced-degree job of CONSTANT plan size).
 
-    Per round: two semi-joins restrict ``und`` to the surviving node
-    set, an ends-union groupBy computes induced degrees (one shuffle on
-    the node key), and the ≥k filter yields the next set; the
-    convergence probe is a bounded driver scalar (the surviving COUNT).
-    Raises rather than returning a non-fixpoint set when
-    ``max_iterations`` is exhausted — a silently-shallow peel would
-    report a SUPERSET of the k-core.
+    Per level: two semi-joins restrict ``und`` to the surviving node
+    set, an explode-ends groupBy computes induced degrees (one shuffle
+    on the node key), and the ≥k filter yields the next set.  Levels
+    run in GROUPS of ``_KCORE_GROUP`` between checkpoints/convergence
+    probes: a deep cascade (the sf0.1 corpus peels ~2.4k nodes to an
+    EMPTY core over dozens of levels) is dominated by per-round
+    driver/job latency, not data — grouping measured 6.49 → 3.96 s
+    there.  Within a group each level references its predecessor twice
+    (the two semi-joins), so the plan grows 2^steps — fine at 3, the
+    measured knee (the old ends-UNION doubled again per level, so its
+    knee was 2).  The convergence probe stays sound under grouping:
+    peeling is monotone (s_{i+1} ⊆ s_i), so equal COUNTs at group
+    boundaries ⇔ equal sets ⇔ a fixpoint somewhere inside the group —
+    and a fixpoint re-peels to itself, level for level.  Raises rather
+    than returning a non-fixpoint set when ``max_iterations`` levels
+    are exhausted — a silently-shallow peel would report a SUPERSET of
+    the k-core.
     """
     for c in (src_col, dst_col):
         if c not in edges.columns:
@@ -529,34 +545,45 @@ def kcore(
         .localCheckpoint(eager=False)
     )
     n_cur = cur.count()
-    deg = None
-    for _ in range(max_iterations):
+
+    def _level(lvl):
+        """One peel level: induced degrees over lvl's node set and the
+        surviving ≥k node set.  explode(array(u, v)) counts both edge
+        ends in ONE pass — the same multiset as the old two-arm UNION,
+        with half the plan references."""
         ind = (
-            und.join(cur.selectExpr("n AS u"), "u", "left_semi")
-            .join(cur.selectExpr("n AS v"), "v", "left_semi")
-            .localCheckpoint(eager=False)
+            und.join(lvl.selectExpr("n AS u"), "u", "left_semi")
+            .join(lvl.selectExpr("n AS v"), "v", "left_semi")
         )
         deg = (
-            ind.selectExpr("u AS node")
-            .unionAll(ind.selectExpr("v AS node"))
+            ind.selectExpr("explode(array(u, v)) AS node")
             .groupBy("node")
             .count()
             .withColumnRenamed("count", "d")
-            .localCheckpoint(eager=False)
         )
-        nxt = deg.where(f"d >= {int(k)}").select(deg.node.alias("n"))
+        return deg, deg.where(f"d >= {int(k)}").select(deg.node.alias("n"))
+
+    done = 0
+    converged = n_cur == 0
+    while done < max_iterations and not converged:
+        steps = min(_KCORE_GROUP, max_iterations - done)
+        lvl = cur
+        for _ in range(steps):
+            _deg, lvl = _level(lvl)
+        nxt = lvl.localCheckpoint(eager=False)
         n_nxt = nxt.count()
-        if n_nxt == n_cur:
-            break
-        cur, n_cur = nxt.localCheckpoint(eager=False), n_nxt
-        if n_cur == 0:
-            break
-    else:
+        done += steps
+        converged = n_nxt == n_cur or n_nxt == 0
+        cur, n_cur = nxt, n_nxt
+    if not converged:
         raise RuntimeError(
             f"kcore did not converge within {max_iterations} iterations "
             f"({n_cur} nodes still in play) — raise max_iterations for "
             f"this graph"
         )
+    # Final degrees recomputed from the checkpointed fixpoint set — at a
+    # fixpoint this IS the last level's deg relation, value for value.
+    deg, _ = _level(cur)
     return (
         deg.where(f"d >= {int(k)}")
         .selectExpr(f"node AS {id_alias}", "d AS core_degree")
