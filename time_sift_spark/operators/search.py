@@ -654,6 +654,25 @@ def _tfc_weights_select(
 
     toks = d.tokens(text_col)
     shingles = d.shingles("_toks", shingle_k)
+    if d.name == "spark":
+        # LATERAL VIEW OUTER + null-filter instead of a select-clause
+        # explode: plain explode's inferred size-constraint re-evaluates
+        # the shingle chain at the scan (see dedup._ssr_pos_explode);
+        # row-identical — shingles clamp to >= 1 non-null element under
+        # the _toks guard.  Measured 1.42 -> 1.20 s at sf0.1,
+        # collect-compared identical (260 388 rows).
+        sh_rel = f"""
+              SELECT did, sh FROM (
+                SELECT did, {shingles} AS _sharr
+                FROM (SELECT {id_col} AS did, {toks} AS _toks FROM {table}) _tcb
+                WHERE _toks IS NOT NULL AND {d.size("_toks")} >= 1
+              ) LATERAL VIEW OUTER explode(_sharr) t AS sh
+              WHERE sh IS NOT NULL"""
+    else:
+        sh_rel = f"""
+              SELECT did, {_unnest(d, shingles, "sh")}
+              FROM (SELECT {id_col} AS did, {toks} AS _toks FROM {table}) _tcb
+              WHERE _toks IS NOT NULL AND {d.size("_toks")} >= 1"""
     return f"""
       SELECT did, term,
              CAST(tf AS DOUBLE)
@@ -663,10 +682,7 @@ def _tfc_weights_select(
                CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df
         FROM (
           SELECT did, term, COUNT(*) AS tf FROM (
-            SELECT did, {d.md5_long("sh")} AS term FROM (
-              SELECT did, {_unnest(d, shingles, "sh")}
-              FROM (SELECT {id_col} AS did, {toks} AS _toks FROM {table}) _tcb
-              WHERE _toks IS NOT NULL AND {d.size("_toks")} >= 1
+            SELECT did, {d.md5_long("sh")} AS term FROM ({sh_rel}
             ) _tcx
           ) _tct GROUP BY did, term
         ) _tcf
