@@ -236,8 +236,12 @@ def decontaminate_sql(
     # the _minhash_sig_cte convention. The guard also pins cross-engine
     # NULL semantics: DuckDB renders shingles(NULL) as [''] (one empty
     # gram, which would let two NULL-text docs "contaminate" each other)
-    # while Spark yields NULL -> zero rows; filtering _toks IS NOT NULL
+    # while Spark yields NULL -> zero rows; filtering NULL-text rows
     # makes both engines emit zero grams, matching the DataFrame form.
+    # The guard sits on the RAW text column (tokens(x) IS NULL ⇔ x IS
+    # NULL): a `_toks IS NOT NULL` guard above the projection is pushed
+    # into the scan Filter with the tokenizer inlined — one extra full
+    # tokenize pass per row (the _minhash_sig_cte rule).
     grams = d.shingles("_toks", k)
     h = d.md5_long("_g")
     un = _unnest(d, grams, "_g")
@@ -245,14 +249,14 @@ def decontaminate_sql(
     WITH bench_hashes AS (
       SELECT DISTINCT {h} AS _h
       FROM (SELECT {un}
-            FROM (SELECT {d.tokens(text)} AS _toks FROM {bench_table})
-            WHERE _toks IS NOT NULL)
+            FROM (SELECT {d.tokens(text)} AS _toks FROM {bench_table}
+                  WHERE {text} IS NOT NULL))
     ),
     train_grams AS (
       SELECT DISTINCT {id_col}, {h} AS _h
       FROM (SELECT {id_col}, {un}
-            FROM (SELECT {id_col}, {d.tokens(text)} AS _toks FROM {train_table})
-            WHERE _toks IS NOT NULL)
+            FROM (SELECT {id_col}, {d.tokens(text)} AS _toks FROM {train_table}
+                  WHERE {text} IS NOT NULL))
     ),
     hits AS (
       SELECT {id_col}, COUNT(*) AS n_contaminated_ngrams

@@ -187,28 +187,29 @@ def ngram_jaccard_sql(
     """
 
 
-def _minhash_sig_cte(
-    d: Dialect, table: str, id_col: str, text_col: str, num_perm: int, shingle_k: int, seed: int
+def _minhash_hashed_cte(
+    d: Dialect, table: str, id_col: str, text_col: str, shingle_k: int
 ) -> str:
-    """CTEs ending in ``sigw(did, s0..s{P-1})`` — wide MinHash signatures.
+    """CTEs ending in ``hashed(did, h)`` — the tokenize → shingle → md5
+    prefix of the MinHash chain, shared verbatim by the one-statement
+    signature chain and the staged store build/append/screen paths so
+    staged ≡ inline is structural.
 
-    md5 is computed once per (doc, shingle); each permutation is a cheap
-    modular remap aggregated with MIN — one shuffle total.
+    tokens are STAGED as a column before shingling: embedding the token
+    pipeline inside the shingle lambda re-tokenizes once per shingle
+    index (~7× slower, measured at sf0.1). Values are identical.
+    The NULL guard filters the RAW text column, not _toks: tokens(x)
+    IS NULL ⇔ x IS NULL (split/filter are NULL-propagating on both
+    engines), and a `_toks IS NOT NULL` guard gets pushed below the
+    projection by Catalyst, re-running the whole tokenizer inside the
+    scan Filter (isnotnull(filter(split(...)))) — one extra full
+    tokenize pass per statement at scan parallelism.
     """
-    perms = minhash_perms(num_perm, seed)
-    # tokens are STAGED as a column before shingling: embedding the token
-    # pipeline inside the shingle lambda re-tokenizes once per shingle
-    # index (~7× slower, measured at sf0.1). Values are identical.
     shingles = d.shingles("_toks", shingle_k)
-    mins = ",\n             ".join(
-        f"MIN(({a} * h + {b}) % {MERSENNE31}) AS s{i}" for i, (a, b) in enumerate(perms)
-    )
     return f"""
     toked AS (
-      SELECT did, _toks FROM (
-        SELECT {id_col} AS did, {d.tokens(text_col)} AS _toks
-        FROM {table}
-      ) WHERE _toks IS NOT NULL
+      SELECT {id_col} AS did, {d.tokens(text_col)} AS _toks
+      FROM {table} WHERE {text_col} IS NOT NULL
     ),
     exploded AS (
       SELECT did, {_unnest(d, shingles, "sh")}
@@ -216,12 +217,33 @@ def _minhash_sig_cte(
     ),
     hashed AS (
       SELECT did, {_md5_32(d, "sh")} AS h FROM exploded
-    ),
-    sigw AS (
-      SELECT did,
+    )"""
+
+
+def _minhash_sigw_select(
+    d: Dialect, num_perm: int, seed: int, from_rel: str = "hashed"
+) -> str:
+    """SELECT rendering ``(did, s0..s{P-1})`` wide MinHash signatures
+    from a ``(did, h)`` relation — each permutation a cheap modular
+    remap aggregated with MIN, one shuffle total."""
+    perms = minhash_perms(num_perm, seed)
+    mins = ",\n             ".join(
+        f"MIN(({a} * h + {b}) % {MERSENNE31}) AS s{i}" for i, (a, b) in enumerate(perms)
+    )
+    return f"""SELECT did,
              {mins}
-      FROM hashed
-      GROUP BY did
+      FROM {from_rel}
+      GROUP BY did"""
+
+
+def _minhash_sig_cte(
+    d: Dialect, table: str, id_col: str, text_col: str, num_perm: int, shingle_k: int, seed: int
+) -> str:
+    """CTEs ending in ``sigw(did, s0..s{P-1})`` — wide MinHash signatures
+    (:func:`_minhash_hashed_cte` + :func:`_minhash_sigw_select`)."""
+    return f"""{_minhash_hashed_cte(d, table, id_col, text_col, shingle_k)},
+    sigw AS (
+      {_minhash_sigw_select(d, num_perm, seed)}
     )"""
 
 
@@ -1867,6 +1889,13 @@ def build_minhash_store(
     spark = df.sparkSession
     view = "_ts_mhf_build"
     df.createOrReplaceTempView(view)
+    # MEASURED negative result (r14): localCheckpoint-staging the
+    # (did, h) chain so bands/tsets share one pass REGRESSED the store
+    # consumers at registered batch sizes (streaming_dedup_fuzzy 7.05 →
+    # 8.39 s, dedup_incremental_fuzzy 1.93 → 2.74 s fresh-JVM) — after
+    # the raw-column NULL-guard fix the duplicated chain is one cheap
+    # tokenize pass, cheaper than the added exchange + materialization
+    # + job per staging statement.  Kept as the two-statement form.
     sig_cte = _minhash_sig_cte(_S, view, id_col, text_col, num_perm, shingle_k, seed)
     tset, _, _, _ = _verify_exprs(_S)
     band_selects = _band_selects(_S, num_perm, bands)
@@ -1914,6 +1943,12 @@ def screen_new_docs_fuzzy(
         f"(SELECT concat('n:', CAST({id_col} AS STRING)) AS uid, {text_col} AS _utxt "
         f"FROM {nview})"
     )
+    # MEASURED negative result (r14): localCheckpoint-staging the
+    # increment's (did, h) chain here REGRESSED the screen at registered
+    # batch sizes (see build_minhash_store) — the one-statement form's
+    # up-to-4× chain re-execution is one cheap tokenize pass per
+    # reference after the raw-column NULL-guard fix, cheaper than the
+    # staging exchange + materialization + extra job per micro-batch.
     sig_cte = _minhash_sig_cte(
         _S, tagged_new, "uid", "_utxt", p["num_perm"], p["shingle_k"], p["seed"]
     )
@@ -1954,6 +1989,8 @@ def append_minhash_store(spark, path: str, accepted_docs: DataFrame) -> None:
             raise ColumnNotFoundError(f"column {c!r} not in {accepted_docs.columns}")
     view = "_ts_mhf_append"
     accepted_docs.createOrReplaceTempView(view)
+    # Two-statement form kept deliberately — see the measured staging
+    # negative result at build_minhash_store.
     sig_cte = _minhash_sig_cte(
         _S, view, id_col, text_col, p["num_perm"], p["shingle_k"], p["seed"]
     )
@@ -2049,10 +2086,8 @@ def prefix_jaccard_join_sql(
         else f"""SELECT DISTINCT did, h FROM (
         SELECT did, {_md5_32(d, "sh")} AS h FROM (
           SELECT did, {_unnest(d, shingles, "sh")} FROM (
-            SELECT did, _toks FROM (
-              SELECT {id_col} AS did, {d.tokens(text_col)} AS _toks
-              FROM {table}
-            ) _ppt0 WHERE _toks IS NOT NULL
+            SELECT {id_col} AS did, {d.tokens(text_col)} AS _toks
+            FROM {table} WHERE {text_col} IS NOT NULL
           ) _ppt1
         ) _ppt2
       ) _ppt3"""
@@ -2306,12 +2341,18 @@ def winnow_fingerprints_sql(
     """
     # tokens staged as a column BEFORE shingling (the _minhash_sig_cte
     # rule: a token pipeline inside the shingle lambda re-tokenizes once
-    # per shingle index, ~7x slower at sf0.1)
+    # per shingle index, ~7x slower at sf0.1).  The NULL guard sits on
+    # the RAW text column inside _wtk (tokens(x) IS NULL ⇔ x IS NULL):
+    # a `_toks IS NOT NULL` guard above the projection gets pushed into
+    # the scan Filter with the tokenizer inlined — one extra tokenize
+    # pass per row (the _minhash_sig_cte rule's filter half).  With it,
+    # _toks is never NULL and the shingles clamp keeps ≥ 1 element, the
+    # _ssr_pos_explode caller contract.
     toked = (f"(SELECT {id_col} AS {id_col}, {d.tokens(text_col)} AS _toks "
-             f"FROM {table}) _wtk")
+             f"FROM {table} WHERE {text_col} IS NOT NULL) _wtk")
     pos_sel = _ssr_pos_explode(
         d, toked, id_col, d.shingles("_toks", shingle_k), "sh",
-        "_toks IS NOT NULL",
+        "TRUE",
     )
     fp = f"""
     _wnp AS (
@@ -2464,10 +2505,8 @@ def containment_join_sql(
         else f"""SELECT DISTINCT did, h FROM (
         SELECT did, {_md5_32(d, "sh")} AS h FROM (
           SELECT did, {_unnest(d, shingles, "sh")} FROM (
-            SELECT did, _toks FROM (
-              SELECT {id_col} AS did, {d.tokens(text_col)} AS _toks
-              FROM {table}
-            ) _cjt0 WHERE _toks IS NOT NULL
+            SELECT {id_col} AS did, {d.tokens(text_col)} AS _toks
+            FROM {table} WHERE {text_col} IS NOT NULL
           ) _cjt1
         ) _cjt2
       ) _cjt3"""
@@ -2568,10 +2607,8 @@ def _cjs_hdist_select(d: Dialect, table: str, id_col: str, text_col: str,
     return f"""SELECT DISTINCT did, h FROM (
         SELECT did, {_md5_32(d, "sh")} AS h FROM (
           SELECT did, {_unnest(d, shingles, "sh")} FROM (
-            SELECT did, _toks FROM (
-              SELECT {id_col} AS did, {d.tokens(text_col)} AS _toks
-              FROM {table} WHERE {where}
-            ) _cst0 WHERE _toks IS NOT NULL
+            SELECT {id_col} AS did, {d.tokens(text_col)} AS _toks
+            FROM {table} WHERE ({where}) AND {text_col} IS NOT NULL
           ) _cst1
         ) _cst2
       ) _cst3"""

@@ -234,6 +234,76 @@ def sorted_neighborhood(
     )
 
 
+def _symspell_variants_select(
+    d: Dialect, table: str, id_col: str, name_col: str, *, max_deletions: int
+) -> str:
+    """(rid, rname, v) — each record exploded over its deduplicated
+    deletion-neighborhood blocking keys (the record's name plus every
+    ≤``max_deletions``-character-deletion variant).  ONE rendering
+    shared by the inline statement (both dialects — the oracle text)
+    and the Spark front door's staging statement, so staged ≡ inline is
+    structural (the containment_join `_cjs_hdist_select` discipline).
+
+    The Spark branch explodes via LATERAL VIEW OUTER + a null-filter on
+    the generate OUTPUT: a select-clause ``explode(_vars)`` makes
+    Catalyst infer a ``size(_vars) > 0`` constraint and push it into the
+    scan Filter, where the whole neighborhood array (O(|name|²/2)
+    substr/concat lambdas at d2) is built a second time per row at scan
+    parallelism.  Row-identical: ``_vars`` is NULL only for a NULL name
+    (OUTER emits one NULL element, the filter drops it — plain explode
+    dropped the row) and otherwise holds ≥ 1 non-NULL string (the name
+    itself; substr/concat of a non-NULL string are non-NULL)."""
+    if max_deletions not in (1, 2):
+        raise ValueError(f"max_deletions must be 1 or 2, got {max_deletions}")
+    n = f"length({name_col})"
+    if d.name == "spark":
+        seq = f"sequence(1, {n})"
+        dels = (
+            f"transform({seq}, i -> concat(substr({name_col}, 1, i - 1),"
+            f" substr({name_col}, i + 1)))"
+        )
+        dels2 = (
+            f"CASE WHEN {n} >= 2 THEN "
+            f"flatten(transform(sequence(1, {n} - 1), i -> "
+            f"transform(sequence(i + 1, {n}), j -> "
+            f"concat(substr({name_col}, 1, i - 1),"
+            f" substr({name_col}, i + 1, j - i - 1),"
+            f" substr({name_col}, j + 1))))) "
+            f"ELSE CAST(array() AS ARRAY<STRING>) END"
+        )
+        arr = f"concat(array({name_col}), {dels})"
+        if max_deletions == 2:
+            arr = f"concat({arr}, {dels2})"
+        arr = f"array_distinct({arr})"
+        return f"""SELECT rid, rname, v FROM (
+        SELECT {id_col} AS rid, {name_col} AS rname, {arr} AS _vars
+        FROM {table}
+      ) _sy0 LATERAL VIEW OUTER explode(_vars) _syt AS v
+      WHERE v IS NOT NULL"""
+    seq = f"generate_series(1, {n})"
+    dels = (
+        f"list_transform({seq}, i -> substr({name_col}, 1, i - 1)"
+        f" || substr({name_col}, i + 1))"
+    )
+    dels2 = (
+        f"CASE WHEN {n} >= 2 THEN "
+        f"flatten(list_transform(generate_series(1, {n} - 1), i -> "
+        f"list_transform(generate_series(i + 1, {n}), j -> "
+        f"substr({name_col}, 1, i - 1)"
+        f" || substr({name_col}, i + 1, j - i - 1)"
+        f" || substr({name_col}, j + 1)))) "
+        f"ELSE [] END"
+    )
+    arr = f"list_prepend({name_col}, {dels})"
+    if max_deletions == 2:
+        arr = f"list_concat({arr}, {dels2})"
+    arr = f"list_distinct({arr})"
+    return f"""SELECT rid, rname, unnest(_vars) AS v FROM (
+        SELECT {id_col} AS rid, {name_col} AS rname, {arr} AS _vars
+        FROM {table}
+      ) _sy0"""
+
+
 def symspell_match_sql(
     d: Dialect,
     table: str,
@@ -286,57 +356,10 @@ def symspell_match_sql(
     sides — the engine staging rule; the Spark front door stages it
     (``staged_variants``), the oracle keeps the inline text.
     """
-    if max_deletions not in (1, 2):
-        raise ValueError(f"max_deletions must be 1 or 2, got {max_deletions}")
-    n = f"length({name_col})"
-    if d.name == "spark":
-        seq = f"sequence(1, {n})"
-        dels = (
-            f"transform({seq}, i -> concat(substr({name_col}, 1, i - 1),"
-            f" substr({name_col}, i + 1)))"
-        )
-        dels2 = (
-            f"CASE WHEN {n} >= 2 THEN "
-            f"flatten(transform(sequence(1, {n} - 1), i -> "
-            f"transform(sequence(i + 1, {n}), j -> "
-            f"concat(substr({name_col}, 1, i - 1),"
-            f" substr({name_col}, i + 1, j - i - 1),"
-            f" substr({name_col}, j + 1))))) "
-            f"ELSE CAST(array() AS ARRAY<STRING>) END"
-        )
-        arr = f"concat(array({name_col}), {dels})"
-        if max_deletions == 2:
-            arr = f"concat({arr}, {dels2})"
-        arr = f"array_distinct({arr})"
-    else:
-        seq = f"generate_series(1, {n})"
-        dels = (
-            f"list_transform({seq}, i -> substr({name_col}, 1, i - 1)"
-            f" || substr({name_col}, i + 1))"
-        )
-        dels2 = (
-            f"CASE WHEN {n} >= 2 THEN "
-            f"flatten(list_transform(generate_series(1, {n} - 1), i -> "
-            f"list_transform(generate_series(i + 1, {n}), j -> "
-            f"substr({name_col}, 1, i - 1)"
-            f" || substr({name_col}, i + 1, j - i - 1)"
-            f" || substr({name_col}, j + 1)))) "
-            f"ELSE [] END"
-        )
-        arr = f"list_prepend({name_col}, {dels})"
-        if max_deletions == 2:
-            arr = f"list_concat({arr}, {dels2})"
-        arr = f"list_distinct({arr})"
-    if d.name == "spark":
-        unn = "explode(_vars) AS v"
-    else:
-        unn = "unnest(_vars) AS v"
     variants = (
         f"SELECT rid, rname, v FROM {staged_variants}" if staged_variants
-        else f"""SELECT rid, rname, {unn} FROM (
-        SELECT {id_col} AS rid, {name_col} AS rname, {arr} AS _vars
-        FROM {table}
-      ) _sy0"""
+        else _symspell_variants_select(d, table, id_col, name_col,
+                                       max_deletions=max_deletions)
     )
     src = "_syv"
     if variant_df_cap is not None:
@@ -407,11 +430,12 @@ def symspell_match(
     spark = df.sparkSession
     view = "_ts_sym_in"
     df.createOrReplaceTempView(view)
-    inline = symspell_match_sql(_S, view, id_col, name_col,
-                                max_distance=max_distance,
-                                max_deletions=max_deletions,
-                                variant_df_cap=variant_df_cap)
-    var_sel = inline.split("_syv AS (", 1)[1].split("\n    )", 1)[0]
+    # The staged text is rendered by the SAME helper the inline
+    # statement uses (never split out of the rendered SQL — the
+    # containment_join _cjs_hdist_select discipline), so staged ≡
+    # inline cannot drift on a formatting edit.
+    var_sel = _symspell_variants_select(_S, view, id_col, name_col,
+                                        max_deletions=max_deletions)
     staged = spark.sql(var_sel).localCheckpoint(eager=False)
     _VIEW_SEQ[0] += 1
     sview = f"_ts_sym_vars_{_VIEW_SEQ[0]}"

@@ -839,13 +839,17 @@ def readability_sql(
     )
     return f"""
     WITH base AS (
+      -- NULL guard on the RAW text column (tokens(x) IS NULL ⇔ x IS
+      -- NULL; NULL-text rows emit no tokens either way): `_toks IS NOT
+      -- NULL` above the projection gets pushed into the scan Filter
+      -- with the tokenizer inlined — one extra tokenize pass per row.
       SELECT {id_col} AS did, {d.tokens(text_col)} AS _toks,
              {sent} AS n_sent
-      FROM {table}
+      FROM {table} WHERE {text_col} IS NOT NULL
     ),
     tok AS (
       SELECT did, n_sent, {_unnest(d, "_toks", "w")}
-      FROM base WHERE _toks IS NOT NULL
+      FROM base
     ),
     tc AS (
       SELECT did, n_sent, w, COUNT(*) AS n, {syl} AS syl
@@ -1141,9 +1145,14 @@ def hash_vectorize_sql(
     sign = f"CASE WHEN ({_int_div(d, h, dim)} % 2) = 0 THEN 1 ELSE -1 END"
     return f"""
     WITH _fhx AS (
+      -- NULL guard on the RAW text column (tokens(x) IS NULL ⇔ x IS
+      -- NULL): `_toks IS NOT NULL` above the projection gets pushed
+      -- into the scan Filter with the tokenizer inlined (the
+      -- _minhash_sig_cte rule).
       SELECT did, {_unnest(d, "_toks", "tok")} FROM (
         SELECT {id_col} AS did, {toks} AS _toks FROM {table}
-      ) _fh0 WHERE _toks IS NOT NULL
+        WHERE {text_col} IS NOT NULL
+      ) _fh0
     ),
     _fhw AS (
       SELECT did, CAST(({h} % {dim}) AS INT) AS dim_idx,
