@@ -391,13 +391,27 @@ def keyword_extract_sql(
     from .dedup import _unnest
 
     toks = d.tokens(text_col)
+    # ``stats`` counts EVERY base row (NULL-text docs included), so the
+    # NULL guard cannot move to the raw text column here.  The Spark
+    # branch instead filters the generate OUTPUT via LATERAL VIEW OUTER
+    # (row-identical: token elements are never NULL, and NULL/empty
+    # token arrays emit nothing under either form) — a `_toks IS NOT
+    # NULL` guard above the projection gets pushed into the scan Filter
+    # with the tokenizer inlined, one extra tokenize pass per row.
+    if d.name == "spark":
+        tok = f"""
+      SELECT {id_col}, term FROM base
+      LATERAL VIEW OUTER explode(_toks) _kt AS term
+      WHERE term IS NOT NULL"""
+    else:
+        tok = f"""
+      SELECT {id_col}, {_unnest(d, "_toks", "term")}
+      FROM base WHERE _toks IS NOT NULL"""
     return f"""
     WITH base AS (
       SELECT {id_col}, {toks} AS _toks FROM {table}
     ),
-    tok AS (
-      SELECT {id_col}, {_unnest(d, "_toks", "term")}
-      FROM base WHERE _toks IS NOT NULL
+    tok AS ({tok}
     ),
     tf AS (
       SELECT {id_col}, term, COUNT(*) AS tf FROM tok GROUP BY {id_col}, term
@@ -552,10 +566,16 @@ def build_phrase_index(
     for c in (text_col, id_col):
         if c not in docs.columns:
             raise ColumnNotFoundError(f"column {c!r} not in DataFrame")
+    # posexplode_outer + null-filter on the generate OUTPUT: plain
+    # posexplode makes Catalyst infer a size(toks) > 0 constraint and
+    # push it below the projection, re-running the tokenizer inside the
+    # scan Filter per row.  Row-identical: token elements are never
+    # NULL, and empty token arrays emit nothing under either form.
     postings = (
         docs.where(F.col(text_col).isNotNull())
         .select(F.col(id_col), F.expr(SPARK.tokens(text_col)).alias("toks"))
-        .select(id_col, F.posexplode("toks").alias("pos", "term"))
+        .select(id_col, F.posexplode_outer("toks").alias("pos", "term"))
+        .where(F.col("term").isNotNull())
     )
     begin_build(path)
     postings.repartition("term").write.mode("overwrite").parquet(
@@ -625,7 +645,9 @@ def append_phrase_index(
     postings = (
         docs.where(F.col(text_col).isNotNull())
         .select(F.col(id_col), F.expr(SPARK.tokens(text_col)).alias("toks"))
-        .select(id_col, F.posexplode("toks").alias("pos", "term"))
+        # posexplode_outer + null-filter — see build_phrase_index.
+        .select(id_col, F.posexplode_outer("toks").alias("pos", "term"))
+        .where(F.col("term").isNotNull())
     )
     postings.repartition("term").write.mode("append").parquet(
         f"{path}/postings_pos"
@@ -654,25 +676,38 @@ def _tfc_weights_select(
 
     toks = d.tokens(text_col)
     shingles = d.shingles("_toks", shingle_k)
+    # Both row guards sit on the RAW text column so neither pushes a
+    # tokenizer into the scan Filter (`_toks IS NOT NULL AND
+    # size(_toks) >= 1` above the projection made the scan tokenize
+    # every row twice more):
+    #   _toks IS NOT NULL   ⇔  text IS NOT NULL        (NULL-propagation)
+    #   size(_toks) >= 1    ⇔  lower(text) has a [a-z0-9] char
+    # — the regex form is exactly as cross-engine-safe as tokens()
+    # itself, which already depends on the engines agreeing on
+    # lower() + this character class.
     if d.name == "spark":
+        guard = (f"{text_col} IS NOT NULL AND "
+                 f"lower({text_col}) RLIKE '[a-z0-9]'")
         # LATERAL VIEW OUTER + null-filter instead of a select-clause
         # explode: plain explode's inferred size-constraint re-evaluates
         # the shingle chain at the scan (see dedup._ssr_pos_explode);
         # row-identical — shingles clamp to >= 1 non-null element under
-        # the _toks guard.  Measured 1.42 -> 1.20 s at sf0.1,
-        # collect-compared identical (260 388 rows).
+        # the guard.  Measured 1.42 -> 1.20 s at sf0.1, collect-compared
+        # identical (260 388 rows).
         sh_rel = f"""
               SELECT did, sh FROM (
                 SELECT did, {shingles} AS _sharr
-                FROM (SELECT {id_col} AS did, {toks} AS _toks FROM {table}) _tcb
-                WHERE _toks IS NOT NULL AND {d.size("_toks")} >= 1
+                FROM (SELECT {id_col} AS did, {toks} AS _toks
+                      FROM {table} WHERE {guard}) _tcb
               ) LATERAL VIEW OUTER explode(_sharr) t AS sh
               WHERE sh IS NOT NULL"""
     else:
+        guard = (f"{text_col} IS NOT NULL AND "
+                 f"regexp_matches(lower({text_col}), '[a-z0-9]')")
         sh_rel = f"""
               SELECT did, {_unnest(d, shingles, "sh")}
-              FROM (SELECT {id_col} AS did, {toks} AS _toks FROM {table}) _tcb
-              WHERE _toks IS NOT NULL AND {d.size("_toks")} >= 1"""
+              FROM (SELECT {id_col} AS did, {toks} AS _toks
+                    FROM {table} WHERE {guard}) _tcb"""
     return f"""
       SELECT did, term,
              CAST(tf AS DOUBLE)
