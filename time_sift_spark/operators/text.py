@@ -945,9 +945,19 @@ def token_label_chisq_sql(
       FROM {table}
     ),
     tok AS (
-      SELECT DISTINCT did, pos, w FROM (
-        SELECT did, pos, {_unnest(d, "_toks", "w")}
-        FROM base WHERE _toks IS NOT NULL
+      -- `tot` counts every base row, so the NULL guard cannot move to
+      -- the raw text column; the Spark branch filters the generate
+      -- OUTPUT via LATERAL VIEW OUTER instead (row-identical: token
+      -- elements are never NULL) — a `_toks IS NOT NULL` guard above
+      -- the projection is pushed into the scan Filter with the
+      -- tokenizer inlined, one extra tokenize pass per row.
+      SELECT DISTINCT did, pos, w FROM ({(
+        f"SELECT did, pos, w FROM base "
+        f"LATERAL VIEW OUTER explode(_toks) _xt AS w WHERE w IS NOT NULL"
+        if d.name == "spark" else
+        f"SELECT did, pos, {_unnest(d, '_toks', 'w')} "
+        f"FROM base WHERE _toks IS NOT NULL"
+      )}
       )
     ),
     tot AS (
@@ -1053,9 +1063,15 @@ def gini_feature_select_sql(
       FROM {table}
     ),
     tok AS (
-      SELECT DISTINCT did, lbl, w FROM (
-        SELECT did, lbl, {_unnest(d, "_toks", "w")}
-        FROM base WHERE _toks IS NOT NULL
+      -- `nl` counts every base row per label — the token_label_chisq
+      -- OUTER-explode rationale applies verbatim.
+      SELECT DISTINCT did, lbl, w FROM ({(
+        f"SELECT did, lbl, w FROM base "
+        f"LATERAL VIEW OUTER explode(_toks) _xt AS w WHERE w IS NOT NULL"
+        if d.name == "spark" else
+        f"SELECT did, lbl, {_unnest(d, '_toks', 'w')} "
+        f"FROM base WHERE _toks IS NOT NULL"
+      )}
       )
     ),
     nl AS (
