@@ -147,3 +147,64 @@ def test_staged_plan_exchange_counts_pinned(spark):
         if n > cap:
             bad.append(f"{name}: {n} hash exchanges > pinned ceiling {cap}")
     assert not bad, "; ".join(bad)
+
+
+def test_no_tokenizer_in_scan_filters(spark):
+    """Plan-shape regression gate for the r14 raw-column-guard sweep: a
+    `_toks IS NOT NULL` (or `size(_toks) >= 1`) guard written above the
+    tokenizing projection gets pushed into the scan Filter by Catalyst
+    with the whole tokenizer inlined — every row then tokenizes twice
+    (Filter + Project) at scan parallelism.  The r14 fix moves the
+    guards to the raw text column (`tokens(x) IS NULL ⇔ x IS NULL`;
+    `size(tokens(x)) >= 1 ⇔ lower(x) RLIKE '[a-z0-9]'`).  Pin the
+    invariant on the executed plans of one representative per touched
+    family, plus the staged relations whose registered plans only show
+    a checkpoint read."""
+    SF = "/root/testdata/sf0.001"
+    # `filter(split(lower(` inside a Filter condition is the smoking gun
+    # (the projection legitimately contains it once).
+    import re
+
+    gun = re.compile(r"Filter [^\n]*filter\(split\(lower\(")
+    bad = []
+    for name in (
+        "minhash_sigs_docs",            # _minhash_sig_cte consumers
+        "dedup_incremental_fuzzy_docs",  # persisted fuzzy screen
+        "simhash_docs",                 # direct token explode
+        "keywords_docs",                # keyword_extract OUTER form
+        "readability_docs",             # raw-column guard
+        "hash_vectorize_docs",          # raw-column guard
+        "token_chisq_docs",             # OUTER form (tot counts base)
+        "gini_feature_select_docs",     # OUTER form (nl counts base)
+        "decontaminate_docs",           # both sides raw-guarded
+    ):
+        plan = (
+            REGISTRY[name].spark_fn(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        if gun.search(plan):
+            bad.append(name)
+    # staged relations (registered plans read localCheckpoints, so pin
+    # the staging statement's own plan)
+    from time_sift_spark.functions.text_fns import SPARK as _TS
+    from time_sift_spark.operators.entity import _symspell_variants_select
+    from time_sift_spark.operators.search import _tfc_weights_select
+
+    spark.read.parquet(f"{SF}/documents.parquet").createOrReplaceTempView(
+        "_ts_inv_docs"
+    )
+    spark.read.parquet(f"{SF}/customer.parquet").createOrReplaceTempView(
+        "_ts_inv_cust"
+    )
+    w = spark.sql(_tfc_weights_select(
+        _TS, "_ts_inv_docs", "doc_id", "text", shingle_k=3, pair_df_cap=64
+    ))._jdf.queryExecution().executedPlan().toString()
+    if gun.search(w):
+        bad.append("_tfc_weights_select")
+    v = spark.sql(_symspell_variants_select(
+        _TS, "_ts_inv_cust", "c_custkey", "c_name", max_deletions=2
+    ))._jdf.queryExecution().executedPlan().toString()
+    # the variants gun is the neighborhood transform inside a Filter
+    if re.search(r"Filter [^\n]*transform\(sequence\(", v):
+        bad.append("_symspell_variants_select")
+    assert not bad, f"tokenizer/neighborhood re-evaluated in scan Filter: {bad}"

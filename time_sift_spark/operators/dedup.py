@@ -556,6 +556,16 @@ def _njp_hdist_select(d: Dialect, table: str, id_col: str, text_col: str,
     base = (f"SELECT {id_col} AS did, {blocks}, "
             f"{hashed_tokens_expr(d, text_col)} AS _hts FROM {table}")
     blk_cols = ", ".join(f"blk{i}" for i in range(len(block_exprs)))
+    if d.name == "spark":
+        # OUTER + null-filter on the generate output: a plain explode
+        # over the _hts ATTRIBUTE makes InferFiltersFromGenerate add
+        # `size(_hts) > 0 AND isnotnull(_hts)`, pushed below the
+        # projection with the whole hashed-token chain inlined.
+        # Row-identical: hashed tokens are never NULL, and NULL/empty
+        # sets emit nothing under either form.
+        return (f"SELECT did, {blk_cols}, h FROM ({base}) _njb "
+                f"LATERAL VIEW OUTER explode(_hts) _njt AS h "
+                f"WHERE h IS NOT NULL")
     return f"SELECT did, {blk_cols}, {_unnest(d, '_hts', 'h')} FROM ({base}) _njb"
 
 

@@ -848,8 +848,16 @@ def readability_sql(
       FROM {table} WHERE {text_col} IS NOT NULL
     ),
     tok AS (
-      SELECT did, n_sent, {_unnest(d, "_toks", "w")}
-      FROM base
+      -- Spark: OUTER + null-filter on the generate output — a plain
+      -- explode over the _toks ATTRIBUTE makes InferFiltersFromGenerate
+      -- add `size(_toks) > 0 AND isnotnull(_toks)`, which pushes below
+      -- the projection with the tokenizer inlined (complex generator
+      -- inputs are exempt, attributes are not).  Row-identical: token
+      -- elements are never NULL, empty arrays emit nothing either way.
+      {(f"SELECT did, n_sent, w FROM base "
+        f"LATERAL VIEW OUTER explode(_toks) _rt AS w WHERE w IS NOT NULL"
+        if d.name == "spark" else
+        f'SELECT did, n_sent, {_unnest(d, "_toks", "w")} FROM base')}
     ),
     tc AS (
       SELECT did, n_sent, w, COUNT(*) AS n, {syl} AS syl
@@ -1164,11 +1172,20 @@ def hash_vectorize_sql(
       -- NULL guard on the RAW text column (tokens(x) IS NULL ⇔ x IS
       -- NULL): `_toks IS NOT NULL` above the projection gets pushed
       -- into the scan Filter with the tokenizer inlined (the
-      -- _minhash_sig_cte rule).
-      SELECT did, {_unnest(d, "_toks", "tok")} FROM (
+      -- _minhash_sig_cte rule).  Spark additionally explodes OUTER +
+      -- null-filter on the generate output — a plain explode over the
+      -- _toks ATTRIBUTE makes InferFiltersFromGenerate re-introduce the
+      -- pushed constraint (see readability_sql).
+      {(f"SELECT did, tok FROM ("
+        f"SELECT {id_col} AS did, {toks} AS _toks FROM {table} "
+        f"WHERE {text_col} IS NOT NULL) _fh0 "
+        f"LATERAL VIEW OUTER explode(_toks) _ft AS tok "
+        f"WHERE tok IS NOT NULL"
+        if d.name == "spark" else
+        f'''SELECT did, {_unnest(d, "_toks", "tok")} FROM (
         SELECT {id_col} AS did, {toks} AS _toks FROM {table}
         WHERE {text_col} IS NOT NULL
-      ) _fh0
+      ) _fh0''')}
     ),
     _fhw AS (
       SELECT did, CAST(({h} % {dim}) AS INT) AS dim_idx,
