@@ -138,8 +138,13 @@ def bm25_topk(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
     )
+    # explode_outer: plain explode over the toks ATTRIBUTE makes
+    # InferFiltersFromGenerate push size/isnotnull constraints below the
+    # projection, re-running the tokenizer in the scan Filter.  The isin
+    # filter already drops the NULL term an OUTER explode emits for
+    # NULL/empty arrays — row-identical.
     postings = (
-        base.select(id_col, "dl", F.explode("toks").alias("term"))
+        base.select(id_col, "dl", F.explode_outer("toks").alias("term"))
         .where(F.col("term").isin(terms))
     )
     tf = postings.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -248,8 +253,11 @@ def build_text_index(
     base = docs.select(
         F.col(id_col), F.expr(SPARK.tokens(text_col)).alias("toks")
     ).select(id_col, "toks", F.size("toks").alias("dl"))
+    # explode_outer + term null-filter — see bm25_topk (row-identical:
+    # token elements are never NULL).
     postings = (
-        base.select(id_col, "dl", F.explode("toks").alias("term"))
+        base.select(id_col, "dl", F.explode_outer("toks").alias("term"))
+        .where(F.col("term").isNotNull())
         .groupBy(id_col, "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -344,8 +352,10 @@ def append_text_index(
     base = docs.select(
         F.col(id_col), F.expr(SPARK.tokens(text_col)).alias("toks")
     ).select(id_col, "toks", F.size("toks").alias("dl"))
+    # explode_outer + term null-filter — see bm25_topk.
     postings = (
-        base.select(id_col, "dl", F.explode("toks").alias("term"))
+        base.select(id_col, "dl", F.explode_outer("toks").alias("term"))
+        .where(F.col("term").isNotNull())
         .groupBy(id_col, "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

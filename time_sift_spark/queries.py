@@ -1214,13 +1214,17 @@ def _budget_scored_select(d, table: str) -> str:
         dis = "size(array_distinct(_toks))"
     else:
         dis = "len(list_distinct(_toks))"
+    # NULL guard on the RAW text column (tokens(x) IS NULL ⇔ x IS NULL):
+    # a `_toks IS NOT NULL` guard above the projection gets pushed into
+    # the scan Filter with the tokenizer inlined (operators/dedup.py
+    # _minhash_hashed_cte rule).
     return f"""
       SELECT doc_id,
              (CAST({dis} AS DOUBLE)
               / CAST(greatest({d.size("_toks")}, 1) AS DOUBLE)) AS score,
              CAST({d.size("_toks")} AS BIGINT) AS n_tokens
-      FROM (SELECT doc_id, {d.tokens("text")} AS _toks FROM {table})
-      WHERE _toks IS NOT NULL
+      FROM (SELECT doc_id, {d.tokens("text")} AS _toks FROM {table}
+            WHERE text IS NOT NULL)
     """
 
 
