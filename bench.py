@@ -222,8 +222,33 @@ def main() -> None:
 
     not_measured = len(names) - stopped_at if stopped_at < len(names) else 0
 
-    # Full precision for humans / the repo record.
-    print(json.dumps({"queries_full": timings, "sf": sf_val}), file=sys.stderr)
+    # Full precision for humans / the repo record — with the recorded
+    # standalone floors beside every measured streaming drain (r14
+    # VERDICT item 9: availableNow drains draw 2-6x over their floors
+    # under aged-JVM/box noise, and a PERF reader needs (floor,
+    # in-bench) side by side to tell drain variance from a plan
+    # regression without repo archaeology).  Floors are the committed
+    # fresh-JVM best-of-2 records in STREAMING_FLOORS.json.
+    floors = {}
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "STREAMING_FLOORS.json")) as fh:
+            floors = json.load(fh).get("floors", {})
+    except Exception:
+        pass
+    stream_pairs = {
+        n: {"floor": floors.get(n), "in_bench": t}
+        for n, t in timings.items()
+        if _is_streaming(n)
+    }
+    print(
+        json.dumps({
+            "queries_full": timings,
+            "streaming_floor_vs_in_bench": stream_pairs,
+            "sf": sf_val,
+        }),
+        file=sys.stderr,
+    )
     sys.stderr.flush()
     _emit_snapshot(timings, sf_val, not_measured)
 

@@ -57,6 +57,26 @@ def test_oracles_are_valid_duckdb_sql():
             raise AssertionError(f"oracle for {name!r} does not plan: {exc}") from exc
 
 
+def _full_plan_string(df) -> str:
+    """executedPlan().toString() with expression-tree truncation OFF for
+    the duration of the render: the default
+    spark.sql.debug.maxToStringFields=25 elides long condition lists
+    ('... N more fields'), so a smoking-gun expression buried deep in a
+    Filter condition could vanish from the printed plan and a regex gate
+    would silently pass (ADVICE r14)."""
+    spark = df.sparkSession
+    key = "spark.sql.debug.maxToStringFields"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "100000")
+    try:
+        return df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
 def test_staged_plan_exchange_counts_pinned(spark):
     """Plan-shape regression gate for the r9 staging wins (VERDICT item:
     a Catalyst-inlining regression should fail pytest, not surface as a
@@ -139,10 +159,7 @@ def test_staged_plan_exchange_counts_pinned(spark):
     }
     bad = []
     for name, cap in ceilings.items():
-        plan = (
-            REGISTRY[name].spark_fn(spark, SF)
-            ._jdf.queryExecution().executedPlan().toString()
-        )
+        plan = _full_plan_string(REGISTRY[name].spark_fn(spark, SF))
         n = len(re.findall(r"Exchange hashpartitioning", plan))
         if n > cap:
             bad.append(f"{name}: {n} hash exchanges > pinned ceiling {cap}")
@@ -178,10 +195,7 @@ def test_no_tokenizer_in_scan_filters(spark):
         "gini_feature_select_docs",     # OUTER form (nl counts base)
         "decontaminate_docs",           # both sides raw-guarded
     ):
-        plan = (
-            REGISTRY[name].spark_fn(spark, SF)
-            ._jdf.queryExecution().executedPlan().toString()
-        )
+        plan = _full_plan_string(REGISTRY[name].spark_fn(spark, SF))
         if gun.search(plan):
             bad.append(name)
     # staged relations (registered plans read localCheckpoints, so pin
@@ -201,10 +215,67 @@ def test_no_tokenizer_in_scan_filters(spark):
     ))._jdf.queryExecution().executedPlan().toString()
     if gun.search(w):
         bad.append("_tfc_weights_select")
-    v = spark.sql(_symspell_variants_select(
+    v = _full_plan_string(spark.sql(_symspell_variants_select(
         _TS, "_ts_inv_cust", "c_custkey", "c_name", max_deletions=2
-    ))._jdf.queryExecution().executedPlan().toString()
+    )))
     # the variants gun is the neighborhood transform inside a Filter
     if re.search(r"Filter [^\n]*transform\(sequence\(", v):
         bad.append("_symspell_variants_select")
     assert not bad, f"tokenizer/neighborhood re-evaluated in scan Filter: {bad}"
+
+
+def test_no_lsh_fold_in_scan_filters(spark):
+    """Plan-shape gate for the r14 LSH fix (VERDICT r14 item 8): a plain
+    ``explode(bks)`` over the literal-constructed bucket-key array makes
+    Catalyst infer ``size(array(<num_tables×num_planes plane-dot
+    folds>)) > 0`` and push it below the Exchange into the scan-side
+    Filter — every LSH key fold then runs TWICE per row (Filter +
+    Project).  The LATERAL VIEW OUTER form kills the inferred
+    constraint; pin it on one representative per consumer family."""
+    import re
+
+    SF = "/root/testdata/sf0.001"
+    gun = re.compile(r"Filter [^\n]*size\(array\(")
+    bad = []
+    for name in (
+        "ann_lsh_topk",              # inline two-sided keys
+        "vector_screen_embeddings",  # persisted screen (batch signing)
+        "ann_lsh_multiprobe_topk",   # multiprobe probe side
+    ):
+        plan = _full_plan_string(REGISTRY[name].spark_fn(spark, SF))
+        if gun.search(plan):
+            bad.append(name)
+    assert not bad, f"LSH key folds re-evaluated in scan Filter: {bad}"
+
+
+def test_staged_trainer_centroid_joins_broadcast(spark):
+    """Plan-shape gate for the r14 staged-trainer broadcast pins
+    (VERDICT r14 item 8): the staged Lloyd/PQ relations are
+    localCheckpoint'ed, and checkpointed frames carry no size stats
+    (LogicalRDD defaults to 'huge') — without the F.broadcast pin every
+    centroid/codebook join demotes to a shuffle, which measured SLOWER
+    than the unstaged inline form.  Pin the join strategy on the
+    executed plans: the K-row centroid relations must reach the n×K
+    rankings as broadcasts (BroadcastNestedLoopJoin for the cross
+    joins, BroadcastHashJoin for the subspace equi-joins), never as a
+    SortMergeJoin/ShuffledHashJoin build side."""
+    import re
+
+    SF = "/root/testdata/sf0.001"
+    for name, pattern in (
+        # lv CROSS JOIN c{final} (assign + probes): broadcast NLJ
+        ("ann_ivf_refined_topk", r"BroadcastNestedLoopJoin"),
+        # sub JOIN pc{final} ON c.s = x.s (codes + dt): broadcast hash
+        ("pq_adc_topk", r"BroadcastHashJoin"),
+    ):
+        plan = _full_plan_string(REGISTRY[name].spark_fn(spark, SF))
+        assert re.search(pattern, plan), (
+            f"{name}: expected {pattern} for the staged centroid join"
+        )
+        # and no centroid join may have demoted to a sort-merge: the
+        # only SMJ-legitimate relations here are lv/sub self-joins,
+        # which these plans do not contain (verified at pin time)
+        assert "SortMergeJoin" not in plan, (
+            f"{name}: a staged-trainer join demoted to SortMergeJoin "
+            "(broadcast pin lost?)"
+        )

@@ -84,10 +84,12 @@ def test_rocksdb_state_store_parity(spark, tmp_path):
 
 def test_default_stream_partitions_by_state_class(spark, tmp_path, monkeypatch):
     """The adaptive drain default: Python-state plans
-    (applyInPandasWithState) get cores/2 (capped 16, floored 4) for
-    Python-worker parallelism; JVM-stateful plans get cores/8 (floored
-    2) because the per-partition state-store cost dominates; the env
-    knob overrides both (the production sizing lever)."""
+    (applyInPandasWithState) get cores/8 (floored 2) — after the r15
+    vectorized key-bucketing the Python side is thin and store overhead
+    dominates; JVM-stateful plans get the minimum robust count (2)
+    because the per-partition state-store cost dominates at ANY local
+    core count (r15 cold-JVM sweep); the env knob overrides both (the
+    production sizing lever)."""
     import pyspark.sql.functions as F
 
     from time_sift_spark.streaming.lag_stream import (
@@ -105,8 +107,8 @@ def test_default_stream_partitions_by_state_class(spark, tmp_path, monkeypatch):
     jvm_state = stream.groupBy("k").agg(F.sum("v").alias("s"))
 
     monkeypatch.delenv("SPARK_GRAFT_STREAM_PARTS", raising=False)
-    assert default_stream_partitions(py_state) == max(4, min(cores // 2, 16))
-    assert default_stream_partitions(jvm_state) == max(2, cores // 8)
+    assert default_stream_partitions(py_state) == max(2, cores // 8)
+    assert default_stream_partitions(jvm_state) == 2
 
     monkeypatch.setenv("SPARK_GRAFT_STREAM_PARTS", "7")
     assert default_stream_partitions(py_state) == 7

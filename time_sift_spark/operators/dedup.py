@@ -23,6 +23,8 @@ charter-mandated extensions.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import DataFrame
 
@@ -191,9 +193,13 @@ def _minhash_hashed_cte(
     d: Dialect, table: str, id_col: str, text_col: str, shingle_k: int
 ) -> str:
     """CTEs ending in ``hashed(did, h)`` — the tokenize → shingle → md5
-    prefix of the MinHash chain, shared verbatim by the one-statement
-    signature chain and the staged store build/append/screen paths so
-    staged ≡ inline is structural.
+    prefix of the MinHash chain.  Its only caller is
+    :func:`_minhash_sig_cte` (which recomposes it with
+    :func:`_minhash_sigw_select`): the r14 experiment that staged this
+    prefix behind the store build/append/screen paths measured a
+    REGRESSION and was reverted (see the negative-result note at
+    ``build_minhash_store``), so the split survives as documentation of
+    the chain's two halves, not as a shared staging point.
 
     tokens are STAGED as a column before shingling: embedding the token
     pipeline inside the shingle lambda re-tokenizes once per shingle
@@ -885,6 +891,14 @@ def connected_components(
     return labels.select("id", F.col("lbl").alias("cluster_id"))
 
 
+# Star-alternation rounds per checkpointed job in _cc_star — the graph.py
+# _KCORE_GROUP discipline: the deep chain graph pays ~10 rounds of driver
+# round-trips, and grouping G rounds into one lazy plan lets exchange
+# reuse collapse the duplicated sym/m subtrees while saving G-1 probe +
+# checkpoint materializations per group.  Env override for sweeps.
+_CC_GROUP = int(os.environ.get("SPARK_GRAFT_CC_GROUP", "2"))
+
+
 def _cc_star(
     edge_pairs: DataFrame, *, src: str, dst: str, max_iterations: int
 ) -> DataFrame:
@@ -967,8 +981,9 @@ def _cc_star(
         )
         return own.unionAll(moved).where(F.col("u") != F.col("v")).distinct()
 
-    for it in range(max_iterations + 1):
-        # The round's FIRST aggregation doubles as the star-forest probe
+    done = 0
+    while True:
+        # The group's FIRST aggregation doubles as the star-forest probe
         # (the r13 probe was a separate count_distinct + semi-join pass
         # over the new edge set — one full extra exchange per round):
         # the current edge set is a forest of stars iff no node is a
@@ -979,12 +994,29 @@ def _cc_star(
         m = m.localCheckpoint(eager=False)  # probe materializes; join reuses
         if m.where("_nc > 1 OR (_nc > 0 AND _np > 0)").isEmpty():
             break
-        if it == max_iterations:
+        if done >= max_iterations:
             raise RuntimeError(
                 f"connected_components(star) did not converge within "
                 f"{max_iterations} rounds — raise max_iterations for this graph"
             )
-        edges = _small_star(_large_star(sym, m)).localCheckpoint(eager=False)
+        # Run _CC_GROUP rounds per checkpointed job (the kcore grouping,
+        # r14 §12, applied to the star alternation — the deep chain graph
+        # needs ~10 rounds, each formerly its own probe + checkpoint +
+        # driver round-trip).  Grouping is SOUND under the probe: a
+        # forest of stars is a FIXPOINT of both steps (large-star maps
+        # every leaf to the root it already has; small-star re-emits the
+        # same star edges), so overshooting the convergence round inside
+        # a group re-derives the identical edge set and the boundary
+        # probe still certifies it.  Within the group the intermediate
+        # sym/m relations stay lazy — their duplicated subtrees collapse
+        # via exchange reuse inside the one fused job, and only the
+        # group's last edge set is checkpointed.
+        for g in range(min(_CC_GROUP, max_iterations - done)):
+            if g > 0:
+                sym, m = _sym_stats(edges)
+            edges = _small_star(_large_star(sym, m))
+            done += 1
+        edges = edges.localCheckpoint(eager=False)
     # all-stars fixpoint: each non-minimum vertex has exactly its
     # component minimum as parent; minima have no outgoing edge
     return vertices.join(

@@ -441,8 +441,16 @@ def clustering_coefficients(
 
 # Peel levels per checkpointed job in the iterative kcore — the
 # measured knee (plan references grow 2^steps inside a group; 3 beat 2
-# and 4 on the deep sf0.1 cascade: 3.96 vs 4.06 / 4.31 s).
-_KCORE_GROUP = 3
+# and 4 on the deep sf0.1 cascade: 3.96 vs 4.06 / 4.31 s).  Once the
+# surviving set falls under _KCORE_SMALL_N nodes the per-level DATA is
+# trivial and the residual cost is jobs/stages — the group grows to
+# _KCORE_GROUP_SMALL there (r14 VERDICT item 6: adaptive grouping for
+# the deep small-tail cascade).  Env overrides for sweeps.
+import os as _os
+
+_KCORE_GROUP = int(_os.environ.get("SPARK_GRAFT_KCORE_GROUP", "3"))
+_KCORE_GROUP_SMALL = int(_os.environ.get("SPARK_GRAFT_KCORE_GROUP_SMALL", "6"))
+_KCORE_SMALL_N = int(_os.environ.get("SPARK_GRAFT_KCORE_SMALL_N", "4096"))
 
 
 def kcore_sql(
@@ -566,7 +574,8 @@ def kcore(
     done = 0
     converged = n_cur == 0
     while done < max_iterations and not converged:
-        steps = min(_KCORE_GROUP, max_iterations - done)
+        group = _KCORE_GROUP if n_cur > _KCORE_SMALL_N else _KCORE_GROUP_SMALL
+        steps = min(group, max_iterations - done)
         lvl = cur
         for _ in range(steps):
             _deg, lvl = _level(lvl)

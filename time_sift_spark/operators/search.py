@@ -140,12 +140,15 @@ def bm25_topk(
     )
     # explode_outer: plain explode over the toks ATTRIBUTE makes
     # InferFiltersFromGenerate push size/isnotnull constraints below the
-    # projection, re-running the tokenizer in the scan Filter.  The isin
-    # filter already drops the NULL term an OUTER explode emits for
-    # NULL/empty arrays — row-identical.
+    # projection, re-running the tokenizer in the scan Filter.  The
+    # explicit term-null filter drops the NULL term an OUTER explode
+    # emits for NULL/empty arrays (row-identical; the isin would too,
+    # but only while no caller passes a NULL term — keep the row
+    # identity independent of caller input, ADVICE r14).  Free after
+    # predicate pushdown: isNotNull is implied by the isin semijoin.
     postings = (
         base.select(id_col, "dl", F.explode_outer("toks").alias("term"))
-        .where(F.col("term").isin(terms))
+        .where(F.col("term").isNotNull() & F.col("term").isin(terms))
     )
     tf = postings.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))

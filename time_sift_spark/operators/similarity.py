@@ -842,16 +842,19 @@ def _stage_lloyd(df: DataFrame, view: str, id_col: str, vec_col: str,
     view over the lazily-checkpointed (cid, cent, nc) relation (see
     :func:`lloyd_train_sql` for why).
 
-    Trains ITERATION BY ITERATION, checkpointing each c{i}: in the
-    one-statement chain every c{i} references c{i-1} twice (the assign
-    pass and the empty-cell carry join), so CTE inlining re-executes the
-    n×K assign pass 2^(iters-i) times — 7 passes instead of 3 at
-    iters=3 (measured: 1.63/3.01/4.99 s at iters 1/2/3 over the same
-    2 000 vectors).  Staging per step makes each pass run exactly once;
-    ``lv`` (vectors + norms) is checkpointed too so the source scan and
-    norm folds are paid once, not once per iteration.  Values are
-    bit-identical by construction: both forms render the SAME step CTEs
-    (:func:`_lloyd_iter_ctes`)."""
+    Trains ITERATION BY ITERATION: in the one-statement chain every
+    c{i} references c{i-1} twice (the assign pass and the empty-cell
+    carry join), so CTE inlining re-executes the n×K assign pass
+    2^(iters-i) times — 7 passes instead of 3 at iters=3 (measured:
+    1.63/3.01/4.99 s at iters 1/2/3 over the same 2 000 vectors).
+    Staging per step makes each pass run exactly once; ``lv`` (vectors
+    + norms) is checkpointed so the source scan and norm folds are paid
+    once, not once per iteration; each trained c{i} (K rows) is
+    COLLECTED to a local relation (r15 — one job per step, exact stats,
+    no checkpoint/broadcast machinery; see ``_lit`` below) with the
+    seed fused into step 1's statement.  Values are bit-identical by
+    construction: both forms render the SAME step CTEs
+    (:func:`_lloyd_iter_ctes`), pinned by tests/test_staged_training.py."""
     from pyspark.sql import functions as F
 
     spark = df.sparkSession
@@ -871,19 +874,41 @@ def _stage_lloyd(df: DataFrame, view: str, id_col: str, vec_col: str,
     lvv = _next_view()
     lv.createOrReplaceTempView(lvv)
 
-    def _pin(frame):
-        # A checkpointed frame carries no size stats (LogicalRDD
-        # defaults to "huge"), which would demote every centroid join
-        # from broadcast to shuffle — the relation is num_centroids
-        # rows, so pin the hint.
+    def _lit(frame):
+        # The trained relation is num_centroids rows (sub-KB): collect
+        # it and re-register as a LOCAL relation instead of a lazy
+        # localCheckpoint + broadcast pin (the r14 form).  A
+        # LocalRelation carries EXACT stats (so every centroid join
+        # auto-broadcasts — the pin stays as belt and braces), needs no
+        # checkpoint block materialization and no broadcast-from-RDD
+        # job, and the collect IS the step's materializing action — one
+        # job per Lloyd step instead of two.  Collecting a trained
+        # K-row model is not a driver-side data path; the collect/
+        # createDataFrame round-trip is bit-exact (Python floats are
+        # IEEE doubles, Arrow preserves them).
+        rows = frame.collect()
         v = _next_view()
-        F.broadcast(frame.localCheckpoint(eager=False)).createOrReplaceTempView(v)
+        F.broadcast(
+            spark.createDataFrame(rows, frame.schema)
+        ).createOrReplaceTempView(v)
         return v
 
-    prev = _pin(spark.sql(_lloyd_seed_select(_VSPARK, lvv, num_centroids)))
-    for i in range(1, iters + 1):
+    # Seed fused into step 1 (one fewer statement): c0 is referenced
+    # twice inside the fused statement (assign + carry) and re-executes
+    # per reference, but it is a deterministic TakeOrdered over the
+    # checkpointed lv — two cheap passes, same rows (total order on
+    # (md5(vid), vid)).
+    seed_sql = _lloyd_seed_select(_VSPARK, lvv, num_centroids)
+    if iters == 0:
+        return _lit(spark.sql(seed_sql))
+    a, m, _c = _lloyd_iter_ctes(_VSPARK, 1, prev="c0", lv=lvv)
+    prev = _lit(spark.sql(
+        f"WITH c0 AS ({seed_sql}),\n    {a},\n    {m}\n    "
+        f"{_lloyd_carry_select(_VSPARK, 1, 'c0')}"
+    ))
+    for i in range(2, iters + 1):
         a, m, _c = _lloyd_iter_ctes(_VSPARK, i, prev=prev, lv=lvv)
-        prev = _pin(spark.sql(
+        prev = _lit(spark.sql(
             f"WITH {a},\n    {m}\n    {_lloyd_carry_select(_VSPARK, i, prev)}"
         ))
     return prev
@@ -1574,9 +1599,20 @@ def screen_new_vectors_lsh(
     # join here is a broadcast — so without an exchange the 32-fold bucket
     # signing, the bucket self-join fan-out AND the candidate cosine folds
     # all inherit that width and run near-single-threaded.  Round-robin the
-    # tagged batch across the session's cores BELOW the key computation;
-    # row order never matters (every downstream op is a join/agg).
-    n_parts = max(1, spark.sparkContext.defaultParallelism)
+    # tagged batch BELOW the key computation; row order never matters
+    # (every downstream op is a join/agg).  Width is sized by BATCH ROWS
+    # (≥32 rows per partition, capped at the session's cores): a ~110-row
+    # ingest batch at full defaultParallelism width spread 3-4 rows per
+    # task across ~24 screen stages — pure scheduling overhead (r14
+    # measured the streaming ingest's screen epochs dominated by it);
+    # at corpus-scale batches rows/32 ≥ cores and the width is
+    # unchanged.  The count is one metadata-cheap job over the small
+    # batch relation, paid before the screen statement.
+    n_rows = new_df.count()
+    n_parts = max(
+        1,
+        min(spark.sparkContext.defaultParallelism, (n_rows + 31) // 32),
+    )
     return spark.sql(f"""
     WITH ntag AS (SELECT /*+ REPARTITION({n_parts}) */ * FROM {ntagged} _nt),
     akeys AS (

@@ -22,6 +22,7 @@ checks.
 
 from __future__ import annotations
 
+import os
 from contextlib import contextmanager
 from typing import Iterator, Sequence
 
@@ -31,6 +32,49 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..errors import validate_lags
+
+
+_KB_COL = "_ts_kb"
+
+
+def _default_key_buckets(stream_df: DataFrame) -> int:
+    """Key-bucket count for the bucketed pandas-state drains.
+
+    applyInPandasWithState invokes the Python function ONCE PER KEY per
+    micro-batch, and the r15 no-op-UDF isolation measured ~10 ms of
+    protocol machinery per invocation (per-key Arrow framing + state
+    round-trip) — at 1 500 keys × 5 micro-batches that is the whole
+    drain cost, regardless of the function body.  Grouping keys into
+    deterministic hash buckets and looping per key INSIDE the function
+    amortizes the protocol over ~keys/buckets keys per call while
+    executing the identical per-key code.  2 buckets per core keeps
+    every Python worker busy with a small number of fat calls; the env
+    knob is the production lever (size to keys-per-trigger / state
+    volume per bucket)."""
+    env = os.environ.get("SPARK_GRAFT_STREAM_KEY_BUCKETS")
+    if env:
+        return max(1, int(env))
+    cores = stream_df.sparkSession.sparkContext.defaultParallelism
+    return max(4, 2 * cores)
+
+
+def _bucketed(stream_df: DataFrame, partition_by: str, cols: list,
+              n_buckets: int) -> DataFrame:
+    """Project to ``cols`` and add the deterministic key-bucket column.
+
+    The projection lands BEFORE the grouping exchange (guide §4.1/§2.3:
+    grouped rows cross JVM→Python as whole-row Arrow batches, so
+    un-projected extras like the events props JSON pay shuffle AND
+    boundary bytes for nothing).  The bucket key is a deterministic
+    function of the key column (Murmur3 + pmod — safe under task retry,
+    guide §2.5), so a key's rows land in one bucket per batch exactly as
+    they landed in one group before; grouping by bucket instead of key
+    changes NOTHING about per-key values, only how many keys share one
+    Python invocation."""
+    return stream_df.select(
+        *cols,
+        F.pmod(F.hash(F.col(partition_by)), F.lit(n_buckets)).alias(_KB_COL),
+    )
 
 
 def streaming_lag_features(
@@ -45,11 +89,17 @@ def streaming_lag_features(
     """Stateful streaming analogue of operators.lag.lag_features (wide,
     NULL fill). Returns a streaming DataFrame with columns
     (partition_by, time_col, *order_extra, value_col, {value}_lag{k}...).
+
+    Keys are processed in HASH BUCKETS (see :func:`_default_key_buckets`):
+    the per-key ring-buffer logic is unchanged — the function loops over
+    the bucket's keys and runs the identical shift-over-buffer code per
+    key, with the bucket's state packed as parallel (uids, bufs) arrays.
     """
     lag_list = validate_lags(lags)
     max_lag = max(lag_list)
     sort_cols = [time_col, *order_extra]
     lag_names = [f"{value_col}_lag{k}" for k in lag_list]
+    out_cols = [partition_by, time_col, *order_extra, value_col, *lag_names]
 
     out_fields = [
         f"{partition_by} long",
@@ -59,24 +109,71 @@ def streaming_lag_features(
         *[f"{n} double" for n in lag_names],
     ]
     output_schema = ", ".join(out_fields)
-    state_schema = "buf_v array<double>"
+    state_schema = "uids array<long>, bufs array<array<double>>"
 
     def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        (buf_v,) = state.get if state.exists else ([],)
-        buf_v = list(buf_v)
-        batch = pd.concat(list(pdfs), ignore_index=True).sort_values(sort_cols, kind="mergesort")
-        values = buf_v + batch[value_col].tolist()
-        n_buf = len(buf_v)
-        out = batch[[time_col, *order_extra, value_col]].reset_index(drop=True)
-        series = pd.Series(values, dtype="float64")
-        for k, name in zip(lag_list, lag_names):
-            out[name] = series.shift(k).iloc[n_buf:].reset_index(drop=True)
-        out.insert(0, partition_by, key[0])
-        state.update((values[-max_lag:] if max_lag else [],))
-        yield out[[partition_by, time_col, *order_extra, value_col, *lag_names]]
+        # Vectorized across the bucket's keys: one stable sort on
+        # (key, *sort_cols), carried buffers prepended as flagged prefix
+        # rows, lags via the grouped cython shift — per-key value
+        # identity with the per-key form is exact (shift within a group
+        # IS the per-series shift; the prefix supplies the same carried
+        # history the per-key buffer did).
+        uids, bufs = state.get if state.exists else ([], [])
+        st = dict(zip(uids, bufs))
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            [partition_by, *sort_cols], kind="mergesort"
+        )
+        pre_u: list = []
+        pre_v: list = []
+        if st:
+            for u in pd.unique(batch[partition_by]):
+                b = st.get(int(u))
+                if b:
+                    pre_u.extend(int(u) for _ in b)
+                    pre_v.extend(b)
+        if pre_u:
+            import numpy as np
 
+            n_pre = len(pre_u)
+            prefix = pd.DataFrame({
+                partition_by: pd.array(pre_u, dtype=batch[partition_by].dtype),
+                value_col: pd.array(pre_v, dtype="float64"),
+                # typed dummies keep the long columns int64 through the
+                # concat (prefix rows never reach the output)
+                **{c: np.zeros(n_pre, dtype="int64")
+                   for c in (time_col, *order_extra)},
+                "_pre": np.ones(n_pre, dtype=bool),
+            })
+            batch["_pre"] = False
+            full = pd.concat([prefix, batch], ignore_index=True)
+            # stable single-key sort: each key's prefix rows stay before
+            # its batch rows, buffer order and batch sort order preserved
+            full = full.sort_values(
+                partition_by, kind="mergesort"
+            ).reset_index(drop=True)
+        else:
+            full = batch.reset_index(drop=True)
+        g = full.groupby(partition_by, sort=False)[value_col]
+        for k, name in zip(lag_list, lag_names):
+            full[name] = g.shift(k)
+        if max_lag:
+            tail = full.groupby(partition_by, sort=False).tail(max_lag)
+            new_st: dict = {}
+            for u, v in zip(tail[partition_by].to_numpy(),
+                            tail[value_col].to_numpy()):
+                new_st.setdefault(int(u), []).append(float(v))
+            st.update(new_st)
+        else:
+            st.update({int(u): [] for u in pd.unique(batch[partition_by])})
+        state.update((list(st.keys()), list(st.values())))
+        out = full[~full["_pre"]] if pre_u else full
+        yield out[out_cols]
+
+    n_buckets = _default_key_buckets(stream_df)
     return (
-        stream_df.groupBy(partition_by)
+        _bucketed(stream_df, partition_by,
+                  [partition_by, time_col, *order_extra, value_col], n_buckets)
+        .groupBy(_KB_COL)
         .applyInPandasWithState(
             _update,
             output_schema,
@@ -149,19 +246,23 @@ def default_stream_partitions(stream_out: DataFrame) -> int:
       16 beat 4 by 2x on streaming_ewma (6.85 vs 14.19 s) and
       streaming_asof (6.59 vs 12.47 s).
 
-    The default therefore derives from the session's core count
-    (``defaultParallelism`` — local[N] => N, so the driver's
-    lower-core bench runs scale down with it): cores/2 capped at 16
-    for Python-state plans, cores/8 floored at 2 for JVM-state plans.
-    ``SPARK_GRAFT_STREAM_PARTS`` overrides both classes — on a real
-    cluster the count must be sized to state volume per store
-    (~100 MB-1 GB with RocksDB) and rows per trigger, which only the
-    deployment knows; these defaults just stop a fixed constant from
-    over-provisioning store instances at whatever the local core count
-    happens to be.
+    For Python-state plans the default derives from the session's core
+    count (``defaultParallelism`` — local[N] => N, so the driver's
+    lower-core bench runs scale down with it): cores/8 floored at 2.
+    JVM-state plans get the MINIMUM robust count, 2: their per-row work
+    is near-zero here, so every extra partition only adds store
+    instances (open/load/commit per micro-batch), and the r15 cold-JVM
+    sweep measured 2 at-or-fastest at BOTH 8 and 32 cores on every
+    JVM-state drain — the r14 ``cores // 8`` rule made the count grow
+    with cores, which is exactly backwards for a fixed state volume
+    (the driver's 32-core run drew 9.6 s on distinct_sketch at 4
+    partitions vs 2.3 s at 8 cores/2 partitions).  The right sizing
+    dial is STATE VOLUME per store (~100 MB-1 GB with RocksDB), which
+    only the deployment knows — ``SPARK_GRAFT_STREAM_PARTS`` overrides
+    both classes for that; the local default just refuses to
+    over-provision store instances for KB-scale monitor state at
+    whatever the local core count happens to be.
     """
-    import os
-
     env = os.environ.get("SPARK_GRAFT_STREAM_PARTS")
     if env:
         return max(1, int(env))
@@ -169,8 +270,37 @@ def default_stream_partitions(stream_out: DataFrame) -> int:
     cores = spark.sparkContext.defaultParallelism
     plan = stream_out._jdf.queryExecution().analyzed().toString()
     if "FlatMapGroupsInPandasWithState" in plan:
-        return max(4, min(cores // 2, 16))
-    return max(2, cores // 8)
+        # r15: the vectorized key-bucketed bodies made the Python side
+        # thin, so store overhead dominates here too — the r14 cores/2
+        # rule (sized for per-key protocol parallelism that no longer
+        # exists) measured strictly slower than cores/8 at both driver
+        # core counts (32 cores: 4 parts 4.22 s vs 16 parts 5.02;
+        # 8 cores: 2 parts 4.02 vs 8 parts 4.32, streaming_ewma cold).
+        return max(2, cores // 8)
+    return 2
+
+
+def _ephemeral_checkpoint_dir() -> str:
+    """A fresh checkpoint dir for ONE synchronous memory-sink drain —
+    on tmpfs when available (``/dev/shm``), else the system temp dir.
+
+    Why: every stateful micro-batch COMMIT fsyncs per-partition state
+    delta files plus offset/commit WAL entries into the checkpoint dir.
+    For these drains the checkpoint is pure scratch — the query runs to
+    completion synchronously and the caller reads the memory sink, so a
+    crash is handled by re-running the drain, never by checkpoint
+    recovery — yet on a disk-backed temp dir those fsyncs measured
+    multi-second VARIANCE spikes per drain (VM fsync latency × one
+    fsync per store per batch; guide §6: put scratch I/O on the right
+    medium).  Production sinks pass a REAL durable checkpoint dir and
+    are untouched (this path only serves the memory-sink convenience
+    drains).  ``SPARK_GRAFT_STREAM_CKPT_DIR`` overrides the base."""
+    import tempfile
+
+    base = os.environ.get("SPARK_GRAFT_STREAM_CKPT_DIR")
+    if not base:
+        base = "/dev/shm" if os.access("/dev/shm", os.W_OK) else tempfile.gettempdir()
+    return tempfile.mkdtemp(prefix="ts_drain_ckpt_", dir=base)
 
 
 def run_stream_to_df(
@@ -191,11 +321,14 @@ def run_stream_to_df(
     provider is latched per query at start, so pinning it around
     ``.start()`` scopes it to this drain; results are identical either
     way, which ``tests/test_streaming_sinks.py`` asserts."""
+    import shutil
+
     spark = stream_out.sparkSession
     if shuffle_partitions is None:
         shuffle_partitions = default_stream_partitions(stream_out)
     provider_key = "spark.sql.streaming.stateStore.providerClass"
     old_provider = spark.conf.get(provider_key, None)
+    ckpt = _ephemeral_checkpoint_dir()
     with pinned_shuffle_partitions(spark, shuffle_partitions):
         if state_store == "rocksdb":
             spark.conf.set(provider_key, ROCKSDB_PROVIDER)
@@ -204,6 +337,7 @@ def run_stream_to_df(
                 stream_out.writeStream.outputMode(output_mode)
                 .format("memory")
                 .queryName(query_name)
+                .option("checkpointLocation", ckpt)
                 .trigger(availableNow=True)
                 .start()
             )
@@ -214,6 +348,7 @@ def run_stream_to_df(
                     spark.conf.unset(provider_key)
                 else:
                     spark.conf.set(provider_key, old_provider)
+            shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(query_name)
 
 
@@ -249,6 +384,7 @@ def streaming_asof_join(
     time as epoch-µs long.
     """
     sort_cols = [time_col, *order_extra]
+    out_cols = [partition_by, time_col, *order_extra, value_col, out_col]
     output_schema = ", ".join(
         [
             f"{partition_by} long",
@@ -258,38 +394,61 @@ def streaming_asof_join(
             f"{out_col} double",
         ]
     )
-    state_schema = "last_v double"
+    state_schema = "uids array<long>, lasts array<double>"
 
     def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        last = state.get[0] if state.exists else None
-        batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
-            sort_cols, kind="mergesort"
-        )
-        pv = batch[value_col].where(batch[type_col] == right_type)
-        # prepend carried state so ffill crosses the batch boundary
-        carried = (
-            pd.concat([pd.Series([last], dtype="float64"), pv], ignore_index=True)
-            .ffill()
-            .iloc[1:]
-            .reset_index(drop=True)
-        )
-        batch = batch.reset_index(drop=True)
-        is_left = (batch[type_col] == left_type).to_numpy()
-        out = batch.loc[is_left, [time_col, *order_extra, value_col]].reset_index(
-            drop=True
-        )
-        out[out_col] = carried[is_left].reset_index(drop=True)
-        out.insert(0, partition_by, key[0])
-        new_last = pv.dropna()
-        if len(new_last):
-            state.update((float(new_last.iloc[-1]),))
-        elif state.exists:
-            state.update((last,))
-        yield out[[partition_by, time_col, *order_extra, value_col, out_col]]
+        # Vectorized across the bucket's keys (the streaming_lag_features
+        # pattern): each key's carried last-right value enters as a
+        # flagged prefix row, the forward fill runs in the grouped
+        # cython ffill (per-group ≡ per-series), prefix rows drop from
+        # the output, and the new last-right per key is the grouped
+        # last non-null of the right-value column.
+        import numpy as np
 
+        uids, lasts = state.get if state.exists else ([], [])
+        st = dict(zip(uids, lasts))
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            [partition_by, *sort_cols], kind="mergesort"
+        )
+        batch["_pv"] = batch[value_col].where(batch[type_col] == right_type)
+        pre_u = [int(u) for u in pd.unique(batch[partition_by])
+                 if int(u) in st] if st else []
+        if pre_u:
+            n_pre = len(pre_u)
+            prefix = pd.DataFrame({
+                partition_by: pd.array(pre_u, dtype=batch[partition_by].dtype),
+                value_col: np.zeros(n_pre, dtype="float64"),
+                type_col: pd.array([None] * n_pre, dtype=batch[type_col].dtype),
+                "_pv": pd.array([st[u] for u in pre_u], dtype="float64"),
+                **{c: np.zeros(n_pre, dtype="int64")
+                   for c in (time_col, *order_extra)},
+                "_pre": np.ones(n_pre, dtype=bool),
+            })
+            batch["_pre"] = False
+            full = pd.concat([prefix, batch], ignore_index=True).sort_values(
+                partition_by, kind="mergesort"
+            ).reset_index(drop=True)
+        else:
+            batch["_pre"] = False
+            full = batch.reset_index(drop=True)
+        full[out_col] = full.groupby(partition_by, sort=False)["_pv"].ffill()
+        new_last = full.groupby(partition_by, sort=False)["_pv"].last()
+        st.update({int(u): float(v) for u, v in new_last.items() if pd.notna(v)})
+        state.update((list(st.keys()), list(st.values())))
+        out = full[(~full["_pre"]) & (full[type_col] == left_type)]
+        yield out[out_cols]
+
+    n_buckets = _default_key_buckets(stream_df)
     return (
-        stream_df.where(F.col(type_col).isin([left_type, right_type]))
-        .groupBy(partition_by)
+        # key-bucketed + projected before the exchange — see
+        # streaming_lag_features (identical per-key code inside)
+        _bucketed(
+            stream_df.where(F.col(type_col).isin([left_type, right_type])),
+            partition_by,
+            [partition_by, time_col, *order_extra, type_col, value_col],
+            n_buckets,
+        )
+        .groupBy(_KB_COL)
         .applyInPandasWithState(
             _update,
             output_schema,
@@ -330,6 +489,7 @@ def streaming_ewma(
     """
     sort_cols = [time_col, *order_extra]
     out_name = f"{value_col}_ewma"
+    out_cols = [partition_by, time_col, *order_extra, value_col, out_name]
     output_schema = ", ".join([
         f"{partition_by} long",
         f"{time_col} long",
@@ -337,28 +497,62 @@ def streaming_ewma(
         f"{value_col} double",
         f"{out_name} double",
     ])
-    state_schema = "last_ewma double"
+    state_schema = "uids array<long>, lasts array<double>"
 
     def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
-            sort_cols, kind="mergesort"
-        )
-        vals = batch[value_col].astype("float64").reset_index(drop=True)
-        if state.exists:
-            (prev,) = state.get
-            seeded = pd.concat([pd.Series([prev], dtype="float64"), vals],
-                               ignore_index=True)
-            y = seeded.ewm(alpha=alpha, adjust=False).mean().iloc[1:].reset_index(drop=True)
-        else:
-            y = vals.ewm(alpha=alpha, adjust=False).mean()
-        out = batch[[time_col, *order_extra, value_col]].reset_index(drop=True)
-        out[out_name] = y
-        out.insert(0, partition_by, key[0])
-        state.update((float(y.iloc[-1]),))
-        yield out[[partition_by, time_col, *order_extra, value_col, out_name]]
+        # Vectorized across the bucket's keys (the streaming_lag_features
+        # pattern): carried EWMA values enter as flagged prefix rows (the
+        # seed IS step 0 of ewm(adjust=False) — same seeding the per-key
+        # form used), the recurrence runs in the grouped cython ewm
+        # kernel (identical kernel, per group), prefix rows drop from
+        # the output.
+        import numpy as np
 
+        uids, lasts = state.get if state.exists else ([], [])
+        st = dict(zip(uids, lasts))
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            [partition_by, *sort_cols], kind="mergesort"
+        )
+        pre_u = [int(u) for u in pd.unique(batch[partition_by])
+                 if int(u) in st] if st else []
+        if pre_u:
+            n_pre = len(pre_u)
+            prefix = pd.DataFrame({
+                partition_by: pd.array(pre_u, dtype=batch[partition_by].dtype),
+                value_col: pd.array([st[u] for u in pre_u], dtype="float64"),
+                **{c: np.zeros(n_pre, dtype="int64")
+                   for c in (time_col, *order_extra)},
+                "_pre": np.ones(n_pre, dtype=bool),
+            })
+            batch["_pre"] = False
+            full = pd.concat([prefix, batch], ignore_index=True).sort_values(
+                partition_by, kind="mergesort"
+            ).reset_index(drop=True)
+        else:
+            full = batch.reset_index(drop=True)
+        if full[value_col].dtype != "float64":
+            full[value_col] = full[value_col].astype("float64")
+        y = (
+            full.groupby(partition_by, sort=False)[value_col]
+            .ewm(alpha=alpha, adjust=False)
+            .mean()
+            .reset_index(level=0, drop=True)
+            .sort_index()
+        )
+        full[out_name] = y
+        new_last = full.groupby(partition_by, sort=False)[out_name].last()
+        st.update({int(u): float(v) for u, v in new_last.items()})
+        state.update((list(st.keys()), list(st.values())))
+        out = full[~full["_pre"]] if pre_u else full
+        yield out[out_cols]
+
+    n_buckets = _default_key_buckets(stream_df)
     return (
-        stream_df.groupBy(partition_by)
+        # key-bucketed + projected before the exchange — see
+        # streaming_lag_features (identical per-key code inside)
+        _bucketed(stream_df, partition_by,
+                  [partition_by, time_col, *order_extra, value_col], n_buckets)
+        .groupBy(_KB_COL)
         .applyInPandasWithState(
             _update,
             output_schema,

@@ -1,7 +1,7 @@
 """Capture .explain('formatted') output for named registered queries.
 
 Usage: python tools/capture_plans.py SUFFIX name [name ...]
-Writes plans/r14/<name>_<SUFFIX>.txt for each query.
+Writes plans/r15/<name>_<SUFFIX>.txt for each query.
 """
 
 import io
@@ -15,7 +15,7 @@ from time_sift_spark.queries import REGISTRY  # noqa: E402
 from time_sift_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(os.path.dirname(__file__), "..", "plans", "r14")
+OUT_DIR = os.path.join(os.path.dirname(__file__), "..", "plans", "r15")
 
 
 def main() -> None:
