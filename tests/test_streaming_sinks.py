@@ -173,3 +173,86 @@ def test_streaming_fuzzy_dedup_cross_batch_state(spark):
     assert (b2_recrawls.max_jaccard >= 0.5).all()
     b1_recrawls = out.loc[[i for i in out.index if 10000 <= i < 20000]]
     assert (~b1_recrawls.accepted).all()  # corpus re-crawls rejected in epoch 1
+
+
+def test_bucketed_drains_state_isolated_within_one_bucket(
+    spark, tmp_path, monkeypatch
+):
+    """r15: the pandas-state drains group KEYS into hash buckets and run
+    the per-key recurrences vectorized inside each bucket call.  Force
+    EVERY key into ONE bucket and drive 3 micro-batches: per-key state
+    must stay isolated (carried buffers/last values never bleed across
+    the bucket's keys) and equal the single-key per-batch reference the
+    r14 form computed.  Keys are chosen so arrival interleaves them in
+    every batch."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from time_sift_spark.streaming.lag_stream import (
+        run_stream_to_df,
+        streaming_ewma,
+        streaming_lag_features,
+    )
+
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_KEY_BUCKETS", "1")
+    rng = np.random.default_rng(3)
+    n, keys = 90, 5
+    pdf = pd.DataFrame({
+        "t": np.arange(n, dtype=np.int64),
+        "k": np.arange(n, dtype=np.int64) % keys,
+        "v": rng.standard_normal(n),
+    })
+    src = str(tmp_path / "bk_src")
+    os.makedirs(src, exist_ok=True)
+    step = n // 3
+    for s in range(3):
+        f = f"{src}/chunk-{s:02d}.parquet"
+        pq.write_table(
+            pa.Table.from_pandas(
+                pdf.iloc[s * step:(s + 1) * step], preserve_index=False
+            ),
+            f,
+        )
+        os.utime(f, (1_700_000_000 + s, 1_700_000_000 + s))
+
+    def stream():
+        return (
+            spark.readStream.schema("t long, k long, v double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    # reference: per-key pandas, whole series at once (the batch truth —
+    # ordered arrival makes the 3-batch drain equal it exactly)
+    ref = pdf.sort_values(["k", "t"]).reset_index(drop=True)
+    ref["v_lag2"] = ref.groupby("k")["v"].shift(2)
+    ref["v_ewma"] = (
+        ref.groupby("k")["v"].apply(
+            lambda s: s.ewm(alpha=0.4, adjust=False).mean()
+        ).reset_index(level=0, drop=True)
+    )
+
+    lag = run_stream_to_df(
+        streaming_lag_features(stream(), "v", "t", [2], partition_by="k"),
+        "bk_lag",
+    ).orderBy("k", "t").toPandas()
+    pd.testing.assert_frame_equal(
+        lag[["k", "t", "v", "v_lag2"]].reset_index(drop=True),
+        ref[["k", "t", "v", "v_lag2"]].reset_index(drop=True),
+        check_dtype=False,
+    )
+
+    ew = run_stream_to_df(
+        streaming_ewma(stream(), "v", "t", 0.4, partition_by="k"),
+        "bk_ewma",
+    ).orderBy("k", "t").toPandas()
+    pd.testing.assert_frame_equal(
+        ew[["k", "t", "v", "v_ewma"]].reset_index(drop=True),
+        ref[["k", "t", "v", "v_ewma"]].reset_index(drop=True),
+        check_dtype=False,
+    )

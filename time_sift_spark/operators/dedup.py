@@ -891,12 +891,17 @@ def connected_components(
     return labels.select("id", F.col("lbl").alias("cluster_id"))
 
 
-# Star-alternation rounds per checkpointed job in _cc_star — the graph.py
-# _KCORE_GROUP discipline: the deep chain graph pays ~10 rounds of driver
-# round-trips, and grouping G rounds into one lazy plan lets exchange
-# reuse collapse the duplicated sym/m subtrees while saving G-1 probe +
-# checkpoint materializations per group.  Env override for sweeps.
-_CC_GROUP = int(os.environ.get("SPARK_GRAFT_CC_GROUP", "2"))
+# Star-alternation rounds per checkpointed job in _cc_star.  r15
+# MEASURED NEGATIVE RESULT — keep at 1: grouping G rounds into one lazy
+# plan re-executes the duplicated sym/m subtrees (exchange reuse does
+# NOT collapse them across the large-star/small-star alternation — the
+# two semi-join/aggregation consumers differ in projection, so their
+# exchanges are not identical), and the work grows ~2^G: sf0.1 chain
+# graph measured 9.9 s at G=1, 14.3 s at G=2, 50.1 s at G=3 (fresh-JVM
+# best-of-2).  The kcore grouping win does not transfer because kcore's
+# within-group references are semi-joins against ONE shared relation,
+# not an alternation.  Env override kept for re-sweeps.
+_CC_GROUP = int(os.environ.get("SPARK_GRAFT_CC_GROUP", "1"))
 
 
 def _cc_star(
@@ -932,6 +937,19 @@ def _cc_star(
         .distinct()
         .localCheckpoint()
     )
+    # Size the iterated frame's width by its DATA, not the session's
+    # core count (guide §2 — partitioning that scales): every star
+    # round re-reads this checkpoint as the map side of its exchanges,
+    # and a tiny graph spread over defaultParallelism partitions pays
+    # per-task scheduling on every one of ~10 rounds (the r14 scaling
+    # block measured graph queries FASTER at 8 cores than 32 for
+    # exactly this reason).  coalesce is narrow — no shuffle — and at
+    # real scale n_edges/20k exceeds the core count, leaving full width.
+    n_edges = edges.count()
+    dp = max(1, edges.sparkSession.sparkContext.defaultParallelism)
+    parts = max(1, min(dp, n_edges // 20_000 + 1))
+    if parts < edges.rdd.getNumPartitions():
+        edges = edges.coalesce(parts)
     # vertex set from the ORIGINAL pairs (not the self-loop-filtered edge
     # set) so a vertex appearing only in self-loops still gets a label —
     # matching the propagate strategy's contract exactly

@@ -441,15 +441,20 @@ def clustering_coefficients(
 
 # Peel levels per checkpointed job in the iterative kcore — the
 # measured knee (plan references grow 2^steps inside a group; 3 beat 2
-# and 4 on the deep sf0.1 cascade: 3.96 vs 4.06 / 4.31 s).  Once the
-# surviving set falls under _KCORE_SMALL_N nodes the per-level DATA is
-# trivial and the residual cost is jobs/stages — the group grows to
-# _KCORE_GROUP_SMALL there (r14 VERDICT item 6: adaptive grouping for
-# the deep small-tail cascade).  Env overrides for sweeps.
+# and 4 on the deep sf0.1 cascade: 3.96 vs 4.06 / 4.31 s).  r15
+# MEASURED NEGATIVE RESULT on adaptive grouping (grow the group once
+# the surviving set is small): each level inside a group re-executes
+# its predecessor's degree chain per semi-join reference (the two
+# broadcasts differ in projection, so their exchanges never reuse), so
+# work grows ~2^steps regardless of data size — GROUP_SMALL=6 measured
+# kcore_docs 5.0 → 8.0 s, and even GROUP_SMALL=4 under 1 000 nodes lost
+# to the flat 3 in an interleaved A/B (5.75/5.52/6.30 vs
+# 5.92/5.89/6.89 s).  The defaults therefore stay flat; env knobs kept
+# for re-sweeps on other graph shapes.
 import os as _os
 
 _KCORE_GROUP = int(_os.environ.get("SPARK_GRAFT_KCORE_GROUP", "3"))
-_KCORE_GROUP_SMALL = int(_os.environ.get("SPARK_GRAFT_KCORE_GROUP_SMALL", "6"))
+_KCORE_GROUP_SMALL = int(_os.environ.get("SPARK_GRAFT_KCORE_GROUP_SMALL", "3"))
 _KCORE_SMALL_N = int(_os.environ.get("SPARK_GRAFT_KCORE_SMALL_N", "4096"))
 
 
@@ -548,6 +553,19 @@ def kcore(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # Width by DATA, not core count (guide §2; the dedup._cc_star r15
+    # rationale): every peel level re-reads ``und`` as the map side of
+    # its semi-joins and degree exchange, and a small graph spread over
+    # defaultParallelism partitions pays per-task scheduling on dozens
+    # of levels (kcore anti-scaled 0.67 at 32 vs 8 cores in the r14
+    # driver block).  The count doubles as the checkpoint materializer;
+    # coalesce is narrow; at real scale n_edges/20k exceeds the core
+    # count and the width is unchanged.
+    n_edges = und.count()
+    dp = max(1, edges.sparkSession.sparkContext.defaultParallelism)
+    parts = max(1, min(dp, n_edges // 20_000 + 1))
+    if parts < und.rdd.getNumPartitions():
+        und = und.coalesce(parts)
     cur = (
         und.selectExpr("u AS n").union(und.selectExpr("v AS n")).distinct()
         .localCheckpoint(eager=False)

@@ -268,10 +268,9 @@ def _stage_pq(df: DataFrame, view: str, id_col: str, vec_col: str,
     2^(iters-i) times (measured 0.98 s at iters=1 vs 4.14 s at iters=3
     over the same corpus — 7 passes, not 3).  ``sub`` (the subspace
     explode) is checkpointed so the n→n·m explode is paid once; each
-    trained pc{i} (m·k_codes rows) is COLLECTED to a local relation
-    (r15, one job per step — see ``_lit`` below) with the seed fused
-    into step 1's statement via the cheap set-identical TakeOrdered
-    form.  Step CTEs are shared with the unrolled oracle text
+    trained pc{i} (m·k_codes rows) is broadcast-pinned over a lazy
+    checkpoint (see ``_pin`` below for the r15 negative results).
+    Step CTEs are shared with the unrolled oracle text
     (:func:`_pq_iter_ctes`) so staged ≡ inline stays bit-exact."""
     from pyspark.sql import functions as F
 
@@ -293,50 +292,24 @@ def _stage_pq(df: DataFrame, view: str, id_col: str, vec_col: str,
     subv = _next_view()
     sub.createOrReplaceTempView(subv)
 
-    def _lit(frame):
-        # m * k_codes rows (sub-KB): collect to a LOCAL relation instead
-        # of a lazy checkpoint + broadcast pin — exact stats (joins
-        # auto-broadcast; the pin stays as belt and braces), no
-        # checkpoint blocks, and the collect IS the step's action.  See
-        # similarity._stage_lloyd._lit; bit-exact round-trip.
-        rows = frame.collect()
+    def _pin(frame):
+        # m * k_codes rows; broadcast-pin over a lazy checkpoint
+        # (checkpointed frames carry no size stats, so joins would
+        # demote to shuffles).  See similarity._stage_lloyd._pin for
+        # the r15 collect-to-LocalRelation negative result.
         v = _next_view()
-        F.broadcast(
-            spark.createDataFrame(rows, frame.schema)
-        ).createOrReplaceTempView(v)
+        F.broadcast(frame.localCheckpoint(eager=False)).createOrReplaceTempView(v)
         return v
 
-    # Seed fused into step 1 (one fewer statement).  The fused c0 is
-    # referenced twice (assign + carry) and would re-run
-    # _pq_seed_select's full per-subspace window pass per reference, so
-    # the STAGED seed uses the cheap equivalent: the window orders by
-    # (md5(CAST(vid AS STRING)), vid), which does not depend on s, so
-    # the k_codes survivors per subspace are THE SAME k_codes vids in
-    # every subspace — pick them once with a TakeOrdered over the raw
-    # table and slice their subvectors from the checkpointed sub.
-    # Set-identical to _pq_seed_select because ids are unique and every
-    # vid carries exactly m subspace rows (dim = m·sub_dim, checked by
-    # _check_pq_dim); bit-identity is pinned by tests/test_staged_training.py.
-    seed_sql = f"""
-      SELECT x.s, x.vid AS cid, x.svec AS cent
-      FROM {subv} x JOIN (
-        SELECT {id_col} AS vid FROM {view}
-        ORDER BY md5(CAST({id_col} AS STRING)), {id_col}
-        LIMIT {k_codes}
-      ) sv ON sv.vid = x.vid
-    """
-    if lloyd_iters == 0:
-        return _lit(spark.sql(seed_sql))
-    pa, pm, _pc = _pq_iter_ctes(_VSPARK, 1, prev="pc0", sub=subv,
-                                sub_dim=sub_dim)
-    prev = _lit(spark.sql(
-        f"WITH pc0 AS ({seed_sql}),\n    {pa},\n    {pm}\n    "
-        f"{_pq_carry_select(1, 'pc0')}"
-    ))
-    for i in range(2, lloyd_iters + 1):
+    # (r15 negative result: fusing the seed into step 1's statement —
+    # pc0 referenced twice per statement, even via a cheap TakeOrdered
+    # rewrite — measured ~25% SLOWER end to end than the separate
+    # pinned seed statement; see similarity._stage_lloyd.)
+    prev = _pin(spark.sql(_pq_seed_select(_VSPARK, subv, k_codes)))
+    for i in range(1, lloyd_iters + 1):
         pa, pm, _pc = _pq_iter_ctes(_VSPARK, i, prev=prev, sub=subv,
                                     sub_dim=sub_dim)
-        prev = _lit(spark.sql(
+        prev = _pin(spark.sql(
             f"WITH {pa},\n    {pm}\n    {_pq_carry_select(i, prev)}"
         ))
     return prev

@@ -850,11 +850,11 @@ def _stage_lloyd(df: DataFrame, view: str, id_col: str, vec_col: str,
     Staging per step makes each pass run exactly once; ``lv`` (vectors
     + norms) is checkpointed so the source scan and norm folds are paid
     once, not once per iteration; each trained c{i} (K rows) is
-    COLLECTED to a local relation (r15 — one job per step, exact stats,
-    no checkpoint/broadcast machinery; see ``_lit`` below) with the
-    seed fused into step 1's statement.  Values are bit-identical by
-    construction: both forms render the SAME step CTEs
-    (:func:`_lloyd_iter_ctes`), pinned by tests/test_staged_training.py."""
+    broadcast-pinned over a lazy checkpoint (see ``_pin`` below for the
+    r15 collect-to-LocalRelation and seed-fusion negative results).
+    Values are bit-identical by construction: both forms render the
+    SAME step CTEs (:func:`_lloyd_iter_ctes`), pinned by
+    tests/test_staged_training.py."""
     from pyspark.sql import functions as F
 
     spark = df.sparkSession
@@ -874,41 +874,28 @@ def _stage_lloyd(df: DataFrame, view: str, id_col: str, vec_col: str,
     lvv = _next_view()
     lv.createOrReplaceTempView(lvv)
 
-    def _lit(frame):
-        # The trained relation is num_centroids rows (sub-KB): collect
-        # it and re-register as a LOCAL relation instead of a lazy
-        # localCheckpoint + broadcast pin (the r14 form).  A
-        # LocalRelation carries EXACT stats (so every centroid join
-        # auto-broadcasts — the pin stays as belt and braces), needs no
-        # checkpoint block materialization and no broadcast-from-RDD
-        # job, and the collect IS the step's materializing action — one
-        # job per Lloyd step instead of two.  Collecting a trained
-        # K-row model is not a driver-side data path; the collect/
-        # createDataFrame round-trip is bit-exact (Python floats are
-        # IEEE doubles, Arrow preserves them).
-        rows = frame.collect()
+    def _pin(frame):
+        # A checkpointed frame carries no size stats (LogicalRDD
+        # defaults to "huge"), which would demote every centroid join
+        # from broadcast to shuffle — the relation is num_centroids
+        # rows, so pin the hint.  (r15 negative result, kept as a
+        # warning: collecting each step to the driver and re-registering
+        # it as a LocalRelation measured ~25% SLOWER end to end — the
+        # per-step collect + createDataFrame py4j round-trips cost more
+        # than the lazy checkpoint + broadcast they replaced; ivfpq
+        # 6.2 → 8.3 s, pq_adc 3.7 → 5.3 s same-epoch A/B.)
         v = _next_view()
-        F.broadcast(
-            spark.createDataFrame(rows, frame.schema)
-        ).createOrReplaceTempView(v)
+        F.broadcast(frame.localCheckpoint(eager=False)).createOrReplaceTempView(v)
         return v
 
-    # Seed fused into step 1 (one fewer statement): c0 is referenced
-    # twice inside the fused statement (assign + carry) and re-executes
-    # per reference, but it is a deterministic TakeOrdered over the
-    # checkpointed lv — two cheap passes, same rows (total order on
-    # (md5(vid), vid)).
-    seed_sql = _lloyd_seed_select(_VSPARK, lvv, num_centroids)
-    if iters == 0:
-        return _lit(spark.sql(seed_sql))
-    a, m, _c = _lloyd_iter_ctes(_VSPARK, 1, prev="c0", lv=lvv)
-    prev = _lit(spark.sql(
-        f"WITH c0 AS ({seed_sql}),\n    {a},\n    {m}\n    "
-        f"{_lloyd_carry_select(_VSPARK, 1, 'c0')}"
-    ))
-    for i in range(2, iters + 1):
+    # (r15 negative result: fusing the seed into step 1's statement —
+    # c0 referenced twice, re-executed per reference — measured ~10%
+    # SLOWER end to end than the separate pinned seed statement, same
+    # epoch; one fewer statement did not pay for the double TakeOrdered.)
+    prev = _pin(spark.sql(_lloyd_seed_select(_VSPARK, lvv, num_centroids)))
+    for i in range(1, iters + 1):
         a, m, _c = _lloyd_iter_ctes(_VSPARK, i, prev=prev, lv=lvv)
-        prev = _lit(spark.sql(
+        prev = _pin(spark.sql(
             f"WITH {a},\n    {m}\n    {_lloyd_carry_select(_VSPARK, i, prev)}"
         ))
     return prev
